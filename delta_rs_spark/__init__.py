@@ -1,0 +1,29 @@
+"""delta_rs_spark — a PySpark-native Delta-protocol engine.
+
+Layer 1 (protocol, driver-side Python): transaction-log replay, snapshots,
+time travel, partition/stats file pruning, optimistic-concurrency commits,
+checkpoints, vacuum — the capabilities of delta-rs v0 re-expressed for Spark.
+
+Layer 2 (data plane, Spark): the snapshot's file list becomes one DataFrame;
+every relational operator (joins, windows, aggregation, SQL) is Catalyst's.
+
+Plus `operators/`: the large-scale training-data pipeline toolkit
+(dedup, similarity search, text analysis, multimodal plumbing).
+"""
+
+from .protocol.log import DeltaLog
+from .protocol.snapshot import DeltaTableError, NotATableError, Snapshot
+from .session import get_spark
+from .table import DeltaTable
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "DeltaTable",
+    "DeltaLog",
+    "Snapshot",
+    "DeltaTableError",
+    "NotATableError",
+    "get_spark",
+    "__version__",
+]

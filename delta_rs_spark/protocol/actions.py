@@ -1,0 +1,267 @@
+"""Delta transaction-log action types.
+
+The Delta log is newline-delimited JSON; each line is an object with exactly
+one of the keys ``add | remove | metaData | txn | protocol | commitInfo``.
+Semantics follow the reference engine's action model
+(``rust/src/action.rs:147-182,369-386,505-521,609-616,662-669,706-721``) —
+re-expressed as plain Python dataclasses because the log is small,
+driver-side state; the data plane stays in Spark.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+
+@dataclass
+class Format:
+    provider: str = "parquet"
+    options: dict[str, str] = field(default_factory=dict)
+
+    def to_json_dict(self) -> dict[str, Any]:
+        return {"provider": self.provider, "options": self.options}
+
+    @classmethod
+    def from_json_dict(cls, d: dict[str, Any]) -> "Format":
+        return cls(provider=d.get("provider", "parquet"), options=d.get("options") or {})
+
+
+@dataclass
+class AddAction:
+    """A data file that is part of the table snapshot.
+
+    ``partition_values`` are *strings* (Hive convention); ``stats`` is a JSON
+    string with numRecords / minValues / maxValues / nullCount, possibly
+    nested (cf. reference ``rust/src/action.rs:113-127``).
+    """
+
+    path: str
+    size: int = 0
+    partition_values: dict[str, Optional[str]] = field(default_factory=dict)
+    modification_time: int = 0
+    data_change: bool = True
+    stats: Optional[str] = None
+    tags: Optional[dict[str, Any]] = None
+
+    def get_stats(self) -> Optional[dict[str, Any]]:
+        if not self.stats:
+            return None
+        try:
+            return json.loads(self.stats)
+        except (ValueError, TypeError):
+            return None
+
+    @property
+    def num_records(self) -> Optional[int]:
+        s = self.get_stats()
+        return None if s is None else s.get("numRecords")
+
+    def to_json_dict(self) -> dict[str, Any]:
+        d: dict[str, Any] = {
+            "path": self.path,
+            "partitionValues": self.partition_values,
+            "size": self.size,
+            "modificationTime": self.modification_time,
+            "dataChange": self.data_change,
+        }
+        if self.stats is not None:
+            d["stats"] = self.stats
+        if self.tags is not None:
+            d["tags"] = self.tags
+        return d
+
+    @classmethod
+    def from_json_dict(cls, d: dict[str, Any]) -> "AddAction":
+        return cls(
+            path=d["path"],
+            size=d.get("size", 0),
+            partition_values=d.get("partitionValues") or {},
+            modification_time=d.get("modificationTime", 0),
+            data_change=d.get("dataChange", True),
+            stats=d.get("stats"),
+            tags=d.get("tags"),
+        )
+
+
+@dataclass
+class RemoveAction:
+    """Tombstone: a file logically deleted at ``deletion_timestamp``."""
+
+    path: str
+    deletion_timestamp: Optional[int] = None
+    data_change: bool = True
+    extended_file_metadata: Optional[bool] = None
+    partition_values: Optional[dict[str, Optional[str]]] = None
+    size: Optional[int] = None
+    tags: Optional[dict[str, Any]] = None
+
+    def to_json_dict(self) -> dict[str, Any]:
+        d: dict[str, Any] = {"path": self.path, "dataChange": self.data_change}
+        if self.deletion_timestamp is not None:
+            d["deletionTimestamp"] = self.deletion_timestamp
+        if self.extended_file_metadata is not None:
+            d["extendedFileMetadata"] = self.extended_file_metadata
+        if self.partition_values is not None:
+            d["partitionValues"] = self.partition_values
+        if self.size is not None:
+            d["size"] = self.size
+        if self.tags is not None:
+            d["tags"] = self.tags
+        return d
+
+    @classmethod
+    def from_json_dict(cls, d: dict[str, Any]) -> "RemoveAction":
+        return cls(
+            path=d["path"],
+            deletion_timestamp=d.get("deletionTimestamp"),
+            data_change=d.get("dataChange", True),
+            extended_file_metadata=d.get("extendedFileMetadata"),
+            partition_values=d.get("partitionValues"),
+            size=d.get("size"),
+            tags=d.get("tags"),
+        )
+
+
+@dataclass
+class MetaDataAction:
+    """Table metadata; a new metaData action *wholly replaces* the current one."""
+
+    id: str
+    schema_string: str
+    partition_columns: list[str] = field(default_factory=list)
+    name: Optional[str] = None
+    description: Optional[str] = None
+    format: Format = field(default_factory=Format)
+    created_time: Optional[int] = None
+    configuration: dict[str, Optional[str]] = field(default_factory=dict)
+
+    @property
+    def schema_json(self) -> dict[str, Any]:
+        return json.loads(self.schema_string)
+
+    def to_json_dict(self) -> dict[str, Any]:
+        d: dict[str, Any] = {
+            "id": self.id,
+            "format": self.format.to_json_dict(),
+            "schemaString": self.schema_string,
+            "partitionColumns": self.partition_columns,
+            "configuration": self.configuration,
+        }
+        if self.name is not None:
+            d["name"] = self.name
+        if self.description is not None:
+            d["description"] = self.description
+        if self.created_time is not None:
+            d["createdTime"] = self.created_time
+        return d
+
+    @classmethod
+    def from_json_dict(cls, d: dict[str, Any]) -> "MetaDataAction":
+        return cls(
+            id=d["id"],
+            schema_string=d["schemaString"],
+            partition_columns=d.get("partitionColumns") or [],
+            name=d.get("name"),
+            description=d.get("description"),
+            format=Format.from_json_dict(d.get("format") or {}),
+            created_time=d.get("createdTime"),
+            configuration=d.get("configuration") or {},
+        )
+
+
+@dataclass
+class TxnAction:
+    """Streaming idempotency watermark: latest ``version`` seen for ``app_id``."""
+
+    app_id: str
+    version: int
+    last_updated: Optional[int] = None
+
+    def to_json_dict(self) -> dict[str, Any]:
+        d: dict[str, Any] = {"appId": self.app_id, "version": self.version}
+        if self.last_updated is not None:
+            d["lastUpdated"] = self.last_updated
+        return d
+
+    @classmethod
+    def from_json_dict(cls, d: dict[str, Any]) -> "TxnAction":
+        return cls(app_id=d["appId"], version=d["version"], last_updated=d.get("lastUpdated"))
+
+
+@dataclass
+class ProtocolAction:
+    min_reader_version: int = 1
+    min_writer_version: int = 2
+
+    def to_json_dict(self) -> dict[str, Any]:
+        return {
+            "minReaderVersion": self.min_reader_version,
+            "minWriterVersion": self.min_writer_version,
+        }
+
+    @classmethod
+    def from_json_dict(cls, d: dict[str, Any]) -> "ProtocolAction":
+        return cls(
+            min_reader_version=d.get("minReaderVersion", 1),
+            min_writer_version=d.get("minWriterVersion", 2),
+        )
+
+
+@dataclass
+class CommitInfoAction:
+    """Free-form provenance (operation, operationParameters, metrics, ...)."""
+
+    info: dict[str, Any] = field(default_factory=dict)
+
+    def to_json_dict(self) -> dict[str, Any]:
+        return dict(self.info)
+
+    @classmethod
+    def from_json_dict(cls, d: dict[str, Any]) -> "CommitInfoAction":
+        return cls(info=dict(d))
+
+
+Action = (
+    AddAction
+    | RemoveAction
+    | MetaDataAction
+    | TxnAction
+    | ProtocolAction
+    | CommitInfoAction
+)
+
+_KEY_TO_CLASS = {
+    "add": AddAction,
+    "remove": RemoveAction,
+    "metaData": MetaDataAction,
+    "txn": TxnAction,
+    "protocol": ProtocolAction,
+    "commitInfo": CommitInfoAction,
+}
+
+_CLASS_TO_KEY = {v: k for k, v in _KEY_TO_CLASS.items()}
+
+
+def parse_action(obj: dict[str, Any]) -> Action:
+    """One JSON log line (already parsed) → a typed action."""
+    for key, cls in _KEY_TO_CLASS.items():
+        if key in obj:
+            return cls.from_json_dict(obj[key])
+    raise ValueError(f"unrecognized Delta log action: {list(obj.keys())}")
+
+
+def action_to_log_line(action: Action) -> str:
+    """Typed action → one NDJSON log line (compact separators, like the reference log)."""
+    key = _CLASS_TO_KEY[type(action)]
+    return json.dumps({key: action.to_json_dict()}, separators=(",", ":"))
+
+
+def parse_log_entry(text: str) -> list[Action]:
+    """A whole commit file (NDJSON) → list of actions."""
+    return [parse_action(json.loads(line)) for line in text.splitlines() if line.strip()]
+
+
+def actions_to_log_entry(actions: list[Action]) -> str:
+    return "\n".join(action_to_log_line(a) for a in actions)

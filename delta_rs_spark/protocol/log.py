@@ -1,0 +1,154 @@
+"""Transaction-log path scheme, listing, and checkpoint discovery.
+
+Naming follows the Delta protocol exactly (reference ``rust/src/delta.rs:407-443``):
+commits ``_delta_log/{version:020d}.json``, checkpoints
+``{version:020d}.checkpoint.parquet`` or the multi-part variant
+``{version:020d}.checkpoint.{part:010d}.{parts:010d}.parquet``, and the
+``_last_checkpoint`` JSON pointer.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+from typing import Optional
+
+from .actions import Action, actions_to_log_entry, parse_log_entry
+from .storage import FileAlreadyExistsError, StorageBackend, parse_table_uri
+
+DELTA_LOG_DIR = "_delta_log"
+LAST_CHECKPOINT = "_last_checkpoint"
+
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+# single-part and multi-part checkpoint names (reference regexes, delta.rs:449-456)
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_CHECKPOINT_PARTS_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+
+
+@dataclass
+class CheckPoint:
+    version: int
+    size: Optional[int] = None
+    parts: Optional[int] = None
+
+    def to_json(self) -> str:
+        d = {"version": self.version}
+        if self.size is not None:
+            d["size"] = self.size
+        if self.parts is not None:
+            d["parts"] = self.parts
+        return json.dumps(d, separators=(",", ":"))
+
+    @classmethod
+    def from_json(cls, text: str) -> "CheckPoint":
+        d = json.loads(text)
+        return cls(version=d["version"], size=d.get("size"), parts=d.get("parts"))
+
+
+class DeltaLog:
+    """Driver-side handle on one table's ``_delta_log`` directory."""
+
+    def __init__(self, table_uri: str):
+        self.table_root, self.backend = parse_table_uri(table_uri)
+        self.log_dir = self.backend.join(self.table_root, DELTA_LOG_DIR)
+
+    # ---- path scheme -------------------------------------------------
+    def commit_path(self, version: int) -> str:
+        return self.backend.join(self.log_dir, f"{version:020d}.json")
+
+    def checkpoint_paths(self, cp: CheckPoint) -> list[str]:
+        if cp.parts is None:
+            return [self.backend.join(self.log_dir, f"{cp.version:020d}.checkpoint.parquet")]
+        return [
+            self.backend.join(
+                self.log_dir,
+                f"{cp.version:020d}.checkpoint.{part:010d}.{cp.parts:010d}.parquet",
+            )
+            for part in range(1, cp.parts + 1)
+        ]
+
+    def last_checkpoint_path(self) -> str:
+        return self.backend.join(self.log_dir, LAST_CHECKPOINT)
+
+    # ---- discovery ---------------------------------------------------
+    def is_delta_table(self) -> bool:
+        return self.backend.exists(self.log_dir) and (
+            self.latest_version() is not None or self.read_last_checkpoint() is not None
+        )
+
+    def list_commit_versions(self) -> list[int]:
+        versions = []
+        for meta in self.backend.list_objs(self.log_dir):
+            name = meta.path.rsplit("/", 1)[-1]
+            m = _COMMIT_RE.match(name)
+            if m:
+                versions.append(int(m.group(1)))
+        return sorted(versions)
+
+    def latest_version(self) -> Optional[int]:
+        versions = self.list_commit_versions()
+        return versions[-1] if versions else None
+
+    def read_last_checkpoint(self) -> Optional[CheckPoint]:
+        try:
+            return CheckPoint.from_json(
+                self.backend.get_obj(self.last_checkpoint_path()).decode("utf-8")
+            )
+        except FileNotFoundError:
+            return None
+
+    def find_latest_checkpoint_for_version(self, version: int) -> Optional[CheckPoint]:
+        """Newest checkpoint ≤ version, by log-dir scan (single & multi-part).
+
+        Mirrors the reference's regex scan (``rust/src/delta.rs:445-502``).
+        """
+        best: Optional[CheckPoint] = None
+        for meta in self.backend.list_objs(self.log_dir):
+            name = meta.path.rsplit("/", 1)[-1]
+            m = _CHECKPOINT_RE.match(name)
+            if m:
+                v = int(m.group(1))
+                if v <= version and (best is None or v > best.version):
+                    best = CheckPoint(version=v)
+                continue
+            m = _CHECKPOINT_PARTS_RE.match(name)
+            if m:
+                v, _part, parts = int(m.group(1)), int(m.group(2)), int(m.group(3))
+                if v <= version and (best is None or v > best.version):
+                    best = CheckPoint(version=v, parts=parts)
+        return best
+
+    # ---- commit I/O ----------------------------------------------------
+    def read_commit(self, version: int) -> list[Action]:
+        return parse_log_entry(self.backend.get_obj(self.commit_path(version)).decode("utf-8"))
+
+    def try_read_commit(self, version: int) -> Optional[list[Action]]:
+        try:
+            return self.read_commit(version)
+        except FileNotFoundError:
+            return None
+
+    def commit_timestamp_ms(self, version: int) -> int:
+        """Commit wall-clock time = log file mtime (reference delta.rs:711-729)."""
+        return int(self.backend.head_obj(self.commit_path(version)).modification_time * 1000)
+
+    def write_tmp_commit(self, actions: list[Action], token: str) -> str:
+        """Phase 1 of two-phase commit: NDJSON to ``_commit_<token>.json.tmp``."""
+        tmp = self.backend.join(self.log_dir, f"_commit_{token}.json.tmp")
+        self.backend.put_obj(tmp, (actions_to_log_entry(actions) + "\n").encode("utf-8"))
+        return tmp
+
+    def try_commit(self, tmp_path: str, version: int) -> None:
+        """Phase 2: atomic rename-without-replace to the versioned name.
+
+        Raises FileAlreadyExistsError when the version was taken by a
+        concurrent writer — the caller retries at version+1.
+        """
+        self.backend.rename_obj_noreplace(tmp_path, self.commit_path(version))
+
+    def put_last_checkpoint(self, cp: CheckPoint) -> None:
+        self.backend.put_obj(self.last_checkpoint_path(), cp.to_json().encode("utf-8"))
+
+
+__all__ = ["DeltaLog", "CheckPoint", "FileAlreadyExistsError", "DELTA_LOG_DIR"]

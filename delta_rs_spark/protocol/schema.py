@@ -1,0 +1,102 @@
+"""Delta ``schemaString`` ⇄ Spark ``StructType``.
+
+The Delta schema JSON vocabulary (struct/array/map + primitive names —
+reference ``rust/src/schema.rs:120-147``) is the *same* vocabulary Spark uses
+for ``StructType.jsonValue()``, so conversion is nearly free. The one
+deliberate divergence: Delta ``timestamp`` maps to Spark ``TimestampType``
+(µs); we do NOT copy the reference's ns quirk (``rust/src/delta_arrow.rs:96-99``).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import types as T
+
+# Delta primitive names == Spark JSON type names for this whole set:
+# string long integer short byte float double boolean binary date timestamp
+# decimal(p,s). struct/array/map containers share field layout too.
+
+
+def schema_string_to_spark(schema_string: str) -> T.StructType:
+    """Delta metaData.schemaString → Spark StructType."""
+    return T.StructType.fromJson(json.loads(schema_string))
+
+
+def spark_to_schema_string(schema: T.StructType) -> str:
+    """Spark StructType → Delta schemaString (compact JSON)."""
+    return json.dumps(_spark_json_to_delta(schema.jsonValue()), separators=(",", ":"))
+
+
+def _spark_json_to_delta(node: Any) -> Any:
+    """Normalize Spark's jsonValue to the Delta vocabulary.
+
+    They coincide except Spark may emit ``timestamp_ntz``/``void``/``udt``
+    which Delta v0 has no spelling for — fail loudly on those.
+    """
+    if isinstance(node, str):
+        if node in {
+            "string", "long", "integer", "short", "byte", "float", "double",
+            "boolean", "binary", "date", "timestamp",
+        } or node.startswith("decimal("):
+            return node
+        raise ValueError(f"type {node!r} not representable in the Delta v0 schema model")
+    if isinstance(node, dict):
+        t = node.get("type")
+        if t == "struct":
+            return {
+                "type": "struct",
+                "fields": [
+                    {
+                        "name": f["name"],
+                        "type": _spark_json_to_delta(f["type"]),
+                        "nullable": f.get("nullable", True),
+                        "metadata": f.get("metadata", {}),
+                    }
+                    for f in node["fields"]
+                ],
+            }
+        if t == "array":
+            return {
+                "type": "array",
+                "elementType": _spark_json_to_delta(node["elementType"]),
+                "containsNull": node.get("containsNull", True),
+            }
+        if t == "map":
+            return {
+                "type": "map",
+                "keyType": _spark_json_to_delta(node["keyType"]),
+                "valueType": _spark_json_to_delta(node["valueType"]),
+                "valueContainsNull": node.get("valueContainsNull", True),
+            }
+    raise ValueError(f"unsupported schema node: {node!r}")
+
+
+def partition_value_to_typed(value: str | None, data_type: T.DataType) -> Any:
+    """Hive partition *string* → typed Python value per the table schema.
+
+    Mirrors the reference's string→typed reconstruction
+    (``rust/src/checkpoints.rs:278-307``). ``None``/empty string → NULL
+    (Hive's ``__HIVE_DEFAULT_PARTITION__`` is also treated as NULL).
+    """
+    if value is None or value == "" or value == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(data_type, T.StringType):
+        return value
+    if isinstance(data_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return int(value)
+    if isinstance(data_type, (T.DoubleType, T.FloatType)):
+        return float(value)
+    if isinstance(data_type, T.BooleanType):
+        return value.lower() == "true"
+    if isinstance(data_type, T.DecimalType):
+        return _dec.Decimal(value)
+    if isinstance(data_type, T.DateType):
+        return _dt.date.fromisoformat(value)
+    if isinstance(data_type, T.TimestampType):
+        return _dt.datetime.fromisoformat(value)
+    raise ValueError(f"partition column of type {data_type} not supported")

@@ -1,0 +1,168 @@
+"""DeltaTable: the user-facing handle.
+
+API parity with the reference's table surface (``rust/src/delta.rs`` +
+``python/deltalake/table.py``): open at latest / version / timestamp,
+files / file_uris / stats / metadata / schema accessors, update(),
+history, vacuum, time travel — with the data plane answered by Spark
+(``to_df`` / ``to_pandas``).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .protocol.actions import AddAction, MetaDataAction
+from .protocol.log import DeltaLog
+from .protocol.partitions import FilterTuple
+from .protocol.snapshot import DeltaTableError, NotATableError, Snapshot
+from .protocol.stats import SkipTuple, table_min_max, table_num_records
+
+
+class DeltaTable:
+    """A versioned Delta table over local/object storage."""
+
+    def __init__(self, table_uri: str, version: Optional[int] = None):
+        self.table_uri = table_uri
+        self.log = DeltaLog(table_uri)
+        if not self.log.backend.exists(self.log.log_dir):
+            raise NotATableError(f"{table_uri} is not a Delta table (no _delta_log)")
+        self._snapshot = Snapshot.load(self.log, version)
+
+    # ---- constructors (reference delta.rs:1453-1484) ---------------------
+    @classmethod
+    def for_path(cls, table_uri: str) -> "DeltaTable":
+        return cls(table_uri)
+
+    @classmethod
+    def for_version(cls, table_uri: str, version: int) -> "DeltaTable":
+        return cls(table_uri, version=version)
+
+    @classmethod
+    def for_timestamp(cls, table_uri: str, ts: str | _dt.datetime) -> "DeltaTable":
+        t = cls(table_uri)
+        t.load_with_datetime(ts)
+        return t
+
+    # ---- snapshot management ---------------------------------------------
+    @property
+    def version(self) -> int:
+        return self._snapshot.version
+
+    @property
+    def snapshot(self) -> Snapshot:
+        return self._snapshot
+
+    def load_version(self, version: int) -> None:
+        self._snapshot = Snapshot.load(self.log, version)
+
+    def load_with_datetime(self, ts: str | _dt.datetime) -> None:
+        """Time travel to the last version committed ≤ ts.
+
+        Binary search over commit-file mtimes, like the reference
+        (``rust/src/delta.rs:1041-1075``) but over the listed version range
+        (one listing, O(log n) stat calls).
+        """
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        target_ms = int(ts.timestamp() * 1000)
+
+        versions = self.log.list_commit_versions()
+        if not versions:
+            raise NotATableError(f"{self.table_uri} has no commits")
+        lo, hi, best = 0, len(versions) - 1, None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self.log.commit_timestamp_ms(versions[mid]) <= target_ms:
+                best = versions[mid]
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if best is None:
+            raise DeltaTableError(f"no version of {self.table_uri} existed at {ts.isoformat()}")
+        self.load_version(best)
+
+    def update(self) -> int:
+        """Refresh to the latest version (incremental apply); returns version."""
+        self._snapshot = self._snapshot.apply_new_versions()
+        return self._snapshot.version
+
+    # ---- accessors ---------------------------------------------------------
+    def metadata(self) -> MetaDataAction:
+        return self._snapshot.metadata
+
+    def schema(self) -> T.StructType:
+        return self._snapshot.schema()
+
+    def schema_json(self) -> dict[str, Any]:
+        return self._snapshot.metadata.schema_json
+
+    def files(self, partition_filters: Sequence[FilterTuple] | None = None) -> list[str]:
+        return self._snapshot.file_paths(partition_filters=partition_filters)
+
+    def file_uris(self, partition_filters: Sequence[FilterTuple] | None = None) -> list[str]:
+        return self._snapshot.file_uris(partition_filters=partition_filters)
+
+    def add_actions(self) -> list[AddAction]:
+        return list(self._snapshot.state.files.values())
+
+    def get_stats(self) -> list[Optional[dict[str, Any]]]:
+        return self._snapshot.stats()
+
+    def history(self, limit: Optional[int] = None) -> list[dict[str, Any]]:
+        infos = list(self._snapshot.state.commit_infos)
+        infos.reverse()
+        return infos[:limit] if limit else infos
+
+    def get_app_transaction_version(self, app_id: str) -> Optional[int]:
+        return self._snapshot.app_transaction_version(app_id)
+
+    def protocol_versions(self) -> tuple[int, int]:
+        return (self._snapshot.min_reader_version(), self._snapshot.min_writer_version())
+
+    # ---- data plane ---------------------------------------------------------
+    def to_df(
+        self,
+        spark: SparkSession,
+        columns: Sequence[str] | None = None,
+        partition_filters: Sequence[FilterTuple] | None = None,
+        skip_predicates: Sequence[SkipTuple] | None = None,
+    ) -> DataFrame:
+        return self._snapshot.to_df(
+            spark,
+            columns=columns,
+            partition_filters=partition_filters,
+            skip_predicates=skip_predicates,
+        )
+
+    def to_pandas(self, spark: SparkSession, **kw):
+        return self.to_df(spark, **kw).toPandas()
+
+    # ---- metadata-only fast path (reference delta_datafusion.rs:117-209) ----
+    def count_rows(self) -> Optional[int]:
+        """count(*) from per-file stats; None → caller should scan."""
+        return table_num_records(self._snapshot.state.files.values())
+
+    def column_min_max(self, column: str) -> tuple[Any, Any] | None:
+        return table_min_max(self._snapshot.state.files.values(), column)
+
+    # ---- maintenance (implemented in sibling modules) -----------------------
+    def vacuum(self, retention_hours: int = 168, dry_run: bool = True) -> list[str]:
+        from .maintenance import vacuum as _vacuum
+
+        return _vacuum(self, retention_hours=retention_hours, dry_run=dry_run)
+
+    def create_checkpoint(self) -> None:
+        from .maintenance import create_checkpoint as _ckpt
+
+        _ckpt(self)
+
+    def begin(self):
+        from .transactions import DeltaTransaction
+
+        return DeltaTransaction(self)

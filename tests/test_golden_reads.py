@@ -1,0 +1,99 @@
+"""Golden-table read tests, mirroring the reference's integration suite
+(rust/tests/read_delta_test.rs, read_simple_table_test.rs) against the same
+committed fixture tables — read-only inputs."""
+
+import pytest
+
+from delta_rs_spark import DeltaTable
+from delta_rs_spark.protocol.log import DeltaLog
+from delta_rs_spark.protocol.snapshot import DeltaTableError, NotATableError, Snapshot
+
+
+def test_simple_table_latest(golden):
+    t = DeltaTable(golden("simple_table"))
+    assert t.version == 4
+    assert t.protocol_versions() == (1, 2)
+    files = t.files()
+    assert len(files) == 5
+    assert all(f.endswith(".snappy.parquet") for f in files)
+    assert len(t.snapshot.state.tombstones) > 0
+
+
+def test_simple_table_time_travel(golden):
+    path = golden("simple_table")
+    assert len(DeltaTable.for_version(path, 0).files()) > 0
+    v2 = DeltaTable.for_version(path, 2)
+    assert v2.version == 2
+    assert len(v2.files()) == 6
+    v3 = DeltaTable.for_version(path, 3)
+    assert v3.version == 3
+
+
+def test_missing_version_raises(golden):
+    with pytest.raises(DeltaTableError):
+        DeltaTable.for_version(golden("simple_table"), 99)
+
+
+def test_not_a_table(tmp_path):
+    with pytest.raises(NotATableError):
+        DeltaTable(str(tmp_path))
+
+
+def test_checkpoint_equivalence(golden):
+    """Snapshot restored via checkpoint == snapshot from pure JSON replay."""
+    t = DeltaTable(golden("simple_table_with_checkpoint"))
+    assert t.version == 10
+    assert len(t.files()) == 11
+
+    # replay ignoring the checkpoint must agree
+    log = DeltaLog(golden("simple_table_with_checkpoint"))
+    state_files = set(t.files())
+    from delta_rs_spark.protocol.state import TableState
+
+    st = TableState()
+    for v in log.list_commit_versions():
+        st.apply_all(log.read_commit(v))
+    assert set(st.file_paths) == state_files
+
+
+def test_checkpoints_fixture(golden):
+    t = DeltaTable(golden("checkpoints"))
+    assert t.version == 11
+    assert len(t.files()) == 11
+
+
+def test_incremental_update(golden):
+    log = DeltaLog(golden("simple_table"))
+    snap0 = Snapshot.load(log, 0)
+    snap = snap0.apply_new_versions()
+    full = Snapshot.load(log)
+    assert snap.version == full.version
+    assert snap.file_paths() == full.file_paths()
+
+
+def test_delta_020(golden):
+    t = DeltaTable(golden("delta-0.2.0"))
+    assert t.version == 3
+    assert len(t.files()) == 3
+    assert t.protocol_versions() == (1, 2)
+
+
+def test_empty_table(golden):
+    t = DeltaTable(golden("delta-0.8-empty"))
+    assert t.files() == []
+    assert t.count_rows() == 0
+
+
+def test_stats_accessors(golden):
+    t = DeltaTable(golden("delta-0.8.0"))
+    stats = t.get_stats()
+    assert all(s is not None and "numRecords" in s for s in stats)
+    assert t.count_rows() == sum(s["numRecords"] for s in stats)
+    assert t.column_min_max("value") == (0, 4)
+
+
+def test_history(golden):
+    t = DeltaTable(golden("simple_table"))
+    hist = t.history()
+    assert len(hist) >= 1
+    assert "operation" in hist[0] or len(hist[0]) > 0
