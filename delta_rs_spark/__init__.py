@@ -15,6 +15,7 @@ from .protocol.log import DeltaLog
 from .protocol.snapshot import DeltaTableError, NotATableError, Snapshot
 from .session import get_spark
 from .table import DeltaTable
+from .writer import SchemaMismatchError, TableAlreadyExistsError, write_deltalake
 
 __version__ = "0.1.0"
 
@@ -24,6 +25,9 @@ __all__ = [
     "Snapshot",
     "DeltaTableError",
     "NotATableError",
+    "SchemaMismatchError",
+    "TableAlreadyExistsError",
+    "write_deltalake",
     "get_spark",
     "__version__",
 ]

@@ -1,0 +1,188 @@
+"""Maintenance operators: checkpoints and vacuum.
+
+Checkpoint layout follows the Delta protocol (one struct column per action
+type, JSON `stats` carried through; reference writer
+``rust/src/checkpoints.rs:118-248``) plus `partitionValues_parsed` — a typed
+struct of the partition columns (``rust/src/checkpoints.rs:251-307``).
+Vacuum matches ``rust/src/delta.rs:881-969``: 168-hour retention floor,
+dry-run mode, hidden-path predicate.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from .protocol.log import CheckPoint
+from .protocol.schema import partition_value_to_typed
+
+MIN_RETENTION_HOURS = 168  # reference delta.rs:882-883
+
+
+class VacuumError(Exception):
+    pass
+
+
+# ---- checkpoint writer -------------------------------------------------------
+
+def create_checkpoint(table) -> CheckPoint:
+    """Write a single-part checkpoint parquet for the table's current snapshot
+    and update ``_last_checkpoint``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = table.snapshot
+    state = snap.state
+    meta = snap.metadata
+    schema = snap.schema()
+    pcols = meta.partition_columns
+    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+
+    rows: list[dict] = []
+    rows.append(
+        {
+            "protocol": {
+                "minReaderVersion": state.min_reader_version or 1,
+                "minWriterVersion": state.min_writer_version or 2,
+            }
+        }
+    )
+    rows.append({"metaData": meta.to_json_dict()})
+    for app_id, version in sorted(state.app_transaction_version.items()):
+        rows.append({"txn": {"appId": app_id, "version": version}})
+    for r in state.tombstones.values():
+        rows.append({"remove": r.to_json_dict()})
+    for a in state.files.values():
+        add_d = a.to_json_dict()
+        if pcols:
+            add_d["partitionValues_parsed"] = {
+                c: _parsed_partition_value(a.partition_values.get(c), ptypes[c])
+                for c in pcols
+            }
+        rows.append({"add": add_d})
+
+    rows = [_drop_empty_dicts(r) for r in rows]
+    arrays = _rows_to_struct_columns(pa, rows, pcols, ptypes)
+    tbl = pa.table(arrays)
+
+    cp = CheckPoint(version=snap.version, size=len(rows))
+    path = table.log.checkpoint_paths(CheckPoint(version=snap.version))[0]
+    pq.write_table(tbl, path, compression="snappy")
+    table.log.put_last_checkpoint(cp)
+    return cp
+
+
+def _parsed_partition_value(value: Optional[str], dtype):
+    v = partition_value_to_typed(value, dtype)
+    # pyarrow infers fine for primitives; datetimes/dates pass through
+    return v
+
+
+def _drop_empty_dicts(node):
+    """Remove {}-valued entries recursively: parquet cannot write zero-field
+    structs, and our reader defaults absent maps back to {}."""
+    if isinstance(node, dict):
+        out = {}
+        for k, v in node.items():
+            v = _drop_empty_dicts(v)
+            if v == {}:
+                continue
+            out[k] = v
+        return out
+    if isinstance(node, list):
+        return [_drop_empty_dicts(v) for v in node]
+    return node
+
+
+def _rows_to_struct_columns(pa, rows: list[dict], pcols, ptypes) -> dict:
+    """Sparse row dicts → one pyarrow struct array per action column."""
+    cols = ["txn", "add", "remove", "metaData", "protocol"]
+    out = {}
+    for col in cols:
+        values = [r.get(col) for r in rows]
+        if all(v is None for v in values):
+            continue
+        out[col] = pa.array(values)
+    return out
+
+
+# ---- auto-checkpoint hook -----------------------------------------------------
+
+def maybe_checkpoint(table, version: int, interval: int = 10) -> Optional[CheckPoint]:
+    """Reference lambda policy: checkpoint when ``version % interval == 0``
+    (``aws/delta-checkpoint/src/main.rs:42-55``)."""
+    if version > 0 and version % interval == 0:
+        return create_checkpoint(table)
+    return None
+
+
+# ---- vacuum -------------------------------------------------------------------
+
+def is_hidden_path(rel_path: str) -> bool:
+    """Skip dot/underscore paths except `_delta_index`/`_change_data`; a
+    partition directory (contains '=') is never hidden
+    (reference ``rust/src/delta.rs:904-916``)."""
+    for seg in rel_path.split("/")[:-1] + [rel_path.split("/")[-1]]:
+        if "=" in seg:
+            continue
+        if seg.startswith("_delta_index") or seg.startswith("_change_data"):
+            continue
+        if seg.startswith(".") or seg.startswith("_"):
+            return True
+    return False
+
+
+def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]:
+    """Delete (or list, when dry_run) unreferenced files older than retention.
+
+    Raises below the 168-hour floor, like the reference
+    (``rust/src/delta.rs:179-183``).
+    """
+    if retention_hours < 0:
+        raise VacuumError("retention_hours must be non-negative")
+    if retention_hours < MIN_RETENTION_HOURS:
+        raise VacuumError(
+            f"invalid retention period {retention_hours} hours: minimum is "
+            f"{MIN_RETENTION_HOURS} hours to avoid breaking readers/writers"
+        )
+    cutoff_ms = int((time.time() - retention_hours * 3600) * 1000)
+
+    root = table.log.table_root
+    active = set(table.files())
+    expired_tombstones = {
+        path
+        for path, r in table.snapshot.state.tombstones.items()
+        if (r.deletion_timestamp or 0) <= cutoff_ms
+    }
+
+    to_delete: list[str] = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            full = os.path.join(dirpath, fname)
+            rel = os.path.relpath(full, root).replace(os.sep, "/")
+            if rel.startswith("_delta_log/"):
+                continue
+            if is_hidden_path(rel):
+                continue
+            if rel in active:
+                continue
+            if rel in expired_tombstones:
+                to_delete.append(rel)
+                continue
+            tomb = table.snapshot.state.tombstones.get(rel)
+            if tomb is not None:
+                continue  # unexpired tombstone: keep
+            # untracked file: delete only when old enough
+            if os.stat(full).st_mtime * 1000 <= cutoff_ms:
+                to_delete.append(rel)
+
+    to_delete.sort()
+    if not dry_run:
+        for rel in to_delete:
+            try:
+                os.remove(os.path.join(root, rel))
+            except FileNotFoundError:
+                pass
+    return to_delete

@@ -31,6 +31,12 @@ def get_spark(app_name: str = "delta_rs_spark", extra_conf: dict | None = None) 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # µs int64 timestamps (not legacy INT96): Delta-correct and keeps
+        # parquet footer min/max stats usable for file skipping
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # files with INT64 TIMESTAMP(NANOS) columns (unsupported by Spark)
+        # surface as long; sources/tables.py converts to µs timestamps
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -1,0 +1,43 @@
+"""Loaders for the synthetic benchmark tables (TESTDATA.md).
+
+One parquet file per table under ``$SPARK_GRAFT_SF_DIR``. The ``events``
+table carries INT64 TIMESTAMP(NANOS) — Spark has no nanosecond timestamp, so
+(with ``spark.sql.legacy.parquet.nanosAsLong=true``, set in session.py) the
+column arrives as a long and is converted here to a µs timestamp. Synthetic
+event times are second-granularity, so the ns→µs truncation is lossless.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql queries."""
+    for name in TABLE_NAMES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -102,11 +102,23 @@ class DeltaTable:
     def schema_json(self) -> dict[str, Any]:
         return self._snapshot.metadata.schema_json
 
-    def files(self, partition_filters: Sequence[FilterTuple] | None = None) -> list[str]:
-        return self._snapshot.file_paths(partition_filters=partition_filters)
+    def files(
+        self,
+        partition_filters: Sequence[FilterTuple] | None = None,
+        skip_predicates: Sequence[SkipTuple] | None = None,
+    ) -> list[str]:
+        return self._snapshot.file_paths(
+            partition_filters=partition_filters, skip_predicates=skip_predicates
+        )
 
-    def file_uris(self, partition_filters: Sequence[FilterTuple] | None = None) -> list[str]:
-        return self._snapshot.file_uris(partition_filters=partition_filters)
+    def file_uris(
+        self,
+        partition_filters: Sequence[FilterTuple] | None = None,
+        skip_predicates: Sequence[SkipTuple] | None = None,
+    ) -> list[str]:
+        return self._snapshot.file_uris(
+            partition_filters=partition_filters, skip_predicates=skip_predicates
+        )
 
     def add_actions(self) -> list[AddAction]:
         return list(self._snapshot.state.files.values())
@@ -157,12 +169,19 @@ class DeltaTable:
 
         return _vacuum(self, retention_hours=retention_hours, dry_run=dry_run)
 
-    def create_checkpoint(self) -> None:
+    def create_checkpoint(self):
         from .maintenance import create_checkpoint as _ckpt
 
-        _ckpt(self)
+        return _ckpt(self)
 
     def begin(self):
         from .transactions import DeltaTransaction
 
         return DeltaTransaction(self)
+
+    checkpoint_interval: int = 10  # reference lambda policy: every 10th version
+
+    def _post_commit_hook(self, version: int) -> None:
+        from .maintenance import maybe_checkpoint
+
+        maybe_checkpoint(self, version, interval=self.checkpoint_interval)

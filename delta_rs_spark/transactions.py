@@ -1,0 +1,85 @@
+"""Transactional commit protocol: two-phase, optimistic concurrency.
+
+Semantics match the reference (``rust/src/delta.rs:986-1014,1302-1397``):
+serialize actions to a temp NDJSON file, then atomically rename to
+``{version:020d}.json``; on VersionAlreadyExists refresh and blindly retry at
+version+1 (v0 has no semantic conflict checking — ``delta.rs:1309-1322``).
+The log is tiny driver-side I/O; executors are never involved.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from typing import Any, Optional
+
+from .protocol.actions import Action, CommitInfoAction
+from .protocol.log import FileAlreadyExistsError
+
+DEFAULT_MAX_RETRY_COMMIT_ATTEMPTS = 10_000_000  # reference delta.rs:1158
+
+
+class TransactionError(Exception):
+    pass
+
+
+class DeltaTransaction:
+    """Accumulates actions and commits them as one version."""
+
+    def __init__(self, table, options: Optional[dict[str, Any]] = None):
+        self.table = table
+        self.actions: list[Action] = []
+        self.max_retries = (options or {}).get(
+            "max_retry_commit_attempts", DEFAULT_MAX_RETRY_COMMIT_ATTEMPTS
+        )
+
+    def add_action(self, action: Action) -> None:
+        self.actions.append(action)
+
+    def add_actions(self, actions: list[Action]) -> None:
+        self.actions.extend(actions)
+
+    def commit(
+        self,
+        operation: Optional[str] = None,
+        operation_parameters: Optional[dict[str, Any]] = None,
+        operation_metrics: Optional[dict[str, Any]] = None,
+    ) -> int:
+        """Two-phase commit; returns the committed version."""
+        actions = list(self.actions)
+        if operation is not None:
+            info: dict[str, Any] = {
+                "timestamp": int(time.time() * 1000),
+                "operation": operation,
+            }
+            if operation_parameters:
+                info["operationParameters"] = operation_parameters
+            if operation_metrics:
+                info["operationMetrics"] = operation_metrics
+            actions = [CommitInfoAction(info=info)] + actions
+
+        log = self.table.log
+        tmp = log.write_tmp_commit(actions, uuid.uuid4().hex)
+
+        attempt = 0
+        while True:
+            attempt += 1
+            version = self.table.update() + 1
+            try:
+                log.try_commit(tmp, version)
+                break
+            except FileAlreadyExistsError:
+                if attempt >= self.max_retries:
+                    try:
+                        log.backend.delete_obj(tmp)
+                    except FileNotFoundError:
+                        pass
+                    raise TransactionError(
+                        f"commit failed after {attempt} attempts: version contention"
+                    )
+                # v0 semantics: blind retry at the next version
+                continue
+
+        self.table.update()
+        self.table._post_commit_hook(version)
+        return version

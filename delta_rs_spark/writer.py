@@ -1,0 +1,345 @@
+"""Write path: Spark writes the data, the driver commits the log.
+
+Flow (Spark equivalent of the reference's writer+transaction,
+``rust/src/writer.rs:60-140`` and ``rust/src/delta.rs:1234-1298``):
+
+1. Executors write parquet via ``df.write.partitionBy(...)`` into a hidden
+   staging dir inside the table (``.tmp-commit-<uuid>/``) — full cluster
+   parallelism, Spark controls file sizing (``maxRecordsPerFile``).
+2. Per-file stats (numRecords/min/max/nullCount) come from the **parquet
+   footers** of the staged files — a distributed metadata-only pass, not a
+   second data scan. At 100 TB this matters: footers are KBs per file.
+3. Staged files are moved into place with fresh unique names
+   (``part-00000-<uuid>-c000.snappy.parquet``, hive partition dirs kept) —
+   renames on a filesystem; an object-store backend would instead write
+   directly with unique names (seam documented in protocol/storage.py).
+4. The driver commits Add (+Remove for overwrite) actions through the
+   optimistic-concurrency loop.
+
+Schema enforcement is v0-strict: append to an existing table requires an
+identical schema (reference ``rust/src/delta.rs:159-165`` SchemaMismatch).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from typing import Iterator, Optional, Sequence
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .protocol.actions import (
+    AddAction,
+    MetaDataAction,
+    ProtocolAction,
+    RemoveAction,
+)
+from .protocol.log import DeltaLog
+from .protocol.schema import spark_to_schema_string
+from .table import DeltaTable
+from .transactions import DeltaTransaction
+
+SAVE_MODES = {"append", "overwrite", "error", "errorifexists", "ignore"}
+
+CHECKPOINT_INTERVAL = 10  # reference lambda policy: every 10th version
+
+
+class SchemaMismatchError(Exception):
+    pass
+
+
+class TableAlreadyExistsError(Exception):
+    pass
+
+
+def write_deltalake(
+    spark: SparkSession,
+    df: DataFrame,
+    table_uri: str,
+    mode: str = "append",
+    partition_by: Optional[Sequence[str]] = None,
+    name: Optional[str] = None,
+    description: Optional[str] = None,
+    configuration: Optional[dict[str, str]] = None,
+    max_records_per_file: Optional[int] = None,
+) -> DeltaTable:
+    """Write ``df`` to a Delta table, creating it if absent. Returns the table."""
+    mode = mode.lower()
+    if mode not in SAVE_MODES:
+        raise ValueError(f"mode must be one of {sorted(SAVE_MODES)}")
+
+    df = _normalize_timestamps(df)
+
+    log = DeltaLog(table_uri)
+    exists = log.backend.exists(log.log_dir) and log.latest_version() is not None
+
+    if exists:
+        if mode in ("error", "errorifexists"):
+            raise TableAlreadyExistsError(f"{table_uri} already exists")
+        if mode == "ignore":
+            return DeltaTable(table_uri)
+        table = DeltaTable(table_uri)
+        _check_schema(table, df)
+        partition_by = table.metadata().partition_columns
+    else:
+        partition_by = list(partition_by or [])
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns {missing} not in DataFrame")
+
+    # ---- 1. stage the data with Spark -------------------------------------
+    staging_name = f".tmp-commit-{uuid.uuid4().hex}"
+    staging_dir = log.backend.join(log.table_root, staging_name)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(staging_dir)
+
+    # ---- 2+3. stats from footers, move into place ----------------------------
+    adds = _promote_staged_files(spark, log, staging_dir, partition_by)
+
+    # ---- 4. commit -------------------------------------------------------------
+    params = {
+        "mode": {"append": "Append", "overwrite": "Overwrite"}.get(mode, "ErrorIfExists"),
+        "partitionBy": list(partition_by or []),
+    }
+    metrics = {
+        "numFiles": str(len(adds)),
+        "numOutputRows": str(sum(a.num_records or 0 for a in adds)),
+        "numOutputBytes": str(sum(a.size for a in adds)),
+    }
+
+    if not exists:
+        meta = MetaDataAction(
+            id=str(uuid.uuid4()),
+            schema_string=spark_to_schema_string(df.schema),
+            partition_columns=list(partition_by or []),
+            name=name,
+            description=description,
+            created_time=int(time.time() * 1000),
+            configuration=configuration or {},
+        )
+        actions = [ProtocolAction(1, 2), meta, *adds]
+        from .protocol.actions import CommitInfoAction
+
+        info = CommitInfoAction(
+            info={
+                "timestamp": int(time.time() * 1000),
+                "operation": "WRITE",
+                "operationParameters": params,
+                "operationMetrics": metrics,
+                "isBlindAppend": True,
+            }
+        )
+        tmp = log.write_tmp_commit([info, *actions], uuid.uuid4().hex)
+        log.try_commit(tmp, 0)  # creation races fail loudly: version 0 taken
+        return DeltaTable(table_uri)
+
+    txn = DeltaTransaction(table)
+    if mode == "overwrite":
+        now_ms = int(time.time() * 1000)
+        for old in table.add_actions():
+            txn.add_action(
+                RemoveAction(
+                    path=old.path,
+                    deletion_timestamp=now_ms,
+                    data_change=True,
+                    extended_file_metadata=True,
+                    partition_values=old.partition_values,
+                    size=old.size,
+                )
+            )
+    txn.add_actions(list(adds))
+    txn.commit(operation="WRITE", operation_parameters=params, operation_metrics=metrics)
+    table.update()
+    return table
+
+
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (Delta v0 has only the latter).
+
+    Value-preserving because the engine pins the session timezone to UTC
+    (session.py); wall-clock instants round-trip exactly.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
+
+
+def _check_schema(table: DeltaTable, df: DataFrame) -> None:
+    """v0 semantics: no evolution; names+types must match exactly (order-insensitive)."""
+    existing = {f.name: f.dataType for f in table.schema().fields}
+    incoming = {f.name: f.dataType for f in df.schema.fields}
+    if existing != incoming:
+        raise SchemaMismatchError(
+            f"write schema {sorted(incoming)} does not match table schema {sorted(existing)}"
+        )
+
+
+def _promote_staged_files(
+    spark: SparkSession, log: DeltaLog, staging_dir: str, partition_by: Sequence[str]
+) -> list[AddAction]:
+    """Stats from footers (distributed), then move files to final names."""
+    staged = _list_parquet_files(staging_dir)
+    stats_by_path = _collect_footer_stats(spark, staged)
+
+    adds: list[AddAction] = []
+    for i, src in enumerate(sorted(staged)):
+        rel = os.path.relpath(src, staging_dir)
+        part_dir = os.path.dirname(rel)
+        partition_values = _parse_partition_path(part_dir)
+        fname = f"part-{i:05d}-{uuid.uuid4()}-c000.snappy.parquet"
+        final_rel = os.path.join(part_dir, fname) if part_dir else fname
+        dst = log.backend.join(log.table_root, final_rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+        st = os.stat(dst)
+        adds.append(
+            AddAction(
+                path=final_rel.replace(os.sep, "/"),
+                size=st.st_size,
+                partition_values=partition_values,
+                modification_time=int(st.st_mtime * 1000),
+                data_change=True,
+                stats=stats_by_path.get(src),
+            )
+        )
+    _remove_dir_tree(staging_dir)
+    return adds
+
+
+def _list_parquet_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for f in filenames:
+            if f.endswith(".parquet") and not f.startswith("."):
+                out.append(os.path.join(dirpath, f))
+    return out
+
+
+def _remove_dir_tree(root: str) -> None:
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _parse_partition_path(part_dir: str) -> dict[str, Optional[str]]:
+    """``year=2020/month=2`` → {"year": "2020", "month": "2"} (URL-decoded)."""
+    values: dict[str, Optional[str]] = {}
+    if not part_dir:
+        return values
+    for seg in part_dir.split(os.sep):
+        if "=" not in seg:
+            continue
+        k, v = seg.split("=", 1)
+        values[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+    return values
+
+
+# ---- footer stats (metadata-only, distributed) ------------------------------
+
+def _collect_footer_stats(spark: SparkSession, paths: list[str]) -> dict[str, str]:
+    """path → Delta stats JSON, by reading parquet footers on executors.
+
+    Row-group min/max/null_count aggregate to file-level stats. Binary and
+    nested columns get null counts only (min/max on bytes is not meaningful
+    in Delta's JSON stats). A handful of files is done inline on the driver
+    to skip job-launch overhead.
+    """
+    if not paths:
+        return {}
+    if len(paths) <= 8:
+        return {p: _footer_stats_json(p) for p in paths}
+    sc = spark.sparkContext
+    n_slices = min(len(paths), int(sc.defaultParallelism) * 2)
+    pairs = (
+        sc.parallelize(paths, n_slices)
+        .map(lambda p: (p, _footer_stats_json(p)))
+        .collect()
+    )
+    return dict(pairs)
+
+
+def _footer_stats_json(path: str) -> str:
+    import json
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    meta = pf.metadata
+    arrow_schema = pf.schema_arrow
+
+    num_records = meta.num_rows
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+
+    # map leaf column index -> top-level field name; skip nested/binary leaves
+    import pyarrow as pa
+
+    simple_fields = {}
+    for field in arrow_schema:
+        if pa.types.is_nested(field.type):
+            continue
+        simple_fields[field.name] = field.type
+
+    col_names = [meta.schema.column(i).path for i in range(meta.num_columns)]
+
+    for ci, name in enumerate(col_names):
+        if name not in simple_fields:
+            continue
+        ftype = simple_fields[name]
+        total_nulls = 0
+        have_nulls = True
+        cmin = None
+        cmax = None
+        have_minmax = True
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(ci).statistics
+            if st is None:
+                have_minmax = False
+                have_nulls = False
+                break
+            if st.null_count is None:
+                have_nulls = False
+            else:
+                total_nulls += st.null_count
+            if not st.has_min_max or pa.types.is_binary(ftype) or pa.types.is_large_binary(ftype):
+                have_minmax = False
+            else:
+                lo, hi = st.min, st.max
+                cmin = lo if cmin is None or lo < cmin else cmin
+                cmax = hi if cmax is None or hi > cmax else cmax
+        if have_nulls:
+            nulls[name] = total_nulls
+        if have_minmax and cmin is not None:
+            mins[name] = _json_safe(cmin)
+            maxs[name] = _json_safe(cmax)
+
+    return json.dumps(
+        {"numRecords": num_records, "minValues": mins, "maxValues": maxs, "nullCount": nulls},
+        default=str,
+    )
+
+
+def _json_safe(v):
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    if isinstance(v, float):
+        return v
+    return v

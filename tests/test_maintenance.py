@@ -1,0 +1,99 @@
+import os
+import time
+
+import pytest
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.maintenance import VacuumError, is_hidden_path
+from delta_rs_spark.protocol.log import DeltaLog
+from delta_rs_spark.protocol.snapshot import Snapshot
+
+
+@pytest.fixture()
+def table_uri(spark, tmp_path, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, df, uri)
+    return uri
+
+
+def test_checkpoint_write_and_reload(spark, table_uri, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    for _ in range(3):
+        write_deltalake(spark, df.limit(3), table_uri, mode="append")
+    t = DeltaTable(table_uri)
+    cp = t.create_checkpoint()
+    assert cp.version == t.version
+
+    log = DeltaLog(table_uri)
+    assert log.read_last_checkpoint().version == t.version
+    assert os.path.exists(log.checkpoint_paths(cp)[0])
+
+    # snapshot restored via checkpoint == snapshot from pure JSON replay
+    snap_cp = Snapshot.load(log)
+    assert set(snap_cp.file_paths()) == set(t.files())
+    assert snap_cp.metadata.id == t.metadata().id
+    assert snap_cp.schema() == t.schema()
+
+    # appends after the checkpoint apply on top of it
+    write_deltalake(spark, df.limit(2), table_uri, mode="append")
+    t2 = DeltaTable(table_uri)
+    assert t2.to_df(spark).count() == t.to_df(spark).count() + 2
+
+
+def test_auto_checkpoint_every_10_commits(spark, table_uri, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    for _ in range(10):
+        write_deltalake(spark, df.limit(1), table_uri, mode="append")
+    log = DeltaLog(table_uri)
+    cp = log.read_last_checkpoint()
+    assert cp is not None and cp.version == 10
+
+
+def test_checkpoint_partitioned_table(spark, tmp_path, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    uri = str(tmp_path / "p")
+    t = write_deltalake(spark, df, uri, partition_by=["n_regionkey"])
+    t.create_checkpoint()
+    snap = Snapshot.load(DeltaLog(uri))
+    assert set(snap.file_paths()) == set(t.files())
+    pv = list(snap.state.files.values())[0].partition_values
+    assert "n_regionkey" in pv
+    assert snap.to_df(spark).count() == df.count()
+
+
+def test_vacuum_guard_and_dry_run(spark, table_uri, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    write_deltalake(spark, df.limit(2), table_uri, mode="overwrite")
+    t = DeltaTable(table_uri)
+    with pytest.raises(VacuumError):
+        t.vacuum(retention_hours=1)
+    # fresh tombstones are within retention: nothing to delete
+    assert t.vacuum(retention_hours=168, dry_run=True) == []
+
+
+def test_vacuum_deletes_expired(spark, table_uri, sf_dir, monkeypatch):
+    df = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    write_deltalake(spark, df.limit(2), table_uri, mode="overwrite")
+    t = DeltaTable(table_uri)
+    # age the tombstones artificially
+    for r in t.snapshot.state.tombstones.values():
+        r.deletion_timestamp = int((time.time() - 200 * 3600) * 1000)
+    candidates = t.vacuum(retention_hours=168, dry_run=True)
+    assert len(candidates) >= 1
+    removed = t.vacuum(retention_hours=168, dry_run=False)
+    assert removed == candidates
+    for rel in removed:
+        assert not os.path.exists(os.path.join(t.log.table_root, rel))
+    # table still reads fine
+    assert t.to_df(spark).count() == 2
+
+
+def test_hidden_path_predicate():
+    assert is_hidden_path("_delta_log/00000000000000000000.json")
+    assert is_hidden_path(".tmp-commit-abc/part-0.parquet")
+    assert is_hidden_path("_staging/x.parquet")
+    assert not is_hidden_path("part-00000-x.snappy.parquet")
+    assert not is_hidden_path("year=2020/part-0.parquet")
+    assert not is_hidden_path("_delta_index/idx.bin")
+    assert not is_hidden_path("_change_data/cdc-0.parquet")

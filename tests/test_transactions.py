@@ -1,0 +1,75 @@
+"""Transaction protocol tests, incl. the reference's concurrency scenario
+(rust/tests/concurrent_writes_test.rs: N workers x M commits -> gapless
+unique versions)."""
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.protocol.actions import AddAction, TxnAction
+from delta_rs_spark.protocol.log import DeltaLog, FileAlreadyExistsError
+
+
+@pytest.fixture()
+def small_table(spark, tmp_path, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, df, uri)
+    return uri
+
+
+def test_sequential_commits(small_table):
+    t = DeltaTable(small_table)
+    txn = t.begin()
+    txn.add_action(AddAction(path="fake-1.parquet", size=1))
+    assert txn.commit(operation="WRITE") == 1
+    txn2 = t.begin()
+    txn2.add_action(AddAction(path="fake-2.parquet", size=1))
+    assert txn2.commit(operation="WRITE") == 2
+    assert "fake-1.parquet" in t.files()
+
+
+def test_commit_version_conflict_low_level(small_table):
+    log = DeltaLog(small_table)
+    tmp1 = log.write_tmp_commit([TxnAction(app_id="a", version=1)], "t1")
+    tmp2 = log.write_tmp_commit([TxnAction(app_id="b", version=1)], "t2")
+    log.try_commit(tmp1, 1)
+    with pytest.raises(FileAlreadyExistsError):
+        log.try_commit(tmp2, 1)
+
+
+def test_txn_app_versions(small_table):
+    t = DeltaTable(small_table)
+    txn = t.begin()
+    txn.add_action(TxnAction(app_id="stream-1", version=5))
+    txn.commit(operation="STREAMING UPDATE")
+    t.update()
+    assert t.get_app_transaction_version("stream-1") == 5
+    assert t.get_app_transaction_version("nope") is None
+
+
+def test_concurrent_writers_gapless(small_table):
+    """5 workers x 3 commits each -> versions 1..15, unique and gapless."""
+    workers, commits = 5, 3
+
+    def work(w: int) -> list[int]:
+        table = DeltaTable(small_table)
+        got = []
+        for i in range(commits):
+            txn = table.begin()
+            txn.add_action(AddAction(path=f"w{w}-c{i}.parquet", size=1))
+            got.append(txn.commit(operation="WRITE"))
+        return got
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        all_versions = [v for vs in ex.map(work, range(workers)) for v in vs]
+
+    assert sorted(all_versions) == list(range(1, workers * commits + 1))
+    t = DeltaTable(small_table)
+    assert t.version == workers * commits
+    for w in range(workers):
+        for i in range(commits):
+            assert f"w{w}-c{i}.parquet" in t.files()

@@ -1,0 +1,127 @@
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark import (
+    DeltaTable,
+    SchemaMismatchError,
+    TableAlreadyExistsError,
+    write_deltalake,
+)
+
+
+@pytest.fixture()
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+
+
+def test_create_and_read_back(spark, tmp_path, lineitem):
+    uri = str(tmp_path / "t")
+    t = write_deltalake(spark, lineitem, uri)
+    assert t.version == 0
+    assert t.protocol_versions() == (1, 2)
+    n = lineitem.count()
+    assert t.count_rows() == n  # stats-only count
+    assert t.to_df(spark).count() == n
+    # history carries the WRITE commitInfo
+    assert t.history()[0]["operation"] == "WRITE"
+
+
+def test_append_and_overwrite(spark, tmp_path, lineitem):
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, lineitem, uri)
+    t = write_deltalake(spark, lineitem.limit(50), uri, mode="append")
+    assert t.version == 1
+    assert t.to_df(spark).count() == lineitem.count() + 50
+
+    t = write_deltalake(spark, lineitem.limit(7), uri, mode="overwrite")
+    assert t.version == 2
+    assert t.to_df(spark).count() == 7
+    assert len(t.snapshot.state.tombstones) >= 1
+    # time travel still sees the old data
+    t_old = DeltaTable.for_version(uri, 1)
+    assert t_old.to_df(spark).count() == lineitem.count() + 50
+
+
+def test_save_modes(spark, tmp_path, lineitem):
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, lineitem.limit(5), uri)
+    with pytest.raises(TableAlreadyExistsError):
+        write_deltalake(spark, lineitem.limit(5), uri, mode="error")
+    t = write_deltalake(spark, lineitem.limit(99), uri, mode="ignore")
+    assert t.version == 0  # no-op
+    assert t.to_df(spark).count() == 5
+
+
+def test_schema_mismatch(spark, tmp_path, lineitem):
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, lineitem.select("l_orderkey", "l_quantity"), uri)
+    with pytest.raises(SchemaMismatchError):
+        write_deltalake(
+            spark,
+            lineitem.select("l_orderkey", F.col("l_quantity").cast("string")),
+            uri,
+            mode="append",
+        )
+
+
+def test_partitioned_write_prune_and_stats(spark, tmp_path, lineitem):
+    uri = str(tmp_path / "t")
+    t = write_deltalake(
+        spark,
+        lineitem.select("l_orderkey", "l_quantity", "l_returnflag"),
+        uri,
+        partition_by=["l_returnflag"],
+    )
+    flags = {a.partition_values["l_returnflag"] for a in t.add_actions()}
+    assert flags == {"A", "N", "R"}
+    pruned = t.files(partition_filters=[("l_returnflag", "=", "A")])
+    assert 0 < len(pruned) < len(t.files())
+    assert all("l_returnflag=A" in f for f in pruned)
+
+    df = t.to_df(spark, partition_filters=[("l_returnflag", "=", "A")])
+    expected = lineitem.filter("l_returnflag = 'A'").count()
+    assert df.count() == expected
+
+    # per-file footer stats present and usable for skipping
+    stats = [a.get_stats() for a in t.add_actions()]
+    assert all(s and s["numRecords"] > 0 for s in stats)
+    assert all("l_quantity" in s["minValues"] for s in stats)
+
+
+def test_stats_skipping_on_written_table(spark, tmp_path, lineitem):
+    uri = str(tmp_path / "t")
+    t = write_deltalake(spark, lineitem, uri, max_records_per_file=1000)
+    assert len(t.files()) > 1
+    # a predicate outside the global range skips every file
+    lo, hi = t.column_min_max("l_orderkey")
+    assert t.files(skip_predicates=[("l_orderkey", ">", hi)]) == []
+    assert len(t.files(skip_predicates=[("l_orderkey", ">=", lo)])) == len(t.files())
+
+
+def test_timestamp_round_trip(spark, tmp_path, sf_dir):
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    uri = str(tmp_path / "t")
+    t = write_deltalake(spark, orders, uri)
+    back = t.to_df(spark)
+    a = orders.agg(F.min("o_orderdate"), F.max("o_orderdate")).collect()[0]
+    b = back.agg(F.min("o_orderdate"), F.max("o_orderdate")).collect()[0]
+    assert [str(x) for x in a] == [str(x) for x in b]
+    # stats carry ISO strings for the timestamp column
+    s = t.add_actions()[0].get_stats()
+    assert "o_orderdate" in s["minValues"]
+
+
+def test_null_partition_values(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "id long, part string"
+    )
+    uri = str(tmp_path / "t")
+    t = write_deltalake(spark, df, uri, partition_by=["part"])
+    pv = {a.partition_values["part"] for a in t.add_actions()}
+    assert None in pv
+    back = t.to_df(spark)
+    assert back.filter(F.col("part").isNull()).count() == 1
+    assert back.count() == 3
