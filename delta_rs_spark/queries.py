@@ -1,0 +1,551 @@
+"""Query catalog: the engine's certified query surface.
+
+Each entry pairs a Spark DataFrame implementation with an equivalent ANSI-SQL
+oracle (DuckDB dialect) over the same parquet tables. The driver runs both at
+sf0.01 and compares row-count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- double-typed aggregates are quantized via DECIMAL before the final cast to
+  DOUBLE (`_sum_dec`), making the reduction order-insensitive and therefore
+  bit-identical across engines;
+- LIMIT queries carry a unique tiebreaker in ORDER BY.
+
+The relational operators here (scan/filter/project/join — broadcast and
+shuffle — agg, window, set-ops, subqueries, rollup) are the query surface the
+reference delegates to its embedding engines (SURVEY.md §2.F); in this engine
+they run natively on Catalyst.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .sources.tables import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryDef:
+    spark: SparkQuery
+    oracle: Optional[str]  # DuckDB SQL; None → rows-only check
+    headline: bool = False  # include in bench.py
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def query(name: str, oracle: Optional[str], headline: bool = False):
+    def deco(fn: SparkQuery):
+        QUERIES[name] = QueryDef(spark=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+def _sum_dec(col, alias: str, scale: int = 6):
+    """Order-insensitive double sum: quantize each row value to DECIMAL(25,s),
+    sum exactly, cast back to DOUBLE. Matches the SQL pattern
+    CAST(SUM(CAST(x AS DECIMAL(25,s))) AS DOUBLE)."""
+    return F.sum(col.cast(f"decimal(25,{scale})")).cast("double").alias(alias)
+
+
+def SUM_DEC(expr: str, alias: str, scale: int = 6) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,{scale}))) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational queries (adapted to the synthetic star schema)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {SUM_DEC('l_quantity', 'sum_qty', 2)},
+           {SUM_DEC('l_extendedprice', 'sum_base_price', 2)},
+           {SUM_DEC('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {SUM_DEC('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sum_dec(F.col("l_quantity"), "sum_qty", 2),
+            _sum_dec(F.col("l_extendedprice"), "sum_base_price", 2),
+            _sum_dec(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"
+            ),
+            _sum_dec(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                "sum_charge",
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {SUM_DEC('l_extendedprice * (1 - l_discount)', 'revenue')},
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2020-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2020-03-15 00:00:00").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _sum_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_nation_revenue",
+    f"""
+    SELECT n_name, {SUM_DEC('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    headline=True,
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dim = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(dim, c.c_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_sum_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {SUM_DEC('l_extendedprice * l_discount', 'revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+    headline=True,
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.09)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_sum_dec(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           {SUM_DEC('l_extendedprice * (1 - l_discount)', 'revenue')},
+           n_name
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_sum_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_minmax_agg",
+    """
+    SELECT MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+           COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders
+    """,
+)
+def q_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query(
+    "q_filter_sort_project",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+)
+def q_filter_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "O"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(50)
+    )
+
+
+# ---- join variants -----------------------------------------------------------
+
+@query(
+    "q_semi_join",
+    """
+    SELECT COUNT(*) AS n
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_anti_join",
+    """
+    SELECT COUNT(*) AS n
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_outer_join_nulls",
+    """
+    SELECT n_name, COUNT(s_suppkey) AS n_suppliers
+    FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q_self_join_parts",
+    """
+    SELECT a.p_brand AS brand, COUNT(*) AS n_pairs
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size AND a.p_partkey < b.p_partkey
+    GROUP BY a.p_brand
+    ORDER BY a.p_brand
+    """,
+)
+def q_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .groupBy(F.col("a.p_brand").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("brand")
+    )
+
+
+# ---- window functions -----------------------------------------------------------
+
+@query(
+    "q_window_topk_orders",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    ) WHERE rn <= 3 AND c_custkey < 100
+    ORDER BY c_custkey, rn
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("c_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("c_custkey") < 100))
+        .select("c_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("c_custkey", "rn")
+    )
+
+
+@query(
+    "q_window_running_revenue",
+    f"""
+    SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+    FROM lineitem
+    WHERE l_suppkey < 5
+    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 5)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        l.withColumn(
+            "running_revenue",
+            F.sum(F.col("l_extendedprice").cast("decimal(25,4)")).over(w).cast("double"),
+        )
+        .select("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber", "running_revenue")
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q_window_lag_events",
+    """
+    SELECT user_id, ts, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+    WHERE user_id < 20
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .orderBy("user_id", "ts", "event_id")
+        .select("user_id", "ts", "event_type", "prev_type")
+    )
+
+
+# ---- grouping sets / rollup -------------------------------------------------------
+
+@query(
+    "q_rollup_status",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {SUM_DEC('o_totalprice', 'total', 2)}, COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(_sum_dec(F.col("o_totalprice"), "total", 2), F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---- set operations ------------------------------------------------------------
+
+@query(
+    "q_set_ops",
+    """
+    SELECT COUNT(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_cust.intersect(o_cust).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---- subqueries ----------------------------------------------------------------
+
+@query(
+    "q_scalar_subquery",
+    """
+    SELECT COUNT(*) AS n_above
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def q_scalar_subq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_ssq")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_above
+        FROM _orders_ssq
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM _orders_ssq)
+        """
+    )
+
+
+# ---- events / time-series --------------------------------------------------------
+
+@query(
+    "q_events_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n, {SUM_DEC('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    headline=True,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), _sum_dec(F.col("value"), "sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@query(
+    "q_events_json_props",
+    """
+    SELECT json_extract_string(props, '$.device') AS device, COUNT(*) AS n
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, device NULLS FIRST
+    """,
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    return (
+        e.withColumn("device", F.get_json_object("props", "$.device"))
+        .groupBy("device")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("device").asc_nulls_first())
+    )
+
+
+# ---- registry accessors -----------------------------------------------------------
+
+def queries() -> dict[str, SparkQuery]:
+    return {name: qd.spark for name, qd in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in QUERIES.items() if qd.oracle is not None}
+
+
+def headline_queries() -> dict[str, SparkQuery]:
+    return {name: qd.spark for name, qd in QUERIES.items() if qd.headline}
