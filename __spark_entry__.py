@@ -23,18 +23,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
-    from delta_rs_spark.queries import QUERIES
+    from delta_rs_spark.catalog import QUERIES
 
     return QUERIES["q1_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from delta_rs_spark.queries import queries as _queries
+    from delta_rs_spark.catalog import queries as _queries
 
     return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    from delta_rs_spark.queries import oracle_sql as _oracle_sql
+    from delta_rs_spark.catalog import oracle_sql as _oracle_sql
 
     return _oracle_sql()

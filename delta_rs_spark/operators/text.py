@@ -1,0 +1,141 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure `pyspark.sql.functions` compositions —
+JVM-side, whole-stage-codegen, no Python in the hot path — and each has an
+exact ANSI-SQL equivalent for the oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small stopword profiles for the n-gram/stopword language heuristic
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que"],
+}
+
+
+def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("_words", F.split(F.lower(F.col(text_col)), r"\s+"))
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-profile language guess with deterministic precedence.
+
+    score(lang) = #distinct profile words present; winner = highest score,
+    ties broken by profile order (en > de > fr > es); all-zero → 'und'
+    (undetermined, BCP-47 convention).
+    """
+    d = with_words(df.select(id_col, text_col), text_col)
+    for lang, words in LANG_PROFILES.items():
+        d = d.withColumn(
+            f"_s_{lang}",
+            F.size(F.array_intersect(F.array_distinct("_words"), F.array(*[F.lit(w) for w in words]))),
+        )
+    langs = list(LANG_PROFILES)
+    best = F.greatest(*[F.col(f"_s_{l}") for l in langs])
+    guess = F.lit("und")
+    for lang in reversed(langs):  # earlier profiles win ties: build from the back
+        guess = F.when(
+            (F.col(f"_s_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    return d.select(id_col, guess.alias("lang_guess"))
+
+
+def lang_id_oracle_sql(table: str = "documents") -> str:
+    score = {
+        lang: f"len(list_intersect(list_distinct(string_split(lower(text), ' ')), {words!r}))"
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = "greatest({})".format(", ".join(score.values()))
+    case = f"CASE WHEN {best} = 0 THEN 'und' "
+    for lang in LANG_PROFILES:
+        case += f"WHEN {score[lang]} = {best} THEN '{lang}' "
+    case += "END"
+    return f"SELECT doc_id, {case} AS lang_guess FROM {table} ORDER BY doc_id"
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + composite score.
+
+    Integer/exact arithmetic only (counts and length ratios quantized to
+    DECIMAL), so the score is engine-independent bit-for-bit.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(F.split(t, r"\s+"))
+    n_spaces = n_chars - F.length(F.regexp_replace(t, r"\s", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[.,;:!?]", ""))
+    n_distinct = F.size(F.array_distinct(F.split(F.lower(t), r"\s+")))
+
+    avg_word_len = ((n_chars - n_spaces).cast("decimal(18,6)") / n_words).cast("double")
+    ttr = (n_distinct.cast("decimal(18,6)") / n_words).cast("double")
+    punct_ratio = (n_punct.cast("decimal(18,6)") / n_chars).cast("double")
+
+    score = (
+        F.when(n_words >= 20, F.lit(1)).otherwise(F.lit(0))
+        + F.when((avg_word_len >= 3) & (avg_word_len <= 12), F.lit(1)).otherwise(F.lit(0))
+        + F.when(ttr >= 0.3, F.lit(1)).otherwise(F.lit(0))
+        + F.when(punct_ratio <= 0.1, F.lit(1)).otherwise(F.lit(0))
+    )
+    return df.select(
+        id_col,
+        n_chars.alias("n_chars_computed"),
+        n_words.alias("n_words"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        score.cast("int").alias("quality_score"),
+    )
+
+
+QUALITY_ORACLE_SQL_TEMPLATE = """
+WITH feats AS (
+  SELECT doc_id,
+         length(text) AS n_chars_computed,
+         len(string_split_regex(text, '\\s+')) AS n_words,
+         length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_spaces,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+         len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS n_distinct
+  FROM {table}
+)
+SELECT doc_id, n_chars_computed, n_words,
+       round(CAST(CAST(n_chars_computed - n_spaces AS DECIMAL(18,6)) / n_words AS DOUBLE), 6) AS avg_word_len,
+       round(CAST(CAST(n_distinct AS DECIMAL(18,6)) / n_words AS DOUBLE), 6) AS type_token_ratio,
+       round(CAST(CAST(n_punct AS DECIMAL(18,6)) / n_chars_computed AS DOUBLE), 6) AS punct_ratio,
+       CAST(
+         (CASE WHEN n_words >= 20 THEN 1 ELSE 0 END)
+       + (CASE WHEN CAST(CAST(n_chars_computed - n_spaces AS DECIMAL(18,6)) / n_words AS DOUBLE)
+               BETWEEN 3 AND 12 THEN 1 ELSE 0 END)
+       + (CASE WHEN CAST(CAST(n_distinct AS DECIMAL(18,6)) / n_words AS DOUBLE) >= 0.3 THEN 1 ELSE 0 END)
+       + (CASE WHEN CAST(CAST(n_punct AS DECIMAL(18,6)) / n_chars_computed AS DOUBLE) <= 0.1 THEN 1 ELSE 0 END)
+       AS INT) AS quality_score
+FROM feats ORDER BY doc_id
+"""
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens (word pieces & punctuation)."""
+    t = F.col(text_col)
+    ws = F.size(F.split(t, r"\s+"))
+    bpe = F.size(F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0))
+    return df.select(
+        id_col,
+        ws.alias("ws_tokens"),
+        bpe.alias("regex_tokens"),
+        F.ceil(F.length(t) / F.lit(4)).cast("long").alias("approx_bpe_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of whitespace-normalized text,
+    plus a 64-bit rolling-style prefix (hex→bigint) usable as a shard key."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    fp = F.md5(norm)
+    return df.select(
+        id_col,
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fingerprint64"),
+    )

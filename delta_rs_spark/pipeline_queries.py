@@ -1,0 +1,187 @@
+"""Pipeline-operator queries: dedup / similarity / text / multimodal entries
+for the certified catalog (each pairs the Spark operator with a DuckDB oracle
+where SQL can express it; approximate/hash-bucketed ops are rows-only)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, multimodal, similarity, text
+from .queries import query
+from .sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, md5(text) AS key_hash
+    FROM documents GROUP BY text ORDER BY doc_id
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"]).orderBy("doc_id")
+
+
+_JACCARD_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
+  FROM words
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_ngram_jaccard", _JACCARD_ORACLE.format(threshold=0.8), headline=True)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3).orderBy("doc_a", "doc_b")
+
+
+@query("dedup_minhash_lsh", None, headline=True)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(docs, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+@query("dedup_simhash", None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic embeddings are near-orthogonal (max pairwise cosine ~0.5),
+    # so the "near-duplicate" threshold here is 0.4 to exercise the operator
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "similarity_topk",
+    """
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    headline=True,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query("similarity_lsh_topk", None)
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4 hyperplanes → 16 buckets: near-orthogonal synthetic vectors need
+    # coarse buckets for reasonable recall; real clustered embeddings
+    # tolerate more planes (= smaller candidate sets)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@query("text_lang_id", text.lang_id_oracle_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs).orderBy("doc_id")
+
+
+@query("text_quality_score", text.QUALITY_ORACLE_SQL_TEMPLATE.format(table="documents"))
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs).orderBy("doc_id")
+
+
+@query(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(string_split_regex(text, '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS regex_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_count(docs).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fingerprint").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@query("multimodal_features", multimodal.MULTIMODAL_ORACLE_SQL)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(docs)
+    return (
+        multimodal.extract_features(payloads)
+        .select("doc_id", "n_bytes", "fake_width", "fake_height")
+        .orderBy("doc_id")
+    )

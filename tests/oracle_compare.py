@@ -89,7 +89,7 @@ def _is_nan(v) -> bool:
 
 
 def run_all(sf_dir: str, only: list[str] | None = None) -> list[CompareResult]:
-    from delta_rs_spark.queries import QUERIES
+    from delta_rs_spark.catalog import QUERIES
     from delta_rs_spark.session import get_spark
 
     spark = get_spark("oracle-compare")

@@ -1,0 +1,173 @@
+"""Operator-level tests for the pipeline toolkit (dedup/similarity/text/
+multimodal) at sf0.001, plus cross-checks between exact and approximate
+variants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark.operators import dedup, multimodal, similarity, text
+from delta_rs_spark.sources.tables import load_table
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture()
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_exact_dedup_no_dupes(spark, docs):
+    out = dedup.exact_dedup(docs, ["text"])
+    assert out.count() == docs.select("text").distinct().count()
+    # idempotent: dedup of dedup output is a no-op
+    assert out.count() == out.groupBy("key_hash").count().count()
+
+
+def test_exact_dedup_synthetic(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id long, text string"
+    )
+    out = dedup.exact_dedup(df, ["text"]).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 3]
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "completely different words here now ok yes no"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.8).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].doc_a, pairs[0].doc_b) == (1, 2)
+    assert pairs[0].jaccard == 1.0
+
+
+def test_minhash_recall_vs_exact(spark, docs):
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_dedup(docs, threshold=0.8).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    # verification step guarantees precision; banding should catch ~all at 0.9+
+    assert approx <= exact
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"minhash recall too low: {recall}"
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    s1 = dedup.minhash_signatures(docs.limit(20)).orderBy("doc_id").collect()
+    s2 = dedup.minhash_signatures(docs.limit(20)).orderBy("doc_id").collect()
+    assert [r.signature for r in s1] == [r.signature for r in s2]
+
+
+def test_simhash_identical_and_distinct(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spark delta table query engine fast columnar scan"),
+            (2, "spark delta table query engine fast columnar scan"),
+            (3, "entirely unrelated text about gardening tulips soil water sun"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_pairs(df, max_hamming=3).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+    assert pairs[0].hamming == 0
+
+
+def test_embedding_cosine_pairs_self_similarity(spark, emb):
+    # every vector has cosine 1.0 with itself — pairs exclude self, so make a dupe
+    dup = emb.limit(1).withColumn("vec_id", F.lit(999_999))
+    out = dedup.embedding_cosine_pairs(emb.limit(50).union(dup), threshold=0.999)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].cosine == pytest.approx(1.0, abs=1e-3)
+
+
+def test_cosine_topk_shape_and_order(spark, emb):
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        ranks = [r.rank for r in rows]
+        assert ranks == [1, 2, 3, 4, 5]
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_lsh_topk_subset_of_exact_topn(spark, emb):
+    """LSH neighbors must be genuine vectors with correct cosines (a subset
+    of brute-force candidates), even when recall < 1."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=500).collect()
+    }
+    approx = similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=5, n_planes=4
+    ).collect()
+    for r in approx:
+        assert exact[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_lang_id_deterministic_and_total(spark, docs):
+    out = text.lang_id(docs)
+    assert out.count() == docs.count()
+    langs = {r.lang_guess for r in out.select("lang_guess").distinct().collect()}
+    assert langs <= set(text.LANG_PROFILES) | {"und"}
+
+
+def test_quality_score_range(spark, docs):
+    out = text.quality_score(docs)
+    rows = out.collect()
+    assert all(0 <= r.quality_score <= 4 for r in rows)
+    assert all(r.n_words > 0 for r in rows)
+
+
+def test_token_count_simple(spark):
+    df = spark.createDataFrame([(1, "hello world, foo-bar!")], "doc_id long, text string")
+    r = text.token_count(df).collect()[0]
+    assert r.ws_tokens == 3
+    # hello, world, ',', foo, '-', bar, '!'
+    assert r.regex_tokens == 7
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "  HELLO WORLD  ")],
+        "doc_id long, text string",
+    )
+    out = text.fingerprint(df).collect()
+    assert len({r.fingerprint for r in out}) == 1
+    assert all(r.fingerprint64 > 0 for r in out)
+
+
+def test_multimodal_features_deterministic(spark, docs):
+    payloads = multimodal.attach_binary_payload(docs.limit(10))
+    feats = multimodal.extract_features(payloads).orderBy("doc_id").collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert 1 <= r.fake_width <= 640
+        assert 1 <= r.fake_height <= 480
+        assert r.n_bytes > 0
+    # driver-side recompute agrees (same stub, same bytes)
+    row = payloads.orderBy("doc_id").first()
+    expected = multimodal.decode_stub(bytes(row.payload))
+    assert feats[0].checksum32 == expected["checksum32"]
+
+
+def test_multimodal_unknown_codec_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"bytes", codec="jpeg")
