@@ -64,8 +64,17 @@ def write_deltalake(
     description: Optional[str] = None,
     configuration: Optional[dict[str, str]] = None,
     max_records_per_file: Optional[int] = None,
+    extra_actions: Optional[list] = None,
+    operation: str = "WRITE",
+    operation_parameters_extra: Optional[dict] = None,
 ) -> DeltaTable:
-    """Write ``df`` to a Delta table, creating it if absent. Returns the table."""
+    """Write ``df`` to a Delta table, creating it if absent. Returns the table.
+
+    ``extra_actions`` ride in the same commit (e.g. a ``txn`` action for
+    exactly-once streaming sinks); ``operation``/``operation_parameters_extra``
+    customize the commitInfo provenance (e.g. STREAMING UPDATE with
+    queryId/epochId, reference ``rust/src/action.rs:792-800``).
+    """
     mode = mode.lower()
     if mode not in SAVE_MODES:
         raise ValueError(f"mode must be one of {sorted(SAVE_MODES)}")
@@ -106,6 +115,7 @@ def write_deltalake(
     params = {
         "mode": {"append": "Append", "overwrite": "Overwrite"}.get(mode, "ErrorIfExists"),
         "partitionBy": list(partition_by or []),
+        **(operation_parameters_extra or {}),
     }
     metrics = {
         "numFiles": str(len(adds)),
@@ -123,13 +133,13 @@ def write_deltalake(
             created_time=int(time.time() * 1000),
             configuration=configuration or {},
         )
-        actions = [ProtocolAction(1, 2), meta, *adds]
+        actions = [ProtocolAction(1, 2), meta, *adds, *(extra_actions or [])]
         from .protocol.actions import CommitInfoAction
 
         info = CommitInfoAction(
             info={
                 "timestamp": int(time.time() * 1000),
-                "operation": "WRITE",
+                "operation": operation,
                 "operationParameters": params,
                 "operationMetrics": metrics,
                 "isBlindAppend": True,
@@ -154,7 +164,8 @@ def write_deltalake(
                 )
             )
     txn.add_actions(list(adds))
-    txn.commit(operation="WRITE", operation_parameters=params, operation_metrics=metrics)
+    txn.add_actions(list(extra_actions or []))
+    txn.commit(operation=operation, operation_parameters=params, operation_metrics=metrics)
     table.update()
     return table
 
