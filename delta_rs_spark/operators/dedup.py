@@ -31,6 +31,65 @@ def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("_words", F.split(F.lower(F.col(text_col)), r"\s+"))
 
 
+def shingle_hash_sets(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """id → sorted distinct shingle-hash array (`sh_arr`) + size (`n_sh`).
+
+    Built entirely inside whole-stage codegen (split → transform → xxhash64 →
+    array_distinct → array_sort); no explode, no shuffle — one narrow map.
+    The sort gives every document the same canonical global order, which the
+    prefix filter in `ngram_jaccard_pairs` relies on.
+    """
+    return (
+        df.select(id_col, F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"))
+        .select(
+            id_col,
+            F.expr(
+                f"""
+                array_sort(array_distinct(transform(
+                  transform(
+                    sequence(0, greatest(size(_w) - {n}, -1)),
+                    i -> concat_ws(' ', slice(_w, i + 1, {n}))
+                  ),
+                  s -> xxhash64(s)
+                )))
+                """
+            ).alias("sh_arr"),
+        )
+        .withColumn("n_sh", F.size("sh_arr"))
+        .filter(F.col("n_sh") > 0)
+    )
+
+
+def _verify_candidate_pairs(
+    candidates: DataFrame, sets: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Exact Jaccard for (doc_a, doc_b) candidate pairs via array_intersect.
+
+    Cost is proportional to |candidates|, never to the number of co-occurring
+    pairs: two id-equi-joins against the per-doc set table, then a codegen'd
+    sorted-array intersection per pair.
+    """
+    sa = sets.select(
+        F.col(id_col).alias("doc_a"), F.col("sh_arr").alias("arr_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("doc_b"), F.col("sh_arr").alias("arr_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document (array column `_shingles`)."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
@@ -76,46 +135,55 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """All document pairs with shingle-set Jaccard ≥ threshold.
+    """All document pairs with shingle-set Jaccard ≥ threshold (exact result).
 
-    shuffle cost: explode(shingles) → self-join on shingle hash. With
-    ``max_doc_freq`` set, shingles appearing in more than that many documents
-    are dropped before the join (kills the quadratic hot-key blowup at scale;
-    a shingle shared by 10k docs proves nothing about near-duplication).
+    Prefix-filtered similarity join (AllPairs/PPJoin family): under a global
+    shingle order, Jaccard(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉, and two sets with
+    overlap ≥ α must collide within their first ``len - α + 1`` elements — so
+    only that prefix is exploded and joined. Candidates are then verified with
+    a codegen'd ``array_intersect`` (cost ∝ candidates, not co-occurring
+    pairs). For t=0.8 the prefix is ~20% of each set: the shuffle carries 5×
+    fewer rows and the join output collapses from "every pair sharing any
+    shingle" to "pairs sharing a rare-prefix shingle". Lossless — the final
+    jaccard filter is exact.
+
+    ``threshold == 0`` degenerates to every co-occurring pair (prefix = whole
+    set); ``max_doc_freq`` additionally drops shingles appearing in more than
+    that many documents from candidate generation (approximate: web-scale
+    hot-key guard; verification still uses full sets).
     """
-    sh = (
-        with_shingles(df.select(id_col, text_col), text_col, n)
-        .select(id_col, F.explode("_shingles").alias("shingle"))
-        .withColumn("sh", F.xxhash64("shingle"))
-        .drop("shingle")
-        .distinct()
+    sets = shingle_hash_sets(df.select(id_col, text_col), n, id_col, text_col)
+
+    # prefix length |A| - ceil(t*|A|) + 1 under the array_sort order
+    prefix = sets.select(
+        id_col,
+        F.explode(
+            F.slice(
+                "sh_arr",
+                F.lit(1),
+                F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")).cast("int") + 1,
+            )
+        ).alias("sh"),
+        "n_sh",
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-
     if max_doc_freq is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= max_doc_freq).select("sh"), "sh")
+        freq = prefix.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        prefix = prefix.join(freq.filter(F.col("df") <= max_doc_freq).select("sh"), "sh")
 
-    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
-    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
-    common = (
+    a = prefix.select(F.col(id_col).alias("doc_a"), "sh", F.col("n_sh").alias("pn_a"))
+    b = prefix.select(F.col(id_col).alias("doc_b"), "sh", F.col("n_sh").alias("pn_b"))
+    candidates = (
         a.join(b, "sh")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        # length filter: t·|A| ≤ |B| ≤ |A|/t is necessary for Jaccard ≥ t
+        .filter(
+            (F.col("pn_b") >= F.lit(float(threshold)) * F.col("pn_a"))
+            & (F.col("pn_a") >= F.lit(float(threshold)) * F.col("pn_b"))
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
+    return _verify_candidate_pairs(candidates, sets, threshold, id_col)
 
 
 # ---------------------------------------------------------------------------
