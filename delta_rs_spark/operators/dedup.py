@@ -7,11 +7,13 @@ design rules prescribe. Every hash is derived from deterministic built-ins
 
 Scale notes (the point of each design):
 - exact: one shuffle on the text hash, map-side combine. 100 TB safe.
-- n-gram Jaccard: inverted-index self-join on shingle hash — shuffle is
-  O(total shingles), never O(n²) docs; rare hot shingles are dropped by a
-  document-frequency cap (standard practice for web-scale dedup).
-- MinHash LSH: signature matrix via one explode + groupBy; candidate
-  generation via band-hash buckets, verification only on candidates.
+- n-gram Jaccard: prefix-filtered similarity join (AllPairs/PPJoin) — only
+  the Jaccard-threshold prefix of each sorted shingle-hash set enters the
+  inverted-index self-join; candidates verified with array_intersect. A
+  document-frequency cap optionally drops web-scale hot shingles.
+- MinHash LSH: signature matrix computed shuffle-free inside codegen
+  (array_min over transform per permutation); candidate generation via
+  band-hash buckets, array_intersect verification only on candidates.
 - SimHash: 64-bit fingerprints; near-dup candidates via 16-bit band join
   (Hamming ≤ 3 ⇒ at least one of 4 bands equal).
 """
@@ -21,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 # Mersenne prime 2^31-1 for the universal-hash permutation family: with
 # a, b, h all < 2^31, a*h + b < 2^62 never overflows int64 (Spark runs ANSI)
@@ -40,16 +43,25 @@ def shingle_hash_sets(
     array_distinct → array_sort); no explode, no shuffle — one narrow map.
     The sort gives every document the same canonical global order, which the
     prefix filter in `ngram_jaccard_pairs` relies on.
+
+    Documents with fewer than ``n`` words have no shingles and are dropped up
+    front by a cheap word-count filter (which Catalyst pushes to the scan
+    side). Filtering *before* computing the shingle array matters twice over:
+    a post-hoc ``size(sh_arr) > 0`` filter gets pushed below the exchange and
+    re-evaluates the whole shingle expression on the narrow pre-shuffle side,
+    and ``sequence(0, size-n)`` with ``size < n`` would produce a descending
+    sequence and an invalid ``slice(_w, 0, ...)``.
     """
     return (
-        df.select(id_col, F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"))
+        df.filter(F.size(F.split(F.lower(F.col(text_col)), r"\s+")) >= n)
+        .select(id_col, F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"))
         .select(
             id_col,
             F.expr(
                 f"""
                 array_sort(array_distinct(transform(
                   transform(
-                    sequence(0, greatest(size(_w) - {n}, -1)),
+                    sequence(0, size(_w) - {n}),
                     i -> concat_ws(' ', slice(_w, i + 1, {n}))
                   ),
                   s -> xxhash64(s)
@@ -58,7 +70,6 @@ def shingle_hash_sets(
             ).alias("sh_arr"),
         )
         .withColumn("n_sh", F.size("sh_arr"))
-        .filter(F.col("n_sh") > 0)
     )
 
 
@@ -151,8 +162,15 @@ def ngram_jaccard_pairs(
     set); ``max_doc_freq`` additionally drops shingles appearing in more than
     that many documents from candidate generation (approximate: web-scale
     hot-key guard; verification still uses full sets).
+
+    The shingle-set table feeds three plan branches (prefix explode + both
+    verify sides); it is persisted MEMORY_AND_DISK so the text is shingled
+    once, not three times — the standard trade for similarity joins, since
+    carrying the set arrays through the candidate shuffle instead would cost
+    O(prefix rows × set size) in shuffle bytes.
     """
     sets = shingle_hash_sets(df.select(id_col, text_col), n, id_col, text_col)
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
 
     # prefix length |A| - ceil(t*|A|) + 1 under the array_sort order
     prefix = sets.select(
@@ -204,6 +222,23 @@ def _permutation_params(num_perm: int) -> list[tuple[int, int]]:
     return params
 
 
+def _signatures_from_sets(sets: DataFrame, num_perm: int) -> DataFrame:
+    """Attach `signature` (array<long>, length num_perm) to a shingle-set table.
+
+    Entirely inside whole-stage codegen: per permutation i,
+    ``array_min(transform(h, x -> (a_i*x + b_i) mod M))`` over the per-doc
+    hash array — zero shuffles and zero exploded rows (an explode + groupBy
+    formulation would shuffle |docs|×|shingles| rows at 100 TB).
+    """
+    mins = ", ".join(
+        f"array_min(transform(_hm, x -> pmod(x * {a}L + {b}L, {_MERSENNE}L)))"
+        for a, b in _permutation_params(num_perm)
+    )
+    return sets.withColumn(
+        "_hm", F.expr(f"transform(sh_arr, x -> pmod(x, {_MERSENNE}L))")
+    ).withColumn("signature", F.expr(f"array({mins})")).drop("_hm")
+
+
 def minhash_signatures(
     df: DataFrame,
     num_perm: int = 64,
@@ -211,21 +246,9 @@ def minhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """id → array<long> MinHash signature. One explode + one groupBy with
-    num_perm partial-aggregated mins: a single shuffle regardless of corpus size."""
-    sh = (
-        with_shingles(df.select(id_col, text_col), text_col, n)
-        .select(id_col, F.explode("_shingles").alias("shingle"))
-        .withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
-    )
-    aggs = [
-        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_permutation_params(num_perm))
-    ]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        id_col, F.array(*[f"mh_{i}" for i in range(num_perm)]).alias("signature")
-    )
+    """id → array<long> MinHash signature, computed without any shuffle."""
+    sets = shingle_hash_sets(df.select(id_col, text_col), n, id_col, text_col)
+    return _signatures_from_sets(sets, num_perm).select(id_col, "signature")
 
 
 def minhash_lsh_dedup(
@@ -240,11 +263,17 @@ def minhash_lsh_dedup(
     """Near-duplicate pairs via MinHash banding, verified with exact Jaccard.
 
     Candidate pairs come from equal band hashes (bands × rows = num_perm);
-    only candidates are verified (exact shingle Jaccard), so the expensive
-    step is proportional to collisions, not to n².
+    only candidates are verified — exact Jaccard via array_intersect on the
+    per-doc sorted shingle-hash sets — so every post-signature step is
+    proportional to band collisions, never to co-occurring pairs or n².
     """
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, num_perm, n, id_col, text_col)
+    # persisted: feeds the signature branch and both verify sides (see
+    # ngram_jaccard_pairs for the rationale)
+    sets = shingle_hash_sets(df.select(id_col, text_col), n, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = _signatures_from_sets(sets, num_perm).select(id_col, "signature")
 
     band_cols = F.explode(
         F.array(
@@ -271,12 +300,7 @@ def minhash_lsh_dedup(
         .distinct()
     )
 
-    exact = ngram_jaccard_pairs(df, threshold=0.0, n=n, id_col=id_col, text_col=text_col)
-    return (
-        candidates.join(exact, ["doc_a", "doc_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _verify_candidate_pairs(candidates, sets, threshold, id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -27,11 +27,25 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
+# tables whose per-row work (shingling, minhash, vector distance) dwarfs scan
+# cost — these get spread to full parallelism when the file layout under-splits
+_COMPUTE_HEAVY = {"documents", "embeddings"}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # A small single-row-group file scans as ONE split, which serializes every
+    # downstream map on one core no matter how wide the cluster is. For the
+    # CPU-heavy per-row tables (shingling, hashing, vector math) spread the
+    # rows across the executors; scan-light relational tables are left alone —
+    # an extra shuffle costs more than their aggregation saves. At real scale
+    # the scan already yields >= defaultParallelism splits and this never fires.
+    if name in _COMPUTE_HEAVY:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 

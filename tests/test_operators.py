@@ -86,9 +86,12 @@ def test_simhash_identical_and_distinct(spark):
 
 
 def test_embedding_cosine_pairs_self_similarity(spark, emb):
-    # every vector has cosine 1.0 with itself — pairs exclude self, so make a dupe
-    dup = emb.limit(1).withColumn("vec_id", F.lit(999_999))
-    out = dedup.embedding_cosine_pairs(emb.limit(50).union(dup), threshold=0.999)
+    # every vector has cosine 1.0 with itself — pairs exclude self, so make a
+    # dupe of a deterministic row (limit() order is arbitrary once the load
+    # path repartitions)
+    base = emb.filter(F.col("vec_id") < 50)
+    dup = base.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(999_999))
+    out = dedup.embedding_cosine_pairs(base.union(dup), threshold=0.999)
     rows = out.collect()
     assert len(rows) == 1
     assert rows[0].cosine == pytest.approx(1.0, abs=1e-3)
