@@ -1,12 +1,18 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths, as a 100 TB engine needs:
+Three paths, as a 100 TB engine needs:
 - ``cosine_topk``: exact brute force — the baseline and the oracle-checkable
   form. Dot products in whole-stage codegen (`zip_with` + `aggregate`).
 - ``lsh_topk``: random-hyperplane (sign) LSH — bucket join + exact rerank
   inside buckets; candidate count scales with bucket density, not n².
   Hyperplanes are derived from deterministic hashes so every run/cluster
   produces identical buckets.
+- ``ivf_topk``: inverted-file (IVF) index — spherical k-means coarse
+  quantizer trained with driver-held centroids (the corpus is never
+  collected; each Lloyd iteration is one distributed pass, exactly the
+  MLlib k-means execution shape), then probe the ``n_probe`` nearest lists
+  per query and rerank exactly inside them. Work per query scales with
+  n·n_probe/n_list instead of n².
 """
 
 from __future__ import annotations
@@ -110,6 +116,133 @@ def lsh_bucket(df: DataFrame, n_planes: int, dim: int, vec_col: str = "v") -> Da
         )
         bucket = bucket + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
     return df.withColumn("bucket", bucket)
+
+
+def _unit(df: DataFrame, prefix: str) -> DataFrame:
+    """L2-normalize `{prefix}_v` (dropping zero vectors) so cosine == dot."""
+    return df.filter(F.col(f"{prefix}_norm") > 0).withColumn(
+        f"{prefix}_v",
+        F.transform(f"{prefix}_v", lambda x: x / F.col(f"{prefix}_norm")),
+    )
+
+
+def _dot(va, vb):
+    return F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+def _centroids_df(spark, cents: list[list[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list_id INT, cent ARRAY<DOUBLE>",
+    )
+
+
+def _assign_lists(vectors: DataFrame, cent_df: DataFrame, prefix: str, n_probe: int) -> DataFrame:
+    """Rank centroid lists per vector by dot product; keep the top n_probe."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(f"{prefix}_id").orderBy(
+        F.col("_cdot").desc(), F.col("list_id")
+    )
+    return (
+        vectors.crossJoin(F.broadcast(cent_df))
+        .withColumn("_cdot", _dot(F.col(f"{prefix}_v"), F.col("cent")))
+        .withColumn("_crank", F.row_number().over(w))
+        .filter(F.col("_crank") <= n_probe)
+        .drop("cent", "_cdot", "_crank")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_list: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer.
+
+    Centroids (n_list × dim doubles — a few KB) live on the driver, like
+    MLlib's k-means; every Lloyd iteration is one distributed pass over the
+    corpus (broadcast-join assignment + per-dimension mean via posexplode,
+    which scales to any dim without a dim-wide agg). Seeds are the n_list
+    corpus vectors with the smallest xxhash64(id) — deterministic across
+    runs and cluster sizes.
+    """
+    spark = corpus.sparkSession
+    c = _unit(_with_norm(corpus, id_col, vec_col, "c"), "c")
+    seeds = (
+        c.orderBy(F.xxhash64(F.col("c_id")), F.col("c_id"))
+        .limit(n_list)
+        .select("c_v")
+        .collect()
+    )
+    cents = [list(r.c_v) for r in seeds]
+    for _ in range(iters):
+        assigned = _assign_lists(c, _centroids_df(spark, cents), "c", 1)
+        means = (
+            assigned.select("list_id", F.posexplode("c_v").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+                ).alias("cent")
+            )
+            .collect()
+        )
+        for row in means:  # lists that captured no vectors keep their seed
+            cents[row.list_id] = list(row.cent)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_list: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF coarse quantizer.
+
+    Corpus vectors are assigned to their nearest centroid list (one
+    partition-pruning equi-join key); each query probes its ``n_probe``
+    nearest lists and reranks exactly inside them. Recall tunes with
+    n_probe/n_list. The list assignment is an equi-join, so at scale the
+    candidate generation shuffles n·n_probe/n_list rows instead of n² pairs.
+    """
+    from pyspark.sql import Window as W
+
+    spark = corpus.sparkSession
+    cents = train_ivf_centroids(corpus, n_list, iters, id_col, vec_col)
+    cent_df = _centroids_df(spark, cents)
+
+    c = _assign_lists(_unit(_with_norm(corpus, id_col, vec_col, "c"), "c"), cent_df, "c", 1)
+    q = _assign_lists(_unit(_with_norm(queries, id_col, vec_col, "q"), "q"), cent_df, "q", n_probe)
+
+    scored = (
+        q.join(c, "list_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", F.round(_dot(F.col("q_v"), F.col("c_v")), 6))
+        # each corpus vector lives in exactly one list, so (query, neighbor)
+        # pairs are already unique — no dedup shuffle needed
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
 
 
 def lsh_topk(

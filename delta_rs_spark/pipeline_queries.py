@@ -128,6 +128,17 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4)
 
 
+@query("similarity_ivf_topk", None)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF coarse quantizer (k-means is iterative — rows-only check); probing
+    # half the lists keeps recall high on the near-orthogonal synthetic
+    # vectors while still exercising the list-pruned join path
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_list=8, n_probe=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

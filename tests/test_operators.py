@@ -125,6 +125,33 @@ def test_lsh_topk_subset_of_exact_topn(spark, emb):
         assert exact[(r.query_id, r.neighbor_id)] == r.cosine
 
 
+def test_ivf_topk_shape_and_cosines_match_exact(spark, emb):
+    """IVF results are genuine vectors with exact cosines; full probing
+    (n_probe == n_list) degenerates to the exact answer."""
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.cosine_topk(emb, queries, k=500).collect()
+    }
+    approx = similarity.ivf_topk(emb, queries, k=5, n_list=8, n_probe=2).collect()
+    assert len(approx) > 0
+    for r in approx:
+        assert exact[(r.query_id, r.neighbor_id)] == pytest.approx(r.cosine, abs=2e-6)
+
+    full = similarity.ivf_topk(emb, queries, k=5, n_list=8, n_probe=8).collect()
+    exact5 = similarity.cosine_topk(emb, queries, k=5).collect()
+    assert {(r.query_id, r.neighbor_id) for r in full} == {
+        (r.query_id, r.neighbor_id) for r in exact5
+    }
+
+
+def test_ivf_centroids_deterministic(spark, emb):
+    c1 = similarity.train_ivf_centroids(emb, n_list=4, iters=1)
+    c2 = similarity.train_ivf_centroids(emb, n_list=4, iters=1)
+    assert len(c1) == 4
+    assert c1 == c2
+
+
 def test_lang_id_deterministic_and_total(spark, docs):
     out = text.lang_id(docs)
     assert out.count() == docs.count()
