@@ -97,3 +97,32 @@ def test_history(golden):
     hist = t.history()
     assert len(hist) >= 1
     assert "operation" in hist[0] or len(hist[0]) > 0
+
+
+def test_covid_table_read_and_metadata_count(golden, spark):
+    """Read-path stress table (1.11M rows / 8 files): the metadata-only
+    count answers from log stats and must equal the actual scan."""
+    t = DeltaTable(golden("COVID-19_NYT"))
+    assert len(t.files()) == 8
+    assert t.count_rows() == 1_111_930
+    df = t.to_df(spark)
+    assert df.count() == 1_111_930
+    assert set(df.columns) == {"date", "county", "state", "fips", "cases", "deaths"}
+
+
+def test_array_primitives_golden(golden, spark):
+    """Array-typed schema conversion (10 array<primitive> columns) and values."""
+    t = DeltaTable(golden("golden/data-reader-array-primitives"))
+    schema = t.schema()
+    array_fields = [f for f in schema.fields if f.dataType.typeName() == "array"]
+    assert len(array_fields) == 10
+    rows = t.to_df(spark).orderBy("as_array_int").collect()
+    assert [r.as_array_int for r in rows] == [[i] for i in range(10)]
+    assert [r.as_array_long for r in rows] == [[i] for i in range(10)]
+
+
+def test_date_partition_golden(golden, spark):
+    t = DeltaTable(golden("delta-0.8.0-date"))
+    df = t.to_df(spark)
+    assert df.count() > 0
+    assert dict(df.dtypes)["date"] == "date"
