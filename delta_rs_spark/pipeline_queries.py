@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, text
+from .operators import dedup, multimodal, similarity, text, timeseries
 from .queries import query
 from .sources.tables import load_table
 
@@ -195,4 +195,33 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         multimodal.extract_features(payloads)
         .select("doc_id", "n_bytes", "fake_width", "fake_height")
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time series
+# ---------------------------------------------------------------------------
+
+@query(
+    "asof_join_events",
+    """
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r.ts AS ts_right, r.value AS value_right
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    ORDER BY l.event_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach the most recent prior 'error' event to every 'click' per user —
+    DuckDB's native ASOF JOIN is the oracle; our operator is the union +
+    single-window formulation (one shuffle on user_id)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    errors = e.filter(F.col("event_type") == "error").select("user_id", "ts", "value")
+    return (
+        timeseries.asof_join(clicks, errors, on="ts", by="user_id", right_cols=["value"])
+        .select("event_id", "user_id", "ts", "value", "ts_right", "value_right")
+        .orderBy("event_id")
     )

@@ -5,7 +5,7 @@ variants."""
 import pytest
 from pyspark.sql import functions as F
 
-from delta_rs_spark.operators import dedup, multimodal, similarity, text
+from delta_rs_spark.operators import dedup, multimodal, similarity, text, timeseries
 from delta_rs_spark.sources.tables import load_table
 
 
@@ -150,6 +150,46 @@ def test_ivf_centroids_deterministic(spark, emb):
     c2 = similarity.train_ivf_centroids(emb, n_list=4, iters=1)
     assert len(c1) == 4
     assert c1 == c2
+
+
+def test_asof_join_basic_ties_and_missing(spark):
+    left = spark.createDataFrame(
+        [(1, "u", 10.0), (2, "u", 20.0), (3, "u", 5.0), (4, "v", 10.0)],
+        "id LONG, k STRING, t DOUBLE",
+    )
+    right = spark.createDataFrame(
+        [("u", 10.0, "a"), ("u", 15.0, "b"), ("w", 1.0, "z")],
+        "k STRING, t DOUBLE, tag STRING",
+    )
+    out = {
+        r.id: (r.t_right, r.tag_right)
+        for r in timeseries.asof_join(left, right, on="t", by="k").collect()
+    }
+    assert out[1] == (10.0, "a")  # exact-time tie matches
+    assert out[2] == (15.0, "b")  # latest prior
+    assert out[3] == (None, None)  # nothing at or before t=5
+    assert out[4] == (None, None)  # key with no right rows
+
+
+def test_asof_join_null_right_attr_not_blended(spark):
+    """A matched right row with a null attribute must yield null, not an
+    older row's value."""
+    left = spark.createDataFrame([(1, 30.0)], "id LONG, t DOUBLE")
+    right = spark.createDataFrame([(10.0, "old"), (20.0, None)], "t DOUBLE, tag STRING")
+    r = timeseries.asof_join(left, right, on="t").collect()[0]
+    assert r.t_right == 20.0
+    assert r.tag_right is None
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, 100.0), (2, 200.0)], "id LONG, t DOUBLE")
+    right = spark.createDataFrame([(95.0, "x")], "t DOUBLE, tag STRING")
+    out = {
+        r.id: (r.t_right, r.tag_right)
+        for r in timeseries.asof_join(left, right, on="t", tolerance=F.lit(10.0)).collect()
+    }
+    assert out[1] == (95.0, "x")
+    assert out[2] == (None, None)  # match is 105 units stale, > tolerance
 
 
 def test_lang_id_deterministic_and_total(spark, docs):
