@@ -97,3 +97,42 @@ def test_hidden_path_predicate():
     assert not is_hidden_path("year=2020/part-0.parquet")
     assert not is_hidden_path("_delta_index/idx.bin")
     assert not is_hidden_path("_change_data/cdc-0.parquet")
+
+
+def test_multipart_checkpoint_read(spark, table_uri, sf_dir):
+    """Snapshot restore from a multi-part checkpoint (reference name scheme
+    {v:020}.checkpoint.{part:010}.{parts:010}.parquet, delta.rs:412-436)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    df = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    for _ in range(3):
+        write_deltalake(spark, df.limit(3), table_uri, mode="append")
+    t = DeltaTable(table_uri)
+    expected_files = sorted(t.files())
+    cp = t.create_checkpoint()
+
+    # split the single-part checkpoint into two parts and repoint the log
+    log = DeltaLog(table_uri)
+    single = log.checkpoint_paths(cp)[0]
+    tbl = pq.read_table(single)
+    half = tbl.num_rows // 2
+    base = os.path.dirname(single)
+    pq.write_table(tbl.slice(0, half),
+                   os.path.join(base, f"{cp.version:020d}.checkpoint.{1:010d}.{2:010d}.parquet"))
+    pq.write_table(tbl.slice(half),
+                   os.path.join(base, f"{cp.version:020d}.checkpoint.{2:010d}.{2:010d}.parquet"))
+    os.remove(single)
+    with open(os.path.join(base, "_last_checkpoint"), "w") as f:
+        json.dump({"version": cp.version, "size": tbl.num_rows, "parts": 2}, f)
+    # drop replayable commits so the reload MUST come from the checkpoint
+    for v in range(cp.version):
+        p = log.commit_path(v)
+        if os.path.exists(p):
+            os.remove(p)
+
+    t2 = DeltaTable(table_uri)
+    assert t2.version == cp.version
+    assert sorted(t2.files()) == expected_files
+    assert t2.to_df(spark).count() == t.to_df(spark).count()
