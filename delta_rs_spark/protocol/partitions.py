@@ -47,9 +47,18 @@ class PartitionFilter:
                 raise InvalidPartitionFilterError(
                     f"filter {t!r}: '{op}' requires a sequence of values"
                 )
-            value = tuple(str(v) for v in value)
+            if not all(isinstance(v, str) for v in value):
+                # reference contract (python/src/lib.rs:103-126): partition
+                # values are strings — no silent coercion of ints etc.
+                raise InvalidPartitionFilterError(
+                    "Only the type String is currently allowed inside the partition filters."
+                )
+            value = tuple(value)
         else:
-            value = str(value)
+            if not isinstance(value, str):
+                raise InvalidPartitionFilterError(
+                    "Only the type String is currently allowed inside the partition filters."
+                )
         return cls(key=key, op=op, value=value)
 
     def matches(self, partition_values: dict[str, str | None]) -> bool:

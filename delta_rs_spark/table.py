@@ -120,6 +120,14 @@ class DeltaTable:
             partition_filters=partition_filters, skip_predicates=skip_predicates
         )
 
+    def files_by_partitions(
+        self, partition_filters: Sequence[FilterTuple]
+    ) -> list[str]:
+        """Full-URI active files matching the DNF partition filters — name and
+        shape of the reference's Python API (``python/deltalake/table.py:95-124``,
+        which returns absolute URIs)."""
+        return self.file_uris(partition_filters=partition_filters)
+
     def add_actions(self) -> list[AddAction]:
         return list(self._snapshot.state.files.values())
 
