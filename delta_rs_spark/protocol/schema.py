@@ -100,3 +100,60 @@ def partition_value_to_typed(value: str | None, data_type: T.DataType) -> Any:
     if isinstance(data_type, T.TimestampType):
         return _dt.datetime.fromisoformat(value)
     raise ValueError(f"partition column of type {data_type} not supported")
+
+
+# ---- Delta schema JSON → pyarrow (reference mapping delta_arrow.rs:50-137,
+# minus its timestamp-ns quirk: we use µs, Spark/parquet-correct) -------------
+
+_PA_PRIMITIVES = {
+    "string": "string", "long": "int64", "integer": "int32", "short": "int16",
+    "byte": "int8", "float": "float32", "double": "float64", "boolean": "bool_",
+    "binary": "binary", "date": "date32",
+}
+
+
+def _delta_type_to_pyarrow(node: Any):
+    import pyarrow as pa
+
+    if isinstance(node, str):
+        if node in _PA_PRIMITIVES:
+            return getattr(pa, _PA_PRIMITIVES[node])()
+        if node == "timestamp":
+            return pa.timestamp("us")
+        if node.startswith("decimal("):
+            p, s = node[len("decimal("):-1].split(",")
+            return pa.decimal128(int(p), int(s))
+        raise ValueError(f"unsupported Delta primitive {node!r}")
+    t = node.get("type")
+    if t == "struct":
+        import pyarrow as pa
+
+        return pa.struct(
+            [
+                pa.field(f["name"], _delta_type_to_pyarrow(f["type"]), f.get("nullable", True))
+                for f in node["fields"]
+            ]
+        )
+    if t == "array":
+        import pyarrow as pa
+
+        return pa.list_(_delta_type_to_pyarrow(node["elementType"]))
+    if t == "map":
+        import pyarrow as pa
+
+        return pa.map_(
+            _delta_type_to_pyarrow(node["keyType"]), _delta_type_to_pyarrow(node["valueType"])
+        )
+    raise ValueError(f"unsupported Delta type node {node!r}")
+
+
+def schema_json_to_pyarrow(schema_json: dict):
+    """Delta metaData schema JSON → ``pyarrow.Schema``."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field(f["name"], _delta_type_to_pyarrow(f["type"]), f.get("nullable", True))
+            for f in schema_json["fields"]
+        ]
+    )

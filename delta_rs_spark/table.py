@@ -128,6 +128,54 @@ class DeltaTable:
         which returns absolute URIs)."""
         return self.file_uris(partition_filters=partition_filters)
 
+    def file_paths(self) -> list[str]:
+        """Deprecated alias of :meth:`file_uris` (reference
+        ``python/deltalake/table.py:126-137``)."""
+        import warnings
+
+        warnings.warn(
+            "Call to deprecated method file_paths. Please use file_uris instead.",
+            category=DeprecationWarning,
+            stacklevel=2,
+        )
+        return self.file_uris()
+
+    def update_incremental(self) -> None:
+        """Apply only the commits newer than the loaded snapshot (reference
+        ``python/deltalake/table.py:273`` / ``rust/src/delta.rs:612-638``)."""
+        self.update()
+
+    # ---- Spark-free read path (reference python/deltalake/table.py:184-271) ----
+    def pyarrow_schema(self):
+        """Table schema as ``pyarrow.Schema`` (timestamp in µs — deliberately
+        not the reference's ns quirk, delta_arrow.rs:96-99)."""
+        from .protocol.schema import schema_json_to_pyarrow
+
+        return schema_json_to_pyarrow(self.schema_json())
+
+    def to_pyarrow_dataset(self, partitions: Sequence[FilterTuple] | None = None):
+        """PyArrow Dataset over the active files (hive partitioning), no Spark."""
+        import pyarrow.dataset as ds
+
+        paths = (
+            self.files_by_partitions(partitions) if partitions is not None else self.file_uris()
+        )
+        return ds.dataset(
+            paths,
+            schema=self.pyarrow_schema(),
+            format="parquet",
+            partitioning=ds.partitioning(flavor="hive"),
+        )
+
+    def to_pyarrow_table(
+        self,
+        partitions: Sequence[FilterTuple] | None = None,
+        columns: Sequence[str] | None = None,
+    ):
+        return self.to_pyarrow_dataset(partitions).to_table(
+            columns=list(columns) if columns else None
+        )
+
     def add_actions(self) -> list[AddAction]:
         return list(self._snapshot.state.files.values())
 
@@ -160,7 +208,15 @@ class DeltaTable:
             skip_predicates=skip_predicates,
         )
 
-    def to_pandas(self, spark: SparkSession, **kw):
+    def to_pandas(self, spark: SparkSession | None = None, **kw):
+        """With a SparkSession: distributed read then Arrow-collect. Without:
+        the reference's driver-only pyarrow path (partitions=/columns= kwargs,
+        ``python/deltalake/table.py:259-271``)."""
+        if spark is None:
+            return self.to_pyarrow_table(
+                partitions=kw.get("partitions") or kw.get("partition_filters"),
+                columns=kw.get("columns"),
+            ).to_pandas()
         return self.to_df(spark, **kw).toPandas()
 
     # ---- metadata-only fast path (reference delta_datafusion.rs:117-209) ----

@@ -126,3 +126,29 @@ def test_date_partition_golden(golden, spark):
     df = t.to_df(spark)
     assert df.count() > 0
     assert dict(df.dtypes)["date"] == "date"
+
+
+def test_pyarrow_read_path_no_spark(golden):
+    """Reference A10 parity: to_pyarrow_dataset/table/to_pandas without a
+    SparkSession (python/deltalake/table.py:184-271)."""
+    t = DeltaTable(golden("delta-0.8.0-partitioned"))
+    pa_schema = t.pyarrow_schema()
+    assert [f.name for f in pa_schema] == ["value", "year", "month", "day"]
+
+    pdf = t.to_pandas(partitions=[("year", "=", "2021")])
+    assert sorted(pdf["value"].tolist()) == ["4", "5", "6", "7"]
+
+    only_value = t.to_pandas(columns=["value"])
+    assert list(only_value.columns) == ["value"]
+    assert len(only_value) == 7
+
+    tbl = t.to_pyarrow_table(partitions=[("year", "=", "2020"), ("day", "=", "3")])
+    assert tbl.num_rows == 1
+
+
+def test_update_incremental_alias(golden):
+    t = DeltaTable.for_version(golden("simple_table"), 2)
+    assert t.version == 2
+    t.update_incremental()
+    assert t.version == 4
+    assert len(t.files()) == 5
