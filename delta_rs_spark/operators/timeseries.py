@@ -1,4 +1,4 @@
-"""Time-series operators: as-of join.
+"""Time-series operators: as-of join, bucketed range (interval) join.
 
 Spark has no native ASOF JOIN (DuckDB/Pandas/kdb do). The classic distributed
 formulation used here: union both sides with a side marker, one window pass
@@ -6,6 +6,13 @@ per (key, time) order carrying the most recent right-side row forward
 (`last(..., ignorenulls=True)`), then keep only left rows. Cost is a single
 shuffle on the join key — never a range-join blowup, no per-key driver loops —
 so it scales to arbitrarily many rows per key and arbitrarily many keys.
+
+For point-in-interval joins with no equi key Spark falls back to
+BroadcastNestedLoopJoin — O(points × intervals). ``range_join`` turns that
+into an equi-join by time bucketing: intervals explode to the few buckets
+they overlap, points hash to one bucket, the join runs on the bucket key and
+an exact predicate filters inside. Shuffle is O(points + intervals ×
+avg_buckets_per_interval).
 """
 
 from __future__ import annotations
@@ -81,4 +88,43 @@ def asof_join(
             match[on].alias(f"{on}{suffix}"),
             *[match[c].alias(f"{c}{suffix}") for c in right_cols],
         )
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_width: float = 3600.0,
+) -> DataFrame:
+    """Inner join of points to every interval with ``start <= point < end``.
+
+    Both sides are keyed by coarse time buckets of ``bucket_width`` (seconds
+    for timestamp columns — values are compared on their epoch-seconds cast):
+    an interval lands in every bucket it overlaps (``sequence`` explode, no
+    driver loop), a point in exactly one, so each matching pair meets in
+    exactly one bucket — no dedup pass needed. Pick ``bucket_width`` near the
+    typical interval length: each interval then explodes to ~2 buckets and
+    the equi-join replaces the nested-loop cross product.
+
+    Output: all point columns + all interval columns.
+    """
+    p_num = F.col(on).cast("double")
+    s_num = F.col(start_col).cast("double")
+    e_num = F.col(end_col).cast("double")
+    w = float(bucket_width)
+
+    pts = points.withColumn("_bucket", F.floor(p_num / w))
+    # half-open interval: the end bucket is floor((end - epsilon)/w); using
+    # floor(end/w) costs at most one extra empty bucket and stays exact
+    ivs = intervals.withColumn(
+        "_bucket",
+        F.explode(F.sequence(F.floor(s_num / w), F.floor(e_num / w))),
+    )
+    return (
+        pts.join(ivs, "_bucket")
+        .filter((F.col(on) >= F.col(start_col)) & (F.col(on) < F.col(end_col)))
+        .drop("_bucket")
     )

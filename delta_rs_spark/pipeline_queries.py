@@ -225,3 +225,38 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "value", "ts_right", "value_right")
         .orderBy("event_id")
     )
+
+
+@query(
+    "range_join_error_windows",
+    """
+    SELECT e.ts AS w_start, COUNT(v.ts) AS n_views
+    FROM (SELECT ts FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT ts FROM events WHERE event_type = 'view') v
+      ON v.ts >= e.ts AND v.ts < e.ts + INTERVAL '5 minutes'
+    GROUP BY e.ts
+    ORDER BY w_start
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Views falling inside the 5-minute window after each error — an
+    interval join with NO equi key. Naive Spark = BroadcastNestedLoopJoin
+    (points x intervals); the bucketed range_join makes it an equi-join on
+    5-minute time buckets. Left semantics (empty windows count 0) compose as
+    inner range_join + counts joined back onto all intervals."""
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select("ts")
+    windows = (
+        e.filter(F.col("event_type") == "error")
+        .select(F.col("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    matched = timeseries.range_join(
+        views, windows, on="ts", start_col="w_start", end_col="w_end", bucket_width=300.0
+    )
+    counts = matched.groupBy("w_start").agg(F.count(F.lit(1)).alias("n_views"))
+    return (
+        windows.join(counts, "w_start", "left")
+        .select("w_start", F.coalesce("n_views", F.lit(0)).alias("n_views"))
+        .orderBy("w_start")
+    )

@@ -241,3 +241,26 @@ def test_multimodal_features_deterministic(spark, docs):
 def test_multimodal_unknown_codec_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"bytes", codec="jpeg")
+
+
+def test_range_join_bucket_boundaries(spark):
+    """Pairs must match exactly the half-open predicate regardless of where
+    intervals sit relative to bucket edges."""
+    points = spark.createDataFrame([(float(t),) for t in range(0, 100, 7)], "ts DOUBLE")
+    intervals = spark.createDataFrame(
+        [(0.0, 10.0), (9.5, 30.0), (95.0, 200.0), (40.0, 40.0)],  # incl. empty interval
+        "start DOUBLE, end DOUBLE",
+    )
+    got = {
+        (r.ts, r.start, r.end)
+        for r in timeseries.range_join(
+            points, intervals, on="ts", bucket_width=10.0
+        ).collect()
+    }
+    expected = {
+        (float(t), s, e)
+        for t in range(0, 100, 7)
+        for s, e in [(0.0, 10.0), (9.5, 30.0), (95.0, 200.0), (40.0, 40.0)]
+        if s <= t < e
+    }
+    assert got == expected
