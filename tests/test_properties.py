@@ -1,0 +1,127 @@
+"""Property-based tests (hypothesis) for the pure-Python protocol layer.
+
+The reference has no randomized testing (SURVEY §5); these harden the three
+most algebra-like pieces — state fold, partition-filter matching, and
+stats-based pruning — against the whole input space, not just the fixtures.
+No SparkSession involved: every property runs in microseconds.
+"""
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from delta_rs_spark.protocol.actions import AddAction, RemoveAction
+from delta_rs_spark.protocol.partitions import compile_filters, file_matches
+from delta_rs_spark.protocol.state import TableState
+from delta_rs_spark.protocol.stats import file_may_match
+
+paths = st.text(alphabet="abcdef", min_size=1, max_size=3)
+
+
+@st.composite
+def action_sequences(draw):
+    ops = draw(
+        st.lists(
+            st.tuples(st.sampled_from(["add", "remove"]), paths), min_size=0, max_size=40
+        )
+    )
+    return [
+        AddAction(path=p) if kind == "add" else RemoveAction(path=p)
+        for kind, p in ops
+    ]
+
+
+@given(action_sequences())
+def test_state_fold_matches_naive_replay(actions):
+    """Fold result == the obvious O(n²) specification: a path is active iff
+    its last action was an add; tombstoned iff its last action was a remove."""
+    st_ = TableState()
+    st_.apply_all(actions)
+
+    last: dict[str, str] = {}
+    for a in actions:
+        last[a.path] = "add" if isinstance(a, AddAction) else "remove"
+    expected_active = {p for p, k in last.items() if k == "add"}
+    expected_tombstoned = {p for p, k in last.items() if k == "remove"}
+
+    assert set(st_.files) == expected_active
+    assert set(st_.tombstones) == expected_tombstoned
+    assert not (set(st_.files) & set(st_.tombstones))
+
+
+pv_values = st.one_of(st.none(), st.text(alphabet="0123456789xy", max_size=3))
+filter_ops = st.sampled_from(["=", "!=", "in", "not in"])
+
+
+@st.composite
+def filters_and_values(draw):
+    keys = ["k1", "k2"]
+    flts = []
+    for _ in range(draw(st.integers(0, 3))):
+        key = draw(st.sampled_from(keys))
+        op = draw(filter_ops)
+        if op in ("in", "not in"):
+            val = draw(st.lists(st.text(alphabet="0123456789xy", max_size=3), max_size=3))
+        else:
+            val = draw(st.text(alphabet="0123456789xy", max_size=3))
+        flts.append((key, op, val))
+    pv = {k: draw(pv_values) for k in keys}
+    return flts, pv
+
+
+@given(filters_and_values())
+def test_partition_filter_matches_reference_semantics(fv):
+    """file_matches == the documented spec: conjunction; missing/None
+    partition value never matches any op (reference string-only compare)."""
+    flts, pv = fv
+    add = AddAction(path="f", partition_values=pv)
+
+    def spec_one(key, op, val):
+        actual = pv.get(key)
+        if actual is None:
+            return False
+        if op == "=":
+            return actual == val
+        if op == "!=":
+            return actual != val
+        if op == "in":
+            return actual in val
+        return actual not in val
+
+    expected = all(spec_one(*f) for f in flts)
+    assert file_matches(add, compile_filters(flts)) == expected
+
+
+@st.composite
+def stats_and_predicate(draw):
+    rows = draw(st.lists(st.integers(-50, 50), min_size=1, max_size=20))
+    has_nulls = draw(st.booleans())
+    op = draw(st.sampled_from(["=", "!=", "<", "<=", ">", ">="]))
+    lit = draw(st.integers(-60, 60))
+    return rows, has_nulls, op, lit
+
+
+@given(stats_and_predicate())
+@settings(max_examples=300)
+def test_stats_pruning_is_conservative(sp):
+    """A file is NEVER pruned if some row actually satisfies the predicate
+    (false positives allowed, false negatives never — data skipping must be
+    sound or queries silently lose rows)."""
+    rows, has_nulls, op, lit = sp
+    stats = {
+        "numRecords": len(rows) + (1 if has_nulls else 0),
+        "minValues": {"v": min(rows)},
+        "maxValues": {"v": max(rows)},
+        "nullCount": {"v": 1 if has_nulls else 0},
+    }
+    add = AddAction(path="f", stats=json.dumps(stats))
+
+    def sat(r):
+        return {
+            "=": r == lit, "!=": r != lit, "<": r < lit,
+            "<=": r <= lit, ">": r > lit, ">=": r >= lit,
+        }[op]
+
+    if any(sat(r) for r in rows):
+        assert file_may_match(add, [("v", op, lit)])
