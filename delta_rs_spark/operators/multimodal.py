@@ -92,3 +92,70 @@ SELECT doc_id,
        (octet_length(payload) * 7) % 480 + 1 AS fake_height
 FROM payloads ORDER BY doc_id
 """
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("target_width", T.IntegerType()),
+        T.StructField("target_height", T.IntegerType()),
+    ]
+)
+
+
+def resize(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Arrow-batched 'resize': bytes in → (transformed) bytes out, 1:1 rows.
+
+    The stub scales the payload length proportionally to the pixel-count
+    ratio against the fake decoded dims — a real deployment swaps the body
+    for PIL's `Image.resize` with the identical mapInPandas contract."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_payloads = []
+            for p in pdf["payload"]:
+                d = decode_stub(p)
+                ratio = (width * height) / max(d["fake_width"] * d["fake_height"], 1)
+                n = max(int(len(p) * min(ratio, 1.0)), 1)
+                out_payloads.append(bytes(p[:n]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": out_payloads,
+                    "target_width": width,
+                    "target_height": height,
+                }
+            )
+
+    return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Arrow-batched 1→N expansion: sample 'frames' out of each payload.
+
+    The row-expanding shape (one input row yields up to max_frames output
+    rows inside the same pandas batch) is exactly how video frame sampling
+    runs on a cluster — ffmpeg replaces the byte-slicing stub, the Spark
+    contract stays."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, nos, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(min(max(len(p), 1) // every_n_bytes + 1, max_frames)):
+                    ids.append(doc_id)
+                    nos.append(i)
+                    frames.append(bytes(p[i * every_n_bytes : (i + 1) * every_n_bytes]))
+            yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
+
+    return df.mapInPandas(batches, FRAME_SCHEMA)

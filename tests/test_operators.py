@@ -264,3 +264,26 @@ def test_range_join_bucket_boundaries(spark):
         if s <= t < e
     }
     assert got == expected
+
+
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    payloads = multimodal.attach_binary_payload(docs.limit(20))
+    resized = multimodal.resize(payloads, 32, 32).collect()
+    assert len(resized) == 20
+    orig = {r.doc_id: r.payload for r in payloads.collect()}
+    for r in resized:
+        assert (r.target_width, r.target_height) == (32, 32)
+        assert 1 <= len(r.payload) <= len(orig[r.doc_id])
+
+    frames = multimodal.frame_sample(payloads, every_n_bytes=64, max_frames=4)
+    rows = frames.collect()
+    assert len(rows) > 20  # 1→N expansion happened
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, fs in by_doc.items():
+        assert [f.frame_no for f in sorted(fs, key=lambda x: x.frame_no)] == list(range(len(fs)))
+        assert len(fs) <= 4
+        # frames re-concatenate to a prefix of the original payload
+        joined = b"".join(f.frame for f in sorted(fs, key=lambda x: x.frame_no))
+        assert orig[doc_id][: len(joined)] == joined
