@@ -1,0 +1,86 @@
+"""Physical-plan auditing: make plan quality testable.
+
+"The filter is pushed down, the scan is pruned, the dimension is broadcast"
+are claims about the *executed plan*, not the result — so the test suite
+checks them mechanically. `summarize` parses `df.explain`'s formatted output
+into a comparable structure; the `assert_*` helpers turn scale regressions
+(a lost pushdown, a broadcast that became a shuffle, a scan reading every
+column) into red tests instead of silent slowdowns at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class PlanSummary:
+    scans: int = 0
+    exchanges: int = 0
+    broadcast_hash_joins: int = 0
+    sort_merge_joins: int = 0
+    shuffled_hash_joins: int = 0
+    nested_loop_joins: int = 0
+    pushed_filters: list[str] = field(default_factory=list)
+    read_schemas: list[list[str]] = field(default_factory=list)
+    codegen_spans: int = 0
+
+
+def _plan_text(df: DataFrame) -> str:
+    # formatted explain: node details are printed in full (plain toString
+    # truncates long PushedFilters lists mid-entry)
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def summarize(df: DataFrame) -> PlanSummary:
+    text = _plan_text(df)
+    schemas = [
+        [c.split(":")[0] for c in m.split(",") if ":" in c]
+        for m in re.findall(r"ReadSchema: struct<([^>]*)>", text)
+    ]
+
+    def nodes(name: str) -> int:
+        # formatted explain shows each node in the tree AND as a numbered
+        # "(N) Name" detail block — count the numbered headers only
+        return len(re.findall(rf"^\(\d+\) {name}", text, re.MULTILINE))
+
+    return PlanSummary(
+        scans=nodes("Scan parquet"),
+        exchanges=nodes("Exchange"),
+        broadcast_hash_joins=nodes("BroadcastHashJoin"),
+        sort_merge_joins=nodes("SortMergeJoin"),
+        shuffled_hash_joins=nodes("ShuffledHashJoin"),
+        nested_loop_joins=nodes("BroadcastNestedLoopJoin") + nodes("CartesianProduct"),
+        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", text),
+        read_schemas=schemas,
+        codegen_spans=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text))),
+    )
+
+
+def assert_filter_pushed(df: DataFrame, column: str) -> None:
+    """Fail unless some parquet scan carries a pushed filter on `column`."""
+    s = summarize(df)
+    if not any(column in p for p in s.pushed_filters):
+        raise AssertionError(
+            f"no pushed filter on {column!r}; PushedFilters={s.pushed_filters}"
+        )
+
+
+def assert_columns_pruned(df: DataFrame, table_width: int) -> None:
+    """Fail if any scan reads as many columns as the full table (no pruning)."""
+    s = summarize(df)
+    fat = [cols for cols in s.read_schemas if len(cols) >= table_width]
+    if fat:
+        raise AssertionError(f"unpruned scan(s) reading full width: {fat}")
+
+
+def assert_no_nested_loop_join(df: DataFrame) -> None:
+    """Fail on Cartesian/nested-loop joins — the operator that dies at scale."""
+    s = summarize(df)
+    if s.nested_loop_joins:
+        raise AssertionError(f"{s.nested_loop_joins} nested-loop join(s) in plan")

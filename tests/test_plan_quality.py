@@ -1,0 +1,75 @@
+"""Plan-quality regression tests: pushdown, pruning, and join strategy of
+the certified queries are asserted mechanically (delta_rs_spark.plans).
+These are the properties that decide 100 TB behavior; losing one is a perf
+bug even while results stay correct."""
+
+import pytest
+
+from delta_rs_spark.catalog import QUERIES
+from delta_rs_spark.plans import (
+    assert_columns_pruned,
+    assert_filter_pushed,
+    assert_no_nested_loop_join,
+    summarize,
+)
+
+LINEITEM_WIDTH = 11
+
+
+@pytest.fixture()
+def q(spark, sf_dir):
+    def build(name):
+        return QUERIES[name].spark(spark, sf_dir)
+
+    return build
+
+
+def test_q1_pushdown_and_pruning(q):
+    df = q("q1_pricing_summary")
+    assert_filter_pushed(df, "l_shipdate")
+    assert_columns_pruned(df, LINEITEM_WIDTH)
+
+
+def test_q6_pushdown(q):
+    df = q("q6_forecast_revenue")
+    assert_filter_pushed(df, "l_shipdate")
+    assert_filter_pushed(df, "l_discount")
+    assert_columns_pruned(df, LINEITEM_WIDTH)
+    # single scan, no joins: one partial+final agg pair at most
+    s = summarize(df)
+    assert s.scans == 1
+    assert s.exchanges <= 2
+
+
+def test_q3_broadcasts_dimension(q):
+    s = summarize(q("q3_shipping_priority"))
+    assert s.broadcast_hash_joins >= 1
+    assert s.nested_loop_joins == 0
+    # customer scan reads only the join/filter columns
+    assert any(set(cols) == {"c_custkey", "c_mktsegment"} for cols in s.read_schemas)
+
+
+def test_q5_q7_no_cartesian(q):
+    for name in ("q5_nation_revenue", "q7_nation_volume"):
+        df = q(name)
+        assert_no_nested_loop_join(df)
+        assert summarize(df).broadcast_hash_joins >= 2
+
+
+def test_range_join_is_equi_not_nested_loop(q):
+    """The whole point of the bucketed range join: no BroadcastNestedLoopJoin
+    for the interval predicate."""
+    df = q("range_join_error_windows")
+    s = summarize(df)
+    assert s.broadcast_hash_joins + s.sort_merge_joins + s.shuffled_hash_joins >= 1
+    # the left-restore join may broadcast but must not be nested-loop
+    assert s.nested_loop_joins == 0
+
+
+def test_asof_join_single_shuffle_per_side(q):
+    df = q("asof_join_events")
+    s = summarize(df)
+    assert s.nested_loop_joins == 0
+    # union + one window: no join explosion — at most the window shuffle and
+    # the final sort
+    assert s.broadcast_hash_joins + s.sort_merge_joins + s.shuffled_hash_joins == 0
