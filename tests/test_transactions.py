@@ -73,3 +73,39 @@ def test_concurrent_writers_gapless(small_table):
     for w in range(workers):
         for i in range(commits):
             assert f"w{w}-c{i}.parquet" in t.files()
+
+
+def _process_worker(args):
+    """Module-level so it pickles for multiprocessing spawn."""
+    table_uri, w, commits = args
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.protocol.actions import AddAction
+
+    table = DeltaTable(table_uri)
+    got = []
+    for i in range(commits):
+        txn = table.begin()
+        txn.add_action(AddAction(path=f"p{w}-c{i}.parquet", size=1))
+        got.append(txn.commit(operation="WRITE"))
+    return got
+
+
+def test_concurrent_writers_across_processes(small_table):
+    """E9 at full strength: 5 separate OS processes x 3 commits — the atomic
+    create-if-absent must hold across process boundaries, not just threads
+    (reference runs separate workers, concurrent_writes_test.rs:27-75)."""
+    import multiprocessing as mp
+
+    workers, commits = 5, 3
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(workers) as pool:
+        results = pool.map(
+            _process_worker, [(small_table, w, commits) for w in range(workers)]
+        )
+    versions = sorted(v for vs in results for v in vs)
+    assert versions == list(range(1, workers * commits + 1))
+    t = DeltaTable(small_table)
+    assert t.version == workers * commits
+    for w in range(workers):
+        for i in range(commits):
+            assert f"p{w}-c{i}.parquet" in t.files()
