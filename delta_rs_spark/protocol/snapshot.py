@@ -175,14 +175,22 @@ class Snapshot:
             df = df.select(*columns)
         return df
 
-    def _read_partitioned(self, spark: SparkSession, adds: list[AddAction]) -> DataFrame:
-        """Group files by partition tuple; attach typed lit() partition columns.
+    # above this many distinct partition tuples, a lit()-union plan becomes a
+    # liability (a 10k-branch union stalls analysis); switch to one basePath
+    # scan where Spark derives partition columns from the Hive paths
+    MAX_UNION_BRANCHES = 64
 
-        One union branch per *distinct partition value combination present
-        after pruning* — after partition pruning this is typically a handful.
-        (basePath-style discovery would re-list the whole table directory on
-        the driver, defeating log-based pruning; lit() keeps the file list
-        exactly what the log says.)
+    def _read_partitioned(self, spark: SparkSession, adds: list[AddAction]) -> DataFrame:
+        """Attach partition columns from the log's partitionValues.
+
+        Small group count (the common case after pruning): one union branch
+        per distinct partition tuple with typed ``lit()`` columns — exact,
+        no path parsing, works even for non-Hive layouts. Large group count
+        (full scan of a heavily partitioned table): a single
+        ``basePath`` scan over exactly the log's file list — one scan node,
+        no plan explosion; Spark types the partition columns from our
+        schema. Only the listed files are read either way — basePath only
+        controls partition-column derivation, not file discovery.
         """
         schema = self.schema()
         data_schema = self.data_schema()
@@ -193,6 +201,17 @@ class Snapshot:
         for a in adds:
             key = tuple(a.partition_values.get(c) for c in pcols)
             groups.setdefault(key, []).append(self._absolute(a.path))
+
+        if len(groups) > self.MAX_UNION_BRANCHES:
+            all_paths = [p for paths in groups.values() for p in paths]
+            # basePath derivation requires the Hive key=value layout; fall
+            # back to unions if any file's path doesn't encode it
+            if all(f"/{c}=" in p for p in all_paths for c in pcols):
+                return (
+                    spark.read.schema(schema)
+                    .option("basePath", self.log.table_root)
+                    .parquet(*all_paths)
+                )
 
         branches = []
         for key, paths in groups.items():
