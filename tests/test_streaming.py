@@ -122,3 +122,46 @@ def test_stream_source_rejects_removes_without_ignore_changes(spark, tmp_path):
     )
     parts = reader2.partitions({"version": -1}, {"version": 1})
     assert len(parts) >= 2
+
+
+def test_stream_windowed_agg_with_watermark(spark, tmp_path):
+    """Watermarked tumbling-window aggregation over the delta_stream source —
+    the SURVEY §1.4 'Spark equivalent' claim, end to end: event-time windows
+    computed incrementally across two source commits."""
+    uri = str(tmp_path / "evt_tbl")
+    for lo, hi in ((0, 6), (6, 12)):
+        df = spark.range(lo, hi).select(
+            F.timestamp_micros(
+                # base aligned to a 5-minute boundary so window contents are
+                # exactly ids 0-4 / 5-9 / 10-11
+                (F.lit(1_700_000_400_000_000) + F.col("id") * 60_000_000).cast("long")
+            ).alias("ts"),
+            (F.col("id") % 2).alias("k"),
+            F.col("id").cast("double").alias("v"),
+        )
+        write_deltalake(spark, df, uri, mode="append")
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", uri)
+        .option("startingVersion", "0")
+        .load()
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), F.col("k"))
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("delta_stream_windows")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from delta_stream_windows").collect()
+    # 12 events, 1/minute → 3 windows of 5 minutes (0-4, 5-9, 10-11) × 2 keys
+    got = {(r.window.start.minute, r.k): (r.sv, r.n) for r in rows}
+    assert len(got) == 6
+    # window [0,5) key 0 holds ids 0,2,4; key 1 holds 1,3
+    assert got[(min(m for m, _ in got), 0)][0] == 0.0 + 2.0 + 4.0
+    assert sum(n for _, n in got.values()) == 12
