@@ -1005,6 +1005,98 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- scalar-function surface ------------------------------------------------------
+
+@query(
+    "q_string_functions",
+    """
+    SELECT p_brand,
+           upper(substr(p_type, 1, 3)) AS type_prefix,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(p_size AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_size,
+           MAX(length(p_name)) AS max_name_len,
+           MIN(replace(p_brand, 'Brand#', 'B')) AS brand_short
+    FROM part
+    GROUP BY p_brand, type_prefix
+    ORDER BY p_brand, type_prefix
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.withColumn("type_prefix", F.upper(F.substring("p_type", 1, 3)))
+        .groupBy("p_brand", "type_prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal-exact sum cast to double BEFORE dividing: decimal
+            # division scale rules differ between engines, double division
+            # of identical operands does not
+            (F.sum(F.col("p_size").cast("decimal(25,6)")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_size"),
+            F.max(F.length("p_name")).alias("max_name_len"),
+            F.min(F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B"))).alias("brand_short"),
+        )
+        .orderBy("p_brand", "type_prefix")
+    )
+
+
+@query(
+    "q_date_functions",
+    f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS o_quarter,
+           date_trunc('month', o_orderdate) AS month_start,
+           COUNT(*) AS n, {SUM_DEC('o_totalprice', 'total', 2)}
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY month_start
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.quarter("o_orderdate").alias("o_quarter"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _sum_dec(F.col("o_totalprice"), "total", 2))
+        .orderBy("month_start")
+    )
+
+
+@query(
+    "q_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS median_qty,
+           CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == SQL
+    PERCENTILE_CONT == DuckDB quantile_cont: lo + (hi-lo)·frac on the sorted
+    values, so both engines produce the identical double)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("median_qty"),
+            F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---- registry accessors -----------------------------------------------------------
 
 def queries() -> dict[str, SparkQuery]:
