@@ -260,3 +260,30 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w_start", F.coalesce("n_views", F.lit(0)).alias("n_views"))
         .orderBy("w_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew handling
+# ---------------------------------------------------------------------------
+
+@query(
+    "skew_salted_count_distinct",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) under an extreme-skew grouping key (l_returnflag has
+    3 values → 3 reducers in the naive plan, each seeing ~n/3 rows). The
+    salted variant spreads each hot key over 64 value-hash buckets and sums
+    the disjoint partial distinct counts — exact, and verified against the
+    naive SQL here."""
+    from .operators.skew import salted_count_distinct
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return salted_count_distinct(
+        l, ["l_returnflag"], "l_suppkey", alias="n_supp"
+    ).orderBy("l_returnflag")

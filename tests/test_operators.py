@@ -287,3 +287,28 @@ def test_multimodal_resize_and_frame_sample(spark, docs):
         # frames re-concatenate to a prefix of the original payload
         joined = b"".join(f.frame for f in sorted(fs, key=lambda x: x.frame_no))
         assert orig[doc_id][: len(joined)] == joined
+
+
+def test_salted_count_distinct_exact(spark):
+    from delta_rs_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [(i % 2, f"v{i % 37}") for i in range(1000)] + [(0, None)], "k LONG, v STRING"
+    )
+    got = {r.k: r.v_distinct for r in skew.salted_count_distinct(df, ["k"], "v").collect()}
+    exact = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    assert got == exact
+
+
+def test_salt_join_key_preserves_join_result(spark):
+    from delta_rs_spark.operators import skew
+
+    facts = spark.createDataFrame([(i, i % 3) for i in range(300)], "id LONG, k LONG")
+    dim = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k LONG, tag STRING")
+    sf, sd = skew.salt_join_key(facts, dim, "k", n_salts=8)
+    salted = sf.join(sd, ["k", "_salt"]).select("id", "k", "tag")
+    plain = facts.join(dim, "k").select("id", "k", "tag")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
