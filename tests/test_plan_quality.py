@@ -73,3 +73,27 @@ def test_asof_join_single_shuffle_per_side(q):
     # union + one window: no join explosion — at most the window shuffle and
     # the final sort
     assert s.broadcast_hash_joins + s.sort_merge_joins + s.shuffled_hash_joins == 0
+
+
+# queries that INTENTIONALLY cross join (brute-force exact baselines, or a
+# broadcast of a 1-row aggregate)
+CARTESIAN_OK = {
+    "similarity_topk",        # exact brute-force baseline by design
+    "dedup_embedding_cosine", # exact O(n^2) baseline by design
+    "q15_top_supplier",       # 1-row max broadcast
+    "q22_idle_customers",     # 1-row avg broadcast
+    "similarity_ivf_topk",    # centroid assignment: rows x n_list broadcast,
+                              # build side bounded by the quantizer size
+}
+
+
+def test_every_certified_query_builds_and_avoids_cartesian(spark, sf_dir):
+    """Whole-surface gate: all certified queries must analyze successfully
+    and, unless whitelisted, contain no nested-loop/Cartesian join."""
+    offenders = {}
+    for name, qd in QUERIES.items():
+        df = qd.spark(spark, sf_dir)
+        s = summarize(df)
+        if name not in CARTESIAN_OK and s.nested_loop_joins:
+            offenders[name] = s.nested_loop_joins
+    assert not offenders, f"unexpected nested-loop joins: {offenders}"
