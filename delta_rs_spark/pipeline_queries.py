@@ -287,3 +287,31 @@ def q_salted_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_count_distinct(
         l, ["l_returnflag"], "l_suppkey", alias="n_supp"
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Sampling / dataset splitting
+# ---------------------------------------------------------------------------
+
+@query(
+    "split_train_val_test",
+    """
+    SELECT doc_id,
+           CASE
+             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
+             WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split by md5(id) hash-range — identical row
+    assignment in both engines, any partitioning, any corpus size."""
+    from .operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_val_test_split(docs).select("doc_id", "split").orderBy("doc_id")

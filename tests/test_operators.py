@@ -312,3 +312,31 @@ def test_salt_join_key_preserves_join_result(spark):
     salted = sf.join(sd, ["k", "_salt"]).select("id", "k", "tag")
     plain = facts.join(dim, "k").select("id", "k", "tag")
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_split_deterministic_and_partition_invariant(spark, docs):
+    from delta_rs_spark.operators import sampling
+
+    s1 = {(r.doc_id, r.split) for r in sampling.train_val_test_split(docs).select("doc_id", "split").collect()}
+    s2 = {
+        (r.doc_id, r.split)
+        for r in sampling.train_val_test_split(docs.repartition(7)).select("doc_id", "split").collect()
+    }
+    assert s1 == s2
+    by_split = {}
+    for _, sp in s1:
+        by_split[sp] = by_split.get(sp, 0) + 1
+    n = len(s1)
+    assert 0.7 < by_split["train"] / n < 0.9
+    assert set(by_split) == {"train", "val", "test"}
+
+
+def test_deterministic_sample_is_stable_and_nested(spark, docs):
+    from delta_rs_spark.operators import sampling
+
+    ten = {r.doc_id for r in sampling.deterministic_sample(docs, 0.1).select("doc_id").collect()}
+    thirty = {r.doc_id for r in sampling.deterministic_sample(docs, 0.3).select("doc_id").collect()}
+    again = {r.doc_id for r in sampling.deterministic_sample(docs, 0.1).select("doc_id").collect()}
+    assert ten == again
+    assert ten <= thirty  # smaller fraction is a subset of the larger
+    assert 0.03 < len(ten) / docs.count() < 0.2
