@@ -161,3 +161,46 @@ def test_many_partition_read_uses_basepath(spark, tmp_path):
     # partition pruning still happens before the plan: one partition -> union path
     one = t.to_df(spark, partition_filters=[("bucket", "=", "7")])
     assert one.count() == 2
+
+
+def test_log_json_conforms_to_delta_vocabulary(spark, tmp_path, lineitem):
+    """Interop guard: our commit files must use the exact Delta action JSON
+    vocabulary (camelCase keys, stats as a JSON *string*, partitionValues as
+    map<string,string>) so reference implementations can read our tables."""
+    import json
+
+    uri = str(tmp_path / "conform")
+    write_deltalake(spark, lineitem.limit(100), uri, partition_by=["l_returnflag"])
+
+    actions = []
+    with open(os.path.join(uri, "_delta_log", "00000000000000000000.json")) as f:
+        for line in f:
+            actions.append(json.loads(line))
+
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds.count("commitInfo") == 1
+    assert kinds.count("protocol") == 1
+    assert kinds.count("metaData") == 1
+    assert kinds.count("add") >= 1
+
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert set(proto) == {"minReaderVersion", "minWriterVersion"}
+
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert {"id", "format", "schemaString", "partitionColumns", "configuration"} <= set(meta)
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    schema = json.loads(meta["schemaString"])
+    assert schema["type"] == "struct"
+    assert all(set(f) == {"name", "type", "nullable", "metadata"} for f in schema["fields"])
+
+    for a in actions:
+        if "add" not in a:
+            continue
+        add = a["add"]
+        assert {"path", "size", "partitionValues", "modificationTime", "dataChange"} <= set(add)
+        assert isinstance(add["partitionValues"], dict)
+        assert all(v is None or isinstance(v, str) for v in add["partitionValues"].values())
+        assert isinstance(add["stats"], str)  # JSON string, not an object
+        st = json.loads(add["stats"])
+        assert {"numRecords", "minValues", "maxValues", "nullCount"} <= set(st)
+        assert not add["path"].startswith("/")  # relative to the table root
