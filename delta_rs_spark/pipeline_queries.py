@@ -315,3 +315,71 @@ def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return train_val_test_split(docs).select("doc_id", "split").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (the operators composed, as a pipeline would)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pipeline_corpus_curation",
+    """
+    WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+    docs AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+    feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(string_split_regex(text, '\\s+')) AS n_words,
+             length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_spaces,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+             len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS n_distinct
+      FROM docs
+    ),
+    good AS (
+      SELECT doc_id FROM feats
+      WHERE (CASE WHEN n_words >= 20 THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(CAST(n_chars - n_spaces AS DECIMAL(18,6)) / n_words AS DOUBLE)
+                  BETWEEN 3 AND 12 THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(CAST(n_distinct AS DECIMAL(18,6)) / n_words AS DOUBLE) >= 0.3
+                  THEN 1 ELSE 0 END)
+          + (CASE WHEN CAST(CAST(n_punct AS DECIMAL(18,6)) / n_chars AS DOUBLE) <= 0.1
+                  THEN 1 ELSE 0 END) >= 3
+    ),
+    final AS (
+      SELECT d.doc_id,
+             len(string_split_regex(d.text, '\\s+')) AS toks,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM docs d JOIN good USING (doc_id)
+    )
+    SELECT split, COUNT(*) AS n_docs, SUM(toks) AS total_tokens
+    FROM final GROUP BY split ORDER BY split
+    """,
+)
+def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end to end: exact dedup → quality filter
+    (score ≥ 3) → deterministic train/val/test split → per-split document
+    and token counts. Every stage is the certified operator; the oracle
+    recomputes the whole pipeline in SQL."""
+    from .operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup.exact_dedup(docs, ["text"]).select("doc_id")
+    deduped = docs.join(kept, "doc_id")
+    good = (
+        text.quality_score(deduped)
+        .filter(F.col("quality_score") >= 3)
+        .select("doc_id")
+    )
+    final = train_val_test_split(deduped.join(good, "doc_id"))
+    return (
+        final.withColumn("toks", F.size(F.split(F.col("text"), r"\s+")))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("total_tokens"))
+        .orderBy("split")
+    )
