@@ -101,23 +101,6 @@ def _verify_candidate_pairs(
     )
 
 
-def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (array column `_shingles`)."""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
-    # zip word[i..], word[i+1..], word[i+2..] → n-grams, JVM-side only
-    shingle_expr = F.expr(
-        f"""
-        array_distinct(
-          transform(
-            sequence(0, greatest(size(split(lower({text_col}), '\\\\s+')) - {n}, -1)),
-            i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i + 1, {n}))
-          )
-        )
-        """
-    )
-    return df.withColumn("_shingles", shingle_expr)
-
-
 # ---------------------------------------------------------------------------
 # 1. Exact dedup
 # ---------------------------------------------------------------------------
