@@ -65,8 +65,37 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(docs, threshold=0.8).orderBy("doc_a", "doc_b")
 
 
-@query("dedup_simhash", None)
+_SIMHASH_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS w
+  FROM documents
+),
+wh AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS h FROM words),
+votes AS (
+  SELECT doc_id, t.b AS b, SUM(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM wh CROSS JOIN range(64) t(b)
+  GROUP BY doc_id, t.b
+),
+fp AS (
+  SELECT doc_id,
+         BIT_OR(CASE WHEN v > 0 THEN (CAST(1 AS UBIGINT) << b) ELSE CAST(0 AS UBIGINT) END) AS ufp
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ufp, b.ufp)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ufp, b.ufp)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_simhash", _SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs are EXACT for hamming <= k (pigeonhole banding
+    with k+1 bands misses nothing), so the md5-derived fingerprints are
+    oracle-checkable bit-for-bit: the SQL recomputes the same word hashes,
+    bit votes, and popcounts."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(docs, max_hamming=3).orderBy("doc_a", "doc_b")
 
