@@ -55,8 +55,11 @@ def cosine_topk(
 
     c = _with_norm(corpus, id_col, vec_col, "c")
     q = _with_norm(queries, id_col, vec_col, "q")
+    # broadcast the QUERY side: it is bounded by construction (a probe set),
+    # while the corpus can be 100 TB — each executor scans its corpus
+    # partitions once against the in-memory query block
     scored = (
-        q.crossJoin(F.broadcast(c) if _is_small(c) else c)
+        c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
         .withColumn(
             "cosine",
@@ -75,12 +78,6 @@ def cosine_topk(
         )
         .orderBy("query_id", "rank")
     )
-
-
-def _is_small(df: DataFrame) -> bool:
-    # broadcast the corpus when it's plausibly < a few hundred MB; Spark's
-    # AQE will also demote if the runtime size disagrees
-    return True
 
 
 def _hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
