@@ -127,26 +127,33 @@ def _dot(va, vb):
     return F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
 
 
-def _centroids_df(spark, cents: list[list[float]]) -> DataFrame:
-    return spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
-        "list_id INT, cent ARRAY<DOUBLE>",
+def _assign_lists(
+    vectors: DataFrame, cents: list[list[float]], prefix: str, n_probe: int
+) -> DataFrame:
+    """Attach the top-``n_probe`` centroid list ids per vector.
+
+    The centroids are driver-held literals, so assignment is a pure codegen
+    map: an array of ``n_list`` dot products per row, sorted as
+    (-dot, list_id) structs, sliced, exploded. Zero joins, zero shuffles —
+    the old formulation (cross join + row_number window) shuffled
+    n·n_list rows just to pick each vector's nearest lists. Ties break to
+    the smallest list_id, matching the previous ordering.
+    """
+    dots = F.array(
+        *[_dot(F.col(f"{prefix}_v"), F.array(*[F.lit(float(x)) for x in c])) for c in cents]
     )
-
-
-def _assign_lists(vectors: DataFrame, cent_df: DataFrame, prefix: str, n_probe: int) -> DataFrame:
-    """Rank centroid lists per vector by dot product; keep the top n_probe."""
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(f"{prefix}_id").orderBy(
-        F.col("_cdot").desc(), F.col("list_id")
-    )
+    pick = f"""
+        transform(
+          slice(
+            array_sort(transform(sequence(0, {len(cents) - 1}),
+              i -> struct(-element_at(_dots, i + 1) AS nd, i AS list_id))),
+            1, {min(n_probe, len(cents))}),
+          s -> s.list_id)
+    """
     return (
-        vectors.crossJoin(F.broadcast(cent_df))
-        .withColumn("_cdot", _dot(F.col(f"{prefix}_v"), F.col("cent")))
-        .withColumn("_crank", F.row_number().over(w))
-        .filter(F.col("_crank") <= n_probe)
-        .drop("cent", "_cdot", "_crank")
+        vectors.withColumn("_dots", dots)
+        .withColumn("list_id", F.explode(F.expr(pick)))
+        .drop("_dots")
     )
 
 
@@ -161,12 +168,11 @@ def train_ivf_centroids(
 
     Centroids (n_list × dim doubles — a few KB) live on the driver, like
     MLlib's k-means; every Lloyd iteration is one distributed pass over the
-    corpus (broadcast-join assignment + per-dimension mean via posexplode,
-    which scales to any dim without a dim-wide agg). Seeds are the n_list
-    corpus vectors with the smallest xxhash64(id) — deterministic across
-    runs and cluster sizes.
+    corpus (codegen literal-centroid assignment + per-dimension mean via
+    posexplode, which scales to any dim without a dim-wide agg). Seeds are
+    the n_list corpus vectors with the smallest xxhash64(id) — deterministic
+    across runs and cluster sizes.
     """
-    spark = corpus.sparkSession
     c = _unit(_with_norm(corpus, id_col, vec_col, "c"), "c")
     seeds = (
         c.orderBy(F.xxhash64(F.col("c_id")), F.col("c_id"))
@@ -176,7 +182,7 @@ def train_ivf_centroids(
     )
     cents = [list(r.c_v) for r in seeds]
     for _ in range(iters):
-        assigned = _assign_lists(c, _centroids_df(spark, cents), "c", 1)
+        assigned = _assign_lists(c, cents, "c", 1)
         means = (
             assigned.select("list_id", F.posexplode("c_v").alias("pos", "val"))
             .groupBy("list_id", "pos")
@@ -214,12 +220,10 @@ def ivf_topk(
     """
     from pyspark.sql import Window as W
 
-    spark = corpus.sparkSession
     cents = train_ivf_centroids(corpus, n_list, iters, id_col, vec_col)
-    cent_df = _centroids_df(spark, cents)
 
-    c = _assign_lists(_unit(_with_norm(corpus, id_col, vec_col, "c"), "c"), cent_df, "c", 1)
-    q = _assign_lists(_unit(_with_norm(queries, id_col, vec_col, "q"), "q"), cent_df, "q", n_probe)
+    c = _assign_lists(_unit(_with_norm(corpus, id_col, vec_col, "c"), "c"), cents, "c", 1)
+    q = _assign_lists(_unit(_with_norm(queries, id_col, vec_col, "q"), "q"), cents, "q", n_probe)
 
     scored = (
         q.join(c, "list_id")

@@ -82,8 +82,6 @@ CARTESIAN_OK = {
     "dedup_embedding_cosine", # exact O(n^2) baseline by design
     "q15_top_supplier",       # 1-row max broadcast
     "q22_idle_customers",     # 1-row avg broadcast
-    "similarity_ivf_topk",    # centroid assignment: rows x n_list broadcast,
-                              # build side bounded by the quantizer size
 }
 
 
