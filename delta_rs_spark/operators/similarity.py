@@ -264,8 +264,11 @@ def lsh_topk(
 
     c = lsh_bucket(_with_norm(corpus, id_col, vec_col, "c"), n_planes, dim, "c_v")
     q = lsh_bucket(_with_norm(queries, id_col, vec_col, "q"), n_planes, dim, "q_v")
+    # broadcast the bounded query side: the bucket key has only 2^n_planes
+    # distinct values, so a shuffle join would funnel the corpus through few
+    # hot reducers; a broadcast join never moves the corpus at all
     scored = (
-        q.join(c, "bucket")
+        c.join(F.broadcast(q), "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
         .withColumn(
             "cosine",
