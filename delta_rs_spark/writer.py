@@ -198,12 +198,19 @@ def _check_schema(table: DeltaTable, df: DataFrame) -> None:
 def _promote_staged_files(
     spark: SparkSession, log: DeltaLog, staging_dir: str, partition_by: Sequence[str]
 ) -> list[AddAction]:
-    """Stats from footers (distributed), then move files to final names."""
+    """Stats from footers (distributed), then move files to final names.
+
+    The moves run on a driver thread pool: local renames are ~free, but on
+    object-store backends each promotion is a network round trip, and a
+    100k-file commit serialized on the driver would dominate commit latency.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     staged = _list_parquet_files(staging_dir)
     stats_by_path = _collect_footer_stats(spark, staged)
 
-    adds: list[AddAction] = []
-    for i, src in enumerate(sorted(staged)):
+    def promote(item: tuple[int, str]) -> AddAction:
+        i, src = item
         rel = os.path.relpath(src, staging_dir)
         part_dir = os.path.dirname(rel)
         partition_values = _parse_partition_path(part_dir)
@@ -213,16 +220,21 @@ def _promote_staged_files(
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
         st = os.stat(dst)
-        adds.append(
-            AddAction(
-                path=final_rel.replace(os.sep, "/"),
-                size=st.st_size,
-                partition_values=partition_values,
-                modification_time=int(st.st_mtime * 1000),
-                data_change=True,
-                stats=stats_by_path.get(src),
-            )
+        return AddAction(
+            path=final_rel.replace(os.sep, "/"),
+            size=st.st_size,
+            partition_values=partition_values,
+            modification_time=int(st.st_mtime * 1000),
+            data_change=True,
+            stats=stats_by_path.get(src),
         )
+
+    items = list(enumerate(sorted(staged)))
+    if len(items) <= 4:
+        adds = [promote(it) for it in items]
+    else:
+        with ThreadPoolExecutor(max_workers=min(32, len(items))) as ex:
+            adds = list(ex.map(promote, items))
     _remove_dir_tree(staging_dir)
     return adds
 
