@@ -108,12 +108,18 @@ def _verify_candidate_pairs(
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id row per exact key; returns the surviving ids + key hash.
 
-    One hash-shuffle with map-side partial aggregation; no sort, no window.
+    Groups by the md5 of the key columns, NOT the raw columns: the shuffle
+    then carries a 32-char key instead of whole documents — for a text-dedup
+    over a 100 TB corpus that is the difference between shuffling hashes and
+    shuffling the corpus. One hash-shuffle with map-side partial aggregation;
+    no sort, no window. (md5 collisions would merge distinct documents; at
+    2^-128 per pair this is the standard trade for content-addressed dedup.)
     """
     return (
-        df.groupBy(*key_cols)
+        df.select(id_col, F.md5(F.concat_ws("\x1f", *key_cols)).alias("key_hash"))
+        .groupBy("key_hash")
         .agg(F.min(id_col).alias(id_col))
-        .select(id_col, F.md5(F.concat_ws("\x1f", *key_cols)).alias("key_hash"))
+        .select(id_col, "key_hash")
     )
 
 
