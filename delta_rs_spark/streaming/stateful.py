@@ -1,0 +1,42 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference has no continuous-query engine; its streaming story is log
+tailing + txn watermarks (SURVEY §1.4). On the Spark side that composes with
+arbitrary keyed state: this module shows the canonical shape — per-key
+running aggregates whose state survives across micro-batches — as an
+Arrow-batched `applyInPandasWithState` operator over any stream (including
+the `delta_stream` log-tail source).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_totals(
+    stream: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Per-key cumulative (count, sum) maintained in keyed state.
+
+    Emits one updated row per key per micro-batch; the state store carries
+    the totals between batches, so a key's output is cumulative over the
+    whole stream, not per-batch. Partitioned by the grouping key — state
+    shards across executors like any keyed stream.
+    """
+    import pandas as pd
+
+    out_schema = f"{key_col} LONG, n_events LONG, total_value DOUBLE"
+    state_schema = "n LONG, total DOUBLE"
+
+    def update(key, pdfs, state: GroupState):
+        (n, total) = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total_value": [total]})
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

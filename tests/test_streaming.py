@@ -165,3 +165,56 @@ def test_stream_windowed_agg_with_watermark(spark, tmp_path):
     # window [0,5) key 0 holds ids 0,2,4; key 1 holds 1,3
     assert got[(min(m for m, _ in got), 0)][0] == 0.0 + 2.0 + 4.0
     assert sum(n for _, n in got.values()) == 12
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState keyed state must survive micro-batch
+    boundaries: totals after the second commit include the first."""
+    from delta_rs_spark.streaming.stateful import running_totals
+
+    uri = str(tmp_path / "state_tbl")
+
+    def commit(lo, hi):
+        df = spark.range(lo, hi).select(
+            (F.col("id") % 2).alias("user_id"),
+            F.col("id").cast("double").alias("value"),
+        )
+        write_deltalake(spark, df, uri, mode="append")
+
+    commit(0, 6)  # user 0: ids 0,2,4 ; user 1: ids 1,3,5
+    spark.dataSource.register(DeltaStreamDataSource)
+    stream = (
+        spark.readStream.format("delta_stream")
+        .option("path", uri)
+        .option("startingVersion", "0")
+        .load()
+        .select("user_id", "value")
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_totals_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql("select * from running_totals_sink").collect()
+        }
+        assert first[0] == (3, 0.0 + 2.0 + 4.0)
+        assert first[1] == (3, 1.0 + 3.0 + 5.0)
+
+        commit(6, 10)  # user 0: 6,8 ; user 1: 7,9
+        q.processAllAvailable()
+        rows = spark.sql("select * from running_totals_sink").collect()
+        latest = {}
+        for r in rows:  # update mode appends; the max n_events per key is latest
+            if r.user_id not in latest or r.n_events > latest[r.user_id][0]:
+                latest[r.user_id] = (r.n_events, r.total_value)
+        assert latest[0] == (5, 0.0 + 2.0 + 4.0 + 6.0 + 8.0)
+        assert latest[1] == (5, 1.0 + 3.0 + 5.0 + 7.0 + 9.0)
+    finally:
+        q.stop()
