@@ -15,7 +15,7 @@ from dataclasses import dataclass
 from typing import Optional
 
 from .actions import Action, actions_to_log_entry, parse_log_entry
-from .storage import FileAlreadyExistsError, StorageBackend, parse_table_uri
+from .storage import FileAlreadyExistsError, parse_table_uri
 
 DELTA_LOG_DIR = "_delta_log"
 LAST_CHECKPOINT = "_last_checkpoint"

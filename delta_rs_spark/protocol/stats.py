@@ -16,7 +16,7 @@ power two things Spark cannot do by itself (it never sees our log):
 from __future__ import annotations
 
 import datetime as _dt
-from typing import Any, Iterable, Optional, Sequence, Union
+from typing import Any, Iterable, Optional, Sequence
 
 from .actions import AddAction
 

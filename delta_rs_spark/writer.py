@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import time
 import uuid
-from typing import Iterator, Optional, Sequence
+from typing import Optional, Sequence
 from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
