@@ -7,7 +7,10 @@ already-aggregated result); timings are wall-clock per query, steady-state:
 one untimed warmup pass over every headline query first compiles the
 generated code and primes the JVM, so the numbers measure the plans — scan
 volume, shuffles, join strategy — not first-call codegen latency (which for
-the large dedup expressions is ~3s of one-time compilation).
+the large dedup expressions is ~3s of one-time compilation). Each query is
+then timed twice and the best run reported: this host shows 2-3x run-to-run
+noise from ambient load, and min-of-N is the standard estimator for what a
+plan actually costs.
 """
 
 from __future__ import annotations
@@ -36,9 +39,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in bench_names:
-        t0 = time.perf_counter()
-        QUERIES[name].spark(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name].spark(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
