@@ -11,6 +11,7 @@ Plus `operators/`: the large-scale training-data pipeline toolkit
 (dedup, similarity search, text analysis, multimodal plumbing).
 """
 
+from .json_writer import BufferedJsonWriter
 from .protocol.log import DeltaLog
 from .protocol.snapshot import DeltaTableError, NotATableError, Snapshot
 from .session import get_spark
