@@ -1097,6 +1097,317 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- remaining TPC-H shapes (adapted: this schema has no partsupp table, so
+# ---- q2/q9/q11/q17 use lineitem as the part-supplier supply relation) -------------
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice / l_quantity AS DECIMAL(25,6))) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           CAST(unit_cost AS DOUBLE) AS unit_cost
+    FROM part JOIN supply ON p_partkey = l_partkey
+              JOIN eu ON s_suppkey = l_suppkey
+    WHERE p_size = 15 AND p_type = 'LARGE'
+      AND unit_cost = (SELECT MIN(s2.unit_cost)
+                       FROM supply s2 JOIN eu e2 ON s2.l_suppkey = e2.s_suppkey
+                       WHERE s2.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted — unit cost observed in lineitem stands in for
+    ps_supplycost): correlated MIN subquery → aggregate the supply relation
+    once, take the per-part min, and equi-join back on (partkey, cost). The
+    unit cost is quantized to DECIMAL(25,6) so the min-equality join key is
+    engine-invariant (scale-6 midpoints are never exactly representable as
+    doubles, so rounding mode can't diverge). Supplier/nation/region dims are
+    broadcast; the only shuffle is the supply aggregation on (part, supp)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supply = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                (F.col("l_extendedprice") / F.col("l_quantity")).cast("decimal(25,6)")
+            ).alias("unit_cost")
+        )
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    best = supply.groupBy(F.col("l_partkey").alias("_bpk")).agg(
+        F.min("unit_cost").alias("_best_cost")
+    )
+    return (
+        supply.join(
+            best,
+            (F.col("l_partkey") == F.col("_bpk"))
+            & (F.col("unit_cost") == F.col("_best_cost")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("unit_cost").cast("double").alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           CAST(100.0 * CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                                      ELSE CAST(0 AS DECIMAL(25,6)) END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume,
+             n2.n_name AS nation
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           JOIN region ON n1.n_regionkey = r_regionkey
+           JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'LARGE'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 00:00:00'
+    ) GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 7-way star join (every dim broadcast, nation in two
+    roles) + conditional-aggregate market-share ratio per year. Both sums are
+    exact decimals; the division happens once per group in double."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("nk1")
+    )
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("nation"))
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("nk2"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("nation") == "NATION_3", volume).otherwise(
+                        F.lit(0).cast("decimal(25,6)")
+                    )
+                ).cast("double")
+                / F.sum(volume).cast("double")
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q9_product_profit",
+    f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+           {SUM_DEC('l_extendedprice * (1 - l_discount)', 'profit')}
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+         JOIN part ON p_partkey = l_partkey
+         JOIN orders ON o_orderkey = l_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+    """,
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted — no ps_supplycost, so profit = discounted
+    revenue): LIKE-filtered dim + fact-fact join, grouped by supplier nation
+    and order year. part/supplier/nation broadcast; lineitem⋈orders is the
+    one shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            _sum_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), "profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_parts",
+    """
+    WITH val AS (
+      SELECT l_partkey AS partkey,
+             SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,4))) AS value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT partkey, CAST(value AS DOUBLE) AS value
+    FROM val
+    WHERE value > (SELECT CAST(SUM(value) AS DOUBLE) * 0.0002 FROM val)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted — lineitem value stands in for
+    ps_supplycost*ps_availqty): per-part value aggregate reused for both the
+    output and the global-fraction threshold (1-row broadcast, no collect).
+    The exact decimal sum makes the > comparison engine-invariant."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    supp7 = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    val = (
+        l.join(F.broadcast(supp7), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(25,4)")
+            ).alias("value")
+        )
+    )
+    thr = val.agg((F.sum("value").cast("double") * F.lit(0.0002)).alias("_thr"))
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("value") > F.col("_thr"))
+        .select("partkey", F.col("value").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with an extra ON-clause predicate
+    (filter the right side before the join — equivalent because the predicate
+    references only orders), two-level aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q17_small_qty_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) / 7.0
+           AS DOUBLE) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE)
+                      / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part AVG subquery → restrict lineitem
+    to the ~p/150 filtered parts first (broadcast semi-ish join), aggregate
+    the per-part threshold once, broadcast it back. The avg is an exact
+    decimal sum divided in double, so the < comparison is engine-invariant."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+    )
+    lp = l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+    thr = lp.groupBy(F.col("l_partkey").alias("_tpk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(25,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("_thr")
+    )
+    return (
+        lp.join(F.broadcast(thr), lp.l_partkey == F.col("_tpk"))
+        .filter(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(25,2)")).cast("double")
+                / F.lit(7.0)
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
 # ---- registry accessors -----------------------------------------------------------
 
 def queries() -> dict[str, SparkQuery]:

@@ -80,6 +80,7 @@ def test_asof_join_single_shuffle_per_side(q):
 CARTESIAN_OK = {
     "similarity_topk",        # exact brute-force baseline by design
     "dedup_embedding_cosine", # exact O(n^2) baseline by design
+    "q11_important_parts",    # 1-row sum-threshold broadcast
     "q15_top_supplier",       # 1-row max broadcast
     "q22_idle_customers",     # 1-row avg broadcast
 }
