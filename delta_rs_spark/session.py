@@ -27,6 +27,12 @@ def get_spark(app_name: str = "delta_rs_spark", extra_conf: dict | None = None) 
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size-based coalescing, not parallelism-first: post-shuffle partitions
+        # target advisoryPartitionSizeInBytes (the cluster-recommended setting);
+        # with the default "true" AQE never coalesces below the core count, so
+        # a 2 KB candidate shuffle still launches 32 tasks
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
