@@ -1,0 +1,88 @@
+"""Near-duplicate cluster assignment: connected components over a pair table.
+
+Pair-producing dedup (``ngram_jaccard_pairs``, ``minhash_lsh_dedup``, …)
+yields edges; an actual corpus-curation pipeline needs *clusters* — one keeper
+per group of mutually-similar documents, where similarity is transitive
+(A~B, B~C ⟹ {A,B,C} is one group even if A~C was never emitted).
+
+Spark-first design: iterative **min-label propagation** expressed as
+DataFrame joins. Every node starts labeled with its own id; each round a node
+takes the min of its own label and its neighbors' labels; at a fixed point
+every component carries its minimum member id as the cluster id. Rounds
+needed = graph diameter, and near-dup graphs are shallow (dup clusters are
+dense, diameters of 2-4), so the loop runs 3-5 rounds in practice with a cap.
+
+Scale notes (100 TB corpus, ~10^9 edges):
+- labels and the undirected edge list are hash-partitioned on the join key,
+  so each round is one shuffle join + one min-aggregation — the same plan
+  GraphX/Pregel would run, without leaving the DataFrame API;
+- labels only ever decrease, so convergence is detected with a 1-row
+  ``sum(label)`` aggregate per round (monotone: unchanged sum ⟺ fixed
+  point) — no expensive old-vs-new anti-join;
+- each round's labels are persisted and the previous round unpersisted, and
+  lineage is truncated with ``localCheckpoint`` so the plan doesn't grow
+  unboundedly with iterations (the classic iterative-algorithms pitfall);
+- for adversarial long-chain graphs the published fix is the
+  alternating large-star/small-star algorithm (Kiveris et al., "Connected
+  Components in MapReduce and Beyond"), which this module's loop structure
+  accommodates; min-propagation is the right default for dup graphs.
+
+The reference (delta-rs v0) has no clustering operator — this is part of the
+beyond-the-reference training-data-pipeline surface, with an exact recursive
+SQL oracle at test scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id) for every node in ``edges``; cluster_id = min member id.
+
+    ``edges`` is an undirected pair table (each pair listed once, either
+    orientation). Nodes not present in any edge are absent from the output —
+    singletons keep themselves, so callers only need cluster ids for nodes
+    that actually have duplicates.
+    """
+    e = edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+    und = e.union(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    for _ in range(max_iter):
+        neighbor_labels = und.join(
+            labels, und.v == labels.node
+        ).select(F.col("u").alias("node"), "label")
+        new_labels = (
+            labels.select("node", "label")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:  # labels are non-increasing: equal sum ⟺ fixed point
+            break
+        prev_sum = new_sum
+
+    und.unpersist()
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -1,0 +1,107 @@
+"""Corpus-level text statistics: benchmark-contamination rates and global
+n-gram frequencies.
+
+Both operators are pure ``pyspark.sql.functions`` compositions over an
+exploded n-gram relation — JVM-side, map-side-combinable, exact-SQL-oracle
+expressible. They are part of the beyond-the-reference training-data-pipeline
+surface (the reference, delta-rs v0, ships no text operators).
+
+Scale notes:
+- Contamination joins the corpus's distinct per-doc shingles against the
+  benchmark's distinct shingle set on the *shingle string*. At test scale the
+  string key keeps the operator bit-identical to the SQL oracle; at 100 TB
+  you would key the join on ``xxhash64(shingle)`` so the shuffle carries 8-byte
+  keys (the same trade documented on ``exact_dedup``), and/or pre-filter with
+  a broadcast Bloom filter of the benchmark set before the exact join.
+- ``top_ngrams`` is a classic two-phase aggregation: partial counts map-side,
+  one hash shuffle on the n-gram, top-k via ``ORDER BY + LIMIT`` which Spark
+  executes as per-partition TakeOrdered + single-driver merge — no global
+  sort of the full frequency table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingled(df: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) — every word n-gram occurrence (duplicates preserved)."""
+    return (
+        df.filter(F.size(F.split(F.lower(F.col(text_col)), r"\s+")) >= n)
+        .select(id_col, F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(_w) - {n}),"
+                    f" i -> concat_ws(' ', slice(_w, i + 1, {n})))"
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+def contamination_rates(
+    df: DataFrame,
+    benchmark_filter,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document overlap with a benchmark subset's n-gram vocabulary.
+
+    The decontamination primitive of LLM training pipelines: a training
+    document whose n-grams heavily overlap an eval benchmark must be dropped.
+    ``benchmark_filter`` is a boolean Column selecting the benchmark rows of
+    ``df``; every non-benchmark document is scored.
+
+    Returns (id, n_shingles, n_contaminated, contamination_rate) where the
+    rate is |distinct shingles ∩ benchmark vocabulary| / |distinct shingles|,
+    decimal-quantized so the division is engine-invariant.
+    """
+    bench_vocab = (
+        _shingled(df.filter(benchmark_filter), n, id_col, text_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    doc_shingles = _shingled(
+        df.filter(~benchmark_filter), n, id_col, text_col
+    ).distinct()
+    return (
+        doc_shingles.join(bench_vocab, "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.round(
+                (
+                    F.col("n_contaminated").cast("decimal(18,6)")
+                    / F.col("n_shingles")
+                ).cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The k most frequent word n-grams corpus-wide (occurrence counts,
+    ties broken by the n-gram string for a deterministic result)."""
+    return (
+        _shingled(df, n, id_col, text_col)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+        .orderBy(F.col("occurrences").desc(), "shingle")
+        .limit(k)
+    )

@@ -129,6 +129,65 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def repetition_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document token-repetition features — the quality signal that flags
+    boilerplate / degenerate generations (a top-word dominating the text).
+
+    Explode-and-aggregate rather than per-row array fold: the per-(doc, word)
+    count is a map-side-combinable two-level aggregation, so cost stays
+    O(tokens) with 8-byte-ish shuffle rows even for book-length documents,
+    where an ``aggregate()`` over the words array would be O(len × distinct)
+    inside a single task. Ratios are decimal-quantized (engine-invariant).
+    """
+    words = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("_w")
+    )
+    per_word = words.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_cnt"))
+    return (
+        per_word.groupBy(id_col)
+        .agg(
+            F.sum("_cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("_cnt").alias("top_word_count"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            "top_word_count",
+            F.round(
+                (F.col("top_word_count").cast("decimal(18,6)") / F.col("n_words")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("repetition_ratio"),
+            F.round(
+                (
+                    F.col("n_distinct_words").cast("decimal(18,6)") / F.col("n_words")
+                ).cast("double"),
+                6,
+            ).alias("distinct_ratio"),
+        )
+    )
+
+
+REPETITION_ORACLE_SQL_TEMPLATE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w FROM {table}
+),
+per_word AS (
+  SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_words,
+       COUNT(*) AS n_distinct_words,
+       MAX(cnt) AS top_word_count,
+       round(CAST(CAST(MAX(cnt) AS DECIMAL(18,6)) / SUM(cnt) AS DOUBLE), 6) AS repetition_ratio,
+       round(CAST(CAST(COUNT(*) AS DECIMAL(18,6)) / SUM(cnt) AS DOUBLE), 6) AS distinct_ratio
+FROM per_word GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of whitespace-normalized text,
     plus a 64-bit rolling-style prefix (hex→bigint) usable as a shard key."""

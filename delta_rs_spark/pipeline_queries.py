@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, multimodal, similarity, text, timeseries
+from .operators import clustering, corpus, dedup, multimodal, similarity, text, timeseries
 from .queries import query
 from .sources.tables import load_table
 
@@ -412,3 +412,120 @@ def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("toks").alias("total_tokens"))
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering, contamination, corpus stats, repetition
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_SH_CTE = r"""
+words AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)])) AS shingle
+  FROM words
+)
+"""
+
+_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE "
+    + _TRIGRAM_SH_CTE
+    + r""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t(u)
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node
+)
+SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node ORDER BY doc_id
+"""
+)
+
+
+@query("dedup_clusters", _CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate groups: exact Jaccard pairs (threshold 0.8) folded into
+    connected components by iterative min-label propagation — similarity made
+    transitive, one cluster id (= min member doc_id) per dup group. The
+    oracle recomputes reachability with a recursive CTE, so the component
+    assignment is verified exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+    return (
+        clustering.connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+_CONTAMINATION_ORACLE = (
+    "WITH "
+    + _TRIGRAM_SH_CTE
+    + r""",
+bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+docsh AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0')
+SELECT d.doc_id,
+       count(*) AS n_shingles,
+       count(b.shingle) AS n_contaminated,
+       round(CAST(CAST(count(b.shingle) AS DECIMAL(18,6)) / count(*) AS DOUBLE), 6)
+         AS contamination_rate
+FROM docsh d LEFT JOIN bench b ON d.shingle = b.shingle
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+)
+
+
+@query("text_contamination", _CONTAMINATION_ORACLE)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per-document fraction of distinct trigrams
+    that appear anywhere in the benchmark subset (source = 'src0')."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.contamination_rates(docs, F.col("source") == "src0").orderBy("doc_id")
+
+
+_TOP_NGRAMS_ORACLE = r"""
+WITH words AS (
+  SELECT string_split_regex(lower(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT unnest([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) AS shingle
+  FROM words
+)
+SELECT shingle, count(*) AS occurrences
+FROM sh GROUP BY shingle
+ORDER BY occurrences DESC, shingle LIMIT 20
+"""
+
+
+@query("corpus_top_ngrams", _TOP_NGRAMS_ORACLE)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide trigram frequency top-20 (occurrences, not per-doc
+    distinct), tie-broken by the n-gram string."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.top_ngrams(docs, n=3, k=20)
+
+
+@query("text_repetition", text.REPETITION_ORACLE_SQL_TEMPLATE.format(table="documents"))
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-repetition quality features per document (top-word dominance and
+    type-token ratio via explode + two-level aggregation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_score(docs).orderBy("doc_id")

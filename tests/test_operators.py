@@ -340,3 +340,79 @@ def test_deterministic_sample_is_stable_and_nested(spark, docs):
     assert ten == again
     assert ten <= thirty  # smaller fraction is a subset of the larger
     assert 0.03 < len(ten) / docs.count() < 0.2
+
+
+# ---------------------------------------------------------------------------
+# Connected components / corpus stats / repetition
+# ---------------------------------------------------------------------------
+
+def test_connected_components_chain_and_islands(spark):
+    from delta_rs_spark.operators import clustering
+
+    # chain 1-2-3-4 (diameter 3, forces multiple propagation rounds),
+    # pair {10,11}, triangle {20,21,22}; 99 is a singleton (absent from edges)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    out = {
+        r.node: r.cluster_id
+        for r in clustering.connected_components(edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_empty_edges(spark):
+    from delta_rs_spark.operators import clustering
+
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert clustering.connected_components(edges).count() == 0
+
+
+def test_contamination_rates_synthetic(spark):
+    from delta_rs_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "bench"),
+            (2, "the quick brown fox jumps", "train"),  # 3 trigrams, 2 in bench
+            (3, "entirely different words here", "train"),  # 0 overlap
+            (4, "xy", "train"),  # < 3 words: excluded
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination_rate)
+        for r in corpus.contamination_rates(df, F.col("source") == "bench").collect()
+    }
+    assert out == {2: (3, 2, 0.666667), 3: (2, 0, 0.0)}
+
+
+def test_top_ngrams_counts_occurrences(spark):
+    from delta_rs_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    rows = corpus.top_ngrams(df, n=3, k=2).collect()
+    # "a b c" occurs twice in doc 1 (positions 0 and 3 wrap? no — occurrences
+    # are [a b c, b c a, c a b, a b c] → 2) plus once in doc 2 → 3 total
+    assert (rows[0].shingle, rows[0].occurrences) == ("a b c", 3)
+    assert rows[0].occurrences > rows[1].occurrences
+
+
+def test_repetition_score_synthetic(spark):
+    out = text.repetition_score(
+        spark.createDataFrame(
+            [(1, "spam spam spam eggs"), (2, "all words differ here")],
+            "doc_id long, text string",
+        )
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].n_words == 4
+    assert by_id[1].n_distinct_words == 2
+    assert by_id[1].top_word_count == 3
+    assert by_id[1].repetition_ratio == 0.75
+    assert by_id[2].repetition_ratio == 0.25
+    assert by_id[2].distinct_ratio == 1.0
