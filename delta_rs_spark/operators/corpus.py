@@ -22,6 +22,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -86,6 +87,46 @@ def contamination_rates(
                 6,
             ),
         )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (smoothed: idf = ln((N+1)/(df+1))).
+
+    Ranking is by the 6-decimal-rounded score with the term string as
+    tiebreak: rounding collapses the ≤2-ulp libm differences between
+    engines, so the window order (and therefore the selected rows) is
+    engine-invariant, while ranks stay honest TF-IDF order.
+
+    DAG (all map-side-combinable aggregations + one windowed top-k):
+    explode words → tf per (doc, term) → df per term → join back on term →
+    per-doc window top-k. The document count N is a 1-row broadcast, not a
+    driver collect. At 100 TB the term-df join is the big shuffle; its key
+    space (the vocabulary) is Zipf-skewed, which AQE's skew-join splitting
+    handles — and the window is partitioned by document, which is naturally
+    high-cardinality."""
+    words = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_w = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        tf.join(df_w, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log((F.col("_n") + 1) / (F.col("df") + 1)), 6),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
 
 

@@ -529,3 +529,94 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-token ratio via explode + two-level aggregation)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.repetition_score(docs).orderBy("doc_id")
+
+
+_TFIDF_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term),
+dfw AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfw.df,
+         round(tf.tf * ln((n.n + 1) * 1.0 / (dfw.df + 1)), 6) AS tfidf
+  FROM tf JOIN dfw USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+@query("text_tfidf_topk", _TFIDF_ORACLE)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms: tf and df by map-side-combinable
+    aggregation, smoothed idf against a 1-row broadcast document count,
+    windowed top-k ordered by the 6-decimal-rounded score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.tfidf_top_terms(docs, k=3).orderBy("doc_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Data profiling
+# ---------------------------------------------------------------------------
+
+@query(
+    "profile_price_histogram",
+    """
+    WITH binned AS (
+      SELECT CAST(greatest(0, least(floor((l_extendedprice - 0.0) / 3000.0), 19)) AS INTEGER) AS bin
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    )
+    SELECT bin, 0.0 + bin * 3000.0 AS bin_lo, 0.0 + (bin + 1) * 3000.0 AS bin_hi,
+           count(*) AS n
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bin histogram of lineitem extended price — one
+    map-side-combinable aggregation, bin math bit-identical across engines."""
+    from .operators import profiling
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return profiling.numeric_histogram(l, "l_extendedprice", 0.0, 60000.0, 20).orderBy("bin")
+
+
+@query(
+    "profile_lineitem_columns",
+    """
+    WITH wide AS (
+      SELECT count(l_quantity) AS q_count,
+             sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_nulls,
+             count(DISTINCT l_quantity) AS q_ndv,
+             CAST(min(l_quantity) AS DOUBLE) AS q_min, CAST(max(l_quantity) AS DOUBLE) AS q_max,
+             count(l_discount) AS d_count,
+             sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS d_nulls,
+             count(DISTINCT l_discount) AS d_ndv,
+             CAST(min(l_discount) AS DOUBLE) AS d_min, CAST(max(l_discount) AS DOUBLE) AS d_max,
+             count(l_tax) AS t_count,
+             sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+             count(DISTINCT l_tax) AS t_ndv,
+             CAST(min(l_tax) AS DOUBLE) AS t_min, CAST(max(l_tax) AS DOUBLE) AS t_max
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS "column", q_count AS n_rows, CAST(q_nulls AS BIGINT) AS n_nulls,
+           q_ndv AS n_distinct, q_min AS min_value, q_max AS max_value FROM wide
+    UNION ALL
+    SELECT 'l_discount', d_count, CAST(d_nulls AS BIGINT), d_ndv, d_min, d_max FROM wide
+    UNION ALL
+    SELECT 'l_tax', t_count, CAST(t_nulls AS BIGINT), t_ndv, t_min, t_max FROM wide
+    ORDER BY "column"
+    """,
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan multi-column profile (count / nulls / exact NDV / min /
+    max) unpivoted to one row per column."""
+    from .operators import profiling
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return profiling.column_profile(l, ["l_quantity", "l_discount", "l_tax"]).orderBy("column")

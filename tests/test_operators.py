@@ -416,3 +416,42 @@ def test_repetition_score_synthetic(spark):
     assert by_id[1].repetition_ratio == 0.75
     assert by_id[2].repetition_ratio == 0.25
     assert by_id[2].distinct_ratio == 1.0
+
+
+def test_tfidf_top_terms_synthetic(spark):
+    from delta_rs_spark.operators import corpus
+
+    # "rare" appears twice in doc 1 only (tf=2, df=1); "common" is in all docs
+    df = spark.createDataFrame(
+        [(1, "rare rare common stuff"), (2, "common other"), (3, "common thing")],
+        "doc_id long, text string",
+    )
+    out = corpus.tfidf_top_terms(df, k=1).collect()
+    top = {r.doc_id: r for r in out}
+    assert top[1].term == "rare" and top[1].tf == 2 and top[1].df == 1
+    # idf of an everywhere-term is ln(4/4) = 0 → never tops a doc with a rarer term
+    assert all(r.term != "common" for r in out if r.doc_id == 1)
+
+
+def test_numeric_histogram_clamps_and_counts(spark):
+    from delta_rs_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.9,), (10.0,), (95.0,), (200.0,), (None,)],
+        "x double",
+    )
+    out = {r.bin: r.n for r in profiling.numeric_histogram(df, "x", 0.0, 100.0, 10).collect()}
+    # -5 clamps to bin 0; 0 and 9.9 are bin 0; 10.0 opens bin 1; 200 clamps to bin 9
+    assert out == {0: 3, 1: 1, 9: 2}
+
+
+def test_column_profile_single_scan(spark):
+    from delta_rs_spark.operators import profiling
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.0, 5.0), (2.0, 7.0)], "a double, b double"
+    )
+    out = {r.column: r for r in profiling.column_profile(df, ["a", "b"]).collect()}
+    assert (out["a"].n_rows, out["a"].n_nulls, out["a"].n_distinct) == (3, 0, 2)
+    assert (out["b"].n_rows, out["b"].n_nulls, out["b"].n_distinct) == (2, 1, 2)
+    assert out["b"].min_value == 5.0 and out["b"].max_value == 7.0

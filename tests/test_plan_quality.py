@@ -81,6 +81,7 @@ CARTESIAN_OK = {
     "similarity_topk",        # exact brute-force baseline by design
     "dedup_embedding_cosine", # exact O(n^2) baseline by design
     "q11_important_parts",    # 1-row sum-threshold broadcast
+    "text_tfidf_topk",        # 1-row document-count broadcast
     "q15_top_supplier",       # 1-row max broadcast
     "q22_idle_customers",     # 1-row avg broadcast
 }
