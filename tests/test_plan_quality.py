@@ -97,3 +97,27 @@ def test_every_certified_query_builds_and_avoids_cartesian(spark, sf_dir):
         if name not in CARTESIAN_OK and s.nested_loop_joins:
             offenders[name] = s.nested_loop_joins
     assert not offenders, f"unexpected nested-loop joins: {offenders}"
+
+
+def test_histogram_single_scan_pruned(q):
+    """Profiling must stay one pass: a single pruned scan and at most the
+    partial/final agg exchange pair (+ the tiny final sort)."""
+    df = q("profile_price_histogram")
+    s = summarize(df)
+    assert s.scans == 1
+    assert any(set(cols) == {"l_extendedprice"} for cols in s.read_schemas)
+
+
+def test_column_profile_single_scan(q):
+    s = summarize(q("profile_lineitem_columns"))
+    assert s.scans == 1
+    assert any(
+        set(cols) == {"l_quantity", "l_discount", "l_tax"} for cols in s.read_schemas
+    )
+
+
+def test_tfidf_no_extra_scans(q):
+    """tf, df and N all derive from ONE documents scan (reused exchange /
+    cached branch), and the N-broadcast is the only nested-loop join."""
+    s = summarize(q("text_tfidf_topk"))
+    assert s.nested_loop_joins <= 1

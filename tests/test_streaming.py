@@ -218,3 +218,34 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
         assert latest[1] == (5, 1.0 + 3.0 + 5.0 + 7.0 + 9.0)
     finally:
         q.stop()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicate keys arriving across commits (and
+    therefore across micro-batches) are emitted once. This is the streaming
+    counterpart of operators.dedup.exact_dedup — Spark keeps one state entry
+    per key inside the watermark instead of shuffling the corpus."""
+    uri = str(tmp_path / "dup_tbl")
+    # commit 0: ids 0..4; commit 1: ids 3..7 — overlap {3, 4}
+    _mk_table(spark, uri, 0, 5)
+    _mk_table(spark, uri, 3, 5)
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", uri)
+        .option("startingVersion", "0")
+        .load()
+        .withColumn("event_time", F.current_timestamp())
+        .withWatermark("event_time", "10 minutes")
+        .dropDuplicatesWithinWatermark(["id"])
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select id from dedup_sink").collect()
+    ids = sorted(r.id for r in rows)
+    assert ids == list(range(8)), ids  # each id exactly once
