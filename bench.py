@@ -8,7 +8,7 @@ one untimed warmup pass over every headline query first compiles the
 generated code and primes the JVM, so the numbers measure the plans — scan
 volume, shuffles, join strategy — not first-call codegen latency (which for
 the large dedup expressions is ~3s of one-time compilation). Each query is
-then timed twice and the best run reported: this host shows 2-3x run-to-run
+then timed three times and the best run reported: this host shows 2-3x run-to-run
 noise from ambient load, and min-of-N is the standard estimator for what a
 plan actually costs.
 """
@@ -40,7 +40,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in bench_names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name].spark(spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
