@@ -455,3 +455,48 @@ def test_column_profile_single_scan(spark):
     assert (out["a"].n_rows, out["a"].n_nulls, out["a"].n_distinct) == (3, 0, 2)
     assert (out["b"].n_rows, out["b"].n_nulls, out["b"].n_distinct) == (2, 1, 2)
     assert out["b"].min_value == 5.0 and out["b"].max_value == 7.0
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized cross-check: Spark min-label propagation must agree with a
+    driver-side union-find on arbitrary small graphs (including long chains,
+    which need several propagation rounds)."""
+    import random
+
+    rng = random.Random(7)
+    from delta_rs_spark.operators import clustering
+
+    for trial in range(4):
+        n_nodes = rng.randint(2, 30)
+        n_edges = rng.randint(1, 40)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        expected = {x: find(x) for x in touched}
+        # canonical label = min member of the component
+        comp_min: dict[int, int] = {}
+        for x, r in expected.items():
+            comp_min[r] = min(comp_min.get(r, x), x)
+        expected = {x: comp_min[find(x)] for x in touched}
+
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r.node: r.cluster_id
+            for r in clustering.connected_components(df).collect()
+        }
+        assert got == expected, f"trial {trial}: {got} != {expected}"
