@@ -110,6 +110,119 @@ def _rows_to_struct_columns(pa, rows: list[dict], pcols, ptypes) -> dict:
 
 # ---- auto-checkpoint hook -----------------------------------------------------
 
+def optimize(
+    table,
+    spark,
+    target_file_size: int = 256 * 1024 * 1024,
+    dry_run: bool = False,
+) -> dict:
+    """Bin-packing compaction: rewrite groups of small files into ~target-size
+    files, committing the swap with ``dataChange=false``.
+
+    The reference tracks this as an open feature (delta-rs README support
+    table, issue #98); the protocol hooks for it already exist and this
+    engine exercises them end to end: ``dataChange=false`` on both the
+    ``add`` and ``remove`` actions means log-tailing readers skip the commit
+    entirely (``rust/src/action.rs:165-170`` semantics — see
+    ``streaming/source.py``), and the removed files become ordinary
+    tombstones that ``vacuum`` reaps after retention.
+
+    Scale shape: grouping is per partition (compaction never merges across
+    partition values, preserving Hive layout); each group rewrite is one
+    Spark job reading only that group's small files and ``coalesce``-ing —
+    no shuffle, data streams through executors once. Group jobs run
+    concurrently from a driver thread pool (Spark's scheduler is
+    thread-safe), so a 10k-partition table compacts at cluster parallelism,
+    not driver-loop latency. One commit swaps everything atomically.
+
+    Returns operation metrics (Delta OPTIMIZE-style): files added/removed,
+    bytes added/removed, partitions optimized.
+    """
+    import math
+    import uuid as _uuid
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .protocol.actions import RemoveAction
+    from .protocol.schema import schema_string_to_spark
+    from .transactions import DeltaTransaction
+    from .writer import _promote_staged_files, _remove_dir_tree
+
+    meta = table.metadata()
+    pcols = meta.partition_columns
+    log = table.log
+
+    groups: dict[tuple, list] = {}
+    for a in table.add_actions():
+        if a.size < target_file_size:
+            key = tuple((c, a.partition_values.get(c)) for c in pcols)
+            groups.setdefault(key, []).append(a)
+    plan = {k: fs for k, fs in groups.items() if len(fs) >= 2}
+
+    metrics = {
+        "numFilesRemoved": sum(len(fs) for fs in plan.values()),
+        "numBytesRemoved": sum(f.size for fs in plan.values() for f in fs),
+        "partitionsOptimized": len(plan),
+        "numFilesAdded": 0,
+        "numBytesAdded": 0,
+    }
+    if dry_run or not plan:
+        return metrics
+
+    full_schema = schema_string_to_spark(meta.schema_string)
+    data_schema = type(full_schema)([f for f in full_schema.fields if f.name not in pcols])
+    staging_root = log.backend.join(log.table_root, f".tmp-optimize-{_uuid.uuid4().hex}")
+
+    def rewrite(item: tuple[tuple, list]) -> None:
+        key, files = item
+        part_dir = "/".join(
+            f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}" for c, v in key
+        )
+        out_dir = os.path.join(staging_root, part_dir) if part_dir else staging_root
+        uris = [log.backend.join(log.table_root, f.path) for f in files]
+        n_out = max(1, math.ceil(sum(f.size for f in files) / target_file_size))
+        spark.read.schema(data_schema).parquet(*uris).coalesce(n_out).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+
+    items = list(plan.items())
+    if len(items) == 1:
+        rewrite(items[0])
+    else:
+        with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+            list(ex.map(rewrite, items))
+
+    try:
+        adds = _promote_staged_files(spark, log, staging_root, pcols, data_change=False)
+    except BaseException:
+        _remove_dir_tree(staging_root)
+        raise
+
+    now_ms = int(time.time() * 1000)
+    txn = DeltaTransaction(table)
+    for fs in plan.values():
+        for f in fs:
+            txn.add_action(
+                RemoveAction(
+                    path=f.path,
+                    deletion_timestamp=now_ms,
+                    data_change=False,
+                    extended_file_metadata=True,
+                    partition_values=f.partition_values,
+                    size=f.size,
+                )
+            )
+    txn.add_actions(list(adds))
+    metrics["numFilesAdded"] = len(adds)
+    metrics["numBytesAdded"] = sum(a.size for a in adds)
+    txn.commit(
+        operation="OPTIMIZE",
+        operation_parameters={"targetSize": str(target_file_size)},
+        operation_metrics={k: str(v) for k, v in metrics.items()},
+    )
+    table.update()
+    return metrics
+
+
 def maybe_checkpoint(table, version: int, interval: int = 10) -> Optional[CheckPoint]:
     """Reference lambda policy: checkpoint when ``version % interval == 0``
     (``aws/delta-checkpoint/src/main.rs:42-55``)."""

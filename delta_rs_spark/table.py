@@ -238,6 +238,18 @@ class DeltaTable:
 
         return _ckpt(self)
 
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_file_size: int = 256 * 1024 * 1024,
+        dry_run: bool = False,
+    ) -> dict:
+        from .maintenance import optimize as _optimize
+
+        return _optimize(
+            self, spark, target_file_size=target_file_size, dry_run=dry_run
+        )
+
     def begin(self):
         from .transactions import DeltaTransaction
 

@@ -196,7 +196,11 @@ def _check_schema(table: DeltaTable, df: DataFrame) -> None:
 
 
 def _promote_staged_files(
-    spark: SparkSession, log: DeltaLog, staging_dir: str, partition_by: Sequence[str]
+    spark: SparkSession,
+    log: DeltaLog,
+    staging_dir: str,
+    partition_by: Sequence[str],
+    data_change: bool = True,
 ) -> list[AddAction]:
     """Stats from footers (distributed), then move files to final names.
 
@@ -225,7 +229,7 @@ def _promote_staged_files(
             size=st.st_size,
             partition_values=partition_values,
             modification_time=int(st.st_mtime * 1000),
-            data_change=True,
+            data_change=data_change,
             stats=stats_by_path.get(src),
         )
 

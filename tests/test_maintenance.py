@@ -136,3 +136,97 @@ def test_multipart_checkpoint_read(spark, table_uri, sf_dir):
     assert t2.version == cp.version
     assert sorted(t2.files()) == expected_files
     assert t2.to_df(spark).count() == t.to_df(spark).count()
+
+
+# ---------------------------------------------------------------------------
+# Optimize (bin-packing compaction)
+# ---------------------------------------------------------------------------
+
+def test_optimize_compacts_small_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.table import DeltaTable
+    from delta_rs_spark.writer import write_deltalake
+
+    uri = str(tmp_path / "opt_tbl")
+    # 4 commits × small files → plenty to bin-pack
+    for lo in range(0, 40, 10):
+        df = spark.range(lo, lo + 10).select(F.col("id"), (F.col("id") % 2).alias("k"))
+        write_deltalake(spark, df, uri, mode="append")
+    t = DeltaTable(uri)
+    n_before = len(t.files())
+    v_before = t.version
+    rows_before = sorted(r.id for r in t.to_df(spark).collect())
+
+    dry = t.optimize(spark, target_file_size=1 << 30, dry_run=True)
+    assert dry["numFilesRemoved"] == n_before and dry["numFilesAdded"] == 0
+    assert t.version == v_before  # dry run commits nothing
+
+    metrics = t.optimize(spark, target_file_size=1 << 30)
+    assert t.version == v_before + 1
+    assert metrics["numFilesAdded"] == 1
+    assert metrics["numFilesRemoved"] == n_before
+    assert len(t.files()) == 1
+    # data identical after the swap
+    assert sorted(r.id for r in t.to_df(spark).collect()) == rows_before
+    # provenance + dataChange=false recorded in the log
+    hist = t.history(limit=1)[0]
+    assert hist["operation"] == "OPTIMIZE"
+    # compacted originals are tombstones now → vacuum would reap them
+    stale = t.vacuum(retention_hours=168, dry_run=True)
+    assert len(stale) == 0  # too young under the 168h floor
+    # idempotent: nothing left to compact
+    again = t.optimize(spark, target_file_size=1 << 30, dry_run=True)
+    assert again["numFilesRemoved"] == 0
+
+
+def test_optimize_partitioned_preserves_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.table import DeltaTable
+    from delta_rs_spark.writer import write_deltalake
+
+    uri = str(tmp_path / "opt_part")
+    for lo in (0, 10, 20):
+        df = spark.range(lo, lo + 10).select(F.col("id"), (F.col("id") % 2).alias("k"))
+        write_deltalake(spark, df, uri, mode="append", partition_by=["k"])
+    t = DeltaTable(uri)
+    rows_before = sorted((r.id, r.k) for r in t.to_df(spark).collect())
+
+    metrics = t.optimize(spark, target_file_size=1 << 30)
+    assert metrics["partitionsOptimized"] == 2
+    t2 = DeltaTable(uri)  # fresh open: re-reads the log from scratch
+    assert len(t2.files()) == 2
+    for a in t2.add_actions():
+        assert set(a.partition_values) == {"k"}
+        assert a.path.startswith(f"k={a.partition_values['k']}")
+    assert sorted((r.id, r.k) for r in t2.to_df(spark).collect()) == rows_before
+    # partition pruning still works on the compacted table
+    pruned = t2.files_by_partitions([("k", "=", "1")])
+    assert len(pruned) == 1
+
+
+def test_optimize_commit_is_skipped_by_stream(spark, tmp_path):
+    """dataChange=false round trip: a tailing reader sees no rows from the
+    OPTIMIZE commit and raises no ignoreChanges error (action.rs:165-170)."""
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.streaming.source import DeltaStreamReader
+    from delta_rs_spark.table import DeltaTable
+    from delta_rs_spark.writer import write_deltalake
+
+    uri = str(tmp_path / "opt_stream")
+    for lo in (0, 5):
+        df = spark.range(lo, lo + 5).select(F.col("id")).coalesce(1)
+        write_deltalake(spark, df, uri, mode="append")
+    t = DeltaTable(uri)
+    t.optimize(spark, target_file_size=1 << 30)
+    opt_version = t.version
+
+    reader = DeltaStreamReader(None, {"path": uri, "startingversion": "0"})
+    # the optimize version alone: no partitions, no error, despite removes
+    parts = reader.partitions({"version": opt_version - 1}, {"version": opt_version})
+    assert parts == []
+    # full range still yields exactly the data commits' files
+    parts_all = reader.partitions({"version": -1}, {"version": opt_version})
+    assert len(parts_all) == 2
