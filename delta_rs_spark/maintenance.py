@@ -114,6 +114,7 @@ def optimize(
     table,
     spark,
     target_file_size: int = 256 * 1024 * 1024,
+    sort_by: Optional[list[str]] = None,
     dry_run: bool = False,
 ) -> dict:
     """Bin-packing compaction: rewrite groups of small files into ~target-size
@@ -134,6 +135,14 @@ def optimize(
     concurrently from a driver thread pool (Spark's scheduler is
     thread-safe), so a 10k-partition table compacts at cluster parallelism,
     not driver-loop latency. One commit swaps everything atomically.
+
+    ``sort_by`` additionally *clusters* each group on the given columns
+    (``repartitionByRange`` + ``sortWithinPartitions`` — one range shuffle
+    per group instead of the free coalesce): every output file then covers a
+    narrow value range, so its min/max stats in the log make
+    ``skip_predicates`` pruning selective — the single-dimension form of
+    Z-ordering, and the standard layout fix for scan-bound point/range
+    queries over a non-partition column.
 
     Returns operation metrics (Delta OPTIMIZE-style): files added/removed,
     bytes added/removed, partitions optimized.
@@ -180,9 +189,12 @@ def optimize(
         out_dir = os.path.join(staging_root, part_dir) if part_dir else staging_root
         uris = [log.backend.join(log.table_root, f.path) for f in files]
         n_out = max(1, math.ceil(sum(f.size for f in files) / target_file_size))
-        spark.read.schema(data_schema).parquet(*uris).coalesce(n_out).write.mode(
-            "overwrite"
-        ).parquet(out_dir)
+        df = spark.read.schema(data_schema).parquet(*uris)
+        if sort_by:
+            df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(n_out)
+        df.write.mode("overwrite").parquet(out_dir)
 
     items = list(plan.items())
     if len(items) == 1:
@@ -216,7 +228,10 @@ def optimize(
     metrics["numBytesAdded"] = sum(a.size for a in adds)
     txn.commit(
         operation="OPTIMIZE",
-        operation_parameters={"targetSize": str(target_file_size)},
+        operation_parameters={
+            "targetSize": str(target_file_size),
+            **({"sortBy": list(sort_by)} if sort_by else {}),
+        },
         operation_metrics={k: str(v) for k, v in metrics.items()},
     )
     table.update()

@@ -242,12 +242,17 @@ class DeltaTable:
         self,
         spark: SparkSession,
         target_file_size: int = 256 * 1024 * 1024,
+        sort_by: Optional[list[str]] = None,
         dry_run: bool = False,
     ) -> dict:
         from .maintenance import optimize as _optimize
 
         return _optimize(
-            self, spark, target_file_size=target_file_size, dry_run=dry_run
+            self,
+            spark,
+            target_file_size=target_file_size,
+            sort_by=sort_by,
+            dry_run=dry_run,
         )
 
     def begin(self):

@@ -230,3 +230,45 @@ def test_optimize_commit_is_skipped_by_stream(spark, tmp_path):
     # full range still yields exactly the data commits' files
     parts_all = reader.partitions({"version": -1}, {"version": opt_version})
     assert len(parts_all) == 2
+
+
+def test_optimize_sort_by_makes_stats_selective(spark, tmp_path):
+    """Clustered compaction: after optimize(sort_by=["id"]) the per-file
+    min/max ranges are disjoint, so a point skip-predicate prunes to ONE
+    file — the data-layout half of stats-based file skipping."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.table import DeltaTable
+    from delta_rs_spark.writer import write_deltalake
+
+    uri = str(tmp_path / "opt_sorted")
+    # every commit interleaves the full id range → every file spans ~all ids
+    for off in range(4):
+        df = (
+            spark.range(0, 100)
+            .select((F.col("id") * 4 + off).alias("id"))
+            .coalesce(1)
+        )
+        write_deltalake(spark, df, uri, mode="append")
+    t = DeltaTable(uri)
+    before = t.files(skip_predicates=[("id", "=", 37)])
+    assert len(before) == 4  # unclustered: every file may contain 37
+
+    total = sum(a.size for a in t.add_actions())
+    t.optimize(spark, target_file_size=total // 3, sort_by=["id"])
+    t2 = DeltaTable(uri)
+    files = t2.add_actions()
+    assert len(files) >= 3
+    # ranges are disjoint (range partitioner) → point lookup hits one file
+    ranges = sorted(
+        (json.loads(a.stats)["minValues"]["id"], json.loads(a.stats)["maxValues"]["id"])
+        for a in files
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    after = t2.files(skip_predicates=[("id", "=", 37)])
+    assert len(after) == 1
+    # and the data survived intact
+    assert t2.to_df(spark).count() == 400
