@@ -64,3 +64,47 @@ def train_val_test_split(
     """Attach a deterministic `split` column; filter on it for each set.
     Disjoint and exhaustive by construction."""
     return df.withColumn("split", split_column(id_col, weights, names, salt))
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: str,
+    weights: Sequence[float] = (0.8, 0.1, 0.1),
+    names: Sequence[str] = ("train", "val", "test"),
+    salt: str = "",
+) -> DataFrame:
+    """Leakage-proof split: hash the GROUP key, so every row of a group
+    (a domain, an author, a dedup cluster id) lands in the same split.
+
+    Splitting by row id leaks near-duplicates and same-source documents
+    across train/eval; hashing the group key is the standard fix, and it
+    stays a narrow map — no shuffle, no group materialization.
+    """
+    return df.withColumn("split", split_column(group_col, weights, names, salt))
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group keep rates — the dataset-mixture knob of a training pipeline
+    (e.g. up-weight curated sources, down-weight crawl).
+
+    Membership is by id hash against the group's threshold: deterministic,
+    engine-independent, stable as the corpus grows, and a pure codegen map
+    (the rates dict compiles to a CASE expression — no join, no shuffle,
+    no driver-side sampling state even with thousands of groups).
+    """
+    bucket = hash_bucket(id_col, salt)
+    thr: Column = F.lit(int(default_rate * _BUCKETS))
+    expr = None
+    for g, r in rates.items():
+        cond = F.col(group_col) == g
+        t = F.lit(int(r * _BUCKETS))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thr = thr if expr is None else expr.otherwise(thr)
+    return df.filter(bucket < thr)

@@ -620,3 +620,65 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = load_table(spark, sf_dir, "lineitem")
     return profiling.column_profile(l, ["l_quantity", "l_discount", "l_tax"]).orderBy("column")
+
+
+_GROUPED_SPLIT_ORACLE = """
+WITH assigned AS (
+  SELECT source,
+         CASE
+           WHEN CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)
+                < CAST(0.8 * 4294967296 AS BIGINT) THEN 'train'
+           WHEN CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT)
+                < CAST(0.9 * 4294967296 AS BIGINT) THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM documents
+)
+SELECT source, split, COUNT(*) AS n_docs
+FROM assigned GROUP BY source, split ORDER BY source, split
+"""
+
+
+@query("split_grouped_by_source", _GROUPED_SPLIT_ORACLE)
+def q_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof split: the GROUP key (source) is hashed, so every
+    document of a source lands in one split — near-dups and same-domain
+    documents never straddle train/eval. Still a narrow map."""
+    from .operators.sampling import grouped_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        grouped_split(docs, "source")
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )
+
+
+_MIXTURE_ORACLE = """
+WITH kept AS (
+  SELECT source FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        < CASE source
+            WHEN 'src0' THEN CAST(1.0 * 4294967296 AS BIGINT)
+            WHEN 'src1' THEN CAST(0.5 * 4294967296 AS BIGINT)
+            WHEN 'src2' THEN CAST(0.25 * 4294967296 AS BIGINT)
+            ELSE CAST(0.1 * 4294967296 AS BIGINT)
+          END
+)
+SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source ORDER BY source
+"""
+
+
+@query("sample_source_mixture", _MIXTURE_ORACLE)
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixture sampling: per-source keep rates (curated sources up,
+    crawl down) via id-hash thresholds compiled to one CASE expression —
+    deterministic, growth-stable, zero shuffles before the count."""
+    from .operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("source")

@@ -500,3 +500,29 @@ def test_connected_components_matches_union_find(spark):
             for r in clustering.connected_components(df).collect()
         }
         assert got == expected, f"trial {trial}: {got} != {expected}"
+
+
+def test_grouped_split_is_group_coherent(spark, docs):
+    from delta_rs_spark.operators.sampling import grouped_split
+
+    out = grouped_split(docs, "source")
+    # every source maps to exactly one split
+    per_source = out.groupBy("source").agg(
+        F.count_distinct("split").alias("k")
+    ).collect()
+    assert all(r.k == 1 for r in per_source)
+
+
+def test_mixture_sample_rates_and_determinism(spark, docs):
+    from delta_rs_spark.operators.sampling import mixture_sample
+
+    rates = {"src0": 1.0, "src1": 0.0}
+    kept = mixture_sample(docs, rates, default_rate=0.5)
+    by_src = {r.source: r.n for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src["src0"] == totals["src0"]      # rate 1.0 keeps everything
+    assert "src1" not in by_src                   # rate 0.0 keeps nothing
+    # deterministic: second run identical
+    again = {r.source: r.n for r in mixture_sample(docs, rates, default_rate=0.5)
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == by_src
