@@ -128,3 +128,68 @@ def range_join(
         .filter((F.col(on) >= F.col(start_col)) & (F.col(on) < F.col(end_col)))
         .drop("_bucket")
     )
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int,
+    start_ts: str,
+    end_ts: str,
+) -> DataFrame:
+    """Regularize an irregular series to a fixed grid with
+    last-observation-carried-forward — the gap-filling primitive of
+    hypertable-style rollups (sensor feeds, metrics, market data).
+
+    Construction: a per-key time spine (``sequence`` over the window —
+    generated, not scanned), left join against each bucket's last
+    observation, then one ``last(value, ignorenulls=True)`` window to carry
+    values forward. Scale shape: the spine is |keys| × |buckets| rows of
+    three columns; the only shuffles are the bucket aggregation and the
+    per-key window — both partitioned by key, so a million-key 100 TB feed
+    spreads evenly and no executor ever materializes more than its keys'
+    spines. The LOCF window is ordered by the grid timestamp with an
+    unbounded-preceding frame, which Spark evaluates in one pass per key.
+    """
+    lo = F.to_timestamp(F.lit(start_ts))
+    hi = F.to_timestamp(F.lit(end_ts))
+    step = F.expr(f"INTERVAL {step_seconds} SECONDS")
+
+    keys = df.select(F.col(key_col).alias("key")).distinct()
+    spine = keys.select(
+        "key", F.explode(F.sequence(lo, hi, step)).alias("bucket_ts")
+    )
+
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long") * step_seconds
+    )
+    last_per_bucket = (
+        df.filter((F.col(ts_col) >= lo) & (F.col(ts_col) <= hi))
+        .withColumn("bucket_ts", bucket)
+        .groupBy(F.col(key_col).alias("key"), "bucket_ts")
+        # struct ordering makes the "last" observation deterministic even
+        # when two observations share a timestamp inside one bucket
+        .agg(
+            F.max_by(
+                value_col, F.struct(F.col(ts_col), F.col(value_col))
+            ).alias("_obs")
+        )
+    )
+
+    w = (
+        W.partitionBy("key")
+        .orderBy("bucket_ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(last_per_bucket, ["key", "bucket_ts"], "left")
+        .withColumn("value", F.last("_obs", ignorenulls=True).over(w))
+        .select(
+            F.col("key").alias(key_col),
+            "bucket_ts",
+            "value",
+            F.col("_obs").isNotNull().alias("observed"),
+        )
+    )

@@ -682,3 +682,57 @@ def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default_rate=0.1
     )
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("source")
+
+
+_RESAMPLE_ORACLE = """
+WITH spine AS (
+  SELECT u.user_id, g.bucket_ts
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (
+    SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                  TIMESTAMP '2024-01-01 02:00:00',
+                                  INTERVAL 5 MINUTE)) AS bucket_ts
+  ) g
+),
+in_window AS (
+  SELECT user_id, ts, value,
+         make_timestamp(CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) * 1000000) AS bucket_ts
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts <= TIMESTAMP '2024-01-01 02:00:00'
+),
+ranked AS (
+  SELECT user_id, bucket_ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, bucket_ts
+                            ORDER BY ts DESC, value DESC) AS rn
+  FROM in_window
+),
+lastobs AS (SELECT user_id, bucket_ts, value FROM ranked WHERE rn = 1),
+joined AS (
+  SELECT s.user_id, s.bucket_ts, o.value AS obs
+  FROM spine s LEFT JOIN lastobs o
+    ON s.user_id = o.user_id AND s.bucket_ts = o.bucket_ts
+)
+SELECT user_id, bucket_ts,
+       last_value(obs IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       obs IS NOT NULL AS observed
+FROM joined ORDER BY user_id, bucket_ts
+"""
+
+
+@query("ts_resample_locf", _RESAMPLE_ORACLE)
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling resample: per-user 5-minute grid over a 2-hour window,
+    bucket last-observation + carried-forward values (hypertable rollup
+    primitive — generated spine, key-partitioned shuffles only)."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeseries.resample_locf(
+        ev,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        step_seconds=300,
+        start_ts="2024-01-01 00:00:00",
+        end_ts="2024-01-01 02:00:00",
+    ).orderBy("user_id", "bucket_ts")

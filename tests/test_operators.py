@@ -526,3 +526,28 @@ def test_mixture_sample_rates_and_determinism(spark, docs):
     again = {r.source: r.n for r in mixture_sample(docs, rates, default_rate=0.5)
              .groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert again == by_src
+
+
+def test_resample_locf_fills_gaps(spark):
+    from delta_rs_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:30", 10.0),
+            (1, "2024-01-01 00:03:10", 20.0),   # lands in bucket 00:03
+            (2, "2024-01-01 00:01:00", 5.0),
+        ],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    out = timeseries.resample_locf(
+        df, "user_id", "ts", "value", 60, "2024-01-01 00:00:00", "2024-01-01 00:04:00"
+    ).collect()
+    grid = {(r.user_id, r.bucket_ts.minute): (r.value, r.observed) for r in out}
+    assert len(out) == 10  # 2 keys × 5 buckets
+    assert grid[(1, 0)] == (10.0, True)
+    assert grid[(1, 1)] == (10.0, False)  # carried forward
+    assert grid[(1, 2)] == (10.0, False)
+    assert grid[(1, 3)] == (20.0, True)
+    assert grid[(2, 0)] == (None, False)  # before first obs: no value yet
+    assert grid[(2, 1)] == (5.0, True)
+    assert grid[(2, 4)] == (5.0, False)
