@@ -1420,3 +1420,72 @@ def oracle_sql() -> dict[str, str]:
 
 def headline_queries() -> dict[str, SparkQuery]:
     return {name: qd.spark for name, qd in QUERIES.items() if qd.headline}
+
+
+@query(
+    "q_grouping_sets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {SUM_DEC('o_totalprice', 'total', 2)}, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube): per-status and
+    per-priority totals in one pass — Spark expands to a single expanded
+    aggregation, not two scans."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS total,
+               COUNT(*) AS n
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@query(
+    "q_array_functions",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+             list_sort(list(o_orderkey)) AS order_keys
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           array_to_string(priorities, ',') AS priorities,
+           len(priorities) AS n_priorities,
+           order_keys[1] AS first_order,
+           len(list_filter(order_keys, k -> k % 2 = 0)) AS n_even_orders
+    FROM per_cust
+    WHERE o_custkey < 50
+    ORDER BY o_custkey
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + higher-order functions: collect_set/sort,
+    element access, lambda filter — the list-manipulation surface (exercised
+    against DuckDB's list functions)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_sort(F.collect_list("o_orderkey")).alias("order_keys"),
+        )
+        .select(
+            "o_custkey",
+            F.array_join("priorities", ",").alias("priorities"),
+            F.size("priorities").alias("n_priorities"),
+            F.col("order_keys")[0].alias("first_order"),
+            F.size(F.expr("filter(order_keys, k -> k % 2 = 0)")).alias("n_even_orders"),
+        )
+        .orderBy("o_custkey")
+    )
