@@ -110,11 +110,58 @@ def _rows_to_struct_columns(pa, rows: list[dict], pcols, ptypes) -> dict:
 
 # ---- auto-checkpoint hook -----------------------------------------------------
 
+def _zorder_column(table, cols: list[str], bits: int = 16):
+    """Bit-interleaved Z-value expression over numeric columns.
+
+    Each column is affinely quantized to ``bits`` bits against its GLOBAL
+    min/max taken from the log's per-file stats (metadata-only — no scan),
+    then the bit planes are interleaved: z = …y₁x₁y₀x₀. Range-partitioning
+    on z gives every output file a small hyper-rectangle of the value space,
+    so min/max stats prune well for predicates on ANY of the columns — the
+    multi-dimensional layout a single-column sort can't provide. Pure
+    codegen (bitwise shifts/ors), evaluated once per row during the rewrite.
+    """
+    from pyspark.sql import functions as F
+
+    from .protocol.stats import table_min_max
+
+    quantized = []
+    for c in cols:
+        mm = table_min_max(table.add_actions(), c)
+        if mm is None:
+            raise ValueError(
+                f"zorder_by column {c!r} has no complete min/max stats in the log"
+            )
+        lo, hi = float(mm[0]), float(mm[1])
+        span = hi - lo
+        if span <= 0:
+            quantized.append(F.lit(0).cast("long"))
+            continue
+        scale = ((1 << bits) - 1) / span
+        q = F.least(
+            F.lit((1 << bits) - 1),
+            F.greatest(
+                F.lit(0),
+                ((F.col(c).cast("double") - F.lit(lo)) * F.lit(scale)).cast("long"),
+            ),
+        )
+        quantized.append(F.coalesce(q, F.lit(0)))
+    z = F.lit(0).cast("long")
+    n = len(cols)
+    for bit in range(bits):
+        for ci, q in enumerate(quantized):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(q, bit).bitwiseAND(F.lit(1)), bit * n + ci)
+            )
+    return z
+
+
 def optimize(
     table,
     spark,
     target_file_size: int = 256 * 1024 * 1024,
     sort_by: Optional[list[str]] = None,
+    zorder_by: Optional[list[str]] = None,
     dry_run: bool = False,
 ) -> dict:
     """Bin-packing compaction: rewrite groups of small files into ~target-size
@@ -144,12 +191,20 @@ def optimize(
     Z-ordering, and the standard layout fix for scan-bound point/range
     queries over a non-partition column.
 
+    ``zorder_by`` generalizes that to MULTIPLE numeric columns via a
+    bit-interleaved Z-value (see ``_zorder_column``): files become small
+    hyper-rectangles of the joint value space, pruning on any of the
+    Z-order columns at once. Mutually exclusive with ``sort_by``.
+
     Returns operation metrics (Delta OPTIMIZE-style): files added/removed,
     bytes added/removed, partitions optimized.
     """
     import math
     import uuid as _uuid
     from concurrent.futures import ThreadPoolExecutor
+
+    if sort_by and zorder_by:
+        raise ValueError("sort_by and zorder_by are mutually exclusive")
 
     from .protocol.actions import RemoveAction
     from .protocol.schema import schema_string_to_spark
@@ -160,12 +215,16 @@ def optimize(
     pcols = meta.partition_columns
     log = table.log
 
+    # plain compaction touches only sub-target files and needs >= 2 of them;
+    # clustering (sort_by / zorder_by) is a LAYOUT rewrite — every file in the
+    # group is rewritten regardless of size, and even a single file qualifies
+    clustering = bool(sort_by or zorder_by)
     groups: dict[tuple, list] = {}
     for a in table.add_actions():
-        if a.size < target_file_size:
+        if clustering or a.size < target_file_size:
             key = tuple((c, a.partition_values.get(c)) for c in pcols)
             groups.setdefault(key, []).append(a)
-    plan = {k: fs for k, fs in groups.items() if len(fs) >= 2}
+    plan = {k: fs for k, fs in groups.items() if len(fs) >= (1 if clustering else 2)}
 
     metrics = {
         "numFilesRemoved": sum(len(fs) for fs in plan.values()),
@@ -176,6 +235,8 @@ def optimize(
     }
     if dry_run or not plan:
         return metrics
+
+    zcol = _zorder_column(table, zorder_by) if zorder_by else None
 
     full_schema = schema_string_to_spark(meta.schema_string)
     data_schema = type(full_schema)([f for f in full_schema.fields if f.name not in pcols])
@@ -190,7 +251,14 @@ def optimize(
         uris = [log.backend.join(log.table_root, f.path) for f in files]
         n_out = max(1, math.ceil(sum(f.size for f in files) / target_file_size))
         df = spark.read.schema(data_schema).parquet(*uris)
-        if sort_by:
+        if zorder_by:
+            df = (
+                df.withColumn("_z", zcol)
+                .repartitionByRange(n_out, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif sort_by:
             df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
         else:
             df = df.coalesce(n_out)
@@ -231,6 +299,7 @@ def optimize(
         operation_parameters={
             "targetSize": str(target_file_size),
             **({"sortBy": list(sort_by)} if sort_by else {}),
+            **({"zOrderBy": list(zorder_by)} if zorder_by else {}),
         },
         operation_metrics={k: str(v) for k, v in metrics.items()},
     )

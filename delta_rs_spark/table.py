@@ -243,6 +243,7 @@ class DeltaTable:
         spark: SparkSession,
         target_file_size: int = 256 * 1024 * 1024,
         sort_by: Optional[list[str]] = None,
+        zorder_by: Optional[list[str]] = None,
         dry_run: bool = False,
     ) -> dict:
         from .maintenance import optimize as _optimize
@@ -252,6 +253,7 @@ class DeltaTable:
             spark,
             target_file_size=target_file_size,
             sort_by=sort_by,
+            zorder_by=zorder_by,
             dry_run=dry_run,
         )
 

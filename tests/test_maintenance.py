@@ -272,3 +272,45 @@ def test_optimize_sort_by_makes_stats_selective(spark, tmp_path):
     assert len(after) == 1
     # and the data survived intact
     assert t2.to_df(spark).count() == 400
+
+
+def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Bit-interleaved Z-order: after optimize(zorder_by=["x","y"]) a point
+    predicate on EITHER column prunes files — the multi-dimensional layout a
+    single-column sort cannot give."""
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.table import DeltaTable
+    from delta_rs_spark.writer import write_deltalake
+
+    uri = str(tmp_path / "opt_z")
+    # x and y independent over [0, 256): row-id interleaving makes every
+    # pre-optimize file span both full ranges
+    for off in range(4):
+        df = (
+            spark.range(0, 1024)
+            .select(
+                ((F.col("id") * 4 + off) % 256).alias("x"),
+                (((F.col("id") * 4 + off) * 37 + 11) % 256).alias("y"),
+            )
+            .coalesce(1)
+        )
+        write_deltalake(spark, df, uri, mode="append")
+    t = DeltaTable(uri)
+    assert len(t.files(skip_predicates=[("x", "=", 100)])) == 4
+    assert len(t.files(skip_predicates=[("y", "=", 100)])) == 4
+
+    total = sum(a.size for a in t.add_actions())
+    t.optimize(spark, target_file_size=total // 14, zorder_by=["x", "y"])
+    t2 = DeltaTable(uri)
+    n_files = len(t2.files())
+    assert n_files >= 8
+    nx = len(t2.files(skip_predicates=[("x", "=", 100)]))
+    ny = len(t2.files(skip_predicates=[("y", "=", 100)]))
+    # a point predicate on either dimension must prune most files
+    assert nx <= n_files // 2, (nx, n_files)
+    assert ny <= n_files // 2, (ny, n_files)
+    # data intact
+    assert t2.to_df(spark).count() == 4096
+    with pytest.raises(ValueError):
+        t2.optimize(spark, sort_by=["x"], zorder_by=["y"])
