@@ -129,6 +129,51 @@ def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    context-window packing primitive of LLM data prep (and of RAG indexing).
+
+    Whole-stage codegen throughout: the token array is built once, chunk
+    indices come from ``posexplode(sequence(...))``, and each chunk is a
+    ``slice`` + ``concat_ws`` over that array — no UDF, no shuffle; a 100 TB
+    corpus chunks as a narrow map whose output is ~(1 + overlap/stride)× the
+    input bytes. Stride = chunk_tokens - overlap; the last chunk may be
+    short; documents shorter than one chunk yield exactly one chunk.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    d = df.select(
+        id_col, F.split(F.lower(F.col(text_col)), r"\s+").alias("_w")
+    ).withColumn(
+        "_n_chunks",
+        F.greatest(
+            F.lit(1),
+            F.ceil((F.size("_w") - F.lit(overlap)) / F.lit(stride)).cast("int"),
+        ),
+    )
+    return d.select(
+        id_col,
+        F.posexplode(F.expr("sequence(0, _n_chunks - 1)")).alias("chunk_id", "_i"),
+        F.col("_w"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.concat_ws(
+            " ", F.slice("_w", F.col("chunk_id") * stride + 1, chunk_tokens)
+        ).alias("chunk_text"),
+        F.least(
+            F.lit(chunk_tokens), F.size("_w") - F.col("chunk_id") * stride
+        ).alias("n_tokens"),
+    )
+
+
 def repetition_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document token-repetition features — the quality signal that flags
     boilerplate / degenerate generations (a top-word dominating the text).

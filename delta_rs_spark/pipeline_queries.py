@@ -736,3 +736,32 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         start_ts="2024-01-01 00:00:00",
         end_ts="2024-01-01 02:00:00",
     ).orderBy("user_id", "bucket_ts")
+
+
+_CHUNK_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+),
+chunks AS (
+  SELECT doc_id, w,
+         greatest(1, CAST(ceil((len(w) - 16) * 1.0 / 48) AS INTEGER)) AS n_chunks
+  FROM words
+),
+e AS (
+  SELECT doc_id, w, unnest(range(n_chunks)) AS chunk_id FROM chunks
+)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       array_to_string(w[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text,
+       least(64, len(w) - chunk_id * 48) AS n_tokens
+FROM e ORDER BY doc_id, chunk_id
+"""
+
+
+@query("text_chunking", _CHUNK_ORACLE)
+def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token windows, 16-token overlap — pure
+    codegen posexplode + slice, no UDF, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_id"
+    )

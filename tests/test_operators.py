@@ -551,3 +551,28 @@ def test_resample_locf_fills_gaps(spark):
     assert grid[(2, 0)] == (None, False)  # before first obs: no value yet
     assert grid[(2, 1)] == (5.0, True)
     assert grid[(2, 4)] == (5.0, False)
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    out = text.chunk_documents(
+        spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(10))), (2, "tiny doc")],
+            "doc_id long, text string",
+        ),
+        chunk_tokens=4,
+        overlap=2,
+    ).collect()
+    by = {(r.doc_id, r.chunk_id): r for r in out}
+    # doc 1: 10 tokens, stride 2 → ceil((10-2)/2) = 4 chunks
+    assert max(c for d, c in by if d == 1) == 3
+    assert by[(1, 0)].chunk_text == "w0 w1 w2 w3"
+    assert by[(1, 1)].chunk_text == "w2 w3 w4 w5"   # 2-token overlap
+    assert by[(1, 3)].chunk_text == "w6 w7 w8 w9"
+    assert by[(1, 3)].n_tokens == 4
+    # doc 2 shorter than one chunk → exactly one (short) chunk
+    assert by[(2, 0)].chunk_text == "tiny doc" and by[(2, 0)].n_tokens == 2
+    assert (2, 1) not in by
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        text.chunk_documents(spark.range(1).selectExpr("id as doc_id", "'x' as text"),
+                             chunk_tokens=4, overlap=4)
