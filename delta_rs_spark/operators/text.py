@@ -174,6 +174,60 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    chunks: DataFrame,
+    token_budget: int = 256,
+    n_buckets: int = 1024,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign chunks to fixed-token-budget training sequences (the packing
+    step between chunking and batching in an LLM data pipeline).
+
+    Deterministic cumulative-fill packing: chunks are bucketed by
+    ``hash(doc_id) % n_buckets`` (the parallelism unit — one window per
+    bucket, never a global order), ordered by (doc, chunk), and a sequence
+    boundary falls wherever the running token total crosses the budget:
+    ``seq = floor(cum_tokens_before / budget)``. A sequence may overflow by
+    at most one chunk — the concat-then-split approximation production
+    packers use — in exchange for a single window pass, full determinism,
+    and no driver state. Exact bin packing is NP-hard and inherently
+    order-dependent; this formulation is engine-reproducible (exact SQL
+    oracle) and scales as one shuffle on the bucket key.
+
+    Output: one row per chunk with its (bucket, seq_in_bucket, global
+    seq_key) assignment; aggregate by seq_key for per-sequence stats.
+    """
+    from pyspark.sql import Window as W
+
+    from .sampling import hash_bucket
+
+    # md5-derived bucket (not xxhash64): engine-reproducible, same helper as
+    # the deterministic split/sample operators
+    bucket = F.pmod(hash_bucket(id_col), F.lit(n_buckets))
+    w = (
+        W.partitionBy("_bucket")
+        .orderBy(id_col, chunk_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        chunks.withColumn("_bucket", bucket)
+        .withColumn("_cum", F.sum(tokens_col).over(w) - F.col(tokens_col))
+        .select(
+            id_col,
+            chunk_col,
+            tokens_col,
+            F.col("_bucket").alias("bucket"),
+            F.floor(F.col("_cum") / token_budget).cast("int").alias("seq_in_bucket"),
+            (
+                F.col("_bucket") * F.lit(1 << 32)
+                + F.floor(F.col("_cum") / token_budget)
+            ).alias("seq_key"),
+        )
+    )
+
+
 def repetition_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document token-repetition features — the quality signal that flags
     boilerplate / degenerate generations (a top-word dominating the text).

@@ -765,3 +765,53 @@ def q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
         "doc_id", "chunk_id"
     )
+
+
+_PACKING_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents
+),
+chunks AS (
+  SELECT doc_id, w,
+         greatest(1, CAST(ceil((len(w) - 16) * 1.0 / 48) AS INTEGER)) AS n_chunks
+  FROM words
+),
+e AS (
+  SELECT doc_id, CAST(unnest(range(n_chunks)) AS INTEGER) AS chunk_id,
+         least(64, len(w) - unnest(range(n_chunks)) * 48) AS n_tokens
+  FROM chunks
+),
+b AS (
+  SELECT doc_id, chunk_id, n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS bucket
+  FROM e
+),
+c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id, chunk_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS cum_before
+  FROM b
+)
+SELECT bucket, CAST(floor(cum_before / 256) AS INTEGER) AS seq_in_bucket,
+       COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+FROM c GROUP BY bucket, seq_in_bucket ORDER BY bucket, seq_in_bucket
+"""
+
+
+@query("text_sequence_packing", _PACKING_ORACLE)
+def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → pack: 64/16 chunking feeding deterministic cumulative-fill
+    packing into 256-token sequences over 8 hash buckets; per-sequence chunk
+    and token counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    packed = text.pack_sequences(chunks, token_budget=256, n_buckets=8)
+    return (
+        packed.groupBy("bucket", "seq_in_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .orderBy("bucket", "seq_in_bucket")
+    )

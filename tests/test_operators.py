@@ -576,3 +576,18 @@ def test_chunk_documents_overlap_and_tail(spark):
     with _pytest.raises(ValueError):
         text.chunk_documents(spark.range(1).selectExpr("id as doc_id", "'x' as text"),
                              chunk_tokens=4, overlap=4)
+
+
+def test_pack_sequences_budget_and_order(spark):
+    # single bucket (n_buckets=1) → one global fill order by (doc, chunk)
+    chunks = spark.createDataFrame(
+        [(1, 0, 100), (1, 1, 100), (2, 0, 100), (3, 0, 50)],
+        "doc_id long, chunk_id int, n_tokens int",
+    )
+    out = text.pack_sequences(chunks, token_budget=256, n_buckets=1).collect()
+    by = {(r.doc_id, r.chunk_id): r.seq_in_bucket for r in out}
+    # cum_before: 0, 100, 200, 300 → seqs 0,0,0,1
+    assert by == {(1, 0): 0, (1, 1): 0, (2, 0): 0, (3, 0): 1}
+    # seq_key is globally unique across buckets
+    keys = {r.seq_key for r in out}
+    assert len(keys) == 2
