@@ -11,6 +11,7 @@ Plus `operators/`: the large-scale training-data pipeline toolkit
 (dedup, similarity search, text analysis, multimodal plumbing).
 """
 
+from .dml import DMLError, delete, merge, update
 from .json_writer import BufferedJsonWriter
 from .protocol.log import DeltaLog
 from .protocol.snapshot import DeltaTableError, NotATableError, Snapshot
@@ -29,6 +30,10 @@ __all__ = [
     "SchemaMismatchError",
     "TableAlreadyExistsError",
     "write_deltalake",
+    "delete",
+    "update",
+    "merge",
+    "DMLError",
     "get_spark",
     "__version__",
 ]

@@ -1,0 +1,444 @@
+"""Copy-on-write DML: DELETE / UPDATE / MERGE over Delta tables.
+
+The reference (delta-rs v0) lists MERGE/UPDATE/DELETE as explicit gaps and
+only sketches update semantics in a test (``rust/tests/write_exploration.rs:
+433-444``: a second commit with add+remove pairs). This module implements the
+full commands the Delta protocol expresses with exactly those primitives —
+every DML statement is one transactional commit of Remove(old file) +
+Add(rewritten file) actions, so readers at any version see an atomic change
+and time travel keeps working.
+
+Spark-first, scale-first design:
+
+1. **Prune before reading.** Candidate files come from the snapshot after
+   partition-filter and stats (min/max) pruning against the predicate's
+   simple conjuncts — at 100 TB a ``DELETE WHERE ds = '2024-01-01'`` touches
+   one partition's files, never the lake.
+2. **Touch only files that MUST change.** A distributed pass over the pruned
+   candidates finds the files that actually contain matching rows
+   (``input_file_name()`` group-by — map-side partial agg, tiny shuffle of
+   one row per file). Files without matches keep their Add entries untouched:
+   no rewrite, no tombstone, no data movement.
+3. **Rewrite distributed.** Surviving/updated rows of only those files are
+   written by Spark executors through the same staged-write path as append
+   (footer stats, unique names); the driver commits the swap.
+
+All operations record Delta-style commitInfo (operation, predicate,
+operationMetrics) so ``table.history()`` reads like a real Delta log.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from typing import Any, Optional, Sequence
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .protocol.actions import AddAction, RemoveAction
+from .protocol.stats import SkipTuple
+from .table import DeltaTable
+from .transactions import DeltaTransaction
+
+
+class DMLError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# predicate → pruning hints
+# ---------------------------------------------------------------------------
+
+_SIMPLE_CMP = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(=|==|!=|<>|<=|>=|<|>)\s*"
+    r"('(?:[^']|'')*'|-?\d+(?:\.\d+)?)\s*$"
+)
+
+_OP_NORM = {"==": "=", "<>": "!="}
+
+
+def _skip_tuples_from_predicate(predicate: str) -> list[SkipTuple]:
+    """Extract conservative ``(col, op, literal)`` pruning hints from a SQL
+    predicate.
+
+    Only a top-level conjunction of simple comparisons is parsed; anything
+    with OR / NOT / parentheses / functions yields no hints (correct — the
+    pruner just keeps every file). Mirrors how the reference prunes only on
+    its DNF tuple API (``rust/src/partitions.rs:55-98``) while the engine
+    evaluates the full predicate row-level.
+    """
+    upper = predicate.upper()
+    if "(" in predicate or " OR " in f" {upper} " or " NOT " in f" {upper} ":
+        return []
+    tuples: list[SkipTuple] = []
+    for conjunct in re.split(r"(?i)\s+AND\s+", predicate):
+        m = _SIMPLE_CMP.match(conjunct)
+        if not m:
+            continue
+        col, op, lit = m.groups()
+        op = _OP_NORM.get(op, op)
+        value: Any
+        if lit.startswith("'"):
+            value = lit[1:-1].replace("''", "'")
+        elif "." in lit:
+            value = float(lit)
+        else:
+            value = int(lit)
+        tuples.append((col, op, value))
+    return tuples
+
+
+def _split_pruning(
+    table: DeltaTable, tuples: Sequence[SkipTuple]
+) -> tuple[list[tuple], list[SkipTuple]]:
+    """Partition-column conjuncts become partition filters (string-valued,
+    = / != only — the reference's filter ops); the rest are stats hints."""
+    pcols = set(table.metadata().partition_columns)
+    pfilters: list[tuple] = []
+    skips: list[SkipTuple] = []
+    for col, op, value in tuples:
+        if col in pcols and op in ("=", "!="):
+            pfilters.append((col, op, str(value)))
+        elif col not in pcols:
+            skips.append((col, op, value))
+    return pfilters, skips
+
+
+def _candidate_adds(table: DeltaTable, predicate: str) -> list[AddAction]:
+    tuples = _skip_tuples_from_predicate(predicate)
+    pfilters, skips = _split_pruning(table, tuples)
+    return table.snapshot.files(
+        partition_filters=pfilters or None, skip_predicates=skips or None
+    )
+
+
+# ---------------------------------------------------------------------------
+# matched-file discovery
+# ---------------------------------------------------------------------------
+
+def _norm_file_uri(uri: str) -> str:
+    p = urlparse(uri)
+    return unquote(p.path) if p.scheme else uri
+
+
+def _files_with_matches(
+    spark: SparkSession,
+    table: DeltaTable,
+    adds: list[AddAction],
+    condition: Column,
+) -> tuple[list[AddAction], int]:
+    """(files containing ≥1 matching row, total matching rows). One filtered
+    scan over the candidates; partial aggregation means the shuffle carries
+    one row per file."""
+    snap = table._snapshot
+    df = snap.df_for_adds(spark, adds)
+    hits = (
+        df.filter(condition)
+        .groupBy(F.input_file_name().alias("_file"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    matched_paths = {_norm_file_uri(r["_file"]) for r in hits}
+    n_rows = sum(r["_n"] for r in hits)
+    matched = [a for a in adds if _norm_file_uri(snap._absolute(a.path)) in matched_paths]
+    return matched, n_rows
+
+
+def _stage_and_swap(
+    spark: SparkSession,
+    table: DeltaTable,
+    new_rows: DataFrame,
+    removed: list[AddAction],
+    operation: str,
+    params: dict[str, Any],
+    extra_metrics: dict[str, Any],
+) -> dict[str, Any]:
+    """Write ``new_rows`` through the staged-write path and commit
+    Remove(removed) + Add(staged) as one version."""
+    import uuid as _uuid
+
+    from .writer import _promote_staged_files
+
+    log = table.log
+    pcols = table.metadata().partition_columns
+
+    staging_dir = log.backend.join(log.table_root, f".tmp-commit-{_uuid.uuid4().hex}")
+    writer = new_rows.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging_dir)
+    adds = _promote_staged_files(spark, log, staging_dir, pcols)
+
+    now_ms = int(time.time() * 1000)
+    txn = DeltaTransaction(table)
+    for old in removed:
+        txn.add_action(
+            RemoveAction(
+                path=old.path,
+                deletion_timestamp=now_ms,
+                data_change=True,
+                extended_file_metadata=True,
+                partition_values=old.partition_values,
+                size=old.size,
+            )
+        )
+    txn.add_actions(list(adds))
+    metrics = {
+        "numRemovedFiles": str(len(removed)),
+        "numAddedFiles": str(len(adds)),
+        "numOutputBytes": str(sum(a.size for a in adds)),
+        **{k: str(v) for k, v in extra_metrics.items()},
+    }
+    version = txn.commit(
+        operation=operation, operation_parameters=params, operation_metrics=metrics
+    )
+    table.update()
+    return {"version": version, **{k: int(v) if str(v).isdigit() else v for k, v in metrics.items()}}
+
+
+# ---------------------------------------------------------------------------
+# DELETE
+# ---------------------------------------------------------------------------
+
+def delete(spark: SparkSession, table: DeltaTable, predicate: str) -> dict[str, Any]:
+    """``DELETE FROM table WHERE predicate`` — copy-on-write.
+
+    Rows where the predicate is TRUE are deleted; FALSE/NULL rows survive
+    (SQL DELETE semantics). Only files containing at least one matching row
+    are rewritten; commit is Remove+Add in one version, operation "DELETE".
+    """
+    cond = F.coalesce(F.expr(predicate), F.lit(False))
+    candidates = _candidate_adds(table, predicate)
+    matched, n_deleted = _files_with_matches(spark, table, candidates, cond)
+    params = {"predicate": predicate}
+    if not matched:
+        return {
+            "version": table.version,
+            "numRemovedFiles": 0,
+            "numAddedFiles": 0,
+            "numDeletedRows": 0,
+            "numCopiedRows": 0,
+        }
+
+    snap = table._snapshot
+    keep = snap.df_for_adds(spark, matched).filter(~cond)
+    total_in_matched = sum(a.num_records or 0 for a in matched)
+    n_copied = total_in_matched - n_deleted if all(
+        a.num_records is not None for a in matched
+    ) else None
+    return _stage_and_swap(
+        spark,
+        table,
+        keep,
+        matched,
+        "DELETE",
+        params,
+        {"numDeletedRows": n_deleted, "numCopiedRows": n_copied if n_copied is not None else ""},
+    )
+
+
+# ---------------------------------------------------------------------------
+# UPDATE
+# ---------------------------------------------------------------------------
+
+def update(
+    spark: SparkSession,
+    table: DeltaTable,
+    predicate: str,
+    assignments: dict[str, str],
+) -> dict[str, Any]:
+    """``UPDATE table SET col = expr, ... WHERE predicate`` — copy-on-write.
+
+    ``assignments`` maps column name → SQL expression evaluated against the
+    *pre-update* row (standard SQL UPDATE semantics: all right-hand sides see
+    the old values). Results are cast back to the column's declared type so
+    the table schema is invariant (v0 has no schema evolution).
+    """
+    schema = table.schema()
+    bad = set(assignments) - set(schema.names)
+    if bad:
+        raise DMLError(f"UPDATE assigns unknown columns: {sorted(bad)}")
+
+    cond = F.coalesce(F.expr(predicate), F.lit(False))
+    candidates = _candidate_adds(table, predicate)
+    matched, n_updated = _files_with_matches(spark, table, candidates, cond)
+    if not matched:
+        return {
+            "version": table.version,
+            "numRemovedFiles": 0,
+            "numAddedFiles": 0,
+            "numUpdatedRows": 0,
+        }
+
+    snap = table._snapshot
+    df = snap.df_for_adds(spark, matched)
+    types = {f.name: f.dataType for f in schema.fields}
+    projected = df.select(
+        *[
+            (
+                F.when(cond, F.expr(assignments[c]).cast(types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+            )
+            for c in schema.names
+        ]
+    )
+    return _stage_and_swap(
+        spark,
+        table,
+        projected,
+        matched,
+        "UPDATE",
+        {"predicate": predicate},
+        {"numUpdatedRows": n_updated},
+    )
+
+
+# ---------------------------------------------------------------------------
+# MERGE (upsert)
+# ---------------------------------------------------------------------------
+
+def merge(
+    spark: SparkSession,
+    table: DeltaTable,
+    source: DataFrame,
+    condition: str,
+    when_matched_update: Optional[dict[str, str]] = None,
+    when_matched_delete: bool = False,
+    when_not_matched_insert: bool = True,
+) -> dict[str, Any]:
+    """``MERGE INTO target t USING source s ON condition`` — copy-on-write.
+
+    - ``condition`` references ``t.<col>`` / ``s.<col>`` (e.g.
+      ``"t.doc_id = s.doc_id"``).
+    - ``when_matched_update``: column → SQL expr over ``t.*``/``s.*``
+      (default: replace every target column with the same-named source
+      column). ``when_matched_delete=True`` drops matched rows instead.
+    - ``when_not_matched_insert``: append source rows that match no target
+      row (columns aligned by name; source must carry the full schema).
+
+    Each target row may match at most one source row — multiple matches make
+    the result non-deterministic, so they raise (Delta protocol semantics).
+    Only target files containing matched rows are rewritten.
+    """
+    if when_matched_update and when_matched_delete:
+        raise DMLError("choose either when_matched_update or when_matched_delete")
+
+    schema = table.schema()
+    snap = table._snapshot
+    target = snap.to_df(spark)
+
+    src_cols = set(source.columns)
+    if when_not_matched_insert:
+        missing = set(schema.names) - src_cols
+        if missing:
+            raise DMLError(f"source lacks columns required for INSERT: {sorted(missing)}")
+
+    t = (
+        target.withColumn("__file", F.input_file_name())
+        .withColumn("__tid", F.monotonically_increasing_id())
+        .alias("t")
+    )
+    s = source.alias("s")
+    on = F.expr(condition)
+
+    # --- which target files contain matches, and does any target row match
+    # more than one source row?  One inner join (Catalyst/AQE pick broadcast
+    # vs shuffle; the source is typically the small side), aggregated per
+    # target row then per file — map-side partial aggs keep the shuffles
+    # proportional to matched rows / matched files, not table size. ---
+    per_row = (
+        t.join(s, on, "inner")
+        .groupBy(F.col("t.__file").alias("_file"), F.col("t.__tid").alias("_tid"))
+        .agg(F.count(F.lit(1)).alias("_m"))
+    )
+    matched_stats = (
+        per_row.groupBy("_file")
+        .agg(F.count(F.lit(1)).alias("_n"), F.max("_m").alias("_max_m"))
+        .collect()
+    )
+    matched_paths = {_norm_file_uri(r["_file"]) for r in matched_stats}
+    n_matched = sum(r["_n"] for r in matched_stats)
+    if any(r["_max_m"] > 1 for r in matched_stats):
+        raise DMLError(
+            "MERGE: a target row matches multiple source rows; "
+            "result would be non-deterministic"
+        )
+    all_adds = snap.files()
+    rewrite = [a for a in all_adds if _norm_file_uri(snap._absolute(a.path)) in matched_paths]
+
+    # --- rewritten content for matched files ---
+    n_updated = n_deleted = 0
+    if rewrite:
+        rw = snap.df_for_adds(spark, rewrite).alias("t")
+        # explicit match tag on the source side (robust even if every source
+        # column is nullable)
+        s_tagged = source.withColumn("__matched", F.lit(True)).alias("s")
+        joined = rw.join(s_tagged, F.expr(condition), "left")
+        if when_matched_delete:
+            new_rows = joined.filter(F.col("__matched").isNull()).select(
+                *[F.col(f"t.{c}") for c in schema.names]
+            )
+            n_deleted = n_matched
+        else:
+            assignments = when_matched_update or {c: f"s.{c}" for c in schema.names}
+            bad = set(assignments) - set(schema.names)
+            if bad:
+                raise DMLError(f"MERGE updates unknown columns: {sorted(bad)}")
+            types = {f.name: f.dataType for f in schema.fields}
+            new_rows = joined.select(
+                *[
+                    (
+                        F.when(
+                            F.col("__matched").isNotNull(),
+                            F.expr(assignments[c]).cast(types[c]),
+                        )
+                        .otherwise(F.col(f"t.{c}"))
+                        .alias(c)
+                        if c in assignments
+                        else F.col(f"t.{c}").alias(c)
+                    )
+                    for c in schema.names
+                ]
+            )
+            n_updated = n_matched
+    else:
+        new_rows = spark.createDataFrame([], schema)
+
+    # --- inserts: source rows matching no target row anywhere ---
+    n_inserted = 0
+    if when_not_matched_insert:
+        types = {f.name: f.dataType for f in schema.fields}
+        inserts = s.join(t, on, "left_anti").select(
+            *[F.col(c).cast(types[c]).alias(c) for c in schema.names]
+        )
+        n_inserted = inserts.count()
+        new_rows = new_rows.unionByName(inserts) if rewrite else inserts
+
+    if not rewrite and n_inserted == 0:
+        return {
+            "version": table.version,
+            "numRemovedFiles": 0,
+            "numAddedFiles": 0,
+            "numTargetRowsUpdated": 0,
+            "numTargetRowsDeleted": 0,
+            "numTargetRowsInserted": 0,
+        }
+
+    return _stage_and_swap(
+        spark,
+        table,
+        new_rows,
+        rewrite,
+        "MERGE",
+        {"predicate": condition},
+        {
+            "numTargetRowsUpdated": n_updated,
+            "numTargetRowsDeleted": n_deleted,
+            "numTargetRowsInserted": n_inserted,
+        },
+    )

@@ -158,9 +158,21 @@ class Snapshot:
         tuple is one scan branch; row-level residual filtering is left to
         Catalyst.
         """
+        adds = self.files(partition_filters=partition_filters, skip_predicates=skip_predicates)
+        return self.df_for_adds(spark, adds, columns=columns)
+
+    def df_for_adds(
+        self,
+        spark: SparkSession,
+        adds: list[AddAction],
+        columns: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """DataFrame over an explicit subset of this snapshot's files.
+
+        Used by to_df (after pruning) and by copy-on-write DML, which reads
+        only the files it must rewrite."""
         table_schema = self.schema()
         pcols = self.metadata.partition_columns
-        adds = self.files(partition_filters=partition_filters, skip_predicates=skip_predicates)
 
         if not adds:
             return spark.createDataFrame([], table_schema).select(*(columns or table_schema.names))

@@ -257,6 +257,22 @@ class DeltaTable:
             dry_run=dry_run,
         )
 
+    # ---- copy-on-write DML (implemented in dml.py) ---------------------------
+    def delete(self, spark: SparkSession, predicate: str) -> dict:
+        from .dml import delete as _delete
+
+        return _delete(spark, self, predicate)
+
+    def update_where(self, spark: SparkSession, predicate: str, assignments: dict) -> dict:
+        from .dml import update as _update
+
+        return _update(spark, self, predicate, assignments)
+
+    def merge(self, spark: SparkSession, source: DataFrame, condition: str, **kw) -> dict:
+        from .dml import merge as _merge
+
+        return _merge(spark, self, source, condition, **kw)
+
     def begin(self):
         from .transactions import DeltaTransaction
 

@@ -1,0 +1,249 @@
+"""Copy-on-write DML: DELETE / UPDATE / MERGE.
+
+The reference sketches update semantics as a commit of add+remove pairs
+(``rust/tests/write_exploration.rs:433-444``); these tests certify the full
+commands on top of that primitive: atomic swaps, untouched files preserved,
+predicate-driven file pruning, time travel across DML versions, and Delta-style
+history/metrics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark import DeltaTable, DMLError, write_deltalake
+from delta_rs_spark.dml import _skip_tuples_from_predicate
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.fixture()
+def doc_table(spark, tmp_path, docs):
+    """Partitioned table with several files per partition."""
+    uri = str(tmp_path / "docs")
+    write_deltalake(
+        spark, docs, uri, partition_by=["source"], max_records_per_file=200
+    )
+    return DeltaTable(uri)
+
+
+def test_delete_basic(spark, doc_table, docs):
+    total = docs.count()
+    to_delete = docs.filter("n_chars < 200").count()
+    assert 0 < to_delete < total
+
+    res = doc_table.delete(spark, "n_chars < 200")
+    assert res["numDeletedRows"] == to_delete
+    assert res["numRemovedFiles"] >= 1
+
+    df = doc_table.to_df(spark)
+    assert df.count() == total - to_delete
+    assert df.filter("n_chars < 200").count() == 0
+    # history records the DELETE with its predicate
+    h = doc_table.history()[0]
+    assert h["operation"] == "DELETE"
+    assert h["operationParameters"]["predicate"] == "n_chars < 200"
+    # time travel still sees the pre-delete rows
+    v0 = DeltaTable.for_version(doc_table.table_uri, 0)
+    assert v0.to_df(spark).count() == total
+
+
+def test_delete_untouched_files_preserved(spark, doc_table):
+    """Files with no matching rows keep their identity (no rewrite)."""
+    before = set(doc_table.file_uris())
+    sources = [r["source"] for r in
+               doc_table.to_df(spark).select("source").distinct().collect()]
+    target_src = sorted(sources)[0]
+    res = doc_table.delete(spark, f"source = '{target_src}'")
+    assert res["numRemovedFiles"] >= 1
+    after = set(doc_table.file_uris())
+    untouched_before = {p for p in before if f"source={target_src}" not in p}
+    # every non-matching file survives byte-identical (same path, no rewrite)
+    assert untouched_before <= after
+
+
+def test_delete_partition_pruning_reads_only_candidates(spark, doc_table):
+    """A partition-equality predicate must prune candidates to one partition."""
+    from delta_rs_spark.dml import _candidate_adds
+
+    cands = _candidate_adds(doc_table, "source = 'src3'")
+    assert cands, "expected candidate files"
+    assert all(a.partition_values.get("source") == "src3" for a in cands)
+    all_files = doc_table.snapshot.files()
+    assert len(cands) < len(all_files)
+
+
+def test_delete_stats_pruning(spark, tmp_path, docs):
+    """A range predicate outside a file's min/max skips that file."""
+    uri = str(tmp_path / "d2")
+    # write ordered by n_chars so files have disjoint ranges
+    write_deltalake(
+        spark,
+        docs.orderBy("n_chars"),
+        uri,
+        max_records_per_file=300,
+    )
+    t = DeltaTable(uri)
+    from delta_rs_spark.dml import _candidate_adds
+
+    lo = docs.agg(F.min("n_chars")).collect()[0][0]
+    cands = _candidate_adds(t, f"n_chars <= {lo}")
+    assert len(cands) < len(t.snapshot.files())
+
+
+def test_delete_no_match_is_noop(spark, doc_table):
+    v = doc_table.version
+    res = doc_table.delete(spark, "n_chars < -1")
+    assert res["numRemovedFiles"] == 0 and res["numDeletedRows"] == 0
+    assert doc_table.version == v  # no commit written
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "id int, v int"
+    )
+    uri = str(tmp_path / "n")
+    write_deltalake(spark, df, uri)
+    t = DeltaTable(uri)
+    t.delete(spark, "v > 15")
+    left = sorted(r["id"] for r in t.to_df(spark).collect())
+    assert left == [1, 2]  # NULL-predicate row kept, SQL DELETE semantics
+
+
+def test_update_basic(spark, doc_table, docs):
+    n_web = docs.filter("source = 'src3'").count()
+    res = doc_table.update_where(
+        spark, "source = 'src3'", {"lang": "'xx'", "n_chars": "n_chars + 1"}
+    )
+    assert res["numUpdatedRows"] == n_web
+    df = doc_table.to_df(spark)
+    assert df.filter("source = 'src3'").filter("lang != 'xx'").count() == 0
+    assert df.count() == docs.count()
+    # RHS saw pre-update values
+    expected = docs.filter("source = 'src3'").agg(
+        F.sum(F.col("n_chars") + 1).alias("s")
+    ).collect()[0]["s"]
+    got = df.filter("source = 'src3'").agg(F.sum("n_chars").alias("s")).collect()[0]["s"]
+    assert got == expected
+    assert doc_table.history()[0]["operation"] == "UPDATE"
+    # schema unchanged
+    assert doc_table.schema() == DeltaTable.for_version(doc_table.table_uri, 0).schema()
+
+
+def test_update_unknown_column_errors(spark, doc_table):
+    with pytest.raises(DMLError):
+        doc_table.update_where(spark, "n_chars > 0", {"nope": "1"})
+
+
+def test_merge_upsert(spark, tmp_path, docs):
+    uri = str(tmp_path / "m")
+    write_deltalake(spark, docs, uri, max_records_per_file=500)
+    t = DeltaTable(uri)
+    total = docs.count()
+
+    # source: 50 existing docs with mutated text + 25 brand-new ids
+    existing = docs.limit(50).withColumn("text", F.lit("UPDATED"))
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    new = (
+        docs.limit(25)
+        .withColumn("doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long"))
+        .withColumn("text", F.lit("INSERTED"))
+    )
+    source = existing.unionByName(new)
+
+    res = t.merge(spark, source, "t.doc_id = s.doc_id")
+    assert res["numTargetRowsUpdated"] == 50
+    assert res["numTargetRowsInserted"] == 25
+
+    df = t.to_df(spark)
+    assert df.count() == total + 25
+    assert df.filter("text = 'UPDATED'").count() == 50
+    assert df.filter("text = 'INSERTED'").count() == 25
+    assert t.history()[0]["operation"] == "MERGE"
+    # time travel: pre-merge version intact
+    assert DeltaTable.for_version(uri, 0).to_df(spark).count() == total
+
+
+def test_merge_matched_delete(spark, tmp_path, docs):
+    uri = str(tmp_path / "md")
+    write_deltalake(spark, docs, uri)
+    t = DeltaTable(uri)
+    victims = docs.limit(30).select("doc_id")
+    res = t.merge(
+        spark,
+        victims,
+        "t.doc_id = s.doc_id",
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    assert res["numTargetRowsDeleted"] == 30
+    assert t.to_df(spark).count() == docs.count() - 30
+
+
+def test_merge_partial_update_assignments(spark, tmp_path, docs):
+    uri = str(tmp_path / "mp")
+    write_deltalake(spark, docs, uri)
+    t = DeltaTable(uri)
+    src = docs.limit(10).select("doc_id", F.lit(-7).cast("long").alias("delta_chars"))
+    res = t.merge(
+        spark,
+        src,
+        "t.doc_id = s.doc_id",
+        when_matched_update={"n_chars": "t.n_chars + s.delta_chars"},
+        when_not_matched_insert=False,
+    )
+    assert res["numTargetRowsUpdated"] == 10
+    orig = {r["doc_id"]: r["n_chars"] for r in docs.limit(10).collect()}
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in t.to_df(spark).filter(
+            F.col("doc_id").isin(list(orig))
+        ).collect()
+    }
+    assert got == {k: v - 7 for k, v in orig.items()}
+
+
+def test_merge_duplicate_source_match_errors(spark, tmp_path, docs):
+    uri = str(tmp_path / "dup")
+    write_deltalake(spark, docs.limit(20), uri)
+    t = DeltaTable(uri)
+    one = docs.limit(1)
+    dup_src = one.unionByName(one)  # two source rows for the same doc_id
+    with pytest.raises(DMLError):
+        t.merge(spark, dup_src, "t.doc_id = s.doc_id", when_not_matched_insert=False)
+
+
+def test_merge_insert_only(spark, tmp_path, docs):
+    uri = str(tmp_path / "mi")
+    write_deltalake(spark, docs.limit(40), uri)
+    t = DeltaTable(uri)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    new = docs.limit(5).withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long")
+    )
+    res = t.merge(spark, new, "t.doc_id = s.doc_id")
+    assert res["numTargetRowsInserted"] == 5
+    assert res["numTargetRowsUpdated"] == 0
+    assert t.to_df(spark).count() == 45
+
+
+def test_skip_tuple_parser():
+    assert _skip_tuples_from_predicate("a = 5 AND b <= 'x'") == [
+        ("a", "=", 5),
+        ("b", "<=", "x"),
+    ]
+    assert _skip_tuples_from_predicate("a == 5") == [("a", "=", 5)]
+    assert _skip_tuples_from_predicate("a <> 5") == [("a", "!=", 5)]
+    # disjunctions / functions produce no hints (conservative)
+    assert _skip_tuples_from_predicate("a = 5 OR b = 2") == []
+    assert _skip_tuples_from_predicate("length(a) = 5") == []
+    # unparseable conjunct skipped, parseable kept
+    assert _skip_tuples_from_predicate("a = 5 AND b LIKE 'z%'") == [("a", "=", 5)]
+    assert _skip_tuples_from_predicate("a = -1.5") == [("a", "=", -1.5)]
+    assert _skip_tuples_from_predicate("s = 'it''s'") == [("s", "=", "it's")]
