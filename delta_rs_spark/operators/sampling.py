@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 1 << 32
@@ -81,6 +81,28 @@ def grouped_split(
     stays a narrow map — no shuffle, no group materialization.
     """
     return df.withColumn("split", split_column(group_col, weights, names, salt))
+
+
+def stratified_take(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``n`` rows per stratum, chosen deterministically.
+
+    Rows are ranked inside each stratum by their id hash (uniform, engine-
+    independent) and the first ``n`` kept — an exact-count stratified sample
+    that is reproducible on any engine and stable under repartitioning.
+    One shuffle on the stratum key; rank top-n is a bounded per-key
+    windowed scan (Spark's WindowGroupLimit pushes the limit into the sort,
+    so no stratum ever materializes fully).
+    """
+    w = F.row_number().over(
+        Window.partitionBy(stratum_col).orderBy(hash_bucket(id_col, salt), F.col(id_col))
+    )
+    return df.withColumn("_rk", w).filter(F.col("_rk") <= n_per_stratum).drop("_rk")
 
 
 def mixture_sample(

@@ -815,3 +815,87 @@ def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "seq_in_bucket")
     )
+
+
+@query(
+    "sample_stratified_exact",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                        doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rk <= 5 ORDER BY source, doc_id
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per source, deterministically chosen by id-hash rank —
+    the exact-count stratified sample a mixture-balanced training set needs.
+    Same rows on any engine / partitioning / corpus growth order."""
+    from .operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sampling.stratified_take(docs, "source", 5, id_col="doc_id")
+        .select("doc_id", "source")
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "embedding_centroid_norms",
+    """
+    WITH comps AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+      FROM embeddings
+    ),
+    sums AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS s
+      FROM comps GROUP BY label, pos
+    ),
+    norms AS (
+      SELECT label, SUM(CAST(s * s AS DECIMAL(30,12))) AS sum_sq
+      FROM sums GROUP BY label
+    )
+    SELECT n.label,
+           cnt.n_vecs,
+           CAST(CAST(sqrt(CAST(n.sum_sq AS DOUBLE)) / cnt.n_vecs AS DECIMAL(25,8)) AS DOUBLE) AS centroid_norm
+    FROM norms n
+    JOIN (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label) cnt
+      ON n.label = cnt.label
+    ORDER BY n.label
+    """,
+)
+def q_embedding_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid L2 norm — a cluster-coherence diagnostic (unit
+    vectors pointing the same way give ||centroid|| near 1; random directions
+    near 0). Componentwise sums are decimal-quantized so the reduction is
+    order-insensitive and oracle-exact; the heavy step (posexplode -> partial
+    agg on (label, pos)) shuffles one row per (label, dim), independent of
+    corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    sums = comps.groupBy("label", "pos").agg(
+        F.sum(F.col("x").cast("double").cast("decimal(30,12)")).cast("double").alias("s")
+    )
+    norms = sums.groupBy("label").agg(
+        F.sum((F.col("s") * F.col("s")).cast("decimal(30,12)")).alias("sum_sq")
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        norms.join(counts, "label")
+        .select(
+            "label",
+            "n_vecs",
+            (F.sqrt(F.col("sum_sq").cast("double")) / F.col("n_vecs"))
+            .cast("decimal(25,8)")
+            .cast("double")
+            .alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )

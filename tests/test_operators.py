@@ -591,3 +591,22 @@ def test_pack_sequences_budget_and_order(spark):
     # seq_key is globally unique across buckets
     keys = {r.seq_key for r in out}
     assert len(keys) == 2
+
+
+def test_stratified_take_exact_counts_and_determinism(spark, sf_dir):
+    import os
+
+    from delta_rs_spark.operators import sampling
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out = sampling.stratified_take(docs, "source", 5, id_col="doc_id")
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_sources = docs.select("source").distinct().count()
+    assert len(counts) == n_sources
+    assert all(n == 5 for n in counts.values())
+    # deterministic under repartitioning: same rows regardless of layout
+    ids1 = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    out2 = sampling.stratified_take(docs.repartition(13), "source", 5, id_col="doc_id")
+    ids2 = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
+    assert ids1 == ids2
