@@ -11,6 +11,7 @@ Plus `operators/`: the large-scale training-data pipeline toolkit
 (dedup, similarity search, text analysis, multimodal plumbing).
 """
 
+from .cdf import cdf_enabled, load_cdf
 from .dml import DMLError, delete, merge, update
 from .json_writer import BufferedJsonWriter
 from .protocol.log import DeltaLog
@@ -34,6 +35,8 @@ __all__ = [
     "update",
     "merge",
     "DMLError",
+    "load_cdf",
+    "cdf_enabled",
     "get_spark",
     "__version__",
 ]

@@ -37,6 +37,7 @@ from urllib.parse import unquote, urlparse
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cdf import CHANGE_TYPE_COL, cdf_enabled
 from .protocol.actions import AddAction, RemoveAction
 from .protocol.stats import SkipTuple
 from .table import DeltaTable
@@ -154,9 +155,11 @@ def _stage_and_swap(
     operation: str,
     params: dict[str, Any],
     extra_metrics: dict[str, Any],
+    change_rows: Optional[DataFrame] = None,
 ) -> dict[str, Any]:
     """Write ``new_rows`` through the staged-write path and commit
-    Remove(removed) + Add(staged) as one version."""
+    Remove(removed) + Add(staged) (+ cdc change files, when given) as one
+    version."""
     import uuid as _uuid
 
     from .writer import _promote_staged_files
@@ -171,8 +174,15 @@ def _stage_and_swap(
     writer.parquet(staging_dir)
     adds = _promote_staged_files(spark, log, staging_dir, pcols)
 
+    cdc_actions: list = []
+    if change_rows is not None:
+        from .cdf import write_change_files
+
+        cdc_actions = write_change_files(spark, log, change_rows)
+
     now_ms = int(time.time() * 1000)
     txn = DeltaTransaction(table)
+    txn.add_actions(cdc_actions)
     for old in removed:
         txn.add_action(
             RemoveAction(
@@ -223,11 +233,17 @@ def delete(spark: SparkSession, table: DeltaTable, predicate: str) -> dict[str, 
         }
 
     snap = table._snapshot
-    keep = snap.df_for_adds(spark, matched).filter(~cond)
+    df = snap.df_for_adds(spark, matched)
+    keep = df.filter(~cond)
     total_in_matched = sum(a.num_records or 0 for a in matched)
     n_copied = total_in_matched - n_deleted if all(
         a.num_records is not None for a in matched
     ) else None
+
+    change_rows = None
+    if cdf_enabled(table):
+        change_rows = df.filter(cond).withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+
     return _stage_and_swap(
         spark,
         table,
@@ -236,6 +252,7 @@ def delete(spark: SparkSession, table: DeltaTable, predicate: str) -> dict[str, 
         "DELETE",
         params,
         {"numDeletedRows": n_deleted, "numCopiedRows": n_copied if n_copied is not None else ""},
+        change_rows=change_rows,
     )
 
 
@@ -275,6 +292,10 @@ def update(
     snap = table._snapshot
     df = snap.df_for_adds(spark, matched)
     types = {f.name: f.dataType for f in schema.fields}
+    assigned = [
+        F.expr(assignments[c]).cast(types[c]).alias(c) if c in assignments else F.col(c)
+        for c in schema.names
+    ]
     projected = df.select(
         *[
             (
@@ -287,6 +308,17 @@ def update(
             for c in schema.names
         ]
     )
+
+    change_rows = None
+    if cdf_enabled(table):
+        pre = df.filter(cond).withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+        post = (
+            df.filter(cond)
+            .select(*assigned)
+            .withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+        )
+        change_rows = pre.unionByName(post)
+
     return _stage_and_swap(
         spark,
         table,
@@ -295,6 +327,7 @@ def update(
         "UPDATE",
         {"predicate": predicate},
         {"numUpdatedRows": n_updated},
+        change_rows=change_rows,
     )
 
 
@@ -372,6 +405,8 @@ def merge(
     rewrite = [a for a in all_adds if _norm_file_uri(snap._absolute(a.path)) in matched_paths]
 
     # --- rewritten content for matched files ---
+    track_changes = cdf_enabled(table)
+    change_parts: list[DataFrame] = []
     n_updated = n_deleted = 0
     if rewrite:
         rw = snap.df_for_adds(spark, rewrite).alias("t")
@@ -379,11 +414,18 @@ def merge(
         # column is nullable)
         s_tagged = source.withColumn("__matched", F.lit(True)).alias("s")
         joined = rw.join(s_tagged, F.expr(condition), "left")
+        matched_t = joined.filter(F.col("__matched").isNotNull()).select(
+            *[F.col(f"t.{c}").alias(c) for c in schema.names]
+        )
         if when_matched_delete:
             new_rows = joined.filter(F.col("__matched").isNull()).select(
                 *[F.col(f"t.{c}") for c in schema.names]
             )
             n_deleted = n_matched
+            if track_changes:
+                change_parts.append(
+                    matched_t.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+                )
         else:
             assignments = when_matched_update or {c: f"s.{c}" for c in schema.names}
             bad = set(assignments) - set(schema.names)
@@ -406,6 +448,23 @@ def merge(
                 ]
             )
             n_updated = n_matched
+            if track_changes:
+                post = joined.filter(F.col("__matched").isNotNull()).select(
+                    *[
+                        (
+                            F.expr(assignments[c]).cast(types[c]).alias(c)
+                            if c in assignments
+                            else F.col(f"t.{c}").alias(c)
+                        )
+                        for c in schema.names
+                    ]
+                )
+                change_parts.append(
+                    matched_t.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+                )
+                change_parts.append(
+                    post.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+                )
     else:
         new_rows = spark.createDataFrame([], schema)
 
@@ -418,6 +477,8 @@ def merge(
         )
         n_inserted = inserts.count()
         new_rows = new_rows.unionByName(inserts) if rewrite else inserts
+        if track_changes and n_inserted:
+            change_parts.append(inserts.withColumn(CHANGE_TYPE_COL, F.lit("insert")))
 
     if not rewrite and n_inserted == 0:
         return {
@@ -428,6 +489,12 @@ def merge(
             "numTargetRowsDeleted": 0,
             "numTargetRowsInserted": 0,
         }
+
+    change_rows = None
+    if track_changes and change_parts:
+        change_rows = change_parts[0]
+        for p in change_parts[1:]:
+            change_rows = change_rows.unionByName(p)
 
     return _stage_and_swap(
         spark,
@@ -441,4 +508,5 @@ def merge(
             "numTargetRowsDeleted": n_deleted,
             "numTargetRowsInserted": n_inserted,
         },
+        change_rows=change_rows,
     )

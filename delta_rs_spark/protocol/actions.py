@@ -223,6 +223,43 @@ class CommitInfoAction:
         return cls(info=dict(d))
 
 
+@dataclass
+class CdcAction:
+    """A change-data file under ``_change_data/`` (row-level CDC for one
+    commit). Matches the public Delta protocol's AddCDCFile (``cdc`` log
+    key); change files are not part of the active data set — readers see
+    them only through the change-feed API. The reference reserves the
+    ``_change_data`` directory in its hidden-path predicate
+    (``rust/src/delta.rs:904-916``) without implementing a writer."""
+
+    path: str
+    size: int
+    partition_values: dict[str, Optional[str]] = field(default_factory=dict)
+    data_change: bool = False
+    tags: Optional[dict[str, Any]] = None
+
+    def to_json_dict(self) -> dict[str, Any]:
+        d: dict[str, Any] = {
+            "path": self.path,
+            "partitionValues": self.partition_values,
+            "size": self.size,
+            "dataChange": self.data_change,
+        }
+        if self.tags is not None:
+            d["tags"] = self.tags
+        return d
+
+    @classmethod
+    def from_json_dict(cls, d: dict[str, Any]) -> "CdcAction":
+        return cls(
+            path=d["path"],
+            size=d.get("size", 0),
+            partition_values=d.get("partitionValues") or {},
+            data_change=d.get("dataChange", False),
+            tags=d.get("tags"),
+        )
+
+
 Action = (
     AddAction
     | RemoveAction
@@ -230,6 +267,7 @@ Action = (
     | TxnAction
     | ProtocolAction
     | CommitInfoAction
+    | CdcAction
 )
 
 _KEY_TO_CLASS = {
@@ -239,6 +277,7 @@ _KEY_TO_CLASS = {
     "txn": TxnAction,
     "protocol": ProtocolAction,
     "commitInfo": CommitInfoAction,
+    "cdc": CdcAction,
 }
 
 _CLASS_TO_KEY = {v: k for k, v in _KEY_TO_CLASS.items()}

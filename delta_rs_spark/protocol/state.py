@@ -14,6 +14,7 @@ from typing import Any, Iterable, Optional
 from .actions import (
     Action,
     AddAction,
+    CdcAction,
     CommitInfoAction,
     MetaDataAction,
     ProtocolAction,
@@ -52,6 +53,8 @@ class TableState:
             self.min_writer_version = action.min_writer_version
         elif isinstance(action, CommitInfoAction):
             self.commit_infos.append(action.info)
+        elif isinstance(action, CdcAction):
+            pass  # change-data files are not part of the active data set
         else:  # pragma: no cover
             raise TypeError(f"unknown action {type(action)}")
 

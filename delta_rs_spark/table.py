@@ -257,6 +257,19 @@ class DeltaTable:
             dry_run=dry_run,
         )
 
+    # ---- change data feed (implemented in cdf.py) ----------------------------
+    def load_cdf(
+        self,
+        spark: SparkSession,
+        starting_version: int = 0,
+        ending_version: Optional[int] = None,
+    ) -> DataFrame:
+        from .cdf import load_cdf as _load_cdf
+
+        return _load_cdf(
+            spark, self, starting_version=starting_version, ending_version=ending_version
+        )
+
     # ---- copy-on-write DML (implemented in dml.py) ---------------------------
     def delete(self, spark: SparkSession, predicate: str) -> dict:
         from .dml import delete as _delete

@@ -1,0 +1,120 @@
+"""Change Data Feed: row-level changes between versions.
+
+The reference reserves ``_change_data`` in its vacuum hidden-path predicate
+(``rust/src/delta.rs:904-916``) without a writer; here the public Delta CDF
+semantics are implemented end-to-end: cdc actions + change files on DML when
+``delta.enableChangeDataFeed=true``, synthesized insert/delete from file
+actions otherwise.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.cdf import CDF_PROPERTY
+from delta_rs_spark.protocol.actions import CdcAction
+
+
+@pytest.fixture()
+def docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+@pytest.fixture()
+def cdf_table(spark, tmp_path, docs):
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark, docs, uri, configuration={CDF_PROPERTY: "true"}, max_records_per_file=200
+    )
+    return DeltaTable(uri)
+
+
+def test_append_synthesizes_inserts(spark, cdf_table, docs):
+    cdf = cdf_table.load_cdf(spark)
+    assert cdf.count() == docs.count()
+    assert cdf.select("_change_type").distinct().collect()[0][0] == "insert"
+    assert cdf.select("_commit_version").distinct().collect()[0][0] == 0
+    # CDF columns ride alongside the full table schema
+    assert set(cdf.columns) == set(docs.columns) | {"_change_type", "_commit_version"}
+
+
+def test_delete_writes_change_files(spark, cdf_table, docs):
+    n_del = docs.filter("n_chars < 200").count()
+    cdf_table.delete(spark, "n_chars < 200")
+    # cdc actions committed, files under _change_data/
+    actions = cdf_table.log.try_read_commit(1)
+    cdc = [a for a in actions if isinstance(a, CdcAction)]
+    assert cdc and all(a.path.startswith("_change_data/") for a in cdc)
+    changes = cdf_table.load_cdf(spark, starting_version=1)
+    assert changes.count() == n_del
+    assert changes.filter("_change_type = 'delete'").count() == n_del
+    # the deleted rows are exactly the predicate matches
+    assert changes.filter("n_chars >= 200").count() == 0
+
+
+def test_update_pre_and_post_images(spark, cdf_table, docs):
+    n = docs.filter("source = 'src3'").count()
+    cdf_table.update_where(spark, "source = 'src3'", {"n_chars": "n_chars + 1000"})
+    ch = cdf_table.load_cdf(spark, starting_version=1)
+    pre = ch.filter("_change_type = 'update_preimage'")
+    post = ch.filter("_change_type = 'update_postimage'")
+    assert pre.count() == n and post.count() == n
+    # post-image n_chars is exactly pre-image + 1000, row-for-row by doc_id
+    joined = pre.alias("a").join(post.alias("b"), "doc_id").select(
+        (F.col("b.n_chars") - F.col("a.n_chars")).alias("d")
+    )
+    assert joined.filter("d != 1000").count() == 0
+
+
+def test_merge_change_mix(spark, cdf_table, docs):
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    existing = docs.limit(20).withColumn("text", F.lit("U"))
+    new = docs.limit(7).withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long")
+    )
+    cdf_table.merge(spark, existing.unionByName(new), "t.doc_id = s.doc_id")
+    ch = cdf_table.load_cdf(spark, starting_version=1)
+    by_type = {r["_change_type"]: r["n"] for r in
+               ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_type == {"update_preimage": 20, "update_postimage": 20, "insert": 7}
+
+
+def test_cdf_disabled_dml_synthesis_not_rowlevel(spark, tmp_path, docs):
+    """Without the property, DML commits carry no cdc files; load_cdf falls
+    back to file-level synthesis (rewritten files show copied rows too)."""
+    uri = str(tmp_path / "plain")
+    write_deltalake(spark, docs, uri, max_records_per_file=200)
+    t = DeltaTable(uri)
+    t.delete(spark, "n_chars < 200")
+    actions = t.log.try_read_commit(1)
+    assert not [a for a in actions if isinstance(a, CdcAction)]
+    ch = t.load_cdf(spark, starting_version=1)
+    # file-level: every removed file's rows appear as delete, surviving
+    # rewritten rows appear as insert — coarser than row-level CDF
+    assert ch.filter("_change_type = 'delete'").count() >= docs.filter("n_chars < 200").count()
+
+
+def test_version_range_and_overwrite(spark, tmp_path, docs):
+    uri = str(tmp_path / "ow")
+    write_deltalake(spark, docs.limit(50), uri)
+    write_deltalake(spark, docs.limit(10), uri, mode="overwrite")
+    t = DeltaTable(uri)
+    v1 = t.load_cdf(spark, starting_version=1, ending_version=1)
+    by_type = {r["_change_type"]: r["n"] for r in
+               v1.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_type == {"insert": 10, "delete": 50}
+    only_v0 = t.load_cdf(spark, starting_version=0, ending_version=0)
+    assert only_v0.count() == 50
+    with pytest.raises(ValueError):
+        t.load_cdf(spark, starting_version=5, ending_version=1)
+
+
+def test_vacuum_keeps_change_files_until_retention(spark, cdf_table):
+    cdf_table.delete(spark, "n_chars < 200")
+    listed = cdf_table.vacuum(retention_hours=168, dry_run=True)
+    # fresh change files are within retention: not deletable yet
+    assert not [p for p in listed if "_change_data" in p]
