@@ -9,6 +9,12 @@ Parity with the reference's ``delta-inspect`` binary
 - ``inspect info <uri>``                    — dump table metadata
 - ``inspect files <uri> [-v N] [--full-uri]`` — list active files, optionally
   at an exact version / as absolute URIs
+
+Beyond the reference binary (still Spark-free):
+
+- ``inspect history <uri> [-n N]``   — commitInfo provenance, newest first
+- ``vacuum <uri> [--retention-hours H] [--no-dry-run]`` — list/delete
+  unreferenced files (168h guard, dry-run by default, like the API)
 """
 
 from __future__ import annotations
@@ -55,6 +61,26 @@ def _cmd_files(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_history(args: argparse.Namespace) -> int:
+    table = DeltaTable(args.uri)
+    for entry in table.history(limit=args.limit):
+        print(json.dumps(entry, separators=(",", ":")))
+    return 0
+
+
+def _cmd_vacuum(args: argparse.Namespace) -> int:
+    table = DeltaTable(args.uri)
+    dry = not args.no_dry_run
+    removed = table.vacuum(retention_hours=args.retention_hours, dry_run=dry)
+    for p in removed:
+        print(p)
+    print(
+        f"{'would delete' if dry else 'deleted'} {len(removed)} files",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="python -m delta_rs_spark", description="Delta table inspector"
@@ -75,6 +101,21 @@ def main(argv: list[str] | None = None) -> int:
     p_files.add_argument("-f", "--full-uri", action="store_true", help="display full URIs")
     p_files.add_argument("-v", "--version", type=int, default=None, help="table version")
     p_files.set_defaults(func=_cmd_files)
+
+    p_hist = isub.add_parser("history", help="commitInfo provenance, newest first")
+    p_hist.add_argument("uri", help="Table URI")
+    p_hist.add_argument("-n", "--limit", type=int, default=None, help="max entries")
+    p_hist.set_defaults(func=_cmd_history)
+
+    p_vac = sub.add_parser("vacuum", help="list/delete unreferenced files")
+    p_vac.add_argument("uri", help="Table URI")
+    p_vac.add_argument(
+        "--retention-hours", type=int, default=168, help="retention floor (>=168)"
+    )
+    p_vac.add_argument(
+        "--no-dry-run", action="store_true", help="actually delete (default: list only)"
+    )
+    p_vac.set_defaults(func=_cmd_vacuum)
 
     args = parser.parse_args(argv)
     return args.func(args)

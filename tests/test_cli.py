@@ -35,3 +35,27 @@ def test_inspect_files_full_uri(golden, capsys):
     assert len(uris) == 6
     assert all(u.startswith(path) for u in uris)
     assert all("year=" in u for u in uris)
+
+
+def test_inspect_history(golden, capsys):
+    assert main(["inspect", "history", golden("simple_table"), "-n", "2"]) == 0
+    lines = capsys.readouterr().out.splitlines()
+    assert len(lines) == 2
+    assert all(isinstance(json.loads(ln), dict) for ln in lines)
+
+
+def test_vacuum_cli_dry_run(golden, capsys):
+    # golden table has tombstones well past retention; dry-run lists them
+    # without touching anything
+    assert main(["vacuum", golden("simple_table")]) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert all(p and not p.startswith("_delta_log") for p in out)
+
+
+def test_vacuum_cli_retention_guard(golden):
+    import pytest
+
+    from delta_rs_spark.maintenance import VacuumError
+
+    with pytest.raises(VacuumError):
+        main(["vacuum", golden("simple_table"), "--retention-hours", "1"])
