@@ -40,11 +40,19 @@ class DeltaFilePartition(InputPartition):
         partition_values: dict[str, str | None],
         schema_json: str,
         partition_columns: list[str],
+        change_type: str | None = None,
+        commit_version: int | None = None,
+        is_cdc_file: bool = False,
     ):
         self.file_uri = file_uri
         self.partition_values = partition_values
         self.schema_json = schema_json
         self.partition_columns = partition_columns
+        # change-feed mode: constant _change_type for data files, or read it
+        # from the file itself for cdc files; _commit_version always constant
+        self.change_type = change_type
+        self.commit_version = commit_version
+        self.is_cdc_file = is_cdc_file
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -54,6 +62,9 @@ class DeltaStreamReader(DataSourceStreamReader):
             raise ValueError("option 'path' is required for the delta_stream source")
         self.starting_version = int(options.get("startingversion", 0))
         self.ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
+        self.read_change_feed = (
+            str(options.get("readchangefeed", "false")).lower() == "true"
+        )
         self.schema = schema
 
         from ..table import DeltaTable
@@ -76,6 +87,9 @@ class DeltaStreamReader(DataSourceStreamReader):
             actions = log.try_read_commit(v)
             if actions is None:
                 break
+            if self.read_change_feed:
+                parts.extend(self._cdf_partitions(v, actions, log, meta))
+                continue
             for a in actions:
                 if isinstance(a, RemoveAction) and a.data_change and not self.ignore_changes:
                     raise RuntimeError(
@@ -98,6 +112,60 @@ class DeltaStreamReader(DataSourceStreamReader):
                     )
         return parts
 
+    def _cdf_partitions(self, v: int, actions, log, meta) -> list[DeltaFilePartition]:
+        """Change-feed partitions for one commit: cdc files where present
+        (row-level truth), else adds→insert and removes→delete. No
+        ignoreChanges gate — in CDF mode deletes ARE the payload."""
+        from ..protocol.actions import AddAction, CdcAction, RemoveAction
+
+        def absolute(path: str) -> str:
+            return (
+                path
+                if path.startswith("/") or "://" in path
+                else f"{log.table_root}/{path}"
+            )
+
+        cdc = [a for a in actions if isinstance(a, CdcAction)]
+        if cdc:
+            # change files carry every table column (incl. partition cols)
+            # plus _change_type; nothing to reconstruct
+            return [
+                DeltaFilePartition(
+                    absolute(a.path),
+                    {},
+                    meta.schema_string,
+                    [],
+                    commit_version=v,
+                    is_cdc_file=True,
+                )
+                for a in cdc
+            ]
+        parts: list[DeltaFilePartition] = []
+        for a in actions:
+            if isinstance(a, AddAction) and a.data_change:
+                parts.append(
+                    DeltaFilePartition(
+                        absolute(a.path),
+                        a.partition_values,
+                        meta.schema_string,
+                        meta.partition_columns,
+                        change_type="insert",
+                        commit_version=v,
+                    )
+                )
+            elif isinstance(a, RemoveAction) and a.data_change:
+                parts.append(
+                    DeltaFilePartition(
+                        absolute(a.path),
+                        a.partition_values or {},
+                        meta.schema_string,
+                        meta.partition_columns,
+                        change_type="delete",
+                        commit_version=v,
+                    )
+                )
+        return parts
+
     def read(self, partition: DeltaFilePartition) -> Iterator[tuple]:
         """Executor-side: one parquet file → rows (pyarrow, Arrow-native)."""
         import pyarrow.parquet as pq
@@ -117,6 +185,14 @@ class DeltaStreamReader(DataSourceStreamReader):
             else:
                 cols[f.name] = table.column(f.name).to_pylist()
         names = [f.name for f in schema.fields]
+        if partition.commit_version is not None:
+            # change-feed mode: append _change_type and _commit_version
+            if partition.is_cdc_file:
+                cols["_change_type"] = table.column("_change_type").to_pylist()
+            else:
+                cols["_change_type"] = [partition.change_type] * table.num_rows
+            cols["_commit_version"] = [partition.commit_version] * table.num_rows
+            names = names + ["_change_type", "_commit_version"]
         for i in range(table.num_rows):
             yield tuple(cols[n][i] for n in names)
 
@@ -139,9 +215,18 @@ class DeltaStreamDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("option 'path' is required")
-        return schema_string_to_spark(
-            DeltaTable(path).metadata().schema_string
-        ).simpleString()
+        schema = schema_string_to_spark(DeltaTable(path).metadata().schema_string)
+        if str(self.options.get("readchangefeed", "false")).lower() == "true":
+            from pyspark.sql.types import LongType, StringType, StructField
+
+            schema = StructType(
+                list(schema.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+        return schema.simpleString()
 
     def streamReader(self, schema: StructType) -> DeltaStreamReader:
         return DeltaStreamReader(schema, dict(self.options))

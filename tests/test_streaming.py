@@ -249,3 +249,39 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     rows = spark.sql("select id from dedup_sink").collect()
     ids = sorted(r.id for r in rows)
     assert ids == list(range(8)), ids  # each id exactly once
+
+
+def test_stream_change_feed(spark, tmp_path):
+    """readChangeFeed=true streams row-level changes: inserts from appends,
+    cdc change files from DML commits."""
+    from delta_rs_spark import DeltaTable
+
+    uri = str(tmp_path / "cdf_tbl")
+    df = spark.range(0, 8).select(F.col("id"), (F.col("id") % 3).alias("bucket"))
+    write_deltalake(
+        spark, df, uri, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    t = DeltaTable(uri)
+    t.delete(spark, "id >= 6")
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", uri)
+        .option("startingVersion", "0")
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from cdf_stream_sink").collect()
+    inserts = [r for r in rows if r._change_type == "insert"]
+    deletes = [r for r in rows if r._change_type == "delete"]
+    assert sorted(r.id for r in inserts) == list(range(8))
+    assert all(r._commit_version == 0 for r in inserts)
+    assert sorted(r.id for r in deletes) == [6, 7]
+    assert all(r._commit_version == 1 for r in deletes)
