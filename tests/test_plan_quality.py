@@ -84,6 +84,7 @@ CARTESIAN_OK = {
     "text_tfidf_topk",        # 1-row document-count broadcast
     "q15_top_supplier",       # 1-row max broadcast
     "q22_idle_customers",     # 1-row avg broadcast
+    "q_events_funnel",        # crossJoin of three 1-row stage counts
 }
 
 
@@ -121,3 +122,52 @@ def test_tfidf_no_extra_scans(q):
     cached branch), and the N-broadcast is the only nested-loop join."""
     s = summarize(q("text_tfidf_topk"))
     assert s.nested_loop_joins <= 1
+
+
+def test_events_funnel_no_cartesian_and_pruned(q):
+    """Stage tables are 1-row aggregates; the final crossJoins must be
+    broadcast (trivial), the per-stage joins hash joins, never nested-loop
+    over the fact table."""
+    df = q("q_events_funnel")
+    s = summarize(df)
+    # the three 1-row count frames combine via broadcast nested loop on
+    # literally one row each — acceptable; what must NOT happen is a
+    # nested-loop involving a scan-sized input. Assert every events scan is
+    # column-pruned instead (6-col table, funnel needs 3).
+    assert all(len(cols) <= 3 for cols in s.read_schemas)
+    assert_filter_pushed(df, "event_type")
+
+
+def test_events_retention_single_scan_shape(q):
+    df = q("q_events_retention")
+    s = summarize(df)
+    assert_no_nested_loop_join(df)
+    # user-day distinct + first-day agg + join: everything keyed on user_id
+    assert s.broadcast_hash_joins + s.sort_merge_joins + s.shuffled_hash_joins >= 1
+    assert all(len(cols) <= 2 for cols in s.read_schemas)
+
+
+def test_events_pivot_one_shuffle(q):
+    df = q("q_events_pivot")
+    s = summarize(df)
+    # single groupBy pivot: one scan; shuffles limited to agg + final sort
+    assert s.scans == 1
+    assert s.exchanges <= 3
+
+
+def test_stratified_sample_window_group_limit(q, spark, sf_dir):
+    """The per-stratum rank must be limit-pushed (WindowGroupLimit), so no
+    stratum ever fully materializes in the window sort."""
+    from delta_rs_spark.plans import _plan_text
+
+    df = q("sample_stratified_exact")
+    assert "WindowGroupLimit" in _plan_text(df)
+
+
+def test_centroid_norms_partial_agg(q):
+    """posexplode -> (label,pos) agg must partial-aggregate before the
+    shuffle; no nested-loop; embeddings scan reads only 2 columns."""
+    df = q("embedding_centroid_norms")
+    s = summarize(df)
+    assert_no_nested_loop_join(df)
+    assert all(len(cols) <= 2 for cols in s.read_schemas)
