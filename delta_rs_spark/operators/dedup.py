@@ -421,3 +421,108 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup-index maintenance (CDF + txn watermark)
+# ---------------------------------------------------------------------------
+
+def update_dedup_index(
+    spark,
+    corpus_table,
+    index_uri: str,
+    key_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    app_id: str = "exact-dedup-index",
+) -> dict:
+    """Incrementally maintain an exact-dedup index over a growing corpus.
+
+    The index is itself a Delta table of ``(key_hash, doc_id)`` — one row per
+    distinct content hash, keeping the first (lowest-id) document seen. Each
+    call processes ONLY the corpus rows inserted since the last run:
+
+    1. The last-processed corpus version is read from the index table's
+       ``txn`` watermark (the reference's exactly-once mechanism,
+       ``rust/src/delta.rs:863-866`` / E7) — crash-safe because the watermark
+       commits atomically WITH the index rows it covers.
+    2. New rows come from the corpus change feed (cdf.py) for the unprocessed
+       version range — work is proportional to what changed, never corpus size.
+    3. Batch-internal dups collapse in one hash-shuffle; cross-batch dups are
+       a left-anti join against the index on ``key_hash`` (broadcast or
+       shuffled hash join, Catalyst/AQE decide by size).
+
+    Returns metrics: versions processed, rows seen, new keys added, duplicate
+    rows detected. Re-running with nothing new is a watermark-check no-op.
+    Deletes in the corpus are ignored (an index entry whose document was
+    deleted is stale but harmless for dedup; rebuild to reclaim).
+    """
+    from ..cdf import load_cdf
+    from ..protocol.actions import TxnAction
+    from ..protocol.snapshot import NotATableError
+    from ..table import DeltaTable
+    from ..writer import write_deltalake
+
+    key_cols = key_cols or ["text"]
+    corpus_version = corpus_table.version
+
+    index = None
+    last: int | None = None
+    try:
+        index = DeltaTable(index_uri)
+        last = index.get_app_transaction_version(app_id)
+    except NotATableError:
+        pass
+
+    start = 0 if last is None else last + 1
+    if start > corpus_version:
+        return {
+            "processed_versions": 0,
+            "rows_seen": 0,
+            "new_keys": 0,
+            "duplicate_rows": 0,
+            "corpus_version": corpus_version,
+        }
+
+    changes = load_cdf(
+        spark, corpus_table, starting_version=start, ending_version=corpus_version
+    )
+    inserts = changes.filter(F.col("_change_type") == "insert")
+    hashed = inserts.select(
+        F.md5(F.concat_ws("\x1f", *key_cols)).alias("key_hash"),
+        F.col(id_col).alias("doc_id"),
+    )
+    rows_seen = hashed.count()
+
+    if index is not None:
+        existing = index.to_df(spark, columns=["key_hash"])
+        fresh = hashed.join(existing, "key_hash", "left_anti")
+        cross_batch_dups = rows_seen - fresh.count()
+    else:
+        fresh = hashed
+        cross_batch_dups = 0
+
+    new_unique = fresh.groupBy("key_hash").agg(F.min("doc_id").alias("doc_id"))
+    new_keys = new_unique.count()
+    duplicate_rows = cross_batch_dups + (rows_seen - cross_batch_dups - new_keys)
+
+    import time as _time
+
+    txn = TxnAction(
+        app_id=app_id, version=corpus_version, last_updated=int(_time.time() * 1000)
+    )
+    write_deltalake(
+        spark,
+        new_unique.select("key_hash", "doc_id"),
+        index_uri,
+        mode="append",
+        extra_actions=[txn],
+        operation="STREAMING UPDATE",
+        operation_parameters_extra={"appId": app_id, "corpusVersion": corpus_version},
+    )
+    return {
+        "processed_versions": corpus_version - start + 1,
+        "rows_seen": rows_seen,
+        "new_keys": new_keys,
+        "duplicate_rows": duplicate_rows,
+        "corpus_version": corpus_version,
+    }

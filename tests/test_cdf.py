@@ -118,3 +118,47 @@ def test_vacuum_keeps_change_files_until_retention(spark, cdf_table):
     listed = cdf_table.vacuum(retention_hours=168, dry_run=True)
     # fresh change files are within retention: not deletable yet
     assert not [p for p in listed if "_change_data" in p]
+
+
+def test_incremental_dedup_index(spark, tmp_path, docs):
+    """CDF + txn watermark = exactly-once incremental dedup maintenance."""
+    from delta_rs_spark.operators.dedup import update_dedup_index
+
+    corpus_uri = str(tmp_path / "corpus")
+    index_uri = str(tmp_path / "index")
+
+    batch1 = docs.limit(100)
+    write_deltalake(
+        spark, batch1, corpus_uri, configuration={CDF_PROPERTY: "true"}
+    )
+    corpus = DeltaTable(corpus_uri)
+
+    m1 = update_dedup_index(spark, corpus, index_uri)
+    uniq1 = batch1.select("text").distinct().count()
+    assert m1["rows_seen"] == 100
+    assert m1["new_keys"] == uniq1
+    assert m1["duplicate_rows"] == 100 - uniq1
+
+    # batch 2: 30 fresh docs + 10 exact copies of batch-1 texts under new ids
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    fresh = docs.orderBy("doc_id").limit(130).subtract(batch1)
+    copies = batch1.limit(10).withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long")
+    )
+    write_deltalake(spark, fresh.unionByName(copies), corpus_uri, mode="append")
+    corpus.update()
+
+    m2 = update_dedup_index(spark, corpus, index_uri)
+    assert m2["processed_versions"] == 1          # only the new commit
+    assert m2["rows_seen"] == 40
+    assert m2["duplicate_rows"] >= 10             # the copies hit the index
+
+    # idempotent: nothing new -> watermark short-circuits, no commit
+    idx_version = DeltaTable(index_uri).version
+    m3 = update_dedup_index(spark, corpus, index_uri)
+    assert m3["processed_versions"] == 0 and m3["rows_seen"] == 0
+    assert DeltaTable(index_uri).version == idx_version
+
+    # the index holds exactly the distinct corpus texts
+    n_distinct = corpus.to_df(spark).select("text").distinct().count()
+    assert DeltaTable(index_uri).to_df(spark).count() == n_distinct
