@@ -25,6 +25,13 @@ Spark-first, scale-first design:
 
 All operations record Delta-style commitInfo (operation, predicate,
 operationMetrics) so ``table.history()`` reads like a real Delta log.
+
+Concurrency semantics are v0-faithful: commits go through the blind
+optimistic-retry loop with NO semantic conflict checking (the reference
+deliberately defers isolation levels — commented-out sketch at
+``rust/src/delta.rs:1309-1322``). Two concurrent DML statements both
+commit; the later one wins on any file both touched. Serialize writers
+externally if that matters, exactly as with the reference.
 """
 
 from __future__ import annotations

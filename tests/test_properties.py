@@ -125,3 +125,49 @@ def test_stats_pruning_is_conservative(sp):
 
     if any(sat(r) for r in rows):
         assert file_may_match(add, [("v", op, lit)])
+
+
+# ---- DML skip-tuple parser ------------------------------------------------
+
+ident = st.text(alphabet="abcz_", min_size=1, max_size=5)
+cmp_ops = st.sampled_from(["=", "==", "!=", "<>", "<", "<=", ">", ">="])
+lit_ints = st.integers(min_value=-10**6, max_value=10**6)
+lit_strs = st.text(alphabet="xy0 '", max_size=6)
+
+
+@st.composite
+def simple_conjunctions(draw):
+    n = draw(st.integers(min_value=1, max_value=4))
+    conjuncts = []
+    expected = []
+    for _ in range(n):
+        col = draw(ident)
+        op = draw(cmp_ops)
+        if draw(st.booleans()):
+            v = draw(lit_ints)
+            lit = str(v)
+        else:
+            v = draw(lit_strs)
+            lit = "'" + v.replace("'", "''") + "'"
+        conjuncts.append(f"{col} {op} {lit}")
+        norm = {"==": "=", "<>": "!="}.get(op, op)
+        expected.append((col, norm, v))
+    return " AND ".join(conjuncts), expected
+
+
+@given(simple_conjunctions())
+def test_skip_tuple_parser_roundtrip(case):
+    """Any simple conjunction parses to exactly its (col, op, literal)
+    tuples — the pruner never sees a wrong hint (which could drop a file
+    that contains matching rows)."""
+    from delta_rs_spark.dml import _skip_tuples_from_predicate
+
+    predicate, expected = case
+    assert _skip_tuples_from_predicate(predicate) == expected
+
+
+@given(st.text(max_size=40))
+def test_skip_tuple_parser_never_crashes(s):
+    from delta_rs_spark.dml import _skip_tuples_from_predicate
+
+    _skip_tuples_from_predicate(s)
