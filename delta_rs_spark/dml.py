@@ -169,10 +169,13 @@ def _stage_and_swap(
     version."""
     import uuid as _uuid
 
-    from .writer import _promote_staged_files
+    from .writer import _promote_staged_files, check_constraints
 
     log = table.log
     pcols = table.metadata().partition_columns
+    # CHECK constraints apply to the rewritten content (UPDATE/MERGE can
+    # introduce violations; DELETE survivors pass trivially)
+    check_constraints(new_rows, table.metadata().configuration)
 
     staging_dir = log.backend.join(log.table_root, f".tmp-commit-{_uuid.uuid4().hex}")
     writer = new_rows.write.mode("overwrite")

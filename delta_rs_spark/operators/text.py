@@ -297,3 +297,42 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fingerprint64"),
     )
+
+
+def normalize_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical text normalization for dedup/fingerprint pipelines:
+    lowercase → strip everything but [a-z0-9 ] → collapse runs of whitespace
+    → trim. Pure codegen (three regexp passes fused in one projection — a
+    narrow map, no shuffle); the regex classes are engine-portable, so the
+    DuckDB oracle reproduces the bytes exactly. Returns id, the normalized
+    text's md5 (stable fingerprint), and the post-normalization token count.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("norm_md5"),
+        F.when(norm == "", 0)
+        .otherwise(F.size(F.split(norm, " ")))
+        .cast("long")
+        .alias("norm_tokens"),
+    )
+
+
+NORMALIZE_ORACLE_SQL_TEMPLATE = """
+WITH n AS (
+  SELECT {id_col} AS doc_id,
+         trim(regexp_replace(regexp_replace(lower({text_col}), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+  FROM {table}
+)
+SELECT doc_id, md5(norm) AS norm_md5,
+       CAST(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS BIGINT) AS norm_tokens
+FROM n ORDER BY doc_id
+"""

@@ -899,3 +899,17 @@ def q_embedding_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "text_normalize",
+    text.NORMALIZE_ORACLE_SQL_TEMPLATE.format(
+        table="documents", id_col="doc_id", text_col="text"
+    ),
+)
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (lowercase, punctuation strip, whitespace
+    collapse) with md5 fingerprint + token count — the preprocessing front
+    door of every dedup/fingerprint pipeline, oracle-checked byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.normalize_text(docs).orderBy("doc_id")

@@ -54,6 +54,46 @@ class TableAlreadyExistsError(Exception):
     pass
 
 
+class ConstraintViolationError(Exception):
+    pass
+
+
+CONSTRAINT_PREFIX = "delta.constraints."
+
+
+def check_constraints(df: DataFrame, configuration: dict[str, str] | None) -> None:
+    """Enforce CHECK constraints (public Delta table-property convention:
+    ``delta.constraints.<name> = <sql predicate>``) on data about to be
+    written. One combined scan counts violations of ALL constraints —
+    a row violates when any predicate is FALSE or NULL. Raises
+    ConstraintViolationError naming each violated constraint with its
+    violation count."""
+    from pyspark.sql import functions as F
+
+    constraints = {
+        k[len(CONSTRAINT_PREFIX):]: v
+        for k, v in (configuration or {}).items()
+        if k.startswith(CONSTRAINT_PREFIX)
+    }
+    if not constraints:
+        return
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(expr), F.lit(False)), 1).otherwise(0)
+        ).alias(name)
+        for name, expr in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    violated = {
+        name: int(row[name]) for name in constraints if row[name] and row[name] > 0
+    }
+    if violated:
+        details = ", ".join(
+            f"{name} ({constraints[name]!r}): {n} rows" for name, n in violated.items()
+        )
+        raise ConstraintViolationError(f"CHECK constraint(s) violated: {details}")
+
+
 def write_deltalake(
     spark: SparkSession,
     df: DataFrame,
@@ -91,12 +131,14 @@ def write_deltalake(
             return DeltaTable(table_uri)
         table = DeltaTable(table_uri)
         _check_schema(table, df)
+        check_constraints(df, table.metadata().configuration)
         partition_by = table.metadata().partition_columns
     else:
         partition_by = list(partition_by or [])
         missing = [c for c in partition_by if c not in df.columns]
         if missing:
             raise ValueError(f"partition columns {missing} not in DataFrame")
+        check_constraints(df, configuration)
 
     # ---- 1. stage the data with Spark -------------------------------------
     staging_name = f".tmp-commit-{uuid.uuid4().hex}"

@@ -204,3 +204,46 @@ def test_log_json_conforms_to_delta_vocabulary(spark, tmp_path, lineitem):
         st = json.loads(add["stats"])
         assert {"numRecords", "minValues", "maxValues", "nullCount"} <= set(st)
         assert not add["path"].startswith("/")  # relative to the table root
+
+
+def test_check_constraints_enforced(spark, tmp_path, lineitem):
+    """CHECK constraints (delta.constraints.<name> table properties) reject
+    violating writes — on create, append, and DML rewrites."""
+    from delta_rs_spark.writer import ConstraintViolationError
+
+    uri = str(tmp_path / "c")
+    cfg = {"delta.constraints.qty_positive": "l_quantity > 0"}
+
+    # create-time violation
+    bad = lineitem.limit(5).withColumn("l_quantity", F.lit(-1).cast("double"))
+    with pytest.raises(ConstraintViolationError, match="qty_positive"):
+        write_deltalake(spark, bad, str(tmp_path / "bad"), configuration=cfg)
+
+    # clean create, then violating append rejected (property read from table)
+    write_deltalake(spark, lineitem.limit(50), uri, configuration=cfg)
+    with pytest.raises(ConstraintViolationError, match="qty_positive"):
+        write_deltalake(spark, bad, uri, mode="append")
+    t = DeltaTable(uri)
+    assert t.version == 0  # nothing committed
+
+    # UPDATE that would violate is rejected; table unchanged
+    with pytest.raises(ConstraintViolationError, match="qty_positive"):
+        t.update_where(spark, "l_quantity > 0", {"l_quantity": "-l_quantity"})
+    assert DeltaTable(uri).version == 0
+
+    # compliant update passes
+    t.update_where(spark, "l_quantity > 0", {"l_quantity": "l_quantity + 1"})
+    assert DeltaTable(uri).version == 1
+
+
+def test_check_constraint_null_predicate_rows_violate(spark, tmp_path):
+    """SQL CHECK semantics would accept NULL, but Delta treats non-TRUE as a
+    violation for data quality; we follow Delta (reject NULL predicate)."""
+    from delta_rs_spark.writer import ConstraintViolationError
+
+    df = spark.createDataFrame([(1, 10), (2, None)], "id int, v int")
+    with pytest.raises(ConstraintViolationError):
+        write_deltalake(
+            spark, df, str(tmp_path / "n"),
+            configuration={"delta.constraints.v_set": "v > 0"},
+        )
