@@ -383,3 +383,143 @@ def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]
             except FileNotFoundError:
                 pass
     return to_delete
+
+
+# ---------------------------------------------------------------------------
+# RESTORE: roll the table back to an earlier version as a NEW commit
+# ---------------------------------------------------------------------------
+
+def restore(table, version: int) -> dict:
+    """Make the table's state equal its state at ``version`` — committed
+    forward as a new version (history is append-only; nothing is rewritten).
+
+    Pure log surgery with ZERO data movement: files active then but not now
+    are re-added (they are still on disk unless vacuumed — the same
+    guarantee time travel relies on), files active now but not then are
+    tombstoned. Metadata (schema/partitioning/configuration) is restored
+    wholesale, matching the protocol's metaData-replaces semantics.
+    Undo for a bad DML/overwrite in O(#files) driver work.
+    """
+    import time as _time
+
+    from .protocol.actions import RemoveAction
+    from .protocol.snapshot import Snapshot
+    from .transactions import DeltaTransaction
+
+    current = table.snapshot
+    target = Snapshot.load(table.log, version)
+
+    cur_files = {a.path: a for a in current.files()}
+    tgt_files = {a.path: a for a in target.files()}
+
+    to_add = [a for p, a in tgt_files.items() if p not in cur_files]
+    to_remove = [a for p, a in cur_files.items() if p not in tgt_files]
+
+    # restored files must still exist (vacuum may have reaped them)
+    missing = [
+        a.path
+        for a in to_add
+        if not table.log.backend.exists(current._absolute(a.path))
+    ]
+    if missing:
+        raise VacuumError(
+            f"cannot restore to version {version}: {len(missing)} data files "
+            f"were vacuumed (first: {missing[0]})"
+        )
+
+    txn = DeltaTransaction(table)
+    now_ms = int(_time.time() * 1000)
+    if target.metadata.to_json_dict() != current.metadata.to_json_dict():
+        txn.add_action(target.metadata)
+    for a in to_add:
+        txn.add_action(a)
+    for a in to_remove:
+        txn.add_action(
+            RemoveAction(
+                path=a.path,
+                deletion_timestamp=now_ms,
+                data_change=True,
+                extended_file_metadata=True,
+                partition_values=a.partition_values,
+                size=a.size,
+            )
+        )
+    new_version = txn.commit(
+        operation="RESTORE",
+        operation_parameters={"version": version},
+        operation_metrics={
+            "numRestoredFiles": str(len(to_add)),
+            "numRemovedFiles": str(len(to_remove)),
+        },
+    )
+    table.update()
+    return {
+        "version": new_version,
+        "numRestoredFiles": len(to_add),
+        "numRemovedFiles": len(to_remove),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Shallow clone: a new table whose log references the source's data files
+# ---------------------------------------------------------------------------
+
+def shallow_clone(table, target_uri: str, version: int | None = None) -> "object":
+    """Create a new Delta table at ``target_uri`` whose Add actions point at
+    the SOURCE table's data files by absolute path — metadata-only copy,
+    zero data movement, O(#files) driver work at any table size.
+
+    The clone has its own independent log: appends/DML/optimize on the clone
+    write new files under the clone's root and never touch the source;
+    vacuum on the clone only ever deletes files under the clone's root
+    (absolute-path source files are outside its listing). Snapshot readers
+    already handle absolute paths, so the clone is immediately queryable.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from .protocol.actions import AddAction, CommitInfoAction, ProtocolAction
+    from .protocol.log import DeltaLog
+    from .protocol.snapshot import Snapshot
+    from .table import DeltaTable
+
+    src_snap = table.snapshot if version is None else Snapshot.load(table.log, version)
+
+    adds = [
+        AddAction(
+            path=src_snap._absolute(a.path),
+            size=a.size,
+            partition_values=a.partition_values,
+            modification_time=a.modification_time,
+            data_change=True,
+            stats=a.stats,
+        )
+        for a in src_snap.files()
+    ]
+    meta = src_snap.metadata
+    new_meta = type(meta)(
+        id=str(_uuid.uuid4()),
+        schema_string=meta.schema_string,
+        partition_columns=meta.partition_columns,
+        name=meta.name,
+        description=meta.description,
+        created_time=int(_time.time() * 1000),
+        configuration=dict(meta.configuration or {}),
+    )
+    info = CommitInfoAction(
+        info={
+            "timestamp": int(_time.time() * 1000),
+            "operation": "CLONE",
+            "operationParameters": {
+                "source": table.table_uri,
+                "sourceVersion": src_snap.version,
+            },
+            "operationMetrics": {"numClonedFiles": str(len(adds))},
+        }
+    )
+    log = DeltaLog(target_uri)
+    tmp = log.write_tmp_commit(
+        [info, ProtocolAction(1, 2), new_meta, *adds], _uuid.uuid4().hex
+    )
+    log.try_commit(tmp, 0)
+    return DeltaTable(target_uri)

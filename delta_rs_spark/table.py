@@ -257,6 +257,16 @@ class DeltaTable:
             dry_run=dry_run,
         )
 
+    def restore(self, version: int) -> dict:
+        from .maintenance import restore as _restore
+
+        return _restore(self, version)
+
+    def shallow_clone(self, target_uri: str, version: Optional[int] = None) -> "DeltaTable":
+        from .maintenance import shallow_clone as _clone
+
+        return _clone(self, target_uri, version=version)
+
     # ---- change data feed (implemented in cdf.py) ----------------------------
     def load_cdf(
         self,

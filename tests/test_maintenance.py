@@ -314,3 +314,83 @@ def test_optimize_zorder_prunes_both_dimensions(spark, tmp_path):
     assert t2.to_df(spark).count() == 4096
     with pytest.raises(ValueError):
         t2.optimize(spark, sort_by=["x"], zorder_by=["y"])
+
+
+def test_restore_rolls_back_overwrite(spark, tmp_path, sf_dir):
+    import os
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    uri = str(tmp_path / "r")
+    write_deltalake(spark, docs.limit(80), uri)               # v0
+    write_deltalake(spark, docs.limit(9), uri, mode="overwrite")  # v1
+    t = DeltaTable(uri)
+    res = t.restore(0)
+    assert res["version"] == 2
+    assert res["numRestoredFiles"] >= 1
+    # state equals v0 exactly, committed forward (no history rewrite)
+    assert t.to_df(spark).count() == 80
+    assert sorted(t.files()) == sorted(DeltaTable.for_version(uri, 0).files())
+    assert t.history()[0]["operation"] == "RESTORE"
+    # the overwritten state is still reachable
+    assert DeltaTable.for_version(uri, 1).to_df(spark).count() == 9
+
+
+def test_restore_after_delete_is_exact_undo(spark, tmp_path, sf_dir):
+    import os
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    uri = str(tmp_path / "rd")
+    write_deltalake(spark, docs, uri, max_records_per_file=200)
+    t = DeltaTable(uri)
+    t.delete(spark, "n_chars < 300")
+    assert t.to_df(spark).count() < docs.count()
+    t.restore(0)
+    assert t.to_df(spark).count() == docs.count()
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path, sf_dir):
+    import os
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src_uri = str(tmp_path / "src")
+    clone_uri = str(tmp_path / "clone")
+    write_deltalake(spark, docs, src_uri, max_records_per_file=200)
+    src = DeltaTable(src_uri)
+
+    clone = src.shallow_clone(clone_uri)
+    # no data files under the clone root — only the log
+    data_files = [
+        f for _, _, fs in os.walk(clone_uri) for f in fs if f.endswith(".parquet")
+    ]
+    assert data_files == []
+    assert clone.to_df(spark).count() == docs.count()
+    assert clone.history()[0]["operation"] == "CLONE"
+    # stats survived the clone: metadata-only count works
+    assert clone.count_rows() == docs.count()
+
+    # writes to the clone never touch the source
+    clone.delete(spark, "n_chars < 300")
+    assert DeltaTable(src_uri).to_df(spark).count() == docs.count()
+    # vacuum on the clone must not list the source's (absolute-path) files
+    listed = clone.vacuum(retention_hours=168, dry_run=True)
+    assert all(src_uri not in p for p in listed)
+
+
+def test_shallow_clone_at_version(spark, tmp_path, sf_dir):
+    import os
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src_uri = str(tmp_path / "s2")
+    write_deltalake(spark, docs.limit(40), src_uri)
+    write_deltalake(spark, docs.limit(25), src_uri, mode="append")
+    src = DeltaTable(src_uri)
+    clone = src.shallow_clone(str(tmp_path / "c2"), version=0)
+    assert clone.to_df(spark).count() == 40
