@@ -107,6 +107,7 @@ def write_deltalake(
     extra_actions: Optional[list] = None,
     operation: str = "WRITE",
     operation_parameters_extra: Optional[dict] = None,
+    replace_where: Optional[str] = None,
 ) -> DeltaTable:
     """Write ``df`` to a Delta table, creating it if absent. Returns the table.
 
@@ -114,10 +115,20 @@ def write_deltalake(
     exactly-once streaming sinks); ``operation``/``operation_parameters_extra``
     customize the commitInfo provenance (e.g. STREAMING UPDATE with
     queryId/epochId, reference ``rust/src/action.rs:792-800``).
+
+    ``replace_where`` (overwrite mode only) scopes the overwrite to rows
+    matching a SQL predicate — the Delta writer's partition/predicate
+    overwrite: existing rows matching the predicate are replaced by ``df``
+    in ONE atomic commit; rows outside the predicate are untouched. Every
+    incoming row must satisfy the predicate (enforced). File work is
+    stats/partition-pruned like DML: only files containing matching rows
+    are rewritten.
     """
     mode = mode.lower()
     if mode not in SAVE_MODES:
         raise ValueError(f"mode must be one of {sorted(SAVE_MODES)}")
+    if replace_where is not None and mode != "overwrite":
+        raise ValueError("replace_where requires mode='overwrite'")
 
     df = _normalize_timestamps(df)
 
@@ -133,6 +144,8 @@ def write_deltalake(
         _check_schema(table, df)
         check_constraints(df, table.metadata().configuration)
         partition_by = table.metadata().partition_columns
+        if replace_where is not None:
+            return _replace_where(spark, table, df, replace_where, max_records_per_file)
     else:
         partition_by = list(partition_by or [])
         missing = [c for c in partition_by if c not in df.columns]
@@ -412,3 +425,66 @@ def _json_safe(v):
     if isinstance(v, float):
         return v
     return v
+
+
+def _replace_where(
+    spark: SparkSession,
+    table: DeltaTable,
+    df: DataFrame,
+    predicate: str,
+    max_records_per_file: Optional[int],
+) -> DeltaTable:
+    """Predicate-scoped overwrite, one atomic commit (Delta replaceWhere).
+
+    Survivors of matched files (rows NOT matching the predicate) are
+    rewritten alongside the new data; unmatched files keep their Add
+    entries. Same pruning discipline as DML: partition + stats conjuncts
+    bound the candidate set before any read.
+    """
+    from pyspark.sql import functions as F
+
+    from .dml import _candidate_adds, _files_with_matches, _stage_and_swap
+
+    cond = F.coalesce(F.expr(predicate), F.lit(False))
+
+    # Delta contract: every incoming row must satisfy the predicate,
+    # otherwise the "overwrite only where" promise silently breaks
+    n_outside = df.filter(~cond).count()
+    if n_outside:
+        raise ValueError(
+            f"replace_where: {n_outside} incoming rows do not satisfy {predicate!r}"
+        )
+
+    candidates = _candidate_adds(table, predicate)
+    matched, n_replaced = _files_with_matches(spark, table, candidates, cond)
+    old = table._snapshot.df_for_adds(spark, matched)
+    survivors = old.filter(~cond)
+    new_rows = survivors.unionByName(df.select(*survivors.columns))
+
+    change_rows = None
+    from .cdf import CHANGE_TYPE_COL, cdf_enabled
+
+    if cdf_enabled(table):
+        from pyspark.sql import functions as F2
+
+        change_rows = (
+            old.filter(cond)
+            .withColumn(CHANGE_TYPE_COL, F2.lit("delete"))
+            .unionByName(
+                df.select(*survivors.columns).withColumn(
+                    CHANGE_TYPE_COL, F2.lit("insert")
+                )
+            )
+        )
+
+    _stage_and_swap(
+        spark,
+        table,
+        new_rows,
+        matched,
+        "WRITE",
+        {"mode": "Overwrite", "predicate": predicate},
+        {"numDeletedRows": n_replaced},
+        change_rows=change_rows,
+    )
+    return table

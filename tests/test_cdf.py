@@ -162,3 +162,17 @@ def test_incremental_dedup_index(spark, tmp_path, docs):
     # the index holds exactly the distinct corpus texts
     n_distinct = corpus.to_df(spark).select("text").distinct().count()
     assert DeltaTable(index_uri).to_df(spark).count() == n_distinct
+
+
+def test_replace_where_writes_change_files(spark, tmp_path, docs):
+    uri = str(tmp_path / "rwcdf")
+    write_deltalake(spark, docs, uri, configuration={CDF_PROPERTY: "true"})
+    n_src3 = docs.filter("source = 'src3'").count()
+    replacement = docs.filter("source = 'src3'").limit(3)
+    t = write_deltalake(
+        spark, replacement, uri, mode="overwrite", replace_where="source = 'src3'"
+    )
+    ch = t.load_cdf(spark, starting_version=1)
+    by_type = {r["_change_type"]: r["n"] for r in
+               ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_type == {"delete": n_src3, "insert": 3}

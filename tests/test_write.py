@@ -247,3 +247,38 @@ def test_check_constraint_null_predicate_rows_violate(spark, tmp_path):
             spark, df, str(tmp_path / "n"),
             configuration={"delta.constraints.v_set": "v > 0"},
         )
+
+
+def test_replace_where_partial_overwrite(spark, tmp_path, sf_dir):
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    uri = str(tmp_path / "rw")
+    write_deltalake(spark, docs, uri, partition_by=["source"], max_records_per_file=200)
+    total = docs.count()
+    n_src3 = docs.filter("source = 'src3'").count()
+
+    replacement = (
+        docs.filter("source = 'src3'").limit(4).withColumn("lang", F.lit("zz"))
+    )
+    t = write_deltalake(
+        spark, replacement, uri, mode="overwrite", replace_where="source = 'src3'"
+    )
+    out = t.to_df(spark)
+    assert out.count() == total - n_src3 + 4
+    assert out.filter("source = 'src3'").count() == 4
+    assert out.filter("source = 'src3'").filter("lang != 'zz'").count() == 0
+    # other partitions untouched
+    assert out.filter("source = 'src1'").count() == docs.filter("source = 'src1'").count()
+    # single commit, predicate recorded
+    h = t.history()[0]
+    assert h["operationParameters"]["predicate"] == "source = 'src3'"
+
+    # rows outside the predicate are rejected up front
+    with pytest.raises(ValueError, match="do not satisfy"):
+        write_deltalake(
+            spark, docs.limit(3), uri, mode="overwrite", replace_where="source = 'nope'"
+        )
+    # and replace_where demands overwrite mode
+    with pytest.raises(ValueError, match="requires mode"):
+        write_deltalake(spark, docs.limit(1), uri, replace_where="source = 'src1'")
