@@ -257,6 +257,66 @@ class DeltaTable:
             dry_run=dry_run,
         )
 
+    def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
+        """ADD CONSTRAINT: validate existing data against ``expr`` (one
+        aggregate scan), then commit a metaData update carrying the
+        ``delta.constraints.<name>`` property. Future writes/DML enforce it.
+        metaData-replaces-wholesale semantics, reference
+        ``rust/src/delta.rs:1418-1449``."""
+        import time as _time
+
+        from .writer import ConstraintViolationError, check_constraints
+
+        key = f"delta.constraints.{name}"
+        meta = self.metadata()
+        if key in (meta.configuration or {}):
+            raise ConstraintViolationError(f"constraint {name!r} already exists")
+        check_constraints(self.to_df(spark), {key: expr})
+
+        new_meta = type(meta)(
+            id=meta.id,
+            schema_string=meta.schema_string,
+            partition_columns=meta.partition_columns,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+            configuration={**(meta.configuration or {}), key: expr},
+        )
+        txn = self.begin()
+        txn.add_action(new_meta)
+        v = txn.commit(
+            operation="ADD CONSTRAINT",
+            operation_parameters={"name": name, "expr": expr},
+        )
+        self.update()
+        return v
+
+    def drop_constraint(self, name: str) -> int:
+        from .writer import ConstraintViolationError
+
+        key = f"delta.constraints.{name}"
+        meta = self.metadata()
+        cfg = dict(meta.configuration or {})
+        if key not in cfg:
+            raise ConstraintViolationError(f"no such constraint {name!r}")
+        cfg.pop(key)
+        new_meta = type(meta)(
+            id=meta.id,
+            schema_string=meta.schema_string,
+            partition_columns=meta.partition_columns,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+            configuration=cfg,
+        )
+        txn = self.begin()
+        txn.add_action(new_meta)
+        v = txn.commit(
+            operation="DROP CONSTRAINT", operation_parameters={"name": name}
+        )
+        self.update()
+        return v
+
     def restore(self, version: int) -> dict:
         from .maintenance import restore as _restore
 

@@ -282,3 +282,35 @@ def test_replace_where_partial_overwrite(spark, tmp_path, sf_dir):
     # and replace_where demands overwrite mode
     with pytest.raises(ValueError, match="requires mode"):
         write_deltalake(spark, docs.limit(1), uri, replace_where="source = 'src1'")
+
+
+def test_add_and_drop_constraint(spark, tmp_path, lineitem):
+    from delta_rs_spark.writer import ConstraintViolationError
+
+    uri = str(tmp_path / "ac")
+    write_deltalake(spark, lineitem.limit(100), uri)
+    t = DeltaTable(uri)
+
+    # adding a constraint the existing data violates is rejected
+    with pytest.raises(ConstraintViolationError):
+        t.add_constraint(spark, "impossible", "l_quantity < 0")
+    assert t.version == 0
+
+    v = t.add_constraint(spark, "qty_pos", "l_quantity > 0")
+    assert v == 1
+    assert t.history()[0]["operation"] == "ADD CONSTRAINT"
+    # enforced on subsequent writes, property visible on a fresh handle
+    t2 = DeltaTable(uri)
+    assert "delta.constraints.qty_pos" in t2.metadata().configuration
+    bad = lineitem.limit(3).withColumn("l_quantity", F.lit(-5).cast("double"))
+    with pytest.raises(ConstraintViolationError):
+        write_deltalake(spark, bad, uri, mode="append")
+
+    # duplicate add rejected; drop then the same write passes
+    with pytest.raises(ConstraintViolationError):
+        t2.add_constraint(spark, "qty_pos", "l_quantity > 0")
+    t2.drop_constraint("qty_pos")
+    write_deltalake(spark, bad, uri, mode="append")
+    assert DeltaTable(uri).to_df(spark).count() == 103
+    with pytest.raises(ConstraintViolationError):
+        t2.drop_constraint("qty_pos")  # already gone
