@@ -353,6 +353,7 @@ def merge(
     when_matched_update: Optional[dict[str, str]] = None,
     when_matched_delete: bool = False,
     when_not_matched_insert: bool = True,
+    when_not_matched_by_source_delete: bool = False,
 ) -> dict[str, Any]:
     """``MERGE INTO target t USING source s ON condition`` — copy-on-write.
 
@@ -363,10 +364,16 @@ def merge(
       column). ``when_matched_delete=True`` drops matched rows instead.
     - ``when_not_matched_insert``: append source rows that match no target
       row (columns aligned by name; source must carry the full schema).
+    - ``when_not_matched_by_source_delete``: drop target rows no source row
+      matches — with the insert+update defaults this makes the target an
+      exact mirror of the source (full-sync). Every active file may hold
+      unmatched rows, so this clause rewrites the whole table; use it for
+      sync jobs, not incremental upserts.
 
     Each target row may match at most one source row — multiple matches make
     the result non-deterministic, so they raise (Delta protocol semantics).
-    Only target files containing matched rows are rewritten.
+    Only target files containing matched rows are rewritten (all files when
+    ``when_not_matched_by_source_delete`` is set).
     """
     if when_matched_update and when_matched_delete:
         raise DMLError("choose either when_matched_update or when_matched_delete")
@@ -412,7 +419,12 @@ def merge(
             "result would be non-deterministic"
         )
     all_adds = snap.files()
-    rewrite = [a for a in all_adds if _norm_file_uri(snap._absolute(a.path)) in matched_paths]
+    if when_not_matched_by_source_delete:
+        rewrite = all_adds  # unmatched rows can live in any file
+    else:
+        rewrite = [
+            a for a in all_adds if _norm_file_uri(snap._absolute(a.path)) in matched_paths
+        ]
 
     # --- rewritten content for matched files ---
     track_changes = cdf_enabled(table)
@@ -427,11 +439,28 @@ def merge(
         matched_t = joined.filter(F.col("__matched").isNotNull()).select(
             *[F.col(f"t.{c}").alias(c) for c in schema.names]
         )
-        if when_matched_delete:
-            new_rows = joined.filter(F.col("__matched").isNull()).select(
-                *[F.col(f"t.{c}") for c in schema.names]
+        unmatched_t = joined.filter(F.col("__matched").isNull()).select(
+            *[F.col(f"t.{c}").alias(c) for c in schema.names]
+        )
+        if when_not_matched_by_source_delete:
+            totals = [a.num_records for a in rewrite]
+            total_rows = (
+                sum(totals)
+                if all(x is not None for x in totals)
+                else snap.df_for_adds(spark, rewrite).count()
             )
-            n_deleted = n_matched
+            n_deleted += total_rows - n_matched
+            if track_changes:
+                change_parts.append(
+                    unmatched_t.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+                )
+        if when_matched_delete:
+            new_rows = (
+                spark.createDataFrame([], schema)
+                if when_not_matched_by_source_delete
+                else unmatched_t
+            )
+            n_deleted += n_matched
             if track_changes:
                 change_parts.append(
                     matched_t.withColumn(CHANGE_TYPE_COL, F.lit("delete"))
@@ -442,7 +471,12 @@ def merge(
             if bad:
                 raise DMLError(f"MERGE updates unknown columns: {sorted(bad)}")
             types = {f.name: f.dataType for f in schema.fields}
-            new_rows = joined.select(
+            keep = (
+                joined.filter(F.col("__matched").isNotNull())
+                if when_not_matched_by_source_delete
+                else joined
+            )
+            new_rows = keep.select(
                 *[
                     (
                         F.when(

@@ -247,3 +247,33 @@ def test_skip_tuple_parser():
     assert _skip_tuples_from_predicate("a = 5 AND b LIKE 'z%'") == [("a", "=", 5)]
     assert _skip_tuples_from_predicate("a = -1.5") == [("a", "=", -1.5)]
     assert _skip_tuples_from_predicate("s = 'it''s'") == [("s", "=", "it's")]
+
+
+def test_merge_full_sync_mirror(spark, tmp_path, docs):
+    """when_not_matched_by_source_delete + defaults == make target mirror
+    the source exactly (the full-sync pattern)."""
+    uri = str(tmp_path / "sync")
+    write_deltalake(spark, docs.limit(60), uri)
+    t = DeltaTable(uri)
+
+    # source: 20 kept rows (10 with mutated text) + 5 brand-new ids
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    kept = docs.limit(20)
+    mutated = kept.limit(10).withColumn("text", F.lit("SYNCED"))
+    source = mutated.unionByName(kept.exceptAll(kept.limit(10))).unionByName(
+        docs.limit(5).withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(max_id + 1)).cast("long")
+        )
+    )
+    res = t.merge(
+        spark, source, "t.doc_id = s.doc_id",
+        when_not_matched_by_source_delete=True,
+    )
+    assert res["numTargetRowsDeleted"] == 40        # 60 - 20 matched
+    assert res["numTargetRowsUpdated"] == 20
+    assert res["numTargetRowsInserted"] == 5
+    out = t.to_df(spark)
+    assert out.count() == 25
+    # target now equals source exactly
+    assert out.exceptAll(source.select(*out.columns)).count() == 0
+    assert source.select(*out.columns).exceptAll(out).count() == 0

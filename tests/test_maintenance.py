@@ -394,3 +394,35 @@ def test_shallow_clone_at_version(spark, tmp_path, sf_dir):
     src = DeltaTable(src_uri)
     clone = src.shallow_clone(str(tmp_path / "c2"), version=0)
     assert clone.to_df(spark).count() == 40
+
+
+def test_vacuum_reaps_aged_change_files(spark, tmp_path, sf_dir):
+    """Change files age out of retention like data files (the reference's
+    hidden-path predicate deliberately does NOT protect _change_data,
+    rust/src/delta.rs:904-916)."""
+    import os
+    import time as _time
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    uri = str(tmp_path / "vc")
+    write_deltalake(
+        spark, docs, uri,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable(uri)
+    t.delete(spark, "n_chars < 300")
+    cdc_dir = os.path.join(uri, "_change_data")
+    cdc_files = os.listdir(cdc_dir)
+    assert cdc_files
+    # age the change files past the 168h floor
+    old = _time.time() - 169 * 3600
+    for f in cdc_files:
+        os.utime(os.path.join(cdc_dir, f), (old, old))
+    listed = t.vacuum(retention_hours=168, dry_run=True)
+    assert any("_change_data" in p for p in listed)
+    t.vacuum(retention_hours=168, dry_run=False)
+    assert not os.path.exists(cdc_dir) or not os.listdir(cdc_dir)
+    # the table itself is untouched
+    assert DeltaTable(uri).to_df(spark).count() == t.to_df(spark).count()
