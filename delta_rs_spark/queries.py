@@ -1641,3 +1641,42 @@ def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return c.subtract(o).orderBy("c_custkey")
+
+
+@query(
+    "q_part_cooccurrence",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    ORDER BY n_orders DESC, part_a, part_b
+    """,
+)
+def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs (market-basket co-occurrence with a support
+    threshold): distinct (order, part) first — the self-join then explodes
+    per-order pairs, not per-lineitem pairs, and the support HAVING prunes
+    the long tail. The join is keyed on l_orderkey (equi, shuffled hash /
+    sort-merge — never a cross join); per-order pair count is bounded by
+    basket size squared, the classic a-priori cost model."""
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+    )

@@ -257,6 +257,28 @@ class DeltaTable:
             dry_run=dry_run,
         )
 
+    def detail(self) -> dict[str, Any]:
+        """DESCRIBE DETAIL-style summary, answered entirely from the log."""
+        meta = self.metadata()
+        files = self.add_actions()
+        min_reader, min_writer = self.protocol_versions()
+        return {
+            "format": "delta",
+            "id": meta.id,
+            "name": meta.name,
+            "description": meta.description,
+            "location": self.table_uri,
+            "createdAt": meta.created_time,
+            "partitionColumns": list(meta.partition_columns),
+            "numFiles": len(files),
+            "sizeInBytes": sum(a.size for a in files),
+            "numRecords": self.count_rows(),  # None if any file lacks stats
+            "properties": dict(meta.configuration or {}),
+            "minReaderVersion": min_reader,
+            "minWriterVersion": min_writer,
+            "version": self.version,
+        }
+
     def add_constraint(self, spark: SparkSession, name: str, expr: str) -> int:
         """ADD CONSTRAINT: validate existing data against ``expr`` (one
         aggregate scan), then commit a metaData update carrying the

@@ -277,3 +277,49 @@ def test_merge_full_sync_mirror(spark, tmp_path, docs):
     # target now equals source exactly
     assert out.exceptAll(source.select(*out.columns)).count() == 0
     assert source.select(*out.columns).exceptAll(out).count() == 0
+
+
+def test_concurrent_partition_disjoint_deletes(spark, doc_table, docs):
+    """Four threads deleting disjoint partitions concurrently: the blind
+    optimistic-retry loop serializes the commits (gapless versions) and
+    every deletion lands — partition-disjoint DML is retry-safe even
+    without conflict detection."""
+    import threading
+
+    sources = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )[:4]
+    errors = []
+
+    def run(src):
+        try:
+            # each thread gets its own handle (stale snapshots exercise the
+            # retry loop's refresh)
+            t = DeltaTable(doc_table.table_uri)
+            t.delete(spark, f"source = '{src}'")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(s,)) for s in sources]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+
+    final = DeltaTable(doc_table.table_uri)
+    assert final.version == 4  # 4 DML commits, gapless
+    out = final.to_df(spark)
+    assert out.filter(F.col("source").isin(sources)).count() == 0
+    expected = docs.filter(~F.col("source").isin(sources)).count()
+    assert out.count() == expected
+
+
+def test_detail_summary(doc_table, docs):
+    d = doc_table.detail()
+    assert d["format"] == "delta"
+    assert d["partitionColumns"] == ["source"]
+    assert d["numFiles"] == len(doc_table.files())
+    assert d["numRecords"] == docs.count()
+    assert d["sizeInBytes"] > 0
+    assert d["version"] == 0
