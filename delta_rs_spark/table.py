@@ -176,6 +176,11 @@ class DeltaTable:
             columns=list(columns) if columns else None
         )
 
+    def get_tombstones(self) -> list:
+        """Tombstoned (removed) files of the snapshot, reference
+        ``rust/src/delta.rs:859``."""
+        return list(self._snapshot.state.tombstones.values())
+
     def add_actions(self) -> list[AddAction]:
         return list(self._snapshot.state.files.values())
 
