@@ -69,7 +69,13 @@ def create_checkpoint(table) -> CheckPoint:
 
     cp = CheckPoint(version=snap.version, size=len(rows))
     path = table.log.checkpoint_paths(CheckPoint(version=snap.version))[0]
-    pq.write_table(tbl, path, compression="snappy")
+    # serialize through the storage backend (memory/object-store safe);
+    # checkpoints are metadata-sized, so an in-memory buffer is fine
+    import io
+
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf, compression="snappy")
+    table.log.backend.put_obj(path, buf.getvalue())
     table.log.put_last_checkpoint(cp)
     return cp
 

@@ -257,11 +257,13 @@ def read_checkpoint_actions(log: DeltaLog, cp: CheckPoint) -> list[Action]:
     reference reader ``rust/src/action.rs:726-775``). Reads with pyarrow on
     the driver: checkpoints are a few MB of metadata, not data-plane I/O.
     """
+    import io
+
     import pyarrow.parquet as pq
 
     actions: list[Action] = []
     for path in log.checkpoint_paths(cp):
-        table = pq.read_table(path)
+        table = pq.read_table(io.BytesIO(log.backend.get_obj(path)))
         for row in table.to_pylist():
             meta_d = row.get("metaData")
             if meta_d and meta_d.get("id") is not None:

@@ -119,16 +119,100 @@ class LocalFileBackend(StorageBackend):
         os.makedirs(path, exist_ok=True)
 
 
-def parse_table_uri(table_uri: str) -> tuple[str, StorageBackend]:
-    """URI → (root path, backend). file:// and bare paths → local FS.
+class MemoryBackend(StorageBackend):
+    """In-memory object store for the LOG layer: a model of an object store
+    with atomic conditional put (the capability S3 lacks and the reference
+    emulates with a DynamoDB lock — ``rust/src/storage/s3/dynamodb_lock.rs``).
 
-    Cloud schemes raise with a pointer to the extension seam (the reference
-    ships S3/Azure backends behind the same trait — out of scope locally).
+    One process-wide namespace keyed by path; rename_obj_noreplace holds one
+    lock across the exists-check + move, giving the same contract the
+    reference demands of every backend (``rust/src/storage/mod.rs:416-423``).
+    Useful for protocol tests and as the template for a real object-store
+    backend (swap the dict for PUT-if-absent / lock-service calls). Data
+    files still need a Spark-readable filesystem — this backend serves
+    ``_delta_log`` traffic, which is exactly the part delta-rs abstracts.
+    """
+
+    _stores: dict[str, dict[str, tuple[bytes, float]]] = {}
+    _lock = None  # class-level, set below
+
+    def __init__(self, namespace: str = "default"):
+        import threading
+
+        if MemoryBackend._lock is None:
+            MemoryBackend._lock = threading.Lock()
+        self.ns = namespace
+        with MemoryBackend._lock:
+            MemoryBackend._stores.setdefault(namespace, {})
+
+    @property
+    def _objs(self) -> dict[str, tuple[bytes, float]]:
+        return MemoryBackend._stores[self.ns]
+
+    def head_obj(self, path: str) -> ObjectMeta:
+        with MemoryBackend._lock:
+            if path not in self._objs:
+                # directories "exist" if any object lives under them
+                if any(k.startswith(path.rstrip("/") + "/") for k in self._objs):
+                    return ObjectMeta(path=path, size=0, modification_time=0.0)
+                raise FileNotFoundError(path)
+            data, mtime = self._objs[path]
+            return ObjectMeta(path=path, size=len(data), modification_time=mtime)
+
+    def get_obj(self, path: str) -> bytes:
+        with MemoryBackend._lock:
+            if path not in self._objs:
+                raise FileNotFoundError(path)
+            return self._objs[path][0]
+
+    def list_objs(self, path: str) -> Iterator[ObjectMeta]:
+        prefix = path.rstrip("/") + "/"
+        with MemoryBackend._lock:
+            items = [
+                (k, v) for k, v in self._objs.items() if k.startswith(prefix)
+            ]
+        for k, (data, mtime) in sorted(items):
+            yield ObjectMeta(path=k, size=len(data), modification_time=mtime)
+
+    def put_obj(self, path: str, data: bytes) -> None:
+        import time as _time
+
+        with MemoryBackend._lock:
+            self._objs[path] = (data, _time.time())
+
+    def delete_obj(self, path: str) -> None:
+        with MemoryBackend._lock:
+            self._objs.pop(path, None)
+
+    def rename_obj_noreplace(self, src: str, dst: str) -> None:
+        with MemoryBackend._lock:
+            if dst in self._objs:
+                raise FileAlreadyExistsError(dst)
+            if src not in self._objs:
+                raise FileNotFoundError(src)
+            self._objs[dst] = self._objs.pop(src)
+
+    def join(self, *parts: str) -> str:
+        return "/".join(p.strip("/") if i else p.rstrip("/") for i, p in enumerate(parts))
+
+    def makedirs(self, path: str) -> None:
+        pass  # object stores have no directories
+
+
+def parse_table_uri(table_uri: str) -> tuple[str, StorageBackend]:
+    """URI → (root path, backend). file:// and bare paths → local FS;
+    memory:// → in-process object-store model (log layer only).
+
+    Other cloud schemes raise with a pointer to the extension seam (the
+    reference ships S3/Azure backends behind the same trait — out of scope
+    locally; MemoryBackend documents the contract a real one must meet).
     """
     parsed = urlparse(table_uri)
     if parsed.scheme in ("", "file"):
         root = parsed.path if parsed.scheme == "file" else table_uri
         return os.path.abspath(root), LocalFileBackend()
+    if parsed.scheme == "memory":
+        return f"memory://{parsed.netloc}{parsed.path}".rstrip("/"), MemoryBackend()
     raise NotImplementedError(
         f"storage scheme {parsed.scheme!r} not available in this environment; "
         "implement a StorageBackend (see reference rust/src/storage/) and register it"

@@ -109,3 +109,55 @@ def test_concurrent_writers_across_processes(small_table):
     for w in range(workers):
         for i in range(commits):
             assert f"p{w}-c{i}.parquet" in t.files()
+
+
+def test_memory_backend_log_protocol():
+    """The commit protocol runs unchanged over the in-memory object-store
+    model (atomic conditional put) — the contract a real object-store
+    backend must meet (reference rust/src/storage/mod.rs:416-423)."""
+    import threading
+    import uuid
+
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.protocol.actions import (
+        AddAction,
+        MetaDataAction,
+        ProtocolAction,
+    )
+    from delta_rs_spark.protocol.log import DeltaLog
+
+    uri = f"memory://t/{uuid.uuid4().hex}"
+    log = DeltaLog(uri)
+    meta = MetaDataAction(
+        id="m1",
+        schema_string='{"type":"struct","fields":[{"name":"id","type":"long","nullable":true,"metadata":{}}]}',
+        partition_columns=[],
+    )
+    tmp = log.write_tmp_commit(
+        [ProtocolAction(1, 2), meta, AddAction(path="f0.parquet", size=1)], "t0"
+    )
+    log.try_commit(tmp, 0)
+
+    t = DeltaTable(uri)
+    assert t.version == 0
+    assert t.files() == ["f0.parquet"]
+
+    # 4 threads x 3 commits: gapless versions via conditional-put retries
+    def worker(wid):
+        table = DeltaTable(uri)
+        for i in range(3):
+            txn = table.begin()
+            txn.add_action(AddAction(path=f"w{wid}-{i}.parquet", size=1))
+            txn.commit(operation="WRITE")
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+
+    final = DeltaTable(uri)
+    assert final.version == 12  # 1 create + 12 worker commits, gapless
+    assert len(final.files()) == 13
+    # time travel works over the memory log too
+    assert len(DeltaTable.for_version(uri, 0).files()) == 1
