@@ -1680,3 +1680,44 @@ def q_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= 3)
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
     )
+
+
+@query(
+    "q_events_value_stats",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(25,6))) AS sv,
+             SUM(CAST(value * value AS DECIMAL(25,6))) AS svv
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(CAST(CAST(sv AS DOUBLE) / n AS DECIMAL(25,8)) AS DOUBLE) AS mean_value,
+           CAST(CAST(sqrt((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / n) / (n - 1)) AS DECIMAL(25,8)) AS DOUBLE) AS std_value
+    FROM s ORDER BY event_type
+    """,
+)
+def q_events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean and sample-stddev per event type, computed from exact decimal
+    sums (Σv, Σv²) so the result is bit-identical on any engine and any
+    reduction order — the textbook one-pass moments formula, but with the
+    accumulators made order-insensitive. One scan, map-side partial aggs."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(25,6)")).alias("svv"),
+    )
+    sv = F.col("sv").cast("double")
+    svv = F.col("svv").cast("double")
+    n = F.col("n")
+    return s.select(
+        "event_type",
+        "n",
+        (sv / n).cast("decimal(25,8)").cast("double").alias("mean_value"),
+        F.sqrt((svv - sv * sv / n) / (n - 1))
+        .cast("decimal(25,8)")
+        .cast("double")
+        .alias("std_value"),
+    ).orderBy("event_type")
