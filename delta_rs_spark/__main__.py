@@ -61,6 +61,11 @@ def _cmd_files(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_detail(args: argparse.Namespace) -> int:
+    print(json.dumps(DeltaTable(args.uri).detail(), indent=2))
+    return 0
+
+
 def _cmd_history(args: argparse.Namespace) -> int:
     table = DeltaTable(args.uri)
     for entry in table.history(limit=args.limit):
@@ -101,6 +106,10 @@ def main(argv: list[str] | None = None) -> int:
     p_files.add_argument("-f", "--full-uri", action="store_true", help="display full URIs")
     p_files.add_argument("-v", "--version", type=int, default=None, help="table version")
     p_files.set_defaults(func=_cmd_files)
+
+    p_det = isub.add_parser("detail", help="DESCRIBE DETAIL summary from the log")
+    p_det.add_argument("uri", help="Table URI")
+    p_det.set_defaults(func=_cmd_detail)
 
     p_hist = isub.add_parser("history", help="commitInfo provenance, newest first")
     p_hist.add_argument("uri", help="Table URI")

@@ -59,3 +59,9 @@ def test_vacuum_cli_retention_guard(golden):
 
     with pytest.raises(VacuumError):
         main(["vacuum", golden("simple_table"), "--retention-hours", "1"])
+
+
+def test_inspect_detail(golden, capsys):
+    assert main(["inspect", "detail", golden("simple_table")]) == 0
+    d = json.loads(capsys.readouterr().out)
+    assert d["format"] == "delta" and d["numFiles"] == 5 and d["version"] == 4
