@@ -57,45 +57,71 @@ def load_cdf(
         raise ValueError(f"starting_version {starting_version} > ending_version {end}")
 
     schema = table.schema()
-    branches: list[DataFrame] = []
 
+    # Gather the whole range first, then read each change kind in ONE scan —
+    # a 500-version range is three scan nodes, not 500 union branches.
+    # _commit_version is attached per file through a filename→version map
+    # (file names are uuid-unique by construction).
+    cdc_items: list[tuple[CdcAction, int]] = []
+    add_items: list[tuple[AddAction, int]] = []
+    remove_items: list[tuple[AddAction, int]] = []
     for v in range(starting_version, end + 1):
         actions = log.try_read_commit(v)
         if actions is None:
             continue
         cdc = [a for a in actions if isinstance(a, CdcAction)]
         if cdc:
-            paths = [snap._absolute(a.path) for a in cdc]
-            df = spark.read.parquet(*paths).select(*schema.names, CHANGE_TYPE_COL)
-            branches.append(df.withColumn(COMMIT_VERSION_COL, F.lit(v).cast("long")))
-            continue
-        adds = [a for a in actions if isinstance(a, AddAction) and a.data_change]
-        removes = [a for a in actions if isinstance(a, RemoveAction) and a.data_change]
-        if adds:
-            df = snap.df_for_adds(spark, adds)
-            branches.append(
-                df.withColumn(CHANGE_TYPE_COL, F.lit("insert")).withColumn(
-                    COMMIT_VERSION_COL, F.lit(v).cast("long")
+            cdc_items.extend((a, v) for a in cdc)
+            continue  # cdc files are the row-level truth for this commit
+        for a in actions:
+            if isinstance(a, AddAction) and a.data_change:
+                add_items.append((a, v))
+            elif isinstance(a, RemoveAction) and a.data_change:
+                # reconstruct removed rows from the (not-yet-vacuumed) files
+                remove_items.append(
+                    (
+                        AddAction(
+                            path=a.path,
+                            size=a.size or 0,
+                            partition_values=a.partition_values or {},
+                            modification_time=0,
+                            data_change=True,
+                        ),
+                        v,
+                    )
                 )
+
+    import os as _os
+
+    def version_col(items) -> "F.Column":
+        pairs = []
+        for a, v in items:
+            pairs.append(F.lit(_os.path.basename(a.path)))
+            pairs.append(F.lit(v))
+        fname = F.regexp_extract(F.input_file_name(), r"([^/]+?)(\?.*)?$", 1)
+        return F.element_at(F.create_map(*pairs), fname).cast("long")
+
+    branches: list[DataFrame] = []
+    if cdc_items:
+        paths = [snap._absolute(a.path) for a, _ in cdc_items]
+        df = spark.read.parquet(*paths).select(
+            *schema.names, CHANGE_TYPE_COL, version_col(cdc_items).alias(COMMIT_VERSION_COL)
+        )
+        branches.append(df)
+    if add_items:
+        df = snap.df_for_adds(spark, [a for a, _ in add_items])
+        branches.append(
+            df.withColumn(CHANGE_TYPE_COL, F.lit("insert")).withColumn(
+                COMMIT_VERSION_COL, version_col(add_items)
             )
-        if removes:
-            # reconstruct the removed rows from the (not-yet-vacuumed) files
-            as_adds = [
-                AddAction(
-                    path=r.path,
-                    size=r.size or 0,
-                    partition_values=r.partition_values or {},
-                    modification_time=0,
-                    data_change=True,
-                )
-                for r in removes
-            ]
-            df = snap.df_for_adds(spark, as_adds)
-            branches.append(
-                df.withColumn(CHANGE_TYPE_COL, F.lit("delete")).withColumn(
-                    COMMIT_VERSION_COL, F.lit(v).cast("long")
-                )
+        )
+    if remove_items:
+        df = snap.df_for_adds(spark, [a for a, _ in remove_items])
+        branches.append(
+            df.withColumn(CHANGE_TYPE_COL, F.lit("delete")).withColumn(
+                COMMIT_VERSION_COL, version_col(remove_items)
             )
+        )
 
     if not branches:
         empty = spark.createDataFrame([], schema)
