@@ -163,6 +163,7 @@ def _stage_and_swap(
     params: dict[str, Any],
     extra_metrics: dict[str, Any],
     change_rows: Optional[DataFrame] = None,
+    extra_actions: Optional[list] = None,
 ) -> dict[str, Any]:
     """Write ``new_rows`` through the staged-write path and commit
     Remove(removed) + Add(staged) (+ cdc change files, when given) as one
@@ -193,6 +194,7 @@ def _stage_and_swap(
     now_ms = int(time.time() * 1000)
     txn = DeltaTransaction(table)
     txn.add_actions(cdc_actions)
+    txn.add_actions(list(extra_actions or []))
     for old in removed:
         txn.add_action(
             RemoveAction(
@@ -354,6 +356,7 @@ def merge(
     when_matched_delete: bool = False,
     when_not_matched_insert: bool = True,
     when_not_matched_by_source_delete: bool = False,
+    extra_actions: Optional[list] = None,
 ) -> dict[str, Any]:
     """``MERGE INTO target t USING source s ON condition`` — copy-on-write.
 
@@ -553,4 +556,5 @@ def merge(
             "numTargetRowsInserted": n_inserted,
         },
         change_rows=change_rows,
+        extra_actions=extra_actions,
     )

@@ -64,3 +64,73 @@ class ExactlyOnceDeltaSink:
                 "epochId": str(epoch_id),
             },
         )
+
+
+class UpsertDeltaSink:
+    """Exactly-once streaming UPSERT sink: foreachBatch → MERGE.
+
+    The streaming half of a CDC pipeline: each micro-batch merges into the
+    target on ``condition`` (update matched, insert new), and the ``txn``
+    watermark rides IN the merge commit, so a replayed batch is skipped —
+    the same idempotency protocol as the append sink, now with update
+    semantics. The first batch creates the table.
+
+    Usage::
+
+        sink = UpsertDeltaSink(uri, condition="t.id = s.id", app_id="q1")
+        df.writeStream.foreachBatch(sink).option("checkpointLocation", ...).start()
+    """
+
+    def __init__(
+        self,
+        table_uri: str,
+        condition: str,
+        app_id: str,
+        when_matched_update: Optional[dict] = None,
+        partition_by: Optional[list[str]] = None,
+    ):
+        self.table_uri = table_uri
+        self.condition = condition
+        self.app_id = app_id
+        self.when_matched_update = when_matched_update
+        self.partition_by = partition_by
+        self.skipped_epochs: list[int] = []
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..dml import merge
+        from ..protocol.actions import TxnAction
+        from ..protocol.snapshot import NotATableError
+        from ..table import DeltaTable
+        from ..writer import write_deltalake
+
+        spark = batch_df.sparkSession
+        txn = TxnAction(app_id=self.app_id, version=epoch_id)
+        try:
+            table = DeltaTable(self.table_uri)
+        except NotATableError:
+            write_deltalake(
+                spark,
+                batch_df,
+                self.table_uri,
+                partition_by=self.partition_by,
+                extra_actions=[txn],
+                operation="STREAMING UPDATE",
+                operation_parameters_extra={
+                    "outputMode": "Update",
+                    "queryId": self.app_id,
+                    "epochId": str(epoch_id),
+                },
+            )
+            return
+        last = table.get_app_transaction_version(self.app_id)
+        if last is not None and epoch_id <= last:
+            self.skipped_epochs.append(epoch_id)
+            return
+        merge(
+            spark,
+            table,
+            batch_df,
+            self.condition,
+            when_matched_update=self.when_matched_update,
+            extra_actions=[txn],
+        )

@@ -285,3 +285,31 @@ def test_stream_change_feed(spark, tmp_path):
     assert all(r._commit_version == 0 for r in inserts)
     assert sorted(r.id for r in deletes) == [6, 7]
     assert all(r._commit_version == 1 for r in deletes)
+
+
+def test_upsert_sink_exactly_once(spark, tmp_path):
+    """Streaming upsert: merge per micro-batch, txn watermark in the merge
+    commit, replayed epochs skipped."""
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.streaming.sink import UpsertDeltaSink
+
+    uri = str(tmp_path / "up")
+    sink = UpsertDeltaSink(uri, "t.id = s.id", app_id="upq")
+
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    sink(b0, 0)   # creates the table
+    b1 = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+    sink(b1, 1)   # updates id=2, inserts id=3
+
+    t = DeltaTable(uri)
+    rows = {r.id: r.v for r in t.to_df(spark).collect()}
+    assert rows == {1: "a", 2: "B", 3: "c"}
+    assert t.get_app_transaction_version("upq") == 1
+
+    # replay of epoch 1 (streaming restart) is a no-op
+    sink(b1, 1)
+    assert sink.skipped_epochs == [1]
+    assert DeltaTable(uri).version == t.version
+    # next epoch proceeds
+    sink(spark.createDataFrame([(3, "C")], "id long, v string"), 2)
+    assert {r.id: r.v for r in DeltaTable(uri).to_df(spark).collect()}[3] == "C"
