@@ -17,6 +17,7 @@ from .json_writer import BufferedJsonWriter
 from .protocol.log import DeltaLog
 from .protocol.snapshot import DeltaTableError, NotATableError, Snapshot
 from .session import get_spark
+from .sql import sql
 from .table import DeltaTable
 from .writer import SchemaMismatchError, TableAlreadyExistsError, write_deltalake
 
@@ -38,5 +39,6 @@ __all__ = [
     "load_cdf",
     "cdf_enabled",
     "get_spark",
+    "sql",
     "__version__",
 ]

@@ -1,0 +1,191 @@
+"""SQL entry point: the Delta SQL command surface over path tables.
+
+``sql(spark, statement)`` accepts the statement forms Delta users type,
+with tables addressed as ``delta.`/path/to/table```:
+
+- ``SELECT ... FROM delta.`/p` [VERSION AS OF n | TIMESTAMP AS OF 'ts'] ...``
+  — every delta.`...` reference becomes a snapshot DataFrame registered as a
+  temp view; the rewritten query then runs on Spark SQL unchanged (joins,
+  CTEs, aggregates — the full Catalyst surface).
+- ``DELETE FROM delta.`/p` WHERE <predicate>``
+- ``UPDATE delta.`/p` SET a = <expr>, b = <expr> WHERE <predicate>``
+- ``DESCRIBE HISTORY delta.`/p``` / ``DESCRIBE DETAIL delta.`/p```
+- ``VACUUM delta.`/p` [RETAIN <n> HOURS] [DRY RUN]``
+- ``OPTIMIZE delta.`/p` [ZORDER BY (a, b)]``
+- ``RESTORE delta.`/p` TO VERSION AS OF <n>``
+
+Relational statements return a DataFrame; commands return a one-row
+DataFrame of their metrics (like Spark's own command output). MERGE is
+API-only (`DeltaTable.merge`) — its clause grammar doesn't regex safely.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TABLE_REF = re.compile(
+    r"delta\.`([^`]+)`"
+    r"(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?",
+    re.IGNORECASE,
+)
+
+
+class SqlError(Exception):
+    pass
+
+
+def _open(uri: str, version: str | None, ts: str | None):
+    from .table import DeltaTable
+
+    if version is not None:
+        return DeltaTable.for_version(uri, int(version))
+    if ts is not None:
+        return DeltaTable.for_timestamp(uri, ts)
+    return DeltaTable(uri)
+
+
+def _one_row(spark: SparkSession, d: dict[str, Any]) -> DataFrame:
+    import json
+
+    return spark.createDataFrame(
+        [tuple(json.dumps(v) if isinstance(v, (dict, list)) else str(v) for v in d.values())],
+        list(d.keys()),
+    )
+
+
+def sql(spark: SparkSession, statement: str) -> DataFrame:
+    s = statement.strip().rstrip(";")
+    head = s.split(None, 1)[0].upper() if s else ""
+
+    if head in ("SELECT", "WITH"):
+        return _select(spark, s)
+    if head == "DELETE":
+        return _delete(spark, s)
+    if head == "UPDATE":
+        return _update(spark, s)
+    if head == "DESCRIBE":
+        return _describe(spark, s)
+    if head == "VACUUM":
+        return _vacuum(spark, s)
+    if head == "OPTIMIZE":
+        return _optimize(spark, s)
+    if head == "RESTORE":
+        return _restore(spark, s)
+    raise SqlError(f"unsupported statement: {head or statement!r}")
+
+
+def _select(spark: SparkSession, s: str) -> DataFrame:
+    import hashlib
+
+    def replace(m: re.Match) -> str:
+        uri, version, ts = m.group(1), m.group(2), m.group(3)
+        key = f"{uri}@{version}@{ts}"
+        view = "delta_v_" + hashlib.md5(key.encode()).hexdigest()[:12]
+        _open(uri, version, ts).to_df(spark).createOrReplaceTempView(view)
+        return view
+
+    rewritten = _TABLE_REF.sub(replace, s)
+    return spark.sql(rewritten)
+
+
+def _require(pattern: str, s: str, what: str) -> re.Match:
+    m = re.match(pattern, s, re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise SqlError(f"cannot parse {what}: {s!r}")
+    return m
+
+
+def _delete(spark: SparkSession, s: str) -> DataFrame:
+    m = _require(
+        r"DELETE\s+FROM\s+delta\.`([^`]+)`\s+WHERE\s+(.+)$", s, "DELETE"
+    )
+    res = _open(m.group(1), None, None).delete(spark, m.group(2).strip())
+    return _one_row(spark, res)
+
+
+def _split_assignments(text: str) -> dict[str, str]:
+    """Split ``a = expr, b = expr`` on top-level commas (quote/paren aware)."""
+    parts: list[str] = []
+    depth = 0
+    quote = None
+    cur = []
+    for ch in text:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    parts.append("".join(cur))
+    out: dict[str, str] = {}
+    for p in parts:
+        if "=" not in p:
+            raise SqlError(f"bad SET clause: {p.strip()!r}")
+        k, v = p.split("=", 1)
+        out[k.strip()] = v.strip()
+    return out
+
+
+def _update(spark: SparkSession, s: str) -> DataFrame:
+    m = _require(
+        r"UPDATE\s+delta\.`([^`]+)`\s+SET\s+(.+?)\s+WHERE\s+(.+)$", s, "UPDATE"
+    )
+    assignments = _split_assignments(m.group(2))
+    res = _open(m.group(1), None, None).update_where(
+        spark, m.group(3).strip(), assignments
+    )
+    return _one_row(spark, res)
+
+
+def _describe(spark: SparkSession, s: str) -> DataFrame:
+    m = _require(r"DESCRIBE\s+(HISTORY|DETAIL)\s+delta\.`([^`]+)`$", s, "DESCRIBE")
+    table = _open(m.group(2), None, None)
+    if m.group(1).upper() == "DETAIL":
+        return _one_row(spark, table.detail())
+    import json
+
+    entries = table.history()
+    return spark.createDataFrame(
+        [(e.get("timestamp"), e.get("operation"), json.dumps(e)) for e in entries],
+        "timestamp long, operation string, commit_info string",
+    )
+
+
+def _vacuum(spark: SparkSession, s: str) -> DataFrame:
+    m = _require(
+        r"VACUUM\s+delta\.`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?$",
+        s,
+        "VACUUM",
+    )
+    hours = int(m.group(2)) if m.group(2) else 168
+    dry = bool(m.group(3))
+    removed = _open(m.group(1), None, None).vacuum(retention_hours=hours, dry_run=dry)
+    return spark.createDataFrame([(p,) for p in removed] or [], "path string")
+
+
+def _optimize(spark: SparkSession, s: str) -> DataFrame:
+    m = _require(
+        r"OPTIMIZE\s+delta\.`([^`]+)`(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?$", s, "OPTIMIZE"
+    )
+    zorder = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+    res = _open(m.group(1), None, None).optimize(spark, zorder_by=zorder)
+    return _one_row(spark, res)
+
+
+def _restore(spark: SparkSession, s: str) -> DataFrame:
+    m = _require(
+        r"RESTORE\s+delta\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$", s, "RESTORE"
+    )
+    res = _open(m.group(1), None, None).restore(int(m.group(2)))
+    return _one_row(spark, res)

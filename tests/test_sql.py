@@ -1,0 +1,68 @@
+"""SQL command surface: delta.`path` statements routed to the engine."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from delta_rs_spark import DeltaTable, sql, write_deltalake
+from delta_rs_spark.sql import SqlError
+
+
+@pytest.fixture()
+def docs_uri(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, docs, uri, max_records_per_file=200)
+    return uri
+
+
+def test_select_and_time_travel(spark, docs_uri):
+    n0 = sql(spark, f"SELECT count(*) AS n FROM delta.`{docs_uri}`").collect()[0]["n"]
+    assert n0 == 500
+    sql(spark, f"DELETE FROM delta.`{docs_uri}` WHERE n_chars < 300")
+    n1 = sql(spark, f"SELECT count(*) AS n FROM delta.`{docs_uri}`").collect()[0]["n"]
+    assert n1 < n0
+    # time travel back to v0 inside SQL
+    nv0 = sql(
+        spark,
+        f"SELECT count(*) AS n FROM delta.`{docs_uri}` VERSION AS OF 0",
+    ).collect()[0]["n"]
+    assert nv0 == n0
+    # join a snapshot against itself at two versions
+    joined = sql(
+        spark,
+        f"""SELECT count(*) AS gone FROM delta.`{docs_uri}` VERSION AS OF 0 a
+            LEFT ANTI JOIN delta.`{docs_uri}` b ON a.doc_id = b.doc_id""",
+    ).collect()[0]["gone"]
+    assert joined == n0 - n1
+
+
+def test_update_describe_restore(spark, docs_uri):
+    sql(spark, f"UPDATE delta.`{docs_uri}` SET lang = 'xx', n_chars = n_chars + 1 WHERE source = 'src3'")
+    t = DeltaTable(docs_uri)
+    assert t.to_df(spark).filter("source = 'src3'").filter("lang != 'xx'").count() == 0
+
+    hist = sql(spark, f"DESCRIBE HISTORY delta.`{docs_uri}`").collect()
+    assert hist[0]["operation"] == "UPDATE"
+    detail = sql(spark, f"DESCRIBE DETAIL delta.`{docs_uri}`").collect()[0]
+    assert detail["format"] == "delta"
+
+    res = sql(spark, f"RESTORE delta.`{docs_uri}` TO VERSION AS OF 0").collect()[0]
+    assert int(res["numRestoredFiles"]) >= 0
+    assert DeltaTable(docs_uri).to_df(spark).filter("lang = 'xx'").count() == 0
+
+
+def test_vacuum_and_optimize_statements(spark, docs_uri):
+    listed = sql(spark, f"VACUUM delta.`{docs_uri}` DRY RUN").collect()
+    assert listed == []  # nothing unreferenced yet
+    with pytest.raises(Exception):
+        sql(spark, f"VACUUM delta.`{docs_uri}` RETAIN 1 HOURS DRY RUN").collect()
+    res = sql(spark, f"OPTIMIZE delta.`{docs_uri}`").collect()[0]
+    assert int(res["numFilesRemoved"]) >= 0
+
+
+def test_unsupported_statement(spark):
+    with pytest.raises(SqlError):
+        sql(spark, "TRUNCATE TABLE delta.`/x`")
