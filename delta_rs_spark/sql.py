@@ -14,9 +14,14 @@ with tables addressed as ``delta.`/path/to/table```:
 - ``OPTIMIZE delta.`/p` [ZORDER BY (a, b)]``
 - ``RESTORE delta.`/p` TO VERSION AS OF <n>``
 
+- ``MERGE INTO delta.`/p` [AS] t USING (<subquery> | delta.`/p2`) [AS] s
+  ON <cond>`` followed by any of: ``WHEN MATCHED THEN UPDATE SET a = e, …``
+  or ``WHEN MATCHED THEN DELETE``; ``WHEN NOT MATCHED THEN INSERT *``;
+  ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` — the standard Delta MERGE
+  grammar restricted to one clause per kind (the API accepts the same).
+
 Relational statements return a DataFrame; commands return a one-row
-DataFrame of their metrics (like Spark's own command output). MERGE is
-API-only (`DeltaTable.merge`) — its clause grammar doesn't regex safely.
+DataFrame of their metrics (like Spark's own command output).
 """
 
 from __future__ import annotations
@@ -74,6 +79,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return _optimize(spark, s)
     if head == "RESTORE":
         return _restore(spark, s)
+    if head == "MERGE":
+        return _merge(spark, s)
     raise SqlError(f"unsupported statement: {head or statement!r}")
 
 
@@ -188,4 +195,63 @@ def _restore(spark: SparkSession, s: str) -> DataFrame:
         r"RESTORE\s+delta\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$", s, "RESTORE"
     )
     res = _open(m.group(1), None, None).restore(int(m.group(2)))
+    return _one_row(spark, res)
+
+
+_MERGE_HEAD = re.compile(
+    r"MERGE\s+INTO\s+delta\.`([^`]+)`(?:\s+AS)?\s+(\w+)\s+"
+    r"USING\s+(\((?:[^()]|\([^()]*\))*\)|delta\.`[^`]+`)(?:\s+AS)?\s+(\w+)\s+"
+    r"ON\s+(.+?)\s*(?=WHEN\s)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+_WHEN_CLAUSE = re.compile(
+    r"WHEN\s+(MATCHED|NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED)\s+THEN\s+"
+    r"(UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*)\s*(?=WHEN\s|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _merge(spark: SparkSession, s: str) -> DataFrame:
+    m = _MERGE_HEAD.match(s)
+    if not m:
+        raise SqlError(f"cannot parse MERGE: {s!r}")
+    target_uri, t_alias, source_text, s_alias, condition = m.groups()
+
+    # source: subquery (any Spark SQL incl. delta.`...` refs) or a table ref
+    if source_text.startswith("("):
+        source = _select(spark, source_text[1:-1].strip())
+    else:
+        ref = _TABLE_REF.match(source_text)
+        source = _open(ref.group(1), ref.group(2), ref.group(3)).to_df(spark)
+
+    # normalize aliases to the API's t/s convention
+    def realias(expr: str) -> str:
+        expr = re.sub(rf"\b{re.escape(t_alias)}\.", "t.", expr)
+        return re.sub(rf"\b{re.escape(s_alias)}\.", "s.", expr)
+
+    kw: dict[str, Any] = {"when_not_matched_insert": False}
+    for wm in _WHEN_CLAUSE.finditer(s, m.end()):
+        kind = re.sub(r"\s+", " ", wm.group(1).upper())
+        action = wm.group(2).strip()
+        if kind == "MATCHED":
+            if action.upper() == "DELETE":
+                kw["when_matched_delete"] = True
+            else:
+                set_text = re.sub(r"(?i)^UPDATE\s+SET\s+", "", action)
+                kw["when_matched_update"] = {
+                    k.replace(f"{t_alias}.", ""): realias(v)
+                    for k, v in _split_assignments(set_text).items()
+                }
+        elif kind == "NOT MATCHED":
+            if action.upper() != "INSERT *":
+                raise SqlError("only INSERT * is supported for WHEN NOT MATCHED")
+            kw["when_not_matched_insert"] = True
+        elif kind == "NOT MATCHED BY SOURCE":
+            if action.upper() != "DELETE":
+                raise SqlError("only DELETE is supported for WHEN NOT MATCHED BY SOURCE")
+            kw["when_not_matched_by_source_delete"] = True
+
+    table = _open(target_uri, None, None)
+    res = table.merge(spark, source, realias(condition), **kw)
     return _one_row(spark, res)

@@ -66,3 +66,39 @@ def test_vacuum_and_optimize_statements(spark, docs_uri):
 def test_unsupported_statement(spark):
     with pytest.raises(SqlError):
         sql(spark, "TRUNCATE TABLE delta.`/x`")
+
+
+def test_merge_statement(spark, docs_uri, tmp_path, sf_dir):
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src_uri = str(tmp_path / "src")
+    from pyspark.sql import functions as F
+
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    source = docs.limit(10).withColumn("text", F.lit("M")).unionByName(
+        docs.limit(4).withColumn("doc_id", (F.col("doc_id") + max_id + 1).cast("long"))
+    )
+    write_deltalake(spark, source, src_uri)
+
+    res = sql(
+        spark,
+        f"""MERGE INTO delta.`{docs_uri}` AS tgt
+            USING delta.`{src_uri}` AS src
+            ON tgt.doc_id = src.doc_id
+            WHEN MATCHED THEN UPDATE SET tgt.text = src.text
+            WHEN NOT MATCHED THEN INSERT *""",
+    ).collect()[0]
+    assert int(res["numTargetRowsUpdated"]) == 10
+    assert int(res["numTargetRowsInserted"]) == 4
+    t = DeltaTable(docs_uri)
+    assert t.to_df(spark).filter("text = 'M'").count() == 10  # the updated rows
+    assert t.to_df(spark).count() == 504                      # 500 + 4 inserted
+
+    # subquery source + matched delete
+    res2 = sql(
+        spark,
+        f"""MERGE INTO delta.`{docs_uri}` t
+            USING (SELECT doc_id FROM delta.`{src_uri}` WHERE text = 'M' LIMIT 6) s
+            ON t.doc_id = s.doc_id
+            WHEN MATCHED THEN DELETE""",
+    ).collect()[0]
+    assert int(res2["numTargetRowsDeleted"]) == 6
