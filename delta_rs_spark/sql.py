@@ -14,6 +14,9 @@ with tables addressed as ``delta.`/path/to/table```:
 - ``OPTIMIZE delta.`/p` [ZORDER BY (a, b)]``
 - ``RESTORE delta.`/p` TO VERSION AS OF <n>``
 
+- ``INSERT INTO delta.`/p` <select>`` / ``INSERT OVERWRITE delta.`/p`
+  <select>`` — append / full overwrite of the query result.
+- ``CREATE TABLE delta.`/p` [PARTITIONED BY (a, b)] AS <select>``
 - ``MERGE INTO delta.`/p` [AS] t USING (<subquery> | delta.`/p2`) [AS] s
   ON <cond>`` followed by any of: ``WHEN MATCHED THEN UPDATE SET a = e, …``
   or ``WHEN MATCHED THEN DELETE``; ``WHEN NOT MATCHED THEN INSERT *``;
@@ -81,6 +84,10 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return _restore(spark, s)
     if head == "MERGE":
         return _merge(spark, s)
+    if head == "INSERT":
+        return _insert(spark, s)
+    if head == "CREATE":
+        return _create(spark, s)
     raise SqlError(f"unsupported statement: {head or statement!r}")
 
 
@@ -255,3 +262,32 @@ def _merge(spark: SparkSession, s: str) -> DataFrame:
     table = _open(target_uri, None, None)
     res = table.merge(spark, source, realias(condition), **kw)
     return _one_row(spark, res)
+
+
+def _insert(spark: SparkSession, s: str) -> DataFrame:
+    m = _require(
+        r"INSERT\s+(INTO|OVERWRITE)\s+delta\.`([^`]+)`\s+(.+)$", s, "INSERT"
+    )
+    from .writer import write_deltalake
+
+    mode = "append" if m.group(1).upper() == "INTO" else "overwrite"
+    df = _select(spark, m.group(3).strip())
+    table = write_deltalake(spark, df, m.group(2), mode=mode)
+    return _one_row(spark, {"numOutputRows": df.count(), "version": table.version})
+
+
+def _create(spark: SparkSession, s: str) -> DataFrame:
+    m = _require(
+        r"CREATE\s+TABLE\s+delta\.`([^`]+)`"
+        r"(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?\s+AS\s+(.+)$",
+        s,
+        "CREATE TABLE",
+    )
+    from .writer import write_deltalake
+
+    pcols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+    df = _select(spark, m.group(3).strip())
+    table = write_deltalake(
+        spark, df, m.group(1), mode="error", partition_by=pcols
+    )
+    return _one_row(spark, {"version": table.version, "location": m.group(1)})

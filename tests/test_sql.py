@@ -102,3 +102,29 @@ def test_merge_statement(spark, docs_uri, tmp_path, sf_dir):
             WHEN MATCHED THEN DELETE""",
     ).collect()[0]
     assert int(res2["numTargetRowsDeleted"]) == 6
+
+
+def test_insert_and_create_table_as(spark, docs_uri, tmp_path):
+    new_uri = str(tmp_path / "ctas")
+    res = sql(
+        spark,
+        f"""CREATE TABLE delta.`{new_uri}` PARTITIONED BY (source) AS
+            SELECT * FROM delta.`{docs_uri}` WHERE n_chars >= 400""",
+    ).collect()[0]
+    t = DeltaTable(new_uri)
+    assert t.metadata().partition_columns == ["source"]
+    n0 = t.to_df(spark).count()
+    assert n0 > 0
+
+    sql(
+        spark,
+        f"INSERT INTO delta.`{new_uri}` SELECT * FROM delta.`{docs_uri}` WHERE n_chars < 100",
+    )
+    t.update()
+    assert t.to_df(spark).count() > n0
+
+    sql(
+        spark,
+        f"INSERT OVERWRITE delta.`{new_uri}` SELECT * FROM delta.`{docs_uri}` LIMIT 7",
+    )
+    assert DeltaTable(new_uri).to_df(spark).count() == 7
