@@ -52,7 +52,12 @@ def load_cdf(
     ``_change_type`` (string) + ``_commit_version`` (long)."""
     log = table.log
     snap = table.snapshot
-    end = table.version if ending_version is None else ending_version
+    latest = table.version
+    end = latest if ending_version is None else ending_version
+    if end > latest:
+        raise ValueError(
+            f"ending_version {end} is beyond the table's latest version {latest}"
+        )
     if starting_version > end:
         raise ValueError(f"starting_version {starting_version} > ending_version {end}")
 
@@ -101,27 +106,50 @@ def load_cdf(
         fname = F.regexp_extract(F.input_file_name(), r"([^/]+?)(\?.*)?$", 1)
         return F.element_at(F.create_map(*pairs), fname).cast("long")
 
+    def kind_branches(items, change_type: Optional[str], is_cdc: bool) -> list[DataFrame]:
+        """One scan when file names are unique across the range; otherwise
+        (a path re-added by RESTORE, or added then removed, can recur in
+        several commits) fall back to one branch per version so the
+        filename→version map never sees duplicate keys."""
+        names = [_os.path.basename(a.path) for a, _ in items]
+        if len(set(names)) == len(names):
+            if is_cdc:
+                paths = [snap._absolute(a.path) for a, _ in items]
+                return [
+                    spark.read.parquet(*paths).select(
+                        *schema.names,
+                        CHANGE_TYPE_COL,
+                        version_col(items).alias(COMMIT_VERSION_COL),
+                    )
+                ]
+            df = snap.df_for_adds(spark, [a for a, _ in items])
+            return [
+                df.withColumn(CHANGE_TYPE_COL, F.lit(change_type)).withColumn(
+                    COMMIT_VERSION_COL, version_col(items)
+                )
+            ]
+        by_version: dict[int, list] = {}
+        for a, v in items:
+            by_version.setdefault(v, []).append(a)
+        out = []
+        for v, adds_v in sorted(by_version.items()):
+            if is_cdc:
+                paths = [snap._absolute(a.path) for a in adds_v]
+                df = spark.read.parquet(*paths).select(*schema.names, CHANGE_TYPE_COL)
+            else:
+                df = snap.df_for_adds(spark, adds_v).withColumn(
+                    CHANGE_TYPE_COL, F.lit(change_type)
+                )
+            out.append(df.withColumn(COMMIT_VERSION_COL, F.lit(v).cast("long")))
+        return out
+
     branches: list[DataFrame] = []
     if cdc_items:
-        paths = [snap._absolute(a.path) for a, _ in cdc_items]
-        df = spark.read.parquet(*paths).select(
-            *schema.names, CHANGE_TYPE_COL, version_col(cdc_items).alias(COMMIT_VERSION_COL)
-        )
-        branches.append(df)
+        branches.extend(kind_branches(cdc_items, None, is_cdc=True))
     if add_items:
-        df = snap.df_for_adds(spark, [a for a, _ in add_items])
-        branches.append(
-            df.withColumn(CHANGE_TYPE_COL, F.lit("insert")).withColumn(
-                COMMIT_VERSION_COL, version_col(add_items)
-            )
-        )
+        branches.extend(kind_branches(add_items, "insert", is_cdc=False))
     if remove_items:
-        df = snap.df_for_adds(spark, [a for a, _ in remove_items])
-        branches.append(
-            df.withColumn(CHANGE_TYPE_COL, F.lit("delete")).withColumn(
-                COMMIT_VERSION_COL, version_col(remove_items)
-            )
-        )
+        branches.extend(kind_branches(remove_items, "delete", is_cdc=False))
 
     if not branches:
         empty = spark.createDataFrame([], schema)

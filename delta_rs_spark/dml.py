@@ -77,8 +77,9 @@ def _skip_tuples_from_predicate(predicate: str) -> list[SkipTuple]:
     its DNF tuple API (``rust/src/partitions.rs:55-98``) while the engine
     evaluates the full predicate row-level.
     """
-    upper = predicate.upper()
-    if "(" in predicate or " OR " in f" {upper} " or " NOT " in f" {upper} ":
+    # any OR / NOT anywhere (word-boundary, any whitespace incl. newlines)
+    # means the simple-conjunction assumption is wrong → no hints at all
+    if "(" in predicate or re.search(r"(?i)\b(OR|NOT)\b", predicate):
         return []
     tuples: list[SkipTuple] = []
     for conjunct in re.split(r"(?i)\s+AND\s+", predicate):
@@ -164,6 +165,7 @@ def _stage_and_swap(
     extra_metrics: dict[str, Any],
     change_rows: Optional[DataFrame] = None,
     extra_actions: Optional[list] = None,
+    max_records_per_file: Optional[int] = None,
 ) -> dict[str, Any]:
     """Write ``new_rows`` through the staged-write path and commit
     Remove(removed) + Add(staged) (+ cdc change files, when given) as one
@@ -182,6 +184,8 @@ def _stage_and_swap(
     writer = new_rows.write.mode("overwrite")
     if pcols:
         writer = writer.partitionBy(*pcols)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(staging_dir)
     adds = _promote_staged_files(spark, log, staging_dir, pcols)
 
@@ -517,17 +521,22 @@ def merge(
 
     # --- inserts: source rows matching no target row anywhere ---
     n_inserted = 0
+    inserts = None
     if when_not_matched_insert:
         types = {f.name: f.dataType for f in schema.fields}
+        # cached: the anti-join result is consumed up to three times (count,
+        # staged write, cdc change files) — one execution instead of three
         inserts = s.join(t, on, "left_anti").select(
             *[F.col(c).cast(types[c]).alias(c) for c in schema.names]
-        )
+        ).cache()
         n_inserted = inserts.count()
         new_rows = new_rows.unionByName(inserts) if rewrite else inserts
         if track_changes and n_inserted:
             change_parts.append(inserts.withColumn(CHANGE_TYPE_COL, F.lit("insert")))
 
     if not rewrite and n_inserted == 0:
+        if inserts is not None:
+            inserts.unpersist()
         return {
             "version": table.version,
             "numRemovedFiles": 0,
@@ -543,18 +552,22 @@ def merge(
         for p in change_parts[1:]:
             change_rows = change_rows.unionByName(p)
 
-    return _stage_and_swap(
-        spark,
-        table,
-        new_rows,
-        rewrite,
-        "MERGE",
-        {"predicate": condition},
-        {
-            "numTargetRowsUpdated": n_updated,
-            "numTargetRowsDeleted": n_deleted,
-            "numTargetRowsInserted": n_inserted,
-        },
-        change_rows=change_rows,
-        extra_actions=extra_actions,
-    )
+    try:
+        return _stage_and_swap(
+            spark,
+            table,
+            new_rows,
+            rewrite,
+            "MERGE",
+            {"predicate": condition},
+            {
+                "numTargetRowsUpdated": n_updated,
+                "numTargetRowsDeleted": n_deleted,
+                "numTargetRowsInserted": n_inserted,
+            },
+            change_rows=change_rows,
+            extra_actions=extra_actions,
+        )
+    finally:
+        if inserts is not None:
+            inserts.unpersist()

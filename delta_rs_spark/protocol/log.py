@@ -147,6 +147,13 @@ class DeltaLog:
         """
         self.backend.rename_obj_noreplace(tmp_path, self.commit_path(version))
 
+    def absolute(self, path: str) -> str:
+        """Resolve a log-recorded (possibly relative) file path against the
+        table root — same contract as Snapshot._absolute."""
+        if "://" in path or path.startswith("/"):
+            return path
+        return self.backend.join(self.table_root, path)
+
     def put_last_checkpoint(self, cp: CheckPoint) -> None:
         self.backend.put_obj(self.last_checkpoint_path(), cp.to_json().encode("utf-8"))
 

@@ -133,14 +133,14 @@ class MemoryBackend(StorageBackend):
     ``_delta_log`` traffic, which is exactly the part delta-rs abstracts.
     """
 
+    import threading as _threading
+
     _stores: dict[str, dict[str, tuple[bytes, float]]] = {}
-    _lock = None  # class-level, set below
+    # created at class definition (single-threaded import), so concurrent
+    # first constructions can never install two different locks
+    _lock = _threading.Lock()
 
     def __init__(self, namespace: str = "default"):
-        import threading
-
-        if MemoryBackend._lock is None:
-            MemoryBackend._lock = threading.Lock()
         self.ns = namespace
         with MemoryBackend._lock:
             MemoryBackend._stores.setdefault(namespace, {})

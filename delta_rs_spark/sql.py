@@ -232,10 +232,13 @@ def _merge(spark: SparkSession, s: str) -> DataFrame:
         ref = _TABLE_REF.match(source_text)
         source = _open(ref.group(1), ref.group(2), ref.group(3)).to_df(spark)
 
-    # normalize aliases to the API's t/s convention
+    # normalize aliases to the API's t/s convention; two-phase through
+    # placeholders so alias names 't'/'s' (or aliases equal to each other's
+    # target) can't collide mid-rewrite
     def realias(expr: str) -> str:
-        expr = re.sub(rf"\b{re.escape(t_alias)}\.", "t.", expr)
-        return re.sub(rf"\b{re.escape(s_alias)}\.", "s.", expr)
+        expr = re.sub(rf"\b{re.escape(t_alias)}\.", "\x00T\x00.", expr)
+        expr = re.sub(rf"\b{re.escape(s_alias)}\.", "\x00S\x00.", expr)
+        return expr.replace("\x00T\x00.", "t.").replace("\x00S\x00.", "s.")
 
     kw: dict[str, Any] = {"when_not_matched_insert": False}
     for wm in _WHEN_CLAUSE.finditer(s, m.end()):
@@ -273,7 +276,12 @@ def _insert(spark: SparkSession, s: str) -> DataFrame:
     mode = "append" if m.group(1).upper() == "INTO" else "overwrite"
     df = _select(spark, m.group(3).strip())
     table = write_deltalake(spark, df, m.group(2), mode=mode)
-    return _one_row(spark, {"numOutputRows": df.count(), "version": table.version})
+    # row count comes from the commit's own metrics — the SELECT ran once
+    metrics = (table.history(limit=1) or [{}])[0].get("operationMetrics", {})
+    return _one_row(
+        spark,
+        {"numOutputRows": metrics.get("numOutputRows", ""), "version": table.version},
+    )
 
 
 def _create(spark: SparkSession, s: str) -> DataFrame:

@@ -97,14 +97,9 @@ class DeltaStreamReader(DataSourceStreamReader):
                         "deletes/overwrites requires option ignoreChanges=true"
                     )
                 if isinstance(a, AddAction) and a.data_change:
-                    uri = (
-                        a.path
-                        if a.path.startswith("/") or "://" in a.path
-                        else f"{log.table_root}/{a.path}"
-                    )
                     parts.append(
                         DeltaFilePartition(
-                            uri,
+                            log.absolute(a.path),
                             a.partition_values,
                             meta.schema_string,
                             meta.partition_columns,
@@ -118,12 +113,7 @@ class DeltaStreamReader(DataSourceStreamReader):
         ignoreChanges gate — in CDF mode deletes ARE the payload."""
         from ..protocol.actions import AddAction, CdcAction, RemoveAction
 
-        def absolute(path: str) -> str:
-            return (
-                path
-                if path.startswith("/") or "://" in path
-                else f"{log.table_root}/{path}"
-            )
+        absolute = log.absolute
 
         cdc = [a for a in actions if isinstance(a, CdcAction)]
         if cdc:

@@ -142,10 +142,19 @@ def write_deltalake(
             return DeltaTable(table_uri)
         table = DeltaTable(table_uri)
         _check_schema(table, df)
-        check_constraints(df, table.metadata().configuration)
         partition_by = table.metadata().partition_columns
         if replace_where is not None:
-            return _replace_where(spark, table, df, replace_where, max_records_per_file)
+            # constraints are enforced once, inside the rewrite commit
+            return _replace_where(
+                spark,
+                table,
+                df,
+                replace_where,
+                max_records_per_file,
+                extra_actions=extra_actions,
+                operation_parameters_extra=operation_parameters_extra,
+            )
+        check_constraints(df, table.metadata().configuration)
     else:
         partition_by = list(partition_by or [])
         missing = [c for c in partition_by if c not in df.columns]
@@ -433,6 +442,8 @@ def _replace_where(
     df: DataFrame,
     predicate: str,
     max_records_per_file: Optional[int],
+    extra_actions: Optional[list] = None,
+    operation_parameters_extra: Optional[dict] = None,
 ) -> DeltaTable:
     """Predicate-scoped overwrite, one atomic commit (Delta replaceWhere).
 
@@ -483,8 +494,14 @@ def _replace_where(
         new_rows,
         matched,
         "WRITE",
-        {"mode": "Overwrite", "predicate": predicate},
+        {
+            "mode": "Overwrite",
+            "predicate": predicate,
+            **(operation_parameters_extra or {}),
+        },
         {"numDeletedRows": n_replaced},
         change_rows=change_rows,
+        extra_actions=extra_actions,
+        max_records_per_file=max_records_per_file,
     )
     return table

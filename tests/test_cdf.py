@@ -176,3 +176,25 @@ def test_replace_where_writes_change_files(spark, tmp_path, docs):
     by_type = {r["_change_type"]: r["n"] for r in
                ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert by_type == {"delete": n_src3, "insert": 3}
+
+
+def test_load_cdf_same_file_in_multiple_versions(spark, tmp_path, docs):
+    """RESTORE re-adds files removed earlier: the same path appears in
+    several commits of the range; load_cdf must not build duplicate map
+    keys (one-scan fast path falls back to per-version branches)."""
+    uri = str(tmp_path / "rr")
+    write_deltalake(spark, docs.limit(50), uri)          # v0: file F
+    t = DeltaTable(uri)
+    t.delete(spark, "n_chars >= 0")                      # v1: removes F
+    t.restore(0)                                         # v2: re-adds F
+    ch = t.load_cdf(spark, starting_version=0, ending_version=2)
+    per_v = {r["_commit_version"]: r["n"] for r in
+             ch.groupBy("_commit_version").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_v == {0: 50, 1: 50, 2: 50}  # insert@0, delete@1, insert@2
+
+
+def test_load_cdf_out_of_range_versions_error(spark, cdf_table):
+    with pytest.raises(ValueError, match="beyond"):
+        cdf_table.load_cdf(spark, starting_version=0, ending_version=99)
+    with pytest.raises(ValueError):
+        cdf_table.load_cdf(spark, starting_version=7)  # latest is 0

@@ -323,3 +323,18 @@ def test_detail_summary(doc_table, docs):
     assert d["numRecords"] == docs.count()
     assert d["sizeInBytes"] > 0
     assert d["version"] == 0
+
+
+def test_skip_tuple_parser_multiline_or(spark, tmp_path):
+    """OR separated by newline must disable pruning hints entirely —
+    a wrong hint would silently skip files containing matching rows."""
+    assert _skip_tuples_from_predicate("a = 5 AND b = 2\nOR c = 3") == []
+    assert _skip_tuples_from_predicate("a = 5\tOR b = 1") == []
+    assert _skip_tuples_from_predicate("NOT\na = 5") == []
+    # ...and end-to-end: the delete still removes the OR'd rows
+    df = spark.createDataFrame([(1, 5, 0), (2, 0, 3), (3, 0, 0)], "id int, a int, c int")
+    uri = str(tmp_path / "or")
+    write_deltalake(spark, df.repartition(3, "id"), uri)
+    t = DeltaTable(uri)
+    t.delete(spark, "a = 5\nOR c = 3")
+    assert sorted(r.id for r in t.to_df(spark).collect()) == [3]

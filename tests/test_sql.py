@@ -128,3 +128,22 @@ def test_insert_and_create_table_as(spark, docs_uri, tmp_path):
         f"INSERT OVERWRITE delta.`{new_uri}` SELECT * FROM delta.`{docs_uri}` LIMIT 7",
     )
     assert DeltaTable(new_uri).to_df(spark).count() == 7
+
+
+def test_merge_statement_alias_collision(spark, tmp_path, sf_dir):
+    """Source aliased 't' and target aliased something else must not
+    corrupt the rewritten condition."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tgt_uri, src_uri = str(tmp_path / "tg"), str(tmp_path / "sr")
+    write_deltalake(spark, docs.limit(30), tgt_uri)
+    from pyspark.sql import functions as F
+
+    write_deltalake(spark, docs.limit(5).withColumn("text", F.lit("Z")), src_uri)
+    res = sql(
+        spark,
+        f"""MERGE INTO delta.`{tgt_uri}` AS a USING delta.`{src_uri}` AS t
+            ON a.doc_id = t.doc_id
+            WHEN MATCHED THEN UPDATE SET a.text = t.text""",
+    ).collect()[0]
+    assert int(res["numTargetRowsUpdated"]) == 5
+    assert DeltaTable(tgt_uri).to_df(spark).filter("text = 'Z'").count() == 5

@@ -314,3 +314,22 @@ def test_add_and_drop_constraint(spark, tmp_path, lineitem):
     assert DeltaTable(uri).to_df(spark).count() == 103
     with pytest.raises(ConstraintViolationError):
         t2.drop_constraint("qty_pos")  # already gone
+
+
+def test_replace_where_carries_extra_actions(spark, tmp_path, sf_dir):
+    """replaceWhere must commit extra_actions (txn watermarks) atomically —
+    exactly-once streaming sinks depend on it."""
+    import os as _os
+
+    from delta_rs_spark.protocol.actions import TxnAction
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    uri = str(tmp_path / "rwtxn")
+    write_deltalake(spark, docs, uri)
+    replacement = docs.filter("source = 'src3'").limit(2)
+    t = write_deltalake(
+        spark, replacement, uri, mode="overwrite",
+        replace_where="source = 'src3'",
+        extra_actions=[TxnAction(app_id="rw-app", version=7)],
+    )
+    assert t.get_app_transaction_version("rw-app") == 7
