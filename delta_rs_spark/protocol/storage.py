@@ -199,13 +199,140 @@ class MemoryBackend(StorageBackend):
         pass  # object stores have no directories
 
 
+class S3Backend(StorageBackend):
+    """S3 object-store backend for the `_delta_log` directory (boto3).
+
+    The reference's S3 backend (``rust/src/storage/s3/mod.rs``) predates S3
+    conditional writes and had to emulate atomic rename with an external
+    DynamoDB lock (copy + delete under lease, ``dynamodb_lock.rs:202-380``)
+    — or run single-writer without it (``storage/s3/mod.rs:1``). S3 now
+    supports conditional PUT natively (``IfNoneMatch="*"`` → HTTP 412 if the
+    key exists), so ``rename_obj_noreplace`` here is get(src) → conditional
+    put(dst) → delete(src): the dst creation is the atomic
+    create-if-absent point the commit protocol needs
+    (``rust/src/storage/mod.rs:416-423``), with no lock service. Commit
+    objects are single-digit-KB NDJSON, so the driver-side get/put is cheap;
+    executors read/write data files through Spark's own s3a layer, never
+    through this class.
+
+    A pre-built client can be injected (tests use botocore's Stubber).
+    """
+
+    def __init__(self, client=None):
+        if client is None:
+            try:
+                import boto3
+            except ImportError as e:  # pragma: no cover
+                raise NotImplementedError(
+                    "s3:// tables need boto3 on the driver"
+                ) from e
+            client = boto3.client("s3")
+        self.client = client
+
+    @staticmethod
+    def _split(path: str) -> tuple[str, str]:
+        parsed = urlparse(path)
+        if parsed.scheme not in ("s3", "s3a") or not parsed.netloc:
+            raise ValueError(f"not an s3 path: {path!r}")
+        return parsed.netloc, parsed.path.lstrip("/")
+
+    @staticmethod
+    def _is_missing(err) -> bool:
+        code = err.response.get("Error", {}).get("Code", "")
+        return code in ("404", "NoSuchKey", "NotFound")
+
+    @staticmethod
+    def _is_precondition_failed(err) -> bool:
+        code = err.response.get("Error", {}).get("Code", "")
+        status = err.response.get("ResponseMetadata", {}).get("HTTPStatusCode")
+        return code == "PreconditionFailed" or status == 412
+
+    def head_obj(self, path: str) -> ObjectMeta:
+        from botocore.exceptions import ClientError
+
+        bucket, key = self._split(path)
+        try:
+            resp = self.client.head_object(Bucket=bucket, Key=key)
+        except ClientError as e:
+            if self._is_missing(e):
+                raise FileNotFoundError(path) from e
+            raise
+        return ObjectMeta(
+            path=path,
+            size=resp["ContentLength"],
+            modification_time=resp["LastModified"].timestamp(),
+        )
+
+    def get_obj(self, path: str) -> bytes:
+        from botocore.exceptions import ClientError
+
+        bucket, key = self._split(path)
+        try:
+            resp = self.client.get_object(Bucket=bucket, Key=key)
+        except ClientError as e:
+            if self._is_missing(e):
+                raise FileNotFoundError(path) from e
+            raise
+        return resp["Body"].read()
+
+    def list_objs(self, path: str) -> Iterator[ObjectMeta]:
+        bucket, prefix = self._split(path)
+        prefix = prefix.rstrip("/") + "/"
+        token = None
+        while True:
+            kwargs = {"Bucket": bucket, "Prefix": prefix}
+            if token:
+                kwargs["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kwargs)
+            for item in resp.get("Contents", []):
+                yield ObjectMeta(
+                    path=f"s3://{bucket}/{item['Key']}",
+                    size=item["Size"],
+                    modification_time=item["LastModified"].timestamp(),
+                )
+            if not resp.get("IsTruncated"):
+                return
+            token = resp.get("NextContinuationToken")
+
+    def put_obj(self, path: str, data: bytes) -> None:
+        bucket, key = self._split(path)
+        self.client.put_object(Bucket=bucket, Key=key, Body=data)
+
+    def delete_obj(self, path: str) -> None:
+        bucket, key = self._split(path)
+        self.client.delete_object(Bucket=bucket, Key=key)
+
+    def rename_obj_noreplace(self, src: str, dst: str) -> None:
+        from botocore.exceptions import ClientError
+
+        data = self.get_obj(src)
+        bucket, key = self._split(dst)
+        try:
+            self.client.put_object(
+                Bucket=bucket, Key=key, Body=data, IfNoneMatch="*"
+            )
+        except ClientError as e:
+            if self._is_precondition_failed(e):
+                # dst won the race; leave src for the caller's retry loop
+                raise FileAlreadyExistsError(dst) from e
+            raise
+        self.delete_obj(src)
+
+    def join(self, *parts: str) -> str:
+        return "/".join(p.strip("/") if i else p.rstrip("/") for i, p in enumerate(parts))
+
+    def makedirs(self, path: str) -> None:
+        pass  # object stores have no directories
+
+
 def parse_table_uri(table_uri: str) -> tuple[str, StorageBackend]:
     """URI → (root path, backend). file:// and bare paths → local FS;
-    memory:// → in-process object-store model (log layer only).
+    memory:// → in-process object-store model (log layer only);
+    s3:// / s3a:// → S3 via boto3 with conditional-PUT atomic commits.
 
     Other cloud schemes raise with a pointer to the extension seam (the
-    reference ships S3/Azure backends behind the same trait — out of scope
-    locally; MemoryBackend documents the contract a real one must meet).
+    reference ships S3/Azure backends behind the same trait;
+    MemoryBackend documents the contract a real one must meet).
     """
     parsed = urlparse(table_uri)
     if parsed.scheme in ("", "file"):
@@ -213,6 +340,8 @@ def parse_table_uri(table_uri: str) -> tuple[str, StorageBackend]:
         return os.path.abspath(root), LocalFileBackend()
     if parsed.scheme == "memory":
         return f"memory://{parsed.netloc}{parsed.path}".rstrip("/"), MemoryBackend()
+    if parsed.scheme in ("s3", "s3a"):
+        return f"s3://{parsed.netloc}{parsed.path}".rstrip("/"), S3Backend()
     raise NotImplementedError(
         f"storage scheme {parsed.scheme!r} not available in this environment; "
         "implement a StorageBackend (see reference rust/src/storage/) and register it"
