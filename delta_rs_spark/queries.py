@@ -1721,3 +1721,157 @@ def q_events_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("std_value"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_referential_integrity",
+    """
+    SELECT 'lineitem->orders' AS relation, COUNT(*) AS n_orphans
+    FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part' AS relation, COUNT(*) AS n_orphans
+    FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+    UNION ALL
+    SELECT 'lineitem->supplier' AS relation, COUNT(*) AS n_orphans
+    FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)
+    UNION ALL
+    SELECT 'orders->customer' AS relation, COUNT(*) AS n_orphans
+    FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+    ORDER BY relation
+    """,
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key audit across the star schema: one left-anti join per
+    relation, each reduced to a single orphan count. The anti joins carry
+    only the key column on each side (Catalyst prunes the rest), and every
+    dim side is broadcastable — at 100 TB the fact scans dominate and
+    nothing wide shuffles. This is the standard pre-training-join data
+    quality gate: dangling keys silently drop rows in inner joins
+    downstream."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def orphans(fact, fact_key, dim, dim_key, label):
+        return (
+            fact.select(fact_key)
+            .join(dim.select(dim_key), F.col(fact_key) == F.col(dim_key), "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("relation"), "n_orphans")
+        )
+
+    return (
+        orphans(l, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionAll(
+            orphans(
+                l,
+                "l_partkey",
+                load_table(spark, sf_dir, "part"),
+                "p_partkey",
+                "lineitem->part",
+            )
+        )
+        .unionAll(
+            orphans(
+                l,
+                "l_suppkey",
+                load_table(spark, sf_dir, "supplier"),
+                "s_suppkey",
+                "lineitem->supplier",
+            )
+        )
+        .unionAll(
+            orphans(
+                o,
+                "o_custkey",
+                load_table(spark, sf_dir, "customer"),
+                "c_custkey",
+                "orders->customer",
+            )
+        )
+        .orderBy("relation")
+    )
+
+
+@query(
+    "q_daily_revenue_ma7",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS revenue_ma7
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY day
+    """,
+)
+def q_daily_revenue_ma7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving average of daily revenue. The heavy work is the
+    map-side-combined groupBy over orders; the unpartitioned window then runs
+    over the *aggregated daily series* (thousands of rows at any scale — one
+    row per calendar day), so the single-partition window stage is
+    intentionally trivial. Decimal accumulators keep the sums
+    order-insensitive; the average is a raw IEEE divide of those exact sums
+    (no re-quantization — rounding a quotient to fixed decimals is where
+    engines' tie-breaking diverges)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).alias("rev")
+    )
+    w = W.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev").cast("double").alias("revenue"),
+        (F.sum("rev").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "revenue_ma7"
+        ),
+    ).orderBy("day")
+
+
+@query(
+    "q_customer_value_deciles",
+    """
+    WITH ranked AS (
+      SELECT c_acctbal,
+             NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           CAST(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*)
+                AS DECIMAL(25,8)) AS DOUBLE) AS avg_bal
+    FROM ranked GROUP BY decile ORDER BY decile
+    """,
+)
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile bucketing of customers by account balance
+    (ntile over a total order — c_custkey breaks double ties, so bucket
+    assignment is deterministic on every engine), then per-decile
+    count/min/max/exact-mean. The unpartitioned ntile is the one global
+    sort in the plan; for 100 TB the same segmentation would come from
+    approx_percentile cutpoints + a range join, but ntile is the exact
+    contract this query certifies."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    ranked = c.select("c_acctbal", F.ntile(10).over(w).alias("decile"))
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(25,2)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            .cast("decimal(25,8)")
+            .cast("double")
+            .alias("avg_bal"),
+        )
+        .orderBy("decile")
+    )

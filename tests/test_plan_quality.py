@@ -171,3 +171,29 @@ def test_centroid_norms_partial_agg(q):
     s = summarize(df)
     assert_no_nested_loop_join(df)
     assert all(len(cols) <= 2 for cols in s.read_schemas)
+
+
+def test_referential_integrity_key_only_anti_joins(q):
+    """Every anti join must carry only the key column per side (Catalyst
+    prunes the rest), and none may degrade to a nested loop."""
+    df = q("q_referential_integrity")
+    s = summarize(df)
+    assert_no_nested_loop_join(df)
+    assert all(len(cols) == 1 for cols in s.read_schemas)
+    assert s.broadcast_hash_joins >= 3  # part/supplier/customer dims broadcast
+
+
+def test_daily_revenue_ma7_single_scan_pruned(q):
+    """One orders scan reading only (o_orderdate, o_totalprice); the window
+    runs on the aggregated daily series, after a map-side partial agg."""
+    df = q("q_daily_revenue_ma7")
+    s = summarize(df)
+    assert s.scans == 1
+    assert all(len(cols) == 2 for cols in s.read_schemas)
+
+
+def test_customer_deciles_single_scan_pruned(q):
+    df = q("q_customer_value_deciles")
+    s = summarize(df)
+    assert s.scans == 1
+    assert all(len(cols) == 2 for cols in s.read_schemas)
