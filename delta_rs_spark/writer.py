@@ -108,6 +108,7 @@ def write_deltalake(
     operation: str = "WRITE",
     operation_parameters_extra: Optional[dict] = None,
     replace_where: Optional[str] = None,
+    schema_mode: Optional[str] = None,
 ) -> DeltaTable:
     """Write ``df`` to a Delta table, creating it if absent. Returns the table.
 
@@ -123,12 +124,27 @@ def write_deltalake(
     incoming row must satisfy the predicate (enforced). File work is
     stats/partition-pruned like DML: only files containing matching rows
     are rewritten.
+
+    ``schema_mode`` relaxes v0's strict no-evolution check
+    (``rust/src/delta.rs:159-165``) with the public Delta writer semantics:
+    ``"merge"`` appends new nullable columns to the table schema in the same
+    commit (a new metaData action — replay *wholly replaces* metadata, so
+    old files simply read the added columns as NULL through the explicit
+    read schema); common columns must keep their exact types, and dropped
+    columns are filled with typed NULLs. ``"overwrite"`` (with
+    ``mode='overwrite'`` only) replaces the schema wholesale.
     """
     mode = mode.lower()
     if mode not in SAVE_MODES:
         raise ValueError(f"mode must be one of {sorted(SAVE_MODES)}")
     if replace_where is not None and mode != "overwrite":
         raise ValueError("replace_where requires mode='overwrite'")
+    if schema_mode not in (None, "merge", "overwrite"):
+        raise ValueError("schema_mode must be None, 'merge', or 'overwrite'")
+    if schema_mode == "overwrite" and mode != "overwrite":
+        raise ValueError("schema_mode='overwrite' requires mode='overwrite'")
+    if schema_mode is not None and replace_where is not None:
+        raise ValueError("schema evolution is not supported with replace_where")
 
     df = _normalize_timestamps(df)
 
@@ -141,8 +157,31 @@ def write_deltalake(
         if mode == "ignore":
             return DeltaTable(table_uri)
         table = DeltaTable(table_uri)
-        _check_schema(table, df)
+        new_meta: Optional[MetaDataAction] = None
+        if schema_mode == "merge":
+            df, new_meta = _merge_schema(table, df)
+        elif schema_mode == "overwrite":
+            if spark_to_schema_string(df.schema) != spark_to_schema_string(
+                table.schema()
+            ):
+                old = table.metadata()
+                new_meta = MetaDataAction(
+                    id=old.id,
+                    schema_string=spark_to_schema_string(df.schema),
+                    partition_columns=old.partition_columns,
+                    name=old.name,
+                    description=old.description,
+                    created_time=old.created_time,
+                    configuration=dict(old.configuration),
+                )
+        else:
+            _check_schema(table, df)
         partition_by = table.metadata().partition_columns
+        missing_pcols = [c for c in partition_by if c not in df.columns]
+        if missing_pcols:
+            raise SchemaMismatchError(
+                f"write is missing partition column(s) {missing_pcols}"
+            )
         if replace_where is not None:
             # constraints are enforced once, inside the rewrite commit
             return _replace_where(
@@ -214,6 +253,8 @@ def write_deltalake(
         return DeltaTable(table_uri)
 
     txn = DeltaTransaction(table)
+    if new_meta is not None:
+        txn.add_action(new_meta)
     if mode == "overwrite":
         now_ms = int(time.time() * 1000)
         for old in table.add_actions():
@@ -247,6 +288,61 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
+
+
+def _merge_schema(
+    table: DeltaTable, df: DataFrame
+) -> tuple[DataFrame, Optional[MetaDataAction]]:
+    """Public Delta ``mergeSchema`` semantics: common columns keep their
+    exact types (no implicit widening — that would silently rewrite
+    nothing while changing read types), incoming-only columns append to the
+    table schema as nullable fields, and table-only columns are filled with
+    typed NULLs so the written files stay full-width for the footer-stats
+    pass. Returns the aligned DataFrame and, when the schema grew, the
+    metaData action to ride in the same commit."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    existing = table.schema()
+    incoming = {f.name: f for f in df.schema.fields}
+
+    mismatched = {
+        name: (existing[name].dataType, f.dataType)
+        for name, f in incoming.items()
+        if name in existing.names and existing[name].dataType != f.dataType
+    }
+    if mismatched:
+        raise SchemaMismatchError(
+            "schema_mode='merge' cannot change existing column types: "
+            + ", ".join(f"{n}: {a.simpleString()} -> {b.simpleString()}" for n, (a, b) in mismatched.items())
+        )
+
+    new_fields = [
+        T.StructField(f.name, f.dataType, nullable=True)
+        for f in df.schema.fields
+        if f.name not in existing.names
+    ]
+    merged = T.StructType(list(existing.fields) + new_fields)
+
+    aligned = df.select(
+        *[
+            F.col(f.name) if f.name in incoming else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in merged.fields
+        ]
+    )
+    if not new_fields:
+        return aligned, None
+
+    old = table.metadata()
+    return aligned, MetaDataAction(
+        id=old.id,
+        schema_string=spark_to_schema_string(merged),
+        partition_columns=old.partition_columns,
+        name=old.name,
+        description=old.description,
+        created_time=old.created_time,
+        configuration=dict(old.configuration),
+    )
 
 
 def _check_schema(table: DeltaTable, df: DataFrame) -> None:

@@ -333,3 +333,96 @@ def test_replace_where_carries_extra_actions(spark, tmp_path, sf_dir):
         extra_actions=[TxnAction(app_id="rw-app", version=7)],
     )
     assert t.get_app_transaction_version("rw-app") == 7
+
+
+def test_schema_merge_adds_column(spark, tmp_path):
+    uri = str(tmp_path / "t")
+    base = spark.range(5).select(
+        F.col("id"), F.concat(F.lit("d"), F.col("id")).alias("doc")
+    )
+    write_deltalake(spark, base, uri)
+
+    evolved = spark.range(5, 8).select(
+        F.col("id"),
+        F.concat(F.lit("d"), F.col("id")).alias("doc"),
+        (F.col("id") * 2).alias("score"),
+    )
+    # strict default still rejects
+    with pytest.raises(SchemaMismatchError):
+        write_deltalake(spark, evolved, uri, mode="append")
+
+    t = write_deltalake(spark, evolved, uri, mode="append", schema_mode="merge")
+    assert t.version == 1
+    assert [f.name for f in t.schema().fields] == ["id", "doc", "score"]
+
+    # re-open fresh: schema comes from the log, old rows read score as NULL
+    t2 = DeltaTable.for_path(uri)
+    df = t2.to_df(spark)
+    assert df.count() == 8
+    assert df.filter(F.col("score").isNull()).count() == 5
+    assert df.filter(F.col("score") == 14).count() == 1
+    # pyarrow (Spark-free) read path agrees
+    pa_tbl = t2.to_pyarrow_table()
+    assert pa_tbl.num_rows == 8
+    assert pa_tbl.column("score").null_count == 5
+
+
+def test_schema_merge_fills_missing_columns_with_nulls(spark, tmp_path):
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(3).select("id", F.lit("x").alias("tag")),
+        uri,
+    )
+    # incoming drops 'tag': merge fills typed NULLs, schema unchanged, no
+    # metaData action in the commit
+    t = write_deltalake(
+        spark, spark.range(3, 5).select("id"), uri, mode="append", schema_mode="merge"
+    )
+    assert [f.name for f in t.schema().fields] == ["id", "tag"]
+    df = t.to_df(spark)
+    assert df.filter(F.col("tag").isNull()).count() == 2
+
+
+def test_schema_merge_rejects_type_change(spark, tmp_path):
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.range(3).select("id"), uri)
+    retyped = spark.range(3).select(F.col("id").cast("string"))
+    with pytest.raises(SchemaMismatchError, match="cannot change existing column types"):
+        write_deltalake(spark, retyped, uri, mode="append", schema_mode="merge")
+
+
+def test_schema_overwrite_replaces_schema(spark, tmp_path):
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.range(3).select("id", F.lit(1).alias("a")), uri)
+
+    with pytest.raises(ValueError):
+        write_deltalake(
+            spark, spark.range(2), uri, mode="append", schema_mode="overwrite"
+        )
+
+    new = spark.range(4).select(F.col("id").cast("string").alias("key"))
+    t = write_deltalake(spark, new, uri, mode="overwrite", schema_mode="overwrite")
+    assert [f.name for f in t.schema().fields] == ["key"]
+    assert t.to_df(spark).count() == 4
+    # time travel still reads the old schema at the old version
+    t0 = DeltaTable.for_version(uri, 0)
+    assert [f.name for f in t0.schema().fields] == ["id", "a"]
+    assert t0.to_df(spark).count() == 3
+
+
+def test_schema_merge_partitioned_table(spark, tmp_path):
+    uri = str(tmp_path / "t")
+    base = spark.range(6).select(
+        "id", (F.col("id") % 2).cast("string").alias("part")
+    )
+    write_deltalake(spark, base, uri, partition_by=["part"])
+    evolved = spark.range(6, 9).select(
+        "id",
+        (F.col("id") % 2).cast("string").alias("part"),
+        F.lit(1.5).alias("w"),
+    )
+    t = write_deltalake(spark, evolved, uri, mode="append", schema_mode="merge")
+    df = t.to_df(spark, partition_filters=[("part", "=", "0")])
+    assert df.count() == 3 + 2  # ids 0,2,4 + 6,8
+    assert df.filter(F.col("w").isNull()).count() == 3
