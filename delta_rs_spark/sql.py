@@ -23,6 +23,12 @@ with tables addressed as ``delta.`/path/to/table```:
   ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` — the standard Delta MERGE
   grammar restricted to one clause per kind (the API accepts the same).
 
+- ``ALTER TABLE delta.`/p` ADD COLUMNS (a INT, b STRING)`` — metadata-only
+  schema evolution; ``SET TBLPROPERTIES ('k'='v', …)`` /
+  ``UNSET TBLPROPERTIES ('k', …)``; ``ADD CONSTRAINT n CHECK (<expr>)`` /
+  ``DROP CONSTRAINT n``.
+- ``SHOW TBLPROPERTIES delta.`/p```
+
 Relational statements return a DataFrame; commands return a one-row
 DataFrame of their metrics (like Spark's own command output).
 """
@@ -88,6 +94,10 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return _insert(spark, s)
     if head == "CREATE":
         return _create(spark, s)
+    if head == "ALTER":
+        return _alter(spark, s)
+    if head == "SHOW":
+        return _show(spark, s)
     raise SqlError(f"unsupported statement: {head or statement!r}")
 
 
@@ -160,6 +170,83 @@ def _update(spark: SparkSession, s: str) -> DataFrame:
         spark, m.group(3).strip(), assignments
     )
     return _one_row(spark, res)
+
+
+_PROPS_RE = re.compile(r"'([^']+)'\s*(?:=\s*'([^']*)')?")
+
+
+def _alter(spark: SparkSession, s: str) -> DataFrame:
+    m = _require(r"ALTER\s+TABLE\s+delta\.`([^`]+)`\s+(.+)$", s, "ALTER TABLE")
+    table = _open(m.group(1), None, None)
+    rest = m.group(2).strip()
+
+    mm = re.match(r"ADD\s+COLUMNS?\s*\((.+)\)$", rest, re.IGNORECASE | re.DOTALL)
+    if mm:
+        cols = []
+        for spec in _split_top_level(mm.group(1)):
+            name, _, ctype = spec.strip().partition(" ")
+            if not ctype:
+                raise SqlError(f"cannot parse column spec: {spec!r}")
+            cols.append((name.strip(), ctype.strip()))
+        v = table.add_columns(cols)
+        return _one_row(spark, {"version": v, "addedColumns": [c for c, _ in cols]})
+
+    mm = re.match(r"SET\s+TBLPROPERTIES\s*\((.+)\)$", rest, re.IGNORECASE | re.DOTALL)
+    if mm:
+        props = {k: v if v is not None else "" for k, v in _PROPS_RE.findall(mm.group(1))}
+        if not props:
+            raise SqlError(f"cannot parse TBLPROPERTIES: {rest!r}")
+        v = table.set_properties(props)
+        return _one_row(spark, {"version": v, "properties": sorted(props)})
+
+    mm = re.match(r"UNSET\s+TBLPROPERTIES\s*\((.+)\)$", rest, re.IGNORECASE | re.DOTALL)
+    if mm:
+        keys = [k for k, _ in _PROPS_RE.findall(mm.group(1))]
+        v = table.unset_properties(keys)
+        return _one_row(spark, {"version": v, "properties": keys})
+
+    mm = re.match(
+        r"ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)$", rest, re.IGNORECASE | re.DOTALL
+    )
+    if mm:
+        v = table.add_constraint(spark, mm.group(1), mm.group(2).strip())
+        return _one_row(spark, {"version": v, "constraint": mm.group(1)})
+
+    mm = re.match(r"DROP\s+CONSTRAINT\s+(\w+)$", rest, re.IGNORECASE)
+    if mm:
+        v = table.drop_constraint(mm.group(1))
+        return _one_row(spark, {"version": v, "constraint": mm.group(1)})
+
+    raise SqlError(f"unsupported ALTER TABLE clause: {rest!r}")
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas not nested inside (), <>, or quotes — column specs
+    like ``m map<string,int>`` must not split at the type's comma."""
+    parts, depth, start, quote = [], 0, 0, None
+    for i, ch in enumerate(text):
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "(<[":
+            depth += 1
+        elif ch in ")>]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(text[start:i])
+            start = i + 1
+    parts.append(text[start:])
+    return [p for p in (p.strip() for p in parts) if p]
+
+
+def _show(spark: SparkSession, s: str) -> DataFrame:
+    m = _require(r"SHOW\s+TBLPROPERTIES\s+delta\.`([^`]+)`$", s, "SHOW TBLPROPERTIES")
+    cfg = _open(m.group(1), None, None).metadata().configuration or {}
+    return spark.createDataFrame(
+        sorted((k, v) for k, v in cfg.items()) or [], "key string, value string"
+    )
 
 
 def _describe(spark: SparkSession, s: str) -> DataFrame:

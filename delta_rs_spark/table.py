@@ -344,6 +344,84 @@ class DeltaTable:
         self.update()
         return v
 
+    def _commit_metadata(self, new_meta, operation: str, params: dict) -> int:
+        txn = self.begin()
+        txn.add_action(new_meta)
+        v = txn.commit(operation=operation, operation_parameters=params)
+        self.update()
+        return v
+
+    def add_columns(self, columns: Sequence[tuple[str, Any]]) -> int:
+        """ALTER TABLE ADD COLUMNS: metadata-only schema evolution — one
+        metaData action appending nullable fields, zero data movement; old
+        files read the new columns as NULL through the explicit read schema.
+        ``columns`` is [(name, DataType | DDL type string), ...]."""
+        from .writer import SchemaMismatchError
+
+        schema = self.schema()
+        new_fields = []
+        for cname, ctype in columns:
+            if cname in schema.names:
+                raise SchemaMismatchError(f"column {cname!r} already exists")
+            dt = T.DataType.fromDDL(ctype) if isinstance(ctype, str) else ctype
+            new_fields.append(T.StructField(cname, dt, nullable=True))
+
+        from .protocol.schema import spark_to_schema_string
+
+        meta = self.metadata()
+        new_meta = type(meta)(
+            id=meta.id,
+            schema_string=spark_to_schema_string(
+                T.StructType(list(schema.fields) + new_fields)
+            ),
+            partition_columns=meta.partition_columns,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+            configuration=dict(meta.configuration or {}),
+        )
+        return self._commit_metadata(
+            new_meta,
+            "ADD COLUMNS",
+            {"columns": [f.name for f in new_fields]},
+        )
+
+    def set_properties(self, properties: dict[str, str]) -> int:
+        """ALTER TABLE SET TBLPROPERTIES: merge into ``configuration``
+        (metaData replaces wholesale on replay, so the commit carries the
+        full merged map)."""
+        meta = self.metadata()
+        new_meta = type(meta)(
+            id=meta.id,
+            schema_string=meta.schema_string,
+            partition_columns=meta.partition_columns,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+            configuration={**(meta.configuration or {}), **properties},
+        )
+        return self._commit_metadata(
+            new_meta, "SET TBLPROPERTIES", {"properties": sorted(properties)}
+        )
+
+    def unset_properties(self, keys: Sequence[str]) -> int:
+        meta = self.metadata()
+        cfg = dict(meta.configuration or {})
+        for k in keys:
+            cfg.pop(k, None)
+        new_meta = type(meta)(
+            id=meta.id,
+            schema_string=meta.schema_string,
+            partition_columns=meta.partition_columns,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+            configuration=cfg,
+        )
+        return self._commit_metadata(
+            new_meta, "UNSET TBLPROPERTIES", {"properties": sorted(keys)}
+        )
+
     def restore(self, version: int) -> dict:
         from .maintenance import restore as _restore
 

@@ -147,3 +147,57 @@ def test_merge_statement_alias_collision(spark, tmp_path, sf_dir):
     ).collect()[0]
     assert int(res["numTargetRowsUpdated"]) == 5
     assert DeltaTable(tgt_uri).to_df(spark).filter("text = 'Z'").count() == 5
+
+
+def test_alter_table_add_columns_and_tblproperties(spark, tmp_path):
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.range(4).select("id"), uri)
+
+    res = sql(
+        spark, f"ALTER TABLE delta.`{uri}` ADD COLUMNS (score DOUBLE, m MAP<STRING,INT>)"
+    ).collect()[0]
+    assert int(res["version"]) == 1
+    t = DeltaTable(uri)
+    assert [f.name for f in t.schema().fields] == ["id", "score", "m"]
+    # metadata-only: same files, new columns read as NULL
+    df = t.to_df(spark)
+    assert df.count() == 4
+    assert df.filter("score IS NULL").count() == 4
+
+    sql(spark, f"ALTER TABLE delta.`{uri}` SET TBLPROPERTIES ('owner'='ml', 'tier'='gold')")
+    props = {
+        r["key"]: r["value"]
+        for r in sql(spark, f"SHOW TBLPROPERTIES delta.`{uri}`").collect()
+    }
+    assert props == {"owner": "ml", "tier": "gold"}
+
+    sql(spark, f"ALTER TABLE delta.`{uri}` UNSET TBLPROPERTIES ('owner')")
+    props = {
+        r["key"]: r["value"]
+        for r in sql(spark, f"SHOW TBLPROPERTIES delta.`{uri}`").collect()
+    }
+    assert props == {"tier": "gold"}
+
+
+def test_alter_table_constraint_roundtrip(spark, tmp_path):
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.range(1, 5).select("id"), uri)
+    sql(spark, f"ALTER TABLE delta.`{uri}` ADD CONSTRAINT positive CHECK (id > 0)")
+    props = {
+        r["key"]: r["value"]
+        for r in sql(spark, f"SHOW TBLPROPERTIES delta.`{uri}`").collect()
+    }
+    assert props["delta.constraints.positive"] == "id > 0"
+
+    import pytest as _pytest
+
+    from delta_rs_spark.writer import ConstraintViolationError
+
+    with _pytest.raises(ConstraintViolationError):
+        write_deltalake(
+            spark, spark.range(-3, 0).select("id"), uri, mode="append"
+        )
+
+    sql(spark, f"ALTER TABLE delta.`{uri}` DROP CONSTRAINT positive")
+    write_deltalake(spark, spark.range(-3, 0).select("id"), uri, mode="append")
+    assert DeltaTable(uri).to_df(spark).count() == 7
