@@ -913,3 +913,114 @@ def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     door of every dedup/fingerprint pipeline, oracle-checked byte-for-byte."""
     docs = load_table(spark, sf_dir, "documents")
     return text.normalize_text(docs).orderBy("doc_id")
+
+
+@query(
+    "corpus_dup_rate_by_source",
+    """
+    WITH freq AS (
+      SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY md5(text)
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE c > 1) AS n_dup_docs,
+           CAST(COUNT(*) FILTER (WHERE c > 1) AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM (SELECT source, md5(text) AS h FROM documents) d
+    JOIN freq USING (h)
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate exposure: which ingestion sources are
+    feeding the corpus copies. Corpus-wide text frequency is computed on
+    md5 hashes (the shuffle carries 32-byte keys, never document bodies —
+    the same scale rule as exact_dedup), then joined back and aggregated
+    per source. The dup definition is corpus-wide (a doc duplicated across
+    two sources counts in both), which is what source-quality triage
+    needs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    freq = docs.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        docs.join(freq, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("c") > 1, 1)).alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            (F.col("n_dup_docs").cast("double") / F.col("n_docs")).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH vecs AS (
+      SELECT label, embedding,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS m
+      FROM embeddings
+    ),
+    comps AS (
+      SELECT label, m, CAST(unnest(embedding) AS DOUBLE) AS x FROM vecs WHERE m > 0
+    ),
+    errs AS (
+      SELECT label,
+             abs(x - GREATEST(-127, LEAST(127, FLOOR(x / m * 127 + 0.5)))
+                     * (m / CAST(127 AS DOUBLE))) AS e
+      FROM comps
+    )
+    SELECT label,
+           COUNT(*) AS n_comps,
+           CAST(SUM(CAST(FLOOR(e * 1e15) AS BIGINT)) AS DOUBLE) / 1e15 / COUNT(*)
+             AS mean_abs_err,
+           MAX(e) AS max_abs_err
+    FROM errs GROUP BY label ORDER BY label
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (max-abs scale, the standard
+    embedding-compression scheme) with per-label reconstruction error — the
+    go/no-go metric before swapping a float index for an int8 one. Every
+    step is elementwise codegen over the exploded components (no UDF, no
+    extra shuffle beyond the final label agg); rounding is floor(x+0.5),
+    which is bit-deterministic on both engines, and the error sum
+    accumulates floor-scaled integers (floor has no rounding ties, unlike
+    decimal HALF_UP-vs-HALF_EVEN casts) so the label reduction is
+    order-insensitive and engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "label",
+        "embedding",
+        F.array_max(
+            F.transform("embedding", lambda v: F.abs(v.cast("double")))
+        ).alias("m"),
+    ).filter(F.col("m") > 0)
+    comps = vecs.select(
+        "label", "m", F.explode("embedding").alias("xf")
+    ).select("label", "m", F.col("xf").cast("double").alias("x"))
+    x, m = F.col("x"), F.col("m")
+    q = F.greatest(
+        F.lit(-127.0), F.least(F.lit(127.0), F.floor(x / m * 127 + 0.5))
+    )
+    e = F.abs(x - q * (m / F.lit(127.0)))
+    return (
+        comps.select("label", e.alias("e"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_comps"),
+            (
+                F.sum(F.floor(F.col("e") * F.lit(1e15))).cast("double")
+                / F.lit(1e15)
+                / F.count(F.lit(1))
+            ).alias("mean_abs_err"),
+            F.max("e").alias("max_abs_err"),
+        )
+        .orderBy("label")
+    )
