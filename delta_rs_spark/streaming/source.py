@@ -17,6 +17,7 @@ Usage::
     df = (spark.readStream.format("delta_stream")
           .option("path", table_uri)
           .option("startingVersion", "0")
+          .option("maxFilesPerTrigger", "1000")   # bounded backfill batches
           .load())
 """
 
@@ -65,6 +66,11 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.read_change_feed = (
             str(options.get("readchangefeed", "false")).lower() == "true"
         )
+        self.max_files_per_trigger = int(options.get("maxfilespertrigger", 0) or 0)
+        # highest version already exposed through an offset; None until we
+        # learn the stream position (initialOffset on fresh queries,
+        # partitions()/commit() after a checkpoint restart)
+        self._planned: int | None = None
         self.schema = schema
 
         from ..table import DeltaTable
@@ -72,13 +78,57 @@ class DeltaStreamReader(DataSourceStreamReader):
         self._table = DeltaTable(self.path)
 
     def initialOffset(self) -> dict:
+        self._planned = self.starting_version - 1
         return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:
-        return {"version": self._table.update()}
+        """Latest table version — bounded to ~maxFilesPerTrigger data files
+        per trigger when set (Delta-source rate limiting: a month-long
+        backfill becomes many bounded micro-batches instead of one giant
+        first batch). The Python DataSource API has no admission-control
+        hook and may call this before initialOffset, so the walk
+        bootstraps from startingVersion; after a checkpoint restart the
+        real stream position is re-learned in partitions() (clamped
+        forward on both ends), so a cold bound can cost one empty batch
+        but never replays rows. Use a processing-time trigger with
+        processAllAvailable/steady polling — trigger(availableNow=True)
+        snapshots ONE bounded offset and stops there."""
+        latest = self._table.update()
+        if self._planned is None:
+            self._planned = self.starting_version - 1
+        if not self.max_files_per_trigger or latest <= self._planned:
+            self._planned = latest
+            return {"version": latest}
+        end, n = self._planned, 0
+        for v in range(self._planned + 1, latest + 1):
+            n_files = self._data_file_count(v)
+            if end > self._planned and n + n_files > self.max_files_per_trigger:
+                break
+            n += n_files
+            end = v
+        self._planned = end
+        return {"version": end}
+
+    def _data_file_count(self, version: int) -> int:
+        from ..protocol.actions import AddAction, CdcAction
+
+        actions = self._table.log.try_read_commit(version) or []
+        return sum(
+            1
+            for a in actions
+            if (isinstance(a, AddAction) and a.data_change) or isinstance(a, CdcAction)
+        )
 
     def partitions(self, start: dict, end: dict) -> list[DeltaFilePartition]:
         from ..protocol.actions import AddAction, RemoveAction
+
+        # learn the true stream position (rate-limit base) — covers the
+        # checkpoint-restart case where initialOffset was never called;
+        # clamping on BOTH ends means a cold throttled offset behind the
+        # checkpoint yields one empty batch, never re-read rows
+        pos = max(start["version"], end["version"])
+        if self._planned is None or pos > self._planned:
+            self._planned = pos
 
         log = self._table.log
         meta = self._table.metadata()
@@ -187,7 +237,8 @@ class DeltaStreamReader(DataSourceStreamReader):
             yield tuple(cols[n][i] for n in names)
 
     def commit(self, end: dict) -> None:
-        pass
+        if self._planned is None or end["version"] > self._planned:
+            self._planned = end["version"]
 
 
 class DeltaStreamDataSource(DataSource):
