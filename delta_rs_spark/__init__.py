@@ -19,7 +19,12 @@ from .protocol.snapshot import DeltaTableError, NotATableError, Snapshot
 from .session import get_spark
 from .sql import sql
 from .table import DeltaTable
-from .writer import SchemaMismatchError, TableAlreadyExistsError, write_deltalake
+from .writer import (
+    SchemaMismatchError,
+    TableAlreadyExistsError,
+    convert_to_delta,
+    write_deltalake,
+)
 
 __version__ = "0.1.0"
 
@@ -32,6 +37,7 @@ __all__ = [
     "SchemaMismatchError",
     "TableAlreadyExistsError",
     "write_deltalake",
+    "convert_to_delta",
     "delete",
     "update",
     "merge",

@@ -28,6 +28,7 @@ with tables addressed as ``delta.`/path/to/table```:
   ``UNSET TBLPROPERTIES ('k', …)``; ``ADD CONSTRAINT n CHECK (<expr>)`` /
   ``DROP CONSTRAINT n``.
 - ``SHOW TBLPROPERTIES delta.`/p```
+- ``CONVERT TO DELTA parquet.`/dir``` — in-place conversion, zero data movement
 
 Relational statements return a DataFrame; commands return a one-row
 DataFrame of their metrics (like Spark's own command output).
@@ -96,6 +97,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return _create(spark, s)
     if head == "ALTER":
         return _alter(spark, s)
+    if head == "CONVERT":
+        return _convert(spark, s)
     if head == "SHOW":
         return _show(spark, s)
     raise SqlError(f"unsupported statement: {head or statement!r}")
@@ -170,6 +173,21 @@ def _update(spark: SparkSession, s: str) -> DataFrame:
         spark, m.group(3).strip(), assignments
     )
     return _one_row(spark, res)
+
+
+def _convert(spark: SparkSession, s: str) -> DataFrame:
+    m = _require(r"CONVERT\s+TO\s+DELTA\s+parquet\.`([^`]+)`$", s, "CONVERT TO DELTA")
+    from .writer import convert_to_delta
+
+    t = convert_to_delta(spark, m.group(1))
+    return _one_row(
+        spark,
+        {
+            "table": m.group(1),
+            "numConvertedFiles": len(t.add_actions()),
+            "partitionColumns": t.metadata().partition_columns,
+        },
+    )
 
 
 _PROPS_RE = re.compile(r"'([^']+)'\s*(?:=\s*'([^']*)')?")

@@ -601,3 +601,99 @@ def _replace_where(
         max_records_per_file=max_records_per_file,
     )
     return table
+
+
+def convert_to_delta(
+    spark: SparkSession,
+    parquet_dir: str,
+    name: Optional[str] = None,
+    description: Optional[str] = None,
+    configuration: Optional[dict[str, str]] = None,
+) -> DeltaTable:
+    """In-place conversion of an existing parquet directory (flat or
+    Hive-partitioned) into a Delta table — the public ``CONVERT TO DELTA``
+    command. Zero data movement: every file stays where it is; the commit
+    is one version-0 log entry whose Add actions reference the files
+    relatively, with per-file stats read from parquet footers on executors
+    (the same distributed pass as the write path). Partition columns and
+    their types are inferred by Spark from the ``key=value`` layout, and
+    per-file partition values come from each file's own path segments —
+    matching what the reference reconstructs from ``partitionValues``
+    (``rust/src/partitions.rs:111-128``)."""
+    root = os.path.abspath(parquet_dir)
+    log = DeltaLog(root)
+    if log.latest_version() is not None:
+        raise TableAlreadyExistsError(f"{parquet_dir} is already a Delta table")
+
+    files = _list_parquet_files(root)
+    # files staged under a pending conversion's _delta_log must never happen,
+    # but tmp/hidden dirs (_SUCCESS markers live at top level) are skipped
+    files = [
+        f
+        for f in files
+        if not any(
+            seg.startswith((".", "_")) and "=" not in seg
+            for seg in os.path.relpath(f, root).split(os.sep)
+        )
+    ]
+    if not files:
+        raise ValueError(f"no parquet files found under {parquet_dir}")
+
+    # full schema (incl. typed partition columns) via Spark's inference
+    df = spark.read.option("basePath", root).parquet(*sorted(files))
+    schema = _normalize_timestamps(df).schema
+
+    rels = [os.path.relpath(f, root) for f in sorted(files)]
+    partition_by: list[str] = []
+    for seg in os.path.dirname(rels[0]).split(os.sep):
+        if "=" in seg:
+            partition_by.append(seg.split("=", 1)[0])
+    for rel in rels:
+        keys = [s.split("=", 1)[0] for s in os.path.dirname(rel).split(os.sep) if "=" in s]
+        if keys != partition_by:
+            raise ValueError(
+                f"inconsistent partition layout: {rel!r} has {keys}, expected {partition_by}"
+            )
+
+    stats_by_path = _collect_footer_stats(spark, sorted(files))
+
+    adds = []
+    for f in sorted(files):
+        rel = os.path.relpath(f, root)
+        st = os.stat(f)
+        adds.append(
+            AddAction(
+                path=rel.replace(os.sep, "/"),
+                size=st.st_size,
+                partition_values=_parse_partition_path(os.path.dirname(rel)),
+                modification_time=int(st.st_mtime * 1000),
+                data_change=True,
+                stats=stats_by_path.get(f),
+            )
+        )
+
+    meta = MetaDataAction(
+        id=str(uuid.uuid4()),
+        schema_string=spark_to_schema_string(schema),
+        partition_columns=partition_by,
+        name=name,
+        description=description,
+        created_time=int(time.time() * 1000),
+        configuration=configuration or {},
+    )
+    from .protocol.actions import CommitInfoAction
+
+    info = CommitInfoAction(
+        info={
+            "timestamp": int(time.time() * 1000),
+            "operation": "CONVERT",
+            "operationParameters": {"partitionBy": partition_by},
+            "operationMetrics": {
+                "numConvertedFiles": str(len(adds)),
+                "numOutputRows": str(sum(a.num_records or 0 for a in adds)),
+            },
+        }
+    )
+    tmp = log.write_tmp_commit([info, ProtocolAction(1, 2), meta, *adds], uuid.uuid4().hex)
+    log.try_commit(tmp, 0)
+    return DeltaTable(root)

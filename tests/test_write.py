@@ -426,3 +426,51 @@ def test_schema_merge_partitioned_table(spark, tmp_path):
     df = t.to_df(spark, partition_filters=[("part", "=", "0")])
     assert df.count() == 3 + 2  # ids 0,2,4 + 6,8
     assert df.filter(F.col("w").isNull()).count() == 3
+
+
+def test_convert_to_delta_flat_dir(spark, tmp_path, lineitem):
+    from delta_rs_spark import convert_to_delta
+
+    pdir = str(tmp_path / "plain")
+    lineitem.limit(500).write.parquet(pdir)
+
+    t = convert_to_delta(spark, pdir)
+    assert t.version == 0
+    assert t.history()[0]["operation"] == "CONVERT"
+    # zero data movement: the table reads the original files in place
+    assert t.to_df(spark).count() == 500
+    # footer stats power the metadata-only fast path
+    assert t.count_rows() == 500
+    # already-a-table guard
+    with pytest.raises(TableAlreadyExistsError):
+        convert_to_delta(spark, pdir)
+    # converted table is fully writable
+    write_deltalake(spark, lineitem.limit(10), pdir, mode="append")
+    assert DeltaTable(pdir).to_df(spark).count() == 510
+
+
+def test_convert_to_delta_partitioned_dir(spark, tmp_path, lineitem):
+    from delta_rs_spark import convert_to_delta
+
+    pdir = str(tmp_path / "parts")
+    lineitem.limit(300).withColumn("rf", F.col("l_returnflag")).drop(
+        "l_returnflag"
+    ).write.partitionBy("rf").parquet(pdir)
+
+    t = convert_to_delta(spark, pdir)
+    assert t.metadata().partition_columns == ["rf"]
+    df = t.to_df(spark)
+    assert df.count() == 300
+    # partition pruning works off the parsed partitionValues
+    one = t.to_df(spark, partition_filters=[("rf", "=", "R")])
+    assert one.count() == df.filter("rf = 'R'").count() > 0
+
+
+def test_convert_to_delta_sql(spark, tmp_path, lineitem):
+    from delta_rs_spark import sql
+
+    pdir = str(tmp_path / "viasql")
+    lineitem.limit(40).write.parquet(pdir)
+    res = sql(spark, f"CONVERT TO DELTA parquet.`{pdir}`").collect()[0]
+    assert int(res["numConvertedFiles"]) >= 1
+    assert DeltaTable(pdir).to_df(spark).count() == 40
