@@ -111,9 +111,19 @@ def range_join(
 
     Output: all point columns + all interval columns.
     """
-    p_num = F.col(on).cast("double")
-    s_num = F.col(start_col).cast("double")
-    e_num = F.col(end_col).cast("double")
+    def _num(df: DataFrame, name: str):
+        # TIMESTAMP_NTZ/date have no direct numeric cast; route through
+        # TIMESTAMP (epoch seconds). Same conversion on both sides keeps
+        # bucket keys consistent regardless of session timezone.
+        t = df.schema[name].dataType.typeName()
+        c = F.col(name)
+        if t in ("timestamp", "timestamp_ntz", "date"):
+            return c.cast("timestamp").cast("double")
+        return c.cast("double")
+
+    p_num = _num(points, on)
+    s_num = _num(intervals, start_col)
+    e_num = _num(intervals, end_col)
     w = float(bucket_width)
 
     pts = points.withColumn("_bucket", F.floor(p_num / w))

@@ -266,6 +266,42 @@ def test_range_join_bucket_boundaries(spark):
     assert got == expected
 
 
+def test_range_join_timestamp_columns(spark):
+    """Timestamp-typed points/intervals bucket via epoch seconds (no direct
+    numeric cast exists for TIMESTAMP_NTZ); results must match the half-open
+    predicate exactly."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(base + dt.timedelta(minutes=m),) for m in range(0, 180, 13)],
+        "ts TIMESTAMP",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (base, base + dt.timedelta(hours=1)),
+            (base + dt.timedelta(minutes=45), base + dt.timedelta(hours=2)),
+        ],
+        "start TIMESTAMP, end TIMESTAMP",
+    )
+    got = {
+        (r.ts, r.start)
+        for r in timeseries.range_join(
+            points, intervals, on="ts", bucket_width=3600.0
+        ).collect()
+    }
+    expected = {
+        (base + dt.timedelta(minutes=m), s)
+        for m in range(0, 180, 13)
+        for s, e in [
+            (base, base + dt.timedelta(hours=1)),
+            (base + dt.timedelta(minutes=45), base + dt.timedelta(hours=2)),
+        ]
+        if s <= base + dt.timedelta(minutes=m) < e
+    }
+    assert got == expected
+
+
 def test_multimodal_resize_and_frame_sample(spark, docs):
     payloads = multimodal.attach_binary_payload(docs.limit(20))
     resized = multimodal.resize(payloads, 32, 32).collect()
