@@ -80,6 +80,14 @@ def load_cdf(
             continue  # cdc files are the row-level truth for this commit
         for a in actions:
             if isinstance(a, AddAction) and a.data_change:
+                if a.deletion_vector is not None:
+                    raise ValueError(
+                        f"version {v} is a merge-on-read DELETE (deletion "
+                        "vector) with no change files; row-level changes "
+                        "cannot be synthesized from add/remove actions. "
+                        "Set delta.enableChangeDataFeed=true before deleting "
+                        "to get a change feed over DV commits."
+                    )
                 add_items.append((a, v))
             elif isinstance(a, RemoveAction) and a.data_change:
                 # reconstruct removed rows from the (not-yet-vacuumed) files

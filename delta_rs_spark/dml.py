@@ -132,6 +132,18 @@ def _norm_file_uri(uri: str) -> str:
     return unquote(p.path) if p.scheme else uri
 
 
+def _add_matches_hit(snap, add: AddAction, hits: set[str]) -> bool:
+    """Does a lineage-column value in ``hits`` identify this add?
+
+    The lineage column is the scan path with ``<table_root>/`` stripped —
+    the add's log-relative path for in-root files, a full ``file:`` URI for
+    absolute-path adds (shallow clones); normalize both shapes."""
+    if add.path in hits:
+        return True
+    abs_path = _norm_file_uri(snap._absolute(add.path))
+    return any(_norm_file_uri(h) == abs_path for h in hits if "://" in h or h.startswith("/"))
+
+
 def _files_with_matches(
     spark: SparkSession,
     table: DeltaTable,
@@ -140,18 +152,21 @@ def _files_with_matches(
 ) -> tuple[list[AddAction], int]:
     """(files containing ≥1 matching row, total matching rows). One filtered
     scan over the candidates; partial aggregation means the shuffle carries
-    one row per file."""
+    one row per file. File identity comes from the scan's lineage column
+    (``_metadata``-derived — deterministic and join-safe, unlike
+    ``input_file_name()`` which breaks in multi-source plans such as the
+    deletion-vector anti join)."""
     snap = table._snapshot
-    df = snap.df_for_adds(spark, adds)
+    df = snap.df_for_adds(spark, adds, with_lineage=True)
     hits = (
         df.filter(condition)
-        .groupBy(F.input_file_name().alias("_file"))
+        .groupBy(F.col(snap.FILE_LINEAGE_COL).alias("_file"))
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     )
-    matched_paths = {_norm_file_uri(r["_file"]) for r in hits}
+    hit_set = {r["_file"] for r in hits}
     n_rows = sum(r["_n"] for r in hits)
-    matched = [a for a in adds if _norm_file_uri(snap._absolute(a.path)) in matched_paths]
+    matched = [a for a in adds if _add_matches_hit(snap, a, hit_set)]
     return matched, n_rows
 
 
@@ -228,15 +243,176 @@ def _stage_and_swap(
 # DELETE
 # ---------------------------------------------------------------------------
 
+def dv_enabled(table: DeltaTable) -> bool:
+    cfg = table.metadata().configuration or {}
+    return str(cfg.get("delta.enableDeletionVectors", "")).lower() == "true"
+
+
+def _delete_merge_on_read(
+    spark: SparkSession, table: DeltaTable, predicate: str, cond: Column,
+    candidates: list[AddAction],
+) -> dict[str, Any]:
+    """``DELETE`` without rewriting data files: record the matching rows'
+    (file, row_index) positions as a deletion vector and re-commit the same
+    files with DV descriptors.
+
+    The 100 TB shape this exists for: a compliance delete of a few thousand
+    rows scattered over TB-sized files. Copy-on-write rewrites every touched
+    file; merge-on-read writes kilobytes of positions (one distributed
+    filtered scan over the *pruned* candidates) and a metadata commit.
+    Readers pay one (usually broadcast) anti join on the DV'd files only;
+    OPTIMIZE later materializes the deletes and drops the vectors.
+    """
+    import dataclasses
+    import uuid as _uuid
+
+    from .cdf import write_change_files
+
+    snap = table._snapshot
+    log = table.log
+    FILE, POS = snap.FILE_LINEAGE_COL, snap.POS_LINEAGE_COL
+
+    df = snap.df_for_adds(spark, candidates, with_lineage=True)
+    hits = df.filter(cond).select(
+        F.col(FILE).alias("path"), F.col(POS).alias("row_index")
+    )
+    hits = hits.cache()
+    try:
+        per_file = {r["path"]: r["n"] for r in
+                    hits.groupBy("path").agg(F.count(F.lit(1)).alias("n")).collect()}
+        n_deleted = sum(per_file.values())
+        if not per_file:
+            return {
+                "version": table.version,
+                "numRemovedFiles": 0,
+                "numAddedFiles": 0,
+                "numDeletedRows": 0,
+                "numDeletionVectorsAdded": 0,
+            }
+
+        dv_rel = f"_deletion_vectors/{_uuid.uuid4().hex}"
+        dv_abs = log.backend.join(log.table_root, dv_rel)
+        hits.write.mode("overwrite").parquet(dv_abs)
+        dv_bytes = _dir_bytes(dv_abs)
+
+        change_rows = None
+        if cdf_enabled(table):
+            change_rows = df.filter(cond).select(*table.schema().names).withColumn(
+                CHANGE_TYPE_COL, F.lit("delete")
+            )
+
+        now_ms = int(time.time() * 1000)
+        actions: list = []
+        if change_rows is not None:
+            actions.extend(write_change_files(spark, log, change_rows))
+        n_fully_deleted = 0
+        matched = [a for a in candidates if a.path in per_file]
+        for old in matched:
+            n = per_file[old.path]
+            prior = old.deletion_vector or {}
+            new_card = int(prior.get("cardinality", 0)) + n
+            if old.num_records is not None and new_card >= old.num_records:
+                # every live row gone — a plain tombstone, no DV needed
+                n_fully_deleted += 1
+                actions.append(
+                    RemoveAction(
+                        path=old.path,
+                        deletion_timestamp=now_ms,
+                        data_change=True,
+                        extended_file_metadata=True,
+                        partition_values=old.partition_values,
+                        size=old.size,
+                    )
+                )
+                continue
+            descriptor = {
+                "storageType": "d",
+                "paths": list(prior.get("paths", [])) + [dv_rel],
+                "cardinality": new_card,
+                "sizeInBytes": int(prior.get("sizeInBytes", 0)) + dv_bytes,
+            }
+            actions.append(
+                RemoveAction(
+                    path=old.path,
+                    deletion_timestamp=now_ms,
+                    data_change=True,
+                    extended_file_metadata=True,
+                    partition_values=old.partition_values,
+                    size=old.size,
+                )
+            )
+            actions.append(
+                dataclasses.replace(
+                    old, deletion_vector=descriptor, modification_time=now_ms,
+                    data_change=True,
+                )
+            )
+
+        txn = DeltaTransaction(table)
+        if table.snapshot.min_reader_version() < 3:
+            from .protocol.actions import ProtocolAction
+
+            # deletion vectors are a reader-visible table feature: bump to
+            # the public protocol's DV versions so foreign readers fail fast
+            txn.add_action(ProtocolAction(min_reader_version=3, min_writer_version=7))
+        txn.add_actions(actions)
+        n_dv = len(matched) - n_fully_deleted
+        metrics = {
+            "numRemovedFiles": str(n_fully_deleted),
+            "numAddedFiles": "0",
+            "numDeletedRows": str(n_deleted),
+            "numDeletionVectorsAdded": str(n_dv),
+        }
+        version = txn.commit(
+            operation="DELETE",
+            operation_parameters={"predicate": predicate},
+            operation_metrics=metrics,
+        )
+        table.update()
+        return {"version": version, **{k: int(v) for k, v in metrics.items()}}
+    finally:
+        hits.unpersist()
+
+
+def _mor_eligible(table: DeltaTable, candidates: list[AddAction]) -> bool:
+    """Merge-on-read needs row lineage: the scan-side file identity is
+    recovered by stripping the table root from ``_metadata.file_path``, which
+    only matches adds stored with log-relative paths (shallow-clone adds are
+    absolute → fall back to copy-on-write)."""
+    from .protocol.storage import LocalFileBackend
+
+    if not isinstance(table.log.backend, LocalFileBackend):
+        return False
+    return all(
+        "://" not in a.path and not a.path.startswith("/") for a in candidates
+    )
+
+
+def _dir_bytes(path: str) -> int:
+    import os
+
+    total = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(dirpath, f))
+    return total
+
+
 def delete(spark: SparkSession, table: DeltaTable, predicate: str) -> dict[str, Any]:
-    """``DELETE FROM table WHERE predicate`` — copy-on-write.
+    """``DELETE FROM table WHERE predicate``.
 
     Rows where the predicate is TRUE are deleted; FALSE/NULL rows survive
-    (SQL DELETE semantics). Only files containing at least one matching row
-    are rewritten; commit is Remove+Add in one version, operation "DELETE".
+    (SQL DELETE semantics). Default is copy-on-write: only files containing
+    at least one matching row are rewritten; commit is Remove+Add in one
+    version, operation "DELETE". With table property
+    ``delta.enableDeletionVectors=true`` (and a local-filesystem table whose
+    adds use log-relative paths), the delete is merge-on-read instead — see
+    ``_delete_merge_on_read``.
     """
     cond = F.coalesce(F.expr(predicate), F.lit(False))
     candidates = _candidate_adds(table, predicate)
+    if dv_enabled(table) and _mor_eligible(table, candidates):
+        return _delete_merge_on_read(spark, table, predicate, cond, candidates)
     matched, n_deleted = _files_with_matches(spark, table, candidates, cond)
     params = {"predicate": predicate}
     if not matched:
@@ -387,7 +563,8 @@ def merge(
 
     schema = table.schema()
     snap = table._snapshot
-    target = snap.to_df(spark)
+    all_adds = snap.files()
+    target = snap.df_for_adds(spark, all_adds, with_lineage=True)
 
     src_cols = set(source.columns)
     if when_not_matched_insert:
@@ -395,9 +572,11 @@ def merge(
         if missing:
             raise DMLError(f"source lacks columns required for INSERT: {sorted(missing)}")
 
+    # (file, row-position) lineage = stable per-row identity for the
+    # multi-match guard; _metadata-derived, join-safe (input_file_name is not)
     t = (
-        target.withColumn("__file", F.input_file_name())
-        .withColumn("__tid", F.monotonically_increasing_id())
+        target.withColumnRenamed(snap.FILE_LINEAGE_COL, "__file")
+        .withColumnRenamed(snap.POS_LINEAGE_COL, "__tid")
         .alias("t")
     )
     s = source.alias("s")
@@ -418,20 +597,17 @@ def merge(
         .agg(F.count(F.lit(1)).alias("_n"), F.max("_m").alias("_max_m"))
         .collect()
     )
-    matched_paths = {_norm_file_uri(r["_file"]) for r in matched_stats}
+    matched_paths = {r["_file"] for r in matched_stats}
     n_matched = sum(r["_n"] for r in matched_stats)
     if any(r["_max_m"] > 1 for r in matched_stats):
         raise DMLError(
             "MERGE: a target row matches multiple source rows; "
             "result would be non-deterministic"
         )
-    all_adds = snap.files()
     if when_not_matched_by_source_delete:
         rewrite = all_adds  # unmatched rows can live in any file
     else:
-        rewrite = [
-            a for a in all_adds if _norm_file_uri(snap._absolute(a.path)) in matched_paths
-        ]
+        rewrite = [a for a in all_adds if _add_matches_hit(snap, a, matched_paths)]
 
     # --- rewritten content for matched files ---
     track_changes = cdf_enabled(table)

@@ -227,10 +227,17 @@ def optimize(
     clustering = bool(sort_by or zorder_by)
     groups: dict[tuple, list] = {}
     for a in table.add_actions():
-        if clustering or a.size < target_file_size:
+        # files carrying a deletion vector always qualify: compaction is how
+        # merge-on-read deletes get materialized and their read-time anti
+        # join retired
+        if clustering or a.deletion_vector or a.size < target_file_size:
             key = tuple((c, a.partition_values.get(c)) for c in pcols)
             groups.setdefault(key, []).append(a)
-    plan = {k: fs for k, fs in groups.items() if len(fs) >= (1 if clustering else 2)}
+    plan = {
+        k: fs
+        for k, fs in groups.items()
+        if len(fs) >= (1 if clustering else 2) or any(f.deletion_vector for f in fs)
+    }
 
     metrics = {
         "numFilesRemoved": sum(len(fs) for fs in plan.values()),
@@ -256,7 +263,11 @@ def optimize(
         out_dir = os.path.join(staging_root, part_dir) if part_dir else staging_root
         uris = [log.backend.join(log.table_root, f.path) for f in files]
         n_out = max(1, math.ceil(sum(f.size for f in files) / target_file_size))
-        df = spark.read.schema(data_schema).parquet(*uris)
+        if any(f.deletion_vector for f in files):
+            # DV-aware read: the rewrite drops deleted rows for good
+            df = table.snapshot.df_for_adds(spark, files, columns=list(data_schema.names))
+        else:
+            df = spark.read.schema(data_schema).parquet(*uris)
         if zorder_by:
             df = (
                 df.withColumn("_z", zcol)

@@ -35,6 +35,14 @@ class AddAction:
     ``partition_values`` are *strings* (Hive convention); ``stats`` is a JSON
     string with numRecords / minValues / maxValues / nullCount, possibly
     nested (cf. reference ``rust/src/action.rs:113-127``).
+
+    ``deletion_vector`` (merge-on-read deletes; public Delta protocol's
+    ``deletionVector`` on add/remove — the reference predates the feature)
+    marks rows of this file as logically deleted without rewriting it:
+    ``{"storageType": "d", "paths": [<rel dirs of (path,row_index) parquet>],
+    "cardinality": N, "sizeInBytes": S}``. Readers anti-join the file's rows
+    against the positions; stats stay physical (min/max remain a conservative
+    superset, numRecords minus cardinality is the logical row count).
     """
 
     path: str
@@ -44,6 +52,7 @@ class AddAction:
     data_change: bool = True
     stats: Optional[str] = None
     tags: Optional[dict[str, Any]] = None
+    deletion_vector: Optional[dict[str, Any]] = None
 
     def get_stats(self) -> Optional[dict[str, Any]]:
         if not self.stats:
@@ -55,8 +64,20 @@ class AddAction:
 
     @property
     def num_records(self) -> Optional[int]:
+        """Physical rows written in the parquet file (stats numRecords)."""
         s = self.get_stats()
         return None if s is None else s.get("numRecords")
+
+    @property
+    def dv_cardinality(self) -> int:
+        """Rows of this file marked deleted by its deletion vector (0 = none)."""
+        return int(self.deletion_vector.get("cardinality", 0)) if self.deletion_vector else 0
+
+    @property
+    def logical_records(self) -> Optional[int]:
+        """Live rows a reader sees: numRecords minus deletion-vector cardinality."""
+        n = self.num_records
+        return None if n is None else n - self.dv_cardinality
 
     def to_json_dict(self) -> dict[str, Any]:
         d: dict[str, Any] = {
@@ -70,10 +91,17 @@ class AddAction:
             d["stats"] = self.stats
         if self.tags is not None:
             d["tags"] = self.tags
+        if self.deletion_vector is not None:
+            d["deletionVector"] = self.deletion_vector
         return d
 
     @classmethod
     def from_json_dict(cls, d: dict[str, Any]) -> "AddAction":
+        dv = d.get("deletionVector")
+        if dv is not None:
+            dv = dict(dv)
+            if isinstance(dv.get("paths"), tuple):
+                dv["paths"] = list(dv["paths"])
         return cls(
             path=d["path"],
             size=d.get("size", 0),
@@ -82,6 +110,7 @@ class AddAction:
             data_change=d.get("dataChange", True),
             stats=d.get("stats"),
             tags=d.get("tags"),
+            deletion_vector=dv,
         )
 
 

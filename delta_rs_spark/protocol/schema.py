@@ -102,6 +102,33 @@ def partition_value_to_typed(value: str | None, data_type: T.DataType) -> Any:
     raise ValueError(f"partition column of type {data_type} not supported")
 
 
+def partition_value_to_pyarrow(value: str | None, pa_type) -> Any:
+    """Hive partition *string* → Python value suitable for a pyarrow array of
+    ``pa_type`` (same reconstruction rules as ``partition_value_to_typed``)."""
+    import pyarrow as pa
+
+    if value is None or value == "" or value == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    import datetime as _dt
+    import decimal as _dec
+
+    if pa.types.is_string(pa_type) or pa.types.is_large_string(pa_type):
+        return value
+    if pa.types.is_integer(pa_type):
+        return int(value)
+    if pa.types.is_floating(pa_type):
+        return float(value)
+    if pa.types.is_boolean(pa_type):
+        return value.lower() == "true"
+    if pa.types.is_decimal(pa_type):
+        return _dec.Decimal(value)
+    if pa.types.is_date(pa_type):
+        return _dt.date.fromisoformat(value)
+    if pa.types.is_timestamp(pa_type):
+        return _dt.datetime.fromisoformat(value)
+    raise ValueError(f"partition column of pyarrow type {pa_type} not supported")
+
+
 # ---- Delta schema JSON → pyarrow (reference mapping delta_arrow.rs:50-137,
 # minus its timestamp-ns quirk: we use µs, Spark/parquet-correct) -------------
 

@@ -142,6 +142,18 @@ class Snapshot:
         return [a.get_stats() for a in self.state.files.values()]
 
     # ---- DataFrame construction -------------------------------------------
+
+    # lineage columns (file identity + row position) used for deletion-vector
+    # filtering and by DML to find files containing matching rows; prefixed to
+    # never collide with user columns
+    FILE_LINEAGE_COL = "_drs_file"
+    POS_LINEAGE_COL = "_drs_pos"
+
+    # a DV positions side small enough to broadcast (rows of 2 narrow cols);
+    # above this the anti join shuffles — still proportional to positions,
+    # never to table size
+    DV_BROADCAST_MAX_ROWS = 4_000_000
+
     def to_df(
         self,
         spark: SparkSession,
@@ -166,33 +178,120 @@ class Snapshot:
         spark: SparkSession,
         adds: list[AddAction],
         columns: Sequence[str] | None = None,
+        with_lineage: bool = False,
     ) -> DataFrame:
         """DataFrame over an explicit subset of this snapshot's files.
 
-        Used by to_df (after pruning) and by copy-on-write DML, which reads
-        only the files it must rewrite."""
+        Used by to_df (after pruning) and by DML, which reads only the files
+        it must rewrite. Files carrying a deletion vector are anti-joined
+        against their deleted positions (``_metadata.row_index``, evaluated
+        inside the scan — no Python in the hot path); plain files keep the
+        bare-scan plan. ``with_lineage=True`` appends ``_drs_file`` (the
+        add's log path) and ``_drs_pos`` (row index within the file) — the
+        row identity DML and merge-on-read DELETE key on.
+        """
         table_schema = self.schema()
-        pcols = self.metadata.partition_columns
 
         if not adds:
-            return spark.createDataFrame([], table_schema).select(*(columns or table_schema.names))
+            df = spark.createDataFrame([], table_schema)
+            if with_lineage:
+                df = df.withColumn(self.FILE_LINEAGE_COL, F.lit(None).cast("string"))
+                df = df.withColumn(self.POS_LINEAGE_COL, F.lit(None).cast("long"))
+            return df.select(*(columns or df.columns))
 
-        if not pcols:
-            df = spark.read.schema(table_schema).parquet(*[self._absolute(a.path) for a in adds])
-        else:
-            df = self._read_partitioned(spark, adds)
+        dv_adds = [a for a in adds if a.deletion_vector]
+        plain = [a for a in adds if not a.deletion_vector]
 
-        df = df.select(*table_schema.names)
+        parts: list[DataFrame] = []
+        if plain:
+            parts.append(self._scan(spark, plain, include_lineage=with_lineage))
+        if dv_adds:
+            df = self._scan(spark, dv_adds, include_lineage=True)
+            df = self._anti_join_deleted_positions(spark, df, dv_adds)
+            if not with_lineage:
+                df = df.drop(self.FILE_LINEAGE_COL, self.POS_LINEAGE_COL)
+            parts.append(df)
+
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+
+        out_cols = list(table_schema.names)
+        if with_lineage:
+            out_cols += [self.FILE_LINEAGE_COL, self.POS_LINEAGE_COL]
+        df = df.select(*out_cols)
         if columns:
             df = df.select(*columns)
         return df
+
+    def _lineage_exprs(self) -> list:
+        """Relative file path + row index from the scan's ``_metadata``.
+
+        ``_metadata.file_path`` is a URI (``file:///root/...``); taking the
+        substring after the last occurrence of ``<table_root>/`` yields the
+        log-relative path that matches ``add.path`` — pure codegen, no UDF.
+        """
+        delim = self.log.table_root.rstrip("/") + "/"
+        return [
+            F.substring_index(F.col("_metadata.file_path"), delim, -1).alias(
+                self.FILE_LINEAGE_COL
+            ),
+            F.col("_metadata.row_index").alias(self.POS_LINEAGE_COL),
+        ]
+
+    def _scan(
+        self, spark: SparkSession, adds: list[AddAction], include_lineage: bool
+    ) -> DataFrame:
+        table_schema = self.schema()
+        pcols = self.metadata.partition_columns
+        if not pcols:
+            df = spark.read.schema(table_schema).parquet(
+                *[self._absolute(a.path) for a in adds]
+            )
+            cols = list(table_schema.names)
+            if include_lineage:
+                return df.select(*cols, *self._lineage_exprs())
+            return df.select(*cols)
+        return self._read_partitioned(spark, adds, include_lineage=include_lineage)
+
+    def _anti_join_deleted_positions(
+        self, spark: SparkSession, df: DataFrame, dv_adds: list[AddAction]
+    ) -> DataFrame:
+        """Drop rows whose (file, row_index) appears in a deletion vector.
+
+        The positions side is the union of the adds' DV parquet directories,
+        pruned to these files' paths; when the total cardinality (known from
+        the descriptors — no job needed) is small, it broadcasts, so the
+        common case (point deletes on a huge table) adds zero shuffle."""
+        dirs: list[str] = []
+        seen: set[str] = set()
+        for a in dv_adds:
+            for p in a.deletion_vector.get("paths", []):
+                if p not in seen:
+                    seen.add(p)
+                    dirs.append(self._absolute(p))
+        pos = (
+            spark.read.schema("path STRING, row_index BIGINT")
+            .parquet(*dirs)
+            .select(F.col("path").alias("_dv_path"), F.col("row_index").alias("_dv_pos"))
+        )
+        if len(dv_adds) <= 256:
+            pos = pos.filter(F.col("_dv_path").isin([a.path for a in dv_adds]))
+        if sum(a.dv_cardinality for a in dv_adds) <= self.DV_BROADCAST_MAX_ROWS:
+            pos = F.broadcast(pos)
+        cond = (F.col(self.FILE_LINEAGE_COL) == F.col("_dv_path")) & (
+            F.col(self.POS_LINEAGE_COL) == F.col("_dv_pos")
+        )
+        return df.join(pos, cond, "left_anti")
 
     # above this many distinct partition tuples, a lit()-union plan becomes a
     # liability (a 10k-branch union stalls analysis); switch to one basePath
     # scan where Spark derives partition columns from the Hive paths
     MAX_UNION_BRANCHES = 64
 
-    def _read_partitioned(self, spark: SparkSession, adds: list[AddAction]) -> DataFrame:
+    def _read_partitioned(
+        self, spark: SparkSession, adds: list[AddAction], include_lineage: bool = False
+    ) -> DataFrame:
         """Attach partition columns from the log's partitionValues.
 
         Small group count (the common case after pruning): one union branch
@@ -208,6 +307,7 @@ class Snapshot:
         data_schema = self.data_schema()
         pcols = self.metadata.partition_columns
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+        lineage = self._lineage_exprs() if include_lineage else []
 
         groups: dict[tuple, list[str]] = {}
         for a in adds:
@@ -219,11 +319,12 @@ class Snapshot:
             # basePath derivation requires the Hive key=value layout; fall
             # back to unions if any file's path doesn't encode it
             if all(f"/{c}=" in p for p in all_paths for c in pcols):
-                return (
+                df = (
                     spark.read.schema(schema)
                     .option("basePath", self.log.table_root)
                     .parquet(*all_paths)
                 )
+                return df.select(*schema.names, *lineage) if lineage else df
 
         branches = []
         for key, paths in groups.items():
@@ -231,7 +332,7 @@ class Snapshot:
             for cname, sval in zip(pcols, key):
                 typed = partition_value_to_typed(sval, ptypes[cname])
                 branch = branch.withColumn(cname, F.lit(typed).cast(ptypes[cname]))
-            branches.append(branch.select(*schema.names))
+            branches.append(branch.select(*schema.names, *lineage))
         df = branches[0]
         for b in branches[1:]:
             df = df.unionByName(b)

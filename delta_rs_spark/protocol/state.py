@@ -70,10 +70,11 @@ class TableState:
         return sum(a.size for a in self.files.values())
 
     def num_records(self) -> Optional[int]:
-        """Σ numRecords over active files; None if any file lacks stats."""
+        """Σ live rows over active files (numRecords minus deletion-vector
+        cardinality); None if any file lacks stats."""
         total = 0
         for a in self.files.values():
-            n = a.num_records
+            n = a.logical_records
             if n is None:
                 return None
             total += n

@@ -115,9 +115,10 @@ def prune_files(
 # ---- metadata-only aggregates (reference delta_datafusion.rs:117-209) -----
 
 def table_num_records(files: Iterable[AddAction]) -> Optional[int]:
+    """Σ live rows (numRecords minus deletion-vector cardinality)."""
     total = 0
     for a in files:
-        n = a.num_records
+        n = a.logical_records
         if n is None:
             return None
         total += n
@@ -130,6 +131,10 @@ def table_min_max(files: Iterable[AddAction], column: str) -> tuple[Any, Any] | 
     gmin: Any = None
     gmax: Any = None
     for a in files:
+        if a.deletion_vector is not None:
+            # the deleted rows may have held the extremum; stats are only a
+            # conservative superset under a DV — metadata answer unsafe
+            return None
         stats = a.get_stats()
         if not stats:
             return None

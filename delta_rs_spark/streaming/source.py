@@ -44,6 +44,8 @@ class DeltaFilePartition(InputPartition):
         change_type: str | None = None,
         commit_version: int | None = None,
         is_cdc_file: bool = False,
+        dv_dirs: list[str] | None = None,
+        dv_key: str | None = None,
     ):
         self.file_uri = file_uri
         self.partition_values = partition_values
@@ -54,6 +56,10 @@ class DeltaFilePartition(InputPartition):
         self.change_type = change_type
         self.commit_version = commit_version
         self.is_cdc_file = is_cdc_file
+        # deletion vector: absolute position-parquet dirs + this file's
+        # log-relative path (the key its positions are stored under)
+        self.dv_dirs = dv_dirs
+        self.dv_key = dv_key
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -147,12 +153,19 @@ class DeltaStreamReader(DataSourceStreamReader):
                         "deletes/overwrites requires option ignoreChanges=true"
                     )
                 if isinstance(a, AddAction) and a.data_change:
+                    dv = a.deletion_vector
                     parts.append(
                         DeltaFilePartition(
                             log.absolute(a.path),
                             a.partition_values,
                             meta.schema_string,
                             meta.partition_columns,
+                            dv_dirs=(
+                                [log.absolute(p) for p in dv.get("paths", [])]
+                                if dv
+                                else None
+                            ),
+                            dv_key=a.path if dv else None,
                         )
                     )
         return parts
@@ -183,6 +196,13 @@ class DeltaStreamReader(DataSourceStreamReader):
         parts: list[DeltaFilePartition] = []
         for a in actions:
             if isinstance(a, AddAction) and a.data_change:
+                if a.deletion_vector is not None:
+                    raise RuntimeError(
+                        f"version {v} is a merge-on-read DELETE (deletion "
+                        "vector) with no change files; enable "
+                        "delta.enableChangeDataFeed before deleting to "
+                        "stream row-level changes over DV commits"
+                    )
                 parts.append(
                     DeltaFilePartition(
                         absolute(a.path),
@@ -214,6 +234,23 @@ class DeltaStreamReader(DataSourceStreamReader):
 
         schema = schema_string_to_spark(partition.schema_json)
         table = pq.read_table(partition.file_uri)
+        if partition.dv_dirs:
+            # merge-on-read delete: drop this file's deleted positions
+            # (row_index == row order within the file, which pq.read_table
+            # preserves)
+            import pyarrow.dataset as ds
+
+            parts = [ds.dataset(p, format="parquet") for p in partition.dv_dirs]
+            dvset = parts[0] if len(parts) == 1 else ds.dataset(parts)
+            dv = dvset.to_table(
+                filter=ds.field("path") == partition.dv_key, columns=["row_index"]
+            )
+            dead = set(dv.column("row_index").to_pylist())
+            if dead:
+                import pyarrow as pa
+
+                keep = [i for i in range(table.num_rows) if i not in dead]
+                table = table.take(pa.array(keep, type=pa.int64()))
         cols = {}
         for f in schema.fields:
             if f.name in partition.partition_columns:

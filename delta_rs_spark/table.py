@@ -154,9 +154,18 @@ class DeltaTable:
         return schema_json_to_pyarrow(self.schema_json())
 
     def to_pyarrow_dataset(self, partitions: Sequence[FilterTuple] | None = None):
-        """PyArrow Dataset over the active files (hive partitioning), no Spark."""
+        """PyArrow Dataset over the active files (hive partitioning), no Spark.
+
+        A raw Dataset cannot express per-file position deletes, so tables
+        with deletion vectors must be read via ``to_pyarrow_table`` /
+        ``to_df`` (or compacted with ``optimize`` first)."""
         import pyarrow.dataset as ds
 
+        if any(a.deletion_vector for a in self._snapshot.state.files.values()):
+            raise ValueError(
+                "table has deletion vectors; use to_pyarrow_table()/to_df() "
+                "(position-aware) or run optimize() to materialize deletes"
+            )
         paths = (
             self.files_by_partitions(partitions) if partitions is not None else self.file_uris()
         )
@@ -172,9 +181,59 @@ class DeltaTable:
         partitions: Sequence[FilterTuple] | None = None,
         columns: Sequence[str] | None = None,
     ):
-        return self.to_pyarrow_dataset(partitions).to_table(
-            columns=list(columns) if columns else None
+        dv_adds = [a for a in self._snapshot.state.files.values() if a.deletion_vector]
+        if not dv_adds:
+            return self.to_pyarrow_dataset(partitions).to_table(
+                columns=list(columns) if columns else None
+            )
+        return self._pyarrow_table_with_dvs(partitions, columns)
+
+    def _pyarrow_table_with_dvs(
+        self,
+        partitions: Sequence[FilterTuple] | None,
+        columns: Sequence[str] | None,
+    ):
+        """Driver-side DV-aware read: per file, drop the positions its
+        deletion vector marks (row order == row_index for a full-file read)."""
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        from .protocol.schema import partition_value_to_pyarrow
+
+        adds = self._snapshot.files(partition_filters=partitions or None)
+        snap = self._snapshot
+        full_schema = self.pyarrow_schema()
+        pcols = self.metadata().partition_columns
+        pieces = []
+        for a in adds:
+            tbl = pq.read_table(snap._absolute(a.path))
+            if a.deletion_vector:
+                parts = [
+                    ds.dataset(snap._absolute(p), format="parquet")
+                    for p in a.deletion_vector.get("paths", [])
+                ]
+                dvset = parts[0] if len(parts) == 1 else ds.dataset(parts)
+                dv = dvset.to_table(
+                    filter=ds.field("path") == a.path, columns=["row_index"]
+                )
+                dead = set(dv.column("row_index").to_pylist())
+                if dead:
+                    keep = [i for i in range(tbl.num_rows) if i not in dead]
+                    tbl = tbl.take(pa.array(keep, type=pa.int64()))
+            for c in pcols:
+                field = full_schema.field(c)
+                val = partition_value_to_pyarrow(a.partition_values.get(c), field.type)
+                tbl = tbl.append_column(
+                    field, pa.array([val] * tbl.num_rows, type=field.type)
+                )
+            pieces.append(tbl.select(full_schema.names).cast(full_schema))
+        out = (
+            pa.concat_tables(pieces)
+            if pieces
+            else full_schema.empty_table()
         )
+        return out.select(list(columns)) if columns else out
 
     def get_tombstones(self) -> list:
         """Tombstoned (removed) files of the snapshot, reference

@@ -1,0 +1,229 @@
+"""Merge-on-read DELETE via deletion vectors.
+
+The reference (delta-rs v0) predates the public Delta deletionVector
+feature; this engine adds it Spark-first: a DELETE under table property
+``delta.enableDeletionVectors=true`` writes the matching rows' (file,
+row_index) positions — discovered through the scan's ``_metadata`` columns,
+no UDF — and re-commits the same data files with DV descriptors instead of
+rewriting them. Readers anti-join positions (broadcast when small);
+OPTIMIZE materializes; stats fold subtracts cardinality.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark import DeltaTable
+from delta_rs_spark.writer import write_deltalake
+
+
+def _make_table(spark, path, enable_dv=True, enable_cdf=False, nfiles=4, rows=400):
+    cfg = {}
+    if enable_dv:
+        cfg["delta.enableDeletionVectors"] = "true"
+    if enable_cdf:
+        cfg["delta.enableChangeDataFeed"] = "true"
+    df = spark.range(0, rows).selectExpr(
+        "id", "id % 10 as k", "concat('v', id) as v"
+    )
+    write_deltalake(
+        spark, df.repartition(nfiles), path, configuration=cfg or None
+    )
+    return DeltaTable.for_path(path)
+
+
+def test_dv_delete_keeps_files_and_hides_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    files_before = sorted(t.file_paths())
+
+    res = t.delete(spark, "k = 3")
+    assert res["numDeletedRows"] == 40
+    assert res["numAddedFiles"] == 0  # no data rewrite — that's the point
+    assert res["numDeletionVectorsAdded"] >= 1
+
+    t2 = DeltaTable.for_path(path)
+    assert sorted(t2.file_paths()) == files_before
+    assert all(a.deletion_vector for a in t2.add_actions() if a.dv_cardinality)
+    out = t2.to_df(spark)
+    assert out.count() == 360
+    assert out.filter("k = 3").count() == 0
+    # metadata-only count subtracts cardinality, no scan
+    assert t2.count_rows() == 360
+    # min/max fast path refuses (deleted rows may have held the extremum)
+    assert t2.column_min_max("id") is None
+
+
+def test_dv_protocol_bump_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    res = t.delete(spark, "k = 0")
+    t2 = DeltaTable.for_path(path)
+    assert t2.protocol_versions() == (3, 7)
+    # the pre-delete version still reads every row under its own state
+    t_old = DeltaTable.for_version(path, res["version"] - 1)
+    assert t_old.to_df(spark).count() == 400
+
+
+def test_dv_second_delete_merges_descriptors(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.delete(spark, "k = 3")
+    t2 = DeltaTable.for_path(path)
+    t2.delete(spark, "k = 5")
+    t3 = DeltaTable.for_path(path)
+    assert t3.to_df(spark).count() == 320
+    assert t3.count_rows() == 320
+    # merged descriptor: one DV'd add per file, cardinality summed over both
+    # deletes, position dirs accumulated
+    dv_adds = [a for a in t3.add_actions() if a.deletion_vector]
+    assert sum(a.dv_cardinality for a in dv_adds) == 80
+    assert any(len(a.deletion_vector["paths"]) == 2 for a in dv_adds)
+
+
+def test_dv_full_file_delete_emits_plain_tombstone(spark, tmp_path):
+    path = str(tmp_path / "t")
+    # partition by k so one partition == one file; deleting k=2 empties it
+    df = spark.range(0, 100).selectExpr("id", "id % 5 as k")
+    write_deltalake(
+        spark,
+        df,
+        path,
+        partition_by=["k"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    t = DeltaTable.for_path(path)
+    res = t.delete(spark, "k = 2")
+    assert res["numRemovedFiles"] >= 1
+    assert res["numDeletionVectorsAdded"] == 0
+    t2 = DeltaTable.for_path(path)
+    assert t2.to_df(spark).count() == 80
+    assert not any(a.deletion_vector for a in t2.add_actions())
+
+
+def test_dv_partitioned_table_positions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 300).selectExpr("id", "id % 3 as p", "id * 2 as val")
+    write_deltalake(
+        spark,
+        df,
+        path,
+        partition_by=["p"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    t = DeltaTable.for_path(path)
+    # predicate on a non-partition column inside one partition
+    res = t.delete(spark, "p = 1 AND val < 100")
+    t2 = DeltaTable.for_path(path)
+    got = {r.id for r in t2.to_df(spark).collect()}
+    expected = {i for i in range(300) if not (i % 3 == 1 and i * 2 < 100)}
+    assert got == expected
+    assert res["numDeletedRows"] == 300 - len(expected)
+
+
+def test_dv_copy_on_write_update_honors_positions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.delete(spark, "k = 3")
+    t2 = DeltaTable.for_path(path)
+    t2.update_where(spark, "k = 4", {"v": "'updated'"})
+    t3 = DeltaTable.for_path(path)
+    out = t3.to_df(spark)
+    assert out.count() == 360  # rewrite did not resurrect deleted rows
+    assert out.filter("v = 'updated'").count() == 40
+    assert out.filter("k = 3").count() == 0
+
+
+def test_dv_optimize_materializes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.delete(spark, "k IN (3, 5)" if False else "k = 3")
+    t2 = DeltaTable.for_path(path)
+    t2.optimize(spark)
+    t3 = DeltaTable.for_path(path)
+    assert not any(a.deletion_vector for a in t3.add_actions())
+    assert t3.to_df(spark).count() == 360
+    # once materialized the metadata min/max fast path works again
+    assert t3.column_min_max("k") is not None
+
+
+def test_dv_checkpoint_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.delete(spark, "k = 7")
+    t2 = DeltaTable.for_path(path)
+    t2.create_checkpoint()
+    t3 = DeltaTable.for_path(path)  # loads from checkpoint + empty tail
+    dv_adds = [a for a in t3.add_actions() if a.deletion_vector]
+    assert sum(a.dv_cardinality for a in dv_adds) == 40
+    assert t3.to_df(spark).count() == 360
+
+
+def test_dv_pyarrow_read_paths(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.delete(spark, "k = 9")
+    t2 = DeltaTable.for_path(path)
+    # driver-only (Spark-free) read honors positions
+    pt = t2.to_pyarrow_table()
+    assert pt.num_rows == 360
+    assert len(t2.to_pandas()) == 360
+    # a raw Dataset cannot express position deletes → explicit refusal
+    with pytest.raises(ValueError, match="deletion vectors"):
+        t2.to_pyarrow_dataset()
+
+
+def test_dv_vacuum_keeps_position_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.delete(spark, "k = 1")
+    t2 = DeltaTable.for_path(path)
+    listed = t2.vacuum(retention_hours=168, dry_run=True)
+    assert not any("_deletion_vectors" in p for p in listed)
+
+
+def test_dv_cdf_records_row_level_deletes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path, enable_cdf=True)
+    res = t.delete(spark, "k = 6")
+    t2 = DeltaTable.for_path(path)
+    cdf = t2.load_cdf(spark, starting_version=res["version"], ending_version=res["version"])
+    rows = cdf.collect()
+    assert len(rows) == 40
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert all(r.k == 6 for r in rows)
+
+
+def test_dv_load_cdf_without_change_files_refuses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path, enable_cdf=False)
+    res = t.delete(spark, "k = 6")
+    t2 = DeltaTable.for_path(path)
+    with pytest.raises(ValueError, match="merge-on-read"):
+        t2.load_cdf(
+            spark, starting_version=res["version"], ending_version=res["version"]
+        ).collect()
+
+
+def test_dv_disabled_table_stays_copy_on_write(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path, enable_dv=False)
+    res = t.delete(spark, "k = 3")
+    assert res["numAddedFiles"] > 0  # rewrite happened
+    t2 = DeltaTable.for_path(path)
+    assert not any(a.deletion_vector for a in t2.add_actions())
+    assert t2.to_df(spark).count() == 360
+
+
+def test_dv_merge_does_not_resurrect_deleted_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.delete(spark, "id = 7")  # k=7 row, single-row DV delete
+    t2 = DeltaTable.for_path(path)
+    src = spark.createDataFrame([(7, 99, "upserted")], "id LONG, k LONG, v STRING")
+    t2.merge(spark, src, "t.id = s.id")
+    t3 = DeltaTable.for_path(path)
+    rows = t3.to_df(spark).filter("id = 7").collect()
+    # the deleted row is NOT matched (it's logically gone) → source row inserts
+    assert len(rows) == 1
+    assert rows[0].v == "upserted"
+    assert t3.to_df(spark).count() == 400
