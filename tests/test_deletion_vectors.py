@@ -214,6 +214,43 @@ def test_dv_disabled_table_stays_copy_on_write(spark, tmp_path):
     assert t2.to_df(spark).count() == 360
 
 
+def test_dv_stream_partitions_filter_positions(spark, tmp_path):
+    """A DV re-add streamed under ignoreChanges emits only live rows — the
+    executor-side reader drops the file's deleted positions."""
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path, nfiles=2, rows=100)
+    t.delete(spark, "k = 4")
+
+    from delta_rs_spark.streaming.source import DeltaStreamReader
+
+    reader = DeltaStreamReader(None, {"path": path, "startingversion": "0"})
+    with pytest.raises(RuntimeError, match="ignoreChanges"):
+        reader.partitions({"version": 0}, {"version": 1})
+
+    reader2 = DeltaStreamReader(
+        None, {"path": path, "startingversion": "0", "ignorechanges": "true"}
+    )
+    parts = reader2.partitions({"version": 0}, {"version": 1})
+    assert parts and all(p.dv_dirs for p in parts)
+    rows = [r for p in parts for r in reader2.read(p)]
+    ks = [r[1] for r in rows]
+    assert len(rows) == 90
+    assert 4 not in ks
+
+
+def test_dv_read_plan_broadcasts_positions(spark, tmp_path):
+    """The DV anti join must broadcast the (small) positions side — a
+    shuffled anti join on a 100 TB scan would move the table to move
+    kilobytes of positions."""
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.delete(spark, "k = 2")
+    t2 = DeltaTable.for_path(path)
+    plan = t2.to_df(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Broadcast" in plan  # BroadcastHashJoin / BroadcastExchange
+
+
 def test_dv_merge_does_not_resurrect_deleted_rows(spark, tmp_path):
     path = str(tmp_path / "t")
     t = _make_table(spark, path)
