@@ -452,18 +452,162 @@ def delete(spark: SparkSession, table: DeltaTable, predicate: str) -> dict[str, 
 # UPDATE
 # ---------------------------------------------------------------------------
 
+def _update_merge_on_read(
+    spark: SparkSession,
+    table: DeltaTable,
+    predicate: str,
+    assignments: dict[str, str],
+    cond: Column,
+    candidates: list[AddAction],
+) -> dict[str, Any]:
+    """``UPDATE`` without rewriting unmatched rows: DV the matched rows'
+    positions in their existing files and write ONLY the updated rows as new
+    files — one commit of Remove + DV re-Add + Add.
+
+    The scale shape: updating 1k rows scattered across TB-sized files
+    copy-on-writes the full files; merge-on-read writes 1k rows plus
+    kilobytes of positions. Readers see the same atomic swap."""
+    import dataclasses
+    import uuid as _uuid
+
+    from .cdf import write_change_files
+    from .writer import _promote_staged_files, check_constraints
+
+    snap = table._snapshot
+    log = table.log
+    schema = table.schema()
+    pcols = table.metadata().partition_columns
+    FILE, POS = snap.FILE_LINEAGE_COL, snap.POS_LINEAGE_COL
+
+    df = snap.df_for_adds(spark, candidates, with_lineage=True)
+    matched_df = df.filter(cond).cache()
+    try:
+        per_file = {
+            r["path"]: r["n"]
+            for r in matched_df.groupBy(F.col(FILE).alias("path"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_updated = sum(per_file.values())
+        if not per_file:
+            return {
+                "version": table.version,
+                "numRemovedFiles": 0,
+                "numAddedFiles": 0,
+                "numUpdatedRows": 0,
+            }
+
+        types = {f.name: f.dataType for f in schema.fields}
+        updated_rows = matched_df.select(
+            *[
+                F.expr(assignments[c]).cast(types[c]).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in schema.names
+            ]
+        )
+        check_constraints(updated_rows, table.metadata().configuration)
+
+        # new files carrying only the updated rows
+        staging = log.backend.join(log.table_root, f".tmp-commit-{_uuid.uuid4().hex}")
+        writer = updated_rows.write.mode("overwrite")
+        if pcols:
+            writer = writer.partitionBy(*pcols)
+        writer.parquet(staging)
+        new_adds = _promote_staged_files(spark, log, staging, pcols)
+
+        # deletion vector over the old positions
+        dv_rel = f"_deletion_vectors/{_uuid.uuid4().hex}"
+        dv_abs = log.backend.join(log.table_root, dv_rel)
+        matched_df.select(
+            F.col(FILE).alias("path"), F.col(POS).alias("row_index")
+        ).write.mode("overwrite").parquet(dv_abs)
+        dv_bytes = _dir_bytes(dv_abs)
+
+        change_rows = None
+        if cdf_enabled(table):
+            pre = matched_df.select(*schema.names).withColumn(
+                CHANGE_TYPE_COL, F.lit("update_preimage")
+            )
+            post = updated_rows.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+            change_rows = pre.unionByName(post)
+
+        now_ms = int(time.time() * 1000)
+        actions: list = []
+        if change_rows is not None:
+            actions.extend(write_change_files(spark, log, change_rows))
+        n_fully_rewritten = 0
+        matched = [a for a in candidates if a.path in per_file]
+        for old in matched:
+            n = per_file[old.path]
+            prior = old.deletion_vector or {}
+            new_card = int(prior.get("cardinality", 0)) + n
+            actions.append(
+                RemoveAction(
+                    path=old.path,
+                    deletion_timestamp=now_ms,
+                    data_change=True,
+                    extended_file_metadata=True,
+                    partition_values=old.partition_values,
+                    size=old.size,
+                )
+            )
+            if old.num_records is not None and new_card >= old.num_records:
+                n_fully_rewritten += 1  # every row moved out — tombstone only
+                continue
+            actions.append(
+                dataclasses.replace(
+                    old,
+                    deletion_vector={
+                        "storageType": "d",
+                        "paths": list(prior.get("paths", [])) + [dv_rel],
+                        "cardinality": new_card,
+                        "sizeInBytes": int(prior.get("sizeInBytes", 0)) + dv_bytes,
+                    },
+                    modification_time=now_ms,
+                    data_change=True,
+                )
+            )
+        actions.extend(list(new_adds))
+
+        txn = DeltaTransaction(table)
+        if table.snapshot.min_reader_version() < 3:
+            from .protocol.actions import ProtocolAction
+
+            txn.add_action(ProtocolAction(min_reader_version=3, min_writer_version=7))
+        txn.add_actions(actions)
+        metrics = {
+            "numRemovedFiles": str(n_fully_rewritten),
+            "numAddedFiles": str(len(new_adds)),
+            "numUpdatedRows": str(n_updated),
+            "numDeletionVectorsAdded": str(len(matched) - n_fully_rewritten),
+        }
+        version = txn.commit(
+            operation="UPDATE",
+            operation_parameters={"predicate": predicate},
+            operation_metrics=metrics,
+        )
+        table.update()
+        return {"version": version, **{k: int(v) for k, v in metrics.items()}}
+    finally:
+        matched_df.unpersist()
+
+
 def update(
     spark: SparkSession,
     table: DeltaTable,
     predicate: str,
     assignments: dict[str, str],
 ) -> dict[str, Any]:
-    """``UPDATE table SET col = expr, ... WHERE predicate`` — copy-on-write.
+    """``UPDATE table SET col = expr, ... WHERE predicate``.
 
     ``assignments`` maps column name → SQL expression evaluated against the
     *pre-update* row (standard SQL UPDATE semantics: all right-hand sides see
     the old values). Results are cast back to the column's declared type so
-    the table schema is invariant (v0 has no schema evolution).
+    the table schema is invariant (v0 has no schema evolution). Default is
+    copy-on-write (only files containing matches are rewritten); with
+    ``delta.enableDeletionVectors=true`` the update is merge-on-read — see
+    ``_update_merge_on_read``.
     """
     schema = table.schema()
     bad = set(assignments) - set(schema.names)
@@ -472,6 +616,10 @@ def update(
 
     cond = F.coalesce(F.expr(predicate), F.lit(False))
     candidates = _candidate_adds(table, predicate)
+    if dv_enabled(table) and _mor_eligible(table, candidates):
+        return _update_merge_on_read(
+            spark, table, predicate, assignments, cond, candidates
+        )
     matched, n_updated = _files_with_matches(spark, table, candidates, cond)
     if not matched:
         return {

@@ -335,10 +335,15 @@ def maybe_checkpoint(table, version: int, interval: int = 10) -> Optional[CheckP
 # ---- vacuum -------------------------------------------------------------------
 
 def is_hidden_path(rel_path: str) -> bool:
-    """Skip dot/underscore paths except `_delta_index`/`_change_data`; a
-    partition directory (contains '=') is never hidden
-    (reference ``rust/src/delta.rs:904-916``)."""
-    for seg in rel_path.split("/")[:-1] + [rel_path.split("/")[-1]]:
+    """Skip dot/underscore paths except `_delta_index`/`_change_data`/
+    `_deletion_vectors`; a partition directory (contains '=') is never hidden
+    (reference ``rust/src/delta.rs:904-916``; `_deletion_vectors` is this
+    engine's DV store — visible to vacuum so orphaned position files are
+    reaped once nothing references them)."""
+    segs = rel_path.split("/")
+    if segs[0].startswith("_deletion_vectors"):
+        return False  # whole DV subtree visible (incl. _SUCCESS markers)
+    for seg in segs:
         if "=" in seg:
             continue
         if seg.startswith("_delta_index") or seg.startswith("_change_data"):
@@ -365,6 +370,15 @@ def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]
 
     root = table.log.table_root
     active = set(table.files())
+    # deletion-vector dirs referenced by the current snapshot stay; orphaned
+    # ones (their file materialized by OPTIMIZE, or superseded) age out under
+    # the same untracked-file mtime rule as data files
+    active_dv_prefixes = tuple(
+        p.rstrip("/") + "/"
+        for a in table.add_actions()
+        if a.deletion_vector
+        for p in a.deletion_vector.get("paths", [])
+    )
     expired_tombstones = {
         path
         for path, r in table.snapshot.state.tombstones.items()
@@ -381,6 +395,8 @@ def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]
             if is_hidden_path(rel):
                 continue
             if rel in active:
+                continue
+            if active_dv_prefixes and rel.startswith(active_dv_prefixes):
                 continue
             if rel in expired_tombstones:
                 to_delete.append(rel)

@@ -120,7 +120,27 @@ def test_dv_partitioned_table_positions(spark, tmp_path):
     assert res["numDeletedRows"] == 300 - len(expected)
 
 
-def test_dv_copy_on_write_update_honors_positions(spark, tmp_path):
+def test_dv_update_merge_on_read(spark, tmp_path):
+    """UPDATE on a DV-enabled table: matched rows move to small new files,
+    old positions get DV'd — unmatched rows are never rewritten."""
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    files_before = set(t.file_uris())
+    res = t.update_where(spark, "k = 4", {"v": "'updated'"})
+    assert res["numUpdatedRows"] == 40
+    assert res["numDeletionVectorsAdded"] >= 1
+    t2 = DeltaTable.for_path(path)
+    # original files all still present (DV'd, not rewritten) + new small adds
+    assert files_before <= set(t2.file_uris())
+    out = t2.to_df(spark)
+    assert out.count() == 400  # row count invariant under UPDATE
+    assert out.filter("v = 'updated'").count() == 40
+    assert out.filter("k = 4 AND v != 'updated'").count() == 0
+    # updated rows are not double-visible
+    assert out.select("id").distinct().count() == 400
+
+
+def test_dv_update_after_delete_honors_positions(spark, tmp_path):
     path = str(tmp_path / "t")
     t = _make_table(spark, path)
     t.delete(spark, "k = 3")
@@ -128,9 +148,23 @@ def test_dv_copy_on_write_update_honors_positions(spark, tmp_path):
     t2.update_where(spark, "k = 4", {"v": "'updated'"})
     t3 = DeltaTable.for_path(path)
     out = t3.to_df(spark)
-    assert out.count() == 360  # rewrite did not resurrect deleted rows
+    assert out.count() == 360  # update did not resurrect deleted rows
     assert out.filter("v = 'updated'").count() == 40
     assert out.filter("k = 3").count() == 0
+
+
+def test_dv_update_cdf_pre_and_postimage(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path, enable_cdf=True)
+    res = t.update_where(spark, "id = 17", {"v": "'new17'"})
+    t2 = DeltaTable.for_path(path)
+    rows = t2.load_cdf(
+        spark, starting_version=res["version"], ending_version=res["version"]
+    ).collect()
+    kinds = sorted(r["_change_type"] for r in rows)
+    assert kinds == ["update_postimage", "update_preimage"]
+    post = next(r for r in rows if r["_change_type"] == "update_postimage")
+    assert post.v == "new17"
 
 
 def test_dv_optimize_materializes(spark, tmp_path):
@@ -179,6 +213,35 @@ def test_dv_vacuum_keeps_position_files(spark, tmp_path):
     t2 = DeltaTable.for_path(path)
     listed = t2.vacuum(retention_hours=168, dry_run=True)
     assert not any("_deletion_vectors" in p for p in listed)
+
+
+def test_dv_vacuum_reaps_orphaned_position_files(spark, tmp_path):
+    """After OPTIMIZE materializes the deletes, nothing references the DV
+    dir; once past retention (mtime aged here) vacuum reaps it."""
+    import os
+    import time
+
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    t.delete(spark, "k = 1")
+    t2 = DeltaTable.for_path(path)
+    t2.optimize(spark)
+    t3 = DeltaTable.for_path(path)
+    assert not any(a.deletion_vector for a in t3.add_actions())
+    # fresh orphan: retained (could still serve a time-travel read)
+    assert not any("_deletion_vectors" in p for p in t3.vacuum(dry_run=True))
+    old = time.time() - 200 * 3600
+    dv_root = os.path.join(path, "_deletion_vectors")
+    for dirpath, _dirs, files in os.walk(dv_root):
+        for f in files:
+            os.utime(os.path.join(dirpath, f), (old, old))
+    listed = t3.vacuum(retention_hours=168, dry_run=True)
+    assert any("_deletion_vectors" in p for p in listed)
+    t3.vacuum(retention_hours=168, dry_run=False)
+    remaining = [
+        os.path.join(dp, f) for dp, _d, fs in os.walk(dv_root) for f in fs
+    ]
+    assert remaining == []
 
 
 def test_dv_cdf_records_row_level_deletes(spark, tmp_path):
