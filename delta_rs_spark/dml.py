@@ -263,9 +263,6 @@ def _delete_merge_on_read(
     Readers pay one (usually broadcast) anti join on the DV'd files only;
     OPTIMIZE later materializes the deletes and drops the vectors.
     """
-    import dataclasses
-    import uuid as _uuid
-
     from .cdf import write_change_files
 
     snap = table._snapshot
@@ -278,8 +275,7 @@ def _delete_merge_on_read(
     )
     hits = hits.cache()
     try:
-        per_file = {r["path"]: r["n"] for r in
-                    hits.groupBy("path").agg(F.count(F.lit(1)).alias("n")).collect()}
+        actions, per_file, n_tomb = _dv_swap_actions(log, candidates, hits)
         n_deleted = sum(per_file.values())
         if not per_file:
             return {
@@ -290,88 +286,100 @@ def _delete_merge_on_read(
                 "numDeletionVectorsAdded": 0,
             }
 
-        dv_rel = f"_deletion_vectors/{_uuid.uuid4().hex}"
-        dv_abs = log.backend.join(log.table_root, dv_rel)
-        hits.write.mode("overwrite").parquet(dv_abs)
-        dv_bytes = _dir_bytes(dv_abs)
-
-        change_rows = None
         if cdf_enabled(table):
             change_rows = df.filter(cond).select(*table.schema().names).withColumn(
                 CHANGE_TYPE_COL, F.lit("delete")
             )
+            actions = write_change_files(spark, log, change_rows) + actions
 
-        now_ms = int(time.time() * 1000)
-        actions: list = []
-        if change_rows is not None:
-            actions.extend(write_change_files(spark, log, change_rows))
-        n_fully_deleted = 0
-        matched = [a for a in candidates if a.path in per_file]
-        for old in matched:
-            n = per_file[old.path]
-            prior = old.deletion_vector or {}
-            new_card = int(prior.get("cardinality", 0)) + n
-            if old.num_records is not None and new_card >= old.num_records:
-                # every live row gone — a plain tombstone, no DV needed
-                n_fully_deleted += 1
-                actions.append(
-                    RemoveAction(
-                        path=old.path,
-                        deletion_timestamp=now_ms,
-                        data_change=True,
-                        extended_file_metadata=True,
-                        partition_values=old.partition_values,
-                        size=old.size,
-                    )
-                )
-                continue
-            descriptor = {
-                "storageType": "d",
-                "paths": list(prior.get("paths", [])) + [dv_rel],
-                "cardinality": new_card,
-                "sizeInBytes": int(prior.get("sizeInBytes", 0)) + dv_bytes,
-            }
-            actions.append(
-                RemoveAction(
-                    path=old.path,
-                    deletion_timestamp=now_ms,
-                    data_change=True,
-                    extended_file_metadata=True,
-                    partition_values=old.partition_values,
-                    size=old.size,
-                )
-            )
-            actions.append(
-                dataclasses.replace(
-                    old, deletion_vector=descriptor, modification_time=now_ms,
-                    data_change=True,
-                )
-            )
-
-        txn = DeltaTransaction(table)
-        if table.snapshot.min_reader_version() < 3:
-            from .protocol.actions import ProtocolAction
-
-            # deletion vectors are a reader-visible table feature: bump to
-            # the public protocol's DV versions so foreign readers fail fast
-            txn.add_action(ProtocolAction(min_reader_version=3, min_writer_version=7))
-        txn.add_actions(actions)
-        n_dv = len(matched) - n_fully_deleted
         metrics = {
-            "numRemovedFiles": str(n_fully_deleted),
+            "numRemovedFiles": str(n_tomb),
             "numAddedFiles": "0",
             "numDeletedRows": str(n_deleted),
-            "numDeletionVectorsAdded": str(n_dv),
+            "numDeletionVectorsAdded": str(len(per_file) - n_tomb),
         }
-        version = txn.commit(
-            operation="DELETE",
-            operation_parameters={"predicate": predicate},
-            operation_metrics=metrics,
-        )
-        table.update()
+        version = _commit_dv_txn(table, actions, "DELETE", {"predicate": predicate}, metrics)
         return {"version": version, **{k: int(v) for k, v in metrics.items()}}
     finally:
         hits.unpersist()
+
+
+def _dv_swap_actions(log, candidates: list[AddAction], pos_df) -> tuple[list, dict, int]:
+    """Write ``pos_df`` (path, row_index — MUST be cached by the caller) as a
+    deletion-vector dir and build the log actions that swap the touched adds:
+    Remove(old) + re-Add with the merged DV descriptor, or a plain tombstone
+    when every physical row of the file is now dead.
+
+    Returns (actions, per_file match counts, tombstoned-file count)."""
+    import dataclasses
+    import uuid as _uuid
+
+    per_file = {
+        r["path"]: r["n"]
+        for r in pos_df.groupBy("path").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not per_file:
+        return [], {}, 0
+
+    dv_rel = f"_deletion_vectors/{_uuid.uuid4().hex}"
+    dv_abs = log.backend.join(log.table_root, dv_rel)
+    pos_df.write.mode("overwrite").parquet(dv_abs)
+    dv_bytes = _dir_bytes(dv_abs)
+
+    now_ms = int(time.time() * 1000)
+    actions: list = []
+    n_tombstoned = 0
+    for old in (a for a in candidates if a.path in per_file):
+        prior = old.deletion_vector or {}
+        new_card = int(prior.get("cardinality", 0)) + per_file[old.path]
+        actions.append(
+            RemoveAction(
+                path=old.path,
+                deletion_timestamp=now_ms,
+                data_change=True,
+                extended_file_metadata=True,
+                partition_values=old.partition_values,
+                size=old.size,
+            )
+        )
+        if old.num_records is not None and new_card >= old.num_records:
+            n_tombstoned += 1  # every live row gone — no DV re-add needed
+            continue
+        actions.append(
+            dataclasses.replace(
+                old,
+                deletion_vector={
+                    "storageType": "d",
+                    "paths": list(prior.get("paths", [])) + [dv_rel],
+                    "cardinality": new_card,
+                    "sizeInBytes": int(prior.get("sizeInBytes", 0)) + dv_bytes,
+                },
+                modification_time=now_ms,
+                data_change=True,
+            )
+        )
+    return actions, per_file, n_tombstoned
+
+
+def _commit_dv_txn(
+    table: DeltaTable, actions: list, operation: str, params: dict, metrics: dict
+) -> int:
+    """One DV commit: protocol bump to reader 3 / writer 7 on first use
+    (deletion vectors are a reader-visible feature — foreign readers must
+    fail fast), then the swap actions."""
+    txn = DeltaTransaction(table)
+    if table.snapshot.min_reader_version() < 3 and any(
+        isinstance(a, AddAction) and a.deletion_vector for a in actions
+    ):
+        from .protocol.actions import ProtocolAction
+
+        txn.add_action(ProtocolAction(min_reader_version=3, min_writer_version=7))
+    txn.add_actions(actions)
+    version = txn.commit(
+        operation=operation, operation_parameters=params, operation_metrics=metrics
+    )
+    table.update()
+    return version
 
 
 def _mor_eligible(table: DeltaTable, candidates: list[AddAction]) -> bool:
@@ -467,36 +475,16 @@ def _update_merge_on_read(
     The scale shape: updating 1k rows scattered across TB-sized files
     copy-on-writes the full files; merge-on-read writes 1k rows plus
     kilobytes of positions. Readers see the same atomic swap."""
-    import dataclasses
-    import uuid as _uuid
-
     from .cdf import write_change_files
-    from .writer import _promote_staged_files, check_constraints
 
     snap = table._snapshot
     log = table.log
     schema = table.schema()
-    pcols = table.metadata().partition_columns
     FILE, POS = snap.FILE_LINEAGE_COL, snap.POS_LINEAGE_COL
 
     df = snap.df_for_adds(spark, candidates, with_lineage=True)
     matched_df = df.filter(cond).cache()
     try:
-        per_file = {
-            r["path"]: r["n"]
-            for r in matched_df.groupBy(F.col(FILE).alias("path"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        n_updated = sum(per_file.values())
-        if not per_file:
-            return {
-                "version": table.version,
-                "numRemovedFiles": 0,
-                "numAddedFiles": 0,
-                "numUpdatedRows": 0,
-            }
-
         types = {f.name: f.dataType for f in schema.fields}
         updated_rows = matched_df.select(
             *[
@@ -506,91 +494,60 @@ def _update_merge_on_read(
                 for c in schema.names
             ]
         )
-        check_constraints(updated_rows, table.metadata().configuration)
 
-        # new files carrying only the updated rows
-        staging = log.backend.join(log.table_root, f".tmp-commit-{_uuid.uuid4().hex}")
-        writer = updated_rows.write.mode("overwrite")
-        if pcols:
-            writer = writer.partitionBy(*pcols)
-        writer.parquet(staging)
-        new_adds = _promote_staged_files(spark, log, staging, pcols)
-
-        # deletion vector over the old positions
-        dv_rel = f"_deletion_vectors/{_uuid.uuid4().hex}"
-        dv_abs = log.backend.join(log.table_root, dv_rel)
-        matched_df.select(
+        pos = matched_df.select(
             F.col(FILE).alias("path"), F.col(POS).alias("row_index")
-        ).write.mode("overwrite").parquet(dv_abs)
-        dv_bytes = _dir_bytes(dv_abs)
+        )
+        actions, per_file, n_tomb = _dv_swap_actions(log, candidates, pos)
+        n_updated = sum(per_file.values())
+        if not per_file:
+            return {
+                "version": table.version,
+                "numRemovedFiles": 0,
+                "numAddedFiles": 0,
+                "numUpdatedRows": 0,
+            }
 
-        change_rows = None
+        new_adds = _stage_new_rows(spark, table, updated_rows)
+
         if cdf_enabled(table):
             pre = matched_df.select(*schema.names).withColumn(
                 CHANGE_TYPE_COL, F.lit("update_preimage")
             )
             post = updated_rows.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
-            change_rows = pre.unionByName(post)
+            actions = write_change_files(spark, log, pre.unionByName(post)) + actions
 
-        now_ms = int(time.time() * 1000)
-        actions: list = []
-        if change_rows is not None:
-            actions.extend(write_change_files(spark, log, change_rows))
-        n_fully_rewritten = 0
-        matched = [a for a in candidates if a.path in per_file]
-        for old in matched:
-            n = per_file[old.path]
-            prior = old.deletion_vector or {}
-            new_card = int(prior.get("cardinality", 0)) + n
-            actions.append(
-                RemoveAction(
-                    path=old.path,
-                    deletion_timestamp=now_ms,
-                    data_change=True,
-                    extended_file_metadata=True,
-                    partition_values=old.partition_values,
-                    size=old.size,
-                )
-            )
-            if old.num_records is not None and new_card >= old.num_records:
-                n_fully_rewritten += 1  # every row moved out — tombstone only
-                continue
-            actions.append(
-                dataclasses.replace(
-                    old,
-                    deletion_vector={
-                        "storageType": "d",
-                        "paths": list(prior.get("paths", [])) + [dv_rel],
-                        "cardinality": new_card,
-                        "sizeInBytes": int(prior.get("sizeInBytes", 0)) + dv_bytes,
-                    },
-                    modification_time=now_ms,
-                    data_change=True,
-                )
-            )
         actions.extend(list(new_adds))
-
-        txn = DeltaTransaction(table)
-        if table.snapshot.min_reader_version() < 3:
-            from .protocol.actions import ProtocolAction
-
-            txn.add_action(ProtocolAction(min_reader_version=3, min_writer_version=7))
-        txn.add_actions(actions)
         metrics = {
-            "numRemovedFiles": str(n_fully_rewritten),
+            "numRemovedFiles": str(n_tomb),
             "numAddedFiles": str(len(new_adds)),
             "numUpdatedRows": str(n_updated),
-            "numDeletionVectorsAdded": str(len(matched) - n_fully_rewritten),
+            "numDeletionVectorsAdded": str(len(per_file) - n_tomb),
         }
-        version = txn.commit(
-            operation="UPDATE",
-            operation_parameters={"predicate": predicate},
-            operation_metrics=metrics,
+        version = _commit_dv_txn(
+            table, actions, "UPDATE", {"predicate": predicate}, metrics
         )
-        table.update()
         return {"version": version, **{k: int(v) for k, v in metrics.items()}}
     finally:
         matched_df.unpersist()
+
+
+def _stage_new_rows(spark: SparkSession, table: DeltaTable, rows: DataFrame) -> list:
+    """Write ``rows`` through the staged-write path (CHECK constraints,
+    per-file footer stats, partition layout) and return their Add actions."""
+    import uuid as _uuid
+
+    from .writer import _promote_staged_files, check_constraints
+
+    log = table.log
+    pcols = table.metadata().partition_columns
+    check_constraints(rows, table.metadata().configuration)
+    staging = log.backend.join(log.table_root, f".tmp-commit-{_uuid.uuid4().hex}")
+    writer = rows.write.mode("overwrite")
+    if pcols:
+        writer = writer.partitionBy(*pcols)
+    writer.parquet(staging)
+    return _promote_staged_files(spark, log, staging, pcols)
 
 
 def update(
@@ -675,6 +632,156 @@ def update(
 # MERGE (upsert)
 # ---------------------------------------------------------------------------
 
+def _merge_merge_on_read(
+    spark: SparkSession,
+    table: DeltaTable,
+    t: DataFrame,
+    s: DataFrame,
+    condition: str,
+    per_row: DataFrame,
+    n_matched: int,
+    when_matched_update: Optional[dict[str, str]],
+    when_matched_delete: bool,
+    when_not_matched_insert: bool,
+    when_not_matched_by_source_delete: bool,
+    extra_actions: Optional[list],
+) -> dict[str, Any]:
+    """MERGE without rewriting unmatched target rows: matched (and, for
+    full-sync, source-unmatched) positions get DV'd in place; only the
+    updated versions and the inserts are written as new files.
+
+    This turns MERGE cost from O(bytes in touched files) into O(bytes in
+    changed rows) — the difference between an hourly 1M-row upsert
+    rewriting a 100 TB table's hot files and appending megabytes."""
+    from .cdf import write_change_files
+
+    snap = table._snapshot
+    log = table.log
+    schema = table.schema()
+    all_adds = snap.files()
+    types = {f.name: f.dataType for f in schema.fields}
+    on = F.expr(condition)
+    track = cdf_enabled(table)
+    change_parts: list[DataFrame] = []
+
+    # positions to kill: every matched target row (it is replaced or
+    # deleted), plus — under full-sync — every target row no source matches
+    pos = per_row.select(F.col("_file").alias("path"), F.col("_tid").alias("row_index"))
+    if when_not_matched_by_source_delete:
+        unmatched_t = t.join(s, on, "left_anti")
+        pos = pos.unionByName(
+            unmatched_t.select(
+                F.col("__file").alias("path"), F.col("__tid").alias("row_index")
+            )
+        )
+        if track:
+            change_parts.append(
+                unmatched_t.select(*schema.names).withColumn(
+                    CHANGE_TYPE_COL, F.lit("delete")
+                )
+            )
+    pos = pos.cache()
+    try:
+        actions, per_file, n_tomb = _dv_swap_actions(log, all_adds, pos)
+        n_killed = sum(per_file.values())
+        n_unmatched_deleted = n_killed - n_matched
+
+        n_updated = n_deleted = 0
+        new_parts: list[DataFrame] = []
+        if n_matched:
+            inner = t.join(s, on, "inner")
+            if when_matched_delete:
+                n_deleted += n_matched
+                if track:
+                    change_parts.append(
+                        inner.select(*[F.col(f"t.{c}").alias(c) for c in schema.names])
+                        .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+                    )
+            else:
+                assignments = when_matched_update or {c: f"s.{c}" for c in schema.names}
+                bad = set(assignments) - set(schema.names)
+                if bad:
+                    raise DMLError(f"MERGE updates unknown columns: {sorted(bad)}")
+                upd = inner.select(
+                    *[
+                        F.expr(assignments[c]).cast(types[c]).alias(c)
+                        if c in assignments
+                        else F.col(f"t.{c}").alias(c)
+                        for c in schema.names
+                    ]
+                )
+                new_parts.append(upd)
+                n_updated = n_matched
+                if track:
+                    change_parts.append(
+                        inner.select(*[F.col(f"t.{c}").alias(c) for c in schema.names])
+                        .withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+                    )
+                    change_parts.append(
+                        upd.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+                    )
+        n_deleted += n_unmatched_deleted
+
+        n_inserted = 0
+        inserts = None
+        if when_not_matched_insert:
+            inserts = (
+                s.join(t, on, "left_anti")
+                .select(*[F.col(c).cast(types[c]).alias(c) for c in schema.names])
+                .cache()
+            )
+            n_inserted = inserts.count()
+            if n_inserted:
+                new_parts.append(inserts)
+                if track:
+                    change_parts.append(
+                        inserts.withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+                    )
+
+        try:
+            if not per_file and not n_inserted:
+                return {
+                    "version": table.version,
+                    "numRemovedFiles": 0,
+                    "numAddedFiles": 0,
+                    "numTargetRowsUpdated": 0,
+                    "numTargetRowsDeleted": 0,
+                    "numTargetRowsInserted": 0,
+                }
+
+            new_adds: list = []
+            if new_parts:
+                new_rows = new_parts[0]
+                for p in new_parts[1:]:
+                    new_rows = new_rows.unionByName(p)
+                new_adds = _stage_new_rows(spark, table, new_rows)
+
+            if track and change_parts:
+                change_rows = change_parts[0]
+                for p in change_parts[1:]:
+                    change_rows = change_rows.unionByName(p)
+                actions = write_change_files(spark, log, change_rows) + actions
+
+            actions.extend(list(new_adds))
+            actions.extend(list(extra_actions or []))
+            metrics = {
+                "numRemovedFiles": str(n_tomb),
+                "numAddedFiles": str(len(new_adds)),
+                "numTargetRowsUpdated": str(n_updated),
+                "numTargetRowsDeleted": str(n_deleted),
+                "numTargetRowsInserted": str(n_inserted),
+                "numDeletionVectorsAdded": str(len(per_file) - n_tomb),
+            }
+            version = _commit_dv_txn(
+                table, actions, "MERGE", {"predicate": condition}, metrics
+            )
+            return {"version": version, **{k: int(v) for k, v in metrics.items()}}
+        finally:
+            if inserts is not None:
+                inserts.unpersist()
+    finally:
+        pos.unpersist()
+
 def merge(
     spark: SparkSession,
     table: DeltaTable,
@@ -752,6 +859,13 @@ def merge(
             "MERGE: a target row matches multiple source rows; "
             "result would be non-deterministic"
         )
+    if dv_enabled(table) and _mor_eligible(table, all_adds):
+        return _merge_merge_on_read(
+            spark, table, t, s, condition, per_row, n_matched,
+            when_matched_update, when_matched_delete, when_not_matched_insert,
+            when_not_matched_by_source_delete, extra_actions,
+        )
+
     if when_not_matched_by_source_delete:
         rewrite = all_adds  # unmatched rows can live in any file
     else:

@@ -327,3 +327,74 @@ def test_dv_merge_does_not_resurrect_deleted_rows(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].v == "upserted"
     assert t3.to_df(spark).count() == 400
+
+
+def test_dv_merge_upsert_merge_on_read(spark, tmp_path):
+    """MERGE on a DV-enabled table: matched rows are DV'd out of their files
+    and re-written (updated) into small new files, inserts appended — the
+    original data files are never rewritten."""
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    files_before = set(t.file_uris())
+    src = spark.createDataFrame(
+        [(10, 0, "m10"), (20, 0, "m20"), (9999, 1, "new")],
+        "id LONG, k LONG, v STRING",
+    )
+    res = t.merge(spark, src, "t.id = s.id")
+    assert res["numTargetRowsUpdated"] == 2
+    assert res["numTargetRowsInserted"] == 1
+    assert res["numDeletionVectorsAdded"] >= 1
+    t2 = DeltaTable.for_path(path)
+    assert files_before <= set(t2.file_uris())  # originals intact, DV'd
+    out = t2.to_df(spark)
+    assert out.count() == 401
+    assert out.filter("id = 10").first().v == "m10"
+    assert out.filter("id = 9999").first().v == "new"
+    assert out.select("id").distinct().count() == 401  # no double-visibility
+
+
+def test_dv_merge_matched_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path)
+    src = spark.createDataFrame([(i,) for i in range(0, 50)], "id LONG")
+    res = t.merge(
+        spark, src, "t.id = s.id",
+        when_matched_delete=True, when_not_matched_insert=False,
+    )
+    assert res["numTargetRowsDeleted"] == 50
+    assert res["numAddedFiles"] == 0  # pure delete — no new files at all
+    t2 = DeltaTable.for_path(path)
+    out = t2.to_df(spark)
+    assert out.count() == 350
+    assert out.filter("id < 50").count() == 0
+
+
+def test_dv_merge_full_sync_mirror(spark, tmp_path):
+    """when_not_matched_by_source_delete under DVs: source-unmatched rows
+    are DV'd (not rewritten) and the table mirrors the source exactly."""
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path, rows=100)
+    src = spark.range(0, 60).selectExpr("id", "id % 10 as k", "concat('s', id) as v")
+    res = t.merge(
+        spark, src, "t.id = s.id", when_not_matched_by_source_delete=True
+    )
+    assert res["numTargetRowsDeleted"] == 40
+    assert res["numTargetRowsUpdated"] == 60
+    t2 = DeltaTable.for_path(path)
+    got = {(r.id, r.v) for r in t2.to_df(spark).collect()}
+    assert got == {(i, f"s{i}") for i in range(60)}
+
+
+def test_dv_merge_cdf_changes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path, enable_cdf=True, rows=50)
+    src = spark.createDataFrame(
+        [(5, 0, "m5"), (777, 0, "new")], "id LONG, k LONG, v STRING"
+    )
+    res = t.merge(spark, src, "t.id = s.id")
+    t2 = DeltaTable.for_path(path)
+    rows = t2.load_cdf(
+        spark, starting_version=res["version"], ending_version=res["version"]
+    ).collect()
+    kinds = sorted(r["_change_type"] for r in rows)
+    assert kinds == ["insert", "update_postimage", "update_preimage"]
