@@ -386,7 +386,7 @@ def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS split
       FROM docs d JOIN good USING (doc_id)
     )
-    SELECT split, COUNT(*) AS n_docs, SUM(toks) AS total_tokens
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS total_tokens
     FROM final GROUP BY split ORDER BY split
     """,
 )

@@ -53,6 +53,24 @@ def compare_query(name: str, spark_df, con, oracle: str) -> CompareResult:
     s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
     if s_cols != o_cols:
         return CompareResult(name, False, f"columns differ: spark={s_cols} oracle={o_cols}")
+
+    # Driver-parity dtype check: the driver's value-hash distinguishes 3 from
+    # 3.0, so a DuckDB HUGEINT/other widening that lands as float64 while Spark
+    # yields int64 (or vice versa) is a hash mismatch even when values agree.
+    import pandas.api.types as ptypes
+
+    for c in s_cols:
+        s_int = ptypes.is_integer_dtype(sdf[c])
+        o_int = ptypes.is_integer_dtype(odf[c])
+        s_flt = ptypes.is_float_dtype(sdf[c])
+        o_flt = ptypes.is_float_dtype(odf[c])
+        if (s_int and o_flt) or (s_flt and o_int):
+            return CompareResult(
+                name,
+                False,
+                f"dtype mismatch on '{c}': spark={sdf[c].dtype} oracle={odf[c].dtype}"
+                " (driver hash would differ — cast the oracle or the Spark column)",
+            )
     if len(sdf) != len(odf):
         return CompareResult(name, False, f"row counts differ: spark={len(sdf)} oracle={len(odf)}")
 
