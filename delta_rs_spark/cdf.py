@@ -67,9 +67,20 @@ def load_cdf(
     # a 500-version range is three scan nodes, not 500 union branches.
     # _commit_version is attached per file through a filename→version map
     # (file names are uuid-unique by construction).
+    #
+    # Merge-on-read (deletion-vector) commits synthesize correctly without
+    # change files:
+    # - a DV swap (Remove(old DV) + re-Add(new DV) of the same path) emits
+    #   ``delete`` rows for exactly the NEWLY dead positions — the rows at
+    #   positions in the add's new DV dirs (this commit's positions file);
+    # - a tombstone-only remove of a DV'd file emits the rows that were
+    #   still LIVE at removal: the remove carries the file's prior DV, and
+    #   reconstructing through it anti-joins the already-dead positions —
+    #   no phantom deletes for rows removed in earlier versions.
     cdc_items: list[tuple[CdcAction, int]] = []
     add_items: list[tuple[AddAction, int]] = []
     remove_items: list[tuple[AddAction, int]] = []
+    dv_delete_groups: dict[int, list[tuple[AddAction, list[str]]]] = {}
     for v in range(starting_version, end + 1):
         actions = log.try_read_commit(v)
         if actions is None:
@@ -78,40 +89,55 @@ def load_cdf(
         if cdc:
             cdc_items.extend((a, v) for a in cdc)
             continue  # cdc files are the row-level truth for this commit
-        for a in actions:
-            if isinstance(a, AddAction) and a.data_change:
-                if a.deletion_vector is not None:
-                    raise ValueError(
-                        f"version {v} is a merge-on-read DELETE (deletion "
-                        "vector) with no change files; row-level changes "
-                        "cannot be synthesized from add/remove actions. "
-                        "Set delta.enableChangeDataFeed=true before deleting "
-                        "to get a change feed over DV commits."
-                    )
-                add_items.append((a, v))
-            elif isinstance(a, RemoveAction) and a.data_change:
-                # reconstruct removed rows from the (not-yet-vacuumed) files
-                remove_items.append(
-                    (
-                        AddAction(
-                            path=a.path,
-                            size=a.size or 0,
-                            partition_values=a.partition_values or {},
-                            modification_time=0,
-                            data_change=True,
-                        ),
-                        v,
-                    )
+        adds_v = [a for a in actions if isinstance(a, AddAction) and a.data_change]
+        removes_v = [a for a in actions if isinstance(a, RemoveAction) and a.data_change]
+        dv_swap_paths: set[str] = set()
+        for a in adds_v:
+            if a.deletion_vector is not None:
+                dv_swap_paths.add(a.path)
+                old = next((r for r in removes_v if r.path == a.path), None)
+                old_paths = set(
+                    (old.deletion_vector or {}).get("paths", []) if old else []
                 )
+                new_dirs = [
+                    p for p in a.deletion_vector.get("paths", []) if p not in old_paths
+                ]
+                if new_dirs:
+                    dv_delete_groups.setdefault(v, []).append((a, new_dirs))
+            else:
+                add_items.append((a, v))
+        for r in removes_v:
+            if r.path in dv_swap_paths:
+                continue  # DV swap: its delete rows come from the new DV dirs
+            # reconstruct removed rows from the (not-yet-vacuumed) file,
+            # through the prior DV so already-deleted rows stay deleted
+            remove_items.append(
+                (
+                    AddAction(
+                        path=r.path,
+                        size=r.size or 0,
+                        partition_values=r.partition_values or {},
+                        modification_time=0,
+                        data_change=True,
+                        deletion_vector=r.deletion_vector,
+                    ),
+                    v,
+                )
+            )
 
+    import dataclasses as _dc
     import os as _os
 
-    def version_col(items) -> "F.Column":
+    FILE, POS = snap.FILE_LINEAGE_COL, snap.POS_LINEAGE_COL
+
+    def lineage_version_col(items) -> "F.Column":
+        """filename→version map keyed on the lineage column (robust under
+        the DV anti join, where input_file_name() is unreliable)."""
         pairs = []
         for a, v in items:
             pairs.append(F.lit(_os.path.basename(a.path)))
             pairs.append(F.lit(v))
-        fname = F.regexp_extract(F.input_file_name(), r"([^/]+?)(\?.*)?$", 1)
+        fname = F.substring_index(F.col(FILE), "/", -1)
         return F.element_at(F.create_map(*pairs), fname).cast("long")
 
     def kind_branches(items, change_type: Optional[str], is_cdc: bool) -> list[DataFrame]:
@@ -123,18 +149,25 @@ def load_cdf(
         if len(set(names)) == len(names):
             if is_cdc:
                 paths = [snap._absolute(a.path) for a, _ in items]
+                fname = F.regexp_extract(F.input_file_name(), r"([^/]+?)(\?.*)?$", 1)
+                pairs = []
+                for a, v in items:
+                    pairs.append(F.lit(_os.path.basename(a.path)))
+                    pairs.append(F.lit(v))
                 return [
                     spark.read.parquet(*paths).select(
                         *schema.names,
                         CHANGE_TYPE_COL,
-                        version_col(items).alias(COMMIT_VERSION_COL),
+                        F.element_at(F.create_map(*pairs), fname)
+                        .cast("long")
+                        .alias(COMMIT_VERSION_COL),
                     )
                 ]
-            df = snap.df_for_adds(spark, [a for a, _ in items])
+            df = snap.df_for_adds(spark, [a for a, _ in items], with_lineage=True)
             return [
-                df.withColumn(CHANGE_TYPE_COL, F.lit(change_type)).withColumn(
-                    COMMIT_VERSION_COL, version_col(items)
-                )
+                df.withColumn(CHANGE_TYPE_COL, F.lit(change_type))
+                .withColumn(COMMIT_VERSION_COL, lineage_version_col(items))
+                .drop(FILE, POS)
             ]
         by_version: dict[int, list] = {}
         for a, v in items:
@@ -151,6 +184,28 @@ def load_cdf(
             out.append(df.withColumn(COMMIT_VERSION_COL, F.lit(v).cast("long")))
         return out
 
+    def dv_delete_branch(v: int, group: list[tuple[AddAction, list[str]]]) -> DataFrame:
+        """Rows newly deleted by a DV commit: semi-join the files' physical
+        rows against the positions in this commit's new DV dirs. Positions
+        were recorded over live rows only, so no overlap with prior DVs."""
+        plain = [_dc.replace(a, deletion_vector=None) for a, _ in group]
+        df = snap.df_for_adds(spark, plain, with_lineage=True)
+        dirs = sorted({d for _, nd in group for d in nd})
+        pos = (
+            spark.read.schema("path STRING, row_index BIGINT")
+            .parquet(*[snap._absolute(d) for d in dirs])
+            .select(F.col("path").alias("_dv_path"), F.col("row_index").alias("_dv_pos"))
+        )
+        basenames = [a.path.rsplit("/", 1)[-1] for a, _ in group]
+        pos = pos.filter(F.substring_index(F.col("_dv_path"), "/", -1).isin(basenames))
+        cond = (F.col(FILE) == F.col("_dv_path")) & (F.col(POS) == F.col("_dv_pos"))
+        return (
+            df.join(pos, cond, "left_semi")
+            .select(*schema.names)
+            .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+            .withColumn(COMMIT_VERSION_COL, F.lit(v).cast("long"))
+        )
+
     branches: list[DataFrame] = []
     if cdc_items:
         branches.extend(kind_branches(cdc_items, None, is_cdc=True))
@@ -158,6 +213,8 @@ def load_cdf(
         branches.extend(kind_branches(add_items, "insert", is_cdc=False))
     if remove_items:
         branches.extend(kind_branches(remove_items, "delete", is_cdc=False))
+    for v, group in sorted(dv_delete_groups.items()):
+        branches.append(dv_delete_branch(v, group))
 
     if not branches:
         empty = spark.createDataFrame([], schema)

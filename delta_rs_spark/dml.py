@@ -223,6 +223,7 @@ def _stage_and_swap(
                 extended_file_metadata=True,
                 partition_values=old.partition_values,
                 size=old.size,
+                deletion_vector=old.deletion_vector,
             )
         )
     txn.add_actions(list(adds))
@@ -321,6 +322,20 @@ def _dv_swap_actions(log, candidates: list[AddAction], pos_df) -> tuple[list, di
     if not per_file:
         return [], {}, 0
 
+    # every lineage-derived key MUST resolve to a candidate add — a silent
+    # zero-match here would commit numDeletedRows>0 with no swap actions
+    by_path = {a.path: a for a in candidates}
+    by_norm = {_norm_file_uri(a.path): a for a in candidates}
+    matched_adds: dict[str, int] = {}
+    for key, n in per_file.items():
+        add = by_path.get(key) or by_norm.get(_norm_file_uri(key))
+        if add is None:
+            raise DMLError(
+                f"deletion-vector position key {key!r} matches no candidate "
+                f"add (candidates: {sorted(by_path)[:3]}...)"
+            )
+        matched_adds[add.path] = matched_adds.get(add.path, 0) + n
+
     dv_rel = f"_deletion_vectors/{_uuid.uuid4().hex}"
     dv_abs = log.backend.join(log.table_root, dv_rel)
     pos_df.write.mode("overwrite").parquet(dv_abs)
@@ -329,9 +344,9 @@ def _dv_swap_actions(log, candidates: list[AddAction], pos_df) -> tuple[list, di
     now_ms = int(time.time() * 1000)
     actions: list = []
     n_tombstoned = 0
-    for old in (a for a in candidates if a.path in per_file):
+    for old in (a for a in candidates if a.path in matched_adds):
         prior = old.deletion_vector or {}
-        new_card = int(prior.get("cardinality", 0)) + per_file[old.path]
+        new_card = int(prior.get("cardinality", 0)) + matched_adds[old.path]
         actions.append(
             RemoveAction(
                 path=old.path,
@@ -340,6 +355,7 @@ def _dv_swap_actions(log, candidates: list[AddAction], pos_df) -> tuple[list, di
                 extended_file_metadata=True,
                 partition_values=old.partition_values,
                 size=old.size,
+                deletion_vector=old.deletion_vector,
             )
         )
         if old.num_records is not None and new_card >= old.num_records:
@@ -358,7 +374,7 @@ def _dv_swap_actions(log, candidates: list[AddAction], pos_df) -> tuple[list, di
                 data_change=True,
             )
         )
-    return actions, per_file, n_tombstoned
+    return actions, matched_adds, n_tombstoned
 
 
 def _commit_dv_txn(
@@ -373,7 +389,17 @@ def _commit_dv_txn(
     ):
         from .protocol.actions import ProtocolAction
 
-        txn.add_action(ProtocolAction(min_reader_version=3, min_writer_version=7))
+        # readerFeatures/writerFeatures are mandatory at 3/7 per the public
+        # Delta spec — foreign readers then report "unsupported feature:
+        # deletionVectors" instead of choking on the protocol action
+        txn.add_action(
+            ProtocolAction(
+                min_reader_version=3,
+                min_writer_version=7,
+                reader_features=["deletionVectors"],
+                writer_features=["deletionVectors"],
+            )
+        )
     txn.add_actions(actions)
     version = txn.commit(
         operation=operation, operation_parameters=params, operation_metrics=metrics

@@ -40,15 +40,16 @@ def create_checkpoint(table) -> CheckPoint:
     pcols = meta.partition_columns
     ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
+    proto: dict = {
+        "minReaderVersion": state.min_reader_version or 1,
+        "minWriterVersion": state.min_writer_version or 2,
+    }
+    if state.reader_features is not None:
+        proto["readerFeatures"] = state.reader_features
+    if state.writer_features is not None:
+        proto["writerFeatures"] = state.writer_features
     rows: list[dict] = []
-    rows.append(
-        {
-            "protocol": {
-                "minReaderVersion": state.min_reader_version or 1,
-                "minWriterVersion": state.min_writer_version or 2,
-            }
-        }
-    )
+    rows.append({"protocol": proto})
     rows.append({"metaData": meta.to_json_dict()})
     for app_id, version in sorted(state.app_transaction_version.items()):
         rows.append({"txn": {"appId": app_id, "version": version}})
@@ -306,6 +307,7 @@ def optimize(
                     extended_file_metadata=True,
                     partition_values=f.partition_values,
                     size=f.size,
+                    deletion_vector=f.deletion_vector,
                 )
             )
     txn.add_actions(list(adds))
@@ -370,18 +372,37 @@ def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]
 
     root = table.log.table_root
     active = set(table.files())
-    # deletion-vector dirs referenced by the current snapshot stay; orphaned
-    # ones (their file materialized by OPTIMIZE, or superseded) age out under
-    # the same untracked-file mtime rule as data files
+    # Deletion-vector dirs referenced by the CURRENT snapshot stay. Dirs no
+    # longer referenced by any add get a REMOVAL-time retention clock, not a
+    # creation-time one: Remove tombstones carry the DV descriptor the file
+    # had, so a dir referenced by any unexpired tombstone is protected —
+    # time travel to pre-OPTIMIZE versions keeps working for exactly as long
+    # as the data files those versions need (same 168h floor). Once every
+    # referencing tombstone expires the dir is reapable immediately. Dirs
+    # referenced by no tombstone at all (pre-feature logs) fall back to the
+    # untracked-file mtime rule.
     active_dv_prefixes = tuple(
         p.rstrip("/") + "/"
         for a in table.add_actions()
         if a.deletion_vector
         for p in a.deletion_vector.get("paths", [])
     )
+    tombstones = table.snapshot.state.tombstones
+    unexpired_dv_prefixes = tuple(
+        p.rstrip("/") + "/"
+        for r in tombstones.values()
+        if r.deletion_vector and (r.deletion_timestamp or 0) > cutoff_ms
+        for p in r.deletion_vector.get("paths", [])
+    )
+    expired_dv_prefixes = tuple(
+        p.rstrip("/") + "/"
+        for r in tombstones.values()
+        if r.deletion_vector and (r.deletion_timestamp or 0) <= cutoff_ms
+        for p in r.deletion_vector.get("paths", [])
+    )
     expired_tombstones = {
         path
-        for path, r in table.snapshot.state.tombstones.items()
+        for path, r in tombstones.items()
         if (r.deletion_timestamp or 0) <= cutoff_ms
     }
 
@@ -398,12 +419,17 @@ def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]
                 continue
             if active_dv_prefixes and rel.startswith(active_dv_prefixes):
                 continue
+            if unexpired_dv_prefixes and rel.startswith(unexpired_dv_prefixes):
+                continue
             if rel in expired_tombstones:
                 to_delete.append(rel)
                 continue
-            tomb = table.snapshot.state.tombstones.get(rel)
+            tomb = tombstones.get(rel)
             if tomb is not None:
                 continue  # unexpired tombstone: keep
+            if expired_dv_prefixes and rel.startswith(expired_dv_prefixes):
+                to_delete.append(rel)  # removal-time clock has run out
+                continue
             # untracked file: delete only when old enough
             if os.stat(full).st_mtime * 1000 <= cutoff_ms:
                 to_delete.append(rel)
@@ -475,6 +501,7 @@ def restore(table, version: int) -> dict:
                 extended_file_metadata=True,
                 partition_values=a.partition_values,
                 size=a.size,
+                deletion_vector=a.deletion_vector,
             )
         )
     new_version = txn.commit(

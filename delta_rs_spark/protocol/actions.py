@@ -116,7 +116,15 @@ class AddAction:
 
 @dataclass
 class RemoveAction:
-    """Tombstone: a file logically deleted at ``deletion_timestamp``."""
+    """Tombstone: a file logically deleted at ``deletion_timestamp``.
+
+    ``deletion_vector`` records the DV the file carried *before* this remove
+    (public Delta protocol: removes repeat the removed add's descriptor).
+    CDF uses it to reconstruct only the rows that were still live when the
+    file was removed; vacuum uses it to give DV position files a
+    removal-time retention clock (protected while any unexpired tombstone
+    references them, reapable as soon as every referencing tombstone
+    expires)."""
 
     path: str
     deletion_timestamp: Optional[int] = None
@@ -125,6 +133,7 @@ class RemoveAction:
     partition_values: Optional[dict[str, Optional[str]]] = None
     size: Optional[int] = None
     tags: Optional[dict[str, Any]] = None
+    deletion_vector: Optional[dict[str, Any]] = None
 
     def to_json_dict(self) -> dict[str, Any]:
         d: dict[str, Any] = {"path": self.path, "dataChange": self.data_change}
@@ -138,10 +147,17 @@ class RemoveAction:
             d["size"] = self.size
         if self.tags is not None:
             d["tags"] = self.tags
+        if self.deletion_vector is not None:
+            d["deletionVector"] = self.deletion_vector
         return d
 
     @classmethod
     def from_json_dict(cls, d: dict[str, Any]) -> "RemoveAction":
+        dv = d.get("deletionVector")
+        if dv is not None:
+            dv = dict(dv)
+            if isinstance(dv.get("paths"), tuple):
+                dv["paths"] = list(dv["paths"])
         return cls(
             path=d["path"],
             deletion_timestamp=d.get("deletionTimestamp"),
@@ -150,6 +166,7 @@ class RemoveAction:
             partition_values=d.get("partitionValues"),
             size=d.get("size"),
             tags=d.get("tags"),
+            deletion_vector=dv,
         )
 
 
@@ -221,20 +238,35 @@ class TxnAction:
 
 @dataclass
 class ProtocolAction:
+    """Reader/writer version gate. At minReaderVersion>=3 /
+    minWriterVersion>=7 the public Delta spec makes the feature lists
+    mandatory — foreign readers then surface a proper
+    "unsupported table feature" error instead of failing on the action."""
+
     min_reader_version: int = 1
     min_writer_version: int = 2
+    reader_features: Optional[list[str]] = None
+    writer_features: Optional[list[str]] = None
 
     def to_json_dict(self) -> dict[str, Any]:
-        return {
+        d: dict[str, Any] = {
             "minReaderVersion": self.min_reader_version,
             "minWriterVersion": self.min_writer_version,
         }
+        if self.reader_features is not None:
+            d["readerFeatures"] = self.reader_features
+        if self.writer_features is not None:
+            d["writerFeatures"] = self.writer_features
+        return d
 
     @classmethod
     def from_json_dict(cls, d: dict[str, Any]) -> "ProtocolAction":
+        rf, wf = d.get("readerFeatures"), d.get("writerFeatures")
         return cls(
             min_reader_version=d.get("minReaderVersion", 1),
             min_writer_version=d.get("minWriterVersion", 2),
+            reader_features=list(rf) if rf is not None else None,
+            writer_features=list(wf) if wf is not None else None,
         )
 
 

@@ -149,10 +149,12 @@ class Snapshot:
     FILE_LINEAGE_COL = "_drs_file"
     POS_LINEAGE_COL = "_drs_pos"
 
-    # a DV positions side small enough to broadcast (rows of 2 narrow cols);
+    # a DV positions side small enough to broadcast, measured in BYTES from
+    # the descriptors' sizeInBytes (parquet-compressed positions expand a few
+    # × in memory — keep the cap near Spark's ~10MB broadcast heuristic);
     # above this the anti join shuffles — still proportional to positions,
     # never to table size
-    DV_BROADCAST_MAX_ROWS = 4_000_000
+    DV_BROADCAST_MAX_BYTES = 16 * 1024 * 1024
 
     def to_df(
         self,
@@ -227,15 +229,21 @@ class Snapshot:
     def _lineage_exprs(self) -> list:
         """Relative file path + row index from the scan's ``_metadata``.
 
-        ``_metadata.file_path`` is a URI (``file:///root/...``); taking the
-        substring after the last occurrence of ``<table_root>/`` yields the
-        log-relative path that matches ``add.path`` — pure codegen, no UDF.
+        ``_metadata.file_path`` is a URI and percent-encodes special
+        characters (a space in a partition value → ``%20``) while
+        ``add.path`` holds the raw path — so the URI is percent-DECODED
+        first, then the substring after the last ``<table_root>/`` yields
+        the log-relative path that matches ``add.path`` exactly. The decode
+        is pure codegen: pre-escaping literal ``+`` to ``%2B`` makes
+        ``url_decode`` (form-decoding, ``+``→space) a strict
+        percent-decoder.
         """
         delim = self.log.table_root.rstrip("/") + "/"
+        decoded = F.url_decode(
+            F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
+        )
         return [
-            F.substring_index(F.col("_metadata.file_path"), delim, -1).alias(
-                self.FILE_LINEAGE_COL
-            ),
+            F.substring_index(decoded, delim, -1).alias(self.FILE_LINEAGE_COL),
             F.col("_metadata.row_index").alias(self.POS_LINEAGE_COL),
         ]
 
@@ -276,8 +284,17 @@ class Snapshot:
             .select(F.col("path").alias("_dv_path"), F.col("row_index").alias("_dv_pos"))
         )
         if len(dv_adds) <= 256:
-            pos = pos.filter(F.col("_dv_path").isin([a.path for a in dv_adds]))
-        if sum(a.dv_cardinality for a in dv_adds) <= self.DV_BROADCAST_MAX_ROWS:
+            # prune positions of other files sharing these DV dirs; filter on
+            # the path's basename (uuid-unique) so absolute-path adds
+            # (shallow clones) match their lineage-form keys too
+            basenames = [a.path.rsplit("/", 1)[-1] for a in dv_adds]
+            pos = pos.filter(
+                F.substring_index(F.col("_dv_path"), "/", -1).isin(basenames)
+            )
+        dv_bytes = sum(
+            int(a.deletion_vector.get("sizeInBytes", 0)) for a in dv_adds
+        )
+        if dv_bytes <= self.DV_BROADCAST_MAX_BYTES:
             pos = F.broadcast(pos)
         cond = (F.col(self.FILE_LINEAGE_COL) == F.col("_dv_path")) & (
             F.col(self.POS_LINEAGE_COL) == F.col("_dv_pos")

@@ -34,6 +34,8 @@ class TableState:
     app_transaction_version: dict[str, int] = field(default_factory=dict)
     min_reader_version: int = 0
     min_writer_version: int = 0
+    reader_features: Optional[list[str]] = None
+    writer_features: Optional[list[str]] = None
     metadata: Optional[MetaDataAction] = None
 
     def apply(self, action: Action) -> None:
@@ -51,6 +53,8 @@ class TableState:
         elif isinstance(action, ProtocolAction):
             self.min_reader_version = action.min_reader_version
             self.min_writer_version = action.min_writer_version
+            self.reader_features = action.reader_features
+            self.writer_features = action.writer_features
         elif isinstance(action, CommitInfoAction):
             self.commit_infos.append(action.info)
         elif isinstance(action, CdcAction):

@@ -46,6 +46,7 @@ class DeltaFilePartition(InputPartition):
         is_cdc_file: bool = False,
         dv_dirs: list[str] | None = None,
         dv_key: str | None = None,
+        dv_mode: str = "drop",
     ):
         self.file_uri = file_uri
         self.partition_values = partition_values
@@ -57,9 +58,12 @@ class DeltaFilePartition(InputPartition):
         self.commit_version = commit_version
         self.is_cdc_file = is_cdc_file
         # deletion vector: absolute position-parquet dirs + this file's
-        # log-relative path (the key its positions are stored under)
+        # log-relative path (the key its positions are stored under);
+        # mode "drop" skips the listed positions (read live rows), mode
+        # "select" keeps ONLY them (CDF: rows newly deleted by a DV commit)
         self.dv_dirs = dv_dirs
         self.dv_key = dv_key
+        self.dv_mode = dv_mode
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -194,15 +198,37 @@ class DeltaStreamReader(DataSourceStreamReader):
                 for a in cdc
             ]
         parts: list[DeltaFilePartition] = []
-        for a in actions:
-            if isinstance(a, AddAction) and a.data_change:
-                if a.deletion_vector is not None:
-                    raise RuntimeError(
-                        f"version {v} is a merge-on-read DELETE (deletion "
-                        "vector) with no change files; enable "
-                        "delta.enableChangeDataFeed before deleting to "
-                        "stream row-level changes over DV commits"
+        adds_v = [a for a in actions if isinstance(a, AddAction) and a.data_change]
+        removes_v = [a for a in actions if isinstance(a, RemoveAction) and a.data_change]
+        dv_swap_paths: set[str] = set()
+        for a in adds_v:
+            if a.deletion_vector is not None:
+                # DV swap: emit ONLY the rows at this commit's newly-recorded
+                # positions as deletes (positions were taken over live rows,
+                # so prior DVs never re-appear)
+                dv_swap_paths.add(a.path)
+                old = next((r for r in removes_v if r.path == a.path), None)
+                old_paths = set(
+                    (old.deletion_vector or {}).get("paths", []) if old else []
+                )
+                new_dirs = [
+                    p for p in a.deletion_vector.get("paths", []) if p not in old_paths
+                ]
+                if new_dirs:
+                    parts.append(
+                        DeltaFilePartition(
+                            absolute(a.path),
+                            a.partition_values,
+                            meta.schema_string,
+                            meta.partition_columns,
+                            change_type="delete",
+                            commit_version=v,
+                            dv_dirs=[absolute(p) for p in new_dirs],
+                            dv_key=a.path,
+                            dv_mode="select",
+                        )
                     )
+            else:
                 parts.append(
                     DeltaFilePartition(
                         absolute(a.path),
@@ -213,17 +239,23 @@ class DeltaStreamReader(DataSourceStreamReader):
                         commit_version=v,
                     )
                 )
-            elif isinstance(a, RemoveAction) and a.data_change:
-                parts.append(
-                    DeltaFilePartition(
-                        absolute(a.path),
-                        a.partition_values or {},
-                        meta.schema_string,
-                        meta.partition_columns,
-                        change_type="delete",
-                        commit_version=v,
-                    )
+        for r in removes_v:
+            if r.path in dv_swap_paths:
+                continue  # handled as the swap-add's "select" partition
+            dv = r.deletion_vector
+            parts.append(
+                DeltaFilePartition(
+                    absolute(r.path),
+                    r.partition_values or {},
+                    meta.schema_string,
+                    meta.partition_columns,
+                    change_type="delete",
+                    commit_version=v,
+                    # prior DV: rows already dead at removal stay deleted
+                    dv_dirs=[absolute(p) for p in dv.get("paths", [])] if dv else None,
+                    dv_key=r.path if dv else None,
                 )
+            )
         return parts
 
     def read(self, partition: DeltaFilePartition) -> Iterator[tuple]:
@@ -245,11 +277,14 @@ class DeltaStreamReader(DataSourceStreamReader):
             dv = dvset.to_table(
                 filter=ds.field("path") == partition.dv_key, columns=["row_index"]
             )
-            dead = set(dv.column("row_index").to_pylist())
-            if dead:
-                import pyarrow as pa
+            marked = set(dv.column("row_index").to_pylist())
+            import pyarrow as pa
 
-                keep = [i for i in range(table.num_rows) if i not in dead]
+            if partition.dv_mode == "select":
+                keep = [i for i in range(table.num_rows) if i in marked]
+                table = table.take(pa.array(keep, type=pa.int64()))
+            elif marked:
+                keep = [i for i in range(table.num_rows) if i not in marked]
                 table = table.take(pa.array(keep, type=pa.int64()))
         cols = {}
         for f in schema.fields:

@@ -216,8 +216,13 @@ def test_dv_vacuum_keeps_position_files(spark, tmp_path):
 
 
 def test_dv_vacuum_reaps_orphaned_position_files(spark, tmp_path):
-    """After OPTIMIZE materializes the deletes, nothing references the DV
-    dir; once past retention (mtime aged here) vacuum reaps it."""
+    """DV dirs age on a REMOVAL-time clock, not file mtime: after OPTIMIZE
+    materializes the deletes, the tombstones carry the DV descriptor, so the
+    dir stays protected while they are unexpired (pre-OPTIMIZE versions are
+    still time-travel-readable and need it) — even if the position files'
+    mtimes are ancient. Once the tombstones expire, the dir is reaped
+    immediately."""
+    import json
     import os
     import time
 
@@ -228,16 +233,39 @@ def test_dv_vacuum_reaps_orphaned_position_files(spark, tmp_path):
     t2.optimize(spark)
     t3 = DeltaTable.for_path(path)
     assert not any(a.deletion_vector for a in t3.add_actions())
-    # fresh orphan: retained (could still serve a time-travel read)
-    assert not any("_deletion_vectors" in p for p in t3.vacuum(dry_run=True))
+
+    # unexpired tombstones protect the dir even with aged mtimes — the
+    # pre-fix behavior (reap on creation mtime) broke time travel
     old = time.time() - 200 * 3600
     dv_root = os.path.join(path, "_deletion_vectors")
     for dirpath, _dirs, files in os.walk(dv_root):
         for f in files:
             os.utime(os.path.join(dirpath, f), (old, old))
-    listed = t3.vacuum(retention_hours=168, dry_run=True)
+    assert not any("_deletion_vectors" in p for p in t3.vacuum(dry_run=True))
+
+    # expire every tombstone by rewriting its deletionTimestamp in the log
+    old_ms = int(old * 1000)
+    log_dir = os.path.join(path, "_delta_log")
+    for fname in os.listdir(log_dir):
+        if not fname.endswith(".json"):
+            continue
+        fp = os.path.join(log_dir, fname)
+        lines = []
+        with open(fp) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                obj = json.loads(line)
+                if "remove" in obj:
+                    obj["remove"]["deletionTimestamp"] = old_ms
+                lines.append(json.dumps(obj, separators=(",", ":")))
+        with open(fp, "w") as fh:
+            fh.write("\n".join(lines))
+
+    t4 = DeltaTable.for_path(path)
+    listed = t4.vacuum(retention_hours=168, dry_run=True)
     assert any("_deletion_vectors" in p for p in listed)
-    t3.vacuum(retention_hours=168, dry_run=False)
+    t4.vacuum(retention_hours=168, dry_run=False)
     remaining = [
         os.path.join(dp, f) for dp, _d, fs in os.walk(dv_root) for f in fs
     ]
@@ -256,15 +284,43 @@ def test_dv_cdf_records_row_level_deletes(spark, tmp_path):
     assert all(r.k == 6 for r in rows)
 
 
-def test_dv_load_cdf_without_change_files_refuses(spark, tmp_path):
+def test_dv_load_cdf_without_change_files_synthesizes(spark, tmp_path):
+    """A DV commit with no change files still yields a correct feed: the
+    newly-recorded positions ARE the deleted rows (no rewrite to read)."""
     path = str(tmp_path / "t")
     t = _make_table(spark, path, enable_cdf=False)
     res = t.delete(spark, "k = 6")
     t2 = DeltaTable.for_path(path)
-    with pytest.raises(ValueError, match="merge-on-read"):
-        t2.load_cdf(
-            spark, starting_version=res["version"], ending_version=res["version"]
-        ).collect()
+    rows = t2.load_cdf(
+        spark, starting_version=res["version"], ending_version=res["version"]
+    ).collect()
+    assert len(rows) == 40
+    assert all(r["_change_type"] == "delete" for r in rows)
+    assert all(r.k == 6 for r in rows)
+    assert all(r["_commit_version"] == res["version"] for r in rows)
+
+
+def test_dv_load_cdf_no_phantom_deletes(spark, tmp_path):
+    """MoR delete of k=1 (v1, DV), then MoR delete of every remaining row of
+    the same files (v2, tombstone-only commit): the v2 feed must NOT re-emit
+    the k=1 rows deleted in v1."""
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path, enable_cdf=False)
+    r1 = t.delete(spark, "k = 1")
+    t2 = DeltaTable.for_path(path)
+    r2 = t2.delete(spark, "k <> 1")  # kills every remaining row
+    t3 = DeltaTable.for_path(path)
+    v2 = t3.load_cdf(
+        spark, starting_version=r2["version"], ending_version=r2["version"]
+    ).collect()
+    assert all(r["_change_type"] == "delete" for r in v2)
+    assert not any(r.k == 1 for r in v2), "phantom delete of already-deleted rows"
+    assert len(v2) == 400 - r1["numDeletedRows"]
+    # and the union of both feeds covers the table exactly once
+    v1 = t3.load_cdf(
+        spark, starting_version=r1["version"], ending_version=r1["version"]
+    ).collect()
+    assert len(v1) + len(v2) == 400
 
 
 def test_dv_disabled_table_stays_copy_on_write(spark, tmp_path):

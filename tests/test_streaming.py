@@ -287,6 +287,44 @@ def test_stream_change_feed(spark, tmp_path):
     assert all(r._commit_version == 1 for r in deletes)
 
 
+def test_stream_change_feed_dv_no_phantom_deletes(spark, tmp_path):
+    """DV commits with no change files still stream a correct feed: a DV
+    swap emits only the commit's newly-dead positions, and a tombstone-only
+    remove of a DV'd file must NOT re-emit rows deleted in earlier versions."""
+    from delta_rs_spark import DeltaTable
+
+    uri = str(tmp_path / "dv_cdf_tbl")
+    df = spark.range(0, 8).select(F.col("id"), (F.col("id") % 3).alias("bucket"))
+    write_deltalake(
+        spark, df, uri, configuration={"delta.enableDeletionVectors": "true"}
+    )
+    t = DeltaTable(uri)
+    r1 = t.delete(spark, "id = 1")  # v?: DV swap on one file
+    t2 = DeltaTable(uri)
+    r2 = t2.delete(spark, "id <> 1")  # kills every remaining row
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", uri)
+        .option("startingVersion", "0")
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("dv_cdf_stream_sink")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dv_cdf"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dv_cdf_stream_sink").collect()
+    deletes = [r for r in rows if r._change_type == "delete"]
+    d1 = [r for r in deletes if r._commit_version == r1["version"]]
+    d2 = [r for r in deletes if r._commit_version == r2["version"]]
+    assert [r.id for r in d1] == [1]
+    assert sorted(r.id for r in d2) == [0, 2, 3, 4, 5, 6, 7]
+
+
 def test_upsert_sink_exactly_once(spark, tmp_path):
     """Streaming upsert: merge per micro-batch, txn watermark in the merge
     commit, replayed epochs skipped."""
