@@ -387,13 +387,31 @@ def embedding_cosine_pairs(
     threshold: float = 0.985,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "lsh",
+    dim: int = 64,
 ) -> DataFrame:
-    """Pairs of vectors with cosine similarity ≥ threshold (exact).
+    """Pairs of vectors with cosine similarity ≥ threshold.
 
-    Brute-force pairwise — correct at any SF but O(n²); the scale path is
-    `similarity.lsh_bucketed_pairs` (random-hyperplane buckets first). Dot
-    products run in whole-stage codegen via `aggregate`/`zip_with` — no UDF.
+    ``method="lsh"`` (default, the scale path): banded sign-LSH candidate
+    generation + exact cosine verify — `similarity.lsh_bucketed_pairs`.
+    All equi-joins; candidate volume ∝ bucket density, never n². Banding
+    is derived from the threshold so the per-pair miss probability is
+    below 1e-9 (deterministic hyperplanes — certified against the exact
+    oracle at test SFs).
+
+    ``method="brute"``: exact O(n²) cross join — the test oracle and the
+    fallback for antagonistic thresholds (<~0.3) where banding stops
+    pruning. Dot products run in whole-stage codegen via
+    `aggregate`/`zip_with` either way — no UDF.
     """
+    if method == "lsh":
+        from .similarity import lsh_bucketed_pairs
+
+        return lsh_bucketed_pairs(
+            df, threshold, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+    if method != "brute":
+        raise ValueError(f"unknown method {method!r} (expected 'lsh' or 'brute')")
     norm = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
@@ -491,19 +509,27 @@ def update_dedup_index(
         F.md5(F.concat_ws("\x1f", *key_cols)).alias("key_hash"),
         F.col(id_col).alias("doc_id"),
     )
-    rows_seen = hashed.count()
 
     if index is not None:
         existing = index.to_df(spark, columns=["key_hash"])
         fresh = hashed.join(existing, "key_hash", "left_anti")
-        cross_batch_dups = rows_seen - fresh.count()
     else:
         fresh = hashed
-        cross_batch_dups = 0
 
     new_unique = fresh.groupBy("key_hash").agg(F.min("doc_id").alias("doc_id"))
-    new_keys = new_unique.count()
-    duplicate_rows = cross_batch_dups + (rows_seen - cross_batch_dups - new_keys)
+    # all metrics in ONE job: batch row count and distinct-new-key count
+    # share a scan (rows already dedup-keyed in the index never reach
+    # new_unique, so duplicate_rows = rows_seen - new_keys covers both
+    # cross-batch and batch-internal duplicates)
+    stats = (
+        hashed.agg(
+            F.count(F.lit(1)).alias("rows_seen"),
+        )
+        .crossJoin(new_unique.agg(F.count(F.lit(1)).alias("new_keys")))
+        .collect()[0]
+    )
+    rows_seen, new_keys = stats["rows_seen"], stats["new_keys"]
+    duplicate_rows = rows_seen - new_keys
 
     import time as _time
 

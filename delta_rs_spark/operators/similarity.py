@@ -18,8 +18,10 @@ Three paths, as a 100 TB engine needs:
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -39,6 +41,34 @@ def _cosine(va, vb, na, nb):
     )
 
 
+def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k per query without any reducer ever seeing O(n) rows for one
+    query key: phase 1 ranks within (q_id, input partition) — the shuffle
+    key carries the partition id, so a query scored against the whole
+    corpus spreads over all reducers — and keeps ≤k rows per (query,
+    partition); phase 2 ranks the reduced set (≤ k·#partitions rows per
+    query). Any row phase 1 drops is dominated by ≥k better rows in its own
+    partition, so the final top-k — and its tiebreak order — is identical
+    to a single global window."""
+    w1 = W.partitionBy("q_id", "_pid").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    w2 = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prank", F.row_number().over(w1))
+        .filter(F.col("_prank") <= k)
+        .drop("_pid", "_prank")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -51,8 +81,6 @@ def cosine_topk(
     Ranking uses the cosine rounded to 6 digits with id tiebreak, so the
     result is well-defined even under float reassociation.
     """
-    from pyspark.sql import Window as W
-
     c = _with_norm(corpus, id_col, vec_col, "c")
     q = _with_norm(queries, id_col, vec_col, "q")
     # broadcast the QUERY side: it is bounded by construction (a probe set),
@@ -66,18 +94,7 @@ def cosine_topk(
             F.round(_cosine(F.col("q_v"), F.col("c_v"), F.col("q_norm"), F.col("c_norm")), 6),
         )
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            "cosine",
-            "rank",
-        )
-        .orderBy("query_id", "rank")
-    )
+    return _two_phase_topk(scored, k)
 
 
 def _hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
@@ -218,8 +235,6 @@ def ivf_topk(
     n_probe/n_list. The list assignment is an equi-join, so at scale the
     candidate generation shuffles n·n_probe/n_list rows instead of n² pairs.
     """
-    from pyspark.sql import Window as W
-
     cents = train_ivf_centroids(corpus, n_list, iters, id_col, vec_col)
 
     c = _assign_lists(_unit(_with_norm(corpus, id_col, vec_col, "c"), "c"), cents, "c", 1)
@@ -232,18 +247,7 @@ def ivf_topk(
         # each corpus vector lives in exactly one list, so (query, neighbor)
         # pairs are already unique — no dedup shuffle needed
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            "cosine",
-            "rank",
-        )
-        .orderBy("query_id", "rank")
-    )
+    return _two_phase_topk(scored, k)
 
 
 def lsh_topk(
@@ -260,8 +264,6 @@ def lsh_topk(
     At scale the bucket join replaces the n² cross join with ~n²/2^planes
     work; recall tunes with n_planes (fewer planes → bigger buckets).
     """
-    from pyspark.sql import Window as W
-
     c = lsh_bucket(_with_norm(corpus, id_col, vec_col, "c"), n_planes, dim, "c_v")
     q = lsh_bucket(_with_norm(queries, id_col, vec_col, "q"), n_planes, dim, "q_v")
     # broadcast the bounded query side: the bucket key has only 2^n_planes
@@ -275,15 +277,124 @@ def lsh_topk(
             F.round(_cosine(F.col("q_v"), F.col("c_v"), F.col("q_norm"), F.col("c_norm")), 6),
         )
     )
-    w = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return _two_phase_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Banded-LSH similar-pair generation (the scale path for embedding near-dup)
+# ---------------------------------------------------------------------------
+
+def _band_params(
+    threshold: float, target_miss: float = 1e-9, max_planes: int = 256
+) -> tuple[int, int]:
+    """(rows_per_band, n_bands) for sign-LSH banding at a cosine threshold.
+
+    For two vectors at the threshold angle, one random hyperplane separates
+    them with probability p = arccos(t)/π; a band of r planes agrees with
+    probability (1-p)^r, and b bands all disagree with probability
+    (1-(1-p)^r)^b — the per-pair miss bound. Picks the LARGEST r (best
+    candidate pruning: bucket count grows 2^r per band) whose band count
+    for the target miss still fits in ``max_planes`` total planes. All
+    pairs ABOVE the threshold have strictly smaller miss probability.
+    """
+    t = min(1.0, max(-1.0, threshold))
+    p_split = math.acos(t) / math.pi
+    if p_split <= 0.0:
+        return 1, 1
+    for r in range(16, 0, -1):
+        p_band = (1.0 - p_split) ** r
+        if p_band <= 0.0 or p_band >= 1.0:
+            continue
+        b = max(1, math.ceil(math.log(target_miss) / math.log(1.0 - p_band)))
+        if r * b <= max_planes:
+            return r, b
+    return 1, max_planes
+
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    target_miss: float = 1e-9,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold via banded sign-LSH candidates + exact
+    verify — the scale path that replaces the O(n²) cross join.
+
+    Plan shape (all equi-joins, no Cartesian product):
+    1. One pass computes every plane dot product per vector — the plane
+       matrix is a driver-held literal (like IVF centroids), so signatures
+       are pure codegen, zero shuffles.
+    2. ``posexplode`` the b band keys → self-equi-join on (band, key):
+       candidates ∝ bucket density, not n². The shuffle carries
+       (id, band, key) — never the vectors.
+    3. ``distinct`` the candidate id pairs, join the vectors back by id,
+       verify the exact cosine in codegen, filter.
+
+    Banding parameters derive from the threshold (``_band_params``): the
+    probability of missing a qualifying pair is below ``target_miss``
+    (default 1e-9 — deterministic planes, so a given dataset either
+    matches the brute-force output or it doesn't; certified against the
+    exact oracle at test SFs). Lower thresholds cost more bands; genuinely
+    antagonistic thresholds (<~0.3) degrade toward brute-force candidate
+    volume — use ``dedup.embedding_cosine_pairs(method="brute")`` there.
+    """
+    r, b = _band_params(threshold, target_miss)
+    planes = _hyperplane_signs(r * b, dim)
+    planes_col = F.array(*[F.lit([float(s) for s in row]) for row in planes])
+
+    norm = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+
+    dots = F.transform(planes_col, lambda p: _dot(F.col("v"), p))
+    # band key as a base-2 number over the band's r sign bits (MSB first) —
+    # no shift-by-column needed, stays in codegen
+    keys = F.transform(
+        F.sequence(F.lit(0), F.lit(b - 1)),
+        lambda band: F.aggregate(
+            F.sequence(F.lit(0), F.lit(r - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc * 2
+            + F.when(
+                F.element_at(F.col("_dots"), band * r + j + 1) >= 0, 1
+            ).otherwise(0),
+        ),
+    )
+    sig = (
+        norm.withColumn("_dots", dots)
+        .select("id", F.posexplode(keys).alias("band", "key"))
+    )
+
+    cand = (
+        sig.select(F.col("id").alias("id_a"), "band", "key")
+        .join(sig.select(F.col("id").alias("id_b"), "band", "key"), ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    va = norm.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = norm.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
             "cosine",
-            "rank",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                round_digits,
+            ),
         )
-        .orderBy("query_id", "rank")
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

@@ -24,6 +24,7 @@ class PlanSummary:
     sort_merge_joins: int = 0
     shuffled_hash_joins: int = 0
     nested_loop_joins: int = 0
+    windows: int = 0
     pushed_filters: list[str] = field(default_factory=list)
     read_schemas: list[list[str]] = field(default_factory=list)
     codegen_spans: int = 0
@@ -56,6 +57,7 @@ def summarize(df: DataFrame) -> PlanSummary:
         sort_merge_joins=nodes("SortMergeJoin"),
         shuffled_hash_joins=nodes("ShuffledHashJoin"),
         nested_loop_joins=nodes("BroadcastNestedLoopJoin") + nodes("CartesianProduct"),
+        windows=nodes("Window"),
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", text),
         read_schemas=schemas,
         codegen_spans=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text))),

@@ -79,13 +79,31 @@ def test_asof_join_single_shuffle_per_side(q):
 # broadcast of a 1-row aggregate)
 CARTESIAN_OK = {
     "similarity_topk",        # exact brute-force baseline by design
-    "dedup_embedding_cosine", # exact O(n^2) baseline by design
     "q11_important_parts",    # 1-row sum-threshold broadcast
     "text_tfidf_topk",        # 1-row document-count broadcast
     "q15_top_supplier",       # 1-row max broadcast
     "q22_idle_customers",     # 1-row avg broadcast
     "q_events_funnel",        # crossJoin of three 1-row stage counts
 }
+
+
+def test_embedding_cosine_dedup_is_bucketed_not_cartesian(q):
+    """The certified near-dup query runs the banded-LSH path: candidate
+    generation and verify are equi-joins — no cross join anywhere in the
+    executed plan (the O(n²) brute force remains only as the test oracle)."""
+    df = q("dedup_embedding_cosine")
+    assert_no_nested_loop_join(df)
+    s = summarize(df)
+    assert s.broadcast_hash_joins + s.sort_merge_joins + s.shuffled_hash_joins >= 2
+
+
+def test_topk_is_two_phase(q):
+    """Per-query top-k must reduce per (query, input partition) BEFORE the
+    per-query window, so no reducer ever sees O(corpus) rows for one query
+    key: two Window nodes in the plan, the first keyed on the partition id."""
+    for name in ("similarity_topk", "similarity_lsh_topk", "similarity_ivf_topk"):
+        s = summarize(q(name))
+        assert s.windows >= 2, f"{name}: expected partial+final windows, got {s.windows}"
 
 
 def test_every_certified_query_builds_and_avoids_cartesian(spark, sf_dir):
