@@ -434,11 +434,27 @@ def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]
             if os.stat(full).st_mtime * 1000 <= cutoff_ms:
                 to_delete.append(rel)
 
+    # Losing-writer temp commits: a crashed or conditional-PUT-losing writer
+    # leaves `_delta_log/_commit_<token>.json.tmp` behind (the reference's
+    # DynamoDB lock repairs these inline, rust/src/storage/s3/mod.rs:495-546;
+    # the conditional-PUT design has no repair step, so vacuum reaps them).
+    # Fresh temp files are in-flight commits — only aged ones go. Listed via
+    # the storage backend, so this works on object stores too.
+    backend = table.log.backend
+    for meta in backend.list_objs(table.log.log_dir):
+        name = meta.path.rsplit("/", 1)[-1]
+        if (
+            name.startswith("_commit_")
+            and name.endswith(".json.tmp")
+            and meta.modification_time * 1000 <= cutoff_ms
+        ):
+            to_delete.append(f"_delta_log/{name}")
+
     to_delete.sort()
     if not dry_run:
         for rel in to_delete:
             try:
-                os.remove(os.path.join(root, rel))
+                backend.delete_obj(backend.join(root, rel))
             except FileNotFoundError:
                 pass
     return to_delete

@@ -302,6 +302,15 @@ class S3Backend(StorageBackend):
         bucket, key = self._split(path)
         self.client.delete_object(Bucket=bucket, Key=key)
 
+    def exists(self, path: str) -> bool:
+        # object stores have no directories: a "directory" exists when any
+        # object lives under the prefix (DeltaLog checks its log dir this way)
+        try:
+            self.head_obj(path)
+            return True
+        except FileNotFoundError:
+            return next(iter(self.list_objs(path)), None) is not None
+
     def rename_obj_noreplace(self, src: str, dst: str) -> None:
         from botocore.exceptions import ClientError
 
@@ -325,16 +334,252 @@ class S3Backend(StorageBackend):
         pass  # object stores have no directories
 
 
+class AdlsBackend(StorageBackend):
+    """Azure (ADLS Gen2 / Blob) backend for the ``_delta_log`` directory.
+
+    URI form ``abfss://<container>@<account>.dfs.core.windows.net/<path>``
+    (the shape the reference parses, ``rust/src/storage/azure.rs:21-42``).
+    The reference backend is READ-only (its put/rename/delete are
+    unimplemented, ``azure.rs:199-209``); this one covers the same read
+    surface (head/get/list with 404→NotFound mapping) and adds writes:
+    Azure Blob PUT honors ``If-None-Match: *`` natively (409/412 when the
+    blob exists), so ``rename_obj_noreplace`` is the same lock-free
+    get→conditional-put→delete shape as :class:`S3Backend`.
+
+    REST calls target the Blob endpoint
+    ``https://<account>.blob.core.windows.net/<container>/<path>`` — the
+    same thing the reference's SDK container client resolves to. The
+    transport is injectable (tests use an in-memory fake): any object with
+    ``request(method, url, headers, body) -> (status, headers, body)``.
+    The default transport authenticates like the reference
+    (``azure.rs:66-90``): ``AZURE_STORAGE_SAS`` (query-append) or
+    ``AZURE_STORAGE_KEY`` (SharedKey HMAC per the public algorithm), via
+    the standard library only.
+    """
+
+    API_VERSION = "2021-08-06"
+
+    def __init__(self, client=None):
+        self.client = client or _AzureRestTransport()
+
+    @staticmethod
+    def _split(path: str) -> tuple[str, str, str]:
+        """abfss://container@account.dfs.core.windows.net/key → (account, container, key)."""
+        parsed = urlparse(path)
+        if parsed.scheme not in ("abfss", "abfs") or "@" not in parsed.netloc:
+            raise ValueError(f"not an abfss path: {path!r}")
+        container, host = parsed.netloc.split("@", 1)
+        account = host.split(".", 1)[0]
+        return account, container, parsed.path.lstrip("/")
+
+    def _url(self, path: str) -> str:
+        account, container, key = self._split(path)
+        return f"https://{account}.blob.core.windows.net/{container}/{key}"
+
+    def _request(self, method: str, url: str, headers=None, body: bytes | None = None):
+        status, resp_headers, resp_body = self.client.request(
+            method, url, dict(headers or {}), body
+        )
+        return status, resp_headers, resp_body
+
+    def head_obj(self, path: str) -> ObjectMeta:
+        from email.utils import parsedate_to_datetime
+
+        status, headers, _ = self._request("HEAD", self._url(path))
+        if status == 404:
+            raise FileNotFoundError(path)
+        if status >= 400:
+            raise OSError(f"HEAD {path} -> HTTP {status}")
+        lm = headers.get("Last-Modified")
+        return ObjectMeta(
+            path=path,
+            size=int(headers.get("Content-Length", 0)),
+            modification_time=parsedate_to_datetime(lm).timestamp() if lm else 0.0,
+        )
+
+    def get_obj(self, path: str) -> bytes:
+        status, _, body = self._request("GET", self._url(path))
+        if status == 404:
+            raise FileNotFoundError(path)
+        if status >= 400:
+            raise OSError(f"GET {path} -> HTTP {status}")
+        return body
+
+    def list_objs(self, path: str) -> Iterator[ObjectMeta]:
+        import xml.etree.ElementTree as ET
+        from email.utils import parsedate_to_datetime
+
+        account, container, prefix = self._split(path)
+        prefix = prefix.rstrip("/") + "/"
+        base = f"https://{account}.blob.core.windows.net/{container}"
+        host = urlparse(path).netloc
+        marker = ""
+        while True:
+            url = f"{base}?restype=container&comp=list&prefix={prefix}"
+            if marker:
+                url += f"&marker={marker}"
+            status, _, body = self._request("GET", url)
+            if status >= 400:
+                raise OSError(f"LIST {path} -> HTTP {status}")
+            root = ET.fromstring(body)
+            for blob in root.iter("Blob"):
+                name = blob.findtext("Name")
+                props = blob.find("Properties")
+                lm = props.findtext("Last-Modified") if props is not None else None
+                size = props.findtext("Content-Length") if props is not None else 0
+                yield ObjectMeta(
+                    path=f"abfss://{host}/{name}",
+                    size=int(size or 0),
+                    modification_time=(
+                        parsedate_to_datetime(lm).timestamp() if lm else 0.0
+                    ),
+                )
+            marker = root.findtext("NextMarker") or ""
+            if not marker:
+                return
+
+    def put_obj(self, path: str, data: bytes, if_none_match: bool = False) -> None:
+        headers = {"x-ms-blob-type": "BlockBlob"}
+        if if_none_match:
+            headers["If-None-Match"] = "*"
+        status, _, _ = self._request("PUT", self._url(path), headers, data)
+        if if_none_match and status in (409, 412):
+            # 409 BlobAlreadyExists / 412 Precondition Failed
+            raise FileAlreadyExistsError(path)
+        if status >= 400:
+            raise OSError(f"PUT {path} -> HTTP {status}")
+
+    def delete_obj(self, path: str) -> None:
+        status, _, _ = self._request("DELETE", self._url(path))
+        if status >= 400 and status != 404:
+            raise OSError(f"DELETE {path} -> HTTP {status}")
+
+    def exists(self, path: str) -> bool:
+        try:
+            self.head_obj(path)
+            return True
+        except FileNotFoundError:
+            return next(iter(self.list_objs(path)), None) is not None
+
+    def rename_obj_noreplace(self, src: str, dst: str) -> None:
+        data = self.get_obj(src)
+        self.put_obj(dst, data, if_none_match=True)  # atomic commit point
+        self.delete_obj(src)
+
+    def join(self, *parts: str) -> str:
+        return "/".join(p.strip("/") if i else p.rstrip("/") for i, p in enumerate(parts))
+
+    def makedirs(self, path: str) -> None:
+        pass  # object stores have no directories
+
+
+class _AzureRestTransport:
+    """Default stdlib transport with the reference's auth scheme
+    (``azure.rs:66-90``): SAS token (``AZURE_STORAGE_SAS``) appended to the
+    query, else SharedKey (``AZURE_STORAGE_KEY``) HMAC-SHA256 per the
+    published Blob-service algorithm."""
+
+    def __init__(self):
+        self.sas = os.environ.get("AZURE_STORAGE_SAS")
+        self.key = os.environ.get("AZURE_STORAGE_KEY")
+        self.account = os.environ.get("AZURE_STORAGE_ACCOUNT")
+        if not self.sas and not self.key:
+            raise NotImplementedError(
+                "abfss:// tables need AZURE_STORAGE_SAS or AZURE_STORAGE_KEY "
+                "(+ AZURE_STORAGE_ACCOUNT) on the driver"
+            )
+
+    def request(self, method, url, headers, body):
+        import urllib.error
+        import urllib.request
+        from email.utils import formatdate
+
+        headers = dict(headers)
+        headers["x-ms-version"] = AdlsBackend.API_VERSION
+        headers["x-ms-date"] = formatdate(usegmt=True)
+        if self.sas:
+            sep = "&" if "?" in url else "?"
+            url = url + sep + self.sas.lstrip("?")
+        else:
+            headers["Authorization"] = self._shared_key_auth(method, url, headers, body)
+        req = urllib.request.Request(url, data=body, method=method, headers=headers)
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, dict(resp.headers), resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers or {}), e.read() if e.fp else b""
+
+    def _shared_key_auth(self, method, url, headers, body) -> str:
+        import base64
+        import hashlib
+        import hmac
+
+        parsed = urlparse(url)
+        account = self.account or parsed.netloc.split(".", 1)[0]
+        ms_headers = "\n".join(
+            f"{k.lower()}:{v}"
+            for k, v in sorted(headers.items())
+            if k.lower().startswith("x-ms-")
+        )
+        canon_res = f"/{account}{parsed.path}"
+        if parsed.query:
+            params: dict[str, list[str]] = {}
+            for pair in parsed.query.split("&"):
+                k, _, v = pair.partition("=")
+                params.setdefault(k.lower(), []).append(v)
+            for k in sorted(params):
+                canon_res += f"\n{k}:{','.join(sorted(params[k]))}"
+        length = str(len(body)) if body else ""
+        string_to_sign = "\n".join(
+            [
+                method,
+                "",  # Content-Encoding
+                "",  # Content-Language
+                length,
+                "",  # Content-MD5
+                headers.get("Content-Type", ""),
+                "",  # Date (x-ms-date is signed instead)
+                "",  # If-Modified-Since
+                "",  # If-Match
+                headers.get("If-None-Match", ""),
+                "",  # If-Unmodified-Since
+                "",  # Range
+                ms_headers,
+                canon_res,
+            ]
+        )
+        sig = base64.b64encode(
+            hmac.new(
+                base64.b64decode(self.key), string_to_sign.encode(), hashlib.sha256
+            ).digest()
+        ).decode()
+        return f"SharedKey {account}:{sig}"
+
+
+# extension seam: tests (and embedders) register scheme → backend factory;
+# consulted by parse_table_uri before the built-ins
+_BACKEND_FACTORIES: dict[str, "object"] = {}
+
+
+def register_backend_factory(scheme: str, factory) -> None:
+    """Register ``factory(table_uri) -> StorageBackend`` for a URI scheme."""
+    _BACKEND_FACTORIES[scheme] = factory
+
+
 def parse_table_uri(table_uri: str) -> tuple[str, StorageBackend]:
     """URI → (root path, backend). file:// and bare paths → local FS;
     memory:// → in-process object-store model (log layer only);
-    s3:// / s3a:// → S3 via boto3 with conditional-PUT atomic commits.
+    s3:// / s3a:// → S3 via boto3 with conditional-PUT atomic commits;
+    abfss:// / abfs:// → Azure Blob/ADLS Gen2 with conditional-PUT commits.
 
-    Other cloud schemes raise with a pointer to the extension seam (the
-    reference ships S3/Azure backends behind the same trait;
-    MemoryBackend documents the contract a real one must meet).
+    ``register_backend_factory`` overrides or extends the scheme table (the
+    reference ships S3/Azure backends behind the same trait; MemoryBackend
+    documents the contract a new one must meet).
     """
     parsed = urlparse(table_uri)
+    if parsed.scheme in _BACKEND_FACTORIES:
+        root = table_uri.rstrip("/")
+        return root, _BACKEND_FACTORIES[parsed.scheme](table_uri)
     if parsed.scheme in ("", "file"):
         root = parsed.path if parsed.scheme == "file" else table_uri
         return os.path.abspath(root), LocalFileBackend()
@@ -342,7 +587,10 @@ def parse_table_uri(table_uri: str) -> tuple[str, StorageBackend]:
         return f"memory://{parsed.netloc}{parsed.path}".rstrip("/"), MemoryBackend()
     if parsed.scheme in ("s3", "s3a"):
         return f"s3://{parsed.netloc}{parsed.path}".rstrip("/"), S3Backend()
+    if parsed.scheme in ("abfss", "abfs"):
+        return table_uri.rstrip("/"), AdlsBackend()
     raise NotImplementedError(
         f"storage scheme {parsed.scheme!r} not available in this environment; "
-        "implement a StorageBackend (see reference rust/src/storage/) and register it"
+        "implement a StorageBackend (see reference rust/src/storage/) and "
+        "register it with register_backend_factory"
     )

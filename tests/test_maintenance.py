@@ -426,3 +426,41 @@ def test_vacuum_reaps_aged_change_files(spark, tmp_path, sf_dir):
     assert not os.path.exists(cdc_dir) or not os.listdir(cdc_dir)
     # the table itself is untouched
     assert DeltaTable(uri).to_df(spark).count() == t.to_df(spark).count()
+
+
+def test_vacuum_reaps_aged_losing_writer_temp_commits(spark, tmp_path, sf_dir):
+    """A conditional-PUT loser (or crashed writer) leaves
+    `_delta_log/_commit_<token>.json.tmp`; vacuum reaps it once aged —
+    the repair role the reference's DynamoDB lock plays inline
+    (rust/src/storage/s3/mod.rs:495-546) — while a FRESH temp commit
+    (an in-flight writer) is kept, and table state is unaffected."""
+    import os
+    import time as _time
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    uri = str(tmp_path / "tc")
+    write_deltalake(spark, docs, uri)
+    t = DeltaTable(uri)
+    version = t.version
+    n_rows = t.to_df(spark).count()
+
+    log_dir = os.path.join(uri, "_delta_log")
+    aged = os.path.join(log_dir, "_commit_deadbeef.json.tmp")
+    fresh = os.path.join(log_dir, "_commit_cafebabe.json.tmp")
+    for p in (aged, fresh):
+        with open(p, "w") as fh:
+            fh.write('{"commitInfo":{}}\n')
+    old = _time.time() - 169 * 3600
+    os.utime(aged, (old, old))
+
+    listed = t.vacuum(retention_hours=168, dry_run=True)
+    assert "_delta_log/_commit_deadbeef.json.tmp" in listed
+    assert "_delta_log/_commit_cafebabe.json.tmp" not in listed
+    t.vacuum(retention_hours=168, dry_run=False)
+    assert not os.path.exists(aged)
+    assert os.path.exists(fresh)  # in-flight commit untouched
+    t2 = DeltaTable(uri)
+    assert t2.version == version
+    assert t2.to_df(spark).count() == n_rows
