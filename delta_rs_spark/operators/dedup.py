@@ -22,7 +22,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 # Mersenne prime 2^31-1 for the universal-hash permutation family: with
@@ -293,42 +292,40 @@ def minhash_lsh_dedup(
 
 
 # ---------------------------------------------------------------------------
-# 4. SimHash (vectorized pandas UDF — bit twiddling built-ins can't express)
+# 4. SimHash (pure codegen — no Python anywhere in the path)
 # ---------------------------------------------------------------------------
 
-@F.pandas_udf(T.LongType())
-def simhash64(texts):  # type: ignore[no-untyped-def]
-    """64-bit SimHash over word tokens, md5-based (stable across processes).
+def simhash64(text_col) -> "F.Column":
+    """64-bit SimHash over word tokens, md5-based (stable across processes),
+    computed entirely in whole-stage codegen.
 
-    Arrow-batched: one numpy pass per batch, no per-row Python loop over bits.
+    Per row: tokenize, hash each word's md5 hex prefix into a 64-bit value
+    (two 32-bit halves via ``conv`` — each half fits a signed long), fold the
+    words into a 64-slot ±1 vote vector with ``aggregate``/``zip_with``, and
+    pack ``votes > 0`` into a long with bitwise-or of shifted bits (shifts
+    wrap bitwise, so bit 63 never trips ANSI overflow). Bit-identical to the
+    previous Arrow-batched pandas UDF, but JVM-side — no Python workers, no
+    Arrow transfer, and the expression pipelines inside the scan stage.
     """
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
-
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        if text is None:
-            continue
-        words = str(text).lower().split()
-        if not words:
-            continue
-        hashes = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
-                for w in words
-            ),
-            dtype=np.uint64,
-            count=len(words),
-        )
-        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-        votes = (2 * bits - 1).sum(axis=0)
-        fp = np.uint64(0)
-        for bit_idx in np.nonzero(votes > 0)[0]:
-            fp |= np.uint64(1) << np.uint64(bit_idx)
-        out[i] = np.int64(fp)
-    return pd.Series(out)
+    words = f"filter(split(lower({text_col}), '\\\\s+'), w -> w != '')"
+    hashes = (
+        f"transform({words}, w -> struct("
+        "cast(conv(substr(md5(w), 1, 8), 16, 10) as bigint) as hi, "
+        "cast(conv(substr(md5(w), 9, 8), 16, 10) as bigint) as lo))"
+    )
+    votes = (
+        f"aggregate({hashes}, array_repeat(0, 64), (acc, h) -> "
+        "zip_with(acc, sequence(0, 63), (v, j) -> v + "
+        "CASE WHEN (CASE WHEN j < 32 THEN shiftright(h.lo, j) "
+        "ELSE shiftright(h.hi, j - 32) END & 1) = 1 THEN 1 ELSE -1 END))"
+    )
+    # pack: or-together shiftleft(1, j) for every positive-vote bit
+    fp = (
+        "aggregate(zip_with(__votes__, sequence(0, 63), (v, j) -> "
+        "CASE WHEN v > 0 THEN shiftleft(cast(1 as bigint), j) "
+        "ELSE cast(0 as bigint) END), cast(0 as bigint), (acc, x) -> acc | x)"
+    ).replace("__votes__", votes)
+    return F.coalesce(F.expr(fp), F.lit(0).cast("long"))
 
 
 def simhash_pairs(
@@ -346,7 +343,7 @@ def simhash_pairs(
     n_bands = max_hamming + 1
     width = 64 // n_bands
 
-    fp = df.select(id_col, simhash64(F.col(text_col)).alias("fp"))
+    fp = df.select(id_col, simhash64(text_col).alias("fp"))
     bands = fp.select(
         id_col,
         "fp",
