@@ -27,9 +27,18 @@ class VacuumError(Exception):
 
 # ---- checkpoint writer -------------------------------------------------------
 
-def create_checkpoint(table) -> CheckPoint:
-    """Write a single-part checkpoint parquet for the table's current snapshot
-    and update ``_last_checkpoint``."""
+# actions per checkpoint part: a 100 TB table can hold millions of file
+# actions — one giant parquet makes every snapshot load (and the driver that
+# writes it) choke on a single object. The reference reads this multi-part
+# layout (rust/src/delta.rs:445-502); parts are written at this granularity.
+CHECKPOINT_PART_ROWS = 250_000
+
+
+def create_checkpoint(table, part_rows: Optional[int] = None) -> CheckPoint:
+    """Write a checkpoint for the table's current snapshot and update
+    ``_last_checkpoint``: single-part parquet for small logs, the
+    ``{v:020d}.checkpoint.{part:010d}.{parts:010d}.parquet`` multi-part
+    layout once the action count exceeds ``part_rows``."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -65,18 +74,37 @@ def create_checkpoint(table) -> CheckPoint:
         rows.append({"add": add_d})
 
     rows = [_drop_empty_dicts(r) for r in rows]
-    arrays = _rows_to_struct_columns(pa, rows, pcols, ptypes)
-    tbl = pa.table(arrays)
 
-    cp = CheckPoint(version=snap.version, size=len(rows))
-    path = table.log.checkpoint_paths(CheckPoint(version=snap.version))[0]
-    # serialize through the storage backend (memory/object-store safe);
-    # checkpoints are metadata-sized, so an in-memory buffer is fine
     import io
 
-    buf = io.BytesIO()
-    pq.write_table(tbl, buf, compression="snappy")
-    table.log.backend.put_obj(path, buf.getvalue())
+    limit = part_rows or CHECKPOINT_PART_ROWS
+    if len(rows) <= limit:
+        cp = CheckPoint(version=snap.version, size=len(rows))
+        path = table.log.checkpoint_paths(CheckPoint(version=snap.version))[0]
+        # serialize through the storage backend (memory/object-store safe);
+        # checkpoints are metadata-sized, so an in-memory buffer is fine
+        buf = io.BytesIO()
+        pq.write_table(pa.table(_rows_to_struct_columns(pa, rows, pcols, ptypes)), buf, compression="snappy")
+        table.log.backend.put_obj(path, buf.getvalue())
+        table.log.put_last_checkpoint(cp)
+        return cp
+
+    # multi-part: chunk the action rows into the reference's
+    # part-numbered layout; each part is a self-contained parquet (readers
+    # parse parts record-wise and independently, so per-part struct columns
+    # may differ — a part with no removes simply has no remove column)
+    n_parts = -(-len(rows) // limit)
+    cp = CheckPoint(version=snap.version, size=len(rows), parts=n_parts)
+    paths = table.log.checkpoint_paths(cp)
+    for part, path in enumerate(paths):
+        chunk = rows[part * limit : (part + 1) * limit]
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table(_rows_to_struct_columns(pa, chunk, pcols, ptypes)),
+            buf,
+            compression="snappy",
+        )
+        table.log.backend.put_obj(path, buf.getvalue())
     table.log.put_last_checkpoint(cp)
     return cp
 

@@ -916,6 +916,46 @@ def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_pii_redact",
+    """
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7, tel +1 555 123 4567.' AS text_pii
+      FROM documents
+    )
+    """
+    + text.PII_ORACLE_SQL_TEMPLATE.format(
+        table="seeded", id_col="doc_id", text_col="text_pii"
+    ),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: emails / IPv4 / phone shapes → typed placeholders,
+    pure regexp codegen (no UDF). The synthetic corpus carries no real PII,
+    so the query seeds each document with a deterministic email+IP+phone
+    suffix — the oracle reproduces the seeding and the redaction
+    byte-for-byte, proving each pattern actually fires."""
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7, tel +1 555 123 4567."),
+        ).alias("text_pii"),
+    )
+    return (
+        text.pii_redact(seeded, text_col="text_pii")
+        .select("doc_id", "text_redacted")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "corpus_dup_rate_by_source",
     """
     WITH freq AS (

@@ -464,3 +464,41 @@ def test_vacuum_reaps_aged_losing_writer_temp_commits(spark, tmp_path, sf_dir):
     t2 = DeltaTable(uri)
     assert t2.version == version
     assert t2.to_df(spark).count() == n_rows
+
+
+def test_multi_part_checkpoint_write_and_reload(spark, tmp_path, sf_dir):
+    """Writing past the per-part row limit produces the reference's
+    multi-part layout ({v}.checkpoint.{part}.{parts}.parquet +
+    _last_checkpoint with parts), and a fresh snapshot restored from it
+    equals the live state."""
+    import os
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.maintenance import create_checkpoint
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(50)
+    uri = str(tmp_path / "mp")
+    write_deltalake(spark, docs, uri)
+    t = DeltaTable(uri)
+    t.delete(spark, "doc_id % 7 = 0")
+    t = DeltaTable(uri)
+
+    cp = create_checkpoint(t, part_rows=3)  # force several parts
+    assert cp.parts and cp.parts > 1
+    log_dir = os.path.join(uri, "_delta_log")
+    part_files = [f for f in os.listdir(log_dir) if ".checkpoint." in f]
+    assert len(part_files) == cp.parts
+    assert all(f.endswith(f".{cp.parts:010d}.parquet") for f in part_files)
+
+    # wipe the JSON commits the checkpoint covers: the reload below can only
+    # succeed through the multi-part checkpoint itself
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and not f.startswith("_"):
+            os.remove(os.path.join(log_dir, f))
+    t2 = DeltaTable(uri)
+    assert t2.version == t.version
+    assert sorted(a.path for a in t2.add_actions()) == sorted(
+        a.path for a in t.add_actions()
+    )
+    assert t2.to_df(spark).count() == t.to_df(spark).count()
+    assert t2.metadata().to_json_dict() == t.metadata().to_json_dict()

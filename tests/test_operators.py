@@ -646,3 +646,24 @@ def test_stratified_take_exact_counts_and_determinism(spark, sf_dir):
     out2 = sampling.stratified_take(docs.repartition(13), "source", 5, id_col="doc_id")
     ids2 = sorted(r["doc_id"] for r in out2.select("doc_id").collect())
     assert ids1 == ids2
+
+
+def test_pii_redact_patterns(spark):
+    from delta_rs_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "server at 192.168.1.254 down"),
+            (3, "call +1 (555) 123-4567 today"),
+            (4, "clean text, no identifiers here"),
+            (5, "a@b.io and 10.0.0.1 and +44 20 7946 0958"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.text_redacted for r in pii_redact(df).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> down"
+    assert out[3] == "call <PHONE> today"
+    assert out[4] == "clean text, no identifiers here"
+    assert out[5] == "<EMAIL> and <IP> and <PHONE>"
