@@ -146,3 +146,89 @@ def top_ngrams(
         .orderBy(F.col("occurrences").desc(), "shingle")
         .limit(k)
     )
+
+
+def contamination_rates_bloom(
+    spark,
+    df: DataFrame,
+    benchmark_filter,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits_per_key: int = 16,
+    n_probes: int = 6,
+) -> DataFrame:
+    """`contamination_rates` with a broadcast Bloom prefilter — the 100 TB
+    shape. Identical output (the Bloom filter only PRUNES; an exact
+    semi-join verifies every surviving candidate, so false positives never
+    reach the result).
+
+    Why: the exact form shuffles every distinct corpus shingle into the
+    benchmark join. At 100 TB that is the dominant shuffle, yet almost all
+    shingles are clean. Here the benchmark vocabulary (bounded: an eval
+    suite) is folded into an m-bit Bloom bitset held by the driver and
+    embedded as ONE array<bigint> literal; membership is a pure-codegen
+    AND of k probe-bit tests, evaluated map-side inside the scan stage.
+    Only Bloom-passing shingles (true hits + ~0.04% false positives at
+    16 bits/key) enter the broadcast verify join — shuffle volume drops
+    from |corpus shingles| to |contaminated + fp|.
+
+    Probe positions are computed IN Spark (``xxhash64(shingle, i)``) for
+    both the build and probe sides, so driver and executors can never
+    disagree on the hash function.
+    """
+    bench_vocab = (
+        _shingled(df.filter(benchmark_filter), n, id_col, text_col)
+        .select("shingle")
+        .distinct()
+    )
+    n_bench = bench_vocab.count()
+    m = 1 << max(6, (max(1, n_bench * bits_per_key) - 1).bit_length())
+
+    probe_cols = [
+        F.pmod(F.xxhash64("shingle", F.lit(i)), F.lit(m)).alias(f"p{i}")
+        for i in range(n_probes)
+    ]
+    words = [0] * (m // 64)
+    for r in bench_vocab.select(*probe_cols).collect():
+        for i in range(n_probes):
+            b = r[i]
+            words[b >> 6] |= 1 << (b & 63)
+    # array<bigint> literal wants signed longs
+    bits = F.lit([w - (1 << 64) if w >= (1 << 63) else w for w in words])
+
+    member = None
+    for i in range(n_probes):
+        probe = f"pmod(xxhash64(shingle, {i}), {m}L)"
+        test = F.expr(
+            f"(shiftright(element_at(_bloom, cast({probe} div 64 as int) + 1), "
+            f"cast({probe} % 64 as int)) & 1) = 1"
+        )
+        member = test if member is None else (member & test)
+
+    doc_shingles = _shingled(
+        df.filter(~benchmark_filter), n, id_col, text_col
+    ).distinct()
+    totals = doc_shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        doc_shingles.withColumn("_bloom", bits)
+        .filter(member)
+        .drop("_bloom")
+        .join(F.broadcast(bench_vocab), "shingle", "left_semi")  # exact verify
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .withColumn("n_contaminated", F.coalesce("n_contaminated", F.lit(0)))
+        .withColumn(
+            "contamination_rate",
+            F.round(
+                (
+                    F.col("n_contaminated").cast("decimal(18,6)")
+                    / F.col("n_shingles")
+                ).cast("double"),
+                6,
+            ),
+        )
+    )

@@ -501,6 +501,19 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.contamination_rates(docs, F.col("source") == "src0").orderBy("doc_id")
 
 
+@query("text_contamination_bloom", _CONTAMINATION_ORACLE)
+def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination scale path: broadcast Bloom prefilter (bitset as
+    one array literal, probes in codegen) + exact semi-join verify. Same
+    oracle as the exact form — the Bloom filter only prunes, never decides,
+    so the output is bit-identical while the shuffle carries only
+    Bloom-passing candidates instead of every corpus shingle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.contamination_rates_bloom(
+        spark, docs, F.col("source") == "src0"
+    ).orderBy("doc_id")
+
+
 _TOP_NGRAMS_ORACLE = r"""
 WITH words AS (
   SELECT string_split_regex(lower(text), '\s+') AS w FROM documents

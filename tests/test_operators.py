@@ -667,3 +667,27 @@ def test_pii_redact_patterns(spark):
     assert out[3] == "call <PHONE> today"
     assert out[4] == "clean text, no identifiers here"
     assert out[5] == "<EMAIL> and <IP> and <PHONE>"
+
+
+def test_contamination_bloom_matches_exact(spark):
+    from delta_rs_spark.operators.corpus import (
+        contamination_rates,
+        contamination_rates_bloom,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "bench"),
+            (2, "the quick brown fox sat still all day long", "train"),
+            (3, "completely unrelated words about maritime law", "train"),
+            (4, "the quick brown fox jumps over the lazy dog", "train"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    cond = F.col("source") == "bench"
+    exact = sorted(map(tuple, contamination_rates(df, cond).collect()))
+    bloom = sorted(map(tuple, contamination_rates_bloom(spark, df, cond).collect()))
+    assert exact == bloom
+    by_id = {r[0]: r for r in bloom}
+    assert by_id[4][2] == by_id[4][1]  # verbatim copy: fully contaminated
+    assert by_id[3][2] == 0  # unrelated doc: zero hits survive the verify join
