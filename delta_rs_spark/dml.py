@@ -187,7 +187,7 @@ def _stage_and_swap(
     version."""
     import uuid as _uuid
 
-    from .writer import _promote_staged_files, check_constraints
+    from .writer import _promote_staged_files, check_constraints, data_skipping_columns
 
     log = table.log
     pcols = table.metadata().partition_columns
@@ -202,7 +202,15 @@ def _stage_and_swap(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(staging_dir)
-    adds = _promote_staged_files(spark, log, staging_dir, pcols)
+    adds = _promote_staged_files(
+        spark,
+        log,
+        staging_dir,
+        pcols,
+        stats_columns=data_skipping_columns(
+            table.metadata().configuration, table.schema().names
+        ),
+    )
 
     cdc_actions: list = []
     if change_rows is not None:
@@ -563,7 +571,7 @@ def _stage_new_rows(spark: SparkSession, table: DeltaTable, rows: DataFrame) -> 
     per-file footer stats, partition layout) and return their Add actions."""
     import uuid as _uuid
 
-    from .writer import _promote_staged_files, check_constraints
+    from .writer import _promote_staged_files, check_constraints, data_skipping_columns
 
     log = table.log
     pcols = table.metadata().partition_columns
@@ -573,7 +581,15 @@ def _stage_new_rows(spark: SparkSession, table: DeltaTable, rows: DataFrame) -> 
     if pcols:
         writer = writer.partitionBy(*pcols)
     writer.parquet(staging)
-    return _promote_staged_files(spark, log, staging, pcols)
+    return _promote_staged_files(
+        spark,
+        log,
+        staging,
+        pcols,
+        stats_columns=data_skipping_columns(
+            table.metadata().configuration, table.schema().names
+        ),
+    )
 
 
 def update(

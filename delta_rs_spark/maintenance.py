@@ -318,7 +318,18 @@ def optimize(
             list(ex.map(rewrite, items))
 
     try:
-        adds = _promote_staged_files(spark, log, staging_root, pcols, data_change=False)
+        from .writer import data_skipping_columns
+
+        adds = _promote_staged_files(
+            spark,
+            log,
+            staging_root,
+            pcols,
+            data_change=False,
+            stats_columns=data_skipping_columns(
+                meta.configuration, full_schema.names
+            ),
+        )
     except BaseException:
         _remove_dir_tree(staging_root)
         raise

@@ -212,7 +212,20 @@ def write_deltalake(
     writer.parquet(staging_dir)
 
     # ---- 2+3. stats from footers, move into place ----------------------------
-    adds = _promote_staged_files(spark, log, staging_dir, partition_by)
+    # property semantics: the first N columns of the TABLE schema (not the
+    # incoming frame's column order)
+    if exists:
+        effective_cfg = table.metadata().configuration
+        schema_order = table.schema().names
+    else:
+        effective_cfg, schema_order = configuration, df.schema.names
+    adds = _promote_staged_files(
+        spark,
+        log,
+        staging_dir,
+        partition_by,
+        stats_columns=data_skipping_columns(effective_cfg, schema_order),
+    )
 
     # ---- 4. commit -------------------------------------------------------------
     params = {
@@ -355,12 +368,29 @@ def _check_schema(table: DeltaTable, df: DataFrame) -> None:
         )
 
 
+def data_skipping_columns(
+    configuration: Optional[dict], schema_names: Sequence[str]
+) -> Optional[set[str]]:
+    """Columns eligible for min/max/nullCount stats, honoring the public
+    ``delta.dataSkippingNumIndexedCols`` table property (default 32, -1 =
+    all). At 100 TB, footer stats for every column of a 500-column table
+    are real commit-time and log-size cost — the property bounds it to the
+    leading schema columns, which is where partition-adjacent filter keys
+    live by convention. Returns None for "no restriction"."""
+    n_raw = (configuration or {}).get("delta.dataSkippingNumIndexedCols")
+    n = int(n_raw) if n_raw is not None else 32
+    if n < 0 or n >= len(schema_names):
+        return None
+    return set(schema_names[:n])
+
+
 def _promote_staged_files(
     spark: SparkSession,
     log: DeltaLog,
     staging_dir: str,
     partition_by: Sequence[str],
     data_change: bool = True,
+    stats_columns: Optional[set[str]] = None,
 ) -> list[AddAction]:
     """Stats from footers (distributed), then move files to final names.
 
@@ -371,7 +401,7 @@ def _promote_staged_files(
     from concurrent.futures import ThreadPoolExecutor
 
     staged = _list_parquet_files(staging_dir)
-    stats_by_path = _collect_footer_stats(spark, staged)
+    stats_by_path = _collect_footer_stats(spark, staged, stats_columns)
 
     def promote(item: tuple[int, str]) -> AddAction:
         i, src = item
@@ -433,29 +463,33 @@ def _parse_partition_path(part_dir: str) -> dict[str, Optional[str]]:
 
 # ---- footer stats (metadata-only, distributed) ------------------------------
 
-def _collect_footer_stats(spark: SparkSession, paths: list[str]) -> dict[str, str]:
+def _collect_footer_stats(
+    spark: SparkSession, paths: list[str], stats_columns: Optional[set[str]] = None
+) -> dict[str, str]:
     """path → Delta stats JSON, by reading parquet footers on executors.
 
     Row-group min/max/null_count aggregate to file-level stats. Binary and
     nested columns get null counts only (min/max on bytes is not meaningful
-    in Delta's JSON stats). A handful of files is done inline on the driver
-    to skip job-launch overhead.
+    in Delta's JSON stats); ``stats_columns`` (from
+    ``delta.dataSkippingNumIndexedCols``) restricts which columns get stats
+    at all — numRecords is always kept. A handful of files is done inline
+    on the driver to skip job-launch overhead.
     """
     if not paths:
         return {}
     if len(paths) <= 8:
-        return {p: _footer_stats_json(p) for p in paths}
+        return {p: _footer_stats_json(p, stats_columns) for p in paths}
     sc = spark.sparkContext
     n_slices = min(len(paths), int(sc.defaultParallelism) * 2)
     pairs = (
         sc.parallelize(paths, n_slices)
-        .map(lambda p: (p, _footer_stats_json(p)))
+        .map(lambda p: (p, _footer_stats_json(p, stats_columns)))
         .collect()
     )
     return dict(pairs)
 
 
-def _footer_stats_json(path: str) -> str:
+def _footer_stats_json(path: str, stats_columns: Optional[set[str]] = None) -> str:
     import json
 
     import pyarrow.parquet as pq
@@ -475,6 +509,8 @@ def _footer_stats_json(path: str) -> str:
     simple_fields = {}
     for field in arrow_schema:
         if pa.types.is_nested(field.type):
+            continue
+        if stats_columns is not None and field.name not in stats_columns:
             continue
         simple_fields[field.name] = field.type
 

@@ -474,3 +474,38 @@ def test_convert_to_delta_sql(spark, tmp_path, lineitem):
     res = sql(spark, f"CONVERT TO DELTA parquet.`{pdir}`").collect()[0]
     assert int(res["numConvertedFiles"]) >= 1
     assert DeltaTable(pdir).to_df(spark).count() == 40
+
+
+def test_data_skipping_num_indexed_cols(spark, tmp_path):
+    """delta.dataSkippingNumIndexedCols bounds per-file stats to the leading
+    table-schema columns (public Delta property; default 32 = all columns
+    here): min/max/nullCount only for the first N, numRecords always."""
+    import json
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    df = spark.range(0, 100).selectExpr(
+        "id AS a", "id * 2 AS b", "id * 3 AS c", "CAST(id AS STRING) AS d"
+    )
+    uri = str(tmp_path / "ix")
+    write_deltalake(
+        spark, df, uri, configuration={"delta.dataSkippingNumIndexedCols": "2"}
+    )
+    t = DeltaTable(uri)
+    for a in t.add_actions():
+        st = json.loads(a.stats)
+        assert st["numRecords"] > 0
+        assert set(st["minValues"]) <= {"a", "b"}
+        assert set(st["maxValues"]) <= {"a", "b"}
+        assert set(st["nullCount"]) <= {"a", "b"}
+        assert "a" in st["minValues"]  # indexed columns DO get stats
+
+    # appends to the existing table honor the stored property too
+    write_deltalake(spark, df, uri, mode="append")
+    t2 = DeltaTable(uri)
+    assert all(
+        set(json.loads(a.stats)["minValues"]) <= {"a", "b"} for a in t2.add_actions()
+    )
+    # and stats pruning on an indexed column still works
+    pruned = t2.snapshot.files(skip_predicates=[("a", ">", 1_000_000)])
+    assert pruned == []
