@@ -380,3 +380,68 @@ SELECT {id_col} AS doc_id,
          '\\+?\\d[\\d() -]{{7,}}\\d', '<PHONE>', 'g') AS text_redacted
 FROM {table} ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Character-level Shannon entropy (gibberish / compression-quality signal)
+# ---------------------------------------------------------------------------
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy over characters, in bits.
+
+    Low entropy flags repeated-character junk and template boilerplate;
+    implausibly high entropy flags binary-ish noise — both standard
+    pretraining quality filters. Uses H = log2(N) - Σ n_c·log2(n_c) / N so
+    every log argument is an integer COUNT (engine-invariant inputs); each
+    term is decimal-quantized before the sum so reduction order can't move
+    the result. Two map-side-combinable aggregations; the shuffle carries
+    (doc, char) partial counts — ∝ corpus bytes, the floor for any
+    character statistic.
+    """
+    chars = df.filter(F.length(text_col) > 0).select(
+        id_col, F.explode(F.split(F.col(text_col), "")).alias("ch")
+    )
+    counts = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("n_c"))
+    return (
+        counts.groupBy(id_col)
+        .agg(
+            F.sum("n_c").alias("n_chars"),
+            F.sum(
+                (F.col("n_c") * F.log2("n_c")).cast("decimal(28,12)")
+            ).alias("_s"),
+        )
+        .select(
+            id_col,
+            F.col("n_chars"),
+            F.round(
+                (
+                    F.log2("n_chars").cast("decimal(28,12)")
+                    - F.col("_s") / F.col("n_chars")
+                ).cast("double"),
+                6,
+            ).alias("char_entropy"),
+        )
+    )
+
+
+CHAR_ENTROPY_ORACLE_SQL_TEMPLATE = """
+WITH chars AS (
+  SELECT {id_col} AS doc_id, unnest(string_split({text_col}, '')) AS ch
+  FROM {table} WHERE length({text_col}) > 0
+),
+counts AS (
+  SELECT doc_id, ch, count(*) AS n_c FROM chars GROUP BY doc_id, ch
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(n_c) AS BIGINT) AS n_chars,
+         SUM(CAST(n_c * log2(n_c) AS DECIMAL(28,12))) AS s
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_chars,
+       round(CAST(CAST(log2(n_chars) AS DECIMAL(28,12)) - s / n_chars AS DOUBLE), 6)
+         AS char_entropy
+FROM agg ORDER BY doc_id
+"""

@@ -501,6 +501,20 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.contamination_rates(docs, F.col("source") == "src0").orderBy("doc_id")
 
 
+@query(
+    "text_char_entropy",
+    text.CHAR_ENTROPY_ORACLE_SQL_TEMPLATE.format(
+        table="documents", id_col="doc_id", text_col="text"
+    ),
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the gibberish /
+    boilerplate pretraining quality signal. Integer-count log arguments +
+    per-term decimal quantization make the value engine-invariant."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.char_entropy(docs).orderBy("doc_id")
+
+
 @query("text_contamination_bloom", _CONTAMINATION_ORACLE)
 def q_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The decontamination scale path: broadcast Bloom prefilter (bitset as

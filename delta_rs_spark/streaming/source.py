@@ -77,6 +77,7 @@ class DeltaStreamReader(DataSourceStreamReader):
             str(options.get("readchangefeed", "false")).lower() == "true"
         )
         self.max_files_per_trigger = int(options.get("maxfilespertrigger", 0) or 0)
+        self.max_bytes_per_trigger = int(options.get("maxbytespertrigger", 0) or 0)
         # highest version already exposed through an offset; None until we
         # learn the stream position (initialOffset on fresh queries,
         # partitions()/commit() after a checkpoint restart)
@@ -93,41 +94,58 @@ class DeltaStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         """Latest table version — bounded to ~maxFilesPerTrigger data files
-        per trigger when set (Delta-source rate limiting: a month-long
-        backfill becomes many bounded micro-batches instead of one giant
-        first batch). The Python DataSource API has no admission-control
+        and/or ~maxBytesPerTrigger bytes per trigger when set (Delta-source
+        rate limiting: a month-long backfill becomes many bounded
+        micro-batches instead of one giant first batch; the bytes bound is
+        what actually protects executor memory when file sizes vary).
+        The Python DataSource API has no admission-control
         hook and may call this before initialOffset, so the walk
         bootstraps from startingVersion; after a checkpoint restart the
         real stream position is re-learned in partitions() (clamped
         forward on both ends), so a cold bound can cost one empty batch
-        but never replays rows. Use a processing-time trigger with
-        processAllAvailable/steady polling — trigger(availableNow=True)
-        snapshots ONE bounded offset and stops there."""
+        but never replays rows. Offsets are whole versions, so a single
+        commit larger than the bound still ships complete (same as the
+        Delta source's at-least-one-file admission). Use a
+        processing-time trigger with processAllAvailable/steady polling —
+        trigger(availableNow=True) snapshots ONE bounded offset and stops
+        there."""
         latest = self._table.update()
         if self._planned is None:
             self._planned = self.starting_version - 1
-        if not self.max_files_per_trigger or latest <= self._planned:
+        bounded = self.max_files_per_trigger or self.max_bytes_per_trigger
+        if not bounded or latest <= self._planned:
             self._planned = latest
             return {"version": latest}
-        end, n = self._planned, 0
+        end, n, nbytes = self._planned, 0, 0
         for v in range(self._planned + 1, latest + 1):
-            n_files = self._data_file_count(v)
-            if end > self._planned and n + n_files > self.max_files_per_trigger:
+            n_files, v_bytes = self._data_file_weight(v)
+            over_files = (
+                self.max_files_per_trigger
+                and n + n_files > self.max_files_per_trigger
+            )
+            over_bytes = (
+                self.max_bytes_per_trigger
+                and nbytes + v_bytes > self.max_bytes_per_trigger
+            )
+            if end > self._planned and (over_files or over_bytes):
                 break
             n += n_files
+            nbytes += v_bytes
             end = v
         self._planned = end
         return {"version": end}
 
-    def _data_file_count(self, version: int) -> int:
+    def _data_file_weight(self, version: int) -> tuple[int, int]:
+        """(data file count, total bytes) a version contributes to a batch."""
         from ..protocol.actions import AddAction, CdcAction
 
         actions = self._table.log.try_read_commit(version) or []
-        return sum(
-            1
-            for a in actions
-            if (isinstance(a, AddAction) and a.data_change) or isinstance(a, CdcAction)
-        )
+        n, nbytes = 0, 0
+        for a in actions:
+            if (isinstance(a, AddAction) and a.data_change) or isinstance(a, CdcAction):
+                n += 1
+                nbytes += a.size or 0
+        return n, nbytes
 
     def partitions(self, start: dict, end: dict) -> list[DeltaFilePartition]:
         from ..protocol.actions import AddAction, RemoveAction

@@ -202,6 +202,20 @@ def write_deltalake(
         check_constraints(df, configuration)
 
     # ---- 1. stage the data with Spark -------------------------------------
+    # optimizeWrite (public Delta property): one pre-write shuffle keyed on
+    # the partition columns, so each partition value is written by one task
+    # — a 1000-task job appending to 50 partitions produces 50 files, not
+    # 50,000. The small-files problem is cheaper to prevent at write time
+    # than to repair with OPTIMIZE later. No-op for unpartitioned tables
+    # (file count there is already bounded by input parallelism).
+    cfg_for_write = table.metadata().configuration if exists else configuration
+    if (
+        partition_by
+        and str((cfg_for_write or {}).get("delta.autoOptimize.optimizeWrite", ""))
+        .lower()
+        == "true"
+    ):
+        df = df.repartition(*partition_by)
     staging_name = f".tmp-commit-{uuid.uuid4().hex}"
     staging_dir = log.backend.join(log.table_root, staging_name)
     writer = df.write.mode("overwrite")

@@ -381,6 +381,42 @@ def test_stream_rate_limit_bounds_each_trigger(spark, tmp_path):
     assert fast.latestOffset() == {"version": 3}
 
 
+def test_stream_rate_limit_bytes_bounds_each_trigger(spark, tmp_path):
+    """maxBytesPerTrigger: the walk stops before the byte budget overflows,
+    but a single over-budget commit still ships whole (at-least-one-version
+    admission, like the Delta source's at-least-one-file rule)."""
+    uri = str(tmp_path / "rlb_tbl")
+    for lo in range(0, 8, 2):  # 4 commits
+        _mk_table(spark, uri, lo, 2)
+
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.streaming.source import DeltaStreamReader
+
+    # budget = one commit's bytes: exactly one version per trigger
+    per_commit = sum(
+        a.size for a in DeltaTable(uri).add_actions()
+    ) // 4
+    reader = DeltaStreamReader(
+        None,
+        {"path": uri, "startingversion": "0", "maxbytespertrigger": str(per_commit)},
+    )
+    reader.initialOffset()
+    offsets = []
+    while True:
+        end = reader.latestOffset()["version"]
+        if offsets and end == offsets[-1]:
+            break
+        offsets.append(end)
+    assert offsets == [0, 1, 2, 3]
+
+    # a tiny budget (1 byte) still admits one version per trigger
+    tiny = DeltaStreamReader(
+        None, {"path": uri, "startingversion": "0", "maxbytespertrigger": "1"}
+    )
+    tiny.initialOffset()
+    assert tiny.latestOffset() == {"version": 0}
+
+
 def test_stream_rate_limit_end_to_end(spark, tmp_path):
     """Throttled stream drains completely under processAllAvailable and
     delivers every row exactly once."""

@@ -509,3 +509,35 @@ def test_data_skipping_num_indexed_cols(spark, tmp_path):
     # and stats pruning on an indexed column still works
     pruned = t2.snapshot.files(skip_predicates=[("a", ">", 1_000_000)])
     assert pruned == []
+
+
+def test_optimize_write_bounds_files_per_partition(spark, tmp_path):
+    """delta.autoOptimize.optimizeWrite: one pre-write shuffle on the
+    partition columns -> one file per partition value instead of one per
+    (task, partition value)."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    df = (
+        spark.range(0, 4000)
+        .repartition(16)  # 16 input tasks, each seeing every bucket value
+        .selectExpr("id", "id % 4 AS bucket")
+    )
+    plain_uri = str(tmp_path / "plain")
+    write_deltalake(spark, df, plain_uri, partition_by=["bucket"])
+    opt_uri = str(tmp_path / "opt")
+    write_deltalake(
+        spark,
+        df,
+        opt_uri,
+        partition_by=["bucket"],
+        configuration={"delta.autoOptimize.optimizeWrite": "true"},
+    )
+    n_plain = len(DeltaTable(plain_uri).add_actions())
+    n_opt = len(DeltaTable(opt_uri).add_actions())
+    assert n_opt == 4  # one file per partition value
+    assert n_plain > n_opt  # the un-optimized layout fragments
+    # identical content either way
+    assert (
+        DeltaTable(opt_uri).to_df(spark).orderBy("id").collect()
+        == DeltaTable(plain_uri).to_df(spark).orderBy("id").collect()
+    )
