@@ -59,8 +59,8 @@ class DeltaTable:
     def load_version(self, version: int) -> None:
         self._snapshot = Snapshot.load(self.log, version)
 
-    def load_with_datetime(self, ts: str | _dt.datetime) -> None:
-        """Time travel to the last version committed ≤ ts.
+    def version_at_timestamp(self, ts: str | _dt.datetime) -> int:
+        """Last version committed ≤ ts.
 
         Binary search over commit-file mtimes, like the reference
         (``rust/src/delta.rs:1041-1075``) but over the listed version range
@@ -85,7 +85,11 @@ class DeltaTable:
                 hi = mid - 1
         if best is None:
             raise DeltaTableError(f"no version of {self.table_uri} existed at {ts.isoformat()}")
-        self.load_version(best)
+        return best
+
+    def load_with_datetime(self, ts: str | _dt.datetime) -> None:
+        """Time travel to the last version committed ≤ ts."""
+        self.load_version(self.version_at_timestamp(ts))
 
     def update(self) -> int:
         """Refresh to the latest version (incremental apply); returns version."""
@@ -481,9 +485,13 @@ class DeltaTable:
             new_meta, "UNSET TBLPROPERTIES", {"properties": sorted(keys)}
         )
 
-    def restore(self, version: int) -> dict:
+    def restore(self, version: int | str | _dt.datetime) -> dict:
+        """Roll the table back to ``version`` — an integer, or a timestamp
+        (string / datetime) resolved to the last version committed ≤ it."""
         from .maintenance import restore as _restore
 
+        if not isinstance(version, int):
+            version = self.version_at_timestamp(version)
         return _restore(self, version)
 
     def shallow_clone(self, target_uri: str, version: Optional[int] = None) -> "DeltaTable":
@@ -497,9 +505,17 @@ class DeltaTable:
         spark: SparkSession,
         starting_version: int = 0,
         ending_version: Optional[int] = None,
+        starting_timestamp: str | _dt.datetime | None = None,
+        ending_timestamp: str | _dt.datetime | None = None,
     ) -> DataFrame:
+        """Row-level changes in a version range; timestamps (resolved to the
+        last version committed ≤ each) may replace either bound."""
         from .cdf import load_cdf as _load_cdf
 
+        if starting_timestamp is not None:
+            starting_version = self.version_at_timestamp(starting_timestamp)
+        if ending_timestamp is not None:
+            ending_version = self.version_at_timestamp(ending_timestamp)
         return _load_cdf(
             spark, self, starting_version=starting_version, ending_version=ending_version
         )

@@ -198,3 +198,32 @@ def test_load_cdf_out_of_range_versions_error(spark, cdf_table):
         cdf_table.load_cdf(spark, starting_version=0, ending_version=99)
     with pytest.raises(ValueError):
         cdf_table.load_cdf(spark, starting_version=7)  # latest is 0
+
+
+def test_timestamp_bounds_for_cdf_and_restore(spark, tmp_path, sf_dir):
+    """Timestamps resolve to the last version committed <= ts for both
+    load_cdf bounds and RESTORE (same binary search as load_with_datetime)."""
+    import datetime as dt
+    import os
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(20)
+    uri = str(tmp_path / "ts")
+    write_deltalake(spark, docs, uri)  # v0
+    t = DeltaTable(uri)
+    t.delete(spark, "doc_id % 2 = 0")  # v1
+    t = DeltaTable(uri)
+
+    after_v1 = dt.datetime.fromtimestamp(
+        t.log.commit_timestamp_ms(1) / 1000 + 1, tz=dt.timezone.utc
+    )
+    assert t.version_at_timestamp(after_v1) == 1
+
+    cdf = t.load_cdf(spark, ending_timestamp=after_v1)
+    assert {r["_commit_version"] for r in cdf.collect()} == {0, 1}
+
+    res = t.restore(after_v1)  # ts of v1 -> restore to v1 (no-op content-wise)
+    t2 = DeltaTable(uri)
+    assert res["version"] == 2
+    assert t2.to_df(spark).count() == t.to_df(spark).count()
