@@ -145,23 +145,77 @@ def _rows_to_struct_columns(pa, rows: list[dict], pcols, ptypes) -> dict:
 
 # ---- auto-checkpoint hook -----------------------------------------------------
 
-def _zorder_column(table, cols: list[str], bits: int = 16):
-    """Bit-interleaved Z-value expression over numeric columns.
+def _string_zorder_quantizer(table, spark, c: str, bits: int):
+    """Quantize a STRING column to ``bits`` bits via sampled rank
+    boundaries: collect ~100k sampled values (one bounded job), take 2^bits
+    evenly-spaced sorted boundaries driver-side, and bucket each row with a
+    codegen `aggregate` over the boundary-array literal (count of
+    boundaries ≤ value — order-preserving, which is what Z-ordering needs;
+    a hash would destroy locality). Mirrors how engines Z-order
+    non-numeric columns: range-id substitution, not numeric affine."""
+    from pyspark.sql import functions as F
 
-    Each column is affinely quantized to ``bits`` bits against its GLOBAL
-    min/max taken from the log's per-file stats (metadata-only — no scan),
-    then the bit planes are interleaved: z = …y₁x₁y₀x₀. Range-partitioning
+    n_buckets = 1 << bits
+    sampled = (
+        table.to_df(spark, columns=[c])
+        .filter(F.col(c).isNotNull())
+        .sample(False, 1.0, seed=42)
+        .limit(100_000)
+        .collect()
+    )
+    vals = sorted(r[0] for r in sampled)
+    if not vals:
+        return F.lit(0).cast("long")
+    step = max(1, len(vals) // n_buckets)
+    boundaries = sorted(set(vals[step::step]))[: n_buckets - 1]
+    if not boundaries:
+        return F.lit(0).cast("long")
+    b_lit = F.lit([str(b) for b in boundaries])
+    return F.coalesce(
+        F.aggregate(
+            b_lit,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(F.col(c).cast("string") >= b, 1).otherwise(0).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
+def _zorder_column(table, cols: list[str], bits: int = 16, spark=None):
+    """Bit-interleaved Z-value expression over numeric and string columns.
+
+    Numeric columns are affinely quantized to ``bits`` bits against their
+    GLOBAL min/max taken from the log's per-file stats (metadata-only — no
+    scan); string columns get sampled rank-boundary buckets (8 bits,
+    see ``_string_zorder_quantizer``). The bit planes are then
+    interleaved: z = …y₁x₁y₀x₀. Range-partitioning
     on z gives every output file a small hyper-rectangle of the value space,
     so min/max stats prune well for predicates on ANY of the columns — the
     multi-dimensional layout a single-column sort can't provide. Pure
     codegen (bitwise shifts/ors), evaluated once per row during the rewrite.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     from .protocol.stats import table_min_max
 
+    schema = table.schema()
+    types_by_name = {f.name: f.dataType for f in schema.fields}
+
     quantized = []
     for c in cols:
+        if isinstance(types_by_name.get(c), T.StringType):
+            if spark is None:
+                raise ValueError(f"zorder_by on string column {c!r} needs a SparkSession")
+            sbits = min(bits, 8)
+            q_str = _string_zorder_quantizer(table, spark, c, sbits)
+            # scale into the full bit width so the bucket occupies the HIGH
+            # bit planes — a narrower quantizer would otherwise contribute
+            # only zeros to the top interleaved bits and never influence
+            # the file split
+            quantized.append(q_str * F.lit(1 << (bits - sbits)).cast("long"))
+            continue
         mm = table_min_max(table.add_actions(), c)
         if mm is None:
             raise ValueError(
@@ -278,7 +332,7 @@ def optimize(
     if dry_run or not plan:
         return metrics
 
-    zcol = _zorder_column(table, zorder_by) if zorder_by else None
+    zcol = _zorder_column(table, zorder_by, spark=spark) if zorder_by else None
 
     full_schema = schema_string_to_spark(meta.schema_string)
     data_schema = type(full_schema)([f for f in full_schema.fields if f.name not in pcols])

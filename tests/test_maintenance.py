@@ -502,3 +502,26 @@ def test_multi_part_checkpoint_write_and_reload(spark, tmp_path, sf_dir):
     )
     assert t2.to_df(spark).count() == t.to_df(spark).count()
     assert t2.metadata().to_json_dict() == t.metadata().to_json_dict()
+
+
+def test_zorder_string_column_clusters_files(spark, tmp_path):
+    """Z-order over (numeric, STRING): string columns quantize via sampled
+    rank boundaries, so post-OPTIMIZE files cover narrow string ranges and
+    stats-pruning on the string column prunes to a file subset."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    df = spark.range(0, 2000).selectExpr(
+        "id", "concat('cat-', lpad(CAST(id % 50 AS STRING), 3, '0')) AS category"
+    ).repartition(8)
+    uri = str(tmp_path / "zs")
+    write_deltalake(spark, df, uri)
+    t = DeltaTable(uri)
+    t.optimize(spark, target_file_size=2 * 1024, zorder_by=["id", "category"])
+    t2 = DeltaTable(uri)
+    files = t2.add_actions()
+    assert len(files) > 1
+    # content preserved
+    assert t2.to_df(spark).count() == 2000
+    # clustering delivered: a point predicate on the STRING column prunes
+    pruned = t2.snapshot.files(skip_predicates=[("category", "=", "cat-007")])
+    assert 0 < len(pruned) < len(files)
