@@ -12,7 +12,7 @@ with tables addressed as ``delta.`/path/to/table```:
 - ``DESCRIBE HISTORY delta.`/p``` / ``DESCRIBE DETAIL delta.`/p```
 - ``VACUUM delta.`/p` [RETAIN <n> HOURS] [DRY RUN]``
 - ``OPTIMIZE delta.`/p` [ZORDER BY (a, b)]``
-- ``RESTORE delta.`/p` TO VERSION AS OF <n>``
+- ``RESTORE delta.`/p` TO VERSION AS OF <n> | TO TIMESTAMP AS OF 'ts'``
 
 - ``INSERT INTO delta.`/p` <select>`` / ``INSERT OVERWRITE delta.`/p`
   <select>`` — append / full overwrite of the query result.
@@ -304,9 +304,13 @@ def _optimize(spark: SparkSession, s: str) -> DataFrame:
 
 def _restore(spark: SparkSession, s: str) -> DataFrame:
     m = _require(
-        r"RESTORE\s+delta\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$", s, "RESTORE"
+        r"RESTORE\s+delta\.`([^`]+)`\s+TO\s+"
+        r"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')$",
+        s,
+        "RESTORE",
     )
-    res = _open(m.group(1), None, None).restore(int(m.group(2)))
+    target = int(m.group(2)) if m.group(2) is not None else m.group(3)
+    res = _open(m.group(1), None, None).restore(target)
     return _one_row(spark, res)
 
 

@@ -454,3 +454,24 @@ def test_dv_merge_cdf_changes(spark, tmp_path):
     ).collect()
     kinds = sorted(r["_change_type"] for r in rows)
     assert kinds == ["insert", "update_postimage", "update_preimage"]
+
+
+def test_dv_update_cdf_synthesizes_delete_plus_insert(spark, tmp_path):
+    """A MoR UPDATE without change files synthesizes as delete(old rows) +
+    insert(new rows): the swap add's new DV positions are the preimages,
+    the commit's fresh data file carries the postimages."""
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path, enable_cdf=False)
+    res = t.update_where(spark, "k = 2", {"v": "'upd'"})
+    t2 = DeltaTable.for_path(path)
+    rows = t2.load_cdf(
+        spark, starting_version=res["version"], ending_version=res["version"]
+    ).collect()
+    deletes = [r for r in rows if r["_change_type"] == "delete"]
+    inserts = [r for r in rows if r["_change_type"] == "insert"]
+    assert len(deletes) == res["numUpdatedRows"]
+    assert len(inserts) == res["numUpdatedRows"]
+    assert all(r.k == 2 for r in deletes + inserts)
+    # postimages carry the updated value; preimages the original
+    assert all(r.v == "upd" for r in inserts)
+    assert all(r.v != "upd" for r in deletes)
