@@ -1,0 +1,144 @@
+"""Incremental materialized-aggregate maintenance from the change feed.
+
+The 100 TB shape this exists for: a grouped rollup (counts + sums) over a
+huge fact table that receives hourly appends/deletes/updates. Recomputing
+the aggregate scans the full table every time; maintaining it incrementally
+touches only the CHANGED rows — work ∝ changes, never table size:
+
+1. The last-processed source version is read from the rollup table's ``txn``
+   watermark (the reference's exactly-once mechanism, E7 — same pattern as
+   ``dedup.update_dedup_index``); it commits atomically WITH the merge that
+   applies the deltas, so a crash either applies both or neither.
+2. Changed rows come from the source change feed (cdf.py) for the
+   unprocessed version range. Inserts/update-postimages count +1, deletes/
+   update-preimages count −1; signed partial aggregates collapse map-side.
+3. One MERGE folds the per-group deltas into the rollup (null-safe key
+   equality, arithmetic update for existing groups, plain insert for new
+   groups), then groups whose row count reached zero are deleted — a
+   cleanup that re-runs idempotently each refresh, covering a crash
+   between the two commits.
+
+Counts and sums are self-maintainable under deletion (subtractable);
+min/max are not — maintaining those incrementally requires recomputing
+affected groups, deliberately out of scope here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    source_table,
+    target_uri: str,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    app_id: str = "incremental-rollup",
+) -> dict[str, Any]:
+    """Maintain ``SELECT group_cols, count(*) AS n_rows, sum(c) AS sum_c...``
+    at ``target_uri``, incrementally. Returns refresh metrics; re-running
+    with no new source versions is a watermark-check no-op."""
+    from ..cdf import CHANGE_TYPE_COL, load_cdf
+    from ..dml import delete as _delete
+    from ..dml import merge as _merge
+    from ..protocol.actions import TxnAction
+    from ..protocol.snapshot import NotATableError
+    from ..table import DeltaTable
+    from ..writer import write_deltalake
+
+    import time as _time
+
+    group_cols = list(group_cols)
+    sum_cols = list(sum_cols)
+    current = source_table.version
+
+    def _agg(df, signed=False):
+        sign = (
+            F.when(
+                F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"), F.lit(1)
+            ).otherwise(F.lit(-1))
+            if signed
+            else F.lit(1)
+        )
+        return df.groupBy(*group_cols).agg(
+            F.sum(sign).cast("long").alias("n_rows"),
+            *[
+                F.coalesce(F.sum(F.col(c) * sign), F.lit(0))
+                .cast("double")
+                .alias(f"sum_{c}")
+                for c in sum_cols
+            ],
+        )
+
+    target = None
+    last: int | None = None
+    try:
+        target = DeltaTable(target_uri)
+        last = target.get_app_transaction_version(app_id)
+    except NotATableError:
+        pass
+
+    txn = TxnAction(app_id=app_id, version=current, last_updated=int(_time.time() * 1000))
+
+    if target is None or last is None:
+        full = _agg(source_table.to_df(spark))
+        write_deltalake(
+            spark,
+            full,
+            target_uri,
+            mode="overwrite" if target is not None else "error",
+            extra_actions=[txn],
+            operation_parameters_extra={"appId": app_id, "sourceVersion": current},
+        )
+        return {
+            "bootstrapped": True,
+            "processed_versions": current + 1,
+            "source_version": current,
+        }
+
+    start = last + 1
+    if start > current:
+        return {
+            "bootstrapped": False,
+            "processed_versions": 0,
+            "source_version": current,
+        }
+
+    changes = load_cdf(
+        spark, source_table, starting_version=start, ending_version=current
+    )
+    delta = _agg(changes, signed=True)
+
+    cond = " AND ".join(f"t.{g} <=> s.{g}" for g in group_cols)
+    assignments = {
+        "n_rows": "t.n_rows + s.n_rows",
+        **{
+            f"sum_{c}": f"coalesce(t.sum_{c}, 0) + coalesce(s.sum_{c}, 0)"
+            for c in sum_cols
+        },
+    }
+    m = _merge(
+        spark,
+        target,
+        delta,
+        cond,
+        when_matched_update=assignments,
+        extra_actions=[txn],
+    )
+    # groups whose count reached zero vanish from the rollup; running the
+    # cleanup every refresh (not just when the merge zeroed something) makes
+    # a crash between the merge commit and this one self-healing
+    target.update()
+    d = _delete(spark, target, "n_rows = 0")
+    return {
+        "bootstrapped": False,
+        "processed_versions": current - start + 1,
+        "source_version": current,
+        "groups_updated": m.get("numTargetRowsUpdated", 0),
+        "groups_inserted": m.get("numTargetRowsInserted", 0),
+        "groups_removed": d.get("numDeletedRows", 0),
+    }

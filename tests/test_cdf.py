@@ -227,3 +227,68 @@ def test_timestamp_bounds_for_cdf_and_restore(spark, tmp_path, sf_dir):
     t2 = DeltaTable(uri)
     assert res["version"] == 2
     assert t2.to_df(spark).count() == t.to_df(spark).count()
+
+
+def test_incremental_rollup_tracks_full_recompute(spark, tmp_path):
+    """Incrementally-maintained rollup == full recompute after appends,
+    deletes, and updates; re-running without new versions is a no-op; a
+    group whose rows all vanish is removed from the rollup."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.operators.incremental import incremental_rollup
+
+    src_uri = str(tmp_path / "src")
+    tgt_uri = str(tmp_path / "rollup")
+    df = spark.range(0, 100).selectExpr("id", "id % 5 AS g", "CAST(id AS DOUBLE) AS x")
+    write_deltalake(spark, df, src_uri)  # v0
+    src = DeltaTable(src_uri)
+
+    def recompute():
+        return sorted(
+            map(
+                tuple,
+                src.to_df(spark)
+                .groupBy("g")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.coalesce(F.sum("x"), F.lit(0)).cast("double").alias("sum_x"),
+                )
+                .collect(),
+            )
+        )
+
+    def rollup():
+        return sorted(map(tuple, DeltaTable(tgt_uri).to_df(spark).collect()))
+
+    m0 = incremental_rollup(spark, src, tgt_uri, ["g"], ["x"])
+    assert m0["bootstrapped"]
+    assert rollup() == recompute()
+
+    # appends (new groups too), a delete, and an update
+    write_deltalake(
+        spark,
+        spark.range(100, 140).selectExpr("id", "id % 7 AS g", "CAST(id AS DOUBLE) AS x"),
+        src_uri,
+        mode="append",
+    )
+    src = DeltaTable(src_uri)
+    src.delete(spark, "g = 2 AND id < 100")
+    src = DeltaTable(src_uri)
+    src.update_where(spark, "id = 8", {"x": "999.0"})  # g=3: untouched by the delete
+    src = DeltaTable(src_uri)
+
+    m1 = incremental_rollup(spark, src, tgt_uri, ["g"], ["x"])
+    assert not m1["bootstrapped"]
+    assert m1["processed_versions"] == 3
+    assert rollup() == recompute()
+
+    # no new versions -> watermark no-op
+    m2 = incremental_rollup(spark, src, tgt_uri, ["g"], ["x"])
+    assert m2["processed_versions"] == 0
+
+    # a group vanishing entirely drops out of the rollup
+    src.delete(spark, "g = 6")
+    src = DeltaTable(src_uri)
+    m3 = incremental_rollup(spark, src, tgt_uri, ["g"], ["x"])
+    assert m3["groups_removed"] == 1
+    assert rollup() == recompute()
+    assert not any(r[0] == 6 for r in rollup())
