@@ -4,6 +4,15 @@ Semantics match the reference (``rust/src/delta.rs:986-1014,1302-1397``):
 serialize actions to a temp NDJSON file, then atomically rename to
 ``{version:020d}.json``; on VersionAlreadyExists refresh and blindly retry at
 version+1 (v0 has no semantic conflict checking — ``delta.rs:1309-1322``).
+
+One deliberate strengthening over v0: a transaction that REMOVES files
+(DML rewrite, DV swap, OPTIMIZE, RESTORE) re-validates on retry that no
+intervening commit touched the same files — blind retry there would
+silently clobber a concurrent writer's swap (e.g. two merge-on-read
+deletes of the same file: the second would re-add the file with a DV built
+on the pre-first-delete state, resurrecting rows). Pure appends keep the
+reference's blind retry, so the reference writer's behavior is unchanged.
+
 The log is tiny driver-side I/O; executors are never involved.
 """
 
@@ -13,7 +22,7 @@ import time
 import uuid
 from typing import Any, Optional
 
-from .protocol.actions import Action, CommitInfoAction
+from .protocol.actions import Action, AddAction, CommitInfoAction, RemoveAction
 from .protocol.log import FileAlreadyExistsError
 
 DEFAULT_MAX_RETRY_COMMIT_ATTEMPTS = 10_000_000  # reference delta.rs:1158
@@ -21,6 +30,11 @@ DEFAULT_MAX_RETRY_COMMIT_ATTEMPTS = 10_000_000  # reference delta.rs:1158
 
 class TransactionError(Exception):
     pass
+
+
+class ConcurrentModificationError(TransactionError):
+    """A concurrent commit modified files this transaction removes/replaces;
+    retrying would lose that writer's changes. Re-read the table and re-run."""
 
 
 class DeltaTransaction:
@@ -61,10 +75,18 @@ class DeltaTransaction:
         log = self.table.log
         tmp = log.write_tmp_commit(actions, uuid.uuid4().hex)
 
+        removed_paths = {a.path for a in actions if isinstance(a, RemoveAction)}
+        base_version = self.table.version
+
         attempt = 0
         while True:
             attempt += 1
             version = self.table.update() + 1
+            if removed_paths and version - 1 > base_version:
+                self._check_remove_conflicts(
+                    log, tmp, removed_paths, base_version + 1, version - 1
+                )
+                base_version = version - 1  # each range is validated once
             try:
                 log.try_commit(tmp, version)
                 break
@@ -83,3 +105,30 @@ class DeltaTransaction:
         self.table.update()
         self.table._post_commit_hook(version)
         return version
+
+    @staticmethod
+    def _check_remove_conflicts(
+        log, tmp: str, removed_paths: set[str], lo: int, hi: int
+    ) -> None:
+        """Raise if any commit in [lo, hi] added or removed a file this
+        transaction removes — our actions were built against a state that no
+        longer holds for those files."""
+        for v in range(lo, hi + 1):
+            intervening = log.try_read_commit(v) or []
+            touched = {
+                a.path
+                for a in intervening
+                if isinstance(a, (AddAction, RemoveAction))
+            }
+            conflict = removed_paths & touched
+            if conflict:
+                try:
+                    log.backend.delete_obj(tmp)
+                except FileNotFoundError:
+                    pass
+                sample = sorted(conflict)[0]
+                raise ConcurrentModificationError(
+                    f"version {v} concurrently modified {len(conflict)} file(s) "
+                    f"this transaction rewrites (e.g. {sample}); re-read the "
+                    "table and re-run the operation"
+                )

@@ -161,3 +161,59 @@ def test_memory_backend_log_protocol():
     assert len(final.files()) == 13
     # time travel works over the memory log too
     assert len(DeltaTable.for_version(uri, 0).files()) == 1
+
+
+def test_concurrent_dml_same_file_raises(spark, tmp_path):
+    """Two writers DML the same file from the same base version: the loser
+    must raise ConcurrentModificationError instead of silently clobbering
+    the winner's swap (v0 blind retry is kept only for pure appends)."""
+    import pytest
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.transactions import ConcurrentModificationError
+
+    uri = str(tmp_path / "c")
+    df = spark.range(0, 100).selectExpr("id", "id % 4 AS g")
+    write_deltalake(spark, df.coalesce(1), uri)  # ONE file: any DML touches it
+
+    t1 = DeltaTable(uri)
+    t2 = DeltaTable(uri)  # same base version, independent handle
+    t1.delete(spark, "g = 0")
+    with pytest.raises(ConcurrentModificationError):
+        t2.delete(spark, "g = 1")
+    # winner's state intact, loser applied nothing
+    t3 = DeltaTable(uri)
+    assert t3.to_df(spark).filter("g = 0").count() == 0
+    assert t3.to_df(spark).filter("g = 1").count() == 25
+
+
+def test_concurrent_dml_disjoint_files_retries_fine(spark, tmp_path):
+    """DML on DISJOINT files from the same base retries cleanly (no false
+    conflicts): partitioned table, each delete touches its own partition."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    uri = str(tmp_path / "d")
+    df = spark.range(0, 100).selectExpr("id", "id % 2 AS p")
+    write_deltalake(spark, df, uri, partition_by=["p"])
+
+    t1 = DeltaTable(uri)
+    t2 = DeltaTable(uri)
+    t1.delete(spark, "p = 0 AND id < 10")
+    res = t2.delete(spark, "p = 1 AND id < 10")  # different partition's files
+    assert res["numDeletedRows"] == 5
+    t3 = DeltaTable(uri)
+    assert t3.to_df(spark).count() == 100 - 5 - 5
+
+
+def test_concurrent_appends_still_blind_retry(spark, tmp_path):
+    """Pure appends keep the reference's v0 blind retry: both commits land."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    uri = str(tmp_path / "a")
+    df = spark.range(0, 10).selectExpr("id")
+    write_deltalake(spark, df, uri)
+    t1 = DeltaTable(uri)
+    t2 = DeltaTable(uri)
+    write_deltalake(spark, df, uri, mode="append")
+    write_deltalake(spark, df, uri, mode="append")
+    assert DeltaTable(uri).to_df(spark).count() == 30
