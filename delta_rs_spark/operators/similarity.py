@@ -398,3 +398,70 @@ def lsh_bucketed_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    oversample: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: int8-quantized candidate scoring, exact float
+    rerank of the oversampled survivors.
+
+    The scale story: scanning a 100 TB float32 corpus for scoring moves 4×
+    the bytes the int8 form does (at scale the quantized column would be
+    precomputed and stored alongside the embedding; here it is derived in
+    codegen to keep the operator self-contained). Unit vectors quantize to
+    ``round(u_i · 127)``; the integer dot preserves ranking to within
+    quantization error, so keeping ``k · oversample`` candidates per query
+    before the exact rerank recovers the true top-k with high probability —
+    recall tunes with ``oversample``. Candidate selection reuses the
+    two-phase window shape (no reducer sees O(corpus) rows per query)."""
+    c = _unit(_with_norm(corpus, id_col, vec_col, "c"), "c")
+    q = _unit(_with_norm(queries, id_col, vec_col, "q"), "q")
+    cq = c.withColumn(
+        "c_q", F.transform("c_v", lambda x: F.round(x * 127).cast("int"))
+    )
+    qq = q.withColumn(
+        "q_q", F.transform("q_v", lambda x: F.round(x * 127).cast("int"))
+    )
+    scored = (
+        cq.crossJoin(F.broadcast(qq))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn(
+            "qscore",
+            F.aggregate(
+                F.zip_with("q_q", "c_q", lambda x, y: x * y),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    keep = k * oversample
+    w1 = W.partitionBy("q_id", "_pid").orderBy(F.col("qscore").desc(), F.col("c_id"))
+    w2 = W.partitionBy("q_id").orderBy(F.col("qscore").desc(), F.col("c_id"))
+    cand = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pr", F.row_number().over(w1))
+        .filter(F.col("_pr") <= keep)
+        .drop("_pid", "_pr")
+        .withColumn("_qr", F.row_number().over(w2))
+        .filter(F.col("_qr") <= keep)
+        .drop("_qr")
+    )
+    w3 = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        cand.withColumn("cosine", F.round(_dot(F.col("q_v"), F.col("c_v")), 6))
+        .withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -148,6 +148,14 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+@query("similarity_quantized_topk", None)
+def q_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # int8 candidate scoring + exact rerank of the 4k oversampled survivors;
+    # approximate by design (quantization error) → rows-only check
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
 @query("similarity_lsh_topk", None)
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 hyperplanes → 16 buckets: near-orthogonal synthetic vectors need

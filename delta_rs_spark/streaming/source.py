@@ -72,6 +72,14 @@ class DeltaStreamReader(DataSourceStreamReader):
         if not self.path:
             raise ValueError("option 'path' is required for the delta_stream source")
         self.starting_version = int(options.get("startingversion", 0))
+        ts = options.get("startingtimestamp")
+        if ts is not None:
+            # resolved once at stream start: versions committed AFTER ts are
+            # streamed (the version AT ts is the base snapshot, Delta-source
+            # convention)
+            from ..table import DeltaTable as _DT
+
+            self.starting_version = _DT(options["path"]).version_at_timestamp(ts) + 1
         self.ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
         self.read_change_feed = (
             str(options.get("readchangefeed", "false")).lower() == "true"

@@ -691,3 +691,17 @@ def test_contamination_bloom_matches_exact(spark):
     by_id = {r[0]: r for r in bloom}
     assert by_id[4][2] == by_id[4][1]  # verbatim copy: fully contaminated
     assert by_id[3][2] == 0  # unrelated doc: zero hits survive the verify join
+
+
+def test_quantized_topk_recovers_exact_topk(spark, sf_dir):
+    """int8 candidate scoring + exact rerank: with 4x oversampling the
+    recovered top-k matches the exact brute force on the test embeddings."""
+    import os
+
+    from delta_rs_spark.operators.similarity import cosine_topk, quantized_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.rank): r.neighbor_id for r in cosine_topk(emb, probes, k=10).collect()}
+    quant = {(r.query_id, r.rank): r.neighbor_id for r in quantized_topk(emb, probes, k=10).collect()}
+    assert quant == exact

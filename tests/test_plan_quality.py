@@ -79,6 +79,7 @@ def test_asof_join_single_shuffle_per_side(q):
 # broadcast of a 1-row aggregate)
 CARTESIAN_OK = {
     "similarity_topk",        # exact brute-force baseline by design
+    "similarity_quantized_topk",  # int8 brute scoring (broadcast probe side)
     "q11_important_parts",    # 1-row sum-threshold broadcast
     "text_tfidf_topk",        # 1-row document-count broadcast
     "q15_top_supplier",       # 1-row max broadcast

@@ -466,3 +466,27 @@ def test_stream_rate_limit_restart_resumes_from_checkpoint(spark, tmp_path):
     assert reader._planned == 1
     # next trigger advances bounded from the recovered position
     assert reader.latestOffset() == {"version": 2}
+
+
+def test_stream_starting_timestamp(spark, tmp_path):
+    """startingTimestamp resolves to 'versions committed after ts': a stream
+    started at v0's commit time replays v1+ only."""
+    import datetime as dt
+
+    from delta_rs_spark import DeltaTable
+
+    uri = str(tmp_path / "st_tbl")
+    _mk_table(spark, uri, 0, 3)  # v0: ids 0..2
+    _mk_table(spark, uri, 10, 3)  # v1: ids 10..12
+
+    t = DeltaTable(uri)
+    ts0 = dt.datetime.fromtimestamp(
+        t.log.commit_timestamp_ms(0) / 1000, tz=dt.timezone.utc
+    )
+
+    from delta_rs_spark.streaming.source import DeltaStreamReader
+
+    reader = DeltaStreamReader(None, {"path": uri, "startingtimestamp": ts0.isoformat()})
+    assert reader.starting_version == 1
+    assert reader.initialOffset() == {"version": 0}
+    assert reader.latestOffset() == {"version": 1}
