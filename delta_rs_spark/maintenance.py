@@ -252,6 +252,7 @@ def optimize(
     sort_by: Optional[list[str]] = None,
     zorder_by: Optional[list[str]] = None,
     dry_run: bool = False,
+    partition_filters=None,
 ) -> dict:
     """Bin-packing compaction: rewrite groups of small files into ~target-size
     files, committing the swap with ``dataChange=false``.
@@ -285,6 +286,11 @@ def optimize(
     hyper-rectangles of the joint value space, pruning on any of the
     Z-order columns at once. Mutually exclusive with ``sort_by``.
 
+    ``partition_filters`` (same DNF tuple contract as reads/DML) scopes the
+    compaction to matching partitions — the standard operational pattern at
+    scale: OPTIMIZE only the partitions the last ingestion window touched,
+    not the whole 100 TB table.
+
     Returns operation metrics (Delta OPTIMIZE-style): files added/removed,
     bytes added/removed, partitions optimized.
     """
@@ -308,8 +314,13 @@ def optimize(
     # clustering (sort_by / zorder_by) is a LAYOUT rewrite — every file in the
     # group is rewritten regardless of size, and even a single file qualifies
     clustering = bool(sort_by or zorder_by)
+    candidates = (
+        table.snapshot.files(partition_filters=partition_filters)
+        if partition_filters
+        else table.add_actions()
+    )
     groups: dict[tuple, list] = {}
-    for a in table.add_actions():
+    for a in candidates:
         # files carrying a deletion vector always qualify: compaction is how
         # merge-on-read deletes get materialized and their read-time anti
         # join retired
@@ -419,11 +430,73 @@ def optimize(
     return metrics
 
 
+def parse_interval_ms(text: str) -> int:
+    """Public Delta interval-property syntax: ``interval <n> <unit>``
+    (days/hours/minutes/seconds, singular or plural)."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"\s*interval\s+(\d+)\s+(day|hour|minute|second)s?\s*", text, _re.IGNORECASE
+    )
+    if not m:
+        raise ValueError(f"cannot parse interval property {text!r}")
+    n = int(m.group(1))
+    unit_ms = {"day": 86_400_000, "hour": 3_600_000, "minute": 60_000, "second": 1_000}
+    return n * unit_ms[m.group(2).lower()]
+
+
+DEFAULT_LOG_RETENTION_MS = 30 * 86_400_000  # delta.logRetentionDuration default
+
+
+def cleanup_expired_logs(table, retention_ms: Optional[int] = None) -> list[str]:
+    """Delete commit JSONs and checkpoint parts that are BOTH below the
+    newest checkpoint (the snapshot no longer needs them — replay starts at
+    the checkpoint) AND older than the log retention window (public
+    ``delta.logRetentionDuration`` semantics, default 30 days). Bounds log
+    growth on write-heavy tables; time travel below the cleaned range is
+    given up, exactly as the property documents. Returns deleted names."""
+    import re as _re
+
+    cfg = (table.metadata().configuration or {}) if table.snapshot.state.metadata else {}
+    if retention_ms is None:
+        raw = cfg.get("delta.logRetentionDuration")
+        retention_ms = parse_interval_ms(raw) if raw else DEFAULT_LOG_RETENTION_MS
+    cutoff_ms = int(time.time() * 1000) - retention_ms
+
+    log = table.log
+    cp = log.read_last_checkpoint()
+    if cp is None:
+        return []
+
+    commit_re = _re.compile(r"^(\d{20})\.json$")
+    cp_re = _re.compile(r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet$")
+    deleted: list[str] = []
+    for meta in log.backend.list_objs(log.log_dir):
+        name = meta.path.rsplit("/", 1)[-1]
+        m = commit_re.match(name) or cp_re.match(name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if v >= cp.version:
+            continue  # the active checkpoint and the tail stay
+        if meta.modification_time * 1000 > cutoff_ms:
+            continue
+        log.backend.delete_obj(meta.path)
+        deleted.append(name)
+    return deleted
+
+
 def maybe_checkpoint(table, version: int, interval: int = 10) -> Optional[CheckPoint]:
     """Reference lambda policy: checkpoint when ``version % interval == 0``
-    (``aws/delta-checkpoint/src/main.rs:42-55``)."""
+    (``aws/delta-checkpoint/src/main.rs:42-55``), followed by expired-log
+    cleanup unless ``delta.enableExpiredLogCleanup=false`` (public Delta
+    behavior: metadata cleanup piggybacks on checkpointing)."""
     if version > 0 and version % interval == 0:
-        return create_checkpoint(table)
+        cp = create_checkpoint(table)
+        cfg = table.metadata().configuration or {}
+        if str(cfg.get("delta.enableExpiredLogCleanup", "true")).lower() != "false":
+            cleanup_expired_logs(table)
+        return cp
     return None
 
 

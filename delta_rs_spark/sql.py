@@ -11,7 +11,7 @@ with tables addressed as ``delta.`/path/to/table```:
 - ``UPDATE delta.`/p` SET a = <expr>, b = <expr> WHERE <predicate>``
 - ``DESCRIBE HISTORY delta.`/p``` / ``DESCRIBE DETAIL delta.`/p```
 - ``VACUUM delta.`/p` [RETAIN <n> HOURS] [DRY RUN]``
-- ``OPTIMIZE delta.`/p` [ZORDER BY (a, b)]``
+- ``OPTIMIZE delta.`/p` [WHERE p = 'v' [AND ...]] [ZORDER BY (a, b)]``
 - ``RESTORE delta.`/p` TO VERSION AS OF <n> | TO TIMESTAMP AS OF 'ts'``
 
 - ``INSERT INTO delta.`/p` <select>`` / ``INSERT OVERWRITE delta.`/p`
@@ -295,10 +295,26 @@ def _vacuum(spark: SparkSession, s: str) -> DataFrame:
 
 def _optimize(spark: SparkSession, s: str) -> DataFrame:
     m = _require(
-        r"OPTIMIZE\s+delta\.`([^`]+)`(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?$", s, "OPTIMIZE"
+        r"OPTIMIZE\s+delta\.`([^`]+)`(?:\s+WHERE\s+(.+?))?"
+        r"(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?$",
+        s,
+        "OPTIMIZE",
     )
-    zorder = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
-    res = _open(m.group(1), None, None).optimize(spark, zorder_by=zorder)
+    zorder = [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
+    pfilters = None
+    if m.group(2):
+        # partition-scoped compaction: conjunction of col = 'value' terms
+        pfilters = []
+        for term in re.split(r"\s+AND\s+", m.group(2), flags=re.IGNORECASE):
+            tm = re.fullmatch(r"\s*(\w+)\s*=\s*'?([^']*?)'?\s*", term)
+            if not tm:
+                raise SqlError(
+                    f"OPTIMIZE WHERE supports only `col = value` conjunctions, got {term!r}"
+                )
+            pfilters.append((tm.group(1), "=", tm.group(2)))
+    res = _open(m.group(1), None, None).optimize(
+        spark, zorder_by=zorder, partition_filters=pfilters
+    )
     return _one_row(spark, res)
 
 

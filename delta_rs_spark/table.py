@@ -313,6 +313,7 @@ class DeltaTable:
         sort_by: Optional[list[str]] = None,
         zorder_by: Optional[list[str]] = None,
         dry_run: bool = False,
+        partition_filters: Sequence[FilterTuple] | None = None,
     ) -> dict:
         from .maintenance import optimize as _optimize
 
@@ -323,6 +324,7 @@ class DeltaTable:
             sort_by=sort_by,
             zorder_by=zorder_by,
             dry_run=dry_run,
+            partition_filters=partition_filters,
         )
 
     def detail(self) -> dict[str, Any]:

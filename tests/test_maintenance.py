@@ -525,3 +525,62 @@ def test_zorder_string_column_clusters_files(spark, tmp_path):
     # clustering delivered: a point predicate on the STRING column prunes
     pruned = t2.snapshot.files(skip_predicates=[("category", "=", "cat-007")])
     assert 0 < len(pruned) < len(files)
+
+
+def test_optimize_partition_filters_scope_compaction(spark, tmp_path):
+    """OPTIMIZE with partition_filters compacts ONLY matching partitions."""
+    from pyspark.sql import functions as F
+
+    uri = str(tmp_path / "opf")
+    for lo in range(0, 40, 10):
+        df = spark.range(lo, lo + 10).select(F.col("id"), (F.col("id") % 2).alias("p"))
+        write_deltalake(spark, df, uri, mode="append", partition_by=["p"])
+    t = DeltaTable(uri)
+    files_p1_before = {
+        a.path for a in t.snapshot.files(partition_filters=[("p", "=", "1")])
+    }
+    assert len(files_p1_before) > 1
+
+    m = t.optimize(spark, target_file_size=1 << 30, partition_filters=[("p", "=", "0")])
+    assert m["partitionsOptimized"] == 1
+    t2 = DeltaTable(uri)
+    # p=0 compacted to one file; p=1 untouched
+    assert len(t2.snapshot.files(partition_filters=[("p", "=", "0")])) == 1
+    assert {a.path for a in t2.snapshot.files(partition_filters=[("p", "=", "1")])} == files_p1_before
+    assert t2.to_df(spark).count() == 40
+
+
+def test_cleanup_expired_logs(spark, tmp_path):
+    """Commits+checkpoints below the newest checkpoint AND past log
+    retention are deleted; the table still loads (from the checkpoint) and
+    fresh log files stay."""
+    import os
+    import time as _time
+
+    from delta_rs_spark.maintenance import cleanup_expired_logs, parse_interval_ms
+
+    assert parse_interval_ms("interval 7 days") == 7 * 86_400_000
+    assert parse_interval_ms("INTERVAL 1 HOUR") == 3_600_000
+
+    uri = str(tmp_path / "lr")
+    df = spark.range(0, 10).selectExpr("id")
+    write_deltalake(spark, df, uri)
+    for _ in range(4):
+        write_deltalake(spark, df, uri, mode="append")
+    t = DeltaTable(uri)
+    t.create_checkpoint()
+    rows = t.to_df(spark).count()
+
+    log_dir = os.path.join(uri, "_delta_log")
+    # nothing expires while young
+    assert cleanup_expired_logs(t) == []
+    # age every pre-checkpoint commit json
+    old = _time.time() - 31 * 86_400
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and not f.startswith("_"):
+            os.utime(os.path.join(log_dir, f), (old, old))
+    deleted = cleanup_expired_logs(t)
+    assert sorted(deleted) == [f"{v:020d}.json" for v in range(4)]  # v4 = cp version stays
+    t2 = DeltaTable(uri)
+    assert t2.version == 4
+    assert t2.to_df(spark).count() == rows

@@ -201,3 +201,18 @@ def test_alter_table_constraint_roundtrip(spark, tmp_path):
     sql(spark, f"ALTER TABLE delta.`{uri}` DROP CONSTRAINT positive")
     write_deltalake(spark, spark.range(-3, 0).select("id"), uri, mode="append")
     assert DeltaTable(uri).to_df(spark).count() == 7
+
+
+def test_sql_optimize_where_scopes_partitions(spark, tmp_path):
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.sql import sql
+
+    uri = str(tmp_path / "ow")
+    for lo in range(0, 20, 10):
+        df = spark.range(lo, lo + 10).selectExpr("id", "id % 2 AS p")
+        write_deltalake(spark, df, uri, mode="append", partition_by=["p"])
+    res = sql(spark, f"OPTIMIZE delta.`{uri}` WHERE p = '1'").collect()[0]
+    assert res.partitionsOptimized == "1"  # command output is stringly, like Spark's
+    t = DeltaTable(uri)
+    assert len(t.snapshot.files(partition_filters=[("p", "=", "1")])) == 1
+    assert len(t.snapshot.files(partition_filters=[("p", "=", "0")])) > 1
