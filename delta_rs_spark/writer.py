@@ -109,6 +109,7 @@ def write_deltalake(
     operation_parameters_extra: Optional[dict] = None,
     replace_where: Optional[str] = None,
     schema_mode: Optional[str] = None,
+    partition_overwrite_mode: Optional[str] = None,
 ) -> DeltaTable:
     """Write ``df`` to a Delta table, creating it if absent. Returns the table.
 
@@ -124,6 +125,13 @@ def write_deltalake(
     incoming row must satisfy the predicate (enforced). File work is
     stats/partition-pruned like DML: only files containing matching rows
     are rewritten.
+
+    ``partition_overwrite_mode="dynamic"`` (overwrite mode, partitioned
+    tables) removes ONLY the partitions the incoming frame touches — the
+    Spark/Delta dynamic-overwrite contract, and the idempotent-backfill
+    pattern at scale: re-running a day's job replaces that day, never the
+    table. Unpartitioned tables fall back to full overwrite (nothing to
+    scope by). ``"static"``/None keeps the replace-everything default.
 
     ``schema_mode`` relaxes v0's strict no-evolution check
     (``rust/src/delta.rs:159-165``) with the public Delta writer semantics:
@@ -145,6 +153,10 @@ def write_deltalake(
         raise ValueError("schema_mode='overwrite' requires mode='overwrite'")
     if schema_mode is not None and replace_where is not None:
         raise ValueError("schema evolution is not supported with replace_where")
+    if partition_overwrite_mode not in (None, "static", "dynamic"):
+        raise ValueError("partition_overwrite_mode must be None, 'static', or 'dynamic'")
+    if partition_overwrite_mode == "dynamic" and mode != "overwrite":
+        raise ValueError("partition_overwrite_mode='dynamic' requires mode='overwrite'")
 
     df = _normalize_timestamps(df)
 
@@ -284,7 +296,18 @@ def write_deltalake(
         txn.add_action(new_meta)
     if mode == "overwrite":
         now_ms = int(time.time() * 1000)
-        for old in table.add_actions():
+        removals = table.add_actions()
+        if partition_overwrite_mode == "dynamic" and partition_by:
+            touched = {
+                tuple(a.partition_values.get(c) for c in partition_by) for a in adds
+            }
+            removals = [
+                old
+                for old in removals
+                if tuple(old.partition_values.get(c) for c in partition_by) in touched
+            ]
+            params["partitionOverwriteMode"] = "dynamic"
+        for old in removals:
             txn.add_action(
                 RemoveAction(
                     path=old.path,
@@ -293,6 +316,7 @@ def write_deltalake(
                     extended_file_metadata=True,
                     partition_values=old.partition_values,
                     size=old.size,
+                    deletion_vector=old.deletion_vector,
                 )
             )
     txn.add_actions(list(adds))

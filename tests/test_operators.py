@@ -705,3 +705,33 @@ def test_quantized_topk_recovers_exact_topk(spark, sf_dir):
     exact = {(r.query_id, r.rank): r.neighbor_id for r in cosine_topk(emb, probes, k=10).collect()}
     quant = {(r.query_id, r.rank): r.neighbor_id for r in quantized_topk(emb, probes, k=10).collect()}
     assert quant == exact
+
+
+def test_lsh_bucketed_pairs_high_threshold_near_dups(spark):
+    """The realistic near-dup regime (threshold 0.9, genuinely close pairs):
+    banded-LSH pairs == brute force on seeded random vectors with planted
+    near-duplicates — exercising the few-bands/many-rows parameter branch."""
+    import numpy as np
+
+    from delta_rs_spark.operators.dedup import embedding_cosine_pairs
+    from delta_rs_spark.operators.similarity import _band_params
+
+    r, b = _band_params(0.9)
+    assert r >= 4  # high threshold earns real per-band pruning
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(100, 32))
+    near = base[:12] + 0.08 * rng.normal(size=(12, 32))  # planted near-dups
+    vecs = np.vstack([base, near])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    brute = sorted(
+        map(tuple, embedding_cosine_pairs(df, 0.9, method="brute", dim=32).collect())
+    )
+    lsh = sorted(
+        map(tuple, embedding_cosine_pairs(df, 0.9, method="lsh", dim=32).collect())
+    )
+    assert len(brute) >= 10  # the planted pairs are actually above threshold
+    assert lsh == brute

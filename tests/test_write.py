@@ -541,3 +541,36 @@ def test_optimize_write_bounds_files_per_partition(spark, tmp_path):
         DeltaTable(opt_uri).to_df(spark).orderBy("id").collect()
         == DeltaTable(plain_uri).to_df(spark).orderBy("id").collect()
     )
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """partition_overwrite_mode='dynamic': only the partitions the incoming
+    frame touches are replaced — the idempotent-backfill contract."""
+    import pytest
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    uri = str(tmp_path / "dyn")
+    base = spark.range(0, 30).selectExpr("id", "id % 3 AS day")
+    write_deltalake(spark, base, uri, partition_by=["day"])
+
+    # re-run "day 1" with different content
+    redo = spark.range(100, 105).selectExpr("id", "CAST(1 AS BIGINT) AS day")
+    write_deltalake(
+        spark, redo, uri, mode="overwrite", partition_overwrite_mode="dynamic"
+    )
+    t = DeltaTable(uri)
+    out = t.to_df(spark)
+    assert out.filter("day = 1").count() == 5  # replaced
+    assert sorted(r.id for r in out.filter("day = 1").collect()) == list(range(100, 105))
+    assert out.filter("day = 0").count() == 10  # untouched
+    assert out.filter("day = 2").count() == 10  # untouched
+
+    # static overwrite still replaces everything
+    write_deltalake(spark, redo, uri, mode="overwrite")
+    assert DeltaTable(uri).to_df(spark).count() == 5
+
+    with pytest.raises(ValueError, match="dynamic"):
+        write_deltalake(
+            spark, redo, uri, mode="append", partition_overwrite_mode="dynamic"
+        )
