@@ -159,3 +159,173 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) ->
             yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
 
     return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib codecs: PNG and WAV decode without external libraries
+# ---------------------------------------------------------------------------
+
+def _decode_png(data: bytes) -> dict:
+    """Minimal PNG decoder (stdlib zlib only): parses IHDR/IDAT, inflates,
+    reverses all five per-row filters. Supports non-interlaced 8-bit
+    greyscale/RGB/RGBA — the common training-corpus cases."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, b""
+    w = h = bit_depth = color = None
+    interlace = 0
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        typ = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, bit_depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", chunk[:13]
+            )
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG variant unsupported (bit_depth={bit_depth}, color={color}, "
+            f"interlace={interlace}): only 8-bit non-interlaced grey/RGB/RGBA"
+        )
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    stride = w * channels
+    raw = zlib.decompress(idat)
+    out = bytearray()
+    prev = bytearray(stride)
+    i = 0
+    for _row in range(h):
+        f = raw[i]
+        i += 1
+        line = bytearray(raw[i : i + stride])
+        i += stride
+        if f == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 255
+        elif f == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 255
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 255
+        elif f != 0:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out += line
+        prev = line
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": channels,
+        "mean_pixel": round(sum(out) / len(out), 4) if out else 0.0,
+    }
+
+
+def _decode_wav(data: bytes) -> dict:
+    """WAV/PCM decoder via the stdlib ``wave`` module; RMS computed with
+    ``struct`` (no audioop — removed in Python 3.13)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(data)) as wf:
+        n_channels = wf.getnchannels()
+        rate = wf.getframerate()
+        width = wf.getsampwidth()
+        n_frames = wf.getnframes()
+        frames = wf.readframes(n_frames)
+    rms = 0.0
+    if width == 2 and frames:
+        samples = struct.unpack(f"<{len(frames) // 2}h", frames)
+        rms = round(math.sqrt(sum(s * s for s in samples) / len(samples)), 4)
+    return {
+        "sample_rate": rate,
+        "n_channels": n_channels,
+        "n_samples": n_frames,
+        "duration_s": round(n_frames / rate, 6) if rate else 0.0,
+        "rms": rms,
+    }
+
+
+def decode_payload(payload: bytes, codec: str) -> dict:
+    """Typed decode dispatch: real stdlib decoders for ``png`` and ``wav``,
+    the deterministic ``fake`` stub for synthetic corpora, and an honest
+    NotImplementedError for codecs needing libraries this container lacks
+    (jpeg/mp4/...) — swap in PIL/ffmpeg inside the same mapInPandas."""
+    if codec == "png":
+        return _decode_png(payload)
+    if codec == "wav":
+        return _decode_wav(payload)
+    if codec == "fake":
+        return decode_stub(payload)
+    raise NotImplementedError(
+        f"codec {codec!r} requires media libraries not present in this "
+        "environment (png/wav decode natively; 'fake' is the synthetic stub)"
+    )
+
+
+MEDIA_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_media_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched per-codec decode over mixed media: expects
+    ``doc_id, payload, media_meta.codec`` (the `attach_binary_payload`
+    shape); emits one typed feature row per payload with codec-inapplicable
+    fields null. Same bounded-batch mapInPandas contract as
+    `extract_features` — executor memory stays flat at any corpus size."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MEDIA_FEATURE_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, payload, codec in zip(
+                pdf["doc_id"], pdf["payload"], pdf["codec"]
+            ):
+                feats = decode_payload(bytes(payload), codec)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "codec": codec,
+                        "n_bytes": len(payload),
+                        **{k: feats.get(k) for k in cols[3:]},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    flat = df.select(
+        "doc_id", "payload", F.col("media_meta.codec").alias("codec")
+    )
+    return flat.mapInPandas(batches, MEDIA_FEATURE_SCHEMA)

@@ -735,3 +735,123 @@ def test_lsh_bucketed_pairs_high_threshold_near_dups(spark):
     )
     assert len(brute) >= 10  # the planted pairs are actually above threshold
     assert lsh == brute
+
+
+def _mk_png(width, height, rows, filters):
+    """Tiny PNG encoder for tests: 8-bit RGB, per-row forward filtering."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    bpp = 3
+    raw = b""
+    prev = bytes(width * bpp)
+    for line, f in zip(rows, filters):
+        line = bytes(line)
+        filt = bytearray(line)
+        if f == 1:  # Sub
+            for x in range(len(line) - 1, bpp - 1, -1):
+                filt[x] = (line[x] - line[x - bpp]) & 255
+        elif f == 2:  # Up
+            for x in range(len(line)):
+                filt[x] = (line[x] - prev[x]) & 255
+        elif f == 3:  # Average
+            for x in range(len(line)):
+                a = line[x - bpp] if x >= bpp else 0
+                filt[x] = (line[x] - ((a + prev[x]) >> 1)) & 255
+        elif f == 4:  # Paeth
+            for x in range(len(line)):
+                a = line[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (line[x] - pred) & 255
+        raw += bytes([f]) + bytes(filt)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib_compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def zlib_compress(raw):
+    import zlib
+
+    return zlib.compress(raw)
+
+
+def _mk_wav(n_samples=800, rate=8000, amp=10000):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", int(amp * math.sin(2 * math.pi * 440 * i / rate)))
+            for i in range(n_samples)
+        )
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_png_decode_all_filters():
+    import random
+
+    from delta_rs_spark.operators.multimodal import _decode_png
+
+    rng = random.Random(3)
+    w, h = 9, 5
+    rows = [[rng.randrange(256) for _ in range(w * 3)] for _ in range(h)]
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h, [0, 1, 2, 3, 4]):
+        png = _mk_png(w, h, rows, filters)
+        d = _decode_png(png)
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        expected_mean = sum(sum(r) for r in rows) / (w * h * 3)
+        assert abs(d["mean_pixel"] - expected_mean) < 1e-3, filters
+
+
+def test_wav_decode_properties():
+    import math
+
+    from delta_rs_spark.operators.multimodal import _decode_wav
+
+    d = _decode_wav(_mk_wav(n_samples=800, rate=8000, amp=10000))
+    assert d["sample_rate"] == 8000
+    assert d["n_samples"] == 800
+    assert abs(d["duration_s"] - 0.1) < 1e-9
+    # full cycles of a sine: RMS ~ amp/sqrt(2)
+    assert abs(d["rms"] - 10000 / math.sqrt(2)) / (10000 / math.sqrt(2)) < 0.01
+
+
+def test_extract_media_features_mixed_codecs(spark):
+    from delta_rs_spark.operators.multimodal import extract_media_features
+
+    png = _mk_png(4, 3, [[10] * 12] * 3, [0, 0, 0])
+    wav = _mk_wav(n_samples=400)
+    df = spark.createDataFrame(
+        [(1, bytearray(png), ("png",)), (2, bytearray(wav), ("wav",))],
+        "doc_id LONG, payload BINARY, media_meta STRUCT<codec: STRING>",
+    )
+    out = {r.doc_id: r for r in extract_media_features(df).collect()}
+    assert (out[1].width, out[1].height, out[1].channels) == (4, 3, 3)
+    assert out[1].mean_pixel == 10.0
+    assert out[1].sample_rate is None
+    assert out[2].sample_rate == 8000 and out[2].n_samples == 400
+    assert out[2].width is None
