@@ -618,11 +618,23 @@ def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]
 
     to_delete.sort()
     if not dry_run:
-        for rel in to_delete:
+        # thread-pool deletes: local unlinks are ~free, but on object stores
+        # each delete is a network round trip — a 100k-file vacuum serialized
+        # on one thread would dominate the maintenance window
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _rm(rel: str) -> None:
             try:
                 backend.delete_obj(backend.join(root, rel))
             except FileNotFoundError:
                 pass
+
+        if len(to_delete) <= 4:
+            for rel in to_delete:
+                _rm(rel)
+        else:
+            with ThreadPoolExecutor(max_workers=min(32, len(to_delete))) as ex:
+                list(ex.map(_rm, to_delete))
     return to_delete
 
 

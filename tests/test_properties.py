@@ -171,3 +171,62 @@ def test_skip_tuple_parser_never_crashes(s):
     from delta_rs_spark.dml import _skip_tuples_from_predicate
 
     _skip_tuples_from_predicate(s)
+
+
+dv_descriptors = st.one_of(
+    st.none(),
+    st.fixed_dictionaries(
+        {
+            "storageType": st.just("d"),
+            "paths": st.lists(
+                st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=12).map(
+                    lambda s: f"_deletion_vectors/{s}"
+                ),
+                min_size=1,
+                max_size=3,
+            ),
+            "cardinality": st.integers(min_value=0, max_value=1 << 40),
+            "sizeInBytes": st.integers(min_value=0, max_value=1 << 40),
+        }
+    ),
+)
+
+
+@given(
+    path=st.text(st.characters(min_codepoint=97, max_codepoint=122), min_size=1, max_size=20),
+    ts=st.one_of(st.none(), st.integers(min_value=0, max_value=1 << 50)),
+    dv=dv_descriptors,
+)
+def test_remove_action_json_roundtrip_with_dv(path, ts, dv):
+    from delta_rs_spark.protocol.actions import RemoveAction, parse_log_entry, action_to_log_line
+
+    r = RemoveAction(
+        path=path,
+        deletion_timestamp=ts,
+        data_change=True,
+        extended_file_metadata=True,
+        partition_values={"p": "1"},
+        size=123,
+        deletion_vector=dv,
+    )
+    (back,) = parse_log_entry(action_to_log_line(r))
+    assert back == r
+
+
+@given(
+    reader=st.integers(min_value=1, max_value=3),
+    writer=st.integers(min_value=2, max_value=7),
+    rf=st.one_of(st.none(), st.lists(st.sampled_from(["deletionVectors", "columnMapping"]), max_size=2)),
+    wf=st.one_of(st.none(), st.lists(st.sampled_from(["deletionVectors"]), max_size=1)),
+)
+def test_protocol_action_features_roundtrip(reader, writer, rf, wf):
+    from delta_rs_spark.protocol.actions import ProtocolAction, parse_log_entry, action_to_log_line
+
+    p = ProtocolAction(
+        min_reader_version=reader,
+        min_writer_version=writer,
+        reader_features=rf,
+        writer_features=wf,
+    )
+    (back,) = parse_log_entry(action_to_log_line(p))
+    assert back == p
