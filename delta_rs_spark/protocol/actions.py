@@ -55,12 +55,17 @@ class AddAction:
     deletion_vector: Optional[dict[str, Any]] = None
 
     def get_stats(self) -> Optional[dict[str, Any]]:
-        if not self.stats:
-            return None
+        # memoized: stats pruning evaluates every file's stats per query —
+        # re-parsing 400k JSON blobs each time would dominate planning
+        cached = self.__dict__.get("_stats_cache")
+        if cached is not None or not self.stats:
+            return cached
         try:
-            return json.loads(self.stats)
+            parsed = json.loads(self.stats)
         except (ValueError, TypeError):
             return None
+        self.__dict__["_stats_cache"] = parsed
+        return parsed
 
     @property
     def num_records(self) -> Optional[int]:
