@@ -374,6 +374,11 @@ def read_checkpoint_actions(log: DeltaLog, cp: CheckPoint) -> list[Action]:
     Row layout per the Delta protocol (one struct column per action type;
     reference reader ``rust/src/action.rs:726-775``). Reads with pyarrow on
     the driver: checkpoints are a few MB of metadata, not data-plane I/O.
+    The bulk columns (add/remove — hundreds of thousands of rows on a big
+    table) decode COLUMN-wise (one ``to_pylist`` per struct field) instead
+    of row-wise nested dicts, which is what keeps a 400k-file snapshot
+    reload in low single-digit seconds; the singleton action types
+    (metaData/protocol/txn) stay on the simple row path.
     """
     import io
 
@@ -382,41 +387,51 @@ def read_checkpoint_actions(log: DeltaLog, cp: CheckPoint) -> list[Action]:
     actions: list[Action] = []
     for path in log.checkpoint_paths(cp):
         table = pq.read_table(io.BytesIO(log.backend.get_obj(path)))
-        for row in table.to_pylist():
-            meta_d = row.get("metaData")
-            if meta_d and meta_d.get("id") is not None:
-                if isinstance(meta_d.get("format"), dict) is False and meta_d.get("format"):
-                    meta_d["format"] = dict(meta_d["format"])
-                actions.append(MetaDataAction.from_json_dict(_strip_none(meta_d)))
+
+        # singleton action types: row-wise over their (few) non-null rows
+        for name, builder in (
+            ("metaData", lambda d: MetaDataAction.from_json_dict(_strip_none(_fix_meta(d)))),
+            ("protocol", ProtocolAction.from_json_dict),
+            ("txn", TxnAction.from_json_dict),
+        ):
+            if name not in table.column_names:
                 continue
-            proto = row.get("protocol")
-            if proto and proto.get("minReaderVersion") is not None:
-                actions.append(ProtocolAction.from_json_dict(proto))
+            key = {"metaData": "id", "protocol": "minReaderVersion", "txn": "appId"}[name]
+            for d in table.column(name).to_pylist():
+                if d and d.get(key) is not None:
+                    actions.append(builder(d))
+
+        for name, cls in (("add", AddAction), ("remove", RemoveAction)):
+            if name not in table.column_names:
                 continue
-            txn = row.get("txn")
-            if txn and txn.get("appId") is not None:
-                actions.append(TxnAction.from_json_dict(txn))
-                continue
-            add = row.get("add")
-            if add and add.get("path") is not None:
-                add = _strip_none(add)
-                if add.get("stats") is None and add.get("stats_parsed") is not None:
-                    add["stats"] = json.dumps(add.pop("stats_parsed"), default=str)
-                add.pop("stats_parsed", None)
-                add.pop("partitionValues_parsed", None)
-                pv = add.get("partitionValues")
-                if isinstance(pv, list):  # pyarrow map type → list of (k, v)
-                    add["partitionValues"] = dict(pv)
-                actions.append(AddAction.from_json_dict(add))
-                continue
-            remove = row.get("remove")
-            if remove and remove.get("path") is not None:
-                remove = _strip_none(remove)
-                pv = remove.get("partitionValues")
-                if isinstance(pv, list):
-                    remove["partitionValues"] = dict(pv)
-                actions.append(RemoveAction.from_json_dict(remove))
+            for chunk in table.column(name).chunks:
+                fields = {f.name: chunk.field(i).to_pylist() for i, f in enumerate(chunk.type)}
+                paths = fields.get("path") or []
+                for i, p in enumerate(paths):
+                    if p is None:
+                        continue
+                    d = {
+                        k: v[i]
+                        for k, v in fields.items()
+                        if v[i] is not None
+                        and k not in ("stats_parsed", "partitionValues_parsed")
+                    }
+                    if "stats" not in d and fields.get("stats_parsed") is not None:
+                        sp = fields["stats_parsed"][i]
+                        if sp is not None:
+                            d["stats"] = json.dumps(sp, default=str)
+                    pv = d.get("partitionValues")
+                    if isinstance(pv, list):  # pyarrow map type → list of (k, v)
+                        d["partitionValues"] = dict(pv)
+                    actions.append(cls.from_json_dict(d))
     return actions
+
+
+def _fix_meta(d: dict) -> dict:
+    if d.get("format") and not isinstance(d["format"], dict):
+        d = dict(d)
+        d["format"] = dict(d["format"])
+    return d
 
 
 def _strip_none(d: dict) -> dict:
