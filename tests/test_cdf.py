@@ -292,3 +292,21 @@ def test_incremental_rollup_tracks_full_recompute(spark, tmp_path):
     assert m3["groups_removed"] == 1
     assert rollup() == recompute()
     assert not any(r[0] == 6 for r in rollup())
+
+
+def test_load_cdf_across_schema_evolution(spark, tmp_path):
+    """A change range spanning a schema-merge commit reads uniformly under
+    the LATEST schema: pre-evolution inserts carry NULL for added columns."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    uri = str(tmp_path / "se")
+    write_deltalake(spark, spark.range(0, 5).selectExpr("id"), uri)  # v0
+    df2 = spark.range(5, 8).selectExpr("id", "CAST(id*2 AS LONG) AS extra")
+    write_deltalake(spark, df2, uri, mode="append", schema_mode="merge")  # v1
+    t = DeltaTable(uri)
+    rows = t.load_cdf(spark, starting_version=0, ending_version=1).collect()
+    v0 = [r for r in rows if r["_commit_version"] == 0]
+    v1 = [r for r in rows if r["_commit_version"] == 1]
+    assert len(v0) == 5 and all(r.extra is None for r in v0)
+    assert len(v1) == 3 and all(r.extra == r.id * 2 for r in v1)
+    assert all(r["_change_type"] == "insert" for r in rows)
