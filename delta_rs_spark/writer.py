@@ -142,6 +142,23 @@ def write_deltalake(
     columns are filled with typed NULLs. ``"overwrite"`` (with
     ``mode='overwrite'`` only) replaces the schema wholesale.
     """
+    if not isinstance(df, DataFrame):
+        # migration ergonomics: the reference's writer surface takes pandas /
+        # pyarrow input — accept both and lift into Spark (driver-sized data
+        # by definition; big data arrives as a Spark DataFrame)
+        import pandas as _pd
+        import pyarrow as _pa
+
+        if isinstance(df, _pa.Table):
+            df = spark.createDataFrame(df.to_pandas())
+        elif isinstance(df, _pd.DataFrame):
+            df = spark.createDataFrame(df)
+        else:
+            raise TypeError(
+                f"df must be a Spark DataFrame, pandas DataFrame, or pyarrow "
+                f"Table, got {type(df).__name__}"
+            )
+
     mode = mode.lower()
     if mode not in SAVE_MODES:
         raise ValueError(f"mode must be one of {sorted(SAVE_MODES)}")

@@ -574,3 +574,22 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         write_deltalake(
             spark, redo, uri, mode="append", partition_overwrite_mode="dynamic"
         )
+
+
+def test_write_accepts_pandas_and_arrow(spark, tmp_path):
+    """Migration parity with the reference writer surface: pandas DataFrame
+    and pyarrow Table inputs are lifted into Spark."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    uri = str(tmp_path / "pdw")
+    pdf = pd.DataFrame({"id": [1, 2, 3], "v": ["a", "b", "c"]})
+    write_deltalake(spark, pdf, uri)
+    write_deltalake(spark, pa.table({"id": [4], "v": ["d"]}), uri, mode="append")
+    t = DeltaTable(uri)
+    assert sorted(r.id for r in t.to_df(spark).collect()) == [1, 2, 3, 4]
+    with pytest.raises(TypeError, match="Spark DataFrame"):
+        write_deltalake(spark, [1, 2, 3], uri)
