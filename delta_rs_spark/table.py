@@ -247,6 +247,39 @@ class DeltaTable:
     def add_actions(self) -> list[AddAction]:
         return list(self._snapshot.state.files.values())
 
+    def get_add_actions(self, flatten: bool = False):
+        """Active file metadata as a pyarrow Table (the reference family's
+        introspection surface): path, size_bytes, modification_time,
+        data_change, num_records, plus — when ``flatten`` — one
+        ``partition.<col>`` column per partition column and the per-file
+        min/max for stats-carrying columns as ``min.<col>`` / ``max.<col>``.
+        Driver-side metadata only; no Spark, no scan."""
+        import pyarrow as pa
+
+        adds = self.add_actions()
+        cols: dict[str, list] = {
+            "path": [a.path for a in adds],
+            "size_bytes": [a.size for a in adds],
+            "modification_time": [a.modification_time for a in adds],
+            "data_change": [a.data_change for a in adds],
+            "num_records": [a.num_records for a in adds],
+        }
+        if flatten:
+            for c in self.metadata().partition_columns:
+                cols[f"partition.{c}"] = [a.partition_values.get(c) for a in adds]
+            stat_cols: set[str] = set()
+            stats = [a.get_stats() or {} for a in adds]
+            for s in stats:
+                stat_cols.update(s.get("minValues", {}).keys())
+            for c in sorted(stat_cols):
+                cols[f"min.{c}"] = [s.get("minValues", {}).get(c) for s in stats]
+                cols[f"max.{c}"] = [s.get("maxValues", {}).get(c) for s in stats]
+        else:
+            cols["partition_values"] = [
+                list(a.partition_values.items()) for a in adds
+            ]
+        return pa.table(cols)
+
     def get_stats(self) -> list[Optional[dict[str, Any]]]:
         return self._snapshot.stats()
 

@@ -593,3 +593,23 @@ def test_write_accepts_pandas_and_arrow(spark, tmp_path):
     assert sorted(r.id for r in t.to_df(spark).collect()) == [1, 2, 3, 4]
     with pytest.raises(TypeError, match="Spark DataFrame"):
         write_deltalake(spark, [1, 2, 3], uri)
+
+
+def test_get_add_actions_pyarrow(spark, tmp_path):
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    uri = str(tmp_path / "gaa")
+    df = spark.range(0, 40).selectExpr("id", "id % 2 AS p")
+    write_deltalake(spark, df, uri, partition_by=["p"])
+    t = DeltaTable(uri)
+    tbl = t.get_add_actions()
+    assert tbl.num_rows == len(t.add_actions())
+    assert set(tbl.column_names) >= {"path", "size_bytes", "num_records"}
+    assert sum(tbl.column("num_records").to_pylist()) == 40
+
+    flat = t.get_add_actions(flatten=True)
+    assert "partition.p" in flat.column_names
+    assert set(flat.column("partition.p").to_pylist()) == {"0", "1"}
+    assert "min.id" in flat.column_names and "max.id" in flat.column_names
+    assert min(flat.column("min.id").to_pylist()) == 0
+    assert max(flat.column("max.id").to_pylist()) == 39
