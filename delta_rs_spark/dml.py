@@ -395,17 +395,19 @@ def _commit_dv_txn(
     if table.snapshot.min_reader_version() < 3 and any(
         isinstance(a, AddAction) and a.deletion_vector for a in actions
     ):
-        from .protocol.actions import ProtocolAction
+        from .protocol.actions import DV_FEATURE_NAME, ProtocolAction
 
         # readerFeatures/writerFeatures are mandatory at 3/7 per the public
-        # Delta spec — foreign readers then report "unsupported feature:
-        # deletionVectors" instead of choking on the protocol action
+        # Delta spec. A vendor-prefixed token (not the spec's
+        # "deletionVectors") because our DV descriptor is not the spec's
+        # RoaringBitmap format — a conformant reader must fail fast with
+        # "unsupported table feature", never half-read the table.
         txn.add_action(
             ProtocolAction(
                 min_reader_version=3,
                 min_writer_version=7,
-                reader_features=["deletionVectors"],
-                writer_features=["deletionVectors"],
+                reader_features=[DV_FEATURE_NAME],
+                writer_features=[DV_FEATURE_NAME],
             )
         )
     txn.add_actions(actions)

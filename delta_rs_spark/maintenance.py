@@ -156,13 +156,16 @@ def _string_zorder_quantizer(table, spark, c: str, bits: int):
     from pyspark.sql import functions as F
 
     n_buckets = 1 << bits
-    sampled = (
-        table.to_df(spark, columns=[c])
-        .filter(F.col(c).isNotNull())
-        .sample(False, 1.0, seed=42)
-        .limit(100_000)
-        .collect()
-    )
+    df = table.to_df(spark, columns=[c]).filter(F.col(c).isNotNull())
+    # a real Bernoulli fraction (metadata-only row count when stats exist,
+    # one count job otherwise) so the sample spans every file — fraction 1.0
+    # + limit would take the first 100k rows in scan order, i.e. one or two
+    # files, and bias the rank boundaries
+    n = table.count_rows()
+    if n is None:
+        n = df.count()
+    frac = min(1.0, 300_000 / max(n, 1))  # 3x oversample so limit still fills
+    sampled = df.sample(False, frac, seed=42).limit(100_000).collect()
     vals = sorted(r[0] for r in sampled)
     if not vals:
         return F.lit(0).cast("long")

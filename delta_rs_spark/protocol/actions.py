@@ -14,6 +14,16 @@ import json
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
+# Feature token advertised in reader/writerFeatures when a table carries
+# deletion vectors. Deliberately NOT the public spec's "deletionVectors":
+# our descriptor ({storageType:'d', paths:[...position-parquet dirs]}) is not
+# the spec's RoaringBitmap format (storageType u/i/p + pathOrInlineDv +
+# offset), so advertising the spec token would make a DV-capable foreign
+# reader accept the table and then fail — or misread — on the descriptor.
+# An unknown vendor token makes every conformant reader fail fast with
+# "unsupported table feature" instead.
+DV_FEATURE_NAME = "deltaRsSpark.deletionVectors"
+
 
 @dataclass
 class Format:

@@ -373,8 +373,13 @@ class AdlsBackend(StorageBackend):
         return account, container, parsed.path.lstrip("/")
 
     def _url(self, path: str) -> str:
+        from urllib.parse import quote
+
         account, container, key = self._split(path)
-        return f"https://{account}.blob.core.windows.net/{container}/{key}"
+        # percent-encode the key (partition dirs like "city=New York" hold
+        # spaces/reserved chars); SharedKey signing canonicalizes the path
+        # as sent, so encoding here keeps URL and signature consistent
+        return f"https://{account}.blob.core.windows.net/{container}/{quote(key)}"
 
     def _request(self, method: str, url: str, headers=None, body: bytes | None = None):
         status, resp_headers, resp_body = self.client.request(
@@ -409,15 +414,17 @@ class AdlsBackend(StorageBackend):
         import xml.etree.ElementTree as ET
         from email.utils import parsedate_to_datetime
 
+        from urllib.parse import quote
+
         account, container, prefix = self._split(path)
         prefix = prefix.rstrip("/") + "/"
         base = f"https://{account}.blob.core.windows.net/{container}"
         host = urlparse(path).netloc
         marker = ""
         while True:
-            url = f"{base}?restype=container&comp=list&prefix={prefix}"
+            url = f"{base}?restype=container&comp=list&prefix={quote(prefix, safe='')}"
             if marker:
-                url += f"&marker={marker}"
+                url += f"&marker={quote(marker, safe='')}"
             status, _, body = self._request("GET", url)
             if status >= 400:
                 raise OSError(f"LIST {path} -> HTTP {status}")
@@ -521,12 +528,16 @@ class _AzureRestTransport:
             for k, v in sorted(headers.items())
             if k.lower().startswith("x-ms-")
         )
+        # canonical resource: the path as sent (percent-encoded), but query
+        # parameter values URL-decoded per the published algorithm
+        from urllib.parse import unquote
+
         canon_res = f"/{account}{parsed.path}"
         if parsed.query:
             params: dict[str, list[str]] = {}
             for pair in parsed.query.split("&"):
                 k, _, v = pair.partition("=")
-                params.setdefault(k.lower(), []).append(v)
+                params.setdefault(k.lower(), []).append(unquote(v))
             for k in sorted(params):
                 canon_res += f"\n{k}:{','.join(sorted(params[k]))}"
         length = str(len(body)) if body else ""

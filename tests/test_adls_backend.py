@@ -40,12 +40,15 @@ class FakeAzureTransport:
 
     def request(self, method, url, headers, body):
         self.requests.append((method, url, dict(headers)))
-        from urllib.parse import parse_qs, urlparse
+        from urllib.parse import parse_qs, unquote, urlparse
 
         parsed = urlparse(url)
         assert parsed.netloc.endswith(".blob.core.windows.net"), url
+        # real Azure rejects raw spaces/control chars in the request line —
+        # the backend must percent-encode them
+        assert " " not in parsed.path, f"unencoded space in URL path: {url}"
         qs = parse_qs(parsed.query)
-        path = parsed.path.lstrip("/")  # container/key
+        path = unquote(parsed.path).lstrip("/")  # container/key (decoded)
         if qs.get("comp") == ["list"]:
             return self._list(path.split("/")[0], qs)
         if method == "HEAD":
@@ -167,6 +170,27 @@ def test_conditional_put_conflict_keeps_src(adls):
     # loser's temp file stays for the caller's retry loop; winner untouched
     assert fake.blobs["fs/tables/t1/_delta_log/_commit_def.json.tmp"] == b"mine"
     assert fake.blobs["fs/tables/t1/_delta_log/00000000000000000001.json"] == b"winner"
+
+
+def test_special_char_keys_roundtrip(adls):
+    """Partition dirs like ``city=New York`` hold spaces/reserved chars: the
+    backend must percent-encode the key, list prefix, and marker (the fake
+    asserts no raw space reaches the request line) and decode list results
+    so get/head/delete round-trip."""
+    backend, fake = adls
+    key = f"{URI}/city=New York/part-00000 (1).parquet"
+    backend.put_obj(key, b"data")
+    assert fake.blobs["fs/tables/t1/city=New York/part-00000 (1).parquet"] == b"data"
+    assert backend.get_obj(key) == b"data"
+    assert backend.head_obj(key).size == 4
+    # three blobs under the space-y prefix → pagination with a space-y marker
+    backend.put_obj(f"{URI}/city=New York/a 1", b"x")
+    backend.put_obj(f"{URI}/city=New York/a 2", b"y")
+    names = [m.path for m in backend.list_objs(f"{URI}/city=New York")]
+    assert len(names) == 3
+    assert backend.get_obj(names[0]) in (b"x", b"y", b"data")
+    backend.delete_obj(key)
+    assert not backend.exists(key)
 
 
 def test_exists_on_directory_prefix(adls):

@@ -59,6 +59,15 @@ def test_dv_protocol_bump_and_time_travel(spark, tmp_path):
     res = t.delete(spark, "k = 0")
     t2 = DeltaTable.for_path(path)
     assert t2.protocol_versions() == (3, 7)
+    # vendor token, NOT the spec's "deletionVectors": our descriptor isn't
+    # the spec's RoaringBitmap format, so a spec-conformant DV reader must
+    # hard-fail on an unknown feature rather than misread the table
+    from delta_rs_spark.protocol.actions import DV_FEATURE_NAME
+
+    state = t2.snapshot.state
+    assert state.reader_features == [DV_FEATURE_NAME]
+    assert state.writer_features == [DV_FEATURE_NAME]
+    assert "deletionVectors" not in state.reader_features
     # the pre-delete version still reads every row under its own state
     t_old = DeltaTable.for_version(path, res["version"] - 1)
     assert t_old.to_df(spark).count() == 400
