@@ -11,6 +11,7 @@ fill the 50 slots. Everything else keeps its original registration order
 after the window.
 """
 
+from . import lifecycle_queries as _lifecycle_queries  # noqa: F401  (registers)
 from . import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
 from .queries import QUERIES, headline_queries, oracle_sql, queries
 

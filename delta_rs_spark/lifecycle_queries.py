@@ -1,0 +1,159 @@
+"""Table-lifecycle certified queries: change-data-feed and OPTIMIZE/Z-order.
+
+Unlike the read-only catalog queries, these seed a real Delta table (under a
+deterministic /tmp workdir keyed by sf_dir), run a DML / maintenance
+sequence, and return the queryable result — so the driver's DuckDB oracle
+certifies the *lifecycle* surface end to end:
+
+- ``cdf_changes_window``: merge-on-read DELETE (deletion-vector commit) +
+  merge-on-read UPDATE over a CDF-enabled table, then ``load_cdf`` over the
+  DML window. The oracle reconstructs the exact expected change rows
+  (delete / update_preimage / update_postimage) from the source parquet —
+  this pins the DV-commit CDF synthesis path (no phantom deletes, correct
+  pre/post images) against an independent engine.
+- ``q_zorder_pruned_scan``: write small files, OPTIMIZE with a 2-column
+  Z-order, then answer a 2-dimensional range predicate. The oracle is the
+  same predicate over the source parquet — certifying that the rewrite
+  preserved every row. The pruning benefit itself is asserted in
+  ``tests/test_stats_skipping.py`` (file-skip counts) — correctness here,
+  performance there.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import SUM_DEC, query
+from .sources.tables import load_table
+
+_WORK_ROOT = "/tmp/delta_rs_spark_certq"
+
+
+def _workdir(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch table path, recreated on every
+    call so repeated runs (driver, pytest, bench) start from version 0."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(_WORK_ROOT, f"{name}-{key}")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+@query(
+    "cdf_changes_window",
+    """
+    WITH base AS (
+      SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    del AS (
+      SELECT doc_id, source, n_chars,
+             'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      FROM base WHERE doc_id % 7 = 0
+    ),
+    pre AS (
+      SELECT doc_id, source, n_chars,
+             'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+      FROM base WHERE doc_id % 7 <> 0 AND source = 'src1'
+    ),
+    post AS (
+      SELECT doc_id, source, CAST(-1 AS BIGINT) AS n_chars,
+             'update_postimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+      FROM base WHERE doc_id % 7 <> 0 AND source = 'src1'
+    )
+    SELECT * FROM del
+    UNION ALL SELECT * FROM pre
+    UNION ALL SELECT * FROM post
+    ORDER BY _commit_version, _change_type, doc_id
+    """,
+)
+def q_cdf_changes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed documents → MoR DELETE (v1, DV commit) → MoR UPDATE (v2) →
+    load_cdf(v1..v2). Change rows are synthesized from the deletion-vector
+    commits (no change files for the delete) — the oracle proves the
+    synthesis emits exactly the newly-dead positions and correct
+    pre/post-image pairs, nothing phantom."""
+    from . import DeltaTable
+    from .writer import write_deltalake
+
+    uri = _workdir("cdf", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+    write_deltalake(
+        spark,
+        docs.repartition(4),
+        uri,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    t = DeltaTable(uri)
+    t.delete(spark, "doc_id % 7 = 0")  # v1: merge-on-read, DV commit
+    t = DeltaTable(uri)
+    t.update_where(spark, "source = 'src1'", {"n_chars": "-1"})  # v2: MoR update
+    t = DeltaTable(uri)
+    return t.load_cdf(spark, starting_version=1).orderBy(
+        "_commit_version", "_change_type", "doc_id"
+    )
+
+
+@query(
+    "q_zorder_pruned_scan",
+    f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_items,
+           {SUM_DEC('l_quantity', 'sum_qty', 2)},
+           {SUM_DEC('l_extendedprice', 'sum_price', 2)}
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 20000
+      AND l_partkey BETWEEN 100 AND 1000
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write lineitem as many small files, OPTIMIZE with a Z-order on
+    (l_orderkey, l_partkey), then answer a 2-D range predicate through the
+    stats-pruned snapshot scan. The oracle (same predicate over the source
+    parquet) certifies the rewrite lost/duplicated nothing; the file-skip
+    benefit of the Z-layout is asserted separately in
+    tests/test_stats_skipping.py."""
+    from . import DeltaTable
+    from .writer import write_deltalake
+
+    uri = _workdir("zorder", sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    write_deltalake(spark, li, uri, max_records_per_file=8_000)
+    t = DeltaTable(uri)
+    t.optimize(
+        spark,
+        zorder_by=["l_orderkey", "l_partkey"],
+        target_file_size=2 * 1024 * 1024,
+    )
+    t = DeltaTable(uri)
+    df = t.to_df(spark).filter(
+        F.col("l_orderkey").between(1000, 20000)
+        & F.col("l_partkey").between(100, 1000)
+    )
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(25,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -5,11 +5,16 @@ Mirrors the reference's ``StorageBackend`` trait surface
 *atomic create-if-absent* rename — the primitive the whole commit protocol
 rests on (``rust/src/storage/file/rename.rs:27-62``).
 
-Only the local filesystem backend is implemented (the test environment);
-object-store backends (S3 + lock, ADLS) plug in behind the same interface —
-see the reference's DynamoDB-lock design (``rust/src/storage/s3/mod.rs``).
-Executors never use this module: data files are read/written by Spark's own
-Hadoop FileSystem layer. This module only touches ``_delta_log/``.
+Four backends ship: local filesystem (atomic rename via O_EXCL link),
+in-process memory:// (pins the object-store contract for tests), S3 via
+boto3, and Azure ADLS/Blob via a stdlib REST transport. The object-store
+backends replace the reference's DynamoDB-lock design
+(``rust/src/storage/s3/mod.rs``) with conditional PUT
+(``If-None-Match: *``) as the lock-free atomic commit point — S3 and Azure
+both honor it natively now. ``register_backend_factory`` is the extension
+seam for more schemes. Executors never use this module: data files are
+read/written by Spark's own Hadoop FileSystem layer. This module only
+touches ``_delta_log/``.
 """
 
 from __future__ import annotations

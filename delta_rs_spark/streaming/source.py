@@ -74,12 +74,12 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.starting_version = int(options.get("startingversion", 0))
         ts = options.get("startingtimestamp")
         if ts is not None:
-            # resolved once at stream start: versions committed AFTER ts are
-            # streamed (the version AT ts is the base snapshot, Delta-source
-            # convention)
+            # resolved once at stream start: the Delta-source contract is
+            # at-or-after — a commit stamped exactly ts is included, and a
+            # ts before table creation starts from the earliest version
             from ..table import DeltaTable as _DT
 
-            self.starting_version = _DT(options["path"]).version_at_timestamp(ts) + 1
+            self.starting_version = _DT(options["path"]).first_version_at_or_after(ts)
         self.ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
         self.read_change_feed = (
             str(options.get("readchangefeed", "false")).lower() == "true"

@@ -87,6 +87,31 @@ class DeltaTable:
             raise DeltaTableError(f"no version of {self.table_uri} existed at {ts.isoformat()}")
         return best
 
+    def first_version_at_or_after(self, ts: str | _dt.datetime) -> int:
+        """First version whose commit timestamp is >= ts (the Delta
+        streaming ``startingTimestamp`` contract: changes committed at or
+        after the timestamp are included). Falls back to the earliest
+        version when ts predates the table; returns latest+1 when ts is
+        past the last commit (the stream then waits for future commits)."""
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts.replace("Z", "+00:00"))
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        target_ms = int(ts.timestamp() * 1000)
+
+        versions = self.log.list_commit_versions()
+        if not versions:
+            raise NotATableError(f"{self.table_uri} has no commits")
+        lo, hi, best = 0, len(versions) - 1, None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self.log.commit_timestamp_ms(versions[mid]) >= target_ms:
+                best = versions[mid]
+                hi = mid - 1
+            else:
+                lo = mid + 1
+        return best if best is not None else versions[-1] + 1
+
     def load_with_datetime(self, ts: str | _dt.datetime) -> None:
         """Time travel to the last version committed ≤ ts."""
         self.load_version(self.version_at_timestamp(ts))

@@ -174,6 +174,13 @@ def write_deltalake(
         raise ValueError("partition_overwrite_mode must be None, 'static', or 'dynamic'")
     if partition_overwrite_mode == "dynamic" and mode != "overwrite":
         raise ValueError("partition_overwrite_mode='dynamic' requires mode='overwrite'")
+    if partition_overwrite_mode == "dynamic" and replace_where is not None:
+        # the replace_where branch returns before dynamic-overwrite logic
+        # runs — raise instead of silently ignoring one of the two scopes
+        raise ValueError(
+            "partition_overwrite_mode='dynamic' cannot be combined with "
+            "replace_where; the predicate already scopes the overwrite"
+        )
 
     df = _normalize_timestamps(df)
 

@@ -469,8 +469,9 @@ def test_stream_rate_limit_restart_resumes_from_checkpoint(spark, tmp_path):
 
 
 def test_stream_starting_timestamp(spark, tmp_path):
-    """startingTimestamp resolves to 'versions committed after ts': a stream
-    started at v0's commit time replays v1+ only."""
+    """startingTimestamp is at-or-after (Delta-source contract): a commit
+    stamped exactly ts is included; ts before table creation starts from the
+    earliest version; ts past the last commit waits for future commits."""
     import datetime as dt
 
     from delta_rs_spark import DeltaTable
@@ -480,13 +481,34 @@ def test_stream_starting_timestamp(spark, tmp_path):
     _mk_table(spark, uri, 10, 3)  # v1: ids 10..12
 
     t = DeltaTable(uri)
-    ts0 = dt.datetime.fromtimestamp(
-        t.log.commit_timestamp_ms(0) / 1000, tz=dt.timezone.utc
-    )
+    ms0 = t.log.commit_timestamp_ms(0)
+    ms1 = t.log.commit_timestamp_ms(1)
+
+    def _iso(ms):
+        return dt.datetime.fromtimestamp(ms / 1000, tz=dt.timezone.utc).isoformat()
 
     from delta_rs_spark.streaming.source import DeltaStreamReader
 
-    reader = DeltaStreamReader(None, {"path": uri, "startingtimestamp": ts0.isoformat()})
-    assert reader.starting_version == 1
-    assert reader.initialOffset() == {"version": 0}
+    # exactly v0's commit time → v0 itself is included
+    reader = DeltaStreamReader(None, {"path": uri, "startingtimestamp": _iso(ms0)})
+    assert reader.starting_version == 0
+    assert reader.initialOffset() == {"version": -1}
     assert reader.latestOffset() == {"version": 1}
+
+    # before table creation → earliest version, no error
+    early = DeltaStreamReader(
+        None, {"path": uri, "startingtimestamp": _iso(ms0 - 60_000)}
+    )
+    assert early.starting_version == 0
+
+    # strictly after v0 (and v1 if same-ms) → first version stamped >= ts
+    t_mid = DeltaStreamReader(
+        None, {"path": uri, "startingtimestamp": _iso(ms0 + 1)}
+    )
+    assert t_mid.starting_version == (1 if ms1 > ms0 else 2)
+
+    # past the last commit → stream waits for future versions
+    late = DeltaStreamReader(
+        None, {"path": uri, "startingtimestamp": _iso(ms1 + 60_000)}
+    )
+    assert late.starting_version == 2

@@ -282,6 +282,17 @@ def test_replace_where_partial_overwrite(spark, tmp_path, sf_dir):
     # and replace_where demands overwrite mode
     with pytest.raises(ValueError, match="requires mode"):
         write_deltalake(spark, docs.limit(1), uri, replace_where="source = 'src1'")
+    # dynamic partition overwrite + replace_where is contradictory (two
+    # competing overwrite scopes) — must raise, not silently pick one
+    with pytest.raises(ValueError, match="cannot be combined"):
+        write_deltalake(
+            spark,
+            docs.limit(1),
+            uri,
+            mode="overwrite",
+            replace_where="source = 'src1'",
+            partition_overwrite_mode="dynamic",
+        )
 
 
 def test_add_and_drop_constraint(spark, tmp_path, lineitem):
