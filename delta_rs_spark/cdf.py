@@ -148,7 +148,7 @@ def load_cdf(
         names = [_os.path.basename(a.path) for a, _ in items]
         if len(set(names)) == len(names):
             if is_cdc:
-                paths = [snap._absolute(a.path) for a, _ in items]
+                paths = [snap._readable(a.path) for a, _ in items]
                 fname = F.regexp_extract(F.input_file_name(), r"([^/]+?)(\?.*)?$", 1)
                 pairs = []
                 for a, v in items:
@@ -175,7 +175,7 @@ def load_cdf(
         out = []
         for v, adds_v in sorted(by_version.items()):
             if is_cdc:
-                paths = [snap._absolute(a.path) for a in adds_v]
+                paths = [snap._readable(a.path) for a in adds_v]
                 df = spark.read.parquet(*paths).select(*schema.names, CHANGE_TYPE_COL)
             else:
                 df = snap.df_for_adds(spark, adds_v).withColumn(
@@ -193,7 +193,7 @@ def load_cdf(
         dirs = sorted({d for _, nd in group for d in nd})
         pos = (
             spark.read.schema("path STRING, row_index BIGINT")
-            .parquet(*[snap._absolute(d) for d in dirs])
+            .parquet(*[snap.log.data_plane.readable_dir(d) for d in dirs])
             .select(F.col("path").alias("_dv_path"), F.col("row_index").alias("_dv_pos"))
         )
         basenames = [a.path.rsplit("/", 1)[-1] for a, _ in group]
@@ -237,16 +237,13 @@ def write_change_files(spark: SparkSession, log, change_df: DataFrame) -> list[C
 
     from .writer import _list_parquet_files, _remove_dir_tree
 
-    staging = log.backend.join(log.table_root, f".tmp-cdc-{uuid.uuid4().hex}")
+    staging = log.data_plane.stage_dir("cdc")
     change_df.write.mode("overwrite").parquet(staging)
 
-    cdc_dir = log.backend.join(log.table_root, "_change_data")
-    os.makedirs(cdc_dir, exist_ok=True)
     actions: list[CdcAction] = []
     for i, src in enumerate(sorted(_list_parquet_files(staging))):
         rel = f"_change_data/cdc-{i:05d}-{uuid.uuid4()}.snappy.parquet"
-        dst = log.backend.join(log.table_root, rel)
-        os.rename(src, dst)
-        actions.append(CdcAction(path=rel, size=os.stat(dst).st_size))
+        size, _ = log.data_plane.publish_file(src, rel)
+        actions.append(CdcAction(path=rel, size=size))
     _remove_dir_tree(staging)
     return actions

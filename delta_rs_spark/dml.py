@@ -195,7 +195,7 @@ def _stage_and_swap(
     # introduce violations; DELETE survivors pass trivially)
     check_constraints(new_rows, table.metadata().configuration)
 
-    staging_dir = log.backend.join(log.table_root, f".tmp-commit-{_uuid.uuid4().hex}")
+    staging_dir = log.data_plane.stage_dir("commit")
     writer = new_rows.write.mode("overwrite")
     if pcols:
         writer = writer.partitionBy(*pcols)
@@ -345,9 +345,16 @@ def _dv_swap_actions(log, candidates: list[AddAction], pos_df) -> tuple[list, di
         matched_adds[add.path] = matched_adds.get(add.path, 0) + n
 
     dv_rel = f"_deletion_vectors/{_uuid.uuid4().hex}"
-    dv_abs = log.backend.join(log.table_root, dv_rel)
-    pos_df.write.mode("overwrite").parquet(dv_abs)
-    dv_bytes = _dir_bytes(dv_abs)
+    plane = log.data_plane
+    if plane.native:
+        pos_df.write.mode("overwrite").parquet(
+            log.backend.join(log.table_root, dv_rel)
+        )
+        dv_bytes = plane.dir_bytes(dv_rel)
+    else:
+        staged = plane.stage_dir("dv")
+        pos_df.write.mode("overwrite").parquet(staged)
+        dv_bytes = plane.publish_dir(staged, dv_rel)
 
     now_ms = int(time.time() * 1000)
     actions: list = []
@@ -420,13 +427,11 @@ def _commit_dv_txn(
 
 def _mor_eligible(table: DeltaTable, candidates: list[AddAction]) -> bool:
     """Merge-on-read needs row lineage: the scan-side file identity is
-    recovered by stripping the table root from ``_metadata.file_path``, which
+    recovered by stripping the scan root from ``_metadata.file_path``, which
     only matches adds stored with log-relative paths (shallow-clone adds are
-    absolute → fall back to copy-on-write)."""
-    from .protocol.storage import LocalFileBackend
-
-    if not isinstance(table.log.backend, LocalFileBackend):
-        return False
+    absolute → fall back to copy-on-write). Any storage backend qualifies —
+    DV position files flow through the table's DataPlane (native Spark I/O
+    or backend-mirrored, see ``protocol/dataio.py``)."""
     return all(
         "://" not in a.path and not a.path.startswith("/") for a in candidates
     )
@@ -578,7 +583,7 @@ def _stage_new_rows(spark: SparkSession, table: DeltaTable, rows: DataFrame) -> 
     log = table.log
     pcols = table.metadata().partition_columns
     check_constraints(rows, table.metadata().configuration)
-    staging = log.backend.join(log.table_root, f".tmp-commit-{_uuid.uuid4().hex}")
+    staging = log.data_plane.stage_dir("commit")
     writer = rows.write.mode("overwrite")
     if pcols:
         writer = writer.partitionBy(*pcols)

@@ -350,7 +350,7 @@ def optimize(
 
     full_schema = schema_string_to_spark(meta.schema_string)
     data_schema = type(full_schema)([f for f in full_schema.fields if f.name not in pcols])
-    staging_root = log.backend.join(log.table_root, f".tmp-optimize-{_uuid.uuid4().hex}")
+    staging_root = log.data_plane.stage_dir("optimize")
 
     def rewrite(item: tuple[tuple, list]) -> None:
         key, files = item
@@ -358,7 +358,7 @@ def optimize(
             f"{c}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}" for c, v in key
         )
         out_dir = os.path.join(staging_root, part_dir) if part_dir else staging_root
-        uris = [log.backend.join(log.table_root, f.path) for f in files]
+        uris = [table.snapshot._readable(f.path) for f in files]
         n_out = max(1, math.ceil(sum(f.size for f in files) / target_file_size))
         if any(f.deletion_vector for f in files):
             # DV-aware read: the rewrite drops deleted rows for good

@@ -250,28 +250,61 @@ def ivf_topk(
     return _two_phase_topk(scored, k)
 
 
+def _lsh_bucket_tables(
+    df: DataFrame, n_planes: int, n_tables: int, dim: int, vec_col: str
+) -> DataFrame:
+    """Explode each row into ``n_tables`` (table, bucket) rows — one
+    independent sign-LSH hash table per plane set. Buckets are computed in
+    one codegen pass (the plane matrix is a driver literal, no shuffle)."""
+    all_planes = _hyperplane_signs(n_planes * n_tables, dim)
+    buckets = []
+    for t in range(n_tables):
+        b = F.lit(0).cast("long")
+        for i, signs in enumerate(all_planes[t * n_planes : (t + 1) * n_planes]):
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(s)) for s in signs]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            b = b + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
+        buckets.append(b)
+    return df.select("*", F.posexplode(F.array(*buckets)).alias("table", "bucket"))
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket, exact rerank inside.
+    """Approximate top-k: candidates share a bucket in ANY of ``n_tables``
+    independent sign-LSH hash tables, exact cosine rerank inside.
 
-    At scale the bucket join replaces the n² cross join with ~n²/2^planes
-    work; recall tunes with n_planes (fewer planes → bigger buckets).
+    Multi-table is the standard recall lever for hyperplane LSH: a single
+    table misses a true neighbor whose signs differ on one plane; with L
+    independent tables the miss probability decays as miss_1^L. Candidate
+    volume is ~L·n²/2^planes — n_planes tunes per-table selectivity (cost),
+    n_tables tunes recall, independently. Duplicated candidates (pairs
+    colliding in several tables) are deduped before scoring, so the rerank
+    work is ∝ distinct candidates.
     """
-    c = lsh_bucket(_with_norm(corpus, id_col, vec_col, "c"), n_planes, dim, "c_v")
-    q = lsh_bucket(_with_norm(queries, id_col, vec_col, "q"), n_planes, dim, "q_v")
-    # broadcast the bounded query side: the bucket key has only 2^n_planes
+    c = _lsh_bucket_tables(_with_norm(corpus, id_col, vec_col, "c"), n_planes, n_tables, dim, "c_v")
+    q = _lsh_bucket_tables(_with_norm(queries, id_col, vec_col, "q"), n_planes, n_tables, dim, "q_v")
+    # broadcast the bounded query side: the bucket key has only L·2^n_planes
     # distinct values, so a shuffle join would funnel the corpus through few
     # hot reducers; a broadcast join never moves the corpus at all
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("q_id") != F.col("c_id"))
+        .dropDuplicates(["q_id", "c_id"])
         .withColumn(
             "cosine",
             F.round(_cosine(F.col("q_v"), F.col("c_v"), F.col("q_norm"), F.col("c_norm")), 6),

@@ -52,6 +52,17 @@ class DeltaLog:
     def __init__(self, table_uri: str):
         self.table_root, self.backend = parse_table_uri(table_uri)
         self.log_dir = self.backend.join(self.table_root, DELTA_LOG_DIR)
+        self._data_plane = None
+
+    @property
+    def data_plane(self):
+        """Lazy per-table :class:`~.dataio.DataPlane` (native Spark I/O vs
+        backend-mirrored I/O for data files)."""
+        if self._data_plane is None:
+            from .dataio import DataPlane
+
+            self._data_plane = DataPlane(self)
+        return self._data_plane
 
     # ---- path scheme -------------------------------------------------
     def commit_path(self, version: int) -> str:
@@ -153,6 +164,14 @@ class DeltaLog:
         if "://" in path or path.startswith("/"):
             return path
         return self.backend.join(self.table_root, path)
+
+    def readable(self, path: str) -> str:
+        """Like :meth:`absolute`, but guaranteed readable by Spark/pyarrow —
+        a backend-mirrored local copy on non-native data planes."""
+        return self.data_plane.readable_uri(path)
+
+    def readable_dir(self, rel_dir: str) -> str:
+        return self.data_plane.readable_dir(rel_dir)
 
     def put_last_checkpoint(self, cp: CheckPoint) -> None:
         self.backend.put_obj(self.last_checkpoint_path(), cp.to_json().encode("utf-8"))

@@ -138,6 +138,12 @@ class Snapshot:
             return path
         return self.log.backend.join(self.log.table_root, path)
 
+    def _readable(self, path: str) -> str:
+        """URI Spark can actually scan for a log-relative data file — the
+        table URI itself on the native data plane, a backend-mirrored local
+        copy otherwise (see ``protocol/dataio.py``)."""
+        return self.log.data_plane.readable_uri(path)
+
     def stats(self) -> list[Optional[dict[str, Any]]]:
         return [a.get_stats() for a in self.state.files.values()]
 
@@ -238,7 +244,7 @@ class Snapshot:
         ``url_decode`` (form-decoding, ``+``→space) a strict
         percent-decoder.
         """
-        delim = self.log.table_root.rstrip("/") + "/"
+        delim = self.log.data_plane.scan_root.rstrip("/") + "/"
         decoded = F.url_decode(
             F.regexp_replace(F.col("_metadata.file_path"), r"\+", "%2B")
         )
@@ -254,7 +260,7 @@ class Snapshot:
         pcols = self.metadata.partition_columns
         if not pcols:
             df = spark.read.schema(table_schema).parquet(
-                *[self._absolute(a.path) for a in adds]
+                *[self._readable(a.path) for a in adds]
             )
             cols = list(table_schema.names)
             if include_lineage:
@@ -277,7 +283,7 @@ class Snapshot:
             for p in a.deletion_vector.get("paths", []):
                 if p not in seen:
                     seen.add(p)
-                    dirs.append(self._absolute(p))
+                    dirs.append(self.log.data_plane.readable_dir(p))
         pos = (
             spark.read.schema("path STRING, row_index BIGINT")
             .parquet(*dirs)
@@ -329,7 +335,7 @@ class Snapshot:
         groups: dict[tuple, list[str]] = {}
         for a in adds:
             key = tuple(a.partition_values.get(c) for c in pcols)
-            groups.setdefault(key, []).append(self._absolute(a.path))
+            groups.setdefault(key, []).append(self._readable(a.path))
 
         if len(groups) > self.MAX_UNION_BRANCHES:
             all_paths = [p for paths in groups.values() for p in paths]
@@ -338,7 +344,7 @@ class Snapshot:
             if all(f"/{c}=" in p for p in all_paths for c in pcols):
                 df = (
                     spark.read.schema(schema)
-                    .option("basePath", self.log.table_root)
+                    .option("basePath", self.log.data_plane.scan_root)
                     .parquet(*all_paths)
                 )
                 return df.select(*schema.names, *lineage) if lineage else df

@@ -186,12 +186,12 @@ class DeltaStreamReader(DataSourceStreamReader):
                     dv = a.deletion_vector
                     parts.append(
                         DeltaFilePartition(
-                            log.absolute(a.path),
+                            log.readable(a.path),
                             a.partition_values,
                             meta.schema_string,
                             meta.partition_columns,
                             dv_dirs=(
-                                [log.absolute(p) for p in dv.get("paths", [])]
+                                [log.readable_dir(p) for p in dv.get("paths", [])]
                                 if dv
                                 else None
                             ),
@@ -206,7 +206,8 @@ class DeltaStreamReader(DataSourceStreamReader):
         ignoreChanges gate — in CDF mode deletes ARE the payload."""
         from ..protocol.actions import AddAction, CdcAction, RemoveAction
 
-        absolute = log.absolute
+        absolute = log.readable
+        readable_dir = log.readable_dir
 
         cdc = [a for a in actions if isinstance(a, CdcAction)]
         if cdc:
@@ -249,7 +250,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                             meta.partition_columns,
                             change_type="delete",
                             commit_version=v,
-                            dv_dirs=[absolute(p) for p in new_dirs],
+                            dv_dirs=[readable_dir(p) for p in new_dirs],
                             dv_key=a.path,
                             dv_mode="select",
                         )
@@ -278,7 +279,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                     change_type="delete",
                     commit_version=v,
                     # prior DV: rows already dead at removal stay deleted
-                    dv_dirs=[absolute(p) for p in dv.get("paths", [])] if dv else None,
+                    dv_dirs=[readable_dir(p) for p in dv.get("paths", [])] if dv else None,
                     dv_key=r.path if dv else None,
                 )
             )

@@ -195,9 +195,12 @@ class DeltaTable:
                 "table has deletion vectors; use to_pyarrow_table()/to_df() "
                 "(position-aware) or run optimize() to materialize deletes"
             )
-        paths = (
-            self.files_by_partitions(partitions) if partitions is not None else self.file_uris()
-        )
+        # readable URIs: identical to file_uris() on the native data plane,
+        # backend-mirrored local copies otherwise (protocol/dataio.py)
+        paths = [
+            self._snapshot._readable(a.path)
+            for a in self._snapshot.files(partition_filters=partitions or None)
+        ]
         return ds.dataset(
             paths,
             schema=self.pyarrow_schema(),
@@ -236,10 +239,10 @@ class DeltaTable:
         pcols = self.metadata().partition_columns
         pieces = []
         for a in adds:
-            tbl = pq.read_table(snap._absolute(a.path))
+            tbl = pq.read_table(snap._readable(a.path))
             if a.deletion_vector:
                 parts = [
-                    ds.dataset(snap._absolute(p), format="parquet")
+                    ds.dataset(self.log.readable_dir(p), format="parquet")
                     for p in a.deletion_vector.get("paths", [])
                 ]
                 dvset = parts[0] if len(parts) == 1 else ds.dataset(parts)

@@ -252,8 +252,7 @@ def write_deltalake(
         == "true"
     ):
         df = df.repartition(*partition_by)
-    staging_name = f".tmp-commit-{uuid.uuid4().hex}"
-    staging_dir = log.backend.join(log.table_root, staging_name)
+    staging_dir = log.data_plane.stage_dir("commit")
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -459,6 +458,8 @@ def _promote_staged_files(
     The moves run on a driver thread pool: local renames are ~free, but on
     object-store backends each promotion is a network round trip, and a
     100k-file commit serialized on the driver would dominate commit latency.
+    Publication goes through the table's DataPlane — a same-FS rename on the
+    native plane, a StorageBackend upload on mirrored planes.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -471,16 +472,15 @@ def _promote_staged_files(
         part_dir = os.path.dirname(rel)
         partition_values = _parse_partition_path(part_dir)
         fname = f"part-{i:05d}-{uuid.uuid4()}-c000.snappy.parquet"
-        final_rel = os.path.join(part_dir, fname) if part_dir else fname
-        dst = log.backend.join(log.table_root, final_rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.rename(src, dst)
-        st = os.stat(dst)
+        final_rel = (os.path.join(part_dir, fname) if part_dir else fname).replace(
+            os.sep, "/"
+        )
+        size, mtime_ms = log.data_plane.publish_file(src, final_rel)
         return AddAction(
-            path=final_rel.replace(os.sep, "/"),
-            size=st.st_size,
+            path=final_rel,
+            size=size,
             partition_values=partition_values,
-            modification_time=int(st.st_mtime * 1000),
+            modification_time=mtime_ms,
             data_change=data_change,
             stats=stats_by_path.get(src),
         )

@@ -1,0 +1,138 @@
+"""Data-plane tests: the full table lifecycle on non-local backends.
+
+``protocol/dataio.py`` resolves, per table, whether Spark reaches data files
+natively (local FS / jar-backed schemes) or through a StorageBackend-fed
+local mirror. These tests run the WHOLE lifecycle — write, merge-on-read
+DELETE/UPDATE (deletion vectors), CDF, OPTIMIZE materialization, time
+travel — over ``memory://`` and over a mocked ``abfss://`` transport,
+asserting the same swap-commit semantics as the local backend. This is the
+object-store merge-on-read surface the reference leaves unimplemented
+(its Azure backend is read-only, ``rust/src/storage/azure.rs:199-209``).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark import DeltaTable
+from delta_rs_spark.protocol.storage import register_backend_factory
+from delta_rs_spark.writer import write_deltalake
+
+
+def _seed(spark, uri, rows=400, nfiles=4, dv=True, cdf=False):
+    cfg = {}
+    if dv:
+        cfg["delta.enableDeletionVectors"] = "true"
+    if cdf:
+        cfg["delta.enableChangeDataFeed"] = "true"
+    df = spark.range(0, rows).selectExpr("id", "id % 10 as k", "concat('v', id) as v")
+    write_deltalake(spark, df.repartition(nfiles), uri, configuration=cfg or None)
+    return DeltaTable(uri)
+
+
+def test_memory_backend_full_write_read_roundtrip(spark):
+    uri = "memory://dataio/rt"
+    t = _seed(spark, uri, dv=False)
+    assert t.to_df(spark).count() == 400
+    assert t.count_rows() == 400  # stats survived the mirrored write
+    got = sorted(r.id for r in t.to_df(spark).filter("k = 7").collect())
+    assert got == list(range(7, 400, 10))
+
+
+def test_memory_backend_mor_delete_swap_semantics(spark):
+    """MoR delete on memory://: same swap-commit shape as the local backend
+    — zero rewritten files, DV descriptors on the same adds, correct
+    read-back, metadata-only count fold."""
+    uri = "memory://dataio/mor"
+    t = _seed(spark, uri)
+    files_before = sorted(t.file_paths())
+
+    res = t.delete(spark, "k = 3")
+    assert res["numDeletedRows"] == 40
+    assert res["numAddedFiles"] == 0
+    assert res["numDeletionVectorsAdded"] == 4
+
+    t2 = DeltaTable(uri)
+    assert sorted(t2.file_paths()) == files_before  # no data rewrite
+    assert t2.to_df(spark).count() == 360
+    assert t2.to_df(spark).filter("k = 3").count() == 0
+    assert t2.count_rows() == 360
+    assert t2.protocol_versions() == (3, 7)
+
+
+def test_memory_backend_mor_update_and_cdf(spark):
+    uri = "memory://dataio/cdf"
+    t = _seed(spark, uri, cdf=True)
+    t.delete(spark, "k = 3")  # v1: DV commit
+    t2 = DeltaTable(uri)
+    t2.update_where(spark, "k = 5", {"v": "'updated'"})  # v2: MoR update
+    t3 = DeltaTable(uri)
+    assert t3.to_df(spark).filter("v = 'updated'").count() == 40
+
+    ch = t3.load_cdf(spark, starting_version=1)
+    by_type = {
+        r["_change_type"]: r["n"]
+        for r in ch.groupBy("_change_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert by_type == {
+        "delete": 40,
+        "update_preimage": 40,
+        "update_postimage": 40,
+    }
+
+
+def test_memory_backend_optimize_materializes_dvs(spark):
+    uri = "memory://dataio/opt"
+    t = _seed(spark, uri)
+    t.delete(spark, "k = 3")
+    t2 = DeltaTable(uri)
+    t2.optimize(spark)
+    t3 = DeltaTable(uri)
+    assert not any(a.deletion_vector for a in t3.add_actions())
+    assert t3.to_df(spark).count() == 360
+    assert t3.to_df(spark).filter("k = 3").count() == 0
+    # time travel across the whole sequence still works from the log
+    assert DeltaTable.for_version(uri, 0).to_df(spark).count() == 400
+    assert DeltaTable.for_version(uri, 1).to_df(spark).count() == 360
+
+
+def test_memory_backend_pyarrow_path_with_dvs(spark):
+    uri = "memory://dataio/pa"
+    t = _seed(spark, uri)
+    t.delete(spark, "id < 10")
+    t2 = DeltaTable(uri)
+    tbl = t2.to_pyarrow_table()
+    assert tbl.num_rows == 390
+    assert min(tbl.column("id").to_pylist()) == 10
+
+
+def test_mocked_abfss_mor_delete(spark):
+    """The identical MoR sequence over the in-memory Azure Blob REST fake:
+    every data byte flows through the AdlsBackend wire contract."""
+    from tests.test_adls_backend import FakeAzureTransport
+
+    from delta_rs_spark.protocol.storage import AdlsBackend
+
+    fake = FakeAzureTransport()
+    register_backend_factory("abfss", lambda uri: AdlsBackend(client=fake))
+    try:
+        uri = "abfss://fs@sa.dfs.core.windows.net/tables/mor"
+        t = _seed(spark, uri, rows=200, nfiles=2)
+        assert t.to_df(spark).count() == 200
+
+        res = t.delete(spark, "k = 4")
+        assert res["numDeletedRows"] == 20
+        assert res["numAddedFiles"] == 0
+        assert res["numDeletionVectorsAdded"] == 2
+
+        t2 = DeltaTable(uri)
+        assert t2.to_df(spark).count() == 180
+        assert t2.to_df(spark).filter("k = 4").count() == 0
+        # the data files and DV positions live in the fake blob store
+        assert any("_deletion_vectors/" in k for k in fake.blobs)
+        assert sum(1 for k in fake.blobs if k.endswith(".parquet")) >= 3
+    finally:
+        from delta_rs_spark.protocol.storage import _BACKEND_FACTORIES
+
+        _BACKEND_FACTORIES.pop("abfss", None)

@@ -1,0 +1,83 @@
+"""Recall contracts for the approximate operators.
+
+The four rows-only catalog queries (minhash LSH dedup, LSH / IVF /
+quantized top-k) are approximate by design — no SQL oracle can pin their
+output. These tests bound HOW approximate they are: recall against the
+exact operator on the same data, with floors asserted at sf0.01 (the
+driver's certification scale). The operators are fully deterministic
+(md5-seeded hyperplanes/permutations, deterministic k-means seeds), so the
+measured values are stable run to run; floors leave margin only for
+parameter-neutral refactors.
+
+Measured at sf0.01 (documented in QUERIES.md):
+- lsh_topk (4 planes × 16 tables):  recall@10 = 0.90
+- ivf_topk (8 lists, probe 6):      recall@10 = 0.90
+- quantized_topk (int8 + rerank):   recall@10 = 1.00
+- minhash_lsh_dedup (t=0.8):        pair recall 1.00, precision 1.00
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark.operators import dedup, similarity
+from delta_rs_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    return {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    }
+
+
+def _recall(got_df, exact: set) -> float:
+    got = {(r.query_id, r.neighbor_id) for r in got_df.collect()}
+    return len(got & exact) / len(exact)
+
+
+def test_lsh_topk_recall_floor(spark, emb, exact_topk):
+    q = emb.filter(F.col("vec_id") < 5)
+    r = _recall(similarity.lsh_topk(emb, q, k=10, n_planes=4, n_tables=16), exact_topk)
+    assert r >= 0.85, f"lsh_topk recall@10 dropped to {r}"
+
+
+def test_ivf_topk_recall_floor(spark, emb, exact_topk):
+    q = emb.filter(F.col("vec_id") < 5)
+    r = _recall(similarity.ivf_topk(emb, q, k=10, n_list=8, n_probe=6), exact_topk)
+    assert r >= 0.85, f"ivf_topk recall@10 dropped to {r}"
+
+
+def test_quantized_topk_recall_floor(spark, emb, exact_topk):
+    q = emb.filter(F.col("vec_id") < 5)
+    r = _recall(similarity.quantized_topk(emb, q, k=10), exact_topk)
+    assert r >= 0.95, f"quantized_topk recall@10 dropped to {r}"
+
+
+def test_minhash_lsh_pair_recall_and_precision(spark):
+    """MinHash banding must find (recall) essentially every true
+    Jaccard>=0.8 pair, and its exact-verify step makes precision exact —
+    any reported pair must BE a true pair."""
+    docs = load_table(spark, SF_DIR, "documents")
+    true_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3).collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_dedup(docs, threshold=0.8).collect()
+    }
+    assert true_pairs, "fixture regression: no true near-dup pairs at sf0.01"
+    recall = len(mh & true_pairs) / len(true_pairs)
+    assert recall >= 0.95, f"minhash pair recall dropped to {recall}"
+    assert mh <= true_pairs, f"false positives slipped past verify: {mh - true_pairs}"
