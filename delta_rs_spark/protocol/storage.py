@@ -5,23 +5,24 @@ Mirrors the reference's ``StorageBackend`` trait surface
 *atomic create-if-absent* rename — the primitive the whole commit protocol
 rests on (``rust/src/storage/file/rename.rs:27-62``).
 
-Four backends ship: local filesystem (atomic rename via O_EXCL link),
+Five backends ship: local filesystem (atomic rename via O_EXCL link),
 in-process memory:// (pins the object-store contract for tests), S3 via
-boto3, and Azure ADLS/Blob via a stdlib REST transport. The object-store
-backends replace the reference's DynamoDB-lock design
-(``rust/src/storage/s3/mod.rs``) with conditional PUT
-(``If-None-Match: *``) as the lock-free atomic commit point — S3 and Azure
-both honor it natively now. ``register_backend_factory`` is the extension
-seam for more schemes. Executors never use this module: data files are
+boto3, Azure ADLS/Blob and Google Cloud Storage via stdlib REST
+transports. The object-store backends replace the reference's
+DynamoDB-lock design (``rust/src/storage/s3/mod.rs``) with conditional
+writes (S3/Azure ``If-None-Match: *``, GCS ``ifGenerationMatch=0``) as the
+lock-free atomic commit point — all three stores honor them natively now.
+``register_backend_factory`` is the extension seam for more schemes. Executors never use this module: data files are
 read/written by Spark's own Hadoop FileSystem layer. This module only
 touches ``_delta_log/``.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
-from typing import Iterator
+from typing import Iterator, Optional
 from urllib.parse import urlparse
 
 
@@ -339,6 +340,182 @@ class S3Backend(StorageBackend):
         pass  # object stores have no directories
 
 
+class GcsBackend(StorageBackend):
+    """Google Cloud Storage backend (``gs://bucket/path``).
+
+    The reference has NO GCS backend (its README tracks it as open issue
+    #56) — this is parity-plus, built on the same conditional-write commit
+    design as S3/Azure: GCS uploads honor ``ifGenerationMatch=0`` natively
+    (HTTP 412 when the object already exists), so ``rename_obj_noreplace``
+    is the identical lock-free get→conditional-put→delete shape. REST calls
+    target the public JSON API (``storage.googleapis.com/storage/v1``);
+    the transport is injectable (tests use an in-memory fake): any object
+    with ``request(method, url, headers, body) -> (status, headers, body)``.
+
+    Auth (default transport): a static OAuth bearer token from
+    ``GCS_OAUTH_TOKEN`` (what ``gcloud auth print-access-token`` emits).
+    The service-account JWT signing flow needs an RSA library this
+    environment doesn't ship, so it honestly raises instead of faking.
+    """
+
+    def __init__(self, client=None):
+        self.client = client or _GcsRestTransport()
+
+    @staticmethod
+    def _split(path: str) -> tuple[str, str]:
+        """gs://bucket/key → (bucket, key)."""
+        parsed = urlparse(path)
+        if parsed.scheme != "gs" or not parsed.netloc:
+            raise ValueError(f"not a gs path: {path!r}")
+        return parsed.netloc, parsed.path.lstrip("/")
+
+    @staticmethod
+    def _object_url(bucket: str, key: str) -> str:
+        from urllib.parse import quote
+
+        # JSON API addresses the object as ONE path segment: every char of
+        # the key is encoded, including '/'
+        return (
+            "https://storage.googleapis.com/storage/v1/b/"
+            f"{bucket}/o/{quote(key, safe='')}"
+        )
+
+    def head_obj(self, path: str) -> ObjectMeta:
+        bucket, key = self._split(path)
+        status, _, body = self.client.request(
+            "GET", self._object_url(bucket, key), {}, None
+        )
+        if status == 404:
+            raise FileNotFoundError(path)
+        if status >= 400:
+            raise OSError(f"HEAD {path} -> HTTP {status}")
+        meta = json.loads(body)
+        return ObjectMeta(
+            path=path,
+            size=int(meta.get("size", 0)),
+            modification_time=_rfc3339_ts(meta.get("updated")),
+        )
+
+    def get_obj(self, path: str) -> bytes:
+        bucket, key = self._split(path)
+        status, _, body = self.client.request(
+            "GET", self._object_url(bucket, key) + "?alt=media", {}, None
+        )
+        if status == 404:
+            raise FileNotFoundError(path)
+        if status >= 400:
+            raise OSError(f"GET {path} -> HTTP {status}")
+        return body
+
+    def list_objs(self, path: str) -> Iterator[ObjectMeta]:
+        from urllib.parse import quote
+
+        bucket, prefix = self._split(path)
+        prefix = prefix.rstrip("/") + "/"
+        page_token = ""
+        while True:
+            url = (
+                f"https://storage.googleapis.com/storage/v1/b/{bucket}/o"
+                f"?prefix={quote(prefix, safe='')}"
+            )
+            if page_token:
+                url += f"&pageToken={quote(page_token, safe='')}"
+            status, _, body = self.client.request("GET", url, {}, None)
+            if status >= 400:
+                raise OSError(f"LIST {path} -> HTTP {status}")
+            listing = json.loads(body)
+            for item in listing.get("items", []):
+                yield ObjectMeta(
+                    path=f"gs://{bucket}/{item['name']}",
+                    size=int(item.get("size", 0)),
+                    modification_time=_rfc3339_ts(item.get("updated")),
+                )
+            page_token = listing.get("nextPageToken") or ""
+            if not page_token:
+                return
+
+    def put_obj(self, path: str, data: bytes, if_none_match: bool = False) -> None:
+        from urllib.parse import quote
+
+        bucket, key = self._split(path)
+        url = (
+            "https://storage.googleapis.com/upload/storage/v1/b/"
+            f"{bucket}/o?uploadType=media&name={quote(key, safe='')}"
+        )
+        if if_none_match:
+            # generation 0 == "object must not exist": the native atomic
+            # create-if-absent GCS gives away for free (no lock service)
+            url += "&ifGenerationMatch=0"
+        status, _, _ = self.client.request(
+            "POST", url, {"Content-Type": "application/octet-stream"}, data
+        )
+        if if_none_match and status == 412:
+            raise FileAlreadyExistsError(path)
+        if status >= 400:
+            raise OSError(f"PUT {path} -> HTTP {status}")
+
+    def delete_obj(self, path: str) -> None:
+        bucket, key = self._split(path)
+        status, _, _ = self.client.request(
+            "DELETE", self._object_url(bucket, key), {}, None
+        )
+        if status >= 400 and status != 404:
+            raise OSError(f"DELETE {path} -> HTTP {status}")
+
+    def exists(self, path: str) -> bool:
+        try:
+            self.head_obj(path)
+            return True
+        except FileNotFoundError:
+            return next(iter(self.list_objs(path)), None) is not None
+
+    def rename_obj_noreplace(self, src: str, dst: str) -> None:
+        data = self.get_obj(src)
+        self.put_obj(dst, data, if_none_match=True)  # atomic commit point
+        self.delete_obj(src)
+
+    def join(self, *parts: str) -> str:
+        return "/".join(p.strip("/") if i else p.rstrip("/") for i, p in enumerate(parts))
+
+    def makedirs(self, path: str) -> None:
+        pass  # object stores have no directories
+
+
+def _rfc3339_ts(value: Optional[str]) -> float:
+    if not value:
+        return 0.0
+    import datetime as _dt
+
+    return _dt.datetime.fromisoformat(value.replace("Z", "+00:00")).timestamp()
+
+
+class _GcsRestTransport:
+    """Default stdlib transport: static OAuth bearer token
+    (``GCS_OAUTH_TOKEN``, e.g. from ``gcloud auth print-access-token``)."""
+
+    def __init__(self):
+        self.token = os.environ.get("GCS_OAUTH_TOKEN")
+        if not self.token:
+            raise NotImplementedError(
+                "gs:// tables need GCS_OAUTH_TOKEN on the driver (static "
+                "bearer token; the service-account JWT flow needs an RSA "
+                "library this environment does not ship)"
+            )
+
+    def request(self, method, url, headers, body):
+        import urllib.error
+        import urllib.request
+
+        headers = dict(headers)
+        headers["Authorization"] = f"Bearer {self.token}"
+        req = urllib.request.Request(url, data=body, method=method, headers=headers)
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, dict(resp.headers), resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers or {}), e.read() if e.fp else b""
+
+
 class AdlsBackend(StorageBackend):
     """Azure (ADLS Gen2 / Blob) backend for the ``_delta_log`` directory.
 
@@ -605,6 +782,8 @@ def parse_table_uri(table_uri: str) -> tuple[str, StorageBackend]:
         return f"s3://{parsed.netloc}{parsed.path}".rstrip("/"), S3Backend()
     if parsed.scheme in ("abfss", "abfs"):
         return table_uri.rstrip("/"), AdlsBackend()
+    if parsed.scheme == "gs":
+        return table_uri.rstrip("/"), GcsBackend()
     raise NotImplementedError(
         f"storage scheme {parsed.scheme!r} not available in this environment; "
         "implement a StorageBackend (see reference rust/src/storage/) and "
