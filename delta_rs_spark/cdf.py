@@ -96,14 +96,18 @@ def load_cdf(
             if a.deletion_vector is not None:
                 dv_swap_paths.add(a.path)
                 old = next((r for r in removes_v if r.path == a.path), None)
-                old_paths = set(
-                    (old.deletion_vector or {}).get("paths", []) if old else []
-                )
-                new_dirs = [
-                    p for p in a.deletion_vector.get("paths", []) if p not in old_paths
-                ]
-                if new_dirs:
-                    dv_delete_groups.setdefault(v, []).append((a, new_dirs))
+                # newly-dead rows of this commit = positions in the new DV
+                # that the prior DV (carried on the matching remove) did not
+                # already hold; decoded driver-side, bounded by cardinality
+                from .protocol.dv import descriptor_positions
+
+                new_pos = set(descriptor_positions(log, a.deletion_vector, a.path))
+                if old is not None and old.deletion_vector:
+                    new_pos -= set(
+                        descriptor_positions(log, old.deletion_vector, a.path)
+                    )
+                if new_pos:
+                    dv_delete_groups.setdefault(v, []).append((a, sorted(new_pos)))
             else:
                 add_items.append((a, v))
         for r in removes_v:
@@ -184,23 +188,31 @@ def load_cdf(
             out.append(df.withColumn(COMMIT_VERSION_COL, F.lit(v).cast("long")))
         return out
 
-    def dv_delete_branch(v: int, group: list[tuple[AddAction, list[str]]]) -> DataFrame:
+    def dv_delete_branch(v: int, group: list[tuple[AddAction, list[int]]]) -> DataFrame:
         """Rows newly deleted by a DV commit: semi-join the files' physical
-        rows against the positions in this commit's new DV dirs. Positions
-        were recorded over live rows only, so no overlap with prior DVs."""
+        rows against the commit's newly-dead positions (decoded from the
+        RoaringBitmap descriptors, one bounded broadcast literal)."""
+        import pandas as pd
+
         plain = [_dc.replace(a, deletion_vector=None) for a, _ in group]
         df = snap.df_for_adds(spark, plain, with_lineage=True)
-        dirs = sorted({d for _, nd in group for d in nd})
-        pos = (
-            spark.read.schema("path STRING, row_index BIGINT")
-            .parquet(*[snap.log.data_plane.readable_dir(d) for d in dirs])
-            .select(F.col("path").alias("_dv_path"), F.col("row_index").alias("_dv_pos"))
+        paths: list[str] = []
+        positions: list[int] = []
+        for a, newly in group:
+            paths.extend([a.path] * len(newly))
+            positions.extend(newly)
+        pos = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "_dv_path": pd.array(paths, dtype="string"),
+                    "_dv_pos": pd.array(positions, dtype="int64"),
+                }
+            ),
+            schema="_dv_path STRING, _dv_pos BIGINT",
         )
-        basenames = [a.path.rsplit("/", 1)[-1] for a, _ in group]
-        pos = pos.filter(F.substring_index(F.col("_dv_path"), "/", -1).isin(basenames))
         cond = (F.col(FILE) == F.col("_dv_path")) & (F.col(POS) == F.col("_dv_pos"))
         return (
-            df.join(pos, cond, "left_semi")
+            df.join(F.broadcast(pos), cond, "left_semi")
             .select(*schema.names)
             .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
             .withColumn(COMMIT_VERSION_COL, F.lit(v).cast("long"))

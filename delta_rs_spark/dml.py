@@ -257,6 +257,14 @@ def dv_enabled(table: DeltaTable) -> bool:
     return str(cfg.get("delta.enableDeletionVectors", "")).lower() == "true"
 
 
+# Above this many matched positions a merge-on-read DML falls back to
+# copy-on-write: the whole point of a DV is that positions are tiny next to
+# the data files; a delete touching tens of millions of rows rewrites less
+# total I/O as a plain rewrite than it would spend shipping + forever
+# re-applying a giant bitmap (10M positions ~ 80MB driver-side).
+DV_MAX_POSITIONS = 10_000_000
+
+
 def _delete_merge_on_read(
     spark: SparkSession, table: DeltaTable, predicate: str, cond: Column,
     candidates: list[AddAction],
@@ -284,6 +292,8 @@ def _delete_merge_on_read(
     )
     hits = hits.cache()
     try:
+        if hits.count() > DV_MAX_POSITIONS:
+            return None  # bulk delete: caller falls back to copy-on-write
         actions, per_file, n_tomb = _dv_swap_actions(log, candidates, hits)
         n_deleted = sum(per_file.values())
         if not per_file:
@@ -314,20 +324,31 @@ def _delete_merge_on_read(
 
 
 def _dv_swap_actions(log, candidates: list[AddAction], pos_df) -> tuple[list, dict, int]:
-    """Write ``pos_df`` (path, row_index — MUST be cached by the caller) as a
-    deletion-vector dir and build the log actions that swap the touched adds:
-    Remove(old) + re-Add with the merged DV descriptor, or a plain tombstone
-    when every physical row of the file is now dead.
+    """Collect ``pos_df`` (path, row_index — MUST be cached by the caller)
+    into spec-format RoaringBitmap deletion vectors and build the log
+    actions that swap the touched adds: Remove(old) + re-Add with the
+    merged DV descriptor, or a plain tombstone when every physical row of
+    the file is now dead.
+
+    Position sets come to the driver (grouped per file, Arrow-batched) —
+    the same bounded materialization every Delta implementation performs
+    when writing DVs; deletes too bulky for that are exactly the ones
+    copy-on-write serves better (``DV_MAX_POSITIONS`` guards the cap and
+    the caller falls back). Prior DVs (spec or pre-round-3 parquet-dir
+    format) are decoded and unioned, so repeated deletes merge into one
+    bitmap per file instead of chaining artifacts.
 
     Returns (actions, per_file match counts, tombstoned-file count)."""
     import dataclasses
-    import uuid as _uuid
 
-    per_file = {
-        r["path"]: r["n"]
-        for r in pos_df.groupBy("path").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    if not per_file:
+    from .protocol.dv import build_descriptors, descriptor_positions
+
+    per_file_rows = (
+        pos_df.groupBy("path")
+        .agg(F.collect_list("row_index").alias("positions"))
+        .collect()
+    )
+    if not per_file_rows:
         return [], {}, 0
 
     # every lineage-derived key MUST resolve to a candidate add — a silent
@@ -335,33 +356,27 @@ def _dv_swap_actions(log, candidates: list[AddAction], pos_df) -> tuple[list, di
     by_path = {a.path: a for a in candidates}
     by_norm = {_norm_file_uri(a.path): a for a in candidates}
     matched_adds: dict[str, int] = {}
-    for key, n in per_file.items():
+    new_positions: dict[str, set[int]] = {}
+    for r in per_file_rows:
+        key = r["path"]
         add = by_path.get(key) or by_norm.get(_norm_file_uri(key))
         if add is None:
             raise DMLError(
                 f"deletion-vector position key {key!r} matches no candidate "
                 f"add (candidates: {sorted(by_path)[:3]}...)"
             )
-        matched_adds[add.path] = matched_adds.get(add.path, 0) + n
-
-    dv_rel = f"_deletion_vectors/{_uuid.uuid4().hex}"
-    plane = log.data_plane
-    if plane.native:
-        pos_df.write.mode("overwrite").parquet(
-            log.backend.join(log.table_root, dv_rel)
-        )
-        dv_bytes = plane.dir_bytes(dv_rel)
-    else:
-        staged = plane.stage_dir("dv")
-        pos_df.write.mode("overwrite").parquet(staged)
-        dv_bytes = plane.publish_dir(staged, dv_rel)
+        matched_adds[add.path] = matched_adds.get(add.path, 0) + len(r["positions"])
+        new_positions.setdefault(add.path, set()).update(r["positions"])
 
     now_ms = int(time.time() * 1000)
     actions: list = []
     n_tombstoned = 0
+    merged: dict[str, list[int]] = {}
+    swap_adds: list[AddAction] = []
     for old in (a for a in candidates if a.path in matched_adds):
-        prior = old.deletion_vector or {}
-        new_card = int(prior.get("cardinality", 0)) + matched_adds[old.path]
+        combined = set(new_positions[old.path])
+        if old.deletion_vector:
+            combined.update(descriptor_positions(log, old.deletion_vector, old.path))
         actions.append(
             RemoveAction(
                 path=old.path,
@@ -373,18 +388,21 @@ def _dv_swap_actions(log, candidates: list[AddAction], pos_df) -> tuple[list, di
                 deletion_vector=old.deletion_vector,
             )
         )
-        if old.num_records is not None and new_card >= old.num_records:
+        if old.num_records is not None and len(combined) >= old.num_records:
             n_tombstoned += 1  # every live row gone — no DV re-add needed
             continue
+        merged[old.path] = sorted(combined)
+        swap_adds.append(old)
+
+    descriptors, file_out = build_descriptors(merged)
+    if file_out is not None:
+        rel_name, body = file_out
+        log.data_plane.publish_bytes(body, rel_name)
+    for old in swap_adds:
         actions.append(
             dataclasses.replace(
                 old,
-                deletion_vector={
-                    "storageType": "d",
-                    "paths": list(prior.get("paths", [])) + [dv_rel],
-                    "cardinality": new_card,
-                    "sizeInBytes": int(prior.get("sizeInBytes", 0)) + dv_bytes,
-                },
+                deletion_vector=descriptors[old.path],
                 modification_time=now_ms,
                 data_change=True,
             )
@@ -402,19 +420,21 @@ def _commit_dv_txn(
     if table.snapshot.min_reader_version() < 3 and any(
         isinstance(a, AddAction) and a.deletion_vector for a in actions
     ):
-        from .protocol.actions import DV_FEATURE_NAME, ProtocolAction
+        from .protocol.actions import ProtocolAction
 
         # readerFeatures/writerFeatures are mandatory at 3/7 per the public
-        # Delta spec. A vendor-prefixed token (not the spec's
-        # "deletionVectors") because our DV descriptor is not the spec's
-        # RoaringBitmap format — a conformant reader must fail fast with
-        # "unsupported table feature", never half-read the table.
+        # Delta spec. The bump only ever fires on a table's FIRST DV commit,
+        # and every descriptor this engine writes is the spec RoaringBitmap
+        # format (protocol/dv.py) — so the spec's own feature token is
+        # correct and the table is foreign-readable. (Tables bumped by
+        # pre-round-3 builds carry the vendor token for their parquet-dir
+        # descriptors and never re-bump; see actions.DV_FEATURE_NAME.)
         txn.add_action(
             ProtocolAction(
                 min_reader_version=3,
                 min_writer_version=7,
-                reader_features=[DV_FEATURE_NAME],
-                writer_features=[DV_FEATURE_NAME],
+                reader_features=["deletionVectors"],
+                writer_features=["deletionVectors"],
             )
         )
     txn.add_actions(actions)
@@ -461,7 +481,11 @@ def delete(spark: SparkSession, table: DeltaTable, predicate: str) -> dict[str, 
     cond = F.coalesce(F.expr(predicate), F.lit(False))
     candidates = _candidate_adds(table, predicate)
     if dv_enabled(table) and _mor_eligible(table, candidates):
-        return _delete_merge_on_read(spark, table, predicate, cond, candidates)
+        res = _delete_merge_on_read(spark, table, predicate, cond, candidates)
+        if res is not None:
+            return res
+        # positions exceeded DV_MAX_POSITIONS — a delete that bulky rewrites
+        # fewer bytes as plain copy-on-write, so fall through
     matched, n_deleted = _files_with_matches(spark, table, candidates, cond)
     params = {"predicate": predicate}
     if not matched:
@@ -526,6 +550,8 @@ def _update_merge_on_read(
     df = snap.df_for_adds(spark, candidates, with_lineage=True)
     matched_df = df.filter(cond).cache()
     try:
+        if matched_df.count() > DV_MAX_POSITIONS:
+            return None  # bulk update: caller falls back to copy-on-write
         types = {f.name: f.dataType for f in schema.fields}
         updated_rows = matched_df.select(
             *[
@@ -623,9 +649,12 @@ def update(
     cond = F.coalesce(F.expr(predicate), F.lit(False))
     candidates = _candidate_adds(table, predicate)
     if dv_enabled(table) and _mor_eligible(table, candidates):
-        return _update_merge_on_read(
+        res = _update_merge_on_read(
             spark, table, predicate, assignments, cond, candidates
         )
+        if res is not None:
+            return res
+        # bulk update past DV_MAX_POSITIONS: copy-on-write wins below
     matched, n_updated = _files_with_matches(spark, table, candidates, cond)
     if not matched:
         return {

@@ -550,24 +550,32 @@ def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]
     # referencing tombstone expires the dir is reapable immediately. Dirs
     # referenced by no tombstone at all (pre-feature logs) fall back to the
     # untracked-file mtime rule.
-    active_dv_prefixes = tuple(
-        p.rstrip("/") + "/"
-        for a in table.add_actions()
-        if a.deletion_vector
-        for p in a.deletion_vector.get("paths", [])
+    from .protocol.dv import referenced_rel_paths
+
+    def _dv_refs(descriptors) -> tuple[tuple, set]:
+        """(dir prefixes, exact .bin files) the descriptors reference —
+        legacy parquet-dir DVs pin whole dirs, spec "u" DVs one file."""
+        prefixes: list[str] = []
+        files: set[str] = set()
+        for d in descriptors:
+            p, f = referenced_rel_paths(d)
+            prefixes.extend(x.rstrip("/") + "/" for x in p)
+            files.update(f)
+        return tuple(prefixes), files
+
+    active_dv_prefixes, active_dv_files = _dv_refs(
+        a.deletion_vector for a in table.add_actions() if a.deletion_vector
     )
     tombstones = table.snapshot.state.tombstones
-    unexpired_dv_prefixes = tuple(
-        p.rstrip("/") + "/"
+    unexpired_dv_prefixes, unexpired_dv_files = _dv_refs(
+        r.deletion_vector
         for r in tombstones.values()
         if r.deletion_vector and (r.deletion_timestamp or 0) > cutoff_ms
-        for p in r.deletion_vector.get("paths", [])
     )
-    expired_dv_prefixes = tuple(
-        p.rstrip("/") + "/"
+    expired_dv_prefixes, expired_dv_files = _dv_refs(
+        r.deletion_vector
         for r in tombstones.values()
         if r.deletion_vector and (r.deletion_timestamp or 0) <= cutoff_ms
-        for p in r.deletion_vector.get("paths", [])
     )
     expired_tombstones = {
         path
@@ -586,6 +594,8 @@ def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]
                 continue
             if rel in active:
                 continue
+            if rel in active_dv_files or rel in unexpired_dv_files:
+                continue
             if active_dv_prefixes and rel.startswith(active_dv_prefixes):
                 continue
             if unexpired_dv_prefixes and rel.startswith(unexpired_dv_prefixes):
@@ -596,6 +606,9 @@ def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]
             tomb = tombstones.get(rel)
             if tomb is not None:
                 continue  # unexpired tombstone: keep
+            if rel in expired_dv_files:
+                to_delete.append(rel)  # removal-time clock has run out
+                continue
             if expired_dv_prefixes and rel.startswith(expired_dv_prefixes):
                 to_delete.append(rel)  # removal-time clock has run out
                 continue

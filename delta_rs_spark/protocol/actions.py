@@ -14,14 +14,13 @@ import json
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
-# Feature token advertised in reader/writerFeatures when a table carries
-# deletion vectors. Deliberately NOT the public spec's "deletionVectors":
-# our descriptor ({storageType:'d', paths:[...position-parquet dirs]}) is not
-# the spec's RoaringBitmap format (storageType u/i/p + pathOrInlineDv +
-# offset), so advertising the spec token would make a DV-capable foreign
-# reader accept the table and then fail — or misread — on the descriptor.
-# An unknown vendor token makes every conformant reader fail fast with
-# "unsupported table feature" instead.
+# Vendor feature token tables got from pre-round-3 builds, whose legacy
+# descriptor ({storageType:'d', paths:[...position-parquet dirs]}) is not
+# the spec's RoaringBitmap format — the unknown token makes conformant
+# readers fail fast with "unsupported table feature" instead of misreading.
+# Current builds write spec-format DVs (protocol/dv.py) and advertise the
+# spec's own "deletionVectors" token; this constant remains so legacy
+# tables keep opening (our reader accepts both tokens and both formats).
 DV_FEATURE_NAME = "deltaRsSpark.deletionVectors"
 
 
@@ -48,9 +47,12 @@ class AddAction:
 
     ``deletion_vector`` (merge-on-read deletes; public Delta protocol's
     ``deletionVector`` on add/remove — the reference predates the feature)
-    marks rows of this file as logically deleted without rewriting it:
-    ``{"storageType": "d", "paths": [<rel dirs of (path,row_index) parquet>],
-    "cardinality": N, "sizeInBytes": S}``. Readers anti-join the file's rows
+    marks rows of this file as logically deleted without rewriting it. The
+    descriptor is the SPEC format (``protocol/dv.py``): ``{"storageType":
+    "u"|"i"|"p", "pathOrInlineDv": <z85 uuid / inline bitmap / abs path>,
+    "offset": O, "sizeInBytes": S, "cardinality": N}`` over a RoaringBitmap
+    of row positions; the pre-round-3 legacy form (``storageType "d"`` +
+    position-parquet dirs) still decodes. Readers anti-join the file's rows
     against the positions; stats stay physical (min/max remain a conservative
     superset, numRecords minus cardinality is the logical row count).
     """

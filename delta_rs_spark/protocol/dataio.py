@@ -144,6 +144,25 @@ class DataPlane:
         os.replace(local_src, mirror_dst)
         return len(data), int(_time.time() * 1000)
 
+    def publish_bytes(self, data: bytes, final_rel: str) -> None:
+        """Publish driver-produced bytes (deletion-vector .bin files,
+        similar metadata-adjacent artifacts) at a log-relative path."""
+        if self.native:
+            dst = self._log.backend.join(self._log.table_root, final_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            tmp = f"{dst}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, dst)
+            return
+        self._log.backend.put_obj(
+            self._log.backend.join(self._log.table_root, final_rel), data
+        )
+        mirror_dst = os.path.join(self._mirror, final_rel)
+        os.makedirs(os.path.dirname(mirror_dst), exist_ok=True)
+        with open(mirror_dst, "wb") as fh:
+            fh.write(data)
+
     def publish_dir(self, local_dir: str, rel_dir: str) -> int:
         """Publish every file of a staged directory under ``rel_dir``
         (names preserved); returns total bytes."""

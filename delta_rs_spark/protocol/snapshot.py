@@ -273,30 +273,16 @@ class Snapshot:
     ) -> DataFrame:
         """Drop rows whose (file, row_index) appears in a deletion vector.
 
-        The positions side is the union of the adds' DV parquet directories,
-        pruned to these files' paths; when the total cardinality (known from
-        the descriptors — no job needed) is small, it broadcasts, so the
+        The positions side is decoded from the adds' RoaringBitmap DVs
+        (spec format — inline or .bin; the pre-round-3 parquet-dir format
+        decodes through the same seam) into ONE Arrow-backed literal frame:
+        the identical per-file bitmap materialization every Delta reader
+        performs, bounded by the descriptors' cardinality. When the total
+        serialized size (known with no job) is small it broadcasts, so the
         common case (point deletes on a huge table) adds zero shuffle."""
-        dirs: list[str] = []
-        seen: set[str] = set()
-        for a in dv_adds:
-            for p in a.deletion_vector.get("paths", []):
-                if p not in seen:
-                    seen.add(p)
-                    dirs.append(self.log.data_plane.readable_dir(p))
-        pos = (
-            spark.read.schema("path STRING, row_index BIGINT")
-            .parquet(*dirs)
-            .select(F.col("path").alias("_dv_path"), F.col("row_index").alias("_dv_pos"))
-        )
-        if len(dv_adds) <= 256:
-            # prune positions of other files sharing these DV dirs; filter on
-            # the path's basename (uuid-unique) so absolute-path adds
-            # (shallow clones) match their lineage-form keys too
-            basenames = [a.path.rsplit("/", 1)[-1] for a in dv_adds]
-            pos = pos.filter(
-                F.substring_index(F.col("_dv_path"), "/", -1).isin(basenames)
-            )
+        from .dv import positions_df
+
+        pos = positions_df(spark, self.log, dv_adds)
         dv_bytes = sum(
             int(a.deletion_vector.get("sizeInBytes", 0)) for a in dv_adds
         )

@@ -44,8 +44,7 @@ class DeltaFilePartition(InputPartition):
         change_type: str | None = None,
         commit_version: int | None = None,
         is_cdc_file: bool = False,
-        dv_dirs: list[str] | None = None,
-        dv_key: str | None = None,
+        dv_positions: list[int] | None = None,
         dv_mode: str = "drop",
     ):
         self.file_uri = file_uri
@@ -57,12 +56,13 @@ class DeltaFilePartition(InputPartition):
         self.change_type = change_type
         self.commit_version = commit_version
         self.is_cdc_file = is_cdc_file
-        # deletion vector: absolute position-parquet dirs + this file's
-        # log-relative path (the key its positions are stored under);
-        # mode "drop" skips the listed positions (read live rows), mode
-        # "select" keeps ONLY them (CDF: rows newly deleted by a DV commit)
-        self.dv_dirs = dv_dirs
-        self.dv_key = dv_key
+        # deletion vector: this file's deleted row positions, decoded from
+        # the RoaringBitmap descriptor at planning time (driver-side,
+        # bounded by cardinality — legacy parquet-dir descriptors decode
+        # through the same seam). Mode "drop" skips them (read live rows),
+        # mode "select" keeps ONLY them (CDF: rows newly deleted by a DV
+        # commit).
+        self.dv_positions = dv_positions
         self.dv_mode = dv_mode
 
 
@@ -183,6 +183,8 @@ class DeltaStreamReader(DataSourceStreamReader):
                         "deletes/overwrites requires option ignoreChanges=true"
                     )
                 if isinstance(a, AddAction) and a.data_change:
+                    from ..protocol.dv import descriptor_positions
+
                     dv = a.deletion_vector
                     parts.append(
                         DeltaFilePartition(
@@ -190,12 +192,9 @@ class DeltaStreamReader(DataSourceStreamReader):
                             a.partition_values,
                             meta.schema_string,
                             meta.partition_columns,
-                            dv_dirs=(
-                                [log.readable_dir(p) for p in dv.get("paths", [])]
-                                if dv
-                                else None
+                            dv_positions=(
+                                descriptor_positions(log, dv, a.path) if dv else None
                             ),
-                            dv_key=a.path if dv else None,
                         )
                     )
         return parts
@@ -206,8 +205,9 @@ class DeltaStreamReader(DataSourceStreamReader):
         ignoreChanges gate — in CDF mode deletes ARE the payload."""
         from ..protocol.actions import AddAction, CdcAction, RemoveAction
 
+        from ..protocol.dv import descriptor_positions
+
         absolute = log.readable
-        readable_dir = log.readable_dir
 
         cdc = [a for a in actions if isinstance(a, CdcAction)]
         if cdc:
@@ -230,18 +230,17 @@ class DeltaStreamReader(DataSourceStreamReader):
         dv_swap_paths: set[str] = set()
         for a in adds_v:
             if a.deletion_vector is not None:
-                # DV swap: emit ONLY the rows at this commit's newly-recorded
-                # positions as deletes (positions were taken over live rows,
-                # so prior DVs never re-appear)
+                # DV swap: emit ONLY the rows newly dead in this commit —
+                # the new bitmap minus the prior one (carried on the
+                # matching remove); decoded driver-side at planning time
                 dv_swap_paths.add(a.path)
                 old = next((r for r in removes_v if r.path == a.path), None)
-                old_paths = set(
-                    (old.deletion_vector or {}).get("paths", []) if old else []
-                )
-                new_dirs = [
-                    p for p in a.deletion_vector.get("paths", []) if p not in old_paths
-                ]
-                if new_dirs:
+                newly = set(descriptor_positions(log, a.deletion_vector, a.path))
+                if old is not None and old.deletion_vector:
+                    newly -= set(
+                        descriptor_positions(log, old.deletion_vector, a.path)
+                    )
+                if newly:
                     parts.append(
                         DeltaFilePartition(
                             absolute(a.path),
@@ -250,8 +249,7 @@ class DeltaStreamReader(DataSourceStreamReader):
                             meta.partition_columns,
                             change_type="delete",
                             commit_version=v,
-                            dv_dirs=[readable_dir(p) for p in new_dirs],
-                            dv_key=a.path,
+                            dv_positions=sorted(newly),
                             dv_mode="select",
                         )
                     )
@@ -279,8 +277,9 @@ class DeltaStreamReader(DataSourceStreamReader):
                     change_type="delete",
                     commit_version=v,
                     # prior DV: rows already dead at removal stay deleted
-                    dv_dirs=[readable_dir(p) for p in dv.get("paths", [])] if dv else None,
-                    dv_key=r.path if dv else None,
+                    dv_positions=(
+                        descriptor_positions(log, dv, r.path) if dv else None
+                    ),
                 )
             )
         return parts
@@ -293,20 +292,13 @@ class DeltaStreamReader(DataSourceStreamReader):
 
         schema = schema_string_to_spark(partition.schema_json)
         table = pq.read_table(partition.file_uri)
-        if partition.dv_dirs:
-            # merge-on-read delete: drop this file's deleted positions
-            # (row_index == row order within the file, which pq.read_table
-            # preserves)
-            import pyarrow.dataset as ds
-
-            parts = [ds.dataset(p, format="parquet") for p in partition.dv_dirs]
-            dvset = parts[0] if len(parts) == 1 else ds.dataset(parts)
-            dv = dvset.to_table(
-                filter=ds.field("path") == partition.dv_key, columns=["row_index"]
-            )
-            marked = set(dv.column("row_index").to_pylist())
+        if partition.dv_positions is not None:
+            # merge-on-read delete: planning shipped this file's deleted
+            # positions (row_index == row order within the file, which
+            # pq.read_table preserves)
             import pyarrow as pa
 
+            marked = set(partition.dv_positions)
             if partition.dv_mode == "select":
                 keep = [i for i in range(table.num_rows) if i in marked]
                 table = table.take(pa.array(keep, type=pa.int64()))

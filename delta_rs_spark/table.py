@@ -241,15 +241,9 @@ class DeltaTable:
         for a in adds:
             tbl = pq.read_table(snap._readable(a.path))
             if a.deletion_vector:
-                parts = [
-                    ds.dataset(self.log.readable_dir(p), format="parquet")
-                    for p in a.deletion_vector.get("paths", [])
-                ]
-                dvset = parts[0] if len(parts) == 1 else ds.dataset(parts)
-                dv = dvset.to_table(
-                    filter=ds.field("path") == a.path, columns=["row_index"]
-                )
-                dead = set(dv.column("row_index").to_pylist())
+                from .protocol.dv import add_positions
+
+                dead = set(add_positions(self.log, a))
                 if dead:
                     keep = [i for i in range(tbl.num_rows) if i not in dead]
                     tbl = tbl.take(pa.array(keep, type=pa.int64()))

@@ -2,11 +2,15 @@
 
 The reference (delta-rs v0) predates the public Delta deletionVector
 feature; this engine adds it Spark-first: a DELETE under table property
-``delta.enableDeletionVectors=true`` writes the matching rows' (file,
-row_index) positions — discovered through the scan's ``_metadata`` columns,
-no UDF — and re-commits the same data files with DV descriptors instead of
-rewriting them. Readers anti-join positions (broadcast when small);
-OPTIMIZE materializes; stats fold subtracts cardinality.
+``delta.enableDeletionVectors=true`` finds the matching rows' (file,
+row_index) positions through the scan's ``_metadata`` columns (no UDF) and
+re-commits the same data files with SPEC-format descriptors — RoaringBitmap
+DVs per the public Delta protocol (``protocol/dv.py``: storageType u/i/p,
+z85 pathOrInlineDv, framed .bin files), so the table and its
+``deletionVectors`` feature token are foreign-readable. Readers anti-join
+positions (broadcast when small); OPTIMIZE materializes; stats fold
+subtracts cardinality; the pre-round-3 parquet-dir format still decodes
+(legacy fixture test below).
 """
 
 import pytest
@@ -59,15 +63,15 @@ def test_dv_protocol_bump_and_time_travel(spark, tmp_path):
     res = t.delete(spark, "k = 0")
     t2 = DeltaTable.for_path(path)
     assert t2.protocol_versions() == (3, 7)
-    # vendor token, NOT the spec's "deletionVectors": our descriptor isn't
-    # the spec's RoaringBitmap format, so a spec-conformant DV reader must
-    # hard-fail on an unknown feature rather than misread the table
-    from delta_rs_spark.protocol.actions import DV_FEATURE_NAME
-
+    # the spec's own feature token: descriptors are the public RoaringBitmap
+    # format now (protocol/dv.py), so a conformant foreign DV reader can
+    # actually read the table — advertising the real feature is correct
     state = t2.snapshot.state
-    assert state.reader_features == [DV_FEATURE_NAME]
-    assert state.writer_features == [DV_FEATURE_NAME]
-    assert "deletionVectors" not in state.reader_features
+    assert state.reader_features == ["deletionVectors"]
+    assert state.writer_features == ["deletionVectors"]
+    for a in t2.add_actions():
+        if a.deletion_vector:
+            assert a.deletion_vector["storageType"] in ("u", "i", "p")
     # the pre-delete version still reads every row under its own state
     t_old = DeltaTable.for_version(path, res["version"] - 1)
     assert t_old.to_df(spark).count() == 400
@@ -82,11 +86,17 @@ def test_dv_second_delete_merges_descriptors(spark, tmp_path):
     t3 = DeltaTable.for_path(path)
     assert t3.to_df(spark).count() == 320
     assert t3.count_rows() == 320
-    # merged descriptor: one DV'd add per file, cardinality summed over both
-    # deletes, position dirs accumulated
+    # merged descriptor: one DV'd add per file, ONE bitmap holding the union
+    # of both deletes (no artifact chaining — repeated deletes stay O(1)
+    # descriptors per file), cardinality summed
+    from delta_rs_spark.protocol.dv import add_positions
+
     dv_adds = [a for a in t3.add_actions() if a.deletion_vector]
     assert sum(a.dv_cardinality for a in dv_adds) == 80
-    assert any(len(a.deletion_vector["paths"]) == 2 for a in dv_adds)
+    for a in dv_adds:
+        positions = add_positions(t3.log, a)
+        assert len(positions) == a.dv_cardinality
+        assert positions == sorted(set(positions))
 
 
 def test_dv_full_file_delete_emits_plain_tombstone(spark, tmp_path):
@@ -225,32 +235,40 @@ def test_dv_vacuum_keeps_position_files(spark, tmp_path):
 
 
 def test_dv_vacuum_reaps_orphaned_position_files(spark, tmp_path):
-    """DV dirs age on a REMOVAL-time clock, not file mtime: after OPTIMIZE
-    materializes the deletes, the tombstones carry the DV descriptor, so the
-    dir stays protected while they are unexpired (pre-OPTIMIZE versions are
-    still time-travel-readable and need it) — even if the position files'
-    mtimes are ancient. Once the tombstones expire, the dir is reaped
-    immediately."""
+    """DV .bin files age on a REMOVAL-time clock, not file mtime: after
+    OPTIMIZE materializes the deletes, the tombstones carry the DV
+    descriptor, so the file stays protected while they are unexpired
+    (pre-OPTIMIZE versions are still time-travel-readable and need it) —
+    even if its mtime is ancient. Once the tombstones expire, the file is
+    reaped immediately."""
     import json
     import os
     import time
 
     path = str(tmp_path / "t")
-    t = _make_table(spark, path)
+    # big enough that per-file bitmaps exceed the inline threshold and a
+    # shared deletion_vector_<uuid>.bin is written (storageType "u")
+    t = _make_table(spark, path, rows=40000)
     t.delete(spark, "k = 1")
     t2 = DeltaTable.for_path(path)
+    assert any(
+        a.deletion_vector and a.deletion_vector["storageType"] == "u"
+        for a in t2.add_actions()
+    )
+    dv_bins = [
+        f for f in os.listdir(path) if f.startswith("deletion_vector_")
+    ]
+    assert dv_bins
     t2.optimize(spark)
     t3 = DeltaTable.for_path(path)
     assert not any(a.deletion_vector for a in t3.add_actions())
 
-    # unexpired tombstones protect the dir even with aged mtimes — the
+    # unexpired tombstones protect the file even with aged mtimes — the
     # pre-fix behavior (reap on creation mtime) broke time travel
     old = time.time() - 200 * 3600
-    dv_root = os.path.join(path, "_deletion_vectors")
-    for dirpath, _dirs, files in os.walk(dv_root):
-        for f in files:
-            os.utime(os.path.join(dirpath, f), (old, old))
-    assert not any("_deletion_vectors" in p for p in t3.vacuum(dry_run=True))
+    for f in dv_bins:
+        os.utime(os.path.join(path, f), (old, old))
+    assert not any("deletion_vector_" in p for p in t3.vacuum(dry_run=True))
 
     # expire every tombstone by rewriting its deletionTimestamp in the log
     old_ms = int(old * 1000)
@@ -273,12 +291,73 @@ def test_dv_vacuum_reaps_orphaned_position_files(spark, tmp_path):
 
     t4 = DeltaTable.for_path(path)
     listed = t4.vacuum(retention_hours=168, dry_run=True)
-    assert any("_deletion_vectors" in p for p in listed)
+    assert any("deletion_vector_" in p for p in listed)
     t4.vacuum(retention_hours=168, dry_run=False)
-    remaining = [
-        os.path.join(dp, f) for dp, _d, fs in os.walk(dv_root) for f in fs
+    assert not [f for f in os.listdir(path) if f.startswith("deletion_vector_")]
+
+
+def test_legacy_parquet_dir_descriptor_still_reads(spark, tmp_path):
+    """Tables written by pre-round-3 builds carry
+    ``{storageType:'d', paths:[...position-parquet dirs]}`` descriptors;
+    the reader must keep honoring them (and a follow-up delete merges them
+    into a spec bitmap). Fixture built by hand — current code never writes
+    the legacy format anymore."""
+    import json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "legacy")
+    t = _make_table(spark, path, nfiles=1, rows=100)
+    add = t.add_actions()[0]
+
+    # hand-write the legacy positions dir: rows 0,1,2 of the file are dead
+    dv_dir = os.path.join(path, "_deletion_vectors", "fixture")
+    os.makedirs(dv_dir)
+    pq.write_table(
+        pa.table({"path": [add.path] * 3, "row_index": [0, 1, 2]}),
+        os.path.join(dv_dir, "part-0.parquet"),
+    )
+    # and the swap commit, exactly as round-2 builds emitted it
+    commit = [
+        {"remove": {"path": add.path, "deletionTimestamp": 1, "dataChange": True}},
+        {
+            "add": {
+                "path": add.path,
+                "size": add.size,
+                "partitionValues": {},
+                "modificationTime": 1,
+                "dataChange": True,
+                "stats": add.stats,
+                "deletionVector": {
+                    "storageType": "d",
+                    "paths": ["_deletion_vectors/fixture"],
+                    "cardinality": 3,
+                    "sizeInBytes": 200,
+                },
+            }
+        },
     ]
-    assert remaining == []
+    with open(os.path.join(path, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        fh.write("\n".join(json.dumps(o) for o in commit) + "\n")
+
+    t2 = DeltaTable.for_path(path)
+    assert t2.count_rows() == 97
+    out = t2.to_df(spark)
+    assert out.count() == 97
+    assert sorted(r.id for r in out.orderBy("id").limit(3).collect()) == [3, 4, 5]
+    # pyarrow path honors legacy descriptors too
+    assert t2.to_pyarrow_table().num_rows == 97
+
+    # a NEW delete on the legacy table merges old dir positions + new hits
+    # into one spec-format bitmap
+    t2.delete(spark, "id >= 95")
+    t3 = DeltaTable.for_path(path)
+    dv_add = next(a for a in t3.add_actions() if a.deletion_vector)
+    assert dv_add.deletion_vector["storageType"] in ("u", "i")
+    assert dv_add.dv_cardinality == 8  # 3 legacy + 5 new
+    assert t3.to_df(spark).count() == 92
 
 
 def test_dv_cdf_records_row_level_deletes(spark, tmp_path):
@@ -359,7 +438,7 @@ def test_dv_stream_partitions_filter_positions(spark, tmp_path):
         None, {"path": path, "startingversion": "0", "ignorechanges": "true"}
     )
     parts = reader2.partitions({"version": 0}, {"version": 1})
-    assert parts and all(p.dv_dirs for p in parts)
+    assert parts and all(p.dv_positions for p in parts)
     rows = [r for p in parts for r in reader2.read(p)]
     ks = [r[1] for r in rows]
     assert len(rows) == 90
