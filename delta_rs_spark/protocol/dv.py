@@ -298,8 +298,11 @@ def decode_descriptor(descriptor: dict[str, Any], get_file_bytes) -> list[int]:
     else:
         raise ValueError(f"not a spec DV descriptor: {descriptor!r}")
     file_bytes = get_file_bytes(path)
+    # a single-DV file may omit offset: the DV starts right after the
+    # version byte (None-valued keys from checkpoint decode behave the same)
+    offset = descriptor.get("offset")
     return read_dv_at(
-        file_bytes, int(descriptor.get("offset", 1)), int(descriptor["sizeInBytes"])
+        file_bytes, int(offset) if offset is not None else 1, int(descriptor["sizeInBytes"])
     )
 
 
@@ -359,7 +362,7 @@ def referenced_rel_paths(descriptor: dict[str, Any]) -> tuple[list[str], list[st
     legacy descriptors reference whole position-parquet dirs, spec "u"
     descriptors one .bin file, inline descriptors nothing."""
     if is_legacy(descriptor):
-        return list(descriptor.get("paths", [])), []
+        return list(descriptor.get("paths") or []), []
     if descriptor.get("storageType") == "u":
         return [], [dv_file_rel_path(descriptor["pathOrInlineDv"])]
     return [], []
@@ -376,7 +379,7 @@ def descriptor_positions(log, descriptor: dict[str, Any], add_path: str) -> list
 
         out: set[int] = set()
         basename = add_path.rsplit("/", 1)[-1]
-        for d in descriptor.get("paths", []):
+        for d in descriptor.get("paths") or []:
             local = log.data_plane.readable_dir(d)
             tbl = ds.dataset(local, format="parquet").to_table(columns=["path", "row_index"])
             for p, ri in zip(

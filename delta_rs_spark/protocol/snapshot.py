@@ -415,6 +415,12 @@ def read_checkpoint_actions(log: DeltaLog, cp: CheckPoint) -> list[Action]:
                     pv = d.get("partitionValues")
                     if isinstance(pv, list):  # pyarrow map type → list of (k, v)
                         d["partitionValues"] = dict(pv)
+                    # pyarrow unifies mixed DV descriptors (inline vs filed
+                    # vs legacy) into one superset struct with None-filled
+                    # gaps — strip them so absent-key semantics survive the
+                    # checkpoint (offset=None would break decode)
+                    if isinstance(d.get("deletionVector"), dict):
+                        d["deletionVector"] = _strip_none(d["deletionVector"])
                     actions.append(cls.from_json_dict(d))
     return actions
 

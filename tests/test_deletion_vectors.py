@@ -211,6 +211,45 @@ def test_dv_checkpoint_roundtrip(spark, tmp_path):
     assert t3.to_df(spark).count() == 360
 
 
+def test_dv_checkpoint_mixed_descriptor_shapes(spark, tmp_path):
+    """Inline ("i") and filed ("u") descriptors in ONE checkpoint: pyarrow
+    unifies them into a superset struct with None-filled gaps (offset only
+    exists for "u"), and the decode must strip those back out — offset=None
+    on an inline descriptor used to poison DV reads after a checkpoint."""
+    import os
+
+    from delta_rs_spark.writer import write_deltalake
+
+    path = str(tmp_path / "t")
+    t = _make_table(spark, path, rows=40000)  # 10k rows x 4 files
+    t.delete(spark, "k = 1")  # 4k positions/file -> filed "u" descriptors
+    write_deltalake(
+        spark,
+        spark.range(100000, 100100).selectExpr("id", "id % 10 as k", "concat('v', id) as v").coalesce(1),
+        path,
+        mode="append",
+    )
+    t2 = DeltaTable.for_path(path)
+    t2.delete(spark, "id >= 100000 and id % 2 = 0")  # 50 positions -> inline "i"
+    t3 = DeltaTable.for_path(path)
+    kinds = {
+        a.deletion_vector["storageType"]
+        for a in t3.add_actions()
+        if a.deletion_vector
+    }
+    assert kinds == {"u", "i"}
+    expected = 40000 + 100 - 4000 - 50
+
+    t3.create_checkpoint()
+    t4 = DeltaTable.for_path(path)  # checkpoint + empty tail
+    for a in t4.add_actions():
+        if a.deletion_vector:
+            assert all(v is not None for v in a.deletion_vector.values())
+    assert t4.count_rows() == expected
+    assert t4.to_df(spark).count() == expected
+    assert t4.to_df(spark).filter("k = 1 and id < 100000").count() == 0
+
+
 def test_dv_pyarrow_read_paths(spark, tmp_path):
     path = str(tmp_path / "t")
     t = _make_table(spark, path)
