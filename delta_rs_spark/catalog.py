@@ -64,14 +64,14 @@ _ROTATION = [
     # -- round-3 additions (registered by queries/pipeline_queries) --------
     "cdf_changes_window",
     "q_zorder_pruned_scan",
+    "corpus_vocab_stats",
+    "text_lang_mismatch",
+    "sample_token_budget",
+    "dedup_keeplist",
     # -- relational canaries (certified green rounds 1-2) ------------------
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_nation_revenue",
     "q6_forecast_revenue",
-    "q_events_hourly",
-    "q_minmax_agg",
-    "q_window_topk_orders",
 ]
 
 

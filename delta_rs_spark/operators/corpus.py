@@ -232,3 +232,37 @@ def contamination_rates_bloom(
             ),
         )
     )
+
+
+def vocab_stats(
+    df: DataFrame, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group vocabulary health: total/distinct/hapax word tokens and
+    type-token ratio — the corpus-level gauges (Heaps-law position, hapax
+    mass) that flag boilerplate floods or tokenizer-hostile sources before
+    training. Two chained hash aggregations, both map-side combinable: the
+    word-frequency shuffle carries (group, word) partial counts, the final
+    shuffle one row per (group, word) — never raw text."""
+    words = df.select(
+        by, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    freq = words.groupBy(by, "w").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        freq.groupBy(by)
+        .agg(
+            F.sum("cnt").alias("total_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax_tokens"),
+        )
+        .withColumn(
+            "type_token_ratio",
+            F.round(
+                F.col("distinct_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+                6,
+            ),
+        )
+        .orderBy(by)
+    )

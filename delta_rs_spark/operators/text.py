@@ -445,3 +445,54 @@ SELECT doc_id, n_chars,
          AS char_entropy
 FROM agg ORDER BY doc_id
 """
+
+
+def lang_mismatch(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-source rate of documents whose DECLARED ``lang`` disagrees with
+    the n-gram detector (``lang_id``) — the standard crawl-metadata health
+    check: a source with a high mismatch rate has wrong language tags or
+    mixed-language pages and needs routing before per-language filtering.
+    One broadcast-friendly join of the per-doc guess back onto (source,
+    lang), then a map-side-combinable aggregate."""
+    guesses = lang_id(df, id_col=id_col, text_col=text_col)
+    joined = df.select(id_col, "source", "lang").join(guesses, id_col)
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("lang_guess") != F.col("lang"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_mismatch"),
+        )
+        .withColumn(
+            "mismatch_rate",
+            F.round(
+                F.col("n_mismatch").cast("double") / F.col("n_docs").cast("double"), 6
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def lang_mismatch_oracle_sql(table: str = "documents") -> str:
+    score = {
+        lang: f"len(list_intersect(list_distinct(string_split(lower(text), ' ')), {words!r}))"
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = "greatest({})".format(", ".join(score.values()))
+    case = f"CASE WHEN {best} = 0 THEN 'und' "
+    for lang in LANG_PROFILES:
+        case += f"WHEN {score[lang]} = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+    WITH guesses AS (
+      SELECT doc_id, source, lang, {case} AS lang_guess FROM {table}
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN lang_guess <> lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatch,
+           round(CAST(SUM(CASE WHEN lang_guess <> lang THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS mismatch_rate
+    FROM guesses GROUP BY source ORDER BY source
+    """

@@ -1105,3 +1105,122 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: corpus vocabulary health, metadata QA, token-budget
+# mixture, dedup keep-list
+# ---------------------------------------------------------------------------
+
+@query(
+    "corpus_vocab_stats",
+    r"""
+    WITH words AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    w -> w <> '')) AS w
+      FROM documents
+    ),
+    freq AS (SELECT source, w, count(*) AS cnt FROM words GROUP BY source, w)
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+           count(*) AS distinct_tokens,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_tokens,
+           round(CAST(count(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6)
+             AS type_token_ratio
+    FROM freq GROUP BY source ORDER BY source
+    """,
+)
+def q_corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.vocab_stats(docs)
+
+
+@query("text_lang_mismatch", text.lang_mismatch_oracle_sql())
+def q_text_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_mismatch(docs)
+
+
+@query(
+    "sample_token_budget",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS doc_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, source, doc_tokens,
+             CAST(SUM(doc_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT * FROM cum WHERE cum_tokens <= 3000 ORDER BY source, doc_id
+    """,
+)
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.token_budget_sample(docs, budget_tokens=3000)
+
+
+_KEEPLIST_ORACLE = (
+    "WITH RECURSIVE "
+    + _TRIGRAM_SH_CTE
+    + r""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t(u)
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node
+),
+dropped AS (
+  SELECT node FROM (
+    SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node
+  ) WHERE node <> cluster_id
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM dropped)
+ORDER BY doc_id
+"""
+)
+
+
+@query("dedup_keeplist", _KEEPLIST_ORACLE)
+def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end product of the dedup pipeline: the document ids that SURVIVE
+    near-duplicate removal — each dup cluster keeps its canonical member
+    (min doc_id), everything unclustered passes through. Pairs from the
+    prefix-filtered Jaccard join, clusters from min-label propagation, and
+    one broadcast anti join to subtract the losers; the oracle recomputes
+    the whole chain (recursive CTE reachability) exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+    comp = clustering.connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.select("doc_id").join(
+        F.broadcast(losers), "doc_id", "left_anti"
+    ).orderBy("doc_id")
