@@ -193,7 +193,7 @@ def _stage_and_swap(
     pcols = table.metadata().partition_columns
     # CHECK constraints apply to the rewritten content (UPDATE/MERGE can
     # introduce violations; DELETE survivors pass trivially)
-    check_constraints(new_rows, table.metadata().configuration)
+    check_constraints(new_rows, table.metadata().configuration, schema=table.schema())
 
     staging_dir = log.data_plane.stage_dir("commit")
     writer = new_rows.write.mode("overwrite")
@@ -608,7 +608,7 @@ def _stage_new_rows(spark: SparkSession, table: DeltaTable, rows: DataFrame) -> 
 
     log = table.log
     pcols = table.metadata().partition_columns
-    check_constraints(rows, table.metadata().configuration)
+    check_constraints(rows, table.metadata().configuration, schema=table.schema())
     staging = log.data_plane.stage_dir("commit")
     writer = rows.write.mode("overwrite")
     if pcols:

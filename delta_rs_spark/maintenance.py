@@ -583,38 +583,52 @@ def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]
         if (r.deletion_timestamp or 0) <= cutoff_ms
     }
 
+    # enumerate every table file with its mtime: os.walk for local tables,
+    # one backend listing for object-store tables (os.walk over a
+    # "memory://..." or "gs://..." root silently yields nothing)
+    from .protocol.storage import LocalFileBackend
+
+    def _table_files():
+        if isinstance(table.log.backend, LocalFileBackend):
+            for dirpath, _dirs, files in os.walk(root):
+                for fname in files:
+                    full = os.path.join(dirpath, fname)
+                    rel = os.path.relpath(full, root).replace(os.sep, "/")
+                    yield rel, os.stat(full).st_mtime * 1000
+        else:
+            prefix = root.rstrip("/") + "/"
+            for meta in table.log.backend.list_objs(root):
+                yield meta.path.split(prefix, 1)[-1], meta.modification_time * 1000
+
     to_delete: list[str] = []
-    for dirpath, _dirs, files in os.walk(root):
-        for fname in files:
-            full = os.path.join(dirpath, fname)
-            rel = os.path.relpath(full, root).replace(os.sep, "/")
-            if rel.startswith("_delta_log/"):
-                continue
-            if is_hidden_path(rel):
-                continue
-            if rel in active:
-                continue
-            if rel in active_dv_files or rel in unexpired_dv_files:
-                continue
-            if active_dv_prefixes and rel.startswith(active_dv_prefixes):
-                continue
-            if unexpired_dv_prefixes and rel.startswith(unexpired_dv_prefixes):
-                continue
-            if rel in expired_tombstones:
-                to_delete.append(rel)
-                continue
-            tomb = tombstones.get(rel)
-            if tomb is not None:
-                continue  # unexpired tombstone: keep
-            if rel in expired_dv_files:
-                to_delete.append(rel)  # removal-time clock has run out
-                continue
-            if expired_dv_prefixes and rel.startswith(expired_dv_prefixes):
-                to_delete.append(rel)  # removal-time clock has run out
-                continue
-            # untracked file: delete only when old enough
-            if os.stat(full).st_mtime * 1000 <= cutoff_ms:
-                to_delete.append(rel)
+    for rel, mtime_ms in _table_files():
+        if rel.startswith("_delta_log/"):
+            continue
+        if is_hidden_path(rel):
+            continue
+        if rel in active:
+            continue
+        if rel in active_dv_files or rel in unexpired_dv_files:
+            continue
+        if active_dv_prefixes and rel.startswith(active_dv_prefixes):
+            continue
+        if unexpired_dv_prefixes and rel.startswith(unexpired_dv_prefixes):
+            continue
+        if rel in expired_tombstones:
+            to_delete.append(rel)
+            continue
+        tomb = tombstones.get(rel)
+        if tomb is not None:
+            continue  # unexpired tombstone: keep
+        if rel in expired_dv_files:
+            to_delete.append(rel)  # removal-time clock has run out
+            continue
+        if expired_dv_prefixes and rel.startswith(expired_dv_prefixes):
+            to_delete.append(rel)  # removal-time clock has run out
+            continue
+        # untracked file: delete only when old enough
+        if mtime_ms <= cutoff_ms:
+            to_delete.append(rel)
 
     # Losing-writer temp commits: a crashed or conditional-PUT-losing writer
     # leaves `_delta_log/_commit_<token>.json.tmp` behind (the reference's
@@ -639,11 +653,14 @@ def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]
         # on one thread would dominate the maintenance window
         from concurrent.futures import ThreadPoolExecutor
 
+        plane = table.log.data_plane
+
         def _rm(rel: str) -> None:
             try:
                 backend.delete_obj(backend.join(root, rel))
             except FileNotFoundError:
                 pass
+            plane.evict(rel)  # drop any stale mirror copy (bounds /tmp)
 
         if len(to_delete) <= 4:
             for rel in to_delete:

@@ -179,6 +179,15 @@ class DataPlane:
                 total += size
         return total
 
+    def evict(self, rel_path: str) -> None:
+        """Drop the mirror copy of a deleted file (vacuum hook) so mirror
+        disk usage tracks the live table, not its whole history."""
+        p = os.path.join(self._mirror, rel_path)
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
     def dir_bytes(self, rel_dir: str) -> int:
         """Total bytes under a published data directory."""
         if self.native:

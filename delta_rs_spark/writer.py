@@ -61,13 +61,17 @@ class ConstraintViolationError(Exception):
 CONSTRAINT_PREFIX = "delta.constraints."
 
 
-def check_constraints(df: DataFrame, configuration: dict[str, str] | None) -> None:
+def check_constraints(
+    df: DataFrame,
+    configuration: dict[str, str] | None,
+    schema=None,
+) -> None:
     """Enforce CHECK constraints (public Delta table-property convention:
-    ``delta.constraints.<name> = <sql predicate>``) on data about to be
-    written. One combined scan counts violations of ALL constraints —
-    a row violates when any predicate is FALSE or NULL. Raises
-    ConstraintViolationError naming each violated constraint with its
-    violation count."""
+    ``delta.constraints.<name> = <sql predicate>``) and — when the target
+    table's declared ``schema`` is given — NOT NULL column invariants, on
+    data about to be written. One combined scan counts violations of ALL
+    constraints; a CHECK row violates when its predicate is FALSE or NULL.
+    Raises ConstraintViolationError naming each violation with its count."""
     from pyspark.sql import functions as F
 
     constraints = {
@@ -75,23 +79,42 @@ def check_constraints(df: DataFrame, configuration: dict[str, str] | None) -> No
         for k, v in (configuration or {}).items()
         if k.startswith(CONSTRAINT_PREFIX)
     }
-    if not constraints:
+    # NOT NULL comes from the TABLE's declared schema, never the incoming
+    # frame's (Spark frequently widens nullability through shuffles)
+    notnull_cols = [
+        f.name
+        for f in (schema.fields if schema is not None else [])
+        if not f.nullable and f.name in df.columns
+    ]
+    if not constraints and not notnull_cols:
         return
     aggs = [
         F.sum(
             F.when(~F.coalesce(F.expr(expr), F.lit(False)), 1).otherwise(0)
         ).alias(name)
         for name, expr in constraints.items()
+    ] + [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn__{c}")
+        for c in notnull_cols
     ]
     row = df.agg(*aggs).collect()[0]
     violated = {
         name: int(row[name]) for name in constraints if row[name] and row[name] > 0
     }
-    if violated:
-        details = ", ".join(
-            f"{name} ({constraints[name]!r}): {n} rows" for name, n in violated.items()
+    null_violated = {
+        c: int(row[f"__nn__{c}"]) for c in notnull_cols if row[f"__nn__{c}"]
+    }
+    if violated or null_violated:
+        parts = [
+            f"{name} ({constraints[name]!r}): {n} rows"
+            for name, n in violated.items()
+        ] + [
+            f"NOT NULL column {c!r}: {n} null rows"
+            for c, n in null_violated.items()
+        ]
+        raise ConstraintViolationError(
+            "constraint(s) violated: " + ", ".join(parts)
         )
-        raise ConstraintViolationError(f"CHECK constraint(s) violated: {details}")
 
 
 def write_deltalake(
@@ -229,7 +252,7 @@ def write_deltalake(
                 extra_actions=extra_actions,
                 operation_parameters_extra=operation_parameters_extra,
             )
-        check_constraints(df, table.metadata().configuration)
+        check_constraints(df, table.metadata().configuration, schema=table.schema())
     else:
         partition_by = list(partition_by or [])
         missing = [c for c in partition_by if c not in df.columns]

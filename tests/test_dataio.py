@@ -107,6 +107,50 @@ def test_memory_backend_pyarrow_path_with_dvs(spark):
     assert min(tbl.column("id").to_pylist()) == 10
 
 
+def test_memory_backend_vacuum_reaps_via_listing(spark):
+    """Vacuum must enumerate data files through the StorageBackend on
+    object-store tables (os.walk over a memory:// root silently yields
+    nothing — the pre-fix behavior left every tombstoned file forever)."""
+    import json
+
+    uri = "memory://dataio/vac"
+    t = _seed(spark, uri, rows=100, nfiles=2, dv=False)
+    from delta_rs_spark.writer import write_deltalake
+
+    write_deltalake(
+        spark,
+        spark.range(0, 10).selectExpr("id", "id % 10 as k", "'x' as v"),
+        uri,
+        mode="overwrite",
+    )
+    t2 = DeltaTable(uri)
+    backend, log = t2.log.backend, t2.log
+
+    # age the v1 tombstones by patching deletionTimestamp in the log object
+    old_ms = 1_000_000
+    raw = backend.get_obj(log.commit_path(1)).decode()
+    lines = []
+    for line in raw.splitlines():
+        obj = json.loads(line)
+        if "remove" in obj:
+            obj["remove"]["deletionTimestamp"] = old_ms
+        lines.append(json.dumps(obj, separators=(",", ":")))
+    backend.put_obj(log.commit_path(1), "\n".join(lines).encode())
+
+    t3 = DeltaTable(uri)
+    listed = t3.vacuum(retention_hours=168, dry_run=True)
+    assert len(listed) == 2  # both v0 data files are expired tombstones
+    n_parquet_before = sum(
+        1 for m in backend.list_objs(uri) if m.path.endswith(".parquet")
+    )
+    t3.vacuum(retention_hours=168, dry_run=False)
+    n_parquet_after = sum(
+        1 for m in backend.list_objs(uri) if m.path.endswith(".parquet")
+    )
+    assert n_parquet_after == n_parquet_before - 2
+    assert t3.to_df(spark).count() == 10  # live snapshot untouched
+
+
 def test_mocked_abfss_mor_delete(spark):
     """The identical MoR sequence over the in-memory Azure Blob REST fake:
     every data byte flows through the AdlsBackend wire contract."""

@@ -382,7 +382,9 @@ def test_schema_merge_fills_missing_columns_with_nulls(spark, tmp_path):
     uri = str(tmp_path / "t")
     write_deltalake(
         spark,
-        spark.range(3).select("id", F.lit("x").alias("tag")),
+        # tag must be NULLABLE: merge-filling a non-nullable column with
+        # NULLs is a NOT NULL invariant violation (and now raises)
+        spark.range(3).select("id", F.expr("IF(id >= 0, 'x', NULL)").alias("tag")),
         uri,
     )
     # incoming drops 'tag': merge fills typed NULLs, schema unchanged, no
@@ -624,3 +626,34 @@ def test_get_add_actions_pyarrow(spark, tmp_path):
     assert "min.id" in flat.column_names and "max.id" in flat.column_names
     assert min(flat.column("min.id").to_pylist()) == 0
     assert max(flat.column("max.id").to_pylist()) == 39
+
+
+def test_not_null_invariant_enforced(spark, tmp_path):
+    """A column declared non-nullable in the TABLE schema rejects null
+    writes (Delta column-invariant semantics) — on append and on DML
+    update — while nullable columns keep accepting nulls."""
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.writer import ConstraintViolationError
+
+    uri = str(tmp_path / "nn")
+    # id non-nullable (spark.range), v nullable (IF can yield NULL)
+    df = spark.range(0, 10).selectExpr(
+        "id", "IF(id >= 0, CAST(id AS STRING), NULL) AS v"
+    )
+    write_deltalake(spark, df, uri)
+    t = DeltaTable(uri)
+    assert not [f for f in t.schema().fields if f.name == "id"][0].nullable
+
+    bad = spark.sql("SELECT CAST(NULL AS BIGINT) AS id, 'x' AS v")
+    with pytest.raises(ConstraintViolationError, match="NOT NULL column 'id'"):
+        write_deltalake(spark, bad, uri, mode="append")
+
+    # nullable column still accepts nulls
+    ok = spark.sql("SELECT CAST(99 AS BIGINT) AS id, CAST(NULL AS STRING) AS v")
+    write_deltalake(spark, ok, uri, mode="append")
+    t2 = DeltaTable(uri)
+    assert t2.to_df(spark).count() == 11
+
+    # UPDATE assigning NULL into the non-nullable column is rejected too
+    with pytest.raises(ConstraintViolationError, match="NOT NULL column 'id'"):
+        t2.update_where(spark, "id = 99", {"id": "CAST(NULL AS BIGINT)"})
