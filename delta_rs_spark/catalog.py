@@ -64,6 +64,7 @@ _ROTATION = [
     # -- round-3 additions (registered by queries/pipeline_queries) --------
     "cdf_changes_window",
     "q_zorder_pruned_scan",
+    "stream_events_hourly",
     "corpus_vocab_stats",
     "text_lang_mismatch",
     "sample_token_budget",
@@ -71,7 +72,6 @@ _ROTATION = [
     # -- relational canaries (certified green rounds 1-2) ------------------
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_forecast_revenue",
 ]
 
 

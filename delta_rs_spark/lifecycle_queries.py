@@ -157,3 +157,63 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "stream_events_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           {SUM_DEC('value', 'sum_value')}
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+)
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming certified end-to-end: seed a Delta table from
+    the events parquet in TWO append commits, tail it with the
+    ``delta_stream`` source (offsets = table versions), run a complete-mode
+    hourly aggregation into a memory sink, and return the final result —
+    which must equal the batch SQL aggregate over the same rows. This gives
+    the streaming source + sink surface a hard driver row (the micro-batch
+    boundary cannot change the aggregate)."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from .streaming.source import DeltaStreamDataSource
+    from .writer import write_deltalake
+
+    uri = _workdir("stream", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    write_deltalake(spark, ev.filter(F.col("event_id") % 2 == 0), uri)
+    write_deltalake(
+        spark, ev.filter(F.col("event_id") % 2 == 1), uri, mode="append"
+    )
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    sink = f"stream_events_hourly_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", uri)
+        .option("startingVersion", "0")
+        .load()
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(uri, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("hour", "event_type")
