@@ -53,6 +53,7 @@ class DeltaLog:
         self.table_root, self.backend = parse_table_uri(table_uri)
         self.log_dir = self.backend.join(self.table_root, DELTA_LOG_DIR)
         self._data_plane = None
+        self._ts_cache: dict[int, int] = {}
 
     @property
     def data_plane(self):
@@ -141,8 +142,34 @@ class DeltaLog:
             return None
 
     def commit_timestamp_ms(self, version: int) -> int:
-        """Commit wall-clock time = log file mtime (reference delta.rs:711-729)."""
-        return int(self.backend.head_obj(self.commit_path(version)).modification_time * 1000)
+        """Commit wall-clock time for time travel and streaming bounds.
+
+        Prefers ``commitInfo.inCommitTimestamp`` (public Delta
+        inCommitTimestamp feature: writer-stamped, monotonic — the reliable
+        clock on object stores where an object's mtime is its upload/copy
+        time); falls back to the log file's mtime, the reference behavior
+        (``delta.rs:711-729``). Memoized: committed timestamps never change.
+        """
+        cached = self._ts_cache.get(version)
+        if cached is not None:
+            return cached
+        path = self.commit_path(version)
+        ict: Optional[int] = None
+        try:
+            raw = self.backend.get_obj(path)
+            first = raw.split(b"\n", 1)[0]
+            obj = json.loads(first)
+            info = obj.get("commitInfo")
+            if info is not None and info.get("inCommitTimestamp") is not None:
+                ict = int(info["inCommitTimestamp"])
+        except FileNotFoundError:
+            raise
+        except Exception:  # malformed first line → mtime fallback
+            ict = None
+        if ict is None:
+            ict = int(self.backend.head_obj(path).modification_time * 1000)
+        self._ts_cache[version] = ict
+        return ict
 
     def write_tmp_commit(self, actions: list[Action], token: str) -> str:
         """Phase 1 of two-phase commit: NDJSON to ``_commit_<token>.json.tmp``."""

@@ -61,16 +61,21 @@ class DeltaTransaction:
     ) -> int:
         """Two-phase commit; returns the committed version."""
         actions = list(self.actions)
-        if operation is not None:
-            info: dict[str, Any] = {
+        ict_enabled = self._ict_enabled()
+        info: Optional[dict[str, Any]] = None
+        if operation is not None or ict_enabled:
+            info = {
                 "timestamp": int(time.time() * 1000),
-                "operation": operation,
             }
+            if operation is not None:
+                info["operation"] = operation
             if operation_parameters:
                 info["operationParameters"] = operation_parameters
             if operation_metrics:
                 info["operationMetrics"] = operation_metrics
             actions = [CommitInfoAction(info=info)] + actions
+        if ict_enabled:
+            actions = self._with_ict_protocol_bump(actions)
 
         log = self.table.log
         tmp = log.write_tmp_commit(actions, uuid.uuid4().hex)
@@ -87,6 +92,20 @@ class DeltaTransaction:
                     log, tmp, removed_paths, base_version + 1, version - 1
                 )
                 base_version = version - 1  # each range is validated once
+            if ict_enabled:
+                # monotonic writer clock (spec contract): each commit's
+                # inCommitTimestamp strictly exceeds its predecessor's, even
+                # under retries against concurrent writers — so the tmp file
+                # is re-stamped whenever the target version moves
+                prev_ts = log.commit_timestamp_ms(version - 1) if version > 0 else 0
+                ict = max(int(time.time() * 1000), prev_ts + 1)
+                if info.get("inCommitTimestamp") != ict:
+                    info["inCommitTimestamp"] = ict
+                    try:
+                        log.backend.delete_obj(tmp)
+                    except FileNotFoundError:
+                        pass
+                    tmp = log.write_tmp_commit(actions, uuid.uuid4().hex)
             try:
                 log.try_commit(tmp, version)
                 break
@@ -105,6 +124,37 @@ class DeltaTransaction:
         self.table.update()
         self.table._post_commit_hook(version)
         return version
+
+    def _ict_enabled(self) -> bool:
+        try:
+            cfg = self.table.metadata().configuration or {}
+        except Exception:  # table mid-creation: no metadata yet
+            return False
+        return (
+            str(cfg.get("delta.enableInCommitTimestamps", "")).lower() == "true"
+        )
+
+    def _with_ict_protocol_bump(self, actions: list[Action]) -> list[Action]:
+        """First ICT commit on a table below writer version 7 carries the
+        protocol bump with the spec's ``inCommitTimestamp`` writer feature
+        (reader version untouched — ICT is writer-side only); existing
+        features are preserved."""
+        from .protocol.actions import ProtocolAction
+
+        state = self.table.snapshot.state
+        wf = list(state.writer_features or [])
+        if state.min_writer_version >= 7 and "inCommitTimestamp" in wf:
+            return actions
+        if "inCommitTimestamp" not in wf:
+            wf.append("inCommitTimestamp")
+        return [
+            ProtocolAction(
+                min_reader_version=max(state.min_reader_version, 1),
+                min_writer_version=7,
+                reader_features=state.reader_features,
+                writer_features=wf,
+            )
+        ] + actions
 
     @staticmethod
     def _check_remove_conflicts(

@@ -321,18 +321,30 @@ def write_deltalake(
             created_time=int(time.time() * 1000),
             configuration=configuration or {},
         )
-        actions = [ProtocolAction(1, 2), meta, *adds, *(extra_actions or [])]
+        ict = (
+            str((configuration or {}).get("delta.enableInCommitTimestamps", ""))
+            .lower()
+            == "true"
+        )
+        proto = (
+            ProtocolAction(1, 7, writer_features=["inCommitTimestamp"])
+            if ict
+            else ProtocolAction(1, 2)
+        )
+        actions = [proto, meta, *adds, *(extra_actions or [])]
         from .protocol.actions import CommitInfoAction
 
-        info = CommitInfoAction(
-            info={
-                "timestamp": int(time.time() * 1000),
-                "operation": operation,
-                "operationParameters": params,
-                "operationMetrics": metrics,
-                "isBlindAppend": True,
-            }
-        )
+        now_ms = int(time.time() * 1000)
+        info_d = {
+            "timestamp": now_ms,
+            "operation": operation,
+            "operationParameters": params,
+            "operationMetrics": metrics,
+            "isBlindAppend": True,
+        }
+        if ict:
+            info_d["inCommitTimestamp"] = now_ms
+        info = CommitInfoAction(info=info_d)
         tmp = log.write_tmp_commit([info, *actions], uuid.uuid4().hex)
         log.try_commit(tmp, 0)  # creation races fail loudly: version 0 taken
         return DeltaTable(table_uri)

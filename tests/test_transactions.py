@@ -217,3 +217,94 @@ def test_concurrent_appends_still_blind_retry(spark, tmp_path):
     write_deltalake(spark, df, uri, mode="append")
     write_deltalake(spark, df, uri, mode="append")
     assert DeltaTable(uri).to_df(spark).count() == 30
+
+
+def test_in_commit_timestamps(spark, tmp_path):
+    """delta.enableInCommitTimestamps=true: every commit carries a
+    monotonically increasing commitInfo.inCommitTimestamp, the protocol
+    advertises the spec's writer feature, and time travel resolves from the
+    writer clock, not file mtime — the reliable clock on object stores
+    where mtime is upload/copy time."""
+    import json
+    import os
+
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.writer import write_deltalake
+
+    uri = str(tmp_path / "ict")
+    write_deltalake(
+        spark,
+        spark.range(0, 10).selectExpr("id"),
+        uri,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    write_deltalake(spark, spark.range(10, 20).selectExpr("id"), uri, mode="append")
+    write_deltalake(spark, spark.range(20, 30).selectExpr("id"), uri, mode="append")
+
+    t = DeltaTable(uri)
+    assert t.snapshot.min_writer_version() == 7
+    assert "inCommitTimestamp" in (t.snapshot.state.writer_features or [])
+
+    # every commit's FIRST action is commitInfo with a strictly increasing ict
+    icts = []
+    for v in range(3):
+        with open(os.path.join(uri, "_delta_log", f"{v:020d}.json")) as fh:
+            first = json.loads(fh.readline())
+        assert "commitInfo" in first
+        icts.append(first["commitInfo"]["inCommitTimestamp"])
+    assert icts[0] < icts[1] < icts[2]
+
+    # timestamp resolution uses the writer clock: corrupt every file mtime
+    # to the epoch — ICT-based time travel must be unaffected
+    for fname in os.listdir(os.path.join(uri, "_delta_log")):
+        os.utime(os.path.join(uri, "_delta_log", fname), (1, 1))
+    t2 = DeltaTable(uri)
+    assert t2.version_at_timestamp(
+        __import__("datetime").datetime.fromtimestamp(
+            icts[1] / 1000, tz=__import__("datetime").timezone.utc
+        )
+    ) == 1
+    assert t2.first_version_at_or_after(
+        __import__("datetime").datetime.fromtimestamp(
+            icts[2] / 1000, tz=__import__("datetime").timezone.utc
+        )
+    ) == 2
+
+
+def test_ict_enabled_mid_table_bumps_protocol(spark, tmp_path):
+    """Enabling ICT on an existing v(1,2) table: the next commit carries the
+    protocol bump + feature, and pre-feature versions fall back to mtime."""
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.writer import write_deltalake
+
+    uri = str(tmp_path / "mid")
+    write_deltalake(spark, spark.range(0, 5).selectExpr("id"), uri)
+    t = DeltaTable(uri)
+    assert t.protocol_versions() == (1, 2)
+
+    # flip the property via metadata (ALTER TABLE-style commit)
+    from delta_rs_spark.protocol.actions import MetaDataAction
+
+    old = t.metadata()
+    cfg = dict(old.configuration)
+    cfg["delta.enableInCommitTimestamps"] = "true"
+    txn = t.begin()
+    txn.add_action(
+        MetaDataAction(
+            id=old.id,
+            schema_string=old.schema_string,
+            partition_columns=old.partition_columns,
+            configuration=cfg,
+            created_time=old.created_time,
+        )
+    )
+    txn.commit(operation="SET TBLPROPERTIES")
+    t2 = DeltaTable(uri)
+    write_deltalake(spark, spark.range(5, 8).selectExpr("id"), uri, mode="append")
+
+    t3 = DeltaTable(uri)
+    assert t3.snapshot.min_writer_version() == 7
+    assert "inCommitTimestamp" in (t3.snapshot.state.writer_features or [])
+    # the mixed clock still orders: v0 (mtime) <= v1 <= v2 (ict)
+    ts = [t3.log.commit_timestamp_ms(v) for v in range(3)]
+    assert ts[0] <= ts[1] <= ts[2]
