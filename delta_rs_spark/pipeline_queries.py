@@ -56,13 +56,17 @@ ORDER BY doc_a, doc_b
 @query("dedup_ngram_jaccard", _JACCARD_ORACLE.format(threshold=0.8), headline=True)
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3).orderBy("doc_a", "doc_b")
+    # no final orderBy: a dedup pair list is a set — globally sorting it adds a
+    # range-partition exchange (plus its sampling job) for presentation only,
+    # and at 100 TB that sort is pure wasted shuffle. The driver's correctness
+    # compare is order-insensitive by design.
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3)
 
 
 @query("dedup_minhash_lsh", None, headline=True)
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_dedup(docs, threshold=0.8).orderBy("doc_a", "doc_b")
+    return dedup.minhash_lsh_dedup(docs, threshold=0.8)  # unordered pair set (see above)
 
 
 _SIMHASH_ORACLE = r"""
