@@ -62,6 +62,13 @@ def load_cdf(
         raise ValueError(f"starting_version {starting_version} > ending_version {end}")
 
     schema = table.schema()
+    from .protocol import column_mapping as _cm
+
+    # cdc files carry PHYSICAL column names on column-mapped tables
+    if snap.mapping_mode() != "none":
+        _cdc_sel = _cm.to_logical_exprs(schema)
+    else:
+        _cdc_sel = [F.col(c) for c in schema.names]
 
     # Gather the whole range first, then read each change kind in ONE scan —
     # a 500-version range is three scan nodes, not 500 union branches.
@@ -160,7 +167,7 @@ def load_cdf(
                     pairs.append(F.lit(v))
                 return [
                     spark.read.parquet(*paths).select(
-                        *schema.names,
+                        *_cdc_sel,
                         CHANGE_TYPE_COL,
                         F.element_at(F.create_map(*pairs), fname)
                         .cast("long")
@@ -180,7 +187,7 @@ def load_cdf(
         for v, adds_v in sorted(by_version.items()):
             if is_cdc:
                 paths = [snap._readable(a.path) for a in adds_v]
-                df = spark.read.parquet(*paths).select(*schema.names, CHANGE_TYPE_COL)
+                df = spark.read.parquet(*paths).select(*_cdc_sel, CHANGE_TYPE_COL)
             else:
                 df = snap.df_for_adds(spark, adds_v).withColumn(
                     CHANGE_TYPE_COL, F.lit(change_type)
@@ -240,14 +247,25 @@ def load_cdf(
     return out
 
 
-def write_change_files(spark: SparkSession, log, change_df: DataFrame) -> list[CdcAction]:
+def write_change_files(
+    spark: SparkSession,
+    log,
+    change_df: DataFrame,
+    table_schema=None,
+    configuration=None,
+) -> list[CdcAction]:
     """Stage ``change_df`` (table columns + _change_type) as parquet and move
     it under ``_change_data/``; returns the cdc actions to commit. Executors
-    write; the driver only renames."""
+    write; the driver only renames. Column-mapped tables write change files
+    under physical names (same rule as data files)."""
     import os
     import uuid
 
+    from .protocol import column_mapping as cm
     from .writer import _list_parquet_files, _remove_dir_tree
+
+    if table_schema is not None and cm.is_mapped(configuration):
+        change_df = cm.to_physical_df(change_df, table_schema)
 
     staging = log.data_plane.stage_dir("cdc")
     change_df.write.mode("overwrite").parquet(staging)

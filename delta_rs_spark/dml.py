@@ -189,16 +189,31 @@ def _stage_and_swap(
 
     from .writer import _promote_staged_files, check_constraints, data_skipping_columns
 
+    from .protocol import column_mapping as cm
+
     log = table.log
     pcols = table.metadata().partition_columns
+    schema = table.schema()
+    cfg = table.metadata().configuration
     # CHECK constraints apply to the rewritten content (UPDATE/MERGE can
     # introduce violations; DELETE survivors pass trivially)
-    check_constraints(new_rows, table.metadata().configuration, schema=table.schema())
+    check_constraints(new_rows, cfg, schema=schema)
+
+    # column-mapped tables store PHYSICAL names in data files, partition
+    # dirs, and stats; the frame stays logical until this last hop
+    stage_rows, stage_pcols = new_rows, pcols
+    stats_cols = data_skipping_columns(cfg, schema.names)
+    if cm.is_mapped(cfg):
+        stage_rows = cm.to_physical_df(new_rows, schema)
+        phys = cm.top_level_physical(schema)
+        stage_pcols = [phys[c] for c in pcols]
+        if stats_cols is not None:
+            stats_cols = {phys.get(c, c) for c in stats_cols}
 
     staging_dir = log.data_plane.stage_dir("commit")
-    writer = new_rows.write.mode("overwrite")
-    if pcols:
-        writer = writer.partitionBy(*pcols)
+    writer = stage_rows.write.mode("overwrite")
+    if stage_pcols:
+        writer = writer.partitionBy(*stage_pcols)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(staging_dir)
@@ -206,17 +221,17 @@ def _stage_and_swap(
         spark,
         log,
         staging_dir,
-        pcols,
-        stats_columns=data_skipping_columns(
-            table.metadata().configuration, table.schema().names
-        ),
+        stage_pcols,
+        stats_columns=stats_cols,
     )
 
     cdc_actions: list = []
     if change_rows is not None:
         from .cdf import write_change_files
 
-        cdc_actions = write_change_files(spark, log, change_rows)
+        cdc_actions = write_change_files(
+            spark, log, change_rows, table_schema=schema, configuration=cfg
+        )
 
     now_ms = int(time.time() * 1000)
     txn = DeltaTransaction(table)
@@ -309,7 +324,14 @@ def _delete_merge_on_read(
             change_rows = df.filter(cond).select(*table.schema().names).withColumn(
                 CHANGE_TYPE_COL, F.lit("delete")
             )
-            actions = write_change_files(spark, log, change_rows) + actions
+            actions = (
+                write_change_files(
+                    spark, log, change_rows,
+                    table_schema=table.schema(),
+                    configuration=table.metadata().configuration,
+                )
+                + actions
+            )
 
         metrics = {
             "numRemovedFiles": str(n_tomb),
@@ -417,10 +439,8 @@ def _commit_dv_txn(
     (deletion vectors are a reader-visible feature — foreign readers must
     fail fast), then the swap actions."""
     txn = DeltaTransaction(table)
-    if table.snapshot.min_reader_version() < 3 and any(
-        isinstance(a, AddAction) and a.deletion_vector for a in actions
-    ):
-        from .protocol.actions import ProtocolAction
+    if any(isinstance(a, AddAction) and a.deletion_vector for a in actions):
+        from .protocol.actions import upgraded_protocol
 
         # readerFeatures/writerFeatures are mandatory at 3/7 per the public
         # Delta spec. The bump only ever fires on a table's FIRST DV commit,
@@ -429,14 +449,18 @@ def _commit_dv_txn(
         # correct and the table is foreign-readable. (Tables bumped by
         # pre-round-3 builds carry the vendor token for their parquet-dir
         # descriptors and never re-bump; see actions.DV_FEATURE_NAME.)
-        txn.add_action(
-            ProtocolAction(
-                min_reader_version=3,
-                min_writer_version=7,
-                reader_features=["deletionVectors"],
-                writer_features=["deletionVectors"],
-            )
+        # ``upgraded_protocol`` PRESERVES features the table already
+        # advertises (columnMapping, inCommitTimestamp, …) — protocol
+        # replays replace wholesale, so a bare bump would drop them.
+        bump = upgraded_protocol(
+            table.snapshot.state,
+            3,
+            7,
+            reader_features=["deletionVectors"],
+            writer_features=["deletionVectors"],
         )
+        if bump is not None:
+            txn.add_action(bump)
     txn.add_actions(actions)
     version = txn.commit(
         operation=operation, operation_parameters=params, operation_metrics=metrics
@@ -582,7 +606,14 @@ def _update_merge_on_read(
                 CHANGE_TYPE_COL, F.lit("update_preimage")
             )
             post = updated_rows.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
-            actions = write_change_files(spark, log, pre.unionByName(post)) + actions
+            actions = (
+                write_change_files(
+                    spark, log, pre.unionByName(post),
+                    table_schema=schema,
+                    configuration=table.metadata().configuration,
+                )
+                + actions
+            )
 
         actions.extend(list(new_adds))
         metrics = {
@@ -606,9 +637,20 @@ def _stage_new_rows(spark: SparkSession, table: DeltaTable, rows: DataFrame) -> 
 
     from .writer import _promote_staged_files, check_constraints, data_skipping_columns
 
+    from .protocol import column_mapping as cm
+
     log = table.log
     pcols = table.metadata().partition_columns
-    check_constraints(rows, table.metadata().configuration, schema=table.schema())
+    schema = table.schema()
+    cfg = table.metadata().configuration
+    check_constraints(rows, cfg, schema=schema)
+    stats_cols = data_skipping_columns(cfg, schema.names)
+    if cm.is_mapped(cfg):
+        rows = cm.to_physical_df(rows, schema)
+        phys = cm.top_level_physical(schema)
+        pcols = [phys[c] for c in pcols]
+        if stats_cols is not None:
+            stats_cols = {phys.get(c, c) for c in stats_cols}
     staging = log.data_plane.stage_dir("commit")
     writer = rows.write.mode("overwrite")
     if pcols:
@@ -619,9 +661,7 @@ def _stage_new_rows(spark: SparkSession, table: DeltaTable, rows: DataFrame) -> 
         log,
         staging,
         pcols,
-        stats_columns=data_skipping_columns(
-            table.metadata().configuration, table.schema().names
-        ),
+        stats_columns=stats_cols,
     )
 
 
@@ -838,7 +878,14 @@ def _merge_merge_on_read(
                 change_rows = change_parts[0]
                 for p in change_parts[1:]:
                     change_rows = change_rows.unionByName(p)
-                actions = write_change_files(spark, log, change_rows) + actions
+                actions = (
+                    write_change_files(
+                        spark, log, change_rows,
+                        table_schema=table.schema(),
+                        configuration=table.metadata().configuration,
+                    )
+                    + actions
+                )
 
             actions.extend(list(new_adds))
             actions.extend(list(extra_actions or []))

@@ -47,7 +47,16 @@ def create_checkpoint(table, part_rows: Optional[int] = None) -> CheckPoint:
     meta = snap.metadata
     schema = snap.schema()
     pcols = meta.partition_columns
-    ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
+    # partitionValues (and _parsed) are keyed by PHYSICAL name when column
+    # mapping is active — same keys the add actions carry
+    from .protocol import column_mapping as _cmap
+
+    if snap.mapping_mode() != "none":
+        _p = _cmap.top_level_physical(schema)
+        ptypes = {_p[f.name]: f.dataType for f in schema.fields if f.name in pcols}
+        pcols = [_p[c] for c in pcols]
+    else:
+        ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
 
     proto: dict = {
         "minReaderVersion": state.min_reader_version or 1,
@@ -309,9 +318,18 @@ def optimize(
     from .transactions import DeltaTransaction
     from .writer import _promote_staged_files, _remove_dir_tree
 
+    from .protocol import column_mapping as _cm
+
     meta = table.metadata()
     pcols = meta.partition_columns
     log = table.log
+    _mapped = _cm.is_mapped(meta.configuration)
+    # mapped tables key partitionValues / Hive dirs / file columns physically
+    _phys = (
+        _cm.top_level_physical(schema_string_to_spark(meta.schema_string))
+        if _mapped
+        else {c: c for c in pcols}
+    )
 
     # plain compaction touches only sub-target files and needs >= 2 of them;
     # clustering (sort_by / zorder_by) is a LAYOUT rewrite — every file in the
@@ -328,7 +346,7 @@ def optimize(
         # merge-on-read deletes get materialized and their read-time anti
         # join retired
         if clustering or a.deletion_vector or a.size < target_file_size:
-            key = tuple((c, a.partition_values.get(c)) for c in pcols)
+            key = tuple((_phys[c], a.partition_values.get(_phys[c])) for c in pcols)
             groups.setdefault(key, []).append(a)
     plan = {
         k: fs
@@ -363,6 +381,10 @@ def optimize(
         if any(f.deletion_vector for f in files):
             # DV-aware read: the rewrite drops deleted rows for good
             df = table.snapshot.df_for_adds(spark, files, columns=list(data_schema.names))
+        elif _mapped:
+            # files store physical names; process logically, write physically
+            df = spark.read.schema(_cm.physical_schema(data_schema)).parquet(*uris)
+            df = df.select(*_cm.to_logical_exprs(data_schema))
         else:
             df = spark.read.schema(data_schema).parquet(*uris)
         if zorder_by:
@@ -376,6 +398,8 @@ def optimize(
             df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
         else:
             df = df.coalesce(n_out)
+        if _mapped:
+            df = _cm.to_physical_df(df, data_schema)
         df.write.mode("overwrite").parquet(out_dir)
 
     items = list(plan.items())
@@ -388,15 +412,16 @@ def optimize(
     try:
         from .writer import data_skipping_columns
 
+        _stats_cols = data_skipping_columns(meta.configuration, full_schema.names)
+        if _mapped and _stats_cols is not None:
+            _stats_cols = {_phys.get(c, c) for c in _stats_cols}
         adds = _promote_staged_files(
             spark,
             log,
             staging_root,
-            pcols,
+            [_phys[c] for c in pcols],
             data_change=False,
-            stats_columns=data_skipping_columns(
-                meta.configuration, full_schema.names
-            ),
+            stats_columns=_stats_cols,
         )
     except BaseException:
         _remove_dir_tree(staging_root)

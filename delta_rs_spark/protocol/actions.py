@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
-from typing import Any, Optional
+from typing import Any, Optional, Sequence
 
 # Vendor feature token tables got from pre-round-3 builds, whose legacy
 # descriptor ({storageType:'d', paths:[...position-parquet dirs]}) is not
@@ -359,6 +359,43 @@ _KEY_TO_CLASS = {
 }
 
 _CLASS_TO_KEY = {v: k for k, v in _KEY_TO_CLASS.items()}
+
+
+def upgraded_protocol(
+    state,
+    min_reader: int,
+    min_writer: int,
+    reader_features: Sequence[str] = (),
+    writer_features: Sequence[str] = (),
+) -> Optional["ProtocolAction"]:
+    """A ProtocolAction raising the table to at least (min_reader,
+    min_writer) carrying ``*_features``, PRESERVING features already on the
+    table — protocol replays replace wholesale, so a naive bump on a table
+    that already advertises other features would silently drop them.
+    Returns None when the table already satisfies everything."""
+    cur_r = state.min_reader_version
+    cur_w = state.min_writer_version
+    new_r = max(cur_r, min_reader)
+    new_w = max(cur_w, min_writer)
+    rf = list(state.reader_features or [])
+    wf = list(state.writer_features or [])
+    rf += [f for f in reader_features if f not in rf]
+    wf += [f for f in writer_features if f not in wf]
+    need_lists = new_r >= 3 or new_w >= 7
+    changed = (
+        new_r != cur_r
+        or new_w != cur_w
+        or (need_lists and set(rf) != set(state.reader_features or []))
+        or (need_lists and set(wf) != set(state.writer_features or []))
+    )
+    if not changed:
+        return None
+    return ProtocolAction(
+        min_reader_version=new_r,
+        min_writer_version=new_w,
+        reader_features=sorted(rf) if new_r >= 3 else None,
+        writer_features=sorted(wf) if new_w >= 7 else None,
+    )
 
 
 def parse_action(obj: dict[str, Any]) -> Action:

@@ -24,6 +24,7 @@ from .actions import (
     RemoveAction,
     TxnAction,
 )
+from . import column_mapping as cm
 from .log import CheckPoint, DeltaLog
 from .partitions import FilterTuple, compile_filters, file_matches
 from .schema import partition_value_to_typed, schema_string_to_spark
@@ -114,6 +115,19 @@ class Snapshot:
         pcols = set(self.metadata.partition_columns)
         return T.StructType([f for f in self.schema().fields if f.name not in pcols])
 
+    def mapping_mode(self) -> str:
+        """Column-mapping mode (none | name | id) from the table config."""
+        return cm.mapping_mode(self.metadata.configuration)
+
+    def _phys_tuples(self, tuples):
+        """Rewrite (col, op, value) tuples to physical column names — the
+        log's partitionValues and stats are keyed physically when column
+        mapping is active."""
+        if not tuples or self.mapping_mode() == "none":
+            return tuples
+        mapping = cm.top_level_physical(self.schema())
+        return [(mapping.get(t[0], t[0]), *t[1:]) for t in tuples]
+
     def files(
         self,
         partition_filters: Sequence[FilterTuple] | None = None,
@@ -121,10 +135,10 @@ class Snapshot:
     ) -> list[AddAction]:
         adds = list(self.state.files.values())
         if partition_filters:
-            compiled = compile_filters(partition_filters)
+            compiled = compile_filters(self._phys_tuples(partition_filters))
             adds = [a for a in adds if file_matches(a, compiled)]
         if skip_predicates:
-            adds = prune_files(adds, skip_predicates)
+            adds = prune_files(adds, self._phys_tuples(skip_predicates))
         return adds
 
     def file_paths(self, **kw) -> list[str]:
@@ -145,6 +159,12 @@ class Snapshot:
         return self.log.data_plane.readable_uri(path)
 
     def stats(self) -> list[Optional[dict[str, Any]]]:
+        if self.mapping_mode() != "none":
+            schema = self.schema()
+            return [
+                cm.stats_to_logical(a.get_stats(), schema)
+                for a in self.state.files.values()
+            ]
         return [a.get_stats() for a in self.state.files.values()]
 
     # ---- DataFrame construction -------------------------------------------
@@ -259,6 +279,16 @@ class Snapshot:
         table_schema = self.schema()
         pcols = self.metadata.partition_columns
         if not pcols:
+            if self.mapping_mode() != "none":
+                # data files carry PHYSICAL column names: scan physically,
+                # rename logical via positional struct casts (pure codegen)
+                df = spark.read.schema(cm.physical_schema(table_schema)).parquet(
+                    *[self._readable(a.path) for a in adds]
+                )
+                sel = cm.to_logical_exprs(table_schema)
+                if include_lineage:
+                    return df.select(*sel, *self._lineage_exprs())
+                return df.select(*sel)
             df = spark.read.schema(table_schema).parquet(
                 *[self._readable(a.path) for a in adds]
             )
@@ -318,30 +348,49 @@ class Snapshot:
         ptypes = {f.name: f.dataType for f in schema.fields if f.name in pcols}
         lineage = self._lineage_exprs() if include_lineage else []
 
+        mapped = self.mapping_mode() != "none"
+        # with column mapping, partitionValues keys AND the Hive path dirs
+        # use physical names; the emitted DataFrame stays logical
+        phys = cm.top_level_physical(schema) if mapped else {c: c for c in schema.names}
+
         groups: dict[tuple, list[str]] = {}
         for a in adds:
-            key = tuple(a.partition_values.get(c) for c in pcols)
+            key = tuple(a.partition_values.get(phys[c]) for c in pcols)
             groups.setdefault(key, []).append(self._readable(a.path))
 
         if len(groups) > self.MAX_UNION_BRANCHES:
             all_paths = [p for paths in groups.values() for p in paths]
             # basePath derivation requires the Hive key=value layout; fall
             # back to unions if any file's path doesn't encode it
-            if all(f"/{c}=" in p for p in all_paths for c in pcols):
+            if all(f"/{phys[c]}=" in p for p in all_paths for c in pcols):
+                scan_schema = cm.physical_schema(schema) if mapped else schema
                 df = (
-                    spark.read.schema(schema)
+                    spark.read.schema(scan_schema)
                     .option("basePath", self.log.data_plane.scan_root)
                     .parquet(*all_paths)
                 )
+                if mapped:
+                    df = df.select(*cm.to_logical_exprs(schema), *lineage)
+                    return df
                 return df.select(*schema.names, *lineage) if lineage else df
 
+        scan_data_schema = cm.physical_schema(data_schema) if mapped else data_schema
+        data_sel = (
+            cm.to_logical_exprs(data_schema) if mapped else list(data_schema.names)
+        )
+        lineage_names = (
+            [self.FILE_LINEAGE_COL, self.POS_LINEAGE_COL] if include_lineage else []
+        )
         branches = []
         for key, paths in groups.items():
-            branch = spark.read.schema(data_schema).parquet(*paths)
+            branch = spark.read.schema(scan_data_schema).parquet(*paths)
+            # lineage exprs read _metadata.* so they must be applied directly
+            # on the scan; later selects reference them by alias only
+            branch = branch.select(*data_sel, *lineage)
             for cname, sval in zip(pcols, key):
                 typed = partition_value_to_typed(sval, ptypes[cname])
                 branch = branch.withColumn(cname, F.lit(typed).cast(ptypes[cname]))
-            branches.append(branch.select(*schema.names, *lineage))
+            branches.append(branch.select(*schema.names, *lineage_names))
         df = branches[0]
         for b in branches[1:]:
             df = df.unionByName(b)

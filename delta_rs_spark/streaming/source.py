@@ -305,16 +305,24 @@ class DeltaStreamReader(DataSourceStreamReader):
             elif marked:
                 keep = [i for i in range(table.num_rows) if i not in marked]
                 table = table.take(pa.array(keep, type=pa.int64()))
+        from ..protocol.column_mapping import PHYS_META
+
         cols = {}
         for f in schema.fields:
+            # column-mapped tables store data (and key partitionValues)
+            # under the field's physical name; fall back to the logical name
+            phys = (f.metadata or {}).get(PHYS_META, f.name)
             if f.name in partition.partition_columns:
                 cols[f.name] = [
                     partition_value_to_typed(
-                        partition.partition_values.get(f.name), f.dataType
+                        partition.partition_values.get(phys)
+                        if phys in partition.partition_values
+                        else partition.partition_values.get(f.name),
+                        f.dataType,
                     )
                 ] * table.num_rows
             else:
-                cols[f.name] = table.column(f.name).to_pylist()
+                cols[f.name] = table.column(phys).to_pylist()
         names = [f.name for f in schema.fields]
         if partition.commit_version is not None:
             # change-feed mode: append _change_type and _commit_version

@@ -195,6 +195,11 @@ class DeltaTable:
                 "table has deletion vectors; use to_pyarrow_table()/to_df() "
                 "(position-aware) or run optimize() to materialize deletes"
             )
+        if self._snapshot.mapping_mode() != "none":
+            raise ValueError(
+                "column-mapped tables store physical column names in the "
+                "data files; read via to_df() (Spark path, mapping-aware)"
+            )
         # readable URIs: identical to file_uris() on the native data plane,
         # backend-mirrored local copies otherwise (protocol/dataio.py)
         paths = [
@@ -213,6 +218,11 @@ class DeltaTable:
         partitions: Sequence[FilterTuple] | None = None,
         columns: Sequence[str] | None = None,
     ):
+        if self._snapshot.mapping_mode() != "none":
+            raise ValueError(
+                "column-mapped tables store physical column names in the "
+                "data files; read via to_df() (Spark path, mapping-aware)"
+            )
         dv_adds = [a for a in self._snapshot.state.files.values() if a.deletion_vector]
         if not dv_adds:
             return self.to_pyarrow_dataset(partitions).to_table(
@@ -348,6 +358,10 @@ class DeltaTable:
         return table_num_records(self._snapshot.state.files.values())
 
     def column_min_max(self, column: str) -> tuple[Any, Any] | None:
+        if self._snapshot.mapping_mode() != "none":
+            from .protocol import column_mapping as cm
+
+            column = cm.top_level_physical(self.schema()).get(column, column)
         return table_min_max(self._snapshot.state.files.values(), column)
 
     # ---- maintenance (implemented in sibling modules) -----------------------
@@ -489,16 +503,23 @@ class DeltaTable:
         from .protocol.schema import spark_to_schema_string
 
         meta = self.metadata()
+        cfg = dict(meta.configuration or {})
+        merged = T.StructType(list(schema.fields) + new_fields)
+        from .protocol import column_mapping as cm
+
+        if cm.is_mapped(cfg):
+            # new columns get fresh ids + col-<uuid> physical names
+            start = max(cm.max_field_id(merged), int(cfg.get(cm.MAX_ID_KEY, 0)))
+            merged, max_id = cm.assign_mapping(merged, start_id=start)
+            cfg[cm.MAX_ID_KEY] = str(max_id)
         new_meta = type(meta)(
             id=meta.id,
-            schema_string=spark_to_schema_string(
-                T.StructType(list(schema.fields) + new_fields)
-            ),
+            schema_string=spark_to_schema_string(merged),
             partition_columns=meta.partition_columns,
             name=meta.name,
             description=meta.description,
             created_time=meta.created_time,
-            configuration=dict(meta.configuration or {}),
+            configuration=cfg,
         )
         return self._commit_metadata(
             new_meta,
@@ -506,10 +527,130 @@ class DeltaTable:
             {"columns": [f.name for f in new_fields]},
         )
 
+    # ---- column mapping DDL (metadata-only; public Delta feature) ---------
+
+    def set_column_mapping_mode(self, mode: str = "name") -> int:
+        """Upgrade the table to column mapping (``delta.columnMapping.mode``).
+
+        Metadata-only: every existing column's physical name is set to its
+        CURRENT logical name, so every already-written parquet file keeps
+        resolving — the spec's upgrade rule. Columns added afterwards get
+        ``col-<uuid>`` physical names. Raises if a different mapping mode is
+        already active (mode switching is not in the public spec)."""
+        from .protocol import column_mapping as cm
+        from .protocol.actions import upgraded_protocol
+        from .protocol.schema import spark_to_schema_string
+
+        if mode not in ("name", "id"):
+            raise ValueError("column mapping mode must be 'name' or 'id'")
+        meta = self.metadata()
+        cfg = dict(meta.configuration or {})
+        current = cm.mapping_mode(cfg)
+        if current == mode:
+            return self.version
+        if current != "none":
+            raise ValueError(f"cannot switch column mapping mode {current!r} -> {mode!r}")
+
+        schema, max_id = cm.assign_mapping(self.schema(), physical_from_logical=True)
+        cfg[cm.MODE_KEY] = mode
+        cfg[cm.MAX_ID_KEY] = str(max_id)
+        new_meta = type(meta)(
+            id=meta.id,
+            schema_string=spark_to_schema_string(schema),
+            partition_columns=meta.partition_columns,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+            configuration=cfg,
+        )
+        txn = self.begin()
+        bump = upgraded_protocol(
+            self.snapshot.state,
+            cm.MIN_READER,
+            cm.MIN_WRITER,
+            reader_features=[cm.FEATURE_NAME],
+            writer_features=[cm.FEATURE_NAME],
+        )
+        if bump is not None:
+            txn.add_action(bump)
+        txn.add_action(new_meta)
+        v = txn.commit(
+            operation="SET TBLPROPERTIES",
+            operation_parameters={"properties": [cm.MODE_KEY]},
+        )
+        self.update()
+        return v
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only under column mapping
+        (the physical name in the files never changes). ``old`` may be a
+        dotted path for nested struct fields."""
+        from .protocol import column_mapping as cm
+        from .protocol.schema import spark_to_schema_string
+        from .writer import SchemaMismatchError
+
+        meta = self.metadata()
+        if not cm.is_mapped(meta.configuration):
+            raise SchemaMismatchError(
+                "RENAME COLUMN requires column mapping "
+                "(table.set_column_mapping_mode('name') first)"
+            )
+        schema = cm.renamed_schema(self.schema(), old, new)
+        top = old.split(".")[0]
+        pcols = [new if c == top and "." not in old else c for c in meta.partition_columns]
+        new_meta = type(meta)(
+            id=meta.id,
+            schema_string=spark_to_schema_string(schema),
+            partition_columns=pcols,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+            configuration=dict(meta.configuration or {}),
+        )
+        return self._commit_metadata(
+            new_meta, "RENAME COLUMN", {"oldName": old, "newName": new}
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only under column mapping;
+        the physical data stays in the files, readers stop selecting it."""
+        from .protocol import column_mapping as cm
+        from .protocol.schema import spark_to_schema_string
+        from .writer import SchemaMismatchError
+
+        meta = self.metadata()
+        if not cm.is_mapped(meta.configuration):
+            raise SchemaMismatchError(
+                "DROP COLUMN requires column mapping "
+                "(table.set_column_mapping_mode('name') first)"
+            )
+        if name in meta.partition_columns:
+            raise SchemaMismatchError(f"cannot drop partition column {name!r}")
+        schema = cm.dropped_schema(self.schema(), name)
+        new_meta = type(meta)(
+            id=meta.id,
+            schema_string=spark_to_schema_string(schema),
+            partition_columns=meta.partition_columns,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+            configuration=dict(meta.configuration or {}),
+        )
+        return self._commit_metadata(new_meta, "DROP COLUMNS", {"column": name})
+
     def set_properties(self, properties: dict[str, str]) -> int:
         """ALTER TABLE SET TBLPROPERTIES: merge into ``configuration``
         (metaData replaces wholesale on replay, so the commit carries the
         full merged map)."""
+        from .protocol import column_mapping as cm
+
+        if cm.MODE_KEY in properties:
+            # the mode flag alone leaves the schema un-annotated — route
+            # through the upgrade that assigns ids/physical names atomically
+            raise ValueError(
+                f"set {cm.MODE_KEY} via table.set_column_mapping_mode(...), "
+                "which annotates the schema and bumps the protocol in the same commit"
+            )
         meta = self.metadata()
         new_meta = type(meta)(
             id=meta.id,

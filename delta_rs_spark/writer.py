@@ -36,8 +36,9 @@ from .protocol.actions import (
     ProtocolAction,
     RemoveAction,
 )
+from .protocol import column_mapping as cm
 from .protocol.log import DeltaLog
-from .protocol.schema import spark_to_schema_string
+from .protocol.schema import schema_string_to_spark, spark_to_schema_string
 from .table import DeltaTable
 from .transactions import DeltaTransaction
 
@@ -220,6 +221,12 @@ def write_deltalake(
         if schema_mode == "merge":
             df, new_meta = _merge_schema(table, df)
         elif schema_mode == "overwrite":
+            if cm.is_mapped(table.metadata().configuration):
+                raise SchemaMismatchError(
+                    "schema_mode='overwrite' is not supported on column-mapped "
+                    "tables (column ids of replaced columns would be ambiguous); "
+                    "use add_columns/rename_column/drop_column DDL instead"
+                )
             if spark_to_schema_string(df.schema) != spark_to_schema_string(
                 table.schema()
             ):
@@ -260,6 +267,29 @@ def write_deltalake(
             raise ValueError(f"partition columns {missing} not in DataFrame")
         check_constraints(df, configuration)
 
+    # ---- column mapping: data files live under PHYSICAL names --------------
+    # (logical names stay user-facing; the rename is the last hop before disk)
+    if exists:
+        mapped_schema = (
+            schema_string_to_spark(new_meta.schema_string)
+            if new_meta is not None
+            else table.schema()
+        )
+        map_cfg = table.metadata().configuration
+    else:
+        map_cfg = configuration or {}
+        mapped_schema = df.schema
+    mapping_on = cm.is_mapped(map_cfg)
+    if mapping_on and not exists:
+        mapped_schema, max_id = cm.assign_mapping(df.schema)
+        configuration = dict(configuration or {})
+        configuration[cm.MAX_ID_KEY] = str(max_id)
+    stage_df, stage_partition_by = df, list(partition_by or [])
+    if mapping_on:
+        stage_df = cm.to_physical_df(df, mapped_schema)
+        _phys = cm.top_level_physical(mapped_schema)
+        stage_partition_by = [_phys[c] for c in stage_partition_by]
+
     # ---- 1. stage the data with Spark -------------------------------------
     # optimizeWrite (public Delta property): one pre-write shuffle keyed on
     # the partition columns, so each partition value is written by one task
@@ -269,16 +299,16 @@ def write_deltalake(
     # (file count there is already bounded by input parallelism).
     cfg_for_write = table.metadata().configuration if exists else configuration
     if (
-        partition_by
+        stage_partition_by
         and str((cfg_for_write or {}).get("delta.autoOptimize.optimizeWrite", ""))
         .lower()
         == "true"
     ):
-        df = df.repartition(*partition_by)
+        stage_df = stage_df.repartition(*stage_partition_by)
     staging_dir = log.data_plane.stage_dir("commit")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    writer = stage_df.write.mode("overwrite")
+    if stage_partition_by:
+        writer = writer.partitionBy(*stage_partition_by)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(staging_dir)
@@ -291,12 +321,15 @@ def write_deltalake(
         schema_order = table.schema().names
     else:
         effective_cfg, schema_order = configuration, df.schema.names
+    stats_cols = data_skipping_columns(effective_cfg, schema_order)
+    if mapping_on and stats_cols is not None:
+        stats_cols = {_phys.get(c, c) for c in stats_cols}
     adds = _promote_staged_files(
         spark,
         log,
         staging_dir,
-        partition_by,
-        stats_columns=data_skipping_columns(effective_cfg, schema_order),
+        stage_partition_by,
+        stats_columns=stats_cols,
     )
 
     # ---- 4. commit -------------------------------------------------------------
@@ -314,7 +347,9 @@ def write_deltalake(
     if not exists:
         meta = MetaDataAction(
             id=str(uuid.uuid4()),
-            schema_string=spark_to_schema_string(df.schema),
+            schema_string=spark_to_schema_string(
+                mapped_schema if mapping_on else df.schema
+            ),
             partition_columns=list(partition_by or []),
             name=name,
             description=description,
@@ -326,11 +361,17 @@ def write_deltalake(
             .lower()
             == "true"
         )
-        proto = (
-            ProtocolAction(1, 7, writer_features=["inCommitTimestamp"])
-            if ict
-            else ProtocolAction(1, 2)
-        )
+        if ict and mapping_on:
+            proto = ProtocolAction(
+                2, 7, writer_features=["inCommitTimestamp", cm.FEATURE_NAME]
+            )
+        elif ict:
+            proto = ProtocolAction(1, 7, writer_features=["inCommitTimestamp"])
+        elif mapping_on:
+            # legacy protocol floor for column mapping (reader 2 / writer 5)
+            proto = ProtocolAction(cm.MIN_READER, cm.MIN_WRITER)
+        else:
+            proto = ProtocolAction(1, 2)
         actions = [proto, meta, *adds, *(extra_actions or [])]
         from .protocol.actions import CommitInfoAction
 
@@ -356,13 +397,17 @@ def write_deltalake(
         now_ms = int(time.time() * 1000)
         removals = table.add_actions()
         if partition_overwrite_mode == "dynamic" and partition_by:
+            # partitionValues are keyed by PHYSICAL name on mapped tables —
+            # stage_partition_by is that key set (== partition_by otherwise)
             touched = {
-                tuple(a.partition_values.get(c) for c in partition_by) for a in adds
+                tuple(a.partition_values.get(c) for c in stage_partition_by)
+                for a in adds
             }
             removals = [
                 old
                 for old in removals
-                if tuple(old.partition_values.get(c) for c in partition_by) in touched
+                if tuple(old.partition_values.get(c) for c in stage_partition_by)
+                in touched
             ]
             params["partitionOverwriteMode"] = "dynamic"
         for old in removals:
@@ -412,13 +457,16 @@ def _merge_schema(
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    from .protocol.column_mapping import bare_type
+
     existing = table.schema()
     incoming = {f.name: f for f in df.schema.fields}
 
     mismatched = {
         name: (existing[name].dataType, f.dataType)
         for name, f in incoming.items()
-        if name in existing.names and existing[name].dataType != f.dataType
+        if name in existing.names
+        and bare_type(existing[name].dataType) != bare_type(f.dataType)
     }
     if mismatched:
         raise SchemaMismatchError(
@@ -443,6 +491,18 @@ def _merge_schema(
         return aligned, None
 
     old = table.metadata()
+    configuration = dict(old.configuration)
+    from .protocol import column_mapping as _cm
+
+    if _cm.is_mapped(configuration):
+        # newly-appended columns need fresh ids + col-<uuid> physical names;
+        # existing fields keep theirs (they are already annotated in
+        # ``existing`` and carried into ``merged`` verbatim)
+        start = max(
+            _cm.max_field_id(merged), int(configuration.get(_cm.MAX_ID_KEY, 0))
+        )
+        merged, max_id = _cm.assign_mapping(merged, start_id=start)
+        configuration[_cm.MAX_ID_KEY] = str(max_id)
     return aligned, MetaDataAction(
         id=old.id,
         schema_string=spark_to_schema_string(merged),
@@ -450,14 +510,19 @@ def _merge_schema(
         name=old.name,
         description=old.description,
         created_time=old.created_time,
-        configuration=dict(old.configuration),
+        configuration=configuration,
     )
 
 
 def _check_schema(table: DeltaTable, df: DataFrame) -> None:
-    """v0 semantics: no evolution; names+types must match exactly (order-insensitive)."""
-    existing = {f.name: f.dataType for f in table.schema().fields}
-    incoming = {f.name: f.dataType for f in df.schema.fields}
+    """v0 semantics: no evolution; names+types must match exactly (order-insensitive).
+
+    Types are compared metadata-stripped: a column-mapped table's nested
+    struct fields carry mapping metadata the incoming frame never has."""
+    from .protocol.column_mapping import bare_type
+
+    existing = {f.name: bare_type(f.dataType) for f in table.schema().fields}
+    incoming = {f.name: bare_type(f.dataType) for f in df.schema.fields}
     if existing != incoming:
         raise SchemaMismatchError(
             f"write schema {sorted(incoming)} does not match table schema {sorted(existing)}"
