@@ -549,3 +549,61 @@ def update_dedup_index(
         "duplicate_rows": duplicate_rows,
         "corpus_version": corpus_version,
     }
+
+
+# ---------------------------------------------------------------------------
+# 7. Semantic dedup keep-list (SemDeDup-style, over embeddings)
+# ---------------------------------------------------------------------------
+
+def semantic_keeplist(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Ids surviving SEMANTIC near-duplicate removal: vectors whose cosine
+    similarity ≥ threshold form duplicate clusters; each cluster keeps its
+    minimum id, everything unclustered passes through.
+
+    The embedding analogue of the text keep-list (SemDeDup-family pipeline
+    step): pairs via banded sign-LSH + exact verify (never n²), clusters via
+    min-label propagation, survivors via one broadcast anti join — the loser
+    set is bounded by duplicates found, not corpus size.
+    """
+    from .clustering import connected_components
+
+    pairs = embedding_cosine_pairs(
+        emb, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    comp = connected_components(pairs, src_col="id_a", dst_col="id_b")
+    losers = comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return emb.select(id_col).join(F.broadcast(losers), id_col, "left_anti")
+
+
+def semantic_keeplist_oracle_sql(table: str = "embeddings", threshold: float = 0.4) -> str:
+    """Recursive-CTE reachability over the exact cosine pair graph."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 4)
+            >= {threshold}
+    ), und AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ), reach AS (
+      SELECT u AS node, u AS r FROM und
+      UNION
+      SELECT und.u AS node, reach.r
+      FROM und JOIN reach ON und.v = reach.node
+    ), comp AS (
+      SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    ), losers AS (
+      SELECT node AS vec_id FROM comp WHERE node <> cluster_id
+    )
+    SELECT vec_id FROM {table}
+    WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    ORDER BY vec_id
+    """

@@ -496,3 +496,187 @@ def lang_mismatch_oracle_sql(table: str = "documents") -> str:
                  / count(*), 6) AS mismatch_rate
     FROM guesses GROUP BY source ORDER BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style heuristic quality rules (Rae et al. 2021, public appendix A)
+# ---------------------------------------------------------------------------
+
+# the Gopher repetition/quality filter's stop list (public paper value)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 40,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.80,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher-style quality signals + pass/fail verdict.
+
+    The four public rules a web-scale curation pipeline applies before any
+    model-based scoring (word-count window, mean word length window, fraction
+    of words containing an alphabetic character, minimum distinct stopword
+    hits). Pure built-ins — one narrow map, no shuffle, 100 TB safe; the
+    verdict column drives a later filter/partition step.
+    """
+    d = with_words(df.select(id_col, text_col), text_col).withColumn(
+        "_w", F.filter("_words", lambda w: w != F.lit(""))
+    )
+    n_words = F.size("_w")
+    mean_len = F.round(
+        F.aggregate(
+            "_w", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        ).cast("double")
+        / n_words.cast("double"),
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter("_w", lambda w: w.rlike("[a-z]"))).cast("double")
+        / n_words.cast("double"),
+        4,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("_w"), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    passes = (
+        n_words.between(min_words, max_words)
+        & mean_len.between(min_mean_word_len, max_mean_word_len)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return d.select(
+        id_col,
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+        passes.alias("passes"),
+    )
+
+
+def gopher_rules_oracle_sql(
+    table: str = "documents",
+    min_words: int = 40,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.80,
+    min_stop_hits: int = 2,
+) -> str:
+    stops = "[" + ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM {table}
+    ), m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             round(CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE)
+                   / len(ws), 4) AS mean_word_len,
+             round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+                   / len(ws), 4) AS alpha_frac,
+             CAST(len(list_intersect(list_distinct(ws), {stops})) AS BIGINT) AS stop_hits
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, stop_hits,
+           (n_words BETWEEN {min_words} AND {max_words})
+           AND (mean_word_len BETWEEN {min_mean_word_len} AND {max_mean_word_len})
+           AND (alpha_frac >= {min_alpha_frac})
+           AND (stop_hits >= {min_stop_hits}) AS passes
+    FROM m ORDER BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate / hot-shingle ratio (CCNet-style line-frequency filtering,
+# lifted to n-gram shingles because the corpus has no line structure)
+# ---------------------------------------------------------------------------
+
+def boilerplate_ratio(
+    df: DataFrame,
+    n: int = 3,
+    max_doc_freq: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fraction of each document's distinct n-gram shingles that are
+    corpus-hot (appear in more than ``max_doc_freq`` documents).
+
+    High ratio ⇒ the document is mostly made of boilerplate phrasing shared
+    across the corpus — the n-gram generalization of CCNet's duplicated-line
+    filter. Two shuffles total, both carrying 8-byte shingle hashes rather
+    than text: explode(distinct hashes) → df-count groupBy, then one join
+    back and a per-doc count. Hot-shingle df counts are bounded by
+    vocabulary, not corpus size.
+    """
+    from .dedup import shingle_hash_sets
+
+    sets = shingle_hash_sets(df.select(id_col, text_col), n, id_col, text_col)
+    exploded = sets.select(id_col, "n_sh", F.explode("sh_arr").alias("sh"))
+    hot = (
+        exploded.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("sh")
+    )
+    per_doc = (
+        exploded.join(hot, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+    return (
+        sets.select(id_col, "n_sh")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_sh").cast("long").alias("n_shingles"),
+            F.coalesce("n_hot", F.lit(0)).cast("long").alias("n_hot"),
+            F.round(
+                F.coalesce("n_hot", F.lit(0)).cast("double") / F.col("n_sh").cast("double"),
+                4,
+            ).alias("boilerplate_ratio"),
+        )
+    )
+
+
+def boilerplate_ratio_oracle_sql(
+    table: str = "documents", n: int = 3, max_doc_freq: int = 50
+) -> str:
+    """Same ratios via shingle STRINGS (the metric is hash-agnostic)."""
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+      FROM {table}
+    ), sh AS (
+      SELECT doc_id, unnest(
+               list_distinct(list_transform(
+                 range(len(ws) - {n} + 1),
+                 i -> array_to_string(ws[i + 1 : i + {n}], ' ')
+               ))
+             ) AS s
+      FROM w WHERE len(ws) >= {n}
+    ), counts AS (
+      SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+    ), hot AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) > {max_doc_freq}
+    ), nh AS (
+      SELECT sh.doc_id, count(*) AS n_hot FROM sh JOIN hot USING (s) GROUP BY sh.doc_id
+    )
+    SELECT c.doc_id,
+           CAST(c.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(nh.n_hot, 0) AS BIGINT) AS n_hot,
+           round(CAST(COALESCE(nh.n_hot, 0) AS DOUBLE) / c.n_shingles, 4)
+             AS boilerplate_ratio
+    FROM counts c LEFT JOIN nh ON c.doc_id = nh.doc_id
+    ORDER BY c.doc_id
+    """

@@ -1228,3 +1228,38 @@ def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(
         F.broadcast(losers), "doc_id", "left_anti"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-3 (late) additions: heuristic quality rules, boilerplate detection,
+# semantic dedup keep-list. Registered AFTER the certification window —
+# catalog._ROTATION pins the driver's 50 slots.
+# ---------------------------------------------------------------------------
+
+@query("text_gopher_rules", text.gopher_rules_oracle_sql())
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality gate (word-count window, mean word
+    length, alphabetic-word fraction, stopword hits) — the standard
+    pre-model filter pass of a web-scale curation pipeline. Pure codegen,
+    one narrow map."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.gopher_rules(docs).orderBy("doc_id")
+
+
+@query("text_boilerplate_ratio", text.boilerplate_ratio_oracle_sql())
+def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraction of each doc's distinct 3-gram shingles that are corpus-hot
+    (df > 50) — CCNet's duplicated-line filter lifted to shingles. The
+    oracle recomputes the ratios from shingle STRINGS (hash-agnostic
+    metric), pinning the hash-based Spark plan to exact values."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.boilerplate_ratio(docs, n=3, max_doc_freq=50).orderBy("doc_id")
+
+
+@query("dedup_semantic_keeplist", dedup.semantic_keeplist_oracle_sql())
+def q_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style survivors over the embedding table: cosine ≥ 0.4
+    pairs (banded sign-LSH + exact verify) → connected components → keep
+    min id per cluster. Oracle: exact pair graph + recursive reachability."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_keeplist(emb, threshold=0.4).orderBy("vec_id")

@@ -855,3 +855,52 @@ def test_extract_media_features_mixed_codecs(spark):
     assert out[1].sample_rate is None
     assert out[2].sample_rate == 8000 and out[2].n_samples == 400
     assert out[2].width is None
+
+
+def test_gopher_rules_signals(spark):
+    from delta_rs_spark.operators import text as T
+
+    rows = [
+        # 45 stop-ish words, mean len fine, has >=2 stopwords -> passes
+        (1, " ".join(["the", "and", "of"] + ["token"] * 42)),
+        # too short -> fails word-count rule
+        (2, "the and a few words only"),
+        # no stopwords -> fails stopword rule
+        (3, " ".join(["zebra"] * 60)),
+        # numeric words -> fails alpha fraction
+        (4, " ".join(["123"] * 50 + ["the", "and"])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in T.gopher_rules(df).collect()}
+    assert out[1].passes and out[1].stop_hits >= 2
+    assert not out[2].passes and out[2].n_words == 6
+    assert not out[3].passes and out[3].stop_hits == 0
+    assert not out[4].passes and out[4].alpha_frac < 0.8
+
+
+def test_boilerplate_ratio_hot_shingles(spark):
+    from delta_rs_spark.operators import text as T
+
+    # "a b c" appears in all 4 docs (hot at max_doc_freq=3); tails differ
+    rows = [(i, f"a b c unique{i} tail{i} end{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in T.boilerplate_ratio(df, n=3, max_doc_freq=3).collect()}
+    for i in range(4):
+        assert out[i].n_shingles == 4
+        assert out[i].n_hot == 1  # only "a b c" crosses the df threshold
+        assert out[i].boilerplate_ratio == 0.25
+
+
+def test_semantic_keeplist_min_id_survives(spark):
+    from delta_rs_spark.operators import dedup
+
+    # 0 ~ 1 (identical), 2 orthogonal, 3 ~ 0 scaled -> cluster {0,1,3} keeps 0
+    vecs = [
+        (0, [1.0, 0.0] + [0.0] * 62),
+        (1, [1.0, 0.0] + [0.0] * 62),
+        (2, [0.0, 1.0] + [0.0] * 62),
+        (3, [2.0, 0.0] + [0.0] * 62),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    kept = sorted(r.vec_id for r in dedup.semantic_keeplist(df, threshold=0.9).collect())
+    assert kept == [0, 2]
