@@ -13,6 +13,8 @@ Parity with the reference's ``delta-inspect`` binary
 Beyond the reference binary (still Spark-free):
 
 - ``inspect history <uri> [-n N]``   — commitInfo provenance, newest first
+- ``inspect dv <uri>``               — deletion-vector summary (per DV'd
+  file cardinality/bytes + table totals; never decodes bitmaps)
 - ``vacuum <uri> [--retention-hours H] [--no-dry-run]`` — list/delete
   unreferenced files (168h guard, dry-run by default, like the API)
 """
@@ -73,6 +75,46 @@ def _cmd_history(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_dv(args: argparse.Namespace) -> int:
+    """Deletion-vector summary: one line per DV'd file + a totals object.
+
+    Spark-free — descriptors come straight from the snapshot's add actions;
+    nothing reads the bitmaps, so this is O(#DV'd files) driver work even on
+    a 100 TB table."""
+    table = DeltaTable(args.uri)
+    dv_adds = [a for a in table.add_actions() if a.deletion_vector]
+    total_card = 0
+    total_bytes = 0
+    for a in sorted(dv_adds, key=lambda a: a.path):
+        d = a.deletion_vector
+        card = int(d.get("cardinality", 0))
+        size = int(d.get("sizeInBytes", 0))
+        total_card += card
+        total_bytes += size
+        print(
+            json.dumps(
+                {
+                    "path": a.path,
+                    "storageType": d.get("storageType"),
+                    "cardinality": card,
+                    "sizeInBytes": size,
+                    "physicalRows": a.num_records,
+                    "liveRows": a.logical_records,
+                },
+                separators=(",", ":"),
+            )
+        )
+    summary = {
+        "numFiles": len(table.files()),
+        "numFilesWithDV": len(dv_adds),
+        "totalDeletedRows": total_card,
+        "totalDVBytes": total_bytes,
+        "liveRows": table.count_rows(),
+    }
+    print(json.dumps(summary, indent=2), file=sys.stderr)
+    return 0
+
+
 def _cmd_vacuum(args: argparse.Namespace) -> int:
     table = DeltaTable(args.uri)
     dry = not args.no_dry_run
@@ -115,6 +157,12 @@ def main(argv: list[str] | None = None) -> int:
     p_hist.add_argument("uri", help="Table URI")
     p_hist.add_argument("-n", "--limit", type=int, default=None, help="max entries")
     p_hist.set_defaults(func=_cmd_history)
+
+    p_dv = isub.add_parser(
+        "dv", help="deletion-vector summary (per DV'd file + totals)"
+    )
+    p_dv.add_argument("uri", help="Table URI")
+    p_dv.set_defaults(func=_cmd_dv)
 
     p_vac = sub.add_parser("vacuum", help="list/delete unreferenced files")
     p_vac.add_argument("uri", help="Table URI")

@@ -65,3 +65,36 @@ def test_inspect_detail(golden, capsys):
     assert main(["inspect", "detail", golden("simple_table")]) == 0
     d = json.loads(capsys.readouterr().out)
     assert d["format"] == "delta" and d["numFiles"] == 5 and d["version"] == 4
+
+
+def test_inspect_dv(spark, tmp_path, capsys):
+    from delta_rs_spark.writer import write_deltalake
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, val string"
+    ).coalesce(1)
+    t = write_deltalake(
+        spark, df, str(tmp_path),
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    t.delete(spark, "id % 10 = 0")
+    capsys.readouterr()
+
+    assert main(["inspect", "dv", str(tmp_path)]) == 0
+    cap = capsys.readouterr()
+    lines = [json.loads(l) for l in cap.out.splitlines()]
+    assert len(lines) == 1
+    assert lines[0]["cardinality"] == 10
+    assert lines[0]["storageType"] in ("u", "i", "p")
+    assert lines[0]["physicalRows"] == 100 and lines[0]["liveRows"] == 90
+    summary = json.loads(cap.err)
+    assert summary["numFilesWithDV"] == 1
+    assert summary["totalDeletedRows"] == 10
+    assert summary["liveRows"] == 90
+
+
+def test_inspect_dv_clean_table(golden, capsys):
+    assert main(["inspect", "dv", golden("simple_table")]) == 0
+    cap = capsys.readouterr()
+    assert cap.out == ""
+    assert json.loads(cap.err)["numFilesWithDV"] == 0
