@@ -26,7 +26,8 @@ with tables addressed as ``delta.`/path/to/table```:
 - ``ALTER TABLE delta.`/p` ADD COLUMNS (a INT, b STRING)`` — metadata-only
   schema evolution; ``SET TBLPROPERTIES ('k'='v', …)`` /
   ``UNSET TBLPROPERTIES ('k', …)``; ``ADD CONSTRAINT n CHECK (<expr>)`` /
-  ``DROP CONSTRAINT n``.
+  ``DROP CONSTRAINT n``; ``RENAME COLUMN a TO b`` / ``DROP COLUMN a``
+  (metadata-only; requires column mapping — see protocol/column_mapping.py).
 - ``SHOW TBLPROPERTIES delta.`/p```
 - ``CONVERT TO DELTA parquet.`/dir``` — in-place conversion, zero data movement
 
@@ -234,6 +235,20 @@ def _alter(spark: SparkSession, s: str) -> DataFrame:
     if mm:
         v = table.drop_constraint(mm.group(1))
         return _one_row(spark, {"version": v, "constraint": mm.group(1)})
+
+    mm = re.match(
+        r"RENAME\s+COLUMN\s+([\w.]+)\s+TO\s+(\w+)$", rest, re.IGNORECASE
+    )
+    if mm:
+        v = table.rename_column(mm.group(1), mm.group(2))
+        return _one_row(
+            spark, {"version": v, "oldName": mm.group(1), "newName": mm.group(2)}
+        )
+
+    mm = re.match(r"DROP\s+COLUMNS?\s*\(?\s*([\w.]+)\s*\)?$", rest, re.IGNORECASE)
+    if mm:
+        v = table.drop_column(mm.group(1))
+        return _one_row(spark, {"version": v, "column": mm.group(1)})
 
     raise SqlError(f"unsupported ALTER TABLE clause: {rest!r}")
 

@@ -216,3 +216,32 @@ def test_sql_optimize_where_scopes_partitions(spark, tmp_path):
     t = DeltaTable(uri)
     assert len(t.snapshot.files(partition_filters=[("p", "=", "1")])) == 1
     assert len(t.snapshot.files(partition_filters=[("p", "=", "0")])) > 1
+
+
+def test_alter_table_rename_and_drop_column_sql(spark, tmp_path):
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"),
+        uri,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    res = sql(spark, f"ALTER TABLE delta.`{uri}` RENAME COLUMN val TO v2").collect()[0]
+    assert int(res["version"]) == 1
+    t = DeltaTable(uri)
+    assert t.schema().names == ["id", "v2"]
+    assert sorted((r.id, r.v2) for r in t.to_df(spark).collect()) == [(1, "a"), (2, "b")]
+
+    sql(spark, f"ALTER TABLE delta.`{uri}` DROP COLUMN v2")
+    t = DeltaTable(uri)
+    assert t.schema().names == ["id"]
+
+    # without column mapping the statement fails loudly
+    uri2 = str(tmp_path / "plain")
+    write_deltalake(spark, spark.range(2), uri2)
+    import pytest as _pytest
+
+    from delta_rs_spark.writer import SchemaMismatchError
+
+    with _pytest.raises(SchemaMismatchError, match="requires column mapping"):
+        sql(spark, f"ALTER TABLE delta.`{uri2}` RENAME COLUMN id TO id2")
