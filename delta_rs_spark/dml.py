@@ -247,6 +247,8 @@ def _stage_and_swap(
                 partition_values=old.partition_values,
                 size=old.size,
                 deletion_vector=old.deletion_vector,
+                base_row_id=old.base_row_id,
+                default_row_commit_version=old.default_row_commit_version,
             )
         )
     txn.add_actions(list(adds))
@@ -408,6 +410,8 @@ def _dv_swap_actions(log, candidates: list[AddAction], pos_df) -> tuple[list, di
                 partition_values=old.partition_values,
                 size=old.size,
                 deletion_vector=old.deletion_vector,
+                base_row_id=old.base_row_id,
+                default_row_commit_version=old.default_row_commit_version,
             )
         )
         if old.num_records is not None and len(combined) >= old.num_records:
@@ -521,9 +525,20 @@ def delete(spark: SparkSession, table: DeltaTable, predicate: str) -> dict[str, 
             "numCopiedRows": 0,
         }
 
+    from .protocol import row_tracking as rt
+
+    cfg = table.metadata().configuration
+    rt_on = rt.enabled(cfg)
     snap = table._snapshot
-    df = snap.df_for_adds(spark, matched)
+    df = snap.df_for_adds(spark, matched, with_row_ids=rt_on)
     keep = df.filter(~cond)
+    if rt_on:
+        # survivors keep their row ids: written as materialized columns the
+        # reader coalesces ahead of baseRowId + row_index
+        mat_id, mat_cv = rt.materialized_names(cfg)
+        keep = keep.withColumnRenamed(rt.ROW_ID_COL, mat_id).withColumnRenamed(
+            rt.ROW_CV_COL, mat_cv
+        )
     total_in_matched = sum(a.num_records or 0 for a in matched)
     n_copied = total_in_matched - n_deleted if all(
         a.num_records is not None for a in matched
@@ -531,7 +546,11 @@ def delete(spark: SparkSession, table: DeltaTable, predicate: str) -> dict[str, 
 
     change_rows = None
     if cdf_enabled(table):
-        change_rows = df.filter(cond).withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+        change_rows = (
+            df.filter(cond)
+            .select(*table.schema().names)
+            .withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+        )
 
     return _stage_and_swap(
         spark,
@@ -704,13 +723,26 @@ def update(
             "numUpdatedRows": 0,
         }
 
+    from .protocol import row_tracking as rt
+
+    cfg = table.metadata().configuration
+    rt_on = rt.enabled(cfg)
     snap = table._snapshot
-    df = snap.df_for_adds(spark, matched)
+    df = snap.df_for_adds(spark, matched, with_row_ids=rt_on)
     types = {f.name: f.dataType for f in schema.fields}
     assigned = [
         F.expr(assignments[c]).cast(types[c]).alias(c) if c in assignments else F.col(c)
         for c in schema.names
     ]
+    out_cols = list(schema.names)
+    if rt_on:
+        # an UPDATE changes values, not identity: rewritten rows keep their
+        # ids via the materialized columns
+        mat_id, mat_cv = rt.materialized_names(cfg)
+        df = df.withColumnRenamed(rt.ROW_ID_COL, mat_id).withColumnRenamed(
+            rt.ROW_CV_COL, mat_cv
+        )
+        out_cols += [mat_id, mat_cv]
     projected = df.select(
         *[
             (
@@ -720,13 +752,17 @@ def update(
                 if c in assignments
                 else F.col(c)
             )
-            for c in schema.names
+            for c in out_cols
         ]
     )
 
     change_rows = None
     if cdf_enabled(table):
-        pre = df.filter(cond).withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+        pre = (
+            df.filter(cond)
+            .select(*schema.names)
+            .withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+        )
         post = (
             df.filter(cond)
             .select(*assigned)

@@ -71,6 +71,10 @@ def create_checkpoint(table, part_rows: Optional[int] = None) -> CheckPoint:
     rows.append({"metaData": meta.to_json_dict()})
     for app_id, version in sorted(state.app_transaction_version.items()):
         rows.append({"txn": {"appId": app_id, "version": version}})
+    for domain, config in sorted(state.domain_metadata.items()):
+        rows.append(
+            {"domainMetadata": {"domain": domain, "configuration": config, "removed": False}}
+        )
     for r in state.tombstones.values():
         rows.append({"remove": r.to_json_dict()})
     for a in state.files.values():
@@ -142,7 +146,7 @@ def _drop_empty_dicts(node):
 
 def _rows_to_struct_columns(pa, rows: list[dict], pcols, ptypes) -> dict:
     """Sparse row dicts → one pyarrow struct array per action column."""
-    cols = ["txn", "add", "remove", "metaData", "protocol"]
+    cols = ["txn", "add", "remove", "metaData", "protocol", "domainMetadata"]
     out = {}
     for col in cols:
         values = [r.get(col) for r in rows]
@@ -330,6 +334,10 @@ def optimize(
         if _mapped
         else {c: c for c in pcols}
     )
+    from .protocol import row_tracking as _rt_mod
+
+    _rt_on = _rt_mod.enabled(meta.configuration)
+    _mat_id, _mat_cv = _rt_mod.materialized_names(meta.configuration)
 
     # plain compaction touches only sub-target files and needs >= 2 of them;
     # clustering (sort_by / zorder_by) is a LAYOUT rewrite — every file in the
@@ -378,7 +386,20 @@ def optimize(
         out_dir = os.path.join(staging_root, part_dir) if part_dir else staging_root
         uris = [table.snapshot._readable(f.path) for f in files]
         n_out = max(1, math.ceil(sum(f.size for f in files) / target_file_size))
-        if any(f.deletion_vector for f in files):
+        if _rt_on:
+            from pyspark.sql import functions as F
+
+            # row tracking: compaction must not change row identity — carry
+            # each row's id through as materialized columns (DV-aware read,
+            # so freshly-materialized deletes drop their ids with them)
+            df = table.snapshot.df_for_adds(
+                spark, files, with_row_ids=True
+            ).select(
+                *data_schema.names,
+                F.col(_rt_mod.ROW_ID_COL).alias(_mat_id),
+                F.col(_rt_mod.ROW_CV_COL).alias(_mat_cv),
+            )
+        elif any(f.deletion_vector for f in files):
             # DV-aware read: the rewrite drops deleted rows for good
             df = table.snapshot.df_for_adds(spark, files, columns=list(data_schema.names))
         elif _mapped:
@@ -440,6 +461,8 @@ def optimize(
                     partition_values=f.partition_values,
                     size=f.size,
                     deletion_vector=f.deletion_vector,
+                    base_row_id=f.base_row_id,
+                    default_row_commit_version=f.default_row_commit_version,
                 )
             )
     txn.add_actions(list(adds))
@@ -754,6 +777,8 @@ def restore(table, version: int) -> dict:
                 partition_values=a.partition_values,
                 size=a.size,
                 deletion_vector=a.deletion_vector,
+                base_row_id=a.base_row_id,
+                default_row_commit_version=a.default_row_commit_version,
             )
         )
     new_version = txn.commit(

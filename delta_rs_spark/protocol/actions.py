@@ -65,6 +65,11 @@ class AddAction:
     stats: Optional[str] = None
     tags: Optional[dict[str, Any]] = None
     deletion_vector: Optional[dict[str, Any]] = None
+    # row tracking (public Delta feature): fresh rows of this file get ids
+    # baseRowId + row_index; commit version of fresh rows. Preserved when a
+    # file is re-added (DV swap) so row ids stay stable.
+    base_row_id: Optional[int] = None
+    default_row_commit_version: Optional[int] = None
 
     def get_stats(self) -> Optional[dict[str, Any]]:
         # memoized: stats pruning evaluates every file's stats per query —
@@ -110,6 +115,10 @@ class AddAction:
             d["tags"] = self.tags
         if self.deletion_vector is not None:
             d["deletionVector"] = self.deletion_vector
+        if self.base_row_id is not None:
+            d["baseRowId"] = self.base_row_id
+        if self.default_row_commit_version is not None:
+            d["defaultRowCommitVersion"] = self.default_row_commit_version
         return d
 
     @classmethod
@@ -119,6 +128,8 @@ class AddAction:
             dv = dict(dv)
             if isinstance(dv.get("paths"), tuple):
                 dv["paths"] = list(dv["paths"])
+        brid = d.get("baseRowId")
+        drcv = d.get("defaultRowCommitVersion")
         return cls(
             path=d["path"],
             size=d.get("size", 0),
@@ -128,6 +139,8 @@ class AddAction:
             stats=d.get("stats"),
             tags=d.get("tags"),
             deletion_vector=dv,
+            base_row_id=int(brid) if brid is not None else None,
+            default_row_commit_version=int(drcv) if drcv is not None else None,
         )
 
 
@@ -151,6 +164,8 @@ class RemoveAction:
     size: Optional[int] = None
     tags: Optional[dict[str, Any]] = None
     deletion_vector: Optional[dict[str, Any]] = None
+    base_row_id: Optional[int] = None
+    default_row_commit_version: Optional[int] = None
 
     def to_json_dict(self) -> dict[str, Any]:
         d: dict[str, Any] = {"path": self.path, "dataChange": self.data_change}
@@ -166,6 +181,10 @@ class RemoveAction:
             d["tags"] = self.tags
         if self.deletion_vector is not None:
             d["deletionVector"] = self.deletion_vector
+        if self.base_row_id is not None:
+            d["baseRowId"] = self.base_row_id
+        if self.default_row_commit_version is not None:
+            d["defaultRowCommitVersion"] = self.default_row_commit_version
         return d
 
     @classmethod
@@ -175,6 +194,8 @@ class RemoveAction:
             dv = dict(dv)
             if isinstance(dv.get("paths"), tuple):
                 dv["paths"] = list(dv["paths"])
+        brid = d.get("baseRowId")
+        drcv = d.get("defaultRowCommitVersion")
         return cls(
             path=d["path"],
             deletion_timestamp=d.get("deletionTimestamp"),
@@ -184,6 +205,8 @@ class RemoveAction:
             size=d.get("size"),
             tags=d.get("tags"),
             deletion_vector=dv,
+            base_row_id=int(brid) if brid is not None else None,
+            default_row_commit_version=int(drcv) if drcv is not None else None,
         )
 
 
@@ -231,6 +254,33 @@ class MetaDataAction:
             format=Format.from_json_dict(d.get("format") or {}),
             created_time=d.get("createdTime"),
             configuration=d.get("configuration") or {},
+        )
+
+
+@dataclass
+class DomainMetadataAction:
+    """Named metadata domain (public Delta ``domainMetadata`` action;
+    writer feature): replay keeps the LATEST configuration per domain;
+    ``removed=True`` tombstones the domain. Row tracking stores its id
+    high-water mark in the ``delta.rowTracking`` domain."""
+
+    domain: str
+    configuration: str = ""  # JSON string, per the spec
+    removed: bool = False
+
+    def to_json_dict(self) -> dict[str, Any]:
+        return {
+            "domain": self.domain,
+            "configuration": self.configuration,
+            "removed": self.removed,
+        }
+
+    @classmethod
+    def from_json_dict(cls, d: dict[str, Any]) -> "DomainMetadataAction":
+        return cls(
+            domain=d["domain"],
+            configuration=d.get("configuration") or "",
+            removed=bool(d.get("removed", False)),
         )
 
 
@@ -346,6 +396,7 @@ Action = (
     | ProtocolAction
     | CommitInfoAction
     | CdcAction
+    | DomainMetadataAction
 )
 
 _KEY_TO_CLASS = {
@@ -356,6 +407,7 @@ _KEY_TO_CLASS = {
     "protocol": ProtocolAction,
     "commitInfo": CommitInfoAction,
     "cdc": CdcAction,
+    "domainMetadata": DomainMetadataAction,
 }
 
 _CLASS_TO_KEY = {v: k for k, v in _KEY_TO_CLASS.items()}

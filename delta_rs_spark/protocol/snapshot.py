@@ -19,6 +19,7 @@ from pyspark.sql import types as T
 from .actions import (
     Action,
     AddAction,
+    DomainMetadataAction,
     MetaDataAction,
     ProtocolAction,
     RemoveAction,
@@ -188,6 +189,7 @@ class Snapshot:
         columns: Sequence[str] | None = None,
         partition_filters: Sequence[FilterTuple] | None = None,
         skip_predicates: Sequence[SkipTuple] | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Snapshot → DataFrame.
 
@@ -199,7 +201,7 @@ class Snapshot:
         Catalyst.
         """
         adds = self.files(partition_filters=partition_filters, skip_predicates=skip_predicates)
-        return self.df_for_adds(spark, adds, columns=columns)
+        return self.df_for_adds(spark, adds, columns=columns, with_row_ids=with_row_ids)
 
     def df_for_adds(
         self,
@@ -207,6 +209,7 @@ class Snapshot:
         adds: list[AddAction],
         columns: Sequence[str] | None = None,
         with_lineage: bool = False,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """DataFrame over an explicit subset of this snapshot's files.
 
@@ -217,26 +220,41 @@ class Snapshot:
         bare-scan plan. ``with_lineage=True`` appends ``_drs_file`` (the
         add's log path) and ``_drs_pos`` (row index within the file) — the
         row identity DML and merge-on-read DELETE key on.
+        ``with_row_ids=True`` (row-tracked tables) appends ``_row_id`` /
+        ``_row_commit_version``: coalesce(materialized column, add's
+        baseRowId + row_index / defaultRowCommitVersion).
         """
+        from . import row_tracking as rt
+
         table_schema = self.schema()
+        need_lineage = with_lineage or with_row_ids
+        mat_id = mat_cv = None
+        if with_row_ids:
+            mat_id, mat_cv = rt.materialized_names(self.metadata.configuration)
 
         if not adds:
             df = spark.createDataFrame([], table_schema)
             if with_lineage:
                 df = df.withColumn(self.FILE_LINEAGE_COL, F.lit(None).cast("string"))
                 df = df.withColumn(self.POS_LINEAGE_COL, F.lit(None).cast("long"))
+            if with_row_ids:
+                df = df.withColumn(rt.ROW_ID_COL, F.lit(None).cast("long"))
+                df = df.withColumn(rt.ROW_CV_COL, F.lit(None).cast("long"))
             return df.select(*(columns or df.columns))
 
         dv_adds = [a for a in adds if a.deletion_vector]
         plain = [a for a in adds if not a.deletion_vector]
 
+        mat_cols = [c for c in (mat_id, mat_cv) if c]
         parts: list[DataFrame] = []
         if plain:
-            parts.append(self._scan(spark, plain, include_lineage=with_lineage))
+            parts.append(
+                self._scan(spark, plain, include_lineage=need_lineage, mat_cols=mat_cols)
+            )
         if dv_adds:
-            df = self._scan(spark, dv_adds, include_lineage=True)
+            df = self._scan(spark, dv_adds, include_lineage=True, mat_cols=mat_cols)
             df = self._anti_join_deleted_positions(spark, df, dv_adds)
-            if not with_lineage:
+            if not need_lineage:
                 df = df.drop(self.FILE_LINEAGE_COL, self.POS_LINEAGE_COL)
             parts.append(df)
 
@@ -244,13 +262,69 @@ class Snapshot:
         for p in parts[1:]:
             df = df.unionByName(p)
 
+        if with_row_ids:
+            df = self._attach_row_ids(spark, df, adds, mat_id, mat_cv)
+
         out_cols = list(table_schema.names)
         if with_lineage:
             out_cols += [self.FILE_LINEAGE_COL, self.POS_LINEAGE_COL]
+        if with_row_ids:
+            out_cols += [rt.ROW_ID_COL, rt.ROW_CV_COL]
         df = df.select(*out_cols)
         if columns:
             df = df.select(*columns)
         return df
+
+    # above this many files the per-file (baseRowId, commitVersion) lookup
+    # switches from a literal map to a broadcast join — a 100k-entry literal
+    # map would bloat the plan the same way the union-branch cap does
+    ROW_ID_MAP_MAX_FILES = 1000
+
+    def _attach_row_ids(
+        self, spark: SparkSession, df: DataFrame, adds: list[AddAction],
+        mat_id: str | None, mat_cv: str | None,
+    ) -> DataFrame:
+        """Append ``_row_id`` / ``_row_commit_version``: the materialized
+        column when the file carries one (rewritten files), else the add's
+        baseRowId + row_index / defaultRowCommitVersion (fresh files)."""
+        from . import row_tracking as rt
+
+        FILE, POS = self.FILE_LINEAGE_COL, self.POS_LINEAGE_COL
+        base_items = [(a.path, a.base_row_id) for a in adds if a.base_row_id is not None]
+        cv_items = [
+            (a.path, a.default_row_commit_version)
+            for a in adds
+            if a.default_row_commit_version is not None
+        ]
+        if len(adds) <= self.ROW_ID_MAP_MAX_FILES:
+            def map_col(items):
+                if not items:
+                    return F.lit(None).cast("long")
+                m = F.create_map(
+                    *[x for p, v in items for x in (F.lit(p), F.lit(v))]
+                )
+                return F.element_at(m, F.col(FILE))
+
+            base, cv = map_col(base_items), map_col(cv_items)
+        else:
+            lookup = spark.createDataFrame(
+                [
+                    (a.path, a.base_row_id, a.default_row_commit_version)
+                    for a in adds
+                ],
+                "_rt_path string, _rt_base long, _rt_cv long",
+            )
+            df = df.join(
+                F.broadcast(lookup), df[FILE] == lookup["_rt_path"], "left"
+            ).drop("_rt_path")
+            base, cv = F.col("_rt_base"), F.col("_rt_cv")
+
+        mat_id_col = F.col(mat_id) if mat_id else F.lit(None).cast("long")
+        mat_cv_col = F.col(mat_cv) if mat_cv else F.lit(None).cast("long")
+        df = df.withColumn(
+            rt.ROW_ID_COL, F.coalesce(mat_id_col, base + F.col(POS))
+        ).withColumn(rt.ROW_CV_COL, F.coalesce(mat_cv_col, cv))
+        return df.drop(*(c for c in (mat_id, mat_cv, "_rt_base", "_rt_cv") if c))
 
     def _lineage_exprs(self) -> list:
         """Relative file path + row index from the scan's ``_metadata``.
@@ -273,30 +347,52 @@ class Snapshot:
             F.col("_metadata.row_index").alias(self.POS_LINEAGE_COL),
         ]
 
+    @staticmethod
+    def _with_mat_fields(schema: T.StructType, mat_cols: Sequence[str]) -> T.StructType:
+        """Extend a read schema with the row-tracking materialized columns
+        (nullable longs): files written before a rewrite don't have them and
+        read NULL through the explicit schema — exactly what coalesce needs."""
+        extra = [
+            T.StructField(c, T.LongType(), True)
+            for c in mat_cols
+            if c not in schema.names
+        ]
+        return T.StructType(list(schema.fields) + extra) if extra else schema
+
     def _scan(
-        self, spark: SparkSession, adds: list[AddAction], include_lineage: bool
+        self,
+        spark: SparkSession,
+        adds: list[AddAction],
+        include_lineage: bool,
+        mat_cols: Sequence[str] = (),
     ) -> DataFrame:
         table_schema = self.schema()
         pcols = self.metadata.partition_columns
         if not pcols:
             if self.mapping_mode() != "none":
                 # data files carry PHYSICAL column names: scan physically,
-                # rename logical via positional struct casts (pure codegen)
-                df = spark.read.schema(cm.physical_schema(table_schema)).parquet(
+                # rename logical via positional struct casts (pure codegen);
+                # materialized row-id columns are physical by definition
+                scan_schema = self._with_mat_fields(
+                    cm.physical_schema(table_schema), mat_cols
+                )
+                df = spark.read.schema(scan_schema).parquet(
                     *[self._readable(a.path) for a in adds]
                 )
-                sel = cm.to_logical_exprs(table_schema)
+                sel = cm.to_logical_exprs(table_schema) + [F.col(c) for c in mat_cols]
                 if include_lineage:
                     return df.select(*sel, *self._lineage_exprs())
                 return df.select(*sel)
-            df = spark.read.schema(table_schema).parquet(
-                *[self._readable(a.path) for a in adds]
-            )
-            cols = list(table_schema.names)
+            df = spark.read.schema(
+                self._with_mat_fields(table_schema, mat_cols)
+            ).parquet(*[self._readable(a.path) for a in adds])
+            cols = list(table_schema.names) + list(mat_cols)
             if include_lineage:
                 return df.select(*cols, *self._lineage_exprs())
             return df.select(*cols)
-        return self._read_partitioned(spark, adds, include_lineage=include_lineage)
+        return self._read_partitioned(
+            spark, adds, include_lineage=include_lineage, mat_cols=mat_cols
+        )
 
     def _anti_join_deleted_positions(
         self, spark: SparkSession, df: DataFrame, dv_adds: list[AddAction]
@@ -329,7 +425,11 @@ class Snapshot:
     MAX_UNION_BRANCHES = 64
 
     def _read_partitioned(
-        self, spark: SparkSession, adds: list[AddAction], include_lineage: bool = False
+        self,
+        spark: SparkSession,
+        adds: list[AddAction],
+        include_lineage: bool = False,
+        mat_cols: Sequence[str] = (),
     ) -> DataFrame:
         """Attach partition columns from the log's partitionValues.
 
@@ -358,7 +458,7 @@ class Snapshot:
             key = tuple(a.partition_values.get(phys[c]) for c in pcols)
             groups.setdefault(key, []).append(self._readable(a.path))
 
-        if len(groups) > self.MAX_UNION_BRANCHES:
+        if len(groups) > self.MAX_UNION_BRANCHES and not mat_cols:
             all_paths = [p for paths in groups.values() for p in paths]
             # basePath derivation requires the Hive key=value layout; fall
             # back to unions if any file's path doesn't encode it
@@ -374,10 +474,12 @@ class Snapshot:
                     return df
                 return df.select(*schema.names, *lineage) if lineage else df
 
-        scan_data_schema = cm.physical_schema(data_schema) if mapped else data_schema
+        scan_data_schema = self._with_mat_fields(
+            cm.physical_schema(data_schema) if mapped else data_schema, mat_cols
+        )
         data_sel = (
             cm.to_logical_exprs(data_schema) if mapped else list(data_schema.names)
-        )
+        ) + [F.col(c) for c in mat_cols]
         lineage_names = (
             [self.FILE_LINEAGE_COL, self.POS_LINEAGE_COL] if include_lineage else []
         )
@@ -390,7 +492,7 @@ class Snapshot:
             for cname, sval in zip(pcols, key):
                 typed = partition_value_to_typed(sval, ptypes[cname])
                 branch = branch.withColumn(cname, F.lit(typed).cast(ptypes[cname]))
-            branches.append(branch.select(*schema.names, *lineage_names))
+            branches.append(branch.select(*schema.names, *mat_cols, *lineage_names))
         df = branches[0]
         for b in branches[1:]:
             df = df.unionByName(b)
@@ -434,10 +536,16 @@ def read_checkpoint_actions(log: DeltaLog, cp: CheckPoint) -> list[Action]:
             ("metaData", lambda d: MetaDataAction.from_json_dict(_strip_none(_fix_meta(d)))),
             ("protocol", ProtocolAction.from_json_dict),
             ("txn", TxnAction.from_json_dict),
+            ("domainMetadata", DomainMetadataAction.from_json_dict),
         ):
             if name not in table.column_names:
                 continue
-            key = {"metaData": "id", "protocol": "minReaderVersion", "txn": "appId"}[name]
+            key = {
+                "metaData": "id",
+                "protocol": "minReaderVersion",
+                "txn": "appId",
+                "domainMetadata": "domain",
+            }[name]
             for d in table.column(name).to_pylist():
                 if d and d.get(key) is not None:
                     actions.append(builder(d))

@@ -16,6 +16,7 @@ from .actions import (
     AddAction,
     CdcAction,
     CommitInfoAction,
+    DomainMetadataAction,
     MetaDataAction,
     ProtocolAction,
     RemoveAction,
@@ -37,6 +38,8 @@ class TableState:
     reader_features: Optional[list[str]] = None
     writer_features: Optional[list[str]] = None
     metadata: Optional[MetaDataAction] = None
+    # domain → configuration JSON string (latest wins; removed tombstones)
+    domain_metadata: dict[str, str] = field(default_factory=dict)
 
     def apply(self, action: Action) -> None:
         if isinstance(action, AddAction):
@@ -59,6 +62,11 @@ class TableState:
             self.commit_infos.append(action.info)
         elif isinstance(action, CdcAction):
             pass  # change-data files are not part of the active data set
+        elif isinstance(action, DomainMetadataAction):
+            if action.removed:
+                self.domain_metadata.pop(action.domain, None)
+            else:
+                self.domain_metadata[action.domain] = action.configuration
         else:  # pragma: no cover
             raise TypeError(f"unknown action {type(action)}")
 

@@ -333,12 +333,17 @@ class DeltaTable:
         columns: Sequence[str] | None = None,
         partition_filters: Sequence[FilterTuple] | None = None,
         skip_predicates: Sequence[SkipTuple] | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
+        """Snapshot → DataFrame. ``with_row_ids=True`` (row-tracked tables)
+        appends ``_row_id`` / ``_row_commit_version`` — stable ids that
+        survive OPTIMIZE and copy-on-write DELETE/UPDATE rewrites."""
         return self._snapshot.to_df(
             spark,
             columns=columns,
             partition_filters=partition_filters,
             skip_predicates=skip_predicates,
+            with_row_ids=with_row_ids,
         )
 
     def to_pandas(self, spark: SparkSession | None = None, **kw):
@@ -581,6 +586,57 @@ class DeltaTable:
         self.update()
         return v
 
+    def enable_row_tracking(self) -> int:
+        """Upgrade the table to row tracking (``delta.enableRowTracking``).
+
+        One commit: protocol bump to writer 7 with the ``rowTracking`` +
+        ``domainMetadata`` features, the materialized-column names fixed in
+        the table config, a BACKFILL re-add of every active file with a
+        fresh ``baseRowId`` (metadata-only — no data moves), and the
+        high-water-mark domain. After this commit every row has a stable id.
+        """
+        from .protocol import row_tracking as rt
+        from .protocol.actions import upgraded_protocol
+        from .protocol.schema import spark_to_schema_string  # noqa: F401
+
+        meta = self.metadata()
+        cfg = dict(meta.configuration or {})
+        if rt.enabled(cfg):
+            return self.version
+        cfg[rt.ENABLE_KEY] = "true"
+        cfg.update(rt.fresh_materialized_names())
+        new_meta = type(meta)(
+            id=meta.id,
+            schema_string=meta.schema_string,
+            partition_columns=meta.partition_columns,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+            configuration=cfg,
+        )
+        txn = self.begin()
+        bump = upgraded_protocol(
+            self.snapshot.state, 1, 7, writer_features=rt.FEATURES
+        )
+        if bump is not None:
+            txn.add_action(bump)
+        txn.add_action(new_meta)
+        # backfill: re-add every active file with fresh base ids, so rows
+        # written before enablement get ids too (their commit version is
+        # this backfill commit — the earliest version at which the id exists)
+        import dataclasses as _dc
+
+        backfill = [_dc.replace(a, data_change=False) for a in self.add_actions()]
+        hwm = rt.stamp_adds(backfill, -1, self.version + 1)
+        txn.add_actions(backfill)
+        txn.add_action(rt.domain_action(hwm))
+        v = txn.commit(
+            operation="SET TBLPROPERTIES",
+            operation_parameters={"properties": [rt.ENABLE_KEY]},
+        )
+        self.update()
+        return v
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN — metadata-only under column mapping
         (the physical name in the files never changes). ``old`` may be a
@@ -650,6 +706,15 @@ class DeltaTable:
             raise ValueError(
                 f"set {cm.MODE_KEY} via table.set_column_mapping_mode(...), "
                 "which annotates the schema and bumps the protocol in the same commit"
+            )
+        from .protocol import row_tracking as _rtk
+
+        if _rtk.ENABLE_KEY in properties:
+            # the flag alone would leave existing rows id-less and the
+            # protocol un-bumped — route through the backfilling upgrade
+            raise ValueError(
+                f"set {_rtk.ENABLE_KEY} via table.enable_row_tracking(), "
+                "which bumps the protocol and backfills baseRowIds in one commit"
             )
         meta = self.metadata()
         new_meta = type(meta)(

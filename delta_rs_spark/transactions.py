@@ -62,6 +62,27 @@ class DeltaTransaction:
         """Two-phase commit; returns the committed version."""
         actions = list(self.actions)
         ict_enabled = self._ict_enabled()
+
+        # row tracking: collect the adds THIS commit must allocate ids for
+        # (once — a retry re-stamp overwrites the lost attempt's ids); the
+        # high-water-mark domain action rides in the same commit and is
+        # refreshed from the freshly-read state on every version move, so
+        # concurrent writers never allocate overlapping ids
+        from .protocol import row_tracking as _rt
+
+        rt_to_stamp: list[AddAction] = []
+        rt_domain = None
+        if self._row_tracking_enabled():
+            rt_to_stamp = [
+                a
+                for a in actions
+                if isinstance(a, AddAction) and a.base_row_id is None
+            ]
+            if rt_to_stamp:
+                rt_domain = _rt.domain_action(-1)
+                actions = actions + [rt_domain]
+        rt_stamped_version: Optional[int] = None
+
         info: Optional[dict[str, Any]] = None
         if operation is not None or ict_enabled:
             info = {
@@ -92,6 +113,15 @@ class DeltaTransaction:
                     log, tmp, removed_paths, base_version + 1, version - 1
                 )
                 base_version = version - 1  # each range is validated once
+            need_rewrite = False
+            if rt_domain is not None and rt_stamped_version != version:
+                import json as _json
+
+                hwm0 = _rt.high_water_mark(self.table.snapshot.state)
+                new_hwm = _rt.stamp_adds(rt_to_stamp, hwm0, version)
+                rt_domain.configuration = _json.dumps({_rt.HWM_KEY: new_hwm})
+                rt_stamped_version = version
+                need_rewrite = True
             if ict_enabled:
                 # monotonic writer clock (spec contract): each commit's
                 # inCommitTimestamp strictly exceeds its predecessor's, even
@@ -101,11 +131,13 @@ class DeltaTransaction:
                 ict = max(int(time.time() * 1000), prev_ts + 1)
                 if info.get("inCommitTimestamp") != ict:
                     info["inCommitTimestamp"] = ict
-                    try:
-                        log.backend.delete_obj(tmp)
-                    except FileNotFoundError:
-                        pass
-                    tmp = log.write_tmp_commit(actions, uuid.uuid4().hex)
+                    need_rewrite = True
+            if need_rewrite:
+                try:
+                    log.backend.delete_obj(tmp)
+                except FileNotFoundError:
+                    pass
+                tmp = log.write_tmp_commit(actions, uuid.uuid4().hex)
             try:
                 log.try_commit(tmp, version)
                 break
@@ -124,6 +156,15 @@ class DeltaTransaction:
         self.table.update()
         self.table._post_commit_hook(version)
         return version
+
+    def _row_tracking_enabled(self) -> bool:
+        from .protocol import row_tracking as _rt
+
+        try:
+            cfg = self.table.metadata().configuration or {}
+        except Exception:  # table mid-creation: no metadata yet
+            return False
+        return _rt.enabled(cfg)
 
     def _ict_enabled(self) -> bool:
         try:

@@ -345,6 +345,17 @@ def write_deltalake(
     }
 
     if not exists:
+        from .protocol import row_tracking as rt
+
+        configuration = dict(configuration or {})
+        rt_on = rt.enabled(configuration)
+        rt_actions: list = []
+        if rt_on:
+            # materialized-column names are fixed at enablement; fresh ids
+            # for the initial files come straight off an empty water mark
+            configuration.update(rt.fresh_materialized_names())
+            hwm = rt.stamp_adds(list(adds), -1, 0)
+            rt_actions = [rt.domain_action(hwm)]
         meta = MetaDataAction(
             id=str(uuid.uuid4()),
             schema_string=spark_to_schema_string(
@@ -354,25 +365,28 @@ def write_deltalake(
             name=name,
             description=description,
             created_time=int(time.time() * 1000),
-            configuration=configuration or {},
+            configuration=configuration,
         )
         ict = (
-            str((configuration or {}).get("delta.enableInCommitTimestamps", ""))
-            .lower()
+            str(configuration.get("delta.enableInCommitTimestamps", "")).lower()
             == "true"
         )
-        if ict and mapping_on:
-            proto = ProtocolAction(
-                2, 7, writer_features=["inCommitTimestamp", cm.FEATURE_NAME]
-            )
-        elif ict:
-            proto = ProtocolAction(1, 7, writer_features=["inCommitTimestamp"])
-        elif mapping_on:
-            # legacy protocol floor for column mapping (reader 2 / writer 5)
-            proto = ProtocolAction(cm.MIN_READER, cm.MIN_WRITER)
+        # compose the protocol floor from every feature the table starts with
+        min_r, min_w = (cm.MIN_READER, cm.MIN_WRITER) if mapping_on else (1, 2)
+        wf: list[str] = []
+        if ict:
+            wf.append("inCommitTimestamp")
+        if rt_on:
+            wf.extend(rt.FEATURES)
+        if wf:
+            # writer version 7: the feature list is mandatory and must name
+            # EVERY active feature, including legacy ones like columnMapping
+            if mapping_on:
+                wf.append(cm.FEATURE_NAME)
+            proto = ProtocolAction(min_r, 7, writer_features=sorted(set(wf)))
         else:
-            proto = ProtocolAction(1, 2)
-        actions = [proto, meta, *adds, *(extra_actions or [])]
+            proto = ProtocolAction(min_r, min_w)
+        actions = [proto, meta, *adds, *rt_actions, *(extra_actions or [])]
         from .protocol.actions import CommitInfoAction
 
         now_ms = int(time.time() * 1000)
@@ -420,6 +434,8 @@ def write_deltalake(
                     partition_values=old.partition_values,
                     size=old.size,
                     deletion_vector=old.deletion_vector,
+                    base_row_id=old.base_row_id,
+                    default_row_commit_version=old.default_row_commit_version,
                 )
             )
     txn.add_actions(list(adds))
