@@ -180,3 +180,49 @@ def test_partitioned_row_tracking(spark, tmp_path):
     t = DeltaTable.for_path(str(tmp_path))
     after = _ids(spark, t)
     assert all(after[k] == before[k] for k in after) and len(after) == 9
+
+
+def test_retry_restamps_ids_after_concurrent_commit(spark, tmp_path):
+    """The version race: writer B allocates ids from a stale water mark,
+    loses the commit race to writer A, and must re-stamp from A's mark on
+    retry — otherwise two files would share row ids."""
+    from delta_rs_spark.protocol.log import DeltaLog
+
+    t = _mk(spark, str(tmp_path), n=4)
+
+    real_try_commit = DeltaLog.try_commit
+    state = {"interleaved": False}
+
+    def racing_try_commit(self, tmp, version):
+        # fire once, on writer B's first attempt: writer A takes the version
+        if not state["interleaved"]:
+            state["interleaved"] = True
+            write_deltalake(
+                spark,
+                spark.createDataFrame(
+                    [(200 + i, "a") for i in range(3)], "id long, val string"
+                ).coalesce(1),
+                str(tmp_path),
+                mode="append",
+            )
+        return real_try_commit(self, tmp, version)
+
+    DeltaLog.try_commit = racing_try_commit
+    try:
+        write_deltalake(
+            spark,
+            spark.createDataFrame([(300, "b"), (301, "b")], "id long, val string").coalesce(1),
+            str(tmp_path),
+            mode="append",
+        )
+    finally:
+        DeltaLog.try_commit = real_try_commit
+
+    t = DeltaTable.for_path(str(tmp_path))
+    ids = _ids(spark, t)
+    rids = sorted(rid for rid, _ in ids.values())
+    # 4 + 3 + 2 rows, ids dense and NON-OVERLAPPING despite the race
+    assert rids == list(range(9)), rids
+    assert rt.high_water_mark(t.snapshot.state) == 8
+    # the loser's rows carry the version it actually committed at
+    assert ids[300][1] == t.version
