@@ -1036,8 +1036,23 @@ def merge(
     track_changes = cdf_enabled(table)
     change_parts: list[DataFrame] = []
     n_updated = n_deleted = 0
+    from .protocol import row_tracking as _rt
+
+    _cfg = table.metadata().configuration
+    _rt_on = _rt.enabled(_cfg)
+    _mat_id, _mat_cv = _rt.materialized_names(_cfg)
+    # rewritten target rows keep their ids (materialized columns); inserted
+    # rows get fresh ids from the new file's baseRowId (null materialized)
+    _id_sel = (
+        [
+            F.col(f"t.{_rt.ROW_ID_COL}").alias(_mat_id),
+            F.col(f"t.{_rt.ROW_CV_COL}").alias(_mat_cv),
+        ]
+        if _rt_on
+        else []
+    )
     if rewrite:
-        rw = snap.df_for_adds(spark, rewrite).alias("t")
+        rw = snap.df_for_adds(spark, rewrite, with_row_ids=_rt_on).alias("t")
         # explicit match tag on the source side (robust even if every source
         # column is nullable)
         s_tagged = source.withColumn("__matched", F.lit(True)).alias("s")
@@ -1064,7 +1079,9 @@ def merge(
             new_rows = (
                 spark.createDataFrame([], schema)
                 if when_not_matched_by_source_delete
-                else unmatched_t
+                else joined.filter(F.col("__matched").isNull()).select(
+                    *[F.col(f"t.{c}").alias(c) for c in schema.names], *_id_sel
+                )
             )
             n_deleted += n_matched
             if track_changes:
@@ -1095,7 +1112,8 @@ def merge(
                         else F.col(f"t.{c}").alias(c)
                     )
                     for c in schema.names
-                ]
+                ],
+                *_id_sel,
             )
             n_updated = n_matched
             if track_changes:
@@ -1129,7 +1147,14 @@ def merge(
             *[F.col(c).cast(types[c]).alias(c) for c in schema.names]
         ).cache()
         n_inserted = inserts.count()
-        new_rows = new_rows.unionByName(inserts) if rewrite else inserts
+        # allowMissingColumns: inserted rows have no prior identity — their
+        # materialized id columns read NULL and the reader falls back to the
+        # new file's baseRowId + row_index
+        new_rows = (
+            new_rows.unionByName(inserts, allowMissingColumns=True)
+            if rewrite
+            else inserts
+        )
         if track_changes and n_inserted:
             change_parts.append(inserts.withColumn(CHANGE_TYPE_COL, F.lit("insert")))
 

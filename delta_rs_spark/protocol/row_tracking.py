@@ -20,9 +20,10 @@ so two concurrent writers never hand out overlapping ids (the loser of the
 version race re-reads the winner's mark before retrying).
 
 The reference (delta-rs v0) predates the feature; implemented from the
-public Delta protocol spec. Deviations (documented, honest): MERGE and
-replaceWhere rewrites currently assign fresh ids to every row they rewrite
-instead of preserving matched rows' ids.
+public Delta protocol spec. Copy-on-write DELETE/UPDATE/MERGE/replaceWhere
+and OPTIMIZE all preserve ids; inserted rows get fresh ids. Documented
+deviation: a merge-on-read MERGE writes its *updated* row versions as new
+files with fresh ids (the DV'd originals' ids are not carried over).
 """
 
 from __future__ import annotations

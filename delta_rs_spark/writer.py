@@ -776,11 +776,27 @@ def _replace_where(
             f"replace_where: {n_outside} incoming rows do not satisfy {predicate!r}"
         )
 
+    from .protocol import row_tracking as rt
+
+    rt_cfg = table.metadata().configuration
+    rt_on = rt.enabled(rt_cfg)
     candidates = _candidate_adds(table, predicate)
     matched, n_replaced = _files_with_matches(spark, table, candidates, cond)
-    old = table._snapshot.df_for_adds(spark, matched)
+    old = table._snapshot.df_for_adds(spark, matched, with_row_ids=rt_on)
     survivors = old.filter(~cond)
-    new_rows = survivors.unionByName(df.select(*survivors.columns))
+    table_cols = list(table.schema().names)
+    if rt_on:
+        # surviving rows keep their ids; the incoming replacement rows get
+        # fresh ids off the new file's baseRowId (null materialized columns)
+        mat_id, mat_cv = rt.materialized_names(rt_cfg)
+        survivors = survivors.withColumnRenamed(
+            rt.ROW_ID_COL, mat_id
+        ).withColumnRenamed(rt.ROW_CV_COL, mat_cv)
+        new_rows = survivors.unionByName(
+            df.select(*table_cols), allowMissingColumns=True
+        )
+    else:
+        new_rows = survivors.unionByName(df.select(*survivors.columns))
 
     change_rows = None
     from .cdf import CHANGE_TYPE_COL, cdf_enabled
@@ -790,9 +806,10 @@ def _replace_where(
 
         change_rows = (
             old.filter(cond)
+            .select(*table_cols)
             .withColumn(CHANGE_TYPE_COL, F2.lit("delete"))
             .unionByName(
-                df.select(*survivors.columns).withColumn(
+                df.select(*table_cols).withColumn(
                     CHANGE_TYPE_COL, F2.lit("insert")
                 )
             )

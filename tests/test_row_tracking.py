@@ -226,3 +226,51 @@ def test_retry_restamps_ids_after_concurrent_commit(spark, tmp_path):
     assert rt.high_water_mark(t.snapshot.state) == 8
     # the loser's rows carry the version it actually committed at
     assert ids[300][1] == t.version
+
+
+def test_merge_preserves_target_ids(spark, tmp_path):
+    t = _mk(spark, str(tmp_path), n=6)
+    before = _ids(spark, t)
+    source = spark.createDataFrame(
+        [(2, "merged"), (4, "merged"), (100, "new")], "id long, val string"
+    )
+    from delta_rs_spark.dml import merge
+
+    merge(
+        spark,
+        t,
+        source,
+        "t.id = s.id",
+        when_matched_update={"val": "s.val"},
+        when_not_matched_insert=True,
+    )
+    t = DeltaTable.for_path(str(tmp_path))
+    after = _ids(spark, t)
+    # matched-updated and untouched rows keep their ids
+    assert all(after[k][0] == before[k][0] for k in before)
+    # the inserted row gets a fresh id beyond the old water mark
+    assert after[100][0] > max(rid for rid, _ in before.values())
+    rids = [rid for rid, _ in after.values()]
+    assert len(set(rids)) == len(rids)
+    assert t.to_df(spark).filter("val = 'merged'").count() == 2
+
+
+def test_replace_where_preserves_survivor_ids(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"v{i}", "a" if i < 5 else "b") for i in range(10)],
+        "id long, val string, grp string",
+    ).coalesce(1)
+    t = write_deltalake(spark, df, str(tmp_path), configuration=CFG)
+    before = _ids(spark, t)
+    write_deltalake(
+        spark,
+        spark.createDataFrame([(50, "x", "b")], "id long, val string, grp string"),
+        str(tmp_path),
+        mode="overwrite",
+        replace_where="grp = 'b'",
+    )
+    t = DeltaTable.for_path(str(tmp_path))
+    after = _ids(spark, t)
+    # the untouched group keeps its ids
+    assert all(after[k][0] == before[k][0] for k in range(5))
+    assert after[50][0] > max(rid for rid, _ in before.values())
