@@ -595,6 +595,8 @@ def _update_merge_on_read(
     try:
         if matched_df.count() > DV_MAX_POSITIONS:
             return None  # bulk update: caller falls back to copy-on-write
+        from .protocol import generated as _gen
+
         types = {f.name: f.dataType for f in schema.fields}
         updated_rows = matched_df.select(
             *[
@@ -604,6 +606,7 @@ def _update_merge_on_read(
                 for c in schema.names
             ]
         )
+        updated_rows = _gen.recompute(updated_rows, schema)
 
         pos = matched_df.select(
             F.col(FILE).alias("path"), F.col(POS).alias("row_index")
@@ -704,6 +707,9 @@ def update(
     bad = set(assignments) - set(schema.names)
     if bad:
         raise DMLError(f"UPDATE assigns unknown columns: {sorted(bad)}")
+    from .protocol import generated as _gen
+
+    _gen.reject_assignments(assignments, schema)
 
     cond = F.coalesce(F.expr(predicate), F.lit(False))
     candidates = _candidate_adds(table, predicate)
@@ -755,6 +761,8 @@ def update(
             for c in out_cols
         ]
     )
+
+    projected = _gen.recompute(projected, schema)
 
     change_rows = None
     if cdf_enabled(table):
@@ -864,6 +872,9 @@ def _merge_merge_on_read(
                         for c in schema.names
                     ]
                 )
+                from .protocol import generated as _gen
+
+                upd = _gen.recompute(upd, schema)
                 new_parts.append(upd)
                 n_updated = n_matched
                 if track:
@@ -982,6 +993,10 @@ def merge(
     all_adds = snap.files()
     target = snap.df_for_adds(spark, all_adds, with_lineage=True)
 
+    from .protocol import generated as _genm
+
+    if when_matched_update:
+        _genm.reject_assignments(when_matched_update, schema)
     src_cols = set(source.columns)
     if when_not_matched_insert:
         missing = set(schema.names) - src_cols
@@ -1177,6 +1192,7 @@ def merge(
             change_rows = change_rows.unionByName(p)
 
     try:
+        new_rows = _genm.recompute(new_rows, schema)
         return _stage_and_swap(
             spark,
             table,

@@ -339,6 +339,22 @@ def optimize(
     _rt_on = _rt_mod.enabled(meta.configuration)
     _mat_id, _mat_cv = _rt_mod.materialized_names(meta.configuration)
 
+    # clustered table: a bare OPTIMIZE re-clusters on the declared columns
+    # (the maintenance loop of the public clustering feature) — an explicit
+    # sort_by/zorder_by still overrides
+    if not sort_by and not zorder_by:
+        from .protocol import clustering_meta as _cl
+
+        _cl_cols = _cl.clustering_columns(table.snapshot.state)
+        if _cl_cols:
+            if _mapped:
+                _logical = _cm.top_level_logical(
+                    schema_string_to_spark(meta.schema_string)
+                )
+                zorder_by = [_logical.get(c, c) for c in _cl_cols]
+            else:
+                zorder_by = list(_cl_cols)
+
     # plain compaction touches only sub-target files and needs >= 2 of them;
     # clustering (sort_by / zorder_by) is a LAYOUT rewrite — every file in the
     # group is rewritten regardless of size, and even a single file qualifies

@@ -134,6 +134,8 @@ def write_deltalake(
     replace_where: Optional[str] = None,
     schema_mode: Optional[str] = None,
     partition_overwrite_mode: Optional[str] = None,
+    generated_columns: Optional[dict[str, str]] = None,
+    cluster_by: Optional[Sequence[str]] = None,
 ) -> DeltaTable:
     """Write ``df`` to a Delta table, creating it if absent. Returns the table.
 
@@ -211,12 +213,41 @@ def write_deltalake(
     log = DeltaLog(table_uri)
     exists = log.backend.exists(log.log_dir) and log.latest_version() is not None
 
+    from .protocol import generated as gen
+
+    if cluster_by is not None:
+        if exists:
+            raise ValueError(
+                "cluster_by is a CREATE-time declaration (the clustering "
+                "domain already records the existing table's layout)"
+            )
+        if partition_by:
+            raise ValueError(
+                "cluster_by and partition_by are mutually exclusive "
+                "(clustered tables are unpartitioned; clustering replaces "
+                "the directory layout with a data layout)"
+            )
+    if exists and generated_columns:
+        raise ValueError(
+            "generated_columns is a CREATE-time declaration; the existing "
+            "table's schema metadata already carries the expressions"
+        )
+    # declared schema for CREATE: the frame's schema plus generated-column
+    # expressions (computed into the frame when omitted)
+    if not exists and generated_columns:
+        df, declared_schema = gen.annotate_schema(df, generated_columns)
+    else:
+        declared_schema = df.schema
+
     if exists:
         if mode in ("error", "errorifexists"):
             raise TableAlreadyExistsError(f"{table_uri} already exists")
         if mode == "ignore":
             return DeltaTable(table_uri)
         table = DeltaTable(table_uri)
+        # generated columns: compute omitted / validate provided — before the
+        # strict schema check, which requires the full column set
+        df = gen.apply_on_write(df, table.schema())
         new_meta: Optional[MetaDataAction] = None
         if schema_mode == "merge":
             df, new_meta = _merge_schema(table, df)
@@ -278,10 +309,10 @@ def write_deltalake(
         map_cfg = table.metadata().configuration
     else:
         map_cfg = configuration or {}
-        mapped_schema = df.schema
+        mapped_schema = declared_schema
     mapping_on = cm.is_mapped(map_cfg)
     if mapping_on and not exists:
-        mapped_schema, max_id = cm.assign_mapping(df.schema)
+        mapped_schema, max_id = cm.assign_mapping(declared_schema)
         configuration = dict(configuration or {})
         configuration[cm.MAX_ID_KEY] = str(max_id)
     stage_df, stage_partition_by = df, list(partition_by or [])
@@ -350,16 +381,30 @@ def write_deltalake(
         configuration = dict(configuration or {})
         rt_on = rt.enabled(configuration)
         rt_actions: list = []
+        cluster_on = bool(cluster_by)
+        if cluster_on:
+            from .protocol import clustering_meta as cl
+
+            missing_cl = [c for c in cluster_by if c not in declared_schema.names]
+            if missing_cl:
+                raise ValueError(f"cluster_by columns {missing_cl} not in schema")
+            # the public domain layout stores PHYSICAL names on mapped tables
+            cl_names = (
+                [cm.top_level_physical(mapped_schema)[c] for c in cluster_by]
+                if mapping_on
+                else list(cluster_by)
+            )
+            rt_actions.append(cl.domain_action(cl_names))
         if rt_on:
             # materialized-column names are fixed at enablement; fresh ids
             # for the initial files come straight off an empty water mark
             configuration.update(rt.fresh_materialized_names())
             hwm = rt.stamp_adds(list(adds), -1, 0)
-            rt_actions = [rt.domain_action(hwm)]
+            rt_actions.append(rt.domain_action(hwm))
         meta = MetaDataAction(
             id=str(uuid.uuid4()),
             schema_string=spark_to_schema_string(
-                mapped_schema if mapping_on else df.schema
+                mapped_schema if mapping_on else declared_schema
             ),
             partition_columns=list(partition_by or []),
             name=name,
@@ -373,16 +418,25 @@ def write_deltalake(
         )
         # compose the protocol floor from every feature the table starts with
         min_r, min_w = (cm.MIN_READER, cm.MIN_WRITER) if mapping_on else (1, 2)
+        gen_on = bool(gen.expressions(declared_schema))
+        if gen_on:
+            min_w = max(min_w, gen.MIN_WRITER)
         wf: list[str] = []
         if ict:
             wf.append("inCommitTimestamp")
         if rt_on:
             wf.extend(rt.FEATURES)
+        if cluster_on:
+            from .protocol import clustering_meta as cl
+
+            wf.extend([cl.FEATURE_NAME, "domainMetadata"])
         if wf:
             # writer version 7: the feature list is mandatory and must name
             # EVERY active feature, including legacy ones like columnMapping
             if mapping_on:
                 wf.append(cm.FEATURE_NAME)
+            if gen_on:
+                wf.append(gen.FEATURE_NAME)
             proto = ProtocolAction(min_r, 7, writer_features=sorted(set(wf)))
         else:
             proto = ProtocolAction(min_r, min_w)

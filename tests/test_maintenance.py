@@ -584,3 +584,43 @@ def test_cleanup_expired_logs(spark, tmp_path):
     t2 = DeltaTable(uri)
     assert t2.version == 4
     assert t2.to_df(spark).count() == rows
+
+
+def test_clustered_table_optimize_reclusters(spark, tmp_path):
+    """cluster_by declares the layout in the delta.clustering domain (public
+    feature); a bare OPTIMIZE re-clusters on those columns."""
+    import json
+
+    from delta_rs_spark.protocol import clustering_meta as cl
+    from delta_rs_spark.table import DeltaTable
+    from delta_rs_spark.writer import write_deltalake
+
+    import random
+    rng = random.Random(7)
+    rows = [(rng.randrange(1000), rng.randrange(1000), i) for i in range(4000)]
+    df = spark.createDataFrame(rows, "x long, y long, payload long").repartition(4)
+    t = write_deltalake(spark, df, str(tmp_path), cluster_by=["x", "y"])
+
+    assert cl.clustering_columns(t.snapshot.state) == ["x", "y"]
+    assert "clustering" in (t.snapshot.state.writer_features or [])
+    raw = t.snapshot.state.domain_metadata[cl.DOMAIN]
+    assert json.loads(raw)["clusteringColumns"] == [["x"], ["y"]]
+
+    # bare OPTIMIZE picks the clustering columns as the Z-order key
+    m = t.optimize(spark, target_file_size=16 * 1024, dry_run=False)
+    assert m["numFilesAdded"] >= 2
+    t = DeltaTable.for_path(str(tmp_path))
+    # clustered files: a 2-D range predicate should prune some files via stats
+    pruned = t.snapshot.files(skip_predicates=[("x", "<", 100), ("y", "<", 100)])
+    assert len(pruned) < len(t.add_actions())
+    assert t.to_df(spark).count() == 4000
+
+    # declarations are create-time only, and exclusive with partitioning
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CREATE-time"):
+        write_deltalake(spark, df, str(tmp_path), mode="append", cluster_by=["x"])
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        write_deltalake(
+            spark, df, str(tmp_path / "other"), partition_by=["x"], cluster_by=["y"]
+        )
