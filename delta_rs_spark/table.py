@@ -59,6 +59,28 @@ class DeltaTable:
     def load_version(self, version: int) -> None:
         self._snapshot = Snapshot.load(self.log, version)
 
+    def _ict_enablement_bounds(self, versions, target_ms):
+        """Restrict a timestamp binary search to ONE clock domain.
+
+        A table that enabled in-commit timestamps mid-life has file-mtime
+        clocks below the enablement version and writer clocks at/above it —
+        the two sequences are individually monotonic but their concatenation
+        need not be, so the search must not straddle the boundary (public
+        ICT enablement contract; bookkeeping written by transactions.py)."""
+        from .transactions import ICT_ENABLEMENT_TS_KEY, ICT_ENABLEMENT_VERSION_KEY
+
+        try:
+            cfg = self.metadata().configuration or {}
+        except Exception:
+            return versions
+        ev_raw, et_raw = cfg.get(ICT_ENABLEMENT_VERSION_KEY), cfg.get(ICT_ENABLEMENT_TS_KEY)
+        if ev_raw is None or et_raw is None:
+            return versions
+        ev, et = int(ev_raw), int(et_raw)
+        if target_ms >= et:
+            return [v for v in versions if v >= ev] or versions
+        return [v for v in versions if v < ev] or versions
+
     def version_at_timestamp(self, ts: str | _dt.datetime) -> int:
         """Last version committed ≤ ts.
 
@@ -75,6 +97,7 @@ class DeltaTable:
         versions = self.log.list_commit_versions()
         if not versions:
             raise NotATableError(f"{self.table_uri} has no commits")
+        versions = self._ict_enablement_bounds(versions, target_ms)
         lo, hi, best = 0, len(versions) - 1, None
         while lo <= hi:
             mid = (lo + hi) // 2
@@ -99,9 +122,10 @@ class DeltaTable:
             ts = ts.replace(tzinfo=_dt.timezone.utc)
         target_ms = int(ts.timestamp() * 1000)
 
-        versions = self.log.list_commit_versions()
-        if not versions:
+        all_versions = self.log.list_commit_versions()
+        if not all_versions:
             raise NotATableError(f"{self.table_uri} has no commits")
+        versions = self._ict_enablement_bounds(all_versions, target_ms)
         lo, hi, best = 0, len(versions) - 1, None
         while lo <= hi:
             mid = (lo + hi) // 2
@@ -110,7 +134,13 @@ class DeltaTable:
                 hi = mid - 1
             else:
                 lo = mid + 1
-        return best if best is not None else versions[-1] + 1
+        if best is not None:
+            return best
+        # nothing at-or-after in the searched clock domain: when that domain
+        # was the pre-enablement (mtime) range, the answer is the enablement
+        # version itself — the first commit on the writer clock
+        nxt = [v for v in all_versions if v > versions[-1]]
+        return nxt[0] if nxt else all_versions[-1] + 1
 
     def load_with_datetime(self, ts: str | _dt.datetime) -> None:
         """Time travel to the last version committed ≤ ts."""

@@ -27,6 +27,11 @@ from .protocol.log import FileAlreadyExistsError
 
 DEFAULT_MAX_RETRY_COMMIT_ATTEMPTS = 10_000_000  # reference delta.rs:1158
 
+# public Delta ICT enablement bookkeeping (set when the feature turns on
+# mid-table-life; timestamp resolution splits its search at this boundary)
+ICT_ENABLEMENT_VERSION_KEY = "delta.inCommitTimestampEnablementVersion"
+ICT_ENABLEMENT_TS_KEY = "delta.inCommitTimestampEnablementTimestamp"
+
 
 class TransactionError(Exception):
     pass
@@ -61,7 +66,11 @@ class DeltaTransaction:
     ) -> int:
         """Two-phase commit; returns the committed version."""
         actions = list(self.actions)
-        ict_enabled = self._ict_enabled()
+        # a commit whose metaData ENABLES in-commit timestamps must itself be
+        # ICT-stamped and records the enablement boundary (spec: timestamp
+        # resolution uses the file-clock below it, the writer clock at/above)
+        ict_meta = self._ict_enabling_metadata(actions)
+        ict_enabled = self._ict_enabled() or ict_meta is not None
 
         # row tracking: collect the adds THIS commit must allocate ids for
         # (once — a retry re-stamp overwrites the lost attempt's ids); the
@@ -132,6 +141,15 @@ class DeltaTransaction:
                 if info.get("inCommitTimestamp") != ict:
                     info["inCommitTimestamp"] = ict
                     need_rewrite = True
+                if ict_meta is not None:
+                    cfg = ict_meta.configuration
+                    if (
+                        cfg.get(ICT_ENABLEMENT_VERSION_KEY) != str(version)
+                        or cfg.get(ICT_ENABLEMENT_TS_KEY) != str(ict)
+                    ):
+                        cfg[ICT_ENABLEMENT_VERSION_KEY] = str(version)
+                        cfg[ICT_ENABLEMENT_TS_KEY] = str(ict)
+                        need_rewrite = True
             if need_rewrite:
                 try:
                     log.backend.delete_obj(tmp)
@@ -156,6 +174,20 @@ class DeltaTransaction:
         self.table.update()
         self.table._post_commit_hook(version)
         return version
+
+    def _ict_enabling_metadata(self, actions: list[Action]):
+        """The MetaDataAction in this commit that turns ICT on for a table
+        where it was previously off (the enablement boundary), else None."""
+        from .protocol.actions import MetaDataAction
+
+        if self._ict_enabled():
+            return None  # already on — no boundary to record
+        for a in actions:
+            if isinstance(a, MetaDataAction):
+                cfg = a.configuration or {}
+                if str(cfg.get("delta.enableInCommitTimestamps", "")).lower() == "true":
+                    return a
+        return None
 
     def _row_tracking_enabled(self) -> bool:
         from .protocol import row_tracking as _rt
@@ -188,14 +220,18 @@ class DeltaTransaction:
             return actions
         if "inCommitTimestamp" not in wf:
             wf.append("inCommitTimestamp")
-        return [
-            ProtocolAction(
-                min_reader_version=max(state.min_reader_version, 1),
-                min_writer_version=7,
-                reader_features=state.reader_features,
-                writer_features=wf,
-            )
-        ] + actions
+        bump = ProtocolAction(
+            min_reader_version=max(state.min_reader_version, 1),
+            min_writer_version=7,
+            reader_features=state.reader_features,
+            writer_features=wf,
+        )
+        # commitInfo must STAY the first log line: commit_timestamp_ms reads
+        # only the head of the file for the inCommitTimestamp (bounded I/O on
+        # object stores), so the bump slots in after it
+        if actions and isinstance(actions[0], CommitInfoAction):
+            return [actions[0], bump, *actions[1:]]
+        return [bump] + actions
 
     @staticmethod
     def _check_remove_conflicts(

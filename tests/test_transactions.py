@@ -308,3 +308,50 @@ def test_ict_enabled_mid_table_bumps_protocol(spark, tmp_path):
     # the mixed clock still orders: v0 (mtime) <= v1 <= v2 (ict)
     ts = [t3.log.commit_timestamp_ms(v) for v in range(3)]
     assert ts[0] <= ts[1] <= ts[2]
+
+
+def test_ict_enablement_boundary_bookkeeping(spark, tmp_path):
+    """Enabling in-commit timestamps mid-life records the enablement
+    version/timestamp in the same commit, stamps THAT commit with the writer
+    clock, and timestamp resolution never straddles the two clock domains."""
+    import datetime as dt
+    import json
+
+    from delta_rs_spark.table import DeltaTable
+    from delta_rs_spark.transactions import (
+        ICT_ENABLEMENT_TS_KEY,
+        ICT_ENABLEMENT_VERSION_KEY,
+    )
+    from delta_rs_spark.writer import write_deltalake
+
+    df = spark.createDataFrame([(1, "a")], "id long, val string").coalesce(1)
+    write_deltalake(spark, df, str(tmp_path))                      # v0 (mtime clock)
+    write_deltalake(spark, df, str(tmp_path), mode="append")       # v1 (mtime clock)
+    t = DeltaTable.for_path(str(tmp_path))
+    t.set_properties({"delta.enableInCommitTimestamps": "true"})   # v2 (boundary)
+    t = DeltaTable.for_path(str(tmp_path))
+
+    cfg = t.metadata().configuration
+    assert cfg[ICT_ENABLEMENT_VERSION_KEY] == "2"
+    et = int(cfg[ICT_ENABLEMENT_TS_KEY])
+    assert t.protocol_versions()[1] == 7
+    assert "inCommitTimestamp" in (t.snapshot.state.writer_features or [])
+
+    # the enabling commit itself carries the writer clock, equal to the
+    # recorded enablement timestamp
+    first = json.loads(
+        (tmp_path / "_delta_log" / "00000000000000000002.json").read_text().splitlines()[0]
+    )
+    assert first["commitInfo"]["inCommitTimestamp"] == et
+
+    # ICT-domain resolution: just past the enablement instant → v2
+    just_after = dt.datetime.fromtimestamp((et + 1) / 1000, dt.timezone.utc)
+    assert t.version_at_timestamp(just_after) == 2
+    # mtime-domain resolution: before the first commit → epoch start streams
+    # from version 0
+    assert t.first_version_at_or_after(dt.datetime.fromtimestamp(0, dt.timezone.utc)) == 0
+    # a target inside the mtime domain never resolves to an ICT version:
+    # the latest pre-enablement version is the ceiling
+    v1_mtime = t.log.commit_timestamp_ms(1)
+    pre = dt.datetime.fromtimestamp(v1_mtime / 1000, dt.timezone.utc)
+    assert t.version_at_timestamp(pre) <= 1
