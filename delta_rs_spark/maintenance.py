@@ -537,13 +537,20 @@ def cleanup_expired_logs(table, retention_ms: Optional[int] = None) -> list[str]
 
     commit_re = _re.compile(r"^(\d{20})\.json$")
     cp_re = _re.compile(r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet$")
+    compaction_re = _re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
     deleted: list[str] = []
     for meta in log.backend.list_objs(log.log_dir):
         name = meta.path.rsplit("/", 1)[-1]
-        m = commit_re.match(name) or cp_re.match(name)
-        if not m:
-            continue
-        v = int(m.group(1))
+        m = compaction_re.match(name)
+        if m:
+            # a compaction is obsolete once its whole range is below the
+            # checkpoint (replay can never start inside it again)
+            v = int(m.group(2))
+        else:
+            m = commit_re.match(name) or cp_re.match(name)
+            if not m:
+                continue
+            v = int(m.group(1))
         if v >= cp.version:
             continue  # the active checkpoint and the tail stay
         if meta.modification_time * 1000 > cutoff_ms:
@@ -557,14 +564,71 @@ def maybe_checkpoint(table, version: int, interval: int = 10) -> Optional[CheckP
     """Reference lambda policy: checkpoint when ``version % interval == 0``
     (``aws/delta-checkpoint/src/main.rs:42-55``), followed by expired-log
     cleanup unless ``delta.enableExpiredLogCleanup=false`` (public Delta
-    behavior: metadata cleanup piggybacks on checkpointing)."""
+    behavior: metadata cleanup piggybacks on checkpointing).
+
+    With ``delta.enableLogCompaction=true`` the mid-interval commit also
+    writes a log-compaction file covering the tail since the last
+    checkpoint, halving (amortized) the per-load commit reads between
+    checkpoints — on object stores each saved commit read is one RPC."""
+    cfg = table.metadata().configuration or {}
     if version > 0 and version % interval == 0:
         cp = create_checkpoint(table)
-        cfg = table.metadata().configuration or {}
         if str(cfg.get("delta.enableExpiredLogCleanup", "true")).lower() != "false":
             cleanup_expired_logs(table)
         return cp
+    if (
+        str(cfg.get("delta.enableLogCompaction", "")).lower() == "true"
+        and version > 0
+        and version % interval == interval // 2
+    ):
+        start = version - interval // 2 + 1
+        if start <= version - 1:
+            write_log_compaction(table, start, version)
     return None
+
+
+# ---- log compaction -----------------------------------------------------------
+
+def write_log_compaction(table, start: int, end: int) -> str:
+    """Write ``{start:020d}.{end:020d}.compacted.json`` — the action
+    reconciliation of commits ``[start, end]`` (public Delta log-compaction
+    layout). Snapshot loads whose replay tail begins exactly at ``start``
+    fold the one compaction file instead of ``end - start + 1`` commit
+    files; commits stay in place (per-version time travel, conflict checks
+    and the ICT clock still read them directly).
+
+    Reconciliation (same rules as checkpointing, scoped to the range):
+    latest metaData / protocol wholly replace; latest txn per appId; latest
+    domainMetadata per domain (removals RETAINED — they must cancel a
+    domain set before the range); net file state — an add removed later in
+    the range collapses to its tombstone, a tombstone re-added later
+    collapses to the add. commitInfo lines are per-commit provenance, not
+    state, and are not carried.
+
+    Returns the written path. The log is driver-side metadata: even a
+    10k-commit range is a few MB of JSON.
+    """
+    from .protocol.actions import ActionReconciler, actions_to_log_entry
+
+    log = table.log
+    latest = log.latest_version()
+    if latest is None:
+        raise ValueError("cannot compact an empty log")
+    if not (0 <= start < end <= latest):
+        raise ValueError(
+            f"invalid compaction range [{start}, {end}] (latest version {latest})"
+        )
+    rec = ActionReconciler()
+    for v in range(start, end + 1):
+        actions = log.try_read_commit(v)
+        if actions is None:
+            raise ValueError(f"commit {v} missing; cannot compact [{start}, {end}]")
+        rec.apply_all(actions)
+    path = log.compaction_path(start, end)
+    log.backend.put_obj(
+        path, (actions_to_log_entry(rec.reconciled()) + "\n").encode("utf-8")
+    )
+    return path
 
 
 # ---- vacuum -------------------------------------------------------------------

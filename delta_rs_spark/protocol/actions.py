@@ -450,6 +450,51 @@ def upgraded_protocol(
     )
 
 
+class ActionReconciler:
+    """Order-preserving action reconciliation over a commit range (log
+    compaction; same rules as checkpoint reconciliation except domain
+    removals are retained — relative to an unknown prior state, a removal
+    must survive to cancel an earlier domain set)."""
+
+    def __init__(self) -> None:
+        self.adds: dict[str, AddAction] = {}
+        self.removes: dict[str, RemoveAction] = {}
+        self.metadata: Optional[MetaDataAction] = None
+        self.protocol: Optional[ProtocolAction] = None
+        self.txns: dict[str, TxnAction] = {}
+        self.domains: dict[str, DomainMetadataAction] = {}
+
+    def apply_all(self, actions: Sequence[Action]) -> None:
+        for a in actions:
+            if isinstance(a, AddAction):
+                self.removes.pop(a.path, None)
+                self.adds[a.path] = a
+            elif isinstance(a, RemoveAction):
+                self.adds.pop(a.path, None)
+                self.removes[a.path] = a
+            elif isinstance(a, MetaDataAction):
+                self.metadata = a
+            elif isinstance(a, ProtocolAction):
+                self.protocol = a
+            elif isinstance(a, TxnAction):
+                self.txns[a.app_id] = a
+            elif isinstance(a, DomainMetadataAction):
+                self.domains[a.domain] = a
+            # commitInfo / cdc: per-commit provenance, not reconciled state
+
+    def reconciled(self) -> list[Action]:
+        out: list[Action] = []
+        if self.protocol is not None:
+            out.append(self.protocol)
+        if self.metadata is not None:
+            out.append(self.metadata)
+        out.extend(self.txns[k] for k in sorted(self.txns))
+        out.extend(self.domains[k] for k in sorted(self.domains))
+        out.extend(self.removes.values())
+        out.extend(self.adds.values())
+        return out
+
+
 def parse_action(obj: dict[str, Any]) -> Action:
     """One JSON log line (already parsed) → a typed action."""
     for key, cls in _KEY_TO_CLASS.items():

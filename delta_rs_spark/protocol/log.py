@@ -24,6 +24,11 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 # single-part and multi-part checkpoint names (reference regexes, delta.rs:449-456)
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _CHECKPOINT_PARTS_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+# log-compaction files (public Delta log-compaction layout): the reconciled
+# actions of commits [start, end] in one NDJSON object — readers may fold the
+# compaction instead of the individual commits; foreign readers that predate
+# the feature ignore the name (it matches no commit/checkpoint pattern)
+_COMPACTION_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
 
 
 @dataclass
@@ -83,6 +88,11 @@ class DeltaLog:
     def last_checkpoint_path(self) -> str:
         return self.backend.join(self.log_dir, LAST_CHECKPOINT)
 
+    def compaction_path(self, start: int, end: int) -> str:
+        return self.backend.join(
+            self.log_dir, f"{start:020d}.{end:020d}.compacted.json"
+        )
+
     # ---- discovery ---------------------------------------------------
     def is_delta_table(self) -> bool:
         return self.backend.exists(self.log_dir) and (
@@ -130,6 +140,24 @@ class DeltaLog:
                 if v <= version and (best is None or v > best.version):
                     best = CheckPoint(version=v, parts=parts)
         return best
+
+    def list_compactions(self) -> list[tuple[int, int]]:
+        """(start, end) ranges of every log-compaction file, sorted."""
+        out: list[tuple[int, int]] = []
+        for meta in self.backend.list_objs(self.log_dir):
+            name = meta.path.rsplit("/", 1)[-1]
+            m = _COMPACTION_RE.match(name)
+            if m:
+                out.append((int(m.group(1)), int(m.group(2))))
+        return sorted(out)
+
+    def try_read_compaction(self, start: int, end: int) -> Optional[list[Action]]:
+        try:
+            return parse_log_entry(
+                self.backend.get_obj(self.compaction_path(start, end)).decode("utf-8")
+            )
+        except FileNotFoundError:
+            return None
 
     # ---- commit I/O ----------------------------------------------------
     def read_commit(self, version: int) -> list[Action]:

@@ -70,7 +70,26 @@ class Snapshot:
 
         v = start_version
         loaded = cp.version if cp is not None else -1
+        # log-compaction files covering [s, e] fold in place of the commits
+        # they reconcile — on object stores that's 1 GET instead of e-s+1.
+        # Listed lazily (first tail iteration) so compaction-free tables pay
+        # nothing extra beyond the list call they already make elsewhere.
+        comps: Optional[dict[int, int]] = None
         while version is None or v <= version:
+            if comps is None:
+                comps = {}
+                for s, e in log.list_compactions():
+                    if version is not None and e > version:
+                        continue  # overshoots the target: unusable here
+                    comps[s] = max(comps.get(s, -1), e)
+            end = comps.get(v)
+            if end is not None and end > v:
+                actions = log.try_read_compaction(v, end)
+                if actions is not None:
+                    state.apply_all(actions)
+                    loaded = end
+                    v = end + 1
+                    continue
             actions = log.try_read_commit(v)
             if actions is None:
                 break

@@ -410,6 +410,13 @@ class DeltaTable:
 
         return _ckpt(self)
 
+    def compact_log(self, start: int, end: int) -> str:
+        """Write a log-compaction file reconciling commits [start, end]
+        (see ``maintenance.write_log_compaction``)."""
+        from .maintenance import write_log_compaction as _clog
+
+        return _clog(self, start, end)
+
     def optimize(
         self,
         spark: SparkSession,
