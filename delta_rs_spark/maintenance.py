@@ -34,11 +34,25 @@ class VacuumError(Exception):
 CHECKPOINT_PART_ROWS = 250_000
 
 
-def create_checkpoint(table, part_rows: Optional[int] = None) -> CheckPoint:
+def create_checkpoint(
+    table, part_rows: Optional[int] = None, policy: Optional[str] = None
+) -> CheckPoint:
     """Write a checkpoint for the table's current snapshot and update
     ``_last_checkpoint``: single-part parquet for small logs, the
     ``{v:020d}.checkpoint.{part:010d}.{parts:010d}.parquet`` multi-part
-    layout once the action count exceeds ``part_rows``."""
+    layout once the action count exceeds ``part_rows``.
+
+    ``policy`` (or the table's ``delta.checkpointPolicy`` property) selects
+    the layout: ``classic`` (above) or ``v2`` — a
+    ``{v:020d}.checkpoint.{uuid}.parquet`` MANIFEST holding the singleton
+    actions (protocol/metaData/txn/domainMetadata) plus one
+    ``checkpointMetadata`` row and ``sidecar`` rows pointing at
+    ``_delta_log/_sidecars/{uuid}.parquet`` files that carry the add/remove
+    actions. At 100 TB the manifest stays KB-sized however many files the
+    table has; sidecars are independently written and read (parallel I/O,
+    bounded memory), and an incremental writer could reuse unchanged
+    sidecars across checkpoints. Requires the ``v2Checkpoint`` table
+    feature (``DeltaTable.enable_v2_checkpoints``)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -91,6 +105,19 @@ def create_checkpoint(table, part_rows: Optional[int] = None) -> CheckPoint:
     import io
 
     limit = part_rows or CHECKPOINT_PART_ROWS
+
+    cfg = meta.configuration or {}
+    policy = policy or cfg.get("delta.checkpointPolicy", "classic")
+    if policy not in ("classic", "v2"):
+        raise ValueError(f"unknown checkpoint policy {policy!r}")
+    if policy == "v2":
+        if "v2Checkpoint" not in (state.reader_features or []):
+            raise ValueError(
+                "v2 checkpoints need the v2Checkpoint table feature; call "
+                "DeltaTable.enable_v2_checkpoints() first"
+            )
+        return _create_v2_checkpoint(table, rows, limit, pcols, ptypes)
+
     if len(rows) <= limit:
         cp = CheckPoint(version=snap.version, size=len(rows))
         path = table.log.checkpoint_paths(CheckPoint(version=snap.version))[0]
@@ -122,6 +149,63 @@ def create_checkpoint(table, part_rows: Optional[int] = None) -> CheckPoint:
     return cp
 
 
+def _create_v2_checkpoint(table, rows: list[dict], limit: int, pcols, ptypes) -> CheckPoint:
+    """V2 layout: file actions → ``_sidecars/{uuid}.parquet`` chunks;
+    manifest ``{v}.checkpoint.{uuid}.parquet`` with the singleton actions,
+    one ``checkpointMetadata`` row, and one ``sidecar`` row per chunk."""
+    import io
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = table.log
+    version = table.snapshot.version
+    file_rows = [r for r in rows if "add" in r or "remove" in r]
+    singleton_rows = [r for r in rows if "add" not in r and "remove" not in r]
+
+    sidecar_rows: list[dict] = []
+    for i in range(0, max(len(file_rows), 1), limit):
+        chunk = file_rows[i : i + limit]
+        if not chunk:
+            break
+        name = f"{_uuid.uuid4().hex}.parquet"
+        buf = io.BytesIO()
+        pq.write_table(
+            pa.table(_rows_to_struct_columns(pa, chunk, pcols, ptypes)),
+            buf,
+            compression="snappy",
+        )
+        data = buf.getvalue()
+        log.backend.put_obj(log.sidecar_path(name), data)
+        sidecar_rows.append(
+            {
+                "sidecar": {
+                    "path": name,
+                    "sizeInBytes": len(data),
+                    "modificationTime": int(time.time() * 1000),
+                }
+            }
+        )
+
+    manifest_rows = (
+        singleton_rows
+        + [{"checkpointMetadata": {"version": version}}]
+        + sidecar_rows
+    )
+    uid = _uuid.uuid4().hex
+    cp = CheckPoint(version=version, size=len(rows), uuid=uid)
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table(_rows_to_struct_columns(pa, manifest_rows, pcols, ptypes)),
+        buf,
+        compression="snappy",
+    )
+    log.backend.put_obj(log.checkpoint_paths(cp)[0], buf.getvalue())
+    log.put_last_checkpoint(cp)
+    return cp
+
+
 def _parsed_partition_value(value: Optional[str], dtype):
     v = partition_value_to_typed(value, dtype)
     # pyarrow infers fine for primitives; datetimes/dates pass through
@@ -146,7 +230,16 @@ def _drop_empty_dicts(node):
 
 def _rows_to_struct_columns(pa, rows: list[dict], pcols, ptypes) -> dict:
     """Sparse row dicts → one pyarrow struct array per action column."""
-    cols = ["txn", "add", "remove", "metaData", "protocol", "domainMetadata"]
+    cols = [
+        "txn",
+        "add",
+        "remove",
+        "metaData",
+        "protocol",
+        "domainMetadata",
+        "checkpointMetadata",
+        "sidecar",
+    ]
     out = {}
     for col in cols:
         values = [r.get(col) for r in rows]
@@ -538,25 +631,65 @@ def cleanup_expired_logs(table, retention_ms: Optional[int] = None) -> list[str]
     commit_re = _re.compile(r"^(\d{20})\.json$")
     cp_re = _re.compile(r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet$")
     compaction_re = _re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
+    v2_re = _re.compile(r"^(\d{20})\.checkpoint\.[A-Za-z0-9_-]+\.parquet$")
     deleted: list[str] = []
+    surviving_v2: list[str] = []
     for meta in log.backend.list_objs(log.log_dir):
         name = meta.path.rsplit("/", 1)[-1]
+        rel_parent = meta.path.rsplit("/", 2)[-2] if "/" in meta.path else ""
+        if rel_parent == "_sidecars":
+            continue  # handled below via an explicit _sidecars listing
         m = compaction_re.match(name)
         if m:
             # a compaction is obsolete once its whole range is below the
             # checkpoint (replay can never start inside it again)
             v = int(m.group(2))
         else:
-            m = commit_re.match(name) or cp_re.match(name)
+            m = commit_re.match(name) or cp_re.match(name) or v2_re.match(name)
             if not m:
                 continue
             v = int(m.group(1))
         if v >= cp.version:
+            if v2_re.match(name) and not cp_re.match(name):
+                surviving_v2.append(meta.path)
             continue  # the active checkpoint and the tail stay
         if meta.modification_time * 1000 > cutoff_ms:
+            if v2_re.match(name) and not cp_re.match(name):
+                surviving_v2.append(meta.path)
             continue
         log.backend.delete_obj(meta.path)
         deleted.append(name)
+
+    # sidecars of deleted V2 manifests: reap any _sidecars/ file past the
+    # retention window that no surviving manifest references (the handful of
+    # surviving manifests is re-read — KB-sized metadata)
+    sidecars = list(
+        log.backend.list_objs(log.backend.join(log.log_dir, "_sidecars"))
+    )
+    if sidecars:
+        referenced: set[str] = set()
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        for mpath in surviving_v2:
+            try:
+                t = _pq.read_table(
+                    _io.BytesIO(log.backend.get_obj(mpath)), columns=["sidecar"]
+                )
+            except Exception:
+                continue  # manifest without a sidecar column
+            for sc in t.column("sidecar").to_pylist():
+                if sc and sc.get("path"):
+                    referenced.add(sc["path"])
+        for meta in sidecars:
+            name = meta.path.rsplit("/", 1)[-1]
+            if name in referenced:
+                continue
+            if meta.modification_time * 1000 > cutoff_ms:
+                continue
+            log.backend.delete_obj(meta.path)
+            deleted.append(f"_sidecars/{name}")
     return deleted
 
 

@@ -413,6 +413,28 @@ _KEY_TO_CLASS = {
 _CLASS_TO_KEY = {v: k for k, v in _KEY_TO_CLASS.items()}
 
 
+# features implied by legacy protocol versions (public Delta spec table):
+# a table at reader 2 / writer 5 without explicit lists is using these, and
+# an upgrade to versions 3/7 — where the lists are mandatory and exhaustive —
+# must enumerate them or conformant readers would treat them as inactive
+_LEGACY_READER_FEATURES = {2: ("columnMapping",)}
+_LEGACY_WRITER_FEATURES = {
+    2: ("appendOnly", "invariants"),
+    3: ("checkConstraints",),
+    4: ("generatedColumns", "changeDataFeed"),
+    5: ("columnMapping",),
+    6: ("identityColumns",),
+}
+
+
+def _implied(table_version: int, implied_by_version: dict) -> list[str]:
+    out: list[str] = []
+    for v, feats in sorted(implied_by_version.items()):
+        if v <= table_version:
+            out.extend(feats)
+    return out
+
+
 def upgraded_protocol(
     state,
     min_reader: int,
@@ -423,7 +445,11 @@ def upgraded_protocol(
     """A ProtocolAction raising the table to at least (min_reader,
     min_writer) carrying ``*_features``, PRESERVING features already on the
     table — protocol replays replace wholesale, so a naive bump on a table
-    that already advertises other features would silently drop them.
+    that already advertises other features would silently drop them. When
+    the bump crosses into the list-mandatory versions (reader 3 / writer 7)
+    from a legacy table WITHOUT lists, the features implied by the legacy
+    versions are enumerated (a reader-2 column-mapped table upgraded for
+    deletion vectors must list ``columnMapping`` too).
     Returns None when the table already satisfies everything."""
     cur_r = state.min_reader_version
     cur_w = state.min_writer_version
@@ -431,6 +457,10 @@ def upgraded_protocol(
     new_w = max(cur_w, min_writer)
     rf = list(state.reader_features or [])
     wf = list(state.writer_features or [])
+    if new_r >= 3 and state.reader_features is None:
+        rf += [f for f in _implied(cur_r, _LEGACY_READER_FEATURES) if f not in rf]
+    if new_w >= 7 and state.writer_features is None:
+        wf += [f for f in _implied(cur_w, _LEGACY_WRITER_FEATURES) if f not in wf]
     rf += [f for f in reader_features if f not in rf]
     wf += [f for f in writer_features if f not in wf]
     need_lists = new_r >= 3 or new_w >= 7

@@ -29,6 +29,11 @@ _CHECKPOINT_PARTS_RE = re.compile(r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.p
 # compaction instead of the individual commits; foreign readers that predate
 # the feature ignore the name (it matches no commit/checkpoint pattern)
 _COMPACTION_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
+# V2 checkpoint manifests (public `v2Checkpoint` table feature):
+# {version}.checkpoint.{uniqueStr}.parquet — matched AFTER the multi-part
+# pattern (whose {part}.{parts} segment would also satisfy uniqueStr)
+_CHECKPOINT_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.([A-Za-z0-9_-]+)\.parquet$")
+SIDECAR_DIR = "_sidecars"
 
 
 @dataclass
@@ -36,6 +41,8 @@ class CheckPoint:
     version: int
     size: Optional[int] = None
     parts: Optional[int] = None
+    # V2 checkpoints: the manifest's uniqueStr ({v}.checkpoint.{uuid}.parquet)
+    uuid: Optional[str] = None
 
     def to_json(self) -> str:
         d = {"version": self.version}
@@ -43,12 +50,19 @@ class CheckPoint:
             d["size"] = self.size
         if self.parts is not None:
             d["parts"] = self.parts
+        if self.uuid is not None:
+            d["uuid"] = self.uuid
         return json.dumps(d, separators=(",", ":"))
 
     @classmethod
     def from_json(cls, text: str) -> "CheckPoint":
         d = json.loads(text)
-        return cls(version=d["version"], size=d.get("size"), parts=d.get("parts"))
+        return cls(
+            version=d["version"],
+            size=d.get("size"),
+            parts=d.get("parts"),
+            uuid=d.get("uuid"),
+        )
 
 
 class DeltaLog:
@@ -75,6 +89,12 @@ class DeltaLog:
         return self.backend.join(self.log_dir, f"{version:020d}.json")
 
     def checkpoint_paths(self, cp: CheckPoint) -> list[str]:
+        if cp.uuid is not None:
+            return [
+                self.backend.join(
+                    self.log_dir, f"{cp.version:020d}.checkpoint.{cp.uuid}.parquet"
+                )
+            ]
         if cp.parts is None:
             return [self.backend.join(self.log_dir, f"{cp.version:020d}.checkpoint.parquet")]
         return [
@@ -139,7 +159,16 @@ class DeltaLog:
                 v, _part, parts = int(m.group(1)), int(m.group(2)), int(m.group(3))
                 if v <= version and (best is None or v > best.version):
                     best = CheckPoint(version=v, parts=parts)
+                continue
+            m = _CHECKPOINT_V2_RE.match(name)
+            if m:
+                v, uid = int(m.group(1)), m.group(2)
+                if v <= version and (best is None or v > best.version):
+                    best = CheckPoint(version=v, uuid=uid)
         return best
+
+    def sidecar_path(self, name: str) -> str:
+        return self.backend.join(self.log_dir, SIDECAR_DIR, name)
 
     def list_compactions(self) -> list[tuple[int, int]]:
         """(start, end) ranges of every log-compaction file, sorted."""

@@ -549,55 +549,74 @@ def read_checkpoint_actions(log: DeltaLog, cp: CheckPoint) -> list[Action]:
     actions: list[Action] = []
     for path in log.checkpoint_paths(cp):
         table = pq.read_table(io.BytesIO(log.backend.get_obj(path)))
+        actions.extend(_decode_checkpoint_table(table))
 
-        # singleton action types: row-wise over their (few) non-null rows
-        for name, builder in (
-            ("metaData", lambda d: MetaDataAction.from_json_dict(_strip_none(_fix_meta(d)))),
-            ("protocol", ProtocolAction.from_json_dict),
-            ("txn", TxnAction.from_json_dict),
-            ("domainMetadata", DomainMetadataAction.from_json_dict),
-        ):
-            if name not in table.column_names:
-                continue
-            key = {
-                "metaData": "id",
-                "protocol": "minReaderVersion",
-                "txn": "appId",
-                "domainMetadata": "domain",
-            }[name]
-            for d in table.column(name).to_pylist():
-                if d and d.get(key) is not None:
-                    actions.append(builder(d))
+        # V2 manifests: file actions live in _sidecars/ parquet files named
+        # by `sidecar` rows — read each through the backend and decode with
+        # the same columnar path. Sidecars hold ONLY add/remove.
+        if "sidecar" in table.column_names:
+            for sc in table.column("sidecar").to_pylist():
+                if not sc or not sc.get("path"):
+                    continue
+                sc_table = pq.read_table(
+                    io.BytesIO(log.backend.get_obj(log.sidecar_path(sc["path"])))
+                )
+                actions.extend(_decode_checkpoint_table(sc_table))
+    return actions
 
-        for name, cls in (("add", AddAction), ("remove", RemoveAction)):
-            if name not in table.column_names:
-                continue
-            for chunk in table.column(name).chunks:
-                fields = {f.name: chunk.field(i).to_pylist() for i, f in enumerate(chunk.type)}
-                paths = fields.get("path") or []
-                for i, p in enumerate(paths):
-                    if p is None:
-                        continue
-                    d = {
-                        k: v[i]
-                        for k, v in fields.items()
-                        if v[i] is not None
-                        and k not in ("stats_parsed", "partitionValues_parsed")
-                    }
-                    if "stats" not in d and fields.get("stats_parsed") is not None:
-                        sp = fields["stats_parsed"][i]
-                        if sp is not None:
-                            d["stats"] = json.dumps(sp, default=str)
-                    pv = d.get("partitionValues")
-                    if isinstance(pv, list):  # pyarrow map type → list of (k, v)
-                        d["partitionValues"] = dict(pv)
-                    # pyarrow unifies mixed DV descriptors (inline vs filed
-                    # vs legacy) into one superset struct with None-filled
-                    # gaps — strip them so absent-key semantics survive the
-                    # checkpoint (offset=None would break decode)
-                    if isinstance(d.get("deletionVector"), dict):
-                        d["deletionVector"] = _strip_none(d["deletionVector"])
-                    actions.append(cls.from_json_dict(d))
+
+def _decode_checkpoint_table(table) -> list[Action]:
+    """One checkpoint/sidecar parquet → actions (columnar add/remove decode;
+    `checkpointMetadata`/`sidecar` columns are handled by the caller)."""
+    actions: list[Action] = []
+    # singleton action types: row-wise over their (few) non-null rows
+    for name, builder in (
+        ("metaData", lambda d: MetaDataAction.from_json_dict(_strip_none(_fix_meta(d)))),
+        ("protocol", ProtocolAction.from_json_dict),
+        ("txn", TxnAction.from_json_dict),
+        ("domainMetadata", DomainMetadataAction.from_json_dict),
+    ):
+        if name not in table.column_names:
+            continue
+        key = {
+            "metaData": "id",
+            "protocol": "minReaderVersion",
+            "txn": "appId",
+            "domainMetadata": "domain",
+        }[name]
+        for d in table.column(name).to_pylist():
+            if d and d.get(key) is not None:
+                actions.append(builder(d))
+
+    for name, cls in (("add", AddAction), ("remove", RemoveAction)):
+        if name not in table.column_names:
+            continue
+        for chunk in table.column(name).chunks:
+            fields = {f.name: chunk.field(i).to_pylist() for i, f in enumerate(chunk.type)}
+            paths = fields.get("path") or []
+            for i, p in enumerate(paths):
+                if p is None:
+                    continue
+                d = {
+                    k: v[i]
+                    for k, v in fields.items()
+                    if v[i] is not None
+                    and k not in ("stats_parsed", "partitionValues_parsed")
+                }
+                if "stats" not in d and fields.get("stats_parsed") is not None:
+                    sp = fields["stats_parsed"][i]
+                    if sp is not None:
+                        d["stats"] = json.dumps(sp, default=str)
+                pv = d.get("partitionValues")
+                if isinstance(pv, list):  # pyarrow map type → list of (k, v)
+                    d["partitionValues"] = dict(pv)
+                # pyarrow unifies mixed DV descriptors (inline vs filed
+                # vs legacy) into one superset struct with None-filled
+                # gaps — strip them so absent-key semantics survive the
+                # checkpoint (offset=None would break decode)
+                if isinstance(d.get("deletionVector"), dict):
+                    d["deletionVector"] = _strip_none(d["deletionVector"])
+                actions.append(cls.from_json_dict(d))
     return actions
 
 

@@ -95,9 +95,16 @@ class LocalFileBackend(StorageBackend):
         except FileNotFoundError:
             return
         for e in entries:
-            if e.is_file():
-                st = e.stat()
-                yield ObjectMeta(path=e.path, size=st.st_size, modification_time=st.st_mtime)
+            try:
+                if e.is_file():
+                    st = e.stat()
+                    yield ObjectMeta(
+                        path=e.path, size=st.st_size, modification_time=st.st_mtime
+                    )
+            except FileNotFoundError:
+                # deleted between scandir and stat (e.g. a concurrent
+                # writer's temp commit) — a vanished file just isn't listed
+                continue
 
     def put_obj(self, path: str, data: bytes) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -674,6 +674,46 @@ class DeltaTable:
         self.update()
         return v
 
+    def enable_v2_checkpoints(self) -> int:
+        """Upgrade the table to V2 checkpoints (public ``v2Checkpoint``
+        reader-writer feature): one commit setting
+        ``delta.checkpointPolicy=v2`` plus the protocol bump (reader 3 /
+        writer 7, ``v2Checkpoint`` in both feature lists). Subsequent
+        checkpoints write the manifest + ``_sidecars/`` layout."""
+        from .protocol.actions import upgraded_protocol
+
+        meta = self.metadata()
+        cfg = dict(meta.configuration or {})
+        if cfg.get("delta.checkpointPolicy") == "v2":
+            return self.version
+        cfg["delta.checkpointPolicy"] = "v2"
+        new_meta = type(meta)(
+            id=meta.id,
+            schema_string=meta.schema_string,
+            partition_columns=meta.partition_columns,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+            configuration=cfg,
+        )
+        txn = self.begin()
+        bump = upgraded_protocol(
+            self.snapshot.state,
+            3,
+            7,
+            reader_features=["v2Checkpoint"],
+            writer_features=["v2Checkpoint"],
+        )
+        if bump is not None:
+            txn.add_action(bump)
+        txn.add_action(new_meta)
+        v = txn.commit(
+            operation="SET TBLPROPERTIES",
+            operation_parameters={"properties": ["delta.checkpointPolicy"]},
+        )
+        self.update()
+        return v
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN — metadata-only under column mapping
         (the physical name in the files never changes). ``old`` may be a

@@ -68,7 +68,10 @@ def test_dv_protocol_bump_and_time_travel(spark, tmp_path):
     # actually read the table — advertising the real feature is correct
     state = t2.snapshot.state
     assert state.reader_features == ["deletionVectors"]
-    assert state.writer_features == ["deletionVectors"]
+    # writer 7's list is exhaustive: the legacy writer-2 features the table
+    # was created with (appendOnly/invariants) are enumerated alongside
+    assert "deletionVectors" in state.writer_features
+    assert {"appendOnly", "invariants"} <= set(state.writer_features)
     for a in t2.add_actions():
         if a.deletion_vector:
             assert a.deletion_vector["storageType"] in ("u", "i", "p")

@@ -1,0 +1,128 @@
+"""V2 checkpoints (public `v2Checkpoint` feature): manifest + sidecars.
+
+The manifest ({v}.checkpoint.{uuid}.parquet) stays KB-sized regardless of
+file count — singleton actions, one checkpointMetadata row, and sidecar rows
+pointing at _delta_log/_sidecars/{uuid}.parquet files holding add/remove.
+"""
+
+import io
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.maintenance import cleanup_expired_logs, create_checkpoint
+from delta_rs_spark.protocol.log import DeltaLog
+
+
+@pytest.fixture()
+def v2_table(spark, tmp_path, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, df, uri)
+    for _ in range(3):
+        write_deltalake(spark, df.limit(2), uri, mode="append")
+    t = DeltaTable(uri)
+    t.enable_v2_checkpoints()
+    return uri
+
+
+def test_enable_bumps_protocol_with_exhaustive_lists(v2_table):
+    t = DeltaTable(v2_table)
+    assert t.protocol_versions() == (3, 7)
+    state = t.snapshot.state
+    assert "v2Checkpoint" in state.reader_features
+    assert "v2Checkpoint" in state.writer_features
+    # legacy writer-2 features enumerated when the list became mandatory
+    assert {"appendOnly", "invariants"} <= set(state.writer_features)
+    assert t.metadata().configuration["delta.checkpointPolicy"] == "v2"
+
+
+def test_v2_checkpoint_roundtrip_and_layout(v2_table):
+    t = DeltaTable(v2_table)
+    files_before = sorted(t.file_uris())
+    cp = create_checkpoint(t)
+    assert cp.uuid is not None
+    log = DeltaLog(v2_table)
+
+    # manifest carries no file actions — only sidecar pointers
+    manifest = pq.read_table(
+        io.BytesIO(log.backend.get_obj(log.checkpoint_paths(cp)[0]))
+    )
+    assert "sidecar" in manifest.column_names
+    assert "add" not in manifest.column_names
+    cpm = [d for d in manifest.column("checkpointMetadata").to_pylist() if d]
+    assert cpm and cpm[0]["version"] == cp.version
+    sidecars = [d for d in manifest.column("sidecar").to_pylist() if d]
+    assert sidecars
+    for sc in sidecars:
+        assert log.backend.exists(log.sidecar_path(sc["path"]))
+
+    # a fresh load replays from the v2 checkpoint (delete the commits' JSON
+    # would be cleanup's job; instead verify state equality straight)
+    t2 = DeltaTable(v2_table)
+    assert t2.version == t.version
+    assert sorted(t2.file_uris()) == files_before
+
+
+def test_multiple_sidecar_chunks(v2_table):
+    t = DeltaTable(v2_table)
+    cp = create_checkpoint(t, part_rows=2)  # force several sidecar files
+    log = DeltaLog(v2_table)
+    manifest = pq.read_table(
+        io.BytesIO(log.backend.get_obj(log.checkpoint_paths(cp)[0]))
+    )
+    sidecars = [d for d in manifest.column("sidecar").to_pylist() if d]
+    assert len(sidecars) >= 2
+    t2 = DeltaTable(v2_table)
+    assert len(t2.files()) == len(t.files())
+
+
+def test_auto_checkpoint_uses_v2_policy(spark, tmp_path, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    uri = str(tmp_path / "auto")
+    write_deltalake(spark, df, uri)
+    DeltaTable(uri).enable_v2_checkpoints()
+    # versions 2..10: the checkpoint-interval commit (10) auto-checkpoints
+    for _ in range(9):
+        write_deltalake(spark, df.limit(1), uri, mode="append")
+    log = DeltaLog(uri)
+    cp = log.read_last_checkpoint()
+    assert cp is not None and cp.version == 10 and cp.uuid is not None
+    t = DeltaTable(uri)
+    assert t.version == 10
+
+
+def test_policy_requires_feature(spark, tmp_path, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    uri = str(tmp_path / "plain")
+    write_deltalake(spark, df, uri)
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        create_checkpoint(DeltaTable(uri), policy="v2")
+
+
+def test_cleanup_reaps_stale_manifests_and_orphan_sidecars(v2_table):
+    t = DeltaTable(v2_table)
+    cp1 = create_checkpoint(t)
+    log = DeltaLog(v2_table)
+    cp1_manifest = log.checkpoint_paths(cp1)[0]
+
+    # another commit, then a newer checkpoint supersedes cp1
+    from delta_rs_spark.protocol.actions import TxnAction
+
+    txn = t.begin()
+    txn.add_action(TxnAction(app_id="x", version=1))
+    txn.commit(operation="WRITE")
+    t.update()
+    cp2 = create_checkpoint(t)
+    assert cp2.version > cp1.version
+
+    deleted = cleanup_expired_logs(t, retention_ms=0)
+    names = set(deleted)
+    assert os.path.basename(cp1_manifest) in names
+    assert any(n.startswith("_sidecars/") for n in names)
+    # the live checkpoint's sidecars survive and the table still loads
+    t3 = DeltaTable(v2_table)
+    assert t3.version == t.version
+    assert len(t3.files()) == len(t.files())
