@@ -708,8 +708,10 @@ def update(
     if bad:
         raise DMLError(f"UPDATE assigns unknown columns: {sorted(bad)}")
     from .protocol import generated as _gen
+    from .protocol import identity as _idc
 
     _gen.reject_assignments(assignments, schema)
+    _idc.reject_assignments(assignments, schema)
 
     cond = F.coalesce(F.expr(predicate), F.lit(False))
     candidates = _candidate_adds(table, predicate)
@@ -994,14 +996,26 @@ def merge(
     target = snap.df_for_adds(spark, all_adds, with_lineage=True)
 
     from .protocol import generated as _genm
+    from .protocol import identity as _idcm
 
     if when_matched_update:
         _genm.reject_assignments(when_matched_update, schema)
+        _idcm.reject_assignments(when_matched_update, schema)
     src_cols = set(source.columns)
     if when_not_matched_insert:
         missing = set(schema.names) - src_cols
         if missing:
             raise DMLError(f"source lacks columns required for INSERT: {sorted(missing)}")
+        # MERGE INSERT takes the identity value from the source row —
+        # allowed only for GENERATED BY DEFAULT columns (system assignment
+        # inside a merge would need the append path's water-mark commit)
+        for n, spec in _idcm.specs(schema).items():
+            if not spec.allow_explicit_insert:
+                raise DMLError(
+                    f"MERGE INSERT cannot supply GENERATED ALWAYS identity "
+                    f"column {n!r}; declare it with allowExplicitInsert or "
+                    "append through write_deltalake"
+                )
 
     # (file, row-position) lineage = stable per-row identity for the
     # multi-match guard; _metadata-derived, join-safe (input_file_name is not)

@@ -674,6 +674,39 @@ class DeltaTable:
         self.update()
         return v
 
+    def sync_identity(self) -> dict[str, int]:
+        """ALTER TABLE ... SYNC IDENTITY: advance identity high-water marks
+        past explicitly-inserted values, from per-file stats (metadata-only
+        — no data scan). Commits a metaData action when any mark moves;
+        returns the marks written."""
+        from .protocol import identity as idc
+        from .protocol.schema import schema_string_to_spark, spark_to_schema_string
+
+        marks = idc.sync_water_marks(self)
+        if not marks:
+            return {}
+        meta = self.metadata()
+        sch = idc.schema_with_water_marks(
+            schema_string_to_spark(meta.schema_string), marks
+        )
+        new_meta = type(meta)(
+            id=meta.id,
+            schema_string=spark_to_schema_string(sch),
+            partition_columns=meta.partition_columns,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+            configuration=dict(meta.configuration or {}),
+        )
+        txn = self.begin()
+        txn.add_action(new_meta)
+        txn.commit(
+            operation="SYNC IDENTITY",
+            operation_parameters={"columns": sorted(marks)},
+        )
+        self.update()
+        return marks
+
     def enable_v2_checkpoints(self) -> int:
         """Upgrade the table to V2 checkpoints (public ``v2Checkpoint``
         reader-writer feature): one commit setting

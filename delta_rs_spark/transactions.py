@@ -48,6 +48,7 @@ class DeltaTransaction:
     def __init__(self, table, options: Optional[dict[str, Any]] = None):
         self.table = table
         self.actions: list[Action] = []
+        self._guards: list = []
         self.max_retries = (options or {}).get(
             "max_retry_commit_attempts", DEFAULT_MAX_RETRY_COMMIT_ATTEMPTS
         )
@@ -57,6 +58,14 @@ class DeltaTransaction:
 
     def add_actions(self, actions: list[Action]) -> None:
         self.actions.extend(actions)
+
+    def add_commit_guard(self, fn) -> None:
+        """Register a callable invoked with the REFRESHED table whenever
+        intervening commits land before this one wins the version race.
+        Guards raise (typically ConcurrentModificationError) to abort the
+        commit — e.g. an identity-column write whose values are already
+        baked into data files and cannot be re-stamped."""
+        self._guards.append(fn)
 
     def commit(
         self,
@@ -114,9 +123,21 @@ class DeltaTransaction:
         base_version = self.table.version
 
         attempt = 0
+        guard_base = base_version
         while True:
             attempt += 1
             version = self.table.update() + 1
+            if self._guards and version - 1 > guard_base:
+                try:
+                    for g in self._guards:
+                        g(self.table)
+                except Exception:
+                    try:
+                        log.backend.delete_obj(tmp)
+                    except FileNotFoundError:
+                        pass
+                    raise
+                guard_base = version - 1
             if removed_paths and version - 1 > base_version:
                 self._check_remove_conflicts(
                     log, tmp, removed_paths, base_version + 1, version - 1

@@ -135,6 +135,7 @@ def write_deltalake(
     schema_mode: Optional[str] = None,
     partition_overwrite_mode: Optional[str] = None,
     generated_columns: Optional[dict[str, str]] = None,
+    identity_columns: Optional[dict[str, dict]] = None,
     cluster_by: Optional[Sequence[str]] = None,
 ) -> DeltaTable:
     """Write ``df`` to a Delta table, creating it if absent. Returns the table.
@@ -232,12 +233,24 @@ def write_deltalake(
             "generated_columns is a CREATE-time declaration; the existing "
             "table's schema metadata already carries the expressions"
         )
+    if exists and identity_columns:
+        raise ValueError(
+            "identity_columns is a CREATE-time declaration; the existing "
+            "table's schema metadata already carries the specs"
+        )
     # declared schema for CREATE: the frame's schema plus generated-column
     # expressions (computed into the frame when omitted)
     if not exists and generated_columns:
         df, declared_schema = gen.annotate_schema(df, generated_columns)
     else:
         declared_schema = df.schema
+
+    from .protocol import identity as idc
+
+    if not exists and identity_columns:
+        declared_schema = idc.annotate_schema(
+            identity_columns, declared_schema, df.columns
+        )
 
     if exists:
         if mode in ("error", "errorifexists"):
@@ -248,6 +261,9 @@ def write_deltalake(
         # generated columns: compute omitted / validate provided — before the
         # strict schema check, which requires the full column set
         df = gen.apply_on_write(df, table.schema())
+        # identity columns: assign omitted values (shuffle-free codegen);
+        # the water-mark metaData update joins the commit below
+        df, id_assigned = idc.apply_on_write(df, table.schema())
         new_meta: Optional[MetaDataAction] = None
         if schema_mode == "merge":
             df, new_meta = _merge_schema(table, df)
@@ -280,6 +296,12 @@ def write_deltalake(
                 f"write is missing partition column(s) {missing_pcols}"
             )
         if replace_where is not None:
+            if id_assigned:
+                raise ValueError(
+                    "replace_where cannot assign identity column(s) "
+                    f"{sorted(id_assigned)}; provide explicit values "
+                    "(allowExplicitInsert) and run SYNC IDENTITY after"
+                )
             # constraints are enforced once, inside the rewrite commit
             return _replace_where(
                 spark,
@@ -292,6 +314,8 @@ def write_deltalake(
             )
         check_constraints(df, table.metadata().configuration, schema=table.schema())
     else:
+        # CREATE: assign identity values from the declared specs
+        df, id_assigned = idc.apply_on_write(df, declared_schema)
         partition_by = list(partition_by or [])
         missing = [c for c in partition_by if c not in df.columns]
         if missing:
@@ -353,6 +377,10 @@ def write_deltalake(
     else:
         effective_cfg, schema_order = configuration, df.schema.names
     stats_cols = data_skipping_columns(effective_cfg, schema_order)
+    if id_assigned and stats_cols is not None:
+        # the water-mark update reads the identity columns' footer min/max —
+        # always collect them even when dataSkippingNumIndexedCols excludes
+        stats_cols = stats_cols | set(id_assigned)
     if mapping_on and stats_cols is not None:
         stats_cols = {_phys.get(c, c) for c in stats_cols}
     adds = _promote_staged_files(
@@ -362,6 +390,13 @@ def write_deltalake(
         stage_partition_by,
         stats_columns=stats_cols,
     )
+    id_marks: dict[str, int] = {}
+    if id_assigned:
+        id_marks = idc.advanced_water_marks(
+            id_assigned,
+            adds,
+            name_map=cm.top_level_physical(mapped_schema) if mapping_on else None,
+        )
 
     # ---- 4. commit -------------------------------------------------------------
     params = {
@@ -401,11 +436,12 @@ def write_deltalake(
             configuration.update(rt.fresh_materialized_names())
             hwm = rt.stamp_adds(list(adds), -1, 0)
             rt_actions.append(rt.domain_action(hwm))
+        final_schema = mapped_schema if mapping_on else declared_schema
+        if id_marks:
+            final_schema = idc.schema_with_water_marks(final_schema, id_marks)
         meta = MetaDataAction(
             id=str(uuid.uuid4()),
-            schema_string=spark_to_schema_string(
-                mapped_schema if mapping_on else declared_schema
-            ),
+            schema_string=spark_to_schema_string(final_schema),
             partition_columns=list(partition_by or []),
             name=name,
             description=description,
@@ -421,6 +457,9 @@ def write_deltalake(
         gen_on = bool(gen.expressions(declared_schema))
         if gen_on:
             min_w = max(min_w, gen.MIN_WRITER)
+        id_on = bool(idc.specs(declared_schema))
+        if id_on:
+            min_w = max(min_w, idc.MIN_WRITER)
         wf: list[str] = []
         if ict:
             wf.append("inCommitTimestamp")
@@ -437,6 +476,8 @@ def write_deltalake(
                 wf.append(cm.FEATURE_NAME)
             if gen_on:
                 wf.append(gen.FEATURE_NAME)
+            if id_on:
+                wf.append(idc.FEATURE_NAME)
             proto = ProtocolAction(min_r, 7, writer_features=sorted(set(wf)))
         else:
             proto = ProtocolAction(min_r, min_w)
@@ -458,7 +499,46 @@ def write_deltalake(
         log.try_commit(tmp, 0)  # creation races fail loudly: version 0 taken
         return DeltaTable(table_uri)
 
+    if id_marks:
+        # the water-mark update rides the same commit as the data; a replay
+        # wholly replaces metadata, so merge into whatever metaData this
+        # commit already carries (schema merge/overwrite)
+        base_meta = new_meta if new_meta is not None else table.metadata()
+        sch = idc.schema_with_water_marks(
+            schema_string_to_spark(base_meta.schema_string), id_marks
+        )
+        new_meta = MetaDataAction(
+            id=base_meta.id,
+            schema_string=spark_to_schema_string(sch),
+            partition_columns=base_meta.partition_columns,
+            name=base_meta.name,
+            description=base_meta.description,
+            created_time=base_meta.created_time,
+            configuration=dict(base_meta.configuration),
+        )
+
     txn = DeltaTransaction(table)
+    if id_assigned:
+        # identity values are already baked into the staged files — they
+        # cannot be re-stamped under a commit retry the way row ids are. If
+        # a concurrent commit advanced any assigned column's water mark,
+        # committing would introduce duplicate ids: fail instead.
+        expected = {n: s.high_water_mark for n, s in id_assigned.items()}
+
+        def _identity_guard(tbl) -> None:
+            from .transactions import ConcurrentModificationError
+
+            cur = idc.specs(tbl.schema())
+            for n, exp in expected.items():
+                got = cur[n].high_water_mark if n in cur else None
+                if got != exp:
+                    raise ConcurrentModificationError(
+                        f"identity column {n!r}: a concurrent commit moved "
+                        f"the high-water mark ({exp} -> {got}); re-run the "
+                        "write against the refreshed table"
+                    )
+
+        txn.add_commit_guard(_identity_guard)
     if new_meta is not None:
         txn.add_action(new_meta)
     if mode == "overwrite":
