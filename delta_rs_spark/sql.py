@@ -250,6 +250,14 @@ def _alter(spark: SparkSession, s: str) -> DataFrame:
         v = table.drop_column(mm.group(1))
         return _one_row(spark, {"version": v, "column": mm.group(1)})
 
+    mm = re.match(r"SYNC\s+IDENTITY$", rest, re.IGNORECASE)
+    if mm:
+        marks = table.sync_identity()
+        return _one_row(
+            spark,
+            {"version": table.version, "syncedColumns": sorted(marks)},
+        )
+
     raise SqlError(f"unsupported ALTER TABLE clause: {rest!r}")
 
 

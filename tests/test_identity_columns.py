@@ -174,6 +174,22 @@ def test_concurrent_hwm_guard(spark, tmp_path, src):
         DeltaTable.update = real_update
 
 
+def test_sync_identity_sql(spark, tmp_path, src):
+    from delta_rs_spark.sql import sql
+    from pyspark.sql import functions as F
+
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark, src, uri, identity_columns={"id": {"allow_explicit_insert": True}}
+    )
+    explicit = src.limit(1).withColumn("id", F.lit(5_000).cast("long"))
+    write_deltalake(spark, explicit, uri, mode="append")
+    row = sql(spark, f"ALTER TABLE delta.`{uri}` SYNC IDENTITY").collect()[0]
+    assert row["syncedColumns"] == '["id"]'  # _one_row JSON-encodes lists
+    t = DeltaTable(uri)
+    assert idc.specs(t.schema())["id"].high_water_mark == 5_000
+
+
 def test_validation_errors(spark, tmp_path, src):
     uri = str(tmp_path / "t")
     with pytest.raises(idc.IdentityColumnError, match="nonzero"):
