@@ -8,8 +8,10 @@ a 1000-file commit fans out across the whole cluster.
 Semantics follow the reference's tailing model (``rust/src/delta.rs:612-638``
 + ``dataChange`` at ``rust/src/action.rs:165-170``): compaction-only commits
 (dataChange=false) are skipped; a data-changing `remove` in the stream range
-is an error unless ``ignoreChanges`` is set (matching Delta streaming-source
-convention).
+is an error unless one of the public Delta source options says otherwise —
+``skipChangeCommits`` (drop rewrite commits wholly, adds included),
+``ignoreDeletes`` (tolerate delete-ONLY commits), or ``ignoreChanges``
+(re-emit rewritten files' rows).
 
 Usage::
 
@@ -81,6 +83,15 @@ class DeltaStreamReader(DataSourceStreamReader):
 
             self.starting_version = _DT(options["path"]).first_version_at_or_after(ts)
         self.ignore_changes = str(options.get("ignorechanges", "false")).lower() == "true"
+        # public Delta source options for tables with deletes/updates:
+        # ignoreDeletes tolerates DELETE-ONLY commits (skipped entirely);
+        # skipChangeCommits skips ANY data-changing-remove commit including
+        # its adds (the successor to ignoreChanges, which re-emits rewritten
+        # files' rows)
+        self.ignore_deletes = str(options.get("ignoredeletes", "false")).lower() == "true"
+        self.skip_change_commits = (
+            str(options.get("skipchangecommits", "false")).lower() == "true"
+        )
         self.read_change_feed = (
             str(options.get("readchangefeed", "false")).lower() == "true"
         )
@@ -176,12 +187,26 @@ class DeltaStreamReader(DataSourceStreamReader):
             if self.read_change_feed:
                 parts.extend(self._cdf_partitions(v, actions, log, meta))
                 continue
-            for a in actions:
-                if isinstance(a, RemoveAction) and a.data_change and not self.ignore_changes:
+            removes_dc = any(
+                isinstance(a, RemoveAction) and a.data_change for a in actions
+            )
+            adds_dc = any(
+                isinstance(a, AddAction) and a.data_change for a in actions
+            )
+            if removes_dc:
+                if self.skip_change_commits:
+                    continue  # drop the whole commit, adds included
+                if self.ignore_deletes and not adds_dc:
+                    continue  # delete-only commit (e.g. partition drop)
+                if not self.ignore_changes:
                     raise RuntimeError(
-                        f"version {v} removes data files; streaming a table with "
-                        "deletes/overwrites requires option ignoreChanges=true"
+                        f"version {v} removes data files; streaming a table "
+                        "with deletes/overwrites requires skipChangeCommits="
+                        "true (skip rewrites), ignoreDeletes=true "
+                        "(delete-only commits), or ignoreChanges=true "
+                        "(re-emit rewritten files)"
                     )
+            for a in actions:
                 if isinstance(a, AddAction) and a.data_change:
                     from ..protocol.dv import descriptor_positions
 

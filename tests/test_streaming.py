@@ -124,6 +124,56 @@ def test_stream_source_rejects_removes_without_ignore_changes(spark, tmp_path):
     assert len(parts) >= 2
 
 
+def test_stream_source_skip_change_commits_and_ignore_deletes(spark, tmp_path):
+    """skipChangeCommits drops rewrite commits entirely (adds included);
+    ignoreDeletes tolerates delete-ONLY commits but not rewrites."""
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.streaming.source import DeltaStreamReader
+
+    uri = str(tmp_path / "scc_tbl")
+    _mk_table(spark, uri, 0, 5)                       # v0: 5 rows
+    t = DeltaTable(uri)
+    t.delete(spark, "id = 1")                          # v1: rewrite (remove+add)
+    write_deltalake(
+        spark,
+        spark.range(100, 102).select(F.col("id"), (F.col("id") % 3).alias("bucket")),
+        uri,
+        mode="append",
+    )                                                  # v2: plain append
+    t.update()
+    # v3: delete-ONLY commit (tombstones, no adds) — the shape a partition
+    # drop or retention purge produces
+    from delta_rs_spark.protocol.actions import RemoveAction
+
+    txn = t.begin()
+    victim = t.add_actions()[0]
+    txn.add_action(
+        RemoveAction(path=victim.path, deletion_timestamp=0, data_change=True)
+    )
+    txn.commit(operation="DELETE")
+    t.update()
+
+    # skipChangeCommits: v1 and v3 skipped wholly, v0 + v2 adds flow
+    r = DeltaStreamReader(
+        None, {"path": uri, "startingversion": "0", "skipchangecommits": "true"}
+    )
+    parts = r.partitions({"version": -1}, {"version": 3})
+    assert parts  # v0 create + v2 append files only
+    n_v0 = len(DeltaTable.for_version(uri, 0).files())
+    n_v2_adds = len(parts) - n_v0
+    assert n_v2_adds >= 1
+
+    # ignoreDeletes alone: the v1 REWRITE still errors...
+    r2 = DeltaStreamReader(
+        None, {"path": uri, "startingversion": "0", "ignoredeletes": "true"}
+    )
+    with pytest.raises(RuntimeError, match="skipChangeCommits"):
+        r2.partitions({"version": -1}, {"version": 3})
+    # ...but a range containing only the delete-only commit passes
+    parts2 = r2.partitions({"version": 2}, {"version": 3})
+    assert parts2 == []
+
+
 def test_stream_windowed_agg_with_watermark(spark, tmp_path):
     """Watermarked tumbling-window aggregation over the delta_stream source —
     the SURVEY §1.4 'Spark equivalent' claim, end to end: event-time windows
