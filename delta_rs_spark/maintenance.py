@@ -977,7 +977,44 @@ def restore(table, version: int) -> dict:
     txn = DeltaTransaction(table)
     now_ms = int(_time.time() * 1000)
     if target.metadata.to_json_dict() != current.metadata.to_json_dict():
-        txn.add_action(target.metadata)
+        restored_meta = target.metadata
+        # identity high-water marks never roll back (public Delta RESTORE
+        # semantics): downstream consumers have seen the ids issued since
+        # the target version — re-issuing them after a restore would hand
+        # the same id to different rows across the two timelines
+        from .protocol import identity as _idc
+        from .protocol.schema import (
+            schema_string_to_spark as _s2s,
+            spark_to_schema_string as _ss,
+        )
+
+        cur_specs = _idc.specs(_s2s(current.metadata.schema_string))
+        tgt_schema = _s2s(restored_meta.schema_string)
+        marks: dict[str, int] = {}
+        for name, spec in _idc.specs(tgt_schema).items():
+            cur = cur_specs.get(name)
+            if cur is None or cur.high_water_mark is None:
+                continue
+            ahead = spec.high_water_mark is None or (
+                cur.high_water_mark > spec.high_water_mark
+                if spec.step > 0
+                else cur.high_water_mark < spec.high_water_mark
+            )
+            if ahead:
+                marks[name] = cur.high_water_mark
+        if marks:
+            restored_meta = type(restored_meta)(
+                id=restored_meta.id,
+                schema_string=_ss(
+                    _idc.schema_with_water_marks(tgt_schema, marks)
+                ),
+                partition_columns=restored_meta.partition_columns,
+                name=restored_meta.name,
+                description=restored_meta.description,
+                created_time=restored_meta.created_time,
+                configuration=dict(restored_meta.configuration or {}),
+            )
+        txn.add_action(restored_meta)
     for a in to_add:
         txn.add_action(a)
     for a in to_remove:

@@ -190,6 +190,28 @@ def test_sync_identity_sql(spark, tmp_path, src):
     assert idc.specs(t.schema())["id"].high_water_mark == 5_000
 
 
+def test_restore_preserves_hwm(spark, tmp_path, src):
+    """RESTORE never rolls back the identity water mark — post-restore
+    writes must not re-issue ids the pre-restore timeline handed out."""
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, src, uri, identity_columns={"id": {}})
+    t = DeltaTable(uri)
+    hwm_v0 = idc.specs(t.schema())["id"].high_water_mark
+    write_deltalake(spark, src.limit(4), uri, mode="append")  # v1 advances hwm
+    t.update()
+    hwm_v1 = idc.specs(t.schema())["id"].high_water_mark
+    assert hwm_v1 > hwm_v0
+    t.restore(0)
+    t.update()
+    assert idc.specs(t.schema())["id"].high_water_mark == hwm_v1
+    # ids issued after the restore start past the preserved mark
+    write_deltalake(spark, src.limit(2), uri, mode="append")
+    t.update()
+    assert min(
+        i for i in _ids(t, spark) if i > hwm_v0
+    ) > hwm_v1
+
+
 def test_validation_errors(spark, tmp_path, src):
     uri = str(tmp_path / "t")
     with pytest.raises(idc.IdentityColumnError, match="nonzero"):
