@@ -543,25 +543,34 @@ def read_checkpoint_actions(log: DeltaLog, cp: CheckPoint) -> list[Action]:
     (metaData/protocol/txn) stay on the simple row path.
     """
     import io
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
-    actions: list[Action] = []
-    for path in log.checkpoint_paths(cp):
-        table = pq.read_table(io.BytesIO(log.backend.get_obj(path)))
-        actions.extend(_decode_checkpoint_table(table))
+    def _fetch_many(paths: list[str]) -> list[bytes]:
+        """GET several checkpoint objects; parallel on >1 — on object
+        stores each part/sidecar is a network round trip and the layout
+        exists precisely so they can be read independently."""
+        if len(paths) <= 1:
+            return [log.backend.get_obj(p) for p in paths]
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+            return list(ex.map(log.backend.get_obj, paths))
 
+    actions: list[Action] = []
+    part_blobs = _fetch_many(log.checkpoint_paths(cp))
+    sidecar_names: list[str] = []
+    for blob in part_blobs:
+        table = pq.read_table(io.BytesIO(blob))
+        actions.extend(_decode_checkpoint_table(table))
         # V2 manifests: file actions live in _sidecars/ parquet files named
-        # by `sidecar` rows — read each through the backend and decode with
-        # the same columnar path. Sidecars hold ONLY add/remove.
+        # by `sidecar` rows — fetched below and decoded with the same
+        # columnar path. Sidecars hold ONLY add/remove.
         if "sidecar" in table.column_names:
             for sc in table.column("sidecar").to_pylist():
-                if not sc or not sc.get("path"):
-                    continue
-                sc_table = pq.read_table(
-                    io.BytesIO(log.backend.get_obj(log.sidecar_path(sc["path"])))
-                )
-                actions.extend(_decode_checkpoint_table(sc_table))
+                if sc and sc.get("path"):
+                    sidecar_names.append(sc["path"])
+    for blob in _fetch_many([log.sidecar_path(n) for n in sidecar_names]):
+        actions.extend(_decode_checkpoint_table(pq.read_table(io.BytesIO(blob))))
     return actions
 
 
