@@ -42,6 +42,13 @@ class ConcurrentModificationError(TransactionError):
     retrying would lose that writer's changes. Re-read the table and re-run."""
 
 
+class AppendOnlyError(TransactionError):
+    """The table is append-only (``delta.appendOnly=true``): commits must
+    not remove data files with dataChange=true (public Delta appendOnly
+    feature, legacy writer version 2). Compaction-style removes
+    (dataChange=false, e.g. OPTIMIZE) stay allowed."""
+
+
 class DeltaTransaction:
     """Accumulates actions and commits them as one version."""
 
@@ -75,6 +82,17 @@ class DeltaTransaction:
     ) -> int:
         """Two-phase commit; returns the committed version."""
         actions = list(self.actions)
+        # append-only enforcement at the one point every writer passes
+        # through — DML, overwrite, replaceWhere, RESTORE, DV swaps all
+        # carry dataChange=true removes and are rejected alike
+        if self._append_only() and any(
+            isinstance(a, RemoveAction) and a.data_change for a in actions
+        ):
+            raise AppendOnlyError(
+                "table is append-only (delta.appendOnly=true): this commit "
+                "removes data files; unset the property to allow "
+                "deletes/updates/overwrites"
+            )
         # a commit whose metaData ENABLES in-commit timestamps must itself be
         # ICT-stamped and records the enablement boundary (spec: timestamp
         # resolution uses the file-clock below it, the writer clock at/above)
@@ -218,6 +236,13 @@ class DeltaTransaction:
         except Exception:  # table mid-creation: no metadata yet
             return False
         return _rt.enabled(cfg)
+
+    def _append_only(self) -> bool:
+        try:
+            cfg = self.table.metadata().configuration or {}
+        except Exception:  # table mid-creation: no metadata yet
+            return False
+        return str(cfg.get("delta.appendOnly", "")).lower() == "true"
 
     def _ict_enabled(self) -> bool:
         try:

@@ -41,6 +41,34 @@ def test_commit_version_conflict_low_level(small_table):
         log.try_commit(tmp2, 1)
 
 
+def test_append_only_table(spark, small_table, sf_dir):
+    """delta.appendOnly=true rejects data-changing removes everywhere but
+    keeps appends and dataChange=false compaction working."""
+    from delta_rs_spark import write_deltalake as w
+    from delta_rs_spark.transactions import AppendOnlyError
+
+    t = DeltaTable(small_table)
+    t.set_properties({"delta.appendOnly": "true"})
+    df = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+
+    w(spark, df.limit(1), small_table, mode="append")  # appends fine
+    with pytest.raises(AppendOnlyError):
+        t.delete(spark, "r_regionkey = 0")
+    with pytest.raises(AppendOnlyError):
+        w(spark, df, small_table, mode="overwrite")
+    with pytest.raises(AppendOnlyError):
+        t.update()
+        t.restore(0)
+    # OPTIMIZE removes are dataChange=false: allowed
+    t.update()
+    res = t.optimize(spark)
+    assert res["numFilesRemoved"] >= 0
+    # unset re-enables DML
+    t.unset_properties(["delta.appendOnly"])
+    t.update()
+    t.delete(spark, "r_regionkey = 0")
+
+
 def test_txn_app_versions(small_table):
     t = DeltaTable(small_table)
     txn = t.begin()
