@@ -38,8 +38,11 @@ def _spark_json_to_delta(node: Any) -> Any:
     if isinstance(node, str):
         if node in {
             "string", "long", "integer", "short", "byte", "float", "double",
-            "boolean", "binary", "date", "timestamp",
+            "boolean", "binary", "date", "timestamp", "timestamp_ntz",
         } or node.startswith("decimal("):
+            # timestamp_ntz is the public timestampNtz table feature
+            # (reader 3 / writer 7); the writer only emits it when the
+            # table opts in — otherwise NTZ is cast to TIMESTAMP up front
             return node
         raise ValueError(f"type {node!r} not representable in the Delta v0 schema model")
     if isinstance(node, dict):
@@ -97,7 +100,7 @@ def partition_value_to_typed(value: str | None, data_type: T.DataType) -> Any:
         return _dec.Decimal(value)
     if isinstance(data_type, T.DateType):
         return _dt.date.fromisoformat(value)
-    if isinstance(data_type, T.TimestampType):
+    if isinstance(data_type, (T.TimestampType, T.TimestampNTZType)):
         return _dt.datetime.fromisoformat(value)
     raise ValueError(f"partition column of type {data_type} not supported")
 
@@ -147,6 +150,8 @@ def _delta_type_to_pyarrow(node: Any):
             return getattr(pa, _PA_PRIMITIVES[node])()
         if node == "timestamp":
             return pa.timestamp("us")
+        if node == "timestamp_ntz":
+            return pa.timestamp("us")  # tz-naive in arrow; session TZ is UTC
         if node.startswith("decimal("):
             p, s = node[len("decimal("):-1].split(",")
             return pa.decimal128(int(p), int(s))

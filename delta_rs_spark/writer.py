@@ -209,10 +209,16 @@ def write_deltalake(
             "replace_where; the predicate already scopes the overwrite"
         )
 
-    df = _normalize_timestamps(df)
-
     log = DeltaLog(table_uri)
     exists = log.backend.exists(log.log_dir) and log.latest_version() is not None
+
+    # NTZ handling is decided by the TABLE's feature opt-in on appends, the
+    # incoming configuration on create; the table handle is loaded once and
+    # reused below (a second load would replay the log twice per write)
+    table: Optional[DeltaTable] = DeltaTable(table_uri) if exists else None
+    df = _normalize_timestamps(
+        df, table.metadata().configuration if exists else configuration
+    )
 
     from .protocol import generated as gen
 
@@ -256,8 +262,7 @@ def write_deltalake(
         if mode in ("error", "errorifexists"):
             raise TableAlreadyExistsError(f"{table_uri} already exists")
         if mode == "ignore":
-            return DeltaTable(table_uri)
-        table = DeltaTable(table_uri)
+            return table
         # generated columns: compute omitted / validate provided — before the
         # strict schema check, which requires the full column set
         df = gen.apply_on_write(df, table.schema())
@@ -460,7 +465,14 @@ def write_deltalake(
         id_on = bool(idc.specs(declared_schema))
         if id_on:
             min_w = max(min_w, idc.MIN_WRITER)
+        from pyspark.sql import types as _T
+
+        ntz_on = any(
+            isinstance(f.dataType, _T.TimestampNTZType)
+            for f in declared_schema.fields
+        )
         wf: list[str] = []
+        rf: list[str] = []
         if ict:
             wf.append("inCommitTimestamp")
         if rt_on:
@@ -469,16 +481,28 @@ def write_deltalake(
             from .protocol import clustering_meta as cl
 
             wf.extend([cl.FEATURE_NAME, "domainMetadata"])
+        if ntz_on:
+            # timestamp_ntz is reader-visible: reader 3 + feature in BOTH lists
+            wf.append("timestampNtz")
+            rf.append("timestampNtz")
+            min_r = max(min_r, 3)
         if wf:
             # writer version 7: the feature list is mandatory and must name
             # EVERY active feature, including legacy ones like columnMapping
             if mapping_on:
                 wf.append(cm.FEATURE_NAME)
+                if rf:  # reader list is mandatory too — enumerate it all
+                    rf.append(cm.FEATURE_NAME)
             if gen_on:
                 wf.append(gen.FEATURE_NAME)
             if id_on:
                 wf.append(idc.FEATURE_NAME)
-            proto = ProtocolAction(min_r, 7, writer_features=sorted(set(wf)))
+            proto = ProtocolAction(
+                min_r,
+                7,
+                reader_features=sorted(set(rf)) if min_r >= 3 else None,
+                writer_features=sorted(set(wf)),
+            )
         else:
             proto = ProtocolAction(min_r, min_w)
         actions = [proto, meta, *adds, *rt_actions, *(extra_actions or [])]
@@ -579,15 +603,28 @@ def write_deltalake(
     return table
 
 
-def _normalize_timestamps(df: DataFrame) -> DataFrame:
-    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (Delta v0 has only the latter).
+def ntz_enabled(configuration: Optional[dict]) -> bool:
+    """Public ``timestampNtz`` table feature opt-in (property form
+    ``delta.feature.timestampNtz=supported``). Without it, NTZ columns are
+    cast to TIMESTAMP up front (the v0 behavior)."""
+    return str(
+        (configuration or {}).get("delta.feature.timestampNtz", "")
+    ).lower() in ("supported", "enabled", "true")
 
-    Value-preserving because the engine pins the session timezone to UTC
-    (session.py); wall-clock instants round-trip exactly.
+
+def _normalize_timestamps(df: DataFrame, configuration: Optional[dict] = None) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to TIMESTAMP (Delta v0 has only the
+    latter) — unless the table opts into the ``timestampNtz`` feature, in
+    which case the type is kept and stored as ``timestamp_ntz``.
+
+    The cast is value-preserving because the engine pins the session
+    timezone to UTC (session.py); wall-clock instants round-trip exactly.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if ntz_enabled(configuration):
+        return df
     ntz_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
     for c in ntz_cols:
         df = df.withColumn(c, F.col(c).cast(T.TimestampType()))

@@ -657,3 +657,53 @@ def test_not_null_invariant_enforced(spark, tmp_path):
     # UPDATE assigning NULL into the non-nullable column is rejected too
     with pytest.raises(ConstraintViolationError, match="NOT NULL column 'id'"):
         t2.update_where(spark, "id = 99", {"id": "CAST(NULL AS BIGINT)"})
+
+
+def test_timestamp_ntz_feature(spark, tmp_path):
+    """timestampNtz opt-in keeps TIMESTAMP_NTZ columns; default casts them."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    rows = [(1, dt.datetime(2024, 5, 1, 12, 30)), (2, dt.datetime(2024, 5, 2, 8, 0))]
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    # default: cast to TIMESTAMP (v0 behavior)
+    uri_cast = str(tmp_path / "cast")
+    write_deltalake(spark, df, uri_cast)
+    t = DeltaTable(uri_cast)
+    assert isinstance(t.schema()["ts"].dataType, T.TimestampType)
+
+    # opt-in: timestamp_ntz survives, protocol advertises the feature
+    uri_ntz = str(tmp_path / "ntz")
+    write_deltalake(
+        spark, df, uri_ntz,
+        configuration={"delta.feature.timestampNtz": "supported"},
+    )
+    t2 = DeltaTable(uri_ntz)
+    assert isinstance(t2.schema()["ts"].dataType, T.TimestampNTZType)
+    assert t2.protocol_versions() == (3, 7)
+    state = t2.snapshot.state
+    assert "timestampNtz" in (state.reader_features or [])
+    assert "timestampNtz" in (state.writer_features or [])
+    # round trip values, append path included
+    write_deltalake(spark, df, uri_ntz, mode="append")
+    t2.update()
+    got = sorted(
+        (r["id"], r["ts"]) for r in t2.to_df(spark).collect()
+    )
+    assert got == sorted(rows + rows)
+    # pyarrow driver path reads the same values
+    pdf = t2.to_pandas()
+    pa_rows = sorted(
+        (int(i), ts.to_pydatetime()) for i, ts in zip(pdf["id"], pdf["ts"])
+    )
+    assert pa_rows == got
