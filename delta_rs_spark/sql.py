@@ -250,6 +250,22 @@ def _alter(spark: SparkSession, s: str) -> DataFrame:
         v = table.drop_column(mm.group(1))
         return _one_row(spark, {"version": v, "column": mm.group(1)})
 
+    mm = re.match(
+        r"ALTER\s+COLUMN\s+([\w.]+)\s+SET\s+DEFAULT\s+(.+)$",
+        rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mm:
+        v = table.set_column_default(mm.group(1), mm.group(2).strip())
+        return _one_row(spark, {"version": v, "column": mm.group(1)})
+
+    mm = re.match(
+        r"ALTER\s+COLUMN\s+([\w.]+)\s+DROP\s+DEFAULT$", rest, re.IGNORECASE
+    )
+    if mm:
+        v = table.drop_column_default(mm.group(1))
+        return _one_row(spark, {"version": v, "column": mm.group(1)})
+
     mm = re.match(r"SYNC\s+IDENTITY$", rest, re.IGNORECASE)
     if mm:
         marks = table.sync_identity()

@@ -674,6 +674,90 @@ class DeltaTable:
         self.update()
         return v
 
+    def set_column_default(self, column: str, expr: str) -> int:
+        """ALTER TABLE … ALTER COLUMN … SET DEFAULT: attach a DEFAULT
+        expression (public ``allowColumnDefaults`` writer feature; future
+        writes that omit the column materialize it). Metadata-only commit
+        with the protocol bump on first use."""
+        from .protocol import defaults as dfl
+        from .protocol.actions import upgraded_protocol
+        from .protocol.schema import schema_string_to_spark, spark_to_schema_string
+        from pyspark.sql import types as T
+
+        meta = self.metadata()
+        schema = schema_string_to_spark(meta.schema_string)
+        if column not in schema.names:
+            raise dfl.ColumnDefaultError(f"no such column {column!r}")
+        fields = []
+        for f in schema.fields:
+            if f.name == column:
+                m = dict(f.metadata or {})
+                m[dfl.CURRENT_DEFAULT] = expr
+                # EXISTS_DEFAULT is deliberately NOT set: it is the value
+                # readers assume for rows written BEFORE the column had the
+                # default, and Spark's scan applies it to files missing the
+                # column — SET DEFAULT on an existing column affects future
+                # inserts only; existing rows keep reading NULL
+                fields.append(T.StructField(f.name, f.dataType, f.nullable, m))
+            else:
+                fields.append(f)
+        new_meta = type(meta)(
+            id=meta.id,
+            schema_string=spark_to_schema_string(T.StructType(fields)),
+            partition_columns=meta.partition_columns,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+            configuration=dict(meta.configuration or {}),
+        )
+        txn = self.begin()
+        bump = upgraded_protocol(
+            self.snapshot.state, 1, 7, writer_features=[dfl.FEATURE_NAME]
+        )
+        if bump is not None:
+            txn.add_action(bump)
+        txn.add_action(new_meta)
+        v = txn.commit(
+            operation="ALTER COLUMN",
+            operation_parameters={"column": column, "default": expr},
+        )
+        self.update()
+        return v
+
+    def drop_column_default(self, column: str) -> int:
+        """ALTER TABLE … ALTER COLUMN … DROP DEFAULT."""
+        from .protocol import defaults as dfl
+        from .protocol.schema import schema_string_to_spark, spark_to_schema_string
+        from pyspark.sql import types as T
+
+        meta = self.metadata()
+        schema = schema_string_to_spark(meta.schema_string)
+        fields = []
+        for f in schema.fields:
+            if f.name == column:
+                m = dict(f.metadata or {})
+                m.pop(dfl.CURRENT_DEFAULT, None)
+                fields.append(T.StructField(f.name, f.dataType, f.nullable, m))
+            else:
+                fields.append(f)
+        new_meta = type(meta)(
+            id=meta.id,
+            schema_string=spark_to_schema_string(T.StructType(fields)),
+            partition_columns=meta.partition_columns,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+            configuration=dict(meta.configuration or {}),
+        )
+        txn = self.begin()
+        txn.add_action(new_meta)
+        v = txn.commit(
+            operation="ALTER COLUMN",
+            operation_parameters={"column": column, "default": None},
+        )
+        self.update()
+        return v
+
     def sync_identity(self) -> dict[str, int]:
         """ALTER TABLE ... SYNC IDENTITY: advance identity high-water marks
         past explicitly-inserted values, from per-file stats (metadata-only

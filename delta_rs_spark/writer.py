@@ -136,6 +136,7 @@ def write_deltalake(
     partition_overwrite_mode: Optional[str] = None,
     generated_columns: Optional[dict[str, str]] = None,
     identity_columns: Optional[dict[str, dict]] = None,
+    column_defaults: Optional[dict[str, str]] = None,
     cluster_by: Optional[Sequence[str]] = None,
 ) -> DeltaTable:
     """Write ``df`` to a Delta table, creating it if absent. Returns the table.
@@ -244,6 +245,23 @@ def write_deltalake(
             "identity_columns is a CREATE-time declaration; the existing "
             "table's schema metadata already carries the specs"
         )
+    if exists and column_defaults:
+        raise ValueError(
+            "column_defaults at write time is a CREATE-time declaration; "
+            "use DeltaTable.set_column_default on an existing table"
+        )
+
+    from .protocol import defaults as dfl
+
+    # CREATE with defaults: materialize omitted default columns up front so
+    # their types join the declared schema
+    if not exists and column_defaults:
+        from pyspark.sql import functions as _F
+
+        for _n, _e in column_defaults.items():
+            if _n not in df.columns:
+                df = df.withColumn(_n, _F.expr(_e))
+
     # declared schema for CREATE: the frame's schema plus generated-column
     # expressions (computed into the frame when omitted)
     if not exists and generated_columns:
@@ -257,6 +275,10 @@ def write_deltalake(
         declared_schema = idc.annotate_schema(
             identity_columns, declared_schema, df.columns
         )
+    if not exists and column_defaults:
+        declared_schema = dfl.annotate_schema(
+            column_defaults, declared_schema, df.columns
+        )
 
     if exists:
         if mode in ("error", "errorifexists"):
@@ -269,6 +291,8 @@ def write_deltalake(
         # identity columns: assign omitted values (shuffle-free codegen);
         # the water-mark metaData update joins the commit below
         df, id_assigned = idc.apply_on_write(df, table.schema())
+        # column DEFAULTs: materialize omitted columns (provided values win)
+        df = dfl.apply_on_write(df, table.schema())
         new_meta: Optional[MetaDataAction] = None
         if schema_mode == "merge":
             df, new_meta = _merge_schema(table, df)
@@ -471,7 +495,11 @@ def write_deltalake(
             isinstance(f.dataType, _T.TimestampNTZType)
             for f in declared_schema.fields
         )
+        def_on = bool(dfl.defaults(declared_schema))
         wf: list[str] = []
+        if def_on:
+            # no legacy version exists for column defaults: feature + v7
+            wf.append(dfl.FEATURE_NAME)
         rf: list[str] = []
         if ict:
             wf.append("inCommitTimestamp")
