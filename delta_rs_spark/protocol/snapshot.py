@@ -41,6 +41,27 @@ class NotATableError(DeltaTableError):
     pass
 
 
+class UnsupportedFeatureError(DeltaTableError):
+    """The table requires a reader feature this engine does not implement.
+    Failing fast here is the protocol's contract — reading on would return
+    wrong data (e.g. ignoring an unknown row-filtering feature)."""
+
+
+# reader features this engine fully implements; tables advertising anything
+# else are refused (the whole point of the feature lists)
+SUPPORTED_READER_FEATURES = frozenset(
+    {
+        "columnMapping",
+        "deletionVectors",
+        "timestampNtz",
+        "v2Checkpoint",
+        # vendor token written by pre-round-3 builds of this engine for the
+        # legacy parquet-dir DV descriptors (still decoded)
+        "deltaRsSpark.deletionVectors",
+    }
+)
+
+
 class Snapshot:
     """Immutable view of a table at one version."""
 
@@ -102,6 +123,12 @@ class Snapshot:
         if version is not None and loaded != version:
             raise DeltaTableError(
                 f"version {version} does not exist in {log.table_root} (latest {loaded})"
+            )
+        unknown = set(state.reader_features or []) - SUPPORTED_READER_FEATURES
+        if unknown:
+            raise UnsupportedFeatureError(
+                f"table {log.table_root} requires unsupported reader "
+                f"feature(s) {sorted(unknown)}"
             )
         return cls(log, loaded, state)
 

@@ -27,6 +27,30 @@ from .protocol.log import FileAlreadyExistsError
 
 DEFAULT_MAX_RETRY_COMMIT_ATTEMPTS = 10_000_000  # reference delta.rs:1158
 
+# writer features this engine implements; a conformant writer must refuse
+# to commit to a table advertising anything else (reading may still work —
+# writing would break the unknown feature's invariants)
+SUPPORTED_WRITER_FEATURES = frozenset(
+    {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "generatedColumns",
+        "changeDataFeed",
+        "columnMapping",
+        "identityColumns",
+        "deletionVectors",
+        "rowTracking",
+        "domainMetadata",
+        "inCommitTimestamp",
+        "v2Checkpoint",
+        "timestampNtz",
+        "clustering",
+        "allowColumnDefaults",
+        "deltaRsSpark.deletionVectors",  # vendor token, pre-round-3 tables
+    }
+)
+
 # public Delta ICT enablement bookkeeping (set when the feature turns on
 # mid-table-life; timestamp resolution splits its search at this boundary)
 ICT_ENABLEMENT_VERSION_KEY = "delta.inCommitTimestampEnablementVersion"
@@ -82,6 +106,16 @@ class DeltaTransaction:
     ) -> int:
         """Two-phase commit; returns the committed version."""
         actions = list(self.actions)
+        try:
+            current_wf = set(self.table.snapshot.state.writer_features or [])
+        except Exception:  # table mid-creation
+            current_wf = set()
+        unknown_wf = current_wf - SUPPORTED_WRITER_FEATURES
+        if unknown_wf:
+            raise TransactionError(
+                f"table requires unsupported writer feature(s) "
+                f"{sorted(unknown_wf)}; writing would break their invariants"
+            )
         # append-only enforcement at the one point every writer passes
         # through — DML, overwrite, replaceWhere, RESTORE, DV swaps all
         # carry dataChange=true removes and are rejected alike

@@ -69,6 +69,45 @@ def test_append_only_table(spark, small_table, sf_dir):
     t.delete(spark, "r_regionkey = 0")
 
 
+def test_unknown_feature_gates(spark, small_table, tmp_path):
+    """Unknown readerFeatures refuse the READ; unknown writerFeatures allow
+    reads but refuse commits — the table-features contract."""
+    from delta_rs_spark.protocol.actions import ProtocolAction
+    from delta_rs_spark.protocol.snapshot import UnsupportedFeatureError
+    from delta_rs_spark.transactions import TransactionError
+
+    t = DeltaTable(small_table)
+    txn = t.begin()
+    txn.add_action(
+        ProtocolAction(1, 7, writer_features=["futureWriterMagic"])
+    )
+    txn.commit(operation="UPGRADE")
+
+    t2 = DeltaTable(small_table)          # unknown WRITER feature: read ok
+    assert t2.to_df.__self__ is t2
+    with pytest.raises(TransactionError, match="futureWriterMagic"):
+        txn2 = t2.begin()
+        txn2.add_action(TxnAction(app_id="x", version=1))
+        txn2.commit(operation="WRITE")
+
+    # unknown READER feature: open fails fast
+    log = DeltaLog(small_table)
+    tmp = log.write_tmp_commit(
+        [
+            ProtocolAction(
+                3,
+                7,
+                reader_features=["futureReaderMagic"],
+                writer_features=["futureWriterMagic"],
+            )
+        ],
+        "up",
+    )
+    log.try_commit(tmp, t2.update() + 1)
+    with pytest.raises(UnsupportedFeatureError, match="futureReaderMagic"):
+        DeltaTable(small_table)
+
+
 def test_txn_app_versions(small_table):
     t = DeltaTable(small_table)
     txn = t.begin()
