@@ -91,6 +91,17 @@ def create_checkpoint(
         )
     for r in state.tombstones.values():
         rows.append({"remove": r.to_json_dict()})
+    # public checkpoint stats properties: writeStatsAsJson (default true)
+    # keeps the `stats` JSON column; writeStatsAsStruct additionally writes
+    # `stats_parsed` as a typed struct — engines that prune from checkpoints
+    # directly read the struct column without 400k JSON parses
+    cfg = meta.configuration or {}
+    stats_as_json = (
+        str(cfg.get("delta.checkpoint.writeStatsAsJson", "true")).lower() != "false"
+    )
+    stats_as_struct = (
+        str(cfg.get("delta.checkpoint.writeStatsAsStruct", "false")).lower() == "true"
+    )
     for a in state.files.values():
         add_d = a.to_json_dict()
         if pcols:
@@ -98,6 +109,12 @@ def create_checkpoint(
                 c: _parsed_partition_value(a.partition_values.get(c), ptypes[c])
                 for c in pcols
             }
+        if stats_as_struct:
+            parsed = a.get_stats()
+            if parsed is not None:
+                add_d["stats_parsed"] = parsed
+        if not stats_as_json:
+            add_d.pop("stats", None)
         rows.append({"add": add_d})
 
     rows = [_drop_empty_dicts(r) for r in rows]

@@ -624,3 +624,41 @@ def test_clustered_table_optimize_reclusters(spark, tmp_path):
         write_deltalake(
             spark, df, str(tmp_path / "other"), partition_by=["x"], cluster_by=["y"]
         )
+
+
+def test_checkpoint_stats_as_struct_roundtrip(spark, tmp_path, sf_dir):
+    """writeStatsAsStruct writes stats_parsed; with writeStatsAsJson=false
+    the JSON column is dropped and reloads reconstruct stats from the
+    struct (metadata-only count still works post-checkpoint)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.protocol.log import DeltaLog
+
+    df = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        df,
+        uri,
+        configuration={
+            "delta.checkpoint.writeStatsAsStruct": "true",
+            "delta.checkpoint.writeStatsAsJson": "false",
+        },
+    )
+    t = DeltaTable(uri)
+    n = t.count_rows()
+    cp = t.create_checkpoint()
+    log = DeltaLog(uri)
+    table = pq.read_table(io.BytesIO(log.backend.get_obj(log.checkpoint_paths(cp)[0])))
+    add_type = dict(zip(table.column_names, table.schema.types))["add"]
+    field_names = [add_type.field(i).name for i in range(add_type.num_fields)]
+    assert "stats_parsed" in field_names
+    assert "stats" not in field_names
+
+    # fresh load from the checkpoint reconstructs stats from the struct
+    t2 = DeltaTable(uri)
+    assert t2.count_rows() == n
+    assert all(a.get_stats() is not None for a in t2.add_actions())
