@@ -153,6 +153,18 @@ class DeltaTransaction:
                 actions = actions + [rt_domain]
         rt_stamped_version: Optional[int] = None
 
+        # a commit that ENABLES the change data feed carries the protocol
+        # floor with it: legacy writer 4, or the changeDataFeed feature on
+        # list-mandatory tables (upgraded_protocol picks the right form)
+        if self._cdf_enabling_metadata(actions) is not None:
+            from .protocol.actions import upgraded_protocol
+
+            bump = upgraded_protocol(
+                self.table.snapshot.state, 1, 4, writer_features=["changeDataFeed"]
+            )
+            if bump is not None:
+                actions = [bump] + actions
+
         info: Optional[dict[str, Any]] = None
         if operation is not None or ict_enabled:
             info = {
@@ -259,6 +271,24 @@ class DeltaTransaction:
             if isinstance(a, MetaDataAction):
                 cfg = a.configuration or {}
                 if str(cfg.get("delta.enableInCommitTimestamps", "")).lower() == "true":
+                    return a
+        return None
+
+    def _cdf_enabling_metadata(self, actions: list[Action]):
+        """The MetaDataAction in this commit that turns the change data feed
+        on for a table where it was previously off, else None."""
+        from .protocol.actions import MetaDataAction
+
+        try:
+            cur = self.table.metadata().configuration or {}
+        except Exception:
+            cur = {}
+        if str(cur.get("delta.enableChangeDataFeed", "")).lower() == "true":
+            return None  # already on
+        for a in actions:
+            if isinstance(a, MetaDataAction):
+                cfg = a.configuration or {}
+                if str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true":
                     return a
         return None
 

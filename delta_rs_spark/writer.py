@@ -489,6 +489,12 @@ def write_deltalake(
         id_on = bool(idc.specs(declared_schema))
         if id_on:
             min_w = max(min_w, idc.MIN_WRITER)
+        cdf_on = (
+            str(configuration.get("delta.enableChangeDataFeed", "")).lower()
+            == "true"
+        )
+        if cdf_on:
+            min_w = max(min_w, 4)  # legacy changeDataFeed floor
         from pyspark.sql import types as _T
 
         ntz_on = any(
@@ -525,6 +531,8 @@ def write_deltalake(
                 wf.append(gen.FEATURE_NAME)
             if id_on:
                 wf.append(idc.FEATURE_NAME)
+            if cdf_on:
+                wf.append("changeDataFeed")
             proto = ProtocolAction(
                 min_r,
                 7,

@@ -310,3 +310,40 @@ def test_load_cdf_across_schema_evolution(spark, tmp_path):
     assert len(v0) == 5 and all(r.extra is None for r in v0)
     assert len(v1) == 3 and all(r.extra == r.id * 2 for r in v1)
     assert all(r["_change_type"] == "insert" for r in rows)
+
+
+def test_cdf_enable_bumps_protocol(spark, tmp_path, sf_dir):
+    """Enabling the change data feed carries the legacy writer-4 floor
+    (or the changeDataFeed feature on list-mandatory tables)."""
+    import os as _os
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    df = spark.read.parquet(_os.path.join(sf_dir, "region.parquet"))
+
+    # create WITH the property: floor set at version 0
+    uri1 = str(tmp_path / "born")
+    write_deltalake(
+        spark, df, uri1, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    assert DeltaTable(uri1).protocol_versions()[1] >= 4
+
+    # enable later via SET TBLPROPERTIES: the enabling commit bumps
+    uri2 = str(tmp_path / "later")
+    write_deltalake(spark, df, uri2)
+    t = DeltaTable(uri2)
+    assert t.protocol_versions()[1] == 2
+    t.set_properties({"delta.enableChangeDataFeed": "true"})
+    t.update()
+    assert t.protocol_versions()[1] >= 4
+
+    # on a feature-list table the token lands in writerFeatures
+    uri3 = str(tmp_path / "listed")
+    write_deltalake(
+        spark, df, uri3,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+    )
+    t3 = DeltaTable(uri3)
+    t3.set_properties({"delta.enableChangeDataFeed": "true"})
+    t3.update()
+    assert "changeDataFeed" in (t3.snapshot.state.writer_features or [])
