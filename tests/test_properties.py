@@ -230,3 +230,70 @@ def test_protocol_action_features_roundtrip(reader, writer, rf, wf):
     )
     (back,) = parse_log_entry(action_to_log_line(p))
     assert back == p
+
+
+@st.composite
+def commit_sequences(draw):
+    """A list of commits, each a list of add/remove/txn/domain actions."""
+    from delta_rs_spark.protocol.actions import DomainMetadataAction, TxnAction
+
+    n_commits = draw(st.integers(min_value=1, max_value=8))
+    commits = []
+    for _ in range(n_commits):
+        ops = draw(
+            st.lists(
+                st.tuples(
+                    st.sampled_from(["add", "remove", "txn", "domain"]),
+                    paths,
+                    st.integers(min_value=0, max_value=5),
+                ),
+                min_size=0,
+                max_size=6,
+            )
+        )
+        commit = []
+        for kind, p, v in ops:
+            if kind == "add":
+                commit.append(AddAction(path=p))
+            elif kind == "remove":
+                commit.append(RemoveAction(path=p))
+            elif kind == "txn":
+                commit.append(TxnAction(app_id=p, version=v))
+            else:
+                # v == 0 → a domain REMOVAL: the reconciler must retain it
+                # (it cancels a domain set before the compacted range)
+                commit.append(
+                    DomainMetadataAction(
+                        domain=p,
+                        configuration=json.dumps({"v": v}),
+                        removed=(v == 0),
+                    )
+                )
+        commits.append(commit)
+    return commits
+
+
+@given(commit_sequences())
+@settings(max_examples=200)
+def test_log_compaction_reconciliation_equals_direct_replay(commits):
+    """Folding (prefix-state + compaction of a range) must equal folding
+    every commit — for ANY action mix and ANY range the compactor covers."""
+    from delta_rs_spark.protocol.actions import ActionReconciler
+
+    # direct replay of everything
+    direct = TableState()
+    for c in commits:
+        direct.apply_all(c)
+
+    # replay via a compaction covering the whole tail after the first commit
+    rec = ActionReconciler()
+    for c in commits[1:]:
+        rec.apply_all(c)
+    via = TableState()
+    via.apply_all(commits[0])
+    via.apply_all(rec.reconciled())
+
+    assert set(via.files) == set(direct.files)
+    assert set(via.tombstones) == set(direct.tombstones)
+    assert via.app_transaction_version == direct.app_transaction_version
+    assert via.domain_metadata == direct.domain_metadata
