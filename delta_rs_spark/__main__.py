@@ -75,6 +75,34 @@ def _cmd_history(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_protocol(args: argparse.Namespace) -> int:
+    """Protocol summary: versions, feature lists, and the feature-bearing
+    table properties — what a foreign engine needs to know before opening.
+    Spark-free, O(1) driver work."""
+    table = DeltaTable(args.uri)
+    state = table.snapshot.state
+    cfg = table.metadata().configuration or {}
+    feature_props = {
+        k: v
+        for k, v in sorted(cfg.items())
+        if k.startswith(("delta.enable", "delta.feature.", "delta.checkpointPolicy",
+                         "delta.appendOnly", "delta.columnMapping"))
+    }
+    print(
+        json.dumps(
+            {
+                "minReaderVersion": state.min_reader_version,
+                "minWriterVersion": state.min_writer_version,
+                "readerFeatures": sorted(state.reader_features or []),
+                "writerFeatures": sorted(state.writer_features or []),
+                "featureProperties": feature_props,
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
 def _cmd_dv(args: argparse.Namespace) -> int:
     """Deletion-vector summary: one line per DV'd file + a totals object.
 
@@ -163,6 +191,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_dv.add_argument("uri", help="Table URI")
     p_dv.set_defaults(func=_cmd_dv)
+
+    p_proto = isub.add_parser(
+        "protocol", help="protocol versions + feature lists"
+    )
+    p_proto.add_argument("uri", help="Table URI")
+    p_proto.set_defaults(func=_cmd_protocol)
 
     p_vac = sub.add_parser("vacuum", help="list/delete unreferenced files")
     p_vac.add_argument("uri", help="Table URI")

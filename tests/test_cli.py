@@ -98,3 +98,21 @@ def test_inspect_dv_clean_table(golden, capsys):
     cap = capsys.readouterr()
     assert cap.out == ""
     assert json.loads(cap.err)["numFilesWithDV"] == 0
+
+
+def test_inspect_protocol(spark, tmp_path, capsys):
+    import json as _json
+
+    from delta_rs_spark import write_deltalake
+    from delta_rs_spark.__main__ import main
+
+    uri = str(tmp_path / "t")
+    df = spark.range(3).selectExpr("id", "id * 2 AS v")
+    write_deltalake(
+        spark, df, uri, configuration={"delta.enableInCommitTimestamps": "true"}
+    )
+    assert main(["inspect", "protocol", uri]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["minWriterVersion"] == 7
+    assert "inCommitTimestamp" in out["writerFeatures"]
+    assert out["featureProperties"]["delta.enableInCommitTimestamps"] == "true"
