@@ -733,7 +733,13 @@ def maybe_checkpoint(table, version: int, interval: int = 10) -> Optional[CheckP
     ):
         start = version - interval // 2 + 1
         if start <= version - 1:
-            write_log_compaction(table, start, version)
+            try:
+                write_log_compaction(table, start, version)
+            except ValueError:
+                # best-effort: a table created mid-window (or an already
+                # cleaned range) just skips this compaction — the commit
+                # that triggered the hook must never fail on it
+                pass
     return None
 
 

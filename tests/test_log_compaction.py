@@ -133,3 +133,27 @@ def test_cleanup_reaps_compactions_below_checkpoint(multi_commit_table):
     # and the table still loads fine from the checkpoint
     t2 = DeltaTable(multi_commit_table)
     assert t2.version == t.version
+
+
+def test_auto_compaction_best_effort_when_range_missing(spark, tmp_path, sf_dir):
+    """An auto-compaction window spanning commits already reaped by
+    expired-log cleanup must not fail the triggering commit."""
+    df = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    uri = str(tmp_path / "cleaned")
+    write_deltalake(
+        spark, df, uri, configuration={"delta.enableLogCompaction": "true"}
+    )
+    for _ in range(4):  # versions 1..4
+        write_deltalake(spark, df.limit(1), uri, mode="append")
+    t = DeltaTable(uri)
+    t.create_checkpoint()
+    cleanup_expired_logs(t, retention_ms=0)  # commits 0..3 reaped
+    log = DeltaLog(uri)
+    assert log.try_read_commit(1) is None
+
+    # version 5 = the mid-interval commit: hook range [1, 5] has missing
+    # head commits; the write must succeed and simply skip the compaction
+    write_deltalake(spark, df.limit(1), uri, mode="append")
+    t2 = DeltaTable(uri)
+    assert t2.version == 5
+    assert (1, 5) not in log.list_compactions()
