@@ -132,6 +132,23 @@ def _norm_file_uri(uri: str) -> str:
     return unquote(p.path) if p.scheme else uri
 
 
+def _insert_select_exprs(schema, src_cols: set[str]) -> list:
+    """MERGE INSERT projection: source columns cast to the table types;
+    columns the source omits materialize their DEFAULT expression (the
+    caller validated nothing else is missing)."""
+    from .protocol import defaults as _dfl
+
+    defs = _dfl.defaults(schema)
+    types = {f.name: f.dataType for f in schema.fields}
+    out = []
+    for c in schema.names:
+        if c in src_cols:
+            out.append(F.col(c).cast(types[c]).alias(c))
+        else:
+            out.append(F.expr(defs[c]).cast(types[c]).alias(c))
+    return out
+
+
 def _add_matches_hit(snap, add: AddAction, hits: set[str]) -> bool:
     """Does a lineage-column value in ``hits`` identify this add?
 
@@ -894,7 +911,7 @@ def _merge_merge_on_read(
         if when_not_matched_insert:
             inserts = (
                 s.join(t, on, "left_anti")
-                .select(*[F.col(c).cast(types[c]).alias(c) for c in schema.names])
+                .select(*_insert_select_exprs(schema, set(s.columns)))
                 .cache()
             )
             n_inserted = inserts.count()
@@ -1003,7 +1020,10 @@ def merge(
         _idcm.reject_assignments(when_matched_update, schema)
     src_cols = set(source.columns)
     if when_not_matched_insert:
-        missing = set(schema.names) - src_cols
+        from .protocol import defaults as _dflm
+
+        # columns with a DEFAULT may be omitted — the insert materializes it
+        missing = set(schema.names) - src_cols - set(_dflm.defaults(schema))
         if missing:
             raise DMLError(f"source lacks columns required for INSERT: {sorted(missing)}")
         # MERGE INSERT takes the identity value from the source row —
@@ -1173,7 +1193,7 @@ def merge(
         # cached: the anti-join result is consumed up to three times (count,
         # staged write, cdc change files) — one execution instead of three
         inserts = s.join(t, on, "left_anti").select(
-            *[F.col(c).cast(types[c]).alias(c) for c in schema.names]
+            *_insert_select_exprs(schema, set(source.columns))
         ).cache()
         n_inserted = inserts.count()
         # allowMissingColumns: inserted rows have no prior identity — their

@@ -77,3 +77,22 @@ def test_unknown_column_default_raises(spark, tmp_path, src):
     t = write_deltalake(spark, src, uri)
     with pytest.raises(dfl.ColumnDefaultError, match="no such column"):
         t.set_column_default("nope", "'x'")
+
+
+def test_merge_insert_uses_defaults(spark, tmp_path, src):
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, src, uri, column_defaults={"tier": "'bronze'"})
+    t = DeltaTable(uri)
+
+    source = src.limit(0).union(
+        spark.createDataFrame([(99, "newregion")], src.schema)
+    )  # unmatched row, NO tier column
+    res = t.merge(
+        spark,
+        source,
+        "t.r_regionkey = s.r_regionkey",
+        when_not_matched_insert=True,
+    )
+    assert res["numTargetRowsInserted"] == 1
+    got = t.to_df(spark).filter("r_regionkey = 99").collect()
+    assert got and got[0]["tier"] == "bronze"
