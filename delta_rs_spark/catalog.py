@@ -62,6 +62,7 @@ _ROTATION = [
     "profile_lineitem_columns",
     "pipeline_corpus_curation",
     # -- round-3 additions (registered by queries/pipeline_queries) --------
+    "features_lifecycle",
     "cdf_changes_window",
     "q_zorder_pruned_scan",
     "stream_events_hourly",

@@ -160,6 +160,77 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "features_lifecycle",
+    """
+    WITH base AS (
+      SELECT doc_id, source, 'standard' AS tier FROM documents
+      WHERE doc_id % 4 <> 0
+    ),
+    extra AS (
+      SELECT doc_id + 100000 AS doc_id, source, 'gold' AS tier
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id, source, tier FROM base
+    UNION ALL SELECT doc_id, source, tier FROM extra
+    ORDER BY doc_id
+    """,
+)
+def q_features_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3-continuation features certified end to end: CREATE with a
+    column DEFAULT, appends that omit the default column, a DELETE, an
+    explicit-value append, a manual LOG COMPACTION over the DML window,
+    then the V2-checkpoint upgrade + checkpoint — and the final read must
+    equal the oracle's reconstruction from the source parquet. A fresh
+    DeltaTable() load at the end replays through the compaction AND the v2
+    manifest/sidecars, so the whole feature stack sits in the read path the
+    driver hashes."""
+    from . import DeltaTable
+    from .writer import write_deltalake
+
+    uri = _workdir("features", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    # v0: create with DEFAULT tier='standard' (column materialized per row)
+    write_deltalake(
+        spark, docs, uri, column_defaults={"tier": "'standard'"}
+    )
+    # v1: append omitting `tier` — the default fills it
+    write_deltalake(
+        spark,
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source"
+        ),
+        uri,
+        mode="append",
+    )
+    # v2: delete a slice (copy-on-write remove+add commit)
+    t = DeltaTable(uri)
+    t.delete(spark, "doc_id % 4 = 0 AND doc_id < 100000")
+    # v3: explicit value wins over the default
+    write_deltalake(
+        spark,
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "source",
+            F.lit("gold").alias("tier"),
+        ),
+        uri,
+        mode="overwrite",
+        replace_where="doc_id >= 100000",
+    )
+    # fold the whole DML window into one compaction file, then upgrade to
+    # v2 checkpoints and write one — the reload below replays compaction +
+    # manifest + sidecars
+    t = DeltaTable(uri)
+    t.compact_log(1, 3)
+    t.enable_v2_checkpoints()  # v4
+    t.create_checkpoint()
+
+    t2 = DeltaTable(uri)
+    return t2.to_df(spark).orderBy("doc_id")
+
+
+@query(
     "stream_events_hourly",
     f"""
     SELECT date_trunc('hour', ts) AS hour, event_type,
