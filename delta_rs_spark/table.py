@@ -1003,4 +1003,12 @@ class DeltaTable:
     def _post_commit_hook(self, version: int) -> None:
         from .maintenance import maybe_checkpoint
 
-        maybe_checkpoint(self, version, interval=self.checkpoint_interval)
+        # the public delta.checkpointInterval property overrides the default
+        interval = self.checkpoint_interval
+        try:
+            raw = (self.metadata().configuration or {}).get("delta.checkpointInterval")
+            if raw is not None and int(raw) > 0:
+                interval = int(raw)
+        except (ValueError, TypeError):
+            pass
+        maybe_checkpoint(self, version, interval=interval)

@@ -80,6 +80,22 @@ def check_constraints(
         for k, v in (configuration or {}).items()
         if k.startswith(CONSTRAINT_PREFIX)
     }
+    # old-style column invariants (legacy writer-2 `invariants` feature):
+    # a field's metadata may carry `delta.invariants` =
+    # {"expression": {"expression": "<sql>"}} — tables written by older
+    # engines rely on every writer enforcing it; folded into the same scan
+    if schema is not None:
+        import json as _json
+
+        for f in schema.fields:
+            inv = (f.metadata or {}).get("delta.invariants")
+            if not inv:
+                continue
+            try:
+                expr = _json.loads(inv)["expression"]["expression"]
+            except (ValueError, KeyError, TypeError):
+                continue
+            constraints.setdefault(f"invariant({f.name})", expr)
     # NOT NULL comes from the TABLE's declared schema, never the incoming
     # frame's (Spark frequently widens nullability through shuffles)
     notnull_cols = [

@@ -707,3 +707,44 @@ def test_timestamp_ntz_feature(spark, tmp_path):
         (int(i), ts.to_pydatetime()) for i, ts in zip(pdf["id"], pdf["ts"])
     )
     assert pa_rows == got
+
+
+def test_checkpoint_interval_property(spark, tmp_path, sf_dir):
+    """delta.checkpointInterval overrides the every-10-commits default."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.protocol.log import DeltaLog
+
+    df = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    uri = str(tmp_path / "ckpt3")
+    write_deltalake(
+        spark, df, uri, configuration={"delta.checkpointInterval": "3"}
+    )
+    for _ in range(3):  # versions 1..3
+        write_deltalake(spark, df.limit(1), uri, mode="append")
+    cp = DeltaLog(uri).read_last_checkpoint()
+    assert cp is not None and cp.version == 3
+
+
+def test_legacy_column_invariants_enforced(spark, tmp_path, sf_dir):
+    """Old-style delta.invariants field metadata rejects violating writes."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from delta_rs_spark import write_deltalake
+    from delta_rs_spark.writer import ConstraintViolationError
+
+    df = spark.range(5).select(F.col("id"))
+    inv = _json.dumps({"expression": {"expression": "id < 100"}})
+    schema = T.StructType(
+        [T.StructField("id", T.LongType(), True, {"delta.invariants": inv})]
+    )
+    uri = str(tmp_path / "inv")
+    write_deltalake(spark, spark.createDataFrame(df.collect(), schema), uri)
+
+    ok = spark.createDataFrame([(7,)], schema)
+    write_deltalake(spark, ok, uri, mode="append")
+    bad = spark.createDataFrame([(500,)], schema)
+    with pytest.raises(ConstraintViolationError, match="invariant"):
+        write_deltalake(spark, bad, uri, mode="append")
