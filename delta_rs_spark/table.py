@@ -457,6 +457,10 @@ class DeltaTable:
             "properties": dict(meta.configuration or {}),
             "minReaderVersion": min_reader,
             "minWriterVersion": min_writer,
+            "tableFeatures": sorted(
+                set(self.snapshot.state.reader_features or [])
+                | set(self.snapshot.state.writer_features or [])
+            ),
             "version": self.version,
         }
 
