@@ -449,6 +449,18 @@ def _insert(spark: SparkSession, s: str) -> DataFrame:
 
 
 def _create(spark: SparkSession, s: str) -> DataFrame:
+    # column-DDL form: CREATE TABLE delta.`p` (col TYPE [modifiers], ...)
+    # [PARTITIONED BY (...)] [TBLPROPERTIES (...)] — creates an EMPTY table
+    # with IDENTITY / DEFAULT / NOT NULL / generated-column declarations
+    m = re.match(
+        r"^CREATE\s+TABLE\s+delta\.`([^`]+)`\s*\((.+?)\)"
+        r"(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?"
+        r"(?:\s+TBLPROPERTIES\s*\((.+)\))?$",
+        s,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m and not re.search(r"\)\s+AS\s+", s, re.IGNORECASE):
+        return _create_from_ddl(spark, m)
     m = _require(
         r"CREATE\s+TABLE\s+delta\.`([^`]+)`"
         r"(?:\s+PARTITIONED\s+BY\s+\(([^)]+)\))?\s+AS\s+(.+)$",
@@ -463,3 +475,92 @@ def _create(spark: SparkSession, s: str) -> DataFrame:
         spark, df, m.group(1), mode="error", partition_by=pcols
     )
     return _one_row(spark, {"version": table.version, "location": m.group(1)})
+
+
+_IDENTITY_COL_RE = re.compile(
+    r"GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+    r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+(-?\d+)\s*\))?",
+    re.IGNORECASE,
+)
+_GENERATED_COL_RE = re.compile(
+    r"GENERATED\s+ALWAYS\s+AS\s+\((.+)\)\s*$", re.IGNORECASE | re.DOTALL
+)
+
+
+def _create_from_ddl(spark: SparkSession, m: re.Match) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from .writer import write_deltalake
+
+    uri = m.group(1)
+    pcols = [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
+    props = (
+        {k: v if v is not None else "" for k, v in _PROPS_RE.findall(m.group(4))}
+        if m.group(4)
+        else None
+    )
+
+    plain_fields: list[str] = []
+    not_null: list[str] = []
+    identity: dict[str, dict] = {}
+    generated: dict[str, str] = {}
+    defaults: dict[str, str] = {}
+    for spec in _split_top_level(m.group(2)):
+        spec = spec.strip()
+        name, _, rest = spec.partition(" ")
+        if not rest:
+            raise SqlError(f"cannot parse column spec: {spec!r}")
+        # the type is the leading token sequence up to the first modifier
+        mm = _GENERATED_COL_RE.search(rest)
+        if mm:
+            generated[name] = mm.group(1).strip()
+            rest = rest[: mm.start()].strip()
+        mm = _IDENTITY_COL_RE.search(rest)
+        if mm:
+            identity[name] = {
+                "allow_explicit_insert": mm.group(1).upper() != "ALWAYS",
+                **(
+                    {"start": int(mm.group(2)), "step": int(mm.group(3))}
+                    if mm.group(2) is not None
+                    else {}
+                ),
+            }
+            rest = (rest[: mm.start()] + rest[mm.end():]).strip()
+        mm = re.search(r"\bDEFAULT\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
+        if mm:
+            defaults[name] = mm.group(1).strip()
+            rest = rest[: mm.start()].strip()
+        if re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE):
+            not_null.append(name)
+            rest = re.sub(r"\bNOT\s+NULL\b", "", rest, flags=re.IGNORECASE).strip()
+        ctype = rest.strip()
+        if not ctype and name not in generated:
+            raise SqlError(f"column {name!r} needs a type")
+        if name not in identity and name not in generated:
+            plain_fields.append(f"{name} {ctype}")
+        elif name in generated and ctype:
+            # generated column with an explicit type: cast rides the expr
+            generated[name] = f"CAST(({generated[name]}) AS {ctype})"
+
+    base = spark.createDataFrame([], ", ".join(plain_fields) if plain_fields else "")
+    if not_null:
+        schema = T.StructType(
+            [
+                T.StructField(f.name, f.dataType, f.name not in not_null, f.metadata)
+                for f in base.schema.fields
+            ]
+        )
+        base = spark.createDataFrame([], schema)
+
+    table = write_deltalake(
+        spark,
+        base,
+        uri,
+        mode="error",
+        partition_by=pcols,
+        configuration=props,
+        identity_columns=identity or None,
+        generated_columns=generated or None,
+        column_defaults=defaults or None,
+    )
+    return _one_row(spark, {"version": table.version, "location": uri})

@@ -245,3 +245,44 @@ def test_alter_table_rename_and_drop_column_sql(spark, tmp_path):
 
     with _pytest.raises(SchemaMismatchError, match="requires column mapping"):
         sql(spark, f"ALTER TABLE delta.`{uri2}` RENAME COLUMN id TO id2")
+
+
+def test_create_table_column_ddl(spark, tmp_path):
+    """CREATE TABLE with column definitions: IDENTITY, DEFAULT, NOT NULL,
+    generated columns, TBLPROPERTIES — an empty declared table that the
+    write path then populates under all the declared contracts."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.protocol import defaults as dfl
+    from delta_rs_spark.protocol import identity as idc
+
+    uri = str(tmp_path / "ddl")
+    res = sql(
+        spark,
+        f"""CREATE TABLE delta.`{uri}` (
+            id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100 INCREMENT BY 2),
+            name STRING NOT NULL,
+            tier STRING DEFAULT 'bronze',
+            v DOUBLE,
+            v2 DOUBLE GENERATED ALWAYS AS (v * 2)
+        ) TBLPROPERTIES ('delta.appendOnly'='false', 'owner'='ml')""",
+    ).collect()[0]
+    assert int(res["version"]) == 0
+
+    t = DeltaTable(uri)
+    assert t.to_df(spark).count() == 0
+    assert [f.name for f in t.schema().fields] == ["name", "tier", "v", "v2", "id"]
+    spec = idc.specs(t.schema())["id"]
+    assert (spec.start, spec.step, spec.allow_explicit_insert) == (100, 2, False)
+    assert dfl.defaults(t.schema()) == {"tier": "'bronze'"}
+    assert not t.schema()["name"].nullable
+    assert t.metadata().configuration["owner"] == "ml"
+
+    # populate through the declared contracts: identity assigned, default
+    # filled, generated computed
+    rows = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "name string, v double")
+    write_deltalake(spark, rows, uri, mode="append")
+    t.update()
+    got = {r["name"]: r for r in t.to_df(spark).collect()}
+    assert got["a"]["tier"] == "bronze" and got["a"]["v2"] == 2.0
+    ids = {r["id"] for r in got.values()}
+    assert len(ids) == 2 and all(i >= 100 and i % 2 == 0 for i in ids)
