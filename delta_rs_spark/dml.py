@@ -132,21 +132,30 @@ def _norm_file_uri(uri: str) -> str:
     return unquote(p.path) if p.scheme else uri
 
 
-def _insert_select_exprs(schema, src_cols: set[str]) -> list:
+def _insert_select_exprs(schema, src_cols: set[str]) -> tuple[list, dict]:
     """MERGE INSERT projection: source columns cast to the table types;
-    columns the source omits materialize their DEFAULT expression (the
-    caller validated nothing else is missing)."""
+    columns the source omits materialize their DEFAULT expression or, for
+    identity columns, the system-assignment expression (the caller
+    validated nothing else is missing). Returns (exprs, assigned identity
+    specs) — the caller must advance the assigned columns' water marks in
+    the same commit."""
     from .protocol import defaults as _dfl
+    from .protocol import identity as _idc
 
     defs = _dfl.defaults(schema)
+    ids = _idc.specs(schema)
     types = {f.name: f.dataType for f in schema.fields}
     out = []
+    assigned: dict = {}
     for c in schema.names:
         if c in src_cols:
             out.append(F.col(c).cast(types[c]).alias(c))
+        elif c in ids:
+            out.append(_idc.assign_expr(ids[c]).alias(c))
+            assigned[c] = ids[c]
         else:
             out.append(F.expr(defs[c]).cast(types[c]).alias(c))
-    return out
+    return out, assigned
 
 
 def _add_matches_hit(snap, add: AddAction, hits: set[str]) -> bool:
@@ -187,6 +196,64 @@ def _files_with_matches(
     return matched, n_rows
 
 
+def _identity_commit_extras(table, assigned: dict, adds: list):
+    """(metaData action advancing the assigned identity columns' water
+    marks from the staged adds' footer stats, commit guard) — or (None,
+    None) when nothing advances. Staged files in a MERGE mix rewritten
+    rows (old ids) with inserted rows (fresh ids), so only marks strictly
+    past the current water mark are written."""
+    from .protocol import column_mapping as cm
+    from .protocol import identity as idc
+    from .protocol.schema import schema_string_to_spark, spark_to_schema_string
+
+    if not assigned:
+        return None, None
+    cfg = table.metadata().configuration
+    name_map = cm.top_level_physical(table.schema()) if cm.is_mapped(cfg) else None
+    marks = idc.advanced_water_marks(assigned, adds, name_map=name_map)
+    marks = {
+        n: v
+        for n, v in marks.items()
+        if assigned[n].high_water_mark is None
+        or (
+            v > assigned[n].high_water_mark
+            if assigned[n].step > 0
+            else v < assigned[n].high_water_mark
+        )
+    }
+    expected = {n: s.high_water_mark for n, s in assigned.items()}
+
+    def guard(tbl) -> None:
+        from .transactions import ConcurrentModificationError
+
+        cur = idc.specs(tbl.schema())
+        for n, exp in expected.items():
+            got = cur[n].high_water_mark if n in cur else None
+            if got != exp:
+                raise ConcurrentModificationError(
+                    f"identity column {n!r}: a concurrent commit moved the "
+                    f"high-water mark ({exp} -> {got}); re-run the merge "
+                    "against the refreshed table"
+                )
+
+    if not marks:
+        return None, guard
+    meta = table.metadata()
+    sch = idc.schema_with_water_marks(
+        schema_string_to_spark(meta.schema_string), marks
+    )
+    new_meta = type(meta)(
+        id=meta.id,
+        schema_string=spark_to_schema_string(sch),
+        partition_columns=meta.partition_columns,
+        name=meta.name,
+        description=meta.description,
+        created_time=meta.created_time,
+        configuration=dict(meta.configuration or {}),
+    )
+    return new_meta, guard
+
+
 def _stage_and_swap(
     spark: SparkSession,
     table: DeltaTable,
@@ -198,6 +265,7 @@ def _stage_and_swap(
     change_rows: Optional[DataFrame] = None,
     extra_actions: Optional[list] = None,
     max_records_per_file: Optional[int] = None,
+    identity_assigned: Optional[dict] = None,
 ) -> dict[str, Any]:
     """Write ``new_rows`` through the staged-write path and commit
     Remove(removed) + Add(staged) (+ cdc change files, when given) as one
@@ -207,6 +275,7 @@ def _stage_and_swap(
     from .writer import _promote_staged_files, check_constraints, data_skipping_columns
 
     from .protocol import column_mapping as cm
+    from .protocol import identity as _idc
 
     log = table.log
     pcols = table.metadata().partition_columns
@@ -220,6 +289,10 @@ def _stage_and_swap(
     # dirs, and stats; the frame stays logical until this last hop
     stage_rows, stage_pcols = new_rows, pcols
     stats_cols = data_skipping_columns(cfg, schema.names)
+    _idn = set(_idc.specs(schema))
+    if _idn and stats_cols is not None:
+        # identity water marks read the columns' footer min/max
+        stats_cols = stats_cols | _idn
     if cm.is_mapped(cfg):
         stage_rows = cm.to_physical_df(new_rows, schema)
         phys = cm.top_level_physical(schema)
@@ -252,6 +325,11 @@ def _stage_and_swap(
 
     now_ms = int(time.time() * 1000)
     txn = DeltaTransaction(table)
+    id_meta, id_guard = _identity_commit_extras(table, identity_assigned or {}, adds)
+    if id_meta is not None:
+        txn.add_action(id_meta)
+    if id_guard is not None:
+        txn.add_commit_guard(id_guard)
     txn.add_actions(cdc_actions)
     txn.add_actions(list(extra_actions or []))
     for old in removed:
@@ -454,12 +532,15 @@ def _dv_swap_actions(log, candidates: list[AddAction], pos_df) -> tuple[list, di
 
 
 def _commit_dv_txn(
-    table: DeltaTable, actions: list, operation: str, params: dict, metrics: dict
+    table: DeltaTable, actions: list, operation: str, params: dict, metrics: dict,
+    guard=None,
 ) -> int:
     """One DV commit: protocol bump to reader 3 / writer 7 on first use
     (deletion vectors are a reader-visible feature — foreign readers must
     fail fast), then the swap actions."""
     txn = DeltaTransaction(table)
+    if guard is not None:
+        txn.add_commit_guard(guard)
     if any(isinstance(a, AddAction) and a.deletion_vector for a in actions):
         from .protocol.actions import upgraded_protocol
 
@@ -684,6 +765,11 @@ def _stage_new_rows(spark: SparkSession, table: DeltaTable, rows: DataFrame) -> 
     cfg = table.metadata().configuration
     check_constraints(rows, cfg, schema=schema)
     stats_cols = data_skipping_columns(cfg, schema.names)
+    from .protocol import identity as _idc
+
+    _idn = set(_idc.specs(schema))
+    if _idn and stats_cols is not None:
+        stats_cols = stats_cols | _idn  # water marks read these footer stats
     if cm.is_mapped(cfg):
         rows = cm.to_physical_df(rows, schema)
         phys = cm.top_level_physical(schema)
@@ -908,12 +994,10 @@ def _merge_merge_on_read(
 
         n_inserted = 0
         inserts = None
+        id_assigned: dict = {}
         if when_not_matched_insert:
-            inserts = (
-                s.join(t, on, "left_anti")
-                .select(*_insert_select_exprs(schema, set(s.columns)))
-                .cache()
-            )
+            ins_exprs, id_assigned = _insert_select_exprs(schema, set(s.columns))
+            inserts = s.join(t, on, "left_anti").select(*ins_exprs).cache()
             n_inserted = inserts.count()
             if n_inserted:
                 new_parts.append(inserts)
@@ -963,8 +1047,14 @@ def _merge_merge_on_read(
                 "numTargetRowsInserted": str(n_inserted),
                 "numDeletionVectorsAdded": str(len(per_file) - n_tomb),
             }
+            id_meta, id_guard = _identity_commit_extras(
+                table, id_assigned if n_inserted else {}, new_adds
+            )
+            if id_meta is not None:
+                actions = [id_meta] + actions
             version = _commit_dv_txn(
-                table, actions, "MERGE", {"predicate": condition}, metrics
+                table, actions, "MERGE", {"predicate": condition}, metrics,
+                guard=id_guard,
             )
             return {"version": version, **{k: int(v) for k, v in metrics.items()}}
         finally:
@@ -1022,19 +1112,23 @@ def merge(
     if when_not_matched_insert:
         from .protocol import defaults as _dflm
 
-        # columns with a DEFAULT may be omitted — the insert materializes it
-        missing = set(schema.names) - src_cols - set(_dflm.defaults(schema))
+        # columns with a DEFAULT or an identity spec may be omitted — the
+        # insert materializes the default / assigns fresh identity values
+        missing = (
+            set(schema.names)
+            - src_cols
+            - set(_dflm.defaults(schema))
+            - set(_idcm.specs(schema))
+        )
         if missing:
             raise DMLError(f"source lacks columns required for INSERT: {sorted(missing)}")
-        # MERGE INSERT takes the identity value from the source row —
-        # allowed only for GENERATED BY DEFAULT columns (system assignment
-        # inside a merge would need the append path's water-mark commit)
+        # an EXPLICIT identity value in the source needs BY DEFAULT
         for n, spec in _idcm.specs(schema).items():
-            if not spec.allow_explicit_insert:
+            if n in src_cols and not spec.allow_explicit_insert:
                 raise DMLError(
                     f"MERGE INSERT cannot supply GENERATED ALWAYS identity "
-                    f"column {n!r}; declare it with allowExplicitInsert or "
-                    "append through write_deltalake"
+                    f"column {n!r}; omit it (values are system-assigned) or "
+                    "declare it with allowExplicitInsert"
                 )
 
     # (file, row-position) lineage = stable per-row identity for the
@@ -1188,13 +1282,13 @@ def merge(
     # --- inserts: source rows matching no target row anywhere ---
     n_inserted = 0
     inserts = None
+    id_assigned: dict = {}
     if when_not_matched_insert:
         types = {f.name: f.dataType for f in schema.fields}
         # cached: the anti-join result is consumed up to three times (count,
         # staged write, cdc change files) — one execution instead of three
-        inserts = s.join(t, on, "left_anti").select(
-            *_insert_select_exprs(schema, set(source.columns))
-        ).cache()
+        ins_exprs, id_assigned = _insert_select_exprs(schema, set(source.columns))
+        inserts = s.join(t, on, "left_anti").select(*ins_exprs).cache()
         n_inserted = inserts.count()
         # allowMissingColumns: inserted rows have no prior identity — their
         # materialized id columns read NULL and the reader falls back to the
@@ -1241,6 +1335,7 @@ def merge(
             },
             change_rows=change_rows,
             extra_actions=extra_actions,
+            identity_assigned=id_assigned if n_inserted else None,
         )
     finally:
         if inserts is not None:

@@ -110,7 +110,7 @@ def test_dml_rejects_identity_assignment(spark, tmp_path, src):
         t.update_where(spark, "r_regionkey = 0", {"id": "123"})
 
 
-def test_merge_insert_requires_by_default(spark, tmp_path, src):
+def test_merge_insert_rejects_explicit_generated_always(spark, tmp_path, src):
     uri = str(tmp_path / "t")
     write_deltalake(spark, src, uri, identity_columns={"id": {}})
     t = DeltaTable(uri)
@@ -125,6 +125,36 @@ def test_merge_insert_requires_by_default(spark, tmp_path, src):
             "t.r_regionkey = s.r_regionkey",
             when_not_matched_insert={c: f"s.{c}" for c in source.columns},
         )
+
+
+def test_merge_insert_assigns_identity(spark, tmp_path, src):
+    """A source that OMITS a GENERATED ALWAYS identity column gets fresh
+    system-assigned values, and the water mark advances in the same
+    commit — both copy-on-write and merge-on-read paths."""
+    for dv in (False, True):
+        uri = str(tmp_path / f"t_{dv}")
+        cfg = {"delta.enableDeletionVectors": "true"} if dv else None
+        write_deltalake(
+            spark, src, uri, identity_columns={"id": {}}, configuration=cfg
+        )
+        t = DeltaTable(uri)
+        before = set(_ids(t, spark))
+        hwm0 = idc.specs(t.schema())["id"].high_water_mark
+
+        source = spark.createDataFrame(
+            [(90, "n90"), (91, "n91")], src.schema
+        )
+        res = t.merge(
+            spark, source, "t.r_regionkey = s.r_regionkey",
+            when_not_matched_insert=True,
+        )
+        assert res["numTargetRowsInserted"] == 2
+        t.update()
+        after = _ids(t, spark)
+        assert len(after) == len(set(after))  # globally unique
+        fresh = set(after) - before
+        assert len(fresh) == 2 and min(fresh) > hwm0
+        assert idc.specs(t.schema())["id"].high_water_mark == max(after)
 
 
 def test_concurrent_hwm_guard(spark, tmp_path, src):
