@@ -914,6 +914,14 @@ class DeltaTable:
                 f"set {_rtk.ENABLE_KEY} via table.enable_row_tracking(), "
                 "which bumps the protocol and backfills baseRowIds in one commit"
             )
+        if properties.get("delta.checkpointPolicy") == "v2":
+            # the property alone leaves the v2Checkpoint feature unadvertised
+            # and every subsequent auto-checkpoint failing
+            raise ValueError(
+                "set delta.checkpointPolicy via table.enable_v2_checkpoints(), "
+                "which carries the reader-3/writer-7 v2Checkpoint bump in the "
+                "same commit"
+            )
         meta = self.metadata()
         new_meta = type(meta)(
             id=meta.id,

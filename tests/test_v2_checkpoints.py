@@ -174,3 +174,12 @@ def test_v2_checkpoint_feature_matrix(spark, tmp_path):
     # time travel to before the delete reads every row
     t0 = DeltaTable.for_version(uri, 0)
     assert t0.to_df(spark).count() == 30
+
+
+def test_checkpoint_policy_property_routes_through_enable(spark, tmp_path, sf_dir):
+    df = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    uri = str(tmp_path / "routed")
+    write_deltalake(spark, df, uri)
+    t = DeltaTable(uri)
+    with pytest.raises(ValueError, match="enable_v2_checkpoints"):
+        t.set_properties({"delta.checkpointPolicy": "v2"})
