@@ -321,8 +321,31 @@ class DeltaTransaction:
         """First ICT commit on a table below writer version 7 carries the
         protocol bump with the spec's ``inCommitTimestamp`` writer feature
         (reader version untouched — ICT is writer-side only); existing
-        features are preserved."""
+        features are preserved. If this commit ALREADY carries a protocol
+        action (e.g. the changeDataFeed floor from enabling both properties
+        at once), the feature merges into it — two protocol actions in one
+        commit would race on replay order."""
         from .protocol.actions import ProtocolAction
+
+        from .protocol.actions import _LEGACY_WRITER_FEATURES, _implied
+
+        for a in actions:
+            if isinstance(a, ProtocolAction):
+                # raising a LEGACY bump (e.g. the changeDataFeed writer-4
+                # floor) to 7 makes the list mandatory and exhaustive: its
+                # version-implied features enumerate alongside the table's
+                # existing list and the new token
+                wf0 = list(a.writer_features or [])
+                if a.writer_features is None:
+                    wf0 = _implied(a.min_writer_version, _LEGACY_WRITER_FEATURES)
+                a.min_writer_version = max(a.min_writer_version, 7)
+                for f in list(self.table.snapshot.state.writer_features or []) + [
+                    "inCommitTimestamp"
+                ]:
+                    if f not in wf0:
+                        wf0.append(f)
+                a.writer_features = sorted(set(wf0))
+                return actions
 
         state = self.table.snapshot.state
         wf = list(state.writer_features or [])

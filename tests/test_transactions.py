@@ -422,3 +422,25 @@ def test_ict_enablement_boundary_bookkeeping(spark, tmp_path):
     v1_mtime = t.log.commit_timestamp_ms(1)
     pre = dt.datetime.fromtimestamp(v1_mtime / 1000, dt.timezone.utc)
     assert t.version_at_timestamp(pre) <= 1
+
+
+def test_enable_cdf_and_ict_same_commit(spark, small_table):
+    """Both protocol floors must land when CDF and ICT are enabled in ONE
+    SET TBLPROPERTIES commit (one protocol action, merged features)."""
+    t = DeltaTable(small_table)
+    t.set_properties(
+        {
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableInCommitTimestamps": "true",
+        }
+    )
+    t.update()
+    state = t.snapshot.state
+    assert state.min_writer_version == 7
+    assert "inCommitTimestamp" in (state.writer_features or [])
+    assert "changeDataFeed" in (state.writer_features or [])
+    # exactly one protocol action in the enabling commit
+    actions = t.log.read_commit(t.version)
+    from delta_rs_spark.protocol.actions import ProtocolAction
+
+    assert sum(isinstance(a, ProtocolAction) for a in actions) == 1
