@@ -216,3 +216,36 @@ def test_customer_deciles_single_scan_pruned(q):
     s = summarize(df)
     assert s.scans == 1
     assert all(len(cols) == 2 for cols in s.read_schemas)
+
+
+def test_identity_and_default_assignment_is_codegen_no_shuffle(spark, tmp_path, sf_dir):
+    """The identity + DEFAULT write-path expressions must add ZERO
+    exchanges and no Python eval node — assignment is base + step *
+    monotonically_increasing_id and a literal default, pure codegen."""
+    import os as _os
+
+    from delta_rs_spark import write_deltalake
+    from delta_rs_spark.protocol import defaults as dfl
+    from delta_rs_spark.protocol import identity as idc
+    from delta_rs_spark.plans import _plan_text, summarize
+
+    uri = str(tmp_path / "t")
+    src = spark.read.parquet(_os.path.join(sf_dir, "region.parquet"))
+    t = write_deltalake(
+        spark,
+        src,
+        uri,
+        identity_columns={"id": {}},
+        column_defaults={"tier": "'bronze'"},
+    )
+    schema = t.schema()
+
+    incoming = src  # an append frame omitting both declared columns
+    assigned, _specs = idc.apply_on_write(incoming, schema)
+    with_defaults = dfl.apply_on_write(assigned, schema)
+
+    base = summarize(incoming)
+    enriched = summarize(with_defaults)
+    assert enriched.exchanges == base.exchanges == 0
+    text = _plan_text(with_defaults)
+    assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
