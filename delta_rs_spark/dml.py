@@ -221,34 +221,39 @@ def _identity_commit_extras(table, assigned: dict, adds: list):
             else v < assigned[n].high_water_mark
         )
     }
-    expected = {n: s.high_water_mark for n, s in assigned.items()}
+    # the water-mark metaData below is built from the CURRENT metadata; any
+    # concurrent metadata change (another identity write, a property or
+    # schema commit) would be silently reverted by replaying it — fail the
+    # retry instead (identity values are baked into data files and cannot
+    # be re-stamped)
+    import json as _json
+
+    base_meta_json = _json.dumps(table.metadata().to_json_dict(), sort_keys=True)
 
     def guard(tbl) -> None:
         from .transactions import ConcurrentModificationError
 
-        cur = idc.specs(tbl.schema())
-        for n, exp in expected.items():
-            got = cur[n].high_water_mark if n in cur else None
-            if got != exp:
-                raise ConcurrentModificationError(
-                    f"identity column {n!r}: a concurrent commit moved the "
-                    f"high-water mark ({exp} -> {got}); re-run the merge "
-                    "against the refreshed table"
-                )
+        if (
+            _json.dumps(tbl.metadata().to_json_dict(), sort_keys=True)
+            != base_meta_json
+        ):
+            raise ConcurrentModificationError(
+                "a concurrent commit changed the table metadata while this "
+                "identity-assigning merge was in flight; re-run it against "
+                "the refreshed table"
+            )
 
     if not marks:
         return None, guard
+    import dataclasses as _dc
+
     meta = table.metadata()
     sch = idc.schema_with_water_marks(
         schema_string_to_spark(meta.schema_string), marks
     )
-    new_meta = type(meta)(
-        id=meta.id,
+    new_meta = _dc.replace(
+        meta,
         schema_string=spark_to_schema_string(sch),
-        partition_columns=meta.partition_columns,
-        name=meta.name,
-        description=meta.description,
-        created_time=meta.created_time,
         configuration=dict(meta.configuration or {}),
     )
     return new_meta, guard
@@ -1284,7 +1289,6 @@ def merge(
     inserts = None
     id_assigned: dict = {}
     if when_not_matched_insert:
-        types = {f.name: f.dataType for f in schema.fields}
         # cached: the anti-join result is consumed up to three times (count,
         # staged write, cdc change files) — one execution instead of three
         ins_exprs, id_assigned = _insert_select_exprs(schema, set(source.columns))

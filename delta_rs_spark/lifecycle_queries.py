@@ -169,21 +169,26 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra AS (
       SELECT doc_id + 100000 AS doc_id, source, 'gold' AS tier
       FROM documents WHERE doc_id % 10 = 0
+    ),
+    extra2 AS (
+      SELECT doc_id + 200000 AS doc_id, source, 'standard' AS tier
+      FROM documents WHERE doc_id % 20 = 10
     )
     SELECT doc_id, source, tier FROM base
     UNION ALL SELECT doc_id, source, tier FROM extra
+    UNION ALL SELECT doc_id, source, tier FROM extra2
     ORDER BY doc_id
     """,
 )
 def q_features_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-3-continuation features certified end to end: CREATE with a
     column DEFAULT, appends that omit the default column, a DELETE, an
-    explicit-value append, a manual LOG COMPACTION over the DML window,
-    then the V2-checkpoint upgrade + checkpoint — and the final read must
-    equal the oracle's reconstruction from the source parquet. A fresh
-    DeltaTable() load at the end replays through the compaction AND the v2
-    manifest/sidecars, so the whole feature stack sits in the read path the
-    driver hashes."""
+    explicit-value replaceWhere, the V2-checkpoint upgrade + checkpoint,
+    then MORE commits folded by a LOG COMPACTION — and the final read must
+    equal the oracle's reconstruction from the source parquet. The fresh
+    DeltaTable() load at the end starts from the v2 manifest/sidecars and
+    folds the post-checkpoint tail through the compaction file, so BOTH
+    new replay paths sit in the read the driver hashes."""
     from . import DeltaTable
     from .writer import write_deltalake
 
@@ -216,15 +221,27 @@ def q_features_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         uri,
         mode="overwrite",
-        replace_where="doc_id >= 100000",
+        replace_where="doc_id >= 100000 AND doc_id < 200000",
     )
-    # fold the whole DML window into one compaction file, then upgrade to
-    # v2 checkpoints and write one — the reload below replays compaction +
-    # manifest + sidecars
+    # v4: upgrade to v2 checkpoints, then checkpoint the current state —
+    # the reload below must start from the manifest + sidecars
     t = DeltaTable(uri)
-    t.compact_log(1, 3)
-    t.enable_v2_checkpoints()  # v4
+    t.enable_v2_checkpoints()
     t.create_checkpoint()
+    # v5 + v6: post-checkpoint tail (default-filled append, then a delete),
+    # folded into ONE compaction file the reload replays instead of the
+    # individual commits
+    write_deltalake(
+        spark,
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"), "source"
+        ),
+        uri,
+        mode="append",
+    )
+    t = DeltaTable(uri)
+    t.delete(spark, "doc_id >= 200000 AND doc_id % 20 = 0")
+    t.compact_log(5, 6)
 
     t2 = DeltaTable(uri)
     return t2.to_df(spark).orderBy("doc_id")

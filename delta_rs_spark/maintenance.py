@@ -735,10 +735,11 @@ def maybe_checkpoint(table, version: int, interval: int = 10) -> Optional[CheckP
         if start <= version - 1:
             try:
                 write_log_compaction(table, start, version)
-            except ValueError:
-                # best-effort: a table created mid-window (or an already
-                # cleaned range) just skips this compaction — the commit
-                # that triggered the hook must never fail on it
+            except Exception:
+                # best-effort: a table created mid-window, an already
+                # cleaned range, or a transient backend fault just skips
+                # this compaction — the commit that triggered the hook
+                # already landed and must never appear to fail because of it
                 pass
     return None
 
@@ -1026,15 +1027,11 @@ def restore(table, version: int) -> dict:
             if ahead:
                 marks[name] = cur.high_water_mark
         if marks:
-            restored_meta = type(restored_meta)(
-                id=restored_meta.id,
-                schema_string=_ss(
-                    _idc.schema_with_water_marks(tgt_schema, marks)
-                ),
-                partition_columns=restored_meta.partition_columns,
-                name=restored_meta.name,
-                description=restored_meta.description,
-                created_time=restored_meta.created_time,
+            import dataclasses as _dc
+
+            restored_meta = _dc.replace(
+                restored_meta,
+                schema_string=_ss(_idc.schema_with_water_marks(tgt_schema, marks)),
                 configuration=dict(restored_meta.configuration or {}),
             )
         txn.add_action(restored_meta)

@@ -507,15 +507,9 @@ class DeltaTable:
         if key not in cfg:
             raise ConstraintViolationError(f"no such constraint {name!r}")
         cfg.pop(key)
-        new_meta = type(meta)(
-            id=meta.id,
-            schema_string=meta.schema_string,
-            partition_columns=meta.partition_columns,
-            name=meta.name,
-            description=meta.description,
-            created_time=meta.created_time,
-            configuration=cfg,
-        )
+        import dataclasses as _dc
+
+        new_meta = _dc.replace(meta, configuration=cfg)
         txn = self.begin()
         txn.add_action(new_meta)
         v = txn.commit(
@@ -646,15 +640,9 @@ class DeltaTable:
             return self.version
         cfg[rt.ENABLE_KEY] = "true"
         cfg.update(rt.fresh_materialized_names())
-        new_meta = type(meta)(
-            id=meta.id,
-            schema_string=meta.schema_string,
-            partition_columns=meta.partition_columns,
-            name=meta.name,
-            description=meta.description,
-            created_time=meta.created_time,
-            configuration=cfg,
-        )
+        import dataclasses as _dc
+
+        new_meta = _dc.replace(meta, configuration=cfg)
         txn = self.begin()
         bump = upgraded_protocol(
             self.snapshot.state, 1, 7, writer_features=rt.FEATURES
@@ -705,13 +693,11 @@ class DeltaTable:
                 fields.append(T.StructField(f.name, f.dataType, f.nullable, m))
             else:
                 fields.append(f)
-        new_meta = type(meta)(
-            id=meta.id,
+        import dataclasses as _dc
+
+        new_meta = _dc.replace(
+            meta,
             schema_string=spark_to_schema_string(T.StructType(fields)),
-            partition_columns=meta.partition_columns,
-            name=meta.name,
-            description=meta.description,
-            created_time=meta.created_time,
             configuration=dict(meta.configuration or {}),
         )
         txn = self.begin()
@@ -744,13 +730,11 @@ class DeltaTable:
                 fields.append(T.StructField(f.name, f.dataType, f.nullable, m))
             else:
                 fields.append(f)
-        new_meta = type(meta)(
-            id=meta.id,
+        import dataclasses as _dc
+
+        new_meta = _dc.replace(
+            meta,
             schema_string=spark_to_schema_string(T.StructType(fields)),
-            partition_columns=meta.partition_columns,
-            name=meta.name,
-            description=meta.description,
-            created_time=meta.created_time,
             configuration=dict(meta.configuration or {}),
         )
         txn = self.begin()
@@ -777,13 +761,11 @@ class DeltaTable:
         sch = idc.schema_with_water_marks(
             schema_string_to_spark(meta.schema_string), marks
         )
-        new_meta = type(meta)(
-            id=meta.id,
+        import dataclasses as _dc
+
+        new_meta = _dc.replace(
+            meta,
             schema_string=spark_to_schema_string(sch),
-            partition_columns=meta.partition_columns,
-            name=meta.name,
-            description=meta.description,
-            created_time=meta.created_time,
             configuration=dict(meta.configuration or {}),
         )
         txn = self.begin()
@@ -808,15 +790,9 @@ class DeltaTable:
         if cfg.get("delta.checkpointPolicy") == "v2":
             return self.version
         cfg["delta.checkpointPolicy"] = "v2"
-        new_meta = type(meta)(
-            id=meta.id,
-            schema_string=meta.schema_string,
-            partition_columns=meta.partition_columns,
-            name=meta.name,
-            description=meta.description,
-            created_time=meta.created_time,
-            configuration=cfg,
-        )
+        import dataclasses as _dc
+
+        new_meta = _dc.replace(meta, configuration=cfg)
         txn = self.begin()
         bump = upgraded_protocol(
             self.snapshot.state,
@@ -941,15 +917,9 @@ class DeltaTable:
         cfg = dict(meta.configuration or {})
         for k in keys:
             cfg.pop(k, None)
-        new_meta = type(meta)(
-            id=meta.id,
-            schema_string=meta.schema_string,
-            partition_columns=meta.partition_columns,
-            name=meta.name,
-            description=meta.description,
-            created_time=meta.created_time,
-            configuration=cfg,
-        )
+        import dataclasses as _dc
+
+        new_meta = _dc.replace(meta, configuration=cfg)
         return self._commit_metadata(
             new_meta, "UNSET TBLPROPERTIES", {"properties": sorted(keys)}
         )

@@ -348,17 +348,20 @@ class DeltaTransaction:
                 return actions
 
         state = self.table.snapshot.state
-        wf = list(state.writer_features or [])
-        if state.min_writer_version >= 7 and "inCommitTimestamp" in wf:
+        if state.min_writer_version >= 7 and "inCommitTimestamp" in (
+            state.writer_features or []
+        ):
             return actions
-        if "inCommitTimestamp" not in wf:
-            wf.append("inCommitTimestamp")
-        bump = ProtocolAction(
-            min_reader_version=max(state.min_reader_version, 1),
-            min_writer_version=7,
-            reader_features=state.reader_features,
-            writer_features=wf,
+        from .protocol.actions import upgraded_protocol
+
+        # upgraded_protocol enumerates legacy-implied features when the
+        # list becomes mandatory (a writer-6 identity table must list
+        # identityColumns alongside the new token)
+        bump = upgraded_protocol(
+            state, 1, 7, writer_features=["inCommitTimestamp"]
         )
+        if bump is None:
+            return actions
         # commitInfo must STAY the first log line: commit_timestamp_ms reads
         # only the head of the file for the inCommitTimestamp (bounded I/O on
         # object stores), so the bump slots in after it

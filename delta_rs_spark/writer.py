@@ -422,10 +422,14 @@ def write_deltalake(
     else:
         effective_cfg, schema_order = configuration, df.schema.names
     stats_cols = data_skipping_columns(effective_cfg, schema_order)
-    if id_assigned and stats_cols is not None:
-        # the water-mark update reads the identity columns' footer min/max —
+    _id_specs_all = idc.specs(
+        table.schema() if exists else declared_schema
+    )
+    if _id_specs_all and stats_cols is not None:
+        # water marks (this write's update AND a later SYNC IDENTITY over
+        # explicit inserts) read the identity columns' footer min/max —
         # always collect them even when dataSkippingNumIndexedCols excludes
-        stats_cols = stats_cols | set(id_assigned)
+        stats_cols = stats_cols | set(_id_specs_all)
     if mapping_on and stats_cols is not None:
         stats_cols = {_phys.get(c, c) for c in stats_cols}
     adds = _promote_staged_files(
@@ -549,6 +553,15 @@ def write_deltalake(
                 wf.append(idc.FEATURE_NAME)
             if cdf_on:
                 wf.append("changeDataFeed")
+            if str(configuration.get("delta.appendOnly", "")).lower() == "true":
+                wf.append("appendOnly")
+            if any(k.startswith(CONSTRAINT_PREFIX) for k in configuration):
+                wf.append("checkConstraints")
+            if any(not f.nullable for f in declared_schema.fields) or any(
+                (f.metadata or {}).get("delta.invariants")
+                for f in declared_schema.fields
+            ):
+                wf.append("invariants")
             proto = ProtocolAction(
                 min_r,
                 7,
@@ -579,43 +592,68 @@ def write_deltalake(
         # the water-mark update rides the same commit as the data; a replay
         # wholly replaces metadata, so merge into whatever metaData this
         # commit already carries (schema merge/overwrite)
+        import dataclasses as _dc
+
         base_meta = new_meta if new_meta is not None else table.metadata()
         sch = idc.schema_with_water_marks(
             schema_string_to_spark(base_meta.schema_string), id_marks
         )
-        new_meta = MetaDataAction(
-            id=base_meta.id,
+        new_meta = _dc.replace(
+            base_meta,
             schema_string=spark_to_schema_string(sch),
-            partition_columns=base_meta.partition_columns,
-            name=base_meta.name,
-            description=base_meta.description,
-            created_time=base_meta.created_time,
             configuration=dict(base_meta.configuration),
         )
 
     txn = DeltaTransaction(table)
     if id_assigned:
         # identity values are already baked into the staged files — they
-        # cannot be re-stamped under a commit retry the way row ids are. If
-        # a concurrent commit advanced any assigned column's water mark,
-        # committing would introduce duplicate ids: fail instead.
-        expected = {n: s.high_water_mark for n, s in id_assigned.items()}
+        # cannot be re-stamped under a commit retry the way row ids are,
+        # and the water-mark metaData this commit carries was built from
+        # the CURRENT metadata. If any intervening commit changed the
+        # metadata at all (another identity write moving the mark, a
+        # property/schema change this replay would silently revert), fail
+        # instead of clobbering it.
+        import json as _json
+
+        base_meta_json = _json.dumps(
+            table.metadata().to_json_dict(), sort_keys=True
+        )
 
         def _identity_guard(tbl) -> None:
             from .transactions import ConcurrentModificationError
 
-            cur = idc.specs(tbl.schema())
-            for n, exp in expected.items():
-                got = cur[n].high_water_mark if n in cur else None
-                if got != exp:
-                    raise ConcurrentModificationError(
-                        f"identity column {n!r}: a concurrent commit moved "
-                        f"the high-water mark ({exp} -> {got}); re-run the "
-                        "write against the refreshed table"
-                    )
+            if (
+                _json.dumps(tbl.metadata().to_json_dict(), sort_keys=True)
+                != base_meta_json
+            ):
+                raise ConcurrentModificationError(
+                    "a concurrent commit changed the table metadata while "
+                    "this identity-assigning write was in flight; re-run "
+                    "the write against the refreshed table"
+                )
 
         txn.add_commit_guard(_identity_guard)
     if new_meta is not None:
+        from pyspark.sql import types as _T2
+
+        if any(
+            isinstance(f.dataType, _T2.TimestampNTZType)
+            for f in schema_string_to_spark(new_meta.schema_string).fields
+        ):
+            # schema evolution introduced timestamp_ntz: the reader-visible
+            # feature must ride the same commit (create-path bumps don't
+            # cover appends)
+            from .protocol.actions import upgraded_protocol
+
+            ntz_bump = upgraded_protocol(
+                table.snapshot.state,
+                3,
+                7,
+                reader_features=["timestampNtz"],
+                writer_features=["timestampNtz"],
+            )
+            if ntz_bump is not None:
+                txn.add_action(ntz_bump)
         txn.add_action(new_meta)
     if mode == "overwrite":
         now_ms = int(time.time() * 1000)

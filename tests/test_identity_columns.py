@@ -198,7 +198,7 @@ def test_concurrent_hwm_guard(spark, tmp_path, src):
 
     DeltaTable.update = hostile_update
     try:
-        with pytest.raises(ConcurrentModificationError, match="high-water"):
+        with pytest.raises(ConcurrentModificationError, match="metadata"):
             write_deltalake(spark, src.limit(2), uri, mode="append")
     finally:
         DeltaTable.update = real_update
@@ -251,3 +251,52 @@ def test_validation_errors(spark, tmp_path, src):
         write_deltalake(
             spark, src, uri, mode="append", identity_columns={"id": {}}
         )
+
+
+def test_concurrent_property_change_guard(spark, tmp_path, src):
+    """An identity write racing a PROPERTY commit must fail, not silently
+    revert the property via its stale water-mark metaData."""
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, src, uri, identity_columns={"id": {}})
+    t = DeltaTable(uri)
+
+    from delta_rs_spark.transactions import ConcurrentModificationError
+
+    real_update = DeltaTable.update
+    done = {"x": False}
+
+    def hostile_update(self):
+        if not done["x"] and self.log.table_root == t.log.table_root:
+            done["x"] = True
+            DeltaTable(uri).set_properties({"owner": "someone-else"})
+        return real_update(self)
+
+    DeltaTable.update = hostile_update
+    try:
+        with pytest.raises(ConcurrentModificationError, match="metadata"):
+            write_deltalake(spark, src.limit(2), uri, mode="append")
+    finally:
+        DeltaTable.update = real_update
+    # the property survives (nothing clobbered it)
+    t2 = DeltaTable(uri)
+    assert t2.metadata().configuration.get("owner") == "someone-else"
+
+
+def test_sync_identity_on_column_mapped_table(spark, tmp_path, src):
+    """Stats are keyed physically under column mapping — SYNC IDENTITY must
+    translate or it silently no-ops and later re-issues explicit ids."""
+    from pyspark.sql import functions as F
+
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        src,
+        uri,
+        identity_columns={"id": {"allow_explicit_insert": True}},
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    explicit = src.limit(1).withColumn("id", F.lit(50_000).cast("long"))
+    write_deltalake(spark, explicit, uri, mode="append")
+    t = DeltaTable(uri)
+    assert t.sync_identity() == {"id": 50_000}
+    assert idc.specs(t.schema())["id"].high_water_mark == 50_000
