@@ -526,13 +526,15 @@ def _create_from_ddl(spark: SparkSession, m: re.Match) -> DataFrame:
                 ),
             }
             rest = (rest[: mm.start()] + rest[mm.end():]).strip()
+        # NOT NULL is stripped BEFORE the DEFAULT capture: "x STRING
+        # DEFAULT 'a' NOT NULL" must not swallow NOT NULL into the expr
+        if re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE):
+            not_null.append(name)
+            rest = re.sub(r"\bNOT\s+NULL\b", "", rest, flags=re.IGNORECASE).strip()
         mm = re.search(r"\bDEFAULT\s+(.+)$", rest, re.IGNORECASE | re.DOTALL)
         if mm:
             defaults[name] = mm.group(1).strip()
             rest = rest[: mm.start()].strip()
-        if re.search(r"\bNOT\s+NULL\b", rest, re.IGNORECASE):
-            not_null.append(name)
-            rest = re.sub(r"\bNOT\s+NULL\b", "", rest, flags=re.IGNORECASE).strip()
         ctype = rest.strip()
         if not ctype and name not in generated:
             raise SqlError(f"column {name!r} needs a type")

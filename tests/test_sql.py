@@ -286,3 +286,18 @@ def test_create_table_column_ddl(spark, tmp_path):
     assert got["a"]["tier"] == "bronze" and got["a"]["v2"] == 2.0
     ids = {r["id"] for r in got.values()}
     assert len(ids) == 2 and all(i >= 100 and i % 2 == 0 for i in ids)
+
+
+def test_create_table_ddl_default_then_not_null(spark, tmp_path):
+    """NOT NULL after DEFAULT must not leak into the default expression."""
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.protocol import defaults as dfl
+
+    uri = str(tmp_path / "ddl2")
+    sql(
+        spark,
+        f"CREATE TABLE delta.`{uri}` (a BIGINT, b STRING DEFAULT 'x' NOT NULL)",
+    )
+    t = DeltaTable(uri)
+    assert dfl.defaults(t.schema()) == {"b": "'x'"}
+    assert not t.schema()["b"].nullable
