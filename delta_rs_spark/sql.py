@@ -449,6 +449,17 @@ def _insert(spark: SparkSession, s: str) -> DataFrame:
 
 
 def _create(spark: SparkSession, s: str) -> DataFrame:
+    # CREATE [OR REPLACE] TABLE — the REPLACE form atomically overwrites an
+    # existing table's data AND schema in one commit (time travel to the
+    # pre-replace versions still works; the log is append-only)
+    replace = bool(re.match(r"^CREATE\s+OR\s+REPLACE\b", s, re.IGNORECASE))
+    if replace:
+        s = re.sub(
+            r"^CREATE\s+OR\s+REPLACE\s+TABLE\b",
+            "CREATE TABLE",
+            s,
+            flags=re.IGNORECASE,
+        )
     # column-DDL form: CREATE TABLE delta.`p` (col TYPE [modifiers], ...)
     # [PARTITIONED BY (...)] [TBLPROPERTIES (...)] — creates an EMPTY table
     # with IDENTITY / DEFAULT / NOT NULL / generated-column declarations
@@ -460,6 +471,11 @@ def _create(spark: SparkSession, s: str) -> DataFrame:
         re.IGNORECASE | re.DOTALL,
     )
     if m and not re.search(r"\)\s+AS\s+", s, re.IGNORECASE):
+        if replace:
+            raise SqlError(
+                "CREATE OR REPLACE with column DDL is not supported; use "
+                "the AS SELECT form or drop and re-create"
+            )
         return _create_from_ddl(spark, m)
     m = _require(
         r"CREATE\s+TABLE\s+delta\.`([^`]+)`"
@@ -467,14 +483,20 @@ def _create(spark: SparkSession, s: str) -> DataFrame:
         s,
         "CREATE TABLE",
     )
+    from .protocol.log import DeltaLog
     from .writer import write_deltalake
 
     pcols = [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
     df = _select(spark, m.group(3).strip())
-    table = write_deltalake(
-        spark, df, m.group(1), mode="error", partition_by=pcols
-    )
-    return _one_row(spark, {"version": table.version, "location": m.group(1)})
+    uri = m.group(1)
+    exists = DeltaLog(uri).latest_version() is not None
+    if replace and exists:
+        table = write_deltalake(
+            spark, df, uri, mode="overwrite", schema_mode="overwrite"
+        )
+    else:
+        table = write_deltalake(spark, df, uri, mode="error", partition_by=pcols)
+    return _one_row(spark, {"version": table.version, "location": uri})
 
 
 _IDENTITY_COL_RE = re.compile(

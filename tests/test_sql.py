@@ -301,3 +301,33 @@ def test_create_table_ddl_default_then_not_null(spark, tmp_path):
     t = DeltaTable(uri)
     assert dfl.defaults(t.schema()) == {"b": "'x'"}
     assert not t.schema()["b"].nullable
+
+
+def test_create_or_replace_table(spark, docs_uri, tmp_path):
+    new_uri = str(tmp_path / "cor")
+    sql(
+        spark,
+        f"CREATE TABLE delta.`{new_uri}` AS SELECT doc_id, source FROM delta.`{docs_uri}`",
+    )
+    v0_count = DeltaTable(new_uri).to_df(spark).count()
+    assert v0_count == 500
+
+    # replace: new data AND a different schema, one commit
+    sql(
+        spark,
+        f"""CREATE OR REPLACE TABLE delta.`{new_uri}` AS
+            SELECT doc_id, n_chars FROM delta.`{docs_uri}` WHERE n_chars >= 400""",
+    )
+    t = DeltaTable(new_uri)
+    assert t.version == 1
+    assert [f.name for f in t.schema().fields] == ["doc_id", "n_chars"]
+    assert 0 < t.to_df(spark).count() < v0_count
+    # time travel to the pre-replace table still works
+    t0 = DeltaTable.for_version(new_uri, 0)
+    assert t0.to_df(spark).count() == v0_count
+    assert [f.name for f in t0.schema().fields] == ["doc_id", "source"]
+
+    # OR REPLACE on a nonexistent table just creates
+    fresh = str(tmp_path / "fresh")
+    sql(spark, f"CREATE OR REPLACE TABLE delta.`{fresh}` AS SELECT 1 AS x")
+    assert DeltaTable(fresh).to_df(spark).count() == 1
