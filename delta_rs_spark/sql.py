@@ -299,11 +299,58 @@ def _split_top_level(text: str) -> list[str]:
 
 
 def _show(spark: SparkSession, s: str) -> DataFrame:
+    m = re.match(
+        r"^SHOW\s+CREATE\s+TABLE\s+delta\.`([^`]+)`$", s, re.IGNORECASE
+    )
+    if m:
+        return _one_row(spark, {"createtab_stmt": _create_table_stmt(m.group(1))})
     m = _require(r"SHOW\s+TBLPROPERTIES\s+delta\.`([^`]+)`$", s, "SHOW TBLPROPERTIES")
     cfg = _open(m.group(1), None, None).metadata().configuration or {}
     return spark.createDataFrame(
         sorted((k, v) for k, v in cfg.items()) or [], "key string, value string"
     )
+
+
+def _create_table_stmt(uri: str) -> str:
+    """Reconstruct a CREATE TABLE statement (the DDL the column-definition
+    parser accepts) from the table's schema metadata: types, NOT NULL,
+    DEFAULT, identity, and generated-column declarations round-trip."""
+    from .protocol import defaults as dfl
+    from .protocol import generated as gen
+    from .protocol import identity as idc
+
+    table = _open(uri, None, None)
+    meta = table.metadata()
+    schema = table.schema()
+    ids = idc.specs(schema)
+    defs = dfl.defaults(schema)
+    gens = gen.expressions(schema)
+
+    cols = []
+    for f in schema.fields:
+        parts = [f.name, f.dataType.simpleString().upper()]
+        if f.name in ids:
+            spec = ids[f.name]
+            kind = "BY DEFAULT" if spec.allow_explicit_insert else "ALWAYS"
+            parts.append(
+                f"GENERATED {kind} AS IDENTITY (START WITH {spec.start} "
+                f"INCREMENT BY {spec.step})"
+            )
+        if f.name in gens:
+            parts.append(f"GENERATED ALWAYS AS ({gens[f.name]})")
+        if not f.nullable:
+            parts.append("NOT NULL")
+        if f.name in defs:
+            parts.append(f"DEFAULT {defs[f.name]}")
+        cols.append(" ".join(parts))
+    stmt = "CREATE TABLE delta.`" + uri + "` (\n  " + ",\n  ".join(cols) + "\n)"
+    if meta.partition_columns:
+        stmt += "\nPARTITIONED BY (" + ", ".join(meta.partition_columns) + ")"
+    cfg = meta.configuration or {}
+    if cfg:
+        props = ", ".join(f"'{k}'='{v}'" for k, v in sorted(cfg.items()))
+        stmt += "\nTBLPROPERTIES (" + props + ")"
+    return stmt
 
 
 def _describe(spark: SparkSession, s: str) -> DataFrame:

@@ -331,3 +331,38 @@ def test_create_or_replace_table(spark, docs_uri, tmp_path):
     fresh = str(tmp_path / "fresh")
     sql(spark, f"CREATE OR REPLACE TABLE delta.`{fresh}` AS SELECT 1 AS x")
     assert DeltaTable(fresh).to_df(spark).count() == 1
+
+
+def test_show_create_table_roundtrip(spark, tmp_path):
+    """SHOW CREATE TABLE emits DDL the column-definition parser re-accepts
+    with identical declarations."""
+    from delta_rs_spark.protocol import defaults as dfl
+    from delta_rs_spark.protocol import identity as idc
+
+    uri = str(tmp_path / "show")
+    sql(
+        spark,
+        f"""CREATE TABLE delta.`{uri}` (
+            id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 5 INCREMENT BY 5),
+            name STRING NOT NULL,
+            tier STRING DEFAULT 'bronze'
+        ) TBLPROPERTIES ('owner'='ml')""",
+    )
+    stmt = sql(spark, f"SHOW CREATE TABLE delta.`{uri}`").collect()[0][
+        "createtab_stmt"
+    ]
+    assert "GENERATED ALWAYS AS IDENTITY (START WITH 5 INCREMENT BY 5)" in stmt
+    assert "DEFAULT 'bronze'" in stmt
+    assert "NOT NULL" in stmt
+
+    # re-execute the emitted DDL against a fresh path: declarations survive
+    uri2 = str(tmp_path / "show2")
+    sql(spark, stmt.replace(uri, uri2))
+    from delta_rs_spark import DeltaTable
+
+    t2 = DeltaTable(uri2)
+    spec = idc.specs(t2.schema())["id"]
+    assert (spec.start, spec.step) == (5, 5)
+    assert dfl.defaults(t2.schema()) == {"tier": "'bronze'"}
+    assert not t2.schema()["name"].nullable
+    assert t2.metadata().configuration["owner"] == "ml"
