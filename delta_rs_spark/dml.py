@@ -369,6 +369,48 @@ def _stage_and_swap(
 # DELETE
 # ---------------------------------------------------------------------------
 
+def _delete_all(table: DeltaTable) -> dict[str, Any]:
+    """Tombstone every active file in one metadata-only commit."""
+    import time as _time
+
+    from .transactions import DeltaTransaction
+
+    adds = table.add_actions()
+    now_ms = int(_time.time() * 1000)
+    txn = DeltaTransaction(table)
+    n_rows = 0
+    rows_known = True
+    for a in adds:
+        n = a.logical_records
+        if n is None:
+            rows_known = False
+        else:
+            n_rows += n
+        txn.add_action(
+            RemoveAction(
+                path=a.path,
+                deletion_timestamp=now_ms,
+                data_change=True,
+                extended_file_metadata=True,
+                partition_values=a.partition_values,
+                size=a.size,
+                deletion_vector=a.deletion_vector,
+                base_row_id=a.base_row_id,
+                default_row_commit_version=a.default_row_commit_version,
+            )
+        )
+    metrics = {"numRemovedFiles": len(adds)}
+    if rows_known:
+        metrics["numDeletedRows"] = n_rows
+    version = txn.commit(
+        operation="DELETE",
+        operation_parameters={"predicate": "true"},
+        operation_metrics={k: str(v) for k, v in metrics.items()},
+    )
+    table.update()
+    return {"version": version, **metrics}
+
+
 def dv_enabled(table: DeltaTable) -> bool:
     cfg = table.metadata().configuration or {}
     return str(cfg.get("delta.enableDeletionVectors", "")).lower() == "true"
@@ -598,8 +640,10 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def delete(spark: SparkSession, table: DeltaTable, predicate: str) -> dict[str, Any]:
-    """``DELETE FROM table WHERE predicate``.
+def delete(
+    spark: SparkSession, table: DeltaTable, predicate: Optional[str] = None
+) -> dict[str, Any]:
+    """``DELETE FROM table [WHERE predicate]``.
 
     Rows where the predicate is TRUE are deleted; FALSE/NULL rows survive
     (SQL DELETE semantics). Default is copy-on-write: only files containing
@@ -608,7 +652,15 @@ def delete(spark: SparkSession, table: DeltaTable, predicate: str) -> dict[str, 
     ``delta.enableDeletionVectors=true`` (and a local-filesystem table whose
     adds use log-relative paths), the delete is merge-on-read instead — see
     ``_delete_merge_on_read``.
+
+    No predicate = delete EVERYTHING: the Delta fast path — every active
+    file gets a tombstone in one metadata-only commit, zero data read or
+    written (time travel still sees the rows; vacuum reaps the files after
+    retention). CDF readers see the deletes through the change-feed's
+    remove synthesis.
     """
+    if predicate is None:
+        return _delete_all(table)
     cond = F.coalesce(F.expr(predicate), F.lit(False))
     candidates = _candidate_adds(table, predicate)
     if dv_enabled(table) and _mor_eligible(table, candidates):

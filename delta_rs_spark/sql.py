@@ -128,9 +128,10 @@ def _require(pattern: str, s: str, what: str) -> re.Match:
 
 def _delete(spark: SparkSession, s: str) -> DataFrame:
     m = _require(
-        r"DELETE\s+FROM\s+delta\.`([^`]+)`\s+WHERE\s+(.+)$", s, "DELETE"
+        r"DELETE\s+FROM\s+delta\.`([^`]+)`(?:\s+WHERE\s+(.+))?$", s, "DELETE"
     )
-    res = _open(m.group(1), None, None).delete(spark, m.group(2).strip())
+    pred = m.group(2).strip() if m.group(2) else None
+    res = _open(m.group(1), None, None).delete(spark, pred)
     return _one_row(spark, res)
 
 

@@ -960,7 +960,9 @@ class DeltaTable:
         )
 
     # ---- copy-on-write DML (implemented in dml.py) ---------------------------
-    def delete(self, spark: SparkSession, predicate: str) -> dict:
+    def delete(self, spark: SparkSession, predicate: Optional[str] = None) -> dict:
+        """DELETE rows matching ``predicate``; with no predicate, delete
+        everything metadata-only (tombstone every file, zero data I/O)."""
         from .dml import delete as _delete
 
         return _delete(spark, self, predicate)

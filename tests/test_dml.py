@@ -338,3 +338,31 @@ def test_skip_tuple_parser_multiline_or(spark, tmp_path):
     t = DeltaTable(uri)
     t.delete(spark, "a = 5\nOR c = 3")
     assert sorted(r.id for r in t.to_df(spark).collect()) == [3]
+
+
+def test_delete_all_metadata_only(spark, tmp_path, sf_dir):
+    """DELETE without a predicate tombstones every file with zero data I/O;
+    time travel and CDF synthesis still see the rows."""
+    import os as _os
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.sql import sql
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, docs, uri, max_records_per_file=200)
+    t = DeltaTable(uri)
+    n_files = len(t.files())
+
+    res = sql(spark, f"DELETE FROM delta.`{uri}`").collect()[0]
+    assert int(res["numRemovedFiles"]) == n_files
+    assert int(res["numDeletedRows"]) == 500
+
+    t2 = DeltaTable(uri)
+    assert t2.files() == []
+    assert t2.to_df(spark).count() == 0
+    # time travel still reads everything
+    assert DeltaTable.for_version(uri, 0).to_df(spark).count() == 500
+    # CDF synthesis reconstructs the deletes from the tombstones
+    cdf = t2.load_cdf(spark, starting_version=1)
+    assert cdf.filter("_change_type = 'delete'").count() == 500
