@@ -102,6 +102,9 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return _convert(spark, s)
     if head == "SHOW":
         return _show(spark, s)
+    if head == "TRUNCATE":
+        m = _require(r"TRUNCATE\s+TABLE\s+delta\.`([^`]+)`$", s, "TRUNCATE")
+        return _one_row(spark, _open(m.group(1), None, None).delete(spark))
     raise SqlError(f"unsupported statement: {head or statement!r}")
 
 

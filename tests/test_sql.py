@@ -65,7 +65,13 @@ def test_vacuum_and_optimize_statements(spark, docs_uri):
 
 def test_unsupported_statement(spark):
     with pytest.raises(SqlError):
-        sql(spark, "TRUNCATE TABLE delta.`/x`")
+        sql(spark, "GRANT SELECT ON delta.`/x` TO someone")
+
+
+def test_truncate_table(spark, docs_uri):
+    res = sql(spark, f"TRUNCATE TABLE delta.`{docs_uri}`").collect()[0]
+    assert int(res["numDeletedRows"]) == 500
+    assert DeltaTable(docs_uri).to_df(spark).count() == 0
 
 
 def test_merge_statement(spark, docs_uri, tmp_path, sf_dir):
