@@ -371,11 +371,19 @@ def _stage_and_swap(
 
 def _delete_all(table: DeltaTable) -> dict[str, Any]:
     """Tombstone every active file in one metadata-only commit."""
+    return _tombstone_files(table, table.add_actions(), "true")
+
+
+def _tombstone_files(
+    table: DeltaTable, adds: list[AddAction], predicate: str
+) -> dict[str, Any]:
+    """Metadata-only delete of whole files: one commit of tombstones, zero
+    data read or written. Row counts come from per-file stats when every
+    file has them."""
     import time as _time
 
     from .transactions import DeltaTransaction
 
-    adds = table.add_actions()
     now_ms = int(_time.time() * 1000)
     txn = DeltaTransaction(table)
     n_rows = 0
@@ -404,11 +412,42 @@ def _delete_all(table: DeltaTable) -> dict[str, Any]:
         metrics["numDeletedRows"] = n_rows
     version = txn.commit(
         operation="DELETE",
-        operation_parameters={"predicate": "true"},
+        operation_parameters={"predicate": predicate},
         operation_metrics={k: str(v) for k, v in metrics.items()},
     )
     table.update()
-    return {"version": version, **metrics}
+    return {"version": version, "numAddedFiles": 0, **metrics}
+
+
+def _partition_exact_files(
+    table: DeltaTable, predicate: str
+) -> Optional[list[AddAction]]:
+    """The files a DELETE can tombstone WITHOUT scanning: when the predicate
+    is a pure conjunction of ``partition_col = literal`` terms, every row of
+    every file in the matching partitions matches by construction. Returns
+    None when the predicate is anything else (ORs, non-partition columns,
+    ranges, floats — those take the row-level path)."""
+    if "(" in predicate or re.search(r"(?i)\b(OR|NOT)\b", predicate):
+        return None
+    pcols = set(table.metadata().partition_columns)
+    if not pcols:
+        return None
+    filters: list[tuple] = []
+    for conjunct in re.split(r"(?i)\s+AND\s+", predicate):
+        m = _SIMPLE_CMP.match(conjunct.strip())
+        if not m:
+            return None
+        col, op, lit = m.groups()
+        if _OP_NORM.get(op, op) != "=" or col not in pcols:
+            return None
+        if lit.startswith("'"):
+            value = lit[1:-1].replace("''", "'")
+        elif re.fullmatch(r"-?\d+", lit):
+            value = lit  # integer partition values serialize verbatim
+        else:
+            return None  # float spellings vary; not provable from the path
+        filters.append((col, "=", value))
+    return table.snapshot.files(partition_filters=filters)
 
 
 def dv_enabled(table: DeltaTable) -> bool:
@@ -661,6 +700,22 @@ def delete(
     """
     if predicate is None:
         return _delete_all(table)
+    # partition-exact predicate (DELETE WHERE day = '2024-01-01'): every row
+    # of the matching partitions' files matches — tombstone them with no
+    # scan. Safe with CDF on: a tombstone-only commit carries no cdc
+    # actions, so the change feed synthesizes the deletes from the removes
+    # (same contract _delete_all relies on, oracle-pinned in tests).
+    full = _partition_exact_files(table, predicate)
+    if full is not None:
+        if not full:
+            return {
+                "version": table.version,
+                "numRemovedFiles": 0,
+                "numAddedFiles": 0,
+                "numDeletedRows": 0,
+                "numCopiedRows": 0,
+            }
+        return _tombstone_files(table, full, predicate)
     cond = F.coalesce(F.expr(predicate), F.lit(False))
     candidates = _candidate_adds(table, predicate)
     if dv_enabled(table) and _mor_eligible(table, candidates):

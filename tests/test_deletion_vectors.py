@@ -114,12 +114,23 @@ def test_dv_full_file_delete_emits_plain_tombstone(spark, tmp_path):
         configuration={"delta.enableDeletionVectors": "true"},
     )
     t = DeltaTable.for_path(path)
+    # `k = 2` is partition-exact: the NEW fast path tombstones the whole
+    # partition with no scan (and, a fortiori, no DV)
     res = t.delete(spark, "k = 2")
     assert res["numRemovedFiles"] >= 1
-    assert res["numDeletionVectorsAdded"] == 0
+    assert res["numAddedFiles"] == 0
     t2 = DeltaTable.for_path(path)
     assert t2.to_df(spark).count() == 80
     assert not any(a.deletion_vector for a in t2.add_actions())
+
+    # the SAME rows addressed by a non-partition expression go down the
+    # merge-on-read path; a file whose every row dies must get a plain
+    # tombstone, never a 100%-dead deletion vector
+    res2 = t2.delete(spark, "id % 5 = 3")
+    assert res2["numDeletionVectorsAdded"] == 0
+    t3 = DeltaTable.for_path(path)
+    assert t3.to_df(spark).count() == 60
+    assert not any(a.deletion_vector for a in t3.add_actions())
 
 
 def test_dv_partitioned_table_positions(spark, tmp_path):

@@ -366,3 +366,63 @@ def test_delete_all_metadata_only(spark, tmp_path, sf_dir):
     # CDF synthesis reconstructs the deletes from the tombstones
     cdf = t2.load_cdf(spark, starting_version=1)
     assert cdf.filter("_change_type = 'delete'").count() == 500
+
+
+def test_partition_delete_fast_path(spark, tmp_path):
+    """DELETE WHERE <partition = literal> tombstones whole partitions with
+    NO rewrite (zero adds in the commit) and no scan of the data."""
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.protocol.actions import AddAction, RemoveAction
+
+    df = spark.range(60).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket"),
+        (F.col("id") % 2 == 0).alias("flag"),
+    )
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, df, uri, partition_by=["bucket"])
+    t = DeltaTable(uri)
+
+    res = t.delete(spark, "bucket = 1")
+    assert res["numAddedFiles"] == 0
+    assert res["numDeletedRows"] == 20
+    actions = t.log.read_commit(t.version)
+    assert not any(isinstance(a, AddAction) for a in actions)
+    assert any(isinstance(a, RemoveAction) for a in actions)
+    assert t.to_df(spark).filter("bucket = 1").count() == 0
+    assert t.to_df(spark).count() == 40
+
+    # multi-conjunct on partition columns still fast-paths
+    uri2 = str(tmp_path / "t2")
+    write_deltalake(spark, df, uri2, partition_by=["bucket", "flag"])
+    t2 = DeltaTable(uri2)
+    res2 = t2.delete(spark, "bucket = 0 AND flag = 'true'")
+    assert res2["numAddedFiles"] == 0
+    assert t2.to_df(spark).filter("bucket = 0 AND flag").count() == 0
+
+    # a non-partition conjunct falls back to the row-level path
+    res3 = t2.delete(spark, "bucket = 2 AND id < 10")
+    assert t2.to_df(spark).filter("bucket = 2 AND id < 10").count() == 0
+    assert t2.to_df(spark).filter("bucket = 2").count() > 0
+
+
+def test_partition_delete_fast_path_cdf(spark, tmp_path):
+    """The fast path keeps CDF correct: deletes synthesize from removes."""
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    df = spark.range(30).select(F.col("id"), (F.col("id") % 3).alias("bucket"))
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark, df, uri,
+        partition_by=["bucket"],
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable(uri)
+    t.delete(spark, "bucket = 2")
+    cdf = t.load_cdf(spark, starting_version=1)
+    dels = cdf.filter("_change_type = 'delete'")
+    assert dels.count() == 10
+    assert dels.filter("bucket != 2").count() == 0
