@@ -73,7 +73,15 @@ class DeltaStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("option 'path' is required for the delta_stream source")
-        self.starting_version = int(options.get("startingversion", 0))
+        sv = str(options.get("startingversion", "0"))
+        if sv.lower() == "latest":
+            # Delta-source contract: only changes committed AFTER stream
+            # start — the backfill is skipped entirely
+            from ..table import DeltaTable as _DTL
+
+            self.starting_version = _DTL(self.path).version + 1
+        else:
+            self.starting_version = int(sv)
         ts = options.get("startingtimestamp")
         if ts is not None:
             # resolved once at stream start: the Delta-source contract is

@@ -562,3 +562,24 @@ def test_stream_starting_timestamp(spark, tmp_path):
         None, {"path": uri, "startingtimestamp": _iso(ms1 + 60_000)}
     )
     assert late.starting_version == 2
+
+
+def test_stream_starting_version_latest(spark, tmp_path):
+    """startingVersion=latest skips the backfill: only commits after stream
+    start flow."""
+    from delta_rs_spark.streaming.source import DeltaStreamReader
+
+    uri = str(tmp_path / "latest_tbl")
+    _mk_table(spark, uri, 0, 5)                      # v0: 5 rows of backfill
+    write_deltalake(spark, spark.range(100, 103).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket")), uri, mode="append")  # v1
+
+    r = DeltaStreamReader(None, {"path": uri, "startingversion": "latest"})
+    assert r.initialOffset() == {"version": 1}       # = current latest
+    # nothing to read yet: the next batch starts past v1
+    assert r.partitions({"version": 1}, {"version": 1}) == []
+    # a post-start commit flows
+    write_deltalake(spark, spark.range(200, 202).select(
+        F.col("id"), (F.col("id") % 3).alias("bucket")), uri, mode="append")  # v2
+    parts = r.partitions({"version": 1}, {"version": 2})
+    assert parts  # only v2's files
