@@ -123,6 +123,28 @@ def _candidate_adds(table: DeltaTable, predicate: str) -> list[AddAction]:
     )
 
 
+def _predicate_reads(
+    table: DeltaTable, predicate: str, candidates: list[AddAction]
+) -> dict[str, Any]:
+    """The read set a predicate-driven DML planned against, for commit-time
+    conflict detection (``DeltaTransaction.record_reads``).
+
+    The append-conflict domain is the partition bound: conjunction semantics
+    mean ``p = '1' AND <anything>`` can only match rows in p=1, so parsed
+    partition conjuncts bound the domain even when other conjuncts are
+    unparseable. No partition bound (ORs, non-partition predicates) means a
+    concurrent append ANYWHERE could match → whole-table read. Stats-based
+    skipping does NOT shrink the domain — new files have unknown stats."""
+    tuples = _skip_tuples_from_predicate(predicate)
+    pfilters, _skips = _split_pruning(table, tuples)
+    reads: dict[str, Any] = {"files": [a.path for a in candidates]}
+    if pfilters:
+        reads["partition_filters"] = pfilters
+    else:
+        reads["whole_table"] = True
+    return reads
+
+
 # ---------------------------------------------------------------------------
 # matched-file discovery
 # ---------------------------------------------------------------------------
@@ -271,6 +293,7 @@ def _stage_and_swap(
     extra_actions: Optional[list] = None,
     max_records_per_file: Optional[int] = None,
     identity_assigned: Optional[dict] = None,
+    reads: Optional[dict[str, Any]] = None,
 ) -> dict[str, Any]:
     """Write ``new_rows`` through the staged-write path and commit
     Remove(removed) + Add(staged) (+ cdc change files, when given) as one
@@ -330,6 +353,8 @@ def _stage_and_swap(
 
     now_ms = int(time.time() * 1000)
     txn = DeltaTransaction(table)
+    if reads:
+        txn.record_reads(**reads)
     id_meta, id_guard = _identity_commit_extras(table, identity_assigned or {}, adds)
     if id_meta is not None:
         txn.add_action(id_meta)
@@ -371,11 +396,18 @@ def _stage_and_swap(
 
 def _delete_all(table: DeltaTable) -> dict[str, Any]:
     """Tombstone every active file in one metadata-only commit."""
-    return _tombstone_files(table, table.add_actions(), "true")
+    adds = table.add_actions()
+    return _tombstone_files(
+        table,
+        adds,
+        "true",
+        reads={"files": [a.path for a in adds], "whole_table": True},
+    )
 
 
 def _tombstone_files(
-    table: DeltaTable, adds: list[AddAction], predicate: str
+    table: DeltaTable, adds: list[AddAction], predicate: str,
+    reads: Optional[dict[str, Any]] = None,
 ) -> dict[str, Any]:
     """Metadata-only delete of whole files: one commit of tombstones, zero
     data read or written. Row counts come from per-file stats when every
@@ -386,6 +418,8 @@ def _tombstone_files(
 
     now_ms = int(_time.time() * 1000)
     txn = DeltaTransaction(table)
+    if reads:
+        txn.record_reads(**reads)
     n_rows = 0
     rows_known = True
     for a in adds:
@@ -465,7 +499,7 @@ DV_MAX_POSITIONS = 10_000_000
 
 def _delete_merge_on_read(
     spark: SparkSession, table: DeltaTable, predicate: str, cond: Column,
-    candidates: list[AddAction],
+    candidates: list[AddAction], reads: Optional[dict[str, Any]] = None,
 ) -> dict[str, Any]:
     """``DELETE`` without rewriting data files: record the matching rows'
     (file, row_index) positions as a deletion vector and re-commit the same
@@ -522,7 +556,9 @@ def _delete_merge_on_read(
             "numDeletedRows": str(n_deleted),
             "numDeletionVectorsAdded": str(len(per_file) - n_tomb),
         }
-        version = _commit_dv_txn(table, actions, "DELETE", {"predicate": predicate}, metrics)
+        version = _commit_dv_txn(
+            table, actions, "DELETE", {"predicate": predicate}, metrics, reads=reads
+        )
         return {"version": version, **{k: int(v) for k, v in metrics.items()}}
     finally:
         hits.unpersist()
@@ -619,12 +655,14 @@ def _dv_swap_actions(log, candidates: list[AddAction], pos_df) -> tuple[list, di
 
 def _commit_dv_txn(
     table: DeltaTable, actions: list, operation: str, params: dict, metrics: dict,
-    guard=None,
+    guard=None, reads: Optional[dict[str, Any]] = None,
 ) -> int:
     """One DV commit: protocol bump to reader 3 / writer 7 on first use
     (deletion vectors are a reader-visible feature — foreign readers must
     fail fast), then the swap actions."""
     txn = DeltaTransaction(table)
+    if reads:
+        txn.record_reads(**reads)
     if guard is not None:
         txn.add_commit_guard(guard)
     if any(isinstance(a, AddAction) and a.deletion_vector for a in actions):
@@ -715,11 +753,16 @@ def delete(
                 "numDeletedRows": 0,
                 "numCopiedRows": 0,
             }
-        return _tombstone_files(table, full, predicate)
+        return _tombstone_files(
+            table, full, predicate, reads=_predicate_reads(table, predicate, full)
+        )
     cond = F.coalesce(F.expr(predicate), F.lit(False))
     candidates = _candidate_adds(table, predicate)
+    reads = _predicate_reads(table, predicate, candidates)
     if dv_enabled(table) and _mor_eligible(table, candidates):
-        res = _delete_merge_on_read(spark, table, predicate, cond, candidates)
+        res = _delete_merge_on_read(
+            spark, table, predicate, cond, candidates, reads=reads
+        )
         if res is not None:
             return res
         # positions exceeded DV_MAX_POSITIONS — a delete that bulky rewrites
@@ -771,6 +814,7 @@ def delete(
         params,
         {"numDeletedRows": n_deleted, "numCopiedRows": n_copied if n_copied is not None else ""},
         change_rows=change_rows,
+        reads=reads,
     )
 
 
@@ -785,6 +829,7 @@ def _update_merge_on_read(
     assignments: dict[str, str],
     cond: Column,
     candidates: list[AddAction],
+    reads: Optional[dict[str, Any]] = None,
 ) -> dict[str, Any]:
     """``UPDATE`` without rewriting unmatched rows: DV the matched rows'
     positions in their existing files and write ONLY the updated rows as new
@@ -855,7 +900,7 @@ def _update_merge_on_read(
             "numDeletionVectorsAdded": str(len(per_file) - n_tomb),
         }
         version = _commit_dv_txn(
-            table, actions, "UPDATE", {"predicate": predicate}, metrics
+            table, actions, "UPDATE", {"predicate": predicate}, metrics, reads=reads
         )
         return {"version": version, **{k: int(v) for k, v in metrics.items()}}
     finally:
@@ -930,9 +975,10 @@ def update(
 
     cond = F.coalesce(F.expr(predicate), F.lit(False))
     candidates = _candidate_adds(table, predicate)
+    reads = _predicate_reads(table, predicate, candidates)
     if dv_enabled(table) and _mor_eligible(table, candidates):
         res = _update_merge_on_read(
-            spark, table, predicate, assignments, cond, candidates
+            spark, table, predicate, assignments, cond, candidates, reads=reads
         )
         if res is not None:
             return res
@@ -1004,6 +1050,7 @@ def update(
         {"predicate": predicate},
         {"numUpdatedRows": n_updated},
         change_rows=change_rows,
+        reads=reads,
     )
 
 
@@ -1024,6 +1071,7 @@ def _merge_merge_on_read(
     when_not_matched_insert: bool,
     when_not_matched_by_source_delete: bool,
     extra_actions: Optional[list],
+    reads: Optional[dict[str, Any]] = None,
 ) -> dict[str, Any]:
     """MERGE without rewriting unmatched target rows: matched (and, for
     full-sync, source-unmatched) positions get DV'd in place; only the
@@ -1166,7 +1214,7 @@ def _merge_merge_on_read(
                 actions = [id_meta] + actions
             version = _commit_dv_txn(
                 table, actions, "MERGE", {"predicate": condition}, metrics,
-                guard=id_guard,
+                guard=id_guard, reads=reads,
             )
             return {"version": version, **{k: int(v) for k, v in metrics.items()}}
         finally:
@@ -1213,6 +1261,10 @@ def merge(
     snap = table._snapshot
     all_adds = snap.files()
     target = snap.df_for_adds(spark, all_adds, with_lineage=True)
+    # MERGE reads every active file (the match join and the not-matched
+    # anti join both scan the full target), so its read set is the whole
+    # table — a concurrent data-changing commit invalidates the plan
+    reads = {"files": [a.path for a in all_adds], "whole_table": True}
 
     from .protocol import generated as _genm
     from .protocol import identity as _idcm
@@ -1279,7 +1331,7 @@ def merge(
         return _merge_merge_on_read(
             spark, table, t, s, condition, per_row, n_matched,
             when_matched_update, when_matched_delete, when_not_matched_insert,
-            when_not_matched_by_source_delete, extra_actions,
+            when_not_matched_by_source_delete, extra_actions, reads=reads,
         )
 
     if when_not_matched_by_source_delete:
@@ -1447,6 +1499,7 @@ def merge(
             change_rows=change_rows,
             extra_actions=extra_actions,
             identity_assigned=id_assigned if n_inserted else None,
+            reads=reads,
         )
     finally:
         if inserts is not None:

@@ -576,6 +576,12 @@ def optimize(
 
     now_ms = int(time.time() * 1000)
     txn = DeltaTransaction(table)
+    # OPTIMIZE reads exactly the files it compacts; dataChange=false means
+    # the commit runs under SnapshotIsolation (concurrent appends never
+    # conflict) while a concurrent remove of a compacted file still aborts
+    txn.record_reads(
+        files=[f.path for fs in plan.values() for f in fs]
+    )
     for fs in plan.values():
         for f in fs:
             txn.add_action(

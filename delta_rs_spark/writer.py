@@ -658,6 +658,11 @@ def write_deltalake(
     if mode == "overwrite":
         now_ms = int(time.time() * 1000)
         removals = table.add_actions()
+        # an overwrite's contract is "the table is exactly the new data":
+        # its logical read set is the whole table (dynamic mode: the
+        # replaced partitions), so a concurrent non-blind-append commit
+        # conflicts per the isolation level instead of silently surviving
+        # the overwrite
         if partition_overwrite_mode == "dynamic" and partition_by:
             # partitionValues are keyed by PHYSICAL name on mapped tables —
             # stage_partition_by is that key set (== partition_by otherwise)
@@ -672,6 +677,24 @@ def write_deltalake(
                 in touched
             ]
             params["partitionOverwriteMode"] = "dynamic"
+            # append-conflict domain: per-column IN-sets over the touched
+            # partition values — a conjunction superset of the touched
+            # tuples (safe over-approximation; AND-only filter model).
+            # Columns with a null partition value drop out (broader still).
+            pf = []
+            for i, c in enumerate(stage_partition_by):
+                vals = {t[i] for t in touched}
+                if None not in vals:
+                    pf.append((c, "in", sorted(vals)))
+            txn.record_reads(
+                files=[a.path for a in removals],
+                partition_filters=pf or None,
+                whole_table=not pf,
+            )
+        else:
+            txn.record_reads(
+                files=[a.path for a in removals], whole_table=True
+            )
         for old in removals:
             txn.add_action(
                 RemoveAction(
@@ -1025,7 +1048,12 @@ def _replace_where(
     """
     from pyspark.sql import functions as F
 
-    from .dml import _candidate_adds, _files_with_matches, _stage_and_swap
+    from .dml import (
+        _candidate_adds,
+        _files_with_matches,
+        _predicate_reads,
+        _stage_and_swap,
+    )
 
     cond = F.coalesce(F.expr(predicate), F.lit(False))
 
@@ -1091,6 +1119,7 @@ def _replace_where(
         change_rows=change_rows,
         extra_actions=extra_actions,
         max_records_per_file=max_records_per_file,
+        reads=_predicate_reads(table, predicate, candidates),
     )
     return table
 
