@@ -70,7 +70,9 @@ _ROTATION = [
     "text_lang_mismatch",
     "sample_token_budget",
     "dedup_keeplist",
-    # -- relational canaries (certified green rounds 1-2) ------------------
+    "events_variant_props",
+    # -- relational canaries (certified green rounds 1-2; the window is 50,
+    # so these certify only if earlier entries shrink — harmless either way)
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]

@@ -39,10 +39,13 @@ def _spark_json_to_delta(node: Any) -> Any:
         if node in {
             "string", "long", "integer", "short", "byte", "float", "double",
             "boolean", "binary", "date", "timestamp", "timestamp_ntz",
+            "variant",
         } or node.startswith("decimal("):
             # timestamp_ntz is the public timestampNtz table feature
             # (reader 3 / writer 7); the writer only emits it when the
-            # table opts in — otherwise NTZ is cast to TIMESTAMP up front
+            # table opts in — otherwise NTZ is cast to TIMESTAMP up front.
+            # variant is the public variantType feature (reader 3 /
+            # writer 7), always carried by the commit that introduces it
             return node
         raise ValueError(f"type {node!r} not representable in the Delta v0 schema model")
     if isinstance(node, dict):

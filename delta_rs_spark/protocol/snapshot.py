@@ -54,6 +54,7 @@ SUPPORTED_READER_FEATURES = frozenset(
         "columnMapping",
         "deletionVectors",
         "timestampNtz",
+        "variantType",
         "v2Checkpoint",
         # vendor token written by pre-round-3 builds of this engine for the
         # legacy parquet-dir DV descriptors (still decoded)

@@ -960,6 +960,45 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_variant_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark's native VARIANT type: JSON
+    props parse ONCE into the binary variant encoding (``parse_json``), then
+    typed extraction (``variant_get``) feeds an ordinary aggregate. At scale
+    this is the schema-on-read hot path — variant decode is JVM-side and
+    columnar, where per-row ``get_json_object`` string-parses every access.
+    The same type round-trips through Delta tables via the public
+    ``variantType`` table feature (reader 3 / writer 7)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    k = e.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return (
+        k.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "q_events_sessions",
     """
     WITH marked AS (

@@ -45,6 +45,7 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         "inCommitTimestamp",
         "v2Checkpoint",
         "timestampNtz",
+        "variantType",
         "clustering",
         "allowColumnDefaults",
         "deltaRsSpark.deletionVectors",  # vendor token, pre-round-3 tables

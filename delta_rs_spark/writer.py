@@ -26,7 +26,7 @@ import os
 import time
 import uuid
 from typing import Optional, Sequence
-from urllib.parse import unquote
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -540,6 +540,14 @@ def write_deltalake(
             wf.append("timestampNtz")
             rf.append("timestampNtz")
             min_r = max(min_r, 3)
+        if _schema_has_variant(declared_schema):
+            # variant is reader-visible (public Delta variantType feature):
+            # the parquet files carry the VARIANT logical type, so readers
+            # without the feature must fail fast rather than misread the
+            # metadata/value binary pair
+            wf.append("variantType")
+            rf.append("variantType")
+            min_r = max(min_r, 3)
         if wf:
             # writer version 7: the feature list is mandatory and must name
             # EVERY active feature, including legacy ones like columnMapping
@@ -636,24 +644,31 @@ def write_deltalake(
     if new_meta is not None:
         from pyspark.sql import types as _T2
 
+        evolved = schema_string_to_spark(new_meta.schema_string)
+        # schema evolution can introduce reader-visible types: the feature
+        # must ride the same commit (create-path bumps don't cover appends).
+        # Both features in ONE protocol action — replays replace wholesale,
+        # so two bumps in a commit would drop the first one's features.
+        evo_features = []
         if any(
             isinstance(f.dataType, _T2.TimestampNTZType)
-            for f in schema_string_to_spark(new_meta.schema_string).fields
+            for f in evolved.fields
         ):
-            # schema evolution introduced timestamp_ntz: the reader-visible
-            # feature must ride the same commit (create-path bumps don't
-            # cover appends)
+            evo_features.append("timestampNtz")
+        if _schema_has_variant(evolved):
+            evo_features.append("variantType")
+        if evo_features:
             from .protocol.actions import upgraded_protocol
 
-            ntz_bump = upgraded_protocol(
+            bump = upgraded_protocol(
                 table.snapshot.state,
                 3,
                 7,
-                reader_features=["timestampNtz"],
-                writer_features=["timestampNtz"],
+                reader_features=evo_features,
+                writer_features=evo_features,
             )
-            if ntz_bump is not None:
-                txn.add_action(ntz_bump)
+            if bump is not None:
+                txn.add_action(bump)
         txn.add_action(new_meta)
     if mode == "overwrite":
         now_ms = int(time.time() * 1000)
@@ -714,6 +729,25 @@ def write_deltalake(
     txn.commit(operation=operation, operation_parameters=params, operation_metrics=metrics)
     table.update()
     return table
+
+
+def _schema_has_variant(schema) -> bool:
+    """Any VARIANT column anywhere in the schema (incl. nested in
+    struct/array/map) — the trigger for the ``variantType`` table feature."""
+    from pyspark.sql import types as _T
+
+    def walk(dt) -> bool:
+        if isinstance(dt, _T.VariantType):
+            return True
+        if isinstance(dt, _T.StructType):
+            return any(walk(f.dataType) for f in dt.fields)
+        if isinstance(dt, _T.ArrayType):
+            return walk(dt.elementType)
+        if isinstance(dt, _T.MapType):
+            return walk(dt.keyType) or walk(dt.valueType)
+        return False
+
+    return walk(schema)
 
 
 def ntz_enabled(configuration: Optional[dict]) -> bool:
@@ -940,23 +974,104 @@ def _collect_footer_stats(
     if not paths:
         return {}
     if len(paths) <= 8:
-        return {p: _footer_stats_json(p, stats_columns) for p in paths}
-    sc = spark.sparkContext
-    n_slices = min(len(paths), int(sc.defaultParallelism) * 2)
-    pairs = (
-        sc.parallelize(paths, n_slices)
-        .map(lambda p: (p, _footer_stats_json(p, stats_columns)))
+        out = {p: _footer_stats_json(p, stats_columns) for p in paths}
+    else:
+        sc = spark.sparkContext
+        n_slices = min(len(paths), int(sc.defaultParallelism) * 2)
+        pairs = (
+            sc.parallelize(paths, n_slices)
+            .map(lambda p: (p, _footer_stats_json(p, stats_columns)))
+            .collect()
+        )
+        out = dict(pairs)
+    # files whose footer pyarrow cannot parse (e.g. the VARIANT logical
+    # type) fall back to one distributed Spark aggregation for the same
+    # stats shape — slower (reads data, not just footers) but correct
+    bad = [p for p, s in out.items() if s is None]
+    if bad:
+        out.update(_spark_fallback_stats(spark, bad, stats_columns))
+    return out
+
+
+def _spark_fallback_stats(
+    spark: SparkSession, paths: list[str], stats_columns: Optional[set[str]] = None
+) -> dict[str, str]:
+    """Delta stats JSON via one Spark scan grouped by source file — the
+    fallback when a staged file's footer carries a logical type the local
+    pyarrow can't parse (VARIANT). min/max/nullCount cover atomic
+    non-binary, non-variant columns; numRecords always present."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as _T
+
+    df = spark.read.parquet(*paths)
+    cols = []
+    for f in df.schema.fields:
+        if stats_columns is not None and f.name not in stats_columns:
+            continue
+        if isinstance(
+            f.dataType,
+            (_T.StructType, _T.ArrayType, _T.MapType, _T.VariantType,
+             _T.BinaryType),
+        ):
+            continue
+        cols.append(f.name)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+    rows = (
+        df.groupBy(F.col("_metadata.file_path").alias("__f"))
+        .agg(*aggs)
         .collect()
     )
-    return dict(pairs)
+    out: dict[str, str] = {}
+    by_tail = {p.replace(os.sep, "/"): p for p in paths}
+    for r in rows:
+        tail = unquote(urlparse(r["__f"]).path)
+        local = next(
+            (orig for t, orig in by_tail.items() if tail.endswith(t)), None
+        )
+        if local is None:
+            continue
+        mins, maxs, nulls = {}, {}, {}
+        for c in cols:
+            nulls[c] = r[f"__null_{c}"] or 0
+            lo, hi = r[f"__min_{c}"], r[f"__max_{c}"]
+            if lo is not None:
+                mins[c] = _json_safe(lo)
+                maxs[c] = _json_safe(hi)
+        out[local] = json.dumps(
+            {"numRecords": r["__n"], "minValues": mins, "maxValues": maxs,
+             "nullCount": nulls},
+            default=str,
+        )
+    # a zero-row file produces no group — it was still scanned, so its
+    # absence from the aggregation IS the zero count
+    for p in paths:
+        if p not in out:
+            out[p] = json.dumps(
+                {"numRecords": 0, "minValues": {}, "maxValues": {},
+                 "nullCount": {}}
+            )
+    return out
 
 
-def _footer_stats_json(path: str, stats_columns: Optional[set[str]] = None) -> str:
+def _footer_stats_json(
+    path: str, stats_columns: Optional[set[str]] = None
+) -> Optional[str]:
     import json
 
     import pyarrow.parquet as pq
 
-    pf = pq.ParquetFile(path)
+    try:
+        pf = pq.ParquetFile(path)
+    except OSError:
+        # footer carries a logical type this pyarrow can't parse (VARIANT):
+        # the caller falls back to a Spark-side stats scan for these files
+        return None
     meta = pf.metadata
     arrow_schema = pf.schema_arrow
 
