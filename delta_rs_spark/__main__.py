@@ -146,7 +146,9 @@ def _cmd_dv(args: argparse.Namespace) -> int:
 def _cmd_vacuum(args: argparse.Namespace) -> int:
     table = DeltaTable(args.uri)
     dry = not args.no_dry_run
-    removed = table.vacuum(retention_hours=args.retention_hours, dry_run=dry)
+    removed = table.vacuum(
+        retention_hours=args.retention_hours, dry_run=dry, lite=args.lite
+    )
     for p in removed:
         print(p)
     print(
@@ -205,6 +207,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_vac.add_argument(
         "--no-dry-run", action="store_true", help="actually delete (default: list only)"
+    )
+    p_vac.add_argument(
+        "--lite",
+        action="store_true",
+        help="log-derived candidates only: no full table listing "
+        "(untracked orphans are not cleaned)",
     )
     p_vac.set_defaults(func=_cmd_vacuum)
 

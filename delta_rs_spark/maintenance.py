@@ -613,6 +613,95 @@ def optimize(
     return metrics
 
 
+class ChecksumMismatchError(Exception):
+    """The ``{version}.crc`` version checksum disagrees with the state
+    reconstructed from the log — the log or a checkpoint is corrupt."""
+
+
+def _version_checksum_payload(table) -> dict:
+    """Public Delta VersionChecksum shape (the ``.crc`` file next to each
+    commit): aggregate table state a reader can cross-check after replay.
+    Field names follow the open-source format (tableSizeBytes, numFiles,
+    numMetadata, numProtocol, numDeletedRecordsOpt, numDeletionVectorsOpt,
+    setTransactions, domainMetadata, metadata, protocol)."""
+    state = table.snapshot.state
+    files = list(state.files.values())
+    protocol: dict = {
+        "minReaderVersion": state.min_reader_version,
+        "minWriterVersion": state.min_writer_version,
+    }
+    if state.reader_features is not None:
+        protocol["readerFeatures"] = sorted(state.reader_features)
+    if state.writer_features is not None:
+        protocol["writerFeatures"] = sorted(state.writer_features)
+    dv_files = [a for a in files if a.deletion_vector]
+    return {
+        "tableSizeBytes": sum(a.size or 0 for a in files),
+        "numFiles": len(files),
+        "numMetadata": 1,
+        "numProtocol": 1,
+        "numDeletedRecordsOpt": sum(
+            int((a.deletion_vector or {}).get("cardinality") or 0)
+            for a in dv_files
+        ),
+        "numDeletionVectorsOpt": len(dv_files),
+        "metadata": state.metadata.to_json_dict() if state.metadata else None,
+        "protocol": protocol,
+        "setTransactions": [
+            {"appId": k, "version": v}
+            for k, v in sorted(state.app_transaction_version.items())
+        ],
+        "domainMetadata": [
+            {"domain": d, "configuration": c, "removed": False}
+            for d, c in sorted(state.domain_metadata.items())
+        ],
+    }
+
+
+def write_version_checksum(table, version: int) -> str:
+    """Write ``_delta_log/{version:020d}.crc`` for the CURRENT snapshot
+    (which must be at ``version``). Called best-effort post-commit — a
+    checksum is advisory validation state, never worth failing a commit."""
+    import json as _json
+    import uuid as _uuid
+
+    payload = {"txnId": _uuid.uuid4().hex, **_version_checksum_payload(table)}
+    log = table.log
+    path = log.backend.join(log.log_dir, f"{version:020d}.crc")
+    log.backend.put_obj(path, _json.dumps(payload, separators=(",", ":")).encode())
+    return path
+
+
+def validate_checksum(table, version: Optional[int] = None) -> bool:
+    """Check the snapshot's replayed state against the stored ``.crc``.
+
+    Returns False when no checksum exists for the version; raises
+    ChecksumMismatchError listing the diverging fields otherwise. The
+    aggregate fields (sizes/counts/protocol/metadata) catch log corruption
+    and broken checkpoint folds at O(1) cost — no data is read."""
+    import json as _json
+
+    v = table.version if version is None else version
+    log = table.log
+    path = log.backend.join(log.log_dir, f"{v:020d}.crc")
+    try:
+        stored = _json.loads(log.backend.get_obj(path))
+    except FileNotFoundError:
+        return False
+    expect = _version_checksum_payload(table)
+    diverging = [
+        k
+        for k, want in expect.items()
+        if k in stored and stored[k] != want
+    ]
+    if diverging:
+        raise ChecksumMismatchError(
+            f"version {v} checksum mismatch on {diverging}: the replayed "
+            "state disagrees with the state recorded at commit time"
+        )
+    return True
+
+
 def parse_interval_ms(text: str) -> int:
     """Public Delta interval-property syntax: ``interval <n> <unit>``
     (days/hours/minutes/seconds, singular or plural)."""
@@ -651,7 +740,7 @@ def cleanup_expired_logs(table, retention_ms: Optional[int] = None) -> list[str]
     if cp is None:
         return []
 
-    commit_re = _re.compile(r"^(\d{20})\.json$")
+    commit_re = _re.compile(r"^(\d{20})\.(json|crc)$")
     cp_re = _re.compile(r"^(\d{20})\.checkpoint(\.\d{10}\.\d{10})?\.parquet$")
     compaction_re = _re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
     v2_re = _re.compile(r"^(\d{20})\.checkpoint\.[A-Za-z0-9_-]+\.parquet$")
@@ -815,11 +904,21 @@ def is_hidden_path(rel_path: str) -> bool:
     return False
 
 
-def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]:
+def vacuum(
+    table, retention_hours: int = 168, dry_run: bool = True, lite: bool = False
+) -> list[str]:
     """Delete (or list, when dry_run) unreferenced files older than retention.
 
     Raises below the 168-hour floor, like the reference
     (``rust/src/delta.rs:179-183``).
+
+    ``lite=True`` is the public Delta VACUUM LITE mode: deletion candidates
+    come from the delta log's Remove tombstones (and expired DV
+    descriptors) instead of a full recursive listing of the table root. At
+    100 TB the full listing is millions of LIST RPCs over data the log
+    already describes; LITE reads zero objects beyond the (bounded) log
+    dir. The trade: files the log never tracked (crashed-writer orphans)
+    are NOT cleaned — run a full vacuum occasionally for those.
     """
     if retention_hours < 0:
         raise VacuumError("retention_hours must be non-negative")
@@ -891,35 +990,65 @@ def vacuum(table, retention_hours: int = 168, dry_run: bool = True) -> list[str]
             for meta in table.log.backend.list_objs(root):
                 yield meta.path.split(prefix, 1)[-1], meta.modification_time * 1000
 
-    to_delete: list[str] = []
-    for rel, mtime_ms in _table_files():
-        if rel.startswith("_delta_log/"):
-            continue
-        if is_hidden_path(rel):
-            continue
+    def _protected(rel: str) -> bool:
         if rel in active:
-            continue
+            return True
         if rel in active_dv_files or rel in unexpired_dv_files:
-            continue
+            return True
         if active_dv_prefixes and rel.startswith(active_dv_prefixes):
-            continue
+            return True
         if unexpired_dv_prefixes and rel.startswith(unexpired_dv_prefixes):
-            continue
-        if rel in expired_tombstones:
-            to_delete.append(rel)
-            continue
-        tomb = tombstones.get(rel)
-        if tomb is not None:
-            continue  # unexpired tombstone: keep
-        if rel in expired_dv_files:
-            to_delete.append(rel)  # removal-time clock has run out
-            continue
-        if expired_dv_prefixes and rel.startswith(expired_dv_prefixes):
-            to_delete.append(rel)  # removal-time clock has run out
-            continue
-        # untracked file: delete only when old enough
-        if mtime_ms <= cutoff_ms:
-            to_delete.append(rel)
+            return True
+        return False
+
+    to_delete: list[str] = []
+    if lite:
+        # log-derived candidates only: expired tombstones + expired DV
+        # references. Legacy parquet-dir DV descriptors pin whole dirs —
+        # those few dirs get a bounded listing to enumerate their files.
+        candidates = set(expired_tombstones) | set(expired_dv_files)
+        for pfx in expired_dv_prefixes:
+            sub = pfx.rstrip("/")
+            if isinstance(table.log.backend, LocalFileBackend):
+                subroot = os.path.join(root, sub)
+                for dirpath, _dirs, files in os.walk(subroot):
+                    for fname in files:
+                        full = os.path.join(dirpath, fname)
+                        candidates.add(
+                            os.path.relpath(full, root).replace(os.sep, "/")
+                        )
+            else:
+                prefix = root.rstrip("/") + "/"
+                for meta in table.log.backend.list_objs(
+                    table.log.backend.join(root, sub)
+                ):
+                    candidates.add(meta.path.split(prefix, 1)[-1])
+        for rel in sorted(candidates):
+            if not _protected(rel):
+                to_delete.append(rel)
+    else:
+        for rel, mtime_ms in _table_files():
+            if rel.startswith("_delta_log/"):
+                continue
+            if is_hidden_path(rel):
+                continue
+            if _protected(rel):
+                continue
+            if rel in expired_tombstones:
+                to_delete.append(rel)
+                continue
+            tomb = tombstones.get(rel)
+            if tomb is not None:
+                continue  # unexpired tombstone: keep
+            if rel in expired_dv_files:
+                to_delete.append(rel)  # removal-time clock has run out
+                continue
+            if expired_dv_prefixes and rel.startswith(expired_dv_prefixes):
+                to_delete.append(rel)  # removal-time clock has run out
+                continue
+            # untracked file: delete only when old enough
+            if mtime_ms <= cutoff_ms:
+                to_delete.append(rel)
 
     # Losing-writer temp commits: a crashed or conditional-PUT-losing writer
     # leaves `_delta_log/_commit_<token>.json.tmp` behind (the reference's

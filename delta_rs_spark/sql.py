@@ -373,13 +373,16 @@ def _describe(spark: SparkSession, s: str) -> DataFrame:
 
 def _vacuum(spark: SparkSession, s: str) -> DataFrame:
     m = _require(
-        r"VACUUM\s+delta\.`([^`]+)`(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?$",
+        r"VACUUM\s+delta\.`([^`]+)`(\s+LITE)?(?:\s+RETAIN\s+(\d+)\s+HOURS)?"
+        r"(\s+DRY\s+RUN)?$",
         s,
         "VACUUM",
     )
-    hours = int(m.group(2)) if m.group(2) else 168
-    dry = bool(m.group(3))
-    removed = _open(m.group(1), None, None).vacuum(retention_hours=hours, dry_run=dry)
+    hours = int(m.group(3)) if m.group(3) else 168
+    dry = bool(m.group(4))
+    removed = _open(m.group(1), None, None).vacuum(
+        retention_hours=hours, dry_run=dry, lite=bool(m.group(2))
+    )
     return spark.createDataFrame([(p,) for p in removed] or [], "path string")
 
 

@@ -400,15 +400,30 @@ class DeltaTable:
         return table_min_max(self._snapshot.state.files.values(), column)
 
     # ---- maintenance (implemented in sibling modules) -----------------------
-    def vacuum(self, retention_hours: int = 168, dry_run: bool = True) -> list[str]:
+    def vacuum(
+        self,
+        retention_hours: int = 168,
+        dry_run: bool = True,
+        lite: bool = False,
+    ) -> list[str]:
         from .maintenance import vacuum as _vacuum
 
-        return _vacuum(self, retention_hours=retention_hours, dry_run=dry_run)
+        return _vacuum(
+            self, retention_hours=retention_hours, dry_run=dry_run, lite=lite
+        )
 
     def create_checkpoint(self):
         from .maintenance import create_checkpoint as _ckpt
 
         return _ckpt(self)
+
+    def validate_checksum(self, version: Optional[int] = None) -> bool:
+        """Cross-check the replayed snapshot state against the version's
+        ``.crc`` checksum (public Delta VersionChecksum). False when no
+        checksum exists; raises ChecksumMismatchError on divergence."""
+        from .maintenance import validate_checksum as _vc
+
+        return _vc(self, version)
 
     def compact_log(self, start: int, end: int) -> str:
         """Write a log-compaction file reconciling commits [start, end]
@@ -985,7 +1000,16 @@ class DeltaTable:
     checkpoint_interval: int = 10  # reference lambda policy: every 10th version
 
     def _post_commit_hook(self, version: int) -> None:
-        from .maintenance import maybe_checkpoint
+        from .maintenance import maybe_checkpoint, write_version_checksum
+
+        # version checksum (.crc): advisory state validation, best-effort —
+        # skipped when a concurrent commit already moved the snapshot past
+        # the version we just wrote (its writer records its own checksum)
+        if self.version == version:
+            try:
+                write_version_checksum(self, version)
+            except Exception:
+                pass
 
         # the public delta.checkpointInterval property overrides the default
         interval = self.checkpoint_interval

@@ -89,6 +89,117 @@ def test_vacuum_deletes_expired(spark, table_uri, sf_dir, monkeypatch):
     assert t.to_df(spark).count() == 2
 
 
+def test_vacuum_lite_matches_full_for_tracked_files(spark, table_uri, sf_dir):
+    """LITE derives candidates from the log: for files the log tracks it
+    lists exactly what a full vacuum would, with zero table listing."""
+    df = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    write_deltalake(spark, df.limit(2), table_uri, mode="overwrite")
+    t = DeltaTable(table_uri)
+    for r in t.snapshot.state.tombstones.values():
+        r.deletion_timestamp = int((time.time() - 200 * 3600) * 1000)
+    full = t.vacuum(retention_hours=168, dry_run=True)
+    lite = t.vacuum(retention_hours=168, dry_run=True, lite=True)
+    assert lite == full and len(lite) >= 1
+    removed = t.vacuum(retention_hours=168, dry_run=False, lite=True)
+    assert removed == lite
+    for rel in removed:
+        assert not os.path.exists(os.path.join(t.log.table_root, rel))
+    assert t.to_df(spark).count() == 2
+
+
+def test_vacuum_lite_skips_untracked_orphans(spark, table_uri):
+    """An orphan file the log never saw survives LITE (documented trade)
+    but falls to a full vacuum once aged."""
+    t = DeltaTable(table_uri)
+    orphan = os.path.join(t.log.table_root, "orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    old = time.time() - 200 * 3600
+    os.utime(orphan, (old, old))
+    assert t.vacuum(retention_hours=168, dry_run=True, lite=True) == []
+    assert "orphan.parquet" in t.vacuum(retention_hours=168, dry_run=True)
+
+
+def test_vacuum_lite_sql_and_active_protection(spark, table_uri, sf_dir):
+    """SQL VACUUM ... LITE routes through; a tombstoned-then-re-added path
+    stays protected by the active check."""
+    from delta_rs_spark.sql import sql
+
+    df = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    write_deltalake(spark, df.repartition(3), table_uri, mode="overwrite")
+    write_deltalake(spark, df.limit(2), table_uri, mode="overwrite")
+    t = DeltaTable(table_uri)
+    # re-add one tombstoned path (restore-style log surgery)
+    victim = next(iter(t.snapshot.state.tombstones))
+    for r in t.snapshot.state.tombstones.values():
+        r.deletion_timestamp = int((time.time() - 200 * 3600) * 1000)
+    from delta_rs_spark.protocol.actions import AddAction
+
+    t.snapshot.state.files[victim] = AddAction(path=victim, size=1)
+    lite = t.vacuum(retention_hours=168, dry_run=True, lite=True)
+    assert victim not in lite
+    assert len(lite) >= 1  # the other tombstones still listed
+    # SQL routing: fresh table handle reads un-aged tombstones → empty list,
+    # but the LITE clause parses and routes end-to-end
+    out = sql(
+        spark,
+        f"VACUUM delta.`{table_uri}` LITE RETAIN 168 HOURS DRY RUN",
+    )
+    assert out.columns == ["path"] and out.collect() == []
+
+
+def test_version_checksum_written_and_validates(spark, table_uri, sf_dir):
+    """Every post-commit version gets a ``.crc`` (public Delta
+    VersionChecksum); the replayed state validates against it, and a
+    corrupted checksum is detected with the diverging fields named."""
+    import json
+
+    from delta_rs_spark.maintenance import ChecksumMismatchError
+
+    df = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    write_deltalake(spark, df.limit(3), table_uri, mode="append")
+    t = DeltaTable(table_uri)
+    crc_path = os.path.join(table_uri, "_delta_log", f"{t.version:020d}.crc")
+    assert os.path.exists(crc_path)
+    assert t.validate_checksum() is True
+    stored = json.loads(open(crc_path).read())
+    assert stored["numFiles"] == len(t.files())
+    assert stored["tableSizeBytes"] == sum(a.size for a in t.add_actions())
+    assert stored["protocol"]["minReaderVersion"] >= 1
+    # corrupt it → named divergence
+    stored["numFiles"] += 7
+    with open(crc_path, "w") as f:
+        f.write(json.dumps(stored))
+    with pytest.raises(ChecksumMismatchError, match="numFiles"):
+        t.validate_checksum()
+    # a version with no checksum (v0 pre-dates the hook) → False, no raise
+    assert DeltaTable(table_uri, version=0).validate_checksum(0) is False
+
+
+def test_version_checksum_tracks_dml_and_cleanup(spark, table_uri, sf_dir):
+    """DML commits update the checksum aggregates; expired-log cleanup
+    reaps aged .crc files together with their commits."""
+    from delta_rs_spark.maintenance import cleanup_expired_logs
+
+    t = DeltaTable(table_uri)
+    t.delete(spark, "n_regionkey = 0")
+    t.update()
+    assert t.validate_checksum() is True
+
+    df = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    for _ in range(3):
+        write_deltalake(spark, df.limit(1), table_uri, mode="append")
+    t.update()
+    t.create_checkpoint()
+    log_dir = os.path.join(table_uri, "_delta_log")
+    old = time.time() - 40 * 86400
+    for name in os.listdir(log_dir):
+        os.utime(os.path.join(log_dir, name), (old, old))
+    deleted = cleanup_expired_logs(t)
+    assert any(n.endswith(".crc") for n in deleted)
+    assert any(n.endswith(".json") for n in deleted)
+
+
 def test_hidden_path_predicate():
     assert is_hidden_path("_delta_log/00000000000000000000.json")
     assert is_hidden_path(".tmp-commit-abc/part-0.parquet")
