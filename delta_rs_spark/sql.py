@@ -10,7 +10,10 @@ with tables addressed as ``delta.`/path/to/table```:
 - ``DELETE FROM delta.`/p` WHERE <predicate>``
 - ``UPDATE delta.`/p` SET a = <expr>, b = <expr> WHERE <predicate>``
 - ``DESCRIBE HISTORY delta.`/p``` / ``DESCRIBE DETAIL delta.`/p```
-- ``VACUUM delta.`/p` [RETAIN <n> HOURS] [DRY RUN]``
+- ``SELECT ... FROM table_changes_by_path('/p', start [, end]) ...`` — the
+  Delta CDF table-valued function: the change feed (table schema +
+  ``_change_type`` + ``_commit_version``) as a queryable relation.
+- ``VACUUM delta.`/p` [LITE] [RETAIN <n> HOURS] [DRY RUN]``
 - ``OPTIMIZE delta.`/p` [WHERE p = 'v' [AND ...]] [ZORDER BY (a, b)]``
 - ``RESTORE delta.`/p` TO VERSION AS OF <n> | TO TIMESTAMP AS OF 'ts'``
 
@@ -108,6 +111,12 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     raise SqlError(f"unsupported statement: {head or statement!r}")
 
 
+_TABLE_CHANGES_RE = re.compile(
+    r"table_changes_by_path\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+    re.IGNORECASE,
+)
+
+
 def _select(spark: SparkSession, s: str) -> DataFrame:
     import hashlib
 
@@ -118,7 +127,22 @@ def _select(spark: SparkSession, s: str) -> DataFrame:
         _open(uri, version, ts).to_df(spark).createOrReplaceTempView(view)
         return view
 
-    rewritten = _TABLE_REF.sub(replace, s)
+    def replace_changes(m: re.Match) -> str:
+        # Delta's CDF table-valued function for path tables:
+        # table_changes_by_path('/p', start [, end]) — table schema plus
+        # _change_type / _commit_version
+        uri, start, end = m.group(1), int(m.group(2)), m.group(3)
+        key = f"cdf:{uri}@{start}@{end}"
+        view = "delta_cdf_" + hashlib.md5(key.encode()).hexdigest()[:12]
+        _open(uri, None, None).load_cdf(
+            spark,
+            starting_version=start,
+            ending_version=int(end) if end is not None else None,
+        ).createOrReplaceTempView(view)
+        return view
+
+    rewritten = _TABLE_CHANGES_RE.sub(replace_changes, s)
+    rewritten = _TABLE_REF.sub(replace, rewritten)
     return spark.sql(rewritten)
 
 

@@ -372,3 +372,31 @@ def test_show_create_table_roundtrip(spark, tmp_path):
     assert dfl.defaults(t2.schema()) == {"tier": "'bronze'"}
     assert not t2.schema()["name"].nullable
     assert t2.metadata().configuration["owner"] == "ml"
+
+
+def test_table_changes_by_path_tvf(spark, tmp_path):
+    """The CDF table-valued function exposes the change feed as a relation
+    composable with the rest of the query (filters, joins, aggregates)."""
+    df = spark.range(10).selectExpr("id", "id * 2 AS v")
+    uri = str(tmp_path / "cdf_t")
+    write_deltalake(
+        spark, df, uri, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    t = DeltaTable(uri)
+    t.delete(spark, "id >= 7")                              # v1: 3 deletes
+    sql(spark, f"UPDATE delta.`{uri}` SET v = 99 WHERE id = 0")  # v2: pre+post
+    out = sql(
+        spark,
+        f"SELECT _change_type, count(*) AS n "
+        f"FROM table_changes_by_path('{uri}', 1) "
+        f"GROUP BY _change_type ORDER BY _change_type",
+    ).collect()
+    got = {r._change_type: r.n for r in out}
+    assert got["delete"] == 3
+    assert got["update_preimage"] == 1 and got["update_postimage"] == 1
+    # bounded range: only the delete commit
+    n_del = sql(
+        spark,
+        f"SELECT count(*) AS n FROM table_changes_by_path('{uri}', 1, 1)",
+    ).collect()[0]["n"]
+    assert n_del == 3
