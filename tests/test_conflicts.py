@@ -262,3 +262,66 @@ def test_invalid_isolation_level_rejected(table_uri):
     txn.add_action(AddAction(path="a.parquet", size=1))
     with pytest.raises(TransactionError, match="isolation"):
         txn.commit(operation="WRITE")
+
+
+# ---------------------------------------------------------------------------
+# real multi-writer DML races (threads share the Spark session; each worker
+# gets its own DeltaTable handle — the log's conditional-create is the only
+# coordination, exactly as on a multi-writer cluster)
+# ---------------------------------------------------------------------------
+
+def _partitioned_table(spark, tmp_path, n=400, parts=4):
+    uri = str(tmp_path / "races")
+    df = spark.range(n).selectExpr("id", f"cast(id % {parts} as string) as p")
+    write_deltalake(spark, df, uri, partition_by=["p"])
+    return uri
+
+
+def test_disjoint_partition_deletes_all_succeed(spark, tmp_path):
+    """Four writers deleting from FOUR DIFFERENT partitions concurrently:
+    partition-bounded read domains are disjoint, so every writer retries
+    past the others without conflict — no serialization needed."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    uri = _partitioned_table(spark, tmp_path)
+
+    def worker(i: int):
+        t = DeltaTable(uri)
+        return t.delete(spark, f"p = '{i}' and id < 200")
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(ex.map(worker, range(4)))
+
+    assert all(r["numDeletedRows"] == 50 for r in results)
+    t = DeltaTable(uri)
+    assert t.to_df(spark).count() == 200
+    assert t.to_df(spark).filter("id < 200").count() == 0
+
+
+def test_overlapping_deletes_each_row_deleted_exactly_once(spark, tmp_path):
+    """Three writers deleting the SAME rows concurrently: the conflict
+    checker guarantees no lost updates and no double deletes — the sum of
+    reported numDeletedRows across successful writers equals the matching
+    row count exactly (a loser either aborts with a Concurrent* error or
+    re-plans against the new state and no-ops)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from delta_rs_spark.transactions import ConcurrentModificationError
+
+    uri = _partitioned_table(spark, tmp_path)
+    expected = DeltaTable(uri).to_df(spark).filter("p = '0' and id < 200").count()
+
+    def worker(_i: int):
+        t = DeltaTable(uri)
+        try:
+            return t.delete(spark, "p = '0' and id < 200")
+        except ConcurrentModificationError as e:
+            return {"err": type(e).__name__, "numDeletedRows": 0}
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        results = list(ex.map(worker, range(3)))
+
+    assert sum(r["numDeletedRows"] for r in results) == expected
+    t = DeltaTable(uri)
+    assert t.to_df(spark).filter("p = '0' and id < 200").count() == 0
+    assert t.to_df(spark).count() == 400 - expected
