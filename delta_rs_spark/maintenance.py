@@ -613,6 +613,170 @@ def optimize(
     return metrics
 
 
+class FeatureDropError(Exception):
+    """DROP FEATURE refused: the feature is absent, still has live
+    dependencies, or needs history truncation the caller didn't allow."""
+
+
+# features whose traces are reader-visible: dropping them invalidates
+# historical versions, so history must be truncated (public Delta
+# ``ALTER TABLE … DROP FEATURE … TRUNCATE HISTORY`` semantics)
+_READER_VISIBLE_FEATURES = frozenset(
+    {"deletionVectors", "columnMapping", "timestampNtz", "variantType",
+     "v2Checkpoint", "deltaRsSpark.deletionVectors"}
+)
+
+
+def _validate_feature_droppable(table, name: str) -> None:
+    """Raise unless the CURRENT state carries no trace of the feature —
+    the property is off and no schema/file metadata depends on it."""
+    from pyspark.sql import types as _T
+
+    cfg = table.metadata().configuration or {}
+    schema = table.schema()
+    state = table.snapshot.state
+
+    def _prop_on(key: str) -> bool:
+        return str(cfg.get(key, "")).lower() == "true"
+
+    def _refuse(why: str) -> None:
+        raise FeatureDropError(
+            f"cannot drop feature {name!r}: {why}; remove the dependency "
+            "first (unset the property / drop the columns / rewrite the "
+            "files), then retry"
+        )
+
+    if name == "checkConstraints":
+        from .writer import CONSTRAINT_PREFIX
+
+        if any(k.startswith(CONSTRAINT_PREFIX) for k in cfg):
+            _refuse("CHECK constraints are still defined")
+    elif name == "generatedColumns":
+        from .protocol import generated as _gen
+
+        if _gen.expressions(schema):
+            _refuse("generated columns are still in the schema")
+    elif name == "identityColumns":
+        from .protocol import identity as _idc
+
+        if _idc.specs(schema):
+            _refuse("identity columns are still in the schema")
+    elif name == "allowColumnDefaults":
+        from .protocol import defaults as _dfl
+
+        if _dfl.defaults(schema):
+            _refuse("column DEFAULTs are still in the schema")
+    elif name == "changeDataFeed":
+        if _prop_on("delta.enableChangeDataFeed"):
+            _refuse("delta.enableChangeDataFeed is still true")
+    elif name == "appendOnly":
+        if _prop_on("delta.appendOnly"):
+            _refuse("delta.appendOnly is still true")
+    elif name == "inCommitTimestamp":
+        if _prop_on("delta.enableInCommitTimestamps"):
+            _refuse("delta.enableInCommitTimestamps is still true")
+    elif name == "rowTracking":
+        if _prop_on("delta.enableRowTracking"):
+            _refuse("delta.enableRowTracking is still true")
+    elif name in ("deletionVectors", "deltaRsSpark.deletionVectors"):
+        if _prop_on("delta.enableDeletionVectors"):
+            _refuse("delta.enableDeletionVectors is still true")
+        if any(a.deletion_vector for a in state.files.values()):
+            _refuse(
+                "active files still carry deletion vectors (run OPTIMIZE "
+                "to materialize the deletes)"
+            )
+        if any(r.deletion_vector for r in state.tombstones.values()):
+            _refuse(
+                "unexpired tombstones still reference deletion vectors "
+                "(wait out the retention window or vacuum)"
+            )
+    elif name == "columnMapping":
+        from .protocol import column_mapping as _cm
+
+        if _cm.is_mapped(cfg):
+            _refuse("delta.columnMapping.mode is still set")
+    elif name == "timestampNtz":
+        if any(
+            isinstance(f.dataType, _T.TimestampNTZType) for f in schema.fields
+        ):
+            _refuse("TIMESTAMP_NTZ columns are still in the schema")
+    elif name == "variantType":
+        from .writer import _schema_has_variant
+
+        if _schema_has_variant(schema):
+            _refuse("VARIANT columns are still in the schema")
+    elif name == "v2Checkpoint":
+        if str(cfg.get("delta.checkpointPolicy", "")).lower() == "v2":
+            _refuse("delta.checkpointPolicy is still 'v2'")
+    elif name == "domainMetadata":
+        if state.domain_metadata:
+            _refuse("domain metadata entries still exist")
+    elif name == "clustering":
+        if state.domain_metadata:
+            _refuse("clustering domain metadata still exists")
+    # invariants / features with no persistent trace: droppable as-is
+
+
+def drop_feature(table, name: str, truncate_history: bool = False) -> int:
+    """``ALTER TABLE … DROP FEATURE`` (public Delta table-features
+    contract): remove a feature from the protocol once nothing in the
+    table depends on it.
+
+    Writer-only features drop immediately after the dependency check.
+    Reader-visible features additionally require ``truncate_history=True``:
+    historical versions still carry the feature's traces (DV descriptors,
+    physical column names, VARIANT files), so the drop checkpoints the
+    current state and deletes the log below it — time travel beneath the
+    drop is given up, exactly what TRUNCATE HISTORY means. The protocol
+    versions stay at their current level with the remaining feature lists
+    (spec-legal; readers gate on the lists, not the numbers)."""
+    from .protocol.actions import ProtocolAction
+    from .transactions import DeltaTransaction
+
+    table.update()
+    state = table.snapshot.state
+    wf = set(state.writer_features or [])
+    rf = set(state.reader_features or [])
+    if name not in wf and name not in rf:
+        raise FeatureDropError(
+            f"feature {name!r} is not enabled on this table "
+            f"(writer features: {sorted(wf)}; reader features: {sorted(rf)})"
+        )
+    _validate_feature_droppable(table, name)
+    if (name in _READER_VISIBLE_FEATURES or name in rf) and not truncate_history:
+        raise FeatureDropError(
+            f"{name!r} is reader-visible: historical versions still carry "
+            "its traces. Pass truncate_history=True (SQL: TRUNCATE "
+            "HISTORY) to checkpoint the current state and give up time "
+            "travel below the drop"
+        )
+    if truncate_history:
+        create_checkpoint(table)
+        cleanup_expired_logs(table, retention_ms=0)
+    proto = ProtocolAction(
+        state.min_reader_version,
+        state.min_writer_version,
+        reader_features=(
+            sorted(rf - {name}) if state.reader_features is not None else None
+        ),
+        writer_features=(
+            sorted(wf - {name}) if state.writer_features is not None else None
+        ),
+    )
+    txn = DeltaTransaction(table)
+    txn.add_action(proto)
+    v = txn.commit(
+        operation="DROP FEATURE",
+        operation_parameters={
+            "featureName": name,
+            "truncateHistory": str(bool(truncate_history)).lower(),
+        },
+    )
+    table.update()
+    return v
+
+
 class ChecksumMismatchError(Exception):
     """The ``{version}.crc`` version checksum disagrees with the state
     reconstructed from the log — the log or a checkpoint is corrupt."""

@@ -294,6 +294,15 @@ def _alter(spark: SparkSession, s: str) -> DataFrame:
         v = table.drop_column_default(mm.group(1))
         return _one_row(spark, {"version": v, "column": mm.group(1)})
 
+    mm = re.match(
+        r"DROP\s+FEATURE\s+([A-Za-z0-9_.]+)(\s+TRUNCATE\s+HISTORY)?$",
+        rest,
+        re.IGNORECASE,
+    )
+    if mm:
+        v = table.drop_feature(mm.group(1), truncate_history=bool(mm.group(2)))
+        return _one_row(spark, {"version": v, "droppedFeature": mm.group(1)})
+
     mm = re.match(r"SYNC\s+IDENTITY$", rest, re.IGNORECASE)
     if mm:
         marks = table.sync_identity()

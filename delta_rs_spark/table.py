@@ -417,6 +417,14 @@ class DeltaTable:
 
         return _ckpt(self)
 
+    def drop_feature(self, name: str, truncate_history: bool = False) -> int:
+        """``ALTER TABLE … DROP FEATURE`` — remove a table feature from the
+        protocol once nothing depends on it; reader-visible features need
+        ``truncate_history=True`` (see maintenance.drop_feature)."""
+        from .maintenance import drop_feature as _drop
+
+        return _drop(self, name, truncate_history=truncate_history)
+
     def validate_checksum(self, version: Optional[int] = None) -> bool:
         """Cross-check the replayed snapshot state against the version's
         ``.crc`` checksum (public Delta VersionChecksum). False when no

@@ -773,3 +773,77 @@ def test_checkpoint_stats_as_struct_roundtrip(spark, tmp_path, sf_dir):
     t2 = DeltaTable(uri)
     assert t2.count_rows() == n
     assert all(a.get_stats() is not None for a in t2.add_actions())
+
+
+def test_drop_writer_feature_lifecycle(spark, tmp_path):
+    """DROP FEATURE: refused while a dependency exists, succeeds once the
+    dependency is removed, and the protocol list no longer names it."""
+    from delta_rs_spark.maintenance import FeatureDropError
+
+    uri = str(tmp_path / "t")
+    df = spark.range(5).selectExpr("id")
+    write_deltalake(spark, df, uri, column_defaults={"id": "42"})
+    t = DeltaTable(uri)
+    assert "allowColumnDefaults" in (t.snapshot.state.writer_features or [])
+    with pytest.raises(FeatureDropError, match="DEFAULT"):
+        t.drop_feature("allowColumnDefaults")
+    t.drop_column_default("id")
+    t.update()
+    v = t.drop_feature("allowColumnDefaults")
+    t.update()
+    assert "allowColumnDefaults" not in (t.snapshot.state.writer_features or [])
+    # absent feature → clean error; table still writable
+    with pytest.raises(FeatureDropError, match="not enabled"):
+        t.drop_feature("allowColumnDefaults")
+    write_deltalake(spark, df, uri, mode="append")
+    assert DeltaTable(uri).to_df(spark).count() == 10
+    assert v >= 1
+
+
+def test_drop_reader_feature_requires_truncate_history(spark, tmp_path):
+    """Reader-visible features refuse a plain drop; TRUNCATE HISTORY
+    checkpoints the head and gives up time travel below the drop."""
+    from delta_rs_spark.maintenance import FeatureDropError
+
+    uri = str(tmp_path / "t")
+    df = spark.range(5).selectExpr("id")
+    write_deltalake(
+        spark, df, uri,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    write_deltalake(spark, df, uri, mode="append")
+    t = DeltaTable(uri)
+    # force the protocol to advertise the feature without any DV trace
+    txn = t.begin()
+    from delta_rs_spark.protocol.actions import upgraded_protocol
+
+    bump = upgraded_protocol(
+        t.snapshot.state, 3, 7,
+        reader_features=["deletionVectors"],
+        writer_features=["deletionVectors"],
+    )
+    txn.add_action(bump)
+    txn.commit(operation="UPGRADE")
+    t.update()
+    with pytest.raises(FeatureDropError, match="enableDeletionVectors"):
+        t.drop_feature("deletionVectors", truncate_history=True)
+    t.unset_properties(["delta.enableDeletionVectors"])
+    t.update()
+    with pytest.raises(FeatureDropError, match="TRUNCATE"):
+        t.drop_feature("deletionVectors")
+    v = t.drop_feature("deletionVectors", truncate_history=True)
+    t.update()
+    assert "deletionVectors" not in (t.snapshot.state.reader_features or [])
+    assert t.to_df(spark).count() == 10
+    # history below the drop is truncated: version-0 commit json is gone
+    assert not os.path.exists(
+        os.path.join(uri, "_delta_log", f"{0:020d}.json")
+    )
+    # SQL surface routes too (idempotent error shape)
+    from delta_rs_spark.sql import sql
+
+    from delta_rs_spark.maintenance import FeatureDropError as FDE
+
+    with pytest.raises(FDE, match="not enabled"):
+        sql(spark, f"ALTER TABLE delta.`{uri}` DROP FEATURE deletionVectors TRUNCATE HISTORY")
+    assert v >= 3
