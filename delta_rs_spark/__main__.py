@@ -103,6 +103,24 @@ def _cmd_protocol(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_checksum(args: argparse.Namespace) -> int:
+    """Validate the snapshot's replayed state against the stored version
+    checksum (``{version}.crc``). Exit 0 on match or when no checksum
+    exists (reported), 1 on divergence — scriptable integrity probe."""
+    from .maintenance import ChecksumMismatchError
+
+    table = DeltaTable(args.uri)
+    try:
+        ok = table.validate_checksum()
+    except ChecksumMismatchError as e:
+        print(json.dumps({"version": table.version, "valid": False,
+                          "error": str(e)}))
+        return 1
+    print(json.dumps({"version": table.version, "valid": bool(ok),
+                      "checksumPresent": bool(ok)}))
+    return 0
+
+
 def _cmd_dv(args: argparse.Namespace) -> int:
     """Deletion-vector summary: one line per DV'd file + a totals object.
 
@@ -199,6 +217,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_proto.add_argument("uri", help="Table URI")
     p_proto.set_defaults(func=_cmd_protocol)
+
+    p_crc = isub.add_parser(
+        "checksum", help="validate state against the version .crc"
+    )
+    p_crc.add_argument("uri", help="Table URI")
+    p_crc.set_defaults(func=_cmd_checksum)
 
     p_vac = sub.add_parser("vacuum", help="list/delete unreferenced files")
     p_vac.add_argument("uri", help="Table URI")

@@ -116,3 +116,24 @@ def test_inspect_protocol(spark, tmp_path, capsys):
     assert out["minWriterVersion"] == 7
     assert "inCommitTimestamp" in out["writerFeatures"]
     assert out["featureProperties"]["delta.enableInCommitTimestamps"] == "true"
+
+
+def test_inspect_checksum(spark, tmp_path, capsys):
+    import os
+
+    from delta_rs_spark import write_deltalake
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.range(3).selectExpr("id"), uri)
+    write_deltalake(spark, spark.range(3).selectExpr("id"), uri, mode="append")
+    assert main(["inspect", "checksum", uri]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["valid"] is True
+    crc = os.path.join(uri, "_delta_log", f"{1:020d}.crc")
+    j = json.loads(open(crc).read())
+    j["tableSizeBytes"] += 1
+    with open(crc, "w") as f:
+        f.write(json.dumps(j))
+    assert main(["inspect", "checksum", uri]) == 1
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["valid"] is False and "tableSizeBytes" in out["error"]
