@@ -613,6 +613,70 @@ def optimize(
     return metrics
 
 
+AUTO_COMPACT_KEY = "delta.autoOptimize.autoCompact"
+AUTO_COMPACT_MIN_FILES_KEY = "delta.autoOptimize.minNumFiles"
+AUTO_COMPACT_DEFAULT_MIN_FILES = 50
+AUTO_COMPACT_TARGET_SIZE = 128 * 1024 * 1024  # public autoCompact target
+
+
+def auto_compact_if_needed(table, spark) -> Optional[dict]:
+    """Public Delta auto compaction (``delta.autoOptimize.autoCompact``):
+    after a commit, partitions that accumulated ≥ minNumFiles files below
+    the 128 MB auto-compact target get compacted in a follow-up
+    ``dataChange=false`` commit.
+
+    The operational story this solves at scale: a streaming or
+    micro-batch writer appends thousands of kilobyte files per hour;
+    without compaction every reader pays the per-file open cost forever.
+    optimizeWrite prevents the problem at write time when partitions are
+    the cause; autoCompact repairs what still slips through (many commits
+    to the SAME partition). Scoped per qualifying partition, so the
+    follow-up reads only the small files it merges; concurrent writers
+    are safe because the compaction commit runs under SnapshotIsolation
+    and aborts on a genuine file conflict (best-effort by contract)."""
+    cfg = table.metadata().configuration or {}
+    if str(cfg.get(AUTO_COMPACT_KEY, "")).lower() != "true":
+        return None
+    try:
+        min_files = int(
+            cfg.get(AUTO_COMPACT_MIN_FILES_KEY, AUTO_COMPACT_DEFAULT_MIN_FILES)
+        )
+    except (TypeError, ValueError):
+        min_files = AUTO_COMPACT_DEFAULT_MIN_FILES
+    pcols = table.metadata().partition_columns
+    small: dict[tuple, int] = {}
+    for a in table.add_actions():
+        if (a.size or 0) >= AUTO_COMPACT_TARGET_SIZE:
+            continue
+        key = tuple(a.partition_values.get(c) for c in pcols) if pcols else ()
+        small[key] = small.get(key, 0) + 1
+    qualifying = [k for k, n in small.items() if n >= min_files]
+    if not qualifying:
+        return None
+    totals = {"numFilesRemoved": 0, "numFilesAdded": 0, "partitions": 0}
+    if not pcols:
+        res = optimize(table, spark, target_file_size=AUTO_COMPACT_TARGET_SIZE)
+        totals["numFilesRemoved"] = res.get("numFilesRemoved", 0)
+        totals["numFilesAdded"] = res.get("numFilesAdded", 0)
+        totals["partitions"] = 1
+        return totals
+    for key in qualifying:
+        if any(v is None for v in key):
+            continue  # null partition values: = filters can't address them
+        filters = [(c, "=", v) for c, v in zip(pcols, key)]
+        res = optimize(
+            table,
+            spark,
+            target_file_size=AUTO_COMPACT_TARGET_SIZE,
+            partition_filters=filters,
+        )
+        totals["numFilesRemoved"] += res.get("numFilesRemoved", 0)
+        totals["numFilesAdded"] += res.get("numFilesAdded", 0)
+        totals["partitions"] += 1
+        table.update()
+    return totals
+
+
 class FeatureDropError(Exception):
     """DROP FEATURE refused: the feature is absent, still has live
     dependencies, or needs history truncation the caller didn't allow."""

@@ -1018,6 +1018,24 @@ class DeltaTable:
                 write_version_checksum(self, version)
             except Exception:
                 pass
+        # auto compaction (delta.autoOptimize.autoCompact): best-effort
+        # follow-up commit, reentrancy-guarded — the compaction's own
+        # post-commit hook must not recurse (its result files are at the
+        # target size, but the guard makes that a guarantee, not a hope)
+        if not getattr(self, "_in_auto_compact", False):
+            from pyspark.sql import SparkSession
+
+            spark = SparkSession.getActiveSession()
+            if spark is not None:
+                from .maintenance import auto_compact_if_needed
+
+                self._in_auto_compact = True
+                try:
+                    auto_compact_if_needed(self, spark)
+                except Exception:
+                    pass
+                finally:
+                    self._in_auto_compact = False
 
         # the public delta.checkpointInterval property overrides the default
         interval = self.checkpoint_interval

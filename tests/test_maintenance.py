@@ -847,3 +847,54 @@ def test_drop_reader_feature_requires_truncate_history(spark, tmp_path):
     with pytest.raises(FDE, match="not enabled"):
         sql(spark, f"ALTER TABLE delta.`{uri}` DROP FEATURE deletionVectors TRUNCATE HISTORY")
     assert v >= 3
+
+
+def test_auto_compact_repairs_small_file_partitions(spark, tmp_path):
+    """delta.autoOptimize.autoCompact: once a partition accumulates
+    minNumFiles small files, the post-commit hook compacts it in a
+    follow-up dataChange=false commit — readers of the log tail skip it,
+    row data is unchanged, and only the noisy partition is rewritten."""
+    uri = str(tmp_path / "t")
+    df0 = spark.range(40).selectExpr("id", "cast(id % 2 as string) as p")
+    write_deltalake(
+        spark, df0, uri, partition_by=["p"],
+        configuration={
+            "delta.autoOptimize.autoCompact": "true",
+            "delta.autoOptimize.minNumFiles": "4",
+        },
+    )
+    # four small single-partition appends land in p=0 only
+    for i in range(4):
+        add = spark.range(i * 5, i * 5 + 5).selectExpr(
+            "id", "cast(0 as string) as p"
+        )
+        write_deltalake(spark, add, uri, mode="append", partition_by=["p"])
+    t = DeltaTable(uri)
+    per_part: dict = {}
+    for a in t.add_actions():
+        per_part.setdefault(a.partition_values.get("p"), []).append(a)
+    # the noisy partition collapsed to ~1 file; the quiet one kept its layout
+    assert len(per_part["0"]) <= 2
+    assert t.to_df(spark).count() == 40 + 20
+    ops = [e.get("operation") for e in t.history()]
+    assert "OPTIMIZE" in ops
+
+
+def test_auto_compact_off_by_default(spark, tmp_path):
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(10).selectExpr("id", "cast(0 as string) as p"),
+        uri,
+        partition_by=["p"],
+    )
+    for i in range(4):
+        write_deltalake(
+            spark,
+            spark.range(5).selectExpr("id", "cast(0 as string) as p"),
+            uri,
+            mode="append",
+            partition_by=["p"],
+        )
+    t = DeltaTable(uri)
+    assert "OPTIMIZE" not in [e.get("operation") for e in t.history()]
