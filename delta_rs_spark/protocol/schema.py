@@ -158,6 +158,12 @@ def _delta_type_to_pyarrow(node: Any):
         if node.startswith("decimal("):
             p, s = node[len("decimal("):-1].split(",")
             return pa.decimal128(int(p), int(s))
+        if node == "variant":
+            raise ValueError(
+                "variant columns are not readable on the pyarrow driver "
+                "path (this pyarrow has no VARIANT logical type); use the "
+                "Spark path (to_df) instead"
+            )
         raise ValueError(f"unsupported Delta primitive {node!r}")
     t = node.get("type")
     if t == "struct":
