@@ -19,6 +19,16 @@ from .protocol.snapshot import DeltaTableError, NotATableError, Snapshot
 from .session import get_spark
 from .sql import sql
 from .table import DeltaTable
+from .transactions import (
+    ConcurrentAppendError,
+    ConcurrentDeleteDeleteError,
+    ConcurrentDeleteReadError,
+    ConcurrentModificationError,
+    ConcurrentTransactionError,
+    MetadataChangedError,
+    ProtocolChangedError,
+    TransactionError,
+)
 from .writer import (
     SchemaMismatchError,
     TableAlreadyExistsError,
@@ -46,5 +56,13 @@ __all__ = [
     "cdf_enabled",
     "get_spark",
     "sql",
+    "TransactionError",
+    "ConcurrentModificationError",
+    "ConcurrentAppendError",
+    "ConcurrentDeleteReadError",
+    "ConcurrentDeleteDeleteError",
+    "ConcurrentTransactionError",
+    "MetadataChangedError",
+    "ProtocolChangedError",
     "__version__",
 ]
