@@ -112,7 +112,8 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
 
 
 _TABLE_CHANGES_RE = re.compile(
-    r"table_changes_by_path\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)",
+    r"table_changes_by_path\s*\(\s*'([^']+)'\s*,\s*"
+    r"(\d+|'[^']+')\s*(?:,\s*(\d+|'[^']+')\s*)?\)",
     re.IGNORECASE,
 )
 
@@ -130,15 +131,24 @@ def _select(spark: SparkSession, s: str) -> DataFrame:
     def replace_changes(m: re.Match) -> str:
         # Delta's CDF table-valued function for path tables:
         # table_changes_by_path('/p', start [, end]) — table schema plus
-        # _change_type / _commit_version
-        uri, start, end = m.group(1), int(m.group(2)), m.group(3)
+        # _change_type / _commit_version. Bounds are versions (integers)
+        # or timestamps (quoted strings), mixable like Delta's own TVF.
+        uri, start, end = m.group(1), m.group(2), m.group(3)
         key = f"cdf:{uri}@{start}@{end}"
         view = "delta_cdf_" + hashlib.md5(key.encode()).hexdigest()[:12]
-        _open(uri, None, None).load_cdf(
-            spark,
-            starting_version=start,
-            ending_version=int(end) if end is not None else None,
-        ).createOrReplaceTempView(view)
+        kwargs: dict = {}
+        if start.startswith("'"):
+            kwargs["starting_timestamp"] = start[1:-1]
+        else:
+            kwargs["starting_version"] = int(start)
+        if end is not None:
+            if end.startswith("'"):
+                kwargs["ending_timestamp"] = end[1:-1]
+            else:
+                kwargs["ending_version"] = int(end)
+        _open(uri, None, None).load_cdf(spark, **kwargs).createOrReplaceTempView(
+            view
+        )
         return view
 
     rewritten = _TABLE_CHANGES_RE.sub(replace_changes, s)

@@ -400,3 +400,20 @@ def test_table_changes_by_path_tvf(spark, tmp_path):
         f"SELECT count(*) AS n FROM table_changes_by_path('{uri}', 1, 1)",
     ).collect()[0]["n"]
     assert n_del == 3
+
+
+def test_table_changes_by_path_timestamp_bounds(spark, tmp_path):
+    """The TVF also accepts quoted timestamps as bounds, like Delta's own
+    table_changes; a far-future start yields zero rows, a mixed
+    (version, timestamp) pair brackets the whole window."""
+    df = spark.range(6).selectExpr("id")
+    uri = str(tmp_path / "cdf_ts")
+    write_deltalake(
+        spark, df, uri, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    DeltaTable(uri).delete(spark, "id >= 4")
+    n = sql(
+        spark,
+        f"SELECT count(*) AS n FROM table_changes_by_path('{uri}', 1, '2099-01-01 00:00:00')",
+    ).collect()[0]["n"]
+    assert n == 2
