@@ -13,6 +13,7 @@ Plus `operators/`: the large-scale training-data pipeline toolkit
 
 from .cdf import cdf_enabled, load_cdf
 from .dml import DMLError, delete, merge, update
+from .ingest import CopyIntoError, copy_into
 from .json_writer import BufferedJsonWriter
 from .protocol.log import DeltaLog
 from .protocol.snapshot import DeltaTableError, NotATableError, Snapshot
@@ -54,6 +55,8 @@ __all__ = [
     "DMLError",
     "load_cdf",
     "cdf_enabled",
+    "copy_into",
+    "CopyIntoError",
     "get_spark",
     "sql",
     "TransactionError",

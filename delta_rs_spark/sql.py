@@ -13,6 +13,9 @@ with tables addressed as ``delta.`/path/to/table```:
 - ``SELECT ... FROM table_changes_by_path('/p', start [, end]) ...`` — the
   Delta CDF table-valued function: the change feed (table schema +
   ``_change_type`` + ``_commit_version``) as a queryable relation.
+- ``COPY INTO delta.`/p` FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+  [PATTERN = '<glob>'] [FORCE = TRUE]`` — idempotent batch ingest; already-
+  loaded files are skipped (registry rides the log as domainMetadata).
 - ``VACUUM delta.`/p` [LITE] [RETAIN <n> HOURS] [DRY RUN]``
 - ``OPTIMIZE delta.`/p` [WHERE p = 'v' [AND ...]] [ZORDER BY (a, b)]``
 - ``RESTORE delta.`/p` TO VERSION AS OF <n> | TO TIMESTAMP AS OF 'ts'``
@@ -108,7 +111,31 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
     if head == "TRUNCATE":
         m = _require(r"TRUNCATE\s+TABLE\s+delta\.`([^`]+)`$", s, "TRUNCATE")
         return _one_row(spark, _open(m.group(1), None, None).delete(spark))
+    if head == "COPY":
+        return _copy_into(spark, s)
     raise SqlError(f"unsupported statement: {head or statement!r}")
+
+
+def _copy_into(spark: SparkSession, s: str) -> DataFrame:
+    m = _require(
+        r"COPY\s+INTO\s+delta\.`([^`]+)`\s+FROM\s+'([^']+)'\s+"
+        r"FILEFORMAT\s*=\s*(\w+)"
+        r"(?:\s+PATTERN\s*=\s*'([^']+)')?"
+        r"(?:\s+FORCE\s*=\s*(TRUE|FALSE))?$",
+        s,
+        "COPY INTO",
+    )
+    from .ingest import copy_into
+
+    res = copy_into(
+        spark,
+        m.group(1),
+        m.group(2),
+        file_format=m.group(3),
+        pattern=m.group(4),
+        force=(m.group(5) or "").upper() == "TRUE",
+    )
+    return _one_row(spark, res)
 
 
 _TABLE_CHANGES_RE = re.compile(

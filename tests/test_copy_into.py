@@ -1,0 +1,90 @@
+"""COPY INTO: idempotent batch ingest — already-loaded files skip, the
+registry rides the log as domainMetadata (survives checkpoints), FORCE
+reloads, text formats take the table schema."""
+
+import os
+
+import pytest
+
+from delta_rs_spark import DeltaTable, sql, write_deltalake
+from delta_rs_spark.ingest import COPY_INTO_DOMAIN, CopyIntoError, copy_into
+
+
+@pytest.fixture()
+def target(spark, tmp_path):
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.range(0).selectExpr("id", "id * 2 AS v"), uri)
+    return uri
+
+
+def _land(spark, tmp_path, name, lo, hi):
+    src = str(tmp_path / "landing" / name)
+    spark.range(lo, hi).selectExpr("id", "id * 2 AS v").coalesce(1).write.parquet(src)
+    return str(tmp_path / "landing")
+
+
+def test_copy_into_loads_then_skips(spark, tmp_path, target):
+    landing = _land(spark, tmp_path, "batch1", 0, 10)
+    res = copy_into(spark, target, landing)
+    assert res["num_inserted_rows"] == 10 and res["numFilesLoaded"] >= 1
+    t = DeltaTable(target)
+    assert t.to_df(spark).count() == 10
+    assert COPY_INTO_DOMAIN in t.snapshot.state.domain_metadata
+    # retry is a no-op: every file already registered
+    res2 = copy_into(spark, target, landing)
+    assert res2["numFilesLoaded"] == 0 and res2["numFilesSkipped"] >= 1
+    assert DeltaTable(target).to_df(spark).count() == 10
+    # a new landing file loads alone
+    _land(spark, tmp_path, "batch2", 10, 15)
+    res3 = copy_into(spark, target, landing)
+    assert res3["num_inserted_rows"] == 5
+    assert DeltaTable(target).to_df(spark).count() == 15
+
+
+def test_copy_into_registry_survives_checkpoint(spark, tmp_path, target):
+    landing = _land(spark, tmp_path, "b1", 0, 8)
+    copy_into(spark, target, landing)
+    t = DeltaTable(target)
+    t.create_checkpoint()
+    res = copy_into(spark, target, landing)  # fresh handle reads checkpoint
+    assert res["numFilesLoaded"] == 0
+    assert DeltaTable(target).to_df(spark).count() == 8
+
+
+def test_copy_into_force_reloads(spark, tmp_path, target):
+    landing = _land(spark, tmp_path, "b1", 0, 6)
+    copy_into(spark, target, landing)
+    res = copy_into(spark, target, landing, force=True)
+    assert res["num_inserted_rows"] == 6
+    assert DeltaTable(target).to_df(spark).count() == 12
+
+
+def test_copy_into_csv_uses_table_schema(spark, tmp_path, target):
+    src = tmp_path / "csvland"
+    src.mkdir()
+    (src / "a.csv").write_text("id,v\n100,200\n101,202\n")
+    res = copy_into(spark, target, str(src), file_format="csv")
+    assert res["num_inserted_rows"] == 2
+    got = DeltaTable(target).to_df(spark).orderBy("id").collect()
+    assert [(r.id, r.v) for r in got] == [(100, 200), (101, 202)]
+
+
+def test_copy_into_sql_and_pattern(spark, tmp_path, target):
+    landing = tmp_path / "landing"
+    _land(spark, tmp_path, "keep", 0, 4)
+    (landing / "noise.txt").write_text("not parquet")
+    out = sql(
+        spark,
+        f"COPY INTO delta.`{target}` FROM '{landing}' "
+        f"FILEFORMAT = PARQUET PATTERN = '*.parquet'",
+    ).collect()[0]
+    assert int(out["num_inserted_rows"]) == 4
+    ops = [e.get("operation") for e in DeltaTable(target).history()]
+    assert "COPY INTO" in ops
+
+
+def test_copy_into_missing_source_and_bad_format(spark, target):
+    with pytest.raises(CopyIntoError, match="does not exist"):
+        copy_into(spark, target, "/nonexistent/dir")
+    with pytest.raises(CopyIntoError, match="FILEFORMAT"):
+        copy_into(spark, target, "/tmp", file_format="avro")
