@@ -101,3 +101,29 @@ def test_variant_schema_evolution_bumps_feature(spark, tmp_path):
     got = t.to_df(spark)
     assert got.count() == 6
     assert got.schema["props"].dataType.typeName() == "variant"
+
+
+def test_collated_string_round_trip(spark, tmp_path):
+    """Spark 4 collations serialize as plain ``string`` plus field-metadata
+    ``__COLLATIONS`` — the Delta collations proposal's backward-compatible
+    encoding, which the schema layer preserves verbatim. A collation-blind
+    reader sees an ordinary string column; a collation-aware session gets
+    case-insensitive semantics back after reload."""
+    import json
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    uri = str(tmp_path / "t")
+    df = spark.sql(
+        "SELECT * FROM VALUES ('Apple'), ('apple'), ('BANANA') AS t(fruit)"
+    ).selectExpr("cast(fruit as string collate UTF8_LCASE) AS fruit")
+    write_deltalake(spark, df, uri)
+    t = DeltaTable(uri)
+    fields = json.loads(t.metadata().schema_string)["fields"]
+    assert fields[0]["type"] == "string"  # plain type: old readers unaffected
+    assert fields[0]["metadata"]["__COLLATIONS"] == {"fruit": "spark.UTF8_LCASE"}
+    back = t.to_df(spark)
+    assert "UTF8_LCASE" in back.schema["fruit"].dataType.simpleString().upper()
+    # collation-aware comparison and grouping after reload
+    assert back.filter("fruit = 'APPLE'").count() == 2
+    assert back.select("fruit").distinct().count() == 2
