@@ -687,7 +687,7 @@ class FeatureDropError(Exception):
 # ``ALTER TABLE … DROP FEATURE … TRUNCATE HISTORY`` semantics)
 _READER_VISIBLE_FEATURES = frozenset(
     {"deletionVectors", "columnMapping", "timestampNtz", "variantType",
-     "v2Checkpoint", "deltaRsSpark.deletionVectors"}
+     "v2Checkpoint", "deltaRsSpark.deletionVectors", "typeWidening"}
 )
 
 
@@ -773,6 +773,19 @@ def _validate_feature_droppable(table, name: str) -> None:
     elif name == "v2Checkpoint":
         if str(cfg.get("delta.checkpointPolicy", "")).lower() == "v2":
             _refuse("delta.checkpointPolicy is still 'v2'")
+    elif name == "typeWidening":
+        from .protocol import widening as _tw
+
+        if _prop_on(_tw.ENABLE_KEY):
+            _refuse(f"{_tw.ENABLE_KEY} is still true")
+        if _tw.latest_change_version(schema) is not None:
+            narrow = _tw.physical_narrow_files(table)
+            if narrow:
+                _refuse(
+                    f"{len(narrow)} live file(s) still carry narrow physical "
+                    "types from before the widening (run optimize() to "
+                    "rewrite them at the wide type)"
+                )
     elif name == "domainMetadata":
         if state.domain_metadata:
             _refuse("domain metadata entries still exist")
@@ -830,6 +843,24 @@ def drop_feature(table, name: str, truncate_history: bool = False) -> int:
     )
     txn = DeltaTransaction(table)
     txn.add_action(proto)
+    if name == "typeWidening":
+        # cleanup travels with the drop: the schema sheds its
+        # delta.typeChanges bookkeeping in the same commit
+        from .protocol import widening as _tw
+        from .protocol.schema import schema_string_to_spark, spark_to_schema_string
+
+        schema = schema_string_to_spark(table.metadata().schema_string)
+        if _tw.type_changes(schema):
+            import dataclasses as _dc
+
+            txn.add_action(
+                _dc.replace(
+                    table.metadata(),
+                    schema_string=spark_to_schema_string(
+                        _tw.strip_type_changes(schema)
+                    ),
+                )
+            )
     v = txn.commit(
         operation="DROP FEATURE",
         operation_parameters={

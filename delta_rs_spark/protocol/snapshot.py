@@ -56,6 +56,7 @@ SUPPORTED_READER_FEATURES = frozenset(
         "timestampNtz",
         "variantType",
         "v2Checkpoint",
+        "typeWidening",
         # vendor token written by pre-round-3 builds of this engine for the
         # legacy parquet-dir DV descriptors (still decoded)
         "deltaRsSpark.deletionVectors",

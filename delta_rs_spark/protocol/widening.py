@@ -1,0 +1,265 @@
+"""Type widening (public Delta ``typeWidening`` table feature).
+
+Widening a column's type is a metadata-only operation: the schema in the
+latest ``metaData`` action carries the wide type, while parquet files written
+before the change keep their narrow physical type. Readers upcast at scan
+time — Spark 4's vectorized parquet reader natively reads int32 pages into
+long/double/decimal vectors (and float→double, date→timestamp_ntz), so the
+widened table needs no file rewrites and no per-row Python anywhere.
+
+Spec surface mirrored here (public Delta PROTOCOL.md, type-widening section;
+the reference engine predates the feature — parity-plus):
+
+- reader+writer feature ``typeWidening`` (protocol 3/7), enablement property
+  ``delta.enableTypeWidening``;
+- the allowed widenings (integer chain, float→double, integer→double,
+  date→timestamp_ntz, decimal precision/scale growth, integer→decimal);
+- every applied change recorded on the widened ``StructField``'s metadata
+  under ``delta.typeChanges`` as ``{"tableVersion", "fromType", "toType"}``
+  so readers and DROP FEATURE can reason about which files may carry narrow
+  physical types.
+
+DROP FEATURE ``typeWidening`` refuses while any live file still predates the
+latest type change (its physical schema may be narrow); compacting the table
+(``optimize``) rewrites files at the wide type and unblocks the drop.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import types as T
+
+FEATURE_NAME = "typeWidening"
+ENABLE_KEY = "delta.enableTypeWidening"
+TYPE_CHANGES_KEY = "delta.typeChanges"
+MIN_READER = 3
+MIN_WRITER = 7
+
+_INT_ORDER = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _delta_name(dt: T.DataType) -> str:
+    """Delta schema-JSON primitive name for a Spark type."""
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    return dt.jsonValue() if isinstance(dt.jsonValue(), str) else dt.simpleString()
+
+
+def is_widening(src: T.DataType, dst: T.DataType) -> bool:
+    """True when ``src -> dst`` is one of the spec's allowed widenings."""
+    if src == dst:
+        return False
+    s = src.jsonValue() if isinstance(src.jsonValue(), str) else None
+    d = dst.jsonValue() if isinstance(dst.jsonValue(), str) else None
+    # integer chain: byte -> short -> integer -> long (any forward jump)
+    if s in _INT_ORDER and d in _INT_ORDER:
+        return _INT_ORDER[s] < _INT_ORDER[d]
+    if s == "float" and d == "double":
+        return True
+    if s in ("byte", "short", "integer") and d == "double":
+        return True
+    if s == "date" and isinstance(dst, T.TimestampNTZType):
+        return True
+    if isinstance(dst, T.DecimalType):
+        p, sc = dst.precision, dst.scale
+        if isinstance(src, T.DecimalType):
+            # integral digits must not shrink, scale must not shrink,
+            # and something must actually grow
+            return (
+                p - sc >= src.precision - src.scale
+                and sc >= src.scale
+                and (p > src.precision or sc > src.scale)
+            )
+        if s in ("byte", "short", "integer"):
+            return p - sc >= 10
+        if s == "long":
+            return p - sc >= 20
+    return False
+
+
+def needs_timestamp_ntz(dst: T.DataType) -> bool:
+    return isinstance(dst, T.TimestampNTZType)
+
+
+def record_change(
+    field: T.StructField, new_type: T.DataType, table_version: int
+) -> T.StructField:
+    """Widened copy of ``field`` with the change appended to its
+    ``delta.typeChanges`` metadata (spec shape: tableVersion/fromType/toType).
+    ``table_version`` is the version the widening commit will create."""
+    meta = dict(field.metadata or {})
+    changes = list(meta.get(TYPE_CHANGES_KEY, []))
+    changes.append(
+        {
+            "tableVersion": table_version,
+            "fromType": _delta_name(field.dataType),
+            "toType": _delta_name(new_type),
+        }
+    )
+    meta[TYPE_CHANGES_KEY] = changes
+    return T.StructField(field.name, new_type, field.nullable, meta)
+
+
+def widen_schema(
+    schema: T.StructType, column: str, new_type: T.DataType, table_version: int
+) -> T.StructType:
+    """Schema with ``column`` (dot path into nested structs) widened to
+    ``new_type``. Raises ``ValueError`` on unknown columns and
+    ``UnsupportedWideningError`` on non-widening changes."""
+    parts = column.split(".")
+
+    def _walk(struct: T.StructType, path: list[str]) -> T.StructType:
+        head, rest = path[0], path[1:]
+        fields = []
+        found = False
+        for f in struct.fields:
+            if f.name != head:
+                fields.append(f)
+                continue
+            found = True
+            if not rest:
+                if not is_widening(f.dataType, new_type):
+                    raise UnsupportedWideningError(
+                        f"cannot widen column {column!r}: "
+                        f"{f.dataType.simpleString()} -> "
+                        f"{new_type.simpleString()} is not an allowed type "
+                        "widening (integer chain, float->double, "
+                        "integer->double, date->timestamp_ntz, decimal "
+                        "growth, integer->decimal)"
+                    )
+                fields.append(record_change(f, new_type, table_version))
+            else:
+                if not isinstance(f.dataType, T.StructType):
+                    raise ValueError(
+                        f"column path {column!r}: {head!r} is not a struct"
+                    )
+                fields.append(
+                    T.StructField(
+                        f.name,
+                        _walk(f.dataType, rest),
+                        f.nullable,
+                        dict(f.metadata or {}),
+                    )
+                )
+        if not found:
+            raise ValueError(f"column {column!r} not found in table schema")
+        return T.StructType(fields)
+
+    return _walk(schema, parts)
+
+
+def type_changes(schema: T.StructType) -> dict[str, list[dict[str, Any]]]:
+    """All recorded type changes, keyed by dotted column path."""
+    out: dict[str, list[dict[str, Any]]] = {}
+
+    def _walk(struct: T.StructType, prefix: str) -> None:
+        for f in struct.fields:
+            path = f"{prefix}{f.name}"
+            meta = f.metadata or {}
+            if meta.get(TYPE_CHANGES_KEY):
+                out[path] = list(meta[TYPE_CHANGES_KEY])
+            if isinstance(f.dataType, T.StructType):
+                _walk(f.dataType, path + ".")
+
+    _walk(schema, "")
+    return out
+
+
+def latest_change_version(schema: T.StructType) -> int | None:
+    """Highest tableVersion across all recorded type changes (None if the
+    schema carries none). Files added before this version may have narrow
+    physical types."""
+    versions = [
+        c["tableVersion"]
+        for changes in type_changes(schema).values()
+        for c in changes
+        if c.get("tableVersion") is not None
+    ]
+    return max(versions) if versions else None
+
+
+def strip_type_changes(schema: T.StructType) -> T.StructType:
+    """Schema with every ``delta.typeChanges`` metadata key removed (the
+    DROP FEATURE cleanup step)."""
+
+    def _field(f: T.StructField) -> T.StructField:
+        meta = {k: v for k, v in (f.metadata or {}).items() if k != TYPE_CHANGES_KEY}
+        dt = f.dataType
+        if isinstance(dt, T.StructType):
+            dt = T.StructType([_field(x) for x in dt.fields])
+        return T.StructField(f.name, dt, f.nullable, meta)
+
+    return T.StructType([_field(f) for f in schema.fields])
+
+
+class UnsupportedWideningError(ValueError):
+    """The requested type change is not in the spec's widening list."""
+
+
+def physical_narrow_files(table) -> list[str]:
+    """Live files whose parquet footer schema is narrower than the table
+    schema — the files blocking DROP FEATURE typeWidening.
+
+    One footer read per candidate file (bounded driver metadata, the same
+    cost class as vacuum's candidate listing); only files added before the
+    latest recorded type change are inspected, so after an ``optimize``
+    rewrite the scan list is empty.
+    """
+    import pyarrow.parquet as pq
+
+    schema = table.schema()
+    cutoff = latest_change_version(schema)
+    if cutoff is None:
+        return []
+    wide = {f.name: f.dataType.simpleString() for f in schema.fields}
+    narrow: list[str] = []
+    for add in table.add_actions():
+        uri = table.snapshot.log.data_plane.readable_uri(add.path)
+        try:
+            file_schema = pq.read_schema(uri)
+        except Exception:  # pragma: no cover - unreadable file: be conservative
+            narrow.append(add.path)
+            continue
+        for name in file_schema.names:
+            if name not in wide:
+                continue
+            spark_like = _pa_simple(file_schema.field(name).type)
+            if spark_like is not None and spark_like != wide[name]:
+                narrow.append(add.path)
+                break
+    return narrow
+
+
+def _pa_simple(pa_type) -> str | None:
+    """pyarrow type -> Spark simpleString for the widenable primitives;
+    None for types outside the widening set (never blocks a drop)."""
+    import pyarrow as pa
+
+    if pa.types.is_int8(pa_type):
+        return "tinyint"
+    if pa.types.is_int16(pa_type):
+        return "smallint"
+    if pa.types.is_int32(pa_type):
+        return "int"
+    if pa.types.is_int64(pa_type):
+        return "bigint"
+    if pa.types.is_float32(pa_type):
+        return "float"
+    if pa.types.is_float64(pa_type):
+        return "double"
+    if pa.types.is_date32(pa_type):
+        return "date"
+    if pa.types.is_timestamp(pa_type) and pa_type.tz is None:
+        return "timestamp_ntz"
+    if pa.types.is_decimal(pa_type):
+        return f"decimal({pa_type.precision},{pa_type.scale})"
+    return None
+
+
+def to_json_changes(schema_string: str) -> str:
+    """Debug helper: the recorded changes of a schema-string, as JSON."""
+    from .schema import schema_string_to_spark
+
+    return json.dumps(type_changes(schema_string_to_spark(schema_string)))

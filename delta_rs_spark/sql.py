@@ -325,6 +325,16 @@ def _alter(spark: SparkSession, s: str) -> DataFrame:
         return _one_row(spark, {"version": v, "column": mm.group(1)})
 
     mm = re.match(
+        r"ALTER\s+COLUMN\s+([\w.]+)\s+TYPE\s+(.+)$", rest, re.IGNORECASE
+    )
+    if mm:
+        v = table.widen_column_type(mm.group(1), mm.group(2).strip())
+        return _one_row(
+            spark,
+            {"version": v, "column": mm.group(1), "toType": mm.group(2).strip()},
+        )
+
+    mm = re.match(
         r"ALTER\s+COLUMN\s+([\w.]+)\s+DROP\s+DEFAULT$", rest, re.IGNORECASE
     )
     if mm:

@@ -891,6 +891,65 @@ class DeltaTable:
         )
         return self._commit_metadata(new_meta, "DROP COLUMNS", {"column": name})
 
+    def widen_column_type(self, column: str, new_type: T.DataType | str) -> int:
+        """ALTER TABLE … ALTER COLUMN … TYPE — widen a column's type
+        (public Delta ``typeWidening`` table feature; parity-plus — the
+        reference engine predates it).
+
+        Metadata-only: the schema flips to the wide type and the change is
+        recorded on the field's ``delta.typeChanges`` metadata; parquet
+        files written before the change keep their narrow physical type and
+        Spark's vectorized reader upcasts them at scan time (int32→long/
+        double/decimal, float→double, date→timestamp_ntz — verified against
+        Spark 4.1), so no data moves. The first widen bumps the protocol to
+        3/7 with the ``typeWidening`` reader+writer feature and sets
+        ``delta.enableTypeWidening``; ``date -> timestamp_ntz`` additionally
+        carries the ``timestampNtz`` feature. Non-widening changes raise
+        ``UnsupportedWideningError``. ``column`` may be a dotted path into
+        nested structs."""
+        from .protocol import widening as tw
+        from .protocol.actions import upgraded_protocol
+        from .protocol.schema import spark_to_schema_string
+
+        dst = T.DataType.fromDDL(new_type) if isinstance(new_type, str) else new_type
+        meta = self.metadata()
+        # the widening commit is the next version; typeChanges records it
+        schema = tw.widen_schema(self.schema(), column, dst, self.version + 1)
+        cfg = dict(meta.configuration or {})
+        cfg[tw.ENABLE_KEY] = "true"
+        new_meta = type(meta)(
+            id=meta.id,
+            schema_string=spark_to_schema_string(schema),
+            partition_columns=meta.partition_columns,
+            name=meta.name,
+            description=meta.description,
+            created_time=meta.created_time,
+            configuration=cfg,
+        )
+        features = [tw.FEATURE_NAME]
+        if tw.needs_timestamp_ntz(dst):
+            features.append("timestampNtz")
+        txn = self.begin()
+        bump = upgraded_protocol(
+            self.snapshot.state,
+            tw.MIN_READER,
+            tw.MIN_WRITER,
+            reader_features=features,
+            writer_features=features,
+        )
+        if bump is not None:
+            txn.add_action(bump)
+        txn.add_action(new_meta)
+        v = txn.commit(
+            operation="CHANGE COLUMN",
+            operation_parameters={
+                "column": column,
+                "toType": dst.simpleString(),
+            },
+        )
+        self.update()
+        return v
+
     def set_properties(self, properties: dict[str, str]) -> int:
         """ALTER TABLE SET TBLPROPERTIES: merge into ``configuration``
         (metaData replaces wholesale on replay, so the commit carries the

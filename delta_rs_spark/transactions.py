@@ -47,6 +47,7 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         "timestampNtz",
         "variantType",
         "clustering",
+        "typeWidening",
         "allowColumnDefaults",
         "deltaRsSpark.deletionVectors",  # vendor token, pre-round-3 tables
     }
