@@ -1066,6 +1066,44 @@ class DeltaTable:
 
     checkpoint_interval: int = 10  # reference lambda policy: every 10th version
 
+    def enable_uniform(self, format: str = "iceberg") -> int:
+        """UniForm: mirror the Delta log as Apache Iceberg metadata under
+        ``<table>/metadata/`` so Iceberg engines read the same parquet files
+        (public ``delta.universalFormat.enabledFormats``; parity-plus — the
+        reference predates UniForm). Sets the property and runs the first
+        conversion; afterwards every commit's post-hook syncs incrementally."""
+        if format != "iceberg":
+            raise ValueError("only the iceberg universal format is supported")
+        from .uniform import iceberg as ub
+
+        cfg = self.metadata().configuration or {}
+        if str(cfg.get("delta.enableDeletionVectors", "")).lower() == "true":
+            raise ub.IcebergConversionError(
+                "UniForm cannot be enabled on a deletion-vector table: "
+                "Iceberg metadata cannot represent Delta DVs (disable "
+                "delta.enableDeletionVectors and optimize() first)"
+            )
+        v = self.set_properties({ub.ENABLE_KEY: "iceberg"})
+        ub.convert_snapshot(self)
+        return v
+
+    def iceberg_files(self) -> list[dict]:
+        """Read back the live file list through the Iceberg metadata tree
+        (the foreign-reader path: version-hint -> metadata.json -> manifest
+        list -> manifests)."""
+        from .uniform import iceberg as ub
+
+        return ub.read_file_list(self.table_uri)
+
+    def _uniform_enabled(self) -> bool:
+        try:
+            cfg = self.metadata().configuration or {}
+        except Exception:
+            return False
+        return "iceberg" in str(
+            cfg.get("delta.universalFormat.enabledFormats", "")
+        ).lower()
+
     def _post_commit_hook(self, version: int) -> None:
         from .maintenance import maybe_checkpoint, write_version_checksum
 
@@ -1095,6 +1133,18 @@ class DeltaTable:
                     pass
                 finally:
                     self._in_auto_compact = False
+
+        # UniForm: keep the Iceberg metadata tree in sync with the log.
+        # Best-effort like the .crc hook — a conversion hiccup must not fail
+        # the Delta commit (the next sync catches up from delta-version)
+        if self._uniform_enabled():
+            try:
+                from .uniform import iceberg as _ub
+
+                self.update()
+                _ub.convert_snapshot(self)
+            except Exception:
+                pass
 
         # the public delta.checkpointInterval property overrides the default
         interval = self.checkpoint_interval

@@ -1,0 +1,12 @@
+"""UniForm: Iceberg metadata generation over Delta tables.
+
+``delta.universalFormat.enabledFormats=iceberg`` keeps an Apache
+Iceberg-spec metadata tree under ``<table>/metadata/`` in sync with the
+Delta log, so Iceberg-compatible engines can read the same parquet data
+files without copying them. Parity-plus surface — the reference engine
+(delta-io/delta.rs v0) predates UniForm entirely.
+"""
+
+from .iceberg import IcebergConversionError, convert_snapshot, read_file_list
+
+__all__ = ["convert_snapshot", "read_file_list", "IcebergConversionError"]

@@ -1,0 +1,265 @@
+"""Minimal Apache Avro Object Container File writer/reader (pure Python).
+
+Iceberg manifests and manifest lists are Avro files; this module implements
+exactly the subset of the public Avro 1.x specification they need — records,
+primitives, unions with null, arrays, maps, fixed — with the ``null`` and
+``deflate`` codecs. No third-party Avro package exists in this environment,
+so the encoding is written from the spec; the test suite cross-checks every
+produced file against the Apache Avro *Java* reference implementation that
+ships on Spark's classpath (``org.apache.avro.file.DataFileReader`` via
+py4j), which would reject any deviation from the container or binary
+encoding rules.
+
+Scale note: manifest files are bounded driver-side metadata (one record per
+data file per snapshot delta), the same cost class as writing the Delta log
+itself. The 100 TB data path never flows through this module.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any
+
+MAGIC = b"Obj\x01"
+
+
+# ---- binary primitive encoding --------------------------------------------
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(buf: io.BytesIO, n: int) -> None:
+    z = _zigzag(n)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def read_long(buf: io.BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        byte = buf.read(1)
+        if not byte:
+            raise EOFError("truncated varint")
+        b = byte[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(acc)
+        shift += 7
+
+
+def write_bytes(buf: io.BytesIO, data: bytes) -> None:
+    write_long(buf, len(data))
+    buf.write(data)
+
+
+def read_bytes(buf: io.BytesIO) -> bytes:
+    n = read_long(buf)
+    return buf.read(n)
+
+
+# ---- schema-driven datum encoding -----------------------------------------
+
+def _is_nullable_union(schema: Any) -> bool:
+    return isinstance(schema, list)
+
+
+def write_datum(buf: io.BytesIO, schema: Any, value: Any) -> None:
+    """Encode ``value`` per the (JSON-object) Avro ``schema``."""
+    if _is_nullable_union(schema):
+        # unions: pick the first branch the value fits ('null' for None)
+        for i, branch in enumerate(schema):
+            if (branch == "null") == (value is None):
+                write_long(buf, i)
+                if branch != "null":
+                    write_datum(buf, branch, value)
+                return
+        raise ValueError(f"value {value!r} fits no branch of union {schema!r}")
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return
+    if t == "boolean":
+        buf.write(b"\x01" if value else b"\x00")
+    elif t in ("int", "long"):
+        write_long(buf, int(value))
+    elif t == "float":
+        buf.write(struct.pack("<f", float(value)))
+    elif t == "double":
+        buf.write(struct.pack("<d", float(value)))
+    elif t == "bytes":
+        write_bytes(buf, bytes(value))
+    elif t == "string":
+        write_bytes(buf, value.encode("utf-8"))
+    elif t == "fixed":
+        if len(value) != schema["size"]:
+            raise ValueError(f"fixed size mismatch: {len(value)} != {schema['size']}")
+        buf.write(bytes(value))
+    elif t == "record":
+        for field in schema["fields"]:
+            name = field["name"]
+            if name not in value and "default" not in field:
+                raise ValueError(f"record missing field {name!r}")
+            write_datum(buf, field["type"], value.get(name, field.get("default")))
+    elif t == "array":
+        items = list(value or [])
+        if items:
+            write_long(buf, len(items))
+            for item in items:
+                write_datum(buf, schema["items"], item)
+        write_long(buf, 0)
+    elif t == "map":
+        entries = dict(value or {})
+        if entries:
+            write_long(buf, len(entries))
+            for k, v in entries.items():
+                write_bytes(buf, k.encode("utf-8"))
+                write_datum(buf, schema["values"], v)
+        write_long(buf, 0)
+    else:
+        raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def read_datum(buf: io.BytesIO, schema: Any) -> Any:
+    if _is_nullable_union(schema):
+        idx = read_long(buf)
+        branch = schema[idx]
+        return None if branch == "null" else read_datum(buf, branch)
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return read_long(buf)
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return read_bytes(buf)
+    if t == "string":
+        return read_bytes(buf).decode("utf-8")
+    if t == "fixed":
+        return buf.read(schema["size"])
+    if t == "record":
+        return {
+            f["name"]: read_datum(buf, f["type"]) for f in schema["fields"]
+        }
+    if t == "array":
+        out = []
+        while True:
+            n = read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:  # size-prefixed block (spec-legal; readers must accept)
+                read_long(buf)
+                n = -n
+            for _ in range(n):
+                out.append(read_datum(buf, schema["items"]))
+    if t == "map":
+        out = {}
+        while True:
+            n = read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                read_long(buf)
+                n = -n
+            for _ in range(n):
+                k = read_bytes(buf).decode("utf-8")
+                out[k] = read_datum(buf, schema["values"])
+    raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+# ---- object container files ------------------------------------------------
+
+def write_container(
+    schema: dict,
+    records: list[dict],
+    metadata: dict[str, str] | None = None,
+    codec: str = "deflate",
+    sync: bytes | None = None,
+) -> bytes:
+    """Serialize ``records`` as an Avro OCF with the given writer schema."""
+    sync = sync or os.urandom(16)
+    header = io.BytesIO()
+    header.write(MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+    for k, v in (metadata or {}).items():
+        meta[k] = v.encode() if isinstance(v, str) else v
+    write_long(header, len(meta))
+    for k, v in meta.items():
+        write_bytes(header, k.encode("utf-8"))
+        write_bytes(header, v)
+    write_long(header, 0)
+    header.write(sync)
+
+    body = io.BytesIO()
+    for rec in records:
+        write_datum(body, schema, rec)
+    payload = body.getvalue()
+    if codec == "deflate":
+        payload = zlib.compress(payload)[2:-4]  # raw deflate: strip zlib wrapper
+    elif codec != "null":
+        raise ValueError(f"unsupported codec: {codec}")
+
+    out = io.BytesIO()
+    out.write(header.getvalue())
+    if records:
+        write_long(out, len(records))
+        write_bytes(out, payload)
+        out.write(sync)
+    return out.getvalue()
+
+
+def read_container(data: bytes) -> tuple[dict, dict[str, bytes], list[dict]]:
+    """Parse an Avro OCF → (writer schema, file metadata, records)."""
+    buf = io.BytesIO(data)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = read_long(buf)
+        if n == 0:
+            break
+        if n < 0:
+            read_long(buf)
+            n = -n
+        for _ in range(n):
+            k = read_bytes(buf).decode("utf-8")
+            meta[k] = read_bytes(buf)
+    schema = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    sync = buf.read(16)
+    records: list[dict] = []
+    while True:
+        try:
+            count = read_long(buf)
+        except EOFError:
+            break
+        payload = read_bytes(buf)
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch")
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec: {codec}")
+        block = io.BytesIO(payload)
+        for _ in range(count):
+            records.append(read_datum(block, schema))
+    return schema, meta, records

@@ -1,0 +1,800 @@
+"""Iceberg table-metadata generation (UniForm) over the Delta log.
+
+With ``delta.universalFormat.enabledFormats=iceberg`` set, every Delta commit
+is mirrored into an Apache Iceberg (table-spec v2) metadata tree under
+``<table>/metadata/``:
+
+- ``v{N}.metadata.json`` + ``version-hint.text`` (Hadoop-catalog discovery),
+- one manifest list (``snap-*.avro``) per snapshot,
+- Avro manifest files holding the data-file entries.
+
+The data files themselves are never copied — both logs point at the same
+parquet. Conversion is INCREMENTAL and scale-correct: an append writes one
+new manifest holding just that commit's added files and re-links the prior
+manifests untouched (O(new files)); a delete/rewrite re-writes only the
+manifests that contain removed paths (O(affected manifests)). Nothing ever
+walks the full file listing except the first conversion, mirroring how the
+Delta log itself behaves at 100 TB.
+
+Because this engine's parquet writer does not stamp Iceberg field-ids into
+the files, the metadata carries the spec's ``schema.name-mapping.default``
+property mapping column names to field ids — the standard mechanism by
+which Iceberg readers consume files written without ids (e.g. migrated
+Hive/Spark tables). Snapshot ids equal Delta versions, so the two logs'
+histories line up one-to-one; the last synced Delta version is recorded in
+the metadata properties under ``delta-version``.
+
+The Avro layer is cross-validated against the Apache Avro Java reference
+reader on Spark's classpath (`tests/test_uniform.py`); the manifest/list
+schemas carry the spec's field-ids so id-based readers resolve them.
+
+Real UniForm registers metadata pointers in a catalog for atomic swaps;
+with a filesystem layout the ``version-hint.text`` write is the pointer.
+Conversion runs post-commit under the Delta writer's own concurrency
+control, so hints advance monotonically with committed versions.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import struct
+import uuid as _uuid
+from typing import Any, Optional
+
+from pyspark.sql import types as T
+
+from . import avro as _avro
+
+ENABLE_KEY = "delta.universalFormat.enabledFormats"
+DELTA_VERSION_PROP = "delta-version"
+NAME_MAPPING_PROP = "schema.name-mapping.default"
+
+
+class IcebergConversionError(Exception):
+    """UniForm conversion failed (unsupported type, missing state, …)."""
+
+
+# ---- Spark -> Iceberg schema ----------------------------------------------
+
+_PRIMITIVES: dict[type, str] = {
+    T.BooleanType: "boolean",
+    T.ByteType: "int",
+    T.ShortType: "int",
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.DateType: "date",
+    T.TimestampType: "timestamptz",
+    T.TimestampNTZType: "timestamp",
+    T.StringType: "string",
+    T.BinaryType: "binary",
+}
+
+
+class _IdGen:
+    def __init__(self, start: int = 0):
+        self.last = start
+
+    def next(self) -> int:
+        self.last += 1
+        return self.last
+
+
+def _iceberg_type(dt: T.DataType, ids: _IdGen) -> Any:
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    for cls, name in _PRIMITIVES.items():
+        if isinstance(dt, cls):
+            return name
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [_iceberg_field(f, ids) for f in dt.fields],
+        }
+    if isinstance(dt, T.ArrayType):
+        eid = ids.next()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(dt.elementType, ids),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = ids.next(), ids.next()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type(dt.keyType, ids),
+            "value-id": vid,
+            "value": _iceberg_type(dt.valueType, ids),
+            "value-required": not dt.valueContainsNull,
+        }
+    raise IcebergConversionError(
+        f"type {dt.simpleString()} has no Iceberg equivalent"
+    )
+
+
+def _iceberg_field(f: T.StructField, ids: _IdGen) -> dict:
+    fid = ids.next()
+    return {
+        "id": fid,
+        "name": f.name,
+        "required": not f.nullable,
+        "type": _iceberg_type(f.dataType, ids),
+    }
+
+
+def iceberg_schema(schema: T.StructType, schema_id: int = 0) -> tuple[dict, int]:
+    """Iceberg schema JSON for a Spark schema. Field ids are assigned by
+    pre-order walk (the same order every sync, so ids are stable for an
+    unchanged schema). Returns (schema dict, last-column-id)."""
+    ids = _IdGen()
+    fields = [_iceberg_field(f, ids) for f in schema.fields]
+    return (
+        {"type": "struct", "schema-id": schema_id, "fields": fields},
+        ids.last,
+    )
+
+
+def name_mapping(schema_json: dict) -> list[dict]:
+    """The ``schema.name-mapping.default`` tree: names -> field-ids, used by
+    readers for parquet files that carry no embedded field ids."""
+
+    def _entry(field: dict) -> dict:
+        out: dict[str, Any] = {"field-id": field["id"], "names": [field["name"]]}
+        t = field["type"]
+        if isinstance(t, dict) and t.get("type") == "struct":
+            out["fields"] = [_entry(f) for f in t["fields"]]
+        return out
+
+    return [_entry(f) for f in schema_json["fields"]]
+
+
+# ---- single-value binary serialization (spec appendix D) -------------------
+
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+def bound_bytes(value: Any, dt: T.DataType) -> Optional[bytes]:
+    """Iceberg single-value binary form of a Delta JSON stats value; None
+    when the type/value has no defined encoding (bound omitted — legal)."""
+    try:
+        if value is None:
+            return None
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            return struct.pack("<i", int(value))
+        if isinstance(dt, T.LongType):
+            return struct.pack("<q", int(value))
+        if isinstance(dt, T.FloatType):
+            return struct.pack("<f", float(value))
+        if isinstance(dt, T.DoubleType):
+            return struct.pack("<d", float(value))
+        if isinstance(dt, T.BooleanType):
+            return b"\x01" if value else b"\x00"
+        if isinstance(dt, T.StringType):
+            return str(value).encode("utf-8")
+        if isinstance(dt, T.DateType):
+            d = _dt.date.fromisoformat(str(value)[:10])
+            return struct.pack("<i", (d - _EPOCH).days)
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            s = str(value).rstrip("Z").replace("T", " ")
+            ts = _dt.datetime.fromisoformat(s)
+            micros = int(ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+            return struct.pack("<q", micros)
+        if isinstance(dt, T.DecimalType):
+            from decimal import Decimal
+
+            unscaled = int(Decimal(str(value)).scaleb(dt.scale))
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            return unscaled.to_bytes(n, "big", signed=True)
+    except (ValueError, OverflowError, ArithmeticError):
+        return None
+    return None
+
+
+# ---- Avro schemas for manifests and manifest lists (spec field ids) --------
+
+def _opt(t: Any) -> list:
+    return ["null", t]
+
+
+def _bounds_map(name: str, kid: int, vid: int) -> dict:
+    """Iceberg encodes stats maps as arrays of key/value records so the
+    entries can carry field-ids (plain Avro maps cannot)."""
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": "bytes", "field-id": vid},
+            ],
+        },
+    }
+
+
+def _counts_map(name: str, kid: int, vid: int) -> dict:
+    return {
+        "type": "array",
+        "logicalType": "map",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": "long", "field-id": vid},
+            ],
+        },
+    }
+
+
+def partition_avro_schema(
+    partition_columns: list[str], schema: T.StructType
+) -> dict:
+    """The r102 partition record: one optional field per partition column,
+    identity-transformed, field-ids from 1000 up (spec convention)."""
+    fields = []
+    for i, col in enumerate(partition_columns):
+        dt = schema[col].dataType
+        fields.append(
+            {
+                "name": col,
+                "type": _opt(_partition_avro_type(dt)),
+                "default": None,
+                "field-id": 1000 + i,
+            }
+        )
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def _partition_avro_type(dt: T.DataType) -> Any:
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        return "int"
+    if isinstance(dt, T.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    return "string"  # strings + decimals-as-strings keep the raw value
+
+
+def manifest_entry_schema(partition_schema: dict) -> dict:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": partition_schema, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "value_counts",
+                "type": _opt(_counts_map("k119_v120", 119, 120)),
+                "default": None,
+                "field-id": 109,
+            },
+            {
+                "name": "null_value_counts",
+                "type": _opt(_counts_map("k121_v122", 121, 122)),
+                "default": None,
+                "field-id": 110,
+            },
+            {
+                "name": "lower_bounds",
+                "type": _opt(_bounds_map("k126_v127", 126, 127)),
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": _opt(_bounds_map("k129_v130", 129, 130)),
+                "default": None,
+                "field-id": 128,
+            },
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": _opt("long"), "default": None, "field-id": 1},
+            {
+                "name": "sequence_number",
+                "type": _opt("long"),
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": _opt("long"),
+                "default": None,
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_data_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+# statuses in manifest entries
+ADDED, EXISTING, DELETED = 1, 0, 2
+
+
+# ---- conversion state ------------------------------------------------------
+
+class _Tree:
+    """Backend-addressed metadata directory of one table."""
+
+    def __init__(self, table):
+        self.log = table.snapshot.log
+        self.backend = self.log.backend
+        self.root = self.log.table_root
+        self.dir = self.backend.join(self.root, "metadata")
+
+    def path(self, name: str) -> str:
+        return self.backend.join(self.dir, name)
+
+    def put(self, name: str, data: bytes) -> str:
+        self.backend.makedirs(self.dir)
+        p = self.path(name)
+        self.backend.put_obj(p, data)
+        return p
+
+    def get(self, name_or_path: str) -> bytes:
+        p = (
+            name_or_path
+            if name_or_path.startswith(self.dir)
+            else self.path(name_or_path)
+        )
+        return self.backend.get_obj(p)
+
+    def current_metadata(self) -> Optional[dict]:
+        try:
+            hint = int(self.get("version-hint.text").decode().strip())
+        except Exception:
+            return None
+        return json.loads(self.get(f"v{hint}.metadata.json"))
+
+
+def _partition_value(raw: Optional[str], dt: T.DataType) -> Any:
+    """Delta partitionValues string -> Avro-encodable Iceberg value."""
+    if raw is None:
+        return None
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(raw)
+    if isinstance(dt, T.DateType):
+        return (_dt.date.fromisoformat(raw) - _EPOCH).days
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        s = raw.rstrip("Z").replace("T", " ")
+        ts = _dt.datetime.fromisoformat(s)
+        return int(ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+    if isinstance(dt, T.FloatType) or isinstance(dt, T.DoubleType):
+        return float(raw)
+    if isinstance(dt, T.BooleanType):
+        return raw.lower() == "true"
+    return raw
+
+
+def _entry_for_add(
+    add, schema: T.StructType, partition_columns: list[str],
+    field_ids: dict[str, int], snapshot_id: int, tree: _Tree,
+) -> dict:
+    if getattr(add, "deletion_vector", None):
+        # an Iceberg reader would see the deleted rows resurrected; refuse
+        # (real UniForm gates DV tables the same way — IcebergCompatV2
+        # requires materializing deletes)
+        raise IcebergConversionError(
+            f"file {add.path} carries a deletion vector; Iceberg metadata "
+            "cannot represent Delta DVs — run optimize() to materialize "
+            "deletes, or disable delta.enableDeletionVectors"
+        )
+    stats = add.get_stats() or {}
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    nulls = stats.get("nullCount") or {}
+    lower, upper, null_counts, value_counts = [], [], [], []
+    n = stats.get("numRecords")
+    for f in schema.fields:
+        fid = field_ids.get(f.name)
+        if fid is None:
+            continue
+        lo = bound_bytes(mins.get(f.name), f.dataType)
+        hi = bound_bytes(maxs.get(f.name), f.dataType)
+        if lo is not None:
+            lower.append({"key": fid, "value": lo})
+        if hi is not None:
+            upper.append({"key": fid, "value": hi})
+        nc = nulls.get(f.name)
+        if isinstance(nc, int):
+            null_counts.append({"key": fid, "value": nc})
+            if n is not None:
+                value_counts.append({"key": fid, "value": n})
+    partition = {
+        c: _partition_value(
+            (add.partition_values or {}).get(c), schema[c].dataType
+        )
+        for c in partition_columns
+    }
+    return {
+        "status": ADDED,
+        "snapshot_id": snapshot_id,
+        "sequence_number": None,  # inherited from the manifest (spec v2)
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 0,
+            "file_path": tree.backend.join(tree.root, add.path)
+            if "://" not in add.path and not add.path.startswith("/")
+            else add.path,
+            "file_format": "PARQUET",
+            "partition": partition,
+            "record_count": int(stats.get("numRecords") or 0),
+            "file_size_in_bytes": int(add.size or 0),
+            "value_counts": value_counts or None,
+            "null_value_counts": null_counts or None,
+            "lower_bounds": lower or None,
+            "upper_bounds": upper or None,
+        },
+    }
+
+
+def _top_level_field_ids(schema_json: dict) -> dict[str, int]:
+    return {f["name"]: f["id"] for f in schema_json["fields"]}
+
+
+def _write_manifest(
+    tree: _Tree, entries: list[dict], entry_schema: dict,
+    schema_json: dict, spec_fields: list[dict],
+) -> tuple[str, int]:
+    name = f"{_uuid.uuid4()}-m0.avro"
+    meta = {
+        "schema": json.dumps(schema_json),
+        "partition-spec": json.dumps(spec_fields),
+        "partition-spec-id": "0",
+        "format-version": "2",
+        "content": "data",
+    }
+    data = _avro.write_container(entry_schema, entries, metadata=meta)
+    path = tree.put(name, data)
+    return path, len(data)
+
+
+def _spec_fields(partition_columns: list[str], field_ids: dict[str, int]) -> list[dict]:
+    return [
+        {
+            "name": c,
+            "transform": "identity",
+            "source-id": field_ids.get(c, -1),
+            "field-id": 1000 + i,
+        }
+        for i, c in enumerate(partition_columns)
+    ]
+
+
+def _manifest_list_entry(
+    path: str, length: int, seq: int, min_seq: int, snapshot_id: int,
+    added: int, existing: int, deleted: int,
+    added_rows: int, existing_rows: int, deleted_rows: int,
+) -> dict:
+    return {
+        "manifest_path": path,
+        "manifest_length": length,
+        "partition_spec_id": 0,
+        "content": 0,
+        "sequence_number": seq,
+        "min_sequence_number": min_seq,
+        "added_snapshot_id": snapshot_id,
+        "added_data_files_count": added,
+        "existing_data_files_count": existing,
+        "deleted_data_files_count": deleted,
+        "added_rows_count": added_rows,
+        "existing_rows_count": existing_rows,
+        "deleted_rows_count": deleted_rows,
+    }
+
+
+def convert_snapshot(table) -> str:
+    """Bring the Iceberg metadata tree up to the table's current Delta
+    version; returns the new ``v{N}.metadata.json`` path. Incremental after
+    the first call (one Iceberg snapshot per Delta commit)."""
+    tree = _Tree(table)
+    schema = table.schema()
+    meta = table.metadata()
+    partition_columns = list(meta.partition_columns or [])
+    schema_json, last_col_id = iceberg_schema(schema)
+    field_ids = _top_level_field_ids(schema_json)
+    part_avro = partition_avro_schema(partition_columns, schema)
+    entry_schema = manifest_entry_schema(part_avro)
+    spec = _spec_fields(partition_columns, field_ids)
+
+    current = tree.current_metadata()
+    target = table.version
+    now_ms = int(table.snapshot.log.commit_timestamp_ms(target))
+
+    if current is None:
+        # first conversion: one manifest with every live file
+        snapshot_id = target
+        seq = 1
+        entries = [
+            _entry_for_add(a, schema, partition_columns, field_ids, snapshot_id, tree)
+            for a in table.add_actions()
+        ]
+        mpath, mlen = _write_manifest(tree, entries, entry_schema, schema_json, spec)
+        rows = sum(e["data_file"]["record_count"] for e in entries)
+        manifests = [
+            _manifest_list_entry(
+                mpath, mlen, seq, seq, snapshot_id,
+                len(entries), 0, 0, rows, 0, 0,
+            )
+        ]
+        snapshots: list[dict] = []
+        snapshot_log: list[dict] = []
+        metadata_log: list[dict] = []
+        version_counter = 1
+        table_uuid = str(_uuid.uuid4())
+        last_seq = seq
+        new_snaps = [
+            _snapshot_record(
+                snapshot_id, None, seq, now_ms, "append",
+                _write_manifest_list(tree, snapshot_id, manifests), target
+            )
+        ]
+    else:
+        last_synced = int(current["properties"][DELTA_VERSION_PROP])
+        if last_synced >= target:
+            return tree.path(f"v{_read_hint(tree)}.metadata.json")
+        table_uuid = current["table-uuid"]
+        version_counter = _read_hint(tree) + 1
+        last_seq = int(current["last-sequence-number"])
+        snapshots = list(current.get("snapshots", []))
+        snapshot_log = list(current.get("snapshot-log", []))
+        metadata_log = list(current.get("metadata-log", []))
+        # the metadata-log lists PREVIOUS metadata files (spec): the file we
+        # just loaded becomes history for the one we are about to write
+        metadata_log.append(
+            {
+                "timestamp-ms": current["last-updated-ms"],
+                "metadata-file": tree.path(f"v{version_counter - 1}.metadata.json"),
+            }
+        )
+        prev_snap = next(
+            s for s in snapshots
+            if s["snapshot-id"] == current["current-snapshot-id"]
+        )
+        manifests = _read_manifest_list(tree, prev_snap["manifest-list"])
+        new_snaps = []
+        parent = prev_snap["snapshot-id"]
+        for v in range(last_synced + 1, target + 1):
+            from ..protocol.actions import AddAction, RemoveAction
+
+            actions = table.snapshot.log.read_commit(v)
+            adds = [a for a in actions if isinstance(a, AddAction)]
+            removes = {r.path for r in actions if isinstance(r, RemoveAction)}
+            if not adds and not removes:
+                continue  # metadata-only commit: no new Iceberg snapshot
+            snapshot_id = v
+            last_seq += 1
+            ts_ms = int(table.snapshot.log.commit_timestamp_ms(v))
+            # drop removed paths: rewrite only the affected manifests
+            if removes:
+                removed_abs = {
+                    p if "://" in p or p.startswith("/")
+                    else tree.backend.join(tree.root, p)
+                    for p in removes
+                }
+                manifests = _rewrite_for_removes(
+                    tree, manifests, removed_abs, entry_schema,
+                    schema_json, spec, snapshot_id, last_seq,
+                )
+            if adds:
+                entries = [
+                    _entry_for_add(
+                        a, schema, partition_columns, field_ids, snapshot_id, tree
+                    )
+                    for a in adds
+                ]
+                mpath, mlen = _write_manifest(
+                    tree, entries, entry_schema, schema_json, spec
+                )
+                rows = sum(e["data_file"]["record_count"] for e in entries)
+                manifests = manifests + [
+                    _manifest_list_entry(
+                        mpath, mlen, last_seq, last_seq, snapshot_id,
+                        len(entries), 0, 0, rows, 0, 0,
+                    )
+                ]
+            op = (
+                "append" if adds and not removes
+                else "delete" if removes and not adds
+                else "overwrite"
+            )
+            ml_path = _write_manifest_list(tree, snapshot_id, manifests)
+            new_snaps.append(
+                _snapshot_record(
+                    snapshot_id, parent, last_seq, ts_ms, op, ml_path, v
+                )
+            )
+            parent = snapshot_id
+        if not new_snaps:
+            # only metadata-only commits: still advance delta-version
+            new_snaps = []
+
+    snapshots.extend(new_snaps)
+    for s in new_snaps:
+        snapshot_log.append(
+            {"timestamp-ms": s["timestamp-ms"], "snapshot-id": s["snapshot-id"]}
+        )
+    current_snapshot_id = (
+        snapshots[-1]["snapshot-id"] if snapshots else -1
+    )
+
+    metadata = {
+        "format-version": 2,
+        "table-uuid": table_uuid,
+        "location": tree.root,
+        "last-sequence-number": last_seq,
+        "last-updated-ms": now_ms,
+        "last-column-id": last_col_id,
+        "current-schema-id": 0,
+        "schemas": [schema_json],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": spec}],
+        "last-partition-id": 999 + len(partition_columns),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            DELTA_VERSION_PROP: str(target),
+            NAME_MAPPING_PROP: json.dumps(name_mapping(schema_json)),
+        },
+        "current-snapshot-id": current_snapshot_id,
+        "snapshots": snapshots,
+        "snapshot-log": snapshot_log[-100:],
+        "metadata-log": metadata_log[-100:],
+    }
+    mpath = tree.put(
+        f"v{version_counter}.metadata.json",
+        json.dumps(metadata, indent=2).encode(),
+    )
+    tree.put("version-hint.text", str(version_counter).encode())
+    return mpath
+
+
+def _read_hint(tree: _Tree) -> int:
+    return int(tree.get("version-hint.text").decode().strip())
+
+
+def _snapshot_record(
+    snapshot_id: int, parent: Optional[int], seq: int, ts_ms: int,
+    op: str, manifest_list: str, delta_version: int,
+) -> dict:
+    rec = {
+        "snapshot-id": snapshot_id,
+        "sequence-number": seq,
+        "timestamp-ms": ts_ms,
+        "manifest-list": manifest_list,
+        "summary": {"operation": op, "delta-version": str(delta_version)},
+        "schema-id": 0,
+    }
+    if parent is not None:
+        rec["parent-snapshot-id"] = parent
+    return rec
+
+
+def _write_manifest_list(tree: _Tree, snapshot_id: int, manifests: list[dict]) -> str:
+    name = f"snap-{snapshot_id}-1-{_uuid.uuid4()}.avro"
+    meta = {"format-version": "2", "snapshot-id": str(snapshot_id)}
+    return tree.put(
+        name, _avro.write_container(MANIFEST_LIST_SCHEMA, manifests, metadata=meta)
+    )
+
+
+def _read_manifest_list(tree: _Tree, path: str) -> list[dict]:
+    _, _, records = _avro.read_container(tree.get(path))
+    return records
+
+
+def _rewrite_for_removes(
+    tree: _Tree, manifests: list[dict], removed_abs: set[str],
+    entry_schema: dict, schema_json: dict, spec_fields: list[dict],
+    snapshot_id: int, seq: int,
+) -> list[dict]:
+    """Drop removed paths, touching only the manifests that contain them."""
+    out = []
+    for m in manifests:
+        _, _, entries = _avro.read_container(tree.get(m["manifest_path"]))
+        hit = [e for e in entries if e["data_file"]["file_path"] in removed_abs]
+        if not hit:
+            out.append(m)
+            continue
+        keep = [e for e in entries if e["data_file"]["file_path"] not in removed_abs]
+        if not keep:
+            continue  # whole manifest gone
+        for e in keep:
+            # carried-forward entries must materialize their data sequence
+            # number (inheritance only applies within the adding snapshot)
+            e["status"] = EXISTING
+            if e["sequence_number"] is None:
+                e["sequence_number"] = m["sequence_number"]
+        mpath, mlen = _write_manifest(
+            tree, keep, entry_schema, schema_json, spec_fields
+        )
+        rows = sum(e["data_file"]["record_count"] for e in keep)
+        out.append(
+            _manifest_list_entry(
+                mpath, mlen, seq,
+                min(e["sequence_number"] for e in keep),
+                snapshot_id, 0, len(keep), len(hit), 0, rows,
+                sum(e["data_file"]["record_count"] for e in hit),
+            )
+        )
+    return out
+
+
+# ---- independent read-back path (used by tests and the CLI) ---------------
+
+def read_file_list(table_root: str, backend=None) -> list[dict]:
+    """Walk the Iceberg metadata tree the way a foreign reader would:
+    version-hint -> metadata.json -> current snapshot's manifest list ->
+    manifests -> live data files. Returns [{path, record_count,
+    partition}]."""
+    from ..protocol.storage import parse_table_uri
+
+    if backend is None:
+        table_root, backend = parse_table_uri(table_root)
+    mdir = backend.join(table_root, "metadata")
+    hint = int(backend.get_obj(backend.join(mdir, "version-hint.text")).decode())
+    metadata = json.loads(
+        backend.get_obj(backend.join(mdir, f"v{hint}.metadata.json"))
+    )
+    snap = next(
+        s
+        for s in metadata["snapshots"]
+        if s["snapshot-id"] == metadata["current-snapshot-id"]
+    )
+    _, _, manifests = _avro.read_container(backend.get_obj(snap["manifest-list"]))
+    files = []
+    for m in manifests:
+        _, _, entries = _avro.read_container(backend.get_obj(m["manifest_path"]))
+        for e in entries:
+            if e["status"] == DELETED:
+                continue
+            files.append(
+                {
+                    "path": e["data_file"]["file_path"],
+                    "record_count": e["data_file"]["record_count"],
+                    "partition": e["data_file"]["partition"],
+                }
+            )
+    return files

@@ -1,0 +1,327 @@
+"""UniForm (Iceberg metadata generation) + the pure-Python Avro layer.
+
+The Avro container files are cross-validated against the Apache Avro JAVA
+reference implementation that ships on Spark's classpath
+(``org.apache.avro.file.DataFileReader`` via the py4j gateway) — an
+independent decoder that rejects any deviation from the container or binary
+encoding spec. The Iceberg tree is validated structurally against the public
+table-spec v2 and by reconstructing the live file list through the foreign-
+reader path (version-hint → metadata.json → manifest list → manifests) and
+comparing it with the Delta snapshot.
+"""
+
+import io
+import json
+import os
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.uniform import avro, iceberg as ub
+
+
+# ---- avro layer ------------------------------------------------------------
+
+SCHEMA = {
+    "type": "record",
+    "name": "thing",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": ["null", "long"], "default": None},
+        {"name": "b", "type": "bytes"},
+        {"name": "xs", "type": {"type": "array", "items": "int"}},
+        {"name": "kv", "type": {"type": "map", "values": "long"}},
+        {"name": "ok", "type": "boolean"},
+        {"name": "r", "type": "double"},
+    ],
+}
+RECORDS = [
+    {"s": "héllo", "n": -(2**40), "b": b"\x00\xff", "xs": [1, -2, 3],
+     "kv": {"a": 1, "b": -1}, "ok": True, "r": 2.5},
+    {"s": "", "n": None, "b": b"", "xs": [], "kv": {}, "ok": False, "r": -0.0},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_python_round_trip(codec):
+    data = avro.write_container(SCHEMA, RECORDS, metadata={"x": "y"}, codec=codec)
+    schema, meta, records = avro.read_container(data)
+    assert schema == SCHEMA
+    assert meta["x"] == b"y"
+    assert records == RECORDS
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_avro_java_reference_reader(spark, tmp_path, codec):
+    """The Apache Avro Java implementation must accept our files byte-level."""
+    p = str(tmp_path / f"t_{codec}.avro")
+    with open(p, "wb") as f:
+        f.write(avro.write_container(SCHEMA, RECORDS, codec=codec))
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(p), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    out = []
+    while reader.hasNext():
+        out.append(json.loads(str(reader.next())))
+    reader.close()
+    assert len(out) == 2
+    assert out[0]["s"] == "héllo"
+    assert out[0]["n"] == -(2**40)
+    assert out[0]["kv"] == {"a": 1, "b": -1}
+    assert out[1]["n"] is None and out[1]["ok"] is False
+
+
+def test_avro_zigzag_longs():
+    buf = io.BytesIO()
+    for v in (0, -1, 1, 63, -64, 2**62, -(2**62)):
+        buf.seek(0), buf.truncate()
+        avro.write_long(buf, v)
+        buf.seek(0)
+        assert avro.read_long(buf) == v
+
+
+# ---- iceberg schema / bounds ----------------------------------------------
+
+def test_iceberg_schema_and_name_mapping(spark):
+    df_schema = spark.createDataFrame(
+        [], "id bigint, name string, score double, tags array<string>, "
+            "meta struct<a:int,b:string>, d date, ts timestamp"
+    ).schema
+    sj, last_id = iceberg_ids = ub.iceberg_schema(df_schema)
+    names = [f["name"] for f in sj["fields"]]
+    assert names == ["id", "name", "score", "tags", "meta", "d", "ts"]
+    by_name = {f["name"]: f for f in sj["fields"]}
+    assert by_name["id"]["type"] == "long"
+    assert by_name["ts"]["type"] == "timestamptz"
+    assert by_name["tags"]["type"]["type"] == "list"
+    assert by_name["meta"]["type"]["type"] == "struct"
+    ids = set()
+
+    def _collect(fields):
+        for f in fields:
+            ids.add(f["id"])
+            t = f["type"]
+            if isinstance(t, dict) and t.get("type") == "struct":
+                _collect(t["fields"])
+
+    _collect(sj["fields"])
+    assert len(ids) == len(ids | {last_id}) and max(ids) <= last_id
+    nm = ub.name_mapping(sj)
+    assert nm[0] == {"field-id": by_name["id"]["id"], "names": ["id"]}
+    struct_entry = next(e for e in nm if e["names"] == ["meta"])
+    assert {f["names"][0] for f in struct_entry["fields"]} == {"a", "b"}
+
+
+def test_bound_bytes_encodings():
+    import pyspark.sql.types as T
+
+    assert ub.bound_bytes(7, T.IntegerType()) == struct.pack("<i", 7)
+    assert ub.bound_bytes(-(2**40), T.LongType()) == struct.pack("<q", -(2**40))
+    assert ub.bound_bytes(1.5, T.DoubleType()) == struct.pack("<d", 1.5)
+    assert ub.bound_bytes("ab", T.StringType()) == b"ab"
+    assert ub.bound_bytes("2021-03-05", T.DateType()) == struct.pack("<i", 18691)
+    ts = ub.bound_bytes("2021-01-01T00:00:00.000Z", T.TimestampType())
+    assert struct.unpack("<q", ts)[0] == 1609459200 * 1_000_000
+    assert ub.bound_bytes("12.34", T.DecimalType(6, 2)) == (1234).to_bytes(2, "big")
+    assert ub.bound_bytes(None, T.IntegerType()) is None
+
+
+# ---- end-to-end conversion -------------------------------------------------
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+
+
+def _metadata_files(uri):
+    d = os.path.join(uri, "metadata")
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+def test_enable_and_initial_conversion(spark, tmp_path, events):
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events, uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    files = _metadata_files(uri)
+    assert "version-hint.text" in files
+    assert any(f.endswith(".metadata.json") for f in files)
+    assert any(f.startswith("snap-") for f in files)
+
+    md = json.loads(
+        open(os.path.join(uri, "metadata", "v1.metadata.json"), "rb").read()
+    )
+    assert md["format-version"] == 2
+    assert md["location"] == uri
+    assert md["properties"]["delta-version"] == str(t.version)
+    assert json.loads(md["properties"]["schema.name-mapping.default"])
+    assert md["current-snapshot-id"] == t.version
+    [snap] = md["snapshots"]
+    assert snap["summary"]["operation"] == "append"
+
+    # foreign-reader path sees exactly the Delta live set
+    ice = {f["path"] for f in t.iceberg_files()}
+    delta = {os.path.join(uri, p) for p in t.file_paths()}
+    assert ice == delta
+    total = sum(f["record_count"] for f in t.iceberg_files())
+    assert total == t.to_df(spark).count()
+
+
+def test_incremental_append_reuses_manifests(spark, tmp_path, events):
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events.limit(3).coalesce(1), uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    v1_manifests = {
+        m["manifest_path"]
+        for m in ub._read_manifest_list(
+            ub._Tree(t),
+            json.loads(open(os.path.join(uri, "metadata", "v1.metadata.json")).read())[
+                "snapshots"
+            ][-1]["manifest-list"],
+        )
+    }
+    write_deltalake(spark, events.limit(2).coalesce(1), uri, mode="append")
+    t.update()
+    md = json.loads(
+        open(
+            os.path.join(
+                uri,
+                "metadata",
+                f"v{int(open(os.path.join(uri, 'metadata', 'version-hint.text')).read())}.metadata.json",
+            )
+        ).read()
+    )
+    assert md["properties"]["delta-version"] == str(t.version)
+    snaps = md["snapshots"]
+    assert len(snaps) == 2
+    assert snaps[-1]["parent-snapshot-id"] == snaps[0]["snapshot-id"]
+    cur = ub._read_manifest_list(ub._Tree(t), snaps[-1]["manifest-list"])
+    # append: the old manifest is reused untouched, one new manifest added
+    assert v1_manifests < {m["manifest_path"] for m in cur}
+    assert len(cur) == 2
+    assert sum(f["record_count"] for f in t.iceberg_files()) == 5
+
+
+def test_delete_rewrites_only_affected_manifest(spark, tmp_path, events):
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events.limit(3).coalesce(1), uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    write_deltalake(spark, events.limit(2).coalesce(1), uri, mode="append")
+    # delete rows from the SECOND file only -> first manifest untouched
+    t.update()
+    second_batch_key = events.limit(2).collect()[0][0]
+    t.delete(spark, f"r_regionkey = {second_batch_key}")
+    t.update()
+    ice = {f["path"] for f in t.iceberg_files()}
+    delta = {os.path.join(uri, p) for p in t.file_paths()}
+    assert ice == delta
+    assert sum(f["record_count"] for f in t.iceberg_files()) == t.to_df(spark).count()
+    hint = int(open(os.path.join(uri, "metadata", "version-hint.text")).read())
+    md = json.loads(
+        open(os.path.join(uri, "metadata", f"v{hint}.metadata.json")).read()
+    )
+    assert md["snapshots"][-1]["summary"]["operation"] in ("delete", "overwrite")
+
+
+def test_partitioned_table_partition_tuples(spark, tmp_path, events):
+    uri = str(tmp_path / "t")
+    df = events.withColumn("bucket", F.col("r_regionkey") % 2)
+    write_deltalake(spark, df, uri, partition_by=["bucket"])
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    md = json.loads(
+        open(os.path.join(uri, "metadata", "v1.metadata.json")).read()
+    )
+    [spec] = md["partition-specs"]
+    assert spec["fields"][0]["transform"] == "identity"
+    assert spec["fields"][0]["name"] == "bucket"
+    assert spec["fields"][0]["field-id"] == 1000
+    buckets = {f["partition"]["bucket"] for f in t.iceberg_files()}
+    assert buckets == {0, 1}
+
+
+def test_manifests_readable_by_java_avro(spark, tmp_path, events):
+    """Manifest + manifest-list files decode under the Java reference impl."""
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events.coalesce(1), uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    mdir = os.path.join(uri, "metadata")
+    avro_files = [f for f in os.listdir(mdir) if f.endswith(".avro")]
+    assert avro_files
+    jvm = spark._jvm
+    for name in avro_files:
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(os.path.join(mdir, name)),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        recs = []
+        while reader.hasNext():
+            recs.append(json.loads(str(reader.next())))
+        reader.close()
+        assert recs
+        if name.startswith("snap-"):
+            assert recs[0]["manifest_path"].endswith(".avro")
+        else:
+            e = recs[0]
+            assert e["status"] == 1
+            assert e["data_file"]["file_format"] == "PARQUET"
+            assert e["data_file"]["record_count"] == 5
+
+
+def test_stats_bounds_round_trip(spark, tmp_path, events):
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events.coalesce(1), uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    tree = ub._Tree(t)
+    mdir = os.path.join(uri, "metadata")
+    manifest = next(
+        f for f in os.listdir(mdir)
+        if f.endswith(".avro") and not f.startswith("snap-")
+    )
+    _, _, [entry] = avro.read_container(open(os.path.join(mdir, manifest), "rb").read())
+    sj, _ = ub.iceberg_schema(t.schema())
+    key_id = next(f["id"] for f in sj["fields"] if f["name"] == "r_regionkey")
+    lower = {e["key"]: e["value"] for e in entry["data_file"]["lower_bounds"]}
+    upper = {e["key"]: e["value"] for e in entry["data_file"]["upper_bounds"]}
+    lo, hi = t.column_min_max("r_regionkey")
+    import pyspark.sql.types as T
+
+    fmt = "<q" if isinstance(t.schema()["r_regionkey"].dataType, T.LongType) else "<i"
+    assert struct.unpack(fmt, lower[key_id])[0] == lo
+    assert struct.unpack(fmt, upper[key_id])[0] == hi
+
+
+def test_sql_property_set_activates_uniform(spark, tmp_path, events):
+    """Setting the public property through plain SQL starts conversion via
+    the post-commit hook — no bespoke API needed."""
+    from delta_rs_spark.sql import sql as dsql
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events, uri)
+    dsql(
+        spark,
+        f"ALTER TABLE delta.`{uri}` SET TBLPROPERTIES"
+        "('delta.universalFormat.enabledFormats'='iceberg')",
+    )
+    t = DeltaTable(uri)
+    assert sum(f["record_count"] for f in t.iceberg_files()) == 5
+
+
+def test_uniform_survives_conversion_gap(spark, tmp_path, events):
+    """Deleting version-hint (simulated partial/corrupt tree) -> next commit
+    rebuilds a fresh full conversion rather than failing the Delta write."""
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events.limit(3), uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    os.remove(os.path.join(uri, "metadata", "version-hint.text"))
+    write_deltalake(spark, events.limit(1), uri, mode="append")
+    t.update()
+    assert sum(f["record_count"] for f in t.iceberg_files()) == 4
