@@ -1249,7 +1249,14 @@ def vacuum(
             for meta in table.log.backend.list_objs(root):
                 yield meta.path.split(prefix, 1)[-1], meta.modification_time * 1000
 
+    # UniForm keeps the Iceberg metadata tree under <root>/metadata/ — it is
+    # never referenced by the Delta log, so without this guard a full vacuum
+    # would reap every manifest ever written
+    uniform_on = getattr(table, "_uniform_enabled", lambda: False)()
+
     def _protected(rel: str) -> bool:
+        if uniform_on and rel.startswith("metadata/"):
+            return True
         if rel in active:
             return True
         if rel in active_dv_files or rel in unexpired_dv_files:

@@ -314,6 +314,29 @@ def test_sql_property_set_activates_uniform(spark, tmp_path, events):
     assert sum(f["record_count"] for f in t.iceberg_files()) == 5
 
 
+def test_vacuum_protects_iceberg_metadata(spark, tmp_path, events):
+    """Full vacuum must not reap the (log-unreferenced) Iceberg tree."""
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events, uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    write_deltalake(spark, events, uri, mode="overwrite")  # tombstones v1 files
+    t.update()
+    # age everything (file mtimes AND tombstone clocks) past retention
+    import time
+
+    for dirpath, _dirs, files in os.walk(uri):
+        for f in files:
+            os.utime(os.path.join(dirpath, f), (1, 1))
+    for r in t.snapshot.state.tombstones.values():
+        r.deletion_timestamp = int((time.time() - 200 * 3600) * 1000)
+    candidates = t.vacuum(retention_hours=168, dry_run=True)
+    assert candidates, "overwritten data files should be reapable"
+    assert not any(c.startswith("metadata/") for c in candidates)
+    t.vacuum(retention_hours=168, dry_run=False)
+    assert sum(f["record_count"] for f in t.iceberg_files()) == 5
+
+
 def test_uniform_survives_conversion_gap(spark, tmp_path, events):
     """Deleting version-hint (simulated partial/corrupt tree) -> next commit
     rebuilds a fresh full conversion rather than failing the Delta write."""
