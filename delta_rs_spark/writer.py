@@ -657,6 +657,10 @@ def write_deltalake(
             evo_features.append("timestampNtz")
         if _schema_has_variant(evolved):
             evo_features.append("variantType")
+        from .protocol import widening as _tw_feat
+
+        if _tw_feat.type_changes(evolved):
+            evo_features.append(_tw_feat.FEATURE_NAME)
         if evo_features:
             from .protocol.actions import upgraded_protocol
 
@@ -802,11 +806,53 @@ def _merge_schema(
         if name in existing.names
         and bare_type(existing[name].dataType) != bare_type(f.dataType)
     }
+    widened = False
     if mismatched:
-        raise SchemaMismatchError(
-            "schema_mode='merge' cannot change existing column types: "
-            + ", ".join(f"{n}: {a.simpleString()} -> {b.simpleString()}" for n, (a, b) in mismatched.items())
-        )
+        from .protocol import widening as _tw
+
+        cfg = table.metadata().configuration or {}
+        widening_on = str(cfg.get(_tw.ENABLE_KEY, "")).lower() == "true"
+        # incoming NARROWER than the table: always safe — upcast the data
+        # to the table type (the standard write-cast; no schema change)
+        upcast = {
+            n for n, (a, b) in mismatched.items() if _tw.is_widening(b, a)
+        }
+        if upcast:
+            df = df.select(
+                *[
+                    F.col(c).cast(existing[c].dataType).alias(c)
+                    if c in upcast
+                    else F.col(c)
+                    for c in df.columns
+                ]
+            )
+            incoming = {f.name: f for f in df.schema.fields}
+            mismatched = {
+                n: tp for n, tp in mismatched.items() if n not in upcast
+            }
+        if mismatched and widening_on and all(
+            _tw.is_widening(a, b) for a, b in mismatched.values()
+        ):
+            # automatic type widening on merge (public Delta behavior when
+            # delta.enableTypeWidening is set): the table schema widens to
+            # the incoming types in the same commit, typeChanges recorded
+            for name, (_a, b) in mismatched.items():
+                existing = _tw.widen_schema(existing, name, b, table.version + 1)
+            widened = True
+        elif mismatched:
+            raise SchemaMismatchError(
+                "schema_mode='merge' cannot change existing column types: "
+                + ", ".join(
+                    f"{n}: {a.simpleString()} -> {b.simpleString()}"
+                    for n, (a, b) in mismatched.items()
+                )
+                + (
+                    ""
+                    if widening_on
+                    else " (set delta.enableTypeWidening=true to allow "
+                    "spec-listed widenings)"
+                )
+            )
 
     new_fields = [
         T.StructField(f.name, f.dataType, nullable=True)
@@ -821,7 +867,7 @@ def _merge_schema(
             for f in merged.fields
         ]
     )
-    if not new_fields:
+    if not new_fields and not widened:
         return aligned, None
 
     old = table.metadata()

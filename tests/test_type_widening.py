@@ -170,6 +170,44 @@ def test_stats_skipping_survives_widening(spark, tmp_path):
     assert t.to_df(spark).filter(F.col("v") > 2**40).count() == 1
 
 
+def test_merge_write_auto_widens_when_enabled(spark, tmp_path):
+    uri = str(tmp_path / "t")
+    t = _make(spark, uri, "id int, v int", [(1, 10)])
+    wide = spark.createDataFrame([(2, 2**40)], "id int, v bigint")
+    # without the property: refused with a pointer to it
+    with pytest.raises(Exception, match="enableTypeWidening"):
+        write_deltalake(spark, wide, uri, mode="append", schema_mode="merge")
+    t.set_properties({"delta.enableTypeWidening": "true"})
+    write_deltalake(spark, wide, uri, mode="append", schema_mode="merge")
+    t.update()
+    assert t.schema()["v"].dataType == T.LongType()
+    assert "typeWidening" in (t.snapshot.state.writer_features or [])
+    assert "v" in tw.type_changes(t.schema())
+    assert {r["v"] for r in t.to_df(spark).collect()} == {10, 2**40}
+
+
+def test_merge_write_upcasts_narrow_incoming(spark, tmp_path):
+    """Narrower incoming data casts UP to the table type — no schema change,
+    no property needed."""
+    uri = str(tmp_path / "t")
+    t = _make(spark, uri, "id int, v bigint", [(1, 10)])
+    narrow = spark.createDataFrame([(2, 20)], "id int, v int")
+    write_deltalake(spark, narrow, uri, mode="append", schema_mode="merge")
+    t.update()
+    assert t.schema()["v"].dataType == T.LongType()
+    assert tw.type_changes(t.schema()) == {}
+    assert {r["v"] for r in t.to_df(spark).collect()} == {10, 20}
+
+
+def test_merge_write_incompatible_types_still_refused(spark, tmp_path):
+    uri = str(tmp_path / "t")
+    t = _make(spark, uri, "id int, v string", [(1, "x")])
+    t.set_properties({"delta.enableTypeWidening": "true"})
+    bad = spark.createDataFrame([(2, 5)], "id int, v int")
+    with pytest.raises(Exception, match="cannot change existing column types"):
+        write_deltalake(spark, bad, uri, mode="append", schema_mode="merge")
+
+
 def test_drop_feature_lifecycle(spark, tmp_path):
     uri = str(tmp_path / "t")
     t = _make(spark, uri, "id int, v int", [(1, 10)])
