@@ -828,39 +828,62 @@ def drop_feature(table, name: str, truncate_history: bool = False) -> int:
             "HISTORY) to checkpoint the current state and give up time "
             "travel below the drop"
         )
+    boundary = None
     if truncate_history:
         create_checkpoint(table)
         cleanup_expired_logs(table, retention_ms=0)
+        # checkpointProtection (public Delta): the truncation checkpoint and
+        # everything at/above it must survive future metadata cleanups that
+        # do not themselves truncate past this point — readers of versions
+        # >= the boundary still replay from it
+        boundary = table.version + 1
+        wf = wf | {"checkpointProtection"}
     proto = ProtocolAction(
         state.min_reader_version,
-        state.min_writer_version,
+        state.min_writer_version if boundary is None else max(
+            state.min_writer_version, 7
+        ),
         reader_features=(
             sorted(rf - {name}) if state.reader_features is not None else None
         ),
         writer_features=(
-            sorted(wf - {name}) if state.writer_features is not None else None
+            sorted(wf - {name})
+            if state.writer_features is not None or boundary is not None
+            else None
         ),
     )
     txn = DeltaTransaction(table)
     txn.add_action(proto)
+    # at most ONE metaData action per commit (replays replace wholesale):
+    # compose the checkpoint-protection property and the typeWidening
+    # bookkeeping strip into a single replacement
+    meta0 = table.metadata()
+    new_cfg = dict(meta0.configuration or {})
+    new_schema_string = meta0.schema_string
+    meta_changed = False
+    if boundary is not None:
+        new_cfg["delta.requireCheckpointProtectionBeforeVersion"] = str(boundary)
+        meta_changed = True
     if name == "typeWidening":
         # cleanup travels with the drop: the schema sheds its
         # delta.typeChanges bookkeeping in the same commit
         from .protocol import widening as _tw
         from .protocol.schema import schema_string_to_spark, spark_to_schema_string
 
-        schema = schema_string_to_spark(table.metadata().schema_string)
+        schema = schema_string_to_spark(meta0.schema_string)
         if _tw.type_changes(schema):
-            import dataclasses as _dc
-
-            txn.add_action(
-                _dc.replace(
-                    table.metadata(),
-                    schema_string=spark_to_schema_string(
-                        _tw.strip_type_changes(schema)
-                    ),
-                )
+            new_schema_string = spark_to_schema_string(
+                _tw.strip_type_changes(schema)
             )
+            meta_changed = True
+    if meta_changed:
+        import dataclasses as _dc
+
+        txn.add_action(
+            _dc.replace(
+                meta0, configuration=new_cfg, schema_string=new_schema_string
+            )
+        )
     v = txn.commit(
         operation="DROP FEATURE",
         operation_parameters={
@@ -997,6 +1020,18 @@ def cleanup_expired_logs(table, retention_ms: Optional[int] = None) -> list[str]
     log = table.log
     cp = log.read_last_checkpoint()
     if cp is None:
+        return []
+    # checkpointProtection: checkpoints below the boundary may only be
+    # removed by a cleanup that truncates to a checkpoint AT/ABOVE it in
+    # the same run; replaying from below the boundary must stay possible
+    # otherwise
+    try:
+        boundary = int(
+            cfg.get("delta.requireCheckpointProtectionBeforeVersion", 0)
+        )
+    except (TypeError, ValueError):
+        boundary = 0
+    if 0 < cp.version < boundary:
         return []
 
     commit_re = _re.compile(r"^(\d{20})\.(json|crc)$")
@@ -1179,6 +1214,21 @@ def vacuum(
     dir. The trade: files the log never tracked (crashed-writer orphans)
     are NOT cleaned — run a full vacuum occasionally for those.
     """
+    # vacuumProtocolCheck contract: verify full protocol support BEFORE
+    # touching files — a vacuum that ignores an unknown feature (say, an
+    # unknown DV scheme) would delete files that feature still references
+    from .protocol.snapshot import SUPPORTED_READER_FEATURES
+    from .transactions import SUPPORTED_WRITER_FEATURES
+
+    _state = table.snapshot.state
+    _unknown = (
+        set(_state.reader_features or []) - SUPPORTED_READER_FEATURES
+    ) | (set(_state.writer_features or []) - SUPPORTED_WRITER_FEATURES)
+    if _unknown:
+        raise VacuumError(
+            f"vacuum refused: table requires unsupported feature(s) "
+            f"{sorted(_unknown)} (vacuumProtocolCheck semantics)"
+        )
     if retention_hours < 0:
         raise VacuumError("retention_hours must be non-negative")
     if retention_hours < MIN_RETENTION_HOURS:

@@ -57,6 +57,7 @@ SUPPORTED_READER_FEATURES = frozenset(
         "variantType",
         "v2Checkpoint",
         "typeWidening",
+        "vacuumProtocolCheck",
         # vendor token written by pre-round-3 builds of this engine for the
         # legacy parquet-dir DV descriptors (still decoded)
         "deltaRsSpark.deletionVectors",

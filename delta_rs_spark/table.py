@@ -972,6 +972,54 @@ class DeltaTable:
                 f"set {_rtk.ENABLE_KEY} via table.enable_row_tracking(), "
                 "which bumps the protocol and backfills baseRowIds in one commit"
             )
+        # pure protocol features (no schema/file traces) are enabled by the
+        # public delta.feature.<name>=supported convention: the bump rides
+        # the same commit as the property
+        _PURE_FEATURES = {
+            "vacuumProtocolCheck": ("reader", "writer"),
+            "checkpointProtection": ("writer",),
+        }
+        bumps_r, bumps_w = [], []
+        for key, val in properties.items():
+            if not key.startswith("delta.feature."):
+                continue
+            fname = key[len("delta.feature."):]
+            if fname in _PURE_FEATURES and str(val).lower() == "supported":
+                sides = _PURE_FEATURES[fname]
+                if "reader" in sides:
+                    bumps_r.append(fname)
+                if "writer" in sides:
+                    bumps_w.append(fname)
+        if bumps_r or bumps_w:
+            from .protocol.actions import upgraded_protocol
+
+            meta = self.metadata()
+            new_meta = type(meta)(
+                id=meta.id,
+                schema_string=meta.schema_string,
+                partition_columns=meta.partition_columns,
+                name=meta.name,
+                description=meta.description,
+                created_time=meta.created_time,
+                configuration={**(meta.configuration or {}), **properties},
+            )
+            txn = self.begin()
+            bump = upgraded_protocol(
+                self.snapshot.state,
+                3 if bumps_r else 1,
+                7,
+                reader_features=bumps_r,
+                writer_features=sorted(set(bumps_r + bumps_w)),
+            )
+            if bump is not None:
+                txn.add_action(bump)
+            txn.add_action(new_meta)
+            v = txn.commit(
+                operation="SET TBLPROPERTIES",
+                operation_parameters={"properties": sorted(properties)},
+            )
+            self.update()
+            return v
         if properties.get("delta.checkpointPolicy") == "v2":
             # the property alone leaves the v2Checkpoint feature unadvertised
             # and every subsequent auto-checkpoint failing

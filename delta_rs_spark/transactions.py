@@ -48,6 +48,8 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         "variantType",
         "clustering",
         "typeWidening",
+        "vacuumProtocolCheck",
+        "checkpointProtection",
         "allowColumnDefaults",
         "deltaRsSpark.deletionVectors",  # vendor token, pre-round-3 tables
     }
