@@ -305,3 +305,74 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(sink).orderBy("hour", "event_type")
+
+
+@query(
+    "widening_uniform_lifecycle",
+    """
+    WITH base AS (
+      SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    widened AS (
+      SELECT doc_id, source, n_tok FROM base
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, source,
+             n_tok + 5000000000 AS n_tok
+      FROM base WHERE doc_id % 5 = 0
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok,
+           CAST((SELECT COUNT(*) FROM widened) AS BIGINT) AS iceberg_rows
+    FROM widened
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_widening_uniform_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening + UniForm certified end to end: create with an INT
+    token-count column, ALTER COLUMN TYPE to BIGINT (metadata-only), append
+    values beyond int32 range — so the final scan reads narrow-typed AND
+    wide-typed parquet through one widened schema — then enable UniForm and
+    fold the Iceberg tree's record counts (decoded via the independent
+    manifest read-back path, not the Delta log) into the hashed result. The
+    oracle reconstructs everything from the source parquet, so a wrong
+    upcast, a lost row, or a diverging Iceberg manifest all hash-mismatch."""
+    from . import DeltaTable
+    from .writer import write_deltalake
+
+    uri = _workdir("widen_uniform", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("int").alias("n_tok")
+    )
+    write_deltalake(spark, docs, uri)
+
+    t = DeltaTable(uri)
+    t.widen_column_type("n_tok", "bigint")  # metadata-only, typeChanges recorded
+    write_deltalake(
+        spark,
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "source",
+            (F.col("n_tok").cast("long") + 5_000_000_000).alias("n_tok"),
+        ),
+        uri,
+        mode="append",
+    )
+    t = DeltaTable(uri)
+    t.enable_uniform()  # mirrors both commits into Iceberg metadata
+    iceberg_rows = sum(f["record_count"] for f in t.iceberg_files())
+
+    return (
+        t.to_df(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+        .withColumn("iceberg_rows", F.lit(iceberg_rows).cast("long"))
+        .orderBy("source")
+    )

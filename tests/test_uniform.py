@@ -337,6 +337,23 @@ def test_vacuum_protects_iceberg_metadata(spark, tmp_path, events):
     assert sum(f["record_count"] for f in t.iceberg_files()) == 5
 
 
+def test_widening_uniform_lifecycle_matches_duckdb(spark, sf_dir):
+    """The certified lifecycle query (widen -> append-beyond-int32 ->
+    UniForm -> aggregate + Iceberg row fold) against its DuckDB oracle —
+    the same comparison the driver runs."""
+    from delta_rs_spark.catalog import QUERIES
+    from tests.oracle_compare import compare_query, duckdb_con
+
+    qd = QUERIES["widening_uniform_lifecycle"]
+    res = compare_query(
+        "widening_uniform_lifecycle",
+        qd.spark(spark, sf_dir),
+        duckdb_con(sf_dir),
+        qd.oracle,
+    )
+    assert res.ok, res.detail
+
+
 def test_uniform_survives_conversion_gap(spark, tmp_path, events):
     """Deleting version-hint (simulated partial/corrupt tree) -> next commit
     rebuilds a fresh full conversion rather than failing the Delta write."""
