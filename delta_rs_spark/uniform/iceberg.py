@@ -138,18 +138,27 @@ def iceberg_schema(schema: T.StructType, schema_id: int = 0) -> tuple[dict, int]
     )
 
 
-def name_mapping(schema_json: dict) -> list[dict]:
+def name_mapping(
+    schema_json: dict, aliases: Optional[dict[str, str]] = None
+) -> list[dict]:
     """The ``schema.name-mapping.default`` tree: names -> field-ids, used by
-    readers for parquet files that carry no embedded field ids."""
+    readers for parquet files that carry no embedded field ids. ``aliases``
+    adds alternate (physical) names per top-level logical name — the files
+    of a column-mapped table store physical column names."""
+    aliases = aliases or {}
 
-    def _entry(field: dict) -> dict:
-        out: dict[str, Any] = {"field-id": field["id"], "names": [field["name"]]}
+    def _entry(field: dict, top: bool) -> dict:
+        names = [field["name"]]
+        alias = aliases.get(field["name"]) if top else None
+        if alias and alias not in names:
+            names.append(alias)
+        out: dict[str, Any] = {"field-id": field["id"], "names": names}
         t = field["type"]
         if isinstance(t, dict) and t.get("type") == "struct":
-            out["fields"] = [_entry(f) for f in t["fields"]]
+            out["fields"] = [_entry(f, False) for f in t["fields"]]
         return out
 
-    return [_entry(f) for f in schema_json["fields"]]
+    return [_entry(f, True) for f in schema_json["fields"]]
 
 
 # ---- single-value binary serialization (spec appendix D) -------------------
@@ -411,6 +420,7 @@ def _partition_value(raw: Optional[str], dt: T.DataType) -> Any:
 def _entry_for_add(
     add, schema: T.StructType, partition_columns: list[str],
     field_ids: dict[str, int], snapshot_id: int, tree: _Tree,
+    phys: Optional[dict[str, str]] = None,
 ) -> dict:
     if getattr(add, "deletion_vector", None):
         # an Iceberg reader would see the deleted rows resurrected; refuse
@@ -427,24 +437,28 @@ def _entry_for_add(
     nulls = stats.get("nullCount") or {}
     lower, upper, null_counts, value_counts = [], [], [], []
     n = stats.get("numRecords")
+    phys = phys or {}
     for f in schema.fields:
         fid = field_ids.get(f.name)
         if fid is None:
             continue
-        lo = bound_bytes(mins.get(f.name), f.dataType)
-        hi = bound_bytes(maxs.get(f.name), f.dataType)
+        # column-mapped tables key stats (and partitionValues) physically
+        key = phys.get(f.name, f.name)
+        lo = bound_bytes(mins.get(key), f.dataType)
+        hi = bound_bytes(maxs.get(key), f.dataType)
         if lo is not None:
             lower.append({"key": fid, "value": lo})
         if hi is not None:
             upper.append({"key": fid, "value": hi})
-        nc = nulls.get(f.name)
+        nc = nulls.get(key)
         if isinstance(nc, int):
             null_counts.append({"key": fid, "value": nc})
             if n is not None:
                 value_counts.append({"key": fid, "value": n})
     partition = {
         c: _partition_value(
-            (add.partition_values or {}).get(c), schema[c].dataType
+            (add.partition_values or {}).get(phys.get(c, c)),
+            schema[c].dataType,
         )
         for c in partition_columns
     }
@@ -535,6 +549,17 @@ def convert_snapshot(table) -> str:
     partition_columns = list(meta.partition_columns or [])
     schema_json, last_col_id = iceberg_schema(schema)
     field_ids = _top_level_field_ids(schema_json)
+    # column-mapped tables: stats/partitionValues in the log (and column
+    # names inside the parquet files) are PHYSICAL — translate lookups, and
+    # alias the physical names into the name mapping so id-less readers
+    # resolve the files' actual columns
+    from ..protocol import column_mapping as _cm
+
+    phys = (
+        _cm.top_level_physical(schema)
+        if _cm.is_mapped(meta.configuration)
+        else {}
+    )
     part_avro = partition_avro_schema(partition_columns, schema)
     entry_schema = manifest_entry_schema(part_avro)
     spec = _spec_fields(partition_columns, field_ids)
@@ -548,7 +573,9 @@ def convert_snapshot(table) -> str:
         snapshot_id = target
         seq = 1
         entries = [
-            _entry_for_add(a, schema, partition_columns, field_ids, snapshot_id, tree)
+            _entry_for_add(
+                a, schema, partition_columns, field_ids, snapshot_id, tree, phys
+            )
             for a in table.add_actions()
         ]
         mpath, mlen = _write_manifest(tree, entries, entry_schema, schema_json, spec)
@@ -621,7 +648,8 @@ def convert_snapshot(table) -> str:
             if adds:
                 entries = [
                     _entry_for_add(
-                        a, schema, partition_columns, field_ids, snapshot_id, tree
+                        a, schema, partition_columns, field_ids, snapshot_id,
+                        tree, phys,
                     )
                     for a in adds
                 ]
@@ -676,7 +704,9 @@ def convert_snapshot(table) -> str:
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": {
             DELTA_VERSION_PROP: str(target),
-            NAME_MAPPING_PROP: json.dumps(name_mapping(schema_json)),
+            NAME_MAPPING_PROP: json.dumps(
+                name_mapping(schema_json, aliases=phys)
+            ),
         },
         "current-snapshot-id": current_snapshot_id,
         "snapshots": snapshots,

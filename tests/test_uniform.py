@@ -337,6 +337,38 @@ def test_vacuum_protects_iceberg_metadata(spark, tmp_path, events):
     assert sum(f["record_count"] for f in t.iceberg_files()) == 5
 
 
+def test_column_mapped_table_uses_physical_aliases(spark, tmp_path, events):
+    """On a column-mapped table, stats/partitionValues are keyed physically
+    and the parquet files store physical names: bounds must still resolve,
+    and the name mapping must alias the physical names to the field ids."""
+    uri = str(tmp_path / "t")
+    df = events.withColumn("bucket", F.col("r_regionkey") % 2)
+    write_deltalake(spark, df, uri, partition_by=["bucket"])
+    t = DeltaTable(uri)
+    t.set_column_mapping_mode("name")
+    t.rename_column("r_name", "region_name")  # physical name stays r_name
+    t.enable_uniform()
+    # partition tuples resolved through the physical key
+    assert {f["partition"]["bucket"] for f in t.iceberg_files()} == {0, 1}
+    hint = int(open(os.path.join(uri, "metadata", "version-hint.text")).read())
+    md = json.loads(
+        open(os.path.join(uri, "metadata", f"v{hint}.metadata.json")).read()
+    )
+    nm = json.loads(md["properties"]["schema.name-mapping.default"])
+    renamed = next(e for e in nm if "region_name" in e["names"])
+    assert "r_name" in renamed["names"]  # physical alias present
+    # bounds present despite physical stats keys
+    mdir = os.path.join(uri, "metadata")
+    manifest = sorted(
+        f for f in os.listdir(mdir)
+        if f.endswith(".avro") and not f.startswith("snap-")
+    )[-1]
+    _, _, entries = avro.read_container(
+        open(os.path.join(mdir, manifest), "rb").read()
+    )
+    assert any(e["data_file"]["lower_bounds"] for e in entries)
+
+
 def test_widening_uniform_lifecycle_matches_duckdb(spark, sf_dir):
     """The certified lifecycle query (widen -> append-beyond-int32 ->
     UniForm -> aggregate + Iceberg row fold) against its DuckDB oracle —
