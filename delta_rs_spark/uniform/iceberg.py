@@ -355,8 +355,97 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        # per-partition-field summaries: readers prune whole manifests on a
+        # partition predicate WITHOUT opening them — at 100 TB this is the
+        # difference between touching one manifest and all of them
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                                "field-id": 509,
+                            },
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "default": None,
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+            "field-id": 507,
+        },
     ],
 }
+
+
+def _partition_bound_bytes(value: Any, dt: T.DataType) -> Optional[bytes]:
+    """Single-value binary form of an ALREADY-CONVERTED partition value
+    (dates are day ints, timestamps micro longs — see _partition_value)."""
+    if value is None:
+        return None
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.DateType)):
+        return struct.pack("<i", int(value))
+    if isinstance(dt, (T.LongType, T.TimestampType, T.TimestampNTZType)):
+        return struct.pack("<q", int(value))
+    if isinstance(dt, T.FloatType):
+        return struct.pack("<f", float(value))
+    if isinstance(dt, T.DoubleType):
+        return struct.pack("<d", float(value))
+    if isinstance(dt, T.BooleanType):
+        return b"\x01" if value else b"\x00"
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    return None
+
+
+def partition_summaries(
+    entries: list[dict], partition_columns: list[str], schema: T.StructType
+) -> Optional[list[dict]]:
+    """field_summary per partition-spec field over a manifest's entries."""
+    if not partition_columns:
+        return None
+    out = []
+    for c in partition_columns:
+        dt = schema[c].dataType
+        values = [e["data_file"]["partition"].get(c) for e in entries]
+        non_null = [v for v in values if v is not None]
+        out.append(
+            {
+                "contains_null": len(non_null) < len(values),
+                "contains_nan": None,
+                "lower_bound": (
+                    _partition_bound_bytes(min(non_null), dt) if non_null else None
+                ),
+                "upper_bound": (
+                    _partition_bound_bytes(max(non_null), dt) if non_null else None
+                ),
+            }
+        )
+    return out
 
 # statuses in manifest entries
 ADDED, EXISTING, DELETED = 1, 0, 2
@@ -521,6 +610,7 @@ def _manifest_list_entry(
     path: str, length: int, seq: int, min_seq: int, snapshot_id: int,
     added: int, existing: int, deleted: int,
     added_rows: int, existing_rows: int, deleted_rows: int,
+    partitions: Optional[list[dict]] = None,
 ) -> dict:
     return {
         "manifest_path": path,
@@ -536,6 +626,7 @@ def _manifest_list_entry(
         "added_rows_count": added_rows,
         "existing_rows_count": existing_rows,
         "deleted_rows_count": deleted_rows,
+        "partitions": partitions,
     }
 
 
@@ -584,6 +675,7 @@ def convert_snapshot(table) -> str:
             _manifest_list_entry(
                 mpath, mlen, seq, seq, snapshot_id,
                 len(entries), 0, 0, rows, 0, 0,
+                partitions=partition_summaries(entries, partition_columns, schema),
             )
         ]
         snapshots: list[dict] = []
@@ -644,6 +736,7 @@ def convert_snapshot(table) -> str:
                 manifests = _rewrite_for_removes(
                     tree, manifests, removed_abs, entry_schema,
                     schema_json, spec, snapshot_id, last_seq,
+                    schema=schema, partition_columns=partition_columns,
                 )
             if adds:
                 entries = [
@@ -661,6 +754,9 @@ def convert_snapshot(table) -> str:
                     _manifest_list_entry(
                         mpath, mlen, last_seq, last_seq, snapshot_id,
                         len(entries), 0, 0, rows, 0, 0,
+                        partitions=partition_summaries(
+                            entries, partition_columns, schema
+                        ),
                     )
                 ]
             op = (
@@ -759,6 +855,8 @@ def _rewrite_for_removes(
     tree: _Tree, manifests: list[dict], removed_abs: set[str],
     entry_schema: dict, schema_json: dict, spec_fields: list[dict],
     snapshot_id: int, seq: int,
+    schema: Optional[T.StructType] = None,
+    partition_columns: Optional[list[str]] = None,
 ) -> list[dict]:
     """Drop removed paths, touching only the manifests that contain them."""
     out = []
@@ -787,6 +885,11 @@ def _rewrite_for_removes(
                 min(e["sequence_number"] for e in keep),
                 snapshot_id, 0, len(keep), len(hit), 0, rows,
                 sum(e["data_file"]["record_count"] for e in hit),
+                partitions=(
+                    partition_summaries(keep, partition_columns, schema)
+                    if schema is not None and partition_columns
+                    else None
+                ),
             )
         )
     return out

@@ -243,6 +243,17 @@ def test_partitioned_table_partition_tuples(spark, tmp_path, events):
     assert spec["fields"][0]["field-id"] == 1000
     buckets = {f["partition"]["bucket"] for f in t.iceberg_files()}
     assert buckets == {0, 1}
+    # manifest-list partition field summaries (readers prune manifests on a
+    # partition predicate without opening them)
+    tree = ub._Tree(t)
+    [mf] = ub._read_manifest_list(tree, md["snapshots"][-1]["manifest-list"])
+    [summary] = mf["partitions"]
+    assert summary["contains_null"] is False
+    import pyspark.sql.types as T
+
+    fmt = "<q" if isinstance(t.schema()["bucket"].dataType, T.LongType) else "<i"
+    assert struct.unpack(fmt, summary["lower_bound"])[0] == 0
+    assert struct.unpack(fmt, summary["upper_bound"])[0] == 1
 
 
 def test_manifests_readable_by_java_avro(spark, tmp_path, events):
