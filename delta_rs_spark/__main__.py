@@ -75,6 +75,49 @@ def _cmd_history(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_iceberg(args: argparse.Namespace) -> int:
+    """UniForm summary: walk the Iceberg metadata tree the way a foreign
+    reader would (version-hint -> metadata.json -> manifest list ->
+    manifests) and report snapshots + the live file census. Spark-free;
+    bounded by metadata size, never data size."""
+    from .protocol.storage import parse_table_uri
+    from .uniform import read_file_list
+
+    root, backend = parse_table_uri(args.uri)
+    mdir = backend.join(root, "metadata")
+    try:
+        hint = int(backend.get_obj(backend.join(mdir, "version-hint.text")).decode())
+    except Exception:
+        print(json.dumps({"uniform": False}))
+        return 1
+    md = json.loads(backend.get_obj(backend.join(mdir, f"v{hint}.metadata.json")))
+    files = read_file_list(root, backend=backend)
+    print(
+        json.dumps(
+            {
+                "uniform": True,
+                "metadataVersion": hint,
+                "tableUuid": md["table-uuid"],
+                "currentSnapshotId": md["current-snapshot-id"],
+                "lastSequenceNumber": md["last-sequence-number"],
+                "deltaVersion": md["properties"].get("delta-version"),
+                "snapshots": [
+                    {
+                        "id": s["snapshot-id"],
+                        "operation": s["summary"].get("operation"),
+                        "deltaVersion": s["summary"].get("delta-version"),
+                    }
+                    for s in md.get("snapshots", [])
+                ],
+                "liveFiles": len(files),
+                "liveRecords": sum(f["record_count"] for f in files),
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
 def _cmd_protocol(args: argparse.Namespace) -> int:
     """Protocol summary: versions, feature lists, and the feature-bearing
     table properties — what a foreign engine needs to know before opening.
@@ -217,6 +260,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_proto.add_argument("uri", help="Table URI")
     p_proto.set_defaults(func=_cmd_protocol)
+
+    p_ice = isub.add_parser(
+        "iceberg", help="UniForm Iceberg metadata summary (foreign-reader walk)"
+    )
+    p_ice.add_argument("uri")
+    p_ice.set_defaults(func=_cmd_iceberg)
 
     p_crc = isub.add_parser(
         "checksum", help="validate state against the version .crc"

@@ -137,3 +137,21 @@ def test_inspect_checksum(spark, tmp_path, capsys):
     assert main(["inspect", "checksum", uri]) == 1
     out = json.loads(capsys.readouterr().out.strip())
     assert out["valid"] is False and "tableSizeBytes" in out["error"]
+
+
+def test_inspect_iceberg(spark, tmp_path, capsys):
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.createDataFrame([(1,), (2,)], "id int"), uri)
+    # not UniForm yet -> exit 1, {"uniform": false}
+    assert main(["inspect", "iceberg", uri]) == 1
+    assert json.loads(capsys.readouterr().out) == {"uniform": False}
+
+    DeltaTable(uri).enable_uniform()
+    assert main(["inspect", "iceberg", uri]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["uniform"] is True
+    assert out["liveRecords"] == 2
+    assert out["deltaVersion"] == "1"  # the property commit itself
+    assert out["snapshots"][0]["operation"] == "append"
