@@ -297,3 +297,56 @@ def test_log_compaction_reconciliation_equals_direct_replay(commits):
     assert set(via.tombstones) == set(direct.tombstones)
     assert via.app_transaction_version == direct.app_transaction_version
     assert via.domain_metadata == direct.domain_metadata
+
+
+# ---- Avro binary encoding (uniform/avro.py) --------------------------------
+
+AVRO_RECORD_SCHEMA = {
+    "type": "record",
+    "name": "prop",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": ["null", "long"], "default": None},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "bytes"},
+        {"name": "xs", "type": {"type": "array", "items": "long"}},
+        {"name": "kv", "type": {"type": "map", "values": "string"}},
+        {"name": "ok", "type": "boolean"},
+    ],
+}
+
+avro_records = st.fixed_dictionaries(
+    {
+        "s": st.text(max_size=40),
+        "n": st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+        "d": st.floats(allow_nan=False),
+        "b": st.binary(max_size=32),
+        "xs": st.lists(st.integers(-(2**63), 2**63 - 1), max_size=8),
+        "kv": st.dictionaries(st.text(max_size=8), st.text(max_size=8), max_size=5),
+        "ok": st.booleans(),
+    }
+)
+
+
+@given(st.lists(avro_records, max_size=20), st.sampled_from(["null", "deflate"]))
+@settings(max_examples=150, deadline=None)
+def test_avro_container_round_trip_property(records, codec):
+    from delta_rs_spark.uniform import avro
+
+    data = avro.write_container(AVRO_RECORD_SCHEMA, records, codec=codec)
+    schema, _meta, back = avro.read_container(data)
+    assert schema == AVRO_RECORD_SCHEMA
+    assert back == records
+
+
+@given(st.integers(-(2**63), 2**63 - 1))
+@settings(max_examples=300, deadline=None)
+def test_avro_zigzag_long_round_trip(v):
+    import io
+
+    from delta_rs_spark.uniform import avro
+
+    buf = io.BytesIO()
+    avro.write_long(buf, v)
+    buf.seek(0)
+    assert avro.read_long(buf) == v
