@@ -43,6 +43,7 @@ from urllib.parse import unquote, urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .cdf import CHANGE_TYPE_COL, cdf_enabled
 from .protocol.actions import AddAction, RemoveAction
@@ -154,19 +155,23 @@ def _norm_file_uri(uri: str) -> str:
     return unquote(p.path) if p.scheme else uri
 
 
-def _insert_select_exprs(schema, src_cols: set[str]) -> tuple[list, dict]:
+def _insert_select_exprs(
+    schema, src_cols: set[str], fill_missing_nullable: bool = False
+) -> tuple[list, dict]:
     """MERGE INSERT projection: source columns cast to the table types;
     columns the source omits materialize their DEFAULT expression or, for
     identity columns, the system-assignment expression (the caller
-    validated nothing else is missing). Returns (exprs, assigned identity
-    specs) — the caller must advance the assigned columns' water marks in
-    the same commit."""
+    validated nothing else is missing). With ``fill_missing_nullable``
+    (schema-evolution merges) other omitted nullable columns read NULL.
+    Returns (exprs, assigned identity specs) — the caller must advance the
+    assigned columns' water marks in the same commit."""
     from .protocol import defaults as _dfl
     from .protocol import identity as _idc
 
     defs = _dfl.defaults(schema)
     ids = _idc.specs(schema)
     types = {f.name: f.dataType for f in schema.fields}
+    nullable = {f.name: f.nullable for f in schema.fields}
     out = []
     assigned: dict = {}
     for c in schema.names:
@@ -175,8 +180,12 @@ def _insert_select_exprs(schema, src_cols: set[str]) -> tuple[list, dict]:
         elif c in ids:
             out.append(_idc.assign_expr(ids[c]).alias(c))
             assigned[c] = ids[c]
-        else:
+        elif c in defs:
             out.append(F.expr(defs[c]).cast(types[c]).alias(c))
+        elif fill_missing_nullable and nullable[c]:
+            out.append(F.lit(None).cast(types[c]).alias(c))
+        else:  # pragma: no cover - caller validated
+            raise DMLError(f"source lacks column required for INSERT: {c!r}")
     return out, assigned
 
 
@@ -1233,6 +1242,7 @@ def merge(
     when_not_matched_insert: bool = True,
     when_not_matched_by_source_delete: bool = False,
     extra_actions: Optional[list] = None,
+    schema_evolution: bool = False,
 ) -> dict[str, Any]:
     """``MERGE INTO target t USING source s ON condition`` — copy-on-write.
 
@@ -1253,6 +1263,12 @@ def merge(
     the result non-deterministic, so they raise (Delta protocol semantics).
     Only target files containing matched rows are rewritten (all files when
     ``when_not_matched_by_source_delete`` is set).
+
+    ``schema_evolution=True`` (Delta's ``withSchemaEvolution()``): source
+    columns absent from the target append to the table schema as nullable
+    fields in the same commit; existing target rows read them as NULL, and
+    inserts may omit nullable target columns (filled with NULL). Update
+    assignments may reference the new columns.
     """
     if when_matched_update and when_matched_delete:
         raise DMLError("choose either when_matched_update or when_matched_delete")
@@ -1260,7 +1276,19 @@ def merge(
     schema = table.schema()
     snap = table._snapshot
     all_adds = snap.files()
+    evolved_fields: list = []
+    if schema_evolution:
+        evolved_fields = [
+            T.StructField(f.name, f.dataType, nullable=True)
+            for f in source.schema.fields
+            if f.name not in schema.names
+        ]
+        if evolved_fields:
+            schema = T.StructType(list(schema.fields) + evolved_fields)
     target = snap.df_for_adds(spark, all_adds, with_lineage=True)
+    for f in evolved_fields:
+        # pre-evolution rows read the new columns as NULL
+        target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
     # MERGE reads every active file (the match join and the not-matched
     # anti join both scan the full target), so its read set is the whole
     # table — a concurrent data-changing commit invalidates the plan
@@ -1284,6 +1312,9 @@ def merge(
             - set(_dflm.defaults(schema))
             - set(_idcm.specs(schema))
         )
+        if schema_evolution:
+            # evolution merges fill omitted NULLABLE columns with NULL
+            missing = {c for c in missing if not schema[c].nullable}
         if missing:
             raise DMLError(f"source lacks columns required for INSERT: {sorted(missing)}")
         # an EXPLICIT identity value in the source needs BY DEFAULT
@@ -1327,7 +1358,7 @@ def merge(
             "MERGE: a target row matches multiple source rows; "
             "result would be non-deterministic"
         )
-    if dv_enabled(table) and _mor_eligible(table, all_adds):
+    if dv_enabled(table) and _mor_eligible(table, all_adds) and not evolved_fields:
         return _merge_merge_on_read(
             spark, table, t, s, condition, per_row, n_matched,
             when_matched_update, when_matched_delete, when_not_matched_insert,
@@ -1359,7 +1390,10 @@ def merge(
         else []
     )
     if rewrite:
-        rw = snap.df_for_adds(spark, rewrite, with_row_ids=_rt_on).alias("t")
+        rw = snap.df_for_adds(spark, rewrite, with_row_ids=_rt_on)
+        for f in evolved_fields:
+            rw = rw.withColumn(f.name, F.lit(None).cast(f.dataType))
+        rw = rw.alias("t")
         # explicit match tag on the source side (robust even if every source
         # column is nullable)
         s_tagged = source.withColumn("__matched", F.lit(True)).alias("s")
@@ -1450,7 +1484,9 @@ def merge(
     if when_not_matched_insert:
         # cached: the anti-join result is consumed up to three times (count,
         # staged write, cdc change files) — one execution instead of three
-        ins_exprs, id_assigned = _insert_select_exprs(schema, set(source.columns))
+        ins_exprs, id_assigned = _insert_select_exprs(
+            schema, set(source.columns), fill_missing_nullable=schema_evolution
+        )
         inserts = s.join(t, on, "left_anti").select(*ins_exprs).cache()
         n_inserted = inserts.count()
         # allowMissingColumns: inserted rows have no prior identity — their
@@ -1480,7 +1516,34 @@ def merge(
     if track_changes and change_parts:
         change_rows = change_parts[0]
         for p in change_parts[1:]:
-            change_rows = change_rows.unionByName(p)
+            change_rows = change_rows.unionByName(p, allowMissingColumns=True)
+
+    if evolved_fields:
+        # the evolved schema rides the same commit as the rewritten files
+        from .protocol import column_mapping as _cmm
+        from .protocol.schema import spark_to_schema_string as _stss
+
+        old_meta = table.metadata()
+        cfg2 = dict(old_meta.configuration or {})
+        evo_schema = schema
+        if _cmm.is_mapped(cfg2):
+            start = max(
+                _cmm.max_field_id(evo_schema), int(cfg2.get(_cmm.MAX_ID_KEY, 0))
+            )
+            evo_schema, max_id = _cmm.assign_mapping(evo_schema, start_id=start)
+            cfg2[_cmm.MAX_ID_KEY] = str(max_id)
+        extra_actions = list(extra_actions or [])
+        extra_actions.append(
+            type(old_meta)(
+                id=old_meta.id,
+                schema_string=_stss(evo_schema),
+                partition_columns=old_meta.partition_columns,
+                name=old_meta.name,
+                description=old_meta.description,
+                created_time=old_meta.created_time,
+                configuration=cfg2,
+            )
+        )
 
     try:
         new_rows = _genm.recompute(new_rows, schema)

@@ -426,3 +426,74 @@ def test_partition_delete_fast_path_cdf(spark, tmp_path):
     dels = cdf.filter("_change_type = 'delete'")
     assert dels.count() == 10
     assert dels.filter("bucket != 2").count() == 0
+
+
+def test_merge_schema_evolution_adds_source_columns(spark, tmp_path, docs):
+    """withSchemaEvolution semantics: source-only columns append to the
+    table as nullable fields in the same commit; pre-merge rows read NULL,
+    updates may assign them, inserts carry them."""
+    uri = str(tmp_path / "m")
+    write_deltalake(spark, docs.select("doc_id", "source"), uri)
+    t = DeltaTable(uri)
+    total = docs.count()
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+
+    src = (
+        docs.limit(20)
+        .select("doc_id", "source")
+        .withColumn("score", F.lit(0.5))
+        .unionByName(
+            docs.limit(5)
+            .select(
+                (F.col("doc_id") + max_id + 1).alias("doc_id"), F.col("source")
+            )
+            .withColumn("score", F.lit(0.9))
+        )
+    )
+    # without the flag: unknown column refused
+    with pytest.raises(DMLError):
+        t.merge(
+            spark, src, "t.doc_id = s.doc_id",
+            when_matched_update={"score": "s.score"},
+        )
+    res = t.merge(
+        spark, src, "t.doc_id = s.doc_id",
+        when_matched_update={"score": "s.score"},
+        schema_evolution=True,
+    )
+    assert res["numTargetRowsUpdated"] == 20
+    assert res["numTargetRowsInserted"] == 5
+    t.update()
+    assert "score" in t.schema().names
+    assert t.schema()["score"].nullable
+    df = t.to_df(spark)
+    assert df.count() == total + 5
+    assert df.filter("score = 0.5").count() == 20
+    assert df.filter("score = 0.9").count() == 5
+    # untouched rows read NULL for the evolved column
+    assert df.filter("score IS NULL").count() == total - 20
+    # time travel below the merge still shows the narrow schema
+    assert "score" not in DeltaTable.for_version(uri, t.version - 1).schema().names
+
+
+def test_merge_schema_evolution_insert_only_fills_nullable(spark, tmp_path, docs):
+    uri = str(tmp_path / "m")
+    write_deltalake(spark, docs.select("doc_id", "source", "lang"), uri)
+    t = DeltaTable(uri)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    # source omits the nullable 'lang' column AND brings a new 'rank' column
+    src = (
+        docs.limit(3)
+        .select((F.col("doc_id") + max_id + 1).alias("doc_id"), "source")
+        .withColumn("rank", F.lit(7))
+    )
+    res = t.merge(
+        spark, src, "t.doc_id = s.doc_id",
+        when_not_matched_insert=True,
+        schema_evolution=True,
+    )
+    assert res["numTargetRowsInserted"] == 3
+    t.update()
+    rows = t.to_df(spark).filter("rank = 7").collect()
+    assert len(rows) == 3
+    assert all(r["lang"] is None for r in rows)
