@@ -504,7 +504,7 @@ def _restore(spark: SparkSession, s: str) -> DataFrame:
 
 
 _MERGE_HEAD = re.compile(
-    r"MERGE\s+INTO\s+delta\.`([^`]+)`(?:\s+AS)?\s+(\w+)\s+"
+    r"MERGE\s+(?:(WITH\s+SCHEMA\s+EVOLUTION)\s+)?INTO\s+delta\.`([^`]+)`(?:\s+AS)?\s+(\w+)\s+"
     r"USING\s+(\((?:[^()]|\([^()]*\))*\)|delta\.`[^`]+`)(?:\s+AS)?\s+(\w+)\s+"
     r"ON\s+(.+?)\s*(?=WHEN\s)",
     re.IGNORECASE | re.DOTALL,
@@ -521,7 +521,7 @@ def _merge(spark: SparkSession, s: str) -> DataFrame:
     m = _MERGE_HEAD.match(s)
     if not m:
         raise SqlError(f"cannot parse MERGE: {s!r}")
-    target_uri, t_alias, source_text, s_alias, condition = m.groups()
+    evolution, target_uri, t_alias, source_text, s_alias, condition = m.groups()
 
     # source: subquery (any Spark SQL incl. delta.`...` refs) or a table ref
     if source_text.startswith("("):
@@ -539,6 +539,8 @@ def _merge(spark: SparkSession, s: str) -> DataFrame:
         return expr.replace("\x00T\x00.", "t.").replace("\x00S\x00.", "s.")
 
     kw: dict[str, Any] = {"when_not_matched_insert": False}
+    if evolution:
+        kw["schema_evolution"] = True
     for wm in _WHEN_CLAUSE.finditer(s, m.end()):
         kind = re.sub(r"\s+", " ", wm.group(1).upper())
         action = wm.group(2).strip()

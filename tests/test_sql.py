@@ -417,3 +417,27 @@ def test_table_changes_by_path_timestamp_bounds(spark, tmp_path):
         f"SELECT count(*) AS n FROM table_changes_by_path('{uri}', 1, '2099-01-01 00:00:00')",
     ).collect()[0]["n"]
     assert n == 2
+
+
+def test_sql_merge_with_schema_evolution(spark, tmp_path):
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.sql import sql as dsql
+
+    uri = str(tmp_path / "mse")
+    write_deltalake(spark, spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string"), uri)
+    src_uri = str(tmp_path / "mse_src")
+    write_deltalake(
+        spark,
+        spark.createDataFrame([(2, "B", 9.5), (3, "c", 1.0)], "id int, v string, score double"),
+        src_uri,
+    )
+    dsql(
+        spark,
+        f"MERGE WITH SCHEMA EVOLUTION INTO delta.`{uri}` t "
+        f"USING delta.`{src_uri}` s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET t.v = s.v, t.score = s.score "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    t = DeltaTable(uri)
+    rows = sorted((r.id, r.v, r.score) for r in t.to_df(spark).collect())
+    assert rows == [(1, "a", None), (2, "B", 9.5), (3, "c", 1.0)]
