@@ -1404,6 +1404,17 @@ def vacuum(
         else:
             with ThreadPoolExecutor(max_workers=min(32, len(to_delete))) as ex:
                 list(ex.map(_rm, to_delete))
+        if to_delete and uniform_on:
+            # data files are gone: Iceberg snapshots referencing them are
+            # unreadable — expire them (keeps the current snapshot; deletes
+            # only manifests no kept snapshot references). Best-effort like
+            # the conversion hook.
+            try:
+                from .uniform.iceberg import expire_snapshots
+
+                expire_snapshots(table, keep_last=1)
+            except Exception:
+                pass
     return to_delete
 
 

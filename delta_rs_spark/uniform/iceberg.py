@@ -931,3 +931,55 @@ def read_file_list(table_root: str, backend=None) -> list[dict]:
                 }
             )
     return files
+
+
+def expire_snapshots(table, keep_last: int = 1) -> list[str]:
+    """Expire all but the last ``keep_last`` Iceberg snapshots and delete
+    the manifest lists / manifests only they reference (Iceberg's
+    expire_snapshots maintenance, run by vacuum: once Delta vacuum reaps a
+    data file, any Iceberg snapshot referencing it is unreadable anyway).
+    Bounded by metadata size — one read per manifest list, no data I/O.
+    Returns the deleted metadata object paths."""
+    tree = _Tree(table)
+    current = tree.current_metadata()
+    if current is None:
+        return []
+    snaps = list(current.get("snapshots", []))
+    if keep_last < 1 or len(snaps) <= keep_last:
+        return []
+    keep, expired = snaps[-keep_last:], snaps[:-keep_last]
+    referenced: set[str] = set()
+    for s in keep:
+        for m in _read_manifest_list(tree, s["manifest-list"]):
+            referenced.add(m["manifest_path"])
+    deleted: list[str] = []
+    for s in expired:
+        try:
+            manifests = _read_manifest_list(tree, s["manifest-list"])
+        except Exception:
+            manifests = []
+        for m in manifests:
+            p = m["manifest_path"]
+            if p not in referenced:
+                try:
+                    tree.backend.delete_obj(p)
+                    deleted.append(p)
+                except Exception:
+                    pass
+        try:
+            tree.backend.delete_obj(s["manifest-list"])
+            deleted.append(s["manifest-list"])
+        except Exception:
+            pass
+    kept_ids = {s["snapshot-id"] for s in keep}
+    hint = _read_hint(tree)
+    metadata = dict(current)
+    metadata["snapshots"] = keep
+    metadata["snapshot-log"] = [
+        e for e in current.get("snapshot-log", []) if e["snapshot-id"] in kept_ids
+    ]
+    mpath = tree.put(
+        f"v{hint + 1}.metadata.json", json.dumps(metadata, indent=2).encode()
+    )
+    tree.put("version-hint.text", str(hint + 1).encode())
+    return deleted

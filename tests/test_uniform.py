@@ -309,6 +309,40 @@ def test_stats_bounds_round_trip(spark, tmp_path, events):
     assert struct.unpack(fmt, upper[key_id])[0] == hi
 
 
+def test_vacuum_expires_iceberg_snapshots(spark, tmp_path, events):
+    """Once vacuum reaps data files, the Iceberg snapshots referencing them
+    expire: metadata keeps only the current snapshot, orphaned manifest
+    lists/manifests are deleted, the current read-back is unaffected."""
+    import time
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events, uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    write_deltalake(spark, events, uri, mode="overwrite")
+    t.update()
+    for dirpath, _dirs, files in os.walk(uri):
+        for f in files:
+            os.utime(os.path.join(dirpath, f), (1, 1))
+    for r in t.snapshot.state.tombstones.values():
+        r.deletion_timestamp = int((time.time() - 200 * 3600) * 1000)
+    avro_before = [
+        f for f in os.listdir(os.path.join(uri, "metadata")) if f.endswith(".avro")
+    ]
+    t.vacuum(retention_hours=168, dry_run=False)
+    hint = int(open(os.path.join(uri, "metadata", "version-hint.text")).read())
+    md = json.loads(
+        open(os.path.join(uri, "metadata", f"v{hint}.metadata.json")).read()
+    )
+    assert len(md["snapshots"]) == 1
+    assert md["snapshots"][0]["snapshot-id"] == md["current-snapshot-id"]
+    avro_after = [
+        f for f in os.listdir(os.path.join(uri, "metadata")) if f.endswith(".avro")
+    ]
+    assert len(avro_after) < len(avro_before)
+    assert sum(f["record_count"] for f in t.iceberg_files()) == 5
+
+
 def test_sql_property_set_activates_uniform(spark, tmp_path, events):
     """Setting the public property through plain SQL starts conversion via
     the post-commit hook — no bespoke API needed."""
