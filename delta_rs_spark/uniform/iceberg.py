@@ -486,6 +486,32 @@ class _Tree:
             return None
         return json.loads(self.get(f"v{hint}.metadata.json"))
 
+    def put_metadata(self, version: int, data: bytes) -> tuple[str, int]:
+        """Write ``v{N}.metadata.json`` via the backend's atomic
+        create-if-absent (the same primitive Delta commits use). On a
+        collision — a concurrent writer's hook converted first — bump to
+        the next free number: conversions are cumulative walks from the
+        recorded delta-version, so the later writer re-syncs anything the
+        loser's file carried. Returns (path, version actually used)."""
+        import uuid as _u
+
+        from ..protocol.storage import FileAlreadyExistsError
+
+        self.backend.makedirs(self.dir)
+        while True:
+            tmp = self.path(f"_tmp_{_u.uuid4().hex}.metadata.json")
+            self.backend.put_obj(tmp, data)
+            dst = self.path(f"v{version}.metadata.json")
+            try:
+                self.backend.rename_obj_noreplace(tmp, dst)
+                return dst, version
+            except FileAlreadyExistsError:
+                try:
+                    self.backend.delete_obj(tmp)
+                except Exception:
+                    pass
+                version += 1
+
 
 def _partition_value(raw: Optional[str], dt: T.DataType) -> Any:
     """Delta partitionValues string -> Avro-encodable Iceberg value."""
@@ -809,11 +835,10 @@ def convert_snapshot(table) -> str:
         "snapshot-log": snapshot_log[-100:],
         "metadata-log": metadata_log[-100:],
     }
-    mpath = tree.put(
-        f"v{version_counter}.metadata.json",
-        json.dumps(metadata, indent=2).encode(),
+    mpath, used = tree.put_metadata(
+        version_counter, json.dumps(metadata, indent=2).encode()
     )
-    tree.put("version-hint.text", str(version_counter).encode())
+    tree.put("version-hint.text", str(used).encode())
     return mpath
 
 
@@ -978,8 +1003,8 @@ def expire_snapshots(table, keep_last: int = 1) -> list[str]:
     metadata["snapshot-log"] = [
         e for e in current.get("snapshot-log", []) if e["snapshot-id"] in kept_ids
     ]
-    mpath = tree.put(
-        f"v{hint + 1}.metadata.json", json.dumps(metadata, indent=2).encode()
+    _mpath, used = tree.put_metadata(
+        hint + 1, json.dumps(metadata, indent=2).encode()
     )
-    tree.put("version-hint.text", str(hint + 1).encode())
+    tree.put("version-hint.text", str(used).encode())
     return deleted
