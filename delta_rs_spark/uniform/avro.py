@@ -186,6 +186,145 @@ def read_datum(buf: io.BytesIO, schema: Any) -> Any:
     raise ValueError(f"unsupported Avro type: {t!r}")
 
 
+# ---- compiled encoders -----------------------------------------------------
+
+def _append_varint(out: bytearray, n: int) -> None:
+    """Zigzag varint append — the compiled path's hot primitive."""
+    z = (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+    while z > 0x7F:
+        out.append((z & 0x7F) | 0x80)
+        z >>= 7
+    out.append(z)
+
+
+def compile_writer(schema: Any):
+    """Compile a schema into a closure tree ``enc(out, value)`` appending to
+    a ``bytearray`` — one schema walk total instead of one per datum, and
+    byte appends instead of per-byte BytesIO writes. Produces bytes
+    identical to the interpretive ``write_datum`` path (property-tested)."""
+    if _is_nullable_union(schema):
+        branches = [(b, None if b == "null" else compile_writer(b)) for b in schema]
+        if (
+            len(branches) == 2
+            and branches[0][0] == "null"
+            and branches[1][0] != "null"
+        ):
+            sub1 = branches[1][1]
+
+            def enc_opt(out, value):
+                if value is None:
+                    out.append(0)
+                else:
+                    out.append(2)  # zigzag(1)
+                    sub1(out, value)
+
+            return enc_opt
+
+        def enc_union(out, value):
+            for i, (b, sub) in enumerate(branches):
+                if (b == "null") == (value is None):
+                    _append_varint(out, i)
+                    if sub is not None:
+                        sub(out, value)
+                    return
+            raise ValueError(f"value {value!r} fits no branch of union")
+
+        return enc_union
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "null":
+        return lambda out, value: None
+    if t == "boolean":
+        return lambda out, value: out.append(1 if value else 0)
+    if t in ("int", "long"):
+
+        def enc_long(out, value):
+            n = value if type(value) is int else int(value)
+            z = (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+            while z > 0x7F:
+                out.append((z & 0x7F) | 0x80)
+                z >>= 7
+            out.append(z)
+
+        return enc_long
+    if t == "float":
+        pack_f = struct.Struct("<f").pack
+        return lambda out, value: out.extend(pack_f(float(value)))
+    if t == "double":
+        pack_d = struct.Struct("<d").pack
+        return lambda out, value: out.extend(pack_d(float(value)))
+    if t == "bytes":
+
+        def enc_bytes(out, value):
+            _append_varint(out, len(value))
+            out.extend(value)
+
+        return enc_bytes
+    if t == "string":
+
+        def enc_str(out, value):
+            b = value.encode("utf-8")
+            _append_varint(out, len(b))
+            out.extend(b)
+
+        return enc_str
+    if t == "fixed":
+        size = schema["size"]
+
+        def enc_fixed(out, value):
+            if len(value) != size:
+                raise ValueError(f"fixed size mismatch: {len(value)} != {size}")
+            out.extend(value)
+
+        return enc_fixed
+    if t == "record":
+        fields = [
+            (
+                f["name"],
+                compile_writer(f["type"]),
+                "default" in f,
+                f.get("default"),
+            )
+            for f in schema["fields"]
+        ]
+
+        def enc_record(out, value):
+            for name, sub, has_default, default in fields:
+                if name in value:
+                    sub(out, value[name])
+                elif has_default:
+                    sub(out, default)
+                else:
+                    raise ValueError(f"record missing field {name!r}")
+
+        return enc_record
+    if t == "array":
+        item = compile_writer(schema["items"])
+
+        def enc_array(out, value):
+            if value:
+                _append_varint(out, len(value))
+                for x in value:
+                    item(out, x)
+            out.append(0)
+
+        return enc_array
+    if t == "map":
+        val = compile_writer(schema["values"])
+
+        def enc_map(out, value):
+            if value:
+                _append_varint(out, len(value))
+                for k, v in value.items():
+                    b = k.encode("utf-8")
+                    _append_varint(out, len(b))
+                    out.extend(b)
+                    val(out, v)
+            out.append(0)
+
+        return enc_map
+    raise ValueError(f"unsupported Avro type: {t!r}")
+
+
 # ---- object container files ------------------------------------------------
 
 def write_container(
@@ -209,10 +348,11 @@ def write_container(
     write_long(header, 0)
     header.write(sync)
 
-    body = io.BytesIO()
+    body = bytearray()
+    enc = compile_writer(schema)
     for rec in records:
-        write_datum(body, schema, rec)
-    payload = body.getvalue()
+        enc(body, rec)
+    payload = bytes(body)
     if codec == "deflate":
         payload = zlib.compress(payload)[2:-4]  # raw deflate: strip zlib wrapper
     elif codec != "null":

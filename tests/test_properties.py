@@ -350,3 +350,21 @@ def test_avro_zigzag_long_round_trip(v):
     avro.write_long(buf, v)
     buf.seek(0)
     assert avro.read_long(buf) == v
+
+
+@given(st.lists(avro_records, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_avro_compiled_writer_matches_interpreter(records):
+    """compile_writer must produce byte-identical encodings to write_datum."""
+    import io
+
+    from delta_rs_spark.uniform import avro
+
+    interp = io.BytesIO()
+    for r in records:
+        avro.write_datum(interp, AVRO_RECORD_SCHEMA, r)
+    compiled = bytearray()
+    enc = avro.compile_writer(AVRO_RECORD_SCHEMA)
+    for r in records:
+        enc(compiled, r)
+    assert bytes(compiled) == interp.getvalue()
