@@ -242,14 +242,22 @@ def _update(spark: SparkSession, s: str) -> DataFrame:
 
 
 def _convert(spark: SparkSession, s: str) -> DataFrame:
-    m = _require(r"CONVERT\s+TO\s+DELTA\s+parquet\.`([^`]+)`$", s, "CONVERT TO DELTA")
-    from .writer import convert_to_delta
+    m = _require(
+        r"CONVERT\s+TO\s+DELTA\s+(parquet|iceberg)\.`([^`]+)`$", s, "CONVERT TO DELTA"
+    )
+    if m.group(1).lower() == "iceberg":
+        from .uniform import convert_iceberg_to_delta
 
-    t = convert_to_delta(spark, m.group(1))
+        t = convert_iceberg_to_delta(spark, m.group(2))
+    else:
+        from .writer import convert_to_delta
+
+        t = convert_to_delta(spark, m.group(2))
     return _one_row(
         spark,
         {
-            "table": m.group(1),
+            "table": m.group(2),
+            "sourceFormat": m.group(1).lower(),
             "numConvertedFiles": len(t.add_actions()),
             "partitionColumns": t.metadata().partition_columns,
         },

@@ -7,6 +7,18 @@ files without copying them. Parity-plus surface — the reference engine
 (delta-io/delta.rs v0) predates UniForm entirely.
 """
 
-from .iceberg import IcebergConversionError, convert_snapshot, read_file_list
+from .iceberg import (
+    IcebergConversionError,
+    convert_iceberg_to_delta,
+    convert_snapshot,
+    expire_snapshots,
+    read_file_list,
+)
 
-__all__ = ["convert_snapshot", "read_file_list", "IcebergConversionError"]
+__all__ = [
+    "convert_snapshot",
+    "convert_iceberg_to_delta",
+    "expire_snapshots",
+    "read_file_list",
+    "IcebergConversionError",
+]

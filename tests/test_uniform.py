@@ -431,6 +431,66 @@ def test_widening_uniform_lifecycle_matches_duckdb(spark, sf_dir):
     assert res.ok, res.detail
 
 
+def test_convert_iceberg_to_delta_round_trip(spark, tmp_path, events):
+    """Delta -> UniForm Iceberg -> (drop the Delta log) -> CONVERT TO DELTA:
+    rows, partition values, and per-file stats survive the round trip with
+    zero data movement — everything reconstructed from the Iceberg tree."""
+    import shutil
+
+    from delta_rs_spark.uniform import convert_iceberg_to_delta
+
+    uri = str(tmp_path / "t")
+    df = events.withColumn("bucket", F.col("r_regionkey") % 2)
+    write_deltalake(spark, df, uri, partition_by=["bucket"])
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    expected = sorted(
+        (r["r_regionkey"], r["bucket"]) for r in t.to_df(spark).collect()
+    )
+    shutil.rmtree(os.path.join(uri, "_delta_log"))
+
+    t2 = convert_iceberg_to_delta(spark, uri)
+    assert t2.version == 0
+    assert t2.metadata().partition_columns == ["bucket"]
+    got = sorted((r["r_regionkey"], r["bucket"]) for r in t2.to_df(spark).collect())
+    assert got == expected
+    # stats survived: metadata-only count + min/max, and file skipping works
+    assert t2.count_rows() == len(expected)
+    lo, hi = t2.column_min_max("r_regionkey")
+    assert (lo, hi) == (min(x for x, _ in expected), max(x for x, _ in expected))
+    assert t2.history()[0]["operationParameters"]["sourceFormat"] == "iceberg"
+    # partition pruning through the reconstructed partitionValues
+    assert (
+        t2.to_df(spark, partition_filters=[("bucket", "=", "0")]).count()
+        == sum(1 for _, b in expected if b == 0)
+    )
+
+
+def test_convert_iceberg_via_sql(spark, tmp_path, events):
+    import shutil
+
+    from delta_rs_spark.sql import sql as dsql
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events, uri)
+    DeltaTable(uri).enable_uniform()
+    shutil.rmtree(os.path.join(uri, "_delta_log"))
+    res = dsql(spark, f"CONVERT TO DELTA iceberg.`{uri}`").collect()[0]
+    assert res["sourceFormat"] == "iceberg"
+    assert DeltaTable(uri).to_df(spark).count() == 5
+
+
+def test_convert_iceberg_refuses_existing_delta(spark, tmp_path, events):
+    from delta_rs_spark.uniform import convert_iceberg_to_delta
+    from delta_rs_spark.writer import TableAlreadyExistsError
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events, uri)
+    DeltaTable(uri).enable_uniform()
+    with pytest.raises(TableAlreadyExistsError):
+        convert_iceberg_to_delta(spark, uri)
+
+
 def test_uniform_survives_conversion_gap(spark, tmp_path, events):
     """Deleting version-hint (simulated partial/corrupt tree) -> next commit
     rebuilds a fresh full conversion rather than failing the Delta write."""
