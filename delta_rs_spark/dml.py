@@ -337,6 +337,10 @@ def _stage_and_swap(
         if stats_cols is not None:
             stats_cols = {phys.get(c, c) for c in stats_cols}
 
+    if table._uniform_enabled() and not cm.is_mapped(cfg):
+        from .uniform.iceberg import attach_parquet_field_ids
+
+        stage_rows = attach_parquet_field_ids(stage_rows, schema)
     staging_dir = log.data_plane.stage_dir("commit")
     writer = stage_rows.write.mode("overwrite")
     if stage_pcols:

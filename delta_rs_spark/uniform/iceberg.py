@@ -1269,3 +1269,25 @@ def convert_iceberg_to_delta(
     log.try_commit(tmp, 0)
     _ = _os  # (kept for symmetry with the parquet converter)
     return DeltaTable(table_root)
+
+
+def attach_parquet_field_ids(df, table_schema: T.StructType):
+    """Stamp ``parquet.field.id`` metadata (the Iceberg schema's ids) onto
+    the outgoing DataFrame's top-level columns — Spark's parquet writer
+    turns these into real ``PARQUET:field_id`` footer entries, so files
+    written after UniForm enablement are id-resolvable by Iceberg readers
+    without the name mapping (which still covers pre-enablement files and
+    nested fields). No-op for columns the frame doesn't carry."""
+    from pyspark.sql import functions as F
+
+    sj, _ = iceberg_schema(table_schema)
+    ids = {f["name"]: f["id"] for f in sj["fields"]}
+    field_meta = {f.name: dict(f.metadata or {}) for f in df.schema.fields}
+    cols = []
+    for c in df.columns:
+        if c in ids:
+            meta = {**field_meta.get(c, {}), "parquet.field.id": ids[c]}
+            cols.append(F.col(c).alias(c, metadata=meta))
+        else:
+            cols.append(F.col(c))
+    return df.select(*cols)

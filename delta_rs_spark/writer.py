@@ -405,6 +405,16 @@ def write_deltalake(
         == "true"
     ):
         stage_df = stage_df.repartition(*stage_partition_by)
+    if (
+        exists
+        and table._uniform_enabled()
+        and not cm.is_mapped(table.metadata().configuration)
+    ):
+        # UniForm: stamp Iceberg field ids into the parquet footers so the
+        # files are id-resolvable without the name mapping
+        from .uniform.iceberg import attach_parquet_field_ids
+
+        stage_df = attach_parquet_field_ids(stage_df, table.schema())
     staging_dir = log.data_plane.stage_dir("commit")
     writer = stage_df.write.mode("overwrite")
     if stage_partition_by:

@@ -431,6 +431,32 @@ def test_widening_uniform_lifecycle_matches_duckdb(spark, sf_dir):
     assert res.ok, res.detail
 
 
+def test_post_enable_writes_carry_parquet_field_ids(spark, tmp_path, events):
+    """Files written after UniForm enablement embed PARQUET:field_id
+    matching the Iceberg schema ids (id-resolvable without name mapping);
+    DML rewrites carry them too."""
+    import pyarrow.parquet as pq
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events, uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    write_deltalake(spark, events.limit(2), uri, mode="append")
+    t.update()
+    t.delete(spark, "r_regionkey = 1")  # copy-on-write rewrite
+    t.update()
+    sj, _ = ub.iceberg_schema(t.schema())
+    expect = {f["name"]: str(f["id"]).encode() for f in sj["fields"]}
+    newest = max(
+        (a for a in t.add_actions()),
+        key=lambda a: a.modification_time or 0,
+    )
+    s = pq.read_schema(os.path.join(uri, newest.path))
+    for name in s.names:
+        md = dict(s.field(name).metadata or {})
+        assert md.get(b"PARQUET:field_id") == expect[name], name
+
+
 def test_convert_iceberg_to_delta_round_trip(spark, tmp_path, events):
     """Delta -> UniForm Iceberg -> (drop the Delta log) -> CONVERT TO DELTA:
     rows, partition values, and per-file stats survive the round trip with
