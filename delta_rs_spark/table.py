@@ -1124,13 +1124,6 @@ class DeltaTable:
             raise ValueError("only the iceberg universal format is supported")
         from .uniform import iceberg as ub
 
-        cfg = self.metadata().configuration or {}
-        if str(cfg.get("delta.enableDeletionVectors", "")).lower() == "true":
-            raise ub.IcebergConversionError(
-                "UniForm cannot be enabled on a deletion-vector table: "
-                "Iceberg metadata cannot represent Delta DVs (disable "
-                "delta.enableDeletionVectors and optimize() first)"
-            )
         v = self.set_properties({ub.ENABLE_KEY: "iceberg"})
         ub.convert_snapshot(self)
         return v

@@ -12,6 +12,7 @@ from .iceberg import (
     convert_iceberg_to_delta,
     convert_snapshot,
     expire_snapshots,
+    read_delete_files,
     read_file_list,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "convert_iceberg_to_delta",
     "expire_snapshots",
     "read_file_list",
+    "read_delete_files",
     "IcebergConversionError",
 ]

@@ -450,6 +450,126 @@ def partition_summaries(
 # statuses in manifest entries
 ADDED, EXISTING, DELETED = 1, 0, 2
 
+# reserved field ids of the position-delete file columns (Iceberg spec)
+DELETE_FILE_PATH_FID = 2147483546
+DELETE_POS_FID = 2147483545
+
+
+def _write_position_delete_file(
+    tree: _Tree, data_path_abs: str, positions: list[int]
+) -> tuple[str, int, int]:
+    """Iceberg v2 position-delete parquet: (file_path, pos) rows sorted by
+    position, columns carrying the spec's reserved field ids. Stored under
+    metadata/deletes/ (vacuum-protected with the rest of the tree).
+    Returns (path, row_count, size_bytes)."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    positions = sorted(positions)
+    schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": str(DELETE_FILE_PATH_FID).encode()},
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": str(DELETE_POS_FID).encode()},
+            ),
+        ]
+    )
+    t = pa.table(
+        {"file_path": [data_path_abs] * len(positions), "pos": positions},
+        schema=schema,
+    )
+    buf = _io.BytesIO()
+    pq.write_table(t, buf)
+    data = buf.getvalue()
+    path = tree.put(f"deletes/{_uuid.uuid4()}-deletes.parquet", data)
+    return path, len(positions), len(data)
+
+
+def _position_delete_entry(
+    tree: _Tree, add, positions: list[int],
+    schema: T.StructType, partition_columns: list[str],
+    snapshot_id: int, phys: Optional[dict[str, str]] = None,
+) -> dict:
+    """Manifest entry (content=1) for the DV of one data file. The
+    referenced data path rides the file_path column's lower/upper bounds,
+    so readers prune delete files per data file and the conversion can drop
+    stale delete entries when the data file is removed or its DV swapped."""
+    phys = phys or {}
+    data_abs = (
+        add.path
+        if "://" in add.path or add.path.startswith("/")
+        else tree.backend.join(tree.root, add.path)
+    )
+    dpath, n, size = _write_position_delete_file(tree, data_abs, positions)
+    partition = {
+        c: _partition_value(
+            (add.partition_values or {}).get(phys.get(c, c)),
+            schema[c].dataType,
+        )
+        for c in partition_columns
+    }
+    path_bytes = data_abs.encode("utf-8")
+    return {
+        "status": ADDED,
+        "snapshot_id": snapshot_id,
+        "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {
+            "content": 1,  # position deletes
+            "file_path": dpath,
+            "file_format": "PARQUET",
+            "partition": partition,
+            "record_count": n,
+            "file_size_in_bytes": size,
+            "value_counts": None,
+            "null_value_counts": None,
+            "lower_bounds": [{"key": DELETE_FILE_PATH_FID, "value": path_bytes}],
+            "upper_bounds": [{"key": DELETE_FILE_PATH_FID, "value": path_bytes}],
+        },
+    }
+
+
+def _delete_entries_for_adds(
+    tree: _Tree, table, adds, schema: T.StructType,
+    partition_columns: list[str], snapshot_id: int,
+    phys: Optional[dict[str, str]] = None,
+) -> list[dict]:
+    """Position-delete entries for every DV-carrying add (bounded by DV
+    cardinality — the same rows a Delta reader anti-joins)."""
+    from ..protocol.dv import add_positions
+
+    out = []
+    for a in adds:
+        if getattr(a, "deletion_vector", None):
+            positions = add_positions(table.snapshot.log, a)
+            if positions:
+                out.append(
+                    _position_delete_entry(
+                        tree, a, positions, schema, partition_columns,
+                        snapshot_id, phys,
+                    )
+                )
+    return out
+
+
+def _delete_entry_target(entry: dict) -> Optional[str]:
+    """The data-file path a position-delete entry references (from the
+    file_path column bound)."""
+    for kv in entry["data_file"].get("lower_bounds") or []:
+        if kv["key"] == DELETE_FILE_PATH_FID:
+            return bytes(kv["value"]).decode("utf-8")
+    return None
+
 
 # ---- conversion state ------------------------------------------------------
 
@@ -466,8 +586,11 @@ class _Tree:
         return self.backend.join(self.dir, name)
 
     def put(self, name: str, data: bytes) -> str:
-        self.backend.makedirs(self.dir)
         p = self.path(name)
+        if "/" in name:
+            self.backend.makedirs(p.rsplit("/", 1)[0])
+        else:
+            self.backend.makedirs(self.dir)
         self.backend.put_obj(p, data)
         return p
 
@@ -537,15 +660,6 @@ def _entry_for_add(
     field_ids: dict[str, int], snapshot_id: int, tree: _Tree,
     phys: Optional[dict[str, str]] = None,
 ) -> dict:
-    if getattr(add, "deletion_vector", None):
-        # an Iceberg reader would see the deleted rows resurrected; refuse
-        # (real UniForm gates DV tables the same way — IcebergCompatV2
-        # requires materializing deletes)
-        raise IcebergConversionError(
-            f"file {add.path} carries a deletion vector; Iceberg metadata "
-            "cannot represent Delta DVs — run optimize() to materialize "
-            "deletes, or disable delta.enableDeletionVectors"
-        )
     stats = add.get_stats() or {}
     mins = stats.get("minValues") or {}
     maxs = stats.get("maxValues") or {}
@@ -606,6 +720,7 @@ def _top_level_field_ids(schema_json: dict) -> dict[str, int]:
 def _write_manifest(
     tree: _Tree, entries: list[dict], entry_schema: dict,
     schema_json: dict, spec_fields: list[dict],
+    content: str = "data",
 ) -> tuple[str, int]:
     name = f"{_uuid.uuid4()}-m0.avro"
     meta = {
@@ -613,7 +728,7 @@ def _write_manifest(
         "partition-spec": json.dumps(spec_fields),
         "partition-spec-id": "0",
         "format-version": "2",
-        "content": "data",
+        "content": content,
     }
     data = _avro.write_container(entry_schema, entries, metadata=meta)
     path = tree.put(name, data)
@@ -637,12 +752,13 @@ def _manifest_list_entry(
     added: int, existing: int, deleted: int,
     added_rows: int, existing_rows: int, deleted_rows: int,
     partitions: Optional[list[dict]] = None,
+    content: int = 0,
 ) -> dict:
     return {
         "manifest_path": path,
         "manifest_length": length,
         "partition_spec_id": 0,
-        "content": 0,
+        "content": content,
         "sequence_number": seq,
         "min_sequence_number": min_seq,
         "added_snapshot_id": snapshot_id,
@@ -686,14 +802,16 @@ def convert_snapshot(table) -> str:
     now_ms = int(table.snapshot.log.commit_timestamp_ms(target))
 
     if current is None:
-        # first conversion: one manifest with every live file
+        # first conversion: one manifest with every live file (+ one delete
+        # manifest holding the position deletes of any DV'd files)
         snapshot_id = target
         seq = 1
+        adds0 = table.add_actions()
         entries = [
             _entry_for_add(
                 a, schema, partition_columns, field_ids, snapshot_id, tree, phys
             )
-            for a in table.add_actions()
+            for a in adds0
         ]
         mpath, mlen = _write_manifest(tree, entries, entry_schema, schema_json, spec)
         rows = sum(e["data_file"]["record_count"] for e in entries)
@@ -704,6 +822,22 @@ def convert_snapshot(table) -> str:
                 partitions=partition_summaries(entries, partition_columns, schema),
             )
         ]
+        dv_entries = _delete_entries_for_adds(
+            tree, table, adds0, schema, partition_columns, snapshot_id, phys
+        )
+        if dv_entries:
+            dpath, dlen = _write_manifest(
+                tree, dv_entries, entry_schema, schema_json, spec,
+                content="deletes",
+            )
+            manifests.append(
+                _manifest_list_entry(
+                    dpath, dlen, seq, seq, snapshot_id,
+                    len(dv_entries), 0, 0,
+                    sum(e["data_file"]["record_count"] for e in dv_entries),
+                    0, 0, content=1,
+                )
+            )
         snapshots: list[dict] = []
         snapshot_log: list[dict] = []
         metadata_log: list[dict] = []
@@ -785,6 +919,26 @@ def convert_snapshot(table) -> str:
                         ),
                     )
                 ]
+                dv_entries = _delete_entries_for_adds(
+                    tree, table, adds, schema, partition_columns,
+                    snapshot_id, phys,
+                )
+                if dv_entries:
+                    dpath, dlen = _write_manifest(
+                        tree, dv_entries, entry_schema, schema_json, spec,
+                        content="deletes",
+                    )
+                    manifests = manifests + [
+                        _manifest_list_entry(
+                            dpath, dlen, last_seq, last_seq, snapshot_id,
+                            len(dv_entries), 0, 0,
+                            sum(
+                                e["data_file"]["record_count"]
+                                for e in dv_entries
+                            ),
+                            0, 0, content=1,
+                        )
+                    ]
             op = (
                 "append" if adds and not removes
                 else "delete" if removes and not adds
@@ -883,15 +1037,25 @@ def _rewrite_for_removes(
     schema: Optional[T.StructType] = None,
     partition_columns: Optional[list[str]] = None,
 ) -> list[dict]:
-    """Drop removed paths, touching only the manifests that contain them."""
+    """Drop removed paths, touching only the manifests that contain them.
+    In data manifests the match is on the entry's own file path; in delete
+    manifests (content=1 entries) it is on the REFERENCED data path — a
+    removed or DV-swapped data file takes its stale position deletes with
+    it."""
+
+    def _matches(e: dict) -> bool:
+        if e["data_file"].get("content") == 1:
+            return _delete_entry_target(e) in removed_abs
+        return e["data_file"]["file_path"] in removed_abs
+
     out = []
     for m in manifests:
         _, _, entries = _avro.read_container(tree.get(m["manifest_path"]))
-        hit = [e for e in entries if e["data_file"]["file_path"] in removed_abs]
+        hit = [e for e in entries if _matches(e)]
         if not hit:
             out.append(m)
             continue
-        keep = [e for e in entries if e["data_file"]["file_path"] not in removed_abs]
+        keep = [e for e in entries if not _matches(e)]
         if not keep:
             continue  # whole manifest gone
         for e in keep:
@@ -900,8 +1064,10 @@ def _rewrite_for_removes(
             e["status"] = EXISTING
             if e["sequence_number"] is None:
                 e["sequence_number"] = m["sequence_number"]
+        m_content = int(m.get("content") or 0)
         mpath, mlen = _write_manifest(
-            tree, keep, entry_schema, schema_json, spec_fields
+            tree, keep, entry_schema, schema_json, spec_fields,
+            content="deletes" if m_content == 1 else "data",
         )
         rows = sum(e["data_file"]["record_count"] for e in keep)
         out.append(
@@ -915,6 +1081,7 @@ def _rewrite_for_removes(
                     if schema is not None and partition_columns
                     else None
                 ),
+                content=m_content,
             )
         )
     return out
@@ -944,9 +1111,11 @@ def read_file_list(table_root: str, backend=None) -> list[dict]:
     _, _, manifests = _avro.read_container(backend.get_obj(snap["manifest-list"]))
     files = []
     for m in manifests:
+        if int(m.get("content") or 0) != 0:
+            continue  # delete manifests are surfaced by read_delete_files
         _, _, entries = _avro.read_container(backend.get_obj(m["manifest_path"]))
         for e in entries:
-            if e["status"] == DELETED:
+            if e["status"] == DELETED or e["data_file"].get("content") == 1:
                 continue
             files.append(
                 {
@@ -956,6 +1125,43 @@ def read_file_list(table_root: str, backend=None) -> list[dict]:
                 }
             )
     return files
+
+
+def read_delete_files(table_root: str, backend=None) -> list[dict]:
+    """The current snapshot's position-delete files, the way a foreign
+    reader resolves them: [{path, record_count, target}] where ``target``
+    is the referenced data file (from the file_path column bounds)."""
+    from ..protocol.storage import parse_table_uri
+
+    if backend is None:
+        table_root, backend = parse_table_uri(table_root)
+    mdir = backend.join(table_root, "metadata")
+    hint = int(backend.get_obj(backend.join(mdir, "version-hint.text")).decode())
+    metadata = json.loads(
+        backend.get_obj(backend.join(mdir, f"v{hint}.metadata.json"))
+    )
+    snap = next(
+        s
+        for s in metadata["snapshots"]
+        if s["snapshot-id"] == metadata["current-snapshot-id"]
+    )
+    _, _, manifests = _avro.read_container(backend.get_obj(snap["manifest-list"]))
+    out = []
+    for m in manifests:
+        if int(m.get("content") or 0) != 1:
+            continue
+        _, _, entries = _avro.read_container(backend.get_obj(m["manifest_path"]))
+        for e in entries:
+            if e["status"] == DELETED:
+                continue
+            out.append(
+                {
+                    "path": e["data_file"]["file_path"],
+                    "record_count": e["data_file"]["record_count"],
+                    "target": _delete_entry_target(e),
+                }
+            )
+    return out
 
 
 def expire_snapshots(table, keep_last: int = 1) -> list[str]:
@@ -974,9 +1180,16 @@ def expire_snapshots(table, keep_last: int = 1) -> list[str]:
         return []
     keep, expired = snaps[-keep_last:], snaps[:-keep_last]
     referenced: set[str] = set()
+    kept_delete_files: set[str] = set()
     for s in keep:
         for m in _read_manifest_list(tree, s["manifest-list"]):
             referenced.add(m["manifest_path"])
+            if int(m.get("content") or 0) == 1:
+                try:
+                    _, _, es = _avro.read_container(tree.get(m["manifest_path"]))
+                    kept_delete_files.update(e["data_file"]["file_path"] for e in es)
+                except Exception:
+                    pass
     deleted: list[str] = []
     for s in expired:
         try:
@@ -986,6 +1199,20 @@ def expire_snapshots(table, keep_last: int = 1) -> list[str]:
         for m in manifests:
             p = m["manifest_path"]
             if p not in referenced:
+                if int(m.get("content") or 0) == 1:
+                    # reap position-delete parquets only this manifest used
+                    try:
+                        _, _, es = _avro.read_container(tree.get(p))
+                        for e in es:
+                            dp = e["data_file"]["file_path"]
+                            if dp not in kept_delete_files:
+                                try:
+                                    tree.backend.delete_obj(dp)
+                                    deleted.append(dp)
+                                except Exception:
+                                    pass
+                    except Exception:
+                        pass
                 try:
                     tree.backend.delete_obj(p)
                     deleted.append(p)
@@ -1179,11 +1406,42 @@ def convert_iceberg_to_delta(
     )
     _, _, manifests = _avro.read_container(backend.get_obj(snap["manifest-list"]))
     now_ms = int(_time.time() * 1000)
+
+    # position-delete files -> Delta deletion vectors (the MoR state crosses
+    # formats both ways); equality deletes have no Delta equivalent
+    delete_positions: dict[str, list[int]] = {}
+    for m in manifests:
+        if int(m.get("content") or 0) != 1:
+            continue
+        _, _, dentries = _avro.read_container(backend.get_obj(m["manifest_path"]))
+        for e in dentries:
+            if e["status"] == DELETED:
+                continue
+            if e["data_file"].get("content") == 2:
+                raise IcebergConversionError(
+                    "equality-delete files have no Delta equivalent; "
+                    "rewrite the Iceberg table to position deletes first"
+                )
+            import io as _io2
+
+            import pyarrow.parquet as _pq2
+
+            dtab = _pq2.read_table(
+                _io2.BytesIO(backend.get_obj(e["data_file"]["file_path"]))
+            )
+            for fp, pos in zip(
+                dtab.column("file_path").to_pylist(),
+                dtab.column("pos").to_pylist(),
+            ):
+                delete_positions.setdefault(fp, []).append(pos)
+
     adds = []
     for m in manifests:
+        if int(m.get("content") or 0) != 0:
+            continue
         _, _, entries = _avro.read_container(backend.get_obj(m["manifest_path"]))
         for e in entries:
-            if e["status"] == DELETED:
+            if e["status"] == DELETED or e["data_file"].get("content") == 1:
                 continue
             dfile = e["data_file"]
             fpath = dfile["file_path"]
@@ -1233,6 +1491,27 @@ def convert_iceberg_to_delta(
     if not adds:
         raise IcebergConversionError("the Iceberg snapshot references no data files")
 
+    has_dvs = False
+    if delete_positions:
+        import dataclasses as _dcv
+
+        from ..protocol.dv import build_descriptors
+
+        by_add_path: dict[str, list[int]] = {}
+        prefix = root.rstrip("/") + "/"
+        for fp, positions in delete_positions.items():
+            rel = fp[len(prefix):] if fp.startswith(prefix) else fp
+            by_add_path[rel] = sorted(set(positions))
+        descriptors, shared = build_descriptors(by_add_path)
+        if shared is not None:
+            rel_name, body = shared
+            backend.put_obj(backend.join(root, rel_name), body)
+        for i, a in enumerate(adds):
+            d = descriptors.get(a.path)
+            if d is not None:
+                has_dvs = True
+                adds[i] = _dcv.replace(a, deletion_vector=d)
+
     import uuid as _u2
 
     meta = MetaDataAction(
@@ -1259,12 +1538,18 @@ def convert_iceberg_to_delta(
             },
         }
     )
-    proto = ProtocolAction(1, 2)
-    has_ntz = any(isinstance(f.dataType, T.TimestampNTZType) for f in schema.fields)
-    if has_ntz:
-        proto = ProtocolAction(
-            3, 7, reader_features=["timestampNtz"], writer_features=["timestampNtz"]
+    features = []
+    if any(isinstance(f.dataType, T.TimestampNTZType) for f in schema.fields):
+        features.append("timestampNtz")
+    if has_dvs:
+        features.append("deletionVectors")
+    proto = (
+        ProtocolAction(
+            3, 7, reader_features=sorted(features), writer_features=sorted(features)
         )
+        if features
+        else ProtocolAction(1, 2)
+    )
     tmp = log.write_tmp_commit([info, proto, meta, *adds], _u2.uuid4().hex)
     log.try_commit(tmp, 0)
     _ = _os  # (kept for symmetry with the parquet converter)

@@ -457,6 +457,87 @@ def test_post_enable_writes_carry_parquet_field_ids(spark, tmp_path, events):
         assert md.get(b"PARQUET:field_id") == expect[name], name
 
 
+def _dv_table(spark, tmp_path, events):
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        events.coalesce(1),
+        uri,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    return uri, DeltaTable(uri)
+
+
+def test_dv_delete_emits_iceberg_position_deletes(spark, tmp_path, events):
+    """A merge-on-read DELETE (deletion-vector commit) mirrors into an
+    Iceberg v2 position-delete file: content=1 manifest, reserved field-ids
+    in the parquet, referenced-path bounds, and logical row counts agree."""
+    import pyarrow.parquet as pq
+    from delta_rs_spark.uniform import read_delete_files
+
+    uri, t = _dv_table(spark, tmp_path, events)
+    t.enable_uniform()
+    t.delete(spark, "r_regionkey IN (1, 3)")  # MoR: DV commit, no rewrite
+    t.update()
+    assert any(a.deletion_vector for a in t.add_actions())  # really MoR
+
+    dels = read_delete_files(uri)
+    assert len(dels) == 1
+    [d] = dels
+    assert d["record_count"] == 2
+    assert d["target"].endswith(".parquet")
+    # the delete parquet itself: reserved field ids + sorted positions
+    s = pq.read_schema(d["path"])
+    assert dict(s.field("file_path").metadata)[b"PARQUET:field_id"] == b"2147483546"
+    assert dict(s.field("pos").metadata)[b"PARQUET:field_id"] == b"2147483545"
+    tab = pq.read_table(d["path"])
+    poss = tab.column("pos").to_pylist()
+    assert poss == sorted(poss) and len(poss) == 2
+    assert set(tab.column("file_path").to_pylist()) == {d["target"]}
+    # logical census through the Iceberg tree == Delta's answer
+    data_rows = sum(f["record_count"] for f in t.iceberg_files())
+    assert data_rows - d["record_count"] == t.to_df(spark).count() == 3
+
+
+def test_dv_swap_purges_stale_position_deletes(spark, tmp_path, events):
+    """A second MoR delete swaps the file's DV: the old delete entry must
+    vanish and the new one carry the union of positions."""
+    from delta_rs_spark.uniform import read_delete_files
+
+    uri, t = _dv_table(spark, tmp_path, events)
+    t.enable_uniform()
+    t.delete(spark, "r_regionkey = 1")
+    t = DeltaTable(uri)
+    t.delete(spark, "r_regionkey = 3")
+    t.update()
+    dels = read_delete_files(uri)
+    assert len(dels) == 1  # stale entry for the old DV is gone
+    assert dels[0]["record_count"] == 2  # merged bitmap: both deletes
+    data_rows = sum(f["record_count"] for f in t.iceberg_files())
+    assert data_rows - 2 == t.to_df(spark).count() == 3
+
+
+def test_convert_iceberg_with_deletes_to_delta(spark, tmp_path, events):
+    """Iceberg position deletes convert back into Delta deletion vectors:
+    the round trip preserves LOGICAL rows (deleted rows stay deleted)."""
+    import shutil
+
+    from delta_rs_spark.uniform import convert_iceberg_to_delta
+
+    uri, t = _dv_table(spark, tmp_path, events)
+    t.enable_uniform()
+    t.delete(spark, "r_regionkey IN (0, 2)")
+    t.update()
+    expected = sorted(r["r_regionkey"] for r in t.to_df(spark).collect())
+    shutil.rmtree(os.path.join(uri, "_delta_log"))
+
+    t2 = convert_iceberg_to_delta(spark, uri)
+    assert any(a.deletion_vector for a in t2.add_actions())
+    assert "deletionVectors" in (t2.snapshot.state.reader_features or [])
+    got = sorted(r["r_regionkey"] for r in t2.to_df(spark).collect())
+    assert got == expected
+
+
 def test_convert_iceberg_to_delta_round_trip(spark, tmp_path, events):
     """Delta -> UniForm Iceberg -> (drop the Delta log) -> CONVERT TO DELTA:
     rows, partition values, and per-file stats survive the round trip with
