@@ -117,7 +117,17 @@ def _iceberg_type(dt: T.DataType, ids: _IdGen) -> Any:
 
 
 def _iceberg_field(f: T.StructField, ids: _IdGen) -> dict:
-    fid = ids.next()
+    # column-mapped tables carry a table-unique, never-reused id per field
+    # (delta.columnMapping.id) — reuse it so Iceberg field ids stay STABLE
+    # across renames/drops (a positional id would silently re-point at a
+    # different column after a drop). Un-mapped tables (no drops/renames
+    # possible) use the positional walk.
+    from ..protocol.column_mapping import ID_META
+
+    mapped = (f.metadata or {}).get(ID_META)
+    fid = int(mapped) if mapped is not None else ids.next()
+    if mapped is not None:
+        ids.last = max(ids.last, fid)
     return {
         "id": fid,
         "name": f.name,
@@ -127,10 +137,25 @@ def _iceberg_field(f: T.StructField, ids: _IdGen) -> dict:
 
 
 def iceberg_schema(schema: T.StructType, schema_id: int = 0) -> tuple[dict, int]:
-    """Iceberg schema JSON for a Spark schema. Field ids are assigned by
-    pre-order walk (the same order every sync, so ids are stable for an
-    unchanged schema). Returns (schema dict, last-column-id)."""
-    ids = _IdGen()
+    """Iceberg schema JSON for a Spark schema. Field ids come from the
+    column-mapping ids when present (stable across rename/drop), else a
+    pre-order walk (stable for an unchanged schema). Returns
+    (schema dict, last-column-id)."""
+    from ..protocol.column_mapping import ID_META
+
+    def _max_mapped(struct: T.StructType) -> int:
+        m = 0
+        for f in struct.fields:
+            v = (f.metadata or {}).get(ID_META)
+            if v is not None:
+                m = max(m, int(v))
+            if isinstance(f.dataType, T.StructType):
+                m = max(m, _max_mapped(f.dataType))
+        return m
+
+    # start generated ids (nested list/map element ids, unmapped fields)
+    # ABOVE every mapped id so the two ranges can never collide
+    ids = _IdGen(start=_max_mapped(schema))
     fields = [_iceberg_field(f, ids) for f in schema.fields]
     return (
         {"type": "struct", "schema-id": schema_id, "fields": fields},

@@ -414,6 +414,31 @@ def test_column_mapped_table_uses_physical_aliases(spark, tmp_path, events):
     assert any(e["data_file"]["lower_bounds"] for e in entries)
 
 
+def test_mapped_table_field_ids_stable_across_rename_and_drop(spark, tmp_path):
+    """On a column-mapped table the Iceberg field ids come from the
+    never-reused delta.columnMapping.id, so a rename keeps the id and a
+    drop does NOT shift later columns onto a dropped column's id (a
+    positional scheme would silently re-point readers at the wrong data)."""
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark, spark.createDataFrame([(1, "x", 2.5)], "a int, b string, c double"), uri
+    )
+    t = DeltaTable(uri)
+    t.set_column_mapping_mode("name")
+    t.enable_uniform()
+    sj0, _ = ub.iceberg_schema(t.schema())
+    ids0 = {f["name"]: f["id"] for f in sj0["fields"]}
+
+    t.rename_column("b", "b2")
+    t.drop_column("b2")
+    t.update()
+    sj1, _ = ub.iceberg_schema(t.schema())
+    ids1 = {f["name"]: f["id"] for f in sj1["fields"]}
+    assert ids1["a"] == ids0["a"]
+    assert ids1["c"] == ids0["c"]  # positional scheme would give c the old b id
+    assert ids0["b"] not in ids1.values()  # dropped id never reused
+
+
 def test_widening_uniform_lifecycle_matches_duckdb(spark, sf_dir):
     """The certified lifecycle query (widen -> append-beyond-int32 ->
     UniForm -> aggregate + Iceberg row fold) against its DuckDB oracle —
