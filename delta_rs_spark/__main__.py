@@ -83,6 +83,8 @@ def _cmd_iceberg(args: argparse.Namespace) -> int:
     from .protocol.storage import parse_table_uri
     from .uniform import read_file_list
 
+    from .uniform import read_delete_files
+
     root, backend = parse_table_uri(args.uri)
     mdir = backend.join(root, "metadata")
     try:
@@ -92,6 +94,7 @@ def _cmd_iceberg(args: argparse.Namespace) -> int:
         return 1
     md = json.loads(backend.get_obj(backend.join(mdir, f"v{hint}.metadata.json")))
     files = read_file_list(root, backend=backend)
+    deletes = read_delete_files(root, backend=backend)
     print(
         json.dumps(
             {
@@ -111,6 +114,8 @@ def _cmd_iceberg(args: argparse.Namespace) -> int:
                 ],
                 "liveFiles": len(files),
                 "liveRecords": sum(f["record_count"] for f in files),
+                "positionDeleteFiles": len(deletes),
+                "deletedRecords": sum(d["record_count"] for d in deletes),
             },
             indent=2,
         )

@@ -414,6 +414,44 @@ def test_column_mapped_table_uses_physical_aliases(spark, tmp_path, events):
     assert any(e["data_file"]["lower_bounds"] for e in entries)
 
 
+def test_streaming_sink_keeps_iceberg_in_sync(spark, tmp_path, events):
+    """foreachBatch sink commits flow through the same transaction path,
+    so the post-commit hook mirrors every micro-batch into Iceberg."""
+    from delta_rs_spark.streaming.sink import ExactlyOnceDeltaSink
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events.limit(2), uri)
+    DeltaTable(uri).enable_uniform()
+    sink = ExactlyOnceDeltaSink(uri, app_id="uniform-sync-test")
+    sink(events.limit(3), epoch_id=0)  # micro-batch append
+    t = DeltaTable(uri)
+    assert sum(f["record_count"] for f in t.iceberg_files()) == 5
+    md_hint = int(open(os.path.join(uri, "metadata", "version-hint.text")).read())
+    md = json.loads(
+        open(os.path.join(uri, "metadata", f"v{md_hint}.metadata.json")).read()
+    )
+    assert md["properties"]["delta-version"] == str(t.version)
+
+
+def test_concurrent_metadata_version_collision_bumps(spark, tmp_path, events):
+    """If a racing conversion grabbed v{N}.metadata.json first, the next
+    write lands on the next free number instead of overwriting."""
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events, uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    # simulate a racer occupying v2 before our next sync
+    blocker = os.path.join(uri, "metadata", "v2.metadata.json")
+    with open(blocker, "w") as f:
+        f.write("{}")
+    write_deltalake(spark, events.limit(1), uri, mode="append")
+    t.update()
+    hint = int(open(os.path.join(uri, "metadata", "version-hint.text")).read())
+    assert hint == 3  # bumped past the blocker
+    assert open(blocker).read() == "{}"  # the racer's file untouched
+    assert sum(f["record_count"] for f in t.iceberg_files()) == 6
+
+
 def test_mapped_table_field_ids_stable_across_rename_and_drop(spark, tmp_path):
     """On a column-mapped table the Iceberg field ids come from the
     never-reused delta.columnMapping.id, so a rename keeps the id and a
