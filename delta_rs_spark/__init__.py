@@ -30,6 +30,7 @@ from .transactions import (
     ProtocolChangedError,
     TransactionError,
 )
+from .uniform import convert_iceberg_to_delta
 from .writer import (
     SchemaMismatchError,
     TableAlreadyExistsError,
@@ -49,6 +50,7 @@ __all__ = [
     "TableAlreadyExistsError",
     "write_deltalake",
     "convert_to_delta",
+    "convert_iceberg_to_delta",
     "delete",
     "update",
     "merge",

@@ -314,40 +314,51 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_tok
       FROM documents
     ),
-    widened AS (
+    physical AS (
       SELECT doc_id, source, n_tok FROM base
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, source,
              n_tok + 5000000000 AS n_tok
       FROM base WHERE doc_id % 5 = 0
+    ),
+    live AS (
+      SELECT * FROM physical WHERE doc_id % 9 <> 3
     )
     SELECT source,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
            CAST(MAX(n_tok) AS BIGINT) AS max_tok,
-           CAST((SELECT COUNT(*) FROM widened) AS BIGINT) AS iceberg_rows
-    FROM widened
+           CAST((SELECT COUNT(*) FROM physical) AS BIGINT) AS iceberg_rows,
+           CAST((SELECT COUNT(*) FROM physical WHERE doc_id % 9 = 3)
+                AS BIGINT) AS iceberg_deleted_rows
+    FROM live
     GROUP BY source
     ORDER BY source
     """,
 )
 def q_widening_uniform_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Type widening + UniForm certified end to end: create with an INT
-    token-count column, ALTER COLUMN TYPE to BIGINT (metadata-only), append
-    values beyond int32 range — so the final scan reads narrow-typed AND
-    wide-typed parquet through one widened schema — then enable UniForm and
-    fold the Iceberg tree's record counts (decoded via the independent
-    manifest read-back path, not the Delta log) into the hashed result. The
-    oracle reconstructs everything from the source parquet, so a wrong
-    upcast, a lost row, or a diverging Iceberg manifest all hash-mismatch."""
+    """Type widening + UniForm + merge-on-read certified end to end: create
+    with an INT token-count column (deletion vectors on), ALTER COLUMN TYPE
+    to BIGINT (metadata-only), append values beyond int32 range — the final
+    scan reads narrow-typed AND wide-typed parquet through one widened
+    schema — then a MoR DELETE (DV commit, no rewrite), then enable UniForm
+    and fold BOTH Iceberg censuses into the hashed result: physical rows
+    from the data manifests and deleted rows from the position-delete
+    manifests (each decoded via the independent manifest read-back path,
+    not the Delta log). The oracle reconstructs everything from the source
+    parquet, so a wrong upcast, a lost row, a resurrected deleted row, or a
+    diverging Iceberg manifest all hash-mismatch."""
     from . import DeltaTable
+    from .uniform import read_delete_files
     from .writer import write_deltalake
 
     uri = _workdir("widen_uniform", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.length("text").cast("int").alias("n_tok")
     )
-    write_deltalake(spark, docs, uri)
+    write_deltalake(
+        spark, docs, uri, configuration={"delta.enableDeletionVectors": "true"}
+    )
 
     t = DeltaTable(uri)
     t.widen_column_type("n_tok", "bigint")  # metadata-only, typeChanges recorded
@@ -362,8 +373,11 @@ def q_widening_uniform_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     t = DeltaTable(uri)
-    t.enable_uniform()  # mirrors both commits into Iceberg metadata
+    t.delete(spark, "doc_id % 9 = 3")  # merge-on-read: DV commit
+    t = DeltaTable(uri)
+    t.enable_uniform()  # initial conversion incl. position-delete files
     iceberg_rows = sum(f["record_count"] for f in t.iceberg_files())
+    iceberg_deleted = sum(d["record_count"] for d in read_delete_files(uri))
 
     return (
         t.to_df(spark)
@@ -374,5 +388,6 @@ def q_widening_uniform_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tok").alias("max_tok"),
         )
         .withColumn("iceberg_rows", F.lit(iceberg_rows).cast("long"))
+        .withColumn("iceberg_deleted_rows", F.lit(iceberg_deleted).cast("long"))
         .orderBy("source")
     )
