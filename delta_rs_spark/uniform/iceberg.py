@@ -823,8 +823,39 @@ def convert_snapshot(table) -> str:
     spec = _spec_fields(partition_columns, field_ids)
 
     current = tree.current_metadata()
+    if current is not None and DELTA_VERSION_PROP not in (
+        current.get("properties") or {}
+    ):
+        # a foreign Iceberg tree (e.g. a table adopted via CONVERT TO
+        # DELTA): no sync watermark to walk from — rebuild from the Delta
+        # snapshot; put_metadata lands past the existing version files
+        current = None
     target = table.version
     now_ms = int(table.snapshot.log.commit_timestamp_ms(target))
+
+    # schema history: an unchanged schema keeps its id; a changed one gets
+    # the next id and appends to the list (old snapshots keep referencing
+    # the schema they were written with)
+    prev_schemas = list((current or {}).get("schemas", []))
+    prev_id = (current or {}).get("current-schema-id", 0)
+
+    def _no_id(s: dict) -> dict:
+        return {k: v for k, v in s.items() if k != "schema-id"}
+
+    prev_schema = next(
+        (s for s in prev_schemas if s["schema-id"] == prev_id), None
+    )
+    if prev_schema is not None and _no_id(prev_schema) == _no_id(schema_json):
+        cur_schema_id = prev_id
+        schema_json = prev_schema
+        schemas_list = prev_schemas
+    elif prev_schemas:
+        cur_schema_id = max(s["schema-id"] for s in prev_schemas) + 1
+        schema_json = {**schema_json, "schema-id": cur_schema_id}
+        schemas_list = prev_schemas + [schema_json]
+    else:
+        cur_schema_id = 0
+        schemas_list = [schema_json]
 
     if current is None:
         # first conversion: one manifest with every live file (+ one delete
@@ -872,7 +903,8 @@ def convert_snapshot(table) -> str:
         new_snaps = [
             _snapshot_record(
                 snapshot_id, None, seq, now_ms, "append",
-                _write_manifest_list(tree, snapshot_id, manifests), target
+                _write_manifest_list(tree, snapshot_id, manifests), target,
+                schema_id=cur_schema_id,
             )
         ]
     else:
@@ -972,7 +1004,8 @@ def convert_snapshot(table) -> str:
             ml_path = _write_manifest_list(tree, snapshot_id, manifests)
             new_snaps.append(
                 _snapshot_record(
-                    snapshot_id, parent, last_seq, ts_ms, op, ml_path, v
+                    snapshot_id, parent, last_seq, ts_ms, op, ml_path, v,
+                    schema_id=cur_schema_id,
                 )
             )
             parent = snapshot_id
@@ -996,8 +1029,8 @@ def convert_snapshot(table) -> str:
         "last-sequence-number": last_seq,
         "last-updated-ms": now_ms,
         "last-column-id": last_col_id,
-        "current-schema-id": 0,
-        "schemas": [schema_json],
+        "current-schema-id": cur_schema_id,
+        "schemas": schemas_list,
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": spec}],
         "last-partition-id": 999 + len(partition_columns),
@@ -1028,6 +1061,7 @@ def _read_hint(tree: _Tree) -> int:
 def _snapshot_record(
     snapshot_id: int, parent: Optional[int], seq: int, ts_ms: int,
     op: str, manifest_list: str, delta_version: int,
+    schema_id: int = 0,
 ) -> dict:
     rec = {
         "snapshot-id": snapshot_id,
@@ -1035,7 +1069,7 @@ def _snapshot_record(
         "timestamp-ms": ts_ms,
         "manifest-list": manifest_list,
         "summary": {"operation": op, "delta-version": str(delta_version)},
-        "schema-id": 0,
+        "schema-id": schema_id,
     }
     if parent is not None:
         rec["parent-snapshot-id"] = parent

@@ -452,6 +452,35 @@ def test_concurrent_metadata_version_collision_bumps(spark, tmp_path, events):
     assert sum(f["record_count"] for f in t.iceberg_files()) == 6
 
 
+def test_schema_evolution_appends_new_schema_id(spark, tmp_path, events):
+    """A Delta schema change appends a NEW Iceberg schema (next id) instead
+    of rewriting schema 0 — old snapshots keep referencing the schema they
+    were written with, new snapshots reference the new one."""
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events.select("r_regionkey", "r_name"), uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    t.add_columns([("score", "double")])
+    write_deltalake(
+        spark,
+        events.select("r_regionkey", "r_name").withColumn("score", F.lit(1.5)),
+        uri,
+        mode="append",
+    )
+    t.update()
+    hint = int(open(os.path.join(uri, "metadata", "version-hint.text")).read())
+    md = json.loads(
+        open(os.path.join(uri, "metadata", f"v{hint}.metadata.json")).read()
+    )
+    assert [s["schema-id"] for s in md["schemas"]] == [0, 1]
+    assert md["current-schema-id"] == 1
+    names = {s["schema-id"]: [f["name"] for f in s["fields"]] for s in md["schemas"]}
+    assert "score" not in names[0] and "score" in names[1]
+    first, last = md["snapshots"][0], md["snapshots"][-1]
+    assert first["schema-id"] == 0 and last["schema-id"] == 1
+    assert sum(f["record_count"] for f in t.iceberg_files()) == 10
+
+
 def test_mapped_table_field_ids_stable_across_rename_and_drop(spark, tmp_path):
     """On a column-mapped table the Iceberg field ids come from the
     never-reused delta.columnMapping.id, so a rename keeps the id and a
