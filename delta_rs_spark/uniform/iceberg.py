@@ -1410,7 +1410,6 @@ def convert_iceberg_to_delta(
     proportional to metadata, not data (a 100 TB table converts in seconds).
     The Iceberg tree is left untouched; enable UniForm afterwards to keep
     mirroring new commits back into it."""
-    import os as _os
     import time as _time
 
     from ..protocol.actions import (
@@ -1611,7 +1610,6 @@ def convert_iceberg_to_delta(
     )
     tmp = log.write_tmp_commit([info, proto, meta, *adds], _u2.uuid4().hex)
     log.try_commit(tmp, 0)
-    _ = _os  # (kept for symmetry with the parquet converter)
     return DeltaTable(table_root)
 
 
