@@ -452,6 +452,35 @@ def test_concurrent_metadata_version_collision_bumps(spark, tmp_path, events):
     assert sum(f["record_count"] for f in t.iceberg_files()) == 6
 
 
+def test_optimize_and_restore_stay_in_sync(spark, tmp_path, events):
+    """Maintenance rewrites (OPTIMIZE) and history rollbacks (RESTORE) are
+    ordinary add/remove commits to the conversion walk: the Iceberg live
+    set tracks the Delta snapshot through both."""
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events.limit(2).coalesce(1), uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    write_deltalake(spark, events.limit(3).coalesce(1), uri, mode="append")
+    t.update()
+    v_before_opt = t.version
+    t.optimize(spark)  # compaction: remove small files, add one
+    t.update()
+
+    def _sync_check():
+        ice = sorted(f["path"] for f in t.iceberg_files())
+        delta = sorted(t.file_uris())
+        assert ice == delta
+        assert sum(f["record_count"] for f in t.iceberg_files()) == t.to_df(
+            spark
+        ).count()
+
+    _sync_check()
+    t.restore(v_before_opt)  # roll back to the pre-optimize layout
+    t.update()
+    _sync_check()
+    assert t.to_df(spark).count() == 5
+
+
 def test_schema_evolution_appends_new_schema_id(spark, tmp_path, events):
     """A Delta schema change appends a NEW Iceberg schema (next id) instead
     of rewriting schema 0 — old snapshots keep referencing the schema they
