@@ -234,3 +234,82 @@ def test_drop_feature_lifecycle(spark, tmp_path):
     assert tw.type_changes(t.schema()) == {}
     assert t.schema()["v"].dataType == T.LongType()
     assert [r["v"] for r in t.to_df(spark).collect()] == [10]
+
+
+def test_widen_partition_column(spark, tmp_path):
+    """Partition values live as strings in the log; widening the partition
+    column re-types them through the wider type on read."""
+    uri = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "bucket int, v int")
+    from delta_rs_spark import write_deltalake as _w
+
+    _w(spark, df, uri, partition_by=["bucket"])
+    t = DeltaTable(uri)
+    t.widen_column_type("bucket", "bigint")
+    _w(
+        spark,
+        spark.createDataFrame([(2**40, 30)], "bucket bigint, v int"),
+        uri,
+        mode="append",
+    )
+    t.update()
+    rows = {(r["bucket"], r["v"]) for r in t.to_df(spark).collect()}
+    assert rows == {(1, 10), (2, 20), (2**40, 30)}
+    assert dict(t.to_df(spark).dtypes)["bucket"] == "bigint"
+    # partition pruning still works on both old and new values
+    assert t.to_df(spark, partition_filters=[("bucket", "=", "1")]).count() == 1
+    assert (
+        t.to_df(spark, partition_filters=[("bucket", "=", str(2**40))]).count() == 1
+    )
+
+
+def test_widen_survives_column_mapping_rename(spark, tmp_path):
+    """typeChanges metadata must ride along when column-mapping transforms
+    rewrite the schema (rename keeps physical name + widening history)."""
+    uri = str(tmp_path / "t")
+    t = _make(spark, uri, "id int, v int", [(1, 10)])
+    t.set_column_mapping_mode("name")
+    t.widen_column_type("v", "bigint")
+    t.rename_column("v", "value")
+    t.update()
+    changes = tw.type_changes(t.schema())
+    assert "value" in changes and changes["value"][0]["toType"] == "long"
+    write_deltalake(
+        spark,
+        spark.createDataFrame([(2, 2**40)], "id int, value bigint"),
+        uri,
+        mode="append",
+    )
+    t.update()
+    assert {r["value"] for r in t.to_df(spark).collect()} == {10, 2**40}
+
+
+def test_widen_across_cdf_and_checkpoint(spark, tmp_path):
+    """Change-data-feed rows and checkpointed schemas both cross the
+    widening boundary: pre-widen change files are narrow, post-widen wide;
+    a reload from the checkpoint keeps the typeChanges bookkeeping."""
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.createDataFrame([(1, 10), (2, 20)], "id int, v int"),
+        uri,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable(uri)
+    t.update_where(spark, "id = 1", {"v": "11"})  # narrow change files (v1)
+    t = DeltaTable(uri)
+    t.widen_column_type("v", "bigint")  # v2
+    t = DeltaTable(uri)
+    t.update_where(spark, "id = 2", {"v": str(2**40)})  # wide change files (v3)
+    t = DeltaTable(uri)
+    cdf = t.load_cdf(spark, starting_version=1).collect()
+    by_type = {}
+    for r in cdf:
+        by_type.setdefault(r["_change_type"], set()).add(r["v"])
+    assert 11 in by_type["update_postimage"]
+    assert 2**40 in by_type["update_postimage"]
+
+    t.create_checkpoint()
+    t2 = DeltaTable(uri)  # reload through the checkpoint
+    assert tw.type_changes(t2.schema())["v"][0]["toType"] == "long"
+    assert {r["v"] for r in t2.to_df(spark).collect()} == {11, 2**40}
