@@ -303,10 +303,15 @@ def _stage_and_swap(
     max_records_per_file: Optional[int] = None,
     identity_assigned: Optional[dict] = None,
     reads: Optional[dict[str, Any]] = None,
+    schema_override=None,
 ) -> dict[str, Any]:
     """Write ``new_rows`` through the staged-write path and commit
     Remove(removed) + Add(staged) (+ cdc change files, when given) as one
-    version."""
+    version. ``schema_override`` is the POST-commit table schema when the
+    same commit evolves it (MERGE schema evolution) — the physical rename
+    for column-mapped tables must use the evolved mapping or the evolved
+    columns' data would be written under unmapped names and read back
+    NULL."""
     import uuid as _uuid
 
     from .writer import _promote_staged_files, check_constraints, data_skipping_columns
@@ -316,7 +321,7 @@ def _stage_and_swap(
 
     log = table.log
     pcols = table.metadata().partition_columns
-    schema = table.schema()
+    schema = schema_override if schema_override is not None else table.schema()
     cfg = table.metadata().configuration
     # CHECK constraints apply to the rewritten content (UPDATE/MERGE can
     # introduce violations; DELETE survivors pass trivially)
@@ -1522,6 +1527,7 @@ def merge(
         for p in change_parts[1:]:
             change_rows = change_rows.unionByName(p, allowMissingColumns=True)
 
+    evo_schema = None
     if evolved_fields:
         # the evolved schema rides the same commit as the rewritten files
         from .protocol import column_mapping as _cmm
@@ -1567,6 +1573,9 @@ def merge(
             extra_actions=extra_actions,
             identity_assigned=id_assigned if n_inserted else None,
             reads=reads,
+            # evolved commits must stage under the EVOLVED mapping: the new
+            # columns' physical names exist only in evo_schema
+            schema_override=evo_schema,
         )
     finally:
         if inserts is not None:

@@ -1615,21 +1615,55 @@ def convert_iceberg_to_delta(
 
 def attach_parquet_field_ids(df, table_schema: T.StructType):
     """Stamp ``parquet.field.id`` metadata (the Iceberg schema's ids) onto
-    the outgoing DataFrame's top-level columns — Spark's parquet writer
+    the outgoing DataFrame at EVERY nesting level — Spark's parquet writer
     turns these into real ``PARQUET:field_id`` footer entries, so files
     written after UniForm enablement are id-resolvable by Iceberg readers
-    without the name mapping (which still covers pre-enablement files and
-    nested fields). No-op for columns the frame doesn't carry."""
+    without the name mapping.
+
+    All-or-nothing by spec: a file carrying ANY field ids gets no
+    name-mapping fallback from Iceberg readers, so partial stamping would
+    NULL out the unstamped fields for them. Arrays/maps need element/key/
+    value ids Spark field metadata cannot express, and a frame whose
+    columns don't exactly match the schema can't be stamped consistently —
+    in both cases the frame passes through untouched and those files stay
+    on the name-mapping path (correct, just less direct)."""
+
+    def _has_container(dt: T.DataType) -> bool:
+        if isinstance(dt, (T.ArrayType, T.MapType)):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(_has_container(f.dataType) for f in dt.fields)
+        return False
+
+    if set(df.columns) != set(table_schema.names) or _has_container(table_schema):
+        return df
+
     from pyspark.sql import functions as F
 
     sj, _ = iceberg_schema(table_schema)
-    ids = {f["name"]: f["id"] for f in sj["fields"]}
-    field_meta = {f.name: dict(f.metadata or {}) for f in df.schema.fields}
-    cols = []
-    for c in df.columns:
-        if c in ids:
-            meta = {**field_meta.get(c, {}), "parquet.field.id": ids[c]}
-            cols.append(F.col(c).alias(c, metadata=meta))
+
+    # alias(metadata=...) is the only metadata channel that survives a
+    # write planned over a SCAN (DataFrame.to()'s schema metadata does
+    # not); nested struct fields rebuild through F.struct with aliased
+    # children, null structs preserved via the when() guard
+    def _expr(col, f: T.StructField, jf: dict):
+        if isinstance(f.dataType, T.StructType):
+            rebuilt = F.struct(
+                *[
+                    _expr(col.getField(sub.name), sub, jsub)
+                    for sub, jsub in zip(
+                        f.dataType.fields, jf["type"]["fields"]
+                    )
+                ]
+            )
+            inner = F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
         else:
-            cols.append(F.col(c))
-    return df.select(*cols)
+            inner = col
+        return inner.alias(f.name, metadata={"parquet.field.id": jf["id"]})
+
+    return df.select(
+        *[
+            _expr(F.col(f.name), f, jf)
+            for f, jf in zip(table_schema.fields, sj["fields"])
+        ]
+    )

@@ -411,10 +411,18 @@ def write_deltalake(
         and not cm.is_mapped(table.metadata().configuration)
     ):
         # UniForm: stamp Iceberg field ids into the parquet footers so the
-        # files are id-resolvable without the name mapping
+        # files are id-resolvable without the name mapping. Schema-evolving
+        # commits stamp against the POST-commit schema (new_meta) — stamping
+        # the old one would leave the evolved columns id-less, which Iceberg
+        # readers treat as absent
         from .uniform.iceberg import attach_parquet_field_ids
 
-        stage_df = attach_parquet_field_ids(stage_df, table.schema())
+        stamp_schema = (
+            schema_string_to_spark(new_meta.schema_string)
+            if new_meta is not None
+            else table.schema()
+        )
+        stage_df = attach_parquet_field_ids(stage_df, stamp_schema)
     staging_dir = log.data_plane.stage_dir("commit")
     writer = stage_df.write.mode("overwrite")
     if stage_partition_by:

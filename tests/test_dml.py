@@ -497,3 +497,34 @@ def test_merge_schema_evolution_insert_only_fills_nullable(spark, tmp_path, docs
     rows = t.to_df(spark).filter("rank = 7").collect()
     assert len(rows) == 3
     assert all(r["lang"] is None for r in rows)
+
+
+def test_merge_schema_evolution_column_mapped(spark, tmp_path, docs):
+    """Evolved columns on a COLUMN-MAPPED table must stage under their new
+    physical names — the regression here read every merged value back NULL."""
+    uri = str(tmp_path / "m")
+    write_deltalake(spark, docs.select("doc_id", "source").limit(50), uri)
+    t = DeltaTable(uri)
+    t.set_column_mapping_mode("name")
+    src = (
+        docs.select("doc_id", "source")
+        .limit(10)
+        .withColumn("score", F.lit(0.75))
+    )
+    res = t.merge(
+        spark, src, "t.doc_id = s.doc_id",
+        when_matched_update={"score": "s.score"},
+        when_not_matched_insert=False,
+        schema_evolution=True,
+    )
+    assert res["numTargetRowsUpdated"] == 10
+    t.update()
+    from delta_rs_spark.protocol import column_mapping as cm
+
+    # the evolved field got a fresh physical name + id
+    f = t.schema()["score"]
+    assert f.metadata.get("delta.columnMapping.physicalName", "").startswith("col-")
+    # and the merged values actually read back (NOT NULL)
+    df = t.to_df(spark)
+    assert df.filter("score = 0.75").count() == 10
+    assert df.filter("score IS NULL").count() == 40

@@ -659,6 +659,69 @@ def test_convert_iceberg_with_deletes_to_delta(spark, tmp_path, events):
     assert got == expected
 
 
+def test_field_ids_all_levels_or_nothing(spark, tmp_path):
+    """Stamping is all-or-nothing: nested struct fields get ids too (a
+    partially-id'd file would make Iceberg readers NULL the id-less
+    fields), and schemas containing arrays/maps skip stamping entirely and
+    stay on the name-mapping path."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    # struct schema: every level stamped
+    uri = str(tmp_path / "s")
+    df = spark.createDataFrame([(1, (2, "x"))], "a int, s struct<b:int,c:string>")
+    write_deltalake(spark, df, uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    write_deltalake(spark, df, uri, mode="append")
+    t.update()
+    newest = max(t.add_actions(), key=lambda a: a.modification_time or 0)
+    pf = pq.ParquetFile(os.path.join(uri, newest.path))
+    text = str(pf.schema)
+    # a, s, s.b, s.c all id'd (root group prints field_id=-1 — ignore it)
+    for fid in ("field_id=1 ", "field_id=2 ", "field_id=3 ", "field_id=4 "):
+        assert fid in text, text
+
+    # array schema: no stamping at all (element ids are inexpressible)
+    uri2 = str(tmp_path / "arr")
+    df2 = spark.createDataFrame([(1, ["x"])], "a int, xs array<string>")
+    write_deltalake(spark, df2, uri2)
+    t2 = DeltaTable(uri2)
+    t2.enable_uniform()
+    write_deltalake(spark, df2, uri2, mode="append")
+    t2.update()
+    newest2 = max(t2.add_actions(), key=lambda a: a.modification_time or 0)
+    import re
+
+    text2 = str(pq.ParquetFile(os.path.join(uri2, newest2.path)).schema)
+    assert not re.search(r"field_id=[0-9]", text2), text2  # only -1 (absent)
+
+
+def test_field_ids_stamped_against_evolved_schema(spark, tmp_path):
+    """A mergeSchema-evolving append stamps the POST-commit schema: the new
+    column must carry an id too (an id-less column in an id'd file reads
+    as absent to Iceberg)."""
+    import pyarrow.parquet as pq
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.createDataFrame([(1,)], "a int"), uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    write_deltalake(
+        spark,
+        spark.createDataFrame([(2, 0.5)], "a int, score double"),
+        uri,
+        mode="append",
+        schema_mode="merge",
+    )
+    t.update()
+    newest = max(t.add_actions(), key=lambda a: a.modification_time or 0)
+    s = pq.read_schema(os.path.join(uri, newest.path))
+    assert b"PARQUET:field_id" in (s.field("a").metadata or {})
+    assert b"PARQUET:field_id" in (s.field("score").metadata or {})
+
+
 def test_convert_iceberg_to_delta_round_trip(spark, tmp_path, events):
     """Delta -> UniForm Iceberg -> (drop the Delta log) -> CONVERT TO DELTA:
     rows, partition values, and per-file stats survive the round trip with
