@@ -1405,14 +1405,13 @@ def vacuum(
             with ThreadPoolExecutor(max_workers=min(32, len(to_delete))) as ex:
                 list(ex.map(_rm, to_delete))
         if to_delete and uniform_on:
-            # data files are gone: Iceberg snapshots referencing them are
-            # unreadable — expire them (keeps the current snapshot; deletes
-            # only manifests no kept snapshot references). Best-effort like
-            # the conversion hook.
+            # data files are gone: expire exactly the Iceberg snapshots
+            # that referenced them (snapshots over still-live files keep
+            # their history). Best-effort like the conversion hook.
             try:
-                from .uniform.iceberg import expire_snapshots
+                from .uniform.iceberg import expire_snapshots_referencing
 
-                expire_snapshots(table, keep_last=1)
+                expire_snapshots_referencing(table, set(to_delete))
             except Exception:
                 pass
     return to_delete

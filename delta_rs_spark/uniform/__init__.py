@@ -12,6 +12,7 @@ from .iceberg import (
     convert_iceberg_to_delta,
     convert_snapshot,
     expire_snapshots,
+    expire_snapshots_referencing,
     read_delete_files,
     read_file_list,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "convert_snapshot",
     "convert_iceberg_to_delta",
     "expire_snapshots",
+    "expire_snapshots_referencing",
     "read_file_list",
     "read_delete_files",
     "IcebergConversionError",

@@ -1223,13 +1223,62 @@ def read_delete_files(table_root: str, backend=None) -> list[dict]:
     return out
 
 
+def expire_snapshots_referencing(table, removed_rel_paths) -> list[str]:
+    """Expire exactly the Iceberg snapshots made unreadable by a vacuum —
+    those whose manifests reference a reaped data file. Snapshots whose
+    files are all still live keep their history (time travel / incremental
+    Iceberg consumers stay intact). Bounded by metadata size: each distinct
+    manifest is read once (they are shared across snapshots)."""
+    tree = _Tree(table)
+    current = tree.current_metadata()
+    if current is None or not removed_rel_paths:
+        return []
+    removed_abs = {
+        p if "://" in p or p.startswith("/") else tree.backend.join(tree.root, p)
+        for p in removed_rel_paths
+    }
+    snaps = list(current.get("snapshots", []))
+    manifest_paths: dict[str, Optional[set]] = {}
+
+    def _paths_of(mpath: str) -> Optional[set]:
+        if mpath not in manifest_paths:
+            try:
+                _, _, es = _avro.read_container(tree.get(mpath))
+                manifest_paths[mpath] = {
+                    e["data_file"]["file_path"]
+                    for e in es
+                    if e["data_file"].get("content") != 1
+                }
+            except Exception:
+                manifest_paths[mpath] = None  # unreadable → unusable snapshot
+        return manifest_paths[mpath]
+
+    def _broken(s: dict) -> bool:
+        try:
+            manifests = _read_manifest_list(tree, s["manifest-list"])
+        except Exception:
+            return True
+        for m in manifests:
+            paths = _paths_of(m["manifest_path"])
+            if paths is None or paths & removed_abs:
+                return True
+        return False
+
+    # the current snapshot only references live files (vacuum never reaps
+    # those), so it survives by construction; check the rest
+    expired = [s for s in snaps[:-1] if _broken(s)]
+    if not expired:
+        return []
+    keep = [s for s in snaps if s not in expired]
+    return _drop_snapshots(tree, current, keep, expired)
+
+
 def expire_snapshots(table, keep_last: int = 1) -> list[str]:
     """Expire all but the last ``keep_last`` Iceberg snapshots and delete
     the manifest lists / manifests only they reference (Iceberg's
-    expire_snapshots maintenance, run by vacuum: once Delta vacuum reaps a
-    data file, any Iceberg snapshot referencing it is unreadable anyway).
-    Bounded by metadata size — one read per manifest list, no data I/O.
-    Returns the deleted metadata object paths."""
+    expire_snapshots maintenance). Bounded by metadata size — one read per
+    manifest list, no data I/O. Returns the deleted metadata object
+    paths."""
     tree = _Tree(table)
     current = tree.current_metadata()
     if current is None:
@@ -1238,6 +1287,12 @@ def expire_snapshots(table, keep_last: int = 1) -> list[str]:
     if keep_last < 1 or len(snaps) <= keep_last:
         return []
     keep, expired = snaps[-keep_last:], snaps[:-keep_last]
+    return _drop_snapshots(tree, current, keep, expired)
+
+
+def _drop_snapshots(
+    tree: _Tree, current: dict, keep: list[dict], expired: list[dict]
+) -> list[str]:
     referenced: set[str] = set()
     kept_delete_files: set[str] = set()
     for s in keep:

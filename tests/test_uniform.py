@@ -343,6 +343,43 @@ def test_vacuum_expires_iceberg_snapshots(spark, tmp_path, events):
     assert sum(f["record_count"] for f in t.iceberg_files()) == 5
 
 
+def test_vacuum_expires_only_snapshots_referencing_reaped_files(
+    spark, tmp_path, events
+):
+    """Expiration is targeted: a snapshot whose files are all still live
+    keeps its history even when vacuum reaps files other snapshots used."""
+    import time
+
+    uri = str(tmp_path / "t")
+    lo = events.filter("r_regionkey < 2").coalesce(1)  # fileA
+    hi = events.filter("r_regionkey >= 2").coalesce(1)  # fileB
+    write_deltalake(spark, lo, uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    write_deltalake(spark, hi, uri, mode="append")
+    t.update()
+    # rewrite ONLY fileB: the predicate misses every fileA row, so the
+    # stats-pruned rewrite set is just fileB
+    t.delete(spark, "r_regionkey = 3")
+    t.update()
+    for dirpath, _dirs, files in os.walk(uri):
+        for f in files:
+            os.utime(os.path.join(dirpath, f), (1, 1))
+    for r in t.snapshot.state.tombstones.values():
+        r.deletion_timestamp = int((time.time() - 200 * 3600) * 1000)
+    removed = t.vacuum(retention_hours=168, dry_run=False)
+    assert removed
+    hint = int(open(os.path.join(uri, "metadata", "version-hint.text")).read())
+    md = json.loads(
+        open(os.path.join(uri, "metadata", f"v{hint}.metadata.json")).read()
+    )
+    ids = [s["snapshot-id"] for s in md["snapshots"]]
+    # snapshot 1 (fileA only — still live) SURVIVES; the middle snapshot
+    # (fileA+fileB) referenced reaped fileB and expired; current survives
+    assert ids[0] == 1 and len(ids) == 2
+    assert sum(f["record_count"] for f in t.iceberg_files()) == t.to_df(spark).count()
+
+
 def test_sql_property_set_activates_uniform(spark, tmp_path, events):
     """Setting the public property through plain SQL starts conversion via
     the post-commit hook — no bespoke API needed."""
