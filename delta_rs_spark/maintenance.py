@@ -786,6 +786,14 @@ def _validate_feature_droppable(table, name: str) -> None:
                     "types from before the widening (run optimize() to "
                     "rewrite them at the wide type)"
                 )
+    elif name == "checkpointProtection":
+        if cfg.get("delta.requireCheckpointProtectionBeforeVersion"):
+            _refuse(
+                "delta.requireCheckpointProtectionBeforeVersion is still "
+                "set — the boundary it names is only safe once a cleanup "
+                "has truncated to a checkpoint at/above it (then unset the "
+                "property)"
+            )
     elif name == "domainMetadata":
         if state.domain_metadata:
             _refuse("domain metadata entries still exist")

@@ -207,13 +207,62 @@ def physical_narrow_files(table) -> list[str]:
     latest recorded type change are inspected, so after an ``optimize``
     rewrite the scan list is empty.
     """
+    import pyarrow as pa
     import pyarrow.parquet as pq
+
+    from . import column_mapping as cm
 
     schema = table.schema()
     cutoff = latest_change_version(schema)
     if cutoff is None:
         return []
-    wide = {f.name: f.dataType.simpleString() for f in schema.fields}
+    # files store PHYSICAL names on mapped tables and may have narrow types
+    # at ANY nesting level — compare the full tree against the physical
+    # schema, not top-level logical names
+    cmp_schema = (
+        cm.physical_schema(schema)
+        if cm.is_mapped(table.metadata().configuration)
+        else schema
+    )
+
+    def _narrow_leaf(pa_type, dt: T.DataType) -> bool:
+        got = _pa_simple(pa_type)
+        return got is not None and got != dt.simpleString()
+
+    def _tree_narrow(pa_struct_fields, spark_struct: T.StructType) -> bool:
+        by_name = {f.name: f for f in spark_struct.fields}
+        for paf in pa_struct_fields:
+            sf = by_name.get(paf.name)
+            if sf is None:
+                continue
+            dt, pt = sf.dataType, paf.type
+            if isinstance(dt, T.StructType) and pa.types.is_struct(pt):
+                if _tree_narrow(list(pt), dt):
+                    return True
+            elif isinstance(dt, T.ArrayType) and (
+                pa.types.is_list(pt) or pa.types.is_large_list(pt)
+            ):
+                if isinstance(dt.elementType, T.StructType) and pa.types.is_struct(
+                    pt.value_type
+                ):
+                    if _tree_narrow(list(pt.value_type), dt.elementType):
+                        return True
+                elif _narrow_leaf(pt.value_type, dt.elementType):
+                    return True
+            elif isinstance(dt, T.MapType) and pa.types.is_map(pt):
+                if _narrow_leaf(pt.key_type, dt.keyType):
+                    return True
+                if isinstance(dt.valueType, T.StructType) and pa.types.is_struct(
+                    pt.item_type
+                ):
+                    if _tree_narrow(list(pt.item_type), dt.valueType):
+                        return True
+                elif _narrow_leaf(pt.item_type, dt.valueType):
+                    return True
+            elif _narrow_leaf(pt, dt):
+                return True
+        return False
+
     narrow: list[str] = []
     for add in table.add_actions():
         uri = table.snapshot.log.data_plane.readable_uri(add.path)
@@ -222,13 +271,10 @@ def physical_narrow_files(table) -> list[str]:
         except Exception:  # pragma: no cover - unreadable file: be conservative
             narrow.append(add.path)
             continue
-        for name in file_schema.names:
-            if name not in wide:
-                continue
-            spark_like = _pa_simple(file_schema.field(name).type)
-            if spark_like is not None and spark_like != wide[name]:
-                narrow.append(add.path)
-                break
+        if _tree_narrow(
+            [file_schema.field(n) for n in file_schema.names], cmp_schema
+        ):
+            narrow.append(add.path)
     return narrow
 
 

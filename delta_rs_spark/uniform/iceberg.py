@@ -143,14 +143,25 @@ def iceberg_schema(schema: T.StructType, schema_id: int = 0) -> tuple[dict, int]
     (schema dict, last-column-id)."""
     from ..protocol.column_mapping import ID_META
 
+    def _max_mapped_type(dt: T.DataType) -> int:
+        if isinstance(dt, T.StructType):
+            return _max_mapped(dt)
+        if isinstance(dt, T.ArrayType):
+            return _max_mapped_type(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return max(_max_mapped_type(dt.keyType), _max_mapped_type(dt.valueType))
+        return 0
+
     def _max_mapped(struct: T.StructType) -> int:
         m = 0
         for f in struct.fields:
             v = (f.metadata or {}).get(ID_META)
             if v is not None:
                 m = max(m, int(v))
-            if isinstance(f.dataType, T.StructType):
-                m = max(m, _max_mapped(f.dataType))
+            # mapping ids also live on struct fields nested inside
+            # arrays/maps — missing them would let a generated element id
+            # collide with a mapped id (duplicate-id Iceberg schema)
+            m = max(m, _max_mapped_type(f.dataType))
         return m
 
     # start generated ids (nested list/map element ids, unmapped fields)
@@ -686,6 +697,21 @@ def _entry_for_add(
     phys: Optional[dict[str, str]] = None,
 ) -> dict:
     stats = add.get_stats() or {}
+    if stats.get("numRecords") is None:
+        # Iceberg engines answer COUNT(*) from manifest record_count —
+        # writing 0 for a stats-less add (foreign writer) would be an
+        # authoritative wrong answer. One footer read per such file,
+        # one-time (the count is persisted in the manifest).
+        import pyarrow.parquet as _pqc
+
+        uri = tree.log.data_plane.readable_uri(add.path)
+        try:
+            stats = {**stats, "numRecords": _pqc.ParquetFile(uri).metadata.num_rows}
+        except Exception as e:
+            raise IcebergConversionError(
+                f"file {add.path} has no numRecords stat and its footer "
+                f"is unreadable ({e}); cannot write a truthful manifest"
+            ) from e
     mins = stats.get("minValues") or {}
     maxs = stats.get("maxValues") or {}
     nulls = stats.get("nullCount") or {}
@@ -1496,15 +1522,24 @@ def convert_iceberg_to_delta(
         raise IcebergConversionError(
             f"unsupported Iceberg format-version: {md.get('format-version')}"
         )
-    schema_json = next(
-        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
-    )
+    # v1 metadata carries singular 'schema'/'partition-spec'; v2 the lists
+    if "schemas" in md:
+        schema_json = next(
+            s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
+        )
+    else:
+        schema_json = md["schema"]
     schema = _spark_type_from_iceberg(
         {"type": "struct", "fields": schema_json["fields"]}
     )
-    spec = next(
-        p for p in md["partition-specs"] if p["spec-id"] == md["default-spec-id"]
-    )
+    if "partition-specs" in md:
+        spec = next(
+            p
+            for p in md["partition-specs"]
+            if p["spec-id"] == md.get("default-spec-id", 0)
+        )
+    else:
+        spec = {"spec-id": 0, "fields": md.get("partition-spec", [])}
     for f in spec["fields"]:
         if f["transform"] != "identity":
             raise IcebergConversionError(

@@ -85,3 +85,27 @@ def test_drop_feature_truncate_adds_checkpoint_protection(spark, table):
     assert removed  # pre-boundary files now cleanable
     t3 = DeltaTable(table.table_uri)  # still loads from the new checkpoint
     assert t3.version == table.version
+
+
+def test_checkpoint_protection_drop_requires_boundary_unset(spark, table):
+    """checkpointProtection must not drop while the boundary property still
+    points at protected history."""
+    from delta_rs_spark.maintenance import FeatureDropError
+
+    table.widen_column_type("r_regionkey", "bigint")
+    table.unset_properties(["delta.enableTypeWidening"])
+    table.optimize(spark, zorder_by=["r_regionkey"])
+    table.update()
+    table.drop_feature("typeWidening", truncate_history=True)
+    table.update()
+    assert "checkpointProtection" in (table.snapshot.state.writer_features or [])
+    with pytest.raises(FeatureDropError, match="requireCheckpointProtection"):
+        table.drop_feature("checkpointProtection")
+    # lift the restriction: new checkpoint at/above boundary + cleanup,
+    # then unset the property - the drop goes through
+    create_checkpoint(table)
+    cleanup_expired_logs(table, retention_ms=0)
+    table.unset_properties(["delta.requireCheckpointProtectionBeforeVersion"])
+    table.drop_feature("checkpointProtection")
+    table.update()
+    assert "checkpointProtection" not in (table.snapshot.state.writer_features or [])

@@ -313,3 +313,30 @@ def test_widen_across_cdf_and_checkpoint(spark, tmp_path):
     t2 = DeltaTable(uri)  # reload through the checkpoint
     assert tw.type_changes(t2.schema())["v"][0]["toType"] == "long"
     assert {r["v"] for r in t2.to_df(spark).collect()} == {11, 2**40}
+
+
+def test_drop_feature_gate_sees_mapped_and_nested_narrow_files(spark, tmp_path):
+    """The narrow-file gate must catch physical column names (column
+    mapping) and nested struct fields — the regression let the drop
+    through while files still carried int32 pages."""
+    # column-mapped: files store col-<uuid>/original physical names
+    uri = str(tmp_path / "m")
+    t = _make(spark, uri, "id int, v int", [(1, 10)])
+    t.set_column_mapping_mode("name")
+    t.widen_column_type("v", "bigint")
+    t.unset_properties(["delta.enableTypeWidening"])
+    with pytest.raises(FeatureDropError, match="narrow physical"):
+        t.drop_feature("typeWidening", truncate_history=True)
+
+    # nested: widened struct field
+    uri2 = str(tmp_path / "n")
+    write_deltalake(
+        spark,
+        spark.createDataFrame([(1, (7, "x"))], "id int, s struct<a:int,b:string>"),
+        uri2,
+    )
+    t2 = DeltaTable(uri2)
+    t2.widen_column_type("s.a", "bigint")
+    t2.unset_properties(["delta.enableTypeWidening"])
+    with pytest.raises(FeatureDropError, match="narrow physical"):
+        t2.drop_feature("typeWidening", truncate_history=True)
