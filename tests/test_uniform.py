@@ -547,6 +547,30 @@ def test_schema_evolution_appends_new_schema_id(spark, tmp_path, events):
     assert sum(f["record_count"] for f in t.iceberg_files()) == 10
 
 
+def test_uniform_over_memory_backend(spark, tmp_path, events):
+    """The whole tree flows through the StorageBackend abstraction — a
+    memory:// table (object-store contract) converts, syncs and reads back
+    via the same APIs, no local-FS assumptions."""
+    import uuid as _u
+
+    from delta_rs_spark.protocol.storage import parse_table_uri
+    from delta_rs_spark.uniform import read_file_list
+
+    uri = f"memory://uniform/{_u.uuid4().hex}"
+    write_deltalake(spark, events, uri)
+    t = DeltaTable(uri)
+    t.enable_uniform()
+    write_deltalake(spark, events.limit(2), uri, mode="append")
+    t.update()
+    files = read_file_list(uri)
+    assert sum(f["record_count"] for f in files) == 7
+    # the metadata objects really live in the memory backend
+    root, backend = parse_table_uri(uri)
+    hint = backend.get_obj(backend.join(root, "metadata", "version-hint.text"))
+    assert int(hint.decode()) >= 1
+    assert sorted(f["path"] for f in files) == sorted(t.file_uris())
+
+
 def test_mapped_table_field_ids_stable_across_rename_and_drop(spark, tmp_path):
     """On a column-mapped table the Iceberg field ids come from the
     never-reused delta.columnMapping.id, so a rename keeps the id and a
