@@ -832,6 +832,34 @@ def test_convert_iceberg_via_sql(spark, tmp_path, events):
     assert DeltaTable(uri).to_df(spark).count() == 5
 
 
+def test_adoption_flow_convert_then_reenable_uniform(spark, tmp_path, events):
+    """The full adoption journey: Iceberg-only table -> CONVERT TO DELTA ->
+    enable UniForm again. The old tree has no delta-version watermark, so
+    the first conversion rebuilds (fresh metadata version past the existing
+    files), and later commits sync incrementally."""
+    import shutil
+
+    from delta_rs_spark.uniform import convert_iceberg_to_delta
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, events, uri)
+    DeltaTable(uri).enable_uniform()
+    shutil.rmtree(os.path.join(uri, "_delta_log"))  # now a foreign Iceberg table
+
+    t = convert_iceberg_to_delta(spark, uri)
+    t.enable_uniform()  # rebuild over the foreign tree
+    hint1 = int(open(os.path.join(uri, "metadata", "version-hint.text")).read())
+    md = json.loads(
+        open(os.path.join(uri, "metadata", f"v{hint1}.metadata.json")).read()
+    )
+    assert md["properties"]["delta-version"] == str(t.version)
+    write_deltalake(spark, events.limit(1), uri, mode="append")
+    t.update()
+    hint2 = int(open(os.path.join(uri, "metadata", "version-hint.text")).read())
+    assert hint2 > hint1  # incremental sync advanced the tree
+    assert sum(f["record_count"] for f in t.iceberg_files()) == 6
+
+
 def test_convert_iceberg_refuses_existing_delta(spark, tmp_path, events):
     from delta_rs_spark.uniform import convert_iceberg_to_delta
     from delta_rs_spark.writer import TableAlreadyExistsError
