@@ -67,8 +67,22 @@ def load_cdf(
     # cdc files carry PHYSICAL column names on column-mapped tables
     if snap.mapping_mode() != "none":
         _cdc_sel = _cm.to_logical_exprs(schema)
+        _cdc_read_schema = _cm.physical_schema(schema)
     else:
         _cdc_sel = [F.col(c) for c in schema.names]
+        _cdc_read_schema = schema
+    # change files are read with the CURRENT schema, never inferred: Spark
+    # samples one file for inference, so a range spanning a type widening
+    # (old narrow + new wide change files) would nondeterministically pick
+    # the narrow type and fail on the wide files; the explicit wide schema
+    # upcasts old files in the vectorized reader and NULL-fills columns
+    # added after them
+    import pyspark.sql.types as _T
+
+    _cdc_read_schema = _T.StructType(
+        list(_cdc_read_schema.fields)
+        + [_T.StructField(CHANGE_TYPE_COL, _T.StringType())]
+    )
 
     # Gather the whole range first, then read each change kind in ONE scan —
     # a 500-version range is three scan nodes, not 500 union branches.
@@ -166,7 +180,7 @@ def load_cdf(
                     pairs.append(F.lit(_os.path.basename(a.path)))
                     pairs.append(F.lit(v))
                 return [
-                    spark.read.parquet(*paths).select(
+                    spark.read.schema(_cdc_read_schema).parquet(*paths).select(
                         *_cdc_sel,
                         CHANGE_TYPE_COL,
                         F.element_at(F.create_map(*pairs), fname)
@@ -187,7 +201,9 @@ def load_cdf(
         for v, adds_v in sorted(by_version.items()):
             if is_cdc:
                 paths = [snap._readable(a.path) for a in adds_v]
-                df = spark.read.parquet(*paths).select(*_cdc_sel, CHANGE_TYPE_COL)
+                df = spark.read.schema(_cdc_read_schema).parquet(*paths).select(
+                    *_cdc_sel, CHANGE_TYPE_COL
+                )
             else:
                 df = snap.df_for_adds(spark, adds_v).withColumn(
                     CHANGE_TYPE_COL, F.lit(change_type)

@@ -263,8 +263,23 @@ def physical_narrow_files(table) -> list[str]:
                 return True
         return False
 
+    # files physically written AFTER the latest type change carry the wide
+    # schema — skip their footer reads (on object stores each is a round
+    # trip). Ambiguous timestamps fall through to the footer check, so
+    # clock skew can only cost a read, never miss a narrow file.
+    try:
+        cutoff_ts = table.snapshot.log.commit_timestamp_ms(cutoff)
+    except Exception:  # pragma: no cover - truncated history
+        cutoff_ts = None
+
     narrow: list[str] = []
     for add in table.add_actions():
+        if (
+            cutoff_ts is not None
+            and add.modification_time is not None
+            and add.modification_time > cutoff_ts
+        ):
+            continue
         uri = table.snapshot.log.data_plane.readable_uri(add.path)
         try:
             file_schema = pq.read_schema(uri)

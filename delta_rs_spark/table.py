@@ -1184,8 +1184,15 @@ class DeltaTable:
 
                 self.update()
                 _ub.convert_snapshot(self)
-            except Exception:
-                pass
+            except Exception as e:
+                # never fail the Delta commit — but a silently stale Iceberg
+                # tree is a trap, so surface the reason
+                import warnings
+
+                warnings.warn(
+                    f"UniForm conversion lagging: {type(e).__name__}: {e}",
+                    stacklevel=2,
+                )
 
         # the public delta.checkpointInterval property overrides the default
         interval = self.checkpoint_interval

@@ -141,32 +141,12 @@ def iceberg_schema(schema: T.StructType, schema_id: int = 0) -> tuple[dict, int]
     column-mapping ids when present (stable across rename/drop), else a
     pre-order walk (stable for an unchanged schema). Returns
     (schema dict, last-column-id)."""
-    from ..protocol.column_mapping import ID_META
-
-    def _max_mapped_type(dt: T.DataType) -> int:
-        if isinstance(dt, T.StructType):
-            return _max_mapped(dt)
-        if isinstance(dt, T.ArrayType):
-            return _max_mapped_type(dt.elementType)
-        if isinstance(dt, T.MapType):
-            return max(_max_mapped_type(dt.keyType), _max_mapped_type(dt.valueType))
-        return 0
-
-    def _max_mapped(struct: T.StructType) -> int:
-        m = 0
-        for f in struct.fields:
-            v = (f.metadata or {}).get(ID_META)
-            if v is not None:
-                m = max(m, int(v))
-            # mapping ids also live on struct fields nested inside
-            # arrays/maps — missing them would let a generated element id
-            # collide with a mapped id (duplicate-id Iceberg schema)
-            m = max(m, _max_mapped_type(f.dataType))
-        return m
+    from ..protocol.column_mapping import max_field_id
 
     # start generated ids (nested list/map element ids, unmapped fields)
-    # ABOVE every mapped id so the two ranges can never collide
-    ids = _IdGen(start=_max_mapped(schema))
+    # ABOVE every mapped id — anywhere in the tree, incl. struct fields
+    # inside arrays/maps — so the two ranges can never collide
+    ids = _IdGen(start=max_field_id(schema))
     fields = [_iceberg_field(f, ids) for f in schema.fields]
     return (
         {"type": "struct", "schema-id": schema_id, "fields": fields},
@@ -180,8 +160,37 @@ def name_mapping(
     """The ``schema.name-mapping.default`` tree: names -> field-ids, used by
     readers for parquet files that carry no embedded field ids. ``aliases``
     adds alternate (physical) names per top-level logical name — the files
-    of a column-mapped table store physical column names."""
+    of a column-mapped table store physical column names. Containers emit
+    the spec's ``element``/``key``/``value`` sub-mappings so nested leaves
+    inside arrays/maps resolve too (without them an id-less file's list
+    elements would read as pruned)."""
     aliases = aliases or {}
+
+    def _sub_fields(t: Any) -> Optional[list[dict]]:
+        if not isinstance(t, dict):
+            return None
+        kind = t.get("type")
+        if kind == "struct":
+            return [_entry(f, False) for f in t["fields"]]
+        if kind == "list":
+            elem: dict[str, Any] = {
+                "field-id": t["element-id"],
+                "names": ["element"],
+            }
+            sub = _sub_fields(t["element"])
+            if sub:
+                elem["fields"] = sub
+            return [elem]
+        if kind == "map":
+            key: dict[str, Any] = {"field-id": t["key-id"], "names": ["key"]}
+            val: dict[str, Any] = {"field-id": t["value-id"], "names": ["value"]}
+            ksub, vsub = _sub_fields(t["key"]), _sub_fields(t["value"])
+            if ksub:
+                key["fields"] = ksub
+            if vsub:
+                val["fields"] = vsub
+            return [key, val]
+        return None
 
     def _entry(field: dict, top: bool) -> dict:
         names = [field["name"]]
@@ -189,9 +198,9 @@ def name_mapping(
         if alias and alias not in names:
             names.append(alias)
         out: dict[str, Any] = {"field-id": field["id"], "names": names}
-        t = field["type"]
-        if isinstance(t, dict) and t.get("type") == "struct":
-            out["fields"] = [_entry(f, False) for f in t["fields"]]
+        sub = _sub_fields(field["type"])
+        if sub:
+            out["fields"] = sub
         return out
 
     return [_entry(f, True) for f in schema_json["fields"]]
@@ -704,9 +713,23 @@ def _entry_for_add(
         # one-time (the count is persisted in the manifest).
         import pyarrow.parquet as _pqc
 
-        uri = tree.log.data_plane.readable_uri(add.path)
         try:
+            uri = tree.log.data_plane.readable_uri(add.path)
             stats = {**stats, "numRecords": _pqc.ParquetFile(uri).metadata.num_rows}
+        except FileNotFoundError:
+            # a lagging sync can reach a commit whose file was later
+            # removed AND vacuumed — the entry exists only in historical
+            # snapshots and is dropped again within this same sync; a
+            # placeholder count there beats wedging the sync forever
+            import warnings
+
+            warnings.warn(
+                f"UniForm: file {add.path} has no numRecords stat and no "
+                "longer exists; writing record_count=0 into its historical "
+                "manifest entry",
+                stacklevel=2,
+            )
+            stats = {**stats, "numRecords": 0}
         except Exception as e:
             raise IcebergConversionError(
                 f"file {add.path} has no numRecords stat and its footer "
@@ -1291,8 +1314,10 @@ def expire_snapshots_referencing(table, removed_rel_paths) -> list[str]:
         return False
 
     # the current snapshot only references live files (vacuum never reaps
-    # those), so it survives by construction; check the rest
-    expired = [s for s in snaps[:-1] if _broken(s)]
+    # those), so it survives by construction — identified by id, not list
+    # position (a foreign tool may reorder the snapshots array)
+    cur_id = current.get("current-snapshot-id")
+    expired = [s for s in snaps if s["snapshot-id"] != cur_id and _broken(s)]
     if not expired:
         return []
     keep = [s for s in snaps if s not in expired]
@@ -1552,7 +1577,19 @@ def convert_iceberg_to_delta(
     snap = next(
         s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
     )
-    _, _, manifests = _avro.read_container(backend.get_obj(snap["manifest-list"]))
+    if "manifest-list" in snap:
+        _, _, manifests = _avro.read_container(
+            backend.get_obj(snap["manifest-list"])
+        )
+    elif "manifests" in snap:
+        # original v1 form: the snapshot embeds manifest paths directly
+        manifests = [
+            {"manifest_path": p, "content": 0} for p in snap["manifests"]
+        ]
+    else:
+        raise IcebergConversionError(
+            "snapshot carries neither 'manifest-list' nor 'manifests'"
+        )
     now_ms = int(_time.time() * 1000)
 
     # position-delete files -> Delta deletion vectors (the MoR state crosses

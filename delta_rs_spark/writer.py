@@ -417,12 +417,8 @@ def write_deltalake(
         # readers treat as absent
         from .uniform.iceberg import attach_parquet_field_ids
 
-        stamp_schema = (
-            schema_string_to_spark(new_meta.schema_string)
-            if new_meta is not None
-            else table.schema()
-        )
-        stage_df = attach_parquet_field_ids(stage_df, stamp_schema)
+        # mapped_schema already holds the post-commit schema on this path
+        stage_df = attach_parquet_field_ids(stage_df, mapped_schema)
     staging_dir = log.data_plane.stage_dir("commit")
     writer = stage_df.write.mode("overwrite")
     if stage_partition_by:
