@@ -74,6 +74,9 @@ _ROTATION = [
     # -- beyond the 50-window this round; first in line for the round-4
     # rotation (locally oracle-certified + pytest-pinned meanwhile) --------
     "widening_uniform_lifecycle",
+    "corpus_unigram_lm",
+    "sample_global_shuffle",
+    "embedding_random_projection",
     # -- relational canaries (certified green rounds 1-2; the window is 50,
     # so these certify only if earlier entries shrink — harmless either way)
     "q1_pricing_summary",

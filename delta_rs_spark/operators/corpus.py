@@ -266,3 +266,77 @@ def vocab_stats(
         )
         .orderBy(by)
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean token log-probability under a unigram language
+    model trained on the corpus itself — the cheap perplexity proxy used to
+    quality-filter web text when a real LM is too expensive to run over
+    every candidate document (CCNet-style filtering; low ``avg_logprob`` ⇒
+    rare-token soup, high ⇒ fluent/common phrasing).
+
+    The model is p(w) = c(w)/N over the corpus's own token counts, so every
+    scored token is in-vocabulary by construction (no smoothing term to
+    pick). Per document: avg_logprob = (Σ_w tf·ln c(w))/len(doc) − ln N.
+
+    DAG and 100 TB shape: explode → per-(doc, word) counts (map-side
+    combinable; the join below therefore carries one row per DISTINCT
+    (doc, word), not one per token) → word totals → join tf⟷counts on the
+    word. That join's key space is the Zipf-skewed vocabulary — AQE skew
+    splitting handles the head; at extreme scale broadcast the top-k head
+    vocabulary (it covers most token mass in a few thousand rows, the same
+    trade as the contamination Bloom) and shuffle only the tail. N rides as
+    a 1-row broadcast, never a driver collect. Each tf·ln c term is
+    quantized to DECIMAL(25,9) before the exact sum, so the per-document
+    reduction is addition-order- and engine-invariant.
+    """
+    words = df.select(
+        id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    cw = tf.groupBy("w").agg(F.sum("tf").alias("c"))
+    tot = cw.agg(F.sum("c").alias("n"))
+    return (
+        tf.join(cw, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col, "n")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum((F.col("tf") * F.log(F.col("c"))).cast("decimal(25,9)")).alias(
+                "_lp"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(
+                F.col("_lp").cast("double") / F.col("n_tokens") - F.log(F.col("n")),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def unigram_lm_oracle_sql(table: str = "documents") -> str:
+    """DuckDB recomputation of ``unigram_lm_scores`` (same tokenization,
+    same DECIMAL(25,9) per-term quantization, same op order in the final
+    expression so float results agree to the rounded 6 decimals)."""
+    return rf"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS w
+  FROM {table}
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+cw AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cw)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(CAST(tf * ln(c) AS DECIMAL(25,9))) AS DOUBLE) / SUM(tf)
+             - ln(n), 6) AS avg_logprob
+FROM tf JOIN cw USING (w) CROSS JOIN tot
+GROUP BY doc_id, n
+ORDER BY doc_id
+"""

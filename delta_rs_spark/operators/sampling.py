@@ -161,3 +161,68 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= budget_tokens)
         .orderBy(by, id_col)
     )
+
+
+def global_shuffle_shards(
+    df: DataFrame,
+    num_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the export step of
+    a training pipeline, where the curated corpus must reach the trainer in
+    a reproducible pseudo-random order, split into a fixed number of shard
+    files.
+
+    Each row gets ``shard = md5-bucket(id) mod num_shards`` and ``pos`` =
+    its rank within the shard by the full md5 hex (id as tiebreak, though
+    md5 collisions over one corpus are not a practical concern). The order
+    is a pure function of (id, salt): any engine, any cluster size, any
+    partitioning reproduces it, and re-running after an append only inserts
+    the new rows into their hash positions instead of reshuffling everything
+    (contrast ``ORDER BY rand()``, which is neither stable nor resumable).
+
+    Scale shape: shard assignment is a stateless narrow map; the within-
+    shard rank is one hash shuffle with md5-balanced keys. num_shards is
+    the parallelism knob — size it to the target output-file count
+    (thousands at 100 TB) so each shard is one task's worth of data. The
+    dense ``pos`` rank makes the oracle comparison exact at test scale; for
+    a pure export, ``repartition(num_shards, shard).sortWithinPartitions
+    (hx)`` achieves the same physical layout without materializing ranks.
+    """
+    hx = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    out = df.select(
+        F.pmod(
+            F.conv(F.substring(hx, 1, 8), 16, 10).cast("long"), F.lit(num_shards)
+        )
+        .cast("int")
+        .alias("shard"),
+        hx.alias("_hx"),
+        F.col(id_col),
+    )
+    w = Window.partitionBy("shard").orderBy("_hx", id_col)
+    return out.withColumn("pos", F.row_number().over(w)).select(
+        "shard", "pos", id_col
+    )
+
+
+def global_shuffle_oracle_sql(
+    table: str = "documents",
+    num_shards: int = 8,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> str:
+    """DuckDB recomputation of ``global_shuffle_shards`` (same md5 bucket,
+    same within-shard order)."""
+    bucket = f"CAST(('0x' || substr(hx, 1, 8)) AS UBIGINT) % {num_shards}"
+    return f"""
+WITH h AS (
+  SELECT {id_col}, md5(CAST({id_col} AS VARCHAR) || '{salt}') AS hx FROM {table}
+)
+SELECT CAST({bucket} AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY {bucket} ORDER BY hx, {id_col})
+            AS INTEGER) AS pos,
+       {id_col}
+FROM h
+ORDER BY shard, pos
+"""

@@ -498,3 +498,85 @@ def quantized_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+def _rp_signs(in_dim: int, out_dim: int, seed: int) -> list[list[float]]:
+    """±1 projection matrix entries (Achlioptas dense sign variant) derived
+    from md5 so every run/cluster/engine builds the identical matrix."""
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp:{seed}:{i}:{j}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1.0
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reduce embeddings to ``out_dim`` via a deterministic ±1 random
+    projection (y_j = Σ_i R_ij·x_i / √out_dim) — the standard JL-lemma
+    pre-step that shrinks vectors before LSH bucketing or brute-force
+    rerank, cutting every downstream shuffle and dot product by
+    in_dim/out_dim while approximately preserving pairwise distances
+    (Achlioptas 2003 — database-friendly random projections: ±1 entries
+    lose nothing vs Gaussian).
+
+    The matrix is tiny (in_dim × out_dim), generated driver-side from md5
+    and folded into the plan as LITERAL coefficients: each output column
+    compiles to an unrolled multiply-add chain inside whole-stage codegen —
+    a stateless narrow map with zero shuffle, zero Python, and perfect
+    linear scaling. (Past ~10k matrix entries, switch to a broadcast numpy
+    matrix in ``mapInPandas`` — memory-bandwidth-bound matmul — but at that
+    point the output is no longer oracle-expressible as SQL literals.)
+
+    Output: (id, rp00..rp{out_dim-1:02d}) doubles rounded to 4 decimals —
+    the sum order is the same left-to-right chain the oracle evaluates, so
+    results are engine-exact at the rounded precision.
+    """
+    signs = _rp_signs(in_dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    cols = [F.col(id_col)]
+    for j, row in enumerate(signs):
+        terms = " + ".join(
+            f"({'' if c > 0 else '-'}CAST(element_at({vec_col}, {i + 1}) AS DOUBLE))"
+            for i, c in enumerate(row)
+        )
+        cols.append(F.expr(f"round(({terms}) * {scale!r}, 4)").alias(f"rp{j:02d}"))
+    return df.select(*cols)
+
+
+def random_projection_oracle_sql(
+    table: str = "embeddings",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB recomputation of ``random_projection`` — same literal matrix
+    (generated by the same helper), same left-to-right addition chain."""
+    signs = _rp_signs(in_dim, out_dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    sel = [id_col]
+    for j, row in enumerate(signs):
+        terms = " + ".join(
+            f"({'' if c > 0 else '-'}CAST({vec_col}[{i + 1}] AS DOUBLE))"
+            for i, c in enumerate(row)
+        )
+        sel.append(f"round(({terms}) * {scale!r}, 4) AS rp{j:02d}")
+    cols = ",\n       ".join(sel)
+    return f"SELECT {cols}\nFROM {table}\nORDER BY {id_col}"

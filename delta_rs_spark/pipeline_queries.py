@@ -1263,3 +1263,38 @@ def q_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     min id per cluster. Oracle: exact pair graph + recursive reachability."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.semantic_keeplist(emb, threshold=0.4).orderBy("vec_id")
+
+
+@query("corpus_unigram_lm", corpus.unigram_lm_oracle_sql())
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scores: mean token log-probability under a
+    unigram LM trained on the corpus itself (CCNet-style cheap filter).
+    Oracle recomputes the model and scores with the same DECIMAL-quantized
+    term sums, so values match exactly at 6 decimals."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.unigram_lm_scores(docs).orderBy("doc_id")
+
+
+from .operators import sampling as _sampling
+from .operators import similarity as _similarity
+
+
+@query("sample_global_shuffle", _sampling.global_shuffle_oracle_sql(num_shards=8))
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training export:
+    md5-bucketed shard, within-shard rank by the full hash. Oracle computes
+    the identical hash order, so the permutation is engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _sampling.global_shuffle_shards(docs, num_shards=8).orderBy("shard", "pos")
+
+
+@query(
+    "embedding_random_projection",
+    _similarity.random_projection_oracle_sql(in_dim=64, out_dim=16),
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection 64 -> 16 dims with a deterministic ±1 literal
+    matrix — shuffle-free codegen narrow map; oracle evaluates the same
+    multiply-add chains on the same literal coefficients."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _similarity.random_projection(emb, in_dim=64, out_dim=16).orderBy("vec_id")

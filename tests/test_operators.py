@@ -904,3 +904,70 @@ def test_semantic_keeplist_min_id_survives(spark):
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
     kept = sorted(r.vec_id for r in dedup.semantic_keeplist(df, threshold=0.9).collect())
     assert kept == [0, 2]
+
+
+# ---------------------------------------------------------------------------
+# Round-3 late additions: unigram LM, global shuffle shards, random projection
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_lm_common_words_score_higher(spark):
+    from delta_rs_spark.operators import corpus
+
+    rows = [
+        (1, "the the the the the"),          # all head tokens
+        (2, "zxqv aardwolf quokka xylyl b"),  # all hapaxes
+        (3, "the the the quokka the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in corpus.unigram_lm_scores(df).collect()}
+    assert out[1].n_tokens == 5 and out[2].n_tokens == 5
+    # more in-model mass => higher mean log-probability
+    assert out[1].avg_logprob > out[3].avg_logprob > out[2].avg_logprob
+    # doc 1 is all 'the' (c=9 of N=15): score is exactly ln(9/15)
+    import math
+
+    assert out[1].avg_logprob == pytest.approx(math.log(9 / 15), abs=1e-6)
+
+
+def test_global_shuffle_shards_deterministic_and_dense(spark, docs):
+    from delta_rs_spark.operators import sampling
+
+    out = sampling.global_shuffle_shards(docs, num_shards=4).collect()
+    assert len(out) == docs.count()
+    assert {r.shard for r in out} <= set(range(4))
+    # dense 1..n positions inside each shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # invariant under input partitioning (a cluster-size proxy)
+    again = sampling.global_shuffle_shards(docs.repartition(7), num_shards=4).collect()
+    assert {(r.shard, r.pos, r.doc_id) for r in again} == {
+        (r.shard, r.pos, r.doc_id) for r in out
+    }
+
+
+def test_random_projection_is_shuffle_free_and_distance_preserving(spark, emb):
+    import math
+
+    from delta_rs_spark.operators import similarity
+    from delta_rs_spark.plans import summarize
+
+    # plan shape: over a raw scan (load_table's fan-out repartition would
+    # contribute its own exchange) the projection adds NO exchange
+    raw = spark.read.parquet(str(emb.inputFiles()[0]).replace("file:", ""))
+    s = summarize(similarity.random_projection(raw, in_dim=64, out_dim=16))
+    assert s.exchanges == 0, "projection must stay a narrow map"
+    out = similarity.random_projection(emb, in_dim=64, out_dim=16)
+    rows = out.orderBy("vec_id").limit(64).collect()
+    assert len(rows[0]) == 17  # id + 16 components
+    # JL sanity: projected norms concentrate around original norms
+    orig = {
+        r.vec_id: math.sqrt(sum(x * x for x in r.embedding))
+        for r in emb.orderBy("vec_id").limit(64).collect()
+    }
+    for r in rows:
+        pn = math.sqrt(sum(r[f"rp{j:02d}"] ** 2 for j in range(16)))
+        assert 0.4 * orig[r.vec_id] <= pn <= 1.9 * orig[r.vec_id]

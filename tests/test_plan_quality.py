@@ -85,6 +85,7 @@ CARTESIAN_OK = {
     "q15_top_supplier",       # 1-row max broadcast
     "q22_idle_customers",     # 1-row avg broadcast
     "q_events_funnel",        # crossJoin of three 1-row stage counts
+    "corpus_unigram_lm",      # 1-row total-token-count broadcast
 }
 
 
