@@ -278,7 +278,6 @@ def write_change_files(
     import uuid
 
     from .protocol import column_mapping as cm
-    from .writer import _list_parquet_files, _remove_dir_tree
 
     if table_schema is not None and cm.is_mapped(configuration):
         change_df = cm.to_physical_df(change_df, table_schema)
@@ -287,9 +286,9 @@ def write_change_files(
     change_df.write.mode("overwrite").parquet(staging)
 
     actions: list[CdcAction] = []
-    for i, src in enumerate(sorted(_list_parquet_files(staging))):
+    for i, src in enumerate(sorted(log.data_plane.staged_files(staging))):
         rel = f"_change_data/cdc-{i:05d}-{uuid.uuid4()}.snappy.parquet"
         size, _ = log.data_plane.publish_file(src, rel)
         actions.append(CdcAction(path=rel, size=size))
-    _remove_dir_tree(staging)
+    log.data_plane.cleanup_stage(staging)
     return actions

@@ -28,10 +28,22 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .queries import SUM_DEC, query
+from .queries import SUM_DEC, _sum_dec, query
 from .sources.tables import load_table
 
 _WORK_ROOT = "/tmp/delta_rs_spark_certq"
+
+
+def _assert_ids_below(df: DataFrame, id_col: str, bound: int) -> None:
+    """The lifecycle oracles offset synthetic ids by +bound multiples; a
+    source table whose ids already reach the offset range would collide
+    with them and hash-mismatch in a way that reads as an engine bug.
+    Fail loudly instead (1-row driver agg — seeding-time only)."""
+    top = df.agg(F.max(id_col).alias("m")).collect()[0].m
+    if top is not None and top >= bound:
+        raise AssertionError(
+            f"lifecycle query assumes {id_col} < {bound}; source max is {top}"
+        )
 
 
 def _workdir(name: str, sf_dir: str) -> str:
@@ -148,12 +160,8 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_quantity").cast("decimal(25,2)"))
-            .cast("double")
-            .alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(25,2)"))
-            .cast("double")
-            .alias("sum_price"),
+            _sum_dec(F.col("l_quantity"), "sum_qty", 2),
+            _sum_dec(F.col("l_extendedprice"), "sum_price", 2),
         )
         .orderBy("l_returnflag")
     )
@@ -194,6 +202,7 @@ def q_features_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     uri = _workdir("features", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    _assert_ids_below(docs, "doc_id", 100_000)
 
     # v0: create with DEFAULT tier='standard' (column materialized per row)
     write_deltalake(
@@ -268,8 +277,6 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary cannot change the aggregate)."""
     import uuid as _uuid
 
-    from pyspark.sql import functions as F
-
     from .streaming.source import DeltaStreamDataSource
     from .writer import write_deltalake
 
@@ -292,9 +299,7 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(25,6)"))
-            .cast("double")
-            .alias("sum_value"),
+            _sum_dec(F.col("value"), "sum_value"),
         )
         .writeStream.format("memory")
         .queryName(sink)
@@ -303,7 +308,11 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        # timed out: the sink holds a PARTIAL aggregate — certifying it
+        # would blame the engine for a slow box. Stop the orphan and fail.
+        q.stop()
+        raise RuntimeError("stream_events_hourly did not drain within 300s")
     return spark.table(sink).orderBy("hour", "event_type")
 
 
@@ -356,6 +365,7 @@ def q_widening_uniform_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.length("text").cast("int").alias("n_tok")
     )
+    _assert_ids_below(docs, "doc_id", 1_000_000)
     write_deltalake(
         spark, docs, uri, configuration={"delta.enableDeletionVectors": "true"}
     )

@@ -430,7 +430,7 @@ def optimize(
     from .protocol.actions import RemoveAction
     from .protocol.schema import schema_string_to_spark
     from .transactions import DeltaTransaction
-    from .writer import _promote_staged_files, _remove_dir_tree
+    from .writer import _promote_staged_files
 
     from .protocol import column_mapping as _cm
 
@@ -571,7 +571,7 @@ def optimize(
             stats_columns=_stats_cols,
         )
     except BaseException:
-        _remove_dir_tree(staging_root)
+        log.data_plane.cleanup_stage(staging_root)
         raise
 
     now_ms = int(time.time() * 1000)

@@ -208,6 +208,11 @@ class Snapshot:
         copy otherwise (see ``protocol/dataio.py``)."""
         return self.log.data_plane.readable_uri(path)
 
+    def _local(self, path: str) -> str:
+        """Path DRIVER-SIDE pyarrow can open (to_pyarrow_* materialization,
+        footer probes) — fetched through the backend on non-local planes."""
+        return self.log.data_plane.local_uri(path)
+
     def stats(self) -> list[Optional[dict[str, Any]]]:
         if self.mapping_mode() != "none":
             schema = self.schema()

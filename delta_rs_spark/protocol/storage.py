@@ -59,6 +59,14 @@ class StorageBackend:
         """Atomically move src→dst, failing with FileAlreadyExistsError if dst exists."""
         raise NotImplementedError
 
+    def copy_obj(self, src: str, dst: str) -> None:
+        """Copy src→dst (overwrite). Object stores override this with their
+        SERVER-SIDE copy (S3 CopyObject, GCS rewrite, Azure copy-from-URL)
+        so promoting a staged data file never moves bytes through the
+        driver; this default round-trips the payload and is only acceptable
+        for backends without a copy API."""
+        self.put_obj(dst, self.get_obj(src))
+
     def join(self, *parts: str) -> str:
         raise NotImplementedError
 
@@ -124,6 +132,12 @@ class LocalFileBackend(StorageBackend):
         except FileExistsError as e:
             raise FileAlreadyExistsError(dst) from e
         os.unlink(src)
+
+    def copy_obj(self, src: str, dst: str) -> None:
+        import shutil
+
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)
 
     def join(self, *parts: str) -> str:
         return os.path.join(*parts)
@@ -204,6 +218,14 @@ class MemoryBackend(StorageBackend):
             if src not in self._objs:
                 raise FileNotFoundError(src)
             self._objs[dst] = self._objs.pop(src)
+
+    def copy_obj(self, src: str, dst: str) -> None:
+        import time as _time
+
+        with MemoryBackend._lock:
+            if src not in self._objs:
+                raise FileNotFoundError(src)
+            self._objs[dst] = (self._objs[src][0], _time.time())
 
     def join(self, *parts: str) -> str:
         return "/".join(p.strip("/") if i else p.rstrip("/") for i, p in enumerate(parts))
@@ -339,6 +361,25 @@ class S3Backend(StorageBackend):
                 raise FileAlreadyExistsError(dst) from e
             raise
         self.delete_obj(src)
+
+    def copy_obj(self, src: str, dst: str) -> None:
+        """SERVER-SIDE CopyObject — S3 moves the bytes internally; the
+        driver sends one bounded API call regardless of object size (up to
+        the 5 GB CopyObject limit; data files stay far below it)."""
+        from botocore.exceptions import ClientError
+
+        src_bucket, src_key = self._split(src)
+        dst_bucket, dst_key = self._split(dst)
+        try:
+            self.client.copy_object(
+                Bucket=dst_bucket,
+                Key=dst_key,
+                CopySource={"Bucket": src_bucket, "Key": src_key},
+            )
+        except ClientError as e:
+            if self._is_missing(e):
+                raise FileNotFoundError(src) from e
+            raise
 
     def join(self, *parts: str) -> str:
         return "/".join(p.strip("/") if i else p.rstrip("/") for i, p in enumerate(parts))
@@ -480,6 +521,35 @@ class GcsBackend(StorageBackend):
         data = self.get_obj(src)
         self.put_obj(dst, data, if_none_match=True)  # atomic commit point
         self.delete_obj(src)
+
+    def copy_obj(self, src: str, dst: str) -> None:
+        """SERVER-SIDE rewrite (``rewriteTo``) — GCS moves the bytes
+        internally; one bounded API call per rewrite round (same-location
+        same-class rewrites complete in a single round)."""
+        from urllib.parse import quote
+
+        src_bucket, src_key = self._split(src)
+        dst_bucket, dst_key = self._split(dst)
+        token = ""
+        while True:
+            url = (
+                "https://storage.googleapis.com/storage/v1/b/"
+                f"{src_bucket}/o/{quote(src_key, safe='')}/rewriteTo/b/"
+                f"{dst_bucket}/o/{quote(dst_key, safe='')}"
+            )
+            if token:
+                url += f"?rewriteToken={quote(token, safe='')}"
+            status, _, body = self.client.request(
+                "POST", url, {"Content-Type": "application/json"}, b"{}"
+            )
+            if status == 404:
+                raise FileNotFoundError(src)
+            if status >= 400:
+                raise OSError(f"REWRITE {src} -> HTTP {status}")
+            resp = json.loads(body)
+            if resp.get("done", True):
+                return
+            token = resp.get("rewriteToken", "")
 
     def join(self, *parts: str) -> str:
         return "/".join(p.strip("/") if i else p.rstrip("/") for i, p in enumerate(parts))
@@ -661,6 +731,21 @@ class AdlsBackend(StorageBackend):
         data = self.get_obj(src)
         self.put_obj(dst, data, if_none_match=True)  # atomic commit point
         self.delete_obj(src)
+
+    def copy_obj(self, src: str, dst: str) -> None:
+        """SERVER-SIDE copy (``x-ms-copy-source`` + ``x-ms-requires-sync``)
+        — the Blob service moves the bytes; one bounded API call (sync copy
+        is supported for same-account block blobs, which staged-file
+        promotion always is)."""
+        headers = {
+            "x-ms-copy-source": self._url(src).split("?", 1)[0],
+            "x-ms-requires-sync": "true",
+        }
+        status, _, _ = self._request("PUT", self._url(dst), headers)
+        if status == 404:
+            raise FileNotFoundError(src)
+        if status >= 400:
+            raise OSError(f"COPY {src} -> HTTP {status}")
 
     def join(self, *parts: str) -> str:
         return "/".join(p.strip("/") if i else p.rstrip("/") for i, p in enumerate(parts))

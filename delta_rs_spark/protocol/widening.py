@@ -280,7 +280,7 @@ def physical_narrow_files(table) -> list[str]:
             and add.modification_time > cutoff_ts
         ):
             continue
-        uri = table.snapshot.log.data_plane.readable_uri(add.path)
+        uri = table.snapshot.log.data_plane.local_uri(add.path)
         try:
             file_schema = pq.read_schema(uri)
         except Exception:  # pragma: no cover - unreadable file: be conservative

@@ -26,7 +26,24 @@ def running_totals(
     """
     import pandas as pd
 
-    out_schema = f"{key_col} LONG, n_events LONG, total_value DOUBLE"
+    from pyspark.sql import types as T
+
+    # key type follows the input stream (string keys, int keys, ...); the
+    # value column must be numeric — fail at build time, not mid-batch
+    key_field = stream.schema[key_col]
+    value_type = stream.schema[value_col].dataType
+    if not isinstance(value_type, T.NumericType):
+        raise TypeError(
+            f"running_totals value_col {value_col!r} must be numeric, "
+            f"got {value_type.simpleString()}"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, key_field.dataType),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
     state_schema = "n LONG, total DOUBLE"
 
     def update(key, pdfs, state: GroupState):

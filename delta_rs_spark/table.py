@@ -230,10 +230,11 @@ class DeltaTable:
                 "column-mapped tables store physical column names in the "
                 "data files; read via to_df() (Spark path, mapping-aware)"
             )
-        # readable URIs: identical to file_uris() on the native data plane,
-        # backend-mirrored local copies otherwise (protocol/dataio.py)
+        # driver-local paths: identical to file_uris() on the local-FS data
+        # plane, backend-fetched local copies otherwise (protocol/dataio.py)
+        # — pyarrow materialization is a driver-side API by construction
         paths = [
-            self._snapshot._readable(a.path)
+            self._snapshot._local(a.path)
             for a in self._snapshot.files(partition_filters=partitions or None)
         ]
         return ds.dataset(
@@ -279,7 +280,7 @@ class DeltaTable:
         pcols = self.metadata().partition_columns
         pieces = []
         for a in adds:
-            tbl = pq.read_table(snap._readable(a.path))
+            tbl = pq.read_table(snap._local(a.path))
             if a.deletion_vector:
                 from .protocol.dv import add_positions
 

@@ -714,7 +714,7 @@ def _entry_for_add(
         import pyarrow.parquet as _pqc
 
         try:
-            uri = tree.log.data_plane.readable_uri(add.path)
+            uri = tree.log.data_plane.local_uri(add.path)
             stats = {**stats, "numRecords": _pqc.ParquetFile(uri).metadata.num_rows}
         except FileNotFoundError:
             # a lagging sync can reach a commit whose file was later

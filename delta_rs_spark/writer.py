@@ -957,12 +957,18 @@ def _promote_staged_files(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    staged = _list_parquet_files(staging_dir)
-    stats_by_path = _collect_footer_stats(spark, staged, stats_columns)
+    staged = log.data_plane.staged_files(staging_dir)
+    if "://" in staging_dir:
+        # native-remote staging: executor-local pyarrow cannot open the
+        # remote URIs, but Spark's own jars can — one distributed scan
+        # produces the same stats shape without any driver data I/O
+        stats_by_path = _spark_fallback_stats(spark, staged, stats_columns)
+    else:
+        stats_by_path = _collect_footer_stats(spark, staged, stats_columns)
 
     def promote(item: tuple[int, str]) -> AddAction:
         i, src = item
-        rel = os.path.relpath(src, staging_dir)
+        rel = _rel_inside(src, staging_dir)
         part_dir = os.path.dirname(rel)
         partition_values = _parse_partition_path(part_dir)
         fname = f"part-{i:05d}-{uuid.uuid4()}-c000.snappy.parquet"
@@ -985,8 +991,16 @@ def _promote_staged_files(
     else:
         with ThreadPoolExecutor(max_workers=min(32, len(items))) as ex:
             adds = list(ex.map(promote, items))
-    _remove_dir_tree(staging_dir)
+    log.data_plane.cleanup_stage(staging_dir)
     return adds
+
+
+def _rel_inside(src: str, staging_dir: str) -> str:
+    """Path of a staged file relative to its staging dir — os.path for
+    local paths, string-prefix for URIs (both '/'-separated on this OS)."""
+    if "://" in staging_dir:
+        return src[len(staging_dir):].lstrip("/")
+    return os.path.relpath(src, staging_dir)
 
 
 def _list_parquet_files(root: str) -> list[str]:
@@ -1088,7 +1102,13 @@ def _spark_fallback_stats(
         .collect()
     )
     out: dict[str, str] = {}
-    by_tail = {p.replace(os.sep, "/"): p for p in paths}
+    # match by url PATH component: Spark's _metadata.file_path carries the
+    # filesystem's normalized URI, which won't string-match a scheme-alias
+    # (s3a:// staged src vs s3:// in file_path) — the path part does
+    by_tail = {
+        unquote(urlparse(p).path) if "://" in p else p.replace(os.sep, "/"): p
+        for p in paths
+    }
     for r in rows:
         tail = unquote(urlparse(r["__f"]).path)
         local = next(

@@ -59,6 +59,16 @@ class FakeAzureTransport:
             if path not in self.blobs:
                 return 404, {}, b""
             return 200, self._props(path), self.blobs[path]
+        if method == "PUT" and "x-ms-copy-source" in headers:
+            # server-side copy: the service moves the bytes, the request
+            # carries none ("Copy Blob From URL" sync form)
+            assert headers.get("x-ms-requires-sync") == "true"
+            assert body is None
+            src = unquote(urlparse(headers["x-ms-copy-source"]).path).lstrip("/")
+            if src not in self.blobs:
+                return 404, {}, b""
+            self.blobs[path] = self.blobs[src]
+            return 202, {"x-ms-copy-status": "success"}, b""
         if method == "PUT":
             assert headers.get("x-ms-blob-type") == "BlockBlob"
             if headers.get("If-None-Match") == "*" and path in self.blobs:
@@ -260,3 +270,19 @@ def test_shared_key_signing_shape(monkeypatch):
     assert auth.startswith("SharedKey sa:")
     sig = auth.split(":", 1)[1]
     assert base64.b64decode(sig)  # well-formed base64 signature
+
+
+def test_copy_obj_is_server_side_copy():
+    fake = FakeAzureTransport()
+    b = AdlsBackend(client=fake)
+    src = f"{URI}/.tmp/part-0.parquet"
+    dst = f"{URI}/part-final.parquet"
+    b.put_obj(src, b"PAYLOAD")
+    fake.requests.clear()
+    b.copy_obj(src, dst)
+    assert b.get_obj(dst) == b"PAYLOAD"
+    copy_reqs = [r for r in fake.requests if r[0] == "PUT"]
+    assert len(copy_reqs) == 1
+    assert "x-ms-copy-source" in copy_reqs[0][2]
+    with pytest.raises(FileNotFoundError):
+        b.copy_obj(f"{URI}/missing", f"{URI}/x")

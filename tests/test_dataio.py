@@ -184,3 +184,121 @@ def test_mocked_abfss_mor_delete(spark):
         from delta_rs_spark.protocol.storage import _BACKEND_FACTORIES
 
         _BACKEND_FACTORIES.pop("abfss", None)
+
+
+# ---------------------------------------------------------------------------
+# Native-remote plane: scheme aliasing + server-side promotion (unit level —
+# Spark cannot mount these schemes in this container, so the DataPlane
+# contract is pinned directly; a jar-equipped cluster exercises it live)
+# ---------------------------------------------------------------------------
+
+from types import SimpleNamespace
+
+from delta_rs_spark.protocol.dataio import NATIVE_SCHEMES_ENV, DataPlane
+from delta_rs_spark.protocol.storage import MemoryBackend
+
+
+def _fake_log(root, backend):
+    return SimpleNamespace(table_root=root, backend=backend)
+
+
+def test_native_scheme_alias_matches_family(monkeypatch):
+    """env=s3a (the jar spelling) must make an s3://-normalized root native,
+    and every Spark-facing URI must carry the jar spelling."""
+    monkeypatch.setenv(NATIVE_SCHEMES_ENV, "s3a")
+    dp = DataPlane(_fake_log("s3://bucket/t", MemoryBackend("alias")))
+    assert dp.native and dp.remote
+    assert dp.scan_root == "s3a://bucket/t"
+    assert dp.readable_uri("part-0.parquet") == "s3a://bucket/t/part-0.parquet"
+    # round trip at the Spark boundary
+    assert dp.canonical_uri("s3a://bucket/t/x") == "s3://bucket/t/x"
+    assert dp.spark_uri("s3://bucket/t/x") == "s3a://bucket/t/x"
+    # absolute (shallow-clone) paths translate too
+    assert dp.readable_uri("s3://other/t/f.parquet") == "s3a://other/t/f.parquet"
+
+
+def test_native_scheme_canonical_spelling_also_matches(monkeypatch):
+    monkeypatch.setenv(NATIVE_SCHEMES_ENV, "gs,abfss")
+    dp = DataPlane(_fake_log("gs://bucket/t", MemoryBackend("alias2")))
+    assert dp.native and dp.scan_root == "gs://bucket/t"
+
+
+def test_unmatched_scheme_stays_mirrored(monkeypatch):
+    monkeypatch.setenv(NATIVE_SCHEMES_ENV, "s3a")
+    dp = DataPlane(_fake_log("gs://bucket/t", MemoryBackend("alias3")))
+    assert not dp.native
+    assert dp.scan_root != "gs://bucket/t"
+
+
+def test_native_remote_staging_promotion_is_server_side(monkeypatch):
+    """The native-remote write path: stage under the table, list staged
+    files via the backend, promote via server-side copy + delete, clean the
+    markers — no local filesystem involvement, no payload re-upload."""
+    monkeypatch.setenv(NATIVE_SCHEMES_ENV, "memory")
+    backend = MemoryBackend("nativestage")
+    dp = DataPlane(_fake_log("memory://tbl", backend))
+    assert dp.native and dp.remote
+
+    staging = dp.stage_dir("commit")
+    assert staging.startswith("memory://tbl/.tmp-commit-")
+    backend.put_obj(f"{staging}/part-00000.parquet", b"PAYLOAD")
+    backend.put_obj(f"{staging}/_SUCCESS", b"")
+    backend.put_obj(f"{staging}/.part-00000.parquet.crc", b"x")
+
+    staged = dp.staged_files(staging)
+    assert staged == [f"{staging}/part-00000.parquet"]
+
+    orig_put = MemoryBackend.put_obj
+    uploads = []
+
+    def counting_put(self, path, data):
+        uploads.append(path)
+        return orig_put(self, path, data)
+
+    monkeypatch.setattr(MemoryBackend, "put_obj", counting_put)
+    size, mtime_ms = dp.publish_file(staged[0], "part-final.parquet")
+    assert size == len(b"PAYLOAD") and mtime_ms > 0
+    assert backend.get_obj("memory://tbl/part-final.parquet") == b"PAYLOAD"
+    assert not backend.exists(staged[0])
+    assert uploads == []  # promotion was copy_obj, not a driver re-upload
+
+    dp.cleanup_stage(staging)
+    assert list(backend.list_objs(staging)) == []
+
+
+def test_mirrored_plane_localizes_absolute_uris(spark):
+    """A shallow clone of a memory:// table records ABSOLUTE source uris;
+    the clone's mirrored plane must fetch them through the backend instead
+    of treating them as log-relative (which would 404)."""
+    src_uri = "memory://dataio/clone-src"
+    t = _seed(spark, src_uri, rows=100, nfiles=2, dv=False)
+    clone = t.shallow_clone("memory://dataio/clone-dst")
+    assert clone.to_df(spark).count() == 100
+    got = sorted(r.id for r in clone.to_df(spark).filter("k = 7").collect())
+    assert got == list(range(7, 100, 10))
+
+
+def test_copy_obj_contracts():
+    """copy_obj: same bytes at dst, src untouched, missing src raises."""
+    import os
+    import tempfile
+
+    from delta_rs_spark.protocol.storage import LocalFileBackend
+
+    mem = MemoryBackend("copyc")
+    mem.put_obj("memory://c/a", b"abc")
+    mem.copy_obj("memory://c/a", "memory://c/b")
+    assert mem.get_obj("memory://c/b") == b"abc"
+    assert mem.get_obj("memory://c/a") == b"abc"
+    with pytest.raises(FileNotFoundError):
+        mem.copy_obj("memory://c/missing", "memory://c/x")
+
+    loc = LocalFileBackend()
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "a")
+        with open(src, "wb") as fh:
+            fh.write(b"xyz")
+        dst = os.path.join(d, "sub", "b")
+        loc.copy_obj(src, dst)
+        assert loc.get_obj(dst) == b"xyz"
+        assert os.path.exists(src)

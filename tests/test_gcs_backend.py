@@ -56,6 +56,19 @@ class FakeGcsTransport:
             self.objects[full] = body or b""
             return 200, {}, json.dumps({"name": key, "size": str(len(body or b""))}).encode()
 
+        if "/rewriteTo/b/" in parsed.path:
+            # /storage/v1/b/<sb>/o/<sk>/rewriteTo/b/<db>/o/<dk> — server-side
+            p = parsed.path.split("/")
+            src = f"{p[4]}/{unquote(p[6])}"
+            dst = f"{p[9]}/{unquote(p[11])}"
+            assert method == "POST"
+            if src not in self.objects:
+                return 404, {}, b""
+            self.objects[dst] = self.objects[src]
+            return 200, {}, json.dumps(
+                {"done": True, "resource": {"name": unquote(p[11])}}
+            ).encode()
+
         parts = parsed.path.split("/")  # /storage/v1/b/<bucket>/o[/<object>]
         bucket = parts[4]
         if len(parts) == 6 and parts[5] == "o":  # list
@@ -252,3 +265,17 @@ def test_mocked_gs_mor_delete_lifecycle(spark):
         from delta_rs_spark.protocol.storage import _BACKEND_FACTORIES
 
         _BACKEND_FACTORIES.pop("gs", None)
+
+
+def test_copy_obj_is_server_side_rewrite():
+    fake = FakeGcsTransport()
+    b = GcsBackend(client=fake)
+    b.put_obj("gs://bkt/t/.tmp/part-0.parquet", b"PAYLOAD")
+    fake.requests.clear()
+    b.copy_obj("gs://bkt/t/.tmp/part-0.parquet", "gs://bkt/t/part-final.parquet")
+    # exactly one rewrite call, no media upload/download round trips
+    assert [m for m, _ in fake.requests] == ["POST"]
+    assert "/rewriteTo/b/" in fake.requests[0][1]
+    assert b.get_obj("gs://bkt/t/part-final.parquet") == b"PAYLOAD"
+    with pytest.raises(FileNotFoundError):
+        b.copy_obj("gs://bkt/t/missing", "gs://bkt/t/x")

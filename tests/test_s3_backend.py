@@ -183,3 +183,20 @@ def test_parse_table_uri_s3_scheme():
 def test_split_rejects_non_s3():
     with pytest.raises(ValueError):
         S3Backend._split("file:///tmp/x")
+
+
+def test_copy_obj_is_server_side_copy(s3):
+    """Promotion copy is CopyObject — one API call, no payload transfer."""
+    backend, stubber = s3
+    stubber.add_response(
+        "copy_object",
+        {"CopyObjectResult": {"ETag": '"abc"'}},
+        {
+            "Bucket": "bkt",
+            "Key": "tbl/part-final.parquet",
+            "CopySource": {"Bucket": "bkt", "Key": "tbl/.tmp/part-0.parquet"},
+        },
+    )
+    backend.copy_obj(
+        "s3://bkt/tbl/.tmp/part-0.parquet", "s3://bkt/tbl/part-final.parquet"
+    )

@@ -583,3 +583,44 @@ def test_stream_starting_version_latest(spark, tmp_path):
         F.col("id"), (F.col("id") % 3).alias("bucket")), uri, mode="append")  # v2
     parts = r.partitions({"version": 1}, {"version": 2})
     assert parts  # only v2's files
+
+
+def test_stateful_running_totals_string_key(spark, tmp_path):
+    """The output schema follows the input key type — a string key must
+    work (it used to be hardcoded LONG), and a non-numeric value column
+    must fail at build time, not mid-batch."""
+    from delta_rs_spark.streaming.stateful import running_totals
+
+    uri = str(tmp_path / "state_tbl_str")
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("a", 3.0)], "k string, value double"
+    )
+    write_deltalake(spark, df, uri)
+    spark.dataSource.register(DeltaStreamDataSource)
+    stream = (
+        spark.readStream.format("delta_stream")
+        .option("path", uri)
+        .option("startingVersion", "0")
+        .load()
+        .select("k", "value")
+    )
+    q = (
+        running_totals(stream, key_col="k")
+        .writeStream.format("memory")
+        .queryName("running_totals_str_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state_str"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.k: (r.n_events, r.total_value)
+            for r in spark.sql("select * from running_totals_str_sink").collect()
+        }
+        assert got == {"a": (2, 4.0), "b": (1, 2.0)}
+    finally:
+        q.stop()
+
+    with pytest.raises(TypeError, match="must be numeric"):
+        running_totals(stream.selectExpr("k", "k as value"), key_col="k")
