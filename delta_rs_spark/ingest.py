@@ -74,9 +74,18 @@ def copy_into(
     numFilesLoaded, numFilesSkipped. The table must already exist (the
     public COPY INTO contract targets an existing table); incoming
     columns are cast to the table schema by name and must cover every
-    column without a DEFAULT."""
+    column the writer cannot fill itself (DEFAULT, identity and generated
+    columns are assigned on write).
+
+    Concurrency: the loaded-file registry is a whole-value domain replace,
+    so this commit declares a read on the domain — a concurrent COPY INTO
+    that wins the race aborts this one (instead of this one silently
+    clobbering the winner's registry entries, which would let ITS files be
+    re-ingested later), and the loop below re-reads the merged registry and
+    retries with only the still-unloaded files."""
     from .protocol.actions import DomainMetadataAction, upgraded_protocol
     from .table import DeltaTable
+    from .transactions import ConcurrentDomainMetadataError
     from .writer import write_deltalake
 
     fmt = file_format.lower()
@@ -84,80 +93,120 @@ def copy_into(
         raise CopyIntoError(
             f"FILEFORMAT {file_format!r} not supported; one of {sorted(_FORMATS)}"
         )
-    table = DeltaTable(table_uri)
-    schema = table.schema()
     matched = _list_source_files(source, pattern)
-    registry = _registry(table)
-    new_files = [p for p in matched if force or p not in registry]
-    skipped = len(matched) - len(new_files)
-    if not new_files:
-        return {
-            "num_affected_rows": 0,
-            "num_inserted_rows": 0,
-            "numFilesLoaded": 0,
-            "numFilesSkipped": skipped,
-        }
 
-    reader = spark.read.format(fmt)
-    if fmt in ("csv", "json"):
-        # text formats have no embedded types: the table schema IS the schema
-        reader = reader.schema(schema)
-        if fmt == "csv":
-            reader = reader.option("header", "true")
-    df = reader.load(new_files)
-    missing = set(schema.names) - set(df.columns)
-    if missing:
-        from .protocol import defaults as _dfl
+    attempts = 0
+    while True:
+        attempts += 1
+        table = DeltaTable(table_uri)
+        schema = table.schema()
+        registry = _registry(table)
+        new_files = [p for p in matched if force or p not in registry]
+        skipped = len(matched) - len(new_files)
+        if not new_files:
+            return {
+                "num_affected_rows": 0,
+                "num_inserted_rows": 0,
+                "numFilesLoaded": 0,
+                "numFilesSkipped": skipped,
+            }
 
-        defaulted = set(_dfl.defaults(schema))
-        hard_missing = missing - defaulted
+        reader = spark.read.format(fmt)
+        if fmt in ("csv", "json"):
+            # text formats have no embedded types: the table schema IS the
+            # schema (writer-assigned columns are filled after the read)
+            import pyspark.sql.types as _T
+
+            assigned = _writer_assigned_columns(schema)
+            read_schema = _T.StructType(
+                [f for f in schema.fields if f.name not in assigned]
+            )
+            reader = reader.schema(read_schema)
+            if fmt == "csv":
+                reader = reader.option("header", "true")
+        df = reader.load(new_files)
+        missing = set(schema.names) - set(df.columns)
+        hard_missing = missing - _writer_assigned_columns(schema)
         if hard_missing:
             raise CopyIntoError(
                 f"source files lack required columns {sorted(hard_missing)}"
             )
-    types = {f.name: f.dataType for f in schema.fields}
-    df = df.select(
-        *[F.col(c).cast(types[c]).alias(c) for c in schema.names if c in df.columns]
-    )
-    n_rows = df.count()
+        types = {f.name: f.dataType for f in schema.fields}
+        df = df.select(
+            *[
+                F.col(c).cast(types[c]).alias(c)
+                for c in schema.names
+                if c in df.columns
+            ]
+        )
 
-    merged = dict(registry)
-    for p in new_files:
-        st = os.stat(p)
-        merged[p] = {"size": st.st_size, "mtime": int(st.st_mtime)}
-    extra: list = [
-        DomainMetadataAction(
-            domain=COPY_INTO_DOMAIN,
-            configuration=json.dumps(merged, sort_keys=True, separators=(",", ":")),
+        merged = dict(registry)
+        for p in new_files:
+            st = os.stat(p)
+            merged[p] = {"size": st.st_size, "mtime": int(st.st_mtime)}
+        extra: list = [
+            DomainMetadataAction(
+                domain=COPY_INTO_DOMAIN,
+                configuration=json.dumps(
+                    merged, sort_keys=True, separators=(",", ":")
+                ),
+            )
+        ]
+        # writers may only emit domainMetadata when the table advertises the
+        # feature — first COPY INTO carries the bump
+        if "domainMetadata" not in (table.snapshot.state.writer_features or []):
+            bump = upgraded_protocol(
+                table.snapshot.state, 1, 7, writer_features=["domainMetadata"]
+            )
+            if bump is not None:
+                extra.insert(0, bump)
+        try:
+            t2 = write_deltalake(
+                spark,
+                df,
+                table_uri,
+                mode="append",
+                partition_by=table.metadata().partition_columns or None,
+                extra_actions=extra,
+                read_domains=[COPY_INTO_DOMAIN],
+                operation="COPY INTO",
+                operation_parameters_extra={
+                    "source": source,
+                    "fileFormat": fmt,
+                    **({"pattern": pattern} if pattern else {}),
+                    **({"force": "true"} if force else {}),
+                    "numSourceFiles": str(len(new_files)),
+                },
+            )
+        except ConcurrentDomainMetadataError:
+            if attempts >= 10:
+                raise
+            continue  # re-read the merged registry, reload the remainder
+        # row count from the committed adds' footer stats — no second scan
+        commit = t2.log.try_read_commit(t2.version) or []
+        from .protocol.actions import AddAction
+
+        n_rows = sum(
+            a.num_records or 0 for a in commit if isinstance(a, AddAction)
         )
-    ]
-    # writers may only emit domainMetadata when the table advertises the
-    # feature — first COPY INTO carries the bump
-    if "domainMetadata" not in (table.snapshot.state.writer_features or []):
-        bump = upgraded_protocol(
-            table.snapshot.state, 1, 7, writer_features=["domainMetadata"]
-        )
-        if bump is not None:
-            extra.insert(0, bump)
-    write_deltalake(
-        spark,
-        df,
-        table_uri,
-        mode="append",
-        partition_by=table.metadata().partition_columns or None,
-        extra_actions=extra,
-        operation="COPY INTO",
-        operation_parameters_extra={
-            "source": source,
-            "fileFormat": fmt,
-            **({"pattern": pattern} if pattern else {}),
-            **({"force": "true"} if force else {}),
-            "numSourceFiles": str(len(new_files)),
-        },
+        return {
+            "num_affected_rows": n_rows,
+            "num_inserted_rows": n_rows,
+            "numFilesLoaded": len(new_files),
+            "numFilesSkipped": skipped,
+        }
+
+
+def _writer_assigned_columns(schema) -> set[str]:
+    """Columns the writer fills when the source omits them: DEFAULTs,
+    identity columns (GENERATED ALWAYS must in fact be omitted), and
+    generated columns."""
+    from .protocol import defaults as _dfl
+    from .protocol import generated as _gen
+    from .protocol import identity as _idc
+
+    return (
+        set(_dfl.defaults(schema))
+        | set(_idc.specs(schema))
+        | set(_gen.expressions(schema))
     )
-    return {
-        "num_affected_rows": n_rows,
-        "num_inserted_rows": n_rows,
-        "numFilesLoaded": len(new_files),
-        "numFilesSkipped": skipped,
-    }

@@ -141,30 +141,45 @@ class DeltaLog:
             return None
 
     def find_latest_checkpoint_for_version(self, version: int) -> Optional[CheckPoint]:
-        """Newest checkpoint ≤ version, by log-dir scan (single & multi-part).
+        """Newest COMPLETE checkpoint ≤ version, by log-dir scan (single,
+        multi-part and v2).
 
-        Mirrors the reference's regex scan (``rust/src/delta.rs:445-502``).
+        Mirrors the reference's regex scan (``rust/src/delta.rs:445-502``),
+        with one strengthening: a multi-part checkpoint only qualifies when
+        every one of its parts is present — a writer that crashed after
+        uploading part 1 of 3 must not poison snapshot loads; replay falls
+        back to the next-newest complete checkpoint (or plain commits).
         """
-        best: Optional[CheckPoint] = None
+        singles: set[int] = set()
+        multi: dict[tuple[int, int], set[int]] = {}
+        v2: dict[int, str] = {}
         for meta in self.backend.list_objs(self.log_dir):
             name = meta.path.rsplit("/", 1)[-1]
             m = _CHECKPOINT_RE.match(name)
             if m:
-                v = int(m.group(1))
-                if v <= version and (best is None or v > best.version):
-                    best = CheckPoint(version=v)
+                singles.add(int(m.group(1)))
                 continue
             m = _CHECKPOINT_PARTS_RE.match(name)
             if m:
-                v, _part, parts = int(m.group(1)), int(m.group(2)), int(m.group(3))
-                if v <= version and (best is None or v > best.version):
-                    best = CheckPoint(version=v, parts=parts)
+                v, part, parts = int(m.group(1)), int(m.group(2)), int(m.group(3))
+                multi.setdefault((v, parts), set()).add(part)
                 continue
             m = _CHECKPOINT_V2_RE.match(name)
             if m:
-                v, uid = int(m.group(1)), m.group(2)
-                if v <= version and (best is None or v > best.version):
-                    best = CheckPoint(version=v, uuid=uid)
+                v2[int(m.group(1))] = m.group(2)
+
+        best: Optional[CheckPoint] = None
+        for v in singles:
+            if v <= version and (best is None or v > best.version):
+                best = CheckPoint(version=v)
+        for (v, parts), seen in multi.items():
+            if v <= version and len(seen) == parts and (
+                best is None or v > best.version
+            ):
+                best = CheckPoint(version=v, parts=parts)
+        for v, uid in v2.items():
+            if v <= version and (best is None or v > best.version):
+                best = CheckPoint(version=v, uuid=uid)
         return best
 
     def sidecar_path(self, name: str) -> str:
@@ -213,8 +228,14 @@ class DeltaLog:
         path = self.commit_path(version)
         ict: Optional[int] = None
         try:
-            raw = self.backend.get_obj(path)
-            first = raw.split(b"\n", 1)[0]
+            # bounded head read: commitInfo is the first log line by writer
+            # contract, so 64 KB covers it however many actions follow (a
+            # ranged GET on object stores — never the whole commit object)
+            raw = self.backend.get_obj_head(path, 65536)
+            first, sep, _rest = raw.partition(b"\n")
+            if not sep and len(raw) == 65536:
+                # pathological first line longer than the head window
+                first = self.backend.get_obj(path).split(b"\n", 1)[0]
             obj = json.loads(first)
             info = obj.get("commitInfo")
             if info is not None and info.get("inCommitTimestamp") is not None:

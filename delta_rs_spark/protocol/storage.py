@@ -46,6 +46,13 @@ class StorageBackend:
     def get_obj(self, path: str) -> bytes:
         raise NotImplementedError
 
+    def get_obj_head(self, path: str, max_bytes: int) -> bytes:
+        """First ``max_bytes`` of an object (possibly less; possibly the
+        whole object). Object stores override with a ranged GET so reading
+        a commit's first line never downloads a multi-MB action file; this
+        default is correct but unbounded."""
+        return self.get_obj(path)[:max_bytes]
+
     def list_objs(self, path: str) -> Iterator[ObjectMeta]:
         raise NotImplementedError
 
@@ -96,6 +103,10 @@ class LocalFileBackend(StorageBackend):
     def get_obj(self, path: str) -> bytes:
         with open(path, "rb") as f:
             return f.read()
+
+    def get_obj_head(self, path: str, max_bytes: int) -> bytes:
+        with open(path, "rb") as f:
+            return f.read(max_bytes)
 
     def list_objs(self, path: str) -> Iterator[ObjectMeta]:
         try:
@@ -310,6 +321,21 @@ class S3Backend(StorageBackend):
             raise
         return resp["Body"].read()
 
+    def get_obj_head(self, path: str, max_bytes: int) -> bytes:
+        """Ranged GET — one bounded request however large the object."""
+        from botocore.exceptions import ClientError
+
+        bucket, key = self._split(path)
+        try:
+            resp = self.client.get_object(
+                Bucket=bucket, Key=key, Range=f"bytes=0-{max_bytes - 1}"
+            )
+        except ClientError as e:
+            if self._is_missing(e):
+                raise FileNotFoundError(path) from e
+            raise
+        return resp["Body"].read()
+
     def list_objs(self, path: str) -> Iterator[ObjectMeta]:
         bucket, prefix = self._split(path)
         prefix = prefix.rstrip("/") + "/"
@@ -454,6 +480,22 @@ class GcsBackend(StorageBackend):
         if status >= 400:
             raise OSError(f"GET {path} -> HTTP {status}")
         return body
+
+    def get_obj_head(self, path: str, max_bytes: int) -> bytes:
+        """Ranged media GET (one bounded request; 206 on a real service,
+        200 + full body from servers that ignore Range — sliced either way)."""
+        bucket, key = self._split(path)
+        status, _, body = self.client.request(
+            "GET",
+            self._object_url(bucket, key) + "?alt=media",
+            {"Range": f"bytes=0-{max_bytes - 1}"},
+            None,
+        )
+        if status == 404:
+            raise FileNotFoundError(path)
+        if status >= 400:
+            raise OSError(f"GET {path} -> HTTP {status}")
+        return body[:max_bytes]
 
     def list_objs(self, path: str) -> Iterator[ObjectMeta]:
         from urllib.parse import quote
@@ -668,6 +710,18 @@ class AdlsBackend(StorageBackend):
         if status >= 400:
             raise OSError(f"GET {path} -> HTTP {status}")
         return body
+
+    def get_obj_head(self, path: str, max_bytes: int) -> bytes:
+        """Ranged GET (``x-ms-range``; 206 on a real service, 200 + full
+        body from servers that ignore it — sliced either way)."""
+        status, _, body = self._request(
+            "GET", self._url(path), {"x-ms-range": f"bytes=0-{max_bytes - 1}"}
+        )
+        if status == 404:
+            raise FileNotFoundError(path)
+        if status >= 400:
+            raise OSError(f"GET {path} -> HTTP {status}")
+        return body[:max_bytes]
 
     def list_objs(self, path: str) -> Iterator[ObjectMeta]:
         import xml.etree.ElementTree as ET

@@ -11,7 +11,9 @@ intervening commit touched the same files — blind retry there would
 silently clobber a concurrent writer's swap (e.g. two merge-on-read
 deletes of the same file: the second would re-add the file with a DV built
 on the pre-first-delete state, resurrecting rows). Pure appends keep the
-reference's blind retry, so the reference writer's behavior is unchanged.
+reference's blind retry for FILE-level conflicts; protocol/metadata/txn
+changes by a winner abort every in-flight transaction (the appended files
+were planned against the old schema/protocol) — see ``_check_conflicts``.
 
 The log is tiny driver-side I/O; executors are never involved.
 """
@@ -99,6 +101,13 @@ class ConcurrentTransactionError(ConcurrentModificationError):
     (``txn`` action) this transaction's idempotency decision depends on."""
 
 
+class ConcurrentDomainMetadataError(ConcurrentModificationError):
+    """A concurrent commit replaced a ``domainMetadata`` domain this
+    transaction read and re-writes (domain writes are whole-value replaces:
+    committing anyway would silently drop the winner's update). Re-read the
+    domain, merge, and re-run."""
+
+
 # -- isolation levels (public Delta concurrency-control contract) -----------
 SERIALIZABLE = "Serializable"
 WRITE_SERIALIZABLE = "WriteSerializable"
@@ -129,6 +138,7 @@ class DeltaTransaction:
         self._read_pfilters: list = []
         self._read_whole_table = False
         self._read_app_ids: set[str] = set()
+        self._read_domains: set[str] = set()
         self.isolation_level: Optional[str] = (options or {}).get("isolation_level")
 
     def record_reads(
@@ -138,6 +148,7 @@ class DeltaTransaction:
         partition_filters=None,
         whole_table: bool = False,
         app_ids=None,
+        domains=None,
     ) -> None:
         """Declare what this transaction READ while planning its actions.
 
@@ -149,8 +160,12 @@ class DeltaTransaction:
         isolation level). ``whole_table``: the predicate could not be
         partition-bounded, so ANY concurrent append may match. ``app_ids``:
         application transaction watermarks this commit's idempotency
-        decision read. Transactions that record nothing keep blind-append
-        retry semantics (the reference's v0 behavior)."""
+        decision read. ``domains``: domainMetadata domains whose current
+        value this commit read and replaces (domain writes are whole-value;
+        a concurrent replace would be silently dropped). Transactions that
+        record nothing keep blind-append retry semantics (the reference's
+        v0 behavior) — except the always-on protocol/metadata/txn checks,
+        see ``_check_conflicts``."""
         if files:
             self._read_files.update(files)
         if partition_filters:
@@ -161,6 +176,8 @@ class DeltaTransaction:
             self._read_whole_table = True
         if app_ids:
             self._read_app_ids.update(app_ids)
+        if domains:
+            self._read_domains.update(domains)
 
     def _resolve_isolation(self, actions: list[Action]) -> str:
         """Explicit option > table property (``delta.isolationLevel``,
@@ -307,11 +324,15 @@ class DeltaTransaction:
             actions = self._with_ict_protocol_bump(actions)
 
         log = self.table.log
-        tmp = log.write_tmp_commit(actions, uuid.uuid4().hex)
-
+        # validate everything that depends only on the actions BEFORE the
+        # first tmp write — a validation error must not orphan a tmp file
         removed_paths = {a.path for a in actions if isinstance(a, RemoveAction)}
         isolation = self._resolve_isolation(actions)
         base_version = self.table.version
+        # the tmp write is deferred into the loop: ICT/row-tracking commits
+        # re-stamp on the first iteration anyway, and writing eagerly would
+        # cost a wasted put+delete round trip per commit on those tables
+        tmp: Optional[str] = None
 
         attempt = 0
         guard_base = base_version
@@ -323,10 +344,7 @@ class DeltaTransaction:
                     for g in self._guards:
                         g(self.table)
                 except Exception:
-                    try:
-                        log.backend.delete_obj(tmp)
-                    except FileNotFoundError:
-                        pass
+                    self._discard_tmp(log, tmp)
                     raise
                 guard_base = version - 1
             if version - 1 > base_version:
@@ -362,21 +380,15 @@ class DeltaTransaction:
                         cfg[ICT_ENABLEMENT_VERSION_KEY] = str(version)
                         cfg[ICT_ENABLEMENT_TS_KEY] = str(ict)
                         need_rewrite = True
-            if need_rewrite:
-                try:
-                    log.backend.delete_obj(tmp)
-                except FileNotFoundError:
-                    pass
+            if need_rewrite or tmp is None:
+                self._discard_tmp(log, tmp)
                 tmp = log.write_tmp_commit(actions, uuid.uuid4().hex)
             try:
                 log.try_commit(tmp, version)
                 break
             except FileAlreadyExistsError:
                 if attempt >= self.max_retries:
-                    try:
-                        log.backend.delete_obj(tmp)
-                    except FileNotFoundError:
-                        pass
+                    self._discard_tmp(log, tmp)
                     raise TransactionError(
                         f"commit failed after {attempt} attempts: version contention"
                     )
@@ -386,6 +398,18 @@ class DeltaTransaction:
         self.table.update()
         self.table._post_commit_hook(version)
         return version
+
+    @staticmethod
+    def _discard_tmp(log, tmp: Optional[str]) -> None:
+        """Best-effort removal of a temp commit file (None = never written).
+        Leaked tmps are also reaped by vacuum, but cleaning eagerly keeps
+        the log dir listing small."""
+        if tmp is None:
+            return
+        try:
+            log.backend.delete_obj(tmp)
+        except FileNotFoundError:
+            pass
 
     def _ict_enabling_metadata(self, actions: list[Action]):
         """The MetaDataAction in this commit that turns ICT on for a table
@@ -514,12 +538,25 @@ class DeltaTransaction:
         match our recorded read domain conflicts per the isolation level —
         Serializable checks every winner add, WriteSerializable exempts the
         winner's blind appends, SnapshotIsolation (auto for dataChange=false
-        commits like OPTIMIZE) skips the append check entirely. Transactions
-        that recorded no reads and remove nothing keep the reference's blind
-        retry. Driver-side only: the winner JSONs are small and the range is
-        validated once per version move."""
+        commits like OPTIMIZE) skips the append check entirely; a
+        domainMetadata replace of a domain this commit read conflicts
+        (domain writes are whole-value — committing would drop the
+        winner's update).
+
+        The protocol/metadata/txn checks are UNCONDITIONAL — they apply
+        even to blind appends, because an appended file must conform to the
+        table's current schema/protocol (the public Delta contract: any
+        concurrent metadata change raises MetadataChanged for every
+        transaction). This means concurrent appends to an identity-assigning
+        table serialize with MetadataChangedError — the same documented
+        limitation real Delta identity columns have, and the guard that
+        keeps assigned ids unique. Transactions that recorded no reads and
+        remove nothing keep the reference's blind retry for the
+        file-level checks. Driver-side only: the winner JSONs are small
+        and the range is validated once per version move."""
         from .protocol.actions import (
             CommitInfoAction,
+            DomainMetadataAction,
             MetaDataAction,
             ProtocolAction,
             TxnAction,
@@ -527,10 +564,7 @@ class DeltaTransaction:
         from .protocol.partitions import file_matches
 
         def _fail(exc: Exception) -> None:
-            try:
-                log.backend.delete_obj(tmp)
-            except FileNotFoundError:
-                pass
+            self._discard_tmp(log, tmp)
             raise exc
 
         check_appends = isolation != SNAPSHOT_ISOLATION and (
@@ -555,6 +589,15 @@ class DeltaTransaction:
                         f"version {v} advanced the transaction watermark for "
                         f"app {a.app_id!r} this commit depends on; the work may "
                         "already be committed — re-read the watermark"
+                    ))
+                if (
+                    isinstance(a, DomainMetadataAction)
+                    and a.domain in self._read_domains
+                ):
+                    _fail(ConcurrentDomainMetadataError(
+                        f"version {v} concurrently replaced domainMetadata "
+                        f"domain {a.domain!r} this commit read; committing "
+                        "would drop that update — re-read, merge, re-run"
                     ))
             w_removed = {a.path for a in winner if isinstance(a, RemoveAction)}
             w_adds = [a for a in winner if isinstance(a, AddAction)]

@@ -154,8 +154,15 @@ def write_deltalake(
     identity_columns: Optional[dict[str, dict]] = None,
     column_defaults: Optional[dict[str, str]] = None,
     cluster_by: Optional[Sequence[str]] = None,
+    read_domains: Optional[Sequence[str]] = None,
 ) -> DeltaTable:
     """Write ``df`` to a Delta table, creating it if absent. Returns the table.
+
+    ``read_domains`` declares domainMetadata domains whose CURRENT value
+    this write read and replaces via ``extra_actions`` (e.g. COPY INTO's
+    loaded-file registry) — a concurrent replace of the same domain aborts
+    the commit with ConcurrentDomainMetadataError instead of silently
+    dropping the winner's update.
 
     ``extra_actions`` ride in the same commit (e.g. a ``txn`` action for
     exactly-once streaming sinks); ``operation``/``operation_parameters_extra``
@@ -744,6 +751,8 @@ def write_deltalake(
             )
     txn.add_actions(list(adds))
     txn.add_actions(list(extra_actions or []))
+    if read_domains:
+        txn.record_reads(domains=list(read_domains))
     txn.commit(operation=operation, operation_parameters=params, operation_metrics=metrics)
     table.update()
     return table

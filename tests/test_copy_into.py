@@ -88,3 +88,64 @@ def test_copy_into_missing_source_and_bad_format(spark, target):
         copy_into(spark, target, "/nonexistent/dir")
     with pytest.raises(CopyIntoError, match="FILEFORMAT"):
         copy_into(spark, target, "/tmp", file_format="avro")
+
+
+def test_copy_into_identity_table(spark, tmp_path):
+    """Target with a GENERATED ALWAYS identity column: source files omit the
+    column (as they must) and the writer assigns it."""
+    uri = str(tmp_path / "t_id")
+    write_deltalake(
+        spark,
+        spark.range(0).selectExpr("id AS v"),
+        uri,
+        identity_columns={"row_id": {"start": 1, "step": 1}},
+    )
+    src = str(tmp_path / "landing_id" / "b1")
+    spark.range(0, 8).selectExpr("id AS v").coalesce(1).write.parquet(src)
+    res = copy_into(spark, uri, str(tmp_path / "landing_id"))
+    assert res["num_inserted_rows"] == 8
+    rows = DeltaTable(uri).to_df(spark).collect()
+    ids = sorted(r.row_id for r in rows)
+    assert ids == list(range(1, 9))  # assigned, unique, from START WITH
+
+
+def test_concurrent_copy_into_registries_merge(spark, tmp_path, target):
+    """Two COPY INTOs racing from the same snapshot must not clobber each
+    other's loaded-file registry: the loser's commit aborts on the domain
+    conflict and its retry merges on top of the winner's registry."""
+    import json as _json
+
+    from delta_rs_spark.ingest import _registry
+    from delta_rs_spark.transactions import ConcurrentDomainMetadataError
+
+    landing_a = _land(spark, tmp_path, "ra", 0, 5)
+    copy_into(spark, target, landing_a, pattern="ra/*")
+
+    # simulate the race at the transaction level: a txn that read the
+    # domain sees a competing domain write land first
+    from delta_rs_spark.protocol.actions import DomainMetadataAction
+    from delta_rs_spark.transactions import DeltaTransaction
+
+    t = DeltaTable(target)
+    loser = DeltaTransaction(t)
+    loser.record_reads(domains=[COPY_INTO_DOMAIN])
+    loser.add_action(
+        DomainMetadataAction(domain=COPY_INTO_DOMAIN, configuration="{}")
+    )
+    winner = DeltaTransaction(DeltaTable(target))
+    winner.add_action(
+        DomainMetadataAction(
+            domain=COPY_INTO_DOMAIN, configuration='{"w": {"size": 1}}'
+        )
+    )
+    winner.commit(operation="COPY INTO")
+    with pytest.raises(ConcurrentDomainMetadataError):
+        loser.commit(operation="COPY INTO")
+
+    # end-to-end: copy_into's retry loop re-reads the (clobbered-to-"w")
+    # registry and merges the new batch on top of it
+    landing_b = _land(spark, tmp_path, "rb", 5, 9)
+    copy_into(spark, target, landing_b, pattern="rb/*")
+    reg = _registry(DeltaTable(target))
+    assert "w" in reg  # the winner's entry survived
+    assert any("rb" in k for k in reg)

@@ -898,3 +898,87 @@ def test_auto_compact_off_by_default(spark, tmp_path):
         )
     t = DeltaTable(uri)
     assert "OPTIMIZE" not in [e.get("operation") for e in t.history()]
+
+
+def test_incomplete_multipart_checkpoint_is_skipped(spark, tmp_path):
+    """A crashed writer that uploaded only part 1 of N must not poison
+    time travel: the finder falls back to the next complete checkpoint
+    (or plain commit replay)."""
+    from delta_rs_spark.maintenance import create_checkpoint
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.range(0, 10).selectExpr("id"), uri)
+    for lo in (10, 20, 30):
+        write_deltalake(
+            spark, spark.range(lo, lo + 10).selectExpr("id"), uri, mode="append"
+        )
+    t = DeltaTable(uri)
+    create_checkpoint(t)  # complete checkpoint at v3
+
+    # orphan: part 1 of 3 of a "newer" checkpoint that never completed
+    log = t.log
+    orphan = log.backend.join(
+        log.log_dir, "00000000000000000003.checkpoint.0000000001.0000000003.parquet"
+    )
+    # same bytes as a real part so a reader that DID pick it wouldn't
+    # fail on parse — the finder must skip it on incompleteness alone
+    complete = log.backend.join(log.log_dir, "00000000000000000003.checkpoint.parquet")
+    log.backend.put_obj(orphan, log.backend.get_obj(complete))
+
+    cp = log.find_latest_checkpoint_for_version(3)
+    assert cp is not None and cp.parts is None  # the complete single part
+    assert DeltaTable.for_version(uri, 3).to_df(spark).count() == 40
+
+
+def test_identity_allow_explicit_insert_string_false():
+    """Schema metadata round-tripped through a foreign writer stores
+    booleans as strings; "false" must not read as allowed."""
+    import pyspark.sql.types as T
+
+    from delta_rs_spark.protocol import identity as idc
+
+    schema = T.StructType(
+        [
+            T.StructField(
+                "id",
+                T.LongType(),
+                metadata={
+                    "delta.identity.start": 1,
+                    "delta.identity.step": 1,
+                    "delta.identity.allowExplicitInsert": "false",
+                },
+            )
+        ]
+    )
+    assert idc.specs(schema)["id"].allow_explicit_insert is False
+    schema2 = T.StructType(
+        [
+            T.StructField(
+                "id",
+                T.LongType(),
+                metadata={
+                    "delta.identity.start": 1,
+                    "delta.identity.step": 1,
+                    "delta.identity.allowExplicitInsert": "true",
+                },
+            )
+        ]
+    )
+    assert idc.specs(schema2)["id"].allow_explicit_insert is True
+
+
+def test_get_obj_head_is_bounded():
+    import os
+    import tempfile
+
+    from delta_rs_spark.protocol.storage import LocalFileBackend, MemoryBackend
+
+    mem = MemoryBackend("headr")
+    mem.put_obj("memory://h/x", b"A" * 100)
+    assert mem.get_obj_head("memory://h/x", 10) == b"A" * 10
+    loc = LocalFileBackend()
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "f")
+        with open(p, "wb") as fh:
+            fh.write(b"B" * 100)
+        assert loc.get_obj_head(p, 7) == b"B" * 7

@@ -200,3 +200,21 @@ def test_copy_obj_is_server_side_copy(s3):
     backend.copy_obj(
         "s3://bkt/tbl/.tmp/part-0.parquet", "s3://bkt/tbl/part-final.parquet"
     )
+
+
+def test_get_obj_head_uses_ranged_get(s3):
+    """Reading a commit's first line must be a bounded Range request."""
+    backend, stubber = s3
+    stubber.add_response(
+        "get_object",
+        {"Body": _body(b"HEAD")},
+        {
+            "Bucket": "bkt",
+            "Key": "tbl/_delta_log/00000000000000000005.json",
+            "Range": "bytes=0-65535",
+        },
+    )
+    out = backend.get_obj_head(
+        "s3://bkt/tbl/_delta_log/00000000000000000005.json", 65536
+    )
+    assert out == b"HEAD"
