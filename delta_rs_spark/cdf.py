@@ -105,7 +105,14 @@ def load_cdf(
     for v in range(starting_version, end + 1):
         actions = log.try_read_commit(v)
         if actions is None:
-            continue
+            # expired-log cleanup removed this commit: silently skipping it
+            # would hand incremental consumers an INCOMPLETE change feed
+            # they would treat as the whole history
+            raise ValueError(
+                f"change data for version {v} is no longer available (the "
+                "commit file was removed by log cleanup); start the feed at "
+                "a retained version"
+            )
         cdc = [a for a in actions if isinstance(a, CdcAction)]
         if cdc:
             cdc_items.extend((a, v) for a in cdc)
@@ -222,7 +229,11 @@ def load_cdf(
         paths: list[str] = []
         positions: list[int] = []
         for a, newly in group:
-            paths.extend([a.path] * len(newly))
+            # the semi-join must use what the scanned lineage column
+            # actually evaluates to — which differs from a.path for
+            # absolute-path (shallow-clone) adds
+            key = snap._lineage_key(a)
+            paths.extend([key] * len(newly))
             positions.extend(newly)
         pos = spark.createDataFrame(
             pd.DataFrame(

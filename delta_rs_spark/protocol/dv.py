@@ -119,13 +119,18 @@ def _serialize_roaring32(values: list[int]) -> bytes:
     out += struct.pack("<I", len(keys))
     for k in keys:
         out += struct.pack("<HH", k, len(containers[k]) - 1)
-    # offsets (from the start of the 32-bit serialization)
-    data_start = 4 + 4 + 8 * len(keys) + 4 * len(keys)
+    # offsets (from the start of the 32-bit serialization): the layout is
+    # cookie(4) + size(4) + descriptive header (4 per container) + offset
+    # header (4 per container), so container data begins at 8 + 8k
+    data_start = 4 + 4 + 4 * len(keys) + 4 * len(keys)
     offsets, pos = [], data_start
     blobs = []
     for k in keys:
         vals = containers[k]
-        if len(vals) < _ARRAY_TO_BITSET_THRESHOLD:
+        # roaring spec boundary: cardinality <= 4096 is an ARRAY container
+        # (the reader side and every external reader use the same rule; a
+        # bitset at exactly 4096 would be misdecoded as an array)
+        if len(vals) <= _ARRAY_TO_BITSET_THRESHOLD:
             blob = struct.pack(f"<{len(vals)}H", *vals)
         else:
             bits = bytearray(8192)

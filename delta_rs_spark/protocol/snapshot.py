@@ -137,9 +137,37 @@ class Snapshot:
 
     def apply_new_versions(self) -> "Snapshot":
         """Incremental refresh: fold commits newer than this snapshot
-        (reference ``update_incremental``, ``rust/src/delta.rs:612-638``)."""
+        (reference ``update_incremental``, ``rust/src/delta.rs:612-638``).
+
+        The fold runs on a COPY of the state: this snapshot stays the
+        immutable view its docstring promises, so a caller that captured it
+        (time travel, CDF planning) keeps reading version-consistent data
+        while the table object moves forward. The copy is shallow-per-field
+        (dict/list containers re-created, actions shared — they are never
+        mutated), O(#files) like the fold itself."""
         v = self.version + 1
-        state = self.state
+        if self.log.try_read_commit(v) is None:
+            return self  # nothing new — skip the state copy entirely
+        import dataclasses as _dc
+
+        state = _dc.replace(
+            self.state,
+            files=dict(self.state.files),
+            tombstones=dict(self.state.tombstones),
+            commit_infos=list(self.state.commit_infos),
+            app_transaction_version=dict(self.state.app_transaction_version),
+            reader_features=(
+                list(self.state.reader_features)
+                if self.state.reader_features is not None
+                else None
+            ),
+            writer_features=(
+                list(self.state.writer_features)
+                if self.state.writer_features is not None
+                else None
+            ),
+            domain_metadata=dict(self.state.domain_metadata),
+        )
         loaded = self.version
         while True:
             actions = self.log.try_read_commit(v)
@@ -148,7 +176,16 @@ class Snapshot:
             state.apply_all(actions)
             loaded = v
             v += 1
-        return Snapshot(self.log, loaded, state) if loaded != self.version else self
+        # same reader gate as a cold load: a concurrent protocol upgrade to
+        # an unimplemented reader feature must stop this reader, not let it
+        # silently ignore the feature's semantics
+        unknown = set(state.reader_features or []) - SUPPORTED_READER_FEATURES
+        if unknown:
+            raise UnsupportedFeatureError(
+                f"table {self.log.table_root} now requires unsupported "
+                f"reader feature(s) {sorted(unknown)}"
+            )
+        return Snapshot(self.log, loaded, state)
 
     # ---- accessors -------------------------------------------------------
     @property
@@ -344,9 +381,15 @@ class Snapshot:
         from . import row_tracking as rt
 
         FILE, POS = self.FILE_LINEAGE_COL, self.POS_LINEAGE_COL
-        base_items = [(a.path, a.base_row_id) for a in adds if a.base_row_id is not None]
+        # keyed by what the lineage column evaluates to — equals a.path for
+        # log-relative adds but differs for absolute (shallow-clone) adds
+        base_items = [
+            (self._lineage_key(a), a.base_row_id)
+            for a in adds
+            if a.base_row_id is not None
+        ]
         cv_items = [
-            (a.path, a.default_row_commit_version)
+            (self._lineage_key(a), a.default_row_commit_version)
             for a in adds
             if a.default_row_commit_version is not None
         ]
@@ -363,7 +406,11 @@ class Snapshot:
         else:
             lookup = spark.createDataFrame(
                 [
-                    (a.path, a.base_row_id, a.default_row_commit_version)
+                    (
+                        self._lineage_key(a),
+                        a.base_row_id,
+                        a.default_row_commit_version,
+                    )
                     for a in adds
                 ],
                 "_rt_path string, _rt_base long, _rt_cv long",

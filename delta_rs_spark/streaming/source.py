@@ -141,8 +141,11 @@ class DeltaStreamReader(DataSourceStreamReader):
             self._planned = self.starting_version - 1
         bounded = self.max_files_per_trigger or self.max_bytes_per_trigger
         if not bounded or latest <= self._planned:
-            self._planned = latest
-            return {"version": latest}
+            # never move BACKWARD: startingVersion may sit ahead of the
+            # table's current version, and rewinding _planned would later
+            # replay versions the user explicitly excluded
+            self._planned = max(self._planned, latest)
+            return {"version": self._planned}
         end, n, nbytes = self._planned, 0, 0
         for v in range(self._planned + 1, latest + 1):
             n_files, v_bytes = self._data_file_weight(v)
@@ -191,7 +194,15 @@ class DeltaStreamReader(DataSourceStreamReader):
         for v in range(start["version"] + 1, end["version"] + 1):
             actions = log.try_read_commit(v)
             if actions is None:
-                break
+                # a missing commit inside the batch range means log cleanup
+                # outpaced the stream. Truncating with `break` would let
+                # Spark commit the END offset and permanently skip the
+                # unread versions — fail instead (Delta source behavior).
+                raise RuntimeError(
+                    f"streaming source cannot read version {v}: the commit "
+                    "file was removed by log cleanup; restart the stream "
+                    "from a retained version (or startingVersion=latest)"
+                )
             if self.read_change_feed:
                 parts.extend(self._cdf_partitions(v, actions, log, meta))
                 continue
@@ -354,8 +365,14 @@ class DeltaStreamReader(DataSourceStreamReader):
                         f.dataType,
                     )
                 ] * table.num_rows
-            else:
+            elif phys in table.column_names:
                 cols[f.name] = table.column(phys).to_pylist()
+            elif f.name in table.column_names:
+                cols[f.name] = table.column(f.name).to_pylist()
+            else:
+                # file predates this column (schema evolution): NULL-fill,
+                # same as the batch reader's explicit-schema scan
+                cols[f.name] = [None] * table.num_rows
         names = [f.name for f in schema.fields]
         if partition.commit_version is not None:
             # change-feed mode: append _change_type and _commit_version

@@ -347,3 +347,23 @@ def test_cdf_enable_bumps_protocol(spark, tmp_path, sf_dir):
     t3.set_properties({"delta.enableChangeDataFeed": "true"})
     t3.update()
     assert "changeDataFeed" in (t3.snapshot.state.writer_features or [])
+
+
+def test_load_cdf_raises_on_cleaned_up_versions(spark, tmp_path):
+    """A commit removed by log cleanup inside the requested range must
+    raise, not silently truncate the change feed."""
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(0, 10).selectExpr("id"),
+        uri,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    write_deltalake(spark, spark.range(10, 20).selectExpr("id"), uri, mode="append")
+    t = DeltaTable(uri)
+    # simulate cleanup: drop commit 0
+    t.log.backend.delete_obj(t.log.commit_path(0))
+    with pytest.raises(ValueError, match="no longer available"):
+        t.load_cdf(spark, starting_version=0).collect()
+    # a retained starting version still works
+    assert t.load_cdf(spark, starting_version=1).count() == 10

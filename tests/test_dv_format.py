@@ -130,3 +130,39 @@ def test_legacy_descriptor_detection():
     assert dv.is_spec({"storageType": "u"})
     assert dv.is_spec({"storageType": "i"})
     assert not dv.is_spec({"storageType": "d"})
+
+
+def test_roaring_array_bitset_boundary_at_4096():
+    """Roaring spec: cardinality <= 4096 is an ARRAY container. A bitset at
+    exactly 4096 would be misdecoded (by us AND external readers)."""
+    from delta_rs_spark.protocol.dv import (
+        deserialize_roaring64,
+        serialize_roaring64,
+    )
+
+    for card in (4095, 4096, 4097):
+        pos = list(range(card))
+        assert deserialize_roaring64(serialize_roaring64(pos)) == pos
+    # exact-4096 serializes as an array: 2 bytes per value, not an 8KB bitset
+    data = serialize_roaring64(list(range(4096)))
+    assert len(data) < 8500
+
+
+def test_roaring_offset_header_points_at_container_data():
+    """External readers seek via the offset header; each offset must point
+    at the container's actual byte position."""
+    import struct
+
+    from delta_rs_spark.protocol.dv import serialize_roaring64
+
+    # two containers in one high-32 bucket: 100-value array + 50-value array
+    pos = list(range(100)) + [65536 + i for i in range(50)]
+    r32 = serialize_roaring64(pos)[12:]  # skip bucket count + high key
+    _cookie, k = struct.unpack_from("<II", r32, 0)
+    assert k == 2
+    offsets = [struct.unpack_from("<I", r32, 8 + 4 * k + 4 * i)[0] for i in range(k)]
+    data_start = 8 + 8 * k
+    assert offsets == [data_start, data_start + 200]  # 100 uint16 = 200 bytes
+    # and the bytes AT the first offset are the first container's values
+    vals = struct.unpack_from("<5H", r32, offsets[0])
+    assert list(vals) == [0, 1, 2, 3, 4]

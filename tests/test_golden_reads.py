@@ -152,3 +152,51 @@ def test_update_incremental_alias(golden):
     t.update_incremental()
     assert t.version == 4
     assert len(t.files()) == 5
+
+
+def test_snapshot_immutable_under_table_update(spark, tmp_path):
+    """A captured snapshot must keep reporting ITS version's state after
+    the table object folds newer commits (apply_new_versions used to
+    mutate the shared state in place)."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.range(0, 10).selectExpr("id"), uri)
+    t = DeltaTable(uri)
+    old_snap = t.snapshot
+    n_before = len(old_snap.files())
+    write_deltalake(spark, spark.range(10, 30).selectExpr("id"), uri, mode="append")
+    t.update()
+    assert t.snapshot.version == 1
+    assert old_snap.version == 0
+    assert len(old_snap.files()) == n_before  # not polluted by v1's adds
+
+
+def test_incremental_update_enforces_reader_gate(spark, tmp_path):
+    """A protocol upgrade to an unimplemented reader feature must stop an
+    incremental refresh the same way it stops a cold load."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.protocol.actions import ProtocolAction
+    from delta_rs_spark.protocol.snapshot import UnsupportedFeatureError
+    from delta_rs_spark.transactions import DeltaTransaction
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.range(0, 10).selectExpr("id"), uri)
+    t = DeltaTable(uri)
+
+    writer = DeltaTable(uri)
+    txn = DeltaTransaction(writer)
+    txn.add_action(
+        ProtocolAction(
+            3,
+            7,
+            reader_features=["futureRowFilteringV9"],
+            writer_features=["futureRowFilteringV9"],
+        )
+    )
+    # the committing writer itself refuses unknown WRITER features; bypass
+    # its gate by writing the commit file directly (a foreign writer)
+    tmp = writer.log.write_tmp_commit(txn.actions, "foreign")
+    writer.log.try_commit(tmp, 1)
+    with pytest.raises(UnsupportedFeatureError):
+        t.update()

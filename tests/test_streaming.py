@@ -624,3 +624,31 @@ def test_stateful_running_totals_string_key(spark, tmp_path):
 
     with pytest.raises(TypeError, match="must be numeric"):
         running_totals(stream.selectExpr("k", "k as value"), key_col="k")
+
+
+def test_stream_raises_on_cleaned_commit_in_range(tmp_path, spark):
+    """A commit missing inside the batch range (log cleanup outpaced the
+    stream) must fail the batch, not silently skip versions."""
+    from delta_rs_spark.streaming.source import DeltaStreamReader
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.range(0, 5).selectExpr("id"), uri)
+    write_deltalake(spark, spark.range(5, 10).selectExpr("id"), uri, mode="append")
+    t = DeltaTable(uri)
+    t.log.backend.delete_obj(t.log.commit_path(1))
+    reader = DeltaStreamReader(None, {"path": uri, "startingversion": "0"})
+    with pytest.raises(RuntimeError, match="log cleanup"):
+        reader.partitions({"version": 0}, {"version": 2})
+
+
+def test_latest_offset_never_rewinds_past_starting_version(tmp_path, spark):
+    """startingVersion ahead of the table must hold position: a later
+    catch-up batch must not replay the excluded versions."""
+    from delta_rs_spark.streaming.source import DeltaStreamReader
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.range(0, 5).selectExpr("id"), uri)
+    reader = DeltaStreamReader(None, {"path": uri, "startingversion": "100"})
+    assert reader.initialOffset() == {"version": 99}
+    off = reader.latestOffset()
+    assert off["version"] >= 99  # never below the requested start
