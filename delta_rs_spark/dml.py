@@ -104,14 +104,37 @@ def _split_pruning(
     table: DeltaTable, tuples: Sequence[SkipTuple]
 ) -> tuple[list[tuple], list[SkipTuple]]:
     """Partition-column conjuncts become partition filters (string-valued,
-    = / != only — the reference's filter ops); the rest are stats hints."""
+    = / != only — the reference's filter ops); the rest are stats hints.
+
+    A conjunct is only pushed when its string spelling PROVABLY equals the
+    stored partitionValues spelling: string literal on a string column, or
+    integer literal on an integral column (decimal digits both sides).
+    Float/date spellings vary ('1.0E-4' vs '0.0001') and SQL's implicit
+    casts make cross-type matches value-based, not string-based — pushing
+    those would silently prune files whose rows DO match, so they fall to
+    the (typed, stats-based) skip path or plain row filtering instead."""
+    import pyspark.sql.types as _T
+
     pcols = set(table.metadata().partition_columns)
+    types = {f.name: f.dataType for f in table.schema().fields}
+    _INTEGRAL = (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
     pfilters: list[tuple] = []
     skips: list[SkipTuple] = []
     for col, op, value in tuples:
-        if col in pcols and op in ("=", "!="):
-            pfilters.append((col, op, str(value)))
-        elif col not in pcols:
+        if col in pcols:
+            if op not in ("=", "!="):
+                continue
+            dt = types.get(col)
+            if isinstance(value, str) and isinstance(dt, _T.StringType):
+                pfilters.append((col, op, value))
+            elif (
+                isinstance(value, int)
+                and not isinstance(value, bool)
+                and isinstance(dt, _INTEGRAL)
+            ):
+                pfilters.append((col, op, str(value)))
+            # other spellings: not provable from the path — no pruning
+        else:
             skips.append((col, op, value))
     return pfilters, skips
 
@@ -140,6 +163,13 @@ def _predicate_reads(
     pfilters, _skips = _split_pruning(table, tuples)
     reads: dict[str, Any] = {"files": [a.path for a in candidates]}
     if pfilters:
+        # conflict detection matches these against concurrent adds' raw
+        # partitionValues, which are PHYSICALLY keyed on mapped tables
+        from .protocol import column_mapping as _cmp
+
+        if _cmp.is_mapped(table.metadata().configuration):
+            phys = _cmp.top_level_physical(table.schema())
+            pfilters = [(phys.get(c, c), op, v) for c, op, v in pfilters]
         reads["partition_filters"] = pfilters
     else:
         reads["whole_table"] = True
@@ -257,22 +287,7 @@ def _identity_commit_extras(table, assigned: dict, adds: list):
     # schema commit) would be silently reverted by replaying it — fail the
     # retry instead (identity values are baked into data files and cannot
     # be re-stamped)
-    import json as _json
-
-    base_meta_json = _json.dumps(table.metadata().to_json_dict(), sort_keys=True)
-
-    def guard(tbl) -> None:
-        from .transactions import ConcurrentModificationError
-
-        if (
-            _json.dumps(tbl.metadata().to_json_dict(), sort_keys=True)
-            != base_meta_json
-        ):
-            raise ConcurrentModificationError(
-                "a concurrent commit changed the table metadata while this "
-                "identity-assigning merge was in flight; re-run it against "
-                "the refreshed table"
-            )
+    guard = idc.metadata_guard(table, "merge")
 
     if not marks:
         return None, guard
@@ -484,6 +499,8 @@ def _partition_exact_files(
     pcols = set(table.metadata().partition_columns)
     if not pcols:
         return None
+    types = {f.name: f.dataType for f in table.schema().fields}
+    _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     filters: list[tuple] = []
     for conjunct in re.split(r"(?i)\s+AND\s+", predicate):
         m = _SIMPLE_CMP.match(conjunct.strip())
@@ -492,12 +509,16 @@ def _partition_exact_files(
         col, op, lit = m.groups()
         if _OP_NORM.get(op, op) != "=" or col not in pcols:
             return None
-        if lit.startswith("'"):
+        # literal/column type must agree, or SQL's implicit casts make the
+        # match value-based while the path compare is string-based
+        # (p='05' matches the predicate p = 5 but not the string '5')
+        dt = types.get(col)
+        if lit.startswith("'") and isinstance(dt, T.StringType):
             value = lit[1:-1].replace("''", "'")
-        elif re.fullmatch(r"-?\d+", lit):
+        elif re.fullmatch(r"-?\d+", lit) and isinstance(dt, _INTEGRAL):
             value = lit  # integer partition values serialize verbatim
         else:
-            return None  # float spellings vary; not provable from the path
+            return None  # float/cross-type spellings: not provable
         filters.append((col, "=", value))
     return table.snapshot.files(partition_filters=filters)
 
@@ -810,9 +831,11 @@ def delete(
         keep = keep.withColumnRenamed(rt.ROW_ID_COL, mat_id).withColumnRenamed(
             rt.ROW_CV_COL, mat_cv
         )
-    total_in_matched = sum(a.num_records or 0 for a in matched)
+    # logical (DV-net) counts: files re-routed here with DVs attached
+    # (e.g. absolute-path clones) must not inflate metrics by dead rows
+    total_in_matched = sum(a.logical_records or 0 for a in matched)
     n_copied = total_in_matched - n_deleted if all(
-        a.num_records is not None for a in matched
+        a.logical_records is not None for a in matched
     ) else None
 
     change_rows = None
@@ -857,13 +880,18 @@ def _update_merge_on_read(
     copy-on-writes the full files; merge-on-read writes 1k rows plus
     kilobytes of positions. Readers see the same atomic swap."""
     from .cdf import write_change_files
+    from .protocol import row_tracking as _rtu
 
     snap = table._snapshot
     log = table.log
     schema = table.schema()
+    cfg = table.metadata().configuration or {}
+    rt_on = _rtu.enabled(cfg)
     FILE, POS = snap.FILE_LINEAGE_COL, snap.POS_LINEAGE_COL
 
-    df = snap.df_for_adds(spark, candidates, with_lineage=True)
+    df = snap.df_for_adds(
+        spark, candidates, with_lineage=True, with_row_ids=rt_on
+    )
     matched_df = df.filter(cond).cache()
     try:
         if matched_df.count() > DV_MAX_POSITIONS:
@@ -871,14 +899,21 @@ def _update_merge_on_read(
         from .protocol import generated as _gen
 
         types = {f.name: f.dataType for f in schema.fields}
-        updated_rows = matched_df.select(
-            *[
-                F.expr(assignments[c]).cast(types[c]).alias(c)
-                if c in assignments
-                else F.col(c)
-                for c in schema.names
+        upd_cols = [
+            F.expr(assignments[c]).cast(types[c]).alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in schema.names
+        ]
+        if rt_on:
+            # an UPDATE changes values, not identity: carry the row ids as
+            # materialized columns (same contract as the copy-on-write path)
+            mat_id, mat_cv = _rtu.materialized_names(cfg)
+            upd_cols += [
+                F.col(_rtu.ROW_ID_COL).alias(mat_id),
+                F.col(_rtu.ROW_CV_COL).alias(mat_cv),
             ]
-        )
+        updated_rows = matched_df.select(*upd_cols)
         updated_rows = _gen.recompute(updated_rows, schema)
 
         pos = matched_df.select(
@@ -900,7 +935,9 @@ def _update_merge_on_read(
             pre = matched_df.select(*schema.names).withColumn(
                 CHANGE_TYPE_COL, F.lit("update_preimage")
             )
-            post = updated_rows.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+            post = updated_rows.select(*schema.names).withColumn(
+                CHANGE_TYPE_COL, F.lit("update_postimage")
+            )
             actions = (
                 write_change_files(
                     spark, log, pre.unionByName(post),
@@ -1099,10 +1136,13 @@ def _merge_merge_on_read(
     changed rows) — the difference between an hourly 1M-row upsert
     rewriting a 100 TB table's hot files and appending megabytes."""
     from .cdf import write_change_files
+    from .protocol import row_tracking as _rtg
 
     snap = table._snapshot
     log = table.log
     schema = table.schema()
+    cfg_m = table.metadata().configuration or {}
+    rt_on = _rtg.enabled(cfg_m)
     all_adds = snap.files()
     types = {f.name: f.dataType for f in schema.fields}
     on = F.expr(condition)
@@ -1127,6 +1167,11 @@ def _merge_merge_on_read(
             )
     pos = pos.cache()
     try:
+        # same driver-materialization cap as DELETE/UPDATE: _dv_swap_actions
+        # collects every (path, row_index) pair — a full-sync MERGE against
+        # a mostly-unmatched huge target must take the rewrite path instead
+        if pos.count() > DV_MAX_POSITIONS:
+            return None  # caller falls back to copy-on-write
         actions, per_file, n_tomb = _dv_swap_actions(log, all_adds, pos)
         n_killed = sum(per_file.values())
         n_unmatched_deleted = n_killed - n_matched
@@ -1147,14 +1192,20 @@ def _merge_merge_on_read(
                 bad = set(assignments) - set(schema.names)
                 if bad:
                     raise DMLError(f"MERGE updates unknown columns: {sorted(bad)}")
-                upd = inner.select(
-                    *[
-                        F.expr(assignments[c]).cast(types[c]).alias(c)
-                        if c in assignments
-                        else F.col(f"t.{c}").alias(c)
-                        for c in schema.names
+                upd_cols = [
+                    F.expr(assignments[c]).cast(types[c]).alias(c)
+                    if c in assignments
+                    else F.col(f"t.{c}").alias(c)
+                    for c in schema.names
+                ]
+                if rt_on:
+                    # updated rows keep their identity (materialized ids)
+                    mat_id_m, mat_cv_m = _rtg.materialized_names(cfg_m)
+                    upd_cols += [
+                        F.col(f"t.{_rtg.ROW_ID_COL}").alias(mat_id_m),
+                        F.col(f"t.{_rtg.ROW_CV_COL}").alias(mat_cv_m),
                     ]
-                )
+                upd = inner.select(*upd_cols)
                 from .protocol import generated as _gen
 
                 upd = _gen.recompute(upd, schema)
@@ -1166,7 +1217,9 @@ def _merge_merge_on_read(
                         .withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
                     )
                     change_parts.append(
-                        upd.withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+                        upd.select(*schema.names).withColumn(
+                            CHANGE_TYPE_COL, F.lit("update_postimage")
+                        )
                     )
         n_deleted += n_unmatched_deleted
 
@@ -1174,8 +1227,15 @@ def _merge_merge_on_read(
         inserts = None
         id_assigned: dict = {}
         if when_not_matched_insert:
+            from .protocol import generated as _gen_i
+
             ins_exprs, id_assigned = _insert_select_exprs(schema, set(s.columns))
-            inserts = s.join(t, on, "left_anti").select(*ins_exprs).cache()
+            # generated columns recompute on inserts too — the copy-on-write
+            # path validates the whole union; source-provided values must
+            # not persist unvalidated on this path either
+            inserts = _gen_i.recompute(
+                s.join(t, on, "left_anti").select(*ins_exprs), schema
+            ).cache()
             n_inserted = inserts.count()
             if n_inserted:
                 new_parts.append(inserts)
@@ -1199,7 +1259,9 @@ def _merge_merge_on_read(
             if new_parts:
                 new_rows = new_parts[0]
                 for p in new_parts[1:]:
-                    new_rows = new_rows.unionByName(p)
+                    # inserts carry no materialized id columns (fresh rows
+                    # take the new file's baseRowId) — NULL-fill them
+                    new_rows = new_rows.unionByName(p, allowMissingColumns=True)
                 new_adds = _stage_new_rows(spark, table, new_rows)
 
             if track and change_parts:
@@ -1294,7 +1356,14 @@ def merge(
         ]
         if evolved_fields:
             schema = T.StructType(list(schema.fields) + evolved_fields)
-    target = snap.df_for_adds(spark, all_adds, with_lineage=True)
+    from .protocol import row_tracking as _rtm0
+
+    _rt_on0 = _rtm0.enabled(table.metadata().configuration)
+    # row ids ride along when tracking is on: BOTH merge paths must keep a
+    # matched row's identity through its rewrite (values change, not ids)
+    target = snap.df_for_adds(
+        spark, all_adds, with_lineage=True, with_row_ids=_rt_on0
+    )
     for f in evolved_fields:
         # pre-evolution rows read the new columns as NULL
         target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
@@ -1368,11 +1437,15 @@ def merge(
             "result would be non-deterministic"
         )
     if dv_enabled(table) and _mor_eligible(table, all_adds) and not evolved_fields:
-        return _merge_merge_on_read(
+        mor = _merge_merge_on_read(
             spark, table, t, s, condition, per_row, n_matched,
             when_matched_update, when_matched_delete, when_not_matched_insert,
             when_not_matched_by_source_delete, extra_actions, reads=reads,
         )
+        if mor is not None:
+            return mor
+        # position count beyond DV_MAX_POSITIONS: fall through to the
+        # copy-on-write rewrite (same contract as DELETE/UPDATE)
 
     if when_not_matched_by_source_delete:
         rewrite = all_adds  # unmatched rows can live in any file
@@ -1414,7 +1487,8 @@ def merge(
             *[F.col(f"t.{c}").alias(c) for c in schema.names]
         )
         if when_not_matched_by_source_delete:
-            totals = [a.num_records for a in rewrite]
+            # logical counts: DV-dead rows are not "deleted" by this merge
+            totals = [a.logical_records for a in rewrite]
             total_rows = (
                 sum(totals)
                 if all(x is not None for x in totals)

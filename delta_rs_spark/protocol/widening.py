@@ -324,3 +324,58 @@ def to_json_changes(schema_string: str) -> str:
     from .schema import schema_string_to_spark
 
     return json.dumps(type_changes(schema_string_to_spark(schema_string)))
+
+
+def restamp_type_changes(meta_action, old_version: int, new_version: int) -> bool:
+    """Rewrite ``typeChanges`` entries recorded at ``old_version`` to
+    ``new_version`` inside a MetaDataAction's schema string; returns True
+    when anything changed.
+
+    The widening commit records its OWN version in the metadata, but the
+    optimistic retry loop can move the commit to a later version — a
+    ``DeltaTransaction.add_version_stamper`` hook calls this so the
+    recorded boundary always names the commit that actually happened
+    (readers bucket files as narrow/wide by this version)."""
+    from .schema import schema_string_to_spark, spark_to_schema_string
+
+    if old_version == new_version:
+        return False
+    changed = False
+
+    def _fields(struct: T.StructType) -> T.StructType:
+        nonlocal changed
+        out = []
+        for f in struct.fields:
+            meta = dict(f.metadata or {})
+            entries = meta.get(TYPE_CHANGES_KEY)
+            if entries and any(
+                e.get("tableVersion") == old_version for e in entries
+            ):
+                meta[TYPE_CHANGES_KEY] = [
+                    {**e, "tableVersion": new_version}
+                    if e.get("tableVersion") == old_version
+                    else e
+                    for e in entries
+                ]
+                changed = True
+            dt = _walk_type(f.dataType)
+            out.append(T.StructField(f.name, dt, f.nullable, meta))
+        return T.StructType(out)
+
+    def _walk_type(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return _fields(dt)
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(_walk_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(
+                _walk_type(dt.keyType),
+                _walk_type(dt.valueType),
+                dt.valueContainsNull,
+            )
+        return dt
+
+    new_schema = _fields(schema_string_to_spark(meta_action.schema_string))
+    if changed:
+        meta_action.schema_string = spark_to_schema_string(new_schema)
+    return changed

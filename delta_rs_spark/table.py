@@ -941,6 +941,18 @@ class DeltaTable:
         if bump is not None:
             txn.add_action(bump)
         txn.add_action(new_meta)
+        # the recorded tableVersion must track the version the retry loop
+        # actually lands on, not the one planned before any race
+        stamp_state = {"cur": self.version + 1}
+
+        def _restamp(version: int) -> bool:
+            changed = tw.restamp_type_changes(
+                new_meta, stamp_state["cur"], version
+            )
+            stamp_state["cur"] = version
+            return changed
+
+        txn.add_version_stamper(_restamp)
         v = txn.commit(
             operation="CHANGE COLUMN",
             operation_parameters={

@@ -130,6 +130,7 @@ class DeltaTransaction:
         self.table = table
         self.actions: list[Action] = []
         self._guards: list = []
+        self._version_stampers: list = []
         self.max_retries = (options or {}).get(
             "max_retry_commit_attempts", DEFAULT_MAX_RETRY_COMMIT_ATTEMPTS
         )
@@ -209,6 +210,16 @@ class DeltaTransaction:
 
     def add_actions(self, actions: list[Action]) -> None:
         self.actions.extend(actions)
+
+    def add_version_stamper(self, fn) -> None:
+        """Register a callable invoked with the TENTATIVE commit version on
+        every retry-loop iteration; it may mutate this transaction's
+        actions (e.g. re-stamp a version recorded inside metadata) and
+        returns True when it changed anything — forcing the tmp commit
+        file to be rewritten before the commit attempt. This is how
+        version-valued fields (typeWidening's typeChanges.tableVersion)
+        stay correct when the optimistic retry moves the commit."""
+        self._version_stampers.append(fn)
 
     def add_commit_guard(self, fn) -> None:
         """Register a callable invoked with the REFRESHED table whenever
@@ -380,6 +391,9 @@ class DeltaTransaction:
                         cfg[ICT_ENABLEMENT_VERSION_KEY] = str(version)
                         cfg[ICT_ENABLEMENT_TS_KEY] = str(ict)
                         need_rewrite = True
+            for stamp in self._version_stampers:
+                if stamp(version):
+                    need_rewrite = True
             if need_rewrite or tmp is None:
                 self._discard_tmp(log, tmp)
                 tmp = log.write_tmp_commit(actions, uuid.uuid4().hex)

@@ -565,6 +565,10 @@ def write_deltalake(
         )
         if cdf_on:
             min_w = max(min_w, 4)  # legacy changeDataFeed floor
+        if any(k.startswith(CONSTRAINT_PREFIX) for k in configuration):
+            # spec: CHECK constraints require writer version 3 — an older
+            # external writer would be allowed to append violating rows
+            min_w = max(min_w, 3)
         from pyspark.sql import types as _T
 
         ntz_on = any(
@@ -664,33 +668,7 @@ def write_deltalake(
 
     txn = DeltaTransaction(table)
     if id_assigned:
-        # identity values are already baked into the staged files — they
-        # cannot be re-stamped under a commit retry the way row ids are,
-        # and the water-mark metaData this commit carries was built from
-        # the CURRENT metadata. If any intervening commit changed the
-        # metadata at all (another identity write moving the mark, a
-        # property/schema change this replay would silently revert), fail
-        # instead of clobbering it.
-        import json as _json
-
-        base_meta_json = _json.dumps(
-            table.metadata().to_json_dict(), sort_keys=True
-        )
-
-        def _identity_guard(tbl) -> None:
-            from .transactions import ConcurrentModificationError
-
-            if (
-                _json.dumps(tbl.metadata().to_json_dict(), sort_keys=True)
-                != base_meta_json
-            ):
-                raise ConcurrentModificationError(
-                    "a concurrent commit changed the table metadata while "
-                    "this identity-assigning write was in flight; re-run "
-                    "the write against the refreshed table"
-                )
-
-        txn.add_commit_guard(_identity_guard)
+        txn.add_commit_guard(idc.metadata_guard(table, "write"))
     if new_meta is not None:
         from pyspark.sql import types as _T2
 
@@ -724,6 +702,19 @@ def write_deltalake(
             if bump is not None:
                 txn.add_action(bump)
         txn.add_action(new_meta)
+        if _tw_feat.type_changes(evolved):
+            # auto-widen on merge recorded tableVersion = planned version;
+            # keep it pointing at the version the retry loop actually lands
+            _stamp_state = {"cur": table.version + 1}
+
+            def _restamp_widening(version: int, _m=new_meta) -> bool:
+                changed = _tw_feat.restamp_type_changes(
+                    _m, _stamp_state["cur"], version
+                )
+                _stamp_state["cur"] = version
+                return changed
+
+            txn.add_version_stamper(_restamp_widening)
     if mode == "overwrite":
         now_ms = int(time.time() * 1000)
         removals = table.add_actions()
@@ -1290,10 +1281,16 @@ def _replace_where(
 
     cond = F.coalesce(F.expr(predicate), F.lit(False))
 
+    # the incoming frame is executed up to three times (predicate audit,
+    # staged write, CDF change files) and may be an expensive upstream
+    # query — cache it for the duration (same pattern as MERGE's inserts)
+    df = df.cache()
+
     # Delta contract: every incoming row must satisfy the predicate,
     # otherwise the "overwrite only where" promise silently breaks
     n_outside = df.filter(~cond).count()
     if n_outside:
+        df.unpersist()
         raise ValueError(
             f"replace_where: {n_outside} incoming rows do not satisfy {predicate!r}"
         )
@@ -1337,23 +1334,26 @@ def _replace_where(
             )
         )
 
-    _stage_and_swap(
-        spark,
-        table,
-        new_rows,
-        matched,
-        "WRITE",
-        {
-            "mode": "Overwrite",
-            "predicate": predicate,
-            **(operation_parameters_extra or {}),
-        },
-        {"numDeletedRows": n_replaced},
-        change_rows=change_rows,
-        extra_actions=extra_actions,
-        max_records_per_file=max_records_per_file,
-        reads=_predicate_reads(table, predicate, candidates),
-    )
+    try:
+        _stage_and_swap(
+            spark,
+            table,
+            new_rows,
+            matched,
+            "WRITE",
+            {
+                "mode": "Overwrite",
+                "predicate": predicate,
+                **(operation_parameters_extra or {}),
+            },
+            {"numDeletedRows": n_replaced},
+            change_rows=change_rows,
+            extra_actions=extra_actions,
+            max_records_per_file=max_records_per_file,
+            reads=_predicate_reads(table, predicate, candidates),
+        )
+    finally:
+        df.unpersist()
     return table
 
 
@@ -1448,6 +1448,17 @@ def convert_to_delta(
             },
         }
     )
-    tmp = log.write_tmp_commit([info, ProtocolAction(1, 2), meta, *adds], uuid.uuid4().hex)
+    # the converted table's protocol must reflect its configuration: CHECK
+    # constraints need writer 3, CDF writer 4, appendOnly writer 2 — a bare
+    # (1,2) would let spec-compliant old writers break the declared rules
+    cfg = configuration or {}
+    min_w = 2
+    if any(k.startswith(CONSTRAINT_PREFIX) for k in cfg):
+        min_w = max(min_w, 3)
+    if str(cfg.get("delta.enableChangeDataFeed", "")).lower() == "true":
+        min_w = max(min_w, 4)
+    tmp = log.write_tmp_commit(
+        [info, ProtocolAction(1, min_w), meta, *adds], uuid.uuid4().hex
+    )
     log.try_commit(tmp, 0)
     return DeltaTable(root)

@@ -528,3 +528,111 @@ def test_merge_schema_evolution_column_mapped(spark, tmp_path, docs):
     df = t.to_df(spark)
     assert df.filter("score = 0.75").count() == 10
     assert df.filter("score IS NULL").count() == 40
+
+
+# ---------------------------------------------------------------------------
+# Review-pass regressions: pruning spellings, MoR caps, row identity
+# ---------------------------------------------------------------------------
+
+
+def test_delete_on_float_partition_value_is_not_mispruned(spark, tmp_path):
+    """str(0.0001) != the Hive dir spelling Spark writes ('1.0E-4'): the
+    predicate must still delete the rows (no unprovable partition filter)."""
+    uri = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 0.0001), (2, 0.5), (3, 0.0001)], "id long, p double"
+    )
+    write_deltalake(spark, df, uri, partition_by=["p"])
+    t = DeltaTable(uri)
+    res = t.delete(spark, "p = 0.0001")
+    assert res["numDeletedRows"] == 2
+    assert DeltaTable(uri).to_df(spark).count() == 1
+
+
+def test_delete_numeric_literal_on_string_partition(spark, tmp_path):
+    """String partition '05' with predicate p = 5: SQL casts make it match —
+    pruning must not compare '5' against '05' and miss it."""
+    uri = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "05"), (2, "7")], "id long, p string")
+    write_deltalake(spark, df, uri, partition_by=["p"])
+    res = DeltaTable(uri).delete(spark, "p = 5")
+    assert res["numDeletedRows"] == 1
+    rows = DeltaTable(uri).to_df(spark).collect()
+    assert [r.p for r in rows] == ["7"]
+
+
+def test_merge_mor_falls_back_to_cow_over_position_cap(spark, tmp_path, monkeypatch):
+    """A full-sync MERGE whose kill-position count exceeds DV_MAX_POSITIONS
+    must take the rewrite path (bounded driver memory) and stay correct."""
+    import delta_rs_spark.dml as dml_mod
+
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(0, 200).selectExpr("id", "id AS v"),
+        uri,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    monkeypatch.setattr(dml_mod, "DV_MAX_POSITIONS", 10)
+    src = spark.range(0, 20).selectExpr("id", "id + 1000 AS v")
+    t = DeltaTable(uri)
+    res = t.merge(
+        spark,
+        src,
+        "t.id = s.id",
+        when_not_matched_by_source_delete=True,  # kills 180 rows > cap
+    )
+    t2 = DeltaTable(uri)
+    assert t2.to_df(spark).count() == 20
+    assert t2.to_df(spark).agg({"v": "min"}).collect()[0][0] == 1000
+    assert res["numTargetRowsDeleted"] == 180
+    # no DV descriptors: the rewrite path ran
+    assert not any(a.deletion_vector for a in t2.snapshot.files())
+
+
+def test_mor_update_preserves_row_ids(spark, tmp_path):
+    """Merge-on-read UPDATE must keep each updated row's _row_id (values
+    change, identity does not) — same contract as copy-on-write."""
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(0, 50).selectExpr("id", "id AS v"),
+        uri,
+        configuration={
+            "delta.enableRowTracking": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    t = DeltaTable(uri)
+    before = {
+        r.id: r._row_id
+        for r in t.to_df(spark, with_row_ids=True).collect()
+    }
+    res = t.update_where(spark, "id % 10 = 3", {"v": "v + 1000"})
+    assert res.get("numDeletionVectorsAdded") or res.get("numUpdatedRows")
+    t2 = DeltaTable(uri)
+    after = {
+        r.id: (r._row_id, r.v)
+        for r in t2.to_df(spark, with_row_ids=True).collect()
+    }
+    for i in range(50):
+        assert after[i][0] == before[i], f"row {i} changed identity"
+        assert after[i][1] == (i + 1000 if i % 10 == 3 else i)
+
+
+def test_mor_merge_recomputes_generated_on_insert(spark, tmp_path):
+    """MoR MERGE inserts must recompute generated columns (source-provided
+    values are unvalidated), matching the copy-on-write path."""
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(0, 10).selectExpr("id", "id AS x"),
+        uri,
+        generated_columns={"g": "x + 1"},
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    src = spark.createDataFrame([(100, 5, 999)], "id long, x long, g long")
+    t = DeltaTable(uri)
+    t.merge(spark, src, "t.id = s.id", when_matched_delete=True)
+    got = {r.id: r.g for r in DeltaTable(uri).to_df(spark).collect()}
+    assert got[100] == 6  # recomputed, not the source's 999

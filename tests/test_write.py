@@ -748,3 +748,46 @@ def test_legacy_column_invariants_enforced(spark, tmp_path, sf_dir):
     bad = spark.createDataFrame([(500,)], schema)
     with pytest.raises(ConstraintViolationError, match="invariant"):
         write_deltalake(spark, bad, uri, mode="append")
+
+
+def test_check_constraints_raise_writer_version_floor(spark, tmp_path):
+    """CREATE with a CHECK constraint must advertise minWriterVersion >= 3
+    (spec: older writers are otherwise allowed to append violating rows)."""
+    from delta_rs_spark.writer import convert_to_delta
+
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(1, 10).selectExpr("id"),
+        uri,
+        configuration={"delta.constraints.positive": "id > 0"},
+    )
+    st = DeltaTable(uri).snapshot.state
+    assert st.min_writer_version >= 3
+
+    # CONVERT TO DELTA with the same configuration gets the same floor
+    pdir = str(tmp_path / "plain")
+    spark.range(1, 10).selectExpr("id").write.parquet(pdir)
+    t2 = convert_to_delta(
+        spark, pdir, configuration={"delta.constraints.positive": "id > 0"}
+    )
+    assert t2.snapshot.state.min_writer_version >= 3
+
+
+def test_widening_type_change_version_tracks_commit_under_race(spark, tmp_path):
+    """typeChanges.tableVersion must name the commit that actually landed,
+    even when a concurrent commit moved the widening's version."""
+    from delta_rs_spark.protocol import widening as tw
+
+    uri = str(tmp_path / "t")
+    write_deltalake(spark, spark.range(0, 10).selectExpr("CAST(id AS INT) AS id"), uri)
+    stale = DeltaTable(uri)  # sees version 0; plans the widen at version 1
+    # a concurrent writer takes version 1
+    write_deltalake(
+        spark, spark.range(10, 20).selectExpr("CAST(id AS INT) AS id"), uri,
+        mode="append",
+    )
+    v = stale.widen_column_type("id", "bigint")  # retry lands at version 2
+    assert v == 2
+    changes = tw.type_changes(DeltaTable(uri).schema())
+    assert changes["id"][0]["tableVersion"] == 2
