@@ -267,6 +267,15 @@ def renamed_schema(schema: T.StructType, old: str, new: str) -> T.StructType:
             if f.name == parts[0]:
                 hit = True
                 if len(parts) == 1:
+                    # a duplicate logical name is an invalid Delta schema
+                    # (ambiguous resolution everywhere) — refuse up front
+                    # instead of committing metadata that needs manual repair
+                    siblings = {g.name for g in dt.fields if g.name != f.name}
+                    if new in siblings:
+                        raise ColumnMappingError(
+                            f"cannot rename {old!r} to {new!r}: a sibling "
+                            "column with that name already exists"
+                        )
                     fields.append(T.StructField(new, f.dataType, f.nullable, dict(f.metadata)))
                 else:
                     fields.append(

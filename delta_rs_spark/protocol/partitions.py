@@ -13,9 +13,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence, Union
 
-from pyspark.sql import Column
-from pyspark.sql import functions as F
-
 from .actions import AddAction
 
 FilterTuple = tuple[str, str, Union[str, Sequence[str]]]
@@ -72,17 +69,6 @@ class PartitionFilter:
         if self.op == "in":
             return actual in self.value
         return actual not in self.value  # "not in"
-
-    def to_spark_column(self) -> Column:
-        """Same predicate as a Spark Column (row-level residual filter)."""
-        c = F.col(self.key).cast("string")
-        if self.op == "=":
-            return c == self.value
-        if self.op == "!=":
-            return c != self.value
-        if self.op == "in":
-            return c.isin(*self.value)
-        return ~c.isin(*self.value)
 
 
 def compile_filters(filters: Sequence[FilterTuple] | None) -> list[PartitionFilter]:

@@ -32,6 +32,22 @@ def _coerce(stat_value: Any, literal: Any) -> tuple[Any, Any] | None:
     # JSON stats carry dates/timestamps as ISO strings; normalize both sides
     if isinstance(literal, (_dt.date, _dt.datetime)):
         literal = literal.isoformat()
+    # bool FIRST: it subclasses int, and bool('false') is True — letting it
+    # fall into the numeric coercion would invert the comparison and prune
+    # files whose rows DO match
+    if isinstance(stat_value, bool) or isinstance(literal, bool):
+
+        def _as_bool(x):
+            if isinstance(x, bool):
+                return x
+            if isinstance(x, str) and x.lower() in ("true", "false"):
+                return x.lower() == "true"
+            return None
+
+        a, b = _as_bool(stat_value), _as_bool(literal)
+        if a is None or b is None:
+            return None
+        return a, b
     if isinstance(stat_value, (int, float)) and isinstance(literal, str):
         try:
             literal = type(stat_value)(literal)
@@ -69,8 +85,6 @@ def file_may_match(add: AddAction, predicates: Sequence[SkipTuple]) -> bool:
     for col, op, lit in predicates:
         if op not in _SKIP_OPS:
             continue  # unknown op: cannot skip on it
-        if op == "is null":
-            continue
         lo_raw, hi_raw = mins.get(col), maxs.get(col)
         nulls = null_counts.get(col)
         all_null = (

@@ -294,6 +294,15 @@ class DeltaTable:
                 tbl = tbl.append_column(
                     field, pa.array([val] * tbl.num_rows, type=field.type)
                 )
+            # files written before an add_columns evolution lack the new
+            # columns — NULL-fill them (the dataset path does this via its
+            # explicit schema; the DV path selects per file and must too)
+            for name in full_schema.names:
+                if name not in tbl.column_names:
+                    field = full_schema.field(name)
+                    tbl = tbl.append_column(
+                        field, pa.nulls(tbl.num_rows, type=field.type)
+                    )
             pieces.append(tbl.select(full_schema.names).cast(full_schema))
         out = (
             pa.concat_tables(pieces)
@@ -514,6 +523,16 @@ class DeltaTable:
             configuration={**(meta.configuration or {}), key: expr},
         )
         txn = self.begin()
+        # spec: CHECK constraints need writer 3 (legacy) or the
+        # checkConstraints feature — without the floor an external writer
+        # at version 2 may append violating rows (create-path parity)
+        from .protocol.actions import upgraded_protocol as _up
+
+        bump = _up(
+            self.snapshot.state, 1, 3, writer_features=["checkConstraints"]
+        )
+        if bump is not None:
+            txn.add_action(bump)
         txn.add_action(new_meta)
         v = txn.commit(
             operation="ADD CONSTRAINT",
@@ -683,6 +702,21 @@ class DeltaTable:
         hwm = rt.stamp_adds(backfill, -1, self.version + 1)
         txn.add_actions(backfill)
         txn.add_action(rt.domain_action(hwm))
+
+        # the backfill covers exactly THIS snapshot's files and stamps them
+        # with THIS planned version; an intervening commit both invalidates
+        # the stamped defaultRowCommitVersion and may add files the backfill
+        # misses (which would then live un-id'd in a row-tracked table) —
+        # abort and let the caller re-run against the fresh snapshot
+        def _no_intervening(tbl) -> None:
+            from .transactions import ConcurrentModificationError
+
+            raise ConcurrentModificationError(
+                "a concurrent commit landed while row tracking was being "
+                "enabled; re-run enable_row_tracking on the refreshed table"
+            )
+
+        txn.add_commit_guard(_no_intervening)
         v = txn.commit(
             operation="SET TBLPROPERTIES",
             operation_parameters={"properties": [rt.ENABLE_KEY]},
@@ -835,6 +869,38 @@ class DeltaTable:
         self.update()
         return v
 
+    def _refuse_if_column_referenced(self, column: str, action: str) -> None:
+        """Block RENAME/DROP COLUMN when CHECK constraints, generated-column
+        expressions, or column DEFAULTs reference the column — the dangling
+        expression would fail (or silently stop enforcing) on every
+        subsequent write. Same up-front rule delta-spark applies."""
+        import re as _re
+
+        from .protocol import defaults as _dfl
+        from .protocol import generated as _gen
+        from .writer import CONSTRAINT_PREFIX, SchemaMismatchError
+
+        top = column.split(".")[0]
+        pat = _re.compile(rf"\b{_re.escape(top)}\b")
+        meta = self.metadata()
+        schema = self.schema()
+        refs = []
+        for k, v in (meta.configuration or {}).items():
+            if k.startswith(CONSTRAINT_PREFIX) and pat.search(v):
+                refs.append(f"constraint {k[len(CONSTRAINT_PREFIX):]!r} ({v!r})")
+        for n, expr in _gen.expressions(schema).items():
+            if n != top and pat.search(expr):
+                refs.append(f"generated column {n!r} ({expr!r})")
+        for n, expr in _dfl.defaults(schema).items():
+            if n != top and pat.search(expr):
+                refs.append(f"default of column {n!r} ({expr!r})")
+        if refs:
+            raise SchemaMismatchError(
+                f"cannot {action} column {column!r}: referenced by "
+                + "; ".join(refs)
+                + " — drop/update those first"
+            )
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN — metadata-only under column mapping
         (the physical name in the files never changes). ``old`` may be a
@@ -843,6 +909,7 @@ class DeltaTable:
         from .protocol.schema import spark_to_schema_string
         from .writer import SchemaMismatchError
 
+        self._refuse_if_column_referenced(old, "rename")
         meta = self.metadata()
         if not cm.is_mapped(meta.configuration):
             raise SchemaMismatchError(
@@ -872,6 +939,7 @@ class DeltaTable:
         from .protocol.schema import spark_to_schema_string
         from .writer import SchemaMismatchError
 
+        self._refuse_if_column_referenced(name, "drop")
         meta = self.metadata()
         if not cm.is_mapped(meta.configuration):
             raise SchemaMismatchError(
@@ -1090,12 +1158,14 @@ class DeltaTable:
         starting_timestamp: str | _dt.datetime | None = None,
         ending_timestamp: str | _dt.datetime | None = None,
     ) -> DataFrame:
-        """Row-level changes in a version range; timestamps (resolved to the
-        last version committed ≤ each) may replace either bound."""
+        """Row-level changes in a version range; timestamps may replace
+        either bound. The start resolves to the FIRST version committed
+        at-or-after it (Delta's startingTimestamp contract — changes before
+        the timestamp are excluded); the end to the last version ≤ it."""
         from .cdf import load_cdf as _load_cdf
 
         if starting_timestamp is not None:
-            starting_version = self.version_at_timestamp(starting_timestamp)
+            starting_version = self.first_version_at_or_after(starting_timestamp)
         if ending_timestamp is not None:
             ending_version = self.version_at_timestamp(ending_timestamp)
         return _load_cdf(
@@ -1138,6 +1208,11 @@ class DeltaTable:
         from .uniform import iceberg as ub
 
         v = self.set_properties({ub.ENABLE_KEY: "iceberg"})
+        # the property commit's post-hook already ran the initial conversion
+        # (best-effort, warning on failure). convert_snapshot is idempotent
+        # per version (early-returns when the tree is current), so this call
+        # is a metadata-read no-op on the happy path — its job is to raise
+        # LOUDLY when the hook's attempt failed.
         ub.convert_snapshot(self)
         return v
 

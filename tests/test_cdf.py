@@ -367,3 +367,26 @@ def test_load_cdf_raises_on_cleaned_up_versions(spark, tmp_path):
         t.load_cdf(spark, starting_version=0).collect()
     # a retained starting version still works
     assert t.load_cdf(spark, starting_version=1).count() == 10
+
+
+def test_load_cdf_starting_timestamp_is_at_or_after(spark, tmp_path):
+    """startingTimestamp must exclude changes committed strictly before it
+    (resolve to the FIRST version at-or-after, not the last one before)."""
+    import datetime as dt
+
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(0, 5).selectExpr("id"),
+        uri,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    write_deltalake(spark, spark.range(5, 9).selectExpr("id"), uri, mode="append")
+    t = DeltaTable(uri)
+    ts0 = t.log.commit_timestamp_ms(0)
+    ts1 = t.log.commit_timestamp_ms(1)
+    assert ts1 > ts0  # in-commit/mtime clocks are monotonic
+    mid = dt.datetime.fromtimestamp((ts0 + ts1) / 2000 + 0.0005)
+    changes = t.load_cdf(spark, starting_timestamp=mid)
+    versions = {r._commit_version for r in changes.collect()}
+    assert versions == {1}  # v0 (committed before the timestamp) excluded

@@ -307,3 +307,29 @@ def test_dv_bump_preserves_column_mapping_features(spark, tmp_path):
     assert "deletionVectors" in (state.reader_features or [])
     # the mapped table's read path still resolves after the feature bump
     assert t.to_df(spark).count() == 85
+
+
+def test_rename_collision_and_dangling_references_refused(spark, tmp_path):
+    from delta_rs_spark.protocol.column_mapping import ColumnMappingError
+    from delta_rs_spark.writer import SchemaMismatchError
+
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(0, 5).selectExpr("id", "id AS x", "id AS y"),
+        uri,
+        configuration={"delta.columnMapping.mode": "name"},
+    )
+    t = DeltaTable(uri)
+    with pytest.raises(ColumnMappingError, match="sibling"):
+        t.rename_column("x", "y")
+
+    t.add_constraint(spark, "xpos", "x >= 0")
+    t = DeltaTable(uri)
+    with pytest.raises(SchemaMismatchError, match="referenced by"):
+        t.rename_column("x", "z")
+    with pytest.raises(SchemaMismatchError, match="referenced by"):
+        t.drop_column("x")
+    # unreferenced columns still rename/drop fine
+    t.rename_column("y", "w")
+    assert "w" in DeltaTable(uri).schema().names

@@ -67,3 +67,25 @@ def test_ne_skips_constant_file():
     a = _add("const", 7, 7)
     assert not file_may_match(a, [("v", "!=", 7)])
     assert file_may_match(a, [("v", "=", 7)])
+
+
+def test_boolean_stats_do_not_misprune(spark, tmp_path):
+    """bool is an int subclass: a 'false' string literal must not coerce to
+    True and prune files whose rows match."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.protocol.stats import _coerce
+
+    assert _coerce(False, "false") == (False, False)
+    assert _coerce(True, "false") == (True, False)
+    assert _coerce(False, "not-a-bool") is None
+
+    uri = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, False), (2, False)], "id long, flag boolean")
+    write_deltalake(spark, df, uri)
+    t = DeltaTable(uri)
+    # stats path: '=' on 'false' must keep the all-false file
+    kept = t.snapshot.files(skip_predicates=[("flag", "=", "false")])
+    assert len(kept) == len(t.snapshot.files())
+    # and a DELETE with the quoted literal actually deletes
+    res = t.delete(spark, "flag = 'false'")
+    assert res["numDeletedRows"] == 2
