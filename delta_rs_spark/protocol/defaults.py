@@ -41,12 +41,42 @@ def defaults(schema: T.StructType) -> dict[str, str]:
     return out
 
 
+def _sql_literal(v) -> str:
+    """A value rendered as a SQL literal (what EXISTS_DEFAULT must hold)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _decimal.Decimal):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def annotate_schema(
-    column_defaults: dict[str, str], base_schema: T.StructType, df_columns: list[str]
+    column_defaults: dict[str, str],
+    base_schema: T.StructType,
+    df_columns: list[str],
+    spark=None,
 ) -> T.StructType:
     """CREATE-time: attach DEFAULT expressions to the schema metadata.
-    Columns absent from the incoming frame are appended with the type of
-    their default expression (resolved by the caller's apply step)."""
+
+    ``CURRENT_DEFAULT`` keeps the expression (future inserts re-evaluate
+    it). ``EXISTS_DEFAULT`` is the value readers assume for rows written
+    before the column existed — per the public convention it must be the
+    expression's DDL-TIME result folded to a LITERAL (storing the raw
+    expression would make e.g. ``current_timestamp()`` re-evaluate on
+    every scan, returning different values for the same stored rows);
+    folding needs ``spark`` — without a session the raw expression is kept
+    (correct only for constant expressions)."""
     known = {f.name for f in base_schema.fields}
     missing = sorted(set(column_defaults) - known - set(df_columns))
     if missing:
@@ -54,12 +84,20 @@ def annotate_schema(
             f"DEFAULT declared for unknown column(s) {missing}; defaults "
             "attach to columns of the declared schema"
         )
+    folded: dict[str, str] = {}
+    if spark is not None and column_defaults:
+        exprs = ", ".join(
+            f"({e}) AS _d{i}" for i, e in enumerate(column_defaults.values())
+        )
+        row = spark.sql(f"SELECT {exprs}").collect()[0]
+        for i, name in enumerate(column_defaults):
+            folded[name] = _sql_literal(row[f"_d{i}"])
     fields = []
     for f in base_schema.fields:
         meta = dict(f.metadata or {})
         if f.name in column_defaults:
             meta[CURRENT_DEFAULT] = column_defaults[f.name]
-            meta[EXISTS_DEFAULT] = column_defaults[f.name]
+            meta[EXISTS_DEFAULT] = folded.get(f.name, column_defaults[f.name])
         fields.append(T.StructField(f.name, f.dataType, f.nullable, meta))
     return T.StructType(fields)
 

@@ -48,11 +48,18 @@ def annotate_schema(
 ) -> tuple[DataFrame, T.StructType]:
     """CREATE-time: attach generation expressions to the schema metadata,
     computing any generated column absent from the incoming frame (its type
-    comes from the expression). Returns (frame incl. generated columns,
-    annotated schema)."""
+    comes from the expression) and VALIDATING any the frame provides — the
+    invariant the metadata advertises must hold from version 0, not only
+    for appends. Returns (frame incl. generated columns, annotated
+    schema)."""
+    to_validate = []
     for name, expr in generated.items():
         if name not in df.columns:
             df = df.withColumn(name, F.expr(expr))
+        else:
+            to_validate.append((name, expr))
+    if to_validate:
+        _validate(df, to_validate)
     fields = []
     for f in df.schema.fields:
         meta = dict(f.metadata or {})
@@ -62,36 +69,48 @@ def annotate_schema(
     return df, T.StructType(fields)
 
 
+def _validate(df: DataFrame, to_validate: list[tuple[str, str]]) -> None:
+    """One combined scan counting rows violating each provided generated
+    column's expression; raises naming every violation."""
+    aggs = [
+        F.sum(
+            F.when(~F.col(name).eqNullSafe(F.expr(expr)), 1).otherwise(0)
+        ).alias(name)
+        for name, expr in to_validate
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {
+        name: int(row[name])
+        for name, _ in to_validate
+        if row[name] and row[name] > 0
+    }
+    if bad:
+        parts = ", ".join(
+            f"{n} != ({dict(to_validate)[n]}): {c} rows" for n, c in bad.items()
+        )
+        raise GeneratedColumnError(f"generated-column violation(s): {parts}")
+
+
 def apply_on_write(df: DataFrame, schema: T.StructType) -> DataFrame:
-    """Append path: compute omitted generated columns; validate provided
-    ones row-exactly (one combined scan for all violations)."""
+    """Append path: compute omitted generated columns (cast to the DECLARED
+    type — the expression's natural type can be narrower, e.g. after a
+    type widening); validate provided ones row-exactly."""
     gen = expressions(schema)
     if not gen:
         return df
+    types = {f.name: f.dataType for f in schema.fields}
     to_validate = []
     for name, expr in gen.items():
         if name not in df.columns:
-            df = df.withColumn(name, F.expr(expr))
+            df = df.withColumn(name, F.expr(expr).cast(types[name]))
         else:
             to_validate.append((name, expr))
     if to_validate:
-        aggs = [
-            F.sum(
-                F.when(~F.col(name).eqNullSafe(F.expr(expr)), 1).otherwise(0)
-            ).alias(name)
-            for name, expr in to_validate
-        ]
-        row = df.agg(*aggs).collect()[0]
-        bad = {
-            name: int(row[name])
-            for name, _ in to_validate
-            if row[name] and row[name] > 0
-        }
-        if bad:
-            parts = ", ".join(
-                f"{n} != ({dict(to_validate)[n]}): {c} rows" for n, c in bad.items()
-            )
-            raise GeneratedColumnError(f"generated-column violation(s): {parts}")
+        # the validation agg executes the incoming plan once and the staged
+        # write executes it again — cache so an expensive upstream query
+        # is not computed twice (LRU-evicted; bounded by the append size)
+        df = df.cache()
+        _validate(df, to_validate)
     return df
 
 

@@ -67,14 +67,22 @@ def materialized_names(configuration: Optional[dict]) -> tuple[Optional[str], Op
 
 
 def high_water_mark(state) -> int:
-    """Highest allocated row id (-1 when none allocated yet)."""
+    """Highest allocated row id (-1 when none allocated yet).
+
+    A PRESENT-but-unparseable domain value must raise, not read as -1:
+    treating corrupt state as a fresh table would re-allocate ids from 0
+    and hand out duplicates — the exact invariant this domain protects."""
     raw = state.domain_metadata.get(DOMAIN)
     if not raw:
         return -1
     try:
         return int(json.loads(raw).get(HWM_KEY, -1))
-    except (ValueError, TypeError):
-        return -1
+    except (ValueError, TypeError) as e:
+        raise RowTrackingError(
+            f"corrupt {DOMAIN} domain metadata {raw!r}: cannot determine "
+            "the row-id high-water mark (allocating fresh ids could "
+            "duplicate existing ones)"
+        ) from e
 
 
 def domain_action(hwm: int):

@@ -32,8 +32,10 @@ def spark_to_schema_string(schema: T.StructType) -> str:
 def _spark_json_to_delta(node: Any) -> Any:
     """Normalize Spark's jsonValue to the Delta vocabulary.
 
-    They coincide except Spark may emit ``timestamp_ntz``/``void``/``udt``
-    which Delta v0 has no spelling for — fail loudly on those.
+    They coincide for every supported type, including ``timestamp_ntz``
+    (public ``timestampNtz`` table feature — whether a table may USE it is
+    gated in ``writer._normalize_timestamps``, not here) and ``variant``.
+    Spellings Delta has no word for (``void``/``udt``/...) fail loudly.
     """
     if isinstance(node, str):
         if node in {

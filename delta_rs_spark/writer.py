@@ -300,7 +300,7 @@ def write_deltalake(
         )
     if not exists and column_defaults:
         declared_schema = dfl.annotate_schema(
-            column_defaults, declared_schema, df.columns
+            column_defaults, declared_schema, df.columns, spark=spark
         )
 
     if exists:

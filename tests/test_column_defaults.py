@@ -96,3 +96,24 @@ def test_merge_insert_uses_defaults(spark, tmp_path, src):
     assert res["numTargetRowsInserted"] == 1
     got = t.to_df(spark).filter("r_regionkey = 99").collect()
     assert got and got[0]["tier"] == "bronze"
+
+
+def test_exists_default_is_literal_folded(spark, tmp_path):
+    """EXISTS_DEFAULT must be the DDL-time literal, not the raw expression
+    (current_timestamp() re-evaluated at scan time would give every query
+    a different value for the same stored rows)."""
+    from delta_rs_spark.protocol import defaults as dfl
+
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(0, 3).selectExpr("id"),
+        uri,
+        column_defaults={"created_at": "current_timestamp()", "tag": "'x'"},
+    )
+    schema = DeltaTable(uri).schema()
+    by_name = {f.name: f.metadata for f in schema.fields}
+    exists_ts = by_name["created_at"][dfl.EXISTS_DEFAULT]
+    assert exists_ts.startswith("TIMESTAMP '")  # folded literal
+    assert by_name["created_at"][dfl.CURRENT_DEFAULT] == "current_timestamp()"
+    assert by_name["tag"][dfl.EXISTS_DEFAULT] == "'x'"

@@ -135,3 +135,16 @@ def test_generated_with_row_tracking_and_mapping(spark, tmp_path):
     t = DeltaTable.for_path(str(tmp_path))
     got = {r.id: (str(r.event_date), r._row_id) for r in t.to_df(spark, with_row_ids=True).collect()}
     assert got[1][0] == "2026-01-01" and got[1][1] == before[1]
+
+
+def test_create_validates_provided_generated_values(spark, tmp_path):
+    """CREATE with a frame that PROVIDES a generated column must validate
+    it — the invariant holds from version 0."""
+    from delta_rs_spark.protocol.generated import GeneratedColumnError
+
+    uri = str(tmp_path / "t")
+    bad = spark.createDataFrame([(1, 5, 999)], "id long, x long, g long")
+    with pytest.raises(GeneratedColumnError):
+        write_deltalake(spark, bad, uri, generated_columns={"g": "x + 1"})
+    good = spark.createDataFrame([(1, 5, 6)], "id long, x long, g long")
+    write_deltalake(spark, good, str(tmp_path / "t2"), generated_columns={"g": "x + 1"})

@@ -60,3 +60,45 @@ def test_empty_flush_is_noop(spark, part_table):
     v = DeltaTable(part_table).version
     assert w.flush() is None
     assert DeltaTable(part_table).version == v
+
+
+def test_json_native_values_coerce_and_defaults_fill(spark, tmp_path):
+    """JSON-native values (int into double, ISO string into timestamp) must
+    coerce, and writer-assigned columns omitted from every row must be
+    computed (not materialized as explicit NULL)."""
+    from delta_rs_spark.json_writer import BufferedJsonWriter
+
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.createDataFrame(
+            [], "id long, price double, ts timestamp, tier string"
+        ),
+        uri,
+        column_defaults={"tier": "'standard'"},
+    )
+    w = BufferedJsonWriter(spark, uri)
+    w.write({"id": 1, "price": 5, "ts": "2024-06-01T10:00:00"})  # int + ISO
+    w.write({"id": 2, "price": 2.5, "ts": "2024-06-01T11:00:00"})
+    w.flush()
+    rows = {r.id: r for r in DeltaTable(uri).to_df(spark).collect()}
+    assert rows[1].price == 5.0 and rows[1].ts.hour == 10
+    assert rows[1].tier == "standard"  # DEFAULT filled, not NULL
+    assert rows[2].tier == "standard"
+
+
+def test_generated_column_computed_through_json_writer(spark, tmp_path):
+    from delta_rs_spark.json_writer import BufferedJsonWriter
+
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.createDataFrame([], "id long, x long"),
+        uri,
+        generated_columns={"g": "x + 1"},
+    )
+    w = BufferedJsonWriter(spark, uri)
+    w.write({"id": 1, "x": 10})
+    w.flush()
+    row = DeltaTable(uri).to_df(spark).collect()[0]
+    assert row.g == 11
