@@ -87,14 +87,30 @@ def _cmd_iceberg(args: argparse.Namespace) -> int:
 
     root, backend = parse_table_uri(args.uri)
     mdir = backend.join(root, "metadata")
-    try:
-        hint = int(backend.get_obj(backend.join(mdir, "version-hint.text")).decode())
-    except Exception:
-        print(json.dumps({"uniform": False}))
-        return 1
-    md = json.loads(backend.get_obj(backend.join(mdir, f"v{hint}.metadata.json")))
-    files = read_file_list(root, backend=backend)
-    deletes = read_delete_files(root, backend=backend)
+    # bounded retry: the three tree walks below (metadata + file census +
+    # delete census) must describe the SAME metadata version, or a
+    # concurrent UniForm sync yields a self-contradictory report
+    for _attempt in range(3):
+        try:
+            hint = int(
+                backend.get_obj(backend.join(mdir, "version-hint.text")).decode()
+            )
+        except (FileNotFoundError, ValueError):
+            # genuinely absent/unreadable hint = not a UniForm table;
+            # transient backend errors propagate loudly instead
+            print(json.dumps({"uniform": False}))
+            return 1
+        md = json.loads(backend.get_obj(backend.join(mdir, f"v{hint}.metadata.json")))
+        files = read_file_list(root, backend=backend)
+        deletes = read_delete_files(root, backend=backend)
+        try:
+            hint_after = int(
+                backend.get_obj(backend.join(mdir, "version-hint.text")).decode()
+            )
+        except (FileNotFoundError, ValueError):
+            hint_after = -1
+        if hint_after == hint:
+            break  # consistent snapshot of the tree
     print(
         json.dumps(
             {
@@ -162,10 +178,15 @@ def _cmd_checksum(args: argparse.Namespace) -> int:
         ok = table.validate_checksum()
     except ChecksumMismatchError as e:
         print(json.dumps({"version": table.version, "valid": False,
-                          "error": str(e)}))
+                          "checksumPresent": True, "error": str(e)}))
         return 1
-    print(json.dumps({"version": table.version, "valid": bool(ok),
-                      "checksumPresent": bool(ok)}))
+    # no .crc = nothing to validate: not "invalid", simply unknown —
+    # a script keying on .valid must not flag a healthy crc-less table
+    print(json.dumps({
+        "version": table.version,
+        "valid": True if ok else None,
+        "checksumPresent": bool(ok),
+    }))
     return 0
 
 
@@ -210,11 +231,17 @@ def _cmd_dv(args: argparse.Namespace) -> int:
 
 
 def _cmd_vacuum(args: argparse.Namespace) -> int:
+    from .maintenance import VacuumError
+
     table = DeltaTable(args.uri)
     dry = not args.no_dry_run
-    removed = table.vacuum(
-        retention_hours=args.retention_hours, dry_run=dry, lite=args.lite
-    )
+    try:
+        removed = table.vacuum(
+            retention_hours=args.retention_hours, dry_run=dry, lite=args.lite
+        )
+    except VacuumError as e:
+        print(f"vacuum refused: {e}", file=sys.stderr)
+        return 2
     for p in removed:
         print(p)
     print(

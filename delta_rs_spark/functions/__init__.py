@@ -58,8 +58,11 @@ def shingles(text, n: int = 3) -> Column:
     """Distinct word n-gram shingles of a string column as array<string>,
     built inside codegen (split → sequence → slice/concat_ws → distinct).
     Texts with fewer than ``n`` words yield an empty array (a bare
-    ``sequence(0, size - n)`` would descend and produce invalid slices)."""
-    words = F.split(F.lower(text), r"\s+")
+    ``sequence(0, size - n)`` would descend and produce invalid slices).
+    Surrounding/repeated whitespace is insignificant: empty tokens from
+    the split are dropped, so ``' a b c'`` and ``'a b c'`` shingle
+    identically."""
+    words = F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
     return F.when(F.size(words) >= n,
         F.array_distinct(
             F.transform(

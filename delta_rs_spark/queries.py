@@ -52,8 +52,12 @@ def query(name: str, oracle: Optional[str], headline: bool = False):
 def _sum_dec(col, alias: str, scale: int = 6):
     """Order-insensitive double sum: quantize each row value to DECIMAL(25,s),
     sum exactly, cast back to DOUBLE. Matches the SQL pattern
-    CAST(SUM(CAST(x AS DECIMAL(25,s))) AS DOUBLE)."""
-    return F.sum(col.cast(f"decimal(25,{scale})")).cast("double").alias(alias)
+    CAST(SUM(CAST(x AS DECIMAL(25,s))) AS DOUBLE). Delegates to the public
+    function library so the quantization scheme exists in exactly one
+    place (both sides of the certification depend on it)."""
+    from .functions import sum_dec
+
+    return sum_dec(col, alias, scale)
 
 
 def SUM_DEC(expr: str, alias: str, scale: int = 6) -> str:

@@ -68,9 +68,19 @@ def write_bytes(buf: io.BytesIO, data: bytes) -> None:
     buf.write(data)
 
 
+def _read_exact(buf: io.BytesIO, n: int) -> bytes:
+    """Exactly ``n`` bytes or EOFError — a short read means the container
+    is truncated/corrupt, and decoding past it would yield silently wrong
+    records (empty paths, zeroed counts) instead of a loud failure."""
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError(f"truncated avro datum: wanted {n} bytes, got {len(data)}")
+    return data
+
+
 def read_bytes(buf: io.BytesIO) -> bytes:
     n = read_long(buf)
-    return buf.read(n)
+    return _read_exact(buf, n)
 
 
 # ---- schema-driven datum encoding -----------------------------------------
@@ -143,19 +153,19 @@ def read_datum(buf: io.BytesIO, schema: Any) -> Any:
     if t == "null":
         return None
     if t == "boolean":
-        return buf.read(1) == b"\x01"
+        return _read_exact(buf, 1) == b"\x01"
     if t in ("int", "long"):
         return read_long(buf)
     if t == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        return struct.unpack("<f", _read_exact(buf, 4))[0]
     if t == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _read_exact(buf, 8))[0]
     if t == "bytes":
         return read_bytes(buf)
     if t == "string":
         return read_bytes(buf).decode("utf-8")
     if t == "fixed":
-        return buf.read(schema["size"])
+        return _read_exact(buf, schema["size"])
     if t == "record":
         return {
             f["name"]: read_datum(buf, f["type"]) for f in schema["fields"]

@@ -52,13 +52,10 @@ def test_vacuum_cli_dry_run(golden, capsys):
     assert all(p and not p.startswith("_delta_log") for p in out)
 
 
-def test_vacuum_cli_retention_guard(golden):
-    import pytest
-
-    from delta_rs_spark.maintenance import VacuumError
-
-    with pytest.raises(VacuumError):
-        main(["vacuum", golden("simple_table"), "--retention-hours", "1"])
+def test_vacuum_cli_retention_guard(golden, capsys):
+    # a refused vacuum is a clean one-line error + exit 2, not a traceback
+    assert main(["vacuum", golden("simple_table"), "--retention-hours", "1"]) == 2
+    assert "vacuum refused" in capsys.readouterr().err
 
 
 def test_inspect_detail(golden, capsys):

@@ -40,3 +40,37 @@ def test_sum_dec_matches_exact(spark):
     df = spark.createDataFrame([(0.1,), (0.2,), (0.3,)], "x DOUBLE")
     r = df.agg(dfn.sum_dec(F.col("x"), "s")).collect()[0]
     assert r.s == pytest.approx(0.6, abs=1e-9)
+
+
+def test_shingles_ignore_surrounding_whitespace(spark):
+    from pyspark.sql import functions as F
+
+    from delta_rs_spark.functions import shingles
+
+    df = spark.createDataFrame(
+        [(" a b c",), ("a b c ",), ("a  b c",), ("a b c",), ("a b ",)],
+        "t string",
+    )
+    rows = df.select(shingles(F.col("t"), 3).alias("s")).collect()
+    assert rows[0].s == rows[1].s == rows[2].s == rows[3].s == ["a b c"]
+    assert rows[4].s == []  # two real words < n: empty, no bogus shingle
+
+
+def test_avro_truncated_container_raises():
+    import io
+
+    from delta_rs_spark.uniform import avro
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "path", "type": "string"},
+                   {"name": "n", "type": "long"}],
+    }
+    buf = io.BytesIO()
+    avro.write_datum(buf, schema, {"path": "some/file.parquet", "n": 7})
+    good = buf.getvalue()
+    assert avro.read_datum(io.BytesIO(good), schema)["path"] == "some/file.parquet"
+    for cut in (1, 5, len(good) - 1):
+        with pytest.raises(EOFError):
+            avro.read_datum(io.BytesIO(good[:cut]), schema)
