@@ -1,9 +1,10 @@
 """Deduplication operators for large-scale document corpora.
 
-All operators are pure DataFrame compositions (JVM-side, codegen'd) except
-SimHash, which uses a vectorized pandas UDF — exactly the split the engine's
-design rules prescribe. Every hash is derived from deterministic built-ins
-(xxhash64 / md5), so results are reproducible across runs and cluster sizes.
+All operators are pure DataFrame compositions (JVM-side, codegen'd) —
+including SimHash, whose bit votes run as md5-via-conv expressions with no
+Python anywhere in the path. Every hash is derived from deterministic
+built-ins (xxhash64 / md5), so results are reproducible across runs and
+cluster sizes.
 
 Scale notes (the point of each design):
 - exact: one shuffle on the text hash, map-side combine. 100 TB safe.
@@ -115,10 +116,24 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str = "doc_id") -> D
     2^-128 per pair this is the standard trade for content-addressed dedup.)
     """
     return (
-        df.select(id_col, F.md5(F.concat_ws("\x1f", *key_cols)).alias("key_hash"))
+        df.select(id_col, _key_hash(key_cols).alias("key_hash"))
         .groupBy("key_hash")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, "key_hash")
+    )
+
+
+def _key_hash(key_cols: list[str]):
+    """md5 over the key columns, NULL-distinguishing: concat_ws silently
+    DROPS null arguments, so ('x', NULL) and (NULL, 'x') would collide and
+    merge distinct documents — each column coalesces to a sentinel no real
+    string column produces (NUL byte). Non-null single-column keys hash
+    exactly as md5(col) did before."""
+    return F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols],
+        )
     )
 
 
@@ -468,8 +483,12 @@ def update_dedup_index(
 
     Returns metrics: versions processed, rows seen, new keys added, duplicate
     rows detected. Re-running with nothing new is a watermark-check no-op.
-    Deletes in the corpus are ignored (an index entry whose document was
-    deleted is stale but harmless for dedup; rebuild to reclaim).
+    New content arrives as CDF ``insert`` rows AND ``update_postimage`` rows
+    (an UPDATE introduces content just like an insert; missing it would let
+    a later exact duplicate of the updated text slip through). The index
+    grows one-way: deletes are ignored and an updated document's OLD hash
+    stays indexed (stale entries are harmless for dedup; rebuild to
+    reclaim).
     """
     from ..cdf import load_cdf
     from ..protocol.actions import TxnAction
@@ -501,9 +520,11 @@ def update_dedup_index(
     changes = load_cdf(
         spark, corpus_table, starting_version=start, ending_version=corpus_version
     )
-    inserts = changes.filter(F.col("_change_type") == "insert")
-    hashed = inserts.select(
-        F.md5(F.concat_ws("\x1f", *key_cols)).alias("key_hash"),
+    fresh_content = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    )
+    hashed = fresh_content.select(
+        _key_hash(key_cols).alias("key_hash"),
         F.col(id_col).alias("doc_id"),
     )
 
@@ -513,35 +534,39 @@ def update_dedup_index(
     else:
         fresh = hashed
 
-    new_unique = fresh.groupBy("key_hash").agg(F.min("doc_id").alias("doc_id"))
-    # all metrics in ONE job: batch row count and distinct-new-key count
-    # share a scan (rows already dedup-keyed in the index never reach
-    # new_unique, so duplicate_rows = rows_seen - new_keys covers both
-    # cross-batch and batch-internal duplicates)
-    stats = (
-        hashed.agg(
-            F.count(F.lit(1)).alias("rows_seen"),
+    # cached: the metrics collect and the index write both execute this
+    # lineage (CDF read -> hash -> anti join -> groupBy); without the cache
+    # the whole incremental pass runs twice per refresh
+    new_unique = (
+        fresh.groupBy("key_hash").agg(F.min("doc_id").alias("doc_id")).cache()
+    )
+    try:
+        stats = (
+            hashed.agg(
+                F.count(F.lit(1)).alias("rows_seen"),
+            )
+            .crossJoin(new_unique.agg(F.count(F.lit(1)).alias("new_keys")))
+            .collect()[0]
         )
-        .crossJoin(new_unique.agg(F.count(F.lit(1)).alias("new_keys")))
-        .collect()[0]
-    )
-    rows_seen, new_keys = stats["rows_seen"], stats["new_keys"]
-    duplicate_rows = rows_seen - new_keys
+        rows_seen, new_keys = stats["rows_seen"], stats["new_keys"]
+        duplicate_rows = rows_seen - new_keys
 
-    import time as _time
+        import time as _time
 
-    txn = TxnAction(
-        app_id=app_id, version=corpus_version, last_updated=int(_time.time() * 1000)
-    )
-    write_deltalake(
-        spark,
-        new_unique.select("key_hash", "doc_id"),
-        index_uri,
-        mode="append",
-        extra_actions=[txn],
-        operation="STREAMING UPDATE",
-        operation_parameters_extra={"appId": app_id, "corpusVersion": corpus_version},
-    )
+        txn = TxnAction(
+            app_id=app_id, version=corpus_version, last_updated=int(_time.time() * 1000)
+        )
+        write_deltalake(
+            spark,
+            new_unique.select("key_hash", "doc_id"),
+            index_uri,
+            mode="append",
+            extra_actions=[txn],
+            operation="STREAMING UPDATE",
+            operation_parameters_extra={"appId": app_id, "corpusVersion": corpus_version},
+        )
+    finally:
+        new_unique.unpersist()
     return {
         "processed_versions": corpus_version - start + 1,
         "rows_seen": rows_seen,

@@ -56,6 +56,18 @@ def incremental_rollup(
     sum_cols = list(sum_cols)
     current = source_table.version
 
+    # sums of INTEGRAL columns stay long: cast-to-double loses exactness
+    # above 2^53 (plausible for byte/revenue counters at 100 TB) and the
+    # repeated signed ± folding of an incremental rollup would drift from
+    # a recompute; fractional columns keep double
+    import pyspark.sql.types as _T
+
+    src_types = {f.name: f.dataType for f in source_table.schema().fields}
+    _INTEGRAL = (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType)
+
+    def _sum_type(c: str) -> str:
+        return "long" if isinstance(src_types.get(c), _INTEGRAL) else "double"
+
     def _agg(df, signed=False):
         sign = (
             F.when(
@@ -68,7 +80,7 @@ def incremental_rollup(
             F.sum(sign).cast("long").alias("n_rows"),
             *[
                 F.coalesce(F.sum(F.col(c) * sign), F.lit(0))
-                .cast("double")
+                .cast(_sum_type(c))
                 .alias(f"sum_{c}")
                 for c in sum_cols
             ],
@@ -102,10 +114,16 @@ def incremental_rollup(
 
     start = last + 1
     if start > current:
+        # even with nothing new, finish a crashed predecessor's work: the
+        # merge and the zero-group cleanup are separate commits, and a
+        # crash between them would otherwise leave n_rows=0 phantom groups
+        # visible forever on a quiet source
+        d0 = _delete(spark, target, "n_rows = 0")
         return {
             "bootstrapped": False,
             "processed_versions": 0,
             "source_version": current,
+            "groups_removed": d0.get("numDeletedRows", 0),
         }
 
     changes = load_cdf(

@@ -172,8 +172,17 @@ def resample_locf(
         "key", F.explode(F.sequence(lo, hi, step)).alias("bucket_ts")
     )
 
+    # buckets anchor at START_TS, not the Unix epoch: the spine below is
+    # sequence(start, end, step), so an epoch-aligned floor would miss every
+    # spine timestamp whenever start % step != 0 (incl. via session-timezone
+    # offsets) and the join would silently return all-NULLs
+    lo_s = F.unix_timestamp(lo)
     bucket = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / step_seconds).cast("long") * step_seconds
+        lo_s
+        + F.floor(
+            (F.unix_timestamp(F.col(ts_col)) - lo_s) / step_seconds
+        ).cast("long")
+        * step_seconds
     )
     last_per_bucket = (
         df.filter((F.col(ts_col) >= lo) & (F.col(ts_col) <= hi))

@@ -88,13 +88,43 @@ class UpsertDeltaSink:
         app_id: str,
         when_matched_update: Optional[dict] = None,
         partition_by: Optional[list[str]] = None,
+        dedupe_keys: Optional[list[str]] = None,
+        order_col: Optional[str] = None,
     ):
         self.table_uri = table_uri
         self.condition = condition
         self.app_id = app_id
         self.when_matched_update = when_matched_update
         self.partition_by = partition_by
+        # CDC micro-batches routinely carry several changes for ONE key; a
+        # multi-row key would either trip MERGE's multi-match guard (query
+        # fails permanently — the batch replays identically) or land
+        # duplicate rows via the insert path. dedupe_keys collapses the
+        # batch to its latest row per key first — ordered by order_col (a
+        # CDC sequence/timestamp) when given, else by the greatest struct
+        # of the remaining columns (arbitrary but deterministic, so batch
+        # replays pick the same survivor).
+        self.dedupe_keys = dedupe_keys
+        self.order_col = order_col
         self.skipped_epochs: list[int] = []
+
+    def _collapse(self, batch_df: DataFrame) -> DataFrame:
+        if not self.dedupe_keys:
+            return batch_df
+        from pyspark.sql import functions as F
+
+        others = [c for c in batch_df.columns if c not in self.dedupe_keys]
+        order = (
+            F.col(self.order_col)
+            if self.order_col
+            else F.struct(*[F.col(c) for c in others])
+        )
+        picked = batch_df.groupBy(*self.dedupe_keys).agg(
+            F.max_by(F.struct(*[F.col(c) for c in others]), order).alias("_r")
+        )
+        return picked.select(
+            *self.dedupe_keys, *[F.col(f"_r.{c}").alias(c) for c in others]
+        ).select(*batch_df.columns)
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..dml import merge
@@ -103,7 +133,12 @@ class UpsertDeltaSink:
         from ..table import DeltaTable
         from ..writer import write_deltalake
 
-        spark = batch_df.sparkSession
+        spark = (
+            batch_df.sparkSession
+            if hasattr(batch_df, "sparkSession")
+            else batch_df.sql_ctx.sparkSession
+        )
+        batch_df = self._collapse(batch_df)
         txn = TxnAction(app_id=self.app_id, version=epoch_id)
         try:
             table = DeltaTable(self.table_uri)

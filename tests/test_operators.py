@@ -971,3 +971,95 @@ def test_random_projection_is_shuffle_free_and_distance_preserving(spark, emb):
     for r in rows:
         pn = math.sqrt(sum(r[f"rp{j:02d}"] ** 2 for j in range(16)))
         assert 0.4 * orig[r.vec_id] <= pn <= 1.9 * orig[r.vec_id]
+
+
+def test_resample_locf_unaligned_start(spark):
+    """Buckets anchor at start_ts: a start that is not a multiple of the
+    step from the epoch must still match observations (epoch-aligned
+    flooring silently returned all-NULLs)."""
+    from delta_rs_spark.operators import timeseries
+
+    df = spark.createDataFrame(
+        [("k", "2024-01-01 00:35:00", 1.0), ("k", "2024-01-01 01:40:00", 2.0)],
+        "key string, ts string, value double",
+    ).selectExpr("key", "CAST(ts AS TIMESTAMP) ts", "value")
+    out = timeseries.resample_locf(
+        df,
+        key_col="key",
+        ts_col="ts",
+        value_col="value",
+        start_ts="2024-01-01 00:30:00",  # NOT hour-aligned
+        end_ts="2024-01-01 02:30:00",
+        step_seconds=3600,
+    ).orderBy("bucket_ts").collect()
+    assert [r.value for r in out] == [1.0, 2.0, 2.0]
+    assert [bool(r.observed) for r in out] == [True, True, False]
+
+
+def test_exact_dedup_null_columns_do_not_collide(spark):
+    from delta_rs_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, None, "x"), (3, "x", None)],
+        "doc_id long, a string, b string",
+    )
+    out = dedup.exact_dedup(df, ["a", "b"]).collect()
+    # (x, NULL) and (NULL, x) are DIFFERENT keys; rows 1 and 3 collapse
+    assert sorted(r.doc_id for r in out) == [1, 2]
+
+
+def test_dedup_index_sees_update_postimage(spark, tmp_path):
+    from delta_rs_spark.operators.dedup import update_dedup_index
+
+    corpus_uri = str(tmp_path / "corpus")
+    index_uri = str(tmp_path / "index")
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    write_deltalake(
+        spark,
+        spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string"),
+        corpus_uri,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    t = DeltaTable(corpus_uri)
+    update_dedup_index(spark, t, index_uri)
+    # UPDATE doc 1's text to "gamma"; the index must learn hash("gamma")
+    t.update_where(spark, "doc_id = 1", {"text": "'gamma'"})
+    t = DeltaTable(corpus_uri)
+    update_dedup_index(spark, t, index_uri)
+    # a NEW doc with the same text is now a detected duplicate, not a new key
+    write_deltalake(
+        spark,
+        spark.createDataFrame([(9, "gamma")], "doc_id long, text string"),
+        corpus_uri,
+        mode="append",
+    )
+    t = DeltaTable(corpus_uri)
+    res = update_dedup_index(spark, t, index_uri)
+    assert res["duplicate_rows"] == 1 and res["new_keys"] == 0
+
+
+def test_upsert_sink_collapses_batch_duplicates(spark, tmp_path):
+    from delta_rs_spark import DeltaTable
+    from delta_rs_spark.streaming.sink import UpsertDeltaSink
+
+    uri = str(tmp_path / "t")
+    sink = UpsertDeltaSink(
+        uri,
+        condition="t.id = s.id",
+        app_id="cdc",
+        dedupe_keys=["id"],
+        order_col="seq",
+    )
+    b0 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)], "id long, v long, seq long"
+    )
+    sink(b0, 0)  # two changes for id=1 in ONE batch: keep seq=2
+    got = {r.id: r.v for r in DeltaTable(uri).to_df(spark).collect()}
+    assert got == {1: 11, 2: 20}
+    b1 = spark.createDataFrame(
+        [(1, 12, 3), (1, 13, 4)], "id long, v long, seq long"
+    )
+    sink(b1, 1)  # matched + duplicated: no multi-match error, latest wins
+    got = {r.id: r.v for r in DeltaTable(uri).to_df(spark).collect()}
+    assert got == {1: 13, 2: 20}
