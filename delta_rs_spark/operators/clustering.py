@@ -63,7 +63,16 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # convergence fingerprint: SUM of xxhash64(label) — works for ANY id
+    # type (a plain SUM over STRING labels casts to NULL non-ANSI, and
+    # None == None would "converge" after one round with wrong clusters)
+    def _label_sum(frame):
+        # decimal sum: a long sum of 64-bit hashes overflows under ANSI
+        return frame.agg(
+            F.sum(F.xxhash64("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
 
     for _ in range(max_iter):
         neighbor_labels = und.join(
@@ -77,7 +86,7 @@ def connected_components(
             .localCheckpoint(eager=False)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = _label_sum(new_labels)
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:  # labels are non-increasing: equal sum ⟺ fixed point

@@ -52,9 +52,16 @@ def shingle_hash_sets(
     and ``sequence(0, size-n)`` with ``size < n`` would produce a descending
     sequence and an invalid ``slice(_w, 0, ...)``.
     """
+    # empty tokens from leading/trailing/repeated whitespace are dropped —
+    # they would otherwise mint bogus shingles, making texts that differ
+    # only in surrounding whitespace never match (the oracle SQLs filter
+    # identically)
+    _w = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
     return (
-        df.filter(F.size(F.split(F.lower(F.col(text_col)), r"\s+")) >= n)
-        .select(id_col, F.split(F.lower(F.col(text_col)), r"\s+").alias("_w"))
+        df.filter(F.size(_w) >= n)
+        .select(id_col, _w.alias("_w"))
         .select(
             id_col,
             F.expr(
@@ -430,7 +437,7 @@ def embedding_cosine_pairs(
     ).withColumn(
         "nrm",
         F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
-    )
+    ).filter(F.col("nrm") > 0)  # zero vectors: NaN cosine, see similarity.py
     a = norm.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = norm.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     return (

@@ -152,7 +152,13 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) ->
         for pdf in it:
             ids, nos, frames = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                for i in range(min(max(len(p), 1) // every_n_bytes + 1, max_frames)):
+                # ceil(len/every): the old len//every + 1 emitted a trailing
+                # EMPTY frame whenever the payload length was an exact
+                # multiple of the stride
+                n_frames = max(
+                    (len(p) + every_n_bytes - 1) // every_n_bytes, 1
+                )
+                for i in range(min(n_frames, max_frames)):
                     ids.append(doc_id)
                     nos.append(i)
                     frames.append(bytes(p[i * every_n_bytes : (i + 1) * every_n_bytes]))

@@ -20,8 +20,12 @@ _BUCKETS = 1 << 32
 
 def hash_bucket(id_col: str | Column, salt: str = "") -> Column:
     """Uniform integer in [0, 2^32) from md5 of the id (+ optional salt to
-    derive independent hash draws from the same ids)."""
-    raw = F.concat(F.col(id_col).cast("string"), F.lit(salt)) if isinstance(id_col, str) else id_col
+    derive independent hash draws from the same ids). Column and name
+    arguments hash IDENTICALLY (same cast + salt concat) — a Column input
+    used to silently drop the salt, making "independent" draws perfectly
+    correlated."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    raw = F.concat(col.cast("string"), F.lit(salt))
     return F.conv(F.substring(F.md5(raw), 1, 8), 16, 10).cast("long")
 
 

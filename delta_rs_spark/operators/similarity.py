@@ -26,12 +26,20 @@ from pyspark.sql import functions as F
 
 
 def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias(f"{prefix}_id"),
-        F.col(vec_col).cast("array<double>").alias(f"{prefix}_v"),
-    ).withColumn(
-        f"{prefix}_norm",
-        F.sqrt(F.aggregate(f"{prefix}_v", F.lit(0.0), lambda acc, x: acc + x * x)),
+    # zero-norm vectors (failed embeds) are EXCLUDED: their cosine is
+    # 0.0/0.0 = NaN, and Spark sorts NaN above every double — a single zero
+    # vector would otherwise rank as every query's #1 neighbor (and NaN >=
+    # threshold is TRUE, so pair filters would pass it too)
+    return (
+        df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).cast("array<double>").alias(f"{prefix}_v"),
+        )
+        .withColumn(
+            f"{prefix}_norm",
+            F.sqrt(F.aggregate(f"{prefix}_v", F.lit(0.0), lambda acc, x: acc + x * x)),
+        )
+        .filter(F.col(f"{prefix}_norm") > 0)
     )
 
 
@@ -113,24 +121,6 @@ def _hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
     return planes
 
 
-def lsh_bucket(df: DataFrame, n_planes: int, dim: int, vec_col: str = "v") -> DataFrame:
-    """Add a `bucket` column: sign pattern of dot products with n_planes
-    deterministic hyperplanes, packed into a long."""
-    planes = _hyperplane_signs(n_planes, dim)
-    bucket = F.lit(0).cast("long")
-    for i, signs in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(s)) for s in signs]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-    return df.withColumn("bucket", bucket)
-
 
 def _unit(df: DataFrame, prefix: str) -> DataFrame:
     """L2-normalize `{prefix}_v` (dropping zero vectors) so cosine == dot."""
@@ -181,8 +171,14 @@ def train_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list[list[float]]:
-    """Spherical k-means coarse quantizer.
+    """k-means coarse quantizer over unit vectors.
 
+    Centroids are plain Lloyd means of the unit-normalized corpus (NOT
+    re-normalized — strict spherical k-means would renormalize, but the
+    same unnormalized centroids score BOTH corpus assignment and query
+    probing, so the norm bias cancels between the two sides; empirically
+    this variant measures slightly higher recall at the pinned
+    n_probe/n_list than the renormalized form, see tests/test_recall.py).
     Centroids (n_list × dim doubles — a few KB) live on the driver, like
     MLlib's k-means; every Lloyd iteration is one distributed pass over the
     corpus (codegen literal-centroid assignment + per-dimension mean via
@@ -378,11 +374,18 @@ def lsh_bucketed_pairs(
     planes = _hyperplane_signs(r * b, dim)
     planes_col = F.array(*[F.lit([float(s) for s in row]) for row in planes])
 
-    norm = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).withColumn(
-        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+    norm = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn(
+            "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+        )
+        # zero vectors: cosine would be NaN and NaN >= threshold is TRUE
+        # under Spark semantics — every zero vector would pair with every
+        # bucket-mate; exclude them (they have no direction to compare)
+        .filter(F.col("nrm") > 0)
     )
 
     dots = F.transform(planes_col, lambda p: _dot(F.col("v"), p))

@@ -28,14 +28,19 @@ def salted_count_distinct(
     *disjoint* value sets, so per-bucket distinct counts are additive and the
     hot key's work spreads across ``n_buckets`` reducers. Two shuffles of
     pre-aggregated data replace one shuffle that sends every row of the hot
-    key to a single task. Null values are ignored (SQL COUNT(DISTINCT)
-    semantics).
+    key to a single task. Null VALUES are ignored (SQL COUNT(DISTINCT)
+    semantics) but a key whose values are ALL null still appears with
+    count 0, exactly like a plain groupBy().agg(count_distinct()).
     """
     alias = alias or f"{value_col}_distinct"
     keys = list(keys)
+    # count_distinct ignores nulls itself, so null-valued rows contribute
+    # _partial = 0 instead of being pre-filtered away (a pre-filter would
+    # DROP keys with only-null values from the result entirely)
     return (
-        df.filter(F.col(value_col).isNotNull())
-        .groupBy(*keys, F.pmod(F.xxhash64(value_col), F.lit(n_buckets)).alias("_salt"))
+        df.groupBy(
+            *keys, F.pmod(F.xxhash64(value_col), F.lit(n_buckets)).alias("_salt")
+        )
         .agg(F.count_distinct(value_col).alias("_partial"))
         .groupBy(*keys)
         .agg(F.sum("_partial").alias(alias))
@@ -54,12 +59,17 @@ def salt_join_key(
     Join on ``[key, salt_col]`` afterwards — the hot key's rows spread over
     n_salts reducers instead of one.
 
-    The fact salt derives from xxhash64 of the whole row's monotonically
-    increasing id surrogate — deterministic across retries (no rand()).
+    The fact salt is ``xxhash64`` over the row's CONTENT (every column) —
+    genuinely deterministic across task retries and repartitioning, unlike
+    ``rand()`` or ``monotonically_increasing_id()`` (whose value depends on
+    the partition layout at execution time: a re-executed map task after a
+    shuffle-fetch failure would re-salt its rows differently and duplicate/
+    drop them). Identical duplicate rows share a salt — acceptable, since
+    true full-row duplicates are rare and the salt only balances load.
     """
     salted_facts = facts.withColumn(
         salt_col,
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts)),
     )
     replicated_dim = dim.withColumn(
         salt_col, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

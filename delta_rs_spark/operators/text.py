@@ -46,7 +46,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
 def lang_id_oracle_sql(table: str = "documents") -> str:
     score = {
-        lang: f"len(list_intersect(list_distinct(string_split(lower(text), ' ')), {words!r}))"
+        lang: f"len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')), {words!r}))"
         for lang, words in LANG_PROFILES.items()
     }
     best = "greatest({})".format(", ".join(score.values()))
@@ -476,7 +476,7 @@ def lang_mismatch(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def lang_mismatch_oracle_sql(table: str = "documents") -> str:
     score = {
-        lang: f"len(list_intersect(list_distinct(string_split(lower(text), ' ')), {words!r}))"
+        lang: f"len(list_intersect(list_distinct(string_split_regex(lower(text), '\\s+')), {words!r}))"
         for lang, words in LANG_PROFILES.items()
     }
     best = "greatest({})".format(", ".join(score.values()))

@@ -30,7 +30,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_ORACLE = """
 WITH words AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
 ),
 sh AS (
   SELECT doc_id,

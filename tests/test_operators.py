@@ -1063,3 +1063,60 @@ def test_upsert_sink_collapses_batch_duplicates(spark, tmp_path):
     sink(b1, 1)  # matched + duplicated: no multi-match error, latest wins
     got = {r.id: r.v for r in DeltaTable(uri).to_df(spark).collect()}
     assert got == {1: 13, 2: 20}
+
+
+def test_zero_vectors_never_rank_or_pair(spark):
+    """A zero embedding has NaN cosine with everything, and Spark sorts NaN
+    above every double — it must be excluded, not ranked #1 everywhere."""
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(1, 5)]
+    rows.append((99, [0.0] * 8))  # failed embed
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 1), k=3).collect()
+    assert all(r.neighbor_id != 99 for r in top)
+    assert all(r.cosine == r.cosine for r in top)  # no NaN
+    pairs = similarity.lsh_bucketed_pairs(df, threshold=0.1, dim=8).collect()
+    assert all(99 not in (r.id_a, r.id_b) for r in pairs)
+
+
+def test_frame_sample_no_trailing_empty_frame(spark):
+    df = spark.createDataFrame(
+        [(1, bytes(range(128)))], "doc_id long, payload binary"
+    )
+    out = multimodal.frame_sample(df, every_n_bytes=64, max_frames=8).collect()
+    assert len(out) == 2  # exact multiple: ceil(128/64), no empty frame 3
+    assert all(len(r.frame) > 0 for r in out)
+
+
+def test_salted_count_distinct_keeps_all_null_keys(spark):
+    from delta_rs_spark.operators.skew import salted_count_distinct
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("orphan", None)], "k string, v string"
+    )
+    out = {r.k: r.v_distinct for r in salted_count_distinct(df, ["k"], "v").collect()}
+    assert out == {"a": 2, "orphan": 0}  # orphan present with 0, not missing
+
+
+def test_hash_bucket_column_input_honors_salt(spark):
+    from delta_rs_spark.operators.sampling import hash_bucket
+
+    df = spark.range(0, 200)
+    a = df.select(hash_bucket("id", "s1").alias("b")).collect()
+    b = df.select(hash_bucket(F.col("id"), "s1").alias("b")).collect()
+    c = df.select(hash_bucket(F.col("id"), "s2").alias("b")).collect()
+    assert [r.b for r in a] == [r.b for r in b]  # name/Column identical
+    assert [r.b for r in b] != [r.b for r in c]  # salt actually salts
+
+
+def test_connected_components_string_ids(spark):
+    from delta_rs_spark.operators.clustering import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    out = {
+        r.node: r.cluster_id
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert out["d"] == out["a"] == "a"  # full chain converged, not 1 round
+    assert out["y"] == "x"
