@@ -77,6 +77,11 @@ _ROTATION = [
     "corpus_unigram_lm",
     "sample_global_shuffle",
     "embedding_random_projection",
+    "text_gopher_rules",
+    "text_boilerplate_ratio",
+    "dedup_semantic_keeplist",
+    "corpus_dsir_importance",
+    "stream_user_totals",
     # -- relational canaries (certified green rounds 1-2; the window is 50,
     # so these certify only if earlier entries shrink — harmless either way)
     "q1_pricing_summary",

@@ -317,6 +317,77 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_user_totals",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator certified end-to-end: seed a Delta
+    table from the events parquet in TWO append commits, tail it with the
+    ``delta_stream`` source, and maintain per-user cumulative (count, sum)
+    in keyed state via ``applyInPandasWithState`` (update mode). Values are
+    quantized to integer cents BEFORE the stream so the keyed state
+    accumulates in exact LONG arithmetic — the final per-key emission is
+    then batch-boundary-invariant and must equal the batch GROUP BY, which
+    is exactly what the oracle computes. The memory sink keeps every
+    per-batch emission; the final state per key is selected with
+    max_by(total, n_events) (n_events is strictly cumulative)."""
+    import uuid as _uuid
+
+    from .streaming.source import DeltaStreamDataSource
+    from .streaming.stateful import running_totals
+    from .writer import write_deltalake
+
+    uri = _workdir("stream_totals", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    write_deltalake(spark, ev.filter(F.col("event_id") % 2 == 0), uri)
+    write_deltalake(
+        spark, ev.filter(F.col("event_id") % 2 == 1), uri, mode="append"
+    )
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    sink = f"stream_user_totals_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.format("delta_stream")
+        .option("path", uri)
+        .option("startingVersion", "0")
+        .load()
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    q = (
+        running_totals(stream, key_col="user_id", value_col="cents")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(uri, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_user_totals did not drain within 300s")
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(total_value, n_events)").alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
     "widening_uniform_lifecycle",
     """
     WITH base AS (

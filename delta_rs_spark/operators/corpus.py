@@ -319,6 +319,119 @@ def unigram_lm_scores(
     )
 
 
+def dsir_importance(
+    df: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights: per-document mean log-likelihood
+    ratio between a TARGET-domain unigram LM and the RAW-corpus unigram LM
+    (Xie et al. 2023, "Data Selection for Language Modeling via Importance
+    Resampling" — the public recipe behind domain-matched pretraining
+    mixes). Documents whose token distribution looks like the target domain
+    get high weights; importance resampling then upweights them.
+
+    ``target_filter`` is a boolean Column selecting the target-domain rows
+    of ``df``; every non-target (raw) document is scored. Both LMs are
+    add-one smoothed over the JOINT vocabulary V:
+
+        avg_logratio = (Σ_w tf·(ln(c_t(w)+1) − ln(c_r(w)+1))) / n_tokens
+                       + ln(N_r+|V|) − ln(N_t+|V|)
+
+    where c_t/c_r are target/raw corpus counts and N_t/N_r the corpus token
+    totals. The smoothing constant folds out of the per-term sum, so only
+    one DECIMAL(25,9)-quantized term product rides through the aggregation —
+    addition-order- and engine-invariant, like ``unigram_lm_scores``.
+
+    DAG and 100 TB shape: one exploded-words pass feeds BOTH vocabularies
+    via conditional aggregation (no second scan); per-(doc, word) tf is
+    map-side combinable so the vocab join carries one row per DISTINCT
+    (doc, word); the join key space is the Zipf-skewed vocabulary (AQE skew
+    splitting; broadcast the head vocabulary at extreme scale); the three
+    scalars (N_t, N_r, |V|) ride as a 1-row broadcast, never a collect.
+    """
+    words = df.select(
+        id_col,
+        target_filter.alias("_t"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    cw = words.groupBy("w").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("_t"), 0).otherwise(1)).cast("long").alias("cr"),
+    )
+    scalars = cw.agg(
+        F.sum("ct").alias("nt"),
+        F.sum("cr").alias("nr"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    tf = (
+        words.filter(~F.col("_t"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    per_doc = (
+        tf.join(cw, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                (
+                    F.col("tf")
+                    * (F.log(F.col("ct") + 1) - F.log(F.col("cr") + 1))
+                ).cast("decimal(25,9)")
+            ).alias("_s"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(scalars)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(
+            F.col("_s").cast("double") / F.col("n_tokens")
+            + F.log(F.col("nr") + F.col("v"))
+            - F.log(F.col("nt") + F.col("v")),
+            6,
+        ).alias("avg_logratio"),
+    )
+
+
+def dsir_importance_oracle_sql(
+    table: str = "documents", target_pred: str = "source IN ('src0', 'src1')"
+) -> str:
+    """DuckDB recomputation of ``dsir_importance`` (same tokenization, same
+    DECIMAL(25,9) per-term quantization, same expression shapes so the
+    doubles agree at the rounded 6 decimals)."""
+    return rf"""
+WITH words AS (
+  SELECT doc_id, ({target_pred}) AS t,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS w
+  FROM {table}
+),
+cw AS (
+  SELECT w,
+         CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(SUM(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+  FROM words GROUP BY 1
+),
+scalars AS (
+  SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM cw
+),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM words WHERE NOT t GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(CAST(tf * (ln(ct + 1) - ln(cr + 1)) AS DECIMAL(25,9)))
+                  AS DOUBLE) / SUM(tf)
+             + ln(nr + v) - ln(nt + v), 6) AS avg_logratio
+FROM tf JOIN cw USING (w) CROSS JOIN scalars
+GROUP BY doc_id, nr, nt, v
+ORDER BY doc_id
+"""
+
+
 def unigram_lm_oracle_sql(table: str = "documents") -> str:
     """DuckDB recomputation of ``unigram_lm_scores`` (same tokenization,
     same DECIMAL(25,9) per-term quantization, same op order in the final

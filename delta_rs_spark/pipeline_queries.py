@@ -1277,6 +1277,22 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.unigram_lm_scores(docs).orderBy("doc_id")
 
 
+@query(
+    "corpus_dsir_importance",
+    corpus.dsir_importance_oracle_sql(target_pred="source IN ('src0', 'src1')"),
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style domain-importance weights: mean log-likelihood ratio of
+    each raw document under a target-domain unigram LM vs the raw-corpus
+    LM (add-one smoothed over the joint vocabulary) — the public
+    importance-resampling recipe for domain-matched pretraining data.
+    Oracle recomputes both LMs with the same DECIMAL-quantized term sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.dsir_importance(
+        docs, F.col("source").isin("src0", "src1")
+    ).orderBy("doc_id")
+
+
 from .operators import sampling as _sampling
 from .operators import similarity as _similarity
 

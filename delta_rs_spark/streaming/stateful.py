@@ -23,6 +23,10 @@ def running_totals(
     the totals between batches, so a key's output is cumulative over the
     whole stream, not per-batch. Partitioned by the grouping key — state
     shards across executors like any keyed stream.
+
+    Integral value columns accumulate in exact LONG arithmetic (the total
+    is then batch-order-invariant — what the certified query relies on);
+    fractional columns accumulate as DOUBLE.
     """
     import pandas as pd
 
@@ -37,20 +41,24 @@ def running_totals(
             f"running_totals value_col {value_col!r} must be numeric, "
             f"got {value_type.simpleString()}"
         )
+    integral = isinstance(value_type, T.IntegralType)
+    total_type = T.LongType() if integral else T.DoubleType()
     out_schema = T.StructType(
         [
             T.StructField(key_col, key_field.dataType),
             T.StructField("n_events", T.LongType()),
-            T.StructField("total_value", T.DoubleType()),
+            T.StructField("total_value", total_type),
         ]
     )
-    state_schema = "n LONG, total DOUBLE"
+    state_schema = f"n LONG, total {'LONG' if integral else 'DOUBLE'}"
+    cast = int if integral else float
+    zero = cast(0)
 
     def update(key, pdfs, state: GroupState):
-        (n, total) = state.get if state.exists else (0, 0.0)
+        (n, total) = state.get if state.exists else (0, zero)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf[value_col].fillna(0.0).sum())
+            total += cast(pdf[value_col].fillna(zero).sum())
         state.update((n, total))
         yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total_value": [total]})
 

@@ -1120,3 +1120,68 @@ def test_connected_components_string_ids(spark):
     }
     assert out["d"] == out["a"] == "a"  # full chain converged, not 1 round
     assert out["y"] == "x"
+
+
+# ---------------------------------------------------------------------------
+# Round-3 (session 7): DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_importance_targetlike_docs_weigh_more(spark):
+    from delta_rs_spark.operators import corpus
+
+    rows = [
+        # target domain: spark-ish vocabulary
+        (1, "spark shuffle join agg scan", "t"),
+        (2, "spark scan filter shuffle join", "t"),
+        # raw docs: one looks like the target, one does not
+        (10, "spark shuffle join scan filter", "r"),
+        (11, "banana yoga violin marble soup", "r"),
+        (12, "spark banana join soup scan", "r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = {
+        r.doc_id: r
+        for r in corpus.dsir_importance(df, F.col("grp") == "t").collect()
+    }
+    # only raw docs are scored
+    assert sorted(out) == [10, 11, 12]
+    assert all(out[d].n_tokens == 5 for d in out)
+    # target-like raw doc scores above mixed above off-domain
+    assert out[10].avg_logratio > out[12].avg_logratio > out[11].avg_logratio
+    # off-domain doc: every token has ct=0 => per-term ln(1) - ln(cr+1) < 0,
+    # so its ratio must be below the corpus-constant ln((nr+v)/(nt+v))
+    import math
+
+    nt, nr, v = 10, 15, len(
+        {w for _, t, _ in rows for w in t.split()}
+    )
+    assert out[11].avg_logratio < math.log((nr + v) / (nt + v)) + 1e-9
+
+
+def test_dsir_importance_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from delta_rs_spark.operators import corpus
+
+    rows = [
+        (i, " ".join(["alpha beta gamma delta".split()[j % 4] for j in range(i, i + 6)]),
+         "src0" if i % 3 == 0 else "src5")
+        for i in range(1, 13)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = [
+        (r.doc_id, r.n_tokens, r.avg_logratio)
+        for r in corpus.dsir_importance(
+            df, F.col("source").isin("src0", "src1")
+        ).orderBy("doc_id").collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = [
+        (int(a), int(b), float(c))
+        for a, b, c in con.execute(
+            corpus.dsir_importance_oracle_sql()
+        ).fetchall()
+    ]
+    assert got == want

@@ -86,6 +86,7 @@ CARTESIAN_OK = {
     "q22_idle_customers",     # 1-row avg broadcast
     "q_events_funnel",        # crossJoin of three 1-row stage counts
     "corpus_unigram_lm",      # 1-row total-token-count broadcast
+    "corpus_dsir_importance",  # 1-row (N_t, N_r, |V|) scalar broadcast
 }
 
 

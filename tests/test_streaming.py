@@ -652,3 +652,45 @@ def test_latest_offset_never_rewinds_past_starting_version(tmp_path, spark):
     assert reader.initialOffset() == {"version": 99}
     off = reader.latestOffset()
     assert off["version"] >= 99  # never below the requested start
+
+
+def test_stateful_running_totals_integral_exact(spark, tmp_path):
+    """Integral value columns accumulate in exact LONG state — the property
+    the certified stream_user_totals query relies on."""
+    from delta_rs_spark.streaming.stateful import running_totals
+
+    uri = str(tmp_path / "int_state_tbl")
+    big = 1 << 54  # beyond double's exact-integer range
+    df = spark.createDataFrame(
+        [(0, big), (0, 1), (1, 7)], "user_id long, cents long"
+    )
+    write_deltalake(spark, df, uri)
+    spark.dataSource.register(DeltaStreamDataSource)
+    stream = (
+        spark.readStream.format("delta_stream")
+        .option("path", uri)
+        .option("startingVersion", "0")
+        .load()
+        .select("user_id", "cents")
+    )
+    out = running_totals(stream, value_col="cents")
+    assert dict(out.dtypes)["total_value"] == "bigint"
+    q = (
+        out.writeStream.format("memory")
+        .queryName("int_state_sink")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_int"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+        rows = {
+            r.user_id: (r.n_events, r.total_value)
+            for r in spark.sql("select * from int_state_sink").collect()
+        }
+        # a double-typed state would round big+1 back to big
+        assert rows[0] == (2, big + 1)
+        assert rows[1] == (1, 7)
+    finally:
+        q.stop()
