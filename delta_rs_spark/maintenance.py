@@ -393,6 +393,8 @@ def optimize(
     dry_run: bool = False,
     partition_filters=None,
     compact_only: bool = False,
+    _purge: bool = False,
+    _purge_extra: frozenset = frozenset(),
 ) -> dict:
     """Bin-packing compaction: rewrite groups of small files into ~target-size
     files, committing the swap with ``dataChange=false``.
@@ -468,7 +470,7 @@ def optimize(
     # sort_by/zorder_by still overrides. compact_only (autoCompact's hook)
     # suppresses it: the auto follow-up is a bounded small-file repair, not
     # a standing full-table re-cluster after every busy commit.
-    if not sort_by and not zorder_by and not compact_only:
+    if not sort_by and not zorder_by and not compact_only and not _purge:
         from .protocol import clustering_meta as _cl
 
         _cl_cols = _cl.clustering_columns(table.snapshot.state)
@@ -494,14 +496,21 @@ def optimize(
     for a in candidates:
         # files carrying a deletion vector always qualify: compaction is how
         # merge-on-read deletes get materialized and their read-time anti
-        # join retired
-        if clustering or a.deletion_vector or a.size < target_file_size:
+        # join retired. REORG PURGE mode touches ONLY such files (plus the
+        # explicitly flagged stale-physical set) — never healthy small files
+        if _purge:
+            qualifies = bool(a.deletion_vector) or a.path in _purge_extra
+        else:
+            qualifies = clustering or a.deletion_vector or a.size < target_file_size
+        if qualifies:
             key = tuple((_phys[c], a.partition_values.get(_phys[c])) for c in pcols)
             groups.setdefault(key, []).append(a)
     plan = {
         k: fs
         for k, fs in groups.items()
-        if len(fs) >= (1 if clustering else 2) or any(f.deletion_vector for f in fs)
+        if _purge
+        or len(fs) >= (1 if clustering else 2)
+        or any(f.deletion_vector for f in fs)
     }
 
     metrics = {
@@ -621,16 +630,58 @@ def optimize(
     metrics["numFilesAdded"] = len(adds)
     metrics["numBytesAdded"] = sum(a.size for a in adds)
     txn.commit(
-        operation="OPTIMIZE",
-        operation_parameters={
-            "targetSize": str(target_file_size),
-            **({"sortBy": list(sort_by)} if sort_by else {}),
-            **({"zOrderBy": list(zorder_by)} if zorder_by else {}),
-        },
+        operation="REORG" if _purge else "OPTIMIZE",
+        operation_parameters=(
+            {"applyPurge": "true"}
+            if _purge
+            else {
+                "targetSize": str(target_file_size),
+                **({"sortBy": list(sort_by)} if sort_by else {}),
+                **({"zOrderBy": list(zorder_by)} if zorder_by else {}),
+            }
+        ),
         operation_metrics={k: str(v) for k, v in metrics.items()},
     )
     table.update()
     return metrics
+
+
+def reorg_purge(
+    table,
+    spark,
+    partition_filters=None,
+    dry_run: bool = False,
+    target_file_size: int = 256 * 1024 * 1024,
+) -> dict:
+    """``REORG TABLE ... APPLY (PURGE)``: rewrite exactly the live files
+    that carry soft-deleted or physically-stale data, so the table's
+    physical layout catches up with its logical state:
+
+    - files with a deletion vector — the MoR soft deletes get materialized
+      and their read-time anti-join retired (after which the DV-bearing
+      tombstones age out and ``DROP FEATURE deletionVectors`` can pass);
+    - files whose parquet footers are narrower than the current schema
+      after type widening (``physical_narrow_files``) — rewriting them is
+      the documented prerequisite for ``DROP FEATURE typeWidening``.
+
+    Unlike OPTIMIZE, healthy small files are NOT touched: PURGE is a
+    targeted repair pass whose cost is proportional to the affected file
+    set, not the table. The swap commits with ``dataChange=false`` (the
+    logical content is unchanged), so log-tailing readers skip it and
+    concurrent appends never conflict.
+    """
+    from .protocol import widening as _tw
+
+    narrow = frozenset(_tw.physical_narrow_files(table))
+    return optimize(
+        table,
+        spark,
+        target_file_size=target_file_size,
+        dry_run=dry_run,
+        partition_filters=partition_filters,
+        _purge=True,
+        _purge_extra=narrow,
+    )
 
 
 AUTO_COMPACT_KEY = "delta.autoOptimize.autoCompact"
@@ -1606,7 +1657,12 @@ def shallow_clone(table, target_uri: str, version: int | None = None) -> "object
     import time as _time
     import uuid as _uuid
 
-    from .protocol.actions import AddAction, CommitInfoAction, ProtocolAction
+    from .protocol.actions import (
+        AddAction,
+        CommitInfoAction,
+        DomainMetadataAction,
+        ProtocolAction,
+    )
     from .protocol.log import DeltaLog
     from .protocol.snapshot import Snapshot
     from .table import DeltaTable
@@ -1670,10 +1726,19 @@ def shallow_clone(table, target_uri: str, version: int | None = None) -> "object
             "operationParameters": {
                 "source": table.table_uri,
                 "sourceVersion": src_snap.version,
+                "isShallow": "true",
             },
             "operationMetrics": {"numClonedFiles": str(len(adds))},
         }
     )
+    # system domains MUST travel with the clone: losing delta.rowTracking's
+    # high-water mark would re-allocate duplicate row ids from 0 on the
+    # clone's first append; delta.clustering / delta.copyInto state likewise
+    # describe the cloned snapshot, not the source's location
+    domains = [
+        DomainMetadataAction(domain=d, configuration=cfg)
+        for d, cfg in sorted((src_snap.state.domain_metadata or {}).items())
+    ]
     # the clone needs the SOURCE's protocol: its configuration/schema carry
     # the same features (column mapping, DVs, identity, timestampNtz...) —
     # a hardcoded (1,2) protocol would be spec-illegal for any of them
@@ -1694,7 +1759,202 @@ def shallow_clone(table, target_uri: str, version: int | None = None) -> "object
     )
     log = DeltaLog(target_uri)
     tmp = log.write_tmp_commit(
-        [info, proto, new_meta, *adds], _uuid.uuid4().hex
+        [info, proto, new_meta, *domains, *adds], _uuid.uuid4().hex
     )
     log.try_commit(tmp, 0)
+    return DeltaTable(target_uri)
+
+
+def deep_clone(table, target_uri: str, version: int | None = None) -> "object":
+    """``CREATE TABLE ... DEEP CLONE``: a fully independent copy — every
+    live data file (and deletion-vector file) is copied under the target
+    root and the clone's v0 log references them by RELATIVE path, so the
+    result is self-contained and relocatable (vacuum/DML on either table
+    can never touch the other's storage).
+
+    Copy mechanics: same-backend-type clones use ``StorageBackend.copy_obj``
+    — a SERVER-SIDE copy on S3/GCS/Azure (one bounded API call per file, the
+    payload never moves through the driver), a ``shutil.copyfile`` locally.
+    Cross-scheme clones fall back to get+put through the driver (documented:
+    that is a data migration, not a clone, and is bandwidth-bound by
+    nature). Files copy concurrently from a 32-thread pool, so wall-clock is
+    round-trip-bound, not file-count-bound.
+
+    Deletion vectors travel physically: 'u' descriptors keep their relative
+    uuid layout under the clone root (descriptor unchanged), absolute 'p'
+    files are copied under the clone and re-pointed, inline 'i' needs no
+    copy. Domain metadata (row-tracking high-water mark, clustering spec,
+    COPY INTO registry) is carried like the shallow clone does.
+    """
+    import time as _time
+    import uuid as _uuid
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .protocol.actions import (
+        AddAction,
+        CommitInfoAction,
+        DomainMetadataAction,
+        ProtocolAction,
+    )
+    from .protocol.dv import dv_file_rel_path, is_legacy
+    from .protocol.log import DeltaLog
+    from .protocol.snapshot import Snapshot
+    from .table import DeltaTable
+
+    src_snap = table.snapshot if version is None else Snapshot.load(table.log, version)
+    src_backend = table.log.backend
+    dst_log = DeltaLog(target_uri)
+    dst_backend = dst_log.backend
+    same_kind = type(src_backend) is type(dst_backend)
+
+    copies: list[tuple[str, str]] = []  # (src absolute, dst absolute)
+    seen_rel: set[str] = set()
+
+    def _dst_rel_for(a) -> str:
+        """Target-relative path for a cloned data file: reuse the source's
+        relative layout; absolute adds (the source was itself a shallow
+        clone) are re-homed under their Hive partition dirs."""
+        if "://" not in a.path and not a.path.startswith("/"):
+            rel = a.path
+        else:
+            base = a.path.rstrip("/").rsplit("/", 1)[-1]
+            part_dir = "/".join(
+                f"{k}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                for k, v in (a.partition_values or {}).items()
+            )
+            rel = f"{part_dir}/{base}" if part_dir else base
+        while rel in seen_rel:  # basename collision across absolute sources
+            rel = f"{_uuid.uuid4().hex[:8]}-{rel}"
+        seen_rel.add(rel)
+        return rel
+
+    def _clone_dv(d):
+        if d is None:
+            return None
+        st = d.get("storageType")
+        if st == "i":
+            return dict(d)
+        if st == "u":
+            rel = dv_file_rel_path(d["pathOrInlineDv"])
+            copies.append(
+                (
+                    src_snap._absolute(rel),
+                    dst_backend.join(dst_log.table_root, rel),
+                )
+            )
+            return dict(d)
+        if st == "p":
+            src_abs = d["pathOrInlineDv"]
+            rel = f"deletion_vectors/deepclone-{_uuid.uuid4().hex}.bin"
+            copies.append((src_abs, dst_backend.join(dst_log.table_root, rel)))
+            out = dict(d)
+            out["storageType"] = "p"
+            out["pathOrInlineDv"] = dst_backend.join(dst_log.table_root, rel)
+            return out
+        if is_legacy(d):
+            # legacy 'd' parquet-position dirs: copy every object under each
+            # prefix, keeping the relative layout
+            out_paths = []
+            for p in d.get("paths") or []:
+                abs_p = (
+                    p if ("://" in p or p.startswith("/")) else src_snap._absolute(p)
+                )
+                rel_root = f"deletion_vectors/deepclone-{_uuid.uuid4().hex}"
+                for om in src_backend.list_objs(abs_p):
+                    tail = om.path[len(abs_p) :].lstrip("/")
+                    copies.append(
+                        (
+                            om.path,
+                            dst_backend.join(dst_log.table_root, rel_root, tail),
+                        )
+                    )
+                out_paths.append(rel_root)
+            out = dict(d)
+            out["paths"] = out_paths
+            return out
+        raise ValueError(f"deep clone: unsupported DV storageType {st!r}")
+
+    adds = []
+    for a in src_snap.files():
+        rel = _dst_rel_for(a)
+        copies.append(
+            (src_snap._absolute(a.path), dst_backend.join(dst_log.table_root, rel))
+        )
+        adds.append(
+            AddAction(
+                path=rel,
+                size=a.size,
+                partition_values=a.partition_values,
+                modification_time=a.modification_time,
+                data_change=True,
+                stats=a.stats,
+                tags=a.tags,
+                deletion_vector=_clone_dv(a.deletion_vector),
+                base_row_id=a.base_row_id,
+                default_row_commit_version=a.default_row_commit_version,
+            )
+        )
+
+    def _copy(pair: tuple[str, str]) -> None:
+        src, dst = pair
+        if same_kind:
+            dst_backend.copy_obj(src, dst)
+        else:
+            dst_backend.put_obj(dst, src_backend.get_obj(src))
+
+    # shared DV .bin files appear once per referencing descriptor — dedupe
+    # by destination so no two threads write the same object concurrently
+    unique_copies = list({dst: (src, dst) for src, dst in copies}.values())
+    if unique_copies:
+        with ThreadPoolExecutor(max_workers=min(32, len(unique_copies))) as ex:
+            list(ex.map(_copy, unique_copies))
+
+    meta = src_snap.metadata
+    new_meta = type(meta)(
+        id=str(_uuid.uuid4()),
+        schema_string=meta.schema_string,
+        partition_columns=meta.partition_columns,
+        name=meta.name,
+        description=meta.description,
+        created_time=int(_time.time() * 1000),
+        configuration=dict(meta.configuration or {}),
+    )
+    info = CommitInfoAction(
+        info={
+            "timestamp": int(_time.time() * 1000),
+            "operation": "CLONE",
+            "operationParameters": {
+                "source": table.table_uri,
+                "sourceVersion": src_snap.version,
+                "isShallow": "false",
+            },
+            "operationMetrics": {
+                "numClonedFiles": str(len(adds)),
+                "numCopiedObjects": str(len({dst for _, dst in copies})),
+            },
+        }
+    )
+    domains = [
+        DomainMetadataAction(domain=d, configuration=cfg)
+        for d, cfg in sorted((src_snap.state.domain_metadata or {}).items())
+    ]
+    src_state = src_snap.state
+    proto = ProtocolAction(
+        src_state.min_reader_version or 1,
+        src_state.min_writer_version or 2,
+        reader_features=(
+            list(src_state.reader_features)
+            if src_state.reader_features is not None
+            else None
+        ),
+        writer_features=(
+            list(src_state.writer_features)
+            if src_state.writer_features is not None
+            else None
+        ),
+    )
+    tmp = dst_log.write_tmp_commit(
+        [info, proto, new_meta, *domains, *adds], _uuid.uuid4().hex
+    )
+    dst_log.try_commit(tmp, 0)
     return DeltaTable(target_uri)

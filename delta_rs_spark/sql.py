@@ -18,11 +18,17 @@ with tables addressed as ``delta.`/path/to/table```:
   loaded files are skipped (registry rides the log as domainMetadata).
 - ``VACUUM delta.`/p` [LITE] [RETAIN <n> HOURS] [DRY RUN]``
 - ``OPTIMIZE delta.`/p` [WHERE p = 'v' [AND ...]] [ZORDER BY (a, b)]``
+- ``REORG TABLE delta.`/p` [WHERE p = 'v' [AND ...]] APPLY (PURGE)`` —
+  rewrite only DV-bearing / stale-narrow files (materialize soft deletes;
+  prerequisite pass for DROP FEATURE deletionVectors / typeWidening).
 - ``RESTORE delta.`/p` TO VERSION AS OF <n> | TO TIMESTAMP AS OF 'ts'``
 
 - ``INSERT INTO delta.`/p` <select>`` / ``INSERT OVERWRITE delta.`/p`
   <select>`` — append / full overwrite of the query result.
 - ``CREATE TABLE delta.`/p` [PARTITIONED BY (a, b)] AS <select>``
+- ``CREATE TABLE delta.`/t` SHALLOW|DEEP CLONE delta.`/s` [VERSION AS OF n]``
+  — zero-copy reference clone vs fully independent data copy (server-side
+  object copies on S3/GCS/Azure).
 - ``MERGE INTO delta.`/p` [AS] t USING (<subquery> | delta.`/p2`) [AS] s
   ON <cond>`` followed by any of: ``WHEN MATCHED THEN UPDATE SET a = e, …``
   or ``WHEN MATCHED THEN DELETE``; ``WHEN NOT MATCHED THEN INSERT *``;
@@ -113,7 +119,32 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return _one_row(spark, _open(m.group(1), None, None).delete(spark))
     if head == "COPY":
         return _copy_into(spark, s)
+    if head == "REORG":
+        return _reorg(spark, s)
     raise SqlError(f"unsupported statement: {head or statement!r}")
+
+
+def _reorg(spark: SparkSession, s: str) -> DataFrame:
+    m = _require(
+        r"REORG\s+TABLE\s+delta\.`([^`]+)`(?:\s+WHERE\s+(.+?))?"
+        r"\s+APPLY\s*\(\s*PURGE\s*\)$",
+        s,
+        "REORG",
+    )
+    pfilters = None
+    if m.group(2):
+        pfilters = []
+        for term in re.split(r"\s+AND\s+", m.group(2), flags=re.IGNORECASE):
+            tm = re.fullmatch(r"\s*(\w+)\s*=\s*'?([^']*?)'?\s*", term)
+            if not tm:
+                raise SqlError(
+                    f"REORG WHERE supports only `col = value` conjunctions, got {term!r}"
+                )
+            pfilters.append((tm.group(1), "=", tm.group(2)))
+    res = _open(m.group(1), None, None).reorg_purge(
+        spark, partition_filters=pfilters
+    )
+    return _one_row(spark, res)
 
 
 def _copy_into(spark: SparkSession, s: str) -> DataFrame:
@@ -620,6 +651,24 @@ def _create(spark: SparkSession, s: str) -> DataFrame:
             s,
             flags=re.IGNORECASE,
         )
+    # clone form: CREATE TABLE delta.`t` SHALLOW|DEEP CLONE delta.`s`
+    # [VERSION AS OF n] — metadata-only reference copy vs full data copy
+    m = re.match(
+        r"^CREATE\s+TABLE\s+delta\.`([^`]+)`\s+(SHALLOW|DEEP)\s+CLONE\s+"
+        r"delta\.`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?$",
+        s,
+        re.IGNORECASE,
+    )
+    if m:
+        if replace:
+            raise SqlError("CREATE OR REPLACE ... CLONE is not supported")
+        src = _open(m.group(3), None, None)
+        version = int(m.group(4)) if m.group(4) else None
+        if m.group(2).upper() == "SHALLOW":
+            t = src.shallow_clone(m.group(1), version=version)
+        else:
+            t = src.deep_clone(m.group(1), version=version)
+        return _one_row(spark, {"version": t.version, "location": m.group(1)})
     # column-DDL form: CREATE TABLE delta.`p` (col TYPE [modifiers], ...)
     # [PARTITIONED BY (...)] [TBLPROPERTIES (...)] — creates an EMPTY table
     # with IDENTITY / DEFAULT / NOT NULL / generated-column declarations

@@ -471,6 +471,22 @@ class DeltaTable:
             partition_filters=partition_filters,
         )
 
+    def reorg_purge(
+        self,
+        spark: SparkSession,
+        partition_filters: Sequence[FilterTuple] | None = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """``REORG TABLE ... APPLY (PURGE)``: rewrite only the files carrying
+        deletion vectors or stale-narrow physical types (post type-widening),
+        materializing soft deletes so the corresponding table features can be
+        dropped. Healthy files are untouched; commits ``dataChange=false``."""
+        from .maintenance import reorg_purge as _reorg
+
+        return _reorg(
+            self, spark, partition_filters=partition_filters, dry_run=dry_run
+        )
+
     def detail(self) -> dict[str, Any]:
         """DESCRIBE DETAIL-style summary, answered entirely from the log."""
         meta = self.metadata()
@@ -1146,6 +1162,14 @@ class DeltaTable:
 
     def shallow_clone(self, target_uri: str, version: Optional[int] = None) -> "DeltaTable":
         from .maintenance import shallow_clone as _clone
+
+        return _clone(self, target_uri, version=version)
+
+    def deep_clone(self, target_uri: str, version: Optional[int] = None) -> "DeltaTable":
+        """Fully independent copy: data + DV files copied under the target
+        root (server-side on object stores), fresh v0 log with relative
+        paths, domain metadata carried. See ``maintenance.deep_clone``."""
+        from .maintenance import deep_clone as _clone
 
         return _clone(self, target_uri, version=version)
 

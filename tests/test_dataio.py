@@ -302,3 +302,30 @@ def test_copy_obj_contracts():
         loc.copy_obj(src, dst)
         assert loc.get_obj(dst) == b"xyz"
         assert os.path.exists(src)
+
+
+def test_deep_clone_memory_backend_and_cross_scheme(spark, tmp_path):
+    """DEEP CLONE over the object-store model: same-scheme clones move
+    bytes via copy_obj (server-side on a real store); a cross-scheme clone
+    (memory:// -> local) falls back to get+put and is equally readable."""
+    import os
+
+    src_uri = "memory://dataio/deep-src"
+    t = _seed(spark, src_uri, rows=100, nfiles=2, dv=True)
+    t.delete(spark, "id % 10 = 3")  # MoR delete: DV file must also copy
+    t.update()
+    expect = sorted(r.id for r in t.to_df(spark).collect())
+
+    # same scheme: memory -> memory
+    c1 = t.deep_clone("memory://dataio/deep-dst")
+    assert sorted(r.id for r in c1.to_df(spark).collect()) == expect
+    for a in c1.add_actions():
+        assert "://" not in a.path  # relative, self-contained
+
+    # cross scheme: memory -> local filesystem
+    local = str(tmp_path / "deep-local")
+    c2 = t.deep_clone(local)
+    assert sorted(r.id for r in c2.to_df(spark).collect()) == expect
+    # physically present under the local root
+    for a in c2.add_actions():
+        assert os.path.exists(os.path.join(local, a.path))

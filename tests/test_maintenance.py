@@ -1102,3 +1102,204 @@ def test_zorder_on_dv_and_mapped_tables(spark, tmp_path):
     res2 = optimize(DeltaTable(uri2), spark, zorder_by=["id"])
     assert res2["numFilesRemoved"] >= 1
     assert DeltaTable(uri2).to_df(spark).count() == 200
+
+
+# ---------------------------------------------------------------------------
+# REORG TABLE ... APPLY (PURGE)
+# ---------------------------------------------------------------------------
+
+
+def test_reorg_purge_rewrites_only_dv_files(spark, tmp_path):
+    """PURGE materializes merge-on-read deletes but never touches healthy
+    files — a targeted repair, not a compaction."""
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(100).coalesce(1).selectExpr("id"),
+        uri,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    # a second, healthy small file that PURGE must leave alone
+    write_deltalake(
+        spark, spark.range(100, 110).coalesce(1).selectExpr("id"), uri, mode="append"
+    )
+    t = DeltaTable(uri)
+    t.delete(spark, "id % 10 = 0 AND id < 100")  # DV on file 1 only
+    t.update()
+    dv_files = [a.path for a in t.add_actions() if a.deletion_vector]
+    healthy = {a.path for a in t.add_actions() if not a.deletion_vector}
+    assert len(dv_files) == 1 and healthy
+
+    res = t.reorg_purge(spark)
+    assert res["numFilesRemoved"] == 1 and res["numFilesAdded"] >= 1
+    t.update()
+    after = t.add_actions()
+    # no DVs remain; the healthy file survived untouched
+    assert not any(a.deletion_vector for a in after)
+    assert healthy <= {a.path for a in after}
+    got = sorted(r.id for r in t.to_df(spark).collect())
+    assert got == [i for i in range(110) if not (i % 10 == 0 and i < 100)]
+    # dataChange=false REORG commit: log-tailing readers skip it
+    import json as _json
+
+    last = t.version
+    with open(os.path.join(uri, "_delta_log", f"{last:020d}.json")) as fh:
+        lines = [_json.loads(l) for l in fh]
+    ci = next(l["commitInfo"] for l in lines if "commitInfo" in l)
+    assert ci["operation"] == "REORG"
+    assert ci["operationParameters"]["applyPurge"] == "true"
+    assert all(
+        a["add"]["dataChange"] is False for a in lines if "add" in a
+    )
+    # idempotent: nothing left to purge
+    assert t.reorg_purge(spark)["numFilesRemoved"] == 0
+
+
+def test_reorg_purge_rewrites_narrow_files_enabling_feature_drop(spark, tmp_path):
+    """After ALTER COLUMN TYPE widening, PURGE rewrites the narrow-typed
+    files — the documented prerequisite for DROP FEATURE typeWidening."""
+    from delta_rs_spark.protocol.widening import physical_narrow_files
+
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(10).coalesce(1).selectExpr("cast(id as int) as v"),
+        uri,
+        configuration={"delta.enableTypeWidening": "true"},
+    )
+    t = DeltaTable(uri)
+    t.widen_column_type("v", "bigint")
+    t.update()
+    assert physical_narrow_files(t)  # int32 parquet under a bigint schema
+
+    res = t.reorg_purge(spark)
+    assert res["numFilesRemoved"] == 1
+    t.update()
+    assert physical_narrow_files(t) == []
+    assert sorted(r.v for r in t.to_df(spark).collect()) == list(range(10))
+    t.unset_properties(["delta.enableTypeWidening"])
+    t.update()
+    t.drop_feature("typeWidening", truncate_history=True)  # narrow files gone
+    t.update()
+    assert "typeWidening" not in (t.snapshot.state.writer_features or [])
+
+
+def test_reorg_purge_sql_with_partition_scope(spark, tmp_path):
+    """SQL surface: REORG TABLE ... WHERE p = v APPLY (PURGE) purges only
+    the scoped partition's DV files."""
+    from delta_rs_spark.sql import sql
+
+    uri = str(tmp_path / "t")
+    df = spark.range(40).coalesce(1).selectExpr("id", "cast(id % 2 as string) as p")
+    write_deltalake(
+        spark, df, uri, partition_by=["p"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    t = DeltaTable(uri)
+    t.delete(spark, "id IN (2, 3)")  # DVs in both partitions
+    t.update()
+    assert sum(1 for a in t.add_actions() if a.deletion_vector) == 2
+
+    row = sql(spark, f"REORG TABLE delta.`{uri}` WHERE p = '0' APPLY (PURGE)").collect()[0]
+    assert row.numFilesRemoved == '1'
+    t.update()
+    still = [a for a in t.add_actions() if a.deletion_vector]
+    assert len(still) == 1 and still[0].partition_values["p"] == "1"
+    assert t.to_df(spark).count() == 38
+
+
+# ---------------------------------------------------------------------------
+# Deep clone
+# ---------------------------------------------------------------------------
+
+
+def test_deep_clone_independent_copy_with_dvs(spark, tmp_path, sf_dir):
+    """DEEP CLONE copies data + DV files under the target root with
+    relative paths — fully self-contained: deleting the SOURCE's storage
+    leaves the clone readable, merge-on-read deletes included."""
+    import shutil as _sh
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    src_uri = str(tmp_path / "src")
+    write_deltalake(
+        spark, docs, src_uri, max_records_per_file=200,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    src = DeltaTable(src_uri)
+    src.delete(spark, "doc_id % 10 = 0")  # MoR: DV commit
+    src.update()
+    assert any(a.deletion_vector for a in src.add_actions())
+    expect = sorted(
+        r.doc_id for r in src.to_df(spark).collect()
+    )
+
+    clone_uri = str(tmp_path / "deep")
+    clone = src.deep_clone(clone_uri)
+    # every add is RELATIVE and physically present under the clone root
+    for a in clone.add_actions():
+        assert "://" not in a.path and not a.path.startswith("/")
+        assert os.path.exists(os.path.join(clone_uri, a.path))
+    h = clone.history()[0]
+    assert h["operation"] == "CLONE"
+    assert h["operationParameters"]["isShallow"] == "false"
+
+    # destroy the source entirely — the deep clone must not notice
+    _sh.rmtree(src_uri)
+    clone2 = DeltaTable(clone_uri)
+    got = sorted(r.doc_id for r in clone2.to_df(spark).collect())
+    assert got == expect  # DV-deleted rows stay deleted
+
+
+def test_deep_clone_rehomes_shallow_clone_absolute_paths(spark, tmp_path):
+    """Deep-cloning a SHALLOW clone (absolute add paths) re-homes every
+    file under the target with Hive partition dirs preserved."""
+    uri = str(tmp_path / "base")
+    df = spark.range(20).coalesce(1).selectExpr("id", "cast(id % 2 as string) as p")
+    write_deltalake(spark, df, uri, partition_by=["p"])
+    shallow = DeltaTable(uri).shallow_clone(str(tmp_path / "sh"))
+    deep = shallow.deep_clone(str(tmp_path / "dp"))
+    for a in deep.add_actions():
+        assert not a.path.startswith("/")
+        assert a.path.startswith(f"p={a.partition_values['p']}/")
+    assert deep.to_df(spark).count() == 20
+    # partition pruning still works off the clone's partitionValues
+    assert deep.to_df(spark, partition_filters=[("p", "=", "1")]).count() == 10
+
+
+def test_clones_carry_domain_metadata(spark, tmp_path):
+    """Row-tracking high-water mark (delta.rowTracking domain) must travel
+    with BOTH clone flavors — losing it would re-issue duplicate row ids."""
+    uri = str(tmp_path / "rt")
+    write_deltalake(
+        spark,
+        spark.range(10).selectExpr("id"),
+        uri,
+        configuration={"delta.enableRowTracking": "true"},
+    )
+    src = DeltaTable(uri)
+    assert "delta.rowTracking" in src.snapshot.state.domain_metadata
+    sh = src.shallow_clone(str(tmp_path / "sh"))
+    dp = src.deep_clone(str(tmp_path / "dp"))
+    for clone in (sh, dp):
+        assert (
+            clone.snapshot.state.domain_metadata.get("delta.rowTracking")
+            == src.snapshot.state.domain_metadata["delta.rowTracking"]
+        )
+
+
+def test_deep_clone_sql_and_version(spark, tmp_path):
+    from delta_rs_spark.sql import sql
+
+    uri = str(tmp_path / "s")
+    write_deltalake(spark, spark.range(30).selectExpr("id"), uri)
+    write_deltalake(spark, spark.range(30, 50).selectExpr("id"), uri, mode="append")
+    dst = str(tmp_path / "d")
+    row = sql(
+        spark, f"CREATE TABLE delta.`{dst}` DEEP CLONE delta.`{uri}` VERSION AS OF 0"
+    ).collect()[0]
+    assert int(row.version) == 0
+    t = DeltaTable(dst)
+    assert t.to_df(spark).count() == 30  # version-0 snapshot only
+    sh_dst = str(tmp_path / "d2")
+    sql(spark, f"CREATE TABLE delta.`{sh_dst}` SHALLOW CLONE delta.`{uri}`")
+    assert DeltaTable(sh_dst).to_df(spark).count() == 50
