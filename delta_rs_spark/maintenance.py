@@ -1844,12 +1844,24 @@ def deep_clone(table, target_uri: str, version: int | None = None) -> "object":
             )
             return dict(d)
         if st == "p":
-            src_abs = d["pathOrInlineDv"]
-            rel = f"deletion_vectors/deepclone-{_uuid.uuid4().hex}.bin"
-            copies.append((src_abs, dst_backend.join(dst_log.table_root, rel)))
+            # re-encode as a spec 'u' descriptor relative to the clone root:
+            # vacuum's DV protection understands 'u' (an absolute 'p' path
+            # INSIDE the clone root would be reaped as untracked storage)
+            from .protocol.dv import z85_encode
+
+            new_id = _uuid.uuid4()
+            encoded = z85_encode(new_id.bytes)
             out = dict(d)
-            out["storageType"] = "p"
-            out["pathOrInlineDv"] = dst_backend.join(dst_log.table_root, rel)
+            out["storageType"] = "u"
+            out["pathOrInlineDv"] = encoded
+            copies.append(
+                (
+                    d["pathOrInlineDv"],
+                    dst_backend.join(
+                        dst_log.table_root, dv_file_rel_path(encoded)
+                    ),
+                )
+            )
             return out
         if is_legacy(d):
             # legacy 'd' parquet-position dirs: copy every object under each

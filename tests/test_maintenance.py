@@ -1303,3 +1303,43 @@ def test_deep_clone_sql_and_version(spark, tmp_path):
     sh_dst = str(tmp_path / "d2")
     sql(spark, f"CREATE TABLE delta.`{sh_dst}` SHALLOW CLONE delta.`{uri}`")
     assert DeltaTable(sh_dst).to_df(spark).count() == 50
+
+
+def test_deep_clone_reencodes_p_dvs_vacuum_safe(spark, tmp_path):
+    """Deep-cloning a shallow clone whose DVs are absolute 'p' descriptors
+    re-encodes them as relative 'u' under the clone root — vacuum's DV
+    protection understands 'u', so the clone's own vacuum never reaps its
+    deletion vectors."""
+    import shutil as _sh
+
+    base = str(tmp_path / "base")
+    write_deltalake(
+        spark,
+        spark.range(60000).coalesce(1).selectExpr("id"),
+        base,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    t = DeltaTable(base)
+    t.delete(spark, "id % 6 = 0")  # 10k positions: past the inline cap -> 'u'
+    t.update()
+    assert any(
+        (a.deletion_vector or {}).get("storageType") == "u"
+        for a in t.add_actions()
+    )
+    sh = t.shallow_clone(str(tmp_path / "sh"))  # DV becomes absolute 'p'
+    assert any(
+        (a.deletion_vector or {}).get("storageType") == "p"
+        for a in sh.add_actions()
+    )
+    deep_uri = str(tmp_path / "deep")
+    dp = sh.deep_clone(deep_uri)
+    dvs = [a.deletion_vector for a in dp.add_actions() if a.deletion_vector]
+    assert dvs and all(d["storageType"] in ("u", "i") for d in dvs)
+    expect = [i for i in range(60000) if i % 6 != 0]
+    # the deep clone survives losing BOTH ancestors
+    _sh.rmtree(base), _sh.rmtree(str(tmp_path / "sh"))
+    dp2 = DeltaTable(deep_uri)
+    assert sorted(r.id for r in dp2.to_df(spark).collect()) == expect
+    # vacuum never lists the clone's DV file as reapable
+    listed = dp2.vacuum(retention_hours=168, dry_run=True)
+    assert not any("deletion_vector" in p for p in listed)
