@@ -230,6 +230,35 @@ def _cmd_dv(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_clone(args: argparse.Namespace) -> int:
+    """Spark-free clone: shallow is metadata-only; deep copies every data /
+    DV object through the storage backends (server-side on object stores)."""
+    table = (
+        DeltaTable.for_version(args.uri, args.version)
+        if args.version is not None
+        else DeltaTable(args.uri)
+    )
+    # the clone helpers take the version explicitly; for_version above only
+    # validates it exists before any copying starts
+    if args.deep:
+        t = table.deep_clone(args.target, version=args.version)
+    else:
+        t = table.shallow_clone(args.target, version=args.version)
+    h = t.history(limit=1)[0]
+    print(
+        json.dumps(
+            {
+                "location": args.target,
+                "mode": "deep" if args.deep else "shallow",
+                "sourceVersion": h["operationParameters"]["sourceVersion"],
+                "numClonedFiles": h["operationMetrics"]["numClonedFiles"],
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
 def _cmd_vacuum(args: argparse.Namespace) -> int:
     from .maintenance import VacuumError
 
@@ -304,6 +333,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_crc.add_argument("uri", help="Table URI")
     p_crc.set_defaults(func=_cmd_checksum)
+
+    p_clone = sub.add_parser(
+        "clone", help="clone a table (shallow: metadata-only; --deep: full copy)"
+    )
+    p_clone.add_argument("uri", help="Source table URI")
+    p_clone.add_argument("target", help="Target table URI")
+    p_clone.add_argument(
+        "--deep",
+        action="store_true",
+        help="copy data + DV files (server-side on object stores); "
+        "default is a zero-copy shallow clone",
+    )
+    p_clone.add_argument(
+        "--version", type=int, default=None, help="clone this source version"
+    )
+    p_clone.set_defaults(func=_cmd_clone)
 
     p_vac = sub.add_parser("vacuum", help="list/delete unreferenced files")
     p_vac.add_argument("uri", help="Table URI")

@@ -152,3 +152,30 @@ def test_inspect_iceberg(spark, tmp_path, capsys):
     assert out["liveRecords"] == 2
     assert out["deltaVersion"] == "1"  # the property commit itself
     assert out["snapshots"][0]["operation"] == "append"
+
+
+def test_cli_clone_shallow_and_deep(spark, tmp_path, capsys):
+    """`clone` is Spark-free: shallow writes only a log; --deep copies the
+    data files and the result survives deleting the source."""
+    import os
+    import shutil
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    src = str(tmp_path / "src")
+    write_deltalake(spark, spark.range(25).coalesce(1).selectExpr("id"), src)
+
+    sh = str(tmp_path / "sh")
+    assert main(["clone", src, sh]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["mode"] == "shallow"
+    assert not [
+        f for _, _, fs in os.walk(sh) for f in fs if f.endswith(".parquet")
+    ]
+
+    dp = str(tmp_path / "dp")
+    assert main(["clone", src, dp, "--deep", "--version", "0"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["mode"] == "deep" and out["sourceVersion"] == 0
+    shutil.rmtree(src)
+    assert DeltaTable(dp).to_df(spark).count() == 25
