@@ -82,6 +82,7 @@ _ROTATION = [
     "dedup_semantic_keeplist",
     "corpus_dsir_importance",
     "stream_user_totals",
+    "clone_lifecycle",
     # -- relational canaries (certified green rounds 1-2; the window is 50,
     # so these certify only if earlier entries shrink — harmless either way)
     "q1_pricing_summary",

@@ -117,6 +117,70 @@ def q_cdf_changes_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "clone_lifecycle",
+    """
+    WITH live AS (
+      SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+      WHERE doc_id % 7 <> 0
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM live
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_clone_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clone surface certified end-to-end: seed documents in TWO commits
+    (DVs on) → merge-on-read DELETE (DV commit) → DEEP CLONE → REORG
+    APPLY (PURGE) on the clone (materializes the cloned DVs) → aggregate
+    the CLONE. The oracle reconstructs the survivors from the source
+    parquet, so a clone that loses a file, resurrects a DV-deleted row, or
+    a purge that drops/duplicates rows all hash-mismatch."""
+    from . import DeltaTable
+    from .writer import write_deltalake
+
+    uri = _workdir("clonesrc", sf_dir)
+    clone_uri = _workdir("clonedst", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+    write_deltalake(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 0).repartition(2),
+        uri,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    write_deltalake(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 1).repartition(2),
+        uri,
+        mode="append",
+    )
+    t = DeltaTable(uri)
+    t.delete(spark, "doc_id % 7 = 0")  # MoR: DV commit
+    t = DeltaTable(uri)
+    clone = t.deep_clone(clone_uri)
+    clone.reorg_purge(spark)  # materialize the cloned DVs physically
+    clone = DeltaTable(clone_uri)
+    return (
+        clone.to_df(spark)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "q_zorder_pruned_scan",
     f"""
     SELECT l_returnflag,
