@@ -882,3 +882,25 @@ def test_uniform_survives_conversion_gap(spark, tmp_path, events):
     write_deltalake(spark, events.limit(1), uri, mode="append")
     t.update()
     assert sum(f["record_count"] for f in t.iceberg_files()) == 4
+
+
+def test_reorg_purge_syncs_iceberg_deletes_away(spark, tmp_path, events):
+    """REORG APPLY (PURGE) materializes the DVs; the Iceberg mirror must
+    drop BOTH the purged data files and their position-delete entries —
+    a stale delete manifest would make foreign readers subtract rows from
+    a file that no longer exists."""
+    from delta_rs_spark.uniform import read_delete_files
+
+    uri, t = _dv_table(spark, tmp_path, events)
+    t.enable_uniform()
+    t.delete(spark, "r_regionkey IN (1, 3)")  # MoR: DV commit
+    t = DeltaTable(uri)
+    assert len(read_delete_files(uri)) == 1
+
+    t.reorg_purge(spark)
+    t.update()
+    assert not any(a.deletion_vector for a in t.add_actions())
+    # position deletes gone from the Iceberg tree; census matches exactly
+    assert read_delete_files(uri) == []
+    data_rows = sum(f["record_count"] for f in t.iceberg_files())
+    assert data_rows == t.to_df(spark).count() == 3
