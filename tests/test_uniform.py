@@ -904,3 +904,27 @@ def test_reorg_purge_syncs_iceberg_deletes_away(spark, tmp_path, events):
     assert read_delete_files(uri) == []
     data_rows = sum(f["record_count"] for f in t.iceberg_files())
     assert data_rows == t.to_df(spark).count() == 3
+
+
+def test_deep_clone_of_uniform_table_regenerates_tree(spark, tmp_path):
+    """A deep clone carries delta.universalFormat config but not the
+    metadata/ tree (Iceberg paths are absolute — copying would point at the
+    source). The clone's next commit must regenerate a complete tree whose
+    census matches."""
+    src = str(tmp_path / "src")
+    write_deltalake(spark, spark.range(10).coalesce(1).selectExpr("id"), src)
+    t = DeltaTable(src)
+    t.enable_uniform()
+    t.update()
+    dst = str(tmp_path / "dst")
+    clone = t.deep_clone(dst)
+    assert (
+        clone.metadata().configuration["delta.universalFormat.enabledFormats"]
+        == "iceberg"
+    )
+    write_deltalake(
+        spark, spark.range(10, 15).coalesce(1).selectExpr("id"), dst, mode="append"
+    )
+    clone = DeltaTable(dst)
+    assert sum(f["record_count"] for f in clone.iceberg_files()) == 15
+    assert clone.to_df(spark).count() == 15
