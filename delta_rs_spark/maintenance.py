@@ -838,8 +838,8 @@ def _validate_feature_droppable(table, name: str) -> None:
             _refuse("delta.enableDeletionVectors is still true")
         if any(a.deletion_vector for a in state.files.values()):
             _refuse(
-                "active files still carry deletion vectors (run OPTIMIZE "
-                "to materialize the deletes)"
+                "active files still carry deletion vectors (run REORG "
+                "TABLE ... APPLY (PURGE) to materialize the deletes)"
             )
         if any(r.deletion_vector for r in state.tombstones.values()):
             _refuse(

@@ -1343,3 +1343,31 @@ def test_deep_clone_reencodes_p_dvs_vacuum_safe(spark, tmp_path):
     # vacuum never lists the clone's DV file as reapable
     listed = dp2.vacuum(retention_hours=168, dry_run=True)
     assert not any("deletion_vector" in p for p in listed)
+
+
+def test_reorg_purge_stages_dv_feature_drop(spark, tmp_path):
+    """DROP FEATURE deletionVectors refuses in stages: with live DVs the
+    error points at REORG APPLY (PURGE); after the purge only the
+    retention-guarded tombstones remain in the way (the spec's 24h wait) —
+    the purge moved the drop from 'needs a rewrite' to 'needs retention'."""
+    from delta_rs_spark.maintenance import FeatureDropError
+
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(100).coalesce(1).selectExpr("id"),
+        uri,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    t = DeltaTable(uri)
+    t.delete(spark, "id % 4 = 0")
+    t.update()
+    t.unset_properties(["delta.enableDeletionVectors"])
+    t.update()
+    with pytest.raises(FeatureDropError, match="REORG"):
+        t.drop_feature("deletionVectors", truncate_history=True)
+    t.reorg_purge(spark)
+    t.update()
+    with pytest.raises(FeatureDropError, match="tombstones"):
+        t.drop_feature("deletionVectors", truncate_history=True)
+    assert t.to_df(spark).count() == 75
