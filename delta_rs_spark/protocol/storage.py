@@ -12,9 +12,15 @@ transports. The object-store backends replace the reference's
 DynamoDB-lock design (``rust/src/storage/s3/mod.rs``) with conditional
 writes (S3/Azure ``If-None-Match: *``, GCS ``ifGenerationMatch=0``) as the
 lock-free atomic commit point — all three stores honor them natively now.
-``register_backend_factory`` is the extension seam for more schemes. Executors never use this module: data files are
-read/written by Spark's own Hadoop FileSystem layer. This module only
-touches ``_delta_log/``.
+``register_backend_factory`` is the extension seam for more schemes.
+
+Executors never use this module. On the native data plane (local FS, or
+schemes listed in DELTA_RS_SPARK_NATIVE_DATA_SCHEMES with the jars
+present) data files are read/written by Spark's own Hadoop FileSystem
+layer and this module only touches ``_delta_log/``; on other schemes the
+driver-side DataPlane (``protocol/dataio.py``) additionally routes data
+files through these backends — staging promotion via server-side
+``copy_obj``, reads via a log-relative local mirror.
 """
 
 from __future__ import annotations
