@@ -83,6 +83,7 @@ _ROTATION = [
     "corpus_dsir_importance",
     "stream_user_totals",
     "clone_lifecycle",
+    "events_rolling_zscore",
     # -- relational canaries (certified green rounds 1-2; the window is 50,
     # so these certify only if earlier entries shrink — harmless either way)
     "q1_pricing_summary",

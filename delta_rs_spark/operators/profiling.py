@@ -1,11 +1,12 @@
-"""Data-profiling operators: fixed-width numeric histograms and per-column
-statistical profiles.
+"""Data-profiling operators: fixed-width numeric histograms, per-column
+statistical profiles, and rolling z-score anomaly flags.
 
 Ingest-time profiling is how a 100 TB pipeline decides partition boundaries,
 detects schema drift, and spots corrupt feeds before they poison training
-data. Both operators are single-pass `pyspark.sql.functions` aggregations —
+data. The aggregations are single-pass `pyspark.sql.functions` compositions —
 map-side partial aggregation does nearly all the work, the shuffle carries
-only per-bin / per-column partials.
+only per-bin / per-column partials; the rolling gate is one keyed window
+pass.
 
 Exactness: bin assignment is ``least(floor((x - lo) / width), n_bins - 1)``
 — two IEEE-754 double operations and a floor, which round identically in any
@@ -50,6 +51,106 @@ def numeric_histogram(
             "n",
         )
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    window_rows: int = 100,
+    min_rows: int = 30,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly flags — the standard streaming-feed
+    QA gate: a value more than ``threshold`` sample standard deviations
+    from its trailing ``window_rows``-row mean is flagged before it poisons
+    downstream aggregates / training data.
+
+    Engine-invariance: the rolling moments come from DECIMAL-exact window
+    sums (value quantized to DECIMAL(25,6); its square is an exact
+    DECIMAL(38,12) product), so Σx and Σx² are addition-order-independent
+    and identical in any engine; mean/variance/z are then derived in double
+    with one fixed expression shape and rounded to 4 decimals. Sample
+    variance uses the computational formula (Σx² − n·x̄²)/(n−1), guarded to
+    ≥ 0 against cancellation.
+
+    100 TB shape: one shuffle on the key (the window partition); each
+    partition is a single ordered pass — no self-joins, no UDFs, pure
+    whole-stage codegen. Keys are event types (bounded cardinality); if a
+    single key's history exceeds an executor, range-split by time first
+    (the same pre-shard every rolling-window system needs).
+
+    Rows with fewer than ``min_rows`` trailing rows emit NULL z (warm-up).
+    """
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    v = F.col(value_col).cast("decimal(25,6)")
+    sum_v = F.sum(v).over(w)
+    sum_v2 = F.sum(v * v).over(w)
+    n = F.count(F.lit(1)).over(w)
+    mean = sum_v.cast("double") / n
+    var = F.greatest(
+        F.lit(0.0),
+        (sum_v2.cast("double") - n * mean * mean) / (n - 1),
+    )
+    z = F.when(
+        (n >= min_rows) & (F.sqrt(var) > 0),
+        F.round((F.col(value_col) - mean) / F.sqrt(var), 4),
+    )
+    return df.select(
+        *order_cols,
+        key_col,
+        value_col,
+        z.alias("zscore"),
+        # warm-up rows are NOT anomalies (non-null boolean: a NULL bool
+        # round-trips as NaN through pandas and breaks driver hashing)
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+def rolling_zscore_oracle_sql(
+    table: str = "events",
+    window_rows: int = 100,
+    min_rows: int = 30,
+    threshold: float = 3.0,
+) -> str:
+    """DuckDB recomputation of ``rolling_zscore`` — same decimal-exact
+    window sums, same derivation expression, same rounding."""
+    return f"""
+WITH rolled AS (
+  SELECT event_id, ts, event_type, value,
+         SUM(CAST(value AS DECIMAL(25,6))) OVER w AS sum_v,
+         SUM(CAST(value AS DECIMAL(25,6)) * CAST(value AS DECIMAL(25,6)))
+             OVER w AS sum_v2,
+         COUNT(*) OVER w AS n
+  FROM {table}
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {window_rows - 1} PRECEDING AND CURRENT ROW)
+),
+scored AS (
+  SELECT event_id, ts, event_type, value,
+         CASE WHEN n >= {min_rows}
+                   AND sqrt(greatest(0.0,
+                       (CAST(sum_v2 AS DOUBLE) - n * (CAST(sum_v AS DOUBLE) / n)
+                            * (CAST(sum_v AS DOUBLE) / n)) / (n - 1))) > 0
+              THEN round((value - CAST(sum_v AS DOUBLE) / n)
+                   / sqrt(greatest(0.0,
+                       (CAST(sum_v2 AS DOUBLE) - n * (CAST(sum_v AS DOUBLE) / n)
+                            * (CAST(sum_v AS DOUBLE) / n)) / (n - 1))), 4)
+         END AS zscore
+  FROM rolled
+)
+SELECT ts, event_id, event_type, value, zscore,
+       coalesce(abs(zscore) > {threshold}, false) AS is_anomaly
+FROM scored
+ORDER BY event_type, ts, event_id
+"""
 
 
 def column_profile(df: DataFrame, cols: list[str]) -> DataFrame:

@@ -7,7 +7,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import clustering, corpus, dedup, multimodal, similarity, text, timeseries
+from .operators import (
+    clustering,
+    corpus,
+    dedup,
+    multimodal,
+    profiling,
+    similarity,
+    text,
+    timeseries,
+)
 from .queries import query
 from .sources.tables import load_table
 
@@ -1275,6 +1284,16 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     term sums, so values match exactly at 6 decimals."""
     docs = load_table(spark, sf_dir, "documents")
     return corpus.unigram_lm_scores(docs).orderBy("doc_id")
+
+
+@query("events_rolling_zscore", profiling.rolling_zscore_oracle_sql())
+def q_events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-feed QA: per-event-type rolling z-score anomaly flags over
+    a 100-row trailing window — DECIMAL-exact window sums make the moments
+    engine-invariant; one key shuffle, single ordered pass, pure codegen.
+    Oracle recomputes the identical windows in DuckDB."""
+    ev = load_table(spark, sf_dir, "events")
+    return profiling.rolling_zscore(ev).orderBy("event_type", "ts", "event_id")
 
 
 @query(

@@ -1185,3 +1185,22 @@ def test_dsir_importance_matches_duckdb_oracle(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_rolling_zscore_flags_injected_outlier(spark):
+    from delta_rs_spark.operators import profiling
+
+    rows = [(i, float(100 + (i % 5)), "a") for i in range(60)]
+    rows[50] = (50, 10_000.0, "a")  # the outlier
+    df = spark.createDataFrame(rows, "event_id long, value double, k string")
+    out = {
+        r.event_id: r
+        for r in profiling.rolling_zscore(
+            df, value_col="value", key_col="k", order_cols=("event_id",)
+        ).collect()
+    }
+    assert out[50].is_anomaly and out[50].zscore > 3
+    # warm-up rows: no score, explicitly not anomalous
+    assert out[5].zscore is None and out[5].is_anomaly is False
+    # steady-state rows stay unflagged
+    assert not out[40].is_anomaly and abs(out[40].zscore) < 3
