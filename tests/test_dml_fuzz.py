@@ -1,0 +1,90 @@
+"""Randomized (seed-pinned, deterministic) DML-sequence fuzz: a Delta table
+driven through interleaved append / merge-on-read delete / update / OPTIMIZE /
+REORG PURGE must match a plain in-memory model after every step, and a deep
+clone taken at the end must match it too.
+
+This is the integration net under the per-surface tests: any interaction bug
+between DV reads, copy-on-write rewrites, compaction swaps and snapshot
+replay shows up as a row diff with the exact op history printed.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from delta_rs_spark import DeltaTable, write_deltalake
+
+
+def _rows(spark, ids, vmul=1):
+    return spark.createDataFrame(
+        [(i, i * vmul, str(i % 3)) for i in ids], "id long, v long, p string"
+    )
+
+
+def _table_state(spark, uri):
+    return sorted(
+        (r.id, r.v, r.p) for r in DeltaTable(uri).to_df(spark).collect()
+    )
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_dml_sequence_matches_model(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    uri = str(tmp_path / f"fuzz{seed}")
+
+    next_id = 200
+    model: dict[int, tuple[int, str]] = {i: (i, str(i % 3)) for i in range(200)}
+    write_deltalake(
+        spark,
+        _rows(spark, range(200)),
+        uri,
+        partition_by=["p"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    history = ["seed(200)"]
+
+    for _ in range(10):
+        op = rng.choice(["append", "delete", "update", "optimize", "reorg"])
+        t = DeltaTable(uri)
+        if op == "append":
+            n = rng.randrange(20, 60)
+            ids = range(next_id, next_id + n)
+            write_deltalake(spark, _rows(spark, ids), uri, mode="append")
+            model.update({i: (i, str(i % 3)) for i in ids})
+            next_id += n
+            history.append(f"append({n})")
+        elif op == "delete":
+            k, r = rng.choice([(7, 3), (5, 1), (11, 0), (3, 2)])
+            t.delete(spark, f"id % {k} = {r}")
+            model = {i: row for i, row in model.items() if i % k != r}
+            history.append(f"delete(id%{k}={r})")
+        elif op == "update":
+            k, r = rng.choice([(4, 1), (6, 5), (9, 2)])
+            t.update_where(spark, f"id % {k} = {r}", {"v": "v + 1000"})
+            model = {
+                i: ((v + 1000, p) if i % k == r else (v, p))
+                for i, (v, p) in model.items()
+            }
+            history.append(f"update(id%{k}={r})")
+        elif op == "optimize":
+            t.optimize(spark, target_file_size=1 << 20)
+            history.append("optimize")
+        else:
+            t.reorg_purge(spark)
+            history.append("reorg")
+
+        got = _table_state(spark, uri)
+        want = sorted((i, v, p) for i, (v, p) in model.items())
+        assert got == want, f"diverged after {history}"
+
+    # a deep clone of the final state is the same table elsewhere
+    clone_uri = str(tmp_path / f"fuzzclone{seed}")
+    DeltaTable(uri).deep_clone(clone_uri)
+    assert _table_state(spark, clone_uri) == sorted(
+        (i, v, p) for i, (v, p) in model.items()
+    ), f"clone diverged after {history}"
+    # and the clone is self-contained: no add references the source root
+    for a in DeltaTable(clone_uri).add_actions():
+        assert uri not in a.path
