@@ -1555,15 +1555,42 @@ def restore(table, version: int) -> dict:
     cur_files = {a.path: a for a in current.files()}
     tgt_files = {a.path: a for a in target.files()}
 
+    def _dv_key(a):
+        d = a.deletion_vector
+        if not d:
+            return None
+        return (d.get("storageType"), d.get("pathOrInlineDv"), d.get("offset"))
+
     to_add = [a for p, a in tgt_files.items() if p not in cur_files]
+    # same path, different deletion vector: a merge-on-read DELETE/UPDATE
+    # (or a purge) between the target and now changed the file's LOGICAL
+    # content without changing its path — re-adding the target's action
+    # restores the old DV state (protocol replay keeps the latest add per
+    # path, so no remove is needed)
+    to_add += [
+        a
+        for p, a in tgt_files.items()
+        if p in cur_files and _dv_key(cur_files[p]) != _dv_key(a)
+    ]
     to_remove = [a for p, a in cur_files.items() if p not in tgt_files]
 
-    # restored files must still exist (vacuum may have reaped them)
+    # restored files — and any file-based DVs they carry — must still exist
+    # (vacuum may have reaped them)
+    from .protocol.dv import referenced_rel_paths
+
     missing = [
         a.path
         for a in to_add
         if not table.log.backend.exists(current._absolute(a.path))
     ]
+    for a in to_add:
+        if a.deletion_vector:
+            prefixes, dv_files = referenced_rel_paths(a.deletion_vector)
+            missing += [
+                rel
+                for rel in list(dv_files) + list(prefixes)
+                if not table.log.backend.exists(current._absolute(rel))
+            ]
     if missing:
         raise VacuumError(
             f"cannot restore to version {version}: {len(missing)} data files "

@@ -88,3 +88,74 @@ def test_dml_sequence_matches_model(spark, tmp_path, seed):
     # and the clone is self-contained: no add references the source root
     for a in DeltaTable(clone_uri).add_actions():
         assert uri not in a.path
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_dml_history_time_travel_and_restore(spark, tmp_path, seed):
+    """Every historical version must replay to exactly the state the model
+    had when that version committed — through DML, checkpoints (mid-history
+    replay starts), and RESTORE (which rolls the model back too)."""
+    rng = random.Random(seed)
+    uri = str(tmp_path / f"hist{seed}")
+
+    next_id = 100
+    model: dict[int, tuple[int, str]] = {i: (i, str(i % 3)) for i in range(100)}
+    write_deltalake(
+        spark,
+        _rows(spark, range(100)),
+        uri,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    versions = {0: dict(model)}
+    history = ["seed(100)"]
+
+    for _ in range(12):
+        op = rng.choice(
+            ["append", "delete", "update", "checkpoint", "restore", "append"]
+        )
+        t = DeltaTable(uri)
+        if op == "append":
+            n = rng.randrange(10, 30)
+            ids = range(next_id, next_id + n)
+            write_deltalake(spark, _rows(spark, ids), uri, mode="append")
+            model.update({i: (i, str(i % 3)) for i in ids})
+            next_id += n
+            history.append(f"append({n})")
+        elif op == "delete":
+            k, r = rng.choice([(7, 3), (5, 1), (3, 2)])
+            t.delete(spark, f"id % {k} = {r}")
+            model = {i: row for i, row in model.items() if i % k != r}
+            history.append(f"delete(id%{k}={r})")
+        elif op == "update":
+            k, r = rng.choice([(4, 1), (6, 5)])
+            t.update_where(spark, f"id % {k} = {r}", {"v": "v + 1000"})
+            model = {
+                i: ((v + 1000, p) if i % k == r else (v, p))
+                for i, (v, p) in model.items()
+            }
+            history.append(f"update(id%{k}={r})")
+        elif op == "checkpoint":
+            t.create_checkpoint()
+            history.append("checkpoint")
+            # checkpoints don't commit a version; nothing to record
+            continue
+        else:
+            target = rng.choice(sorted(versions))
+            t.restore(target)
+            model = dict(versions[target])
+            history.append(f"restore({target})")
+
+        t = DeltaTable(uri)
+        versions[t.version] = dict(model)
+        got = _table_state(spark, uri)
+        want = sorted((i, v, p) for i, (v, p) in model.items())
+        assert got == want, f"diverged after {history}"
+
+    # every recorded version time-travels back to its model state
+    for v, snap in versions.items():
+        got = sorted(
+            (r.id, r.v, r.p)
+            for r in DeltaTable.for_version(uri, v).to_df(spark).collect()
+        )
+        want = sorted((i, val, p) for i, (val, p) in snap.items())
+        assert got == want, f"version {v} wrong after {history}"

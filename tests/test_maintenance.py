@@ -1371,3 +1371,32 @@ def test_reorg_purge_stages_dv_feature_drop(spark, tmp_path):
     with pytest.raises(FeatureDropError, match="tombstones"):
         t.drop_feature("deletionVectors", truncate_history=True)
     assert t.to_df(spark).count() == 75
+
+
+def test_restore_undoes_and_redoes_mor_deletes(spark, tmp_path):
+    """RESTORE across merge-on-read DML: the file path never changes, only
+    its deletion vector does — the restore must re-add the TARGET's add
+    action (old DV state), both backwards (resurrect) and forwards
+    (re-delete). Found by the DML fuzz harness."""
+    uri = str(tmp_path / "t")
+    write_deltalake(
+        spark,
+        spark.range(50).coalesce(1).selectExpr("id"),
+        uri,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    t = DeltaTable(uri)
+    t.delete(spark, "id % 5 = 0")  # v1: MoR, same path + DV
+    t.update()
+    assert t.to_df(spark).count() == 40
+
+    r = t.restore(0)  # resurrect: same path, DV must drop
+    assert r["numRestoredFiles"] == 1
+    t.update()
+    assert t.to_df(spark).count() == 50
+    assert not any(a.deletion_vector for a in t.add_actions())
+
+    t.restore(1)  # forward: DV must come back
+    t.update()
+    assert t.to_df(spark).count() == 40
+    assert any(a.deletion_vector for a in t.add_actions())
