@@ -159,3 +159,93 @@ def test_dml_history_time_travel_and_restore(spark, tmp_path, seed):
         )
         want = sorted((i, val, p) for i, (val, p) in snap.items())
         assert got == want, f"version {v} wrong after {history}"
+
+
+@pytest.mark.parametrize("seed", [31])
+def test_dml_fuzz_mapped_row_tracked(spark, tmp_path, seed):
+    """The interaction corner: column mapping (physical names) + row
+    tracking (stable ids) + merge-on-read DML + renames + OPTIMIZE. After
+    every step the visible state matches the model, row ids stay unique,
+    and a rewrite (optimize) preserves each surviving row's id."""
+    rng = random.Random(seed)
+    uri = str(tmp_path / f"mrt{seed}")
+
+    vcol = "v"  # logical name, renamed mid-sequence
+    next_id = 100
+    model: dict[int, int] = {i: i for i in range(100)}  # id -> v
+    write_deltalake(
+        spark,
+        spark.createDataFrame(
+            [(i, i) for i in range(100)], f"id long, {vcol} long"
+        ),
+        uri,
+        configuration={
+            "delta.columnMapping.mode": "name",
+            "delta.enableRowTracking": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    history = ["seed(100)"]
+
+    def state():
+        t = DeltaTable(uri)
+        df = t.to_df(spark, with_row_ids=True)
+        rows = [(r["id"], r[vcol], r["_row_id"]) for r in df.collect()]
+        return rows
+
+    def check():
+        rows = state()
+        got = sorted((i, v) for i, v, _ in rows)
+        assert got == sorted(model.items()), f"diverged after {history}"
+        ids = [rid for _, _, rid in rows]
+        assert len(ids) == len(set(ids)), f"duplicate row ids after {history}"
+        return {i: rid for i, _, rid in rows}
+
+    check()
+    for _ in range(8):
+        op = rng.choice(["append", "delete", "update", "rename", "optimize"])
+        t = DeltaTable(uri)
+        if op == "append":
+            n = rng.randrange(10, 30)
+            write_deltalake(
+                spark,
+                spark.createDataFrame(
+                    [(i, i) for i in range(next_id, next_id + n)],
+                    f"id long, {vcol} long",
+                ),
+                uri,
+                mode="append",
+            )
+            model.update({i: i for i in range(next_id, next_id + n)})
+            next_id += n
+            history.append(f"append({n})")
+            check()
+        elif op == "delete":
+            k, r = rng.choice([(7, 3), (5, 1), (3, 2)])
+            t.delete(spark, f"id % {k} = {r}")
+            model = {i: v for i, v in model.items() if i % k != r}
+            history.append(f"delete(id%{k}={r})")
+            check()
+        elif op == "update":
+            k, r = rng.choice([(4, 1), (6, 5)])
+            before = check()
+            t.update_where(spark, f"id % {k} = {r}", {vcol: f"{vcol} + 1000"})
+            model = {
+                i: (v + 1000 if i % k == r else v) for i, v in model.items()
+            }
+            history.append(f"update(id%{k}={r})")
+            after = check()
+            # updates change values, never identity
+            assert after == before, f"row ids changed by update after {history}"
+        elif op == "rename":
+            new = f"{vcol}_r"
+            t.rename_column(vcol, new)
+            vcol = new
+            history.append(f"rename->{new}")
+            check()
+        else:
+            before = check()
+            t.optimize(spark, target_file_size=1 << 20)
+            history.append("optimize")
+            after = check()
+            assert after == before, f"row ids changed by optimize after {history}"
