@@ -41,7 +41,10 @@ def test_dml_sequence_matches_model(spark, tmp_path, seed):
         _rows(spark, range(200)),
         uri,
         partition_by=["p"],
-        configuration={"delta.enableDeletionVectors": "true"},
+        configuration={
+            "delta.enableDeletionVectors": "true",
+            "delta.enableChangeDataFeed": "true",
+        },
     )
     history = ["seed(200)"]
 
@@ -78,6 +81,25 @@ def test_dml_sequence_matches_model(spark, tmp_path, seed):
         got = _table_state(spark, uri)
         want = sorted((i, v, p) for i, (v, p) in model.items())
         assert got == want, f"diverged after {history}"
+
+    # the change feed, folded forward from version 0, reproduces the final
+    # state — one invariant covering CDF synthesis across every op kind
+    # (CoW rewrites, DV commits, dataChange=false swaps emit nothing)
+    cdf = (
+        DeltaTable(uri)
+        .load_cdf(spark, starting_version=0)
+        .orderBy("_commit_version")
+        .collect()
+    )
+    folded: dict[int, tuple[int, str]] = {}
+    for r in cdf:
+        if r["_change_type"] in ("insert", "update_postimage"):
+            folded[r["id"]] = (r["v"], r["p"])
+        elif r["_change_type"] == "delete":
+            folded.pop(r["id"], None)
+    assert sorted((i, v, p) for i, (v, p) in folded.items()) == sorted(
+        (i, v, p) for i, (v, p) in model.items()
+    ), f"CDF fold diverged after {history}"
 
     # a deep clone of the final state is the same table elsewhere
     clone_uri = str(tmp_path / f"fuzzclone{seed}")
