@@ -271,3 +271,89 @@ def test_dml_fuzz_mapped_row_tracked(spark, tmp_path, seed):
             history.append("optimize")
             after = check()
             assert after == before, f"row ids changed by optimize after {history}"
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_dml_fuzz_merge_and_replace_where(spark, tmp_path, seed):
+    """Upsert-pipeline fuzz: MERGE (update-matched + insert-new), MERGE
+    delete-matched, replaceWhere partition rewrites, appends — state
+    checked against the model after every step."""
+    rng = random.Random(seed)
+    uri = str(tmp_path / f"mrw{seed}")
+
+    next_id = 150
+    model: dict[int, tuple[int, str]] = {i: (i, str(i % 3)) for i in range(150)}
+    write_deltalake(
+        spark,
+        _rows(spark, range(150)),
+        uri,
+        partition_by=["p"],
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    history = ["seed(150)"]
+
+    for _ in range(8):
+        op = rng.choice(["merge_upsert", "merge_delete", "replace_where", "append"])
+        t = DeltaTable(uri)
+        if op == "merge_upsert":
+            # half existing ids (values bumped), half brand-new
+            lo = rng.randrange(0, next_id - 20)
+            existing = [i for i in range(lo, lo + 40) if i in model][:20]
+            new = list(range(next_id, next_id + 15))
+            src = spark.createDataFrame(
+                [(i, i + 7, str(i % 3)) for i in existing + new],
+                "id long, v long, p string",
+            )
+            t.merge(
+                spark,
+                src,
+                "t.id = s.id",
+                when_matched_update={"v": "s.v"},
+                when_not_matched_insert=True,
+            )
+            for i in existing + new:
+                model[i] = (i + 7, str(i % 3))
+            next_id += 15
+            history.append(f"merge_upsert({len(existing)}+{len(new)})")
+        elif op == "merge_delete":
+            k, r = rng.choice([(9, 4), (8, 1)])
+            victims = [i for i in model if i % k == r]
+            src = spark.createDataFrame(
+                [(i,) for i in victims] or [(-1,)], "id long"
+            )
+            t.merge(
+                spark,
+                src,
+                "t.id = s.id",
+                when_matched_delete=True,
+                when_not_matched_insert=False,
+            )
+            for i in victims:
+                model.pop(i, None)
+            history.append(f"merge_delete(id%{k}={r})")
+        elif op == "replace_where":
+            part = str(rng.randrange(3))
+            n = rng.randrange(5, 25)
+            ids = [i for i in range(next_id, next_id + n * 3) if i % 3 == int(part)]
+            write_deltalake(
+                spark,
+                _rows(spark, ids, vmul=2),
+                uri,
+                mode="overwrite",
+                replace_where=f"p = '{part}'",
+            )
+            model = {i: row for i, row in model.items() if row[1] != part}
+            model.update({i: (i * 2, part) for i in ids})
+            next_id += n * 3
+            history.append(f"replace_where(p={part})")
+        else:
+            n = rng.randrange(10, 30)
+            ids = range(next_id, next_id + n)
+            write_deltalake(spark, _rows(spark, ids), uri, mode="append")
+            model.update({i: (i, str(i % 3)) for i in ids})
+            next_id += n
+            history.append(f"append({n})")
+
+        got = _table_state(spark, uri)
+        want = sorted((i, v, p) for i, (v, p) in model.items())
+        assert got == want, f"diverged after {history}"
