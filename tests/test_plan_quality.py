@@ -251,3 +251,13 @@ def test_identity_and_default_assignment_is_codegen_no_shuffle(spark, tmp_path, 
     assert enriched.exchanges == base.exchanges == 0
     text = _plan_text(with_defaults)
     assert "BatchEvalPython" not in text and "ArrowEvalPython" not in text
+
+
+def test_rolling_zscore_single_scan_pruned_window(q):
+    """The anomaly gate is one pruned scan + one keyed window pass — no
+    self-joins, no second scan of events, props column never read."""
+    s = summarize(q("events_rolling_zscore"))
+    assert s.scans == 1
+    assert s.windows >= 1
+    assert not s.nested_loop_joins
+    assert all("props" not in cols for cols in s.read_schemas)
