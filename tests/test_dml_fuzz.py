@@ -357,3 +357,107 @@ def test_dml_fuzz_merge_and_replace_where(spark, tmp_path, seed):
         got = _table_state(spark, uri)
         want = sorted((i, v, p) for i, (v, p) in model.items())
         assert got == want, f"diverged after {history}"
+
+
+def test_concurrent_mixed_workload_fuzz(spark, tmp_path):
+    """Randomized concurrent interleaving: two appenders, a deleter and an
+    optimizer race on one table with retry-on-conflict. Invariants: no lost
+    or duplicated rows, gapless version sequence, every surviving commit's
+    checksum validates. Exercises the conflict matrix under schedules no
+    targeted test enumerates."""
+    import threading
+
+    from delta_rs_spark.maintenance import validate_checksum
+    from delta_rs_spark.transactions import ConcurrentModificationError
+
+    uri = str(tmp_path / "race")
+    write_deltalake(
+        spark,
+        _rows(spark, range(50)),
+        uri,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    errors: list[Exception] = []
+    deleted_bases: list[int] = []
+
+    def retry(fn, attempts=25):
+        for _ in range(attempts):
+            try:
+                return fn()
+            except ConcurrentModificationError:
+                continue
+        raise AssertionError("retry budget exhausted")
+
+    def appender(base):
+        def run():
+            try:
+                for j in range(4):
+                    ids = range(base + j * 100, base + j * 100 + 40)
+                    retry(
+                        lambda ids=ids: write_deltalake(
+                            spark, _rows(spark, ids), uri, mode="append"
+                        )
+                    )
+            except Exception as e:  # pragma: no cover - surfaced below
+                errors.append(e)
+
+        return run
+
+    def deleter():
+        # deletes only rows from the seed range: appenders never touch it
+        try:
+            for base in (0, 10, 20):
+                retry(
+                    lambda base=base: DeltaTable(uri).delete(
+                        spark, f"id >= {base} AND id < {base + 10}"
+                    )
+                )
+                deleted_bases.append(base)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def optimizer():
+        try:
+            for _ in range(3):
+                retry(
+                    lambda: DeltaTable(uri).optimize(
+                        spark, target_file_size=1 << 20
+                    )
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=appender(1000)),
+        threading.Thread(target=appender(10_000)),
+        threading.Thread(target=deleter),
+        threading.Thread(target=optimizer),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    expect = set()
+    for base in (1000, 10_000):
+        for j in range(4):
+            expect |= set(range(base + j * 100, base + j * 100 + 40))
+    expect |= {
+        i
+        for i in range(50)
+        if not any(b <= i < b + 10 for b in deleted_bases)
+    }
+    t = DeltaTable(uri)
+    got = {r.id for r in t.to_df(spark).collect()}
+    assert got == expect
+    # gapless version chain (atomic create-if-absent held under the race)
+    import os
+
+    versions = sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(os.path.join(uri, "_delta_log"))
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    )
+    assert versions == list(range(len(versions)))
+    assert validate_checksum(t) in (True, None)
