@@ -694,3 +694,53 @@ def test_stateful_running_totals_integral_exact(spark, tmp_path):
         assert rows[1] == (1, 7)
     finally:
         q.stop()
+
+
+def test_stream_skips_optimize_and_reorg_commits(spark, tmp_path):
+    """A log-tailing stream across OPTIMIZE and REORG PURGE commits
+    (dataChange=false) must deliver every appended row exactly once —
+    the swaps are invisible, and the rewritten (post-purge) files are
+    never re-emitted."""
+    uri = str(tmp_path / "opt_stream")
+    write_deltalake(
+        spark,
+        spark.range(40).coalesce(2).selectExpr("id"),
+        uri,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    t = DeltaTable(uri)
+    t.optimize(spark, target_file_size=1 << 20)  # v1: dataChange=false swap
+    write_deltalake(
+        spark, spark.range(40, 70).coalesce(1).selectExpr("id"), uri, mode="append"
+    )
+    # a MoR delete IS a data change (v3) — the stream must refuse it unless
+    # told to ignore; with skipChangeCommits the delete version is dropped
+    # but the appends still flow
+    t = DeltaTable(uri)
+    t.delete(spark, "id < 5")
+    t = DeltaTable(uri)
+    t.reorg_purge(spark)  # v4: dataChange=false, materializes the delete
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", uri)
+        .option("startingVersion", "0")
+        .option("skipChangeCommits", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("opt_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_opt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+        got = sorted(
+            r.id for r in spark.sql("select id from opt_stream_sink").collect()
+        )
+        # every append exactly once; neither swap re-emitted anything
+        assert got == list(range(70))
+    finally:
+        q.stop()
