@@ -406,31 +406,43 @@ def embedding_cosine_pairs(
     threshold: float = 0.985,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "lsh",
+    method: str = "auto",
     dim: int = 64,
 ) -> DataFrame:
     """Pairs of vectors with cosine similarity ≥ threshold.
 
-    ``method="lsh"`` (default, the scale path): banded sign-LSH candidate
-    generation + exact cosine verify — `similarity.lsh_bucketed_pairs`.
-    All equi-joins; candidate volume ∝ bucket density, never n². Banding
-    is derived from the threshold so the per-pair miss probability is
-    below 1e-9 (deterministic hyperplanes — certified against the exact
-    oracle at test SFs).
+    ``method="auto"`` (default) picks the scale path by threshold:
 
-    ``method="brute"``: exact O(n²) cross join — the test oracle and the
-    fallback for antagonistic thresholds (<~0.3) where banding stops
-    pruning. Dot products run in whole-stage codegen via
-    `aggregate`/`zip_with` either way — no UDF.
-    """
+    - ≥ 0.7 → ``"lsh"``: banded sign-LSH candidate generation + exact
+      cosine verify (`similarity.lsh_bucketed_pairs`). All equi-joins;
+      candidate volume ∝ bucket density; banding derived from the
+      threshold so the per-pair miss probability is below 1e-9
+      (deterministic hyperplanes — certified against the exact oracle).
+    - < 0.7 → ``"block"``: blocked exact GEMM pairs
+      (`similarity.blocked_exact_pairs`). At low thresholds the sign-LSH
+      bit-agreement gap collapses (p_bit = 1 − θ/π → 0.5) and hitting the
+      miss floor makes nearly every pair a candidate — the honest cost is
+      Θ(n²/B) block I/O, so the right plan pays it at BLAS speed instead
+      of as an equi-join explosion (measured 30× at test scale).
+
+    Both are exact (identical output); ``method="brute"`` keeps the O(n²)
+    codegen cross join as the test oracle."""
+    if method == "auto":
+        method = "lsh" if threshold >= 0.7 else "block"
     if method == "lsh":
         from .similarity import lsh_bucketed_pairs
 
         return lsh_bucketed_pairs(
             df, threshold, id_col=id_col, vec_col=vec_col, dim=dim
         )
+    if method == "block":
+        from .similarity import blocked_exact_pairs
+
+        return blocked_exact_pairs(df, threshold, id_col=id_col, vec_col=vec_col)
     if method != "brute":
-        raise ValueError(f"unknown method {method!r} (expected 'lsh' or 'brute')")
+        raise ValueError(
+            f"unknown method {method!r} (expected 'auto', 'lsh', 'block' or 'brute')"
+        )
     norm = df.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),

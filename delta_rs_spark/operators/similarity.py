@@ -436,6 +436,127 @@ def lsh_bucketed_pairs(
     )
 
 
+def blocked_exact_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 2048,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine pairs via blocked matrix products — the scale path for
+    LOW thresholds, where sign-LSH stops pruning.
+
+    Why this exists: a sign-LSH band with r bits passes a random pair with
+    probability 2^-r, and the bit-agreement gap between "qualifying" and
+    "random" pairs shrinks as the threshold drops (p_bit = 1 − θ/π → 0.5).
+    Below ~0.6-0.7, hitting a 1e-9 miss floor forces so many low-r bands
+    that nearly EVERY pair becomes a candidate — the plan degenerates to
+    brute force re-expressed as an equi-join explosion, plus band overhead
+    (measured 30 s at 2k×64 where this path takes ~1 s).
+
+    Low-threshold all-pairs is inherently Θ(n²/B) I/O (every block must
+    meet every block), so the right design makes the compute BLAS-bound:
+    hash rows into ⌈n/block_size⌉ blocks, form the upper-triangle block
+    pairs (a driver literal, broadcast), route each side with one
+    equi-join, and score each block pair as ONE numpy matmul inside an
+    Arrow-batched cogrouped ``applyInPandas`` — 64-dim dot products at
+    GEMM speed instead of per-element interpreted expression trees. Pair
+    canonicalization (lo < hi + dedupe) happens inside the kernel, so the
+    output matches the codegen paths row-for-row: (id_a, id_b, cosine
+    rounded to ``round_digits``).
+
+    Shuffle volume: each row is replicated once per block pair touching
+    its block (≈ n·n_blocks vectors) — the unavoidable quadratic term,
+    with ``block_size`` bounding per-task memory (2048×64 doubles ≈ 1 MB
+    per side per task).
+    """
+    import math
+
+    spark = df.sparkSession
+    norm = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn(
+            "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
+        )
+        # zero vectors: cosine = 0/0, excluded like every other path here
+        .filter(F.col("nrm") > 0)
+    )
+    n = norm.count()  # one bounded job: sizes the block grid
+    n_blocks = max(1, math.ceil(n / block_size))
+    blocks = norm.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+    grid_rows = [
+        (i * n_blocks + j, i, j)
+        for i in range(n_blocks)
+        for j in range(i, n_blocks)
+    ]
+    # two independent frames: reusing one grid in both joins trips Spark's
+    # ambiguous-self-join analysis on pid
+    grid = spark.createDataFrame(grid_rows, "pid long, bi int, bj int")
+    grid_r = spark.createDataFrame(grid_rows, "pid long, bi int, bj int")
+    left = blocks.join(
+        F.broadcast(grid.select("pid", F.col("bi").alias("blk"))), "blk"
+    ).select("pid", "id", "v", "nrm")
+    # distinct column names break the self-join lineage ambiguity; the
+    # cogroup kernel reads both sides positionally anyway
+    right = (
+        blocks.select(
+            F.col("blk").alias("blk_r"),
+            F.col("id").alias("id"),
+            F.col("v").alias("v"),
+            F.col("nrm").alias("nrm"),
+        )
+        .join(
+            F.broadcast(grid_r.select("pid", F.col("bj").alias("blk_r"))), "blk_r"
+        )
+        .select("pid", "id", "v", "nrm")
+    )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    def gemm(left_pdf, right_pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        if left_pdf.empty or right_pdf.empty:
+            return empty
+        A = np.asarray(left_pdf["v"].tolist(), dtype=np.float64)
+        B = np.asarray(right_pdf["v"].tolist(), dtype=np.float64)
+        cos = np.round(
+            (A @ B.T)
+            / np.outer(left_pdf["nrm"].to_numpy(), right_pdf["nrm"].to_numpy()),
+            round_digits,
+        )
+        ia, ib = np.nonzero(cos >= threshold)
+        if not len(ia):
+            return empty
+        ids_a = left_pdf["id"].to_numpy()[ia]
+        ids_b = right_pdf["id"].to_numpy()[ib]
+        out = pd.DataFrame(
+            {
+                "id_a": np.minimum(ids_a, ids_b),
+                "id_b": np.maximum(ids_a, ids_b),
+                "cosine": cos[ia, ib],
+            }
+        )
+        # same-block pairs appear in both orders; self-pairs on the diagonal
+        out = out[out["id_a"] < out["id_b"]].drop_duplicates(["id_a", "id_b"])
+        return out
+
+    return (
+        left.groupby("pid")
+        .cogroup(right.groupby("pid"))
+        .applyInPandas(gemm, out_schema)
+    )
+
+
 def quantized_topk(
     corpus: DataFrame,
     queries: DataFrame,

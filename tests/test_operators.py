@@ -1204,3 +1204,32 @@ def test_rolling_zscore_flags_injected_outlier(spark):
     assert out[5].zscore is None and out[5].is_anomaly is False
     # steady-state rows stay unflagged
     assert not out[40].is_anomaly and abs(out[40].zscore) < 3
+
+
+def test_blocked_exact_pairs_matches_brute(spark):
+    """The GEMM block path is exact: identical pairs + cosines to the
+    codegen cross join, across block boundaries (block_size forces a
+    multi-block grid)."""
+    from delta_rs_spark.operators import dedup, similarity
+
+    import random as _r
+
+    rng = _r.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+    ] + [(999, [0.0] * 8)]  # zero vector must be excluded, not NaN-paired
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_cosine_pairs(
+            df, threshold=0.5, method="brute", dim=8
+        ).collect()
+    }
+    block = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.blocked_exact_pairs(
+            df, threshold=0.5, block_size=64
+        ).collect()
+    }
+    assert block == brute and brute  # non-trivial and identical
+    assert not any(999 in k for k in block)
