@@ -91,9 +91,10 @@ CARTESIAN_OK = {
 
 
 def test_embedding_cosine_dedup_is_bucketed_not_cartesian(q):
-    """The certified near-dup query runs the banded-LSH path: candidate
-    generation and verify are equi-joins — no cross join anywhere in the
-    executed plan (the O(n²) brute force remains only as the test oracle)."""
+    """The certified near-dup query (threshold 0.4 → blocked-GEMM path):
+    block routing is two broadcast equi-joins + a cogroup — no cross join
+    anywhere in the executed plan (the O(n²) brute force remains only as
+    the test oracle)."""
     df = q("dedup_embedding_cosine")
     assert_no_nested_loop_join(df)
     s = summarize(df)
