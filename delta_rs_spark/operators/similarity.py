@@ -443,6 +443,7 @@ def blocked_exact_pairs(
     vec_col: str = "embedding",
     block_size: int = 2048,
     round_digits: int = 4,
+    _grid_literal_max: int = 2000,
 ) -> DataFrame:
     """Exact cosine pairs via blocked matrix products — the scale path for
     LOW thresholds, where sign-LSH stops pruning.
@@ -490,15 +491,36 @@ def blocked_exact_pairs(
     blocks = norm.withColumn(
         "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
     )
-    grid_rows = [
-        (i * n_blocks + j, i, j)
-        for i in range(n_blocks)
-        for j in range(i, n_blocks)
-    ]
     # two independent frames: reusing one grid in both joins trips Spark's
-    # ambiguous-self-join analysis on pid
-    grid = spark.createDataFrame(grid_rows, "pid long, bi int, bj int")
-    grid_r = spark.createDataFrame(grid_rows, "pid long, bi int, bj int")
+    # ambiguous-self-join analysis on pid. Below ~2k blocks the grid is a
+    # driver literal; past that (upper-triangle ≈ B²/2 rows) it enumerates
+    # distributedly from two integer ranges — same rows, no driver list.
+    # (Honest ceiling either way: exact low-threshold all-pairs is Θ(n²)
+    # COMPUTE; past ~10⁷ vectors raise the threshold into LSH territory or
+    # cluster first — no plan makes 5·10¹⁷ dot products cheap.)
+    def _grid():
+        if n_blocks <= _grid_literal_max:
+            return spark.createDataFrame(
+                [
+                    (i * n_blocks + j, i, j)
+                    for i in range(n_blocks)
+                    for j in range(i, n_blocks)
+                ],
+                "pid long, bi int, bj int",
+            )
+        left_rng = spark.range(n_blocks).select(F.col("id").cast("int").alias("bi"))
+        right_rng = spark.range(n_blocks).select(F.col("id").cast("int").alias("bj"))
+        return (
+            left_rng.join(right_rng, F.col("bi") <= F.col("bj"))
+            .select(
+                (F.col("bi").cast("long") * n_blocks + F.col("bj")).alias("pid"),
+                "bi",
+                "bj",
+            )
+        )
+
+    grid = _grid()
+    grid_r = _grid()
     left = blocks.join(
         F.broadcast(grid.select("pid", F.col("bi").alias("blk"))), "blk"
     ).select("pid", "id", "v", "nrm")

@@ -1233,3 +1233,28 @@ def test_blocked_exact_pairs_matches_brute(spark):
     }
     assert block == brute and brute  # non-trivial and identical
     assert not any(999 in k for k in block)
+
+
+def test_blocked_exact_pairs_distributed_grid_variant(spark):
+    """Past the literal-grid cutoff the block grid enumerates from two
+    integer ranges — output must be identical to the literal-grid path."""
+    from delta_rs_spark.operators import similarity
+
+    import random as _r
+
+    rng = _r.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lit = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.blocked_exact_pairs(
+            df, threshold=0.5, block_size=32
+        ).collect()
+    )
+    dist = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.blocked_exact_pairs(
+            df, threshold=0.5, block_size=32, _grid_literal_max=2
+        ).collect()
+    )
+    assert lit == dist and lit
