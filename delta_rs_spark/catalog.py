@@ -84,6 +84,9 @@ _ROTATION = [
     "stream_user_totals",
     "clone_lifecycle",
     "events_rolling_zscore",
+    "corpus_pmi_bigrams",
+    "corpus_source_overlap",
+    "text_hash_classifier",
     # -- relational canaries (certified green rounds 1-2; the window is 50,
     # so these certify only if earlier entries shrink — harmless either way)
     "q1_pricing_summary",

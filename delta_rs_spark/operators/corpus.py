@@ -453,3 +453,210 @@ FROM tf JOIN cw USING (w) CROSS JOIN tot
 GROUP BY doc_id, n
 ORDER BY doc_id
 """
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    min_count: int = 5,
+    top_k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation mining: the corpus's top-k adjacent-word bigrams by
+    pointwise mutual information, PMI = ln(p(ab) / (p(a)·p(b))) with
+    unigram probabilities from the full token stream and bigram
+    probabilities from the adjacent-pair stream. The classic
+    Church & Hanks (1990) association measure; in a training-data pipeline
+    it surfaces boilerplate phrases and template fragments worth
+    inspecting, and feeds phrase-aware tokenizer vocabularies.
+
+    A ``min_count`` floor on the bigram count suppresses the
+    low-frequency PMI explosion (a pair seen once between two rare words
+    maximizes PMI), which is also Church & Hanks' published remedy.
+
+    DAG and 100 TB shape: one tokenized pass feeds both the unigram and
+    bigram counts (two map-side-combinable aggregations over narrow
+    exploded relations); the count-floor filter runs BEFORE the two vocab
+    joins, so the join input is the (tiny) frequent-bigram set, not the
+    full bigram vocabulary; corpus totals N and M ride as 1-row
+    broadcasts; top-k is ORDER BY + LIMIT = per-partition TakeOrdered +
+    driver merge of k rows, never a global sort. Every arithmetic term is
+    ln of an exact BIGINT count combined in a fixed operation order, so
+    the rounded value is engine-invariant (same discipline as
+    ``unigram_lm_scores``).
+    """
+    toks = df.select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+        ).alias("_w")
+    )
+    cw = (
+        toks.select(F.explode("_w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cb = (
+        toks.filter(F.size("_w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_w) - 2),"
+                    " i -> struct(_w[i] as w1, _w[i + 1] as w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    totals = cw.agg(F.sum("c").alias("n")).crossJoin(
+        cb.agg(F.sum("c_ab").alias("m"))
+    )
+    return (
+        cb.filter(F.col("c_ab") >= min_count)
+        .join(cw.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(cw.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab"),
+            F.round(
+                F.log("c_ab")
+                - F.log("c_a")
+                - F.log("c_b")
+                + F.lit(2) * F.log("n")
+                - F.log("m"),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top_k)
+    )
+
+
+def pmi_bigrams_oracle_sql(
+    table: str = "documents", min_count: int = 5, top_k: int = 50
+) -> str:
+    """DuckDB recomputation of ``pmi_bigrams`` — same tokenization, same
+    adjacent-pair extraction, same fixed-order float expression."""
+    return rf"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM {table}
+),
+cw AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY 1
+),
+cb AS (
+  SELECT z[1] AS w1, z[2] AS w2, count(*) AS c_ab
+  FROM (
+    SELECT unnest(list_zip(ws[1:len(ws) - 1], ws[2:len(ws)])) AS z
+    FROM toks WHERE len(ws) >= 2
+  )
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM cw) AS n,
+         (SELECT CAST(SUM(c_ab) AS BIGINT) FROM cb) AS m
+)
+SELECT cb.w1, cb.w2, CAST(c_ab AS BIGINT) AS c_ab,
+       round(ln(c_ab) - ln(a.c) - ln(b.c) + 2 * ln(n) - ln(m), 6) AS pmi
+FROM cb
+JOIN cw a ON cb.w1 = a.w
+JOIN cw b ON cb.w2 = b.w
+CROSS JOIN tot
+WHERE c_ab >= {min_count}
+ORDER BY pmi DESC, w1, w2
+LIMIT {top_k}
+"""
+
+
+def source_vocab_overlap(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus sources — the standard
+    first look at how much two crawls/dumps overlap lexically before
+    deciding mixture weights (near-identical vocabularies suggest
+    duplicated provenance; disjoint ones justify separate mixture slots).
+
+    Output: one row per unordered source pair (s_a < s_b) with the
+    distinct-vocabulary sizes, intersection, union, and
+    ``round(|A∩B| / |A∪B|, 6)``.
+
+    DAG and 100 TB shape: one tokenize+explode pass → DISTINCT
+    (source, word) (a map-side-combinable dedup shuffle keyed on the
+    word-dominant composite); the pairwise intersection is a self-join on
+    the WORD key, so each word contributes only its own source-pair
+    combinations (sources are few — the blowup is |pairs| per word, not
+    |corpus|); vocabulary sizes are a second tiny aggregate joined on the
+    source pair. No crossJoin, no driver loop; every count is exact
+    BIGINT.
+    """
+    sv = (
+        df.select(
+            F.col(source_col).alias("s"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda w: w != "",
+                )
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    sizes = sv.groupBy("s").agg(F.count(F.lit(1)).alias("vocab"))
+    inter = (
+        sv.alias("a")
+        .join(sv.alias("b"), "w")
+        .filter(F.col("a.s") < F.col("b.s"))
+        .groupBy(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("s").alias("s_a"), F.col("vocab").alias("vocab_a"))),
+            "s_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("s").alias("s_b"), F.col("vocab").alias("vocab_b"))),
+            "s_b",
+        )
+        .select(
+            "s_a",
+            "s_b",
+            "vocab_a",
+            "vocab_b",
+            "inter",
+            (F.col("vocab_a") + F.col("vocab_b") - F.col("inter")).alias("uni"),
+            F.round(
+                F.col("inter")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("s_a", "s_b")
+    )
+
+
+def source_vocab_overlap_oracle_sql(table: str = "documents") -> str:
+    """DuckDB recomputation of ``source_vocab_overlap``."""
+    return rf"""
+WITH sv AS (
+  SELECT DISTINCT source AS s,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS w
+  FROM {table}
+),
+sizes AS (SELECT s, CAST(count(*) AS BIGINT) AS vocab FROM sv GROUP BY 1),
+inter AS (
+  SELECT a.s AS s_a, b.s AS s_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sv a JOIN sv b ON a.w = b.w AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT s_a, s_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b, inter,
+       sa.vocab + sb.vocab - inter AS uni,
+       round(CAST(inter AS DOUBLE) / (sa.vocab + sb.vocab - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.s_a = sa.s
+JOIN sizes sb ON inter.s_b = sb.s
+ORDER BY s_a, s_b
+"""

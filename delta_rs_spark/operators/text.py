@@ -680,3 +680,82 @@ def boilerplate_ratio_oracle_sql(
     FROM counts c LEFT JOIN nh ON c.doc_id = nh.doc_id
     ORDER BY c.doc_id
     """
+
+
+def hashed_classifier(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_weights: int = 2001,
+) -> DataFrame:
+    """Feature-hashed linear text classifier scores — the fastText /
+    Vowpal-Wabbit "hashing trick" shape used for cheap quality/domain
+    classifiers over web-scale corpora: no vocabulary table, each token's
+    weight is addressed by a hash, the document score is the mean token
+    weight, and the label is the score's sign.
+
+    The weight function here is a deterministic surrogate (md5-derived
+    integer in [-(n_weights-1)/2, +(n_weights-1)/2]) standing in for
+    trained weights: with real weights you broadcast a (bucket → weight)
+    table and join on ``hash(token) % n_buckets``; the Spark-side shape —
+    tokenize, hash, per-document sum, threshold — is identical, and the
+    hash surrogate keeps the operator exactly recomputable by the SQL
+    oracle (no model file to ship).
+
+    Returns (id, n_tokens, score, label): score = round(Σ w(token) /
+    n_tokens, 6) with the sum carried as an exact BIGINT (engine- and
+    order-invariant), label = score_sum > 0.
+
+    DAG and 100 TB shape: tokenize → explode → per-document sum/count
+    (map-side combinable; the shuffle key is the document id, naturally
+    high-cardinality and unskewed). Pure codegen — md5/conv/aggregates are
+    all JVM built-ins; no UDF, no vocabulary join, no driver state.
+    """
+    half = (n_weights - 1) // 2
+    words = df.select(
+        id_col,
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != "")
+        ).alias("w"),
+    )
+    weight = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % n_weights
+        - half
+    )
+    return (
+        words.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(weight).alias("_wsum"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(F.col("_wsum") / F.col("n_tokens"), 6).alias("score"),
+            (F.col("_wsum") > 0).alias("label"),
+        )
+    )
+
+
+def hashed_classifier_oracle_sql(table: str = "documents", n_weights: int = 2001) -> str:
+    """DuckDB recomputation of ``hashed_classifier`` — same md5-addressed
+    weights, same exact integer sum, same rounded mean."""
+    half = (n_weights - 1) // 2
+    return rf"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')) AS w
+  FROM {table}
+),
+scored AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS UBIGINT) % {n_weights} AS BIGINT) - {half}) AS BIGINT) AS wsum
+  FROM words GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(wsum AS DOUBLE) / n_tokens, 6) AS score,
+       wsum > 0 AS label
+FROM scored
+ORDER BY doc_id
+"""

@@ -1335,3 +1335,31 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiply-add chains on the same literal coefficients."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _similarity.random_projection(emb, in_dim=64, out_dim=16).orderBy("vec_id")
+
+
+@query("corpus_pmi_bigrams", corpus.pmi_bigrams_oracle_sql(min_count=5, top_k=50))
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 adjacent bigrams by PMI with a count
+    floor of 5 — count-floor filter runs before the vocab joins, totals
+    ride as 1-row broadcasts, top-k is TakeOrdered not a global sort.
+    Oracle recomputes the same counts and fixed-order log expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.pmi_bigrams(docs, min_count=5, top_k=50)
+
+
+@query("corpus_source_overlap", corpus.source_vocab_overlap_oracle_sql())
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: distinct (source,
+    word) pass, word-keyed self-join for intersections, broadcast size
+    join — provenance QA before choosing mixture weights."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.source_vocab_overlap(docs)
+
+
+@query("text_hash_classifier", text.hashed_classifier_oracle_sql())
+def q_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed linear classifier scores (fastText hashing-trick
+    shape): md5-addressed token weights, exact BIGINT per-document sum,
+    sign label — pure codegen, no vocabulary table, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.hashed_classifier(docs).orderBy("doc_id")

@@ -1258,3 +1258,88 @@ def test_blocked_exact_pairs_distributed_grid_variant(spark):
         ).collect()
     )
     assert lit == dist and lit
+
+
+def test_pmi_bigrams_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from delta_rs_spark.operators import corpus
+
+    words = "the quick brown fox jumps over lazy dog new york city hall".split()
+    rows = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(10))
+         + " new york" * (i % 3))
+        for i in range(1, 25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.w1, r.w2, r.c_ab, r.pmi)
+        for r in corpus.pmi_bigrams(df, min_count=3, top_k=10).collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = [
+        (a, b, int(c), float(p))
+        for a, b, c, p in con.execute(
+            corpus.pmi_bigrams_oracle_sql(min_count=3, top_k=10)
+        ).fetchall()
+    ]
+    assert got == want
+    # adjacent rotation pairs are true collocations: positive association,
+    # and every survivor honors the count floor
+    top = {(w1, w2): pmi for w1, w2, _, pmi in got}
+    assert top.get(("city", "hall"), -1) > 0
+    assert all(c >= 3 for _, _, c, _ in got)
+
+
+def test_source_vocab_overlap_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from delta_rs_spark.operators import corpus
+
+    rows = [
+        (1, "alpha beta gamma", "s1"),
+        (2, "alpha beta delta", "s2"),
+        (3, "epsilon zeta", "s3"),
+        (4, "beta gamma   alpha", "s1"),  # dup tokens + multi-space
+        (5, "alpha", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = [tuple(r) for r in corpus.source_vocab_overlap(df).collect()]
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = [tuple(r) for r in con.execute(corpus.source_vocab_overlap_oracle_sql()).fetchall()]
+    norm = lambda xs: [
+        (sa, sb, int(va), int(vb), int(i), int(u), round(float(j), 6))
+        for sa, sb, va, vb, i, u, j in xs
+    ]
+    assert norm(got) == norm(want)
+    d = {(sa, sb): (i, u) for sa, sb, _, _, i, u, _ in norm(got)}
+    # s1 vocab {alpha,beta,gamma}, s2 {alpha,beta,delta}: inter 2, union 4
+    assert d[("s1", "s2")] == (2, 4)
+
+
+def test_hashed_classifier_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from delta_rs_spark.operators import text as text_ops
+
+    rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "delta   epsilon"),
+        (3, "zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in text_ops.hashed_classifier(df).orderBy("doc_id").collect()]
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = [
+        (int(d), int(n), float(s), bool(l))
+        for d, n, s, l in con.execute(text_ops.hashed_classifier_oracle_sql()).fetchall()
+    ]
+    assert [(d, n, float(s), l) for d, n, s, l in got] == want
+    # weights are deterministic: repeated tokens scale the sum linearly
+    one = text_ops.hashed_classifier(
+        spark.createDataFrame([(1, "alpha"), (2, "alpha alpha")], "doc_id long, text string")
+    ).orderBy("doc_id").collect()
+    assert one[0].score == one[1].score and one[1].n_tokens == 2
