@@ -87,6 +87,7 @@ CARTESIAN_OK = {
     "q_events_funnel",        # crossJoin of three 1-row stage counts
     "corpus_unigram_lm",      # 1-row total-token-count broadcast
     "corpus_dsir_importance",  # 1-row (N_t, N_r, |V|) scalar broadcast
+    "corpus_pmi_bigrams",     # 1-row (N, M) corpus-totals broadcast
 }
 
 
