@@ -536,3 +536,107 @@ def q_widening_uniform_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("iceberg_deleted_rows", F.lit(iceberg_deleted).cast("long"))
         .orderBy("source")
     )
+
+
+@query(
+    "stream_hourly_watermark",
+    f"""
+    WITH wm AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events)
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           {SUM_DEC('value', 'sum_value')}
+    FROM events, wm
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+)
+def q_stream_hourly_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowing certified end-to-end: seed a Delta
+    table from the events parquet in TWO time-split append commits, tail it
+    with ``delta_stream``, and run an APPEND-mode hourly aggregation under
+    ``withWatermark(ts, 2 hours)`` into a memory sink. Append mode emits a
+    window only after the watermark passes its end, so the certified result
+    is exactly the finalized prefix — every window whose end ≤ max(ts) − 2h
+    — while the trailing open windows are withheld (the late-data contract
+    complete mode cannot express). The time-split seed keeps the result
+    micro-batch-invariant: the second commit's rows all sit above the
+    watermark any earlier batch could have set, so nothing is dropped
+    whether the source delivers one batch or several.
+
+    Finalization needs a no-data micro-batch AFTER the data batches (the
+    watermark advances between batches), so the stream runs on a short
+    processing-time trigger and the driver polls query progress until the
+    watermark reaches max(ts) − 2h (ms-truncated — progress reports ms),
+    then drains and stops. A timeout raises rather than certifying a
+    partial result."""
+    import datetime as _dt
+    import time as _time
+    import uuid as _uuid
+
+    from .streaming.source import DeltaStreamDataSource
+    from .writer import write_deltalake
+
+    uri = _workdir("stream_wm", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cut = "2024-01-15 00:00:00"
+    write_deltalake(spark, ev.filter(F.col("ts") < cut), uri)
+    write_deltalake(spark, ev.filter(F.col("ts") >= cut), uri, mode="append")
+
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # progress reports the watermark at ms precision — truncate the target
+    # the same way so the poll can actually reach it
+    target_wm = (max_ts - _dt.timedelta(hours=2)).replace(
+        microsecond=(max_ts.microsecond // 1000) * 1000
+    )
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    sink = f"stream_wm_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", uri)
+        .option("startingVersion", "0")
+        .load()
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _sum_dec(F.col("value"), "sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(uri, "_ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        deadline = _time.time() + 240
+        reached = False
+        while _time.time() < deadline:
+            p = q.lastProgress or {}
+            wm = p.get("eventTime", {}).get("watermark")
+            if wm:
+                got = _dt.datetime.fromisoformat(
+                    wm.replace("Z", "+00:00")
+                ).replace(tzinfo=None)
+                if got >= target_wm:
+                    reached = True
+                    break
+            _time.sleep(0.5)
+        if not reached:
+            raise RuntimeError(
+                "stream_hourly_watermark: watermark did not reach "
+                f"{target_wm} within 240s"
+            )
+        q.processAllAvailable()  # drain the finalization batch's emission
+    finally:
+        q.stop()
+    return spark.table(sink).orderBy("hour", "event_type")
