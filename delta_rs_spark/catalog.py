@@ -88,6 +88,7 @@ _ROTATION = [
     "corpus_source_overlap",
     "text_hash_classifier",
     "stream_hourly_watermark",
+    "stream_delta_sink_pipeline",
     # -- relational canaries (certified green rounds 1-2; the window is 50,
     # so these certify only if earlier entries shrink — harmless either way)
     "q1_pricing_summary",

@@ -640,3 +640,65 @@ def q_stream_hourly_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink).orderBy("hour", "event_type")
+
+
+@query(
+    "stream_delta_sink_pipeline",
+    """
+    SELECT event_id, user_id, ts, event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+    WHERE event_type IN ('click', 'view')
+    ORDER BY event_id
+    """,
+)
+def q_stream_delta_sink_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-to-Delta streaming pipeline certified end-to-end: seed a source
+    Delta table from the events parquet in TWO append commits, tail it with
+    ``delta_stream``, apply a narrow transform (filter + projection +
+    derived column), and land every micro-batch in a TARGET Delta table
+    through the exactly-once ``foreachBatch`` sink (txn-action watermarks
+    make epoch replays no-ops). The certified result reads the TARGET table
+    back through the normal snapshot path, so the driver row covers source
+    offsets -> transform -> sink commit protocol -> log replay in one
+    query. Append-only batches of disjoint rows make the final table
+    content invariant to micro-batch boundaries."""
+    import uuid as _uuid
+
+    from .streaming.sink import ExactlyOnceDeltaSink
+    from .streaming.source import DeltaStreamDataSource
+    from .table import DeltaTable
+    from .writer import write_deltalake
+
+    src = _workdir("stream_sink_src", sf_dir)
+    dst = _workdir("stream_sink_dst", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    write_deltalake(spark, ev.filter(F.col("event_id") % 2 == 0), src)
+    write_deltalake(
+        spark, ev.filter(F.col("event_id") % 2 == 1), src, mode="append"
+    )
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    sink = ExactlyOnceDeltaSink(dst, app_id=f"certq_{_uuid.uuid4().hex[:8]}")
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", src)
+        .option("startingVersion", "0")
+        .load()
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", os.path.join(src, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_delta_sink_pipeline did not drain within 300s")
+    return DeltaTable(dst).to_df(spark).orderBy("event_id")
