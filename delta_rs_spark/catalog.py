@@ -89,6 +89,7 @@ _ROTATION = [
     "text_hash_classifier",
     "stream_hourly_watermark",
     "stream_delta_sink_pipeline",
+    "stream_dedup_events",
     # -- relational canaries (certified green rounds 1-2; the window is 50,
     # so these certify only if earlier entries shrink — harmless either way)
     "q1_pricing_summary",

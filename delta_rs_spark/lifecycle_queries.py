@@ -702,3 +702,58 @@ def q_stream_delta_sink_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise RuntimeError("stream_delta_sink_pipeline did not drain within 300s")
     return DeltaTable(dst).to_df(spark).orderBy("event_id")
+
+
+@query(
+    "stream_dedup_events",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication certified end-to-end: the source Delta
+    table is seeded with every event PLUS a second commit that re-appends a
+    third of them verbatim (the at-least-once-ingestion duplicate shape);
+    ``dropDuplicates(event_id)`` holds seen keys in streaming state and
+    emits only each key's first arrival, so the sink must equal the
+    original distinct event set exactly. Duplicate rows are byte-identical
+    to their originals, which makes the emitted set invariant to which
+    micro-batch a duplicate lands in. State is bounded by the distinct-key
+    count here; production streams bound it with
+    ``dropDuplicatesWithinWatermark`` (same plan shape, state evicted past
+    the watermark)."""
+    import uuid as _uuid
+
+    from .streaming.source import DeltaStreamDataSource
+    from .writer import write_deltalake
+
+    uri = _workdir("stream_dedup", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    write_deltalake(spark, ev, uri)
+    write_deltalake(
+        spark, ev.filter(F.col("event_id") % 3 == 0), uri, mode="append"
+    )
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    sink = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("delta_stream")
+        .option("path", uri)
+        .option("startingVersion", "0")
+        .load()
+        .dropDuplicates(["event_id"])
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(uri, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_dedup_events did not drain within 300s")
+    return spark.table(sink).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).orderBy("event_id")
