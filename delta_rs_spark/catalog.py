@@ -90,6 +90,7 @@ _ROTATION = [
     "stream_hourly_watermark",
     "stream_delta_sink_pipeline",
     "stream_dedup_events",
+    "stream_stream_join",
     # -- relational canaries (certified green rounds 1-2; the window is 50,
     # so these certify only if earlier entries shrink — harmless either way)
     "q1_pricing_summary",

@@ -757,3 +757,84 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     ).orderBy("event_id")
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT a.user_id AS user_id,
+           a.event_id AS error_id, a.ts AS error_ts,
+           b.event_id AS click_id, b.ts AS click_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'error' AND b.event_type = 'click'
+     AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 2 HOUR
+    ORDER BY error_id, click_id
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join certified end-to-end: TWO delta_stream
+    readers tail the same 2-commit Delta seed (one filtered to errors, one
+    to clicks) and join on user with an event-time range — every click
+    within 2 h after an error by the same user. Inner joins emit on match
+    (no watermark gate), and with no watermark declared neither side's
+    state is evicted, so the emitted set is the complete join result
+    regardless of how the micro-batches interleave — which is exactly what
+    the batch SQL oracle computes. (Production bounds the state with
+    watermarks on both sides; that trades completeness for eviction and is
+    exercised in stream_hourly_watermark.)"""
+    import uuid as _uuid
+
+    from .streaming.source import DeltaStreamDataSource
+    from .writer import write_deltalake
+
+    uri = _workdir("stream_ssj", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    write_deltalake(spark, ev.filter(F.col("event_id") % 2 == 0), uri)
+    write_deltalake(
+        spark, ev.filter(F.col("event_id") % 2 == 1), uri, mode="append"
+    )
+
+    spark.dataSource.register(DeltaStreamDataSource)
+
+    def _side(kind: str, prefix: str):
+        return (
+            spark.readStream.format("delta_stream")
+            .option("path", uri)
+            .option("startingVersion", "0")
+            .load()
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    errors, clicks = _side("error", "err"), _side("click", "clk")
+    joined = errors.join(
+        clicks,
+        (F.col("err_user") == F.col("clk_user"))
+        & (F.col("clk_ts") >= F.col("err_ts"))
+        & (F.col("clk_ts") <= F.col("err_ts") + F.expr("INTERVAL 2 HOURS")),
+    ).select(
+        F.col("err_user").alias("user_id"),
+        F.col("err_id").alias("error_id"),
+        F.col("err_ts").alias("error_ts"),
+        F.col("clk_id").alias("click_id"),
+        F.col("clk_ts").alias("click_ts"),
+    )
+
+    sink = f"stream_ssj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(uri, "_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_stream_join did not drain within 300s")
+    return spark.table(sink).orderBy("error_id", "click_id")
