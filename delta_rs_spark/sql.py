@@ -13,7 +13,7 @@ with tables addressed as ``delta.`/path/to/table```:
 - ``SELECT ... FROM table_changes_by_path('/p', start [, end]) ...`` — the
   Delta CDF table-valued function: the change feed (table schema +
   ``_change_type`` + ``_commit_version``) as a queryable relation.
-- ``COPY INTO delta.`/p` FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON
+- ``COPY INTO delta.`/p` FROM '<dir>' FILEFORMAT = PARQUET|CSV|JSON|AVRO
   [PATTERN = '<glob>'] [FORCE = TRUE]`` — idempotent batch ingest; already-
   loaded files are skipped (registry rides the log as domainMetadata).
 - ``VACUUM delta.`/p` [LITE] [RETAIN <n> HOURS] [DRY RUN]``

@@ -1224,9 +1224,25 @@ def _footer_stats_json(
             if not st.has_min_max or pa.types.is_binary(ftype) or pa.types.is_large_binary(ftype):
                 have_minmax = False
             else:
-                lo, hi = st.min, st.max
-                cmin = lo if cmin is None or lo < cmin else cmin
-                cmax = hi if cmax is None or hi > cmax else cmax
+                try:
+                    lo, hi = st.min, st.max
+                except Exception:
+                    # pyarrow cannot logical-cast stats of INT32/INT64-backed
+                    # parquet decimals (Spark writes decimal(p<=18) that way):
+                    # decode the raw unscaled physical values instead
+                    lo = hi = None
+                    if pa.types.is_decimal(ftype) and isinstance(
+                        st.min_raw, int
+                    ):
+                        import decimal as _dec
+
+                        lo = _dec.Decimal(st.min_raw).scaleb(-ftype.scale)
+                        hi = _dec.Decimal(st.max_raw).scaleb(-ftype.scale)
+                if lo is None:
+                    have_minmax = False
+                else:
+                    cmin = lo if cmin is None or lo < cmin else cmin
+                    cmax = hi if cmax is None or hi > cmax else cmax
         if have_nulls:
             nulls[name] = total_nulls
         if have_minmax and cmin is not None:

@@ -87,7 +87,7 @@ def test_copy_into_missing_source_and_bad_format(spark, target):
     with pytest.raises(CopyIntoError, match="does not exist"):
         copy_into(spark, target, "/nonexistent/dir")
     with pytest.raises(CopyIntoError, match="FILEFORMAT"):
-        copy_into(spark, target, "/tmp", file_format="avro")
+        copy_into(spark, target, "/tmp", file_format="orc")
 
 
 def test_copy_into_identity_table(spark, tmp_path):
@@ -149,3 +149,115 @@ def test_concurrent_copy_into_registries_merge(spark, tmp_path, target):
     reg = _registry(DeltaTable(target))
     assert "w" in reg  # the winner's entry survived
     assert any("rb" in k for k in reg)
+
+
+def _write_avro(path, schema, records):
+    from delta_rs_spark.uniform.avro import write_container
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as fh:
+        fh.write(write_container(schema, records))
+
+
+_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "v", "type": ["null", "long"], "default": None},
+    ],
+}
+
+
+def test_copy_into_avro_loads_then_skips(spark, tmp_path):
+    # own target: 'v' must be nullable (the landing data carries a null)
+    target = str(tmp_path / "t_avro")
+    write_deltalake(
+        spark, spark.createDataFrame([], "id bigint, v bigint"), target
+    )
+    landing = str(tmp_path / "avro_landing")
+    _write_avro(
+        os.path.join(landing, "a.avro"),
+        _AVRO_SCHEMA,
+        [{"id": i, "v": i * 2} for i in range(5)],
+    )
+    _write_avro(
+        os.path.join(landing, "b.avro"),
+        _AVRO_SCHEMA,
+        [{"id": 5, "v": None}],
+    )
+    res = copy_into(spark, target, landing, file_format="avro")
+    assert res["num_inserted_rows"] == 6 and res["numFilesLoaded"] == 2
+    rows = {r.id: r.v for r in DeltaTable(target).to_df(spark).collect()}
+    assert rows == {0: 0, 1: 2, 2: 4, 3: 6, 4: 8, 5: None}
+    # idempotent: both files registered
+    res2 = copy_into(spark, target, landing, file_format="avro")
+    assert res2["numFilesLoaded"] == 0 and res2["numFilesSkipped"] == 2
+
+
+def test_copy_into_avro_logical_types(spark, tmp_path):
+    import datetime as dt
+    from decimal import Decimal
+
+    uri = str(tmp_path / "t_logical")
+    write_deltalake(
+        spark,
+        spark.createDataFrame(
+            [],
+            "id bigint, d date, ts timestamp, amt decimal(10,2)",
+        ),
+        uri,
+    )
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "d", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+            {
+                "name": "amt",
+                "type": {
+                    "type": "bytes",
+                    "logicalType": "decimal",
+                    "precision": 10,
+                    "scale": 2,
+                },
+            },
+        ],
+    }
+    amt = (12345).to_bytes(3, "big", signed=True)  # 123.45
+    _write_avro(
+        str(tmp_path / "land" / "x.avro"),
+        schema,
+        [
+            {
+                "id": 1,
+                "d": 19723,  # 2024-01-01
+                "ts": 1704110400000000,  # 2024-01-01 12:00:00 UTC
+                "amt": amt,
+            }
+        ],
+    )
+    res = copy_into(spark, uri, str(tmp_path / "land"), file_format="avro")
+    assert res["num_inserted_rows"] == 1
+    r = DeltaTable(uri).to_df(spark).collect()[0]
+    assert r.d == dt.date(2024, 1, 1)
+    assert r.ts == dt.datetime(2024, 1, 1, 12, 0, 0)
+    assert r.amt == Decimal("123.45")
+
+
+def test_copy_into_avro_missing_required_column_raises(spark, tmp_path, target):
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "id", "type": "long"}],  # no 'v'
+    }
+    _write_avro(
+        str(tmp_path / "land2" / "x.avro"), schema, [{"id": 1}]
+    )
+    with pytest.raises(CopyIntoError, match="required columns"):
+        copy_into(spark, target, str(tmp_path / "land2"), file_format="avro")

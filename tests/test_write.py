@@ -791,3 +791,35 @@ def test_widening_type_change_version_tracks_commit_under_race(spark, tmp_path):
     assert v == 2
     changes = tw.type_changes(DeltaTable(uri).schema())
     assert changes["id"][0]["tableVersion"] == 2
+
+
+def test_footer_stats_for_int_backed_decimals(spark, tmp_path):
+    """Spark writes decimal(p<=18) as INT32/INT64-backed parquet decimals,
+    whose stats pyarrow cannot logical-cast (ArrowNotImplementedError) —
+    the collector must decode the raw unscaled values instead of dropping
+    the whole write (regression: COPY INTO FILEFORMAT=AVRO with decimal
+    logical types surfaced this)."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    uri = str(tmp_path / "dec_stats")
+    df = spark.createDataFrame(
+        [
+            (1, Decimal("12.34"), dt.datetime(2024, 1, 1, 12)),
+            (2, Decimal("-5.00"), dt.datetime(2024, 2, 1, 12)),
+        ],
+        "id bigint, amt decimal(10,2), ts timestamp",
+    )
+    write_deltalake(spark, df, uri)
+    stats = [a.stats for a in DeltaTable(uri).snapshot.files() if a.stats]
+    assert stats
+    import json as _json
+
+    merged_min = [
+        _json.loads(s)["minValues"].get("amt")
+        for s in stats
+        if _json.loads(s)["minValues"].get("amt") is not None
+    ]
+    assert merged_min and min(Decimal(m) for m in merged_min) == Decimal("-5.00")
