@@ -473,17 +473,23 @@ def pmi_bigrams(
     low-frequency PMI explosion (a pair seen once between two rare words
     maximizes PMI), which is also Church & Hanks' published remedy.
 
-    DAG and 100 TB shape: one tokenized pass feeds both the unigram and
-    bigram counts (two map-side-combinable aggregations over narrow
-    exploded relations); the count-floor filter runs BEFORE the two vocab
-    joins, so the join input is the (tiny) frequent-bigram set, not the
-    full bigram vocabulary; corpus totals N and M ride as 1-row
-    broadcasts; top-k is ORDER BY + LIMIT = per-partition TakeOrdered +
-    driver merge of k rows, never a global sort. Every arithmetic term is
-    ln of an exact BIGINT count combined in a fixed operation order, so
-    the rounded value is engine-invariant (same discipline as
-    ``unigram_lm_scores``).
+    DAG and 100 TB shape: the unigram and bigram count relations each take
+    ONE corpus tokenize+explode pass and are persisted MEMORY_AND_DISK —
+    they are vocab-sized, orders of magnitude smaller than the corpus, and
+    every downstream consumer (totals N/M, the two vocab joins) reads the
+    cached aggregate instead of re-deriving the corpus explode (without the
+    persist the lineage re-evaluates: 5 full corpus scans at 100 TB; with
+    it, 2 — the honest minimum for two independent aggregations). The
+    count-floor filter runs BEFORE the two vocab joins, so the join input
+    is the (tiny) frequent-bigram set, not the full bigram vocabulary;
+    corpus totals N and M ride as 1-row broadcasts; top-k is ORDER BY +
+    LIMIT = per-partition TakeOrdered + driver merge of k rows, never a
+    global sort. Every arithmetic term is ln of an exact BIGINT count
+    combined in a fixed operation order, so the rounded value is
+    engine-invariant (same discipline as ``unigram_lm_scores``).
     """
+    from pyspark import StorageLevel
+
     toks = df.select(
         F.filter(
             F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
@@ -493,6 +499,7 @@ def pmi_bigrams(
         toks.select(F.explode("_w").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cb = (
         toks.filter(F.size("_w") >= 2)
@@ -507,6 +514,7 @@ def pmi_bigrams(
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     totals = cw.agg(F.sum("c").alias("n")).crossJoin(
         cb.agg(F.sum("c_ab").alias("m"))
@@ -583,15 +591,19 @@ def source_vocab_overlap(
     distinct-vocabulary sizes, intersection, union, and
     ``round(|A∩B| / |A∪B|, 6)``.
 
-    DAG and 100 TB shape: one tokenize+explode pass → DISTINCT
+    DAG and 100 TB shape: ONE tokenize+explode pass → DISTINCT
     (source, word) (a map-side-combinable dedup shuffle keyed on the
-    word-dominant composite); the pairwise intersection is a self-join on
-    the WORD key, so each word contributes only its own source-pair
-    combinations (sources are few — the blowup is |pairs| per word, not
-    |corpus|); vocabulary sizes are a second tiny aggregate joined on the
-    source pair. No crossJoin, no driver loop; every count is exact
-    BIGINT.
+    word-dominant composite), persisted MEMORY_AND_DISK — it is
+    vocab×sources-sized and feeds three consumers (sizes + both sides of
+    the self-join), which would otherwise each re-derive the corpus
+    explode. The pairwise intersection is a self-join on the WORD key, so
+    each word contributes only its own source-pair combinations (sources
+    are few — the blowup is |pairs| per word, not |corpus|); vocabulary
+    sizes are a second tiny aggregate joined on the source pair. No
+    crossJoin, no driver loop; every count is exact BIGINT.
     """
+    from pyspark import StorageLevel
+
     sv = (
         df.select(
             F.col(source_col).alias("s"),
@@ -603,6 +615,7 @@ def source_vocab_overlap(
             ).alias("w"),
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sv.groupBy("s").agg(F.count(F.lit(1)).alias("vocab"))
     inter = (
