@@ -110,10 +110,18 @@ def tfidf_top_terms(
     space (the vocabulary) is Zipf-skewed, which AQE's skew-join splitting
     handles — and the window is partitioned by document, which is naturally
     high-cardinality."""
+    from pyspark import StorageLevel
+
     words = df.select(
         id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term")
     )
-    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the document-frequency counts AND the scoring join: persist
+    # so the corpus explode runs once
+    tf = (
+        words.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     df_w = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
     w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
@@ -292,10 +300,18 @@ def unigram_lm_scores(
     quantized to DECIMAL(25,9) before the exact sum, so the per-document
     reduction is addition-order- and engine-invariant.
     """
+    from pyspark import StorageLevel
+
     words = df.select(
         id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
     ).filter(F.col("w") != "")
-    tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the vocab counts AND the scoring join: persist so the corpus
+    # explode runs once (it is distinct-(doc,word)-sized, far below corpus)
+    tf = (
+        words.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     cw = tf.groupBy("w").agg(F.sum("tf").alias("c"))
     tot = cw.agg(F.sum("c").alias("n"))
     return (
@@ -356,9 +372,19 @@ def dsir_importance(
         target_filter.alias("_t"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
-    cw = words.groupBy("w").agg(
-        F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("ct"),
-        F.sum(F.when(F.col("_t"), 0).otherwise(1)).cast("long").alias("cr"),
+    from pyspark import StorageLevel
+
+    # cw feeds the scalar totals AND the scoring join: persist the
+    # vocab-sized counts so each corpus pass runs once (cw, tf = the honest
+    # two-aggregation minimum; persisting the token-stream-sized `words`
+    # would be the wrong trade)
+    cw = (
+        words.groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("ct"),
+            F.sum(F.when(F.col("_t"), 0).otherwise(1)).cast("long").alias("cr"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     scalars = cw.agg(
         F.sum("ct").alias("nt"),
