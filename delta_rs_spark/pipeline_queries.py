@@ -424,15 +424,28 @@ def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score ≥ 3) → deterministic train/val/test split → per-split document
     and token counts. Every stage is the certified operator; the oracle
     recomputes the whole pipeline in SQL."""
+    from pyspark import StorageLevel
+
     from .operators.sampling import train_val_test_split
 
     docs = load_table(spark, sf_dir, "documents")
-    kept = dedup.exact_dedup(docs, ["text"]).select("doc_id")
+    # survivor id-lists are persisted (doc_id-only, tiny): `deduped` feeds
+    # both the quality scorer and the final join, and without the persist
+    # its lineage would re-run the dedup hash-shuffle per consumer. The
+    # corpus-sized `deduped` itself is deliberately NOT persisted — caching
+    # the full corpus is the wrong trade at scale; re-joining ids against
+    # the base scan is the cheap side.
+    kept = (
+        dedup.exact_dedup(docs, ["text"])
+        .select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     deduped = docs.join(kept, "doc_id")
     good = (
         text.quality_score(deduped)
         .filter(F.col("quality_score") >= 3)
         .select("doc_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     final = train_val_test_split(deduped.join(good, "doc_id"))
     return (

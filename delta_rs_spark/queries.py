@@ -22,6 +22,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 from typing import Optional
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -806,6 +807,9 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(_sum_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
+        # feeds both the max subquery and the final join: persist the
+        # supplier-cardinality aggregate so lineitem is scanned once
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     best = revenue.agg(F.max("total_revenue").alias("_best"))
     return (
@@ -1196,6 +1200,10 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("unit_cost")
         )
         .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        # feeds both the per-part min and the min-equality join back:
+        # persist the (part, supp)-cardinality aggregate so lineitem is
+        # scanned/aggregated once
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     best = supply.groupBy(F.col("l_partkey").alias("_bpk")).agg(
         F.min("unit_cost").alias("_best_cost")
@@ -1363,6 +1371,9 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(25,4)")
             ).alias("value")
         )
+        # feeds both the threshold subquery and the final filter: persist
+        # the part-cardinality aggregate so lineitem is scanned once
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     thr = val.agg((F.sum("value").cast("double") * F.lit(0.0002)).alias("_thr"))
     return (
@@ -1568,12 +1579,16 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     event. Three per-user aggregations chained by joins on user_id — every
     join is keyed on the (already aggregated, one-row-per-user) stage tables,
     so at scale the fact table is scanned once per stage with map-side
-    partial aggs and the joins are small."""
+    partial aggs and the joins are small. The v/c stage tables are persisted
+    (user-cardinality, tiny): each feeds BOTH the next stage's join and its
+    own final count, and the chained lineage would otherwise re-derive v
+    three times and c twice — 6 fact scans instead of the honest 3."""
     ev = load_table(spark, sf_dir, "events")
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -1581,6 +1596,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("first_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
