@@ -1997,3 +1997,74 @@ def deep_clone(table, target_uri: str, version: int | None = None) -> "object":
     )
     dst_log.try_commit(tmp, 0)
     return DeltaTable(target_uri)
+
+
+def generate_symlink_manifest(table) -> dict:
+    """``GENERATE symlink_format_manifest`` (the public Delta utility,
+    absent from the reference): write Hive-style manifest files under
+    ``_symlink_format_manifest/`` naming the absolute URIs of the current
+    snapshot's data files — one URI per line, one manifest per partition
+    directory — the listing contract Presto / Trino / Athena / Redshift
+    Spectrum use to read Delta tables without a Delta reader.
+
+    Full mode (the public default): rewrites every partition's manifest
+    and removes manifests for partitions that no longer exist. Refuses
+    while any live file carries a deletion vector — a manifest can only
+    name whole files, so external readers would resurrect the deleted
+    rows (run ``REORG TABLE ... APPLY (PURGE)`` first; same gate real
+    Delta applies). Cost: one bounded write per partition plus one
+    listing of the manifest subtree — no data I/O, no Spark job.
+    """
+    from .protocol.storage import LocalFileBackend
+
+    log = table.log
+    backend = log.backend
+    root = log.table_root
+    adds = table.add_actions()
+    dvd = [a.path for a in adds if a.deletion_vector]
+    if dvd:
+        raise ValueError(
+            "GENERATE symlink_format_manifest: "
+            f"{len(dvd)} live file(s) carry deletion vectors; external "
+            "readers listing whole files would resurrect deleted rows. "
+            "Run REORG TABLE ... APPLY (PURGE) first."
+        )
+
+    base = backend.join(root, "_symlink_format_manifest")
+    groups: dict[str, list[str]] = {}
+    for a in adds:
+        if "://" in a.path or a.path.startswith("/"):
+            # absolute add (shallow-clone source): group by partition values
+            uri = a.path
+            part_dir = "/".join(
+                f"{k}={'__HIVE_DEFAULT_PARTITION__' if v is None else v}"
+                for k, v in (a.partition_values or {}).items()
+            )
+        else:
+            uri = backend.join(root, a.path)
+            part_dir = a.path.rsplit("/", 1)[0] if "/" in a.path else ""
+        groups.setdefault(part_dir, []).append(uri)
+
+    existing: set[str] = set()
+    if isinstance(backend, LocalFileBackend):
+        for dirpath, _dirs, files in os.walk(base):
+            for fname in files:
+                existing.add(os.path.join(dirpath, fname).replace(os.sep, "/"))
+    else:
+        existing.update(m.path for m in backend.list_objs(base))
+
+    written: set[str] = set()
+    for part_dir, uris in groups.items():
+        mpath = backend.join(
+            backend.join(base, part_dir) if part_dir else base, "manifest"
+        )
+        backend.put_obj(mpath, ("\n".join(sorted(uris)) + "\n").encode())
+        written.add(mpath)
+    stale = existing - written
+    for p in stale:
+        backend.delete_obj(p)
+    return {
+        "numManifestsWritten": len(written),
+        "numManifestsRemoved": len(stale),
+        "numFilesListed": len(adds),
+    }

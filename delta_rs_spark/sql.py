@@ -42,6 +42,8 @@ with tables addressed as ``delta.`/path/to/table```:
   (metadata-only; requires column mapping — see protocol/column_mapping.py).
 - ``SHOW TBLPROPERTIES delta.`/p```
 - ``CONVERT TO DELTA parquet.`/dir``` — in-place conversion, zero data movement
+- ``GENERATE symlink_format_manifest FOR TABLE delta.`/p``` — Presto/Trino/
+  Athena manifest tree, Spark-free
 
 Relational statements return a DataFrame; commands return a one-row
 DataFrame of their metrics (like Spark's own command output).
@@ -121,6 +123,13 @@ def sql(spark: SparkSession, statement: str) -> DataFrame:
         return _copy_into(spark, s)
     if head == "REORG":
         return _reorg(spark, s)
+    if head == "GENERATE":
+        m = _require(
+            r"GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+delta\.`([^`]+)`$",
+            s,
+            "GENERATE",
+        )
+        return _one_row(spark, _open(m.group(1), None, None).generate())
     raise SqlError(f"unsupported statement: {head or statement!r}")
 
 

@@ -487,6 +487,16 @@ class DeltaTable:
             self, spark, partition_filters=partition_filters, dry_run=dry_run
         )
 
+    def generate(self, mode: str = "symlink_format_manifest") -> dict:
+        """Public Delta utility: ``deltaTable.generate("symlink_format_manifest")``
+        — write Presto/Trino/Athena-readable Hive manifests naming the
+        snapshot's data files. Spark-free, metadata-only."""
+        if mode != "symlink_format_manifest":
+            raise ValueError(f"unsupported generate mode: {mode!r}")
+        from .maintenance import generate_symlink_manifest
+
+        return generate_symlink_manifest(self)
+
     def detail(self) -> dict[str, Any]:
         """DESCRIBE DETAIL-style summary, answered entirely from the log."""
         meta = self.metadata()

@@ -1400,3 +1400,70 @@ def test_restore_undoes_and_redoes_mor_deletes(spark, tmp_path):
     t.update()
     assert t.to_df(spark).count() == 40
     assert any(a.deletion_vector for a in t.add_actions())
+
+
+def test_generate_symlink_manifest(spark, tmp_path):
+    """GENERATE symlink_format_manifest: per-partition Hive manifests list
+    absolute data-file URIs; regeneration rewrites and removes stale
+    partition manifests; DV'd tables refuse."""
+    import os as _os
+
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    uri = str(tmp_path / "gen")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(10)], "id long, p string"
+    ).coalesce(1)  # one file per partition: the later DV delete must be partial
+    write_deltalake(spark, df, uri, partition_by=["p"])
+    t = DeltaTable(uri)
+    res = t.generate()
+    assert res["numManifestsWritten"] == 2 and res["numManifestsRemoved"] == 0
+
+    base = _os.path.join(uri, "_symlink_format_manifest")
+    for part in ("p=a", "p=b"):
+        mpath = _os.path.join(base, part, "manifest")
+        lines = open(mpath).read().strip().split("\n")
+        assert lines == sorted(lines) and lines
+        for ln in lines:
+            assert ln.startswith(uri) and f"/{part}/" in ln and _os.path.exists(ln)
+    listed = set(
+        open(_os.path.join(base, "p=a", "manifest")).read().split()
+        + open(_os.path.join(base, "p=b", "manifest")).read().split()
+    )
+    assert listed == set(t.file_uris())
+
+    # drop partition b entirely -> its manifest must be removed
+    t.delete(spark, "p = 'b'")
+    res2 = DeltaTable(uri).generate()
+    assert res2["numManifestsWritten"] == 1 and res2["numManifestsRemoved"] == 1
+    assert not _os.path.exists(_os.path.join(base, "p=b", "manifest"))
+
+    # DV'd live files refuse (whole-file listing would resurrect deletes)
+    from delta_rs_spark import sql as _sql
+
+    _sql(
+        spark,
+        f"ALTER TABLE delta.`{uri}` SET TBLPROPERTIES "
+        "('delta.enableDeletionVectors'='true')",
+    )
+    t2 = DeltaTable(uri)
+    t2.delete(spark, "id = 0")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="deletion vectors"):
+        DeltaTable(uri).generate()
+
+
+def test_generate_symlink_manifest_unpartitioned_and_sql(spark, tmp_path):
+    import os as _os
+
+    from delta_rs_spark import DeltaTable, sql, write_deltalake
+
+    uri = str(tmp_path / "gen_flat")
+    write_deltalake(spark, spark.range(5).selectExpr("id"), uri)
+    out = sql(
+        spark, f"GENERATE symlink_format_manifest FOR TABLE delta.`{uri}`"
+    ).collect()[0]
+    assert out.numManifestsWritten == "1"  # _one_row stringifies metrics
+    mpath = _os.path.join(uri, "_symlink_format_manifest", "manifest")
+    assert set(open(mpath).read().split()) == set(DeltaTable(uri).file_uris())
