@@ -332,7 +332,16 @@ def _read_avro(spark: SparkSession, files: list[str], table_schema):
 
         for pdf in iterator:
             for blob in pdf["content"]:
-                _, _, records = read_container(bytes(blob))
+                fschema, _, records = read_container(bytes(blob))
+                # the ingest schema came from the FIRST file: a later file
+                # missing one of its fields must fail loudly, not null-fill
+                have = {f["name"] for f in fschema.get("fields", [])}
+                lacking = [n for n in col_names if n not in have]
+                if lacking:
+                    raise ValueError(
+                        f"Avro source file lacks ingested column(s) {lacking}"
+                        " present in the first file's schema"
+                    )
                 data = {
                     n: pd.Series(
                         _convert(n, [r.get(n) for r in records]), dtype="object"

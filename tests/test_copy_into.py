@@ -261,3 +261,22 @@ def test_copy_into_avro_missing_required_column_raises(spark, tmp_path, target):
     )
     with pytest.raises(CopyIntoError, match="required columns"):
         copy_into(spark, target, str(tmp_path / "land2"), file_format="avro")
+
+
+def test_copy_into_avro_schema_drift_fails_loudly(spark, tmp_path):
+    """The ingest schema comes from the first file's header; a later file
+    missing one of those fields must fail the job, not null-fill."""
+    target = str(tmp_path / "t_drift")
+    write_deltalake(
+        spark, spark.createDataFrame([], "id bigint, v bigint"), target
+    )
+    _write_avro(
+        str(tmp_path / "drift" / "a.avro"), _AVRO_SCHEMA, [{"id": 1, "v": 2}]
+    )
+    _write_avro(
+        str(tmp_path / "drift" / "b.avro"),
+        {"type": "record", "name": "row", "fields": [{"name": "id", "type": "long"}]},
+        [{"id": 9}],
+    )
+    with pytest.raises(Exception, match="lacks ingested column"):
+        copy_into(spark, target, str(tmp_path / "drift"), file_format="avro")
