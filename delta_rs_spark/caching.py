@@ -1,0 +1,47 @@
+"""Session-lifetime cache hygiene for the certified-query catalog.
+
+Several catalog queries persist a reused intermediate (a vocab-sized
+aggregate feeding two consumers) with ``MEMORY_AND_DISK``. The persist is
+the right plan choice, but the query function returns a *lazy* DataFrame —
+the cache is populated only when the caller materializes it, so the query
+cannot unpersist before returning. Without a release point, a long-lived
+session running the 118-query catalog (the driver's certification loop,
+``bench.py``) accumulates every query's pinned lineage for the session
+lifetime: unbounded executor-memory pressure and "already cached" warnings.
+
+The contract here: every persist inside a catalog query goes through
+:func:`persist_tracked`, and the ``@query`` wrapper calls
+:func:`release_tracked` when the NEXT catalog query starts (depth-guarded,
+so a query composed of other catalog queries does not release its own
+intermediates mid-build). Residue is therefore bounded to one query's
+caches, released on the next call — or immediately via an explicit
+``release_tracked()`` from a harness that wants a clean session tail.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def persist_tracked(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """Persist a reused intermediate and register it for release when the
+    next catalog query begins (or on an explicit :func:`release_tracked`)."""
+    df = df.persist(level)
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked() -> None:
+    """Unpersist every tracked intermediate (non-blocking, error-tolerant:
+    a stopped SparkSession or already-released frame is not an error)."""
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass

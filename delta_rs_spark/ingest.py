@@ -251,6 +251,22 @@ def _avro_logical(ftype) -> tuple[Optional[str], int]:
     return None, 0
 
 
+def _avro_canon(ftype) -> tuple[str, Optional[str], int]:
+    """Canonical (base type, logicalType, decimal scale) of an Avro field
+    type, unwrapping a nullable union — the decode-relevant identity of a
+    field. Two files whose fields differ in any component decode
+    DIFFERENTLY (timestamp-millis vs -micros is a silent 1000x; a decimal
+    scale change mis-scales every value), so ingest compares these and
+    fails loudly on drift instead of applying the first file's decode map."""
+    if isinstance(ftype, list):
+        branches = [b for b in ftype if b != "null"]
+        ftype = branches[0] if branches else "null"
+    if isinstance(ftype, dict):
+        base = ftype.get("type", "record")
+        return str(base), ftype.get("logicalType"), int(ftype.get("scale", 0) or 0)
+    return str(ftype), None, 0
+
+
 def _read_avro(spark: SparkSession, files: list[str], table_schema):
     """Distributed Avro OCF ingest built on the repo's own pure-Python OCF
     reader (``uniform/avro.py`` — the decoder cross-validated against the
@@ -287,10 +303,19 @@ def _read_avro(spark: SparkSession, files: list[str], table_schema):
     ]
     out_schema = _T.StructType(out_fields)
     logicals = {n: _avro_logical(t) for n, t in avro_fields.items()}
-
+    canon = {n: _avro_canon(t) for n, t in avro_fields.items()}
     def _convert(name: str, values: list):
         import datetime as _dt
         import decimal as _decimal
+
+        def _instant(delta: _dt.timedelta) -> _dt.datetime:
+            # Avro timestamp-millis/micros are UTC INSTANTS: decode them as
+            # tz-AWARE UTC datetimes so the Arrow conversion carries the
+            # instant explicitly — a naive datetime would be reinterpreted
+            # relative to the session/JVM zone and silently shift every
+            # value when copy_into runs in a non-UTC session
+            # (local-timestamp-* stays naive: wall-clock by definition)
+            return _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc) + delta
 
         lt, scale = logicals.get(name, (None, 0))
         if lt == "date":
@@ -299,13 +324,23 @@ def _read_avro(spark: SparkSession, files: list[str], table_schema):
                 None if v is None else epoch + _dt.timedelta(days=v)
                 for v in values
             ]
-        if lt in ("timestamp-micros", "local-timestamp-micros"):
+        if lt == "timestamp-micros":
+            return [
+                None if v is None else _instant(_dt.timedelta(microseconds=v))
+                for v in values
+            ]
+        if lt == "timestamp-millis":
+            return [
+                None if v is None else _instant(_dt.timedelta(milliseconds=v))
+                for v in values
+            ]
+        if lt == "local-timestamp-micros":
             epoch = _dt.datetime(1970, 1, 1)
             return [
                 None if v is None else epoch + _dt.timedelta(microseconds=v)
                 for v in values
             ]
-        if lt in ("timestamp-millis", "local-timestamp-millis"):
+        if lt == "local-timestamp-millis":
             epoch = _dt.datetime(1970, 1, 1)
             return [
                 None if v is None else epoch + _dt.timedelta(milliseconds=v)
@@ -335,12 +370,31 @@ def _read_avro(spark: SparkSession, files: list[str], table_schema):
                 fschema, _, records = read_container(bytes(blob))
                 # the ingest schema came from the FIRST file: a later file
                 # missing one of its fields must fail loudly, not null-fill
-                have = {f["name"] for f in fschema.get("fields", [])}
-                lacking = [n for n in col_names if n not in have]
+                ftypes = {
+                    f["name"]: f["type"] for f in fschema.get("fields", [])
+                }
+                lacking = [n for n in col_names if n not in ftypes]
                 if lacking:
                     raise ValueError(
                         f"Avro source file lacks ingested column(s) {lacking}"
                         " present in the first file's schema"
+                    )
+                # ...and a column whose TYPE drifted (base, logicalType, or
+                # decimal scale) would silently decode wrong under the first
+                # file's logical-type map — same loud-failure contract
+                drifted = {
+                    n: (canon[n], _avro_canon(ftypes[n]))
+                    for n in col_names
+                    if _avro_canon(ftypes[n]) != canon[n]
+                }
+                if drifted:
+                    detail = "; ".join(
+                        f"{n}: first file {a}, this file {b}"
+                        for n, (a, b) in sorted(drifted.items())
+                    )
+                    raise ValueError(
+                        "Avro source file's column type(s) drifted from the "
+                        f"first file's schema — {detail}"
                     )
                 data = {
                     n: pd.Series(

@@ -110,7 +110,7 @@ def tfidf_top_terms(
     space (the vocabulary) is Zipf-skewed, which AQE's skew-join splitting
     handles — and the window is partitioned by document, which is naturally
     high-cardinality."""
-    from pyspark import StorageLevel
+    from ..caching import persist_tracked
 
     words = df.select(
         id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("term")
@@ -120,7 +120,7 @@ def tfidf_top_terms(
     tf = (
         words.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
     df_w = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
@@ -300,7 +300,7 @@ def unigram_lm_scores(
     quantized to DECIMAL(25,9) before the exact sum, so the per-document
     reduction is addition-order- and engine-invariant.
     """
-    from pyspark import StorageLevel
+    from ..caching import persist_tracked
 
     words = df.select(
         id_col, F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
@@ -310,7 +310,7 @@ def unigram_lm_scores(
     tf = (
         words.groupBy(id_col, "w")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
     cw = tf.groupBy("w").agg(F.sum("tf").alias("c"))
     tot = cw.agg(F.sum("c").alias("n"))
@@ -372,7 +372,7 @@ def dsir_importance(
         target_filter.alias("_t"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
-    from pyspark import StorageLevel
+    from ..caching import persist_tracked
 
     # cw feeds the scalar totals AND the scoring join: persist the
     # vocab-sized counts so each corpus pass runs once (cw, tf = the honest
@@ -384,7 +384,7 @@ def dsir_importance(
             F.sum(F.when(F.col("_t"), 1).otherwise(0)).cast("long").alias("ct"),
             F.sum(F.when(F.col("_t"), 0).otherwise(1)).cast("long").alias("cr"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
     scalars = cw.agg(
         F.sum("ct").alias("nt"),
@@ -514,7 +514,7 @@ def pmi_bigrams(
     combined in a fixed operation order, so the rounded value is
     engine-invariant (same discipline as ``unigram_lm_scores``).
     """
-    from pyspark import StorageLevel
+    from ..caching import persist_tracked
 
     toks = df.select(
         F.filter(
@@ -525,7 +525,7 @@ def pmi_bigrams(
         toks.select(F.explode("_w").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
     cb = (
         toks.filter(F.size("_w") >= 2)
@@ -540,7 +540,7 @@ def pmi_bigrams(
         .select("bg.w1", "bg.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
     totals = cw.agg(F.sum("c").alias("n")).crossJoin(
         cb.agg(F.sum("c_ab").alias("m"))
@@ -615,7 +615,12 @@ def source_vocab_overlap(
 
     Output: one row per unordered source pair (s_a < s_b) with the
     distinct-vocabulary sizes, intersection, union, and
-    ``round(|A∩B| / |A∪B|, 6)``.
+    ``round(|A∩B| / |A∪B|, 6)`` — including pairs whose vocabularies are
+    fully DISJOINT (inter = 0, jaccard = 0.0): the disjoint case is
+    precisely the one that justifies a separate mixture slot, so it must
+    be a visible row, not an absence. The pair universe therefore comes
+    from the per-source sizes (every s_a < s_b combination), with the
+    word-key intersection counts left-joined onto it.
 
     DAG and 100 TB shape: ONE tokenize+explode pass → DISTINCT
     (source, word) (a map-side-combinable dedup shuffle keyed on the
@@ -624,11 +629,13 @@ def source_vocab_overlap(
     the self-join), which would otherwise each re-derive the corpus
     explode. The pairwise intersection is a self-join on the WORD key, so
     each word contributes only its own source-pair combinations (sources
-    are few — the blowup is |pairs| per word, not |corpus|); vocabulary
-    sizes are a second tiny aggregate joined on the source pair. No
-    crossJoin, no driver loop; every count is exact BIGINT.
+    are few — the blowup is |pairs| per word, not |corpus|). The pair
+    universe is built driver-side from the collected per-source sizes —
+    bounded driver metadata (one row per SOURCE, tens at 100 TB), the
+    same class as stats rows; this keeps a cartesian product out of the
+    executor plan entirely. Every count is exact BIGINT.
     """
-    from pyspark import StorageLevel
+    from ..caching import persist_tracked
 
     sv = (
         df.select(
@@ -641,9 +648,21 @@ def source_vocab_overlap(
             ).alias("w"),
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
-    sizes = sv.groupBy("s").agg(F.count(F.lit(1)).alias("vocab"))
+    # bounded driver metadata: one (source, vocab) row per source
+    sizes = sorted(
+        (r.s, r.vocab)
+        for r in sv.groupBy("s").agg(F.count(F.lit(1)).alias("vocab")).collect()
+    )
+    pairs = df.sparkSession.createDataFrame(
+        [
+            (sa, sb, va, vb)
+            for i, (sa, va) in enumerate(sizes)
+            for sb, vb in sizes[i + 1 :]
+        ],
+        "s_a string, s_b string, vocab_a long, vocab_b long",
+    )
     inter = (
         sv.alias("a")
         .join(sv.alias("b"), "w")
@@ -651,14 +670,16 @@ def source_vocab_overlap(
         .groupBy(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # both sides are pair-cardinality aggregates (tiny); AQE broadcasts the
+    # intersection side at runtime — no cartesian anywhere in the plan
     return (
-        inter.join(
-            F.broadcast(sizes.select(F.col("s").alias("s_a"), F.col("vocab").alias("vocab_a"))),
+        pairs.join(inter, ["s_a", "s_b"], "left")
+        .select(
             "s_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("s").alias("s_b"), F.col("vocab").alias("vocab_b"))),
             "s_b",
+            "vocab_a",
+            "vocab_b",
+            F.coalesce(F.col("inter"), F.lit(0)).cast("long").alias("inter"),
         )
         .select(
             "s_a",
@@ -686,16 +707,21 @@ WITH sv AS (
   FROM {table}
 ),
 sizes AS (SELECT s, CAST(count(*) AS BIGINT) AS vocab FROM sv GROUP BY 1),
+pairs AS (
+  SELECT sa.s AS s_a, sb.s AS s_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b
+  FROM sizes sa JOIN sizes sb ON sa.s < sb.s
+),
 inter AS (
   SELECT a.s AS s_a, b.s AS s_b, CAST(count(*) AS BIGINT) AS inter
   FROM sv a JOIN sv b ON a.w = b.w AND a.s < b.s
   GROUP BY 1, 2
 )
-SELECT s_a, s_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b, inter,
-       sa.vocab + sb.vocab - inter AS uni,
-       round(CAST(inter AS DOUBLE) / (sa.vocab + sb.vocab - inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON inter.s_a = sa.s
-JOIN sizes sb ON inter.s_b = sb.s
-ORDER BY s_a, s_b
+SELECT p.s_a, p.s_b, p.vocab_a, p.vocab_b,
+       CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+       p.vocab_a + p.vocab_b - coalesce(i.inter, 0) AS uni,
+       round(CAST(coalesce(i.inter, 0) AS DOUBLE)
+             / (p.vocab_a + p.vocab_b - coalesce(i.inter, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON p.s_a = i.s_a AND p.s_b = i.s_b
+ORDER BY p.s_a, p.s_b
 """

@@ -618,14 +618,14 @@ def boilerplate_ratio(
     back and a per-doc count. Hot-shingle df counts are bounded by
     vocabulary, not corpus size.
     """
-    from pyspark import StorageLevel
+    from ..caching import persist_tracked
 
     from .dedup import shingle_hash_sets
 
     # three consumers (df-count, the hot join, the final ratio join) — persist
     # so the corpus is shingled once, not three times
-    sets = shingle_hash_sets(df.select(id_col, text_col), n, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sets = persist_tracked(
+        shingle_hash_sets(df.select(id_col, text_col), n, id_col, text_col)
     )
     exploded = sets.select(id_col, "n_sh", F.explode("sh_arr").alias("sh"))
     hot = (

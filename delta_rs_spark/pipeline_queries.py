@@ -424,7 +424,7 @@ def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score ≥ 3) → deterministic train/val/test split → per-split document
     and token counts. Every stage is the certified operator; the oracle
     recomputes the whole pipeline in SQL."""
-    from pyspark import StorageLevel
+    from .caching import persist_tracked
 
     from .operators.sampling import train_val_test_split
 
@@ -438,14 +438,14 @@ def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         dedup.exact_dedup(docs, ["text"])
         .select("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
     deduped = docs.join(kept, "doc_id")
     good = (
         text.quality_score(deduped)
         .filter(F.col("quality_score") >= 3)
         .select("doc_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
     final = train_val_test_split(deduped.join(good, "doc_id"))
     return (

@@ -22,11 +22,11 @@ from collections.abc import Callable
 from dataclasses import dataclass
 from typing import Optional
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .caching import persist_tracked
 from .sources.tables import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -41,10 +41,34 @@ class QueryDef:
 
 QUERIES: dict[str, QueryDef] = {}
 
+# >0 while building a catalog query; composed queries (a catalog query that
+# internally calls another) must not release the parent's tracked persists
+_BUILD_DEPTH = 0
+
 
 def query(name: str, oracle: Optional[str], headline: bool = False):
     def deco(fn: SparkQuery):
-        QUERIES[name] = QueryDef(spark=fn, oracle=oracle, headline=headline)
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            global _BUILD_DEPTH
+            from .caching import release_tracked
+
+            if _BUILD_DEPTH == 0:
+                # release the PREVIOUS query's persisted intermediates: the
+                # caller has materialized that query's result by now (the
+                # driver/bench collect right after each call), so its caches
+                # are dead weight — without this, a 118-query session pins
+                # every query's lineage for its lifetime
+                release_tracked()
+            _BUILD_DEPTH += 1
+            try:
+                return fn(spark, sf_dir)
+            finally:
+                _BUILD_DEPTH -= 1
+
+        QUERIES[name] = QueryDef(spark=wrapped, oracle=oracle, headline=headline)
         return fn
 
     return deco
@@ -809,7 +833,7 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(_sum_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"))
         # feeds both the max subquery and the final join: persist the
         # supplier-cardinality aggregate so lineitem is scanned once
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
     best = revenue.agg(F.max("total_revenue").alias("_best"))
     return (
@@ -1203,7 +1227,7 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # feeds both the per-part min and the min-equality join back:
         # persist the (part, supp)-cardinality aggregate so lineitem is
         # scanned/aggregated once
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
     best = supply.groupBy(F.col("l_partkey").alias("_bpk")).agg(
         F.min("unit_cost").alias("_best_cost")
@@ -1373,7 +1397,7 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # feeds both the threshold subquery and the final filter: persist
         # the part-cardinality aggregate so lineitem is scanned once
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
     thr = val.agg((F.sum("value").cast("double") * F.lit(0.0002)).alias("_thr"))
     return (
@@ -1588,7 +1612,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -1596,7 +1620,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("first_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_click"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(persist_tracked)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

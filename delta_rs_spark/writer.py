@@ -1231,9 +1231,14 @@ def _footer_stats_json(
                     # parquet decimals (Spark writes decimal(p<=18) that way):
                     # decode the raw unscaled physical values instead
                     lo = hi = None
-                    if pa.types.is_decimal(ftype) and isinstance(
-                        st.min_raw, int
+                    if (
+                        pa.types.is_decimal(ftype)
+                        and isinstance(st.min_raw, int)
+                        and isinstance(st.max_raw, int)
                     ):
+                        # both raw bounds must decode or neither does —
+                        # a malformed max_raw degrades to have_minmax=False
+                        # instead of failing the whole write
                         import decimal as _dec
 
                         lo = _dec.Decimal(st.min_raw).scaleb(-ftype.scale)

@@ -280,3 +280,79 @@ def test_copy_into_avro_schema_drift_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(Exception, match="lacks ingested column"):
         copy_into(spark, target, str(tmp_path / "drift"), file_format="avro")
+
+
+def test_copy_into_avro_type_drift_fails_loudly(spark, tmp_path):
+    """A later file whose column changed TYPE (here timestamp-micros →
+    timestamp-millis) would be silently decoded 1000x off under the first
+    file's logical-type map — the per-file check must reject it like the
+    missing-column case."""
+    target = str(tmp_path / "t_tdrift")
+    write_deltalake(
+        spark, spark.createDataFrame([], "id bigint, ts timestamp"), target
+    )
+
+    def _schema(logical):
+        return {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "ts", "type": {"type": "long", "logicalType": logical}},
+            ],
+        }
+
+    _write_avro(
+        str(tmp_path / "tdrift" / "a.avro"),
+        _schema("timestamp-micros"),
+        [{"id": 1, "ts": 1704110400000000}],
+    )
+    _write_avro(
+        str(tmp_path / "tdrift" / "b.avro"),
+        _schema("timestamp-millis"),
+        [{"id": 2, "ts": 1704110400000}],
+    )
+    with pytest.raises(Exception, match="type.*drifted"):
+        copy_into(spark, target, str(tmp_path / "tdrift"), file_format="avro")
+
+
+def test_copy_into_avro_timestamp_is_utc_instant_in_any_session_zone(
+    spark, tmp_path
+):
+    """Avro timestamp-micros is a UTC instant; ingesting from a session
+    pinned to a non-UTC zone must preserve the INSTANT (unix micros), not
+    reinterpret the naive wall time in the session zone (a silent shift)."""
+    target = str(tmp_path / "t_tz")
+    write_deltalake(
+        spark, spark.createDataFrame([], "id bigint, ts timestamp"), target
+    )
+    micros = 1704110400000000  # 2024-01-01 12:00:00 UTC
+    _write_avro(
+        str(tmp_path / "tz" / "x.avro"),
+        {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {
+                    "name": "ts",
+                    "type": {"type": "long", "logicalType": "timestamp-micros"},
+                },
+            ],
+        },
+        [{"id": 1, "ts": micros}],
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        copy_into(spark, target, str(tmp_path / "tz"), file_format="avro")
+        got = (
+            DeltaTable(target)
+            .to_df(spark)
+            .selectExpr("unix_micros(ts) AS um")
+            .collect()[0]
+            .um
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert got == micros

@@ -1319,6 +1319,38 @@ def test_source_vocab_overlap_matches_duckdb_oracle(spark):
     assert d[("s1", "s2")] == (2, 4)
 
 
+def test_source_vocab_overlap_emits_disjoint_pairs(spark):
+    """A source pair with ZERO shared vocabulary must still appear (inter=0,
+    jaccard=0.0) — disjointness is the decision-relevant signal for mixture
+    weighting, not an absence. Oracle agrees."""
+    import duckdb
+
+    from delta_rs_spark.operators import corpus
+
+    rows = [
+        (1, "alpha beta", "s1"),
+        (2, "gamma delta", "s2"),  # fully disjoint from s1 and s3
+        (3, "alpha zeta", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = [tuple(r) for r in corpus.source_vocab_overlap(df).collect()]
+    assert [(r[0], r[1]) for r in got] == [
+        ("s1", "s2"),
+        ("s1", "s3"),
+        ("s2", "s3"),
+    ]
+    d = {(sa, sb): (int(i), int(u), float(j)) for sa, sb, _, _, i, u, j in got}
+    assert d[("s1", "s2")] == (0, 4, 0.0)
+    assert d[("s2", "s3")] == (0, 4, 0.0)
+    assert d[("s1", "s3")] == (1, 3, round(1 / 3, 6))
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    want = [tuple(r) for r in con.execute(corpus.source_vocab_overlap_oracle_sql()).fetchall()]
+    assert [(r[0], r[1], int(r[4])) for r in want] == [
+        (sa, sb, i) for sa, sb, _, _, i, _, _ in got
+    ]
+
+
 def test_hashed_classifier_matches_duckdb_oracle(spark):
     import duckdb
 
