@@ -56,6 +56,33 @@ def _workdir(name: str, sf_dir: str) -> str:
     return path
 
 
+def _stream_attempts(label: str, attempt_fn, attempts: int = 2) -> DataFrame:
+    """Run ``attempt_fn(i) -> DataFrame`` with ONE bounded retry on streaming
+    failure.
+
+    The certification session runs on a driver-owned ``local[N]`` where
+    ``spark.task.maxFailures`` defaults to 1 — a single transient
+    Python-worker death (fork blip, momentary memory pressure) kills the
+    whole streaming query even though a real cluster would retry the task
+    4x. The streaming certified queries are deterministic and rebuild their
+    sink + checkpoint per attempt, so one in-query retry restores parity
+    with production task-retry semantics without masking real failures:
+    only ``StreamingQueryException`` retries (an engine bug fails both
+    attempts identically); timeouts and assertion errors propagate
+    immediately."""
+    from pyspark.errors import StreamingQueryException
+
+    last: Exception | None = None
+    for i in range(attempts):
+        try:
+            return attempt_fn(i)
+        except StreamingQueryException as exc:
+            last = exc
+    raise RuntimeError(
+        f"{label}: streaming query failed on all {attempts} attempts"
+    ) from last
+
+
 @query(
     "cdf_changes_window",
     """
@@ -352,32 +379,37 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.dataSource.register(DeltaStreamDataSource)
-    sink = f"stream_events_hourly_{_uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("delta_stream")
-        .option("path", uri)
-        .option("startingVersion", "0")
-        .load()
-        .groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+
+    def _attempt(i: int) -> DataFrame:
+        sink = f"stream_events_hourly_{_uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", uri)
+            .option("startingVersion", "0")
+            .load()
+            .groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"),
+                F.col("event_type"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                _sum_dec(F.col("value"), "sum_value"),
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(uri, f"_ckpt{i}"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _sum_dec(F.col("value"), "sum_value"),
-        )
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(uri, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        # timed out: the sink holds a PARTIAL aggregate — certifying it
-        # would blame the engine for a slow box. Stop the orphan and fail.
-        q.stop()
-        raise RuntimeError("stream_events_hourly did not drain within 300s")
-    return spark.table(sink).orderBy("hour", "event_type")
+        if not q.awaitTermination(300):
+            # timed out: the sink holds a PARTIAL aggregate — certifying it
+            # would blame the engine for a slow box. Stop the orphan and fail.
+            q.stop()
+            raise RuntimeError("stream_events_hourly did not drain within 300s")
+        return spark.table(sink).orderBy("hour", "event_type")
+
+    return _stream_attempts("stream_events_hourly", _attempt)
 
 
 @query(
@@ -417,38 +449,42 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.dataSource.register(DeltaStreamDataSource)
-    sink = f"stream_user_totals_{_uuid.uuid4().hex[:8]}"
-    stream = (
-        spark.readStream.format("delta_stream")
-        .option("path", uri)
-        .option("startingVersion", "0")
-        .load()
-        .select(
-            "user_id",
-            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+
+    def _attempt(i: int) -> DataFrame:
+        sink = f"stream_user_totals_{_uuid.uuid4().hex[:8]}"
+        stream = (
+            spark.readStream.format("delta_stream")
+            .option("path", uri)
+            .option("startingVersion", "0")
+            .load()
+            .select(
+                "user_id",
+                F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            )
         )
-    )
-    q = (
-        running_totals(stream, key_col="user_id", value_col="cents")
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(uri, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_user_totals did not drain within 300s")
-    return (
-        spark.table(sink)
-        .groupBy("user_id")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.expr("max_by(total_value, n_events)").alias("total_cents"),
+        q = (
+            running_totals(stream, key_col="user_id", value_col="cents")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(uri, f"_ckpt{i}"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .orderBy("user_id")
-    )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_user_totals did not drain within 300s")
+        return (
+            spark.table(sink)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.expr("max_by(total_value, n_events)").alias("total_cents"),
+            )
+            .orderBy("user_id")
+        )
+
+    return _stream_attempts("stream_user_totals", _attempt)
 
 
 @query(
@@ -591,55 +627,59 @@ def q_stream_hourly_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.dataSource.register(DeltaStreamDataSource)
-    sink = f"stream_wm_{_uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("delta_stream")
-        .option("path", uri)
-        .option("startingVersion", "0")
-        .load()
-        .withWatermark("ts", "2 hours")
-        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            _sum_dec(F.col("value"), "sum_value"),
-        )
-        .select(
-            F.col("win.start").alias("hour"),
-            "event_type",
-            "n_events",
-            "sum_value",
-        )
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(uri, "_ckpt"))
-        .trigger(processingTime="500 milliseconds")
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        deadline = _time.time() + 240
-        reached = False
-        while _time.time() < deadline:
-            p = q.lastProgress or {}
-            wm = p.get("eventTime", {}).get("watermark")
-            if wm:
-                got = _dt.datetime.fromisoformat(
-                    wm.replace("Z", "+00:00")
-                ).replace(tzinfo=None)
-                if got >= target_wm:
-                    reached = True
-                    break
-            _time.sleep(0.5)
-        if not reached:
-            raise RuntimeError(
-                "stream_hourly_watermark: watermark did not reach "
-                f"{target_wm} within 240s"
+
+    def _attempt(i: int) -> DataFrame:
+        sink = f"stream_wm_{_uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", uri)
+            .option("startingVersion", "0")
+            .load()
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                _sum_dec(F.col("value"), "sum_value"),
             )
-        q.processAllAvailable()  # drain the finalization batch's emission
-    finally:
-        q.stop()
-    return spark.table(sink).orderBy("hour", "event_type")
+            .select(
+                F.col("win.start").alias("hour"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(uri, f"_ckpt{i}"))
+            .trigger(processingTime="500 milliseconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            deadline = _time.time() + 240
+            reached = False
+            while _time.time() < deadline:
+                p = q.lastProgress or {}
+                wm = p.get("eventTime", {}).get("watermark")
+                if wm:
+                    got = _dt.datetime.fromisoformat(
+                        wm.replace("Z", "+00:00")
+                    ).replace(tzinfo=None)
+                    if got >= target_wm:
+                        reached = True
+                        break
+                _time.sleep(0.5)
+            if not reached:
+                raise RuntimeError(
+                    "stream_hourly_watermark: watermark did not reach "
+                    f"{target_wm} within 240s"
+                )
+            q.processAllAvailable()  # drain the finalization batch's emission
+        finally:
+            q.stop()
+        return spark.table(sink).orderBy("hour", "event_type")
+
+    return _stream_attempts("stream_hourly_watermark", _attempt)
 
 
 @query(
@@ -671,7 +711,6 @@ def q_stream_delta_sink_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .writer import write_deltalake
 
     src = _workdir("stream_sink_src", sf_dir)
-    dst = _workdir("stream_sink_dst", sf_dir)
     ev = load_table(spark, sf_dir, "events")
     write_deltalake(spark, ev.filter(F.col("event_id") % 2 == 0), src)
     write_deltalake(
@@ -679,29 +718,39 @@ def q_stream_delta_sink_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.dataSource.register(DeltaStreamDataSource)
-    sink = ExactlyOnceDeltaSink(dst, app_id=f"certq_{_uuid.uuid4().hex[:8]}")
-    q = (
-        spark.readStream.format("delta_stream")
-        .option("path", src)
-        .option("startingVersion", "0")
-        .load()
-        .filter(F.col("event_type").isin("click", "view"))
-        .select(
-            "event_id",
-            "user_id",
-            "ts",
-            "event_type",
-            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+
+    def _attempt(i: int) -> DataFrame:
+        # the TARGET table is recreated per attempt (fresh checkpoint ⇒
+        # batch ids restart at 0, so a surviving target + same txn app
+        # would wrongly no-op the replayed epochs)
+        dst = _workdir("stream_sink_dst", sf_dir)
+        sink = ExactlyOnceDeltaSink(dst, app_id=f"certq_{_uuid.uuid4().hex[:8]}")
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", src)
+            .option("startingVersion", "0")
+            .load()
+            .filter(F.col("event_type").isin("click", "view"))
+            .select(
+                "event_id",
+                "user_id",
+                "ts",
+                "event_type",
+                F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(src, f"_ckpt{i}"))
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", os.path.join(src, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_delta_sink_pipeline did not drain within 300s")
-    return DeltaTable(dst).to_df(spark).orderBy("event_id")
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "stream_delta_sink_pipeline did not drain within 300s"
+            )
+        return DeltaTable(dst).to_df(spark).orderBy("event_id")
+
+    return _stream_attempts("stream_delta_sink_pipeline", _attempt)
 
 
 @query(
@@ -737,26 +786,30 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.dataSource.register(DeltaStreamDataSource)
-    sink = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
-    q = (
-        spark.readStream.format("delta_stream")
-        .option("path", uri)
-        .option("startingVersion", "0")
-        .load()
-        .dropDuplicates(["event_id"])
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(uri, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_dedup_events did not drain within 300s")
-    return spark.table(sink).select(
-        "event_id", "ts", "user_id", "event_type", "value", "props"
-    ).orderBy("event_id")
+
+    def _attempt(i: int) -> DataFrame:
+        sink = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", uri)
+            .option("startingVersion", "0")
+            .load()
+            .dropDuplicates(["event_id"])
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(uri, f"_ckpt{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_dedup_events did not drain within 300s")
+        return spark.table(sink).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        ).orderBy("event_id")
+
+    return _stream_attempts("stream_dedup_events", _attempt)
 
 
 @query(
@@ -825,16 +878,19 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clk_ts").alias("click_ts"),
     )
 
-    sink = f"stream_ssj_{_uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(uri, "_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise RuntimeError("stream_stream_join did not drain within 300s")
-    return spark.table(sink).orderBy("error_id", "click_id")
+    def _attempt(i: int) -> DataFrame:
+        sink = f"stream_ssj_{_uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(uri, f"_ckpt{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("stream_stream_join did not drain within 300s")
+        return spark.table(sink).orderBy("error_id", "click_id")
+
+    return _stream_attempts("stream_stream_join", _attempt)

@@ -328,62 +328,88 @@ class DeltaStreamReader(DataSourceStreamReader):
             )
         return parts
 
-    def read(self, partition: DeltaFilePartition) -> Iterator[tuple]:
-        """Executor-side: one parquet file → rows (pyarrow, Arrow-native)."""
-        import pyarrow.parquet as pq
+    def read(self, partition: DeltaFilePartition) -> "Iterator":
+        """Executor-side: one parquet file → ``pyarrow.RecordBatch``es.
 
+        Arrow end to end: the Python DataSource API accepts RecordBatch
+        yields, so the file's columns never materialize as Python objects —
+        the DV mask is a vectorized boolean filter, partition columns are
+        constant arrays built with a zero-index ``take`` (no per-row list),
+        schema-evolution NULL fill is ``pa.nulls``, and type adjustments
+        (parquet physical → table schema, e.g. naive → UTC timestamps,
+        widened ints) are Arrow casts. This removes O(rows) Python object
+        churn from every micro-batch of every streaming query — the former
+        per-row tuple loop was the engine's last row-at-a-time hot path."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from ..protocol.column_mapping import PHYS_META
         from ..protocol.schema import partition_value_to_typed, schema_string_to_spark
 
         schema = schema_string_to_spark(partition.schema_json)
+        arrow_schema = to_arrow_schema(schema)
         table = pq.read_table(partition.file_uri)
         if partition.dv_positions is not None:
             # merge-on-read delete: planning shipped this file's deleted
             # positions (row_index == row order within the file, which
-            # pq.read_table preserves)
-            import pyarrow as pa
-
-            marked = set(partition.dv_positions)
+            # pq.read_table preserves) — vectorized boolean mask, no loop
+            marked = np.asarray(partition.dv_positions, dtype=np.int64)
+            marked = marked[(marked >= 0) & (marked < table.num_rows)]
+            mask = np.zeros(table.num_rows, dtype=bool)
+            if marked.size:
+                mask[marked] = True
             if partition.dv_mode == "select":
-                keep = [i for i in range(table.num_rows) if i in marked]
-                table = table.take(pa.array(keep, type=pa.int64()))
-            elif marked:
-                keep = [i for i in range(table.num_rows) if i not in marked]
-                table = table.take(pa.array(keep, type=pa.int64()))
-        from ..protocol.column_mapping import PHYS_META
+                table = table.filter(pa.array(mask))
+            elif marked.size:
+                table = table.filter(pa.array(~mask))
+        n = table.num_rows
 
-        cols = {}
-        for f in schema.fields:
+        def _const(value, atype: "pa.DataType") -> "pa.Array":
+            if value is None:
+                return pa.nulls(n, atype)
+            one = pa.array([value], type=atype)
+            return one.take(pa.array(np.zeros(n, dtype=np.int64)))
+
+        arrays = []
+        fields = []
+        for f, af in zip(schema.fields, arrow_schema):
             # column-mapped tables store data (and key partitionValues)
             # under the field's physical name; fall back to the logical name
             phys = (f.metadata or {}).get(PHYS_META, f.name)
             if f.name in partition.partition_columns:
-                cols[f.name] = [
+                arr = _const(
                     partition_value_to_typed(
                         partition.partition_values.get(phys)
                         if phys in partition.partition_values
                         else partition.partition_values.get(f.name),
                         f.dataType,
-                    )
-                ] * table.num_rows
+                    ),
+                    af.type,
+                )
             elif phys in table.column_names:
-                cols[f.name] = table.column(phys).to_pylist()
+                arr = table.column(phys).combine_chunks().cast(af.type)
             elif f.name in table.column_names:
-                cols[f.name] = table.column(f.name).to_pylist()
+                arr = table.column(f.name).combine_chunks().cast(af.type)
             else:
                 # file predates this column (schema evolution): NULL-fill,
                 # same as the batch reader's explicit-schema scan
-                cols[f.name] = [None] * table.num_rows
-        names = [f.name for f in schema.fields]
+                arr = pa.nulls(n, af.type)
+            arrays.append(arr)
+            fields.append(pa.field(f.name, af.type))
         if partition.commit_version is not None:
             # change-feed mode: append _change_type and _commit_version
             if partition.is_cdc_file:
-                cols["_change_type"] = table.column("_change_type").to_pylist()
+                ct = table.column("_change_type").combine_chunks().cast(pa.string())
             else:
-                cols["_change_type"] = [partition.change_type] * table.num_rows
-            cols["_commit_version"] = [partition.commit_version] * table.num_rows
-            names = names + ["_change_type", "_commit_version"]
-        for i in range(table.num_rows):
-            yield tuple(cols[n][i] for n in names)
+                ct = _const(partition.change_type, pa.string())
+            arrays.append(ct)
+            fields.append(pa.field("_change_type", pa.string()))
+            arrays.append(_const(partition.commit_version, pa.int64()))
+            fields.append(pa.field("_commit_version", pa.int64()))
+        out = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+        yield from out.to_batches()
 
     def commit(self, end: dict) -> None:
         if self._planned is None or end["version"] > self._planned:

@@ -744,3 +744,65 @@ def test_stream_skips_optimize_and_reorg_commits(spark, tmp_path):
         assert got == list(range(70))
     finally:
         q.stop()
+
+
+def test_stream_source_read_yields_arrow_batches(spark, tmp_path):
+    """The executor read path must be Arrow-native: read() yields
+    pyarrow.RecordBatch objects (never per-row tuples), the DV mask is
+    applied vectorized, and partition/NULL/CDF columns are constant Arrow
+    arrays. Drives the reader directly (no Structured Streaming engine)."""
+    import pyarrow as pa
+
+    from delta_rs_spark.streaming.source import DeltaStreamReader
+
+    uri = str(tmp_path / "arrow_tbl")
+    df = spark.range(0, 10).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("part")
+    )
+    write_deltalake(spark, df, uri, partition_by=["part"])
+
+    reader = DeltaStreamReader(schema=None, options={"path": uri})
+    reader.initialOffset()
+    parts = reader.partitions({"version": -1}, {"version": 0})
+    assert parts, "expected at least one input partition"
+    got_ids = []
+    for p in parts:
+        out = list(reader.read(p))
+        assert out and all(isinstance(b, pa.RecordBatch) for b in out), (
+            "read() must yield pyarrow.RecordBatch, got "
+            + str({type(b) for b in out})
+        )
+        tbl = pa.Table.from_batches(out)
+        assert tbl.schema.names == ["id", "part"]
+        # partition column reconstituted as a constant string array
+        assert tbl.column("part").type == pa.string()
+        got_ids.extend(tbl.column("id").to_pylist())
+    assert sorted(got_ids) == list(range(10))
+
+
+def test_stream_source_read_arrow_dv_mask(spark, tmp_path):
+    """DV drop/select modes on the Arrow path: deleted positions vanish in
+    drop mode and are exactly the payload in select mode."""
+    import pyarrow as pa
+
+    from delta_rs_spark.streaming.source import DeltaStreamReader
+
+    uri = str(tmp_path / "arrow_dv")
+    write_deltalake(spark, spark.range(0, 8).coalesce(1).select("id"), uri)
+    reader = DeltaStreamReader(schema=None, options={"path": uri})
+    reader.initialOffset()
+    (part,) = reader.partitions({"version": -1}, {"version": 0})
+    base = pa.Table.from_batches(list(reader.read(part)))
+    order = base.column("id").to_pylist()  # file row order
+    dead = [1, 3]  # positions within the file
+
+    part.dv_positions, part.dv_mode = dead, "drop"
+    live = pa.Table.from_batches(list(reader.read(part))).column("id").to_pylist()
+    assert live == [v for i, v in enumerate(order) if i not in dead]
+
+    part.dv_positions, part.dv_mode = dead, "select"
+    part.change_type, part.commit_version = "delete", 1
+    sel = pa.Table.from_batches(list(reader.read(part)))
+    assert sel.column("id").to_pylist() == [order[i] for i in dead]
+    assert sel.column("_change_type").to_pylist() == ["delete", "delete"]
+    assert sel.column("_commit_version").to_pylist() == [1, 1]
