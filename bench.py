@@ -11,10 +11,17 @@ the large dedup expressions is ~3s of one-time compilation). Each query is
 then timed three times and the best run reported: this host shows 2-3x run-to-run
 noise from ambient load, and min-of-N is the standard estimator for what a
 plan actually costs.
+
+Alongside the stdout line, a sidecar ``BENCH_PLANS.json`` records per-query
+plan-shape metrics (scan/exchange/join-strategy/codegen counts from the
+formatted physical plan) and ALL three run timings — so a slow round can be
+attributed: unchanged node counts + one inflated run = box noise; a changed
+exchange/join count = a real plan regression worth chasing.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -23,9 +30,11 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    here = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, here)
 
     from delta_rs_spark.catalog import QUERIES
+    from delta_rs_spark.plans import summarize
     from delta_rs_spark.session import get_spark
 
     spark = get_spark("bench")
@@ -33,18 +42,43 @@ def main() -> None:
     bench_names = [name for name, qd in QUERIES.items() if qd.headline]
 
     # warmup pass: compile every headline plan once (codegen + AQE planning
-    # are one-time costs; steady-state is what the plan actually costs)
+    # are one-time costs; steady-state is what the plan actually costs) and
+    # capture each plan's shape for the sidecar
+    plans: dict[str, dict] = {}
     for name in bench_names:
-        QUERIES[name].spark(spark, sf_dir).collect()
+        df = QUERIES[name].spark(spark, sf_dir)
+        s = dataclasses.asdict(summarize(df))
+        # drop the verbose per-scan schema/filter lists; keep countable shape
+        s["pushed_filters"] = len([p for p in s.pop("pushed_filters") if p])
+        s["read_schema_cols"] = [len(c) for c in s.pop("read_schemas")]
+        plans[name] = s
+        df.collect()
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in bench_names:
         best = float("inf")
+        runs[name] = []
         for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name].spark(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            runs[name].append(round(dt, 4))
+            best = min(best, dt)
         timings[name] = round(best, 4)
+
+    with open(os.path.join(here, "BENCH_PLANS.json"), "w") as fh:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "queries": {
+                    n: {"runs_sec": runs[n], "plan": plans[n]}
+                    for n in bench_names
+                },
+            },
+            fh,
+            indent=1,
+        )
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

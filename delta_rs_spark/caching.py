@@ -36,6 +36,14 @@ def persist_tracked(
     return df
 
 
+def track(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-persisted frame for release with the tracked set
+    (for operators that manage persist/unpersist internally during an
+    iteration but whose final persisted result outlives the function)."""
+    _TRACKED.append(df)
+    return df
+
+
 def release_tracked() -> None:
     """Unpersist every tracked intermediate (non-blocking, error-tolerant:
     a stopped SparkSession or already-released frame is not an error)."""

@@ -15,64 +15,18 @@ from . import lifecycle_queries as _lifecycle_queries  # noqa: F401  (registers)
 from . import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
 from .queries import QUERIES, headline_queries, oracle_sql, queries
 
-# The 41 queries with no driver CORRECTNESS row after rounds 1-2, followed by
-# new round-3 certified queries, followed by relational canaries (certified
-# green in both prior rounds) filling the remaining slots of the 50-window.
+# Round-4 window: (1) the round-3 red row first; (2) the 18 queries queued
+# since round 3 with no driver row yet; (3) the new round-4 queries
+# (concurrent-transactions surface + exact-oracle companions to the
+# approximate paths); (4) the 4 recall-contract rows-only entries (kept in
+# every window so their rows-only signal stays current); (5) round-3-green
+# rows filling the remaining slots for a second green. After round 4, every
+# one of the catalog queries has >=1 green driver row across rounds 1-4.
 _ROTATION = [
-    # -- pipeline surface (uncertified through round 2) --------------------
-    "q_daily_revenue_ma7",
-    "q_customer_value_deciles",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "similarity_topk",
-    "similarity_quantized_topk",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "embedding_centroid_norms",
-    "embedding_quantize_int8",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_count",
-    "text_fingerprint",
-    "text_normalize",
-    "text_pii_redact",
-    "text_char_entropy",
-    "text_contamination",
-    "text_contamination_bloom",
-    "text_repetition",
-    "text_tfidf_topk",
-    "text_chunking",
-    "text_sequence_packing",
-    "corpus_top_ngrams",
-    "corpus_dup_rate_by_source",
-    "multimodal_features",
-    "asof_join_events",
-    "range_join_error_windows",
-    "ts_resample_locf",
-    "skew_salted_count_distinct",
-    "split_train_val_test",
-    "split_grouped_by_source",
-    "sample_source_mixture",
-    "sample_stratified_exact",
-    "profile_price_histogram",
-    "profile_lineitem_columns",
-    "pipeline_corpus_curation",
-    # -- round-3 additions (registered by queries/pipeline_queries) --------
-    "features_lifecycle",
-    "cdf_changes_window",
-    "q_zorder_pruned_scan",
+    # -- (1) round-3 red row (executor task death; now Arrow-batch read +
+    # bounded in-query retry) ----------------------------------------------
     "stream_events_hourly",
-    "corpus_vocab_stats",
-    "text_lang_mismatch",
-    "sample_token_budget",
-    "dedup_keeplist",
-    "events_variant_props",
-    # -- beyond the 50-window this round; first in line for the round-4
-    # rotation (locally oracle-certified + pytest-pinned meanwhile) --------
+    # -- (2) queued since round 3, never driver-certified -------------------
     "widening_uniform_lifecycle",
     "corpus_unigram_lm",
     "sample_global_shuffle",
@@ -91,8 +45,44 @@ _ROTATION = [
     "stream_delta_sink_pipeline",
     "stream_dedup_events",
     "stream_stream_join",
-    # -- relational canaries (certified green rounds 1-2; the window is 50,
-    # so these certify only if earlier entries shrink — harmless either way)
+    # -- (3) new in round 4 --------------------------------------------------
+    "concurrent_lifecycle",
+    "similarity_lsh_buckets",
+    "similarity_quantized_rerank",
+    "dedup_minhash_verified",
+    # -- (4) recall-contract rows-only entries (floors pinned in
+    # tests/test_recall.py; deterministic projections certified by the
+    # companions above) ------------------------------------------------------
+    "dedup_minhash_lsh",
+    "similarity_quantized_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    # -- (5) round-3 greens re-certifying for a second green ----------------
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_keeplist",
+    "similarity_topk",
+    "embedding_centroid_norms",
+    "embedding_quantize_int8",
+    "text_lang_id",
+    "text_quality_score",
+    "multimodal_features",
+    "asof_join_events",
+    "range_join_error_windows",
+    "ts_resample_locf",
+    "skew_salted_count_distinct",
+    "sample_stratified_exact",
+    "profile_price_histogram",
+    "pipeline_corpus_curation",
+    "features_lifecycle",
+    "cdf_changes_window",
+    "q_zorder_pruned_scan",
+    "corpus_vocab_stats",
+    # -- beyond the 50-window (all have green driver rows from rounds 1-3;
+    # kept registered in their original order below) -------------------------
     "q1_pricing_summary",
     "q3_shipping_priority",
 ]

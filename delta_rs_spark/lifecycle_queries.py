@@ -894,3 +894,91 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table(sink).orderBy("error_id", "click_id")
 
     return _stream_attempts("stream_stream_join", _attempt)
+
+
+@query(
+    "concurrent_lifecycle",
+    """
+    WITH base AS (
+      SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    final AS (
+      SELECT doc_id, source, n_chars FROM base WHERE source <> 'src1'
+      UNION ALL
+      SELECT doc_id, source, CAST(-1 AS BIGINT) AS n_chars
+      FROM base WHERE source = 'src1'
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'src_concurrent' AS source, n_chars
+      FROM base WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id, source, n_chars, CAST(2 AS BIGINT) AS final_version
+    FROM final
+    ORDER BY doc_id
+    """,
+)
+def q_concurrent_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The optimistic-concurrency surface certified end to end: two racing
+    transactions — a predicate-scoped REWRITE (``replaceWhere source =
+    'src1'``, which reads data and removes files) and a blind APPEND of
+    rows OUTSIDE that predicate — start from the same snapshot behind a
+    barrier and both must commit. Whichever order the race resolves, the
+    serializable outcome is identical (the appended rows don't match the
+    rewrite predicate), so the oracle encodes it exactly: non-src1 rows
+    intact, src1 rows replaced, appended rows present, and final_version=2
+    proving BOTH commits landed (no lost update, no spurious extra
+    commit). The losing transaction goes through the conflict checker
+    (``transactions.py``: WriteSerializable exempts the winner blind
+    append from the rewriter's read-conflict; appends never conflict) and
+    the version-contention retry loop — the biggest beyond-reference
+    correctness surface, previously pytest-only, now under the driver's
+    eye."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from . import DeltaTable
+    from .writer import write_deltalake
+
+    uri = _workdir("concurrent", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_chars")
+    )
+    _assert_ids_below(docs, "doc_id", 1_000_000)
+    write_deltalake(spark, docs, uri)
+
+    replacement = docs.filter(F.col("source") == "src1").withColumn(
+        "n_chars", F.lit(-1).cast("long")
+    )
+    appended = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.lit("src_concurrent").alias("source"),
+        "n_chars",
+    )
+
+    barrier = threading.Barrier(2)
+
+    def do_replace():
+        barrier.wait()
+        write_deltalake(
+            spark,
+            replacement,
+            uri,
+            mode="overwrite",
+            replace_where="source = 'src1'",
+        )
+
+    def do_append():
+        barrier.wait()
+        write_deltalake(spark, appended, uri, mode="append")
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(do_replace), ex.submit(do_append)]
+        for f in futs:
+            f.result()  # surface either transaction's failure loudly
+
+    t = DeltaTable(uri)
+    return (
+        t.to_df(spark)
+        .withColumn("final_version", F.lit(t.version).cast("long"))
+        .orderBy("doc_id")
+    )

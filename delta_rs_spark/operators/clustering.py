@@ -94,4 +94,10 @@ def connected_components(
         prev_sum = new_sum
 
     und.unpersist()
+    from ..caching import track
+
+    # the loop released every superseded round, but the FINAL labels frame
+    # backs the returned plan — register it for release when the caller's
+    # next catalog query starts
+    track(labels)
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

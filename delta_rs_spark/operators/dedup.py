@@ -179,8 +179,10 @@ def ngram_jaccard_pairs(
     carrying the set arrays through the candidate shuffle instead would cost
     O(prefix rows × set size) in shuffle bytes.
     """
+    from ..caching import persist_tracked
+
     sets = shingle_hash_sets(df.select(id_col, text_col), n, id_col, text_col)
-    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    sets = persist_tracked(sets)
 
     # prefix length |A| - ceil(t*|A|) + 1 under the array_sort order
     prefix = sets.select(
@@ -278,10 +280,12 @@ def minhash_lsh_dedup(
     proportional to band collisions, never to co-occurring pairs or n².
     """
     rows_per_band = num_perm // bands
+    from ..caching import persist_tracked
+
     # persisted: feeds the signature branch and both verify sides (see
     # ngram_jaccard_pairs for the rationale)
-    sets = shingle_hash_sets(df.select(id_col, text_col), n, id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sets = persist_tracked(
+        shingle_hash_sets(df.select(id_col, text_col), n, id_col, text_col)
     )
     sig = _signatures_from_sets(sets, num_perm).select(id_col, "signature")
 

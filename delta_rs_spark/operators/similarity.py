@@ -271,6 +271,69 @@ def _lsh_bucket_tables(
     return df.select("*", F.posexplode(F.array(*buckets)).alias("table", "bucket"))
 
 
+def lsh_bucket_assignments(
+    df: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The DETERMINISTIC core of the LSH path, exposed for exact-oracle
+    certification: every vector's (table, bucket) assignment through the
+    same ``_lsh_bucket_tables`` codegen expression ``lsh_topk`` uses.
+
+    The top-k result is approximate by design (rows-only check + recall
+    floor), but the bucket assignment is pure deterministic arithmetic —
+    md5-derived ±1 hyperplanes folded left-to-right in IEEE doubles — so an
+    independent engine evaluating the same literal sign matrix in the same
+    addition order reproduces every bucket bit exactly. This pins the part
+    of the approximate path where a silent bug (wrong plane slice, sign
+    flip, bit-order change) would degrade recall without failing any
+    rows-only check."""
+    b = _lsh_bucket_tables(
+        df.select(id_col, vec_col), n_planes, n_tables, dim, vec_col
+    )
+    return b.select(
+        F.col(id_col),
+        F.col("table").cast("int").alias("lsh_table"),
+        F.col("bucket").cast("long").alias("bucket"),
+    ).orderBy(id_col, "lsh_table")
+
+
+def lsh_bucket_assignments_oracle_sql(
+    table: str = "embeddings",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB recomputation of ``lsh_bucket_assignments``: the identical
+    md5-derived sign matrix (same helper) inlined as literal +/- terms in
+    the same left-to-right addition order, so each plane's dot product is
+    the same IEEE double and each bucket bit matches exactly."""
+    planes = _hyperplane_signs(n_planes * n_tables, dim)
+    selects = []
+    for t in range(n_tables):
+        bits = []
+        for i, signs in enumerate(planes[t * n_planes : (t + 1) * n_planes]):
+            chain = " + ".join(
+                f"({'' if s > 0 else '-'}CAST({vec_col}[{d + 1}] AS DOUBLE))"
+                for d, s in enumerate(signs)
+            )
+            bits.append(
+                f"CASE WHEN ({chain}) >= 0 THEN CAST({1 << i} AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END"
+            )
+        bucket = " + ".join(bits)
+        selects.append(
+            f"SELECT {id_col}, CAST({t} AS INT) AS lsh_table,\n"
+            f"       ({bucket}) AS bucket\nFROM {table}"
+        )
+    return "\nUNION ALL\n".join(selects) + f"\nORDER BY {id_col}, lsh_table"
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -80,6 +80,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_dedup(docs, threshold=0.8)  # unordered pair set (see above)
 
 
+@query("dedup_minhash_verified", _JACCARD_ORACLE.format(threshold=0.8))
+def q_dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle companion to the rows-only ``dedup_minhash_lsh``: the
+    banding is a candidate GENERATOR and every candidate is verified with
+    exact Jaccard, so when banding recall is 1.0 (this corpus — floor
+    pinned in tests/test_recall.py, and deterministic: xxhash64 band
+    hashes over fixed data) the output equals the exact n-gram Jaccard
+    pair set, hashable against the same independent SQL oracle. A banding
+    regression (wrong signature slice, permutation bug) that silently
+    dropped a true near-dup pair turns this row red instead of just
+    nudging an unchecked recall number."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(docs, threshold=0.8)
+
+
 _SIMHASH_ORACLE = r"""
 WITH words AS (
   SELECT doc_id,
@@ -182,6 +197,53 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4, n_tables=16
     )
+
+
+@query(
+    "similarity_lsh_buckets",
+    similarity.lsh_bucket_assignments_oracle_sql(n_planes=8, n_tables=2),
+)
+def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle companion to the rows-only ``similarity_lsh_topk``:
+    certifies the deterministic core of the LSH path — every vector's
+    (table, bucket) assignment through the same codegen expression — by
+    hash against DuckDB evaluating the identical literal sign matrix in
+    the identical addition order. A silent sign flip / plane-slice / bit
+    -order bug would degrade LSH recall without failing any rows-only
+    check; this row makes it a hard mismatch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_bucket_assignments(emb, n_planes=8, n_tables=2)
+
+
+@query(
+    "similarity_quantized_rerank",
+    """
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def q_similarity_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle companion to the rows-only ``similarity_quantized_topk``:
+    the int8 screen at oversample=4 retains every true neighbor on this
+    corpus (recall 1.00, floor pinned in tests/test_recall.py) and the
+    final scores come from the exact float rerank, so the full output —
+    ids, cosines, ranks — must hash-equal the brute-force oracle. A
+    quantization or oversampling regression that silently dropped a true
+    neighbor would flip this row red."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
 @query("similarity_ivf_topk", None)

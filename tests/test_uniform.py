@@ -164,7 +164,7 @@ def test_enable_and_initial_conversion(spark, tmp_path, events):
 
     # foreign-reader path sees exactly the Delta live set
     ice = {f["path"] for f in t.iceberg_files()}
-    delta = {os.path.join(uri, p) for p in t.file_paths()}
+    delta = {os.path.join(uri, p) for p in t.files()}
     assert ice == delta
     total = sum(f["record_count"] for f in t.iceberg_files())
     assert total == t.to_df(spark).count()
@@ -218,7 +218,7 @@ def test_delete_rewrites_only_affected_manifest(spark, tmp_path, events):
     t.delete(spark, f"r_regionkey = {second_batch_key}")
     t.update()
     ice = {f["path"] for f in t.iceberg_files()}
-    delta = {os.path.join(uri, p) for p in t.file_paths()}
+    delta = {os.path.join(uri, p) for p in t.files()}
     assert ice == delta
     assert sum(f["record_count"] for f in t.iceberg_files()) == t.to_df(spark).count()
     hint = int(open(os.path.join(uri, "metadata", "version-hint.text")).read())
