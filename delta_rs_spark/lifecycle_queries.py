@@ -958,7 +958,10 @@ def q_concurrent_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     barrier = threading.Barrier(2)
 
     def do_replace():
-        barrier.wait()
+        # bounded wait: if the sibling thread dies before reaching the
+        # barrier, BrokenBarrierError fails the query loudly instead of
+        # hanging the certification session forever
+        barrier.wait(timeout=120)
         write_deltalake(
             spark,
             replacement,
@@ -968,7 +971,7 @@ def q_concurrent_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def do_append():
-        barrier.wait()
+        barrier.wait(timeout=120)
         write_deltalake(spark, appended, uri, mode="append")
 
     with ThreadPoolExecutor(max_workers=2) as ex:

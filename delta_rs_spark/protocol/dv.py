@@ -410,6 +410,40 @@ def descriptor_positions(log, descriptor: dict[str, Any], add_path: str) -> list
     return decode_descriptor(descriptor, get_bytes)
 
 
+def descriptor_positions_for_root(
+    table_root: str, descriptor: dict[str, Any]
+) -> list[int]:
+    """Executor-side decode of a SPEC descriptor ('u'/'i'/'p'): sorted
+    deleted positions, self-contained — rebuilds the storage backend from
+    the table root string instead of needing the driver's Log object.
+
+    This is the scale path for streaming scans over DV'd tables: a batch
+    that plans 10k DV'd files ships 10k small descriptor dicts and decodes
+    each bitmap ON THE EXECUTOR that reads the file, instead of decoding
+    10k bitmaps serially on the driver at planning time and shipping the
+    (much larger) position lists. Legacy parquet-dir descriptors ('d')
+    still decode at planning time — they need the log's data plane."""
+    if not is_spec(descriptor):
+        raise ValueError(
+            f"executor-side decode supports spec descriptors only, got "
+            f"storageType={descriptor.get('storageType')!r}"
+        )
+
+    def get_bytes(rel_or_abs: str) -> bytes:
+        from .storage import parse_table_uri
+
+        if "://" in rel_or_abs:
+            normalized, backend = parse_table_uri(rel_or_abs)
+            return backend.get_obj(normalized)
+        if rel_or_abs.startswith("/"):
+            with open(rel_or_abs, "rb") as fh:
+                return fh.read()
+        root, backend = parse_table_uri(table_root)
+        return backend.get_obj(backend.join(root, rel_or_abs))
+
+    return decode_descriptor(descriptor, get_bytes)
+
+
 def add_positions(log, add) -> list[int]:
     """Memoized ``descriptor_positions`` for an AddAction (stats-style
     per-instance cache: pruning/scan/CDF may ask repeatedly)."""

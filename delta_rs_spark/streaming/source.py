@@ -48,6 +48,8 @@ class DeltaFilePartition(InputPartition):
         is_cdc_file: bool = False,
         dv_positions: list[int] | None = None,
         dv_mode: str = "drop",
+        dv_descriptor: dict | None = None,
+        table_root: str | None = None,
     ):
         self.file_uri = file_uri
         self.partition_values = partition_values
@@ -58,14 +60,21 @@ class DeltaFilePartition(InputPartition):
         self.change_type = change_type
         self.commit_version = commit_version
         self.is_cdc_file = is_cdc_file
-        # deletion vector: this file's deleted row positions, decoded from
-        # the RoaringBitmap descriptor at planning time (driver-side,
-        # bounded by cardinality — legacy parquet-dir descriptors decode
-        # through the same seam). Mode "drop" skips them (read live rows),
-        # mode "select" keeps ONLY them (CDF: rows newly deleted by a DV
-        # commit).
+        # deletion vector, one of two forms:
+        # - dv_descriptor (+ table_root): the spec RoaringBitmap descriptor,
+        #   decoded ON THE EXECUTOR that reads the file — the scale path (a
+        #   batch planning 10k DV'd files ships 10k small dicts, not 10k
+        #   driver-decoded position lists);
+        # - dv_positions: pre-decoded positions, used where planning MUST
+        #   decode anyway (CDF's newly-dead diff of two bitmaps) and for
+        #   legacy parquet-dir descriptors (they need the driver's data
+        #   plane).
+        # Mode "drop" skips the marked rows (read live rows), mode "select"
+        # keeps ONLY them (CDF: rows newly deleted by a DV commit).
         self.dv_positions = dv_positions
         self.dv_mode = dv_mode
+        self.dv_descriptor = dv_descriptor
+        self.table_root = table_root
 
 
 class DeltaStreamReader(DataSourceStreamReader):
@@ -227,9 +236,22 @@ class DeltaStreamReader(DataSourceStreamReader):
                     )
             for a in actions:
                 if isinstance(a, AddAction) and a.data_change:
-                    from ..protocol.dv import descriptor_positions
+                    from ..protocol.dv import descriptor_positions, is_spec
 
                     dv = a.deletion_vector
+                    if dv is not None and is_spec(dv):
+                        # spec descriptor: ship it and decode executor-side
+                        parts.append(
+                            DeltaFilePartition(
+                                log.readable(a.path),
+                                a.partition_values,
+                                meta.schema_string,
+                                meta.partition_columns,
+                                dv_descriptor=dict(dv),
+                                table_root=self.path,
+                            )
+                        )
+                        continue
                     parts.append(
                         DeltaFilePartition(
                             log.readable(a.path),
@@ -351,11 +373,21 @@ class DeltaStreamReader(DataSourceStreamReader):
         schema = schema_string_to_spark(partition.schema_json)
         arrow_schema = to_arrow_schema(schema)
         table = pq.read_table(partition.file_uri)
-        if partition.dv_positions is not None:
+        dv_positions = partition.dv_positions
+        if getattr(partition, "dv_descriptor", None) is not None:
+            # spec DV shipped undecoded: decode the RoaringBitmap here, on
+            # the executor that reads the file (planning stays O(1) per
+            # file no matter how many DV'd files a batch touches)
+            from ..protocol.dv import descriptor_positions_for_root
+
+            dv_positions = descriptor_positions_for_root(
+                partition.table_root, partition.dv_descriptor
+            )
+        if dv_positions is not None:
             # merge-on-read delete: planning shipped this file's deleted
             # positions (row_index == row order within the file, which
             # pq.read_table preserves) — vectorized boolean mask, no loop
-            marked = np.asarray(partition.dv_positions, dtype=np.int64)
+            marked = np.asarray(dv_positions, dtype=np.int64)
             marked = marked[(marked >= 0) & (marked < table.num_rows)]
             mask = np.zeros(table.num_rows, dtype=bool)
             if marked.size:

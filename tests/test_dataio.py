@@ -46,7 +46,7 @@ def test_memory_backend_mor_delete_swap_semantics(spark):
     read-back, metadata-only count fold."""
     uri = "memory://dataio/mor"
     t = _seed(spark, uri)
-    files_before = sorted(t.file_paths())
+    files_before = sorted(t.files())
 
     res = t.delete(spark, "k = 3")
     assert res["numDeletedRows"] == 40
@@ -54,7 +54,7 @@ def test_memory_backend_mor_delete_swap_semantics(spark):
     assert res["numDeletionVectorsAdded"] == 4
 
     t2 = DeltaTable(uri)
-    assert sorted(t2.file_paths()) == files_before  # no data rewrite
+    assert sorted(t2.files()) == files_before  # no data rewrite
     assert t2.to_df(spark).count() == 360
     assert t2.to_df(spark).filter("k = 3").count() == 0
     assert t2.count_rows() == 360

@@ -38,7 +38,7 @@ def _make_table(spark, path, enable_dv=True, enable_cdf=False, nfiles=4, rows=40
 def test_dv_delete_keeps_files_and_hides_rows(spark, tmp_path):
     path = str(tmp_path / "t")
     t = _make_table(spark, path)
-    files_before = sorted(t.file_paths())
+    files_before = sorted(t.files())
 
     res = t.delete(spark, "k = 3")
     assert res["numDeletedRows"] == 40
@@ -46,7 +46,7 @@ def test_dv_delete_keeps_files_and_hides_rows(spark, tmp_path):
     assert res["numDeletionVectorsAdded"] >= 1
 
     t2 = DeltaTable.for_path(path)
-    assert sorted(t2.file_paths()) == files_before
+    assert sorted(t2.files()) == files_before
     assert all(a.deletion_vector for a in t2.add_actions() if a.dv_cardinality)
     out = t2.to_df(spark)
     assert out.count() == 360
@@ -491,11 +491,15 @@ def test_dv_stream_partitions_filter_positions(spark, tmp_path):
         None, {"path": path, "startingversion": "0", "ignorechanges": "true"}
     )
     parts = reader2.partitions({"version": 0}, {"version": 1})
-    assert parts and all(p.dv_positions for p in parts)
-    rows = [r for p in parts for r in reader2.read(p)]
-    ks = [r[1] for r in rows]
-    assert len(rows) == 90
-    assert 4 not in ks
+    # spec DVs ship as descriptors and decode executor-side in read()
+    assert parts and all(
+        p.dv_descriptor is not None or p.dv_positions for p in parts
+    )
+    import pyarrow as pa
+
+    tbl = pa.Table.from_batches([b for p in parts for b in reader2.read(p)])
+    assert tbl.num_rows == 90
+    assert 4 not in set(tbl.column("k").to_pylist())
 
 
 def test_dv_read_plan_broadcasts_positions(spark, tmp_path):

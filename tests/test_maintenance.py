@@ -1057,7 +1057,7 @@ def test_auto_compact_on_clustered_table_is_small_file_bounded(spark, tmp_path):
         cluster_by=["k"],
     )
     t = DeltaTable(uri)
-    nfiles = len(t.file_paths())
+    nfiles = len(t.files())
     # compact_only (the autoCompact hook): clustering must NOT make every
     # file a candidate — nothing is below target here except tiny files,
     # and with only one file per slot there is nothing to merge

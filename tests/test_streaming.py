@@ -806,3 +806,42 @@ def test_stream_source_read_arrow_dv_mask(spark, tmp_path):
     assert sel.column("id").to_pylist() == [order[i] for i in dead]
     assert sel.column("_change_type").to_pylist() == ["delete", "delete"]
     assert sel.column("_commit_version").to_pylist() == [1, 1]
+
+
+def test_stream_source_executor_side_dv_decode(spark, tmp_path):
+    """Spec DV descriptors ship UNDECODED in the partition and decode on
+    the executor inside read() — planning stays O(1) per file regardless
+    of how many DV'd files a batch touches. Legacy/CDF paths still ship
+    positions."""
+    import pyarrow as pa
+    from collections import Counter
+
+    from delta_rs_spark.streaming.source import DeltaStreamReader
+
+    uri = str(tmp_path / "dv_exec")
+    write_deltalake(
+        spark,
+        spark.range(0, 10).coalesce(1).select("id"),
+        uri,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    DeltaTable(uri).delete(spark, "id % 3 = 0")  # v1: merge-on-read DV swap
+
+    reader = DeltaStreamReader(
+        schema=None, options={"path": uri, "ignorechanges": "true"}
+    )
+    reader.initialOffset()
+    parts = reader.partitions({"version": -1}, {"version": 1})
+    dv_parts = [p for p in parts if p.dv_descriptor is not None]
+    assert dv_parts, "expected the v1 re-emitted add to carry a DV descriptor"
+    assert all(p.dv_positions is None for p in dv_parts)
+
+    got: list[int] = []
+    for p in parts:
+        got.extend(
+            pa.Table.from_batches(list(reader.read(p))).column("id").to_pylist()
+        )
+    # v0 full add (all 10) + v1 re-emitted DV'd add (7 live rows only)
+    c = Counter(got)
+    assert all(c[i] == 2 for i in range(10) if i % 3 != 0)
+    assert all(c[i] == 1 for i in range(0, 10, 3))
