@@ -20,10 +20,24 @@ caches, released on the next call — or immediately via an explicit
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+# Tracked persists are per-THREAD: two catalog queries built concurrently on
+# different threads (the conflict-matrix lifecycle queries already run racing
+# transactions on threads) must not release each other's in-flight
+# intermediates — a shared list would let one thread's depth-0 entry
+# unpersist another query's caches mid-build.
+_LOCAL = threading.local()
+
+
+def _tracked() -> list[DataFrame]:
+    lst = getattr(_LOCAL, "tracked", None)
+    if lst is None:
+        lst = _LOCAL.tracked = []
+    return lst
 
 
 def persist_tracked(
@@ -32,7 +46,7 @@ def persist_tracked(
     """Persist a reused intermediate and register it for release when the
     next catalog query begins (or on an explicit :func:`release_tracked`)."""
     df = df.persist(level)
-    _TRACKED.append(df)
+    _tracked().append(df)
     return df
 
 
@@ -40,15 +54,19 @@ def track(df: DataFrame) -> DataFrame:
     """Register an ALREADY-persisted frame for release with the tracked set
     (for operators that manage persist/unpersist internally during an
     iteration but whose final persisted result outlives the function)."""
-    _TRACKED.append(df)
+    _tracked().append(df)
     return df
 
 
 def release_tracked() -> None:
-    """Unpersist every tracked intermediate (non-blocking, error-tolerant:
-    a stopped SparkSession or already-released frame is not an error)."""
-    while _TRACKED:
-        df = _TRACKED.pop()
+    """Unpersist every intermediate tracked by THIS thread (non-blocking,
+    error-tolerant: a stopped SparkSession or already-released frame is not
+    an error). A caller that builds several query DataFrames before
+    collecting any should materialize them one at a time — release happens
+    when the next catalog query starts on the same thread."""
+    lst = _tracked()
+    while lst:
+        df = lst.pop()
         try:
             df.unpersist()
         except Exception:

@@ -251,20 +251,62 @@ def _avro_logical(ftype) -> tuple[Optional[str], int]:
     return None, 0
 
 
-def _avro_canon(ftype) -> tuple[str, Optional[str], int]:
-    """Canonical (base type, logicalType, decimal scale) of an Avro field
-    type, unwrapping a nullable union — the decode-relevant identity of a
-    field. Two files whose fields differ in any component decode
-    DIFFERENTLY (timestamp-millis vs -micros is a silent 1000x; a decimal
-    scale change mis-scales every value), so ingest compares these and
-    fails loudly on drift instead of applying the first file's decode map."""
+def _avro_canon(ftype):
+    """Canonical (base type, logicalType, decimal scale[, nested...]) of an
+    Avro field type, unwrapping a nullable union — the decode-relevant
+    identity of a field. Two files whose fields differ in any component
+    decode DIFFERENTLY (timestamp-millis vs -micros is a silent 1000x; a
+    decimal scale change mis-scales every value), so ingest compares these
+    and fails loudly on drift instead of applying the first file's decode
+    map. Complex types carry their element identity recursively: an array
+    whose ITEM type drifted (e.g. items int -> string) is just as much a
+    decode change as a top-level drift, and without the recursion it would
+    only surface later — and less clearly — at Arrow conversion."""
     if isinstance(ftype, list):
         branches = [b for b in ftype if b != "null"]
         ftype = branches[0] if branches else "null"
     if isinstance(ftype, dict):
-        base = ftype.get("type", "record")
-        return str(base), ftype.get("logicalType"), int(ftype.get("scale", 0) or 0)
+        base = str(ftype.get("type", "record"))
+        head = (base, ftype.get("logicalType"), int(ftype.get("scale", 0) or 0))
+        if base == "array":
+            return head + (_avro_canon(ftype.get("items", "null")),)
+        if base == "map":
+            return head + (_avro_canon(ftype.get("values", "null")),)
+        if base == "record":
+            return head + tuple(
+                (f["name"], _avro_canon(f["type"]))
+                for f in ftype.get("fields", [])
+            )
+        return head
     return str(ftype), None, 0
+
+
+# Avro-legal promotions (Avro spec §Schema Resolution) that decode correctly
+# file-by-file — read_container decodes each file with its OWN embedded
+# schema, so int/long (or float/double) files yield correct Python values
+# either way; the only requirement is that the TABLE column is the wide type
+# so every file's values fit. Keyed by the wide Spark type name.
+_AVRO_WIDENING_FAMILIES = {
+    "long": {"int", "long"},
+    "double": {"int", "long", "float", "double"},
+}
+
+
+def _avro_drift_ok(first, this, table_type) -> bool:
+    """True when two differing canonical identities are an Avro-legal
+    numeric widening pair that still fits the table column — allowed in
+    either file order (the first file seen may be the narrow OR the wide
+    one). Logical types never qualify: a timestamp/decimal drift changes
+    meaning, not just width."""
+    if first == this:
+        return True
+    if len(first) != 3 or len(this) != 3:
+        return False
+    (base_a, lt_a, _), (base_b, lt_b, _) = first, this
+    if lt_a is not None or lt_b is not None:
+        return False
+    family = _AVRO_WIDENING_FAMILIES.get(table_type.typeName())
+    return family is not None and base_a in family and base_b in family
 
 
 def _read_avro(spark: SparkSession, files: list[str], table_schema):
@@ -304,6 +346,7 @@ def _read_avro(spark: SparkSession, files: list[str], table_schema):
     out_schema = _T.StructType(out_fields)
     logicals = {n: _avro_logical(t) for n, t in avro_fields.items()}
     canon = {n: _avro_canon(t) for n, t in avro_fields.items()}
+    table_types = {f.name: f.dataType for f in out_fields}
     def _convert(name: str, values: list):
         import datetime as _dt
         import decimal as _decimal
@@ -380,12 +423,19 @@ def _read_avro(spark: SparkSession, files: list[str], table_schema):
                         " present in the first file's schema"
                     )
                 # ...and a column whose TYPE drifted (base, logicalType, or
-                # decimal scale) would silently decode wrong under the first
-                # file's logical-type map — same loud-failure contract
+                # decimal scale — recursively through array items / map
+                # values / record fields) would silently decode wrong under
+                # the first file's logical-type map — same loud-failure
+                # contract. Avro-legal numeric widenings (int<->long,
+                # float<->double) that fit the table column are NOT drift:
+                # each file decodes with its own embedded schema, so both
+                # widths yield correct values.
                 drifted = {
                     n: (canon[n], _avro_canon(ftypes[n]))
                     for n in col_names
-                    if _avro_canon(ftypes[n]) != canon[n]
+                    if not _avro_drift_ok(
+                        canon[n], _avro_canon(ftypes[n]), table_types[n]
+                    )
                 }
                 if drifted:
                     detail = "; ".join(

@@ -634,11 +634,19 @@ def source_vocab_overlap(
     bounded driver metadata (one row per SOURCE, tens at 100 TB), the
     same class as stats rows; this keeps a cartesian product out of the
     executor plan entirely. Every count is exact BIGINT.
+
+    NOTE: unlike most operators here, construction is EAGER — building the
+    pair universe runs one small Spark job (the per-source sizes collect)
+    before the lazy result frame is returned. NULL sources are excluded up
+    front: a source-less document belongs to no pair (the SQL oracle's
+    ``a.s < b.s`` predicate never matches NULL either), and driver-side
+    ``sorted()`` over mixed None/str keys would raise.
     """
     from ..caching import persist_tracked
 
     sv = (
-        df.select(
+        df.filter(F.col(source_col).isNotNull())
+        .select(
             F.col(source_col).alias("s"),
             F.explode(
                 F.filter(

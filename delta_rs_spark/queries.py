@@ -42,8 +42,13 @@ class QueryDef:
 QUERIES: dict[str, QueryDef] = {}
 
 # >0 while building a catalog query; composed queries (a catalog query that
-# internally calls another) must not release the parent's tracked persists
-_BUILD_DEPTH = 0
+# internally calls another) must not release the parent's tracked persists.
+# Thread-LOCAL, matching caching._tracked(): concurrent query builds on
+# different threads must not observe each other's depth (a shared counter
+# would suppress — or worse, trigger — another thread's release).
+import threading as _threading
+
+_DEPTH = _threading.local()
 
 
 def query(name: str, oracle: Optional[str], headline: bool = False):
@@ -52,21 +57,21 @@ def query(name: str, oracle: Optional[str], headline: bool = False):
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            global _BUILD_DEPTH
             from .caching import release_tracked
 
-            if _BUILD_DEPTH == 0:
+            depth = getattr(_DEPTH, "value", 0)
+            if depth == 0:
                 # release the PREVIOUS query's persisted intermediates: the
                 # caller has materialized that query's result by now (the
                 # driver/bench collect right after each call), so its caches
                 # are dead weight — without this, a 118-query session pins
                 # every query's lineage for its lifetime
                 release_tracked()
-            _BUILD_DEPTH += 1
+            _DEPTH.value = depth + 1
             try:
                 return fn(spark, sf_dir)
             finally:
-                _BUILD_DEPTH -= 1
+                _DEPTH.value = depth
 
         QUERIES[name] = QueryDef(spark=wrapped, oracle=oracle, headline=headline)
         return fn

@@ -388,7 +388,18 @@ class DeltaStreamReader(DataSourceStreamReader):
             # positions (row_index == row order within the file, which
             # pq.read_table preserves) — vectorized boolean mask, no loop
             marked = np.asarray(dv_positions, dtype=np.int64)
-            marked = marked[(marked >= 0) & (marked < table.num_rows)]
+            if marked.size and (
+                marked.min() < 0 or marked.max() >= table.num_rows
+            ):
+                # a corrupt or mispaired DV descriptor; silently dropping
+                # the out-of-range positions would emit fewer delete rows
+                # than the DV cardinality in CDF mode and mask corruption
+                bad = marked[(marked < 0) | (marked >= table.num_rows)]
+                raise ValueError(
+                    f"deletion vector for {partition.file_uri} marks "
+                    f"position(s) outside the file's {table.num_rows} rows "
+                    f"(e.g. {bad[:5].tolist()}) — corrupt or mispaired DV"
+                )
             mask = np.zeros(table.num_rows, dtype=bool)
             if marked.size:
                 mask[marked] = True

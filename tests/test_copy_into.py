@@ -356,3 +356,69 @@ def test_copy_into_avro_timestamp_is_utc_instant_in_any_session_zone(
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert got == micros
+
+
+def test_copy_into_avro_numeric_widening_is_not_drift(spark, tmp_path):
+    """Avro-legal promotions (int->long here, in EITHER file order) decode
+    correctly file-by-file — read_container uses each file's own embedded
+    schema — so they must load, not fail the drift check, as long as the
+    table column is the wide type."""
+    target = str(tmp_path / "t_widen")
+    write_deltalake(
+        spark, spark.createDataFrame([], "id bigint, v bigint"), target
+    )
+
+    def _schema(vtype):
+        return {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "v", "type": vtype},
+            ],
+        }
+
+    # wide file first, narrow file second: the non-directional case
+    _write_avro(
+        str(tmp_path / "widen" / "a.avro"), _schema("long"), [{"id": 1, "v": 10}]
+    )
+    _write_avro(
+        str(tmp_path / "widen" / "b.avro"), _schema("int"), [{"id": 2, "v": 20}]
+    )
+    res = copy_into(spark, target, str(tmp_path / "widen"), file_format="avro")
+    assert res["num_inserted_rows"] == 2
+    rows = {r.id: r.v for r in DeltaTable(target).to_df(spark).collect()}
+    assert rows == {1: 10, 2: 20}
+
+
+def test_copy_into_avro_nested_item_drift_fails_loudly(spark, tmp_path):
+    """An array column whose ITEM type drifted is a decode change just like
+    a top-level drift — the recursive canonical identity must catch it at
+    the check (clearly), not later at Arrow conversion (opaquely)."""
+    target = str(tmp_path / "t_ndrift")
+    write_deltalake(
+        spark, spark.createDataFrame([], "id bigint, xs array<bigint>"), target
+    )
+
+    def _schema(items):
+        return {
+            "type": "record",
+            "name": "row",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "xs", "type": {"type": "array", "items": items}},
+            ],
+        }
+
+    _write_avro(
+        str(tmp_path / "ndrift" / "a.avro"),
+        _schema("long"),
+        [{"id": 1, "xs": [1, 2]}],
+    )
+    _write_avro(
+        str(tmp_path / "ndrift" / "b.avro"),
+        _schema("string"),
+        [{"id": 2, "xs": ["a"]}],
+    )
+    with pytest.raises(Exception, match="drifted"):
+        copy_into(spark, target, str(tmp_path / "ndrift"), file_format="avro")

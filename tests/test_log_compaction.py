@@ -91,11 +91,11 @@ def test_reconciliation_net_file_state(multi_commit_table):
     assert not (add_paths & rm_paths)
     # folding the compaction on top of version 0 gives the final state
     t_full = DeltaTable(multi_commit_table)
-    assert {os.path.basename(p) for p in t_full.file_paths()} == {
+    assert {os.path.basename(p) for p in t_full.file_uris()} == {
         os.path.basename(p) for p in add_paths
     } | {
         os.path.basename(p)
-        for p in DeltaTable.for_version(multi_commit_table, 0).file_paths()
+        for p in DeltaTable.for_version(multi_commit_table, 0).file_uris()
         if os.path.basename(p) not in {os.path.basename(r) for r in rm_paths}
     }
 

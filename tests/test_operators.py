@@ -1351,6 +1351,23 @@ def test_source_vocab_overlap_emits_disjoint_pairs(spark):
     ]
 
 
+def test_source_vocab_overlap_ignores_null_sources(spark):
+    """A source-less document belongs to no pair: NULL sources are excluded
+    up front (the SQL oracle's a.s < b.s never matches NULL either) instead
+    of crashing the driver-side sorted() on None vs str."""
+    from delta_rs_spark.operators import corpus
+
+    rows = [
+        (1, "alpha beta", "s1"),
+        (2, "alpha gamma", "s2"),
+        (3, "alpha omega", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = [tuple(r) for r in corpus.source_vocab_overlap(df).collect()]
+    assert [(r[0], r[1]) for r in got] == [("s1", "s2")]
+    assert got[0][2:6] == (2, 2, 1, 3)  # omega never joins any vocabulary
+
+
 def test_hashed_classifier_matches_duckdb_oracle(spark):
     import duckdb
 

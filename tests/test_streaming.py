@@ -808,6 +808,24 @@ def test_stream_source_read_arrow_dv_mask(spark, tmp_path):
     assert sel.column("_commit_version").to_pylist() == [1, 1]
 
 
+def test_stream_source_out_of_range_dv_positions_raise(spark, tmp_path):
+    """A DV marking positions beyond the file's row count is corrupt or
+    mispaired; silently dropping those positions would under-emit delete
+    rows in CDF mode — read() must fail loudly instead."""
+    import pytest as _pytest
+
+    from delta_rs_spark.streaming.source import DeltaStreamReader
+
+    uri = str(tmp_path / "arrow_dv_oob")
+    write_deltalake(spark, spark.range(0, 8).coalesce(1).select("id"), uri)
+    reader = DeltaStreamReader(schema=None, options={"path": uri})
+    reader.initialOffset()
+    (part,) = reader.partitions({"version": -1}, {"version": 0})
+    part.dv_positions, part.dv_mode = [1, 99], "drop"
+    with _pytest.raises(ValueError, match="corrupt or mispaired"):
+        list(reader.read(part))
+
+
 def test_stream_source_executor_side_dv_decode(spark, tmp_path):
     """Spec DV descriptors ship UNDECODED in the partition and decode on
     the executor inside read() — planning stays O(1) per file regardless
