@@ -56,6 +56,16 @@ def _workdir(name: str, sf_dir: str) -> str:
     return path
 
 
+class StreamDrainTimeout(RuntimeError):
+    """A bounded-drain streaming attempt did not finish within its window.
+
+    Raised by the certified stream queries' drain loops instead of a bare
+    ``RuntimeError`` so the retry harness can tell box slowness (retryable:
+    every attempt rebuilds sink + checkpoint from scratch, so no partial
+    aggregate can leak into a later attempt) from a genuine wrong answer
+    (assertion errors — never retried)."""
+
+
 def _stream_attempts(label: str, attempt_fn, attempts: int = 2) -> DataFrame:
     """Run ``attempt_fn(i) -> DataFrame`` with ONE bounded retry on streaming
     failure.
@@ -67,16 +77,17 @@ def _stream_attempts(label: str, attempt_fn, attempts: int = 2) -> DataFrame:
     4x. The streaming certified queries are deterministic and rebuild their
     sink + checkpoint per attempt, so one in-query retry restores parity
     with production task-retry semantics without masking real failures:
-    only ``StreamingQueryException`` retries (an engine bug fails both
-    attempts identically); timeouts and assertion errors propagate
-    immediately."""
+    only ``StreamingQueryException`` (task death) and
+    :class:`StreamDrainTimeout` (box slowness — the drain window is sized
+    for a loaded box, not a saturated one) retry; an engine bug fails both
+    attempts identically, and assertion errors propagate immediately."""
     from pyspark.errors import StreamingQueryException
 
     last: Exception | None = None
     for i in range(attempts):
         try:
             return attempt_fn(i)
-        except StreamingQueryException as exc:
+        except (StreamingQueryException, StreamDrainTimeout) as exc:
             last = exc
     raise RuntimeError(
         f"{label}: streaming query failed on all {attempts} attempts"
@@ -406,7 +417,7 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             # timed out: the sink holds a PARTIAL aggregate — certifying it
             # would blame the engine for a slow box. Stop the orphan and fail.
             q.stop()
-            raise RuntimeError("stream_events_hourly did not drain within 300s")
+            raise StreamDrainTimeout("stream_events_hourly did not drain within 300s")
         return spark.table(sink).orderBy("hour", "event_type")
 
     return _stream_attempts("stream_events_hourly", _attempt)
@@ -473,7 +484,7 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise RuntimeError("stream_user_totals did not drain within 300s")
+            raise StreamDrainTimeout("stream_user_totals did not drain within 300s")
         return (
             spark.table(sink)
             .groupBy("user_id")
@@ -670,7 +681,7 @@ def q_stream_hourly_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                         break
                 _time.sleep(0.5)
             if not reached:
-                raise RuntimeError(
+                raise StreamDrainTimeout(
                     "stream_hourly_watermark: watermark did not reach "
                     f"{target_wm} within 240s"
                 )
@@ -745,7 +756,7 @@ def q_stream_delta_sink_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise RuntimeError(
+            raise StreamDrainTimeout(
                 "stream_delta_sink_pipeline did not drain within 300s"
             )
         return DeltaTable(dst).to_df(spark).orderBy("event_id")
@@ -804,7 +815,7 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise RuntimeError("stream_dedup_events did not drain within 300s")
+            raise StreamDrainTimeout("stream_dedup_events did not drain within 300s")
         return spark.table(sink).select(
             "event_id", "ts", "user_id", "event_type", "value", "props"
         ).orderBy("event_id")
@@ -890,7 +901,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not q.awaitTermination(300):
             q.stop()
-            raise RuntimeError("stream_stream_join did not drain within 300s")
+            raise StreamDrainTimeout("stream_stream_join did not drain within 300s")
         return spark.table(sink).orderBy("error_id", "click_id")
 
     return _stream_attempts("stream_stream_join", _attempt)

@@ -863,3 +863,48 @@ def test_stream_source_executor_side_dv_decode(spark, tmp_path):
     c = Counter(got)
     assert all(c[i] == 2 for i in range(10) if i % 3 != 0)
     assert all(c[i] == 1 for i in range(0, 10, 3))
+
+
+def test_stream_attempts_retries_task_death_and_timeout_only():
+    """The bounded retry harness restores production task-retry parity on a
+    maxFailures=1 local session: StreamingQueryException (task death) and
+    StreamDrainTimeout (box slowness) each get ONE retry — every attempt
+    rebuilds sink + checkpoint, so a retry cannot certify a partial
+    aggregate — while assertion errors (wrong answers) never retry."""
+    import pytest as _pytest
+    from pyspark.errors import StreamingQueryException
+
+    from delta_rs_spark.lifecycle_queries import (
+        StreamDrainTimeout,
+        _stream_attempts,
+    )
+
+    calls = []
+
+    def flaky_timeout(i):
+        calls.append(i)
+        if i == 0:
+            raise StreamDrainTimeout("did not drain")
+        return "ok"
+
+    assert _stream_attempts("t", flaky_timeout) == "ok"
+    assert calls == [0, 1]
+
+    def always_timeout(i):
+        raise StreamDrainTimeout("did not drain")
+
+    with _pytest.raises(RuntimeError, match="failed on all 2 attempts"):
+        _stream_attempts("t", always_timeout)
+
+    def flaky_task_death(i):
+        if i == 0:
+            raise StreamingQueryException("worker died")
+        return "ok"
+
+    assert _stream_attempts("t", flaky_task_death) == "ok"
+
+    def wrong_answer(i):
+        raise AssertionError("bad rows")
+
+    with _pytest.raises(AssertionError):
+        _stream_attempts("t", wrong_answer)
