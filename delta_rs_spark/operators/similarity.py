@@ -199,7 +199,18 @@ def train_ivf_centroids(
         means = (
             assigned.select("list_id", F.posexplode("c_v").alias("pos", "val"))
             .groupBy("list_id", "pos")
-            .agg(F.avg("val").alias("m"))
+            # order-insensitive mean: quantize to DECIMAL, sum exactly,
+            # divide — float avg() would make the trained centroids (and so
+            # the list assignment) vary with shuffle reduction order, and
+            # the determinism contract is pinned by tests/test_recall.py
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(25,12)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
             .groupBy("list_id")
             .agg(
                 F.transform(
@@ -228,18 +239,33 @@ def ivf_topk(
     Corpus vectors are assigned to their nearest centroid list (one
     partition-pruning equi-join key); each query probes its ``n_probe``
     nearest lists and reranks exactly inside them. Recall tunes with
-    n_probe/n_list. The list assignment is an equi-join, so at scale the
+    n_probe/n_list; at ``n_probe = n_list`` probing is exhaustive and the
+    output provably equals :func:`cosine_topk` (the certified companion
+    ``similarity_ivf_exact`` hash-matches the brute-force oracle on exactly
+    this property). The list assignment is an equi-join, so at scale the
     candidate generation shuffles n·n_probe/n_list rows instead of n² pairs.
+
+    Vectors stay RAW end to end: a vector's own norm is a positive scalar,
+    so it cannot change which centroid dots rank highest (assignment is
+    norm-invariant), and the rerank then scores with the SAME
+    dot/(|q|·|c|) expression as :func:`cosine_topk` — bit-identical
+    cosines, so the approximate path and the exact baseline never disagree
+    on a shared (query, neighbor) pair.
     """
     cents = train_ivf_centroids(corpus, n_list, iters, id_col, vec_col)
 
-    c = _assign_lists(_unit(_with_norm(corpus, id_col, vec_col, "c"), "c"), cents, "c", 1)
-    q = _assign_lists(_unit(_with_norm(queries, id_col, vec_col, "q"), "q"), cents, "q", n_probe)
+    c = _assign_lists(_with_norm(corpus, id_col, vec_col, "c"), cents, "c", 1)
+    q = _assign_lists(_with_norm(queries, id_col, vec_col, "q"), cents, "q", n_probe)
 
     scored = (
         q.join(c, "list_id")
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cosine", F.round(_dot(F.col("q_v"), F.col("c_v")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine(F.col("q_v"), F.col("c_v"), F.col("q_norm"), F.col("c_norm")), 6
+            ),
+        )
         # each corpus vector lives in exactly one list, so (query, neighbor)
         # pairs are already unique — no dedup shuffle needed
     )

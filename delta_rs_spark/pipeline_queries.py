@@ -153,9 +153,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
-@query(
-    "similarity_topk",
-    """
+# Brute-force cosine top-10 for queries vec_id < 5 — the shared oracle for
+# the exact path (similarity_topk) and every approximate path whose
+# deterministic configuration provably reduces to brute force
+# (similarity_quantized_rerank: lossless int8 screen at oversample=4;
+# similarity_ivf_exact: exhaustive probing at n_probe = n_list).
+_BRUTE_FORCE_TOPK_ORACLE = """
     SELECT query_id, neighbor_id, cosine, rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -170,7 +173,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE q.vec_id < 5
     ) WHERE rank <= 10
     ORDER BY query_id, rank
-    """,
+    """
+
+
+@query(
+    "similarity_topk",
+    _BRUTE_FORCE_TOPK_ORACLE,
     headline=True,
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,25 +223,7 @@ def q_similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_bucket_assignments(emb, n_planes=8, n_tables=2)
 
 
-@query(
-    "similarity_quantized_rerank",
-    """
-    SELECT query_id, neighbor_id, cosine, rank FROM (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
-             ROW_NUMBER() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
-                        c.vec_id
-             ) AS rank
-      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-      WHERE q.vec_id < 5
-    ) WHERE rank <= 10
-    ORDER BY query_id, rank
-    """,
-)
+@query("similarity_quantized_rerank", _BRUTE_FORCE_TOPK_ORACLE)
 def q_similarity_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-oracle companion to the rows-only ``similarity_quantized_topk``:
     the int8 screen at oversample=4 retains every true neighbor on this
@@ -256,6 +246,22 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=10, n_list=8, n_probe=6
+    )
+
+
+@query("similarity_ivf_exact", _BRUTE_FORCE_TOPK_ORACLE)
+def q_similarity_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle companion to the rows-only ``similarity_ivf_topk``: at
+    ``n_probe = n_list`` every query probes every list, so the IVF output —
+    centroid train (order-insensitive decimal means), norm-invariant list
+    assignment, probe join, exact rerank — must equal brute force row for
+    row, cosine for cosine (the rerank shares ``cosine_topk``'s exact
+    scoring expression). A centroid-train or assignment regression that
+    silently dropped a candidate list flips this row red; recall at the
+    production probe width stays pinned in tests/test_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_list=8, n_probe=8
     )
 
 

@@ -81,3 +81,26 @@ def test_minhash_lsh_pair_recall_and_precision(spark):
     recall = len(mh & true_pairs) / len(true_pairs)
     assert recall >= 0.95, f"minhash pair recall dropped to {recall}"
     assert mh <= true_pairs, f"false positives slipped past verify: {mh - true_pairs}"
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark, emb):
+    """n_probe = n_list makes IVF probing exhaustive: the full output —
+    ids, exact-rerank cosines, ranks — must equal cosine_topk row for row
+    (the property the certified companion similarity_ivf_exact hashes
+    against the brute-force oracle)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = [tuple(r) for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    ivf = [
+        tuple(r)
+        for r in similarity.ivf_topk(emb, q, k=10, n_list=8, n_probe=8).collect()
+    ]
+    assert ivf == exact
+
+
+def test_ivf_centroid_training_is_deterministic(spark, emb):
+    """Centroid training must not vary with shuffle reduction order: the
+    Lloyd means are exact decimal sums, and the seeds are xxhash64-picked —
+    identical centroids from differently-partitioned input, bit for bit."""
+    c1 = similarity.train_ivf_centroids(emb.repartition(3), n_list=8)
+    c2 = similarity.train_ivf_centroids(emb.repartition(7), n_list=8)
+    assert c1 == c2
