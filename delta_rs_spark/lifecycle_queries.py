@@ -996,3 +996,160 @@ def q_concurrent_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("final_version", F.lit(t.version).cast("long"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "incremental_rollup_lifecycle",
+    """
+    WITH src AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_m
+      FROM events WHERE event_id % 3 IN (0, 1)
+    ),
+    live AS (
+      SELECT event_type,
+             CASE WHEN event_type = 'click' THEN value_m + 7
+                  ELSE value_m END AS value_m
+      FROM src WHERE event_id % 5 <> 0
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           CAST(SUM(value_m) AS BIGINT) AS sum_value_m
+    FROM live
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_incremental_rollup_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized rollup certified end to end against the full
+    recompute: seed a CDF-enabled events table → BOOTSTRAP the rollup →
+    append a second batch (v1) → DELETE (v2) → UPDATE a measure (v3) →
+    one incremental refresh folding v1..v3's change feed into the rollup
+    via signed partial aggregates + MERGE. The oracle recomputes the final
+    grouped counts/sums from the source parquet, so a refresh that loses a
+    delete's −1, double-counts an update's pre/post pair, or misses a new
+    group hash-mismatches. Work in the refresh is ∝ the three commits'
+    changed rows, never table size — the property that makes hourly
+    maintenance of a 100 TB rollup feasible. The measure is a fixed-point
+    BIGINT (round(value·100)): counter semantics at scale, and the signed
+    ± folding stays exact where a double sum would drift from the
+    recompute."""
+    from . import DeltaTable
+    from .operators.incremental import incremental_rollup
+    from .writer import write_deltalake
+
+    src_uri = _workdir("incroll-src", sf_dir)
+    agg_uri = _workdir("incroll-agg", sf_dir)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_m"),
+    )
+    write_deltalake(
+        spark,
+        events.filter(F.col("event_id") % 3 == 0).repartition(4),
+        src_uri,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    # bootstrap at v0 so the second refresh exercises the INCREMENTAL path
+    incremental_rollup(
+        spark,
+        DeltaTable(src_uri),
+        agg_uri,
+        group_cols=["event_type"],
+        sum_cols=["value_m"],
+    )
+    write_deltalake(  # v1: append batch 2
+        spark,
+        events.filter(F.col("event_id") % 3 == 1),
+        src_uri,
+        mode="append",
+    )
+    t = DeltaTable(src_uri)
+    t.delete(spark, "event_id % 5 = 0")  # v2: merge-on-read delete
+    t = DeltaTable(src_uri)
+    t.update_where(spark, "event_type = 'click'", {"value_m": "value_m + 7"})  # v3
+    res = incremental_rollup(
+        spark,
+        DeltaTable(src_uri),
+        agg_uri,
+        group_cols=["event_type"],
+        sum_cols=["value_m"],
+    )
+    assert not res["bootstrapped"], "second refresh must be incremental"
+    return DeltaTable(agg_uri).to_df(spark).orderBy("event_type")
+
+
+@query(
+    "dedup_index_lifecycle",
+    """
+    WITH b1 AS (
+      SELECT md5(text) AS key_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY text
+    ),
+    b2all AS (
+      SELECT md5(text) AS key_hash, doc_id
+      FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT md5('UPDATED-' || CAST(doc_id AS VARCHAR)) AS key_hash, doc_id
+      FROM documents WHERE doc_id % 10 = 3
+    ),
+    b2 AS (
+      SELECT key_hash, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+      FROM b2all
+      WHERE key_hash NOT IN (SELECT key_hash FROM b1)
+      GROUP BY key_hash
+    )
+    SELECT key_hash, doc_id FROM b1
+    UNION ALL
+    SELECT key_hash, doc_id FROM b2
+    ORDER BY key_hash
+    """,
+)
+def q_dedup_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact-dedup index certified end to end against the full
+    recompute: seed a CDF-enabled corpus with the EVEN doc_ids → build the
+    index → append the odd doc_ids (v1) → UPDATE some documents' text to a
+    unique sentinel (v2) → one incremental refresh. First-seen semantics:
+    a hash already indexed from batch 1 keeps its batch-1 doc_id even if
+    batch 2 carries a smaller one, new hashes take the MIN doc_id within
+    the refresh window, and an UPDATE's postimage introduces new content
+    exactly like an insert (the old hash stays — the index grows one-way).
+    The oracle reconstructs precisely that fold from the source parquet,
+    so a refresh that misses postimages, re-adds an indexed hash, or
+    collapses the anti-join the wrong way hash-mismatches."""
+    from . import DeltaTable
+    from .operators.dedup import update_dedup_index
+    from .writer import write_deltalake
+
+    src_uri = _workdir("dedupidx-src", sf_dir)
+    idx_uri = _workdir("dedupidx-idx", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_deltalake(
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 0).repartition(4),
+        src_uri,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    update_dedup_index(spark, DeltaTable(src_uri), idx_uri, key_cols=["text"])
+    write_deltalake(  # v1: the odd half, first-seen now split across batches
+        spark,
+        docs.filter(F.col("doc_id") % 2 == 1),
+        src_uri,
+        mode="append",
+    )
+    t = DeltaTable(src_uri)
+    t.update_where(  # v2: updated content enters the index via postimages
+        spark,
+        "doc_id % 10 = 3",
+        {"text": "concat('UPDATED-', cast(doc_id AS string))"},
+    )
+    res = update_dedup_index(spark, DeltaTable(src_uri), idx_uri, key_cols=["text"])
+    assert res["processed_versions"] == 2, "refresh must cover v1..v2 only"
+    return DeltaTable(idx_uri).to_df(spark).orderBy("key_hash")
