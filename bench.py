@@ -13,10 +13,14 @@ noise from ambient load, and min-of-N is the standard estimator for what a
 plan actually costs.
 
 Alongside the stdout line, a sidecar ``BENCH_PLANS.json`` records per-query
-plan-shape metrics (scan/exchange/join-strategy/codegen counts from the
-formatted physical plan) and ALL three run timings — so a slow round can be
-attributed: unchanged node counts + one inflated run = box noise; a changed
-exchange/join count = a real plan regression worth chasing.
+plan-shape metrics from the EXECUTED plan (post-AQE, post-collect — the
+only plan whose join strategies and codegen spans are real; the
+pre-execution formatted plan carries no codegen markers and can silently
+demote a broadcast under size misestimation) plus ALL three run timings,
+and a ``vs_prev`` block diffing each query against the previous round's
+sidecar — so a slow round can be attributed on evidence: unchanged node
+counts + one inflated run = box noise; a changed exchange/join count = a
+real plan regression worth chasing.
 """
 
 from __future__ import annotations
@@ -28,31 +32,70 @@ import sys
 import time
 
 
+def _plan_dict(summary) -> dict:
+    s = dataclasses.asdict(summary)
+    # drop the verbose per-scan schema/filter lists; keep countable shape
+    s["pushed_filters"] = len([p for p in s.pop("pushed_filters") if p])
+    s["read_schema_cols"] = [len(c) for c in s.pop("read_schemas")]
+    return s
+
+
+def _vs_prev(name: str, plan: dict, runs: list, prev: dict) -> dict:
+    """Diff this round's executed plan + runs against the previous sidecar
+    entry: plan-shape deltas (field: old -> new) and the run-spread facts
+    needed to tell noise from regression."""
+    entry = (prev.get("queries") or {}).get(name)
+    if not entry:
+        return {"prev": None}
+    prev_plan, prev_runs = entry.get("plan") or {}, entry.get("runs_sec") or []
+    changed = {
+        k: [prev_plan[k], plan[k]]
+        for k in sorted(set(prev_plan) & set(plan))
+        if prev_plan[k] != plan[k] and not isinstance(plan[k], list)
+    }
+    out = {
+        "plan_changed": changed,
+        "runs_prev_sec": prev_runs,
+        "best_ratio": (
+            round(min(runs) / min(prev_runs), 3) if prev_runs else None
+        ),
+    }
+    if prev.get("summary_mode") != "executed":
+        # the previous round summarized the PRE-execution plan (no codegen
+        # markers, pre-AQE node counts) — flag so a codegen_spans 0 -> N
+        # "change" is read as a measurement fix, not a plan change
+        out["prev_mode"] = "pre_execution"
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     here = os.path.dirname(os.path.abspath(__file__))
     sys.path.insert(0, here)
 
     from delta_rs_spark.catalog import QUERIES
-    from delta_rs_spark.plans import summarize
+    from delta_rs_spark.plans import summarize_executed
     from delta_rs_spark.session import get_spark
 
     spark = get_spark("bench")
 
     bench_names = [name for name, qd in QUERIES.items() if qd.headline]
 
+    sidecar_path = os.path.join(here, "BENCH_PLANS.json")
+    try:
+        with open(sidecar_path) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        prev = {}
+
     # warmup pass: compile every headline plan once (codegen + AQE planning
     # are one-time costs; steady-state is what the plan actually costs) and
-    # capture each plan's shape for the sidecar
+    # capture each EXECUTED plan's shape for the sidecar
     plans: dict[str, dict] = {}
     for name in bench_names:
         df = QUERIES[name].spark(spark, sf_dir)
-        s = dataclasses.asdict(summarize(df))
-        # drop the verbose per-scan schema/filter lists; keep countable shape
-        s["pushed_filters"] = len([p for p in s.pop("pushed_filters") if p])
-        s["read_schema_cols"] = [len(c) for c in s.pop("read_schemas")]
-        plans[name] = s
         df.collect()
+        plans[name] = _plan_dict(summarize_executed(df))
 
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
@@ -67,12 +110,17 @@ def main() -> None:
             best = min(best, dt)
         timings[name] = round(best, 4)
 
-    with open(os.path.join(here, "BENCH_PLANS.json"), "w") as fh:
+    with open(sidecar_path, "w") as fh:
         json.dump(
             {
                 "sf_dir": sf_dir,
+                "summary_mode": "executed",
                 "queries": {
-                    n: {"runs_sec": runs[n], "plan": plans[n]}
+                    n: {
+                        "runs_sec": runs[n],
+                        "plan": plans[n],
+                        "vs_prev": _vs_prev(n, plans[n], runs[n], prev),
+                    }
                     for n in bench_names
                 },
             },

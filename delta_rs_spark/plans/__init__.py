@@ -64,6 +64,49 @@ def summarize(df: DataFrame) -> PlanSummary:
     )
 
 
+def summarize_executed(df: DataFrame) -> PlanSummary:
+    """Summarize the plan that actually RAN — call after materializing
+    ``df`` (collect/count/write), not before.
+
+    Under AQE the pre-execution formatted plan is a proposal: join
+    strategies can demote (a misestimated broadcast becomes a sort-merge),
+    shuffles coalesce, and whole-stage codegen annotations don't exist yet
+    (which is why :func:`summarize` reports ``codegen_spans=0`` on an
+    un-executed AQE plan — assert codegen on THIS summary). Reads the
+    final ``executedPlan`` tree, slicing off the "Initial Plan" section
+    AdaptiveSparkPlan appends, so every count reflects executed reality."""
+    text = df._jdf.queryExecution().executedPlan().toString()
+    cut = text.find("== Initial Plan ==")
+    if cut != -1:
+        text = text[:cut]
+    schemas = [
+        [c.split(":")[0] for c in m.split(",") if ":" in c]
+        for m in re.findall(r"ReadSchema: struct<([^>]*)>", text)
+    ]
+
+    def nodes(name: str) -> int:
+        # executed toString prints nodes inline (with `*(N)` codegen
+        # prefixes and tree art); word boundaries keep Exchange from
+        # matching inside BroadcastExchange
+        return len(re.findall(rf"\b{name}\b", text))
+
+    return PlanSummary(
+        scans=len(re.findall(r"\b(?:File)?Scan parquet\b", text)),
+        exchanges=nodes("Exchange"),
+        broadcast_hash_joins=nodes("BroadcastHashJoin"),
+        sort_merge_joins=nodes("SortMergeJoin"),
+        shuffled_hash_joins=nodes("ShuffledHashJoin"),
+        nested_loop_joins=nodes("BroadcastNestedLoopJoin") + nodes("CartesianProduct"),
+        windows=nodes("Window"),
+        # executed toString TRUNCATES long bracket lists mid-entry (no
+        # closing ]) — capture to ] or end of line; content may end in
+        # "..." but presence/absence per scan stays reliable
+        pushed_filters=re.findall(r"PushedFilters: \[([^\]\n]*)", text),
+        read_schemas=schemas,
+        codegen_spans=len(set(re.findall(r"\*\((\d+)\)", text))),
+    )
+
+
 def assert_filter_pushed(df: DataFrame, column: str) -> None:
     """Fail unless some parquet scan carries a pushed filter on `column`."""
     s = summarize(df)

@@ -264,3 +264,25 @@ def test_rolling_zscore_single_scan_pruned_window(q):
     assert s.windows >= 1
     assert not s.nested_loop_joins
     assert all("props" not in cols for cols in s.read_schemas)
+
+
+HEADLINE = [name for name, qd in QUERIES.items() if qd.headline]
+
+
+@pytest.mark.parametrize("name", HEADLINE)
+def test_headline_executed_plan_survives_aqe(spark, sf_dir, name):
+    """Re-summarize AFTER materialization: the pre-execution checks above
+    can't see AQE demoting a misestimated broadcast to a sort-merge join,
+    and the executed tree is the only place whole-stage codegen is visible
+    at all. Every headline query must keep its joins broadcast (no SMJ /
+    shuffled-hash anywhere) and run with at least one codegen span."""
+    from delta_rs_spark.plans import summarize_executed
+
+    df = QUERIES[name].spark(spark, sf_dir)
+    df.collect()
+    s = summarize_executed(df)
+    assert s.sort_merge_joins == 0, f"{name}: broadcast demoted to SMJ"
+    assert s.shuffled_hash_joins == 0, f"{name}: shuffled-hash join appeared"
+    if name not in CARTESIAN_OK:
+        assert s.nested_loop_joins == 0, f"{name}: nested-loop in executed plan"
+    assert s.codegen_spans >= 1, f"{name}: no whole-stage codegen span ran"
