@@ -15,76 +15,84 @@ from . import lifecycle_queries as _lifecycle_queries  # noqa: F401  (registers)
 from . import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
 from .queries import QUERIES, headline_queries, oracle_sql, queries
 
-# Round-4 window: (1) the round-3 red row first; (2) the 18 queries queued
-# since round 3 with no driver row yet; (3) the new round-4 queries
-# (concurrent-transactions surface + exact-oracle companions to the
-# approximate paths); (4) the 4 recall-contract rows-only entries (kept in
-# every window so their rows-only signal stays current); (5) round-3-green
-# rows filling the remaining slots for a second green. After round 4, every
-# one of the catalog queries has >=1 green driver row across rounds 1-4.
+# Round-5 window: (1) the queries NEW this round (the exact-oracle IVF
+# companion and the two incremental-maintenance lifecycle rows — the last
+# operator family without driver visibility); (2) the 4 recall-contract
+# rows-only entries (kept in every window so their rows-only signal stays
+# current); (3) 43 of the 50 relational queries certified in rounds 1-2 —
+# by round 5 they are the stalest driver signal in the repo (3 rounds),
+# while the pipeline surface just re-greened in round 4. Seven relational
+# rows whose operator class is covered by an in-window sibling wait for
+# round 6 (q_union_except ~ q_set_ops; q_cube_status_priority ~
+# q_rollup_status/q_grouping_sets; q_events_funnel/pivot/retention/
+# value_stats ~ q_events_hourly/json_props/sessions; q_part_cooccurrence ~
+# q_self_join_parts) — the window holds 50 and 3 + 4 + 43 fills it.
 _ROTATION = [
-    # -- (1) round-3 red row (executor task death; now Arrow-batch read +
-    # bounded in-query retry) ----------------------------------------------
-    "stream_events_hourly",
-    # -- (2) queued since round 3, never driver-certified -------------------
-    "widening_uniform_lifecycle",
-    "corpus_unigram_lm",
-    "sample_global_shuffle",
-    "embedding_random_projection",
-    "text_gopher_rules",
-    "text_boilerplate_ratio",
-    "dedup_semantic_keeplist",
-    "corpus_dsir_importance",
-    "stream_user_totals",
-    "clone_lifecycle",
-    "events_rolling_zscore",
-    "corpus_pmi_bigrams",
-    "corpus_source_overlap",
-    "text_hash_classifier",
-    "stream_hourly_watermark",
-    "stream_delta_sink_pipeline",
-    "stream_dedup_events",
-    "stream_stream_join",
-    # -- (3) new in round 4 --------------------------------------------------
-    "concurrent_lifecycle",
-    "similarity_lsh_buckets",
-    "similarity_quantized_rerank",
-    "dedup_minhash_verified",
-    # -- (4) recall-contract rows-only entries (floors pinned in
-    # tests/test_recall.py; deterministic projections certified by the
-    # companions above) ------------------------------------------------------
+    # -- (1) new in round 5 --------------------------------------------------
+    "similarity_ivf_exact",
+    "incremental_rollup_lifecycle",
+    "dedup_index_lifecycle",
+    # -- (2) recall-contract rows-only entries (floors pinned in
+    # tests/test_recall.py; deterministic cores certified by the exact
+    # companions similarity_ivf_exact / similarity_quantized_rerank /
+    # similarity_lsh_buckets / dedup_minhash_verified) ------------------------
     "dedup_minhash_lsh",
     "similarity_quantized_topk",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
-    # -- (5) round-3 greens re-certifying for a second green ----------------
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "dedup_keeplist",
-    "similarity_topk",
-    "embedding_centroid_norms",
-    "embedding_quantize_int8",
-    "text_lang_id",
-    "text_quality_score",
-    "multimodal_features",
-    "asof_join_events",
-    "range_join_error_windows",
-    "ts_resample_locf",
-    "skew_salted_count_distinct",
-    "sample_stratified_exact",
-    "profile_price_histogram",
-    "pipeline_corpus_curation",
-    "features_lifecycle",
-    "cdf_changes_window",
-    "q_zorder_pruned_scan",
-    "corpus_vocab_stats",
-    # -- beyond the 50-window (all have green driver rows from rounds 1-3;
-    # kept registered in their original order below) -------------------------
+    # -- (3) relational surface, last certified round 2 ----------------------
     "q1_pricing_summary",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_promo_volume_suppliers",
+    "q21_returned_not_accepted",
+    "q22_idle_customers",
+    "q_minmax_agg",
+    "q_filter_sort_project",
+    "q_semi_join",
+    "q_anti_join",
+    "q_outer_join_nulls",
+    "q_self_join_parts",
+    "q_window_topk_orders",
+    "q_window_running_revenue",
+    "q_window_lag_events",
+    "q_rollup_status",
+    "q_grouping_sets",
+    "q_set_ops",
+    "q_scalar_subquery",
+    "q_string_functions",
+    "q_date_functions",
+    "q_percentiles",
+    "q_array_functions",
+    "q_referential_integrity",
+    "q_events_hourly",
+    "q_events_json_props",
+    "q_events_sessions",
+    # -- beyond the 50-window: the 7 deferred relational rows lead round 6,
+    # followed by everything else in original registration order ------------
+    "q_union_except",
+    "q_cube_status_priority",
+    "q_events_funnel",
+    "q_events_pivot",
+    "q_events_retention",
+    "q_events_value_stats",
+    "q_part_cooccurrence",
 ]
 
 
