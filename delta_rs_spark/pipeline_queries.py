@@ -265,6 +265,88 @@ def q_similarity_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Measured recall of the four approximate operators at the driver's
+# certification scale (sf0.01), pinned as oracle literals: the operators
+# are fully deterministic (md5 hyperplanes, xxhash64 permutations/seeds,
+# decimal-exact centroid means), so these are CONTRACTS, not observations —
+# a parameter or kernel change that moves recall flips the row red on the
+# driver, the same way tests/test_recall.py flips locally.
+_RECALL_CONTRACTS_ORACLE = """
+    SELECT * FROM (VALUES
+      ('ivf_topk@10 8 lists probe 6', CAST(0.9 AS DOUBLE)),
+      ('lsh_topk@10 4 planes x 16 tables', CAST(0.9 AS DOUBLE)),
+      ('minhash_pair_precision t=0.8', CAST(1.0 AS DOUBLE)),
+      ('minhash_pair_recall t=0.8', CAST(1.0 AS DOUBLE)),
+      ('quantized_topk@10 int8 oversample 4', CAST(1.0 AS DOUBLE))
+    ) AS t(contract, measured)
+    ORDER BY contract
+    """
+
+
+@query("recall_contracts", _RECALL_CONTRACTS_ORACLE)
+def q_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall contracts as a driver-hashable row: each approximate
+    operator's recall (and minhash precision) measured DISTRIBUTIVELY
+    against the exact baseline computed in the same job — semi-join hit
+    counts over the (query, neighbor) / (doc_a, doc_b) pair sets, ratios as
+    1-row broadcast crosses. The oracle pins the measured values at sf0.01
+    as literals. Valid at the certification scale only (recall is a
+    corpus-dependent measurement); other scales keep the floor tests."""
+    from .caching import persist_tracked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = emb.filter(F.col("vec_id") < 5)
+
+    exact = persist_tracked(
+        similarity.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    )
+
+    def _ratio(contract: str, num_df: DataFrame, den_df: DataFrame) -> DataFrame:
+        num = num_df.agg(F.count(F.lit(1)).alias("num"))
+        den = den_df.agg(F.count(F.lit(1)).alias("den"))
+        return num.crossJoin(den).select(
+            F.lit(contract).alias("contract"),
+            F.round(F.col("num") / F.col("den"), 4).alias("measured"),
+        )
+
+    def _topk_recall(contract: str, approx: DataFrame) -> DataFrame:
+        hits = approx.select("query_id", "neighbor_id").join(
+            exact, ["query_id", "neighbor_id"], "left_semi"
+        )
+        return _ratio(contract, hits, exact)
+
+    true_pairs = persist_tracked(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3).select("doc_a", "doc_b")
+    )
+    mh_pairs = persist_tracked(
+        dedup.minhash_lsh_dedup(docs, threshold=0.8).select("doc_a", "doc_b")
+    )
+    mh_hits = mh_pairs.join(true_pairs, ["doc_a", "doc_b"], "left_semi")
+
+    return (
+        _topk_recall(
+            "ivf_topk@10 8 lists probe 6",
+            similarity.ivf_topk(emb, q, k=10, n_list=8, n_probe=6),
+        )
+        .unionAll(
+            _topk_recall(
+                "lsh_topk@10 4 planes x 16 tables",
+                similarity.lsh_topk(emb, q, k=10, n_planes=4, n_tables=16),
+            )
+        )
+        .unionAll(
+            _topk_recall(
+                "quantized_topk@10 int8 oversample 4",
+                similarity.quantized_topk(emb, q, k=10),
+            )
+        )
+        .unionAll(_ratio("minhash_pair_recall t=0.8", mh_hits, true_pairs))
+        .unionAll(_ratio("minhash_pair_precision t=0.8", mh_hits, mh_pairs))
+        .orderBy("contract")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------

@@ -89,6 +89,8 @@ CARTESIAN_OK = {
     "corpus_unigram_lm",      # 1-row total-token-count broadcast
     "corpus_dsir_importance",  # 1-row (N_t, N_r, |V|) scalar broadcast
     "corpus_pmi_bigrams",     # 1-row (N, M) corpus-totals broadcast
+    "recall_contracts",       # 1-row hit/total count crosses + the exact
+                              # brute-force baseline it measures against
 }
 
 
