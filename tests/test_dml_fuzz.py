@@ -461,3 +461,134 @@ def test_concurrent_mixed_workload_fuzz(spark, tmp_path):
     )
     assert versions == list(range(len(versions)))
     assert validate_checksum(t) in (True, None)
+
+
+@pytest.mark.parametrize("seed", [13, 31])
+def test_incremental_maintenance_matches_recompute_under_fuzz(
+    spark, tmp_path, seed
+):
+    """The two incremental-maintenance operators, driven by a random DML
+    sequence with refreshes at random points, must always equal the model:
+
+    - incremental_rollup: grouped (count, sum) over the LIVE rows — signed
+      CDF folding across any interleaving of appends / MoR deletes /
+      measure updates, multi-version refresh windows included;
+    - update_dedup_index: first-seen (hash -> doc_id) fold — a hash keeps
+      the doc_id of the refresh window that introduced it, new hashes take
+      the window-minimum id, update postimages count as introductions,
+      deletes never un-index.
+
+    This is the integration net under the two certified lifecycle rows
+    (which pin ONE fixed sequence each)."""
+    import hashlib as _hashlib
+
+    from delta_rs_spark.operators.dedup import update_dedup_index
+    from delta_rs_spark.operators.incremental import incremental_rollup
+
+    rng = random.Random(seed)
+    uri = str(tmp_path / f"incr{seed}")
+    rollup_uri = str(tmp_path / f"incr{seed}-rollup")
+    index_uri = str(tmp_path / f"incr{seed}-index")
+
+    def _docs(spark, ids):
+        # text collides across ids (mod 40) so dedup has real work
+        return spark.createDataFrame(
+            [(i, str(i % 5), i * 3, f"t{i % 40}") for i in ids],
+            "id long, grp string, m long, text string",
+        )
+
+    next_id = 150
+    model: dict[int, tuple[str, int, str]] = {
+        i: (str(i % 5), i * 3, f"t{i % 40}") for i in range(150)
+    }
+    write_deltalake(
+        spark,
+        _docs(spark, range(150)),
+        uri,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    # model of the index: text-hash -> first-seen doc id; pending = content
+    # introduced since the last refresh (inserts + update postimages)
+    index_model: dict[str, int] = {}
+    pending: list[tuple[int, str]] = [(i, t) for i, (_, _, t) in model.items()]
+    history = ["seed(150)"]
+
+    def _refresh_and_check():
+        # rollup refresh vs live-row recompute
+        incremental_rollup(
+            spark, DeltaTable(uri), rollup_uri, group_cols=["grp"], sum_cols=["m"]
+        )
+        want_rollup: dict[str, tuple[int, int]] = {}
+        for g, m, _ in model.values():
+            n, s = want_rollup.get(g, (0, 0))
+            want_rollup[g] = (n + 1, s + m)
+        got_rollup = {
+            r.grp: (r.n_rows, r.sum_m)
+            for r in DeltaTable(rollup_uri).to_df(spark).collect()
+        }
+        assert got_rollup == want_rollup, f"rollup diverged after {history}"
+
+        # index refresh vs first-seen fold of the pending introductions
+        update_dedup_index(
+            spark, DeltaTable(uri), index_uri, key_cols=["text"], id_col="id"
+        )
+        by_hash: dict[str, int] = {}
+        for i, t in pending:
+            h = _hashlib.md5(t.encode()).hexdigest()
+            by_hash[h] = min(by_hash.get(h, i), i)
+        for h, i in by_hash.items():
+            index_model.setdefault(h, i)
+        pending.clear()
+        got_index = {
+            r.key_hash: r.doc_id
+            for r in DeltaTable(index_uri).to_df(spark).collect()
+        }
+        assert got_index == index_model, f"index diverged after {history}"
+
+    _refresh_and_check()  # bootstrap both maintained tables
+    history.append("bootstrap")
+
+    for step in range(8):
+        op = rng.choice(["append", "delete", "update_m", "update_text"])
+        t = DeltaTable(uri)
+        if op == "append":
+            n = rng.randrange(15, 40)
+            ids = range(next_id, next_id + n)
+            write_deltalake(spark, _docs(spark, ids), uri, mode="append")
+            for i in ids:
+                model[i] = (str(i % 5), i * 3, f"t{i % 40}")
+                pending.append((i, f"t{i % 40}"))
+            next_id += n
+            history.append(f"append({n})")
+        elif op == "delete":
+            k, r = rng.choice([(7, 3), (5, 1), (11, 0)])
+            t.delete(spark, f"id % {k} = {r}")
+            model = {i: row for i, row in model.items() if i % k != r}
+            history.append(f"delete(id%{k}={r})")
+        elif op == "update_m":
+            k, r = rng.choice([(4, 1), (6, 5)])
+            t.update_where(spark, f"id % {k} = {r}", {"m": "m + 1000"})
+            model = {
+                i: ((g, m + 1000, x) if i % k == r else (g, m, x))
+                for i, (g, m, x) in model.items()
+            }
+            history.append(f"update_m(id%{k}={r})")
+        else:
+            k, r = rng.choice([(9, 2), (8, 7)])
+            t.update_where(
+                spark,
+                f"id % {k} = {r}",
+                {"text": "concat('u', cast(id AS string))"},
+            )
+            for i, (g, m, _x) in list(model.items()):
+                if i % k == r:
+                    model[i] = (g, m, f"u{i}")
+                    pending.append((i, f"u{i}"))
+            history.append(f"update_text(id%{k}={r})")
+
+        if rng.random() < 0.5 or step == 7:
+            _refresh_and_check()
+            history.append("refresh")
