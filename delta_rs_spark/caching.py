@@ -15,7 +15,8 @@ The contract here: every persist inside a catalog query goes through
 so a query composed of other catalog queries does not release its own
 intermediates mid-build). Residue is therefore bounded to one query's
 caches, released on the next call — or immediately via an explicit
-``release_tracked()`` from a harness that wants a clean session tail.
+``release_all_tracked()`` from a harness that wants a clean session tail
+(``release_tracked()`` frees only the calling thread's entries).
 """
 
 from __future__ import annotations
@@ -29,15 +30,18 @@ from pyspark.sql import DataFrame
 # different threads (the conflict-matrix lifecycle queries already run racing
 # transactions on threads) must not release each other's in-flight
 # intermediates — a shared list would let one thread's depth-0 entry
-# unpersist another query's caches mid-build.
-_LOCAL = threading.local()
+# unpersist another query's caches mid-build. The per-thread lists live in
+# one lock-guarded registry (not threading.local) so a harness cleanup can
+# still release EVERYTHING — including frames persisted on a worker thread
+# that has since exited, which a pure thread-local would strand in Spark's
+# cache registry for the session lifetime.
+_LOCK = threading.Lock()
+_BY_THREAD: dict[int, list[DataFrame]] = {}
 
 
 def _tracked() -> list[DataFrame]:
-    lst = getattr(_LOCAL, "tracked", None)
-    if lst is None:
-        lst = _LOCAL.tracked = []
-    return lst
+    with _LOCK:
+        return _BY_THREAD.setdefault(threading.get_ident(), [])
 
 
 def persist_tracked(
@@ -64,7 +68,21 @@ def release_tracked() -> None:
     an error). A caller that builds several query DataFrames before
     collecting any should materialize them one at a time — release happens
     when the next catalog query starts on the same thread."""
-    lst = _tracked()
+    _drain(_tracked())
+
+
+def release_all_tracked() -> None:
+    """Unpersist every tracked intermediate from EVERY thread — the
+    whole-session cleanup for a harness that wants a clean tail, and the
+    only way to free frames persisted on a worker thread that has exited."""
+    with _LOCK:
+        lists = list(_BY_THREAD.values())
+        _BY_THREAD.clear()
+    for lst in lists:
+        _drain(lst)
+
+
+def _drain(lst: list[DataFrame]) -> None:
     while lst:
         df = lst.pop()
         try:

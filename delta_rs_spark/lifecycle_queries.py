@@ -66,6 +66,20 @@ class StreamDrainTimeout(RuntimeError):
     (assertion errors — never retried)."""
 
 
+
+def _drain_or_timeout(q, label: str, secs: int = 300) -> None:
+    """``awaitTermination`` with the retryable-timeout contract: a drain
+    that does not finish within its window stops the orphan query and
+    raises :class:`StreamDrainTimeout` (retried once by
+    :func:`_stream_attempts`). One definition so the five availableNow
+    stream queries cannot drift in timeout/stop/retry semantics."""
+    if not q.awaitTermination(secs):
+        # timed out: the sink holds a PARTIAL result — certifying it would
+        # blame the engine for a slow box. Stop the orphan and fail.
+        q.stop()
+        raise StreamDrainTimeout(f"{label} did not drain within {secs}s")
+
+
 def _stream_attempts(label: str, attempt_fn, attempts: int = 2) -> DataFrame:
     """Run ``attempt_fn(i) -> DataFrame`` with ONE bounded retry on streaming
     failure.
@@ -413,11 +427,7 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            # timed out: the sink holds a PARTIAL aggregate — certifying it
-            # would blame the engine for a slow box. Stop the orphan and fail.
-            q.stop()
-            raise StreamDrainTimeout("stream_events_hourly did not drain within 300s")
+        _drain_or_timeout(q, "stream_events_hourly")
         return spark.table(sink).orderBy("hour", "event_type")
 
     return _stream_attempts("stream_events_hourly", _attempt)
@@ -482,9 +492,7 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise StreamDrainTimeout("stream_user_totals did not drain within 300s")
+        _drain_or_timeout(q, "stream_user_totals")
         return (
             spark.table(sink)
             .groupBy("user_id")
@@ -754,11 +762,7 @@ def q_stream_delta_sink_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise StreamDrainTimeout(
-                "stream_delta_sink_pipeline did not drain within 300s"
-            )
+        _drain_or_timeout(q, "stream_delta_sink_pipeline")
         return DeltaTable(dst).to_df(spark).orderBy("event_id")
 
     return _stream_attempts("stream_delta_sink_pipeline", _attempt)
@@ -813,9 +817,7 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise StreamDrainTimeout("stream_dedup_events did not drain within 300s")
+        _drain_or_timeout(q, "stream_dedup_events")
         return spark.table(sink).select(
             "event_id", "ts", "user_id", "event_type", "value", "props"
         ).orderBy("event_id")
@@ -899,9 +901,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise StreamDrainTimeout("stream_stream_join did not drain within 300s")
+        _drain_or_timeout(q, "stream_stream_join")
         return spark.table(sink).orderBy("error_id", "click_id")
 
     return _stream_attempts("stream_stream_join", _attempt)

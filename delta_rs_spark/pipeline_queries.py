@@ -322,7 +322,11 @@ def q_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh_pairs = persist_tracked(
         dedup.minhash_lsh_dedup(docs, threshold=0.8).select("doc_a", "doc_b")
     )
-    mh_hits = mh_pairs.join(true_pairs, ["doc_a", "doc_b"], "left_semi")
+    # persisted like the other shared frames: feeds BOTH the recall and the
+    # precision ratio, and the semi-join would otherwise run twice
+    mh_hits = persist_tracked(
+        mh_pairs.join(true_pairs, ["doc_a", "doc_b"], "left_semi")
+    )
 
     return (
         _topk_recall(

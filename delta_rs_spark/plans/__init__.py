@@ -38,29 +38,43 @@ def _plan_text(df: DataFrame) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
-def summarize(df: DataFrame) -> PlanSummary:
-    text = _plan_text(df)
-    schemas = [
-        [c.split(":")[0] for c in m.split(",") if ":" in c]
-        for m in re.findall(r"ReadSchema: struct<([^>]*)>", text)
-    ]
-
-    def nodes(name: str) -> int:
-        # formatted explain shows each node in the tree AND as a numbered
-        # "(N) Name" detail block — count the numbered headers only
-        return len(re.findall(rf"^\(\d+\) {name}", text, re.MULTILINE))
-
+def _build_summary(text, nodes, scan_re, pushed_re, codegen_re) -> PlanSummary:
+    """One assembly for both plan-text dialects — a new PlanSummary field
+    (or a schema-parser fix) lands in formatted AND executed summaries, so
+    the bench sidecar's vs_prev diffs can't skew from a one-sided edit."""
     return PlanSummary(
-        scans=nodes("Scan parquet"),
+        scans=len(re.findall(scan_re, text)),
         exchanges=nodes("Exchange"),
         broadcast_hash_joins=nodes("BroadcastHashJoin"),
         sort_merge_joins=nodes("SortMergeJoin"),
         shuffled_hash_joins=nodes("ShuffledHashJoin"),
         nested_loop_joins=nodes("BroadcastNestedLoopJoin") + nodes("CartesianProduct"),
         windows=nodes("Window"),
-        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", text),
-        read_schemas=schemas,
-        codegen_spans=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", text))),
+        pushed_filters=re.findall(pushed_re, text),
+        read_schemas=[
+            [c.split(":")[0] for c in m.split(",") if ":" in c]
+            for m in re.findall(r"ReadSchema: struct<([^>]*)>", text)
+        ],
+        codegen_spans=len(set(re.findall(codegen_re, text))),
+    )
+
+
+def summarize(df: DataFrame) -> PlanSummary:
+    text = _plan_text(df)
+
+    def nodes(name: str) -> int:
+        # formatted explain shows each node in the tree AND as a numbered
+        # "(N) Name" detail block — count the numbered headers only
+        return len(re.findall(rf"^\(\d+\) {name}", text, re.MULTILINE))
+
+    return _build_summary(
+        text,
+        nodes,
+        scan_re=r"(?m)^\(\d+\) Scan parquet",
+        pushed_re=r"PushedFilters: \[([^\]]*)\]",
+        # pre-execution AQE plans carry no codegen markers: this is 0
+        # until the plan runs — assert codegen via summarize_executed
+        codegen_re=r"WholeStageCodegen \((\d+)\)",
     )
 
 
@@ -79,10 +93,6 @@ def summarize_executed(df: DataFrame) -> PlanSummary:
     cut = text.find("== Initial Plan ==")
     if cut != -1:
         text = text[:cut]
-    schemas = [
-        [c.split(":")[0] for c in m.split(",") if ":" in c]
-        for m in re.findall(r"ReadSchema: struct<([^>]*)>", text)
-    ]
 
     def nodes(name: str) -> int:
         # executed toString prints nodes inline (with `*(N)` codegen
@@ -90,20 +100,15 @@ def summarize_executed(df: DataFrame) -> PlanSummary:
         # matching inside BroadcastExchange
         return len(re.findall(rf"\b{name}\b", text))
 
-    return PlanSummary(
-        scans=len(re.findall(r"\b(?:File)?Scan parquet\b", text)),
-        exchanges=nodes("Exchange"),
-        broadcast_hash_joins=nodes("BroadcastHashJoin"),
-        sort_merge_joins=nodes("SortMergeJoin"),
-        shuffled_hash_joins=nodes("ShuffledHashJoin"),
-        nested_loop_joins=nodes("BroadcastNestedLoopJoin") + nodes("CartesianProduct"),
-        windows=nodes("Window"),
+    return _build_summary(
+        text,
+        nodes,
+        scan_re=r"\b(?:File)?Scan parquet\b",
         # executed toString TRUNCATES long bracket lists mid-entry (no
         # closing ]) — capture to ] or end of line; content may end in
         # "..." but presence/absence per scan stays reliable
-        pushed_filters=re.findall(r"PushedFilters: \[([^\]\n]*)", text),
-        read_schemas=schemas,
-        codegen_spans=len(set(re.findall(r"\*\((\d+)\)", text))),
+        pushed_re=r"PushedFilters: \[([^\]\n]*)",
+        codegen_re=r"\*\((\d+)\)",
     )
 
 

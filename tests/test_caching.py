@@ -32,3 +32,25 @@ def test_release_tracked_is_thread_local(spark):
     assert mine.storageLevel.useMemory
     release_tracked()
     assert not mine.storageLevel.useMemory
+
+
+def test_release_all_tracked_reaches_dead_threads(spark):
+    """Frames persisted on a worker thread that has exited must still be
+    releasable — release_all_tracked() is the whole-session cleanup."""
+    from delta_rs_spark.caching import release_all_tracked
+
+    holder = {}
+
+    def worker():
+        df = persist_tracked(spark.range(7))
+        df.count()
+        holder["df"] = df
+
+    t = threading.Thread(target=worker)
+    t.start()
+    t.join(60)
+    assert holder["df"].storageLevel.useMemory
+    release_tracked()  # wrong thread: must NOT free the worker's frame
+    assert holder["df"].storageLevel.useMemory
+    release_all_tracked()
+    assert not holder["df"].storageLevel.useMemory
