@@ -765,3 +765,73 @@ SELECT doc_id, n_tokens,
 FROM scored
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line dedup (CCNet-style boilerplate line removal)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove lines that repeat across the CORPUS from every document —
+    the CCNet/RefinedWeb first-pass cleaner (nav bars, cookie banners,
+    license footers repeat verbatim across millions of pages; dropping
+    corpus-hot lines removes boilerplate that per-document heuristics
+    cannot see).
+
+    A line's dedup key is ``lower(trim(line))``; lines whose key is empty
+    (blank / whitespace-only) are structure, not content — never counted,
+    always kept. Lines whose key occurs ``>= min_count`` times corpus-wide
+    are removed from EVERY document (including the first occurrence, per
+    CCNet). Output: one row per input document — the reassembled text
+    (original line order), lines kept, lines removed; a document whose
+    every line was hot comes back with empty text, not silently dropped
+    (the caller decides whether an emptied doc survives).
+
+    100 TB shape: one explode pass -> line-key count (map-side combinable
+    shuffle) -> the HOT dictionary only (bounded by corpus redundancy,
+    usually small enough for AQE to broadcast) -> left-anti join -> one
+    reassembly shuffle keyed by document. No UDFs, no driver collect.
+    """
+    lines = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    key = F.lower(F.trim(F.col("line")))
+    hot = (
+        lines.select(key.alias("line_key"))
+        .filter(F.col("line_key") != "")
+        .groupBy("line_key")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("line_key")
+    )
+    kept = (
+        lines.withColumn("line_key", key)
+        .join(hot, "line_key", "left_anti")
+        .drop("line_key")
+    )
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s.line,
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    base = df.select(
+        id_col, F.size(F.split(F.col(text_col), "\n")).alias("_n_lines")
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+        (F.col("_n_lines") - F.coalesce("n_lines_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_lines_removed"),
+    )

@@ -1434,6 +1434,75 @@ def q_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.boilerplate_ratio(docs, n=3, max_doc_freq=50).orderBy("doc_id")
 
 
+_LINE_DEDUP_ORACLE = """
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    multiline AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(range(0, CAST(ceil(len(ws)/3.0) AS INT)),
+                              i -> array_to_string(ws[i*3+1 : i*3+3], ' ')),
+               chr(10)) AS text
+      FROM docs
+    ),
+    lines AS (
+      SELECT doc_id, u.s.pos AS pos, u.s.line AS line
+      FROM multiline,
+           UNNEST(list_transform(string_split(text, chr(10)),
+                                 (x, i) -> {'pos': i, 'line': x})) AS u(s)
+    ),
+    hot AS (
+      SELECT lower(trim(line)) AS line_key FROM lines
+      WHERE lower(trim(line)) <> ''
+      GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM lines
+      WHERE lower(trim(line)) = ''
+         OR lower(trim(line)) NOT IN (SELECT line_key FROM hot)
+    ),
+    kept_agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           COALESCE(k.text_dedup, '') AS text_dedup,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_lines_kept,
+           CAST(len(string_split(m.text, chr(10))) - COALESCE(k.n_kept, 0)
+                AS BIGINT) AS n_lines_removed
+    FROM multiline m LEFT JOIN kept_agg k USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("text_line_dedup", _LINE_DEDUP_ORACLE)
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide line dedup, certified end to end. The
+    synthetic corpus has no newlines, so the query first manufactures a
+    deterministic multi-line corpus (3-word chunks joined by newlines —
+    1400+ corpus-hot lines at sf0.01), then removes every line whose
+    normalized form repeats corpus-wide and reassembles each document in
+    original line order. The oracle reproduces chunking, hot-line census,
+    removal, and reassembly, so a lost line, broken ordering, or an
+    off-by-one in the hot threshold all hash-mismatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(ws) / F.lit(3.0)).cast("int")
+    multiline = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(F.slice(ws, i * 3 + 1, 3), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return text.line_dedup(multiline, min_count=2).orderBy("doc_id")
+
+
 @query("dedup_semantic_keeplist", dedup.semantic_keeplist_oracle_sql())
 def q_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style survivors over the embedding table: cosine ≥ 0.4

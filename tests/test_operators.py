@@ -1392,3 +1392,34 @@ def test_hashed_classifier_matches_duckdb_oracle(spark):
         spark.createDataFrame([(1, "alpha"), (2, "alpha alpha")], "doc_id long, text string")
     ).orderBy("doc_id").collect()
     assert one[0].score == one[1].score and one[1].n_tokens == 2
+
+
+def test_line_dedup_removes_corpus_hot_lines(spark):
+    """CCNet semantics: a line whose NORMALIZED form repeats corpus-wide
+    vanishes from every document (first occurrence too); blank lines are
+    structure (never counted, always kept); order is preserved; a fully
+    boilerplate document comes back empty, not dropped."""
+    from delta_rs_spark.operators import text as text_ops
+
+    rows = [
+        (1, "unique alpha\nCookie Banner\n\nbody one"),
+        (2, "cookie banner \nbody two\nunique beta"),  # case+trim variant
+        (3, "Cookie Banner"),                          # all-boilerplate doc
+        (4, "\n\n"),                                   # blank lines only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_dedup, r.n_lines_kept, r.n_lines_removed)
+        for r in text_ops.line_dedup(df, min_count=2).collect()
+    }
+    assert got[1] == ("unique alpha\n\nbody one", 3, 1)
+    assert got[2] == ("body two\nunique beta", 2, 1)
+    assert got[3] == ("", 0, 1)
+    assert got[4] == ("\n\n", 3, 0)  # 3 empty lines, all kept
+    # below the threshold nothing is hot ("cookie banner" repeats 3x,
+    # so min_count=4 puts the whole corpus under it): identity on the text
+    kept_all = {
+        r.doc_id: r.n_lines_removed
+        for r in text_ops.line_dedup(df, min_count=4).collect()
+    }
+    assert all(v == 0 for v in kept_all.values())
