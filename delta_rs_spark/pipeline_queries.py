@@ -265,20 +265,21 @@ def q_similarity_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Measured recall of the four approximate operators at the driver's
-# certification scale (sf0.01), pinned as oracle literals: the operators
-# are fully deterministic (md5 hyperplanes, xxhash64 permutations/seeds,
-# decimal-exact centroid means), so these are CONTRACTS, not observations —
-# a parameter or kernel change that moves recall flips the row red on the
-# driver, the same way tests/test_recall.py flips locally.
+# The recall FLOORS pinned in tests/test_recall.py, as oracle literals:
+# the query measures recall distributively and hashes measured >= floor,
+# so the row is scale-independent (raw recall is a corpus-dependent
+# measurement — 0.90 at sf0.01, 0.96 at sf0.1 for IVF — but the floor
+# contract holds at every scale). A parameter or kernel change that drops
+# any operator under its floor flips this row red on the driver, the same
+# way tests/test_recall.py flips locally.
 _RECALL_CONTRACTS_ORACLE = """
     SELECT * FROM (VALUES
-      ('ivf_topk@10 8 lists probe 6', CAST(0.9 AS DOUBLE)),
-      ('lsh_topk@10 4 planes x 16 tables', CAST(0.9 AS DOUBLE)),
-      ('minhash_pair_precision t=0.8', CAST(1.0 AS DOUBLE)),
-      ('minhash_pair_recall t=0.8', CAST(1.0 AS DOUBLE)),
-      ('quantized_topk@10 int8 oversample 4', CAST(1.0 AS DOUBLE))
-    ) AS t(contract, measured)
+      ('ivf_topk@10 8 lists probe 6', CAST(0.85 AS DOUBLE), true),
+      ('lsh_topk@10 4 planes x 16 tables', CAST(0.85 AS DOUBLE), true),
+      ('minhash_pair_precision t=0.8', CAST(1.0 AS DOUBLE), true),
+      ('minhash_pair_recall t=0.8', CAST(0.95 AS DOUBLE), true),
+      ('quantized_topk@10 int8 oversample 4', CAST(0.95 AS DOUBLE), true)
+    ) AS t(contract, floor, passes)
     ORDER BY contract
     """
 
@@ -288,10 +289,10 @@ def q_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recall contracts as a driver-hashable row: each approximate
     operator's recall (and minhash precision) measured DISTRIBUTIVELY
     against the exact baseline computed in the same job — semi-join hit
-    counts over the (query, neighbor) / (doc_a, doc_b) pair sets, ratios as
-    1-row broadcast crosses. The oracle pins the measured values at sf0.01
-    as literals. Valid at the certification scale only (recall is a
-    corpus-dependent measurement); other scales keep the floor tests."""
+    counts over the (query, neighbor) / (doc_a, doc_b) pair sets, ratios
+    as 1-row broadcast crosses — then compared to the floor pinned in
+    tests/test_recall.py. The hashed columns are (contract, floor, passes):
+    floors are scale-independent where the raw measurements are not."""
     from .caching import persist_tracked
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -302,19 +303,20 @@ def q_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
     )
 
-    def _ratio(contract: str, num_df: DataFrame, den_df: DataFrame) -> DataFrame:
+    def _ratio(contract: str, floor: float, num_df, den_df) -> DataFrame:
         num = num_df.agg(F.count(F.lit(1)).alias("num"))
         den = den_df.agg(F.count(F.lit(1)).alias("den"))
         return num.crossJoin(den).select(
             F.lit(contract).alias("contract"),
-            F.round(F.col("num") / F.col("den"), 4).alias("measured"),
+            F.lit(float(floor)).alias("floor"),
+            (F.col("num") / F.col("den") >= floor).alias("passes"),
         )
 
-    def _topk_recall(contract: str, approx: DataFrame) -> DataFrame:
+    def _topk_recall(contract: str, floor: float, approx: DataFrame) -> DataFrame:
         hits = approx.select("query_id", "neighbor_id").join(
             exact, ["query_id", "neighbor_id"], "left_semi"
         )
-        return _ratio(contract, hits, exact)
+        return _ratio(contract, floor, hits, exact)
 
     true_pairs = persist_tracked(
         dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3).select("doc_a", "doc_b")
@@ -331,22 +333,25 @@ def q_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _topk_recall(
             "ivf_topk@10 8 lists probe 6",
+            0.85,
             similarity.ivf_topk(emb, q, k=10, n_list=8, n_probe=6),
         )
         .unionAll(
             _topk_recall(
                 "lsh_topk@10 4 planes x 16 tables",
+                0.85,
                 similarity.lsh_topk(emb, q, k=10, n_planes=4, n_tables=16),
             )
         )
         .unionAll(
             _topk_recall(
                 "quantized_topk@10 int8 oversample 4",
+                0.95,
                 similarity.quantized_topk(emb, q, k=10),
             )
         )
-        .unionAll(_ratio("minhash_pair_recall t=0.8", mh_hits, true_pairs))
-        .unionAll(_ratio("minhash_pair_precision t=0.8", mh_hits, mh_pairs))
+        .unionAll(_ratio("minhash_pair_recall t=0.8", 0.95, mh_hits, true_pairs))
+        .unionAll(_ratio("minhash_pair_precision t=0.8", 1.0, mh_hits, mh_pairs))
         .orderBy("contract")
     )
 
