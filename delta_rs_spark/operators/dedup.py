@@ -655,3 +655,41 @@ def semantic_keeplist_oracle_sql(table: str = "embeddings", threshold: float = 0
     WHERE vec_id NOT IN (SELECT vec_id FROM losers)
     ORDER BY vec_id
     """
+
+
+def keeplist_by_score(
+    df: DataFrame,
+    pairs: DataFrame,
+    score,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Ids surviving near-duplicate removal where each duplicate cluster
+    keeps its BEST member by ``score`` (a Column over ``df``; ties break to
+    the smallest id) — the keep-longest / keep-highest-quality policy most
+    curation pipelines actually want (min-id keeps whichever shard arrived
+    first; score-keep preserves the most complete copy).
+
+    Same scale shape as the min-id keep-list: clusters from min-label
+    propagation over the pair graph, per-cluster argmax as one
+    max(struct(score, -id)) aggregate (no window over the corpus — the
+    shuffle is cluster-count-sized), survivors via one broadcast anti join
+    bounded by duplicates found, never corpus size.
+    """
+    from .clustering import connected_components
+
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    scored = comp.join(
+        df.select(F.col(id_col).alias("node"), score.alias("_s")), "node"
+    )
+    winners = scored.groupBy("cluster_id").agg(
+        (-F.max(F.struct(F.col("_s"), (-F.col("node")).alias("negid"))).negid)
+        .alias("winner")
+    )
+    losers = (
+        scored.join(F.broadcast(winners), "cluster_id")
+        .filter(F.col("node") != F.col("winner"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.select(id_col).join(F.broadcast(losers), id_col, "left_anti")

@@ -1413,6 +1413,69 @@ def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_KEEPLIST_LONGEST_ORACLE = (
+    "WITH RECURSIVE "
+    + _TRIGRAM_SH_CTE
+    + r""",
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM common
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(node, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) t(u)
+  UNION
+  SELECT e.u, r.lab FROM edges e JOIN reach r ON e.v = r.node
+),
+comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+scored AS (
+  SELECT c.node, c.cluster_id, length(d.text) AS s
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+winners AS (
+  SELECT node FROM (
+    SELECT node, ROW_NUMBER() OVER (
+      PARTITION BY cluster_id ORDER BY s DESC, node ASC
+    ) AS rn FROM scored
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT node FROM scored WHERE node NOT IN (SELECT node FROM winners)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM dropped)
+ORDER BY doc_id
+"""
+)
+
+
+@query("dedup_keeplist_longest", _KEEPLIST_LONGEST_ORACLE)
+def q_dedup_keeplist_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-BEST dedup policy: each near-dup cluster keeps its longest
+    member (ties to the smallest id) instead of the minimum id — min-id
+    keeps whichever shard arrived first, score-keep preserves the most
+    complete copy. Same pair graph and clustering as dedup_keeplist; the
+    per-cluster argmax runs as one max(struct) aggregate, not a corpus
+    window. The oracle recomputes reachability plus the argmax exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3)
+    return dedup.keeplist_by_score(
+        docs, pairs, score=F.length("text")
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Round-3 (late) additions: heuristic quality rules, boilerplate detection,
 # semantic dedup keep-list. Registered AFTER the certification window —

@@ -1423,3 +1423,32 @@ def test_line_dedup_removes_corpus_hot_lines(spark):
         for r in text_ops.line_dedup(df, min_count=4).collect()
     }
     assert all(v == 0 for v in kept_all.values())
+
+
+def test_keeplist_by_score_keeps_best_not_first(spark):
+    """keep-best policy: the cluster keeps its highest-scoring member even
+    when that is NOT the minimum id (which the plain keeplist would keep);
+    ties break to the smallest id; singletons pass through."""
+    from delta_rs_spark.operators import dedup as dedup_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "a much longer duplicate body"),   # cluster {1,2,3}: best
+            (3, "short v2"),
+            (4, "tie"),
+            (5, "pie"),                             # cluster {4,5}: tie on
+            (6, "standalone"),                      # length -> keep id 4
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = sorted(
+        r.doc_id
+        for r in dedup_ops.keeplist_by_score(
+            docs, pairs, score=F.length("text")
+        ).collect()
+    )
+    assert got == [2, 4, 6]
