@@ -2,13 +2,12 @@
 surface (queries.py) and the pipeline operators (pipeline_queries.py).
 
 Registration order matters: the driver certifies the first 50 names returned
-by ``queries()``. Rounds 1-2 certified the 50 relational queries (green both
-rounds); round 3 rotates the LLM-pipeline surface into the certification
-window so every operator family gets a hard driver signal. ``_ROTATION``
-lists the window explicitly — pipeline/dedup/similarity/text/multimodal
-queries first, then a handful of previously-certified relational canaries to
-fill the 50 slots. Everything else keeps its original registration order
-after the window.
+by ``queries()``. The window rotates per round so no surface's driver signal
+goes stale: rounds 1-2 certified the 50 relational queries, round 3 rotated
+in the LLM-pipeline surface, round 4 the queued + new concurrency/companion
+rows, and round 5 rotates the relational surface back in alongside the new
+IVF/incremental certifications. ``_ROTATION`` lists the current window
+explicitly; everything else keeps its original registration order after it.
 """
 
 from . import lifecycle_queries as _lifecycle_queries  # noqa: F401  (registers)

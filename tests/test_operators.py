@@ -1452,3 +1452,44 @@ def test_keeplist_by_score_keeps_best_not_first(spark):
         ).collect()
     )
     assert got == [2, 4, 6]
+
+
+def test_line_dedup_matches_python_model_randomized(spark):
+    """Seed-pinned randomized corpora vs a direct Python model of the
+    CCNet semantics — line inventory drawn so cross-doc repeats, blank and
+    whitespace-only lines, and case/trim variants all occur."""
+    import random
+
+    from delta_rs_spark.operators import text as text_ops
+
+    inventory = [
+        "alpha beta", "ALPHA BETA", " alpha beta ", "gamma", "",
+        "   ", "delta epsilon", "zeta", "cookie banner", "Cookie Banner",
+    ]
+    for seed in (3, 19):
+        rng = random.Random(seed)
+        docs = {
+            i: "\n".join(rng.choice(inventory) for _ in range(rng.randrange(1, 9)))
+            for i in range(25)
+        }
+        min_count = rng.choice([2, 3])
+
+        counts: dict[str, int] = {}
+        for t in docs.values():
+            for line in t.split("\n"):
+                k = line.strip().lower()
+                if k:
+                    counts[k] = counts.get(k, 0) + 1
+        hot = {k for k, c in counts.items() if c >= min_count}
+        want = {}
+        for i, t in docs.items():
+            lines = t.split("\n")
+            kept = [l for l in lines if not l.strip().lower() or l.strip().lower() not in hot]
+            want[i] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        got = {
+            r.doc_id: (r.text_dedup, r.n_lines_kept, r.n_lines_removed)
+            for r in text_ops.line_dedup(df, min_count=min_count).collect()
+        }
+        assert got == want, f"diverged at seed {seed}"
