@@ -200,3 +200,136 @@ def test_incremental_update_enforces_reader_gate(spark, tmp_path):
     writer.log.try_commit(tmp, 1)
     with pytest.raises(UnsupportedFeatureError):
         t.update()
+
+
+def test_simple_commit_two_commits_reference_parity(spark, tmp_path):
+    """Mirror of the reference's commit suite over its own fixture
+    (rust/tests/simple_commit_test.rs::test_two_commits,
+    ::test_commit_version_fails_if_version_exists): the pre-staged
+    simple_commit table starts at version 0 with zero files; two
+    transactions committing the reference's exact Add actions land as
+    versions 1 and 2 with 2 then 4 files; re-committing at a taken version
+    fails (VersionAlreadyExists parity via rename-without-replace); and —
+    beyond the reference — Spark reads the committed files back."""
+    import shutil
+
+    from delta_rs_spark.protocol.actions import AddAction
+    from delta_rs_spark.protocol.log import FileAlreadyExistsError
+    from delta_rs_spark.transactions import DeltaTransaction
+
+    src = "/root/reference/rust/tests/data/simple_commit"
+    uri = str(tmp_path / "simple_commit")
+    shutil.copytree(src, uri)
+
+    t = DeltaTable(uri)
+    assert t.version == 0
+    assert len(t.file_uris()) == 0
+
+    def _adds(specs, mtime):
+        return [
+            AddAction(path=p, size=s, modification_time=mtime, data_change=True)
+            for p, s in specs
+        ]
+
+    tx1_adds = _adds(
+        [
+            ("part-00000-b44fcdb0-8b06-4f3a-8606-f8311a96f6dc-c000.snappy.parquet", 396),
+            ("part-00001-185eca06-e017-4dea-ae49-fc48b973e37e-c000.snappy.parquet", 400),
+        ],
+        1564524294000,
+    )
+    tx1 = DeltaTransaction(t)
+    tx1.add_actions(tx1_adds)
+    assert tx1.commit(operation="WRITE") == 1
+    t = DeltaTable(uri)
+    assert t.version == 1
+    assert len(t.file_uris()) == 2
+
+    tx2 = DeltaTransaction(t)
+    tx2.add_actions(
+        _adds(
+            [
+                ("part-00000-512e1537-8aaa-4193-b8b4-bef3de0de409-c000.snappy.parquet", 396),
+                ("part-00001-4327c977-2734-4477-9507-7ccf67924649-c000.snappy.parquet", 400),
+            ],
+            1564524296000,
+        )
+    )
+    assert tx2.commit(operation="WRITE") == 2
+    t = DeltaTable(uri)
+    assert t.version == 2
+    assert len(t.file_uris()) == 4
+
+    # low-level parity: a prepared commit racing into a TAKEN version slot
+    # must fail for the caller to retry (the optimistic loop's primitive)
+    dup = DeltaTransaction(t)
+    dup.add_actions(tx1_adds)
+    tmp = t.log.write_tmp_commit(dup.actions, "dup-slot")
+    with pytest.raises(FileAlreadyExistsError):
+        t.log.try_commit(tmp, 2)
+    assert DeltaTable(uri).version == 2
+
+    # the committed table is readable end to end: both tx1 and tx2 files
+    vals = sorted(r.value for r in t.to_df(spark).collect())
+    assert vals == [1, 1, 2, 2, 3, 3]
+
+
+def test_concurrent_workers_reference_parity(tmp_path):
+    """Mirror of rust/tests/concurrent_writes_test.rs::concurrent_writes_fs
+    over the reference's own concurrent_workers fixture: 5 workers x 3
+    commits race through the optimistic retry loop; versions 1..15 come out
+    gapless with no collisions, and every worker's files all land."""
+    import shutil
+    import threading
+
+    from delta_rs_spark.protocol.actions import AddAction
+    from delta_rs_spark.transactions import DeltaTransaction
+
+    src = "/root/reference/rust/tests/data/concurrent_workers"
+    uri = str(tmp_path / "concurrent_workers")
+    shutil.copytree(src, uri)
+    assert DeltaTable(uri).version == 0
+
+    WORKERS, COMMITS = 5, 3
+    results: dict[int, str] = {}
+    lock = threading.Lock()
+    errors: list[Exception] = []
+
+    def worker(w: int) -> None:
+        try:
+            for c in range(COMMITS):
+                name = f"w{w}-{c}"
+                t = DeltaTable(uri)
+                tx = DeltaTransaction(t)
+                tx.add_action(
+                    AddAction(
+                        path=f"{name}.parquet",
+                        size=396,
+                        modification_time=1564524294000,
+                        data_change=True,
+                    )
+                )
+                v = tx.commit(operation="WRITE")
+                with lock:
+                    results[v] = name
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(WORKERS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errors, errors
+
+    # no collisions, unique ascending versions 1..15
+    assert len(results) == WORKERS * COMMITS
+    assert sorted(results) == list(range(1, WORKERS * COMMITS + 1))
+    # every worker's file committed exactly as named
+    assert sorted(results.values()) == sorted(
+        f"w{w}-{c}" for w in range(WORKERS) for c in range(COMMITS)
+    )
+    # and the final snapshot carries all 15 adds
+    final = DeltaTable(uri)
+    assert final.version == WORKERS * COMMITS
+    assert len(final.file_uris()) == WORKERS * COMMITS
