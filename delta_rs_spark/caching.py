@@ -31,17 +31,29 @@ from pyspark.sql import DataFrame
 # transactions on threads) must not release each other's in-flight
 # intermediates — a shared list would let one thread's depth-0 entry
 # unpersist another query's caches mid-build. The per-thread lists live in
-# one lock-guarded registry (not threading.local) so a harness cleanup can
-# still release EVERYTHING — including frames persisted on a worker thread
-# that has since exited, which a pure thread-local would strand in Spark's
-# cache registry for the session lifetime.
+# one lock-guarded registry (not threading.local alone) so a harness cleanup
+# can still release EVERYTHING — including frames persisted on a worker
+# thread that has since exited, which a pure thread-local would strand in
+# Spark's cache registry for the session lifetime. Registry keys are
+# never-reused tokens handed out per thread (NOT threading.get_ident():
+# CPython recycles idents, and a new thread inheriting a dead worker's key
+# would release frames whose lazy consumers are still materializing).
+import itertools as _itertools
+
 _LOCK = threading.Lock()
-_BY_THREAD: dict[int, list[DataFrame]] = {}
+_BY_KEY: dict[int, list[DataFrame]] = {}
+_KEY = threading.local()
+_NEXT_KEY = _itertools.count()
 
 
-def _tracked() -> list[DataFrame]:
+def _register(df: DataFrame) -> None:
+    key = getattr(_KEY, "value", None)
+    if key is None:
+        key = _KEY.value = next(_NEXT_KEY)
     with _LOCK:
-        return _BY_THREAD.setdefault(threading.get_ident(), [])
+        # append under the lock: an unlocked append could land in a list
+        # release_all_tracked() already popped, stranding the persist
+        _BY_KEY.setdefault(key, []).append(df)
 
 
 def persist_tracked(
@@ -50,7 +62,7 @@ def persist_tracked(
     """Persist a reused intermediate and register it for release when the
     next catalog query begins (or on an explicit :func:`release_tracked`)."""
     df = df.persist(level)
-    _tracked().append(df)
+    _register(df)
     return df
 
 
@@ -58,7 +70,7 @@ def track(df: DataFrame) -> DataFrame:
     """Register an ALREADY-persisted frame for release with the tracked set
     (for operators that manage persist/unpersist internally during an
     iteration but whose final persisted result outlives the function)."""
-    _tracked().append(df)
+    _register(df)
     return df
 
 
@@ -68,7 +80,12 @@ def release_tracked() -> None:
     an error). A caller that builds several query DataFrames before
     collecting any should materialize them one at a time — release happens
     when the next catalog query starts on the same thread."""
-    _drain(_tracked())
+    key = getattr(_KEY, "value", None)
+    if key is None:
+        return
+    with _LOCK:
+        lst = _BY_KEY.pop(key, [])
+    _drain(lst)
 
 
 def release_all_tracked() -> None:
@@ -76,8 +93,8 @@ def release_all_tracked() -> None:
     whole-session cleanup for a harness that wants a clean tail, and the
     only way to free frames persisted on a worker thread that has exited."""
     with _LOCK:
-        lists = list(_BY_THREAD.values())
-        _BY_THREAD.clear()
+        lists = list(_BY_KEY.values())
+        _BY_KEY.clear()
     for lst in lists:
         _drain(lst)
 

@@ -792,13 +792,20 @@ def line_dedup(
     every line was hot comes back with empty text, not silently dropped
     (the caller decides whether an emptied doc survives).
 
-    100 TB shape: one explode pass -> line-key count (map-side combinable
-    shuffle) -> the HOT dictionary only (bounded by corpus redundancy,
-    usually small enough for AQE to broadcast) -> left-anti join -> one
-    reassembly shuffle keyed by document. No UDFs, no driver collect.
+    NULL text is treated as an empty document (one blank line, kept) — a
+    missing field must not produce negative removed-counts or vanish a row.
+
+    100 TB shape: the explode subtree is consumed twice (line-key census
+    and the kept-line anti-join) plus one narrow line-count pass — persist
+    the input when it is itself a derived frame. Census is a map-side
+    combinable shuffle; only the HOT dictionary survives it (bounded by
+    corpus redundancy, usually small enough for AQE to broadcast into the
+    anti-join); reassembly is one shuffle keyed by document. No UDFs, no
+    driver collect.
     """
+    text_safe = F.coalesce(F.col(text_col), F.lit(""))
     lines = df.select(
-        id_col, F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+        id_col, F.posexplode(F.split(text_safe, "\n")).alias("pos", "line")
     )
     key = F.lower(F.trim(F.col("line")))
     hot = (
@@ -825,7 +832,7 @@ def line_dedup(
         F.count(F.lit(1)).alias("n_lines_kept"),
     )
     base = df.select(
-        id_col, F.size(F.split(F.col(text_col), "\n")).alias("_n_lines")
+        id_col, F.size(F.split(text_safe, "\n")).alias("_n_lines")
     )
     return base.join(agg, id_col, "left").select(
         id_col,

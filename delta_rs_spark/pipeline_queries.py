@@ -1555,18 +1555,25 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     original line order. The oracle reproduces chunking, hot-line census,
     removal, and reassembly, so a lost line, broken ordering, or an
     off-by-one in the hot threshold all hash-mismatch."""
+    from .caching import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
     ws = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(ws) / F.lit(3.0)).cast("int")
-    multiline = docs.select(
-        "doc_id",
-        F.array_join(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.array_join(F.slice(ws, i * 3 + 1, 3), " "),
-            ),
-            "\n",
-        ).alias("text"),
+    # persisted: line_dedup consumes its input three times (census,
+    # anti-join, line count) — without this the chunking transform and the
+    # parquet scan would run three times per execution
+    multiline = persist_tracked(
+        docs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), n_chunks - 1),
+                    lambda i: F.array_join(F.slice(ws, i * 3 + 1, 3), " "),
+                ),
+                "\n",
+            ).alias("text"),
+        )
     )
     return text.line_dedup(multiline, min_count=2).orderBy("doc_id")
 

@@ -1406,6 +1406,7 @@ def test_line_dedup_removes_corpus_hot_lines(spark):
         (2, "cookie banner \nbody two\nunique beta"),  # case+trim variant
         (3, "Cookie Banner"),                          # all-boilerplate doc
         (4, "\n\n"),                                   # blank lines only
+        (5, None),                                     # NULL text
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -1416,6 +1417,7 @@ def test_line_dedup_removes_corpus_hot_lines(spark):
     assert got[2] == ("body two\nunique beta", 2, 1)
     assert got[3] == ("", 0, 1)
     assert got[4] == ("\n\n", 3, 0)  # 3 empty lines, all kept
+    assert got[5] == ("", 1, 0)  # NULL -> empty doc, never a negative count
     # below the threshold nothing is hot ("cookie banner" repeats 3x,
     # so min_count=4 puts the whole corpus under it): identity on the text
     kept_all = {
