@@ -733,3 +733,71 @@ FROM pairs p
 LEFT JOIN inter i ON p.s_a = i.s_a AND p.s_b = i.s_b
 ORDER BY p.s_a, p.s_b
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE pair census (tokenizer training, first merge iteration)
+# ---------------------------------------------------------------------------
+
+def bpe_pair_counts(
+    df: DataFrame, top_k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide adjacent symbol-pair frequencies WITHIN words — the
+    census a byte-pair-encoding tokenizer trainer runs every merge
+    iteration (the pair with the highest count becomes the next merge).
+    This is the distributed inner loop of BPE training: one pass, counts
+    exact, ties broken lexicographically so the winning merge is
+    deterministic across engines and cluster sizes.
+
+    Distinct from word n-grams (pmi_bigrams / top_ngrams count WORD
+    adjacency; this counts CHARACTER adjacency inside words). 100 TB
+    shape: tokenize + per-word pair expansion are narrow codegen (split +
+    zip_with over character arrays — no UDF, no per-char shuffle); the
+    only shuffle is the map-side-combinable pair count, whose key space is
+    bounded by the symbol-pair alphabet, not the corpus.
+    """
+    words = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+            )
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    # character array; Spark's split keeps a TRAILING empty element
+    # (limit=-1 semantics), so slice bounds come from length(w), not
+    # size(cs) — otherwise every word emits a bogus ('last char', '') pair
+    cs = F.split(F.col("w"), "(?!^)")
+    n = F.length(F.col("w"))
+    pairs = F.zip_with(
+        F.slice(cs, 1, n - 1),
+        F.slice(cs, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        words.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(top_k)
+    )
+
+
+def bpe_pair_counts_oracle_sql(table: str = "documents", top_k: int = 50) -> str:
+    """DuckDB recomputation of :func:`bpe_pair_counts`."""
+    return rf"""
+WITH words AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            w -> w <> '')) AS w
+  FROM {table}
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, i, 1) || ' ' || substr(w, i+1, 1)))
+         AS pair
+  FROM words WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*) AS cnt
+FROM pairs GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT {top_k}
+"""

@@ -1413,6 +1413,18 @@ def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query("corpus_bpe_pairs", corpus.bpe_pair_counts_oracle_sql())
+def q_corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed inner loop of BPE tokenizer training: exact
+    corpus-wide counts of adjacent character pairs within words, top-50
+    with lexicographic tie-break — the winning pair IS the next merge, so
+    determinism across engines/cluster sizes is the contract. Character
+    adjacency, not word adjacency (corpus_pmi_bigrams / corpus_top_ngrams
+    cover words)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.bpe_pair_counts(docs, top_k=50)
+
+
 _KEEPLIST_LONGEST_ORACLE = (
     "WITH RECURSIVE "
     + _TRIGRAM_SH_CTE

@@ -1495,3 +1495,18 @@ def test_line_dedup_matches_python_model_randomized(spark):
             for r in text_ops.line_dedup(df, min_count=min_count).collect()
         }
         assert got == want, f"diverged at seed {seed}"
+
+
+def test_bpe_pair_counts_exact_census(spark):
+    """BPE merge census: exact within-word adjacent character-pair counts,
+    case-folded, no cross-word pairs, no phantom trailing-empty pairs
+    (Spark's split keeps a trailing empty element), deterministic
+    count-desc/pair-asc order."""
+    from delta_rs_spark.operators import corpus as corpus_ops
+
+    df = spark.createDataFrame(
+        [(1, "ab AB xy"), (2, "aba c")], "doc_id long, text string"
+    )
+    got = [(r.pair, r.cnt) for r in corpus_ops.bpe_pair_counts(df, top_k=10).collect()]
+    # 'ab' x2 + 'aba' -> a b:3, b a:1, x y:1; single-char 'c' contributes none
+    assert got == [("a b", 3), ("b a", 1), ("x y", 1)]
