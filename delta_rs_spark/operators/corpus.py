@@ -26,6 +26,24 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def _tokens(text_col: str):
+    """The corpus tokenization contract, defined once: lowercase +
+    whitespace split, empty tokens dropped. Every corpus operator and its
+    DuckDB oracle (``string_split_regex(lower(text), '\\s+')``) must agree
+    on this expression.
+
+    ENGINE-PARITY CAVEAT: Java regex ``\\s`` includes U+000B where RE2's
+    does not, and Spark/DuckDB ``lower()`` can disagree on non-ASCII case
+    folding (e.g. U+0130). The certified oracles therefore assume an
+    ASCII-whitespace / ASCII-case corpus — true of the test tables; a
+    production corpus with exotic whitespace should be normalized upstream
+    (text.normalize) before these operators.
+    """
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+
+
 def _shingled(df: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
     """(id, shingle) — every word n-gram occurrence (duplicates preserved)."""
     return (
@@ -516,11 +534,7 @@ def pmi_bigrams(
     """
     from ..caching import persist_tracked
 
-    toks = df.select(
-        F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
-        ).alias("_w")
-    )
+    toks = df.select(_tokens(text_col).alias("_w"))
     cw = (
         toks.select(F.explode("_w").alias("w"))
         .groupBy("w")
@@ -648,12 +662,7 @@ def source_vocab_overlap(
         df.filter(F.col(source_col).isNotNull())
         .select(
             F.col(source_col).alias("s"),
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.col(text_col)), r"\s+"),
-                    lambda w: w != "",
-                )
-            ).alias("w"),
+            F.explode(_tokens(text_col)).alias("w"),
         )
         .distinct()
         .transform(persist_tracked)
@@ -756,13 +765,9 @@ def bpe_pair_counts(
     only shuffle is the map-side-combinable pair count, whose key space is
     bounded by the symbol-pair alphabet, not the corpus.
     """
-    words = df.select(
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: w != ""
-            )
-        ).alias("w")
-    ).filter(F.length("w") >= 2)
+    words = df.select(F.explode(_tokens(text_col)).alias("w")).filter(
+        F.length("w") >= 2
+    )
     # character array; Spark's split keeps a TRAILING empty element
     # (limit=-1 semantics), so slice bounds come from length(w), not
     # size(cs) — otherwise every word emits a bogus ('last char', '') pair
