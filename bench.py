@@ -57,7 +57,9 @@ def _vs_prev(name: str, plan: dict, runs: list, prev: dict) -> dict:
         "plan_changed": changed,
         "runs_prev_sec": prev_runs,
         "best_ratio": (
-            round(min(runs) / min(prev_runs), 3) if prev_runs else None
+            round(min(runs) / min(prev_runs), 3)
+            if prev_runs and min(prev_runs) > 0
+            else None
         ),
     }
     if prev.get("summary_mode") != "executed":

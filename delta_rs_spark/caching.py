@@ -15,8 +15,10 @@ The contract here: every persist inside a catalog query goes through
 so a query composed of other catalog queries does not release its own
 intermediates mid-build). Residue is therefore bounded to one query's
 caches, released on the next call — or immediately via an explicit
-``release_all_tracked()`` from a harness that wants a clean session tail
-(``release_tracked()`` frees only the calling thread's entries).
+``release_all_tracked()`` from a harness that wants a clean session tail.
+``release_tracked()`` frees the calling thread's entries plus anything
+left behind by threads that have since exited; only a LIVE foreign
+thread's in-flight intermediates are off-limits to it.
 """
 
 from __future__ import annotations
@@ -41,7 +43,12 @@ from pyspark.sql import DataFrame
 import itertools as _itertools
 
 _LOCK = threading.Lock()
-_BY_KEY: dict[int, list[DataFrame]] = {}
+# key -> (owning Thread, tracked frames): the Thread object lets any later
+# depth-0 sweep drain entries whose owner has exited — short-lived worker
+# threads (the conflict-matrix lifecycle queries) persist frames and die
+# before their own next release point, and without the liveness check those
+# entries would stay pinned in Spark's cache registry for the session
+_BY_KEY: dict[int, tuple[threading.Thread, list[DataFrame]]] = {}
 _KEY = threading.local()
 _NEXT_KEY = _itertools.count()
 
@@ -53,7 +60,7 @@ def _register(df: DataFrame) -> None:
     with _LOCK:
         # append under the lock: an unlocked append could land in a list
         # release_all_tracked() already popped, stranding the persist
-        _BY_KEY.setdefault(key, []).append(df)
+        _BY_KEY.setdefault(key, (threading.current_thread(), []))[1].append(df)
 
 
 def persist_tracked(
@@ -75,25 +82,31 @@ def track(df: DataFrame) -> DataFrame:
 
 
 def release_tracked() -> None:
-    """Unpersist every intermediate tracked by THIS thread (non-blocking,
-    error-tolerant: a stopped SparkSession or already-released frame is not
-    an error). A caller that builds several query DataFrames before
-    collecting any should materialize them one at a time — release happens
-    when the next catalog query starts on the same thread."""
+    """Unpersist every intermediate tracked by THIS thread, plus any entry
+    whose owning thread has EXITED (a dead worker can never reach its own
+    next release point, so the next depth-0 sweep on any thread adopts its
+    residue). Non-blocking, error-tolerant: a stopped SparkSession or
+    already-released frame is not an error. A caller that builds several
+    query DataFrames before collecting any should materialize them one at
+    a time — release happens when the next catalog query starts."""
     key = getattr(_KEY, "value", None)
-    if key is None:
-        return
     with _LOCK:
-        lst = _BY_KEY.pop(key, [])
-    _drain(lst)
+        lists = []
+        if key is not None and key in _BY_KEY:
+            lists.append(_BY_KEY.pop(key)[1])
+        dead = [k for k, (t, _) in _BY_KEY.items() if not t.is_alive()]
+        lists.extend(_BY_KEY.pop(k)[1] for k in dead)
+    for lst in lists:
+        _drain(lst)
 
 
 def release_all_tracked() -> None:
     """Unpersist every tracked intermediate from EVERY thread — the
-    whole-session cleanup for a harness that wants a clean tail, and the
-    only way to free frames persisted on a worker thread that has exited."""
+    whole-session cleanup for a harness that wants a clean tail (live
+    threads included; dead-thread residue is already adopted by any
+    depth-0 :func:`release_tracked` sweep)."""
     with _LOCK:
-        lists = list(_BY_KEY.values())
+        lists = [lst for _, lst in _BY_KEY.values()]
         _BY_KEY.clear()
     for lst in lists:
         _drain(lst)

@@ -14,77 +14,22 @@ from . import lifecycle_queries as _lifecycle_queries  # noqa: F401  (registers)
 from . import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
 from .queries import QUERIES, headline_queries, oracle_sql, queries
 
-# Round-5 window: (1) the queries NEW this round (the exact-oracle IVF
-# companion and the two incremental-maintenance lifecycle rows — the last
-# operator family without driver visibility); (2) the 4 recall-contract
-# rows-only entries (kept in every window so their rows-only signal stays
-# current); (3) 43 of the 50 relational queries certified in rounds 1-2 —
-# by round 5 they are the stalest driver signal in the repo (3 rounds),
-# while the pipeline surface just re-greened in round 4. Seven relational
-# rows whose operator class is covered by an in-window sibling wait for
-# round 6 (q_union_except ~ q_set_ops; q_cube_status_priority ~
-# q_rollup_status/q_grouping_sets; q_events_funnel/pivot/retention/
-# value_stats ~ q_events_hourly/json_props/sessions; q_part_cooccurrence ~
-# q_self_join_parts) — the window holds 50 and 3 + 4 + 43 fills it.
+# Round-6 window (stalest-first): (1) the 4 catalog queries that have NEVER
+# had a driver row — registered after the round-5 window froze; (2) the 7
+# relational rows deferred from round 5 (last driver-green round 2); (3) the
+# queries NEW this round (cluster-first semantic dedup + companions —
+# unregistered names are skipped by _apply_rotation until they land); (4) the
+# 4 recall-contract rows-only entries (kept in every window so their
+# rows-only signal stays current); (5) all 22 rows last certified round 3;
+# (6) the stalest round-4 rows to fill the 50. Everything else keeps its
+# original registration order after the window.
 _ROTATION = [
-    # -- (1) new in round 5 --------------------------------------------------
-    "similarity_ivf_exact",
-    "incremental_rollup_lifecycle",
-    "dedup_index_lifecycle",
-    # -- (2) recall-contract rows-only entries (floors pinned in
-    # tests/test_recall.py; deterministic cores certified by the exact
-    # companions similarity_ivf_exact / similarity_quantized_rerank /
-    # similarity_lsh_buckets / dedup_minhash_verified) ------------------------
-    "dedup_minhash_lsh",
-    "similarity_quantized_topk",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    # -- (3) relational surface, last certified round 2 ----------------------
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_class",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_promo_volume_suppliers",
-    "q21_returned_not_accepted",
-    "q22_idle_customers",
-    "q_minmax_agg",
-    "q_filter_sort_project",
-    "q_semi_join",
-    "q_anti_join",
-    "q_outer_join_nulls",
-    "q_self_join_parts",
-    "q_window_topk_orders",
-    "q_window_running_revenue",
-    "q_window_lag_events",
-    "q_rollup_status",
-    "q_grouping_sets",
-    "q_set_ops",
-    "q_scalar_subquery",
-    "q_string_functions",
-    "q_date_functions",
-    "q_percentiles",
-    "q_array_functions",
-    "q_referential_integrity",
-    "q_events_hourly",
-    "q_events_json_props",
-    "q_events_sessions",
-    # -- beyond the 50-window: the 7 deferred relational rows lead round 6,
-    # followed by everything else in original registration order ------------
+    # -- (1) never driver-certified ------------------------------------------
+    "recall_contracts",
+    "text_line_dedup",
+    "dedup_keeplist_longest",
+    "corpus_bpe_pairs",
+    # -- (2) relational rows deferred from round 5 (last green round 2) ------
     "q_union_except",
     "q_cube_status_priority",
     "q_events_funnel",
@@ -92,6 +37,52 @@ _ROTATION = [
     "q_events_retention",
     "q_events_value_stats",
     "q_part_cooccurrence",
+    # -- (3) new in round 6 (skipped until registered) -----------------------
+    "dedup_semantic_clustered",
+    # -- (4) recall-contract rows-only entries (floors pinned in
+    # tests/test_recall.py; deterministic cores certified by the exact
+    # companions similarity_ivf_exact / similarity_quantized_rerank /
+    # similarity_lsh_buckets / dedup_minhash_verified) ------------------------
+    "dedup_minhash_lsh",
+    "similarity_quantized_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    # -- (5) last certified round 3 ------------------------------------------
+    "events_variant_props",
+    "q_daily_revenue_ma7",
+    "q_customer_value_deciles",
+    "text_token_count",
+    "text_fingerprint",
+    "split_train_val_test",
+    "text_contamination",
+    "text_char_entropy",
+    "text_contamination_bloom",
+    "corpus_top_ngrams",
+    "text_repetition",
+    "text_tfidf_topk",
+    "profile_lineitem_columns",
+    "split_grouped_by_source",
+    "sample_source_mixture",
+    "text_chunking",
+    "text_sequence_packing",
+    "text_normalize",
+    "text_pii_redact",
+    "corpus_dup_rate_by_source",
+    "text_lang_mismatch",
+    "sample_token_budget",
+    # -- (6) stalest round-4 rows (2 rounds) to fill the window --------------
+    "dedup_semantic_keeplist",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_verified",
+    "similarity_lsh_buckets",
+    "cdf_changes_window",
+    "clone_lifecycle",
+    "q_zorder_pruned_scan",
+    "features_lifecycle",
+    "widening_uniform_lifecycle",
+    "concurrent_lifecycle",
+    "text_gopher_rules",
 ]
 
 

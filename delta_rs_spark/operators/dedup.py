@@ -608,21 +608,57 @@ def semantic_keeplist(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "exact",
+    n_list: int = 8,
+    n_probe: int = 2,
+    iters: int = 2,
 ) -> DataFrame:
     """Ids surviving SEMANTIC near-duplicate removal: vectors whose cosine
     similarity ≥ threshold form duplicate clusters; each cluster keeps its
     minimum id, everything unclustered passes through.
 
     The embedding analogue of the text keep-list (SemDeDup-family pipeline
-    step): pairs via banded sign-LSH + exact verify (never n²), clusters via
-    min-label propagation, survivors via one broadcast anti join — the loser
-    set is bounded by duplicates found, not corpus size.
+    step): pairs → clusters via min-label propagation → survivors via one
+    broadcast anti join — the loser set is bounded by duplicates found, not
+    corpus size.
+
+    ``method`` picks the pair-enumeration path:
+
+    - ``"exact"`` (default): `embedding_cosine_pairs` — banded sign-LSH at
+      high thresholds, corpus-wide blocked GEMM below 0.7. Exact, but the
+      low-threshold path is Θ(n²) compute: correct up to ~10⁷ vectors,
+      unrunnable at 100×.
+    - ``"clustered"``: SemDeDup's own scale recipe — k-means partition the
+      corpus (`similarity.clustered_exact_pairs`), enumerate pairs only
+      within clusters (multi-probed by ``n_probe`` to recover boundary
+      pairs). Work ∝ n²·n_probe²/n_list, so n_list scaled with corpus size
+      keeps per-cluster work bounded. Every surviving pair is exactly
+      scored; the contract traded away is pair RECALL (floor pinned vs the
+      exact keeplist in tests/test_recall.py). At ``n_probe = n_list`` the
+      pair set — and so the keeplist — provably equals the exact path
+      (certified: `dedup_semantic_clustered` hash-matches the recursive-CTE
+      oracle).
     """
     from .clustering import connected_components
 
-    pairs = embedding_cosine_pairs(
-        emb, threshold=threshold, id_col=id_col, vec_col=vec_col
-    )
+    if method == "exact":
+        pairs = embedding_cosine_pairs(
+            emb, threshold=threshold, id_col=id_col, vec_col=vec_col
+        )
+    elif method == "clustered":
+        from .similarity import clustered_exact_pairs
+
+        pairs = clustered_exact_pairs(
+            emb,
+            threshold=threshold,
+            n_list=n_list,
+            n_probe=n_probe,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r} (expected 'exact' or 'clustered')")
     comp = connected_components(pairs, src_col="id_a", dst_col="id_b")
     losers = comp.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias(id_col)
@@ -676,6 +712,12 @@ def keeplist_by_score(
     max(struct(score, -id)) aggregate (no window over the corpus — the
     shuffle is cluster-count-sized), survivors via one broadcast anti join
     bounded by duplicates found, never corpus size.
+
+    NULL scores rank below every non-NULL score (Spark struct ordering
+    puts NULL fields lowest; equal NULLs fall through to the -id
+    tiebreaker), so an all-NULL cluster still collapses to its minimum id
+    rather than surviving whole — pinned by
+    tests/test_operators.py::test_keeplist_by_score_null_scores_still_collapse.
     """
     from .clustering import connected_components
 

@@ -533,6 +533,7 @@ def blocked_exact_pairs(
     block_size: int = 2048,
     round_digits: int = 4,
     _grid_literal_max: int = 2000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact cosine pairs via blocked matrix products — the scale path for
     LOW thresholds, where sign-LSH stops pruning.
@@ -560,6 +561,15 @@ def blocked_exact_pairs(
     its block (≈ n·n_blocks vectors) — the unavoidable quadratic term,
     with ``block_size`` bounding per-task memory (2048×64 doubles ≈ 1 MB
     per side per task).
+
+    EAGER-BUILD CONTRACT: unless ``n_rows`` is supplied, constructing this
+    DataFrame runs ONE bounded Spark job (a count over the non-zero-norm
+    vectors) to size the block grid — the grid must be fixed before the
+    plan exists, the same contract as ``corpus.source_vocab_overlap``.
+    Callers that already know the corpus size (a Delta source's log-level
+    ``numRecords`` sum, a prior aggregate) pass ``n_rows`` and the build
+    stays fully lazy; the count is only a grid-sizing hint, so a stale or
+    approximate value changes task granularity, never output rows.
     """
     import math
 
@@ -575,7 +585,9 @@ def blocked_exact_pairs(
         # zero vectors: cosine = 0/0, excluded like every other path here
         .filter(F.col("nrm") > 0)
     )
-    n = norm.count()  # one bounded job: sizes the block grid
+    # one bounded job sizing the block grid, skipped when the caller
+    # already knows the count (see EAGER-BUILD CONTRACT above)
+    n = n_rows if n_rows is not None else norm.count()
     n_blocks = max(1, math.ceil(n / block_size))
     blocks = norm.withColumn(
         "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
@@ -587,29 +599,8 @@ def blocked_exact_pairs(
     # (Honest ceiling either way: exact low-threshold all-pairs is Θ(n²)
     # COMPUTE; past ~10⁷ vectors raise the threshold into LSH territory or
     # cluster first — no plan makes 5·10¹⁷ dot products cheap.)
-    def _grid():
-        if n_blocks <= _grid_literal_max:
-            return spark.createDataFrame(
-                [
-                    (i * n_blocks + j, i, j)
-                    for i in range(n_blocks)
-                    for j in range(i, n_blocks)
-                ],
-                "pid long, bi int, bj int",
-            )
-        left_rng = spark.range(n_blocks).select(F.col("id").cast("int").alias("bi"))
-        right_rng = spark.range(n_blocks).select(F.col("id").cast("int").alias("bj"))
-        return (
-            left_rng.join(right_rng, F.col("bi") <= F.col("bj"))
-            .select(
-                (F.col("bi").cast("long") * n_blocks + F.col("bj")).alias("pid"),
-                "bi",
-                "bj",
-            )
-        )
-
-    grid = _grid()
-    grid_r = _grid()
+    grid = _block_grid(spark, n_blocks, _grid_literal_max)
+    grid_r = _block_grid(spark, n_blocks, _grid_literal_max)
     left = blocks.join(
         F.broadcast(grid.select("pid", F.col("bi").alias("blk"))), "blk"
     ).select("pid", "id", "v", "nrm")
@@ -630,6 +621,45 @@ def blocked_exact_pairs(
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    return (
+        left.groupby("pid")
+        .cogroup(right.groupby("pid"))
+        .applyInPandas(_gemm_kernel(threshold, round_digits), out_schema)
+    )
+
+
+def _block_grid(spark, n_blocks: int, grid_literal_max: int) -> DataFrame:
+    """Upper-triangle block-pair grid (pid, bi, bj). Below
+    ``grid_literal_max`` blocks it is a driver literal; past that
+    (upper-triangle ≈ B²/2 rows) it enumerates distributedly from two
+    integer ranges — same rows, no driver list."""
+    if n_blocks <= grid_literal_max:
+        return spark.createDataFrame(
+            [
+                (i * n_blocks + j, i, j)
+                for i in range(n_blocks)
+                for j in range(i, n_blocks)
+            ],
+            "pid long, bi int, bj int",
+        )
+    left_rng = spark.range(n_blocks).select(F.col("id").cast("int").alias("bi"))
+    right_rng = spark.range(n_blocks).select(F.col("id").cast("int").alias("bj"))
+    return (
+        left_rng.join(right_rng, F.col("bi") <= F.col("bj"))
+        .select(
+            (F.col("bi").cast("long") * n_blocks + F.col("bj")).alias("pid"),
+            "bi",
+            "bj",
+        )
+    )
+
+
+def _gemm_kernel(threshold: float, round_digits: int):
+    """Cogrouped-applyInPandas kernel: one numpy matmul per block pair,
+    thresholded, pairs canonicalized (lo < hi + dedupe) so output matches
+    the codegen paths row-for-row. Shared by the corpus-wide and the
+    within-cluster blocked paths."""
 
     def gemm(left_pdf, right_pdf):
         import numpy as np
@@ -661,11 +691,101 @@ def blocked_exact_pairs(
         out = out[out["id_a"] < out["id_b"]].drop_duplicates(["id_a", "id_b"])
         return out
 
-    return (
-        left.groupby("pid")
-        .cogroup(right.groupby("pid"))
-        .applyInPandas(gemm, out_schema)
+    return gemm
+
+
+def clustered_exact_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_list: int = 8,
+    n_probe: int = 1,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_size: int = 2048,
+    round_digits: int = 4,
+    _grid_literal_max: int = 2000,
+) -> DataFrame:
+    """Cosine pairs ≥ threshold enumerated WITHIN k-means clusters — the
+    SemDeDup-at-scale recipe: partition the corpus with the IVF coarse
+    quantizer (`train_ivf_centroids`), then run the blocked exact GEMM only
+    inside each cluster. Compute drops from Θ(n²) corpus-wide to
+    Θ(n_list · (n·n_probe/n_list)²) = Θ(n²·n_probe²/n_list) — with n_list
+    scaled ∝ corpus size the per-cluster work stays bounded, which is what
+    lets low-threshold semantic dedup survive a 100× corpus where the
+    corpus-wide exact path cannot run at all.
+
+    The price is recall, not precision: every emitted pair is exactly
+    scored (same GEMM kernel, same rounding as `blocked_exact_pairs`), but
+    a qualifying pair split across clusters is missed. ``n_probe`` > 1
+    multi-probes each vector into its nearest clusters to recover boundary
+    pairs (recall floor pinned in tests/test_recall.py); at
+    ``n_probe = n_list`` every pair co-occurs in every cluster and the
+    output provably equals `blocked_exact_pairs` — the certified companion
+    `dedup_semantic_clustered` hash-matches the exact recursive-CTE oracle
+    on exactly this property.
+
+    Same EAGER-BUILD CONTRACT as `blocked_exact_pairs` (centroid training
+    already runs bounded driver jobs; one more count sizes the per-cluster
+    block grid).
+    """
+    import math
+
+    spark = df.sparkSession
+    cents = train_ivf_centroids(df, n_list, iters, id_col, vec_col)
+    assigned = _assign_lists(
+        _with_norm(df, id_col, vec_col, "c"), cents, "c", n_probe
+    ).select(
+        "list_id",
+        F.col("c_id").alias("id"),
+        F.col("c_v").alias("v"),
+        F.col("c_norm").alias("nrm"),
     )
+    # bounded job: size the block grid from the LARGEST cluster, not the
+    # average — k-means clusters skew, and per-task GEMM memory grows with
+    # the square of rows-per-(cluster, block), so the hot cluster is the
+    # one that must respect block_size
+    max_cluster = (
+        assigned.groupBy("list_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    n_blocks = max(1, math.ceil((max_cluster or 0) / block_size))
+    blocks = assigned.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+    grid = _block_grid(spark, n_blocks, _grid_literal_max)
+    grid_r = _block_grid(spark, n_blocks, _grid_literal_max)
+    left = blocks.join(
+        F.broadcast(grid.select("pid", F.col("bi").alias("blk"))), "blk"
+    ).select("list_id", "pid", "id", "v", "nrm")
+    # re-aliasing every column mints fresh attribute ids, breaking the
+    # self-join lineage ambiguity (same trick as blocked_exact_pairs)
+    right = (
+        blocks.select(
+            F.col("list_id").alias("list_id"),
+            F.col("blk").alias("blk_r"),
+            F.col("id").alias("id"),
+            F.col("v").alias("v"),
+            F.col("nrm").alias("nrm"),
+        )
+        .join(
+            F.broadcast(grid_r.select("pid", F.col("bj").alias("blk_r"))), "blk_r"
+        )
+        .select("list_id", "pid", "id", "v", "nrm")
+    )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
+
+    pairs = (
+        left.groupby("list_id", "pid")
+        .cogroup(right.groupby("list_id", "pid"))
+        .applyInPandas(_gemm_kernel(threshold, round_digits), out_schema)
+    )
+    if n_probe > 1:
+        # multi-probed pairs co-occur in several clusters; the kernel scores
+        # them identically, so a plain distinct dedupes
+        pairs = pairs.distinct()
+    return pairs
 
 
 def quantized_topk(

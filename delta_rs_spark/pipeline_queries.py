@@ -1599,6 +1599,23 @@ def q_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_keeplist(emb, threshold=0.4).orderBy("vec_id")
 
 
+@query("dedup_semantic_clustered", dedup.semantic_keeplist_oracle_sql())
+def q_semantic_keeplist_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-first SemDeDup — the recipe that survives 100 TB where the
+    corpus-wide exact path cannot run: k-means partition the corpus
+    (`similarity.train_ivf_centroids`), enumerate exact cosine pairs only
+    within clusters (`clustered_exact_pairs`), min-label components, min-id
+    keeplist. Certified at ``n_probe = n_list``, where multi-probing is
+    exhaustive and the pair set — hence the keeplist — provably equals the
+    exact path, so the same recursive-CTE oracle hash-matches; the
+    realistic-probe recall contract (n_list=8, n_probe=2/3) is pinned in
+    tests/test_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_keeplist(
+        emb, threshold=0.4, method="clustered", n_list=4, n_probe=4
+    ).orderBy("vec_id")
+
+
 @query("corpus_unigram_lm", corpus.unigram_lm_oracle_sql())
 def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality scores: mean token log-probability under a

@@ -100,7 +100,7 @@ def summarize_executed(df: DataFrame) -> PlanSummary:
         # matching inside BroadcastExchange
         return len(re.findall(rf"\b{name}\b", text))
 
-    return _build_summary(
+    s = _build_summary(
         text,
         nodes,
         scan_re=r"\b(?:File)?Scan parquet\b",
@@ -110,6 +110,13 @@ def summarize_executed(df: DataFrame) -> PlanSummary:
         pushed_re=r"PushedFilters: \[([^\]\n]*)",
         codegen_re=r"\*\((\d+)\)",
     )
+    # executed toString also truncates long ReadSchema struct<> lists (no
+    # closing '>'), which silently blinds exactly the column-pruning check
+    # this summary feeds; the read schema is fixed at planning time and AQE
+    # never rewrites scans, so take it from the formatted explain's full
+    # detail blocks instead
+    s.read_schemas = summarize(df).read_schemas
+    return s
 
 
 def assert_filter_pushed(df: DataFrame, column: str) -> None:

@@ -37,6 +37,10 @@ def get_spark(app_name: str = "delta_rs_spark", extra_conf: dict | None = None) 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # scan-node metadata (ReadSchema/PushedFilters/Location) truncates at
+        # 100 chars by default, which blinds the plan-audit column-pruning
+        # check on any table wider than a few columns
+        .config("spark.sql.maxMetadataStringLength", "10000")
         # µs int64 timestamps (not legacy INT96): Delta-correct and keeps
         # parquet footer min/max stats usable for file skipping
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

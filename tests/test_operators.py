@@ -1456,6 +1456,33 @@ def test_keeplist_by_score_keeps_best_not_first(spark):
     assert got == [2, 4, 6]
 
 
+def test_keeplist_by_score_null_scores_still_collapse(spark):
+    """A cluster whose every member has a NULL score (score=length over
+    NULL text) must still collapse to ONE member: Spark's struct ordering
+    ranks NULL fields lowest and equal-NULLs fall through to the negated-id
+    tiebreaker, so the winner is the min id — pinned here because a NULL
+    winner would instead let the whole duplicate cluster silently survive.
+    Mixed clusters must ignore NULL-scored members when a scored one
+    exists."""
+    from delta_rs_spark.operators import dedup as dedup_ops
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, None), (4, "abc"), (5, None), (9, "solo")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    got = sorted(
+        r.doc_id
+        for r in dedup_ops.keeplist_by_score(
+            docs, pairs, score=F.length("text")
+        ).collect()
+    )
+    # all-NULL cluster {1,2,3} -> min id 1; mixed {4,5} -> scored 4; 9 passes
+    assert got == [1, 4, 9]
+
+
 def test_line_dedup_matches_python_model_randomized(spark):
     """Seed-pinned randomized corpora vs a direct Python model of the
     CCNet semantics — line inventory drawn so cross-doc repeats, blank and

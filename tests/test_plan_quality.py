@@ -288,3 +288,8 @@ def test_headline_executed_plan_survives_aqe(spark, sf_dir, name):
     if name not in CARTESIAN_OK:
         assert s.nested_loop_joins == 0, f"{name}: nested-loop in executed plan"
     assert s.codegen_spans >= 1, f"{name}: no whole-stage codegen span ran"
+    # the bench sidecar's column-pruning signal must never be blind: every
+    # scan reports a non-empty ReadSchema (plan-string truncation used to
+    # silently drop these — now sourced from the formatted detail blocks)
+    assert len(s.read_schemas) >= s.scans, f"{name}: ReadSchema lost to truncation"
+    assert all(cols for cols in s.read_schemas), f"{name}: empty ReadSchema entry"

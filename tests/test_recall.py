@@ -14,6 +14,10 @@ Measured at sf0.01 (documented in QUERIES.md):
 - ivf_topk (8 lists, probe 6):      recall@10 = 0.90
 - quantized_topk (int8 + rerank):   recall@10 = 1.00
 - minhash_lsh_dedup (t=0.8):        pair recall 1.00, precision 1.00
+- clustered_exact_pairs (8 lists, probe 3, t=0.4): pair recall 0.949,
+  precision exact (subset of the exact pair set by construction)
+- semantic_keeplist clustered (8 lists, probe 2): keeplist Jaccard 0.974
+  vs exact, always a superset (missed edges only split clusters)
 """
 
 from __future__ import annotations
@@ -95,6 +99,70 @@ def test_ivf_exhaustive_probe_equals_brute_force(spark, emb):
         for r in similarity.ivf_topk(emb, q, k=10, n_list=8, n_probe=8).collect()
     ]
     assert ivf == exact
+
+
+def test_clustered_pairs_probe_all_equals_exact(spark, emb):
+    """n_probe = n_list puts every vector in every cluster, so the
+    within-cluster GEMM sees every pair: clustered_exact_pairs must equal
+    blocked_exact_pairs row for row — ids AND cosines (the property the
+    certified companion dedup_semantic_clustered hashes against the exact
+    recursive-CTE oracle)."""
+    exact = {
+        tuple(r)
+        for r in similarity.blocked_exact_pairs(
+            emb, threshold=0.4, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    clus = {
+        tuple(r)
+        for r in similarity.clustered_exact_pairs(
+            emb, threshold=0.4, n_list=4, n_probe=4, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    assert clus == exact
+
+
+def test_clustered_pairs_recall_floor_and_exact_precision(spark, emb):
+    """The scale path trades pair RECALL (a qualifying pair split across
+    clusters is missed), never precision: every emitted pair is scored by
+    the same exact GEMM kernel, so the output must be a strict subset of
+    the exact pair set. Measured at sf0.01: recall 0.949 at (n_list=8,
+    n_probe=3), 0.78 at (8, 2) — deterministic k-means seeds make the
+    values stable run to run."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.blocked_exact_pairs(
+            emb, threshold=0.4, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    clus = {
+        (r.id_a, r.id_b)
+        for r in similarity.clustered_exact_pairs(
+            emb, threshold=0.4, n_list=8, n_probe=3, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    assert clus <= exact, f"false positives: {clus - exact}"
+    r = len(clus & exact) / len(exact)
+    assert r >= 0.9, f"clustered pair recall dropped to {r}"
+
+
+def test_clustered_keeplist_agreement_floor(spark, emb):
+    """End-to-end contract for method='clustered' semantic dedup at a
+    realistic probe (n_list=8, n_probe=2): the survivor set must stay in
+    high agreement with the exact keeplist (measured Jaccard 0.974 at
+    sf0.01 — missed cross-cluster pairs only ever let a few extra
+    near-duplicates survive; nothing unique is ever dropped, pinned by the
+    superset check)."""
+    exact = {r.vec_id for r in dedup.semantic_keeplist(emb, threshold=0.4).collect()}
+    clus = {
+        r.vec_id
+        for r in dedup.semantic_keeplist(
+            emb, threshold=0.4, method="clustered", n_list=8, n_probe=2
+        ).collect()
+    }
+    assert clus >= exact, "clustered keeplist dropped a vector the exact path keeps"
+    j = len(exact & clus) / len(exact | clus)
+    assert j >= 0.95, f"keeplist agreement dropped to {j}"
 
 
 def test_ivf_centroid_training_is_deterministic(spark, emb):
