@@ -610,7 +610,7 @@ def semantic_keeplist(
     vec_col: str = "embedding",
     method: str = "exact",
     n_list: int = 8,
-    n_probe: int = 2,
+    n_probe: int = 3,
     iters: int = 2,
 ) -> DataFrame:
     """Ids surviving SEMANTIC near-duplicate removal: vectors whose cosine

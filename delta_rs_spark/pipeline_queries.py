@@ -274,6 +274,8 @@ def q_similarity_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # way tests/test_recall.py flips locally.
 _RECALL_CONTRACTS_ORACLE = """
     SELECT * FROM (VALUES
+      ('clustered_pairs_precision 8 lists probe 3 t=0.4', CAST(1.0 AS DOUBLE), true),
+      ('clustered_pairs_recall 8 lists probe 3 t=0.4', CAST(0.9 AS DOUBLE), true),
       ('ivf_topk@10 8 lists probe 6', CAST(0.85 AS DOUBLE), true),
       ('lsh_topk@10 4 planes x 16 tables', CAST(0.85 AS DOUBLE), true),
       ('minhash_pair_precision t=0.8', CAST(1.0 AS DOUBLE), true),
@@ -330,6 +332,23 @@ def q_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         mh_pairs.join(true_pairs, ["doc_a", "doc_b"], "left_semi")
     )
 
+    # cluster-first semantic dedup: pair recall vs the corpus-wide exact
+    # GEMM at the DEFAULT probe, and precision (exact scoring makes the
+    # clustered output a strict subset — floor 1.0 is a hard invariant)
+    exact_pairs = persist_tracked(
+        similarity.blocked_exact_pairs(
+            emb, threshold=0.4, id_col="vec_id", vec_col="embedding"
+        ).select("id_a", "id_b")
+    )
+    clus_pairs = persist_tracked(
+        similarity.clustered_exact_pairs(
+            emb, threshold=0.4, n_list=8, n_probe=3, id_col="vec_id", vec_col="embedding"
+        ).select("id_a", "id_b")
+    )
+    clus_hits = persist_tracked(
+        clus_pairs.join(exact_pairs, ["id_a", "id_b"], "left_semi")
+    )
+
     return (
         _topk_recall(
             "ivf_topk@10 8 lists probe 6",
@@ -352,6 +371,22 @@ def q_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(_ratio("minhash_pair_recall t=0.8", 0.95, mh_hits, true_pairs))
         .unionAll(_ratio("minhash_pair_precision t=0.8", 1.0, mh_hits, mh_pairs))
+        .unionAll(
+            _ratio(
+                "clustered_pairs_recall 8 lists probe 3 t=0.4",
+                0.9,
+                clus_hits,
+                exact_pairs,
+            )
+        )
+        .unionAll(
+            _ratio(
+                "clustered_pairs_precision 8 lists probe 3 t=0.4",
+                1.0,
+                clus_hits,
+                clus_pairs,
+            )
+        )
         .orderBy("contract")
     )
 
@@ -1608,8 +1643,8 @@ def q_semantic_keeplist_clustered(spark: SparkSession, sf_dir: str) -> DataFrame
     keeplist. Certified at ``n_probe = n_list``, where multi-probing is
     exhaustive and the pair set — hence the keeplist — provably equals the
     exact path, so the same recursive-CTE oracle hash-matches; the
-    realistic-probe recall contract (n_list=8, n_probe=2/3) is pinned in
-    tests/test_recall.py."""
+    realistic-probe recall contract (n_list=8, n_probe=3 — the default)
+    is pinned in tests/test_recall.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.semantic_keeplist(
         emb, threshold=0.4, method="clustered", n_list=4, n_probe=4

@@ -16,8 +16,13 @@ Measured at sf0.01 (documented in QUERIES.md):
 - minhash_lsh_dedup (t=0.8):        pair recall 1.00, precision 1.00
 - clustered_exact_pairs (8 lists, probe 3, t=0.4): pair recall 0.949,
   precision exact (subset of the exact pair set by construction)
-- semantic_keeplist clustered (8 lists, probe 2): keeplist Jaccard 0.974
-  vs exact, always a superset (missed edges only split clusters)
+- semantic_keeplist clustered (8 lists, probe 3 — default): keeplist
+  Jaccard 0.9955 vs exact, always a superset (missed edges only split
+  clusters)
+
+The sf0.1 ladder (recorded in QUERIES.md): lsh 0.94, ivf 0.96, quantized
+1.00, minhash 1.00/1.00, clustered pairs (8,3) 0.954, clustered keeplist
+Jaccard 0.9654.
 """
 
 from __future__ import annotations
@@ -147,18 +152,18 @@ def test_clustered_pairs_recall_floor_and_exact_precision(spark, emb):
 
 
 def test_clustered_keeplist_agreement_floor(spark, emb):
-    """End-to-end contract for method='clustered' semantic dedup at a
-    realistic probe (n_list=8, n_probe=2): the survivor set must stay in
-    high agreement with the exact keeplist (measured Jaccard 0.974 at
-    sf0.01 — missed cross-cluster pairs only ever let a few extra
-    near-duplicates survive; nothing unique is ever dropped, pinned by the
-    superset check)."""
+    """End-to-end contract for method='clustered' semantic dedup at the
+    DEFAULT probe (n_list=8, n_probe=3): the survivor set must stay in
+    high agreement with the exact keeplist (measured Jaccard 0.9955 at
+    sf0.01, 0.9654 at sf0.1 — missed cross-cluster pairs only ever let a
+    few extra near-duplicates survive; nothing unique is ever dropped,
+    pinned by the superset check). probe 2 was rejected as the default:
+    its agreement decays with corpus size (0.974 at sf0.01 -> 0.822 at
+    sf0.1), while probe 3's pair recall holds ~0.95 at both."""
     exact = {r.vec_id for r in dedup.semantic_keeplist(emb, threshold=0.4).collect()}
     clus = {
         r.vec_id
-        for r in dedup.semantic_keeplist(
-            emb, threshold=0.4, method="clustered", n_list=8, n_probe=2
-        ).collect()
+        for r in dedup.semantic_keeplist(emb, threshold=0.4, method="clustered").collect()
     }
     assert clus >= exact, "clustered keeplist dropped a vector the exact path keeps"
     j = len(exact & clus) / len(exact | clus)
