@@ -39,6 +39,7 @@ _ROTATION = [
     "q_part_cooccurrence",
     # -- (3) new in round 6 (skipped until registered) -----------------------
     "dedup_semantic_clustered",
+    "text_substring_dedup",
     # -- (4) recall-contract rows-only entries (floors pinned in
     # tests/test_recall.py; deterministic cores certified by the exact
     # companions similarity_ivf_exact / similarity_quantized_rerank /

@@ -842,3 +842,116 @@ def line_dedup(
         .cast("long")
         .alias("n_lines_removed"),
     )
+
+
+def substring_dedup(
+    df: DataFrame,
+    min_count: int = 2,
+    window: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every token span covered by a ``window``-token sequence that
+    occurs ``>= min_count`` times corpus-wide — exact-substring dedup, the
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") ExactSubstr pass re-expressed for a distributed engine: where
+    the paper builds one suffix array over the concatenated corpus, the
+    shuffle-native equivalent is a windowed token-gram census. Both find
+    exactly the spans of >= ``window`` tokens that repeat (a repeat of
+    length L >= window duplicates all L - window + 1 of its windows, so
+    window-gram hits reconstruct the full span); spans shorter than
+    ``window`` are below the dedup threshold by definition.
+
+    Semantics (single pass, like the paper's):
+    - tokens = whitespace split of the raw text (case-SENSITIVE — exact
+      duplication means verbatim copies; contrast the lowercased corpus
+      contract used by the statistical operators);
+    - every occurrence counts toward ``min_count``, including repeats
+      within one document (self-repetition is still duplication);
+    - ALL covered occurrences are removed (the first too, per Lee et al. —
+      training wants the span's frequency reduced to ~0, and any kept-one
+      policy is a separate keeplist decision);
+    - remaining tokens are rejoined with single spaces (whitespace is
+      normalized, the same contract as the tokenizer); a fully-covered or
+      NULL document comes back as empty text, not a dropped row;
+    - NOT idempotent by design: removal splices new token adjacencies,
+      which a second pass may census differently — the paper's semantics
+      are one census over the ORIGINAL corpus.
+
+    100 TB shape: one posexplode to (doc, pos, gram-hash) — linear in
+    corpus tokens, the same O(n) a suffix array pays, but embarrassingly
+    parallel; the census is a map-side-combinable groupBy whose surviving
+    HOT dictionary is bounded by corpus redundancy (AQE broadcasts it into
+    the semi join when small); duplicated positions fold per document
+    (sort + interval-merge in codegen, intervals <= positions/1, typically
+    few per doc), and the final token filter costs O(tokens x intervals)
+    per doc with merged intervals. Grams shuffle as xxhash64 (8 bytes),
+    not token strings; a 2^-64 collision falsely REMOVES a span — the
+    conservative direction for dedup (certified exact vs a string-keyed
+    oracle at sf0.01, same pattern as the shingle-hash operators).
+    """
+    text_safe = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.filter(F.split(text_safe, r"\s+"), lambda w: w != "")
+    base = df.select(id_col, toks.alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+
+    gram_hashes = F.when(
+        F.col("_n") >= window,
+        F.expr(
+            f"transform(sequence(0, _n - {window}),"
+            f" i -> xxhash64(concat_ws(' ', slice(_toks, i + 1, {window}))))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<bigint>)"))
+    pos = base.select(
+        id_col, F.posexplode_outer(gram_hashes).alias("pos", "g")
+    ).filter(F.col("g").isNotNull())
+
+    hot = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("g")
+    )
+    dup = (
+        pos.join(hot, "g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_dups"))
+    )
+
+    # merge sorted window-starts into disjoint [s, e) cover intervals —
+    # adjacency (p == last.e) merges too, keeping the interval list minimal
+    iv = F.aggregate(
+        F.coalesce(F.col("_dups"), F.expr("cast(array() as array<int>)")),
+        F.expr("cast(array() as array<struct<s:int,e:int>>)"),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], p + window
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(p.alias("s"), (p + window).alias("e"))))
+        ),
+    )
+
+    covered = base.join(dup, id_col, "left").withColumn("_iv", iv)
+    kept = F.filter(
+        "_toks",
+        lambda t, i: ~F.exists(
+            "_iv", lambda v: (v["s"] <= i) & (i < v["e"])
+        ),
+    )
+    return covered.select(
+        id_col,
+        F.array_join(kept, " ").alias("text_dedup"),
+        F.size(kept).cast("long").alias("n_tokens_kept"),
+        (F.col("_n") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

@@ -1634,6 +1634,66 @@ def q_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_keeplist(emb, threshold=0.4).orderBy("vec_id")
 
 
+# Exact-substring dedup (Lee et al. ExactSubstr): the oracle recomputes the
+# window census from gram STRINGS (hash-agnostic), pinning the xxhash64-keyed
+# Spark plan to exact values — same pattern as the shingle-hash operators.
+_SUBSTRING_DEDUP_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(COALESCE(text, ''), '\\s+'),
+                         w -> w <> '') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, r.i AS p,
+             array_to_string(t[r.i + 1 : r.i + 10], ' ') AS g
+      FROM toks, UNNEST(range(0, greatest(len(t) - 9, 0))) AS r(i)
+    ),
+    hot AS (
+      SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    dup AS (
+      SELECT doc_id, p FROM pos WHERE g IN (SELECT g FROM hot)
+    ),
+    tok_rows AS (
+      SELECT doc_id, r.i AS j, t[r.i + 1] AS tok
+      FROM toks, UNNEST(range(0, len(t))) AS r(i)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.j, k.tok FROM tok_rows k
+      WHERE NOT EXISTS (
+        SELECT 1 FROM dup d
+        WHERE d.doc_id = k.doc_id AND d.p <= k.j AND k.j < d.p + 10
+      )
+    ),
+    kept_agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS text_dedup,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(k.text_dedup, '') AS text_dedup,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(len(t.t) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_tokens_removed
+    FROM toks t LEFT JOIN kept_agg k USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@query("text_substring_dedup", _SUBSTRING_DEDUP_ORACLE)
+def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. ExactSubstr) certified end to end:
+    every span covered by a 10-token window occurring >= 2 times
+    corpus-wide is removed from every document (first occurrences and
+    within-doc self-repeats included), remainder reassembled in token
+    order. The synthetic corpus carries real duplicated spans (969 hot
+    10-grams across 47 docs at sf0.01), so census, interval merge, and
+    splice are all exercised; a missed window, broken merge, or off-by-one
+    in the cover test hash-mismatches."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.substring_dedup(docs, min_count=2, window=10).orderBy("doc_id")
+
+
 @query("dedup_semantic_clustered", dedup.semantic_keeplist_oracle_sql())
 def q_semantic_keeplist_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-first SemDeDup — the recipe that survives 100 TB where the

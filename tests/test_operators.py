@@ -1483,6 +1483,57 @@ def test_keeplist_by_score_null_scores_still_collapse(spark):
     assert got == [1, 4, 9]
 
 
+def test_substring_dedup_semantics(spark):
+    """Exact-substring dedup over handcrafted docs: cross-doc shared span
+    removed from BOTH docs, within-doc self-repeat removed (both copies),
+    unique and sub-window docs untouched, NULL text -> empty row with zero
+    counts, overlapping hot windows merge into one spliced gap."""
+    from delta_rs_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "p q a b c d e r s"),
+            (2, "a b c d e t u v w"),
+            (3, "one two three four five six seven"),
+            (4, "x1 x2 x3 x4 x5 mid x1 x2 x3 x4 x5 tail"),
+            (5, None),
+            (6, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_dedup, r.n_tokens_kept, r.n_tokens_removed)
+        for r in text_ops.substring_dedup(docs, min_count=2, window=5).collect()
+    }
+    assert got == {
+        1: ("p q r s", 4, 5),
+        2: ("t u v w", 4, 5),
+        3: ("one two three four five six seven", 7, 0),
+        4: ("mid tail", 2, 10),
+        5: ("", 0, 0),
+        6: ("tiny doc", 2, 0),
+    }
+
+
+def test_substring_dedup_long_span_fully_covered(spark):
+    """A repeated span LONGER than the window is removed in full: every
+    window inside it is hot, the merged interval covers the whole span —
+    the property that makes a windowed census equal to the suffix-array
+    formulation for spans >= window."""
+    from delta_rs_spark.operators import text as text_ops
+
+    span = " ".join(f"s{i}" for i in range(9))  # 9-token span, window 4
+    docs = spark.createDataFrame(
+        [(1, f"left {span} right"), (2, f"{span} other end")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.text_dedup
+        for r in text_ops.substring_dedup(docs, min_count=2, window=4).collect()
+    }
+    assert got == {1: "left right", 2: "other end"}
+
+
 def test_line_dedup_matches_python_model_randomized(spark):
     """Seed-pinned randomized corpora vs a direct Python model of the
     CCNet semantics — line inventory drawn so cross-doc repeats, blank and
