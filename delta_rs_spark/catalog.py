@@ -40,6 +40,9 @@ _ROTATION = [
     # -- (3) new in round 6 (skipped until registered) -----------------------
     "dedup_semantic_clustered",
     "text_substring_dedup",
+    "similarity_pq_codes",
+    "similarity_pq_exact",
+    "similarity_pq_topk",
     # -- (4) recall-contract rows-only entries (floors pinned in
     # tests/test_recall.py; deterministic cores certified by the exact
     # companions similarity_ivf_exact / similarity_quantized_rerank /

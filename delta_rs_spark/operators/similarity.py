@@ -935,3 +935,317 @@ def random_projection_oracle_sql(
         sel.append(f"round(({terms}) * {scale!r}, 4) AS rp{j:02d}")
     cols = ",\n       ".join(sel)
     return f"SELECT {cols}\nFROM {table}\nORDER BY {id_col}"
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / ADC)
+# ---------------------------------------------------------------------------
+
+def _lloyd_l2(vectors: DataFrame, k: int, iters: int) -> list[list[float]]:
+    """Deterministic L2 k-means over a (c_id, c_v) frame — the PQ-subspace
+    trainer. Same determinism contract as `train_ivf_centroids` (xxhash64
+    seed pick, literal-centroid assignment in codegen, order-insensitive
+    DECIMAL means, empty clusters keep their seed), but assignment is
+    L2-argmin, not max-dot: PQ subvectors are not unit vectors, so dot
+    ranking would collapse to centroid norm."""
+    seeds = (
+        vectors.orderBy(F.xxhash64(F.col("c_id")), F.col("c_id"))
+        .limit(k)
+        .select("c_v")
+        .collect()
+    )
+    cents = [list(r.c_v) for r in seeds]
+    for _ in range(iters):
+        assigned = vectors.withColumn(
+            "list_id", _l2_argmin_expr(cents, F.col("c_v"))
+        )
+        means = (
+            assigned.select("list_id", F.posexplode("c_v").alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(25,12)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias("m")
+            )
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+                ).alias("cent")
+            )
+            .collect()
+        )
+        for row in means:
+            cents[row.list_id] = list(row.cent)
+    return cents
+
+
+def _l2_argmin_expr(cents: list[list[float]], vec, round_digits: int | None = None):
+    """Codegen argmin over literal centroids: array of squared-L2
+    distances, struct-sorted (dist, idx) ascending, first index — ties
+    break to the smallest code, the same rule the SQL oracle evaluates.
+    ``round_digits`` quantizes each distance first (the certified-codes
+    path: cross-engine double noise is ~1e-15, so rounding at 1e-9 makes
+    the argmin engine-invariant without ever flipping a real winner)."""
+    def _d(c):
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(d, round_digits) if round_digits is not None else d
+
+    dists = F.array(*[_d(c) for c in cents])
+    n = len(cents)
+    return F.element_at(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)),
+                lambda i: F.struct(
+                    F.element_at(dists, i + 1).alias("d"),
+                    i.alias("code"),
+                ),
+            )
+        ),
+        1,
+    )["code"]
+
+
+def pq_random_codebooks(m: int, sub_dim: int, k_codes: int, seed: int = 7) -> list[list[list[float]]]:
+    """Data-INDEPENDENT codebooks from md5 (uniform in ±1/√(m·sub_dim), the
+    scale of unit-vector subcoordinates) — worse recall than trained
+    codebooks, but reproducible from constants alone, which is what lets a
+    SQL oracle certify the encode/ADC machinery exactly (the same
+    trained-vs-derived split as `lsh_bucket_assignments`)."""
+    amp = 1.0 / (m * sub_dim) ** 0.5
+    return [
+        [
+            [
+                (int(hashlib.md5(f"pq:{seed}:{j}:{c}:{s}".encode()).hexdigest()[:8], 16)
+                 / float(1 << 32) * 2.0 - 1.0) * amp
+                for s in range(sub_dim)
+            ]
+            for c in range(k_codes)
+        ]
+        for j in range(m)
+    ]
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 16,
+    k_codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[list[float]]]:
+    """Per-subspace L2 k-means codebooks over the unit-normalized corpus —
+    the PQ trainer (Jégou et al. 2011, "Product Quantization for Nearest
+    Neighbor Search"). m · k_codes · (dim/m) doubles live on the driver
+    (KB), like the IVF centroids; training is m independent Lloyd runs
+    over column slices, each a bounded number of distributed passes.
+
+    EAGER-BUILD CONTRACT: unless ``dim`` is supplied, one bounded job reads
+    a single row to size the subspaces."""
+    c = _unit(_with_norm(corpus, id_col, vec_col, "c"), "c")
+    if dim is None:
+        dim = len(c.select("c_v").first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    return [
+        _lloyd_l2(
+            c.select("c_id", F.slice("c_v", j * sub + 1, sub).alias("c_v")),
+            k_codes,
+            iters,
+        )
+        for j in range(m)
+    ]
+
+
+def pq_codes(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 9,
+) -> DataFrame:
+    """(id, code_0..code_{m-1}) — each unit vector's per-subspace L2-argmin
+    codeword, entirely in codegen (the m·k_codes centroid literals fold
+    into the plan like the LSH sign matrix). At scale these m small ints
+    are what you PERSIST next to (or instead of) the float vector: the
+    whole corpus scans at m bytes/vector during candidate generation."""
+    m = len(books)
+    sub = len(books[0][0])
+    c = _unit(_with_norm(corpus, id_col, vec_col, "c"), "c")
+    return c.select(
+        F.col("c_id").alias(id_col),
+        *[
+            _l2_argmin_expr(
+                books[j], F.slice("c_v", j * sub + 1, sub), round_digits
+            ).alias(f"code_{j}")
+            for j in range(m)
+        ],
+    )
+
+
+def pq_codes_oracle_sql(
+    m: int = 16,
+    k_codes: int = 16,
+    seed: int = 7,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> str:
+    """DuckDB recompute of `pq_codes` over the md5-derived codebooks: the
+    identical centroid literals, the identical left-to-right addition
+    order, distances rounded at the same digit, first-index argmin — so a
+    subspace-slice off-by-one, a sign flip, or a tie-break divergence in
+    the codegen path is a hard hash mismatch (the same certification shape
+    as `lsh_bucket_assignments_oracle_sql`)."""
+    sub = dim // m
+    books = pq_random_codebooks(m, sub, k_codes, seed)
+    sumsq = " + ".join(
+        f"(CAST({vec_col}[{i + 1}] AS DOUBLE) * CAST({vec_col}[{i + 1}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    code_cols = []
+    dist_lists = []
+    for j in range(m):
+        dists = []
+        for c in range(k_codes):
+            terms = " + ".join(
+                f"((v[{j * sub + s + 1}] - ({books[j][c][s]!r})) * "
+                f"(v[{j * sub + s + 1}] - ({books[j][c][s]!r})))"
+                for s in range(sub)
+            )
+            dists.append(f"round({terms}, {round_digits})")
+        dist_lists.append(f"[{', '.join(dists)}] AS d{j}")
+        code_cols.append(
+            f"CAST(list_position(d{j}, list_min(d{j})) - 1 AS INT) AS code_{j}"
+        )
+    return f"""
+    WITH n AS (
+      SELECT {id_col}, {vec_col}, sqrt({sumsq}) AS nrm FROM {table}
+    ),
+    u AS (
+      SELECT {id_col},
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE) / nrm) AS v
+      FROM n WHERE nrm > 0
+    ),
+    d AS (
+      SELECT {id_col}, {', '.join(dist_lists)} FROM u
+    )
+    SELECT {id_col}, {', '.join(code_cols)}
+    FROM d ORDER BY {id_col}
+    """
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 16,
+    k_codes: int = 16,
+    oversample: int = 8,
+    iters: int = 2,
+    books: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via product quantization with asymmetric distance
+    computation (ADC) + exact rerank.
+
+    The third rung of the scan-compression ladder (float32 -> int8 ->
+    PQ codes): the corpus is represented by m codewords (m bytes at
+    k_codes <= 256) instead of 4·dim bytes — 16x fewer candidate-scan
+    bytes at the default m=16, dim=64 (and the ratio grows with dim:
+    a 1024-dim corpus at m=16 scans 256x fewer bytes). Each query precomputes its m × k_codes table of
+    subspace dot products against the codebooks (a literal-arithmetic
+    codegen map over the BROADCAST query side); scoring a corpus vector is
+    then m table lookups, no float vector read at all. The top
+    k·oversample ADC candidates per query take an exact float rerank —
+    identical scoring expression to `cosine_topk`, so precision of the
+    emitted cosines is exact and recall tunes with ``oversample`` (floor
+    pinned in tests/test_recall.py; at oversample >= corpus/k the screen
+    is exhaustive and the output provably equals brute force — the
+    certified companion `similarity_pq_exact`).
+
+    Codebooks: pass ``books`` (e.g. md5-derived via `pq_random_codebooks`
+    for engine-reproducibility, or precomputed) or let the operator train
+    per-subspace Lloyd codebooks (`train_pq_codebooks` — bounded driver
+    jobs, deterministic)."""
+    if books is None:
+        books = train_pq_codebooks(
+            corpus, m=m, k_codes=k_codes, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+    m = len(books)
+    k_codes = len(books[0])
+    sub = len(books[0][0])
+
+    c = _unit(_with_norm(corpus, id_col, vec_col, "c"), "c")
+    cc = c.select(
+        "c_id",
+        "c_v",
+        *[
+            _l2_argmin_expr(books[j], F.slice("c_v", j * sub + 1, sub)).alias(
+                f"_code_{j}"
+            )
+            for j in range(m)
+        ],
+    )
+    q = _unit(_with_norm(queries, id_col, vec_col, "q"), "q")
+    # flat m·k_codes ADC table: entry j·k_codes + c = dot(q_sub_j, book_j_c)
+    table = F.array(
+        *[
+            _dot(
+                F.slice("q_v", j * sub + 1, sub),
+                F.array(*[F.lit(float(x)) for x in books[j][cd]]),
+            )
+            for j in range(m)
+            for cd in range(k_codes)
+        ]
+    )
+    qq = q.withColumn("_adc", table)
+
+    scored = cc.crossJoin(F.broadcast(qq)).filter(F.col("q_id") != F.col("c_id"))
+    adc_score = None
+    for j in range(m):
+        term = F.element_at(
+            "_adc", F.col(f"_code_{j}").cast("int") + F.lit(j * k_codes + 1)
+        )
+        adc_score = term if adc_score is None else adc_score + term
+    scored = scored.withColumn("qscore", adc_score)
+
+    keep = k * oversample
+    w1 = W.partitionBy("q_id", "_pid").orderBy(F.col("qscore").desc(), F.col("c_id"))
+    w2 = W.partitionBy("q_id").orderBy(F.col("qscore").desc(), F.col("c_id"))
+    cand = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pr", F.row_number().over(w1))
+        .filter(F.col("_pr") <= keep)
+        .drop("_pid", "_pr")
+        .withColumn("_qr", F.row_number().over(w2))
+        .filter(F.col("_qr") <= keep)
+        .drop("_qr")
+    )
+    w3 = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        cand.withColumn("cosine", F.round(_dot(F.col("q_v"), F.col("c_v")), 6))
+        .withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1634,6 +1634,49 @@ def q_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_keeplist(emb, threshold=0.4).orderBy("vec_id")
 
 
+@query("similarity_pq_topk", None)
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k (Jégou et al. ADC) at the certified
+    default config: 16 subspaces x 16 trained codewords (16 bytes/vector —
+    16x fewer candidate-scan bytes than float32), query-side ADC tables in
+    codegen, exact float rerank of the 8k oversampled survivors. Rows-only
+    (k-means trained codebooks are data-dependent); recall@10 = 0.94 at
+    sf0.01 with the floor pinned in tests/test_recall.py, and the
+    deterministic machinery is certified exactly by similarity_pq_codes +
+    similarity_pq_exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query("similarity_pq_exact", _BRUTE_FORCE_TOPK_ORACLE)
+def q_similarity_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle companion to the rows-only ``similarity_pq_topk``: at
+    an exhaustive oversample the ADC screen keeps every candidate, so the
+    output — codebook train, encode, ADC scoring plumbing, exact rerank —
+    must equal brute force row for row, cosine for cosine. An encode or
+    table-lookup bug that silently dropped candidates flips this row red;
+    recall at the production oversample stays pinned in
+    tests/test_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, oversample=1_000_000
+    )
+
+
+@query("similarity_pq_codes", similarity.pq_codes_oracle_sql())
+def q_similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle certification of the PQ encode path: every vector's 16
+    subspace codewords against md5-derived (engine-reproducible) codebooks,
+    hash-matched against DuckDB evaluating the identical centroid literals
+    in the identical addition order with the identical 1e-9 distance
+    quantization and first-index tie-break. A subspace-slice off-by-one or
+    argmin divergence — the bugs that silently degrade PQ recall without
+    failing a rows-only check — is a hard mismatch here."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_random_codebooks(16, 4, 16)
+    return similarity.pq_codes(emb, books).orderBy("vec_id")
+
+
 # Exact-substring dedup (Lee et al. ExactSubstr): the oracle recomputes the
 # window census from gram STRINGS (hash-agnostic), pinning the xxhash64-keyed
 # Spark plan to exact values — same pattern as the shingle-hash operators.

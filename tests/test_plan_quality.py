@@ -81,6 +81,8 @@ CARTESIAN_OK = {
     "similarity_topk",        # exact brute-force baseline by design
     "similarity_quantized_topk",  # int8 brute scoring (broadcast probe side)
     "similarity_quantized_rerank",  # same int8 brute scoring, exact-oracle companion
+    "similarity_pq_topk",     # ADC brute scoring (broadcast probe side)
+    "similarity_pq_exact",    # same, at exhaustive oversample
     "q11_important_parts",    # 1-row sum-threshold broadcast
     "text_tfidf_topk",        # 1-row document-count broadcast
     "q15_top_supplier",       # 1-row max broadcast

@@ -13,6 +13,7 @@ Measured at sf0.01 (documented in QUERIES.md):
 - lsh_topk (4 planes × 16 tables):  recall@10 = 0.90
 - ivf_topk (8 lists, probe 6):      recall@10 = 0.90
 - quantized_topk (int8 + rerank):   recall@10 = 1.00
+- pq_topk (16x16 codes, ov 8):      recall@10 = 0.94
 - minhash_lsh_dedup (t=0.8):        pair recall 1.00, precision 1.00
 - clustered_exact_pairs (8 lists, probe 3, t=0.4): pair recall 0.949,
   precision exact (subset of the exact pair set by construction)
@@ -104,6 +105,35 @@ def test_ivf_exhaustive_probe_equals_brute_force(spark, emb):
         for r in similarity.ivf_topk(emb, q, k=10, n_list=8, n_probe=8).collect()
     ]
     assert ivf == exact
+
+
+def test_pq_topk_recall_floor(spark, emb, exact_topk):
+    q = emb.filter(F.col("vec_id") < 5)
+    r = _recall(similarity.pq_topk(emb, q, k=10), exact_topk)
+    assert r >= 0.85, f"pq_topk recall@10 dropped to {r}"
+
+
+def test_pq_exhaustive_oversample_equals_brute_force(spark, emb):
+    """oversample >= corpus/k keeps every ADC candidate, so the PQ output —
+    trained codebooks, encode, ADC lookup, exact rerank — must equal
+    cosine_topk row for row (the property the certified companion
+    similarity_pq_exact hashes against the brute-force oracle)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = [tuple(r) for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    pq = [
+        tuple(r)
+        for r in similarity.pq_topk(emb, q, k=10, oversample=1_000_000).collect()
+    ]
+    assert pq == exact
+
+
+def test_pq_codebook_training_is_deterministic(spark, emb):
+    """Per-subspace Lloyd codebooks must not vary with shuffle reduction
+    order (DECIMAL means, xxhash64 seeds) — identical books from
+    differently-partitioned input, bit for bit."""
+    b1 = similarity.train_pq_codebooks(emb.repartition(3), m=4, k_codes=8, iters=1)
+    b2 = similarity.train_pq_codebooks(emb.repartition(7), m=4, k_codes=8, iters=1)
+    assert b1 == b2
 
 
 def test_clustered_pairs_probe_all_equals_exact(spark, emb):
