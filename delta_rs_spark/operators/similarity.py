@@ -77,6 +77,40 @@ def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _screened_topk(scored: DataFrame, cosine_expr, k: int, keep: int) -> DataFrame:
+    """Shared tail of the screen-then-rerank operators (int8, PQ, IVF-PQ):
+    keep the top ``keep`` candidates per query by the approximate
+    ``qscore`` (two-phase windows — no reducer sees O(corpus) rows for one
+    query), then rank the survivors by the EXACT ``cosine_expr`` (rounded
+    to 6 digits, id tiebreak — the same ordering contract as
+    :func:`cosine_topk`, so approximate paths never disagree with the
+    exact baseline on a shared pair)."""
+    w1 = W.partitionBy("q_id", "_pid").orderBy(F.col("qscore").desc(), F.col("c_id"))
+    w2 = W.partitionBy("q_id").orderBy(F.col("qscore").desc(), F.col("c_id"))
+    cand = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pr", F.row_number().over(w1))
+        .filter(F.col("_pr") <= keep)
+        .drop("_pid", "_pr")
+        .withColumn("_qr", F.row_number().over(w2))
+        .filter(F.col("_qr") <= keep)
+        .drop("_qr")
+    )
+    w3 = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        cand.withColumn("cosine", F.round(cosine_expr, 6))
+        .withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -828,31 +862,7 @@ def quantized_topk(
             ),
         )
     )
-    keep = k * oversample
-    w1 = W.partitionBy("q_id", "_pid").orderBy(F.col("qscore").desc(), F.col("c_id"))
-    w2 = W.partitionBy("q_id").orderBy(F.col("qscore").desc(), F.col("c_id"))
-    cand = (
-        scored.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_pr", F.row_number().over(w1))
-        .filter(F.col("_pr") <= keep)
-        .drop("_pid", "_pr")
-        .withColumn("_qr", F.row_number().over(w2))
-        .filter(F.col("_qr") <= keep)
-        .drop("_qr")
-    )
-    w3 = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
-    return (
-        cand.withColumn("cosine", F.round(_dot(F.col("q_v"), F.col("c_v")), 6))
-        .withColumn("rank", F.row_number().over(w3))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            "cosine",
-            "rank",
-        )
-        .orderBy("query_id", "rank")
-    )
+    return _screened_topk(scored, _dot(F.col("q_v"), F.col("c_v")), k, k * oversample)
 
 
 # ---------------------------------------------------------------------------
@@ -1224,28 +1234,97 @@ def pq_topk(
         adc_score = term if adc_score is None else adc_score + term
     scored = scored.withColumn("qscore", adc_score)
 
-    keep = k * oversample
-    w1 = W.partitionBy("q_id", "_pid").orderBy(F.col("qscore").desc(), F.col("c_id"))
-    w2 = W.partitionBy("q_id").orderBy(F.col("qscore").desc(), F.col("c_id"))
-    cand = (
-        scored.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_pr", F.row_number().over(w1))
-        .filter(F.col("_pr") <= keep)
-        .drop("_pid", "_pr")
-        .withColumn("_qr", F.row_number().over(w2))
-        .filter(F.col("_qr") <= keep)
-        .drop("_qr")
-    )
-    w3 = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
-    return (
-        cand.withColumn("cosine", F.round(_dot(F.col("q_v"), F.col("c_v")), 6))
-        .withColumn("rank", F.row_number().over(w3))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            "cosine",
-            "rank",
+    return _screened_topk(scored, _dot(F.col("q_v"), F.col("c_v")), k, k * oversample)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_list: int = 8,
+    n_probe: int = 6,
+    m: int = 16,
+    k_codes: int = 16,
+    oversample: int = 8,
+    iters: int = 2,
+    books: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production composition (FAISS's IVFPQ shape) of the two
+    index tiers — an IVF coarse quantizer prunes WHICH vectors are
+    scanned (each query probes its ``n_probe`` nearest of ``n_list``
+    inverted lists: a bucketed equi-join, never a corpus-wide scan), and
+    PQ codes compress HOW MUCH each scanned vector costs (m bytes + m ADC
+    table lookups instead of a 4·dim-byte float read and dim multiplies).
+    The top k·oversample ADC candidates take the exact rerank, identical
+    scoring to `cosine_topk`.
+
+    Why the composition is what survives 100 TB: standalone PQ still scans
+    every vector per query (cheaply, but linearly) — its recall-vs-
+    oversample knob also degrades as the corpus grows past the candidate
+    pool. IVF-PQ's scanned pool is n·n_probe/n_list, so corpus growth is
+    absorbed by scaling n_list (keeping list sizes constant) while
+    oversample stays fixed; recall is then governed by the probe ratio,
+    the same contract `ivf_topk` pins. At ``n_probe = n_list`` AND an
+    exhaustive oversample the output provably equals brute force (the
+    certified companion `similarity_ivfpq_exact`).
+
+    Corpus vectors stay RAW for the rerank (norm-invariant list
+    assignment, exactly as `ivf_topk`); PQ encode and the query ADC tables
+    use the unit form, matching the codebooks' training domain.
+    """
+    cents = train_ivf_centroids(corpus, n_list, iters, id_col, vec_col)
+    if books is None:
+        books = train_pq_codebooks(
+            corpus, m=m, k_codes=k_codes, iters=iters, id_col=id_col, vec_col=vec_col
         )
-        .orderBy("query_id", "rank")
+    m = len(books)
+    k_codes = len(books[0])
+    sub = len(books[0][0])
+
+    c = _assign_lists(_with_norm(corpus, id_col, vec_col, "c"), cents, "c", 1)
+    cu = F.transform("c_v", lambda x: x / F.col("c_norm"))
+    cc = c.select(
+        "list_id",
+        "c_id",
+        "c_v",
+        "c_norm",
+        *[
+            _l2_argmin_expr(books[j], F.slice(cu, j * sub + 1, sub)).alias(
+                f"_code_{j}"
+            )
+            for j in range(m)
+        ],
+    )
+    q = _assign_lists(_with_norm(queries, id_col, vec_col, "q"), cents, "q", n_probe)
+    qu = F.transform("q_v", lambda x: x / F.col("q_norm"))
+    table = F.array(
+        *[
+            _dot(
+                F.slice(qu, j * sub + 1, sub),
+                F.array(*[F.lit(float(x)) for x in books[j][cd]]),
+            )
+            for j in range(m)
+            for cd in range(k_codes)
+        ]
+    )
+    qq = q.withColumn("_adc", table)
+
+    # each corpus vector lives in exactly one list, so (query, neighbor)
+    # pairs are already unique across the probe join — no dedup shuffle
+    scored = qq.join(cc, "list_id").filter(F.col("q_id") != F.col("c_id"))
+    adc_score = None
+    for j in range(m):
+        term = F.element_at(
+            "_adc", F.col(f"_code_{j}").cast("int") + F.lit(j * k_codes + 1)
+        )
+        adc_score = term if adc_score is None else adc_score + term
+    scored = scored.withColumn("qscore", adc_score)
+
+    return _screened_topk(
+        scored,
+        _cosine(F.col("q_v"), F.col("c_v"), F.col("q_norm"), F.col("c_norm")),
+        k,
+        k * oversample,
     )

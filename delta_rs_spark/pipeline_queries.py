@@ -1663,6 +1663,38 @@ def q_similarity_pq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_ivfpq_topk", None)
+def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS IVFPQ composition): IVF lists prune WHICH vectors
+    are scanned (bucketed equi-join on list_id, n·n_probe/n_list rows —
+    corpus growth absorbed by scaling n_list), PQ codes compress the cost
+    of each scanned vector (m table lookups), exact rerank on top.
+    Rows-only (both tiers train k-means); recall@10 = 0.88 at sf0.01
+    (bounded by the probe-6 IVF tier), floor pinned in
+    tests/test_recall.py; the composed plumbing is certified exactly by
+    similarity_ivfpq_exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@query("similarity_ivfpq_exact", _BRUTE_FORCE_TOPK_ORACLE)
+def q_similarity_ivfpq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle companion to ``similarity_ivfpq_topk``: probing every
+    list AND keeping every ADC candidate makes both tiers exhaustive, so
+    centroid train + list assignment + PQ encode + ADC scoring + exact
+    rerank must equal brute force row for row against the shared oracle —
+    a dropped list, a code off-by-one, or a lookup-offset bug flips this
+    row red."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_probe=8,
+        oversample=1_000_000,
+    )
+
+
 @query("similarity_pq_codes", similarity.pq_codes_oracle_sql())
 def q_similarity_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-oracle certification of the PQ encode path: every vector's 16

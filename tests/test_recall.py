@@ -127,6 +127,27 @@ def test_pq_exhaustive_oversample_equals_brute_force(spark, emb):
     assert pq == exact
 
 
+def test_ivfpq_topk_recall_floor(spark, emb, exact_topk):
+    q = emb.filter(F.col("vec_id") < 5)
+    r = _recall(similarity.ivf_pq_topk(emb, q, k=10), exact_topk)
+    assert r >= 0.8, f"ivf_pq_topk recall@10 dropped to {r}"
+
+
+def test_ivfpq_exhaustive_equals_brute_force(spark, emb):
+    """n_probe = n_list AND exhaustive oversample makes both IVF-PQ tiers
+    exhaustive: the composed output must equal cosine_topk row for row
+    (the property similarity_ivfpq_exact hashes against the oracle)."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = [tuple(r) for r in similarity.cosine_topk(emb, q, k=10).collect()]
+    got = [
+        tuple(r)
+        for r in similarity.ivf_pq_topk(
+            emb, q, k=10, n_probe=8, oversample=1_000_000
+        ).collect()
+    ]
+    assert got == exact
+
+
 def test_pq_codebook_training_is_deterministic(spark, emb):
     """Per-subspace Lloyd codebooks must not vary with shuffle reduction
     order (DECIMAL means, xxhash64 seeds) — identical books from
