@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Three paths, as a 100 TB engine needs:
+The index ladder, as a 100 TB engine needs:
 - ``cosine_topk``: exact brute force — the baseline and the oracle-checkable
   form. Dot products in whole-stage codegen (`zip_with` + `aggregate`).
 - ``lsh_topk``: random-hyperplane (sign) LSH — bucket join + exact rerank
@@ -13,6 +13,15 @@ Three paths, as a 100 TB engine needs:
   MLlib k-means execution shape), then probe the ``n_probe`` nearest lists
   per query and rerank exactly inside them. Work per query scales with
   n·n_probe/n_list instead of n².
+- ``quantized_topk`` / ``pq_topk``: scan-compression tiers — int8 scalar
+  quantization (4x fewer candidate-scan bytes) and product quantization
+  (m-byte codes + ADC table lookups), both with an exact rerank.
+- ``ivf_pq_topk``: the production composition — IVF prunes WHICH vectors
+  are scanned, PQ compresses HOW MUCH each scan costs.
+- Pair enumeration for dedup: ``blocked_exact_pairs`` (exact corpus-wide
+  GEMM, honest Θ(n²)) and ``clustered_exact_pairs`` (k-means partition,
+  exact pairs within clusters — the low-threshold path that survives
+  100×), plus ``random_projection`` to shrink everything upstream.
 """
 
 from __future__ import annotations

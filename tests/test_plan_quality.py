@@ -270,6 +270,41 @@ def test_rolling_zscore_single_scan_pruned_window(q):
     assert all("props" not in cols for cols in s.read_schemas)
 
 
+def test_substring_dedup_pruned_and_bucketed(q):
+    """Exact-substring dedup must stay linear: pruned scans (only doc_id +
+    text ever read), the census/anti-join on gram hashes as hash joins —
+    never a nested loop — and no sort-merge demotion of the per-doc
+    reassembly joins."""
+    df = q("text_substring_dedup")
+    s = summarize(df)
+    assert not s.nested_loop_joins
+    assert s.sort_merge_joins == 0
+    assert all(set(cols) <= {"doc_id", "text"} for cols in s.read_schemas), (
+        s.read_schemas
+    )
+
+
+def test_ivfpq_is_bucketed_not_brute(q):
+    """The IVF-PQ candidate join must be the bucketed list equi-join —
+    a nested-loop here would mean the probe degenerated to the corpus-wide
+    brute scan the composition exists to avoid. Scans stay pruned to
+    (vec_id, embedding)."""
+    df = q("similarity_ivfpq_topk")
+    s = summarize(df)
+    assert not s.nested_loop_joins
+    assert s.sort_merge_joins == 0
+    assert all(set(cols) <= {"vec_id", "embedding"} for cols in s.read_schemas)
+
+
+def test_clustered_semantic_dedup_no_corpus_nlj(q):
+    """Cluster-first semantic dedup must never plan a corpus-wide
+    nested-loop: pairs come from the within-cluster cogrouped GEMM, the
+    keeplist from a broadcast anti join."""
+    s = summarize(q("dedup_semantic_clustered"))
+    assert not s.nested_loop_joins
+    assert s.sort_merge_joins == 0
+
+
 HEADLINE = [name for name, qd in QUERIES.items() if qd.headline]
 
 
