@@ -45,6 +45,8 @@ _ROTATION = [
     "similarity_pq_topk",
     "similarity_ivfpq_exact",
     "similarity_ivfpq_topk",
+    "corpus_bpe_train",
+    "corpus_bpe_encode",
     # -- (4) recall-contract rows-only entries (floors pinned in
     # tests/test_recall.py; deterministic cores certified by the exact
     # companions similarity_ivf_exact / similarity_quantized_rerank /

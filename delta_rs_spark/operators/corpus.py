@@ -806,3 +806,255 @@ FROM pairs GROUP BY pair
 ORDER BY cnt DESC, pair
 LIMIT {top_k}
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer: full training loop + corpus encoding
+# ---------------------------------------------------------------------------
+#
+# Symbol representation shared by train/encode and their SQL oracles: every
+# symbol is wrapped as \x01<sym>\x02, words join their symbols with nothing,
+# documents join their words with \x03. With wrapped symbols, applying one
+# BPE merge (a, b) -> ab is EXACTLY a string replace of "\x01a\x02\x01b\x02"
+# with "\x01ab\x02": left-to-right non-overlapping (Java/DuckDB replace
+# semantics, verified identical), never matching across a symbol boundary
+# (a bare "a b" search could false-match the tail of another symbol, e.g.
+# "xa a" contains "a a") and never across a word boundary (\x03 breaks the
+# pattern). This is what makes the ITERATIVE training loop and the encode
+# chain exactly oracle-expressible in SQL — each round is one census + one
+# replace, both engine-parity-safe. ASSUMPTION (documented like the _tokens
+# engine-parity caveat): corpus text contains no \x01/\x02/\x03 control
+# characters — true of any normal text; normalize upstream if not.
+
+_SOH, _STX, _WB = "\x01", "\x02", "\x03"
+
+
+def _syms_expr(w):
+    """word -> wrapped symbol string \x01c\x02\x01c\x02... (char-initial)."""
+    chars = F.slice(F.split(w, "(?!^)"), 1, F.length(w))
+    return F.array_join(
+        F.transform(chars, lambda c: F.concat(F.lit(_SOH), c, F.lit(_STX))), ""
+    )
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Full BPE tokenizer training (Sennrich et al. 2016) on the corpus:
+    learn ``n_merges`` merges, most-frequent pair first, ties broken
+    lexicographically on the wrapped pair key — deterministic across
+    engines, partitionings, and cluster sizes.
+
+    Trains on the WORD-FREQUENCY table (the classic formulation): one
+    corpus pass builds (word, count), then every round is a pair census +
+    one replace over the vocabulary frame — vocab-sized work per merge,
+    never corpus-sized. Each census is a map-side-combinable shuffle whose
+    key space is the live pair alphabet. The per-round winner is a 1-row
+    driver collect (the same bounded-driver-aggregate contract as the
+    k-means trainers).
+
+    EAGER-BUILD CONTRACT: runs 1 + n_merges bounded jobs; returns the
+    learned merge list [(left, right, count)], the driver-held artifact
+    (like IVF centroids / PQ codebooks)."""
+    vocab = (
+        df.select(F.explode(_tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(_syms_expr(F.col("w")).alias("syms"), "cnt")
+    )
+    v = vocab.persist()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            inner = F.expr("substring(syms, 2, length(syms) - 2)")
+            sarr = F.transform(
+                F.split(inner, _STX + _SOH),
+                lambda s: F.concat(F.lit(_SOH), s, F.lit(_STX)),
+            )
+            pairs = F.zip_with(
+                F.slice(sarr, 1, F.size(sarr) - 1),
+                F.slice(sarr, 2, F.size(sarr) - 1),
+                lambda a, b: F.concat(a, b),
+            )
+            top = (
+                v.filter(F.length("syms") > 0)
+                .select(F.explode(pairs).alias("pair"), "cnt")
+                .groupBy("pair")
+                .agg(F.sum("cnt").alias("pcnt"))
+                .orderBy(F.col("pcnt").desc(), F.col("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, pcnt = top[0].pair, int(top[0].pcnt)
+            left_w, right_w = pair.split(_STX + _SOH)
+            merges.append((left_w[1:], right_w[:-1], pcnt))
+            nv = v.select(
+                F.replace(
+                    F.col("syms"),
+                    F.lit(pair),
+                    F.lit(pair.replace(_STX + _SOH, "")),
+                ).alias("syms"),
+                "cnt",
+            ).persist()
+            nv.count()  # materialize before dropping the parent lineage
+            v.unpersist()
+            v = nv
+    finally:
+        v.unpersist()
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize every document with a learned BPE merge list — the encode
+    side of the tokenizer, applying merges in rank order exactly as
+    training did (sequential full application, so in-vocab words segment
+    bit-identically to their training-time form).
+
+    Pure whole-stage codegen, zero shuffles, zero Python: the document
+    becomes one wrapped symbol string, each merge is one literal
+    ``replace``, and the token list falls out of three marker replaces —
+    a narrow map that scales perfectly with corpus size (the merge chain
+    depth is n_merges; past ~a few hundred merges switch to an
+    Arrow-batched kernel, at which point the output is no longer
+    SQL-oracle-expressible). Output: (id, n_tokens, tokens_str —
+    space-joined in document order)."""
+    doc_syms = F.array_join(
+        F.transform(_tokens(text_col), lambda w: _syms_expr(w)), _WB
+    )
+    s = doc_syms
+    for mrg in merges:
+        left_s, right_s = str(mrg[0]), str(mrg[1])
+        s = F.replace(
+            s,
+            F.lit(_SOH + left_s + _STX + _SOH + right_s + _STX),
+            F.lit(_SOH + left_s + right_s + _STX),
+        )
+    tokens_str = F.trim(
+        F.replace(
+            F.replace(F.replace(s, F.lit(_STX), F.lit("")), F.lit(_WB), F.lit("")),
+            F.lit(_SOH),
+            F.lit(" "),
+        )
+    )
+    tokens_str = F.coalesce(tokens_str, F.lit(""))
+    return df.select(
+        id_col,
+        F.when(tokens_str == "", F.lit(0))
+        .otherwise(F.size(F.split(tokens_str, " ")))
+        .cast("long")
+        .alias("n_tokens"),
+        tokens_str.alias("tokens_str"),
+    )
+
+
+def _bpe_oracle_ctes(n_merges: int, table: str, text_col: str) -> str:
+    """Shared chained-CTE prefix: word-frequency vocab, then per round a
+    pair census (pK), a 1-row winner (wK: max count, lexicographic tie on
+    the wrapped pair key), and the merged vocab (vK) via the same
+    boundary-safe replace the Spark side compiles."""
+    sarr = (
+        "list_transform(string_split(substr(syms, 2, length(syms) - 2),"
+        " chr(2) || chr(1)), s -> chr(1) || s || chr(2))"
+    )
+    ctes = [
+        f"""words AS (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest(list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM {table}
+      ) GROUP BY w
+    )""",
+        """v0 AS MATERIALIZED (
+      SELECT array_to_string(list_transform(range(1, length(w) + 1),
+                    i -> chr(1) || substr(w, i, 1) || chr(2)), '') AS syms,
+             cnt
+      FROM words
+    )""",
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(f"""p{k} AS (
+      SELECT pair, SUM(cnt) AS pcnt FROM (
+        SELECT unnest(list_transform(range(1, len(sarr)),
+                                     i -> sarr[i] || sarr[i + 1])) AS pair,
+               cnt
+        FROM (SELECT {sarr} AS sarr, cnt FROM v{k - 1})
+      ) GROUP BY pair
+    )""")
+        ctes.append(
+            f"w{k} AS MATERIALIZED (SELECT pair, pcnt FROM p{k}"
+            f" ORDER BY pcnt DESC, pair LIMIT 1)"
+        )
+        ctes.append(f"""v{k} AS MATERIALIZED (
+      SELECT replace(syms, (SELECT pair FROM w{k}),
+                     replace((SELECT pair FROM w{k}), chr(2) || chr(1), '')) AS syms,
+             cnt
+      FROM v{k - 1}
+    )""")
+    return ",\n    ".join(ctes)
+
+
+def bpe_train_oracle_sql(
+    n_merges: int = 8, table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB recompute of the full training loop: n_merges chained census
+    -> winner -> replace layers, emitting (step, left, right, cnt)."""
+    selects = []
+    for k in range(1, n_merges + 1):
+        left = "substr(string_split(pair, chr(2) || chr(1))[1], 2)"
+        part2 = "string_split(pair, chr(2) || chr(1))[2]"
+        right = f"substr({part2}, 1, length({part2}) - 1)"
+        selects.append(
+            f"SELECT {k} AS step, {left} AS left, {right} AS right,"
+            f" CAST(pcnt AS BIGINT) AS cnt FROM w{k}"
+        )
+    return (
+        "WITH "
+        + _bpe_oracle_ctes(n_merges, table, text_col)
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY step"
+    )
+
+
+def bpe_encode_oracle_sql(
+    n_merges: int = 8,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB recompute of train-then-encode: the same chained training
+    CTEs pick the winners, then every document's wrapped symbol string
+    takes the same replace chain and marker strip."""
+    s = (
+        f"array_to_string(list_transform("
+        f"list_filter(string_split_regex(lower({text_col}), '\\s+'), x -> x <> ''),"
+        f" w -> array_to_string(list_transform(range(1, length(w) + 1),"
+        f" i -> chr(1) || substr(w, i, 1) || chr(2)), '')), chr(3))"
+    )
+    for k in range(1, n_merges + 1):
+        s = (
+            f"replace({s}, (SELECT pair FROM w{k}),"
+            f" replace((SELECT pair FROM w{k}), chr(2) || chr(1), ''))"
+        )
+    toks = (
+        f"trim(replace(replace(replace({s}, chr(2), ''), chr(3), ''),"
+        f" chr(1), ' '))"
+    )
+    return (
+        "WITH "
+        + _bpe_oracle_ctes(n_merges, table, text_col)
+        + f"""
+    SELECT {id_col},
+           CAST(CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END
+                AS BIGINT) AS n_tokens,
+           t AS tokens_str
+    FROM (SELECT {id_col}, COALESCE({toks}, '') AS t FROM {table})
+    ORDER BY {id_col}"""
+    )

@@ -1460,6 +1460,36 @@ def q_corpus_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bpe_pair_counts(docs, top_k=50)
 
 
+@query("corpus_bpe_train", corpus.bpe_train_oracle_sql(n_merges=8))
+def q_corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (Sennrich) certified end to end: 8
+    learned merges, each round a vocabulary-frame pair census + a
+    boundary-safe wrapped-symbol replace; the oracle re-runs the entire
+    iterative loop as 8 chained census->winner->replace CTE layers, so a
+    wrong winner, tie-break divergence, or a merge applied across a
+    symbol/word boundary at ANY round cascades into a hash mismatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = corpus.bpe_train(docs, n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "step int, left string, right string, cnt long",
+    ).orderBy("step")
+
+
+@query("corpus_bpe_encode", corpus.bpe_encode_oracle_sql(n_merges=8))
+def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode certified end to end: the 8 learned merges applied
+    to every document in rank order (sequential full application — the
+    exact segmentation training produced), emitting per-doc token count +
+    the space-joined token sequence. Pure codegen replace chain, zero
+    shuffles on the encode side; the oracle recomputes training AND
+    encoding, so train/encode disagreement is itself a certified failure
+    mode."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = corpus.bpe_train(docs, n_merges=8)
+    return corpus.bpe_encode(docs, merges).orderBy("doc_id")
+
+
 _KEEPLIST_LONGEST_ORACLE = (
     "WITH RECURSIVE "
     + _TRIGRAM_SH_CTE

@@ -1534,6 +1534,125 @@ def test_substring_dedup_long_span_fully_covered(spark):
     assert got == {1: "left right", 2: "other end"}
 
 
+def _py_bpe_train(texts, n):
+    """Pure-Python Sennrich reference: word-frequency dict, per round count
+    adjacent pairs, merge the (max count, lexicographically smallest
+    wrapped key) winner greedily left-to-right."""
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        if t:
+            for w in t.lower().split():
+                vocab[tuple(w)] += 1
+    merges = []
+    for _ in range(n):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        best = min(
+            pc.items(),
+            key=lambda kv: (-kv[1], "\x01%s\x02\x01%s\x02" % kv[0]),
+        )
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        nv = Counter()
+        for syms, c in vocab.items():
+            nv[tuple(_py_bpe_apply(list(syms), a, b))] += c
+        vocab = nv
+    return merges
+
+
+def _py_bpe_apply(syms, a, b):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _py_bpe_encode(text, merges):
+    if not text:
+        return []
+    toks = []
+    for w in text.lower().split():
+        syms = list(w)
+        for a, b, *_ in merges:
+            syms = _py_bpe_apply(syms, a, b)
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_train_and_encode_match_python_model(spark):
+    """Full BPE training + encoding vs the pure-Python Sennrich reference
+    on a corpus with the classic structure (shared stems, repeated words,
+    NULL doc, single-char word) — merges, counts, and every document's
+    token sequence must be identical."""
+    from delta_rs_spark.operators import corpus as corpus_ops
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest low",
+        None,
+        "a",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts, 1)), "doc_id long, text string"
+    )
+    want = _py_bpe_train(texts, 6)
+    got = corpus_ops.bpe_train(docs, n_merges=6)
+    assert got == want
+    enc = {
+        r.doc_id: (r.n_tokens, r.tokens_str)
+        for r in corpus_ops.bpe_encode(docs, got).collect()
+    }
+    for i, t in enumerate(texts, 1):
+        pt = _py_bpe_encode(t, want)
+        assert enc[i] == (len(pt), " ".join(pt)), f"doc {i} diverged"
+
+
+def test_bpe_matches_python_model_randomized(spark):
+    """Seed-pinned randomized corpora vs the Python model: words drawn
+    from a small alphabet so merges stack onto earlier merges (multi-char
+    symbols, the boundary-safety stress: 'xa a' must never false-match an
+    'a a' merge across the symbol boundary)."""
+    import random
+
+    from delta_rs_spark.operators import corpus as corpus_ops
+
+    for seed in (3, 19):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abx") for _ in range(rng.randrange(1, 7)))
+            for _ in range(30)
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randrange(3, 12)))
+            for _ in range(12)
+        ]
+        docs = spark.createDataFrame(
+            list(enumerate(texts, 1)), "doc_id long, text string"
+        )
+        want = _py_bpe_train(texts, 10)
+        got = corpus_ops.bpe_train(docs, n_merges=10)
+        assert got == want, f"seed {seed}: merges diverged"
+        enc = {
+            r.doc_id: r.tokens_str
+            for r in corpus_ops.bpe_encode(docs, got).collect()
+        }
+        for i, t in enumerate(texts, 1):
+            assert enc[i] == " ".join(_py_bpe_encode(t, want)), (
+                f"seed {seed} doc {i} diverged"
+            )
+
+
 def test_line_dedup_matches_python_model_randomized(spark):
     """Seed-pinned randomized corpora vs a direct Python model of the
     CCNet semantics — line inventory drawn so cross-doc repeats, blank and
