@@ -911,20 +911,36 @@ def bpe_encode(
     merges: list[tuple],
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "auto",
 ) -> DataFrame:
     """Tokenize every document with a learned BPE merge list — the encode
-    side of the tokenizer, applying merges in rank order exactly as
-    training did (sequential full application, so in-vocab words segment
-    bit-identically to their training-time form).
+    side of the tokenizer, segmenting every word exactly as training did.
+    Output: (id, n_tokens, tokens_str — space-joined in document order).
 
-    Pure whole-stage codegen, zero shuffles, zero Python: the document
-    becomes one wrapped symbol string, each merge is one literal
-    ``replace``, and the token list falls out of three marker replaces —
-    a narrow map that scales perfectly with corpus size (the merge chain
-    depth is n_merges; past ~a few hundred merges switch to an
-    Arrow-batched kernel, at which point the output is no longer
-    SQL-oracle-expressible). Output: (id, n_tokens, tokens_str —
-    space-joined in document order)."""
+    Two equivalent execution paths (equivalence fuzz-pinned in
+    tests/test_operators.py):
+
+    - ``"codegen"``: the document becomes one wrapped symbol string, each
+      merge is one literal ``replace``, and the token list falls out of
+      three marker replaces — zero shuffles, zero Python, and exactly
+      SQL-oracle-expressible (the certified `corpus_bpe_encode` path).
+      The chain depth is n_merges, so this is for small merge lists.
+    - ``"arrow"``: an Arrow-batched ``mapInPandas`` kernel doing
+      rank-priority merging (always merge the lowest-rank adjacent pair,
+      leftmost first — the GPT-2 ``bpe()`` algorithm, O(|word|·log) per
+      word INDEPENDENT of merge-list size) with a per-batch word cache.
+      The production path for real tokenizers (32k-100k merges, where a
+      codegen chain cannot compile); rank-priority reproduces sequential
+      rank-order application because a merge's parts exist only once all
+      lower-rank merges inside them are done.
+
+    ``"auto"`` picks codegen up to 64 merges, arrow past that."""
+    if method == "auto":
+        method = "codegen" if len(merges) <= 64 else "arrow"
+    if method == "arrow":
+        return _bpe_encode_arrow(df, merges, id_col, text_col)
+    if method != "codegen":
+        raise ValueError(f"unknown method {method!r}")
     doc_syms = F.array_join(
         F.transform(_tokens(text_col), lambda w: _syms_expr(w)), _WB
     )
@@ -1058,3 +1074,58 @@ def bpe_encode_oracle_sql(
     FROM (SELECT {id_col}, COALESCE({toks}, '') AS t FROM {table})
     ORDER BY {id_col}"""
     )
+
+
+def _bpe_encode_arrow(
+    df: DataFrame, merges: list[tuple], id_col: str, text_col: str
+) -> DataFrame:
+    """Arrow-batched rank-priority BPE encoder (see `bpe_encode`). The
+    merge-rank dict ships once per task in the serialized closure (a 32k
+    merge list is ~1 MB — broadcast-variable territory only past millions
+    of merges); within each Arrow batch distinct words are encoded once
+    and cached (Zipf makes the cache hit rate high on natural text)."""
+    ranks = {(str(m[0]), str(m[1])): i for i, m in enumerate(merges)}
+    out_schema = f"{id_col} long, n_tokens long, tokens_str string"
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+
+        def word_tokens(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is not None:
+                return got
+            syms = list(w)
+            while len(syms) > 1:
+                # lowest-rank adjacent pair, leftmost on ties
+                best_rank, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            cache[w] = syms
+            return syms
+
+        for pdf in batches:
+            toks = []
+            for t in pdf[text_col]:
+                if not isinstance(t, str) or not t:
+                    toks.append([])
+                    continue
+                doc: list[str] = []
+                for w in t.lower().split():
+                    doc.extend(word_tokens(w))
+                toks.append(doc)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": [len(x) for x in toks],
+                    "tokens_str": [" ".join(x) for x in toks],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(encode_batches, out_schema)

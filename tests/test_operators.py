@@ -1653,6 +1653,41 @@ def test_bpe_matches_python_model_randomized(spark):
             )
 
 
+def test_bpe_encode_arrow_equals_codegen(spark):
+    """The Arrow rank-priority kernel (the 32k-merge production path) must
+    segment identically to the certified codegen replace-chain path —
+    rank-priority merging reproduces sequential rank-order application.
+    Fuzzed on small-alphabet corpora where merges stack deeply (multi-char
+    symbols, within-word repeats, the overlap cases like 'aaaa')."""
+    import random
+
+    from delta_rs_spark.operators import corpus as corpus_ops
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("ab") for _ in range(rng.randrange(1, 9)))
+            for _ in range(20)
+        ]
+        texts = [
+            " ".join(rng.choice(words) for _ in range(rng.randrange(2, 10)))
+            for _ in range(10)
+        ] + [None, "aaaa aaaa aa"]
+        docs = spark.createDataFrame(
+            list(enumerate(texts, 1)), "doc_id long, text string"
+        )
+        merges = corpus_ops.bpe_train(docs, n_merges=12)
+        cg = {
+            r.doc_id: (r.n_tokens, r.tokens_str)
+            for r in corpus_ops.bpe_encode(docs, merges, method="codegen").collect()
+        }
+        ar = {
+            r.doc_id: (r.n_tokens, r.tokens_str)
+            for r in corpus_ops.bpe_encode(docs, merges, method="arrow").collect()
+        }
+        assert ar == cg, f"seed {seed}: arrow kernel diverged from codegen"
+
+
 def test_line_dedup_matches_python_model_randomized(spark):
     """Seed-pinned randomized corpora vs a direct Python model of the
     CCNet semantics — line inventory drawn so cross-doc repeats, blank and
