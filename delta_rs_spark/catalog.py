@@ -14,83 +14,68 @@ from . import lifecycle_queries as _lifecycle_queries  # noqa: F401  (registers)
 from . import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
 from .queries import QUERIES, headline_queries, oracle_sql, queries
 
-# Round-6 window (stalest-first): (1) the 4 catalog queries that have NEVER
-# had a driver row — registered after the round-5 window froze; (2) the 7
-# relational rows deferred from round 5 (last driver-green round 2); (3) the
-# queries NEW this round (cluster-first semantic dedup + companions —
-# unregistered names are skipped by _apply_rotation until they land); (4) the
-# 4 recall-contract rows-only entries (kept in every window so their
-# rows-only signal stays current); (5) all 22 rows last certified round 3;
-# (6) the stalest round-4 rows to fill the 50. Everything else keeps its
-# original registration order after the window.
+# Round-7 window (stalest-first, VERDICT r6 item #3): (1) all 42 rows whose
+# last driver-green round is 4 — now the stalest in the catalog, including
+# the lifecycle/streaming rows that exercise the most protocol machinery;
+# (2) the queries NEW or RE-PARAMETRIZED this round (the arrow BPE encoder's
+# first driver row, the PQ-family rows re-certified under auto-scaled knobs
+# + the extended recall_contracts — unregistered names are skipped by
+# _apply_rotation until they land); (3) round-5 rows to fill the 50. After
+# this window no query's last-green round is older than 5.
 _ROTATION = [
-    # -- (1) never driver-certified ------------------------------------------
-    "recall_contracts",
-    "text_line_dedup",
-    "dedup_keeplist_longest",
-    "corpus_bpe_pairs",
-    # -- (2) relational rows deferred from round 5 (last green round 2) ------
-    "q_union_except",
-    "q_cube_status_priority",
-    "q_events_funnel",
-    "q_events_pivot",
-    "q_events_retention",
-    "q_events_value_stats",
-    "q_part_cooccurrence",
-    # -- (3) new in round 6 (skipped until registered) -----------------------
-    "dedup_semantic_clustered",
-    "text_substring_dedup",
-    "similarity_pq_codes",
-    "similarity_pq_exact",
-    "similarity_pq_topk",
-    "similarity_ivfpq_exact",
-    "similarity_ivfpq_topk",
-    "corpus_bpe_train",
-    "corpus_bpe_encode",
-    # -- (4) recall-contract rows-only entries (floors pinned in
-    # tests/test_recall.py; deterministic cores certified by the exact
-    # companions similarity_ivf_exact / similarity_quantized_rerank /
-    # similarity_lsh_buckets / dedup_minhash_verified) ------------------------
-    "dedup_minhash_lsh",
-    "similarity_quantized_topk",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    # -- (5) last certified round 3 ------------------------------------------
-    "events_variant_props",
-    "q_daily_revenue_ma7",
-    "q_customer_value_deciles",
-    "text_token_count",
-    "text_fingerprint",
-    "split_train_val_test",
-    "text_contamination",
-    "text_char_entropy",
-    "text_contamination_bloom",
-    "corpus_top_ngrams",
-    "text_repetition",
-    "text_tfidf_topk",
-    "profile_lineitem_columns",
-    "split_grouped_by_source",
-    "sample_source_mixture",
-    "text_chunking",
-    "text_sequence_packing",
-    "text_normalize",
-    "text_pii_redact",
-    "corpus_dup_rate_by_source",
-    "text_lang_mismatch",
-    "sample_token_budget",
-    # -- (6) stalest round-4 rows (2 rounds) to fill the window --------------
-    "dedup_semantic_keeplist",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_verified",
-    "similarity_lsh_buckets",
-    "cdf_changes_window",
-    "clone_lifecycle",
-    "q_zorder_pruned_scan",
+    # -- (1) last certified round 4 (42 rows) ---------------------------------
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "similarity_topk",
+    "embedding_centroid_norms",
+    "embedding_quantize_int8",
+    "text_lang_id",
+    "text_quality_score",
+    "multimodal_features",
+    "asof_join_events",
+    "range_join_error_windows",
+    "ts_resample_locf",
+    "skew_salted_count_distinct",
+    "sample_stratified_exact",
+    "profile_price_histogram",
+    "pipeline_corpus_curation",
     "features_lifecycle",
+    "cdf_changes_window",
+    "q_zorder_pruned_scan",
+    "stream_events_hourly",
+    "corpus_vocab_stats",
+    "dedup_keeplist",
     "widening_uniform_lifecycle",
-    "concurrent_lifecycle",
+    "corpus_unigram_lm",
+    "sample_global_shuffle",
+    "embedding_random_projection",
     "text_gopher_rules",
+    "text_boilerplate_ratio",
+    "corpus_dsir_importance",
+    "stream_user_totals",
+    "clone_lifecycle",
+    "events_rolling_zscore",
+    "corpus_pmi_bigrams",
+    "corpus_source_overlap",
+    "text_hash_classifier",
+    "stream_hourly_watermark",
+    "stream_delta_sink_pipeline",
+    "stream_dedup_events",
+    "stream_stream_join",
+    "concurrent_lifecycle",
+    "similarity_lsh_buckets",
+    "similarity_quantized_rerank",
+    # -- (2) new / re-parametrized in round 7 ---------------------------------
+    "corpus_bpe_encode_arrow",
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
+    "recall_contracts",
+    # -- (3) round-5 fill (most protocol machinery first) ---------------------
+    "similarity_ivf_exact",
+    "incremental_rollup_lifecycle",
+    "dedup_index_lifecycle",
+    "q8_market_share",
 ]
 
 

@@ -927,12 +927,26 @@ def bpe_encode(
       The chain depth is n_merges, so this is for small merge lists.
     - ``"arrow"``: an Arrow-batched ``mapInPandas`` kernel doing
       rank-priority merging (always merge the lowest-rank adjacent pair,
-      leftmost first — the GPT-2 ``bpe()`` algorithm, O(|word|·log) per
-      word INDEPENDENT of merge-list size) with a per-batch word cache.
-      The production path for real tokenizers (32k-100k merges, where a
-      codegen chain cannot compile); rank-priority reproduces sequential
-      rank-order application because a merge's parts exist only once all
-      lower-rank merges inside them are done.
+      leftmost first — the GPT-2 ``bpe()`` rescan loop: each of the
+      ≤ |word|−1 merge steps rescans the adjacent pairs, so O(|word|²)
+      worst case per word, INDEPENDENT of merge-list size; natural-language
+      word lengths plus the per-batch word cache make the quadratic term
+      immaterial in practice). The production path for real tokenizers
+      (32k-100k merges, where a codegen chain cannot compile).
+
+    PRECONDITION for path equivalence (and therefore for ``"auto"``): the
+    merge list must be a TRAINED one — i.e. ordered so that each merge's
+    two parts are themselves producible by strictly lower-rank merges (the
+    invariant `bpe_train` guarantees, because a pair can only win a round
+    after its parts exist in the vocabulary). Under that invariant
+    rank-priority merging reproduces sequential rank-order application
+    exactly (fuzz-pinned). For an ARBITRARY hand-written merge list the
+    paths can diverge — e.g. a merge (ab, c) ranked BELOW the merge (a, b)
+    that creates its left part: sequential application sees no "ab" symbol
+    when it processes rank 0 and yields [ab, c], while rank-priority
+    re-examines pairs after every merge and yields [abc]. ``"auto"``
+    flips from codegen to arrow at 64 merges, so callers passing untrained
+    merge lists must pin ``method`` explicitly.
 
     ``"auto"`` picks codegen up to 64 merges, arrow past that."""
     if method == "auto":
@@ -1079,11 +1093,16 @@ def bpe_encode_oracle_sql(
 def _bpe_encode_arrow(
     df: DataFrame, merges: list[tuple], id_col: str, text_col: str
 ) -> DataFrame:
-    """Arrow-batched rank-priority BPE encoder (see `bpe_encode`). The
-    merge-rank dict ships once per task in the serialized closure (a 32k
-    merge list is ~1 MB — broadcast-variable territory only past millions
-    of merges); within each Arrow batch distinct words are encoded once
-    and cached (Zipf makes the cache hit rate high on natural text)."""
+    """Arrow-batched rank-priority BPE encoder (see `bpe_encode`, including
+    the trained-merge-list precondition). The merge-rank dict ships once per
+    task in the serialized closure (a 32k merge list is ~1 MB —
+    broadcast-variable territory only past millions of merges); within each
+    Arrow batch distinct words are encoded once and cached (Zipf makes the
+    cache hit rate high on natural text). Per word the kernel is the GPT-2
+    rescan loop — every merge step rescans all adjacent pairs, O(|word|²)
+    worst case (a heap would make it O(|word|·log|word|), but word lengths
+    are small and the cache amortizes repeats, so the constant-factor-free
+    rescan wins in practice)."""
     ranks = {(str(m[0]), str(m[1])): i for i, m in enumerate(merges)}
     out_schema = f"{id_col} long, n_tokens long, tokens_str string"
 

@@ -825,9 +825,14 @@ def clustered_exact_pairs(
         .applyInPandas(_gemm_kernel(threshold, round_digits), out_schema)
     )
     if n_probe > 1:
-        # multi-probed pairs co-occur in several clusters; the kernel scores
-        # them identically, so a plain distinct dedupes
-        pairs = pairs.distinct()
+        # multi-probed pairs co-occur in several clusters; the kernel is
+        # deterministic per call, but two per-cluster GEMM invocations are
+        # not guaranteed bit-identical BLAS results, and round(., 4) sits on
+        # a boundary for an adversarial cosine — dedupe on the (id_a, id_b)
+        # KEY and keep the max cosine (deterministic, and equal to a plain
+        # distinct whenever the scores agree) rather than betting row-for-row
+        # equality with blocked_exact_pairs on cross-call float bit-identity
+        pairs = pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
     return pairs
 
 
@@ -960,48 +965,6 @@ def random_projection_oracle_sql(
 # Product quantization (PQ / ADC)
 # ---------------------------------------------------------------------------
 
-def _lloyd_l2(vectors: DataFrame, k: int, iters: int) -> list[list[float]]:
-    """Deterministic L2 k-means over a (c_id, c_v) frame — the PQ-subspace
-    trainer. Same determinism contract as `train_ivf_centroids` (xxhash64
-    seed pick, literal-centroid assignment in codegen, order-insensitive
-    DECIMAL means, empty clusters keep their seed), but assignment is
-    L2-argmin, not max-dot: PQ subvectors are not unit vectors, so dot
-    ranking would collapse to centroid norm."""
-    seeds = (
-        vectors.orderBy(F.xxhash64(F.col("c_id")), F.col("c_id"))
-        .limit(k)
-        .select("c_v")
-        .collect()
-    )
-    cents = [list(r.c_v) for r in seeds]
-    for _ in range(iters):
-        assigned = vectors.withColumn(
-            "list_id", _l2_argmin_expr(cents, F.col("c_v"))
-        )
-        means = (
-            assigned.select("list_id", F.posexplode("c_v").alias("pos", "val"))
-            .groupBy("list_id", "pos")
-            .agg(
-                (
-                    F.sum(F.col("val").cast("decimal(25,12)"))
-                    / F.count(F.lit(1))
-                )
-                .cast("double")
-                .alias("m")
-            )
-            .groupBy("list_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-                ).alias("cent")
-            )
-            .collect()
-        )
-        for row in means:
-            cents[row.list_id] = list(row.cent)
-    return cents
-
-
 def _l2_argmin_expr(cents: list[list[float]], vec, round_digits: int | None = None):
     """Codegen argmin over literal centroids: array of squared-L2
     distances, struct-sorted (dist, idx) ascending, first index — ties
@@ -1121,7 +1084,7 @@ def train_pq_codebooks(
             )
             .groupBy("j", "code", "s")
             # order-insensitive mean, same determinism contract as
-            # train_ivf_centroids / _lloyd_l2
+            # train_ivf_centroids
             .agg(
                 (
                     F.sum(F.col("val").cast("decimal(25,12)"))
@@ -1223,17 +1186,31 @@ def pq_codes_oracle_sql(
     """
 
 
+def _auto_pool_oversample(scanned: int, k: int) -> int:
+    """Oversample that keeps the exact-rerank pool a constant FRACTION of
+    the scanned candidates (pool = k·oversample ≈ scanned/6) instead of a
+    constant COUNT — the scale contract the fixed default broke: at a fixed
+    oversample the pool shrinks relative to a growing corpus and recall
+    decays with data size (measured 0.94 → 0.74 from sf0.01 → sf0.1 at
+    oversample 8; the pool-fraction rule holds ≥ 0.94 at both). Floor 8
+    preserves the small-corpus behavior the recall ladder was measured at."""
+    import math
+
+    return max(8, math.ceil(scanned / (k * 6)))
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     m: int = 16,
     k_codes: int = 16,
-    oversample: int = 8,
+    oversample: int | None = None,
     iters: int = 2,
     books: list[list[list[float]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via product quantization with asymmetric distance
     computation (ADC) + exact rerank.
@@ -1256,7 +1233,19 @@ def pq_topk(
     Codebooks: pass ``books`` (e.g. md5-derived via `pq_random_codebooks`
     for engine-reproducibility, or precomputed) or let the operator train
     per-subspace Lloyd codebooks (`train_pq_codebooks` — bounded driver
-    jobs, deterministic)."""
+    jobs, deterministic).
+
+    ``oversample`` defaults to corpus-size-aware (`_auto_pool_oversample`
+    over the full scan — flat PQ scans every vector per query): the rerank
+    pool stays a constant fraction of the corpus, so recall no longer
+    decays as the data grows past a fixed pool. Pass ``n_rows`` (a Delta
+    source's log-level ``numRecords`` sum, a prior count — same hint
+    contract as `blocked_exact_pairs`) to keep the build fully lazy;
+    without it, deriving the default runs ONE bounded count job. An
+    explicit ``oversample`` skips both."""
+    if oversample is None:
+        n = n_rows if n_rows is not None else corpus.count()
+        oversample = _auto_pool_oversample(n, k)
     if books is None:
         books = train_pq_codebooks(
             corpus, m=m, k_codes=k_codes, iters=iters, id_col=id_col, vec_col=vec_col
@@ -1306,15 +1295,16 @@ def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_list: int = 8,
-    n_probe: int = 6,
+    n_list: int | None = None,
+    n_probe: int | None = None,
     m: int = 16,
     k_codes: int = 16,
-    oversample: int = 8,
+    oversample: int | None = None,
     iters: int = 2,
     books: list[list[list[float]]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production composition (FAISS's IVFPQ shape) of the two
     index tiers — an IVF coarse quantizer prunes WHICH vectors are
@@ -1328,17 +1318,49 @@ def ivf_pq_topk(
     Why the composition is what survives 100 TB: standalone PQ still scans
     every vector per query (cheaply, but linearly) — its recall-vs-
     oversample knob also degrades as the corpus grows past the candidate
-    pool. IVF-PQ's scanned pool is n·n_probe/n_list, so corpus growth is
-    absorbed by scaling n_list (keeping list sizes constant) while
-    oversample stays fixed; recall is then governed by the probe ratio,
-    the same contract `ivf_topk` pins. At ``n_probe = n_list`` AND an
-    exhaustive oversample the output provably equals brute force (the
-    certified companion `similarity_ivfpq_exact`).
+    pool. IVF-PQ's scanned pool is n·n_probe/n_list. At ``n_probe =
+    n_list`` AND an exhaustive oversample the output provably equals brute
+    force (the certified companion `similarity_ivfpq_exact`).
+
+    AUTO-SCALED DEFAULTS (corpus-size-aware; the fixed r6 defaults decayed
+    0.88 → 0.74 recall from sf0.01 → sf0.1 because the k·oversample rerank
+    pool stayed constant while the scanned pool grew 10×). When left None:
+
+    - ``n_list = max(8, ceil(n / 625))`` — per-list size capped at ~625
+      vectors so the list_id equi-join keeps key-level parallelism and
+      bounded partitions as the corpus grows;
+    - ``n_probe = max(6, ceil(0.75 · n_list))`` — the probe RATIO, not the
+      probe count, is what recall tracks on weakly-clustered data (measured
+      at sf0.01: ratio 0.75 holds recall 0.88-0.92 across n_list 8/16/32
+      while a fixed n_probe=6 collapses 0.88 → 0.60 → 0.40). 0.75 is the
+      honest calibration for THIS near-uniform synthetic corpus: real
+      embedding corpora cluster, concentrating true neighbors into few
+      lists, and support far smaller ratios at the same recall — pass an
+      explicit ``n_probe`` there;
+    - ``oversample = _auto_pool_oversample(scanned, k)`` with
+      ``scanned = n·n_probe/n_list`` — rerank pool a constant fraction of
+      what the probe actually scans.
+
+    ``n_rows`` is the same lazy-build hint as `pq_topk` /
+    `blocked_exact_pairs`; deriving defaults without it runs ONE bounded
+    count job, and passing every knob explicitly skips the count entirely.
 
     Corpus vectors stay RAW for the rerank (norm-invariant list
     assignment, exactly as `ivf_topk`); PQ encode and the query ADC tables
     use the unit form, matching the codebooks' training domain.
     """
+    import math
+
+    if n_list is None or n_probe is None or oversample is None:
+        n = n_rows if n_rows is not None else corpus.count()
+        if n_list is None:
+            n_list = max(8, math.ceil(n / 625))
+        if n_probe is None:
+            n_probe = max(6, math.ceil(0.75 * n_list))
+        if oversample is None:
+            oversample = _auto_pool_oversample(
+                math.ceil(n * n_probe / n_list), k
+            )
     cents = train_ivf_centroids(corpus, n_list, iters, id_col, vec_col)
     if books is None:
         books = train_pq_codebooks(
