@@ -68,14 +68,14 @@ _ROTATION = [
     "similarity_quantized_rerank",
     # -- (2) new / re-parametrized in round 7 ---------------------------------
     "corpus_bpe_encode_arrow",
+    "similarity_pq_index_lifecycle",
+    "similarity_pq_index_search",
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
     "recall_contracts",
     # -- (3) round-5 fill (most protocol machinery first) ---------------------
-    "similarity_ivf_exact",
     "incremental_rollup_lifecycle",
     "dedup_index_lifecycle",
-    "q8_market_share",
 ]
 
 

@@ -1153,3 +1153,119 @@ def q_dedup_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = update_dedup_index(spark, DeltaTable(src_uri), idx_uri, key_cols=["text"])
     assert res["processed_versions"] == 2, "refresh must cover v1..v2 only"
     return DeltaTable(idx_uri).to_df(spark).orderBy("key_hash")
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ ANN index: build / CDF-incremental maintenance / search
+# ---------------------------------------------------------------------------
+
+def _pq_index_oracle() -> str:
+    """Oracle for the incremental-index lifecycle: `pq_codes` semantics
+    (the already-certified md5-codebook encode, see
+    similarity.pq_codes_oracle_sql) over the corpus AS THE DML LEFT IT —
+    survivors of the merge-on-read DELETE, with the UPDATE's negated
+    vectors. A refresh that misses a postimage re-encode, resurrects a
+    deleted vector, or double-applies a window diverges from this."""
+    from .operators import similarity
+
+    final_corpus = (
+        "(SELECT vec_id, CASE WHEN vec_id % 7 = 2 "
+        "THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding "
+        "FROM embeddings WHERE vec_id % 5 <> 0)"
+    )
+    return similarity.pq_codes_oracle_sql(table=final_corpus)
+
+
+@query("similarity_pq_index_lifecycle", _pq_index_oracle())
+def q_pq_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The build-once / maintain-incrementally ANN index certified end to
+    end: seed a CDF-enabled embeddings corpus with the EVEN vec_ids →
+    bootstrap the index (md5 codebooks serialized into the index table's
+    configuration — engine-reproducible, the same trained-vs-derived split
+    as similarity_pq_codes) → append the odd half (v1) → merge-on-read
+    DELETE every vec_id % 5 = 0 (v2, a DV commit) → UPDATE vec_id % 7 = 2
+    to the negated vector (v3, postimages must RE-ENCODE) → ONE incremental
+    refresh folding the whole v1..v3 window. The refresh reads the change
+    feed, nets each id to its latest change, MERGEs upserted codes and
+    merge-deletes vanished ids — so the final index table must equal the
+    one-shot encode of the corpus as the DML left it, row for row, code
+    for code against the chained-literal DuckDB oracle."""
+    from . import DeltaTable
+    from .operators import similarity
+    from .writer import write_deltalake
+
+    src_uri = _workdir("pqidx-src", sf_dir)
+    idx_uri = _workdir("pqidx-idx", sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    write_deltalake(
+        spark,
+        emb.filter(F.col("vec_id") % 2 == 0).repartition(4),
+        src_uri,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    books = similarity.pq_random_codebooks(16, 4, 16)
+    similarity.update_pq_index(spark, DeltaTable(src_uri), idx_uri, books=books)
+    write_deltalake(  # v1: the odd half
+        spark,
+        emb.filter(F.col("vec_id") % 2 == 1),
+        src_uri,
+        mode="append",
+    )
+    t = DeltaTable(src_uri)
+    t.delete(spark, "vec_id % 5 = 0")  # v2: MoR delete (DV commit)
+    t.update()
+    t.update_where(  # v3: postimages must re-encode through the codebooks
+        spark,
+        "vec_id % 7 = 2",
+        {"embedding": "transform(embedding, x -> -x)"},
+    )
+    res = similarity.update_pq_index(spark, DeltaTable(src_uri), idx_uri)
+    assert res["processed_versions"] == 3, "refresh must cover v1..v3 only"
+    return DeltaTable(idx_uri).to_df(spark).orderBy("vec_id")
+
+
+def _brute_force_topk_oracle() -> str:
+    """The SAME brute-force oracle every exact ANN companion shares
+    (pipeline_queries._BRUTE_FORCE_TOPK_ORACLE); fetched via import so the
+    two rows can never drift apart."""
+    from .pipeline_queries import _BRUTE_FORCE_TOPK_ORACLE
+
+    return _BRUTE_FORCE_TOPK_ORACLE
+
+
+@query("similarity_pq_index_search", _brute_force_topk_oracle())
+def q_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over the PERSISTED index certified exactly: build the index
+    table once (md5 codebooks — engine-reproducible), then search it at an
+    exhaustive oversample, so the ADC screen keeps every candidate and the
+    output — codebooks read back from table configuration, code-column ADC
+    scan, survivor-only float fetch, exact rerank — must equal brute force
+    row for row against the same oracle the other exact companions share.
+    At the production oversample the search's recall equals pq_topk's (the
+    semantics are identical; pinned by equivalence in tests/test_recall.py)."""
+    from . import DeltaTable
+    from .operators import similarity
+    from .writer import write_deltalake
+
+    src_uri = _workdir("pqsearch-src", sf_dir)
+    idx_uri = _workdir("pqsearch-idx", sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    write_deltalake(
+        spark,
+        emb,
+        src_uri,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    books = similarity.pq_random_codebooks(16, 4, 16)
+    similarity.update_pq_index(spark, DeltaTable(src_uri), idx_uri, books=books)
+    return similarity.pq_index_search(
+        spark,
+        idx_uri,
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        oversample=1_000_000,
+    )

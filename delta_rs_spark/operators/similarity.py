@@ -18,6 +18,12 @@ The index ladder, as a 100 TB engine needs:
   (m-byte codes + ADC table lookups), both with an exact rerank.
 - ``ivf_pq_topk``: the production composition — IVF prunes WHICH vectors
   are scanned, PQ compresses HOW MUCH each scan costs.
+- ``update_pq_index`` / ``pq_index_search``: the build-once / search-many
+  split — the PQ index persisted as a self-describing Delta table
+  (codebooks in table configuration), maintained incrementally from the
+  corpus change feed (work ∝ changes), searched without ever re-encoding:
+  the code columns are the only corpus-sized scan and float vectors are
+  fetched just for the rerank survivors.
 - Pair enumeration for dedup: ``blocked_exact_pairs`` (exact corpus-wide
   GEMM, honest Θ(n²)) and ``clustered_exact_pairs`` (k-means partition,
   exact pairs within clusters — the low-threshold path that survives
@@ -1267,26 +1273,13 @@ def pq_topk(
     )
     q = _unit(_with_norm(queries, id_col, vec_col, "q"), "q")
     # flat m·k_codes ADC table: entry j·k_codes + c = dot(q_sub_j, book_j_c)
-    table = F.array(
-        *[
-            _dot(
-                F.slice("q_v", j * sub + 1, sub),
-                F.array(*[F.lit(float(x)) for x in books[j][cd]]),
-            )
-            for j in range(m)
-            for cd in range(k_codes)
-        ]
-    )
-    qq = q.withColumn("_adc", table)
+    qq = q.withColumn("_adc", _adc_table(books, F.col("q_v")))
 
-    scored = cc.crossJoin(F.broadcast(qq)).filter(F.col("q_id") != F.col("c_id"))
-    adc_score = None
-    for j in range(m):
-        term = F.element_at(
-            "_adc", F.col(f"_code_{j}").cast("int") + F.lit(j * k_codes + 1)
-        )
-        adc_score = term if adc_score is None else adc_score + term
-    scored = scored.withColumn("qscore", adc_score)
+    scored = (
+        cc.crossJoin(F.broadcast(qq))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("qscore", _adc_score(m, k_codes, lambda j: F.col(f"_code_{j}")))
+    )
 
     return _screened_topk(scored, _dot(F.col("q_v"), F.col("c_v")), k, k * oversample)
 
@@ -1386,32 +1379,342 @@ def ivf_pq_topk(
     )
     q = _assign_lists(_with_norm(queries, id_col, vec_col, "q"), cents, "q", n_probe)
     qu = F.transform("q_v", lambda x: x / F.col("q_norm"))
-    table = F.array(
-        *[
-            _dot(
-                F.slice(qu, j * sub + 1, sub),
-                F.array(*[F.lit(float(x)) for x in books[j][cd]]),
-            )
-            for j in range(m)
-            for cd in range(k_codes)
-        ]
-    )
-    qq = q.withColumn("_adc", table)
+    qq = q.withColumn("_adc", _adc_table(books, qu))
 
     # each corpus vector lives in exactly one list, so (query, neighbor)
     # pairs are already unique across the probe join — no dedup shuffle
-    scored = qq.join(cc, "list_id").filter(F.col("q_id") != F.col("c_id"))
-    adc_score = None
-    for j in range(m):
-        term = F.element_at(
-            "_adc", F.col(f"_code_{j}").cast("int") + F.lit(j * k_codes + 1)
-        )
-        adc_score = term if adc_score is None else adc_score + term
-    scored = scored.withColumn("qscore", adc_score)
+    scored = (
+        qq.join(cc, "list_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("qscore", _adc_score(m, k_codes, lambda j: F.col(f"_code_{j}")))
+    )
 
     return _screened_topk(
         scored,
         _cosine(F.col("q_v"), F.col("c_v"), F.col("q_norm"), F.col("c_norm")),
         k,
         k * oversample,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted PQ index: build once / maintain incrementally via CDF / search
+# many. At 100 TB nothing retrains or re-encodes per query — the index is a
+# Delta TABLE of m-byte codes (the only corpus-sized thing a search scans),
+# self-describing (codebooks serialized into table configuration), kept
+# current by change-data-feed refreshes whose work is ∝ what changed.
+# ---------------------------------------------------------------------------
+
+_PQ_BOOKS_KEY = "deltars.pq.codebooks"
+
+
+def _adc_table(books: list[list[list[float]]], unit_vec) -> "F.Column":
+    """Flat m·k_codes query-side ADC table (entry j·k_codes + c =
+    dot(q_sub_j, book_j_c)) — literal-arithmetic codegen over the unit
+    query vector, shared by `pq_topk` / `ivf_pq_topk` / `pq_index_search`."""
+    m = len(books)
+    k_codes = len(books[0])
+    sub = len(books[0][0])
+    return F.array(
+        *[
+            _dot(
+                F.slice(unit_vec, j * sub + 1, sub),
+                F.array(*[F.lit(float(x)) for x in books[j][cd]]),
+            )
+            for j in range(m)
+            for cd in range(k_codes)
+        ]
+    )
+
+
+def _adc_score(m: int, k_codes: int, code_col):
+    """Σ_j adc[j·k_codes + code_j] — m table lookups per scanned code row.
+    ``code_col(j)`` names the j-th code column of the scanned side."""
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            "_adc", code_col(j).cast("int") + F.lit(j * k_codes + 1)
+        )
+        score = term if score is None else score + term
+    return score
+
+
+def update_pq_index(
+    spark,
+    corpus_table,
+    index_uri: str,
+    books: list[list[list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    app_id: str = "pq-index",
+    m: int = 16,
+    k_codes: int = 16,
+    iters: int = 2,
+) -> dict:
+    """Incrementally maintain a persisted PQ index over a Delta corpus.
+
+    The index is itself a Delta table of ``(id, code_0..code_{m-1})`` — one
+    m-byte row per corpus vector — with the codebooks serialized into the
+    table CONFIGURATION (``deltars.pq.codebooks``), so the index is
+    self-describing: `pq_index_search` needs only the index URI plus the
+    corpus for the final rerank fetch. Each call processes ONLY the corpus
+    rows changed since the last run:
+
+    1. The last-processed corpus version comes from the index's ``txn``
+       watermark (the same exactly-once mechanism as
+       `dedup.update_dedup_index`, reference ``rust/src/delta.rs:863-866``)
+       — crash-safe because the watermark commits atomically WITH the
+       index rows it covers.
+    2. Changes come from the corpus change feed for the unprocessed version
+       range; the per-id NET effect across the window is folded first
+       (latest commit wins; a postimage outranks the same version's
+       preimage), so work is ∝ distinct changed vectors, never corpus size.
+    3. Inserts / update-postimages re-encode through the codebooks (pure
+       codegen literals — `pq_codes`) and MERGE into the index (matched
+       update + not-matched insert); deletes MERGE with matched-delete, so
+       a vanished vector can never surface from a search. Refreshes are
+       idempotent: re-running a half-applied window converges to the same
+       index (matched-delete of absent rows is a no-op, upsert re-applies
+       the same codes).
+
+    Codebooks are an INDEX INVARIANT: ``books`` (or the trained default) is
+    used only when the index is created; refreshes always read the stored
+    books back from configuration, so a caller cannot silently split the
+    index across two encodings.
+
+    Returns metrics: versions processed, upserts, deletes, corpus version.
+    """
+    import json
+
+    from ..cdf import load_cdf
+    from ..dml import merge
+    from ..protocol.actions import TxnAction
+    from ..protocol.snapshot import NotATableError
+    from ..table import DeltaTable
+    from ..writer import write_deltalake
+
+    corpus_version = corpus_table.version
+
+    index = None
+    last: int | None = None
+    try:
+        index = DeltaTable(index_uri)
+        last = index.get_app_transaction_version(app_id)
+    except NotATableError:
+        pass
+
+    start = 0 if last is None else last + 1
+    if start > corpus_version:
+        return {
+            "processed_versions": 0,
+            "upserts": 0,
+            "deletes": 0,
+            "corpus_version": corpus_version,
+        }
+
+    if index is not None:
+        stored = index.metadata().configuration.get(_PQ_BOOKS_KEY)
+        if not stored:
+            raise ValueError(
+                f"{index_uri} exists but carries no {_PQ_BOOKS_KEY} "
+                "configuration — not a PQ index table"
+            )
+        books = json.loads(stored)
+    elif books is None:
+        books = train_pq_codebooks(
+            corpus_table.to_df(spark),
+            m=m,
+            k_codes=k_codes,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
+    changes = load_cdf(
+        spark, corpus_table, starting_version=start, ending_version=corpus_version
+    )
+    # net effect per id across the window: the LATEST commit wins, and an
+    # upsert outranks a delete within the same commit (an UPDATE's postimage
+    # and preimage share a version — the row still exists)
+    relevant = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage", "delete")
+    ).withColumn(
+        "_w",
+        F.col("_commit_version") * 2
+        + F.when(F.col("_change_type") != "delete", F.lit(1)).otherwise(F.lit(0)),
+    )
+    net = (
+        relevant.groupBy(F.col(id_col))
+        .agg(
+            F.max_by(
+                F.struct("_change_type", F.col(vec_col).alias("_vec")), F.col("_w")
+            ).alias("_last")
+        )
+        .select(
+            id_col,
+            F.col("_last._change_type").alias("_change_type"),
+            F.col("_last._vec").alias(vec_col),
+        )
+        .cache()
+    )
+    try:
+        counts = net.groupBy("_change_type").count().collect()
+        by_type = {r["_change_type"]: r["count"] for r in counts}
+        n_deletes = int(by_type.get("delete", 0))
+        n_upserts = sum(
+            v for t, v in by_type.items() if t in ("insert", "update_postimage")
+        )
+
+        import time as _time
+
+        txn = TxnAction(
+            app_id=app_id,
+            version=corpus_version,
+            last_updated=int(_time.time() * 1000),
+        )
+
+        if index is not None and n_deletes:
+            deletes = net.filter(F.col("_change_type") == "delete").select(id_col)
+            merge(
+                spark,
+                index,
+                deletes,
+                f"t.{id_col} = s.{id_col}",
+                when_matched_delete=True,
+                when_not_matched_insert=False,
+                # the watermark rides the LAST commit of the refresh; a
+                # deletes-only window carries it here
+                extra_actions=[txn] if not n_upserts else None,
+            )
+            index.update()
+
+        if n_upserts:
+            fresh_codes = pq_codes(
+                net.filter(F.col("_change_type") != "delete").select(id_col, vec_col),
+                books,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+            if index is None:
+                write_deltalake(
+                    spark,
+                    fresh_codes,
+                    index_uri,
+                    configuration={_PQ_BOOKS_KEY: json.dumps(books)},
+                    extra_actions=[txn],
+                    operation="STREAMING UPDATE",
+                    operation_parameters_extra={
+                        "appId": app_id,
+                        "corpusVersion": corpus_version,
+                    },
+                )
+            else:
+                merge(
+                    spark,
+                    index,
+                    fresh_codes,
+                    f"t.{id_col} = s.{id_col}",
+                    extra_actions=[txn],
+                )
+    finally:
+        net.unpersist()
+    return {
+        "processed_versions": corpus_version - start + 1,
+        "upserts": int(n_upserts),
+        "deletes": n_deletes,
+        "corpus_version": corpus_version,
+    }
+
+
+def pq_index_search(
+    spark,
+    index_uri: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    oversample: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over a PERSISTED PQ index — the search half of the
+    build-once / search-many split.
+
+    The only corpus-sized scan is the index's code columns (m bytes per
+    vector); codebooks come back out of the table configuration, the
+    query-side ADC tables fold into codegen as literals, and the float
+    vectors are fetched from ``corpus`` ONLY for the k·oversample rerank
+    survivors per query — an equi-join whose small side is the survivor
+    set, so at 100 TB the rerank reads a few thousand vectors, not the
+    corpus. Output schema and ordering contract match `cosine_topk`
+    (cosine rounded to 6, id tiebreak): at an exhaustive oversample the
+    result provably equals brute force.
+
+    ``oversample`` defaults to the pool-fraction rule over the index's
+    LOG-LEVEL row count (`DeltaTable.count_rows` — per-file numRecords
+    stats, zero data I/O), the production form of the ``n_rows`` hint."""
+    import json
+
+    from ..table import DeltaTable
+
+    t = DeltaTable(index_uri)
+    stored = t.metadata().configuration.get(_PQ_BOOKS_KEY)
+    if not stored:
+        raise ValueError(f"{index_uri} carries no {_PQ_BOOKS_KEY} configuration")
+    books = json.loads(stored)
+    m, k_codes = len(books), len(books[0])
+
+    if oversample is None:
+        n = t.count_rows()
+        if n is None:  # stats-free files: one bounded count job
+            n = t.to_df(spark).count()
+        oversample = _auto_pool_oversample(n, k)
+    keep = k * oversample
+
+    idx = t.to_df(spark).select(
+        F.col(id_col).alias("c_id"), *[f"code_{j}" for j in range(m)]
+    )
+    # query stays RAW for the exact rerank (same shape as ivf_pq_topk); only
+    # the ADC table sees the unit form, matching the codebooks' domain
+    q = _with_norm(queries, id_col, vec_col, "q")
+    qu = F.transform("q_v", lambda x: x / F.col("q_norm"))
+    qq = q.withColumn("_adc", _adc_table(books, qu))
+
+    scored = (
+        idx.crossJoin(F.broadcast(qq))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("qscore", _adc_score(m, k_codes, lambda j: F.col(f"code_{j}")))
+    )
+    # two-phase screen on the ADC score (no reducer sees O(corpus) rows for
+    # one query), THEN fetch floats for the survivors only
+    w1 = W.partitionBy("q_id", "_pid").orderBy(F.col("qscore").desc(), F.col("c_id"))
+    w2 = W.partitionBy("q_id").orderBy(F.col("qscore").desc(), F.col("c_id"))
+    cand = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_pr", F.row_number().over(w1))
+        .filter(F.col("_pr") <= keep)
+        .drop("_pid", "_pr")
+        .withColumn("_qr", F.row_number().over(w2))
+        .filter(F.col("_qr") <= keep)
+        .select("q_id", "q_v", "q_norm", "c_id")
+    )
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    w3 = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    return (
+        c.join(F.broadcast(cand), "c_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _cosine(F.col("q_v"), F.col("c_v"), F.col("q_norm"), F.col("c_norm")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w3))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
     )

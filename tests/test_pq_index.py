@@ -1,0 +1,169 @@
+"""Persisted PQ index: build-once / CDF-incremental-maintain / search-many.
+
+The exact-certification surface lives in the catalog
+(`similarity_pq_index_lifecycle` — incremental build + MoR delete + postimage
+re-encode vs the one-shot oracle; `similarity_pq_index_search` — exhaustive
+search ≡ brute force). These tests pin the contracts the driver rows cannot:
+search/pq_topk equivalence at a PRODUCTION oversample with trained books, the
+auto-oversample derivation from the index's log-level row count, watermark
+no-op semantics, and the self-describing-index error contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.operators import similarity
+from delta_rs_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def trained_index(spark, emb, tmp_path_factory):
+    """One full-corpus index with TRAINED codebooks (shared via the session
+    training cache, like the catalog rows)."""
+    from delta_rs_spark.pipeline_queries import _cached_pq_books
+
+    root = tmp_path_factory.mktemp("pqidx")
+    src, idx = str(root / "src"), str(root / "idx")
+    write_deltalake(
+        spark, emb, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    books = _cached_pq_books(spark, SF_DIR)
+    res = similarity.update_pq_index(spark, DeltaTable(src), idx, books=books)
+    assert res["upserts"] == emb.count() and res["deletes"] == 0
+    return src, idx, books
+
+
+def test_index_search_equals_pq_topk_at_production_oversample(
+    spark, emb, trained_index
+):
+    """Searching the persisted index is SEMANTICALLY pq_topk (same books,
+    same ADC screen, same exact rerank, same tiebreak) — the two must agree
+    row for row at a production oversample, so the persisted path can never
+    silently drift from the certified in-memory one."""
+    _, idx, books = trained_index
+    q = emb.filter(F.col("vec_id") < 5)
+    direct = [
+        tuple(r)
+        for r in similarity.pq_topk(emb, q, k=10, oversample=8, books=books).collect()
+    ]
+    via_index = [
+        tuple(r)
+        for r in similarity.pq_index_search(
+            spark, idx, emb, q, k=10, oversample=8
+        ).collect()
+    ]
+    assert via_index == direct
+
+
+def test_index_search_auto_oversample_from_log_count(spark, emb, trained_index):
+    """oversample=None derives from DeltaTable.count_rows() — the log-level
+    numRecords fold, zero data I/O — and the result clears the pq_topk
+    recall floor (trained books, pool-fraction rule)."""
+    _, idx, _ = trained_index
+    assert DeltaTable(idx).count_rows() == emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    }
+    got_df = similarity.pq_index_search(spark, idx, emb, q, k=10)
+    got = {(r.query_id, r.neighbor_id) for r in got_df.collect()}
+    assert len(got) == len(exact)
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.85, f"index-search auto-oversample recall {recall}"
+
+
+def test_refresh_is_watermarked_noop_and_books_are_invariant(
+    spark, emb, trained_index
+):
+    """A refresh with nothing new is a watermark-check no-op (no commit, no
+    jobs over the corpus), and the index's codebooks are an invariant: the
+    stored books win over whatever a refresh caller passes."""
+    src, idx, books = trained_index
+    v_before = DeltaTable(idx).version
+    wrong_books = similarity.pq_random_codebooks(16, 4, 16, seed=99)
+    res = similarity.update_pq_index(
+        spark, DeltaTable(src), idx, books=wrong_books
+    )
+    assert res == {
+        "processed_versions": 0,
+        "upserts": 0,
+        "deletes": 0,
+        "corpus_version": DeltaTable(src).version,
+    }
+    assert DeltaTable(idx).version == v_before
+
+
+def test_non_index_table_is_rejected(spark, emb, tmp_path):
+    """Self-describing contract: a Delta table without the codebook
+    configuration is not a PQ index — both refresh and search must refuse
+    it loudly instead of silently mis-scoring."""
+    plain = str(tmp_path / "plain")
+    write_deltalake(
+        spark,
+        emb.limit(10),
+        plain,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    with pytest.raises(ValueError, match="deltars.pq.codebooks"):
+        similarity.pq_index_search(spark, plain, emb, emb.limit(2))
+    # an existing table at the index uri that is NOT an index: refresh must
+    # not silently re-encode into it
+    src = str(tmp_path / "src")
+    write_deltalake(
+        spark, emb.limit(10), src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    with pytest.raises(ValueError, match="not a PQ index"):
+        similarity.update_pq_index(spark, DeltaTable(src), plain)
+
+
+def test_incremental_matches_one_shot_rebuild(spark, emb, tmp_path):
+    """Two-batch incremental build + MoR delete + postimage re-encode must
+    equal the one-shot encode of the final corpus (the pytest twin of the
+    certified similarity_pq_index_lifecycle row, on md5 books)."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    books = similarity.pq_random_codebooks(16, 4, 16)
+    write_deltalake(
+        spark,
+        emb.filter(F.col("vec_id") % 2 == 0),
+        src,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    similarity.update_pq_index(spark, DeltaTable(src), idx, books=books)
+    write_deltalake(spark, emb.filter(F.col("vec_id") % 2 == 1), src, mode="append")
+    t = DeltaTable(src)
+    t.delete(spark, "vec_id % 5 = 0")
+    t.update()
+    t.update_where(
+        spark, "vec_id % 7 = 2", {"embedding": "transform(embedding, x -> -x)"}
+    )
+    res = similarity.update_pq_index(spark, DeltaTable(src), idx)
+    assert res["processed_versions"] == 3
+
+    got = {tuple(r) for r in DeltaTable(idx).to_df(spark).collect()}
+    final = emb.filter(F.col("vec_id") % 5 != 0).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 7 == 2,
+            F.transform("embedding", lambda x: -x),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    want = {tuple(r) for r in similarity.pq_codes(final, books).collect()}
+    assert got == want
