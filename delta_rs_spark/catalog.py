@@ -70,12 +70,12 @@ _ROTATION = [
     "corpus_bpe_encode_arrow",
     "similarity_pq_index_lifecycle",
     "similarity_pq_index_search",
+    "similarity_ivfpq_index_search",
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
     "recall_contracts",
-    # -- (3) round-5 fill (most protocol machinery first) ---------------------
+    # -- (3) round-5 fill ------------------------------------------------------
     "incremental_rollup_lifecycle",
-    "dedup_index_lifecycle",
 ]
 
 

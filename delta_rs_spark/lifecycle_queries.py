@@ -1182,14 +1182,20 @@ def q_pq_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     end: seed a CDF-enabled embeddings corpus with the EVEN vec_ids →
     bootstrap the index (md5 codebooks serialized into the index table's
     configuration — engine-reproducible, the same trained-vs-derived split
-    as similarity_pq_codes) → append the odd half (v1) → merge-on-read
-    DELETE every vec_id % 5 = 0 (v2, a DV commit) → UPDATE vec_id % 7 = 2
-    to the negated vector (v3, postimages must RE-ENCODE) → ONE incremental
+    as similarity_pq_codes; IVF tier ON, so the table is PARTITIONED BY
+    list_id with the trained centroids stored alongside) → append the odd
+    half (v1) → merge-on-read DELETE every vec_id % 5 = 0 (v2, a DV
+    commit) → UPDATE vec_id % 7 = 2 to the negated vector (v3, postimages
+    must RE-ENCODE — and a re-encoded vector can change its nearest list,
+    so the MERGE must move its row ACROSS partitions) → ONE incremental
     refresh folding the whole v1..v3 window. The refresh reads the change
     feed, nets each id to its latest change, MERGEs upserted codes and
     merge-deletes vanished ids — so the final index table must equal the
     one-shot encode of the corpus as the DML left it, row for row, code
-    for code against the chained-literal DuckDB oracle."""
+    for code against the chained-literal DuckDB oracle (list_id dropped:
+    trained centroids are data-dependent; the codes are the certified
+    content, and the partition mechanics are pinned by the exhaustive
+    probing row similarity_ivfpq_index_search + tests/test_pq_index.py)."""
     from . import DeltaTable
     from .operators import similarity
     from .writer import write_deltalake
@@ -1207,7 +1213,9 @@ def q_pq_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     books = similarity.pq_random_codebooks(16, 4, 16)
-    similarity.update_pq_index(spark, DeltaTable(src_uri), idx_uri, books=books)
+    similarity.update_pq_index(
+        spark, DeltaTable(src_uri), idx_uri, books=books, n_list=8
+    )
     write_deltalake(  # v1: the odd half
         spark,
         emb.filter(F.col("vec_id") % 2 == 1),
@@ -1224,7 +1232,7 @@ def q_pq_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = similarity.update_pq_index(spark, DeltaTable(src_uri), idx_uri)
     assert res["processed_versions"] == 3, "refresh must cover v1..v3 only"
-    return DeltaTable(idx_uri).to_df(spark).orderBy("vec_id")
+    return DeltaTable(idx_uri).to_df(spark).drop("list_id").orderBy("vec_id")
 
 
 def _brute_force_topk_oracle() -> str:
@@ -1267,5 +1275,48 @@ def q_pq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.filter(F.col("vec_id") < 5),
         k=10,
+        oversample=1_000_000,
+    )
+
+
+@query("similarity_ivfpq_index_search", _brute_force_topk_oracle())
+def q_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probing search over the IVF-PARTITIONED persisted index, certified
+    exactly: the index is partitioned by list_id (trained centroids stored
+    in configuration), the search assigns each query its probed lists and
+    pushes the union into the snapshot's PARTITION FILTERS — the unprobed
+    lists' files are pruned in the Delta log before any plan exists. At
+    n_probe = n_list every partition passes and the exhaustive oversample
+    keeps every ADC candidate, so the full pipeline — partition-filter
+    construction, pruned scan, list_id equi-join, ADC lookups, survivor
+    float fetch, exact rerank — must equal brute force row for row. A
+    partition filter that drops a list, a list assignment mismatch between
+    build and probe, or an id lost in the cross-partition plumbing flips
+    this row red; the pruning itself (fewer files read at n_probe <
+    n_list) is pinned in tests/test_pq_index.py."""
+    from . import DeltaTable
+    from .operators import similarity
+    from .writer import write_deltalake
+
+    src_uri = _workdir("ivfpqsearch-src", sf_dir)
+    idx_uri = _workdir("ivfpqsearch-idx", sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    write_deltalake(
+        spark,
+        emb,
+        src_uri,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    books = similarity.pq_random_codebooks(16, 4, 16)
+    similarity.update_pq_index(
+        spark, DeltaTable(src_uri), idx_uri, books=books, n_list=8
+    )
+    return similarity.pq_index_search(
+        spark,
+        idx_uri,
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_probe=8,
         oversample=1_000_000,
     )

@@ -1406,6 +1406,7 @@ def ivf_pq_topk(
 # ---------------------------------------------------------------------------
 
 _PQ_BOOKS_KEY = "deltars.pq.codebooks"
+_PQ_CENTS_KEY = "deltars.pq.centroids"
 
 
 def _adc_table(books: list[list[list[float]]], unit_vec) -> "F.Column":
@@ -1450,6 +1451,8 @@ def update_pq_index(
     m: int = 16,
     k_codes: int = 16,
     iters: int = 2,
+    n_list: int | None = None,
+    cents: list[list[float]] | None = None,
 ) -> dict:
     """Incrementally maintain a persisted PQ index over a Delta corpus.
 
@@ -1481,6 +1484,17 @@ def update_pq_index(
     used only when the index is created; refreshes always read the stored
     books back from configuration, so a caller cannot silently split the
     index across two encodings.
+
+    IVF TIER (optional, ``n_list``/``cents`` at creation): the index table
+    is PARTITIONED BY ``list_id`` — each vector's nearest-centroid
+    assignment — with the centroids serialized next to the codebooks. A
+    probing search then prunes WHOLE PARTITIONS through the Delta log
+    (`pq_index_search` passes the probed lists as partition filters), so
+    at 100 TB an n_probe/n_list probe reads that fraction of the index's
+    FILES — the IVF list structure realized as Delta partition pruning
+    rather than an in-job filter. Like the books, centroids are an index
+    invariant; a re-encoded update moves its row to the new list's
+    partition through the same MERGE.
 
     Returns metrics: versions processed, upserts, deletes, corpus version.
     """
@@ -1520,15 +1534,22 @@ def update_pq_index(
                 "configuration — not a PQ index table"
             )
         books = json.loads(stored)
-    elif books is None:
-        books = train_pq_codebooks(
-            corpus_table.to_df(spark),
-            m=m,
-            k_codes=k_codes,
-            iters=iters,
-            id_col=id_col,
-            vec_col=vec_col,
-        )
+        stored_c = index.metadata().configuration.get(_PQ_CENTS_KEY)
+        cents = json.loads(stored_c) if stored_c else None
+    else:
+        if books is None:
+            books = train_pq_codebooks(
+                corpus_table.to_df(spark),
+                m=m,
+                k_codes=k_codes,
+                iters=iters,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        if cents is None and n_list is not None:
+            cents = train_ivf_centroids(
+                corpus_table.to_df(spark), n_list, iters, id_col, vec_col
+            )
 
     changes = load_cdf(
         spark, corpus_table, starting_version=start, ending_version=corpus_version
@@ -1589,18 +1610,27 @@ def update_pq_index(
             index.update()
 
         if n_upserts:
-            fresh_codes = pq_codes(
-                net.filter(F.col("_change_type") != "delete").select(id_col, vec_col),
-                books,
-                id_col=id_col,
-                vec_col=vec_col,
+            upserted = net.filter(F.col("_change_type") != "delete").select(
+                id_col, vec_col
             )
+            fresh_codes = pq_codes(upserted, books, id_col=id_col, vec_col=vec_col)
+            if cents is not None:
+                # nearest-centroid partition key — change-sized join, and a
+                # re-encoded vector moves partitions through the same MERGE
+                assigned = _assign_lists(
+                    _with_norm(upserted, id_col, vec_col, "c"), cents, "c", 1
+                ).select(F.col("c_id").alias(id_col), "list_id")
+                fresh_codes = fresh_codes.join(assigned, id_col)
             if index is None:
+                config = {_PQ_BOOKS_KEY: json.dumps(books)}
+                if cents is not None:
+                    config[_PQ_CENTS_KEY] = json.dumps(cents)
                 write_deltalake(
                     spark,
                     fresh_codes,
                     index_uri,
-                    configuration={_PQ_BOOKS_KEY: json.dumps(books)},
+                    partition_by=["list_id"] if cents is not None else None,
+                    configuration=config,
                     extra_actions=[txn],
                     operation="STREAMING UPDATE",
                     operation_parameters_extra={
@@ -1633,6 +1663,7 @@ def pq_index_search(
     queries: DataFrame,
     k: int = 10,
     oversample: int | None = None,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1651,7 +1682,20 @@ def pq_index_search(
 
     ``oversample`` defaults to the pool-fraction rule over the index's
     LOG-LEVEL row count (`DeltaTable.count_rows` — per-file numRecords
-    stats, zero data I/O), the production form of the ``n_rows`` hint."""
+    stats, zero data I/O), the production form of the ``n_rows`` hint.
+
+    On an IVF-PARTITIONED index (built with ``n_list``) the probe becomes
+    Delta PARTITION PRUNING: each query's ``n_probe`` nearest lists are
+    assigned from the stored centroids, and the UNION of probed lists goes
+    into the snapshot's partition filters — files of unprobed lists are
+    never read (pruned in the log, before any plan exists). The in-plan
+    list_id equi-join then restricts each query to ITS lists within the
+    pruned scan. ``n_probe`` defaults to the held-ratio rule
+    (max(6, ceil(0.75·n_list)), same calibration as `ivf_pq_topk`); the
+    pool-fraction oversample is taken over the probed fraction. At
+    ``n_probe = n_list`` the filter passes every partition and the result
+    provably equals the flat scan (and, at exhaustive oversample, brute
+    force — the certified ``similarity_ivfpq_index_search`` row)."""
     import json
 
     from ..table import DeltaTable
@@ -1662,28 +1706,61 @@ def pq_index_search(
         raise ValueError(f"{index_uri} carries no {_PQ_BOOKS_KEY} configuration")
     books = json.loads(stored)
     m, k_codes = len(books), len(books[0])
+    stored_c = t.metadata().configuration.get(_PQ_CENTS_KEY)
+    cents = json.loads(stored_c) if stored_c else None
 
-    if oversample is None:
-        n = t.count_rows()
-        if n is None:  # stats-free files: one bounded count job
-            n = t.to_df(spark).count()
-        oversample = _auto_pool_oversample(n, k)
-    keep = k * oversample
+    n = t.count_rows()
+    if n is None:  # stats-free files: one bounded count job
+        n = t.to_df(spark).count()
 
-    idx = t.to_df(spark).select(
-        F.col(id_col).alias("c_id"), *[f"code_{j}" for j in range(m)]
-    )
     # query stays RAW for the exact rerank (same shape as ivf_pq_topk); only
     # the ADC table sees the unit form, matching the codebooks' domain
-    q = _with_norm(queries, id_col, vec_col, "q")
-    qu = F.transform("q_v", lambda x: x / F.col("q_norm"))
-    qq = q.withColumn("_adc", _adc_table(books, qu))
-
-    scored = (
-        idx.crossJoin(F.broadcast(qq))
-        .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("qscore", _adc_score(m, k_codes, lambda j: F.col(f"code_{j}")))
-    )
+    if cents is not None:
+        n_list = len(cents)
+        if n_probe is None:
+            n_probe = max(6, math.ceil(0.75 * n_list))
+        n_probe = min(n_probe, n_list)
+        if oversample is None:
+            oversample = _auto_pool_oversample(math.ceil(n * n_probe / n_list), k)
+        q = _assign_lists(_with_norm(queries, id_col, vec_col, "q"), cents, "q", n_probe)
+        qu = F.transform("q_v", lambda x: x / F.col("q_norm"))
+        qq = q.withColumn("_adc", _adc_table(books, qu))
+        # bounded driver artifact (≤ |queries|·n_probe ints — the probe set
+        # is small by contract): the union of probed lists becomes a Delta
+        # PARTITION FILTER, so unprobed lists' files are pruned in the log
+        probed = sorted(
+            r.list_id for r in qq.select("list_id").distinct().collect()
+        )
+        idx = t.to_df(
+            spark,
+            partition_filters=[("list_id", "in", [str(p) for p in probed])],
+        ).select(
+            "list_id", F.col(id_col).alias("c_id"), *[f"code_{j}" for j in range(m)]
+        )
+        scored = (
+            idx.join(F.broadcast(qq), "list_id")
+            .filter(F.col("q_id") != F.col("c_id"))
+            .withColumn(
+                "qscore", _adc_score(m, k_codes, lambda j: F.col(f"code_{j}"))
+            )
+        )
+    else:
+        if oversample is None:
+            oversample = _auto_pool_oversample(n, k)
+        idx = t.to_df(spark).select(
+            F.col(id_col).alias("c_id"), *[f"code_{j}" for j in range(m)]
+        )
+        q = _with_norm(queries, id_col, vec_col, "q")
+        qu = F.transform("q_v", lambda x: x / F.col("q_norm"))
+        qq = q.withColumn("_adc", _adc_table(books, qu))
+        scored = (
+            idx.crossJoin(F.broadcast(qq))
+            .filter(F.col("q_id") != F.col("c_id"))
+            .withColumn(
+                "qscore", _adc_score(m, k_codes, lambda j: F.col(f"code_{j}"))
+            )
+        )
+    keep = k * oversample
     # two-phase screen on the ADC score (no reducer sees O(corpus) rows for
     # one query), THEN fetch floats for the survivors only
     w1 = W.partitionBy("q_id", "_pid").orderBy(F.col("qscore").desc(), F.col("c_id"))

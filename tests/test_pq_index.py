@@ -167,3 +167,82 @@ def test_incremental_matches_one_shot_rebuild(spark, emb, tmp_path):
     )
     want = {tuple(r) for r in similarity.pq_codes(final, books).collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# IVF-partitioned index: probing = Delta partition pruning
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def partitioned_index(spark, emb, tmp_path_factory):
+    """Full-corpus index with the IVF tier on (8 trained lists, partitioned
+    by list_id) and trained codebooks from the session cache."""
+    from delta_rs_spark.pipeline_queries import _cached_pq_books
+
+    root = tmp_path_factory.mktemp("ivfpqidx")
+    src, idx = str(root / "src"), str(root / "idx")
+    write_deltalake(
+        spark, emb, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    books = _cached_pq_books(spark, SF_DIR)
+    similarity.update_pq_index(
+        spark, DeltaTable(src), idx, books=books, n_list=8
+    )
+    return idx
+
+
+def test_partitioned_index_probe_prunes_files(spark, emb, partitioned_index):
+    """The probe must be REAL pruning: reading the index under a probed-list
+    partition filter touches strictly fewer files than the full snapshot —
+    the log-level file skip a 100 TB deployment banks on (unprobed lists'
+    files are never opened)."""
+    t = DeltaTable(partitioned_index)
+    assert t.metadata().partition_columns == ["list_id"]
+    all_files = t.to_df(spark).inputFiles()
+    pruned = t.to_df(
+        spark, partition_filters=[("list_id", "in", ["0", "1"])]
+    ).inputFiles()
+    assert 0 < len(pruned) < len(all_files)
+
+
+def test_partitioned_probe_all_equals_flat_search(
+    spark, emb, trained_index, partitioned_index
+):
+    """n_probe = n_list passes every partition, so the probing search must
+    equal the flat-index search row for row at the same oversample (same
+    books, same ADC scores, same tiebreaks) — partitioning may never change
+    WHAT is computed, only WHICH files are read."""
+    _, flat_idx, _ = trained_index
+    q = emb.filter(F.col("vec_id") < 5)
+    flat = [
+        tuple(r)
+        for r in similarity.pq_index_search(
+            spark, flat_idx, emb, q, k=10, oversample=8
+        ).collect()
+    ]
+    probed = [
+        tuple(r)
+        for r in similarity.pq_index_search(
+            spark, partitioned_index, emb, q, k=10, n_probe=8, oversample=8
+        ).collect()
+    ]
+    assert probed == flat
+
+
+def test_partitioned_probing_search_recall_floor(spark, emb, partitioned_index):
+    """Production knobs (auto n_probe = held ratio, auto oversample over the
+    probed fraction): the probing search clears the ivf_pq_topk floor."""
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, q, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.pq_index_search(
+            spark, partitioned_index, emb, q, k=10
+        ).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"partitioned probing search recall {recall}"
