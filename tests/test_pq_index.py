@@ -246,3 +246,32 @@ def test_partitioned_probing_search_recall_floor(spark, emb, partitioned_index):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, f"partitioned probing search recall {recall}"
+
+
+def test_optimize_compacts_index_without_changing_search(
+    spark, emb, partitioned_index
+):
+    """Incremental MERGE refreshes accumulate small files (copy-on-write
+    rewrites); periodic OPTIMIZE is the operational answer. Compaction must
+    shrink the file count and leave search results bit-identical — the
+    index's content is its codes, not its layout."""
+    q = emb.filter(F.col("vec_id") < 5)
+    before = [
+        tuple(r)
+        for r in similarity.pq_index_search(
+            spark, partitioned_index, emb, q, k=10, n_probe=8, oversample=8
+        ).collect()
+    ]
+    t = DeltaTable(partitioned_index)
+    files_before = len(t.to_df(spark).inputFiles())
+    t.optimize(spark, target_file_size=1 << 30)
+    t2 = DeltaTable(partitioned_index)
+    files_after = len(t2.to_df(spark).inputFiles())
+    assert files_after < files_before
+    after = [
+        tuple(r)
+        for r in similarity.pq_index_search(
+            spark, partitioned_index, emb, q, k=10, n_probe=8, oversample=8
+        ).collect()
+    ]
+    assert after == before
