@@ -299,6 +299,18 @@ def test_ivfpq_is_bucketed_not_brute(q):
     assert all(set(cols) <= {"vec_id", "embedding"} for cols in s.read_schemas)
 
 
+def test_ivfpq_index_search_is_pruned_equi_join(q):
+    """Probing search over the PARTITIONED persisted index: candidate
+    generation must be the list_id equi-join (never a nested loop — the
+    probe exists to avoid the corpus-wide scan) and the survivor float
+    fetch must stay a broadcast equi-join; no sort-merge join anywhere.
+    The file-level pruning itself is pinned in tests/test_pq_index.py."""
+    df = q("similarity_ivfpq_index_search")
+    s = summarize(df)
+    assert not s.nested_loop_joins
+    assert s.sort_merge_joins == 0
+
+
 def test_clustered_semantic_dedup_no_corpus_nlj(q):
     """Cluster-first semantic dedup must never plan a corpus-wide
     nested-loop: pairs come from the within-cluster cogrouped GEMM, the
