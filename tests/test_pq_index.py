@@ -275,3 +275,129 @@ def test_optimize_compacts_index_without_changing_search(
         ).collect()
     ]
     assert after == before
+
+
+import random
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_pq_index_matches_rebuild_under_fuzz(spark, tmp_path, seed):
+    """The incremental index, driven by a RANDOM DML sequence with
+    refreshes at random points, must always equal the one-shot encode of
+    the live corpus — the integration net under the certified
+    similarity_pq_index_lifecycle row (which pins ONE fixed sequence).
+
+    Ops: append fresh ids, MoR delete a modular slice, negate a slice's
+    vectors (postimage re-encode), and REINSERT previously-deleted ids —
+    the case that exercises the per-id net-change fold across a window
+    (delete at v_k then insert at v_j > k must net to an upsert, and the
+    reverse order to a delete). After every refresh: the index's codes
+    equal `pq_codes` over the model's live rows, and every row's stored
+    list_id equals the stored-centroid assignment (partition placement
+    never drifts from the configuration that search will probe with)."""
+    import json
+
+    from delta_rs_spark.operators.similarity import (
+        _PQ_CENTS_KEY,
+        _assign_lists,
+        _with_norm,
+        pq_random_codebooks,
+    )
+
+    rng = random.Random(seed)
+    src = str(tmp_path / f"pqfuzz{seed}-src")
+    idx = str(tmp_path / f"pqfuzz{seed}-idx")
+    books = pq_random_codebooks(4, 2, 4)  # dim 8, 4 subspaces, 4 codes
+
+    def _vec(i: int) -> list[float]:
+        return [float(((i * 31 + j * 7) % 17) / 17.0 - 0.5) for j in range(8)]
+
+    def _frame(rows: dict[int, list[float]]):
+        return spark.createDataFrame(
+            [(i, v) for i, v in sorted(rows.items())],
+            "vec_id long, embedding array<float>",
+        )
+
+    model: dict[int, list[float]] = {i: _vec(i) for i in range(80)}
+    deleted: set[int] = set()
+    next_id = 80
+    write_deltalake(
+        spark,
+        _frame(model),
+        src,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    similarity.update_pq_index(
+        spark, DeltaTable(src), idx, books=books, n_list=4
+    )
+    history = ["seed(80)", "bootstrap"]
+
+    def _check():
+        t = DeltaTable(idx)
+        got = {
+            (r.vec_id, tuple(r)[1:])
+            for r in t.to_df(spark).drop("list_id").collect()
+        }
+        want = {
+            (r.vec_id, tuple(r)[1:])
+            for r in similarity.pq_codes(_frame(model), books).collect()
+        }
+        assert got == want, f"codes diverged after {history}"
+        # partition placement: stored list_id == stored-centroid assignment
+        cents = json.loads(t.metadata().configuration[_PQ_CENTS_KEY])
+        assigned = _assign_lists(
+            _with_norm(_frame(model), "vec_id", "embedding", "c"), cents, "c", 1
+        ).select(F.col("c_id").alias("vec_id"), F.col("list_id").alias("want_list"))
+        bad = (
+            t.to_df(spark)
+            .join(assigned, "vec_id")
+            .filter(F.col("list_id") != F.col("want_list"))
+            .count()
+        )
+        assert bad == 0, f"partition drift after {history}"
+
+    for step in range(6):
+        op = rng.choice(["append", "delete", "negate", "reinsert"])
+        t = DeltaTable(src)
+        if op == "append":
+            n = rng.randrange(10, 25)
+            fresh = {i: _vec(i) for i in range(next_id, next_id + n)}
+            write_deltalake(spark, _frame(fresh), src, mode="append")
+            model.update(fresh)
+            next_id += n
+            history.append(f"append({n})")
+        elif op == "delete":
+            k, r = rng.choice([(7, 3), (5, 1), (9, 0)])
+            t.delete(spark, f"vec_id % {k} = {r}")
+            gone = [i for i in model if i % k == r]
+            for i in gone:
+                deleted.add(i)
+                del model[i]
+            history.append(f"delete(%{k}={r})")
+        elif op == "negate":
+            k, r = rng.choice([(4, 1), (6, 5)])
+            t.update_where(
+                spark,
+                f"vec_id % {k} = {r}",
+                {"embedding": "transform(embedding, x -> -x)"},
+            )
+            for i in list(model):
+                if i % k == r:
+                    model[i] = [-x for x in model[i]]
+            history.append(f"negate(%{k}={r})")
+        else:
+            back = sorted(deleted)[: rng.randrange(1, 12)] if deleted else []
+            if back:
+                rows = {i: _vec(i) for i in back}
+                write_deltalake(spark, _frame(rows), src, mode="append")
+                model.update(rows)
+                deleted.difference_update(back)
+            history.append(f"reinsert({len(back)})")
+
+        if rng.random() < 0.5 or step == 5:
+            similarity.update_pq_index(spark, DeltaTable(src), idx)
+            history.append("refresh")
+            _check()
