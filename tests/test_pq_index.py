@@ -401,3 +401,61 @@ def test_pq_index_matches_rebuild_under_fuzz(spark, tmp_path, seed):
             similarity.update_pq_index(spark, DeltaTable(src), idx)
             history.append("refresh")
             _check()
+
+
+def test_concurrent_refreshes_converge(spark, emb, tmp_path):
+    """Two racing incremental refreshes of the same window must converge:
+    the txn watermark + MERGE conflict detection serialize them (the loser
+    either retries into a watermark no-op or double-applies a window that
+    is idempotent by construction — upserts re-assert identical codes,
+    deletes of absent rows match nothing). Final index == recompute, and
+    the watermark lands exactly at the corpus head."""
+    import threading
+
+    from delta_rs_spark.transactions import ConcurrentModificationError
+
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    books = similarity.pq_random_codebooks(16, 4, 16)
+    write_deltalake(
+        spark,
+        emb.filter(F.col("vec_id") % 2 == 0),
+        src,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    similarity.update_pq_index(spark, DeltaTable(src), idx, books=books)
+    write_deltalake(spark, emb.filter(F.col("vec_id") % 2 == 1), src, mode="append")
+    DeltaTable(src).delete(spark, "vec_id % 5 = 0")
+
+    errors: list[Exception] = []
+
+    def refresh():
+        try:
+            for _ in range(20):
+                try:
+                    similarity.update_pq_index(spark, DeltaTable(src), idx)
+                    return
+                except ConcurrentModificationError:
+                    continue
+            raise AssertionError("refresh retry budget exhausted")
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=refresh) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    got = {tuple(r) for r in DeltaTable(idx).to_df(spark).collect()}
+    want = {
+        tuple(r)
+        for r in similarity.pq_codes(
+            emb.filter(F.col("vec_id") % 5 != 0), books
+        ).collect()
+    }
+    assert got == want
+    assert DeltaTable(idx).get_app_transaction_version("pq-index") == DeltaTable(src).version
