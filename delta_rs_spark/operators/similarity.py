@@ -1564,6 +1564,11 @@ def update_pq_index(
         F.col("_commit_version") * 2
         + F.when(F.col("_change_type") != "delete", F.lit(1)).otherwise(F.lit(0)),
     )
+    norm_sq = F.aggregate(
+        F.coalesce(F.col(vec_col).cast("array<double>"), F.array()),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
     net = (
         relevant.groupBy(F.col(id_col))
         .agg(
@@ -1575,6 +1580,16 @@ def update_pq_index(
             id_col,
             F.col("_last._change_type").alias("_change_type"),
             F.col("_last._vec").alias(vec_col),
+        )
+        # a vector upserted to NULL/zero norm is unindexable (every encode
+        # path excludes zero vectors — cosine is 0/0); reclassify it as a
+        # delete so the index drops the row instead of keeping STALE codes
+        .withColumn(
+            "_change_type",
+            F.when(
+                (F.col("_change_type") != "delete") & (norm_sq <= F.lit(0.0)),
+                F.lit("delete"),
+            ).otherwise(F.col("_change_type")),
         )
         .cache()
     )

@@ -459,3 +459,42 @@ def test_concurrent_refreshes_converge(spark, emb, tmp_path):
     }
     assert got == want
     assert DeltaTable(idx).get_app_transaction_version("pq-index") == DeltaTable(src).version
+
+
+def test_vector_zeroed_by_update_leaves_the_index(spark, tmp_path):
+    """A vector UPDATEd to zero norm is unindexable (every encode path
+    excludes zero vectors) — the refresh must DROP its row rather than
+    keep stale codes a search could still surface; updating it back to a
+    real vector re-indexes it."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    books = similarity.pq_random_codebooks(4, 2, 4)
+    rows = spark.createDataFrame(
+        [(i, [float(j + i) for j in range(8)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    write_deltalake(
+        spark,
+        rows,
+        src,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    similarity.update_pq_index(spark, DeltaTable(src), idx, books=books)
+    assert DeltaTable(idx).to_df(spark).count() == 20
+
+    DeltaTable(src).update_where(
+        spark, "vec_id = 3", {"embedding": "transform(embedding, x -> float(0))"}
+    )
+    res = similarity.update_pq_index(spark, DeltaTable(src), idx)
+    assert res["deletes"] == 1 and res["upserts"] == 0
+    got = {r.vec_id for r in DeltaTable(idx).to_df(spark).collect()}
+    assert got == set(range(20)) - {3}
+
+    DeltaTable(src).update_where(
+        spark, "vec_id = 3", {"embedding": "transform(embedding, x -> float(9))"}
+    )
+    res = similarity.update_pq_index(spark, DeltaTable(src), idx)
+    assert res["upserts"] == 1 and res["deletes"] == 0
+    assert DeltaTable(idx).to_df(spark).count() == 20
