@@ -1319,14 +1319,18 @@ def ivf_pq_topk(
     0.88 → 0.74 recall from sf0.01 → sf0.1 because the k·oversample rerank
     pool stayed constant while the scanned pool grew 10×). When left None:
 
-    - ``n_list = max(8, ceil(n / 625))`` — per-list size capped at ~625
-      vectors so the list_id equi-join keeps key-level parallelism and
-      bounded partitions as the corpus grows;
+    - ``n_list = max(8, ceil(sqrt(n)))`` — the FAISS-shape square-root
+      rule: list COUNT and list SIZE both grow ∝ √n, so neither the
+      centroid table (driver-held, must stay KB-MB) nor the per-list join
+      partition becomes the bottleneck at 100× or 100,000× (a linear
+      n/const rule keeps lists small but explodes the list count — 160M
+      lists at 10¹¹ vectors — while a fixed n_list explodes list sizes);
     - ``n_probe = max(6, ceil(0.75 · n_list))`` — the probe RATIO, not the
       probe count, is what recall tracks on weakly-clustered data (measured
       at sf0.01: ratio 0.75 holds recall 0.88-0.92 across n_list 8/16/32
-      while a fixed n_probe=6 collapses 0.88 → 0.60 → 0.40). 0.75 is the
-      honest calibration for THIS near-uniform synthetic corpus: real
+      while a fixed n_probe=6 collapses 0.88 → 0.60 → 0.40; the composed
+      sqrt-rule defaults measure 0.92 at BOTH sf0.01 and sf0.1). 0.75 is
+      the honest calibration for THIS near-uniform synthetic corpus: real
       embedding corpora cluster, concentrating true neighbors into few
       lists, and support far smaller ratios at the same recall — pass an
       explicit ``n_probe`` there;
@@ -1347,7 +1351,7 @@ def ivf_pq_topk(
     if n_list is None or n_probe is None or oversample is None:
         n = n_rows if n_rows is not None else corpus.count()
         if n_list is None:
-            n_list = max(8, math.ceil(n / 625))
+            n_list = max(8, math.ceil(math.sqrt(n)))
         if n_probe is None:
             n_probe = max(6, math.ceil(0.75 * n_list))
         if oversample is None:
