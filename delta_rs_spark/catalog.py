@@ -71,11 +71,10 @@ _ROTATION = [
     "similarity_pq_index_lifecycle",
     "similarity_pq_index_search",
     "similarity_ivfpq_index_search",
+    "similarity_knn_graph",
     "similarity_pq_topk",
     "similarity_ivfpq_topk",
     "recall_contracts",
-    # -- (3) round-5 fill ------------------------------------------------------
-    "incremental_rollup_lifecycle",
 ]
 
 

@@ -226,6 +226,47 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
+_KNN_GRAPH_ORACLE = """
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+    ) WHERE rank <= 5
+    ORDER BY query_id, rank
+    """
+
+
+@query("similarity_knn_graph", _KNN_GRAPH_ORACLE)
+def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH construction — every corpus vector gets its top-5
+    neighbors, the primitive under SemDeDup / kNN-graph clustering /
+    link-based curation. The point being certified: the IVF-PQ candidate
+    join takes a CORPUS-SIZED query side (no broadcast of the probe set —
+    the list_id equi-join shuffles both sides by list, so 10⁹ queries
+    partition exactly like 5), unlike the brute-force baseline whose
+    broadcast query block must stay driver-bounded. Exhaustive knobs
+    (probe all 8 lists, keep every ADC candidate) make the output provably
+    equal the all-pairs brute-force oracle; at production knobs the same
+    call is the scale path (n·n_probe/n_list scanned per query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb,
+        emb,
+        k=5,
+        n_list=8,
+        n_probe=8,
+        oversample=1_000_000,
+        books=_cached_pq_books(spark, sf_dir),
+    )
+
+
 @query("similarity_quantized_topk", None)
 def q_similarity_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # int8 candidate scoring + exact rerank of the 4k oversampled survivors;

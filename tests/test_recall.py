@@ -10,21 +10,12 @@ are fully deterministic (md5-seeded hyperplanes/permutations,
 deterministic k-means seeds), so the measured values are stable run to
 run; floors leave margin only for parameter-neutral refactors.
 
-Measured at sf0.01 (documented in QUERIES.md):
-- lsh_topk (4 planes × 16 tables):  recall@10 = 0.90
-- ivf_topk (8 lists, probe 6):      recall@10 = 0.90
-- quantized_topk (int8 + rerank):   recall@10 = 1.00
-- pq_topk (16x16 codes, ov 8):      recall@10 = 0.94
-- minhash_lsh_dedup (t=0.8):        pair recall 1.00, precision 1.00
-- clustered_exact_pairs (8 lists, probe 3, t=0.4): pair recall 0.949,
-  precision exact (subset of the exact pair set by construction)
-- semantic_keeplist clustered (8 lists, probe 3 — default): keeplist
-  Jaccard 0.9955 vs exact, always a superset (missed edges only split
-  clusters)
-
-The sf0.1 ladder (recorded in QUERIES.md): lsh 0.94, ivf 0.96, quantized
-1.00, minhash 1.00/1.00, clustered pairs (8,3) 0.954, clustered keeplist
-Jaccard 0.9654.
+Measured at sf0.01 (the full per-SF ladder, including the auto-scaled PQ
+family after the r7 knob work, lives in QUERIES.md — single source of
+truth; highlights: lsh 0.90, ivf 0.90, quantized 1.00, pq auto 0.96,
+ivf-pq auto 0.92, minhash 1.00/1.00, clustered pairs (8,3) 0.949,
+clustered keeplist Jaccard 0.9955 — and at sf0.1 every value holds or
+improves: pq 0.94, ivf-pq 0.92).
 """
 
 from __future__ import annotations
