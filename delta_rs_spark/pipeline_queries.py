@@ -198,7 +198,12 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic configuration provably reduces to brute force
 # (similarity_quantized_rerank: lossless int8 screen at oversample=4;
 # similarity_ivf_exact: exhaustive probing at n_probe = n_list).
-_BRUTE_FORCE_TOPK_ORACLE = """
+def _brute_force_topk_sql(k: int, query_where: str | None) -> str:
+    """All-pairs brute-force cosine top-k oracle — ONE body shared by every
+    exact ANN companion (bounded-probe and corpus-wide), so the ranking
+    contract (round-6 cosine, id tiebreak) cannot drift between rows."""
+    where = f"WHERE {query_where}" if query_where else ""
+    return f"""
     SELECT query_id, neighbor_id, cosine, rank FROM (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -210,10 +215,13 @@ _BRUTE_FORCE_TOPK_ORACLE = """
                         c.vec_id
              ) AS rank
       FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-      WHERE q.vec_id < 5
-    ) WHERE rank <= 10
+      {where}
+    ) WHERE rank <= {k}
     ORDER BY query_id, rank
     """
+
+
+_BRUTE_FORCE_TOPK_ORACLE = _brute_force_topk_sql(10, "q.vec_id < 5")
 
 
 @query(
@@ -226,21 +234,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
-_KNN_GRAPH_ORACLE = """
-    SELECT query_id, neighbor_id, cosine, rank FROM (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                          CAST(c.embedding AS DOUBLE[])), 6) AS cosine,
-             ROW_NUMBER() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                                     CAST(c.embedding AS DOUBLE[])), 6) DESC,
-                        c.vec_id
-             ) AS rank
-      FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
-    ) WHERE rank <= 5
-    ORDER BY query_id, rank
-    """
+_KNN_GRAPH_ORACLE = _brute_force_topk_sql(5, None)
 
 
 @query("similarity_knn_graph", _KNN_GRAPH_ORACLE)
