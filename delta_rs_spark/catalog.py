@@ -14,67 +14,70 @@ from . import lifecycle_queries as _lifecycle_queries  # noqa: F401  (registers)
 from . import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
 from .queries import QUERIES, headline_queries, oracle_sql, queries
 
-# Round-7 window (stalest-first, VERDICT r6 item #3): (1) all 42 rows whose
-# last driver-green round is 4 — now the stalest in the catalog, including
-# the lifecycle/streaming rows that exercise the most protocol machinery;
-# (2) the queries NEW or RE-PARAMETRIZED this round (the arrow BPE encoder's
-# first driver row, the PQ-family rows re-certified under auto-scaled knobs
-# + the extended recall_contracts — unregistered names are skipped by
-# _apply_rotation until they land); (3) round-5 rows to fill the 50. After
-# this window no query's last-green round is older than 5.
+# Round-8 window (stalest-first, VERDICT r7 item #6): (1) all 46 rows whose
+# last driver-green round is 5 — the relational TPC-H surface plus the
+# q_* operator rows, similarity_ivf_exact and the two incremental-index
+# lifecycles, now the stalest in the catalog; (2) the queries NEW or
+# CHANGED this round: recall_contracts (10th contract — production-knob
+# kNN-graph recall — changes its oracle literal, so it MUST re-certify),
+# recall_clustered_contracts + similarity_index_drift (new rows), and the
+# two persisted-index search rows whose rerank join strategy changed
+# (forced broadcast dropped — values provably identical, but the honest
+# signal is a re-certification in the same window as the plan change).
+# After this window nothing's last-green round is older than 6.
 _ROTATION = [
-    # -- (1) last certified round 4 (42 rows) ---------------------------------
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "similarity_topk",
-    "embedding_centroid_norms",
-    "embedding_quantize_int8",
-    "text_lang_id",
-    "text_quality_score",
-    "multimodal_features",
-    "asof_join_events",
-    "range_join_error_windows",
-    "ts_resample_locf",
-    "skew_salted_count_distinct",
-    "sample_stratified_exact",
-    "profile_price_histogram",
-    "pipeline_corpus_curation",
-    "features_lifecycle",
-    "cdf_changes_window",
-    "q_zorder_pruned_scan",
-    "stream_events_hourly",
-    "corpus_vocab_stats",
-    "dedup_keeplist",
-    "widening_uniform_lifecycle",
-    "corpus_unigram_lm",
-    "sample_global_shuffle",
-    "embedding_random_projection",
-    "text_gopher_rules",
-    "text_boilerplate_ratio",
-    "corpus_dsir_importance",
-    "stream_user_totals",
-    "clone_lifecycle",
-    "events_rolling_zscore",
-    "corpus_pmi_bigrams",
-    "corpus_source_overlap",
-    "text_hash_classifier",
-    "stream_hourly_watermark",
-    "stream_delta_sink_pipeline",
-    "stream_dedup_events",
-    "stream_stream_join",
-    "concurrent_lifecycle",
-    "similarity_lsh_buckets",
-    "similarity_quantized_rerank",
-    # -- (2) new / re-parametrized in round 7 ---------------------------------
-    "corpus_bpe_encode_arrow",
-    "similarity_pq_index_lifecycle",
-    "similarity_pq_index_search",
-    "similarity_ivfpq_index_search",
-    "similarity_knn_graph",
-    "similarity_pq_topk",
-    "similarity_ivfpq_topk",
+    # -- (1) last certified round 5 (46 rows) ---------------------------------
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_promo_volume_suppliers",
+    "q21_returned_not_accepted",
+    "q22_idle_customers",
+    "q_anti_join",
+    "q_array_functions",
+    "q_date_functions",
+    "q_events_hourly",
+    "q_events_json_props",
+    "q_events_sessions",
+    "q_filter_sort_project",
+    "q_grouping_sets",
+    "q_minmax_agg",
+    "q_outer_join_nulls",
+    "q_percentiles",
+    "q_referential_integrity",
+    "q_rollup_status",
+    "q_scalar_subquery",
+    "q_self_join_parts",
+    "q_semi_join",
+    "q_set_ops",
+    "q_string_functions",
+    "q_window_lag_events",
+    "q_window_running_revenue",
+    "q_window_topk_orders",
+    "similarity_ivf_exact",
+    "dedup_index_lifecycle",
+    "incremental_rollup_lifecycle",
+    # -- (2) new / changed in round 8 ------------------------------------------
     "recall_contracts",
+    "recall_clustered_contracts",
+    "similarity_index_drift",
+    "similarity_ivfpq_index_search",
 ]
 
 

@@ -1320,3 +1320,84 @@ def q_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=8,
         oversample=1_000_000,
     )
+
+
+def _index_drift_oracle() -> str:
+    """Oracle for the drift metric: `quantization_mse_df` recomputed by
+    DuckDB from the same md5-codebook literals, over (a) the corpus the
+    index was created on — which must equal the baseline the creation
+    commit persisted into table configuration, certifying the config
+    round-trip — and (b) a negated corpus standing in for distribution
+    drift. Distances round at 1e-9 before the min, the sum is exact
+    DECIMAL, one final round — so a subspace slip, a dropped zero-norm
+    filter, or a baseline stored from the wrong corpus is a hash
+    mismatch."""
+    from .operators import similarity
+
+    negated = (
+        "(SELECT vec_id, list_transform(embedding, x -> -x) AS embedding "
+        "FROM embeddings)"
+    )
+    same = similarity.quantization_mse_oracle_sql(table="embeddings")
+    drifted = similarity.quantization_mse_oracle_sql(table=negated)
+    return f"""
+    WITH s AS ({same}), d AS ({drifted})
+    SELECT s.mse AS baseline_mse, s.mse AS same_mse, d.mse AS drifted_mse
+    FROM s, d
+    """
+
+
+@query("similarity_index_drift", _index_drift_oracle())
+def q_similarity_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The codebook-drift rebuild trigger certified exactly (VERDICT r7
+    #5): create a persisted PQ index (md5 books — engine-reproducible) and
+    return the three drift-metric values a monitoring caller would read:
+
+    - ``baseline_mse``: read back from the index CONFIGURATION
+      (deltars.pq.mse0) — persisted by the creation commit, so the oracle
+      equality certifies that what creation measured and stored IS the
+      independent recompute over the creation corpus;
+    - ``same_mse``: `quantization_mse_df` over the unchanged corpus — must
+      equal the baseline (drift ratio exactly 1.0 when nothing drifted);
+    - ``drifted_mse``: the same metric over a negated corpus (a stand-in
+      for distribution drift: the unit vectors move to the octants the
+      codebooks never trained on).
+
+    All three are deterministic (rounded per-subspace distances, exact
+    DECIMAL sums), so the row hashes against a full DuckDB recompute — the
+    metric itself is certified, not a pinned measurement. The directional
+    claim (trained books + drifted corpus ⇒ ratio > 1) is pinned in
+    tests/test_pq_index.py."""
+    from . import DeltaTable
+    from .operators import similarity
+    from .writer import write_deltalake
+
+    src_uri = _workdir("drift-src", sf_dir)
+    idx_uri = _workdir("drift-idx", sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    write_deltalake(
+        spark,
+        emb,
+        src_uri,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    books = similarity.pq_random_codebooks(16, 4, 16)
+    similarity.update_pq_index(spark, DeltaTable(src_uri), idx_uri, books=books)
+    stored = float(
+        DeltaTable(idx_uri).metadata().configuration[similarity._PQ_MSE_KEY]
+    )
+    negated = emb.select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding")
+    )
+    same = similarity.quantization_mse_df(emb, books).select(
+        F.col("mse").alias("same_mse")
+    )
+    drifted = similarity.quantization_mse_df(negated, books).select(
+        F.col("mse").alias("drifted_mse")
+    )
+    return (
+        spark.range(1)
+        .select(F.lit(stored).alias("baseline_mse"))
+        .crossJoin(same)
+        .crossJoin(drifted)
+    )

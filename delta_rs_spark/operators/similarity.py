@@ -1199,7 +1199,14 @@ def _auto_pool_oversample(scanned: int, k: int) -> int:
     oversample the pool shrinks relative to a growing corpus and recall
     decays with data size (measured 0.94 → 0.74 from sf0.01 → sf0.1 at
     oversample 8; the pool-fraction rule holds ≥ 0.94 at both). Floor 8
-    preserves the small-corpus behavior the recall ladder was measured at."""
+    preserves the small-corpus behavior the recall ladder was measured at.
+
+    The flip side of the fraction rule: the exact rerank does Θ(scanned/6)
+    float work per query. For IVF-tiered callers scanned is the probed
+    slice (n·n_probe/n_list) and the rerank shrinks with the probe; for a
+    FLAT scan (pq_topk, an unpartitioned index) scanned = n and the rerank
+    is Θ(n) per query — see pq_topk's docstring for why that makes flat PQ
+    a compression tier rather than a scale path."""
     import math
 
     return max(8, math.ceil(scanned / (k * 6)))
@@ -1244,11 +1251,20 @@ def pq_topk(
     ``oversample`` defaults to corpus-size-aware (`_auto_pool_oversample`
     over the full scan — flat PQ scans every vector per query): the rerank
     pool stays a constant fraction of the corpus, so recall no longer
-    decays as the data grows past a fixed pool. Pass ``n_rows`` (a Delta
-    source's log-level ``numRecords`` sum, a prior count — same hint
-    contract as `blocked_exact_pairs`) to keep the build fully lazy;
-    without it, deriving the default runs ONE bounded count job. An
-    explicit ``oversample`` skips both."""
+    decays as the data grows past a fixed pool. OWN THE ARITHMETIC of that
+    rule: with scanned = n, the pool is ≈ n/6 candidates per query, so the
+    exact-rerank tier does Θ(n) float dot products per query — the
+    pool-fraction rule buys scale-stable recall by conceding that flat
+    PQ's END-TO-END cost stays linear in the corpus, eroding the
+    16-bytes-per-vector scan advantage the compression tier leads with.
+    Flat PQ is therefore a COMPRESSION tier, not a scale path: it cuts
+    scan bytes ~16×, never the asymptotics. The scale path is `ivf_pq_topk`
+    (scanned = n·n_probe/n_list, so the same rule keeps the rerank a
+    fraction of the PROBED slice) — the same routing its docstring states.
+    Pass ``n_rows`` (a Delta source's log-level ``numRecords`` sum, a
+    prior count — same hint contract as `blocked_exact_pairs`) to keep the
+    build fully lazy; without it, deriving the default runs ONE bounded
+    count job. An explicit ``oversample`` skips both."""
     if oversample is None:
         n = n_rows if n_rows is not None else corpus.count()
         oversample = _auto_pool_oversample(n, k)
@@ -1411,6 +1427,185 @@ def ivf_pq_topk(
 
 _PQ_BOOKS_KEY = "deltars.pq.codebooks"
 _PQ_CENTS_KEY = "deltars.pq.centroids"
+_PQ_MSE_KEY = "deltars.pq.mse0"
+
+
+def _quantization_mse_col(books: list[list[list[float]]], unit_vec) -> "F.Column":
+    """Per-row PQ quantization error: Σ_j min_c ||u_j − book_j_c||² over the
+    UNIT vector's subspace slices — exactly the squared reconstruction error
+    of the code the encoder assigns (encode picks the argmin, so min
+    distance ≡ assigned-codeword distance; no join against stored codes
+    needed). Each subspace distance is rounded at 1e-9 (the same
+    engine-invariance quantization as the certified-codes path) and the
+    caller averages as DECIMAL, so the corpus mean is deterministic under
+    any partitioning and SQL-oracle-expressible."""
+    m = len(books)
+    sub = len(books[0][0])
+    total = None
+    for j in range(m):
+        sl = F.slice(unit_vec, j * sub + 1, sub)
+        dists = F.array(
+            *[
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            sl,
+                            F.array(*[F.lit(float(x)) for x in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    9,
+                )
+                for c in books[j]
+            ]
+        )
+        dmin = F.array_min(dists)
+        total = dmin if total is None else total + dmin
+    return total
+
+
+def quantization_mse_df(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row frame ``(mse double)``: mean PQ quantization error of
+    ``df``'s vectors under ``books``. The mean is an exact DECIMAL sum
+    divided by the count, rounded at 1e-9 — order-insensitive,
+    repartition-invariant, and recomputable bit-for-bit by a SQL engine
+    (`quantization_mse_oracle_sql`), the same certification shape as the
+    encode path. One distributed pass; nothing corpus-sized leaves the
+    executors."""
+    u = _unit(_with_norm(df, id_col, vec_col, "c"), "c")
+    err = _quantization_mse_col(books, F.col("c_v"))
+    return u.agg(
+        F.round(
+            F.sum(err.cast("decimal(38,18)")).cast("double") / F.count(F.lit(1)),
+            9,
+        ).alias("mse")
+    )
+
+
+def _quantization_mse(df: DataFrame, books, id_col: str, vec_col: str) -> float:
+    row = quantization_mse_df(df, books, id_col, vec_col).collect()[0]
+    return float(row["mse"]) if row["mse"] is not None else 0.0
+
+
+def quantization_mse_oracle_sql(
+    m: int = 16,
+    k_codes: int = 16,
+    seed: int = 7,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 9,
+) -> str:
+    """DuckDB recompute of `quantization_mse_df` over the md5-derived
+    codebooks: identical centroid literals, identical left-to-right
+    addition order, per-subspace distances rounded at the same digit
+    BEFORE the min (so cross-engine double noise ~1e-15 can't leak into
+    the sum), exact DECIMAL summation, one final round — the drift
+    metric's independent certification, same shape as
+    `pq_codes_oracle_sql`."""
+    sub = dim // m
+    books = pq_random_codebooks(m, sub, k_codes, seed)
+    sumsq = " + ".join(
+        f"(CAST({vec_col}[{i + 1}] AS DOUBLE) * CAST({vec_col}[{i + 1}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    dist_lists = []
+    for j in range(m):
+        dists = []
+        for c in range(k_codes):
+            terms = " + ".join(
+                f"((v[{j * sub + s + 1}] - ({books[j][c][s]!r})) * "
+                f"(v[{j * sub + s + 1}] - ({books[j][c][s]!r})))"
+                for s in range(sub)
+            )
+            dists.append(f"round({terms}, {round_digits})")
+        dist_lists.append(f"[{', '.join(dists)}] AS d{j}")
+    err = " + ".join(f"list_min(d{j})" for j in range(m))
+    return f"""
+    WITH n AS (
+      SELECT {id_col}, {vec_col}, sqrt({sumsq}) AS nrm FROM {table}
+    ),
+    u AS (
+      SELECT {id_col},
+             list_transform({vec_col}, x -> CAST(x AS DOUBLE) / nrm) AS v
+      FROM n WHERE nrm > 0
+    ),
+    d AS (
+      SELECT {', '.join(dist_lists)} FROM u
+    )
+    SELECT round(
+      CAST(SUM(CAST(({err}) AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*),
+      {round_digits}
+    ) AS mse
+    FROM d
+    """
+
+
+def pq_index_drift(
+    spark,
+    index_uri: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Measured codebook-drift metric for a persisted PQ index — the
+    REBUILD TRIGGER the codebook-invariance design needs.
+
+    Codebooks (and IVF centroids) are an index INVARIANT: refreshes
+    re-encode changed vectors through the books stored at creation, so the
+    index never splits across two encodings — but a corpus whose
+    distribution drifts away from the creation-time training data silently
+    degrades quantization (codes stay valid, they just reconstruct worse,
+    and ANN recall follows). This function makes that degradation a
+    NUMBER a caller can threshold:
+
+    - ``baseline_mse``: the mean quantization error measured over the
+      corpus at index CREATION, stored in the index configuration
+      (``deltars.pq.mse0``) — written once, in the same commit that
+      creates the index.
+    - ``current_mse``: the same metric measured now over ``corpus``
+      (one distributed pass; DECIMAL mean, so the value is deterministic
+      under any partitioning).
+    - ``ratio``: current / baseline.
+
+    POLICY (documented contract): the index never retrains itself — a
+    rebuild changes every code, so it must be an explicit, operator-scheduled
+    event, not a refresh side effect. Monitor ``ratio`` after refreshes;
+    when it exceeds your tolerance (1.5 is a reasonable default — PQ
+    recall degrades roughly with reconstruction error), retrain into a NEW
+    index uri with `update_pq_index` and swap readers, exactly like any
+    other derived-table rebuild. The metric costs one scan of the corpus,
+    so schedule it with refreshes, not with searches."""
+    import json
+
+    from ..table import DeltaTable
+
+    t = DeltaTable(index_uri)
+    stored = t.metadata().configuration.get(_PQ_BOOKS_KEY)
+    if not stored:
+        raise ValueError(f"{index_uri} carries no {_PQ_BOOKS_KEY} configuration")
+    books = json.loads(stored)
+    base = t.metadata().configuration.get(_PQ_MSE_KEY)
+    if base is None:
+        raise ValueError(
+            f"{index_uri} carries no {_PQ_MSE_KEY} configuration — index "
+            "created before drift tracking; rebuild to enable it"
+        )
+    baseline = float(base)
+    current = _quantization_mse(corpus, books, id_col, vec_col)
+    return {
+        "baseline_mse": baseline,
+        "current_mse": current,
+        "ratio": (current / baseline) if baseline > 0 else float("inf"),
+    }
 
 
 def _adc_table(books: list[list[list[float]]], unit_vec) -> "F.Column":
@@ -1455,7 +1650,7 @@ def update_pq_index(
     m: int = 16,
     k_codes: int = 16,
     iters: int = 2,
-    n_list: int | None = None,
+    n_list: int | str | None = None,
     cents: list[list[float]] | None = None,
 ) -> dict:
     """Incrementally maintain a persisted PQ index over a Delta corpus.
@@ -1491,7 +1686,12 @@ def update_pq_index(
 
     IVF TIER (optional, ``n_list``/``cents`` at creation): the index table
     is PARTITIONED BY ``list_id`` — each vector's nearest-centroid
-    assignment — with the centroids serialized next to the codebooks. A
+    assignment — with the centroids serialized next to the codebooks.
+    ``n_list="auto"`` derives the list count from the corpus size with the
+    same square-root rule as `ivf_pq_topk` (``max(8, ceil(sqrt(n)))``, n
+    from the corpus's log-level row count — zero data I/O — falling back
+    to one bounded count job), so the long-lived artifact gets the same
+    FAISS-shape scaling as the ad-hoc path without hand-knobbing. A
     probing search then prunes WHOLE PARTITIONS through the Delta log
     (`pq_index_search` passes the probed lists as partition filters), so
     at 100 TB an n_probe/n_list probe reads that fraction of the index's
@@ -1499,6 +1699,14 @@ def update_pq_index(
     rather than an in-job filter. Like the books, centroids are an index
     invariant; a re-encoded update moves its row to the new list's
     partition through the same MERGE.
+
+    DRIFT TRACKING: creation also measures the corpus's mean quantization
+    error under the books (one DECIMAL-averaged pass) and stores it as
+    ``deltars.pq.mse0`` in the same commit. Because books/centroids are
+    invariants, corpus distribution drift degrades quantization silently;
+    `pq_index_drift` re-measures the metric against the live corpus and
+    returns current/baseline — the documented rebuild trigger (see its
+    docstring for the policy). Refreshes never retrain.
 
     Returns metrics: versions processed, upserts, deletes, corpus version.
     """
@@ -1551,6 +1759,11 @@ def update_pq_index(
                 vec_col=vec_col,
             )
         if cents is None and n_list is not None:
+            if n_list == "auto":
+                n = corpus_table.count_rows()
+                if n is None:  # stats-free files: one bounded count job
+                    n = corpus_table.to_df(spark).count()
+                n_list = max(8, math.ceil(math.sqrt(n)))
             cents = train_ivf_centroids(
                 corpus_table.to_df(spark), n_list, iters, id_col, vec_col
             )
@@ -1641,7 +1854,15 @@ def update_pq_index(
                 ).select(F.col("c_id").alias(id_col), "list_id")
                 fresh_codes = fresh_codes.join(assigned, id_col)
             if index is None:
-                config = {_PQ_BOOKS_KEY: json.dumps(books)}
+                config = {
+                    _PQ_BOOKS_KEY: json.dumps(books),
+                    # creation-time quantization error — the drift baseline
+                    # pq_index_drift ratios against (one DECIMAL-mean pass
+                    # over the seed corpus, committed WITH the index)
+                    _PQ_MSE_KEY: repr(
+                        _quantization_mse(upserted, books, id_col, vec_col)
+                    ),
+                }
                 if cents is not None:
                     config[_PQ_CENTS_KEY] = json.dumps(cents)
                 write_deltalake(
@@ -1795,8 +2016,17 @@ def pq_index_search(
     )
     c = _with_norm(corpus, id_col, vec_col, "c")
     w3 = W.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("c_id"))
+    # the rerank fetch is deliberately UNHINTED: the survivor pool is
+    # |queries| · k·oversample rows, and the pool-fraction oversample rule
+    # makes that a constant FRACTION of the scanned candidates — i.e. it
+    # grows with the corpus. Forcing F.broadcast here would funnel a
+    # corpus-fraction-sized frame through the driver at exactly the scale
+    # the index targets; left to AQE, runtime sizes pick broadcast while
+    # the pool is small and a shuffled equi-join on c_id once it isn't
+    # (the same delegate-to-the-engine stance as the reference's
+    # DataFusion integration, rust/src/delta_datafusion.rs:48-111).
     return (
-        c.join(F.broadcast(cand), "c_id")
+        c.join(cand, "c_id")
         .withColumn(
             "cosine",
             F.round(
@@ -1813,4 +2043,96 @@ def pq_index_search(
             "rank",
         )
         .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Clustered-corpus fixture: the regime the IVF tier exists for
+# ---------------------------------------------------------------------------
+
+
+def clustered_corpus(
+    spark,
+    n: int = 2000,
+    dim: int = 16,
+    n_clusters: int = 25,
+    sep: float = 4.0,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic mixture-of-Gaussians embedding corpus — the CLUSTERED
+    regime real embedding models produce and the IVF tier is designed for.
+
+    The synthetic `/root/testdata` embeddings are near-uniform on the
+    sphere: true neighbors spread across many IVF lists, so holding recall
+    there needs probe ratio ~0.75 — the index prunes only 25% of lists on
+    the data it was first certified on. Real corpora cluster; neighbors
+    concentrate into FEW lists and small ratios (0.1–0.25) hold recall.
+    This fixture makes that claim measurable (and its floors pinnable,
+    tests/test_clustered_recall.py) instead of prose: row i belongs to
+    cluster i mod ``n_clusters``; its vector is ``center[cluster]·sep +
+    unit-variance noise``.
+
+    Everything is md5-KEYED, never RNG-stateful, so the frame is
+    bit-identical under any partitioning and any executor count:
+
+    - cluster centers: driver-side standard normals via Box–Muller over two
+      md5 uniforms keyed (seed, cluster, dim), scaled by ``sep`` —
+      n_clusters·dim doubles of plan literals, KB-scale like codebooks;
+    - per-row noise: the same Box–Muller computed JVM-SIDE from
+      md5(seed, id, dim) — conv/log/cos whole-stage codegen, no Python, no
+      shuffle; `spark.range(n)` partitions the generation across the
+      cluster, so a 10⁹-row fixture generates exactly like 2000 rows.
+
+    ``sep=4`` with unit noise gives well-separated but overlapping-tail
+    clusters (inter-center distance ≈ 4·√(2·dim)·σ_noise pre-normalization);
+    ``sep=0`` degenerates to the near-uniform regime for A/B contrast.
+    """
+    import math as _math
+
+    def _driver_gauss(tag: str) -> float:
+        u1 = (
+            int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) + 0.5
+        ) / float(1 << 32)
+        u2 = (
+            int(hashlib.md5((tag + "/b").encode()).hexdigest()[:8], 16) + 0.5
+        ) / float(1 << 32)
+        return _math.sqrt(-2.0 * _math.log(u1)) * _math.cos(2.0 * _math.pi * u2)
+
+    centers = [
+        [_driver_gauss(f"cc:{seed}:{c}:{d}") * sep for d in range(dim)]
+        for c in range(n_clusters)
+    ]
+    center_arr = F.element_at(
+        F.array(*[F.array(*[F.lit(float(x)) for x in cen]) for cen in centers]),
+        (F.col(id_col) % n_clusters).cast("int") + 1,
+    )
+
+    def _u(d: int, suffix: str):
+        h = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(f"cn:{seed}"),
+                F.col(id_col).cast("string"),
+                F.lit(str(d)),
+                F.lit(suffix),
+            )
+        )
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + F.lit(0.5)
+        ) / F.lit(float(1 << 32))
+
+    vec = F.array(
+        *[
+            (
+                F.element_at(center_arr, d + 1)
+                + F.sqrt(F.lit(-2.0) * F.log(_u(d, "a")))
+                * F.cos(F.lit(2.0 * _math.pi) * _u(d, "b"))
+            ).cast("float")
+            for d in range(dim)
+        ]
+    )
+    return spark.range(n).select(
+        F.col("id").cast("long").alias(id_col), vec.alias(vec_col)
     )

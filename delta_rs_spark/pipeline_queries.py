@@ -353,6 +353,7 @@ _RECALL_CONTRACTS_ORACLE = """
       ('clustered_pairs_recall 8 lists probe 3 t=0.4', CAST(0.9 AS DOUBLE), true),
       ('ivf_pq_topk@10 auto-scaled', CAST(0.8 AS DOUBLE), true),
       ('ivf_topk@10 8 lists probe 6', CAST(0.85 AS DOUBLE), true),
+      ('knn_graph@5 ivf-pq auto-scaled', CAST(0.8 AS DOUBLE), true),
       ('lsh_topk@10 4 planes x 16 tables', CAST(0.85 AS DOUBLE), true),
       ('minhash_pair_precision t=0.8', CAST(1.0 AS DOUBLE), true),
       ('minhash_pair_recall t=0.8', CAST(0.95 AS DOUBLE), true),
@@ -381,6 +382,12 @@ def q_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = persist_tracked(
         similarity.cosine_topk(emb, q, k=10).select("query_id", "neighbor_id")
     )
+    # the all-pairs exact graph (every vector's true top-5) — the baseline
+    # for the production-knob kNN-graph contract; the same brute force the
+    # similarity_knn_graph oracle evaluates, computed distributively here
+    exact_graph = persist_tracked(
+        similarity.cosine_topk(emb, emb, k=5).select("query_id", "neighbor_id")
+    )
 
     def _ratio(contract: str, floor: float, num_df, den_df) -> DataFrame:
         num = num_df.agg(F.count(F.lit(1)).alias("num"))
@@ -391,7 +398,9 @@ def q_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("num") / F.col("den") >= floor).alias("passes"),
         )
 
-    def _topk_recall(contract: str, floor: float, approx: DataFrame) -> DataFrame:
+    def _topk_recall(
+        contract: str, floor: float, approx: DataFrame, exact: DataFrame = exact
+    ) -> DataFrame:
         hits = approx.select("query_id", "neighbor_id").join(
             exact, ["query_id", "neighbor_id"], "left_semi"
         )
@@ -472,6 +481,24 @@ def q_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
+        .unionAll(
+            # the kNN GRAPH SemDeDup would actually consume (VERDICT r7 #4):
+            # corpus-sized query side at AUTO knobs — the certified
+            # similarity_knn_graph row pins exhaustive knobs ≡ brute force;
+            # this contract pins what production knobs actually recall
+            _topk_recall(
+                "knn_graph@5 ivf-pq auto-scaled",
+                0.8,
+                similarity.ivf_pq_topk(
+                    emb,
+                    emb,
+                    k=5,
+                    books=_cached_pq_books(spark, sf_dir),
+                    n_rows=_cached_n_rows(spark, sf_dir, "embeddings"),
+                ),
+                exact=exact_graph,
+            )
+        )
         .unionAll(_ratio("minhash_pair_recall t=0.8", 0.95, mh_hits, true_pairs))
         .unionAll(_ratio("minhash_pair_precision t=0.8", 1.0, mh_hits, mh_pairs))
         .unionAll(
@@ -488,6 +515,103 @@ def q_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1.0,
                 clus_hits,
                 clus_pairs,
+            )
+        )
+        .orderBy("contract")
+    )
+
+
+# Small-probe-ratio floors on the CLUSTERED corpus (VERDICT r7 #3), as
+# oracle literals: the pruning regime the IVF design targets, measured on
+# data that actually clusters. The third row is a CEILING, not a floor —
+# the same knobs on the near-uniform corpus must stay BELOW 0.7, so the
+# demonstration (clustered data supports small ratios, uniform data does
+# not) is itself driver-certified and cannot silently rot.
+_RECALL_CLUSTERED_ORACLE = """
+    SELECT * FROM (VALUES
+      ('clustered ivf_pq_topk@10 probe 2/16', CAST(0.9 AS DOUBLE), true),
+      ('clustered ivf_topk@10 probe 2/16', CAST(0.9 AS DOUBLE), true),
+      ('uniform-contrast ivf_topk@10 probe 2/16 stays below', CAST(0.7 AS DOUBLE), true)
+    ) AS t(contract, floor, passes)
+    ORDER BY contract
+    """
+
+
+@query("recall_clustered_contracts", _RECALL_CLUSTERED_ORACLE)
+def q_recall_clustered_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered-regime recall contracts, driver-hashed (VERDICT r7 #3).
+
+    `/root/testdata`'s embeddings are near-uniform on the sphere — the
+    regime where IVF pruning is weakest and the ladder's probe ratio had to
+    sit at 0.75. This row measures the regime the index DESIGN targets: a
+    deterministic mixture-of-Gaussians corpus (`similarity.clustered_corpus`
+    — md5-keyed, partitioning-invariant, sf-independent by construction; the
+    sf_dir tables aren't used) at probe ratio 2/16 = 0.125. Measured recall
+    is 1.00 for both IVF and IVF-PQ at sep=4 (QUERIES.md ladder); floors sit
+    at 0.9. The contrast row inverts the comparison: the SAME knobs on the
+    sep=0 near-uniform twin measure 0.32 and must stay BELOW 0.7 — pinning
+    that the clustered floors demonstrate a data regime, not an easy knob.
+    Recall is computed distributively (semi-join hit counts, 1-row
+    broadcast ratios), exactly like `recall_contracts`."""
+    from .caching import persist_tracked
+
+    clustered = persist_tracked(
+        similarity.clustered_corpus(spark, n=2000, dim=16, n_clusters=25, sep=4.0)
+    )
+    q = clustered.filter(F.col("vec_id") < 5)
+    exact = persist_tracked(
+        similarity.cosine_topk(clustered, q, k=10).select("query_id", "neighbor_id")
+    )
+    books = similarity.train_pq_codebooks(clustered, m=8, k_codes=16, iters=2)
+
+    uni = persist_tracked(
+        similarity.clustered_corpus(spark, n=2000, dim=16, n_clusters=25, sep=0.0)
+    )
+    uq = uni.filter(F.col("vec_id") < 5)
+    exact_u = persist_tracked(
+        similarity.cosine_topk(uni, uq, k=10).select("query_id", "neighbor_id")
+    )
+
+    def _ratio_row(contract: str, bound: float, num_df, den_df, below: bool):
+        num = num_df.agg(F.count(F.lit(1)).alias("num"))
+        den = den_df.agg(F.count(F.lit(1)).alias("den"))
+        ratio = F.col("num") / F.col("den")
+        return num.crossJoin(den).select(
+            F.lit(contract).alias("contract"),
+            F.lit(float(bound)).alias("floor"),
+            (ratio < bound if below else ratio >= bound).alias("passes"),
+        )
+
+    def _recall_row(contract, bound, approx, exact_df, below=False):
+        hits = approx.select("query_id", "neighbor_id").join(
+            exact_df, ["query_id", "neighbor_id"], "left_semi"
+        )
+        return _ratio_row(contract, bound, hits, exact_df, below)
+
+    return (
+        _recall_row(
+            "clustered ivf_topk@10 probe 2/16",
+            0.9,
+            similarity.ivf_topk(clustered, q, k=10, n_list=16, n_probe=2),
+            exact,
+        )
+        .unionAll(
+            _recall_row(
+                "clustered ivf_pq_topk@10 probe 2/16",
+                0.9,
+                similarity.ivf_pq_topk(
+                    clustered, q, k=10, n_list=16, n_probe=2, books=books, n_rows=2000
+                ),
+                exact,
+            )
+        )
+        .unionAll(
+            _recall_row(
+                "uniform-contrast ivf_topk@10 probe 2/16 stays below",
+                0.7,
+                similarity.ivf_topk(uni, uq, k=10, n_list=16, n_probe=2),
+                exact_u,
+                below=True,
             )
         )
         .orderBy("contract")

@@ -1,0 +1,160 @@
+"""Small-probe-ratio recall on a CLUSTERED corpus (VERDICT r7 item #3).
+
+Every recall number in the r1–r7 ladder was measured on /root/testdata's
+near-uniform synthetic vectors — the regime where IVF pruning is WEAKEST
+(true neighbors spread across many lists; holding recall there needs probe
+ratio 0.75, i.e. the index prunes only 25% of lists). The design claim at
+similarity.ivf_pq_topk's docstring — real embedding corpora cluster, so
+neighbors concentrate into few lists and small ratios hold recall — was
+prose until now. `similarity.clustered_corpus` (deterministic md5-keyed
+mixture of Gaussians) makes it data: at sep=4·σ and probe ratio 0.125 the
+measured recall is 1.00 for IVF, IVF-PQ and the persisted probing index,
+while the SAME knobs on the sep=0 (near-uniform) corpus collapse to ~0.32.
+These tests pin both sides: floors on the clustered corpus at ratios the
+whole index design exists for, and the contrast against the uniform regime
+so the demonstration itself can't silently rot. The measured ladder lives
+in QUERIES.md; the driver-hashed twin is `recall_clustered_contracts`.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark.operators import similarity
+
+N = 2000
+N_LIST = 16
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    df = similarity.clustered_corpus(
+        spark, n=N, dim=16, n_clusters=25, sep=4.0
+    ).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def exact(spark, clustered):
+    q = clustered.filter(F.col("vec_id") < 5)
+    return {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(clustered, q, k=10).collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def clustered_books(spark, clustered):
+    return similarity.train_pq_codebooks(clustered, m=8, k_codes=16, iters=2)
+
+
+def _recall(df, exact: set) -> float:
+    got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+    return len(got & exact) / len(exact)
+
+
+def test_generator_is_partitioning_invariant(spark):
+    """The fixture's md5-keyed generation must be bit-identical under any
+    partitioning — the property that lets a 1000-executor run reproduce the
+    2000-row certification corpus exactly."""
+    a = {
+        (r.vec_id, tuple(r.embedding))
+        for r in similarity.clustered_corpus(spark, n=200, dim=8).collect()
+    }
+    b = {
+        (r.vec_id, tuple(r.embedding))
+        for r in similarity.clustered_corpus(spark, n=200, dim=8)
+        .repartition(7)
+        .collect()
+    }
+    assert a == b
+
+
+@pytest.mark.parametrize("n_probe", [2, 4], ids=["ratio0.125", "ratio0.25"])
+def test_ivf_small_ratio_recall_floor_clustered(
+    spark, clustered, exact, n_probe
+):
+    """Probe ratio 0.125–0.25 on clustered data: measured 1.00 (sep=4),
+    floor 0.9 — the pruning regime the IVF tier is designed for."""
+    q = clustered.filter(F.col("vec_id") < 5)
+    r = _recall(
+        similarity.ivf_topk(clustered, q, k=10, n_list=N_LIST, n_probe=n_probe),
+        exact,
+    )
+    assert r >= 0.9, f"clustered ivf recall at probe {n_probe}/{N_LIST}: {r}"
+
+
+@pytest.mark.parametrize("n_probe", [2, 4], ids=["ratio0.125", "ratio0.25"])
+def test_ivfpq_small_ratio_recall_floor_clustered(
+    spark, clustered, exact, clustered_books, n_probe
+):
+    """The composed IVF-PQ path holds the same small-ratio floor: coarse
+    pruning to 2 of 16 lists, PQ-compressed scan, pool-fraction rerank."""
+    q = clustered.filter(F.col("vec_id") < 5)
+    r = _recall(
+        similarity.ivf_pq_topk(
+            clustered,
+            q,
+            k=10,
+            n_list=N_LIST,
+            n_probe=n_probe,
+            books=clustered_books,
+            n_rows=N,
+        ),
+        exact,
+    )
+    assert r >= 0.9, f"clustered ivf-pq recall at probe {n_probe}/{N_LIST}: {r}"
+
+
+def test_index_probing_small_ratio_recall_floor_clustered(
+    spark, clustered, exact, clustered_books, tmp_path
+):
+    """The persisted index — the serving path — at probe 2/16: partition
+    pruning reads 1/8 of the index's files and still clears the floor on
+    clustered data (measured 1.00 at sep=4)."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark, clustered, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    similarity.update_pq_index(
+        spark, DeltaTable(src), idx, books=clustered_books, n_list=N_LIST
+    )
+    q = clustered.filter(F.col("vec_id") < 5)
+    r = _recall(
+        similarity.pq_index_search(spark, idx, clustered, q, k=10, n_probe=2),
+        exact,
+    )
+    assert r >= 0.9, f"clustered index probing recall at 2/{N_LIST}: {r}"
+
+
+def test_uniform_regime_contrast_at_same_knobs(spark):
+    """The demonstration's other half: the SAME probe ratio on the sep=0
+    (near-uniform) corpus must collapse (measured 0.32) — proving the
+    clustered floors above measure the data regime, not a trivially easy
+    knob setting. If this ever PASSES the clustered floor, the contrast is
+    gone and the ladder's 'clustered regime' framing needs re-measuring."""
+    uni = similarity.clustered_corpus(
+        spark, n=N, dim=16, n_clusters=25, sep=0.0
+    ).cache()
+    try:
+        uni.count()
+        q = uni.filter(F.col("vec_id") < 5)
+        exact_u = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.cosine_topk(uni, q, k=10).collect()
+        }
+        r = _recall(
+            similarity.ivf_topk(uni, q, k=10, n_list=N_LIST, n_probe=2), exact_u
+        )
+        assert r < 0.7, (
+            f"uniform-corpus recall at probe 2/16 unexpectedly high ({r}) — "
+            "the clustered-vs-uniform contrast no longer demonstrates the "
+            "pruning regime"
+        )
+    finally:
+        uni.unpersist()

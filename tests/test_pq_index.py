@@ -7,7 +7,15 @@ search ≡ brute force). These tests pin the contracts the driver rows cannot:
 search/pq_topk equivalence at a PRODUCTION oversample with trained books, the
 auto-oversample derivation from the index's log-level row count, watermark
 no-op semantics, and the self-describing-index error contract.
-"""
+
+The index fixtures are parametrized over BOTH certification scales
+(VERDICT r7 item #2): the flat PQ family's r6 knobs cleared their floors at
+sf0.01 and decayed at sf0.1, so single-SF floors provably hide scale decay —
+and the persisted index is the serving path a real user runs. Every search
+contract (recall floors, auto-oversample, probe-all ≡ flat, pruning) runs at
+sf0.01 AND sf0.1; the protocol-machinery tests (fuzz, race, zero-norm) build
+their own small corpora and stay single-scale — their logic is
+scale-independent DML folding, not recall."""
 
 from __future__ import annotations
 
@@ -21,15 +29,29 @@ from delta_rs_spark.operators import similarity
 from delta_rs_spark.sources.tables import load_table
 
 SF_DIR = "/root/testdata/sf0.01"
+_BOTH_SFS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+
+@pytest.fixture(scope="module", params=_BOTH_SFS, ids=["sf0.01", "sf0.1"])
+def idx_sf_dir(request):
+    return request.param
 
 
 @pytest.fixture(scope="module")
-def emb(spark):
+def emb(spark, idx_sf_dir):
+    return load_table(spark, idx_sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def emb001(spark):
+    """sf0.01 corpus for the scale-independent protocol tests: their DML
+    net-change folding doesn't vary with corpus size, so they skip the
+    two-SF parametrization the search contracts pay."""
     return load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
 
 
 @pytest.fixture(scope="module")
-def trained_index(spark, emb, tmp_path_factory):
+def trained_index(spark, emb, idx_sf_dir, tmp_path_factory):
     """One full-corpus index with TRAINED codebooks (shared via the session
     training cache, like the catalog rows)."""
     from delta_rs_spark.pipeline_queries import _cached_pq_books
@@ -39,7 +61,7 @@ def trained_index(spark, emb, tmp_path_factory):
     write_deltalake(
         spark, emb, src, configuration={"delta.enableChangeDataFeed": "true"}
     )
-    books = _cached_pq_books(spark, SF_DIR)
+    books = _cached_pq_books(spark, idx_sf_dir)
     res = similarity.update_pq_index(spark, DeltaTable(src), idx, books=books)
     assert res["upserts"] == emb.count() and res["deletes"] == 0
     return src, idx, books
@@ -106,30 +128,30 @@ def test_refresh_is_watermarked_noop_and_books_are_invariant(
     assert DeltaTable(idx).version == v_before
 
 
-def test_non_index_table_is_rejected(spark, emb, tmp_path):
+def test_non_index_table_is_rejected(spark, emb001, tmp_path):
     """Self-describing contract: a Delta table without the codebook
     configuration is not a PQ index — both refresh and search must refuse
     it loudly instead of silently mis-scoring."""
     plain = str(tmp_path / "plain")
     write_deltalake(
         spark,
-        emb.limit(10),
+        emb001.limit(10),
         plain,
         configuration={"delta.enableChangeDataFeed": "true"},
     )
     with pytest.raises(ValueError, match="deltars.pq.codebooks"):
-        similarity.pq_index_search(spark, plain, emb, emb.limit(2))
+        similarity.pq_index_search(spark, plain, emb001, emb001.limit(2))
     # an existing table at the index uri that is NOT an index: refresh must
     # not silently re-encode into it
     src = str(tmp_path / "src")
     write_deltalake(
-        spark, emb.limit(10), src, configuration={"delta.enableChangeDataFeed": "true"}
+        spark, emb001.limit(10), src, configuration={"delta.enableChangeDataFeed": "true"}
     )
     with pytest.raises(ValueError, match="not a PQ index"):
         similarity.update_pq_index(spark, DeltaTable(src), plain)
 
 
-def test_incremental_matches_one_shot_rebuild(spark, emb, tmp_path):
+def test_incremental_matches_one_shot_rebuild(spark, emb001, tmp_path):
     """Two-batch incremental build + MoR delete + postimage re-encode must
     equal the one-shot encode of the final corpus (the pytest twin of the
     certified similarity_pq_index_lifecycle row, on md5 books)."""
@@ -137,7 +159,7 @@ def test_incremental_matches_one_shot_rebuild(spark, emb, tmp_path):
     books = similarity.pq_random_codebooks(16, 4, 16)
     write_deltalake(
         spark,
-        emb.filter(F.col("vec_id") % 2 == 0),
+        emb001.filter(F.col("vec_id") % 2 == 0),
         src,
         configuration={
             "delta.enableChangeDataFeed": "true",
@@ -145,7 +167,7 @@ def test_incremental_matches_one_shot_rebuild(spark, emb, tmp_path):
         },
     )
     similarity.update_pq_index(spark, DeltaTable(src), idx, books=books)
-    write_deltalake(spark, emb.filter(F.col("vec_id") % 2 == 1), src, mode="append")
+    write_deltalake(spark, emb001.filter(F.col("vec_id") % 2 == 1), src, mode="append")
     t = DeltaTable(src)
     t.delete(spark, "vec_id % 5 = 0")
     t.update()
@@ -156,7 +178,7 @@ def test_incremental_matches_one_shot_rebuild(spark, emb, tmp_path):
     assert res["processed_versions"] == 3
 
     got = {tuple(r) for r in DeltaTable(idx).to_df(spark).collect()}
-    final = emb.filter(F.col("vec_id") % 5 != 0).select(
+    final = emb001.filter(F.col("vec_id") % 5 != 0).select(
         "vec_id",
         F.when(
             F.col("vec_id") % 7 == 2,
@@ -175,7 +197,7 @@ def test_incremental_matches_one_shot_rebuild(spark, emb, tmp_path):
 
 
 @pytest.fixture(scope="module")
-def partitioned_index(spark, emb, tmp_path_factory):
+def partitioned_index(spark, emb, idx_sf_dir, tmp_path_factory):
     """Full-corpus index with the IVF tier on (8 trained lists, partitioned
     by list_id) and trained codebooks from the session cache."""
     from delta_rs_spark.pipeline_queries import _cached_pq_books
@@ -185,7 +207,7 @@ def partitioned_index(spark, emb, tmp_path_factory):
     write_deltalake(
         spark, emb, src, configuration={"delta.enableChangeDataFeed": "true"}
     )
-    books = _cached_pq_books(spark, SF_DIR)
+    books = _cached_pq_books(spark, idx_sf_dir)
     similarity.update_pq_index(
         spark, DeltaTable(src), idx, books=books, n_list=8
     )
@@ -248,6 +270,46 @@ def test_partitioned_probing_search_recall_floor(spark, emb, partitioned_index):
     assert recall >= 0.8, f"partitioned probing search recall {recall}"
 
 
+def test_index_rerank_join_is_size_adaptive(
+    spark, emb, trained_index, partitioned_index
+):
+    """VERDICT r7 #1: the survivor float-fetch join must carry NO forced
+    broadcast hint. The pool-fraction oversample makes the candidate pool a
+    constant FRACTION of the scanned candidates — corpus-sized at the 100×
+    the rule targets — so a forced F.broadcast there is a driver-OOM plan;
+    strategy choice belongs to AQE's runtime sizes (broadcast while small,
+    shuffled equi-join on c_id once it isn't). Exactly ONE hint may remain
+    in each search plan: the query-side ADC frame, bounded by the
+    small-query-batch contract. The rerank join — the equi-join whose key
+    is (c_id = c_id) — must be unhinted in both the flat and the
+    partitioned path. Asserted on the OPTIMIZED logical plan, where a
+    forced hint is a static property independent of runtime sizes."""
+    import re
+
+    _, flat_idx, _ = trained_index
+    q = emb.filter(F.col("vec_id") < 5)
+    for df in (
+        similarity.pq_index_search(spark, flat_idx, emb, q, k=10, oversample=8),
+        similarity.pq_index_search(
+            spark, partitioned_index, emb, q, k=10, n_probe=8, oversample=8
+        ),
+    ):
+        txt = df._jdf.queryExecution().optimizedPlan().toString()
+        rerank = [
+            line.strip()
+            for line in txt.splitlines()
+            if "Join" in line and re.search(r"\(c_id#\d+L? = c_id#\d+", line)
+        ]
+        assert rerank, "rerank c_id equi-join not found in the optimized plan"
+        assert all("strategy=" not in line for line in rerank), (
+            f"rerank join must be unhinted: {rerank}"
+        )
+        hinted = [
+            line.strip() for line in txt.splitlines() if "strategy=broadcast" in line
+        ]
+        assert len(hinted) == 1, f"expected only the query-side hint: {hinted}"
+
+
 def test_optimize_compacts_index_without_changing_search(
     spark, emb, partitioned_index
 ):
@@ -275,6 +337,83 @@ def test_optimize_compacts_index_without_changing_search(
         ).collect()
     ]
     assert after == before
+
+
+def test_index_creation_auto_n_list_uses_sqrt_rule(spark, emb001, tmp_path):
+    """VERDICT r7 #5: the persisted index — the long-lived artifact — gets
+    the same FAISS-shape sqrt rule as the ad-hoc ivf_pq_topk path:
+    n_list="auto" derives max(8, ceil(sqrt(n))) from the corpus log-level
+    count, and the created index passes the same invariants as a
+    hand-knobbed one (partitioned by list_id, centroid count stored,
+    probe-all search ≡ exhaustive brute force at exhaustive oversample)."""
+    import json
+    import math
+
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    books = similarity.pq_random_codebooks(16, 4, 16)
+    write_deltalake(
+        spark, emb001, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    similarity.update_pq_index(
+        spark, DeltaTable(src), idx, books=books, n_list="auto"
+    )
+    t = DeltaTable(idx)
+    n = emb001.count()
+    want_lists = max(8, math.ceil(math.sqrt(n)))
+    cents = json.loads(t.metadata().configuration[similarity._PQ_CENTS_KEY])
+    assert len(cents) == want_lists
+    assert t.metadata().partition_columns == ["list_id"]
+
+    q = emb001.filter(F.col("vec_id") < 3)
+    exact = [tuple(r) for r in similarity.cosine_topk(emb001, q, k=5).collect()]
+    got = [
+        tuple(r)
+        for r in similarity.pq_index_search(
+            spark, idx, emb001, q, k=5, n_probe=want_lists, oversample=1_000_000
+        ).collect()
+    ]
+    assert got == exact
+
+
+def test_index_drift_metric_baseline_and_degradation(spark, emb001, tmp_path):
+    """The documented rebuild trigger (VERDICT r7 #5): creation stores the
+    corpus's mean quantization error (deltars.pq.mse0, DECIMAL mean —
+    deterministic under any partitioning); pq_index_drift re-measures
+    against a live corpus. Against the unchanged corpus the ratio is
+    EXACTLY 1.0 (same deterministic pass); against a distribution-shifted
+    corpus (trained books, vectors dragged toward a constant direction the
+    training never saw) the ratio must rise — the signal a caller
+    thresholds to schedule a retrain-into-new-uri rebuild."""
+    from delta_rs_spark.pipeline_queries import _cached_pq_books
+
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    books = _cached_pq_books(spark, SF_DIR)
+    write_deltalake(
+        spark, emb001, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    similarity.update_pq_index(spark, DeltaTable(src), idx, books=books)
+
+    same = similarity.pq_index_drift(spark, idx, emb001)
+    assert same["baseline_mse"] > 0
+    assert same["current_mse"] == same["baseline_mse"]
+    assert same["ratio"] == 1.0
+
+    drifted = emb001.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x + F.lit(10.0)).otherwise(x)
+        ).alias("embedding"),
+    )
+    moved = similarity.pq_index_drift(spark, idx, drifted)
+    assert moved["ratio"] > 1.05, (
+        f"distribution shift must raise quantization error: {moved}"
+    )
+
+    # a plain table (no mse0) fails loudly, not with a silent None ratio
+    plain = str(tmp_path / "plain")
+    write_deltalake(spark, emb001.limit(5), plain)
+    with pytest.raises(ValueError, match="deltars.pq.codebooks"):
+        similarity.pq_index_drift(spark, plain, emb001)
 
 
 import random
@@ -403,7 +542,7 @@ def test_pq_index_matches_rebuild_under_fuzz(spark, tmp_path, seed):
             _check()
 
 
-def test_concurrent_refreshes_converge(spark, emb, tmp_path):
+def test_concurrent_refreshes_converge(spark, emb001, tmp_path):
     """Two racing incremental refreshes of the same window must converge:
     the txn watermark + MERGE conflict detection serialize them (the loser
     either retries into a watermark no-op or double-applies a window that
@@ -418,7 +557,7 @@ def test_concurrent_refreshes_converge(spark, emb, tmp_path):
     books = similarity.pq_random_codebooks(16, 4, 16)
     write_deltalake(
         spark,
-        emb.filter(F.col("vec_id") % 2 == 0),
+        emb001.filter(F.col("vec_id") % 2 == 0),
         src,
         configuration={
             "delta.enableChangeDataFeed": "true",
@@ -426,7 +565,7 @@ def test_concurrent_refreshes_converge(spark, emb, tmp_path):
         },
     )
     similarity.update_pq_index(spark, DeltaTable(src), idx, books=books)
-    write_deltalake(spark, emb.filter(F.col("vec_id") % 2 == 1), src, mode="append")
+    write_deltalake(spark, emb001.filter(F.col("vec_id") % 2 == 1), src, mode="append")
     DeltaTable(src).delete(spark, "vec_id % 5 = 0")
 
     errors: list[Exception] = []
@@ -454,7 +593,7 @@ def test_concurrent_refreshes_converge(spark, emb, tmp_path):
     want = {
         tuple(r)
         for r in similarity.pq_codes(
-            emb.filter(F.col("vec_id") % 5 != 0), books
+            emb001.filter(F.col("vec_id") % 5 != 0), books
         ).collect()
     }
     assert got == want
