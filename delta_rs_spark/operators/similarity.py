@@ -1652,6 +1652,7 @@ def update_pq_index(
     iters: int = 2,
     n_list: int | str | None = None,
     cents: list[list[float]] | None = None,
+    compact_threshold_files: int | None = None,
 ) -> dict:
     """Incrementally maintain a persisted PQ index over a Delta corpus.
 
@@ -1708,7 +1709,17 @@ def update_pq_index(
     returns current/baseline — the documented rebuild trigger (see its
     docstring for the policy). Refreshes never retrain.
 
-    Returns metrics: versions processed, upserts, deletes, corpus version.
+    AUTO-COMPACTION (``compact_threshold_files``): incremental MERGE
+    refreshes are copy-on-write and accumulate small files; when set, a
+    refresh that leaves the index with more files than the threshold runs
+    OPTIMIZE in the same call (bin-packing within each list_id partition —
+    search results are invariant under compaction, pinned in
+    tests/test_pq_index.py). Size the threshold to a small multiple of the
+    partition count; None (default) leaves compaction to the operator's
+    own schedule.
+
+    Returns metrics: versions processed, upserts, deletes, corpus version,
+    and ``compacted`` (whether this call ran OPTIMIZE).
     """
     import json
 
@@ -1736,6 +1747,7 @@ def update_pq_index(
             "upserts": 0,
             "deletes": 0,
             "corpus_version": corpus_version,
+            "compacted": False,
         }
 
     if index is not None:
@@ -1888,11 +1900,18 @@ def update_pq_index(
                 )
     finally:
         net.unpersist()
+    compacted = False
+    if compact_threshold_files is not None and (index is not None or n_upserts):
+        idx_t = DeltaTable(index_uri)
+        if len(idx_t.files()) > compact_threshold_files:
+            idx_t.optimize(spark)
+            compacted = True
     return {
         "processed_versions": corpus_version - start + 1,
         "upserts": int(n_upserts),
         "deletes": n_deletes,
         "corpus_version": corpus_version,
+        "compacted": compacted,
     }
 
 

@@ -27,11 +27,15 @@ class ExactlyOnceDeltaSink:
         app_id: str,
         partition_by: Optional[list[str]] = None,
         output_mode: str = "Append",
+        configuration: Optional[dict] = None,
     ):
         self.table_uri = table_uri
         self.app_id = app_id
         self.partition_by = partition_by
         self.output_mode = output_mode
+        # applied when the FIRST batch creates the table (e.g. CDF on, so
+        # downstream incremental consumers can fold the stream's commits)
+        self.configuration = configuration
         self.skipped_epochs: list[int] = []  # observability for tests/metrics
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -56,6 +60,7 @@ class ExactlyOnceDeltaSink:
             self.table_uri,
             mode=mode,
             partition_by=self.partition_by,
+            configuration=self.configuration,
             extra_actions=[TxnAction(app_id=self.app_id, version=epoch_id)],
             operation="STREAMING UPDATE",
             operation_parameters_extra={
@@ -168,4 +173,87 @@ class UpsertDeltaSink:
             self.condition,
             when_matched_update=self.when_matched_update,
             extra_actions=[txn],
+        )
+
+
+class IndexMaintainingSink(ExactlyOnceDeltaSink):
+    """Streaming ANN ingestion: exactly-once append of embedding batches
+    to the corpus table, then an incremental PQ-index refresh in the SAME
+    foreachBatch call — the thin wrapper that keeps a persisted
+    `operators.similarity` index current as its corpus streams in.
+
+    Composition of two independently-idempotent halves, so every
+    restart/replay interleaving converges:
+
+    - the corpus append carries the epoch ``txn`` watermark (inherited) —
+      a replayed micro-batch is skipped;
+    - `update_pq_index` carries its OWN watermark on the INDEX table,
+      keyed by corpus version, and its refresh window is a per-id net
+      fold — re-running a half-applied window is a no-op or an idempotent
+      re-apply. A crash between append and refresh just widens the next
+      call's CDF window (work stays ∝ what changed).
+
+    The corpus table is created with CDF enabled (the refresh reads the
+    change feed); pass ``n_list="auto"`` to give the index the sqrt-rule
+    IVF tier at creation, and ``compact_threshold_files`` to bound the
+    small-file count MERGE refreshes accumulate. ``last_refresh`` exposes
+    the latest refresh metrics for monitoring (pair with
+    `pq_index_drift` on the rebuild schedule).
+
+    Usage::
+
+        sink = IndexMaintainingSink(corpus_uri, index_uri, app_id="ann")
+        df.writeStream.foreachBatch(sink).option("checkpointLocation", ...).start()
+    """
+
+    def __init__(
+        self,
+        table_uri: str,
+        index_uri: str,
+        app_id: str,
+        books: Optional[list] = None,
+        n_list=None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        compact_threshold_files: Optional[int] = None,
+        m: int = 16,
+        k_codes: int = 16,
+    ):
+        super().__init__(
+            table_uri,
+            app_id,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        self.index_uri = index_uri
+        self.books = books
+        self.n_list = n_list
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.compact_threshold_files = compact_threshold_files
+        self.m = m
+        self.k_codes = k_codes
+        self.last_refresh: Optional[dict] = None
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from ..operators.similarity import update_pq_index
+        from ..table import DeltaTable
+
+        super().__call__(batch_df, epoch_id)
+        spark = (
+            batch_df.sparkSession
+            if hasattr(batch_df, "sparkSession")
+            else batch_df.sql_ctx.sparkSession
+        )
+        self.last_refresh = update_pq_index(
+            spark,
+            DeltaTable(self.table_uri),
+            self.index_uri,
+            books=self.books,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            app_id=f"{self.app_id}-index",
+            m=self.m,
+            k_codes=self.k_codes,
+            n_list=self.n_list,
+            compact_threshold_files=self.compact_threshold_files,
         )

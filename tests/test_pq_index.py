@@ -124,6 +124,7 @@ def test_refresh_is_watermarked_noop_and_books_are_invariant(
         "upserts": 0,
         "deletes": 0,
         "corpus_version": DeltaTable(src).version,
+        "compacted": False,
     }
     assert DeltaTable(idx).version == v_before
 
@@ -637,3 +638,47 @@ def test_vector_zeroed_by_update_leaves_the_index(spark, tmp_path):
     res = similarity.update_pq_index(spark, DeltaTable(src), idx)
     assert res["upserts"] == 1 and res["deletes"] == 0
     assert DeltaTable(idx).to_df(spark).count() == 20
+
+
+def test_auto_compaction_bounds_refresh_file_accumulation(spark, tmp_path):
+    """compact_threshold_files: copy-on-write MERGE refreshes accumulate
+    small files; with the knob set, a refresh that leaves more files than
+    the threshold runs OPTIMIZE in the same call — the file count stays
+    bounded across many refreshes and the index content is invariant
+    (compaction never changes codes, only layout)."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    books = similarity.pq_random_codebooks(4, 2, 4)  # dim 8
+
+    def frame(lo: int, hi: int):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 11 + j * 3) % 9 - 4) for j in range(8)])
+                for i in range(lo, hi)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+
+    write_deltalake(
+        spark,
+        frame(0, 40).repartition(4),
+        src,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    similarity.update_pq_index(spark, DeltaTable(src), idx, books=books, n_list=4)
+
+    compacted_any = False
+    for b in range(4):
+        write_deltalake(
+            spark, frame(40 + b * 10, 50 + b * 10).repartition(3), src, mode="append"
+        )
+        res = similarity.update_pq_index(
+            spark, DeltaTable(src), idx, compact_threshold_files=6
+        )
+        compacted_any = compacted_any or res["compacted"]
+
+    assert compacted_any, "threshold 6 must trigger at least one OPTIMIZE"
+    t = DeltaTable(idx)
+    assert len(t.files()) <= 6
+    got = {tuple(r) for r in t.to_df(spark).drop("list_id").collect()}
+    want = {tuple(r) for r in similarity.pq_codes(frame(0, 80), books).collect()}
+    assert got == want

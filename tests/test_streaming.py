@@ -908,3 +908,48 @@ def test_stream_attempts_retries_task_death_and_timeout_only():
 
     with _pytest.raises(AssertionError):
         _stream_attempts("t", wrong_answer)
+
+
+def test_index_maintaining_sink_streams_the_ann_index(spark, tmp_path):
+    """Streaming ANN ingestion (round 8): the foreachBatch wrapper appends
+    embedding batches exactly-once AND keeps the persisted PQ index current
+    in the same call. Certifies the two-watermark composition: a replayed
+    epoch is an append-skip + refresh no-op, and a crash BETWEEN the append
+    and the refresh (simulated by running only the parent sink for one
+    epoch) leaves an orphan corpus window the NEXT replayed call folds —
+    the index always converges to the one-shot encode of the corpus."""
+    from delta_rs_spark.operators import similarity
+    from delta_rs_spark.streaming.sink import IndexMaintainingSink
+
+    src, idx = str(tmp_path / "corpus"), str(tmp_path / "idx")
+    books = similarity.pq_random_codebooks(4, 2, 4)  # dim 8
+
+    def frame(lo: int, hi: int):
+        return spark.createDataFrame(
+            [
+                (i, [float((i * 13 + j * 5) % 7 - 3) for j in range(8)])
+                for i in range(lo, hi)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+
+    sink = IndexMaintainingSink(src, idx, app_id="ann", books=books, n_list=4)
+    sink(frame(0, 30), 0)  # creates CDF-enabled corpus + partitioned index
+    sink(frame(30, 50), 1)
+    sink(frame(30, 50), 1)  # replay: append skipped, refresh watermark no-op
+    assert sink.skipped_epochs == [1]
+    assert sink.last_refresh["processed_versions"] == 0
+
+    # crash between the halves: epoch 2's append lands, refresh never runs
+    ExactlyOnceDeltaSink.__call__(sink, frame(50, 60), 2)
+    # restart replays epoch 2: append skipped, refresh folds the orphan window
+    sink(frame(50, 60), 2)
+    assert sink.skipped_epochs == [1, 2]
+    assert sink.last_refresh["upserts"] == 10
+
+    idx_t = DeltaTable(idx)
+    assert idx_t.metadata().partition_columns == ["list_id"]
+    got = {tuple(r) for r in idx_t.to_df(spark).drop("list_id").collect()}
+    want = {tuple(r) for r in similarity.pq_codes(frame(0, 60), books).collect()}
+    assert got == want
+    assert idx_t.get_app_transaction_version("ann-index") == DeltaTable(src).version
