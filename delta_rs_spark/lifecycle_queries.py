@@ -1401,3 +1401,90 @@ def q_similarity_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(same)
         .crossJoin(drifted)
     )
+
+
+def _semantic_index_oracle() -> str:
+    """Oracle for the semantic-dedup index lifecycle: the corpus-wide exact
+    cosine pair set (round-4, the `blocked_exact_pairs` scoring contract)
+    over the corpus AS THE DML LEFT IT — valid because the row creates the
+    index with n_probe = n_list, where every pair shares every list and the
+    incremental pair table provably equals the exhaustive pair set. A
+    refresh that misses a changed id's pairs, resurrects a deleted
+    vector's pairs, or fails to re-verify a re-embedded postimage diverges
+    from this."""
+    final = (
+        "(SELECT vec_id, CASE WHEN vec_id % 7 = 2 "
+        "THEN list_transform(embedding, x -> -x) ELSE embedding END AS embedding "
+        "FROM embeddings WHERE vec_id % 5 <> 0)"
+    )
+    cos = (
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 4)"
+    )
+    return f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+    FROM {final} a JOIN {final} b ON a.vec_id < b.vec_id
+    WHERE {cos} >= 0.4
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_semantic_index_lifecycle", _semantic_index_oracle())
+def q_semantic_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted SEMANTIC-DEDUP index certified end to end (round 8 —
+    the PQ-index design applied to SemDeDup's expensive half): seed a
+    CDF-enabled embeddings corpus with the EVEN vec_ids → bootstrap the
+    two-table index (IVF-partitioned probe assignments with centroids/
+    threshold/n_probe as configuration invariants + the verified near-dup
+    PAIR table) → append the odd half (v1) → merge-on-read DELETE every
+    vec_id % 5 = 0 (v2 — their pairs must vanish) → UPDATE vec_id % 7 = 2
+    to negated vectors (v3 — postimages re-assign lists AND re-verify
+    every pair they participate in) → ONE incremental refresh folding the
+    whole window. Created at n_probe = n_list, where the pair table
+    provably equals the corpus-wide exact pair set — so the final table
+    must hash-equal the all-pairs round-4 cosine oracle over the corpus as
+    the DML left it. Work per refresh is ∝ changed ids × probed-list
+    sizes (the candidate read is Delta partition pruning on list_id);
+    partial-probe semantics and the crash/replay idempotency net live in
+    tests/test_semantic_index.py."""
+    from . import DeltaTable
+    from .operators import dedup
+    from .writer import write_deltalake
+
+    src_uri = _workdir("semidx-src", sf_dir)
+    idx_uri = _workdir("semidx-idx", sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    write_deltalake(
+        spark,
+        emb.filter(F.col("vec_id") % 2 == 0).repartition(4),
+        src_uri,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    dedup.update_semantic_index(
+        spark, DeltaTable(src_uri), idx_uri, threshold=0.4, n_list=4, n_probe=4
+    )
+    write_deltalake(  # v1: the odd half
+        spark,
+        emb.filter(F.col("vec_id") % 2 == 1),
+        src_uri,
+        mode="append",
+    )
+    t = DeltaTable(src_uri)
+    t.delete(spark, "vec_id % 5 = 0")  # v2: MoR delete (DV commit)
+    t.update()
+    t.update_where(  # v3: postimages re-assign AND re-verify
+        spark,
+        "vec_id % 7 = 2",
+        {"embedding": "transform(embedding, x -> -x)"},
+    )
+    res = dedup.update_semantic_index(spark, DeltaTable(src_uri), idx_uri)
+    assert res["processed_versions"] == 3, "refresh must cover v1..v3 only"
+    return (
+        DeltaTable(f"{idx_uri}/pairs")
+        .to_df(spark)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
+    )

@@ -735,3 +735,415 @@ def keeplist_by_score(
         .select(F.col("node").alias(id_col))
     )
     return df.select(id_col).join(F.broadcast(losers), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Persisted semantic-dedup index: IVF-partitioned probe assignments + an
+# incrementally maintained verified near-dup PAIR table. The ANN-index idea
+# applied to dedup: at 100 TB nothing re-clusters or re-verifies the whole
+# corpus per refresh — work is ∝ what changed, and the probed-list reads are
+# Delta partition pruning.
+# ---------------------------------------------------------------------------
+
+_SEM_CENTS_KEY = "deltars.semdedup.centroids"
+_SEM_THRESHOLD_KEY = "deltars.semdedup.threshold"
+_SEM_NPROBE_KEY = "deltars.semdedup.nprobe"
+
+
+def _sem_assign(df: DataFrame, cents, n_probe: int, id_col: str, vec_col: str):
+    """Exploded top-``n_probe`` probe rows (list_id, id) for ``df``'s
+    vectors under the stored centroids — norm-invariant codegen assignment,
+    no shuffle (similarity._assign_lists)."""
+    from .similarity import _assign_lists, _with_norm
+
+    return _assign_lists(
+        _with_norm(df, id_col, vec_col, "c"), cents, "c", n_probe
+    ).select("list_id", F.col("c_id").alias(id_col))
+
+
+def semantic_pairs_snapshot(
+    df: DataFrame,
+    cents,
+    n_probe: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-shot reference semantics of the semantic index's pair table:
+    all pairs sharing at least one of their top-``n_probe`` lists under
+    ``cents``, exactly cosine-verified at round-4 (the
+    `blocked_exact_pairs` scoring contract). At ``n_probe = len(cents)``
+    every pair shares every list, so the output provably equals
+    `embedding_cosine_pairs` — the exhaustive-certification hook. The
+    incremental `update_semantic_index` must always converge to THIS frame
+    over the live corpus (pinned in tests/test_semantic_index.py)."""
+    a = _sem_assign(df, cents, n_probe, id_col, vec_col)
+    b = a.select("list_id", F.col(id_col).alias("_other"))
+    cand = (
+        a.join(b, "list_id")
+        .filter(F.col(id_col) < F.col("_other"))
+        .select(F.col(id_col).alias("id_a"), F.col("_other").alias("id_b"))
+        .distinct()
+    )
+    return _verify_pairs_exact(cand, df, threshold, id_col, vec_col)
+
+
+def _verify_pairs_exact(
+    cand: DataFrame, corpus: DataFrame, threshold: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact round-4 cosine verification of candidate (id_a, id_b) pairs
+    against the corpus vectors — the same scoring expression as
+    `blocked_exact_pairs`, so every emitted pair is exactly scored
+    regardless of how the candidates were generated."""
+    from .similarity import _dot, _with_norm
+
+    c = _with_norm(corpus, id_col, vec_col, "c")
+    va = c.select(
+        F.col("c_id").alias("id_a"), F.col("c_v").alias("_va"), F.col("c_norm").alias("_na")
+    )
+    vb = c.select(
+        F.col("c_id").alias("id_b"), F.col("c_v").alias("_vb"), F.col("c_norm").alias("_nb")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 4
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def update_semantic_index(
+    spark,
+    corpus_table,
+    index_uri: str,
+    threshold: float = 0.4,
+    n_list: int | str | None = None,
+    n_probe: int | None = None,
+    cents: list[list[float]] | None = None,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    app_id: str = "semantic-index",
+) -> dict:
+    """Incrementally maintain a persisted SEMANTIC-dedup index over a
+    Delta corpus — SemDeDup's pair discovery as a build-once /
+    maintain-incrementally artifact, the dedup twin of
+    `similarity.update_pq_index`.
+
+    TWO Delta tables under ``index_uri``:
+
+    - ``{index_uri}/assignments``: each vector's top-``n_probe`` IVF list
+      memberships (one row per (vector, probed list)), PARTITIONED BY
+      ``list_id`` — so a refresh reads only the PARTITIONS of lists the
+      changed vectors probe (Delta log pruning, never a corpus scan).
+      Centroids, threshold and n_probe are serialized into the table
+      configuration: index invariants, exactly like the PQ index's
+      codebooks, so two refreshes can never mix geometries.
+    - ``{index_uri}/pairs``: the verified near-duplicate pairs
+      ``(id_a, id_b, cosine)`` — every pair EXACTLY scored (round-4
+      `blocked_exact_pairs` contract). This is the artifact consumers
+      read: `semantic_keeplist_from_index` derives the SemDeDup keeplist
+      from it with one components pass, no GEMM.
+
+    Each refresh processes ONLY the corpus CDF window since the pairs
+    table's ``txn`` watermark (`similarity._net_corpus_changes` fold —
+    latest change per id wins, zero-norm upserts reclassify as deletes):
+
+    1. assignments: MERGE-delete the changed ids' old probe rows, append
+       their new ones (deterministic codegen assignment — work ∝ Δ);
+    2. pairs: MERGE-delete every pair touching a changed id (two
+       equi-join MERGEs, id_a then id_b), then re-verify candidates =
+       (changed ids' probe rows) ⋈ (assignment partitions of exactly the
+       probed lists) and append the survivors. Pairs between unchanged
+       vectors are never touched.
+
+    The watermark rides the LAST pairs commit, so every crash/replay
+    interleaving converges: a half-applied window re-runs into identical
+    deletes (no-ops) and identical re-appends — the same idempotency
+    argument as the PQ index, fuzz-pinned in tests/test_semantic_index.py.
+
+    WHY pairs and not the keeplist: pair discovery is the expensive,
+    cleanly-incremental half (a changed vector only creates/destroys pairs
+    it participates in). The keeplist is NOT per-id local — one new pair
+    can merge two clusters and flip keep decisions of unchanged ids — so
+    it is derived from the pair table on read (`connected_components` over
+    pairs already found: ∝ duplicates, not corpus).
+
+    Certification: at ``n_probe = n_list`` every pair shares every list and
+    the pair table provably equals `embedding_cosine_pairs` over the live
+    corpus (driver row ``dedup_semantic_index_lifecycle`` hashes the full
+    DML lifecycle against that oracle); at partial probe it equals
+    `semantic_pairs_snapshot` under the stored invariants (pytest).
+
+    Returns metrics: versions processed, upserts, deletes, pairs added,
+    pairs dropped (by MERGE-delete), corpus version.
+    """
+    import json
+    import math
+
+    from ..dml import merge
+    from ..protocol.actions import TxnAction
+    from ..protocol.snapshot import NotATableError
+    from ..table import DeltaTable
+    from ..writer import write_deltalake
+    from .similarity import _net_corpus_changes, train_ivf_centroids
+
+    assign_uri = f"{index_uri.rstrip('/')}/assignments"
+    pairs_uri = f"{index_uri.rstrip('/')}/pairs"
+    corpus_version = corpus_table.version
+
+    assign_t = None
+    pairs_t = None
+    last: int | None = None
+    try:
+        pairs_t = DeltaTable(pairs_uri)
+        last = pairs_t.get_app_transaction_version(app_id)
+        assign_t = DeltaTable(assign_uri)
+    except NotATableError:
+        pass
+
+    start = 0 if last is None else last + 1
+    if start > corpus_version:
+        return {
+            "processed_versions": 0,
+            "upserts": 0,
+            "deletes": 0,
+            "pairs_added": 0,
+            "corpus_version": corpus_version,
+        }
+
+    if assign_t is not None:
+        conf = assign_t.metadata().configuration
+        stored_c = conf.get(_SEM_CENTS_KEY)
+        if not stored_c:
+            raise ValueError(
+                f"{assign_uri} exists but carries no {_SEM_CENTS_KEY} "
+                "configuration — not a semantic index"
+            )
+        cents = json.loads(stored_c)
+        threshold = float(conf[_SEM_THRESHOLD_KEY])
+        n_probe = int(conf[_SEM_NPROBE_KEY])
+    else:
+        if cents is None:
+            if n_list is None:
+                raise ValueError(
+                    "semantic index creation needs n_list (int or 'auto') or cents"
+                )
+            if n_list == "auto":
+                n = corpus_table.count_rows()
+                if n is None:
+                    n = corpus_table.to_df(spark).count()
+                n_list = max(8, math.ceil(math.sqrt(n)))
+            cents = train_ivf_centroids(
+                corpus_table.to_df(spark), n_list, iters, id_col, vec_col
+            )
+        if n_probe is None:
+            # the dedup calibration (QUERIES.md): probe 3 holds ~0.95 pair
+            # recall at both SFs on the near-uniform corpus; clustered
+            # corpora support less — an explicit n_probe overrides
+            n_probe = min(3, len(cents))
+        n_probe = min(n_probe, len(cents))
+
+    net = _net_corpus_changes(
+        spark, corpus_table, start, corpus_version, id_col, vec_col
+    ).cache()
+    try:
+        counts = net.groupBy("_change_type").count().collect()
+        by_type = {r["_change_type"]: r["count"] for r in counts}
+        n_deletes = int(by_type.get("delete", 0))
+        n_upserts = sum(
+            v for t, v in by_type.items() if t in ("insert", "update_postimage")
+        )
+        if n_deletes == 0 and n_upserts == 0:
+            return {
+                "processed_versions": corpus_version - start + 1,
+                "upserts": 0,
+                "deletes": 0,
+                "pairs_added": 0,
+                "corpus_version": corpus_version,
+            }
+
+        import time as _time
+
+        txn = TxnAction(
+            app_id=app_id,
+            version=corpus_version,
+            last_updated=int(_time.time() * 1000),
+        )
+        changed_ids = net.select(id_col)
+        upserted = net.filter(F.col("_change_type") != "delete").select(
+            id_col, vec_col
+        )
+
+        # -- 1. assignments: drop changed ids' old probe rows, add new ----
+        new_assign = _sem_assign(upserted, cents, n_probe, id_col, vec_col)
+        if assign_t is None:
+            write_deltalake(
+                spark,
+                new_assign.select(id_col, "list_id"),
+                assign_uri,
+                partition_by=["list_id"],
+                configuration={
+                    _SEM_CENTS_KEY: json.dumps(cents),
+                    _SEM_THRESHOLD_KEY: repr(float(threshold)),
+                    _SEM_NPROBE_KEY: str(int(n_probe)),
+                },
+            )
+        else:
+            merge(
+                spark,
+                assign_t,
+                changed_ids,
+                f"t.{id_col} = s.{id_col}",
+                when_matched_delete=True,
+                when_not_matched_insert=False,
+            )
+            if n_upserts:
+                write_deltalake(
+                    spark,
+                    new_assign.select(id_col, "list_id"),
+                    assign_uri,
+                    mode="append",
+                )
+
+        # -- 2. pairs: drop pairs touching changed ids, re-verify ---------
+        # bounded driver artifact: the union of probed lists is ≤ n_list ints
+        probed = sorted(
+            r.list_id for r in new_assign.select("list_id").distinct().collect()
+        )
+        verified = None
+        if probed:
+            members = (
+                DeltaTable(assign_uri)
+                .to_df(
+                    spark,
+                    partition_filters=[
+                        ("list_id", "in", [str(p) for p in probed])
+                    ],
+                )
+                .select("list_id", F.col(id_col).alias("_other"))
+            )
+            cand = (
+                new_assign.join(members, "list_id")
+                .filter(F.col(id_col) != F.col("_other"))
+                .select(
+                    F.least(id_col, "_other").alias("id_a"),
+                    F.greatest(id_col, "_other").alias("id_b"),
+                )
+                .distinct()
+            )
+            verified = _verify_pairs_exact(
+                cand, corpus_table.to_df(spark), threshold, id_col, vec_col
+            )
+
+        if pairs_t is None:
+            # bootstrap: no pairs can pre-exist — the verified frame IS the
+            # table (possibly empty: a dup-free corpus creates an empty one)
+            id_t = upserted.schema[id_col].dataType.simpleString()
+            fresh = (
+                verified
+                if verified is not None
+                else spark.createDataFrame(
+                    [], f"id_a {id_t}, id_b {id_t}, cosine double"
+                )
+            ).cache()
+            try:
+                pairs_added = fresh.count()
+                write_deltalake(
+                    spark,
+                    fresh,
+                    pairs_uri,
+                    extra_actions=[txn],
+                    operation="STREAMING UPDATE",
+                    operation_parameters_extra={
+                        "appId": app_id,
+                        "corpusVersion": corpus_version,
+                    },
+                )
+            finally:
+                fresh.unpersist()
+        else:
+            for side in ("id_a", "id_b"):
+                merge(
+                    spark,
+                    pairs_t,
+                    changed_ids,
+                    f"t.{side} = s.{id_col}",
+                    when_matched_delete=True,
+                    when_not_matched_insert=False,
+                )
+                pairs_t.update()
+            if verified is not None:
+                fresh = verified.cache()
+                try:
+                    pairs_added = fresh.count()
+                    write_deltalake(
+                        spark,
+                        fresh,
+                        pairs_uri,
+                        mode="append",
+                        extra_actions=[txn],
+                        operation="STREAMING UPDATE",
+                        operation_parameters_extra={
+                            "appId": app_id,
+                            "corpusVersion": corpus_version,
+                        },
+                    )
+                finally:
+                    fresh.unpersist()
+            else:
+                # deletes-only window: the watermark still has to advance —
+                # append an empty frame carrying the txn action
+                pairs_added = 0
+                write_deltalake(
+                    spark,
+                    pairs_t.to_df(spark).limit(0),
+                    pairs_uri,
+                    mode="append",
+                    extra_actions=[txn],
+                    operation="STREAMING UPDATE",
+                    operation_parameters_extra={
+                        "appId": app_id,
+                        "corpusVersion": corpus_version,
+                    },
+                )
+    finally:
+        net.unpersist()
+    return {
+        "processed_versions": corpus_version - start + 1,
+        "upserts": int(n_upserts),
+        "deletes": n_deletes,
+        "pairs_added": int(pairs_added),
+        "corpus_version": corpus_version,
+    }
+
+
+def semantic_keeplist_from_index(
+    spark, index_uri: str, corpus: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """SemDeDup keeplist derived from the PERSISTED pair table: connected
+    components over pairs already found (∝ duplicates, not corpus), each
+    cluster keeps its min id, everything unclustered passes through — the
+    read half of `update_semantic_index`, no GEMM, no re-clustering. The
+    keeplist is recomputed per read because it is NOT per-id local (one
+    new pair can merge clusters and flip unchanged ids' keep decisions);
+    the expensive, incremental half is the pair table."""
+    from ..table import DeltaTable
+    from .clustering import connected_components
+
+    pairs = (
+        DeltaTable(f"{index_uri.rstrip('/')}/pairs")
+        .to_df(spark)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs, src_col="id_a", dst_col="id_b")
+    losers = comp.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return corpus.select(id_col).join(F.broadcast(losers), id_col, "left_anti")

@@ -1639,6 +1639,57 @@ def _adc_score(m: int, k_codes: int, code_col):
     return score
 
 
+def _net_corpus_changes(
+    spark, corpus_table, start: int, end: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-id NET effect of the corpus change feed over versions
+    [start, end] — the shared fold under every CDF-incremental vector
+    index (`update_pq_index`, `dedup.update_semantic_index`): the LATEST
+    commit wins, an upsert outranks a delete within the same commit (an
+    UPDATE's postimage and preimage share a version — the row still
+    exists), and a vector upserted to NULL/zero norm is reclassified as a
+    delete (every encode/score path excludes zero vectors — cosine is
+    0/0 — so keeping it would strand STALE index rows a search could
+    surface). Work ∝ changed rows, never corpus size."""
+    from ..cdf import load_cdf
+
+    changes = load_cdf(
+        spark, corpus_table, starting_version=start, ending_version=end
+    )
+    relevant = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage", "delete")
+    ).withColumn(
+        "_w",
+        F.col("_commit_version") * 2
+        + F.when(F.col("_change_type") != "delete", F.lit(1)).otherwise(F.lit(0)),
+    )
+    norm_sq = F.aggregate(
+        F.coalesce(F.col(vec_col).cast("array<double>"), F.array()),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    return (
+        relevant.groupBy(F.col(id_col))
+        .agg(
+            F.max_by(
+                F.struct("_change_type", F.col(vec_col).alias("_vec")), F.col("_w")
+            ).alias("_last")
+        )
+        .select(
+            id_col,
+            F.col("_last._change_type").alias("_change_type"),
+            F.col("_last._vec").alias(vec_col),
+        )
+        .withColumn(
+            "_change_type",
+            F.when(
+                (F.col("_change_type") != "delete") & (norm_sq <= F.lit(0.0)),
+                F.lit("delete"),
+            ).otherwise(F.col("_change_type")),
+        )
+    )
+
+
 def update_pq_index(
     spark,
     corpus_table,
@@ -1723,7 +1774,6 @@ def update_pq_index(
     """
     import json
 
-    from ..cdf import load_cdf
     from ..dml import merge
     from ..protocol.actions import TxnAction
     from ..protocol.snapshot import NotATableError
@@ -1780,48 +1830,9 @@ def update_pq_index(
                 corpus_table.to_df(spark), n_list, iters, id_col, vec_col
             )
 
-    changes = load_cdf(
-        spark, corpus_table, starting_version=start, ending_version=corpus_version
-    )
-    # net effect per id across the window: the LATEST commit wins, and an
-    # upsert outranks a delete within the same commit (an UPDATE's postimage
-    # and preimage share a version — the row still exists)
-    relevant = changes.filter(
-        F.col("_change_type").isin("insert", "update_postimage", "delete")
-    ).withColumn(
-        "_w",
-        F.col("_commit_version") * 2
-        + F.when(F.col("_change_type") != "delete", F.lit(1)).otherwise(F.lit(0)),
-    )
-    norm_sq = F.aggregate(
-        F.coalesce(F.col(vec_col).cast("array<double>"), F.array()),
-        F.lit(0.0),
-        lambda acc, x: acc + x * x,
-    )
-    net = (
-        relevant.groupBy(F.col(id_col))
-        .agg(
-            F.max_by(
-                F.struct("_change_type", F.col(vec_col).alias("_vec")), F.col("_w")
-            ).alias("_last")
-        )
-        .select(
-            id_col,
-            F.col("_last._change_type").alias("_change_type"),
-            F.col("_last._vec").alias(vec_col),
-        )
-        # a vector upserted to NULL/zero norm is unindexable (every encode
-        # path excludes zero vectors — cosine is 0/0); reclassify it as a
-        # delete so the index drops the row instead of keeping STALE codes
-        .withColumn(
-            "_change_type",
-            F.when(
-                (F.col("_change_type") != "delete") & (norm_sq <= F.lit(0.0)),
-                F.lit("delete"),
-            ).otherwise(F.col("_change_type")),
-        )
-        .cache()
-    )
+    net = _net_corpus_changes(
+        spark, corpus_table, start, corpus_version, id_col, vec_col
+    ).cache()
     try:
         counts = net.groupBy("_change_type").count().collect()
         by_type = {r["_change_type"]: r["count"] for r in counts}

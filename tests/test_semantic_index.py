@@ -1,0 +1,264 @@
+"""Persisted semantic-dedup index: IVF-partitioned probe assignments + an
+incrementally maintained verified near-dup PAIR table (round 8, NOTES r7
+lead 3c — the PQ-index design applied to SemDeDup's expensive half).
+
+Reference semantics: `dedup.semantic_pairs_snapshot` — all pairs sharing at
+least one of their top-n_probe stored-centroid lists, exactly round-4
+cosine-verified. The incremental index must equal that frame over the live
+corpus after ANY DML + refresh schedule; at n_probe = n_list it provably
+equals `embedding_cosine_pairs` (the exhaustive-certification hook the
+queued driver row `dedup_semantic_index_lifecycle` hashes via the
+all-pairs SQL oracle)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_rs_spark import DeltaTable, write_deltalake
+from delta_rs_spark.operators import dedup, similarity
+from delta_rs_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+
+
+def _pairs(df) -> set:
+    return {tuple(r) for r in df.select("id_a", "id_b", "cosine").collect()}
+
+
+def _stored_cents(assign_uri: str):
+    import json
+
+    return json.loads(
+        DeltaTable(assign_uri).metadata().configuration[dedup._SEM_CENTS_KEY]
+    )
+
+
+def test_bootstrap_exhaustive_probe_equals_all_pairs(spark, emb, tmp_path):
+    """n_probe = n_list at creation: the pair table must equal the corpus-
+    wide exact pair set (embedding_cosine_pairs), cosine for cosine — the
+    property the queued driver row hashes against the all-pairs oracle."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark, emb, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    res = dedup.update_semantic_index(
+        spark, DeltaTable(src), idx, threshold=0.4, n_list=4, n_probe=4
+    )
+    assert res["upserts"] == emb.count()
+    got = _pairs(DeltaTable(f"{idx}/pairs").to_df(spark))
+    want = _pairs(dedup.embedding_cosine_pairs(emb, threshold=0.4))
+    assert got == want
+    assert res["pairs_added"] == len(want)
+
+
+def test_incremental_dml_equals_one_shot(spark, emb, tmp_path):
+    """Seed evens → bootstrap → append odds → MoR delete → re-embed update
+    → ONE refresh: the pair table equals the exhaustive recompute over the
+    corpus as the DML left it (the pytest twin of the queued driver row)."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark,
+        emb.filter(F.col("vec_id") % 2 == 0),
+        src,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    dedup.update_semantic_index(
+        spark, DeltaTable(src), idx, threshold=0.4, n_list=4, n_probe=4
+    )
+    write_deltalake(spark, emb.filter(F.col("vec_id") % 2 == 1), src, mode="append")
+    t = DeltaTable(src)
+    t.delete(spark, "vec_id % 5 = 0")
+    t.update()
+    t.update_where(
+        spark, "vec_id % 7 = 2", {"embedding": "transform(embedding, x -> -x)"}
+    )
+    res = dedup.update_semantic_index(spark, DeltaTable(src), idx)
+    assert res["processed_versions"] == 3
+
+    final = emb.filter(F.col("vec_id") % 5 != 0).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 7 == 2, F.transform("embedding", lambda x: -x))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    got = _pairs(DeltaTable(f"{idx}/pairs").to_df(spark))
+    want = _pairs(dedup.embedding_cosine_pairs(final, threshold=0.4))
+    assert got == want
+    # invariants stored once, read back on refresh
+    cents = _stored_cents(f"{idx}/assignments")
+    assert len(cents) == 4
+
+
+def test_partial_probe_refresh_matches_snapshot_semantics(spark, emb, tmp_path):
+    """At n_probe < n_list the index's contract is semantic_pairs_snapshot
+    under the STORED invariants — the incremental path must reproduce it
+    exactly after DML (boundary pairs outside shared probed lists are out
+    of contract for both sides, so the comparison is exact, not a recall
+    bound)."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark,
+        emb.filter(F.col("vec_id") < 400),
+        src,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    dedup.update_semantic_index(
+        spark, DeltaTable(src), idx, threshold=0.4, n_list=8, n_probe=3
+    )
+    write_deltalake(
+        spark, emb.filter(F.col("vec_id") >= 400), src, mode="append"
+    )
+    dedup.update_semantic_index(spark, DeltaTable(src), idx)
+
+    cents = _stored_cents(f"{idx}/assignments")
+    got = _pairs(DeltaTable(f"{idx}/pairs").to_df(spark))
+    want = _pairs(dedup.semantic_pairs_snapshot(emb, cents, 3, 0.4))
+    assert got == want
+    # probe rows live in their list partitions (log-pruned reads)
+    at = DeltaTable(f"{idx}/assignments")
+    assert at.metadata().partition_columns == ["list_id"]
+    assert at.to_df(spark).count() == emb.count() * 3
+
+
+def test_watermark_noop_and_non_index_rejected(spark, emb, tmp_path):
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark,
+        emb.limit(50),
+        src,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    dedup.update_semantic_index(
+        spark, DeltaTable(src), idx, threshold=0.4, n_list=4, n_probe=2
+    )
+    v = DeltaTable(f"{idx}/pairs").version
+    res = dedup.update_semantic_index(spark, DeltaTable(src), idx)
+    assert res["processed_versions"] == 0 and res["pairs_added"] == 0
+    assert DeltaTable(f"{idx}/pairs").version == v
+    # creation without geometry is an error, not a silent default
+    with pytest.raises(ValueError, match="n_list"):
+        dedup.update_semantic_index(
+            spark, DeltaTable(src), str(tmp_path / "idx2"), threshold=0.4
+        )
+
+
+def test_keeplist_from_index_equals_exact_keeplist(spark, emb, tmp_path):
+    """The read half: components over the persisted pair table must give
+    the same keeplist as the one-shot exact path when the pair sets agree
+    (exhaustive probe)."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark, emb, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    dedup.update_semantic_index(
+        spark, DeltaTable(src), idx, threshold=0.4, n_list=4, n_probe=4
+    )
+    got = {
+        r.vec_id
+        for r in dedup.semantic_keeplist_from_index(spark, idx, emb).collect()
+    }
+    want = {
+        r.vec_id for r in dedup.semantic_keeplist(emb, threshold=0.4).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_semantic_index_matches_snapshot_under_fuzz(spark, tmp_path, seed):
+    """Random DML schedule (append / MoR delete / re-embed / reinsert) with
+    refreshes at random points: after every refresh the pair table equals
+    semantic_pairs_snapshot over the live corpus under the stored
+    invariants — the integration net under the lifecycle row, exercising
+    the per-id net fold (delete-then-reinsert, update postimages) and the
+    delete-then-reappend pair maintenance."""
+    rng = random.Random(seed)
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+
+    def _vec(i: int) -> list[float]:
+        return [float(((i * 37 + j * 11) % 19) / 19.0 - 0.5) for j in range(8)]
+
+    def _frame(rows: dict[int, list[float]]):
+        return spark.createDataFrame(
+            [(i, v) for i, v in sorted(rows.items())],
+            "vec_id long, embedding array<float>",
+        )
+
+    model: dict[int, list[float]] = {i: _vec(i) for i in range(60)}
+    deleted: set[int] = set()
+    next_id = 60
+    write_deltalake(
+        spark,
+        _frame(model),
+        src,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    dedup.update_semantic_index(
+        spark, DeltaTable(src), idx, threshold=0.6, n_list=4, n_probe=2
+    )
+    cents = _stored_cents(f"{idx}/assignments")
+    history = ["seed(60)", "bootstrap"]
+
+    def _check():
+        got = _pairs(DeltaTable(f"{idx}/pairs").to_df(spark))
+        want = _pairs(
+            dedup.semantic_pairs_snapshot(_frame(model), cents, 2, 0.6)
+        )
+        assert got == want, f"pairs diverged after {history}"
+
+    _check()
+    for step in range(5):
+        op = rng.choice(["append", "delete", "negate", "reinsert"])
+        t = DeltaTable(src)
+        if op == "append":
+            n = rng.randrange(5, 15)
+            fresh = {i: _vec(i) for i in range(next_id, next_id + n)}
+            write_deltalake(spark, _frame(fresh), src, mode="append")
+            model.update(fresh)
+            next_id += n
+            history.append(f"append({n})")
+        elif op == "delete":
+            k, r = rng.choice([(7, 3), (5, 1)])
+            t.delete(spark, f"vec_id % {k} = {r}")
+            for i in [i for i in model if i % k == r]:
+                deleted.add(i)
+                del model[i]
+            history.append(f"delete(%{k}={r})")
+        elif op == "negate":
+            k, r = rng.choice([(4, 1), (6, 5)])
+            t.update_where(
+                spark,
+                f"vec_id % {k} = {r}",
+                {"embedding": "transform(embedding, x -> -x)"},
+            )
+            for i in list(model):
+                if i % k == r:
+                    model[i] = [-x for x in model[i]]
+            history.append(f"negate(%{k}={r})")
+        else:
+            back = sorted(deleted)[: rng.randrange(1, 8)] if deleted else []
+            if back:
+                rows = {i: _vec(i) for i in back}
+                write_deltalake(spark, _frame(rows), src, mode="append")
+                model.update(rows)
+                deleted.difference_update(back)
+            history.append(f"reinsert({len(back)})")
+
+        if rng.random() < 0.5 or step == 4:
+            dedup.update_semantic_index(spark, DeltaTable(src), idx)
+            history.append("refresh")
+            _check()
