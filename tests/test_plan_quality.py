@@ -93,6 +93,9 @@ CARTESIAN_OK = {
     "corpus_pmi_bigrams",     # 1-row (N, M) corpus-totals broadcast
     "recall_contracts",       # 1-row hit/total count crosses + the exact
                               # brute-force baseline it measures against
+    "recall_clustered_contracts",  # same shape: 1-row ratio crosses + the
+                                   # exact baselines on both synthetic corpora
+    "similarity_index_drift",  # crossJoin of three 1-row mse scalars
     "similarity_pq_index_search",  # ADC code-column brute scan (broadcast
                                    # probe side) — the flat-PQ screen shape;
                                    # floats fetched only for rerank survivors
