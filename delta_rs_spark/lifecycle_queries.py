@@ -1488,3 +1488,74 @@ def q_semantic_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "cosine")
         .orderBy("id_a", "id_b")
     )
+
+
+@query("stream_ann_index_pipeline", _brute_force_topk_oracle())
+def q_stream_ann_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN ingestion certified end-to-end (round 8): seed a
+    source Delta table of embeddings in TWO append commits, tail it with
+    ``delta_stream``, and land every micro-batch through
+    `IndexMaintainingSink` — the foreachBatch wrapper that composes the
+    exactly-once corpus append (epoch txn watermark) with an incremental
+    PQ-index refresh (corpus-version watermark) in the same call. The
+    certified result searches the PERSISTED index the stream built
+    (exhaustive oversample + probe-all over the IVF tier trained at
+    first-batch creation), so one row covers stream offsets → sink commit
+    protocol → CDF-incremental index maintenance → partition-filtered
+    search ≡ the brute-force oracle. Micro-batch boundaries can't change
+    the outcome: appends are disjoint and the refresh folds whatever
+    window each batch leaves."""
+    import uuid as _uuid
+
+    from .operators import similarity
+    from .streaming.sink import IndexMaintainingSink
+    from .streaming.source import DeltaStreamDataSource
+    from .table import DeltaTable
+    from .writer import write_deltalake
+
+    src = _workdir("stream_ann_src", sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    write_deltalake(spark, emb.filter(F.col("vec_id") % 2 == 0), src)
+    write_deltalake(
+        spark, emb.filter(F.col("vec_id") % 2 == 1), src, mode="append"
+    )
+
+    spark.dataSource.register(DeltaStreamDataSource)
+    books = similarity.pq_random_codebooks(16, 4, 16)
+
+    def _attempt(i: int) -> DataFrame:
+        # fresh corpus replica + index per attempt (fresh checkpoint ⇒
+        # epoch ids restart at 0, same caveat as stream_delta_sink_pipeline)
+        dst = _workdir("stream_ann_dst", sf_dir)
+        idx = _workdir("stream_ann_idx", sf_dir)
+        sink = IndexMaintainingSink(
+            dst,
+            idx,
+            app_id=f"certq_{_uuid.uuid4().hex[:8]}",
+            books=books,
+            n_list=4,
+        )
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", src)
+            .option("startingVersion", "0")
+            .load()
+            .select("vec_id", "embedding")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(src, f"_ckpt{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_timeout(q, "stream_ann_index_pipeline")
+        corpus = DeltaTable(dst).to_df(spark)
+        return similarity.pq_index_search(
+            spark,
+            idx,
+            corpus,
+            corpus.filter(F.col("vec_id") < 5),
+            k=10,
+            n_probe=4,
+            oversample=1_000_000,
+        )
+
+    return _stream_attempts("stream_ann_index_pipeline", _attempt)

@@ -1601,10 +1601,17 @@ def pq_index_drift(
         )
     baseline = float(base)
     current = _quantization_mse(corpus, books, id_col, vec_col)
+    # a zero baseline (corpus perfectly quantizable at creation — degenerate
+    # but legal) must read 1.0 while current stays zero, not inf: inf-on-
+    # unchanged would trigger a rebuild loop the moment nothing drifted
+    if baseline > 0:
+        ratio = current / baseline
+    else:
+        ratio = 1.0 if current == 0.0 else float("inf")
     return {
         "baseline_mse": baseline,
         "current_mse": current,
-        "ratio": (current / baseline) if baseline > 0 else float("inf"),
+        "ratio": ratio,
     }
 
 
@@ -2166,3 +2173,77 @@ def clustered_corpus(
     return spark.range(n).select(
         F.col("id").cast("long").alias(id_col), vec.alias(vec_col)
     )
+
+
+def rebuild_pq_index(
+    spark,
+    corpus_table,
+    index_uri: str,
+    new_index_uri: str,
+    max_ratio: float | None = None,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    app_id: str = "pq-index",
+) -> dict:
+    """The ACTION the drift policy triggers: retrain-into-a-NEW-uri rebuild
+    of a persisted PQ index — the other half of `pq_index_drift`'s
+    documented contract (refreshes never retrain; a rebuild changes every
+    code, so it is an explicit maintenance event producing a fresh
+    artifact readers swap to).
+
+    With ``max_ratio`` set, this IS the scheduled maintenance entry point:
+    it measures drift first (one corpus pass) and no-ops while
+    ``current/baseline ≤ max_ratio`` — so callers can run it after every
+    refresh and pay for retraining only when quantization has actually
+    degraded. Without it, the rebuild is unconditional.
+
+    The rebuild trains fresh codebooks (and IVF centroids, when the old
+    index has the tier — list count re-derived by the sqrt rule at the
+    CURRENT corpus size, so a corpus that grew 100× since creation gets a
+    100×-appropriate geometry, not the stale one) on the live corpus,
+    preserving the old index's (m, k_codes) shape, then bootstraps
+    ``new_index_uri`` through the ordinary `update_pq_index` path — same
+    watermark, same mse0 baseline, same self-describing configuration.
+    The OLD index stays untouched and serveable until the caller swaps
+    readers (a catalog/pointer update — two self-describing tables can
+    serve concurrently during the cutover) and then drops it.
+
+    Returns ``{"rebuilt": bool, "ratio": float | None,
+    "index_uri": <the uri readers should use now>}`` plus the bootstrap
+    metrics when a rebuild ran."""
+    import json
+    import math
+
+    from ..table import DeltaTable
+
+    ratio = None
+    if max_ratio is not None:
+        drift = pq_index_drift(
+            spark, index_uri, corpus_table.to_df(spark), id_col, vec_col
+        )
+        ratio = drift["ratio"]
+        if ratio <= max_ratio:
+            return {"rebuilt": False, "ratio": ratio, "index_uri": index_uri}
+
+    old = DeltaTable(index_uri)
+    stored = old.metadata().configuration.get(_PQ_BOOKS_KEY)
+    if not stored:
+        raise ValueError(f"{index_uri} carries no {_PQ_BOOKS_KEY} configuration")
+    old_books = json.loads(stored)
+    m, k_codes = len(old_books), len(old_books[0])
+    had_tier = old.metadata().configuration.get(_PQ_CENTS_KEY) is not None
+
+    res = update_pq_index(
+        spark,
+        corpus_table,
+        new_index_uri,
+        id_col=id_col,
+        vec_col=vec_col,
+        app_id=app_id,
+        m=m,
+        k_codes=k_codes,
+        iters=iters,
+        n_list="auto" if had_tier else None,
+    )
+    return {"rebuilt": True, "ratio": ratio, "index_uri": new_index_uri, **res}

@@ -158,3 +158,31 @@ def test_uniform_regime_contrast_at_same_knobs(spark):
         )
     finally:
         uni.unpersist()
+
+
+def test_semantic_pairs_small_probe_recall_clustered(spark, clustered):
+    """The semantic-dedup index's partial-probe contract in the clustered
+    regime (round-8 measurement): pair recall vs the corpus-wide exact
+    pair set at θ=0.9 — probe 1/16 already recalls 0.978 (sep=4; 0.990 at
+    sep=2) and probe 2/16 is exhaustive-equal (1.00), because near-dup
+    pairs are by definition the pairs that co-locate in k-means lists.
+    Floors at 0.95 (probe 1) / 0.99 (probe 2). Precision is exact by
+    construction (every candidate is exactly verified)."""
+    from delta_rs_spark.operators import dedup
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(clustered, threshold=0.9).collect()
+    }
+    assert exact, "fixture regression: no true θ=0.9 pairs on the clustered corpus"
+    cents = similarity.train_ivf_centroids(clustered, N_LIST, 2, "vec_id", "embedding")
+    for probe, floor in ((1, 0.95), (2, 0.99)):
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.semantic_pairs_snapshot(
+                clustered, cents, probe, 0.9
+            ).collect()
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= floor, f"probe {probe}/{N_LIST} pair recall {recall}"
+        assert got <= exact, "semantic pairs must be a verified subset"

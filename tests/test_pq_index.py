@@ -682,3 +682,99 @@ def test_auto_compaction_bounds_refresh_file_accumulation(spark, tmp_path):
     got = {tuple(r) for r in t.to_df(spark).drop("list_id").collect()}
     want = {tuple(r) for r in similarity.pq_codes(frame(0, 80), books).collect()}
     assert got == want
+
+
+def test_rebuild_entry_point_retrains_only_past_threshold(spark, emb001, tmp_path):
+    """The scheduled maintenance arc of the drift policy: rebuild_pq_index
+    with max_ratio no-ops while quantization holds (ratio 1.0 on the
+    unchanged corpus), retrains into a NEW uri once the corpus drifts past
+    the threshold — fresh books at the old (m, k_codes) shape, the IVF tier
+    re-derived by the sqrt rule at the current size, mse0 re-baselined so
+    the NEW index's drift reads 1.0 against the corpus it serves. The old
+    index is untouched (reader swap is a pointer update)."""
+    from delta_rs_spark.pipeline_queries import _cached_pq_books
+
+    src, idx, idx2 = (
+        str(tmp_path / "src"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "idx2"),
+    )
+    books = _cached_pq_books(spark, SF_DIR)
+    write_deltalake(
+        spark,
+        emb001,
+        src,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    similarity.update_pq_index(
+        spark, DeltaTable(src), idx, books=books, n_list=8
+    )
+
+    res = similarity.rebuild_pq_index(
+        spark, DeltaTable(src), idx, idx2, max_ratio=1.05
+    )
+    assert res == {"rebuilt": False, "ratio": 1.0, "index_uri": idx}
+
+    # drift the corpus: drag every vector toward a direction the trained
+    # books never saw (same shift the drift-metric test uses)
+    DeltaTable(src).update_where(
+        spark,
+        "true",
+        {
+            "embedding": (
+                "transform(embedding, (x, i) -> "
+                "IF(i = 0, x + float(10.0), x))"
+            )
+        },
+    )
+    similarity.update_pq_index(spark, DeltaTable(src), idx)  # refresh ≠ retrain
+    res = similarity.rebuild_pq_index(
+        spark, DeltaTable(src), idx, idx2, max_ratio=1.05
+    )
+    assert res["rebuilt"] is True and res["ratio"] > 1.05
+    assert res["index_uri"] == idx2
+    assert res["upserts"] == emb001.count()
+
+    new_t = DeltaTable(idx2)
+    import json
+
+    new_books = json.loads(new_t.metadata().configuration[similarity._PQ_BOOKS_KEY])
+    assert (len(new_books), len(new_books[0])) == (16, 16)  # shape preserved
+    assert new_books != books  # retrained on the drifted corpus
+    assert similarity._PQ_CENTS_KEY in new_t.metadata().configuration  # tier kept
+    # the new index serves the corpus it was trained on: drift resets to 1.0
+    drifted = DeltaTable(src).to_df(spark)
+    assert similarity.pq_index_drift(spark, idx2, drifted)["ratio"] == 1.0
+    # old index untouched and still serveable during cutover
+    assert DeltaTable(idx).version == 1
+
+
+def test_zero_baseline_drift_is_one_not_inf(spark, tmp_path):
+    """Degenerate-but-legal edge found by driving the rebuild entry point:
+    a corpus whose few distinct patterns quantize PERFECTLY at creation
+    stores mse0 = 0. Unchanged corpus must read ratio 1.0 (inf here would
+    spin a rebuild loop on a corpus that never drifted); any nonzero
+    current error on a zero baseline is infinite drift — rebuild."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    rows = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    write_deltalake(
+        spark, rows, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    books = similarity.train_pq_codebooks(rows, m=4, k_codes=8, iters=1)
+    similarity.update_pq_index(spark, DeltaTable(src), idx, books=books)
+    same = similarity.pq_index_drift(spark, idx, rows)
+    assert same["baseline_mse"] == 0.0 and same["ratio"] == 1.0
+    drifted = rows.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x + F.lit(10.0)).otherwise(x)
+        ).alias("embedding"),
+    )
+    moved = similarity.pq_index_drift(spark, idx, drifted)
+    assert moved["ratio"] == float("inf")
