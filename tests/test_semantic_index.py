@@ -262,3 +262,48 @@ def test_semantic_index_matches_snapshot_under_fuzz(spark, tmp_path, seed):
             dedup.update_semantic_index(spark, DeltaTable(src), idx)
             history.append("refresh")
             _check()
+
+
+def test_deletes_only_window_drops_pairs_and_advances_watermark(
+    spark, emb, tmp_path
+):
+    """A refresh window containing ONLY deletes must still advance the
+    watermark (it rides an empty pairs append — no upserts to carry it),
+    drop every pair touching the deleted ids, and leave the next refresh a
+    true no-op. Explicitly pins the deletes-only branch the fuzz only hits
+    probabilistically."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark,
+        emb,
+        src,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    dedup.update_semantic_index(
+        spark, DeltaTable(src), idx, threshold=0.4, n_list=4, n_probe=4
+    )
+    before = _pairs(DeltaTable(f"{idx}/pairs").to_df(spark))
+    assert before, "fixture regression: bootstrap found no pairs"
+    doomed = sorted({a for a, _, _ in before} | {b for _, b, _ in before})[:3]
+
+    DeltaTable(src).delete(spark, f"vec_id IN ({', '.join(map(str, doomed))})")
+    res = dedup.update_semantic_index(spark, DeltaTable(src), idx)
+    assert res["deletes"] == len(doomed) and res["upserts"] == 0
+    assert res["pairs_added"] == 0
+
+    after = _pairs(DeltaTable(f"{idx}/pairs").to_df(spark))
+    assert after == {
+        p for p in before if p[0] not in doomed and p[1] not in doomed
+    }
+    # assignments dropped too, and the watermark sits at the corpus head
+    at = DeltaTable(f"{idx}/assignments").to_df(spark)
+    assert at.filter(F.col("vec_id").isin(doomed)).count() == 0
+    assert (
+        DeltaTable(f"{idx}/pairs").get_app_transaction_version("semantic-index")
+        == DeltaTable(src).version
+    )
+    noop = dedup.update_semantic_index(spark, DeltaTable(src), idx)
+    assert noop["processed_versions"] == 0
