@@ -8,9 +8,10 @@ per group of mutually-similar documents, where similarity is transitive
 Spark-first design: iterative **min-label propagation** expressed as
 DataFrame joins. Every node starts labeled with its own id; each round a node
 takes the min of its own label and its neighbors' labels; at a fixed point
-every component carries its minimum member id as the cluster id. Rounds
-needed = graph diameter, and near-dup graphs are shallow (dup clusters are
-dense, diameters of 2-4), so the loop runs 3-5 rounds in practice with a cap.
+every component carries its minimum member id as the cluster id. With the
+per-round pointer-jumping shortcut, rounds needed = O(log diameter); near-dup
+graphs are shallow anyway (dup clusters are dense, diameters of 2-4), so the
+loop runs 2-4 rounds in practice with a cap that now covers ~2^25 diameters.
 
 Scale notes (100 TB corpus, ~10^9 edges):
 - labels and the undirected edge list are hash-partitioned on the join key,
@@ -22,10 +23,13 @@ Scale notes (100 TB corpus, ~10^9 edges):
 - each round's labels are persisted and the previous round unpersisted, and
   lineage is truncated with ``localCheckpoint`` so the plan doesn't grow
   unboundedly with iterations (the classic iterative-algorithms pitfall);
-- for adversarial long-chain graphs the published fix is the
-  alternating large-star/small-star algorithm (Kiveris et al., "Connected
-  Components in MapReduce and Beyond"), which this module's loop structure
-  accommodates; min-propagation is the right default for dup graphs.
+- each round ends with a pointer-jumping shortcut (label ← label[label],
+  the halving step of the Kiveris et al. "Connected Components in MapReduce
+  and Beyond" family), so convergence needs O(log diameter) rounds, not
+  O(diameter) — a 30-deep chain of progressive near-dup edits (templated
+  boilerplate, versioned documents) converges in ~6 rounds where plain
+  propagation needs 29; and if the cap is ever exhausted short of the fixed
+  point the function RAISES rather than returning silently-split clusters.
 
 The reference (delta-rs v0) has no clustering operator — this is part of the
 beyond-the-reference training-data-pipeline surface, with an exact recursive
@@ -78,11 +82,26 @@ def connected_components(
         neighbor_labels = und.join(
             labels, und.v == labels.node
         ).select(F.col("u").alias("node"), "label")
-        new_labels = (
+        prop = (
             labels.select("node", "label")
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer-jumping shortcut (label ← label[label]): every label value
+        # is itself a node id present in ``prop`` and label[m] ≤ m holds for
+        # every node m, so the jump only ever decreases labels — but it
+        # forwards each node straight to its current representative's own
+        # representative, roughly DOUBLING the covered chain distance per
+        # round. Plain propagation needs O(diameter) rounds and a >max_iter
+        # chain of progressive near-dup edits would silently split one
+        # cluster; with the shortcut max_iter=25 covers diameter ~2^25.
+        lmap = prop.select(
+            F.col("node").alias("label"), F.col("label").alias("_ll")
+        )
+        new_labels = (
+            prop.join(lmap, "label", "left")
+            .select("node", F.coalesce("_ll", "label").alias("label"))
             .localCheckpoint(eager=False)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -92,6 +111,18 @@ def connected_components(
         if new_sum == prev_sum:  # labels are non-increasing: equal sum ⟺ fixed point
             break
         prev_sum = new_sum
+    else:
+        # Exhausting the cap without reaching the fixed point means the
+        # returned labels would be WRONG (one component split into several,
+        # each "keeping" an id that is a duplicate) — every keeplist sits on
+        # this, so fail loudly instead of silently under-deduplicating.
+        und.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter}"
+            " rounds; the pair graph has pathological diameter even for"
+            " pointer-jumping — raise max_iter"
+        )
 
     und.unpersist()
     from ..caching import track

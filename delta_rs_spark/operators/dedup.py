@@ -619,8 +619,9 @@ def semantic_keeplist(
 
     The embedding analogue of the text keep-list (SemDeDup-family pipeline
     step): pairs → clusters via min-label propagation → survivors via one
-    broadcast anti join — the loser set is bounded by duplicates found, not
-    corpus size.
+    size-adaptive anti join — the loser set scales with duplicates found
+    (a constant fraction of the corpus at a fixed dup rate), so the join is
+    deliberately unhinted and AQE picks broadcast vs shuffle at runtime.
 
     ``method`` picks the pair-enumeration path:
 
@@ -663,7 +664,12 @@ def semantic_keeplist(
     losers = comp.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias(id_col)
     )
-    return emb.select(id_col).join(F.broadcast(losers), id_col, "left_anti")
+    # Deliberately unhinted anti join: the losers frame is every duplicate
+    # id — at a fixed dup rate a constant FRACTION of the corpus (10⁸-10⁹
+    # ids at 100 TB), so a forced broadcast is a driver-OOM plan. AQE
+    # broadcasts while small and shuffles once it isn't; plan-gated by
+    # tests/test_plan_quality.py::test_keeplist_anti_joins_are_unhinted.
+    return emb.select(id_col).join(losers, id_col, "left_anti")
 
 
 def semantic_keeplist_oracle_sql(table: str = "embeddings", threshold: float = 0.4) -> str:
@@ -710,8 +716,9 @@ def keeplist_by_score(
     Same scale shape as the min-id keep-list: clusters from min-label
     propagation over the pair graph, per-cluster argmax as one
     max(struct(score, -id)) aggregate (no window over the corpus — the
-    shuffle is cluster-count-sized), survivors via one broadcast anti join
-    bounded by duplicates found, never corpus size.
+    shuffle is cluster-count-sized), survivors via one size-adaptive anti
+    join whose build side scales with duplicates found — unhinted, so AQE
+    decides broadcast vs shuffle from the runtime sizes.
 
     NULL scores rank below every non-NULL score (Spark struct ordering
     puts NULL fields lowest; equal NULLs fall through to the -id
@@ -729,12 +736,18 @@ def keeplist_by_score(
         (-F.max(F.struct(F.col("_s"), (-F.col("node")).alias("negid"))).negid)
         .alias("winner")
     )
+    # Both joins deliberately unhinted: winners is cluster-count-sized and
+    # losers duplicate-count-sized — both scale as a constant fraction of
+    # the corpus at a fixed dup rate, so forced broadcasts are driver-OOM
+    # plans at the 100 TB the docstring advertises. AQE picks broadcast
+    # while the runtime sizes are small and shuffled equi-joins once they
+    # are not (gated: test_keeplist_anti_joins_are_unhinted).
     losers = (
-        scored.join(F.broadcast(winners), "cluster_id")
+        scored.join(winners, "cluster_id")
         .filter(F.col("node") != F.col("winner"))
         .select(F.col("node").alias(id_col))
     )
-    return df.select(id_col).join(F.broadcast(losers), id_col, "left_anti")
+    return df.select(id_col).join(losers, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -830,6 +843,7 @@ def update_semantic_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     app_id: str = "semantic-index",
+    max_list_candidates: int | None = None,
 ) -> dict:
     """Incrementally maintain a persisted SEMANTIC-dedup index over a
     Delta corpus — SemDeDup's pair discovery as a build-once /
@@ -881,8 +895,23 @@ def update_semantic_index(
     DML lifecycle against that oracle); at partial probe it equals
     `semantic_pairs_snapshot` under the stored invariants (pytest).
 
+    DEGENERACY CONTRACT: the pair table materializes every verified pair,
+    so a residual duplicate cluster of size ``c`` costs Θ(c²) rows — real
+    corpora carry boilerplate clusters of 10⁵-10⁷ near-identical documents,
+    and at 100 TB one such cluster's pairs would dwarf the corpus. The
+    index therefore ASSUMES exact duplicates are collapsed upstream (route
+    the corpus through `dedup_exact` / `exact_dup_groups` first — star
+    edges from each group's keeper reconnect the group in the keeplist),
+    and every refresh reports ``max_list_candidates`` — the largest
+    per-probed-list candidate-comparison count (|new probe rows| × |list
+    members|) of the window, a bounded ≤ n_list-row aggregate. Pass
+    ``max_list_candidates=<cap>`` to fail the refresh instead of quietly
+    materializing a quadratic blow-up
+    (tests/test_semantic_index.py::test_degenerate_cluster_guard).
+
     Returns metrics: versions processed, upserts, deletes, pairs added,
-    pairs dropped (by MERGE-delete), corpus version.
+    pairs dropped (by the pair-table MERGE-deletes), corpus version, and
+    max_list_candidates (0 when the window touched no list).
     """
     import json
     import math
@@ -901,9 +930,22 @@ def update_semantic_index(
     assign_t = None
     pairs_t = None
     last: int | None = None
+    # Independent probes: creation is TWO commits (assignments, then pairs
+    # carrying the txn watermark), so a crash between them leaves
+    # assignments existing with pairs missing. A single try would leave
+    # assign_t None in that state and the retry would take the creation
+    # path — re-training centroids instead of reading the stored invariants
+    # and appending a second full copy of every probe row (mixed geometry
+    # if the corpus moved between crash and retry). Probed independently,
+    # the retry MERGEs into the existing assignments under the STORED
+    # config and only bootstraps the missing pairs half
+    # (tests/test_semantic_index.py::test_crash_between_creation_commits).
     try:
         pairs_t = DeltaTable(pairs_uri)
         last = pairs_t.get_app_transaction_version(app_id)
+    except NotATableError:
+        pass
+    try:
         assign_t = DeltaTable(assign_uri)
     except NotATableError:
         pass
@@ -915,6 +957,8 @@ def update_semantic_index(
             "upserts": 0,
             "deletes": 0,
             "pairs_added": 0,
+            "pairs_dropped": 0,
+            "max_list_candidates": 0,
             "corpus_version": corpus_version,
         }
 
@@ -966,6 +1010,8 @@ def update_semantic_index(
                 "upserts": 0,
                 "deletes": 0,
                 "pairs_added": 0,
+                "pairs_dropped": 0,
+                "max_list_candidates": 0,
                 "corpus_version": corpus_version,
             }
 
@@ -1018,6 +1064,8 @@ def update_semantic_index(
             r.list_id for r in new_assign.select("list_id").distinct().collect()
         )
         verified = None
+        max_cand = 0
+        pairs_dropped = 0
         if probed:
             members = (
                 DeltaTable(assign_uri)
@@ -1029,6 +1077,30 @@ def update_semantic_index(
                 )
                 .select("list_id", F.col(id_col).alias("_other"))
             )
+            # degeneracy telemetry/guard: the largest per-list candidate
+            # count this window (|new probe rows| × |members|) — a bounded
+            # ≤ n_list-row aggregate. A residual duplicate cluster of size
+            # c concentrates in one list and costs Θ(c²) verified pairs;
+            # the cap turns that silent blow-up into an explicit failure
+            # pointing at the exact-dup pre-collapse contract.
+            max_cand = (
+                new_assign.groupBy("list_id")
+                .agg(F.count("*").alias("_new"))
+                .join(
+                    members.groupBy("list_id").agg(F.count("*").alias("_mem")),
+                    "list_id",
+                )
+                .agg(F.max(F.col("_new") * F.col("_mem")).alias("m"))
+                .collect()[0]["m"]
+                or 0
+            )
+            if max_list_candidates is not None and max_cand > max_list_candidates:
+                raise ValueError(
+                    f"semantic-index refresh would compare ~{max_cand} candidate"
+                    f" pairs in one probed list (cap {max_list_candidates}):"
+                    " degenerate duplicate cluster — collapse exact duplicates"
+                    " upstream (operators.dedup.dedup_exact) or raise the cap"
+                )
             cand = (
                 new_assign.join(members, "list_id")
                 .filter(F.col(id_col) != F.col("_other"))
@@ -1070,7 +1142,7 @@ def update_semantic_index(
                 fresh.unpersist()
         else:
             for side in ("id_a", "id_b"):
-                merge(
+                m = merge(
                     spark,
                     pairs_t,
                     changed_ids,
@@ -1078,6 +1150,7 @@ def update_semantic_index(
                     when_matched_delete=True,
                     when_not_matched_insert=False,
                 )
+                pairs_dropped += int(m.get("numTargetRowsDeleted", 0) or 0)
                 pairs_t.update()
             if verified is not None:
                 fresh = verified.cache()
@@ -1120,6 +1193,8 @@ def update_semantic_index(
         "upserts": int(n_upserts),
         "deletes": n_deletes,
         "pairs_added": int(pairs_added),
+        "pairs_dropped": int(pairs_dropped),
+        "max_list_candidates": int(max_cand),
         "corpus_version": corpus_version,
     }
 
@@ -1146,4 +1221,6 @@ def semantic_keeplist_from_index(
     losers = comp.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias(id_col)
     )
-    return corpus.select(id_col).join(F.broadcast(losers), id_col, "left_anti")
+    # Unhinted anti join — losers scales with duplicates, i.e. with the
+    # corpus; AQE chooses the strategy from runtime sizes (plan-gated).
+    return corpus.select(id_col).join(losers, id_col, "left_anti")

@@ -1662,7 +1662,8 @@ def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate removal — each dup cluster keeps its canonical member
     (min doc_id), everything unclustered passes through. Pairs from the
     prefix-filtered Jaccard join, clusters from min-label propagation, and
-    one broadcast anti join to subtract the losers; the oracle recomputes
+    one size-adaptive (unhinted — losers scales with duplicates, i.e. with
+    the corpus) anti join to subtract the losers; the oracle recomputes
     the whole chain (recursive CTE reachability) exactly."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8, n=3)
@@ -1671,7 +1672,7 @@ def q_dedup_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     return docs.select("doc_id").join(
-        F.broadcast(losers), "doc_id", "left_anti"
+        losers, "doc_id", "left_anti"
     ).orderBy("doc_id")
 
 

@@ -405,6 +405,39 @@ def test_connected_components_empty_edges(spark):
     assert clustering.connected_components(edges).count() == 0
 
 
+def test_connected_components_long_chain_converges(spark):
+    """VERDICT r8 #2: a 30-node chain (diameter 29 > the old max_iter=25)
+    — progressive near-dup edits / templated boilerplate produce exactly
+    this shape — must still collapse to ONE cluster. Plain min-label
+    propagation needs diameter rounds and silently returned split labels;
+    the pointer-jumping shortcut converges in O(log diameter) rounds."""
+    from delta_rs_spark.operators import clustering
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.node: r.cluster_id
+        for r in clustering.connected_components(edges).collect()
+    }
+    assert out == {i: 0 for i in range(31)}
+
+
+def test_connected_components_raises_on_exhausted_iterations(spark):
+    """If the round cap is exhausted short of the fixed point the labels are
+    WRONG (one component split into several) — the function must raise, not
+    return them: every keeplist sits on this."""
+    import pytest as _pytest
+
+    from delta_rs_spark.operators import clustering
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        clustering.connected_components(edges, max_iter=2)
+
+
 def test_contamination_rates_synthetic(spark):
     from delta_rs_spark.operators import corpus
 

@@ -317,10 +317,38 @@ def test_ivfpq_index_search_is_pruned_equi_join(q):
 def test_clustered_semantic_dedup_no_corpus_nlj(q):
     """Cluster-first semantic dedup must never plan a corpus-wide
     nested-loop: pairs come from the within-cluster cogrouped GEMM, the
-    keeplist from a broadcast anti join."""
+    keeplist from a size-adaptive anti join."""
     s = summarize(q("dedup_semantic_clustered"))
     assert not s.nested_loop_joins
     assert s.sort_merge_joins == 0
+
+
+# every catalog row whose final step subtracts a duplicates-scaled loser set
+KEEPLIST_ROWS = [
+    "dedup_keeplist",
+    "dedup_keeplist_longest",
+    "dedup_semantic_keeplist",
+    "dedup_semantic_clustered",
+]
+
+
+@pytest.mark.parametrize("name", KEEPLIST_ROWS)
+def test_keeplist_anti_joins_are_unhinted(q, name):
+    """VERDICT r8 #1: the keeplist anti joins (and keeplist_by_score's
+    winners join) must carry NO forced broadcast hint. The losers/winners
+    frames are every duplicate id / cluster — at a fixed dup rate a constant
+    FRACTION of the corpus, 10⁸-10⁹ ids at the 100 TB the docstrings
+    advertise — so a forced F.broadcast there is a driver-OOM plan, the
+    same defect class round 8 fixed (and gated) in pq_index_search's rerank
+    join. Strategy choice belongs to AQE's runtime sizes. Asserted on the
+    OPTIMIZED logical plan, where a forced hint is a static property
+    independent of runtime sizes; the keeplist chains have no legitimate
+    hint at all (pair generation is severed behind the components
+    checkpoint), so the assertion is simply hint-free."""
+    df = q(name)
+    txt = df._jdf.queryExecution().optimizedPlan().toString()
+    hinted = [ln.strip() for ln in txt.splitlines() if "strategy=" in ln]
+    assert not hinted, f"{name}: forced join hint in keeplist plan: {hinted}"
 
 
 HEADLINE = [name for name, qd in QUERIES.items() if qd.headline]
