@@ -14,70 +14,78 @@ from . import lifecycle_queries as _lifecycle_queries  # noqa: F401  (registers)
 from . import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
 from .queries import QUERIES, headline_queries, oracle_sql, queries
 
-# Round-8 window (stalest-first, VERDICT r7 item #6): (1) all 46 rows whose
-# last driver-green round is 5 — the relational TPC-H surface plus the
-# q_* operator rows, similarity_ivf_exact and the two incremental-index
-# lifecycles, now the stalest in the catalog; (2) the queries NEW or
-# CHANGED this round: recall_contracts (10th contract — production-knob
-# kNN-graph recall — changes its oracle literal, so it MUST re-certify),
-# recall_clustered_contracts + similarity_index_drift (new rows), and the
-# two persisted-index search rows whose rerank join strategy changed
-# (forced broadcast dropped — values provably identical, but the honest
-# signal is a re-certification in the same window as the plan change).
-# After this window nothing's last-green round is older than 6.
+# Round-9 window (stalest-first, VERDICT r8 item #3): (1) the only two
+# catalog rows never driver-certified — born in round 8, swept exact in
+# session logs but without a committed CORRECTNESS row; (2) rows whose
+# CODE PATH changed this round: dedup_clusters (connected_components now
+# pointer-jumps and raises on non-convergence) and dedup_keeplist (its
+# forced-broadcast anti join dropped — values provably identical, but the
+# honest signal is re-certification in the window of the plan change);
+# the other keeplist consumers (dedup_keeplist_longest,
+# dedup_semantic_keeplist, dedup_semantic_clustered, text_line_dedup) are
+# already in block (3); plus similarity_pq_index_search, whose r8 rerank
+# plan change was only sweep-covered — both persisted-index search rows
+# now have a windowed artifact (ADVICE r8); (3) all 43 rows whose last
+# driver-green round is 6 — the corpus_*/dedup_*/text_* operator block —
+# now the stalest in the catalog; (4) two related round-7 fillers (the
+# semantic pair source and the kNN-graph consumer of the changed ANN
+# family). After this window nothing's last-green round is older than 7.
 _ROTATION = [
-    # -- (1) last certified round 5 (46 rows) ---------------------------------
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_class",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_promo_volume_suppliers",
-    "q21_returned_not_accepted",
-    "q22_idle_customers",
-    "q_anti_join",
-    "q_array_functions",
-    "q_date_functions",
-    "q_events_hourly",
-    "q_events_json_props",
-    "q_events_sessions",
-    "q_filter_sort_project",
-    "q_grouping_sets",
-    "q_minmax_agg",
-    "q_outer_join_nulls",
-    "q_percentiles",
-    "q_referential_integrity",
-    "q_rollup_status",
-    "q_scalar_subquery",
-    "q_self_join_parts",
-    "q_semi_join",
-    "q_set_ops",
-    "q_string_functions",
-    "q_window_lag_events",
-    "q_window_running_revenue",
-    "q_window_topk_orders",
-    "similarity_ivf_exact",
-    "dedup_index_lifecycle",
-    "incremental_rollup_lifecycle",
-    # -- (2) new / changed in round 8 ------------------------------------------
-    "recall_contracts",
-    "recall_clustered_contracts",
-    "similarity_index_drift",
-    "similarity_ivfpq_index_search",
+    # -- (1) never certified (new in round 8) ---------------------------------
+    "dedup_semantic_index_lifecycle",
+    "stream_ann_index_pipeline",
+    # -- (2) code path changed in round 9 --------------------------------------
+    "dedup_clusters",
+    "dedup_keeplist",
+    "similarity_pq_index_search",
+    # -- (3) last certified round 6 (43 rows) ----------------------------------
+    "q_cube_status_priority",
+    "events_variant_props",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_events_pivot",
+    "q_union_except",
+    "q_part_cooccurrence",
+    "q_events_value_stats",
+    "q_daily_revenue_ma7",
+    "q_customer_value_deciles",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_verified",
+    "text_token_count",
+    "text_fingerprint",
+    "split_train_val_test",
+    "text_contamination",
+    "text_char_entropy",
+    "text_contamination_bloom",
+    "corpus_top_ngrams",
+    "text_repetition",
+    "text_tfidf_topk",
+    "profile_lineitem_columns",
+    "split_grouped_by_source",
+    "sample_source_mixture",
+    "text_chunking",
+    "text_sequence_packing",
+    "text_normalize",
+    "text_pii_redact",
+    "corpus_dup_rate_by_source",
+    "text_lang_mismatch",
+    "sample_token_budget",
+    "corpus_bpe_pairs",
+    "corpus_bpe_train",
+    "corpus_bpe_encode",
+    "dedup_keeplist_longest",
+    "text_line_dedup",
+    "dedup_semantic_keeplist",
+    "similarity_pq_exact",
+    "similarity_ivfpq_exact",
+    "similarity_pq_codes",
+    "text_substring_dedup",
+    "dedup_semantic_clustered",
+    # -- (4) born round 9 (certified in their birth round, unlike the two
+    #        round-8 rows above that had to wait a round) --------------------
+    "dedup_semantic_collapsed",
+    "similarity_ivfpq_residual",
 ]
 
 

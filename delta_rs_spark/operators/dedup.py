@@ -672,6 +672,53 @@ def semantic_keeplist(
     return emb.select(id_col).join(losers, id_col, "left_anti")
 
 
+def semantic_keeplist_collapsed(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kw,
+) -> DataFrame:
+    """`semantic_keeplist` with the Θ(c²) degeneracy guard built in:
+    collapse EXACT-duplicate vectors first (one shuffle keyed on the vector
+    bytes — the same plan as `exact_dedup`), run the semantic keeplist over
+    the per-group keepers only, and every collapsed copy is a loser by
+    construction.
+
+    PROVABLY equal to ``semantic_keeplist(emb, ...)``:
+
+    - identical non-zero vectors have round-4 cosine exactly 1.0 ≥ θ, so an
+      exact-dup group is a clique in the pair graph — only its min id can
+      ever survive, and that min id IS the group's keeper;
+    - any cross-group pair scores identically to its keepers' pair (the
+      vectors are byte-equal), so the keeper graph is the exact quotient of
+      the full graph and component minima coincide (each keeper is its
+      group's minimum);
+    - zero-norm vectors have NULL cosine against everything — never paired,
+      always survivors — so they bypass the collapse and pass through.
+
+    WHY it exists: the one-shot keeplist and the persisted semantic index
+    both materialize Θ(c²) pairs for a duplicate cluster of size c. Real
+    corpora carry boilerplate clusters of 10⁵-10⁷ byte-identical documents;
+    collapsing them first reduces c to the count of DISTINCT near-duplicate
+    variants, which is what the quadratic residual should be spent on.
+    Pinned equal to the uncollapsed path on a corpus with a degenerate
+    exact-dup cluster in tests/test_operators.py, and certified against the
+    same recursive-CTE oracle as `semantic_keeplist` (catalog row
+    ``dedup_semantic_collapsed``)."""
+    nonzero = F.exists(vec_col, lambda x: x != F.lit(0.0))
+    keepers = (
+        emb.filter(nonzero)
+        .groupBy(vec_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, vec_col)
+    )
+    keep = semantic_keeplist(
+        keepers, threshold=threshold, id_col=id_col, vec_col=vec_col, **kw
+    )
+    return keep.unionByName(emb.filter(~nonzero).select(id_col))
+
+
 def semantic_keeplist_oracle_sql(table: str = "embeddings", threshold: float = 0.4) -> str:
     """Recursive-CTE reachability over the exact cosine pair graph."""
     return f"""
@@ -900,8 +947,8 @@ def update_semantic_index(
     corpora carry boilerplate clusters of 10⁵-10⁷ near-identical documents,
     and at 100 TB one such cluster's pairs would dwarf the corpus. The
     index therefore ASSUMES exact duplicates are collapsed upstream (route
-    the corpus through `dedup_exact` / `exact_dup_groups` first — star
-    edges from each group's keeper reconnect the group in the keeplist),
+    the corpus through `exact_dedup` first and index only the keepers —
+    the keeplist re-expands to the collapsed copies by exact-key lookup),
     and every refresh reports ``max_list_candidates`` — the largest
     per-probed-list candidate-comparison count (|new probe rows| × |list
     members|) of the window, a bounded ≤ n_list-row aggregate. Pass
@@ -1099,7 +1146,7 @@ def update_semantic_index(
                     f"semantic-index refresh would compare ~{max_cand} candidate"
                     f" pairs in one probed list (cap {max_list_candidates}):"
                     " degenerate duplicate cluster — collapse exact duplicates"
-                    " upstream (operators.dedup.dedup_exact) or raise the cap"
+                    " upstream (operators.dedup.exact_dedup) or raise the cap"
                 )
             cand = (
                 new_assign.join(members, "list_id")

@@ -971,6 +971,36 @@ def random_projection_oracle_sql(
 # Product quantization (PQ / ADC)
 # ---------------------------------------------------------------------------
 
+def _cents_df(spark, cents: list[list[float]]):
+    """The IVF centroid table as a tiny broadcastable frame (n_list rows —
+    driver-held KB-MB by the sqrt rule). Used wherever a per-row centroid
+    VECTOR is needed (residual encode/score); plain list ASSIGNMENT stays
+    the literal-codegen `_assign_lists` path (no join at all)."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list_id int, _cent array<double>",
+    )
+
+
+def _attach_residual(df: DataFrame, cents: list[list[float]], prefix: str) -> DataFrame:
+    """Replace ``{prefix}_v`` with its coarse-quantizer RESIDUAL
+    (unit vector − assigned list's centroid) — the IVFADC decomposition
+    (Jégou et al. 2011 §IV): u = cent[l(u)] + r(u), so codebooks trained
+    and codes assigned on r quantize only the WITHIN-list variation the
+    coarse tier can't express. ``df`` must already carry ``list_id`` (one
+    row per vector, n_probe=1 assignment) and a unit-normalized
+    ``{prefix}_v``. One broadcast join against the n_list-row centroid
+    frame; the subtraction is codegen."""
+    return (
+        df.join(F.broadcast(_cents_df(df.sparkSession, cents)), "list_id")
+        .withColumn(
+            f"{prefix}_v",
+            F.zip_with(f"{prefix}_v", "_cent", lambda a, b: a - b),
+        )
+        .drop("_cent")
+    )
+
+
 def _l2_argmin_expr(cents: list[list[float]], vec, round_digits: int | None = None):
     """Codegen argmin over literal centroids: array of squared-L2
     distances, struct-sorted (dist, idx) ascending, first index — ties
@@ -1031,11 +1061,25 @@ def train_pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    cents: list[list[float]] | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace L2 k-means codebooks over the unit-normalized corpus —
     the PQ trainer (Jégou et al. 2011, "Product Quantization for Nearest
     Neighbor Search"). m · k_codes · (dim/m) doubles live on the driver
     (KB), like the IVF centroids.
+
+    With ``cents`` (IVF coarse centroids), codebooks train on each
+    vector's coarse-quantizer RESIDUAL instead (u − cent[l(u)], the IVFADC
+    form): on clustered corpora the unit vectors' variance is dominated by
+    BETWEEN-cluster structure the coarse tier already encodes, so raw-form
+    codebooks spend their k_codes cells on it and can no longer rank
+    WITHIN a list — measured at n=20k/25 clusters: probe-ratio-0.125
+    recall 0.70 raw vs ≥0.9 residual at the same m=8/k=16 knobs (raising
+    raw k_codes to 64 also restores 0.92, but the argmin expression — and
+    its codegen compile time — grows linearly with k_codes; residuals keep
+    the cheap books). Residual books only make sense consumed by a
+    residual scorer (`ivf_pq_topk(residual=True)` / a
+    ``deltars.pq.residual`` index).
 
     ALL m subspaces train in ONE distributed pass per Lloyd iteration:
     every row evaluates its m codegen argmins at once, one posexplode
@@ -1052,6 +1096,8 @@ def train_pq_codebooks(
     EAGER-BUILD CONTRACT: unless ``dim`` is supplied, one bounded job reads
     a single row to size the subspaces."""
     c = _unit(_with_norm(corpus, id_col, vec_col, "c"), "c")
+    if cents is not None:
+        c = _attach_residual(_assign_lists(c, cents, "c", 1), cents, "c")
     if dim is None:
         dim = len(c.select("c_v").first()[0])
     if dim % m:
@@ -1118,15 +1164,23 @@ def pq_codes(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 9,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """(id, code_0..code_{m-1}) — each unit vector's per-subspace L2-argmin
     codeword, entirely in codegen (the m·k_codes centroid literals fold
     into the plan like the LSH sign matrix). At scale these m small ints
     are what you PERSIST next to (or instead of) the float vector: the
-    whole corpus scans at m bytes/vector during candidate generation."""
+    whole corpus scans at m bytes/vector during candidate generation.
+
+    With ``cents`` the encoded vector is the coarse-quantizer RESIDUAL
+    (see `train_pq_codebooks`) — ``books`` must then be residual-trained
+    under the SAME centroids, the invariant the persisted index's
+    ``deltars.pq.residual`` configuration pins."""
     m = len(books)
     sub = len(books[0][0])
     c = _unit(_with_norm(corpus, id_col, vec_col, "c"), "c")
+    if cents is not None:
+        c = _attach_residual(_assign_lists(c, cents, "c", 1), cents, "c")
     return c.select(
         F.col("c_id").alias(id_col),
         *[
@@ -1314,6 +1368,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_rows: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the production composition (FAISS's IVFPQ shape) of the two
     index tiers — an IVF coarse quantizer prunes WHICH vectors are
@@ -1323,6 +1378,24 @@ def ivf_pq_topk(
     table lookups instead of a 4·dim-byte float read and dim multiplies).
     The top k·oversample ADC candidates take the exact rerank, identical
     scoring to `cosine_topk`.
+
+    ``residual=True`` switches the PQ stage to the IVFADC residual form
+    (Jégou et al. 2011 §IV): codes quantize u − cent[l(u)] and the ADC
+    score adds the exact q·cent[l] term per probed list (u = cent + r ⟹
+    q·u = q·cent + q·r, with q·cent computed exactly — one broadcast join
+    of the QUERY-probe frame against the n_list-row centroid table — and
+    q·r the usual ADC table sum). On clustered corpora the raw form's
+    codebooks saturate on between-cluster structure and within-list
+    ranking degrades with growth (measured n=2k → 20k at probe ratio
+    0.125: recall 0.9+ → 0.70); the residual form holds the floor at the
+    same cheap m/k_codes knobs (tests/test_clustered_recall.py pins both
+    sides at both sizes). Explicit ``books`` must then be residual-trained
+    under the SAME ``cents`` (`train_pq_codebooks(cents=...)`). At
+    ``n_probe = n_list`` and exhaustive oversample the output still
+    provably equals brute force — the exact rerank is encoding-agnostic
+    (certified row ``similarity_ivfpq_residual``). Default stays raw this
+    round: the flip is staged behind the dependent certified oracles
+    (knn-graph, recall contracts) re-entering the window.
 
     Why the composition is what survives 100 TB: standalone PQ still scans
     every vector per query (cheaply, but linearly) — its recall-vs-
@@ -1377,7 +1450,13 @@ def ivf_pq_topk(
     cents = train_ivf_centroids(corpus, n_list, iters, id_col, vec_col)
     if books is None:
         books = train_pq_codebooks(
-            corpus, m=m, k_codes=k_codes, iters=iters, id_col=id_col, vec_col=vec_col
+            corpus,
+            m=m,
+            k_codes=k_codes,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            cents=cents if residual else None,
         )
     m = len(books)
     k_codes = len(books[0])
@@ -1385,13 +1464,18 @@ def ivf_pq_topk(
 
     c = _assign_lists(_with_norm(corpus, id_col, vec_col, "c"), cents, "c", 1)
     cu = F.transform("c_v", lambda x: x / F.col("c_norm"))
+    if residual:
+        c = c.join(F.broadcast(_cents_df(corpus.sparkSession, cents)), "list_id")
+        enc = F.zip_with(cu, F.col("_cent"), lambda a, b: a - b)
+    else:
+        enc = cu
     cc = c.select(
         "list_id",
         "c_id",
         "c_v",
         "c_norm",
         *[
-            _l2_argmin_expr(books[j], F.slice(cu, j * sub + 1, sub)).alias(
+            _l2_argmin_expr(books[j], F.slice(enc, j * sub + 1, sub)).alias(
                 f"_code_{j}"
             )
             for j in range(m)
@@ -1400,13 +1484,24 @@ def ivf_pq_topk(
     q = _assign_lists(_with_norm(queries, id_col, vec_col, "q"), cents, "q", n_probe)
     qu = F.transform("q_v", lambda x: x / F.col("q_norm"))
     qq = q.withColumn("_adc", _adc_table(books, qu))
+    if residual:
+        # the exact q·cent[l] half of the IVFADC score — query-side only
+        # (|queries|·n_probe rows joined against n_list centroid rows)
+        qq = (
+            qq.join(F.broadcast(_cents_df(queries.sparkSession, cents)), "list_id")
+            .withColumn("_qdotc", _dot(qu, F.col("_cent")))
+            .drop("_cent")
+        )
 
     # each corpus vector lives in exactly one list, so (query, neighbor)
     # pairs are already unique across the probe join — no dedup shuffle
+    score = _adc_score(m, k_codes, lambda j: F.col(f"_code_{j}"))
+    if residual:
+        score = score + F.col("_qdotc")
     scored = (
         qq.join(cc, "list_id")
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("qscore", _adc_score(m, k_codes, lambda j: F.col(f"_code_{j}")))
+        .withColumn("qscore", score)
     )
 
     return _screened_topk(
@@ -1428,6 +1523,7 @@ def ivf_pq_topk(
 _PQ_BOOKS_KEY = "deltars.pq.codebooks"
 _PQ_CENTS_KEY = "deltars.pq.centroids"
 _PQ_MSE_KEY = "deltars.pq.mse0"
+_PQ_RESIDUAL_KEY = "deltars.pq.residual"
 
 
 def _quantization_mse_col(books: list[list[list[float]]], unit_vec) -> "F.Column":
@@ -1471,6 +1567,7 @@ def quantization_mse_df(
     books: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """One-row frame ``(mse double)``: mean PQ quantization error of
     ``df``'s vectors under ``books``. The mean is an exact DECIMAL sum
@@ -1478,8 +1575,12 @@ def quantization_mse_df(
     repartition-invariant, and recomputable bit-for-bit by a SQL engine
     (`quantization_mse_oracle_sql`), the same certification shape as the
     encode path. One distributed pass; nothing corpus-sized leaves the
-    executors."""
+    executors. With ``cents`` the error is measured on the coarse-quantizer
+    residual — the domain residual-trained books actually reconstruct, so
+    a residual index's drift ratio compares like with like."""
     u = _unit(_with_norm(df, id_col, vec_col, "c"), "c")
+    if cents is not None:
+        u = _attach_residual(_assign_lists(u, cents, "c", 1), cents, "c")
     err = _quantization_mse_col(books, F.col("c_v"))
     return u.agg(
         F.round(
@@ -1489,8 +1590,10 @@ def quantization_mse_df(
     )
 
 
-def _quantization_mse(df: DataFrame, books, id_col: str, vec_col: str) -> float:
-    row = quantization_mse_df(df, books, id_col, vec_col).collect()[0]
+def _quantization_mse(
+    df: DataFrame, books, id_col: str, vec_col: str, cents=None
+) -> float:
+    row = quantization_mse_df(df, books, id_col, vec_col, cents).collect()[0]
     return float(row["mse"]) if row["mse"] is not None else 0.0
 
 
@@ -1600,7 +1703,12 @@ def pq_index_drift(
             "created before drift tracking; rebuild to enable it"
         )
     baseline = float(base)
-    current = _quantization_mse(corpus, books, id_col, vec_col)
+    # residual indexes measure drift on the residual domain — the quantity
+    # mse0 was taken over at creation, so the ratio compares like with like
+    res_cents = None
+    if t.metadata().configuration.get(_PQ_RESIDUAL_KEY) == "true":
+        res_cents = json.loads(t.metadata().configuration[_PQ_CENTS_KEY])
+    current = _quantization_mse(corpus, books, id_col, vec_col, res_cents)
     # a zero baseline (corpus perfectly quantizable at creation — degenerate
     # but legal) must read 1.0 while current stays zero, not inf: inf-on-
     # unchanged would trigger a rebuild loop the moment nothing drifted
@@ -1711,8 +1819,17 @@ def update_pq_index(
     n_list: int | str | None = None,
     cents: list[list[float]] | None = None,
     compact_threshold_files: int | None = None,
+    residual: bool = False,
 ) -> dict:
     """Incrementally maintain a persisted PQ index over a Delta corpus.
+
+    ``residual=True`` (creation-time knob, requires the IVF tier) stores
+    IVFADC residual codes: codebooks train on — and codes quantize —
+    u − cent[l(u)] instead of the raw unit vector, and the marker is
+    serialized as ``deltars.pq.residual`` so search/drift/refresh always
+    agree on the encoding (an index invariant, exactly like the books).
+    See `ivf_pq_topk(residual=...)` for the measured growth motivation;
+    an index without the marker keeps raw scoring forever.
 
     The index is itself a Delta table of ``(id, code_0..code_{m-1})`` — one
     m-byte row per corpus vector — with the codebooks serialized into the
@@ -1817,16 +1934,10 @@ def update_pq_index(
         books = json.loads(stored)
         stored_c = index.metadata().configuration.get(_PQ_CENTS_KEY)
         cents = json.loads(stored_c) if stored_c else None
+        residual = (
+            index.metadata().configuration.get(_PQ_RESIDUAL_KEY) == "true"
+        )
     else:
-        if books is None:
-            books = train_pq_codebooks(
-                corpus_table.to_df(spark),
-                m=m,
-                k_codes=k_codes,
-                iters=iters,
-                id_col=id_col,
-                vec_col=vec_col,
-            )
         if cents is None and n_list is not None:
             if n_list == "auto":
                 n = corpus_table.count_rows()
@@ -1835,6 +1946,21 @@ def update_pq_index(
                 n_list = max(8, math.ceil(math.sqrt(n)))
             cents = train_ivf_centroids(
                 corpus_table.to_df(spark), n_list, iters, id_col, vec_col
+            )
+        if residual and cents is None:
+            raise ValueError(
+                "residual=True requires the IVF tier (pass n_list or cents):"
+                " residual codes quantize u − cent[l(u)]"
+            )
+        if books is None:
+            books = train_pq_codebooks(
+                corpus_table.to_df(spark),
+                m=m,
+                k_codes=k_codes,
+                iters=iters,
+                id_col=id_col,
+                vec_col=vec_col,
+                cents=cents if residual else None,
             )
 
     net = _net_corpus_changes(
@@ -1875,7 +2001,13 @@ def update_pq_index(
             upserted = net.filter(F.col("_change_type") != "delete").select(
                 id_col, vec_col
             )
-            fresh_codes = pq_codes(upserted, books, id_col=id_col, vec_col=vec_col)
+            fresh_codes = pq_codes(
+                upserted,
+                books,
+                id_col=id_col,
+                vec_col=vec_col,
+                cents=cents if residual else None,
+            )
             if cents is not None:
                 # nearest-centroid partition key — change-sized join, and a
                 # re-encoded vector moves partitions through the same MERGE
@@ -1890,11 +2022,19 @@ def update_pq_index(
                     # pq_index_drift ratios against (one DECIMAL-mean pass
                     # over the seed corpus, committed WITH the index)
                     _PQ_MSE_KEY: repr(
-                        _quantization_mse(upserted, books, id_col, vec_col)
+                        _quantization_mse(
+                            upserted,
+                            books,
+                            id_col,
+                            vec_col,
+                            cents if residual else None,
+                        )
                     ),
                 }
                 if cents is not None:
                     config[_PQ_CENTS_KEY] = json.dumps(cents)
+                if residual:
+                    config[_PQ_RESIDUAL_KEY] = "true"
                 write_deltalake(
                     spark,
                     fresh_codes,
@@ -1985,6 +2125,12 @@ def pq_index_search(
     m, k_codes = len(books), len(books[0])
     stored_c = t.metadata().configuration.get(_PQ_CENTS_KEY)
     cents = json.loads(stored_c) if stored_c else None
+    residual = t.metadata().configuration.get(_PQ_RESIDUAL_KEY) == "true"
+    if residual and cents is None:
+        raise ValueError(
+            f"{index_uri} is marked {_PQ_RESIDUAL_KEY} but carries no"
+            f" {_PQ_CENTS_KEY} — corrupt index configuration"
+        )
 
     n = t.count_rows()
     if n is None:  # stats-free files: one bounded count job
@@ -2002,6 +2148,19 @@ def pq_index_search(
         q = _assign_lists(_with_norm(queries, id_col, vec_col, "q"), cents, "q", n_probe)
         qu = F.transform("q_v", lambda x: x / F.col("q_norm"))
         qq = q.withColumn("_adc", _adc_table(books, qu))
+        if residual:
+            # exact q·cent[l] half of the IVFADC score, folded into the
+            # query-probe frame BEFORE it broadcasts (the centroid frame is
+            # n_list rows — driver-bounded by the sqrt rule, same size
+            # class as the assignment literals)
+            qq = (
+                qq.join(
+                    F.broadcast(_cents_df(queries.sparkSession, cents)),
+                    "list_id",
+                )
+                .withColumn("_qdotc", _dot(qu, F.col("_cent")))
+                .drop("_cent")
+            )
         # bounded driver artifact (≤ |queries|·n_probe ints — the probe set
         # is small by contract): the union of probed lists becomes a Delta
         # PARTITION FILTER, so unprobed lists' files are pruned in the log
@@ -2014,12 +2173,13 @@ def pq_index_search(
         ).select(
             "list_id", F.col(id_col).alias("c_id"), *[f"code_{j}" for j in range(m)]
         )
+        score = _adc_score(m, k_codes, lambda j: F.col(f"code_{j}"))
+        if residual:
+            score = score + F.col("_qdotc")
         scored = (
             idx.join(F.broadcast(qq), "list_id")
             .filter(F.col("q_id") != F.col("c_id"))
-            .withColumn(
-                "qscore", _adc_score(m, k_codes, lambda j: F.col(f"code_{j}"))
-            )
+            .withColumn("qscore", score)
         )
     else:
         if oversample is None:
@@ -2233,6 +2393,9 @@ def rebuild_pq_index(
     old_books = json.loads(stored)
     m, k_codes = len(old_books), len(old_books[0])
     had_tier = old.metadata().configuration.get(_PQ_CENTS_KEY) is not None
+    had_residual = (
+        old.metadata().configuration.get(_PQ_RESIDUAL_KEY) == "true"
+    )
 
     res = update_pq_index(
         spark,
@@ -2245,5 +2408,8 @@ def rebuild_pq_index(
         k_codes=k_codes,
         iters=iters,
         n_list="auto" if had_tier else None,
+        # encoding is an index invariant — the rebuild preserves it (fresh
+        # centroids AND books retrain, but residual stays residual)
+        residual=had_residual,
     )
     return {"rebuilt": True, "ratio": ratio, "index_uri": new_index_uri, **res}

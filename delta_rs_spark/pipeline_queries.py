@@ -1909,6 +1909,20 @@ def q_semantic_keeplist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.semantic_keeplist(emb, threshold=0.4).orderBy("vec_id")
 
 
+@query("dedup_semantic_collapsed", dedup.semantic_keeplist_oracle_sql())
+def q_semantic_keeplist_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degeneracy-safe SemDeDup path (round 9): exact-duplicate vectors
+    collapse to their min-id keeper BEFORE pair enumeration, so a 10⁷-copy
+    boilerplate cluster costs one shuffle group instead of Θ(c²) pairs —
+    and the result is provably identical to `dedup_semantic_keeplist`
+    (identical vectors are cliques whose only possible survivor is the
+    keeper; the keeper graph is the exact quotient of the full pair graph).
+    Certified against the SAME recursive-CTE oracle as the uncollapsed row:
+    equality is the contract, hashed by the driver."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_keeplist_collapsed(emb, threshold=0.4).orderBy("vec_id")
+
+
 @query("similarity_pq_topk", None)
 def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization top-k (Jégou et al. ADC): 16 subspaces x 16
@@ -1991,6 +2005,29 @@ def q_similarity_ivfpq_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=8,
         oversample=1_000_000,
         books=_cached_pq_books(spark, sf_dir),
+    )
+
+
+@query("similarity_ivfpq_residual", _BRUTE_FORCE_TOPK_ORACLE)
+def q_similarity_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-oracle certification of the IVFADC RESIDUAL path (round 9):
+    residual-trained codebooks, residual encode, and the two-term
+    q·cent[l] + ADC(q, residual) score, driven exhaustively (every list
+    probed, every candidate kept) so the exact rerank must equal brute
+    force row for row against the shared oracle. A sign flip in the
+    residual subtraction, a centroid-frame join mismatch, or a missing
+    q·cent term reorders the candidate pool and flips this row red. The
+    growth motivation (probe-ratio-0.125 recall 0.70 raw → ≥0.9 residual
+    at n=20k) is pinned in tests/test_clustered_recall.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_list=8,
+        n_probe=8,
+        oversample=1_000_000,
+        residual=True,
     )
 
 

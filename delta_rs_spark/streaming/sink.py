@@ -200,6 +200,17 @@ class IndexMaintainingSink(ExactlyOnceDeltaSink):
     the latest refresh metrics for monitoring (pair with
     `pq_index_drift` on the rebuild schedule).
 
+    ``refresh_every_n`` decouples index freshness from batch latency: at
+    high-rate streams a synchronous MERGE refresh per micro-batch would
+    dominate the batch time, so with cadence N only epochs where
+    ``epoch_id % N == 0`` pay the refresh — the decision is keyed on the
+    deterministic epoch id, so replays agree with the original run. The
+    skipped epochs are SAFE, not lost: the index watermark rides corpus
+    versions, so the next refreshing epoch folds the whole accumulated
+    CDF window (work stays ∝ what changed, it just arrives in fewer,
+    larger MERGEs). Skipped epoch ids are recorded in
+    ``skipped_refreshes`` for monitoring index lag.
+
     Usage::
 
         sink = IndexMaintainingSink(corpus_uri, index_uri, app_id="ann")
@@ -218,7 +229,11 @@ class IndexMaintainingSink(ExactlyOnceDeltaSink):
         compact_threshold_files: Optional[int] = None,
         m: int = 16,
         k_codes: int = 16,
+        refresh_every_n: int = 1,
+        residual: bool = False,
     ):
+        if refresh_every_n < 1:
+            raise ValueError("refresh_every_n must be >= 1")
         super().__init__(
             table_uri,
             app_id,
@@ -232,13 +247,21 @@ class IndexMaintainingSink(ExactlyOnceDeltaSink):
         self.compact_threshold_files = compact_threshold_files
         self.m = m
         self.k_codes = k_codes
+        self.refresh_every_n = refresh_every_n
+        self.residual = residual
         self.last_refresh: Optional[dict] = None
+        self.skipped_refreshes: list[int] = []
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..operators.similarity import update_pq_index
         from ..table import DeltaTable
 
         super().__call__(batch_df, epoch_id)
+        if self.refresh_every_n > 1 and epoch_id % self.refresh_every_n:
+            # off-cadence epoch: append landed, refresh deferred — the next
+            # on-cadence epoch's CDF window folds this one (watermark-safe)
+            self.skipped_refreshes.append(epoch_id)
+            return
         spark = (
             batch_df.sparkSession
             if hasattr(batch_df, "sparkSession")
@@ -256,4 +279,5 @@ class IndexMaintainingSink(ExactlyOnceDeltaSink):
             k_codes=self.k_codes,
             n_list=self.n_list,
             compact_threshold_files=self.compact_threshold_files,
+            residual=self.residual,
         )

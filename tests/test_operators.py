@@ -939,6 +939,34 @@ def test_semantic_keeplist_min_id_survives(spark):
     assert kept == [0, 2]
 
 
+def test_semantic_keeplist_collapsed_equals_uncollapsed_on_degenerate_cluster(
+    spark,
+):
+    """The degeneracy-safe path's equality proof, exercised on exactly the
+    corpus shape it exists for: a 500-copy byte-identical cluster (Θ(c²) =
+    ~125k pairs for the uncollapsed path, ONE group for the collapsed one),
+    a scaled near-dup of it under a different keeper, an orthogonal
+    singleton, and two zero vectors (never pairable — both must survive and
+    must NOT be collapsed together)."""
+    from delta_rs_spark.operators import dedup
+
+    rows = (
+        [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(100, 600)]  # exact clones
+        + [(50, [2.0, 0.0, 0.0, 0.0])]   # near-dup of the clones, smaller id
+        + [(7, [0.0, 1.0, 0.0, 0.0])]    # orthogonal singleton
+        + [(1, [0.0] * 4), (2, [0.0] * 4)]  # zero vectors
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fast = sorted(
+        r.vec_id
+        for r in dedup.semantic_keeplist_collapsed(df, threshold=0.9).collect()
+    )
+    slow = sorted(
+        r.vec_id for r in dedup.semantic_keeplist(df, threshold=0.9).collect()
+    )
+    assert fast == slow == [1, 2, 7, 50]
+
+
 # ---------------------------------------------------------------------------
 # Round-3 late additions: unigram LM, global shuffle shards, random projection
 # ---------------------------------------------------------------------------

@@ -329,6 +329,7 @@ KEEPLIST_ROWS = [
     "dedup_keeplist_longest",
     "dedup_semantic_keeplist",
     "dedup_semantic_clustered",
+    "dedup_semantic_collapsed",
 ]
 
 

