@@ -89,5 +89,7 @@ def test_rows_only_family_is_closed():
         "similarity_lsh_topk",
         "similarity_pq_topk",
         "similarity_quantized_topk",
-    ], f"rows-only set changed: {rows_only} — new approximate ops need an "
-    "exact companion + recall contract AND a deliberate edit here"
+    ], (
+        f"rows-only set changed: {rows_only} — new approximate ops need an "
+        "exact companion + recall contract AND a deliberate edit here"
+    )
