@@ -863,3 +863,32 @@ def test_residual_index_lifecycle_and_invariants(spark, emb001, tmp_path):
         DeltaTable(idx2).metadata().configuration[similarity._PQ_RESIDUAL_KEY]
         == "true"
     )
+
+
+def test_residual_marker_without_cents_is_rejected(spark, tmp_path):
+    """A deltars.pq.residual marker with no centroid configuration is a
+    corrupt index (residual codes are meaningless without the coarse
+    quantizer) — search must refuse loudly, not score garbage."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark, df, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    books = similarity.pq_random_codebooks(2, 1, 4)
+    similarity.update_pq_index(spark, DeltaTable(src), idx, books=books)
+    # simulate the corruption: marker set, centroids absent (metadata
+    # recommit, the same shape as drop_constraint's config edit)
+    import dataclasses as _dc
+
+    t = DeltaTable(idx)
+    meta = t.metadata()
+    cfg = dict(meta.configuration or {})
+    cfg[similarity._PQ_RESIDUAL_KEY] = "true"
+    txn = t.begin()
+    txn.add_action(_dc.replace(meta, configuration=cfg))
+    txn.commit(operation="SET TBLPROPERTIES", operation_parameters={})
+    with pytest.raises(ValueError, match="corrupt index configuration"):
+        similarity.pq_index_search(spark, idx, df, df.limit(1), k=3)
