@@ -89,8 +89,23 @@ _ROTATION = [
 ]
 
 
+# the driver certifies exactly this many names off the front of queries()
+WINDOW = 50
+
+
 def _apply_rotation() -> None:
-    ordered = [n for n in _ROTATION if n in QUERIES]
+    # A typo or a renamed query in _ROTATION would silently shrink the
+    # certification window and promote an arbitrary registration-order row
+    # into it, defeating the rotation promise test_rotation_freshness.py
+    # enforces — fail loudly at import instead (ADVICE r9).
+    unknown = [n for n in _ROTATION if n not in QUERIES]
+    assert not unknown, f"_ROTATION names not registered in QUERIES: {unknown}"
+    assert len(_ROTATION) == len(set(_ROTATION)), "_ROTATION has duplicates"
+    assert len(_ROTATION) == WINDOW, (
+        f"_ROTATION must list exactly the {WINDOW}-row window,"
+        f" got {len(_ROTATION)}"
+    )
+    ordered = list(_ROTATION)
     rest = [n for n in QUERIES if n not in set(ordered)]
     snapshot = dict(QUERIES)
     QUERIES.clear()

@@ -695,7 +695,12 @@ def semantic_keeplist_collapsed(
       the full graph and component minima coincide (each keeper is its
       group's minimum);
     - zero-norm vectors have NULL cosine against everything — never paired,
-      always survivors — so they bypass the collapse and pass through.
+      always survivors — so they bypass the collapse and pass through. NULL
+      embeddings (and all-NULL element arrays) take the same pass-through
+      branch: ``F.exists`` evaluates to NULL on them, which both a filter
+      and its negation would drop — the coalesce below pins them to the
+      survivor side, matching the uncollapsed keeplist (NULL cosine is
+      never ≥ θ, so such rows are never losers there either).
 
     WHY it exists: the one-shot keeplist and the persisted semantic index
     both materialize Θ(c²) pairs for a duplicate cluster of size c. Real
@@ -706,7 +711,9 @@ def semantic_keeplist_collapsed(
     exact-dup cluster in tests/test_operators.py, and certified against the
     same recursive-CTE oracle as `semantic_keeplist` (catalog row
     ``dedup_semantic_collapsed``)."""
-    nonzero = F.exists(vec_col, lambda x: x != F.lit(0.0))
+    nonzero = F.coalesce(
+        F.exists(vec_col, lambda x: x != F.lit(0.0)), F.lit(False)
+    )
     keepers = (
         emb.filter(nonzero)
         .groupBy(vec_col)

@@ -1165,6 +1165,7 @@ def pq_codes(
     vec_col: str = "embedding",
     round_digits: int | None = 9,
     cents: list[list[float]] | None = None,
+    emit_list_id: bool = False,
 ) -> DataFrame:
     """(id, code_0..code_{m-1}) — each unit vector's per-subspace L2-argmin
     codeword, entirely in codegen (the m·k_codes centroid literals fold
@@ -1175,14 +1176,24 @@ def pq_codes(
     With ``cents`` the encoded vector is the coarse-quantizer RESIDUAL
     (see `train_pq_codebooks`) — ``books`` must then be residual-trained
     under the SAME centroids, the invariant the persisted index's
-    ``deltars.pq.residual`` configuration pins."""
+    ``deltars.pq.residual`` configuration pins. ``emit_list_id`` (requires
+    ``cents``) also returns the assignment the residual was taken against:
+    a persisted index MUST partition by THIS list_id, not a re-derived
+    one — assignment is norm-invariant in exact arithmetic, but a
+    floating-point near-tie between two centroid dots can resolve
+    differently over raw-norm vs unit vectors, persisting a code whose
+    residual centroid differs from the partition whose q·cent[l] term the
+    search adds (ADVICE r9)."""
     m = len(books)
     sub = len(books[0][0])
+    if emit_list_id and cents is None:
+        raise ValueError("emit_list_id=True requires cents")
     c = _unit(_with_norm(corpus, id_col, vec_col, "c"), "c")
     if cents is not None:
         c = _attach_residual(_assign_lists(c, cents, "c", 1), cents, "c")
     return c.select(
         F.col("c_id").alias(id_col),
+        *(["list_id"] if emit_list_id else []),
         *[
             _l2_argmin_expr(
                 books[j], F.slice("c_v", j * sub + 1, sub), round_digits
@@ -1707,7 +1718,15 @@ def pq_index_drift(
     # mse0 was taken over at creation, so the ratio compares like with like
     res_cents = None
     if t.metadata().configuration.get(_PQ_RESIDUAL_KEY) == "true":
-        res_cents = json.loads(t.metadata().configuration[_PQ_CENTS_KEY])
+        stored_cents = t.metadata().configuration.get(_PQ_CENTS_KEY)
+        if not stored_cents:
+            # same corruption, same contract as pq_index_search — not a
+            # bare KeyError from the configuration dict
+            raise ValueError(
+                f"{index_uri} is marked {_PQ_RESIDUAL_KEY} but carries no"
+                f" {_PQ_CENTS_KEY} — corrupt index configuration"
+            )
+        res_cents = json.loads(stored_cents)
     current = _quantization_mse(corpus, books, id_col, vec_col, res_cents)
     # a zero baseline (corpus perfectly quantizable at creation — degenerate
     # but legal) must read 1.0 while current stays zero, not inf: inf-on-
@@ -2007,10 +2026,17 @@ def update_pq_index(
                 id_col=id_col,
                 vec_col=vec_col,
                 cents=cents if residual else None,
+                # residual: the partition list_id comes from the SAME
+                # assignment the residual was encoded against (a second
+                # assignment over raw-norm vectors can flip a FP near-tie
+                # and persist a code under the wrong q·cent[l] partition)
+                emit_list_id=bool(residual and cents is not None),
             )
-            if cents is not None:
-                # nearest-centroid partition key — change-sized join, and a
-                # re-encoded vector moves partitions through the same MERGE
+            if cents is not None and not residual:
+                # raw IVF tier: nearest-centroid partition key — change-
+                # sized join; a re-encoded vector moves partitions through
+                # the same MERGE (codes don't depend on the list here, so
+                # a separate assignment is safe)
                 assigned = _assign_lists(
                     _with_norm(upserted, id_col, vec_col, "c"), cents, "c", 1
                 ).select(F.col("c_id").alias(id_col), "list_id")

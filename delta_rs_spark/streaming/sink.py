@@ -209,7 +209,15 @@ class IndexMaintainingSink(ExactlyOnceDeltaSink):
     versions, so the next refreshing epoch folds the whole accumulated
     CDF window (work stays ∝ what changed, it just arrives in fewer,
     larger MERGEs). Skipped epoch ids are recorded in
-    ``skipped_refreshes`` for monitoring index lag.
+    ``skipped_refreshes`` for monitoring index lag — BOUNDED to the most
+    recent ``_SKIP_LOG_CAP`` ids (a long-running stream with a large
+    cadence would otherwise grow driver memory without limit);
+    ``skipped_refresh_count`` keeps the lifetime total. After the final
+    batch of a finite stream the index can lag behind the corpus until
+    another on-cadence epoch arrives — call ``flush(spark)`` at stream
+    shutdown to run the deferred refresh immediately (idempotent: the
+    refresh window is watermark-driven, so flushing an already-current
+    index is a no-op).
 
     Usage::
 
@@ -251,22 +259,37 @@ class IndexMaintainingSink(ExactlyOnceDeltaSink):
         self.residual = residual
         self.last_refresh: Optional[dict] = None
         self.skipped_refreshes: list[int] = []
+        self.skipped_refresh_count: int = 0
+
+    # skipped_refreshes keeps only the newest this many epoch ids — lag
+    # telemetry, not an audit log (the lifetime total is the counter)
+    _SKIP_LOG_CAP = 64
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
-        from ..operators.similarity import update_pq_index
-        from ..table import DeltaTable
-
         super().__call__(batch_df, epoch_id)
         if self.refresh_every_n > 1 and epoch_id % self.refresh_every_n:
             # off-cadence epoch: append landed, refresh deferred — the next
             # on-cadence epoch's CDF window folds this one (watermark-safe)
+            self.skipped_refresh_count += 1
             self.skipped_refreshes.append(epoch_id)
+            del self.skipped_refreshes[: -self._SKIP_LOG_CAP]
             return
         spark = (
             batch_df.sparkSession
             if hasattr(batch_df, "sparkSession")
             else batch_df.sql_ctx.sparkSession
         )
+        self.flush(spark)
+
+    def flush(self, spark) -> dict:
+        """Run the incremental index refresh NOW over whatever CDF window
+        the corpus-version watermark leaves open. Called by every
+        on-cadence epoch; call it yourself at stream shutdown so a finite
+        stream ending on an off-cadence epoch doesn't leave the index
+        lagging. Idempotent — a current index refreshes an empty window."""
+        from ..operators.similarity import update_pq_index
+        from ..table import DeltaTable
+
         self.last_refresh = update_pq_index(
             spark,
             DeltaTable(self.table_uri),
@@ -281,3 +304,4 @@ class IndexMaintainingSink(ExactlyOnceDeltaSink):
             compact_threshold_files=self.compact_threshold_files,
             residual=self.residual,
         )
+        return self.last_refresh

@@ -946,8 +946,12 @@ def test_semantic_keeplist_collapsed_equals_uncollapsed_on_degenerate_cluster(
     corpus shape it exists for: a 500-copy byte-identical cluster (Θ(c²) =
     ~125k pairs for the uncollapsed path, ONE group for the collapsed one),
     a scaled near-dup of it under a different keeper, an orthogonal
-    singleton, and two zero vectors (never pairable — both must survive and
-    must NOT be collapsed together)."""
+    singleton, two zero vectors (never pairable — both must survive and
+    must NOT be collapsed together), a NULL embedding and an all-NULL
+    element array (ADVICE r9: F.exists is NULL on those, so an uncoalesced
+    filter pair dropped them from BOTH branches — silently deleting the
+    documents; the uncollapsed path keeps them, so equality pins the
+    fix)."""
     from delta_rs_spark.operators import dedup
 
     rows = (
@@ -955,6 +959,7 @@ def test_semantic_keeplist_collapsed_equals_uncollapsed_on_degenerate_cluster(
         + [(50, [2.0, 0.0, 0.0, 0.0])]   # near-dup of the clones, smaller id
         + [(7, [0.0, 1.0, 0.0, 0.0])]    # orthogonal singleton
         + [(1, [0.0] * 4), (2, [0.0] * 4)]  # zero vectors
+        + [(3, None), (4, [None] * 4)]   # NULL embedding / all-NULL elements
     )
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     fast = sorted(
@@ -964,7 +969,7 @@ def test_semantic_keeplist_collapsed_equals_uncollapsed_on_degenerate_cluster(
     slow = sorted(
         r.vec_id for r in dedup.semantic_keeplist(df, threshold=0.9).collect()
     )
-    assert fast == slow == [1, 2, 7, 50]
+    assert fast == slow == [1, 2, 3, 4, 7, 50]
 
 
 # ---------------------------------------------------------------------------

@@ -892,3 +892,56 @@ def test_residual_marker_without_cents_is_rejected(spark, tmp_path):
     txn.commit(operation="SET TBLPROPERTIES", operation_parameters={})
     with pytest.raises(ValueError, match="corrupt index configuration"):
         similarity.pq_index_search(spark, idx, df, df.limit(1), k=3)
+    # drift shares the error contract for the same corruption (ADVICE r9:
+    # it used to leak a bare KeyError from the configuration dict)
+    with pytest.raises(ValueError, match="corrupt index configuration"):
+        similarity.pq_index_drift(spark, idx, df)
+
+
+def test_pq_codes_emit_list_id_single_assignment(spark):
+    """ADVICE r9: the persisted residual index must partition by the SAME
+    list assignment its residuals were encoded against. pq_codes
+    (emit_list_id=True) returns that internal assignment; it must equal
+    the unit-vector assignment (the residual-encode domain) and the codes
+    must be identical to the emit-free call. emit without cents is a
+    contract error."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 5 - 2), float(i % 3), 1.0, 0.5]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = similarity.train_ivf_centroids(df, n_list=4, iters=1)
+    books = similarity.train_pq_codebooks(
+        df, m=2, k_codes=4, iters=1, cents=cents
+    )
+    with_list = similarity.pq_codes(
+        df, books, cents=cents, emit_list_id=True
+    ).collect()
+    plain = {
+        r.vec_id: (r.code_0, r.code_1)
+        for r in similarity.pq_codes(df, books, cents=cents).collect()
+    }
+    # unit-vector assignment — the domain the residual was taken in
+    unit = df.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE) / "
+            "sqrt(aggregate(embedding, 0.0D, (a, x) -> a + x * x)))"
+        ).alias("embedding"),
+    )
+    assigned = {
+        r.vec_id: r.list_id
+        for r in similarity._assign_lists(
+            similarity._with_norm(unit, "vec_id", "embedding", "c"),
+            cents,
+            "c",
+            1,
+        )
+        .select(F.col("c_id").alias("vec_id"), "list_id")
+        .collect()
+    }
+    assert len(with_list) == 40
+    for r in with_list:
+        assert (r.code_0, r.code_1) == plain[r.vec_id]
+        assert r.list_id == assigned[r.vec_id]
+    with pytest.raises(ValueError, match="emit_list_id"):
+        similarity.pq_codes(df, books, emit_list_id=True)

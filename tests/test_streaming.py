@@ -990,6 +990,7 @@ def test_index_sink_refresh_cadence_converges(spark, tmp_path):
             # epochs 1 and 2 appended but deferred the refresh: the index
             # watermark still sits at the bootstrap corpus version
             assert lazy.skipped_refreshes == [1, 2]
+            assert lazy.skipped_refresh_count == 2
             assert (
                 DeltaTable(idx3).get_app_transaction_version("ann-index") == 0
             )
@@ -1003,6 +1004,29 @@ def test_index_sink_refresh_cadence_converges(spark, tmp_path):
         assert got == want
         assert t.get_app_transaction_version("ann-index") == DeltaTable(src).version
     assert lazy.last_refresh["processed_versions"] == 3
+
+    # a finite stream ending OFF-cadence leaves the index lagging until
+    # flush() runs the deferred refresh (ADVICE r9); the skip log is
+    # bounded while the lifetime counter keeps the total
+    src5, idx5 = str(tmp_path / "c5"), str(tmp_path / "i5")
+    tail = IndexMaintainingSink(
+        src5, idx5, app_id="ann", books=books, n_list=4, refresh_every_n=3
+    )
+    tail._SKIP_LOG_CAP = 1
+    for epoch, b in enumerate(batches):  # epochs 1,2 skip; 0 and 3 refresh
+        tail(b, epoch)
+    tail(frame(60, 70), 4)  # the stream ends on an OFF-cadence epoch
+    assert tail.skipped_refreshes == [4] and tail.skipped_refresh_count == 3
+    lag = DeltaTable(idx5).get_app_transaction_version("ann-index")
+    assert lag < DeltaTable(src5).version
+    tail.flush(spark)
+    t5 = DeltaTable(idx5)
+    assert t5.get_app_transaction_version("ann-index") == DeltaTable(src5).version
+    got5 = {tuple(r) for r in t5.to_df(spark).drop("list_id").collect()}
+    want5 = {tuple(r) for r in similarity.pq_codes(frame(0, 70), books).collect()}
+    assert got5 == want5
+    # flushing a current index is a watermark no-op
+    assert tail.flush(spark)["processed_versions"] == 0
 
     with pytest.raises(ValueError, match="refresh_every_n"):
         IndexMaintainingSink(src3, idx3, app_id="x", refresh_every_n=0)
