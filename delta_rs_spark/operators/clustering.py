@@ -67,16 +67,26 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # convergence fingerprint: SUM of xxhash64(label) — works for ANY id
-    # type (a plain SUM over STRING labels casts to NULL non-ANSI, and
-    # None == None would "converge" after one round with wrong clusters)
-    def _label_sum(frame):
-        # decimal sum: a long sum of 64-bit hashes overflows under ANSI
-        return frame.agg(
-            F.sum(F.xxhash64("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
+    # Convergence fingerprint: sums of TWO independently seeded
+    # xxhash64(label) streams, compared as a tuple. Hashing makes the
+    # fingerprint work for ANY id type (a plain SUM over STRING labels
+    # casts to NULL non-ANSI, and None == None would "converge" after one
+    # round with wrong clusters). The honest invariant: labels are
+    # non-increasing per node, but monotonicity does NOT transfer to a sum
+    # of their HASHES — two labels changing in one round can cancel in one
+    # sum (~2⁻⁶⁴ per round), so this is a collision-resistant fingerprint,
+    # not a monotone-sum equivalence; the second seed squares the collision
+    # odds (~2⁻¹²⁸) for the price of one extra codegen hash in the same
+    # single-row aggregate (VERDICT r9).
+    def _fingerprint(frame) -> tuple:
+        # decimal sums: a long sum of 64-bit hashes overflows under ANSI
+        row = frame.agg(
+            F.sum(F.xxhash64("label").cast("decimal(38,0)")),
+            F.sum(F.xxhash64("label", F.lit(1)).cast("decimal(38,0)")),
+        ).collect()[0]
+        return (row[0], row[1])
 
-    prev_sum = _label_sum(labels)
+    prev_sum = _fingerprint(labels)
 
     for _ in range(max_iter):
         neighbor_labels = und.join(
@@ -105,10 +115,10 @@ def connected_components(
             .localCheckpoint(eager=False)
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        new_sum = _label_sum(new_labels)
+        new_sum = _fingerprint(new_labels)
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:  # labels are non-increasing: equal sum ⟺ fixed point
+        if new_sum == prev_sum:  # two-seed fingerprint unchanged ⇒ fixed point
             break
         prev_sum = new_sum
     else:
