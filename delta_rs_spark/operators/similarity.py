@@ -1379,7 +1379,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_rows: int | None = None,
-    residual: bool = False,
+    residual: bool | None = None,
 ) -> DataFrame:
     """IVF-PQ: the production composition (FAISS's IVFPQ shape) of the two
     index tiers — an IVF coarse quantizer prunes WHICH vectors are
@@ -1400,13 +1400,21 @@ def ivf_pq_topk(
     ranking degrades with growth (measured n=2k → 20k at probe ratio
     0.125: recall 0.9+ → 0.70); the residual form holds the floor at the
     same cheap m/k_codes knobs (tests/test_clustered_recall.py pins both
-    sides at both sizes). Explicit ``books`` must then be residual-trained
-    under the SAME ``cents`` (`train_pq_codebooks(cents=...)`). At
-    ``n_probe = n_list`` and exhaustive oversample the output still
-    provably equals brute force — the exact rerank is encoding-agnostic
-    (certified row ``similarity_ivfpq_residual``). Default stays raw this
-    round: the flip is staged behind the dependent certified oracles
-    (knn-graph, recall contracts) re-entering the window.
+    sides at both sizes). Explicit ``residual=True`` ``books`` must be
+    residual-trained under the SAME ``cents`` (`train_pq_codebooks
+    (cents=...)`). At ``n_probe = n_list`` and exhaustive oversample the
+    output still provably equals brute force — the exact rerank is
+    encoding-agnostic (certified row ``similarity_ivfpq_residual``).
+
+    ``residual=None`` (the default) resolves to the IVFADC form whenever
+    the operator trains its OWN codebooks (``books is None``) — the
+    default-knob path ships the encoding the two-size ladder proved
+    scale-stable, not the raw form it measured decaying (round 10; the
+    raw default was VERDICT r9's #1 finding). With EXPLICIT ``books`` the
+    default resolves to raw, because books carry their training domain:
+    every pre-r10 caller trained raw books, and silently scoring raw
+    books as residuals would corrupt the ADC ranking. Pass
+    ``residual=True`` alongside residual-trained books to opt in.
 
     Why the composition is what survives 100 TB: standalone PQ still scans
     every vector per query (cheaply, but linearly) — its recall-vs-
@@ -1448,6 +1456,11 @@ def ivf_pq_topk(
     """
     import math
 
+    if residual is None:
+        # default: IVFADC residual when we train the books ourselves; raw
+        # when the caller's books carry their own (historically raw)
+        # training domain — see the docstring
+        residual = books is None
     if n_list is None or n_probe is None or oversample is None:
         n = n_rows if n_rows is not None else corpus.count()
         if n_list is None:
@@ -1838,7 +1851,7 @@ def update_pq_index(
     n_list: int | str | None = None,
     cents: list[list[float]] | None = None,
     compact_threshold_files: int | None = None,
-    residual: bool = False,
+    residual: bool | None = None,
 ) -> dict:
     """Incrementally maintain a persisted PQ index over a Delta corpus.
 
@@ -1849,6 +1862,17 @@ def update_pq_index(
     agree on the encoding (an index invariant, exactly like the books).
     See `ivf_pq_topk(residual=...)` for the measured growth motivation;
     an index without the marker keeps raw scoring forever.
+
+    ``residual=None`` (the default) resolves at CREATION to the IVFADC
+    form whenever the operator both trains its own codebooks (``books is
+    None``) and has the IVF tier to take residuals against (``n_list`` or
+    ``cents``) — the same default rule, and the same rationale, as
+    `ivf_pq_topk`: the default-knob index gets the scale-stable encoding
+    (round 10), while explicit ``books`` keep the raw domain they were
+    trained in unless the caller passes ``residual=True`` with
+    residual-trained books. Flat indexes (no IVF tier) have no coarse
+    centroids to take residuals against and stay raw. On a refresh the
+    stored marker always wins.
 
     The index is itself a Delta table of ``(id, code_0..code_{m-1})`` — one
     m-byte row per corpus vector — with the codebooks serialized into the
@@ -1966,6 +1990,8 @@ def update_pq_index(
             cents = train_ivf_centroids(
                 corpus_table.to_df(spark), n_list, iters, id_col, vec_col
             )
+        if residual is None:
+            residual = books is None and cents is not None
         if residual and cents is None:
             raise ValueError(
                 "residual=True requires the IVF tier (pass n_list or cents):"

@@ -22,8 +22,8 @@ from .sources.tables import load_table
 
 
 # ---------------------------------------------------------------------------
-# Per-session training cache (VERDICT r6 item #7): the PQ-family catalog rows
-# (pq_topk / pq_exact / ivfpq_topk / ivfpq_exact / the recall contracts) all
+# Per-session training cache (VERDICT r6 item #7): the explicit-books PQ
+# catalog rows (pq_topk / pq_exact / ivfpq_exact) all
 # need the SAME trained artifacts over the same (sf_dir, params) corpus —
 # retraining per row cost ~4 min of driver-window time at sf0.01. Training is
 # DETERMINISTIC (xxhash64 seeds + order-insensitive DECIMAL means, pinned by
@@ -50,8 +50,10 @@ def _cached_n_rows(spark: SparkSession, sf_dir: str, table: str) -> int:
 def _cached_pq_books(
     spark: SparkSession, sf_dir: str, m: int = 16, k_codes: int = 16, iters: int = 2
 ) -> list:
-    """Trained PQ codebooks shared across every PQ-family row in a session
-    (one training pass per driver certification window instead of four)."""
+    """RAW-trained PQ codebooks shared across the flat-PQ rows in a session
+    (pq_topk has no coarse tier to take residuals against) and the
+    explicit-books exact companions. The IVF-PQ default-path rows train
+    their own IVFADC residual books in-call since round 10."""
     key = (sf_dir, "pq_books", m, k_codes, iters)
     if key not in _TRAIN_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
@@ -248,7 +250,12 @@ def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast query block must stay driver-bounded. Exhaustive knobs
     (probe all 8 lists, keep every ADC candidate) make the output provably
     equal the all-pairs brute-force oracle; at production knobs the same
-    call is the scale path (n·n_probe/n_list scanned per query)."""
+    call is the scale path (n·n_probe/n_list scanned per query). Round 10:
+    books are no longer pinned to the shared raw-trained cache — the row
+    runs the DEFAULT path, which now trains IVFADC residual books
+    (exhaustive knobs keep the brute-force equality: the exact rerank is
+    encoding-agnostic, so this row certifies the residual-default
+    composition end to end)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_pq_topk(
         emb,
@@ -257,7 +264,6 @@ def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_list=8,
         n_probe=8,
         oversample=1_000_000,
-        books=_cached_pq_books(spark, sf_dir),
     )
 
 
@@ -351,9 +357,9 @@ _RECALL_CONTRACTS_ORACLE = """
     SELECT * FROM (VALUES
       ('clustered_pairs_precision 8 lists probe 3 t=0.4', CAST(1.0 AS DOUBLE), true),
       ('clustered_pairs_recall 8 lists probe 3 t=0.4', CAST(0.9 AS DOUBLE), true),
-      ('ivf_pq_topk@10 auto-scaled', CAST(0.8 AS DOUBLE), true),
+      ('ivf_pq_topk@10 auto-scaled residual-default', CAST(0.8 AS DOUBLE), true),
       ('ivf_topk@10 8 lists probe 6', CAST(0.85 AS DOUBLE), true),
-      ('knn_graph@5 ivf-pq auto-scaled', CAST(0.8 AS DOUBLE), true),
+      ('knn_graph@5 ivf-pq auto-scaled residual-default', CAST(0.8 AS DOUBLE), true),
       ('lsh_topk@10 4 planes x 16 tables', CAST(0.85 AS DOUBLE), true),
       ('minhash_pair_precision t=0.8', CAST(1.0 AS DOUBLE), true),
       ('minhash_pair_recall t=0.8', CAST(0.95 AS DOUBLE), true),
@@ -469,14 +475,17 @@ def q_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionAll(
+            # round 10: the ivf-pq contracts measure the DEFAULT path —
+            # internally trained IVFADC residual books, the encoding the
+            # two-size ladder proved scale-stable (measured 0.88 @ n=500,
+            # 0.98 @ n=2000; floor 0.8 at both)
             _topk_recall(
-                "ivf_pq_topk@10 auto-scaled",
+                "ivf_pq_topk@10 auto-scaled residual-default",
                 0.8,
                 similarity.ivf_pq_topk(
                     emb,
                     q,
                     k=10,
-                    books=_cached_pq_books(spark, sf_dir),
                     n_rows=_cached_n_rows(spark, sf_dir, "embeddings"),
                 ),
             )
@@ -486,14 +495,14 @@ def q_recall_contracts(spark: SparkSession, sf_dir: str) -> DataFrame:
             # corpus-sized query side at AUTO knobs — the certified
             # similarity_knn_graph row pins exhaustive knobs ≡ brute force;
             # this contract pins what production knobs actually recall
+            # (residual default: 0.94 @ n=500, 0.96 @ n=2000)
             _topk_recall(
-                "knn_graph@5 ivf-pq auto-scaled",
+                "knn_graph@5 ivf-pq auto-scaled residual-default",
                 0.8,
                 similarity.ivf_pq_topk(
                     emb,
                     emb,
                     k=5,
-                    books=_cached_pq_books(spark, sf_dir),
                     n_rows=_cached_n_rows(spark, sf_dir, "embeddings"),
                 ),
                 exact=exact_graph,
@@ -1975,14 +1984,16 @@ def q_similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sf0.01 → sf0.1 — the rerank pool saturated; the auto rule holds
     the probe RATIO and scales the pool, floors pinned at BOTH scales in
     tests/test_recall.py). Rows-only (both tiers train k-means); the
-    composed plumbing is certified exactly by similarity_ivfpq_exact.
-    Codebooks from the per-session training cache."""
+    composed plumbing is certified exactly by similarity_ivfpq_exact (raw
+    books) and similarity_ivfpq_residual (residual books). Round 10: this
+    row takes the FULL default path — internally trained IVFADC residual
+    books, the encoding the two-size ladder proved scale-stable — so the
+    rows-only signal tracks exactly what a default-knob caller gets."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_pq_topk(
         emb,
         emb.filter(F.col("vec_id") < 5),
         k=10,
-        books=_cached_pq_books(spark, sf_dir),
         n_rows=_cached_n_rows(spark, sf_dir, "embeddings"),
     )
 

