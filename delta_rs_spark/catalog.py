@@ -14,78 +14,76 @@ from . import lifecycle_queries as _lifecycle_queries  # noqa: F401  (registers)
 from . import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
 from .queries import QUERIES, headline_queries, oracle_sql, queries
 
-# Round-9 window (stalest-first, VERDICT r8 item #3): (1) the only two
-# catalog rows never driver-certified — born in round 8, swept exact in
-# session logs but without a committed CORRECTNESS row; (2) rows whose
-# CODE PATH changed this round: dedup_clusters (connected_components now
-# pointer-jumps and raises on non-convergence) and dedup_keeplist (its
-# forced-broadcast anti join dropped — values provably identical, but the
-# honest signal is re-certification in the window of the plan change);
-# the other keeplist consumers (dedup_keeplist_longest,
-# dedup_semantic_keeplist, dedup_semantic_clustered, text_line_dedup) are
-# already in block (3); plus similarity_pq_index_search, whose r8 rerank
-# plan change was only sweep-covered — both persisted-index search rows
-# now have a windowed artifact (ADVICE r8); (3) all 43 rows whose last
-# driver-green round is 6 — the corpus_*/dedup_*/text_* operator block —
-# now the stalest in the catalog; (4) two related round-7 fillers (the
-# semantic pair source and the kNN-graph consumer of the changed ANN
-# family). After this window nothing's last-green round is older than 7.
+# Round-10 window (stalest-first, VERDICT r9 items #1-2): (1) the row BORN
+# this round (the collapse_exact semantic-index lifecycle — born rows
+# certify in their birth round) plus every row whose CODE PATH or ORACLE
+# changed with the residual-default flip and the advice fixes:
+# recall_contracts (two contracts renamed '...residual-default', both now
+# measuring the no-books default path), similarity_ivfpq_topk (rows-only;
+# now the pure default path), similarity_knn_graph (dropped the raw-book
+# cache — also in the r7-stale block), dedup_semantic_collapsed (NULL-
+# embedding pass-through fix), dedup_clusters (two-seed convergence
+# fingerprint); (2) all 43 rows whose last driver-green round is 7 — the
+# freshness gate forces them in the moment CORRECTNESS_r10 lands; (3) two
+# r8 rows fronted a round early to free r11 slack: recall_clustered_
+# contracts (the residual story's other half) and similarity_index_drift
+# (its corrupt-marker guard changed this round). After this window nothing
+# oracle-bearing is older than r8.
 _ROTATION = [
-    # -- (1) never certified (new in round 8) ---------------------------------
-    "dedup_semantic_index_lifecycle",
-    "stream_ann_index_pipeline",
-    # -- (2) code path changed in round 9 --------------------------------------
-    "dedup_clusters",
-    "dedup_keeplist",
-    "similarity_pq_index_search",
-    # -- (3) last certified round 6 (43 rows) ----------------------------------
-    "q_cube_status_priority",
-    "events_variant_props",
-    "q_events_funnel",
-    "q_events_retention",
-    "q_events_pivot",
-    "q_union_except",
-    "q_part_cooccurrence",
-    "q_events_value_stats",
-    "q_daily_revenue_ma7",
-    "q_customer_value_deciles",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_verified",
-    "text_token_count",
-    "text_fingerprint",
-    "split_train_val_test",
-    "text_contamination",
-    "text_char_entropy",
-    "text_contamination_bloom",
-    "corpus_top_ngrams",
-    "text_repetition",
-    "text_tfidf_topk",
-    "profile_lineitem_columns",
-    "split_grouped_by_source",
-    "sample_source_mixture",
-    "text_chunking",
-    "text_sequence_packing",
-    "text_normalize",
-    "text_pii_redact",
-    "corpus_dup_rate_by_source",
-    "text_lang_mismatch",
-    "sample_token_budget",
-    "corpus_bpe_pairs",
-    "corpus_bpe_train",
-    "corpus_bpe_encode",
-    "dedup_keeplist_longest",
-    "text_line_dedup",
-    "dedup_semantic_keeplist",
-    "similarity_pq_exact",
-    "similarity_ivfpq_exact",
-    "similarity_pq_codes",
-    "text_substring_dedup",
-    "dedup_semantic_clustered",
-    # -- (4) born round 9 (certified in their birth round, unlike the two
-    #        round-8 rows above that had to wait a round) --------------------
+    # -- (1) born round 10 / code-or-oracle changed round 10 ------------------
+    "dedup_semantic_index_collapsed",
+    "recall_contracts",
+    "similarity_ivfpq_topk",
     "dedup_semantic_collapsed",
-    "similarity_ivfpq_residual",
+    "dedup_clusters",
+    # -- (3) r8 rows fronted early (residual-family + changed guard) ----------
+    "recall_clustered_contracts",
+    "similarity_index_drift",
+    # -- (2) last certified round 7 (43 rows; includes similarity_knn_graph,
+    #        whose oracle path also changed this round) -----------------------
+    "asof_join_events",
+    "cdf_changes_window",
+    "clone_lifecycle",
+    "concurrent_lifecycle",
+    "corpus_bpe_encode_arrow",
+    "corpus_dsir_importance",
+    "corpus_pmi_bigrams",
+    "corpus_source_overlap",
+    "corpus_unigram_lm",
+    "corpus_vocab_stats",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "embedding_centroid_norms",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "events_rolling_zscore",
+    "features_lifecycle",
+    "multimodal_features",
+    "pipeline_corpus_curation",
+    "profile_price_histogram",
+    "q_zorder_pruned_scan",
+    "range_join_error_windows",
+    "sample_global_shuffle",
+    "sample_stratified_exact",
+    "similarity_knn_graph",
+    "similarity_lsh_buckets",
+    "similarity_pq_index_lifecycle",
+    "similarity_quantized_rerank",
+    "similarity_topk",
+    "skew_salted_count_distinct",
+    "stream_dedup_events",
+    "stream_delta_sink_pipeline",
+    "stream_events_hourly",
+    "stream_hourly_watermark",
+    "stream_stream_join",
+    "stream_user_totals",
+    "text_boilerplate_ratio",
+    "text_gopher_rules",
+    "text_hash_classifier",
+    "text_lang_id",
+    "text_quality_score",
+    "ts_resample_locf",
+    "widening_uniform_lifecycle",
 ]
 
 

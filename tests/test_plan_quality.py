@@ -324,12 +324,15 @@ def test_clustered_semantic_dedup_no_corpus_nlj(q):
 
 
 # every catalog row whose final step subtracts a duplicates-scaled loser set
+# (the last one's read half expands through the corpus-scaled groups table —
+# same rule: strategy choice belongs to AQE)
 KEEPLIST_ROWS = [
     "dedup_keeplist",
     "dedup_keeplist_longest",
     "dedup_semantic_keeplist",
     "dedup_semantic_clustered",
     "dedup_semantic_collapsed",
+    "dedup_semantic_index_collapsed",
 ]
 
 
@@ -348,7 +351,18 @@ def test_keeplist_anti_joins_are_unhinted(q, name):
     checkpoint), so the assertion is simply hint-free."""
     df = q(name)
     txt = df._jdf.queryExecution().optimizedPlan().toString()
-    hinted = [ln.strip() for ln in txt.splitlines() if "strategy=" in ln]
+    hinted = [
+        ln.strip()
+        for ln in txt.splitlines()
+        if "strategy=" in ln
+        # the deletion-vector position anti join inside the Delta READ
+        # path hints broadcast only when the descriptors' total
+        # sizeInBytes clears the scan's DV_BROADCAST_MAX_BYTES gate — a
+        # different component with its own (size-gated) contract, visible
+        # here only when a keeplist row's corpus carries MoR deletes;
+        # this gate is about the duplicates-scaled loser/winner joins
+        and "_dv_pos" not in ln
+    ]
     assert not hinted, f"{name}: forced join hint in keeplist plan: {hinted}"
 
 
