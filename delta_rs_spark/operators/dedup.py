@@ -918,7 +918,7 @@ def update_semantic_index(
     app_id: str = "semantic-index",
     max_list_candidates: int | None = None,
     collapse_exact: bool = False,
-    collapse_buckets: int = 16,
+    collapse_buckets: int | str = 16,
 ) -> dict:
     """Incrementally maintain a persisted SEMANTIC-dedup index over a
     Delta corpus — SemDeDup's pair discovery as a build-once /
@@ -995,7 +995,9 @@ def update_semantic_index(
       refreshes for pathological drips). The marker is serialized as
       ``deltars.semdedup.collapse`` — an index invariant like the
       centroids; ``collapse_buckets`` fixes the groups partition count at
-      creation (size ~sqrt(distinct vectors)).
+      creation (size ~sqrt(distinct vectors); pass ``"auto"`` for the
+      same sqrt rule as ``n_list="auto"``, derived from the corpus's
+      log-level row count with a bounded count-job fallback).
     - every refresh reports ``max_list_candidates`` — the largest
       per-probed-list candidate-comparison count (|new probe rows| × |list
       members|) of the window, a bounded ≤ n_list-row aggregate. Pass
@@ -1073,6 +1075,14 @@ def update_semantic_index(
         collapse_buckets = int(
             groups_t.metadata().configuration[_SEM_GBUCKETS_KEY]
         )
+    elif collapse and collapse_buckets == "auto":
+        # the sqrt rule, same derivation as n_list="auto": bucket count and
+        # bucket size both grow ∝ sqrt(n), so neither the partition count
+        # nor a touched-bucket read becomes the bottleneck at 100×
+        n = corpus_table.count_rows()
+        if n is None:  # stats-free files: one bounded count job
+            n = corpus_table.to_df(spark).count()
+        collapse_buckets = max(16, math.ceil(math.sqrt(n)))
 
     start = 0 if last is None else last + 1
     if start > corpus_version:

@@ -2397,6 +2397,7 @@ def rebuild_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     app_id: str = "pq-index",
+    residual: bool | None = None,
 ) -> dict:
     """The ACTION the drift policy triggers: retrain-into-a-NEW-uri rebuild
     of a persisted PQ index — the other half of `pq_index_drift`'s
@@ -2420,6 +2421,17 @@ def rebuild_pq_index(
     The OLD index stays untouched and serveable until the caller swaps
     readers (a catalog/pointer update — two self-describing tables can
     serve concurrently during the cutover) and then drops it.
+
+    ``residual=None`` (default) PRESERVES the old index's encoding —
+    refresh-compatible semantics, nothing changes for existing callers.
+    Since a rebuild retrains everything anyway, it is also the natural
+    MIGRATION point for a pre-round-10 raw index: pass ``residual=True``
+    to re-encode the new artifact in the IVFADC residual form (requires
+    the old index to have the IVF tier — a flat index has no coarse
+    centroids to take residuals against and the upgrade raises), or
+    ``residual=False`` to force a raw rebuild of a residual index. The
+    encoding remains an invariant of each INDEX; the knob only picks the
+    new artifact's.
 
     Returns ``{"rebuilt": bool, "ratio": float | None,
     "index_uri": <the uri readers should use now>}`` plus the bootstrap
@@ -2448,6 +2460,17 @@ def rebuild_pq_index(
     had_residual = (
         old.metadata().configuration.get(_PQ_RESIDUAL_KEY) == "true"
     )
+    # None preserves the old encoding (the refresh-compatible default);
+    # an explicit flag migrates — the rebuild retrains everything anyway,
+    # so it is the one maintenance event where switching encodings is free
+    new_residual = had_residual if residual is None else bool(residual)
+    if new_residual and not had_tier:
+        raise ValueError(
+            "residual=True rebuild requires the IVF tier: the old index is "
+            "flat, so there are no coarse centroids to take residuals "
+            "against — rebuild into an IVF index first (update_pq_index "
+            "with n_list) or keep residual=False"
+        )
 
     res = update_pq_index(
         spark,
@@ -2460,8 +2483,6 @@ def rebuild_pq_index(
         k_codes=k_codes,
         iters=iters,
         n_list="auto" if had_tier else None,
-        # encoding is an index invariant — the rebuild preserves it (fresh
-        # centroids AND books retrain, but residual stays residual)
-        residual=had_residual,
+        residual=new_residual,
     )
     return {"rebuilt": True, "ratio": ratio, "index_uri": new_index_uri, **res}

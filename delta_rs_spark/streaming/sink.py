@@ -36,7 +36,12 @@ class ExactlyOnceDeltaSink:
         # applied when the FIRST batch creates the table (e.g. CDF on, so
         # downstream incremental consumers can fold the stream's commits)
         self.configuration = configuration
-        self.skipped_epochs: list[int] = []  # observability for tests/metrics
+        # observability for tests/metrics — bounded to the newest entries
+        # (a long-running replay-heavy stream must not grow driver memory)
+        self.skipped_epochs: list[int] = []
+        self.skipped_epoch_count: int = 0
+
+    _SKIP_LOG_CAP = 64
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..protocol.actions import TxnAction
@@ -48,7 +53,9 @@ class ExactlyOnceDeltaSink:
             table = DeltaTable(self.table_uri)
             last = table.get_app_transaction_version(self.app_id)
             if last is not None and epoch_id <= last:
+                self.skipped_epoch_count += 1
                 self.skipped_epochs.append(epoch_id)
+                del self.skipped_epochs[: -self._SKIP_LOG_CAP]
                 return
         except NotATableError:
             pass  # first batch creates the table
@@ -306,5 +313,104 @@ class IndexMaintainingSink(ExactlyOnceDeltaSink):
             n_list=self.n_list,
             compact_threshold_files=self.compact_threshold_files,
             residual=self.residual,
+        )
+        return self.last_refresh
+
+
+class SemanticIndexMaintainingSink(ExactlyOnceDeltaSink):
+    """Streaming SEMANTIC-DEDUP ingestion: exactly-once append of embedding
+    batches to the corpus table, then an incremental semantic-index
+    refresh (`operators.dedup.update_semantic_index`) in the same
+    foreachBatch call — the dedup twin of `IndexMaintainingSink`, with the
+    identical idempotency composition:
+
+    - the corpus append carries the epoch ``txn`` watermark (inherited) —
+      a replayed micro-batch is skipped;
+    - the refresh carries its OWN watermark on the index's pairs table,
+      keyed by corpus version, and folds the CDF window per id — replays
+      converge, crashes between append and refresh just widen the next
+      window.
+
+    Creation-time index knobs (``threshold`` / ``n_list`` / ``n_probe`` /
+    ``collapse_exact`` / ``collapse_buckets`` / ``max_list_candidates``)
+    apply when the FIRST refresh bootstraps the index; after that the
+    stored invariants win, exactly as in the batch API. ``collapse_exact``
+    matters doubly here: an ingestion stream is where boilerplate
+    duplicate clusters actually arrive, and the collapsed index pays one
+    keeper per distinct vector instead of a growing Θ(c²) pair set.
+    ``refresh_every_n`` and ``flush()`` behave as in
+    `IndexMaintainingSink` (cadence keyed on the deterministic epoch id;
+    call flush at stream end so the index doesn't lag an off-cadence
+    final batch)."""
+
+    def __init__(
+        self,
+        table_uri: str,
+        index_uri: str,
+        app_id: str,
+        threshold: float = 0.4,
+        n_list=None,
+        n_probe: Optional[int] = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        max_list_candidates: Optional[int] = None,
+        collapse_exact: bool = False,
+        collapse_buckets=16,
+        refresh_every_n: int = 1,
+    ):
+        if refresh_every_n < 1:
+            raise ValueError("refresh_every_n must be >= 1")
+        super().__init__(
+            table_uri,
+            app_id,
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        self.index_uri = index_uri
+        self.threshold = threshold
+        self.n_list = n_list
+        self.n_probe = n_probe
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.max_list_candidates = max_list_candidates
+        self.collapse_exact = collapse_exact
+        self.collapse_buckets = collapse_buckets
+        self.refresh_every_n = refresh_every_n
+        self.last_refresh: Optional[dict] = None
+        self.skipped_refreshes: list[int] = []
+        self.skipped_refresh_count: int = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        super().__call__(batch_df, epoch_id)
+        if self.refresh_every_n > 1 and epoch_id % self.refresh_every_n:
+            self.skipped_refresh_count += 1
+            self.skipped_refreshes.append(epoch_id)
+            del self.skipped_refreshes[: -self._SKIP_LOG_CAP]
+            return
+        spark = (
+            batch_df.sparkSession
+            if hasattr(batch_df, "sparkSession")
+            else batch_df.sql_ctx.sparkSession
+        )
+        self.flush(spark)
+
+    def flush(self, spark) -> dict:
+        """Run the incremental semantic-index refresh NOW over the open
+        CDF window (idempotent; see IndexMaintainingSink.flush)."""
+        from ..operators.dedup import update_semantic_index
+        from ..table import DeltaTable
+
+        self.last_refresh = update_semantic_index(
+            spark,
+            DeltaTable(self.table_uri),
+            self.index_uri,
+            threshold=self.threshold,
+            n_list=self.n_list,
+            n_probe=self.n_probe,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            app_id=f"{self.app_id}-semindex",
+            max_list_candidates=self.max_list_candidates,
+            collapse_exact=self.collapse_exact,
+            collapse_buckets=self.collapse_buckets,
         )
         return self.last_refresh

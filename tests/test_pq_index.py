@@ -995,3 +995,60 @@ def test_update_pq_index_default_residual_resolution(spark, tmp_path):
     )
     want = similarity.cosine_topk(df, df.filter(F.col("vec_id") < 2), k=3)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_rebuild_can_migrate_raw_index_to_residual(spark, tmp_path):
+    """Round 10: the rebuild is the natural migration point for a
+    pre-flip raw index — it retrains everything anyway. residual=None
+    preserves the old encoding (existing contract); residual=True on a
+    tiered raw index produces a residual new artifact whose exhaustive
+    search still equals brute force; a flat index has no coarse tier to
+    take residuals against and the upgrade refuses."""
+    df = spark.createDataFrame(
+        [(i, [float(i % 5 - 2), float(i % 3), 1.0, 0.5]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    src = str(tmp_path / "src")
+    write_deltalake(
+        spark, df, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    books = similarity.pq_random_codebooks(2, 2, 4)
+    raw = str(tmp_path / "raw")
+    similarity.update_pq_index(
+        spark, DeltaTable(src), raw, books=books, n_list=4
+    )
+    assert (
+        DeltaTable(raw).metadata().configuration.get(similarity._PQ_RESIDUAL_KEY)
+        is None
+    )
+
+    up = str(tmp_path / "up")
+    res = similarity.rebuild_pq_index(
+        spark, DeltaTable(src), raw, up, residual=True
+    )
+    assert res["rebuilt"] is True
+    assert (
+        DeltaTable(up).metadata().configuration[similarity._PQ_RESIDUAL_KEY]
+        == "true"
+    )
+    got = similarity.pq_index_search(
+        spark, up, df, df.filter(F.col("vec_id") < 2), k=3,
+        n_probe=1000, oversample=1_000_000,
+    )
+    want = similarity.cosine_topk(df, df.filter(F.col("vec_id") < 2), k=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # preserve-by-default still holds (residual index rebuilds residual)
+    keep = str(tmp_path / "keep")
+    similarity.rebuild_pq_index(spark, DeltaTable(src), up, keep)
+    assert (
+        DeltaTable(keep).metadata().configuration[similarity._PQ_RESIDUAL_KEY]
+        == "true"
+    )
+
+    flat = str(tmp_path / "flat")
+    similarity.update_pq_index(spark, DeltaTable(src), flat, books=books)
+    with pytest.raises(ValueError, match="flat"):
+        similarity.rebuild_pq_index(
+            spark, DeltaTable(src), flat, str(tmp_path / "x"), residual=True
+        )

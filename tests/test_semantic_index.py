@@ -579,3 +579,30 @@ def test_collapse_exact_is_a_creation_invariant(spark, tmp_path):
 
     with pytest.raises(NotATableError):
         DeltaTable(f"{raw_idx}/groups")
+
+
+def test_collapse_buckets_auto_uses_sqrt_rule(spark, emb, tmp_path):
+    """collapse_buckets='auto' derives the groups partition count with the
+    same sqrt rule as n_list='auto' — the long-lived artifact gets a
+    growth-appropriate geometry without hand-knobbing."""
+    import math
+
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark, emb, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    dedup.update_semantic_index(
+        spark,
+        DeltaTable(src),
+        idx,
+        n_list=4,
+        collapse_exact=True,
+        collapse_buckets="auto",
+    )
+    want = max(16, math.ceil(math.sqrt(emb.count())))
+    stored = int(
+        DeltaTable(f"{idx}/groups")
+        .metadata()
+        .configuration[dedup._SEM_GBUCKETS_KEY]
+    )
+    assert stored == want

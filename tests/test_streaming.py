@@ -1030,3 +1030,73 @@ def test_index_sink_refresh_cadence_converges(spark, tmp_path):
 
     with pytest.raises(ValueError, match="refresh_every_n"):
         IndexMaintainingSink(src3, idx3, app_id="x", refresh_every_n=0)
+
+
+def test_semantic_index_sink_composes_and_collapses(spark, tmp_path):
+    """Round 10: SemanticIndexMaintainingSink — the dedup twin of the ANN
+    index sink. Batches append exactly-once and the semantic index
+    refreshes incrementally in the same call; with collapse_exact the
+    stream absorbs an arriving boilerplate duplicate cluster (keeper-only
+    pairs, cap never pressured). Final pairs must equal the one-shot
+    exhaustive pair set over the corpus keepers, the derived keeplist must
+    equal the one-shot semantic_keeplist, and a replayed epoch is a
+    no-op."""
+    from delta_rs_spark.operators import dedup
+    from delta_rs_spark.streaming.sink import SemanticIndexMaintainingSink
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [2.0, 0.05, 0.0, 0.0]),  # near-dup of 1 at theta=0.9
+    ]
+    clones = [(100 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(80)]  # dups of 2
+
+    src, idx = str(tmp_path / "corpus"), str(tmp_path / "semidx")
+    sink = SemanticIndexMaintainingSink(
+        src,
+        idx,
+        app_id="semstream",
+        threshold=0.9,
+        n_list=2,
+        n_probe=2,
+        collapse_exact=True,
+        max_list_candidates=500,  # 80-clone cluster would blow this raw
+    )
+    sink(frame(base), 0)
+    sink(frame(clones), 1)
+    assert sink.last_refresh["collapse"] is True
+    assert sink.last_refresh["rep_upserts"] == 1  # one touched keeper (2)
+    assert sink.last_refresh["upserts"] == 80
+
+    live = DeltaTable(src).to_df(spark).select("vec_id", "embedding")
+    assert live.count() == 83
+
+    got_keep = sorted(
+        r.vec_id
+        for r in dedup.semantic_keeplist_from_index(spark, idx, live).collect()
+    )
+    want_keep = sorted(
+        r.vec_id
+        for r in dedup.semantic_keeplist(live, threshold=0.9).collect()
+    )
+    assert got_keep == want_keep == [1, 2]
+
+    # pairs are keeper-level: (1,3) near-dup only — the clone clique never
+    # materializes
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in DeltaTable(f"{idx}/pairs").to_df(spark).collect()
+    }
+    assert pairs == {(1, 3)}
+
+    # replayed epoch: corpus append skipped by the txn watermark, refresh
+    # folds an empty window
+    sink(frame(clones), 1)
+    assert DeltaTable(src).to_df(spark).count() == 83
+    assert sink.last_refresh["processed_versions"] == 0
+    assert sink.skipped_epoch_count == 1
