@@ -919,6 +919,7 @@ def update_semantic_index(
     max_list_candidates: int | None = None,
     collapse_exact: bool = False,
     collapse_buckets: int | str = 16,
+    compact_threshold_files: int | None = None,
 ) -> dict:
     """Incrementally maintain a persisted SEMANTIC-dedup index over a
     Delta corpus — SemDeDup's pair discovery as a build-once /
@@ -1008,10 +1009,19 @@ def update_semantic_index(
       (not byte-equal) degenerate clusters, which no exact collapse can
       absorb.
 
+    AUTO-COMPACTION (``compact_threshold_files``): the incremental
+    refreshes are MERGE-deletes + appends on every index table and
+    accumulate small files exactly like the PQ index's; when set, any of
+    the index tables (assignments / pairs / groups) left with more files
+    than the threshold gets an OPTIMIZE in the same call — same contract
+    as `similarity.update_pq_index` (results invariant under compaction;
+    size the threshold to a small multiple of the partition count).
+
     Returns metrics: versions processed, upserts, deletes, pairs added,
     pairs dropped (by the pair-table MERGE-deletes), corpus version,
     max_list_candidates (0 when the window touched no list), ``collapse``
-    (whether the index collapses exact duplicates), and — collapse mode —
+    (whether the index collapses exact duplicates), ``compacted`` (which
+    index tables this call OPTIMIZEd), and — collapse mode —
     ``rep_upserts`` (group keepers re-verified this window) plus
     ``members_touched`` (total membership of the touched groups, the
     linear work bound above).
@@ -1095,6 +1105,7 @@ def update_semantic_index(
             "max_list_candidates": 0,
             "corpus_version": corpus_version,
             "collapse": collapse,
+            "compacted": [],
         }
 
     if assign_t is not None:
@@ -1153,6 +1164,7 @@ def update_semantic_index(
                 "max_list_candidates": 0,
                 "corpus_version": corpus_version,
                 "collapse": collapse,
+                "compacted": [],
             }
 
         import time as _time
@@ -1444,6 +1456,22 @@ def update_semantic_index(
         net.unpersist()
         if members_cached is not None:
             members_cached.unpersist()
+    compacted: list[str] = []
+    if compact_threshold_files is not None:
+        for label, uri in (
+            ("assignments", assign_uri),
+            ("pairs", pairs_uri),
+            ("groups", groups_uri),
+        ):
+            if label == "groups" and not collapse:
+                continue
+            try:
+                t = DeltaTable(uri)
+            except NotATableError:
+                continue
+            if len(t.files()) > compact_threshold_files:
+                t.optimize(spark)
+                compacted.append(label)
     out = {
         "processed_versions": corpus_version - start + 1,
         "upserts": int(net_upserts),
@@ -1453,6 +1481,7 @@ def update_semantic_index(
         "max_list_candidates": int(max_cand),
         "corpus_version": corpus_version,
         "collapse": collapse,
+        "compacted": compacted,
     }
     if collapse:
         out["rep_upserts"] = int(rep_upserts or 0)

@@ -118,7 +118,11 @@ class UpsertDeltaSink:
         # replays pick the same survivor).
         self.dedupe_keys = dedupe_keys
         self.order_col = order_col
+        # bounded like ExactlyOnceDeltaSink's (lag telemetry, not a log)
         self.skipped_epochs: list[int] = []
+        self.skipped_epoch_count: int = 0
+
+    _SKIP_LOG_CAP = 64
 
     def _collapse(self, batch_df: DataFrame) -> DataFrame:
         if not self.dedupe_keys:
@@ -171,7 +175,9 @@ class UpsertDeltaSink:
             return
         last = table.get_app_transaction_version(self.app_id)
         if last is not None and epoch_id <= last:
+            self.skipped_epoch_count += 1
             self.skipped_epochs.append(epoch_id)
+            del self.skipped_epochs[: -self._SKIP_LOG_CAP]
             return
         merge(
             spark,
@@ -357,6 +363,7 @@ class SemanticIndexMaintainingSink(ExactlyOnceDeltaSink):
         collapse_exact: bool = False,
         collapse_buckets=16,
         refresh_every_n: int = 1,
+        compact_threshold_files: Optional[int] = None,
     ):
         if refresh_every_n < 1:
             raise ValueError("refresh_every_n must be >= 1")
@@ -375,6 +382,7 @@ class SemanticIndexMaintainingSink(ExactlyOnceDeltaSink):
         self.collapse_exact = collapse_exact
         self.collapse_buckets = collapse_buckets
         self.refresh_every_n = refresh_every_n
+        self.compact_threshold_files = compact_threshold_files
         self.last_refresh: Optional[dict] = None
         self.skipped_refreshes: list[int] = []
         self.skipped_refresh_count: int = 0
@@ -412,5 +420,6 @@ class SemanticIndexMaintainingSink(ExactlyOnceDeltaSink):
             max_list_candidates=self.max_list_candidates,
             collapse_exact=self.collapse_exact,
             collapse_buckets=self.collapse_buckets,
+            compact_threshold_files=self.compact_threshold_files,
         )
         return self.last_refresh

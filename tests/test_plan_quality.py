@@ -294,11 +294,26 @@ def test_ivfpq_is_bucketed_not_brute(q):
     """The IVF-PQ candidate join must be the bucketed list equi-join —
     a nested-loop here would mean the probe degenerated to the corpus-wide
     brute scan the composition exists to avoid. Scans stay pruned to
-    (vec_id, embedding)."""
+    (vec_id, embedding).
+
+    Since the residual default (round 10) the query-probe frame carries
+    the broadcast centroid join for the q·cent[l] term, which pushes its
+    STATIC size estimate past the broadcast threshold — the static plan
+    then shows a sort-merge join on list_id. That is the correct
+    100 TB fallback shape (the kNN-graph case has a corpus-sized query
+    side that MUST be able to shuffle, the reason this join is unhinted),
+    so the gate asserts the EXECUTED plan: AQE reads the actual
+    |queries|·n_probe size at runtime and picks broadcast here; a
+    nested loop or a residual-regression that defeats the equi-join would
+    still fail."""
     df = q("similarity_ivfpq_topk")
-    s = summarize(df)
+    from delta_rs_spark.plans import summarize_executed
+
+    df.collect()
+    s = summarize_executed(df)
     assert not s.nested_loop_joins
     assert s.sort_merge_joins == 0
+    assert s.broadcast_hash_joins >= 1
     assert all(set(cols) <= {"vec_id", "embedding"} for cols in s.read_schemas)
 
 

@@ -606,3 +606,158 @@ def test_collapse_buckets_auto_uses_sqrt_rule(spark, emb, tmp_path):
         .configuration[dedup._SEM_GBUCKETS_KEY]
     )
     assert stored == want
+
+
+def test_collapse_groups_refresh_reads_are_bucket_pruned(spark, tmp_path):
+    """The groups table's bucket partitioning must be REAL pruning: a
+    refresh whose window touches one group reads only that group's bucket
+    partition (log-level file skip — the property that keeps the
+    membership read ∝ touched groups at 100 TB, not ∝ corpus)."""
+    rows = [
+        (i, [float(i), 1.0, 0.0, 0.0]) for i in range(40)  # 40 distinct
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark,
+        df.repartition(4),
+        src,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    dedup.update_semantic_index(
+        spark,
+        DeltaTable(src),
+        idx,
+        n_list=2,
+        collapse_exact=True,
+        collapse_buckets=8,
+    )
+    gt = DeltaTable(f"{idx}/groups")
+    assert gt.metadata().partition_columns == ["gbucket"]
+    all_files = gt.to_df(spark).inputFiles()
+    # the read the refresh performs for a one-bucket touch
+    pruned = gt.to_df(
+        spark, partition_filters=[("gbucket", "in", ["0"])]
+    ).inputFiles()
+    assert 0 < len(pruned) < len(all_files)
+
+
+def test_collapse_partial_probe_equals_keeper_snapshot(spark, emb, tmp_path):
+    """Reference semantics under collapse at PARTIAL probe: the pair table
+    must equal `semantic_pairs_snapshot` evaluated over the exact-dup
+    KEEPERS under the stored invariants — the collapsed index is the
+    uncollapsed index of the keeper corpus, nothing more."""
+    import json
+
+    # duplicate a slice of the corpus under higher ids: keepers = originals
+    dup = emb.filter(F.col("vec_id") < 40).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(dup)
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark, corpus, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    dedup.update_semantic_index(
+        spark,
+        DeltaTable(src),
+        idx,
+        threshold=0.4,
+        n_list=4,
+        n_probe=2,  # PARTIAL probe
+        collapse_exact=True,
+    )
+    cents = _stored_cents(f"{idx}/assignments")
+    got = _pairs(DeltaTable(f"{idx}/pairs").to_df(spark))
+    # keepers: min id per byte-identical vector = the original corpus here
+    want = _pairs(
+        dedup.semantic_pairs_snapshot(emb, cents, n_probe=2, threshold=0.4)
+    )
+    assert got == want
+
+
+def test_collapse_crash_between_groups_and_assignments(spark, emb, tmp_path):
+    """Creation is THREE commits under collapse (groups, assignments,
+    pairs); a crash after the groups table exists but before assignments
+    must retry safely: the surviving groups table pins collapse ON (even
+    without the flag) and its content is geometry-free, so the retry may
+    retrain centroids without mixing geometries. Simulated by deleting the
+    assignments/pairs halves after a full creation — exactly the
+    filesystem state such a crash leaves."""
+    import shutil
+
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark,
+        emb,
+        src,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    dedup.update_semantic_index(
+        spark,
+        DeltaTable(src),
+        idx,
+        threshold=0.4,
+        n_list=4,
+        n_probe=4,
+        collapse_exact=True,
+        collapse_buckets=8,
+    )
+    want = _pairs(DeltaTable(f"{idx}/pairs").to_df(spark))
+    shutil.rmtree(f"{idx}/assignments")
+    shutil.rmtree(f"{idx}/pairs")
+
+    # retry WITHOUT the flag: groups presence must pin collapse on
+    res = dedup.update_semantic_index(
+        spark, DeltaTable(src), idx, threshold=0.4, n_list=4, n_probe=4
+    )
+    assert res["collapse"] is True
+    assert _pairs(DeltaTable(f"{idx}/pairs").to_df(spark)) == want
+    # groups content converged too (merge-delete + re-append is idempotent)
+    n_groups = DeltaTable(f"{idx}/groups").to_df(spark).count()
+    assert n_groups == emb.count()
+
+
+def test_semantic_index_auto_compaction_bounds_files(spark, tmp_path):
+    """compact_threshold_files: repeated MERGE refreshes accumulate small
+    files on every index table; with the threshold set a refresh that
+    leaves any table over it runs OPTIMIZE in the same call, and the pair
+    semantics are invariant under compaction — same contract as the PQ
+    index's auto-compaction."""
+
+    def frame(lo, hi):
+        return spark.createDataFrame(
+            [(i, [float(i % 7 - 3), float(i % 5), 1.0, 0.0]) for i in range(lo, hi)],
+            "vec_id long, embedding array<float>",
+        )
+
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark,
+        frame(0, 30).repartition(3),
+        src,
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    dedup.update_semantic_index(
+        spark, DeltaTable(src), idx, threshold=0.9, n_list=2, n_probe=2
+    )
+    compacted_any = []
+    for b in range(4):
+        write_deltalake(
+            spark, frame(30 + b * 10, 40 + b * 10).repartition(3), src, mode="append"
+        )
+        res = dedup.update_semantic_index(
+            spark, DeltaTable(src), idx, compact_threshold_files=6
+        )
+        compacted_any += res["compacted"]
+    assert compacted_any, "threshold 6 must trigger at least one OPTIMIZE"
+    assert len(DeltaTable(f"{idx}/assignments").files()) <= 6
+
+    # semantics invariant under compaction: pairs equal the one-shot set
+    live = DeltaTable(src).to_df(spark).select("vec_id", "embedding")
+    cents = _stored_cents(f"{idx}/assignments")
+    got = _pairs(DeltaTable(f"{idx}/pairs").to_df(spark))
+    want = _pairs(
+        dedup.semantic_pairs_snapshot(live, cents, n_probe=2, threshold=0.9)
+    )
+    assert got == want
