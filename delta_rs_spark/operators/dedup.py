@@ -453,7 +453,9 @@ def embedding_cosine_pairs(
     ).withColumn(
         "nrm",
         F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)),
-    ).filter(F.col("nrm") > 0)  # zero vectors: NaN cosine, see similarity.py
+    ).filter(  # degenerate (zero/NaN/Inf-norm) vectors: see similarity._with_norm
+        (F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf")))
+    )
     a = norm.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = norm.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     return (
@@ -694,13 +696,15 @@ def semantic_keeplist_collapsed(
       vectors are byte-equal), so the keeper graph is the exact quotient of
       the full graph and component minima coincide (each keeper is its
       group's minimum);
-    - zero-norm vectors have NULL cosine against everything — never paired,
-      always survivors — so they bypass the collapse and pass through. NULL
-      embeddings (and all-NULL element arrays) take the same pass-through
-      branch: ``F.exists`` evaluates to NULL on them, which both a filter
-      and its negation would drop — the coalesce below pins them to the
-      survivor side, matching the uncollapsed keeplist (NULL cosine is
-      never ≥ θ, so such rows are never losers there either).
+    - DEGENERATE vectors — zero norm, NULL, NULL elements, NaN/Inf
+      elements — bypass the collapse and pass through, matching the
+      uncollapsed keeplist, whose pair paths exclude every vector without
+      a finite positive norm (`similarity._with_norm`; the numpy GEMM
+      path agrees: NaN comparisons are false). The predicate below is the
+      same finite-positive-norm² test, NULL-coalesced to NOT-collapsible:
+      grouping such rows (Spark's groupBy treats NaN = NaN and NULL =
+      NULL) would delete copies the uncollapsed path keeps — the silent-
+      data-loss class ADVICE r9 flagged for the NULL case.
 
     WHY it exists: the one-shot keeplist and the persisted semantic index
     both materialize Θ(c²) pairs for a duplicate cluster of size c. Real
@@ -711,8 +715,13 @@ def semantic_keeplist_collapsed(
     exact-dup cluster in tests/test_operators.py, and certified against the
     same recursive-CTE oracle as `semantic_keeplist` (catalog row
     ``dedup_semantic_collapsed``)."""
+    sq = F.aggregate(
+        F.col(vec_col).cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
     nonzero = F.coalesce(
-        F.exists(vec_col, lambda x: x != F.lit(0.0)), F.lit(False)
+        (sq > F.lit(0.0)) & (sq < F.lit(float("inf"))), F.lit(False)
     )
     keepers = (
         emb.filter(nonzero)
@@ -1240,7 +1249,12 @@ def update_semantic_index(
                 lambda acc, x: acc + x * x,
             )
             touched = (
-                win.filter(norm_sq > F.lit(0.0))
+                # finite positive norm only — degenerate images never enter
+                # groups (the net fold reclassifies them as deletes), so
+                # their keys cannot touch one
+                win.filter(
+                    (norm_sq > F.lit(0.0)) & (norm_sq < F.lit(float("inf")))
+                )
                 .select(ghash.alias("ghash"))
                 .distinct()
             )

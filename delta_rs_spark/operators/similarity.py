@@ -41,10 +41,15 @@ from pyspark.sql import functions as F
 
 
 def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
-    # zero-norm vectors (failed embeds) are EXCLUDED: their cosine is
-    # 0.0/0.0 = NaN, and Spark sorts NaN above every double — a single zero
-    # vector would otherwise rank as every query's #1 neighbor (and NaN >=
-    # threshold is TRUE, so pair filters would pass it too)
+    # DEGENERATE vectors (failed embeds) are EXCLUDED: a zero norm makes
+    # cosine 0.0/0.0 = NaN, and Spark sorts NaN above every double — a
+    # single such vector would otherwise rank as every query's #1 neighbor
+    # (and NaN >= threshold is TRUE, so pair filters would pass it too).
+    # The same argument covers NaN/Inf ELEMENTS: their norm is NaN/Inf,
+    # and because Spark orders NaN GREATER than everything, `norm > 0`
+    # alone would leak exactly the vectors the filter exists to stop —
+    # `norm < inf` closes it (NaN < inf and inf < inf are both false).
+    # NULL elements make the norm NULL, which no comparison passes.
     return (
         df.select(
             F.col(id_col).alias(f"{prefix}_id"),
@@ -54,7 +59,10 @@ def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFra
             f"{prefix}_norm",
             F.sqrt(F.aggregate(f"{prefix}_v", F.lit(0.0), lambda acc, x: acc + x * x)),
         )
-        .filter(F.col(f"{prefix}_norm") > 0)
+        .filter(
+            (F.col(f"{prefix}_norm") > 0)
+            & (F.col(f"{prefix}_norm") < F.lit(float("inf")))
+        )
     )
 
 
@@ -520,10 +528,11 @@ def lsh_bucketed_pairs(
         .withColumn(
             "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
         )
-        # zero vectors: cosine would be NaN and NaN >= threshold is TRUE
-        # under Spark semantics — every zero vector would pair with every
-        # bucket-mate; exclude them (they have no direction to compare)
-        .filter(F.col("nrm") > 0)
+        # degenerate vectors: cosine would be NaN, and NaN >= threshold is
+        # TRUE under Spark semantics — every zero/NaN/Inf vector would pair
+        # with every bucket-mate; finite positive norm only, matching
+        # _with_norm (NaN > 0 is also TRUE, so `> 0` alone leaked them)
+        .filter((F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf"))))
     )
 
     dots = F.transform(planes_col, lambda p: _dot(F.col("v"), p))
@@ -631,8 +640,9 @@ def blocked_exact_pairs(
         .withColumn(
             "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
         )
-        # zero vectors: cosine = 0/0, excluded like every other path here
-        .filter(F.col("nrm") > 0)
+        # degenerate vectors (zero/NaN/Inf norm): excluded like every other
+        # path here — finite positive norm only, matching _with_norm
+        .filter((F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf"))))
     )
     # one bounded job sizing the block grid, skipped when the caller
     # already knows the count (see EAGER-BUILD CONTRACT above)
@@ -1794,10 +1804,12 @@ def _net_corpus_changes(
     index (`update_pq_index`, `dedup.update_semantic_index`): the LATEST
     commit wins, an upsert outranks a delete within the same commit (an
     UPDATE's postimage and preimage share a version — the row still
-    exists), and a vector upserted to NULL/zero norm is reclassified as a
-    delete (every encode/score path excludes zero vectors — cosine is
-    0/0 — so keeping it would strand STALE index rows a search could
-    surface). Work ∝ changed rows, never corpus size."""
+    exists), and a vector upserted to a DEGENERATE value — NULL, zero
+    norm, or a NaN/Inf/NULL element (non-finite norm) — is reclassified
+    as a delete: every encode/score path excludes such vectors
+    (`_with_norm`'s finite-positive-norm filter), so keeping the upsert
+    would strand STALE index rows a search could surface. Work ∝ changed
+    rows, never corpus size."""
     from ..cdf import load_cdf
 
     changes = load_cdf(
@@ -1830,7 +1842,16 @@ def _net_corpus_changes(
         .withColumn(
             "_change_type",
             F.when(
-                (F.col("_change_type") != "delete") & (norm_sq <= F.lit(0.0)),
+                (F.col("_change_type") != "delete")
+                # NOT (0 < norm² < inf): catches zero norm, NaN/Inf
+                # elements (NaN > 0 is TRUE under Spark's NaN ordering,
+                # so `<= 0` alone leaked them), and NULL elements (NULL
+                # norm² fails both comparisons; coalesce pins the NULL)
+                & ~F.coalesce(
+                    (norm_sq > F.lit(0.0))
+                    & (norm_sq < F.lit(float("inf"))),
+                    F.lit(False),
+                ),
                 F.lit("delete"),
             ).otherwise(F.col("_change_type")),
         )

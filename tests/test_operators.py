@@ -954,12 +954,19 @@ def test_semantic_keeplist_collapsed_equals_uncollapsed_on_degenerate_cluster(
     fix)."""
     from delta_rs_spark.operators import dedup
 
+    nan, inf = float("nan"), float("inf")
     rows = (
         [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(100, 600)]  # exact clones
         + [(50, [2.0, 0.0, 0.0, 0.0])]   # near-dup of the clones, smaller id
         + [(7, [0.0, 1.0, 0.0, 0.0])]    # orthogonal singleton
         + [(1, [0.0] * 4), (2, [0.0] * 4)]  # zero vectors
         + [(3, None), (4, [None] * 4)]   # NULL embedding / all-NULL elements
+        # non-finite elements: Spark groups NaN = NaN, so an uncoalesced
+        # collapse would delete one of each pair the uncollapsed path
+        # keeps (NaN-norm vectors never pair — same ADVICE-r9 class)
+        + [(5, [nan, 1.0, 0.0, 0.0]), (6, [nan, 1.0, 0.0, 0.0])]
+        + [(8, [inf, 0.0, 0.0, 0.0]), (9, [inf, 0.0, 0.0, 0.0])]
+        + [(11, [1.0, None, 0.0, 0.0]), (12, [1.0, None, 0.0, 0.0])]
     )
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     fast = sorted(
@@ -969,7 +976,7 @@ def test_semantic_keeplist_collapsed_equals_uncollapsed_on_degenerate_cluster(
     slow = sorted(
         r.vec_id for r in dedup.semantic_keeplist(df, threshold=0.9).collect()
     )
-    assert fast == slow == [1, 2, 3, 4, 7, 50]
+    assert fast == slow == [1, 2, 3, 4, 5, 6, 7, 8, 9, 11, 12, 50]
 
 
 # ---------------------------------------------------------------------------
@@ -1808,3 +1815,76 @@ def test_bpe_pair_counts_exact_census(spark):
     got = [(r.pair, r.cnt) for r in corpus_ops.bpe_pair_counts(df, top_k=10).collect()]
     # 'ab' x2 + 'aba' -> a b:3, b a:1, x y:1; single-char 'c' contributes none
     assert got == [("a b", 3), ("b a", 1), ("x y", 1)]
+
+
+def test_non_finite_vectors_never_rank_or_pair(spark):
+    """Spark orders NaN GREATER than every double, so a NaN-norm vector
+    passing the norm guard would rank as EVERY query's #1 neighbor and
+    NaN >= threshold would pass every pair filter — the exact failure
+    _with_norm's comment defends against, previously leaking through the
+    NaN/Inf-norm case (`NaN > 0` is true). Non-finite vectors must appear
+    in no top-k (as query or neighbor) and no pair, on both the codegen
+    and the clustered pair paths, and the CDF net fold must reclassify a
+    non-finite upsert as a delete."""
+    from delta_rs_spark.operators import dedup, similarity
+
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (90, [nan, 1.0, 0.0, 0.0]),
+        (91, [inf, 0.0, 0.0, 0.0]),
+        (92, [1.0, None, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    topk = similarity.cosine_topk(df, df, k=3).collect()
+    ids = {r.query_id for r in topk} | {r.neighbor_id for r in topk}
+    assert ids <= {1, 2, 3}, f"degenerate vector leaked into top-k: {ids}"
+    assert all(r.cosine == r.cosine for r in topk), "NaN cosine emitted"
+
+    pairs = similarity.clustered_exact_pairs(
+        df, threshold=0.1, n_list=2, n_probe=2
+    ).collect()
+    pids = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert pids <= {1, 2, 3}, f"degenerate vector leaked into pairs: {pids}"
+
+    gem = dedup.embedding_cosine_pairs(df, threshold=0.1).collect()
+    gids = {r.id_a for r in gem} | {r.id_b for r in gem}
+    assert gids <= {1, 2, 3}
+
+
+def test_net_corpus_changes_reclassifies_non_finite_upserts(spark, tmp_path):
+    """A vector UPDATEd to a NaN/Inf/NULL-element value must net to a
+    DELETE (like zero-norm): every encode path excludes it, so keeping
+    the upsert would strand stale index rows a search could surface."""
+    from delta_rs_spark import DeltaTable, write_deltalake
+    from delta_rs_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [1.0 + i, 1.0]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+    src = str(tmp_path / "src")
+    write_deltalake(
+        spark, df, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    t = DeltaTable(src)
+    t.update_where(
+        spark, "vec_id = 0", {"embedding": "array(float('NaN'), float(1.0))"}
+    )
+    t.update()
+    t.update_where(
+        spark, "vec_id = 1", {"embedding": "array(float('Infinity'), float(1.0))"}
+    )
+    t.update()
+    t.update_where(
+        spark, "vec_id = 2", {"embedding": "array(float(1.0), CAST(NULL AS FLOAT))"}
+    )
+    t.update()
+    net = similarity._net_corpus_changes(
+        spark, DeltaTable(src), 1, DeltaTable(src).version, "vec_id", "embedding"
+    )
+    got = {r.vec_id: r._change_type for r in net.collect()}
+    assert got == {0: "delete", 1: "delete", 2: "delete"}
