@@ -489,8 +489,14 @@ def update_dedup_index(
     key_cols: list[str] | None = None,
     id_col: str = "doc_id",
     app_id: str = "exact-dedup-index",
+    compact_threshold_files: int | None = None,
 ) -> dict:
     """Incrementally maintain an exact-dedup index over a growing corpus.
+
+    ``compact_threshold_files``: each refresh appends one small file; when
+    set, a refresh leaving the index with more files than the threshold
+    runs OPTIMIZE in the same call — the same small-file contract as the
+    PQ and semantic indexes (``compacted`` in the returned metrics).
 
     The index is itself a Delta table of ``(key_hash, doc_id)`` — one row per
     distinct content hash, keeping the first (lowest-id) document seen. Each
@@ -540,6 +546,7 @@ def update_dedup_index(
             "new_keys": 0,
             "duplicate_rows": 0,
             "corpus_version": corpus_version,
+            "compacted": False,
         }
 
     changes = load_cdf(
@@ -592,12 +599,19 @@ def update_dedup_index(
         )
     finally:
         new_unique.unpersist()
+    compacted = False
+    if compact_threshold_files is not None:
+        idx_t = DeltaTable(index_uri)
+        if len(idx_t.files()) > compact_threshold_files:
+            idx_t.optimize(spark)
+            compacted = True
     return {
         "processed_versions": corpus_version - start + 1,
         "rows_seen": rows_seen,
         "new_keys": new_keys,
         "duplicate_rows": duplicate_rows,
         "corpus_version": corpus_version,
+        "compacted": compacted,
     }
 
 

@@ -390,3 +390,40 @@ def test_load_cdf_starting_timestamp_is_at_or_after(spark, tmp_path):
     changes = t.load_cdf(spark, starting_timestamp=mid)
     versions = {r._commit_version for r in changes.collect()}
     assert versions == {1}  # v0 (committed before the timestamp) excluded
+
+
+def test_dedup_index_auto_compaction(spark, docs, tmp_path):
+    """compact_threshold_files on the exact-dedup index: append-per-refresh
+    accumulates small files; over the threshold the refresh OPTIMIZEs in
+    the same call and the index content is invariant."""
+    from delta_rs_spark.operators.dedup import update_dedup_index
+
+    corpus_uri = str(tmp_path / "corpus_c")
+    index_uri = str(tmp_path / "index_c")
+    write_deltalake(
+        spark,
+        docs.limit(20).repartition(3),
+        corpus_uri,
+        configuration={CDF_PROPERTY: "true"},
+    )
+    corpus = DeltaTable(corpus_uri)
+    update_dedup_index(spark, corpus, index_uri)
+    compacted_any = False
+    for b in range(4):
+        write_deltalake(
+            spark,
+            docs.orderBy("doc_id").limit(20 + (b + 1) * 10).subtract(
+                corpus.to_df(spark)
+            ).repartition(3),
+            corpus_uri,
+            mode="append",
+        )
+        corpus.update()
+        res = update_dedup_index(
+            spark, corpus, index_uri, compact_threshold_files=4
+        )
+        compacted_any = compacted_any or res["compacted"]
+    assert compacted_any
+    assert len(DeltaTable(index_uri).files()) <= 4
+    n_distinct = corpus.to_df(spark).select("text").distinct().count()
+    assert DeltaTable(index_uri).to_df(spark).count() == n_distinct
