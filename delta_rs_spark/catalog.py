@@ -95,14 +95,21 @@ def _apply_rotation() -> None:
     # A typo or a renamed query in _ROTATION would silently shrink the
     # certification window and promote an arbitrary registration-order row
     # into it, defeating the rotation promise test_rotation_freshness.py
-    # enforces — fail loudly at import instead (ADVICE r9).
+    # enforces — fail loudly at import instead (ADVICE r9). Real exceptions,
+    # not asserts: `python -O` strips asserts, and a stripped guard is the
+    # exact silent-shrink failure mode it exists to prevent (ADVICE r10).
     unknown = [n for n in _ROTATION if n not in QUERIES]
-    assert not unknown, f"_ROTATION names not registered in QUERIES: {unknown}"
-    assert len(_ROTATION) == len(set(_ROTATION)), "_ROTATION has duplicates"
-    assert len(_ROTATION) == WINDOW, (
-        f"_ROTATION must list exactly the {WINDOW}-row window,"
-        f" got {len(_ROTATION)}"
-    )
+    if unknown:
+        raise RuntimeError(
+            f"_ROTATION names not registered in QUERIES: {unknown}"
+        )
+    if len(_ROTATION) != len(set(_ROTATION)):
+        raise RuntimeError("_ROTATION has duplicates")
+    if len(_ROTATION) != WINDOW:
+        raise RuntimeError(
+            f"_ROTATION must list exactly the {WINDOW}-row window,"
+            f" got {len(_ROTATION)}"
+        )
     ordered = list(_ROTATION)
     rest = [n for n in QUERIES if n not in set(ordered)]
     snapshot = dict(QUERIES)

@@ -1117,10 +1117,12 @@ def update_semantic_index(
             n = corpus_table.to_df(spark).count()
         collapse_buckets = max(16, math.ceil(math.sqrt(n)))
 
-    start = 0 if last is None else last + 1
-    if start > corpus_version:
-        return {
-            "processed_versions": 0,
+    def _noop_metrics(processed: int) -> dict:
+        # every no-op return carries the SAME keys as a working refresh —
+        # collapse-mode consumers (e.g. a sink's cadence check) read
+        # rep_upserts/members_touched unconditionally (ADVICE r10)
+        out = {
+            "processed_versions": processed,
             "upserts": 0,
             "deletes": 0,
             "pairs_added": 0,
@@ -1130,6 +1132,14 @@ def update_semantic_index(
             "collapse": collapse,
             "compacted": [],
         }
+        if collapse:
+            out["rep_upserts"] = 0
+            out["members_touched"] = 0
+        return out
+
+    start = 0 if last is None else last + 1
+    if start > corpus_version:
+        return _noop_metrics(0)
 
     if assign_t is not None:
         conf = assign_t.metadata().configuration
@@ -1178,17 +1188,7 @@ def update_semantic_index(
         # n_upserts to the rep-level work unit below
         net_upserts, net_deletes = n_upserts, n_deletes
         if n_deletes == 0 and n_upserts == 0:
-            return {
-                "processed_versions": corpus_version - start + 1,
-                "upserts": 0,
-                "deletes": 0,
-                "pairs_added": 0,
-                "pairs_dropped": 0,
-                "max_list_candidates": 0,
-                "corpus_version": corpus_version,
-                "collapse": collapse,
-                "compacted": [],
-            }
+            return _noop_metrics(corpus_version - start + 1)
 
         import time as _time
 
@@ -1556,7 +1556,15 @@ def semantic_keeplist_from_index(
     if groups_t is not None:
         groups = groups_t.to_df(spark).select(id_col, "ghash")
         keepers = groups.groupBy("ghash").agg(F.min(id_col).alias(id_col))
-        surviving = keepers.select(id_col).join(losers, id_col, "left_anti")
+        surviving = (
+            keepers.select(id_col)
+            .join(losers, id_col, "left_anti")
+            # output ⊆ corpus, same contract as the uncollapsed path: a
+            # caller passing a FILTERED corpus must not get keeper ids from
+            # outside it (the groups table spans the whole indexed corpus) —
+            # semi-join before the union (ADVICE r10)
+            .join(corpus.select(id_col), id_col, "left_semi")
+        )
         ungrouped = corpus.select(id_col).join(
             groups.select(id_col), id_col, "left_anti"
         )

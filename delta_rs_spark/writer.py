@@ -248,10 +248,20 @@ def write_deltalake(
         # stored values (streaming sinks re-send their creation config on
         # every micro-batch append) stays silent.
         stored_cfg = table.metadata().configuration or {}
+
+        def _cfg_str(v):
+            # the stored config is str→str; normalize the caller's value the
+            # way the protocol spells it (booleans lowercase) so a sink
+            # re-passing {"...": True} against stored "true" stays silent
+            # instead of warning on every micro-batch append (ADVICE r10)
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return v if v is None or isinstance(v, str) else str(v)
+
         divergent = {
             k: (stored_cfg.get(k), v)
             for k, v in configuration.items()
-            if stored_cfg.get(k) != v
+            if stored_cfg.get(k) != _cfg_str(v)
         }
         if divergent:
             import warnings

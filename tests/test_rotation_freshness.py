@@ -75,6 +75,29 @@ def test_every_oracle_row_is_windowed_or_recently_green():
     )
 
 
+def test_rotation_guard_raises_without_assert(monkeypatch):
+    """ADVICE r10: the _apply_rotation guards must be real exceptions, not
+    asserts — `python -O` strips asserts, resurrecting the silent-window-
+    shrink failure mode the guard exists to prevent. The raise happens
+    before QUERIES is mutated, so probing it is side-effect free."""
+    import pytest
+
+    from delta_rs_spark import catalog
+
+    for bad in (
+        catalog._ROTATION + ["no_such_query"],  # unknown name
+        catalog._ROTATION + [catalog._ROTATION[0]],  # duplicate
+        catalog._ROTATION[:-1],  # wrong size
+    ):
+        monkeypatch.setattr(catalog, "_ROTATION", bad)
+        with pytest.raises(RuntimeError):
+            catalog._apply_rotation()
+    # restored rotation re-applies cleanly and preserves the window
+    monkeypatch.undo()
+    catalog._apply_rotation()
+    assert list(catalog.QUERIES)[: catalog.WINDOW] == catalog._ROTATION
+
+
 def test_rows_only_family_is_closed():
     """The no-oracle exemption must stay the small, deliberate approximate
     family — a new row silently shipping without an oracle would otherwise

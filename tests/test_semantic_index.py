@@ -545,6 +545,72 @@ def test_collapse_exact_incremental_copies_and_keeper_promotion(
     assert got == {(5, 30)}
 
 
+def test_collapse_noop_refresh_reports_collapse_metrics(spark, tmp_path):
+    """ADVICE r10: every collapse-mode return — including the watermark-
+    current and empty-net-window no-ops — carries rep_upserts and
+    members_touched, so a cadence-driven consumer (the streaming sink)
+    can read them unconditionally without KeyError."""
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark, df, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    dedup.update_semantic_index(
+        spark,
+        DeltaTable(src),
+        idx,
+        threshold=0.9,
+        n_list=2,
+        n_probe=2,
+        collapse_exact=True,
+    )
+    # watermark current: zero versions to process
+    res = dedup.update_semantic_index(spark, DeltaTable(src), idx)
+    assert res["processed_versions"] == 0 and res["collapse"] is True
+    assert res["rep_upserts"] == 0 and res["members_touched"] == 0
+    # a commit that nets to nothing (empty append): window advances, no work
+    write_deltalake(spark, df.limit(0), src, mode="append")
+    res = dedup.update_semantic_index(spark, DeltaTable(src), idx)
+    assert res["processed_versions"] == 1 and res["collapse"] is True
+    assert res["rep_upserts"] == 0 and res["members_touched"] == 0
+
+
+def test_keeplist_from_index_filtered_corpus_stays_subset(spark, tmp_path):
+    """ADVICE r10: the collapse path's survivors come from the GROUPS
+    table, which spans the whole indexed corpus — a caller passing a
+    FILTERED corpus must still get output ⊆ corpus, exactly like the
+    uncollapsed path (keepers outside the filter drop out; their in-filter
+    group members stay losers by the clique argument)."""
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)] + [
+        (10 + i, [float(i == j) for j in range(4)]) for i in range(1, 4)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    write_deltalake(
+        spark, df, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    dedup.update_semantic_index(
+        spark,
+        DeltaTable(src),
+        idx,
+        threshold=0.9,
+        n_list=2,
+        n_probe=2,
+        collapse_exact=True,
+    )
+    # full corpus: clone keeper 0 + the three singletons
+    assert _keep(spark, idx, df) == [0, 11, 12, 13]
+    # filtered corpus excludes keeper 0: output must stay inside the filter
+    sub = df.filter(F.col("vec_id") >= 1)
+    got = _keep(spark, idx, sub)
+    assert 0 not in got
+    assert set(got) <= {r.vec_id for r in sub.collect()}
+    # clones 1..4 remain losers (their group's keeper decision is index-
+    # level); the singletons pass through
+    assert got == [11, 12, 13]
+
+
 def test_collapse_exact_is_a_creation_invariant(spark, tmp_path):
     """The marker rides the index, not the call: a refresh of a collapsed
     index without the flag keeps collapsing, and a refresh of an

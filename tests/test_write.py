@@ -860,5 +860,23 @@ def test_append_time_configuration_conflict_warns(spark, tmp_path):
             mode="append",
             configuration={"delta.enableChangeDataFeed": "true"},
         )
+        # semantically-equal non-string values (ADVICE r10): a sink passing
+        # True against stored "true" must not warn on every micro-batch
+        write_deltalake(
+            spark,
+            df,
+            uri,
+            mode="append",
+            configuration={"delta.enableChangeDataFeed": True},
+        )
         # no configuration at all: silent
         write_deltalake(spark, df, uri, mode="append")
+    # a genuinely divergent boolean still warns
+    with pytest.warns(UserWarning, match="delta.enableChangeDataFeed"):
+        write_deltalake(
+            spark,
+            df,
+            uri,
+            mode="append",
+            configuration={"delta.enableChangeDataFeed": False},
+        )
