@@ -14,76 +14,77 @@ from . import lifecycle_queries as _lifecycle_queries  # noqa: F401  (registers)
 from . import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
 from .queries import QUERIES, headline_queries, oracle_sql, queries
 
-# Round-10 window (stalest-first, VERDICT r9 items #1-2): (1) the row BORN
-# this round (the collapse_exact semantic-index lifecycle — born rows
-# certify in their birth round) plus every row whose CODE PATH or ORACLE
-# changed with the residual-default flip and the advice fixes:
-# recall_contracts (two contracts renamed '...residual-default', both now
-# measuring the no-books default path), similarity_ivfpq_topk (rows-only;
-# now the pure default path), similarity_knn_graph (dropped the raw-book
-# cache — also in the r7-stale block), dedup_semantic_collapsed (NULL-
-# embedding pass-through fix), dedup_clusters (two-seed convergence
-# fingerprint); (2) all 43 rows whose last driver-green round is 7 — the
-# freshness gate forces them in the moment CORRECTNESS_r10 lands; (3) two
-# r8 rows fronted a round early to free r11 slack: recall_clustered_
-# contracts (the residual story's other half) and similarity_index_drift
-# (its corrupt-marker guard changed this round). After this window nothing
-# oracle-bearing is older than r8.
+# Round-11 window (stalest-first, VERDICT r10 items #1-3): (1) the row BORN
+# this round — stream_semantic_index_pipeline, the certified row for
+# SemanticIndexMaintainingSink (born rows certify in their birth round) —
+# plus the two rows whose CODE PATH changed this round:
+# dedup_semantic_index_collapsed (its keeplist read path gained the
+# output-subset-of-corpus semi-join, ADVICE r10 #2) and
+# stream_ann_index_pipeline (flipped to the residual-DEFAULT trained-books
+# path, VERDICT r10 #3 — the brute-force oracle is encoding-agnostic at
+# exhaustive knobs, so only the Spark side moved); (2) all 47 rows whose
+# last driver-green round is 8 (the 22 TPC-H rows, the 21 relational q_*
+# rows, dedup_index_lifecycle, incremental_rollup_lifecycle,
+# similarity_ivf_exact, similarity_ivfpq_index_search) — the freshness
+# gate forces them in the moment CORRECTNESS_r11 lands. 47 + 3 = exactly
+# 50; the metrics-only update_semantic_index no-op change also touches
+# dedup_semantic_index_lifecycle (r9-green, due r12) — result-invariant,
+# receipted by the full-catalog oracle sweep instead of a window slot
+# (the r10 non-finite-fix playbook). After this window nothing
+# oracle-bearing is older than r9.
 _ROTATION = [
-    # -- (1) born round 10 / code-or-oracle changed round 10 ------------------
+    # -- (1) born round 11 / code-path changed round 11 -----------------------
+    "stream_semantic_index_pipeline",
     "dedup_semantic_index_collapsed",
-    "recall_contracts",
-    "similarity_ivfpq_topk",
-    "dedup_semantic_collapsed",
-    "dedup_clusters",
-    # -- (3) r8 rows fronted early (residual-family + changed guard) ----------
-    "recall_clustered_contracts",
-    "similarity_index_drift",
-    # -- (2) last certified round 7 (43 rows; includes similarity_knn_graph,
-    #        whose oracle path also changed this round) -----------------------
-    "asof_join_events",
-    "cdf_changes_window",
-    "clone_lifecycle",
-    "concurrent_lifecycle",
-    "corpus_bpe_encode_arrow",
-    "corpus_dsir_importance",
-    "corpus_pmi_bigrams",
-    "corpus_source_overlap",
-    "corpus_unigram_lm",
-    "corpus_vocab_stats",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "embedding_centroid_norms",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "events_rolling_zscore",
-    "features_lifecycle",
-    "multimodal_features",
-    "pipeline_corpus_curation",
-    "profile_price_histogram",
-    "q_zorder_pruned_scan",
-    "range_join_error_windows",
-    "sample_global_shuffle",
-    "sample_stratified_exact",
-    "similarity_knn_graph",
-    "similarity_lsh_buckets",
-    "similarity_pq_index_lifecycle",
-    "similarity_quantized_rerank",
-    "similarity_topk",
-    "skew_salted_count_distinct",
-    "stream_dedup_events",
-    "stream_delta_sink_pipeline",
-    "stream_events_hourly",
-    "stream_hourly_watermark",
-    "stream_stream_join",
-    "stream_user_totals",
-    "text_boilerplate_ratio",
-    "text_gopher_rules",
-    "text_hash_classifier",
-    "text_lang_id",
-    "text_quality_score",
-    "ts_resample_locf",
-    "widening_uniform_lifecycle",
+    "stream_ann_index_pipeline",
+    # -- (2) last certified round 8 (47 rows) ---------------------------------
+    "dedup_index_lifecycle",
+    "incremental_rollup_lifecycle",
+    "similarity_ivf_exact",
+    "similarity_ivfpq_index_search",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_promo_volume_suppliers",
+    "q21_returned_not_accepted",
+    "q22_idle_customers",
+    "q_anti_join",
+    "q_array_functions",
+    "q_date_functions",
+    "q_events_hourly",
+    "q_events_json_props",
+    "q_events_sessions",
+    "q_filter_sort_project",
+    "q_grouping_sets",
+    "q_minmax_agg",
+    "q_outer_join_nulls",
+    "q_percentiles",
+    "q_referential_integrity",
+    "q_rollup_status",
+    "q_scalar_subquery",
+    "q_self_join_parts",
+    "q_semi_join",
+    "q_set_ops",
+    "q_string_functions",
+    "q_window_lag_events",
+    "q_window_running_revenue",
+    "q_window_topk_orders",
 ]
 
 

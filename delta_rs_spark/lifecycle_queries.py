@@ -1623,7 +1623,16 @@ def q_stream_ann_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     protocol → CDF-incremental index maintenance → partition-filtered
     search ≡ the brute-force oracle. Micro-batch boundaries can't change
     the outcome: appends are disjoint and the refresh folds whatever
-    window each batch leaves."""
+    window each batch leaves.
+
+    Round 11: the sink now trains its OWN codebooks (``books=None`` under
+    the ``n_list`` IVF tier), so the index the stream builds carries the
+    IVFADC residual DEFAULT (`deltars.pq.residual=true`, asserted below)
+    — the certified streaming row drives exactly what default-knob users
+    get (VERDICT r10 #3). The brute-force oracle is unchanged because it
+    is encoding-agnostic at these knobs: exhaustive oversample reranks
+    every probed candidate exactly, so raw and residual indexes return
+    the identical top-k."""
     import uuid as _uuid
 
     from .operators import similarity
@@ -1640,7 +1649,6 @@ def q_stream_ann_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     spark.dataSource.register(DeltaStreamDataSource)
-    books = similarity.pq_random_codebooks(16, 4, 16)
 
     def _attempt(i: int) -> DataFrame:
         # fresh corpus replica + index per attempt (fresh checkpoint ⇒
@@ -1651,7 +1659,8 @@ def q_stream_ann_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             dst,
             idx,
             app_id=f"certq_{_uuid.uuid4().hex[:8]}",
-            books=books,
+            # books=None: the first refresh trains codebooks from its own
+            # batch under the IVF tier — the residual-DEFAULT resolution
             n_list=4,
         )
         q = (
@@ -1666,6 +1675,14 @@ def q_stream_ann_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _drain_or_timeout(q, "stream_ann_index_pipeline")
+        marker = (
+            DeltaTable(idx)
+            .metadata()
+            .configuration.get(similarity._PQ_RESIDUAL_KEY)
+        )
+        assert marker == "true", (
+            f"stream-built index must carry the residual default, got {marker!r}"
+        )
         corpus = DeltaTable(dst).to_df(spark)
         return similarity.pq_index_search(
             spark,
@@ -1678,3 +1695,149 @@ def q_stream_ann_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _stream_attempts("stream_ann_index_pipeline", _attempt)
+
+
+def _semantic_stream_oracle() -> str:
+    """Oracle for the streaming SEMANTIC-DEDUP pipeline: the recursive-CTE
+    SemDeDup keeplist (the same reachability form as the batch collapsed
+    row `dedup_semantic_index_collapsed`) over the corpus the STREAM lands
+    — the full embeddings table plus a 300-copy byte-identical boilerplate
+    cluster of vec 0's vector arriving in the second commit. Valid because
+    the sink creates the index at n_probe = n_list, where the keeper-level
+    pair table provably equals the exhaustive keeper pair set and the
+    groups re-expansion is the exact quotient; micro-batch boundaries
+    cannot move the result (appends are disjoint, each refresh folds
+    whatever CDF window its batch leaves)."""
+    final = """(
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT 100000 + r.i AS vec_id,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) AS embedding
+      FROM range(300) r(i)
+    )"""
+    cos = (
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 4)"
+    )
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS u, b.vec_id AS v
+      FROM {final} a JOIN {final} b ON a.vec_id < b.vec_id
+      WHERE {cos} >= 0.4
+    ), und AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ), reach AS (
+      SELECT u AS node, u AS r FROM und
+      UNION
+      SELECT und.u AS node, reach.r
+      FROM und JOIN reach ON und.v = reach.node
+    ), comp AS (
+      SELECT node, min(r) AS cluster_id FROM reach GROUP BY node
+    ), losers AS (
+      SELECT node AS vec_id FROM comp WHERE node <> cluster_id
+    )
+    SELECT vec_id FROM {final}
+    WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    ORDER BY vec_id
+    """
+
+
+@query("stream_semantic_index_pipeline", _semantic_stream_oracle())
+def q_stream_semantic_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SEMANTIC-DEDUP ingestion certified end-to-end (round 11 —
+    the dedup twin of `stream_ann_index_pipeline`): seed a source Delta
+    table in TWO append commits — the embeddings table, then a 300-copy
+    byte-identical boilerplate cluster of vec 0's vector (ids 100000+,
+    exactly how duplicate-heavy web data arrives) — tail it with
+    ``delta_stream``, and land every micro-batch through
+    `SemanticIndexMaintainingSink` with ``collapse_exact=True``: the
+    exactly-once corpus append (epoch txn watermark) composes with an
+    incremental semantic-index refresh (corpus-version watermark on the
+    pairs table) in the same foreachBatch call, and the arriving clone
+    cluster is absorbed as ONE group keeper — asserted structurally (no
+    clone id is ever assigned or paired; the keeper-level candidate
+    pressure stays under a reps-sized ``max_list_candidates`` cap that
+    never sees the Θ(c²) clique the uncollapsed path materializes — the
+    cap-blow contrast itself is pinned in
+    tests/test_streaming.py::test_semantic_index_sink_composes_and_collapses).
+    The certified result re-expands the keeper-level index through the
+    groups table into the full keeplist — hashed against the
+    recursive-CTE reachability oracle over the complete pair graph, so one
+    row covers stream offsets → sink commit protocol → CDF-incremental
+    collapse maintenance → the quotient proof, streamed."""
+    import uuid as _uuid
+
+    from .operators import dedup
+    from .streaming.sink import SemanticIndexMaintainingSink
+    from .streaming.source import DeltaStreamDataSource
+    from .table import DeltaTable
+    from .writer import write_deltalake
+
+    src = _workdir("stream_sem_src", sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v0 = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("_v0"))
+    clones = (
+        spark.range(300)
+        .select((F.col("id") + 100000).alias("vec_id"))
+        .crossJoin(F.broadcast(v0))
+        .select("vec_id", F.col("_v0").alias("embedding"))
+    )
+    write_deltalake(spark, emb, src)
+    write_deltalake(spark, clones.repartition(2), src, mode="append")
+    n = emb.count()
+
+    spark.dataSource.register(DeltaStreamDataSource)
+
+    def _attempt(i: int) -> DataFrame:
+        # fresh corpus replica + index per attempt (fresh checkpoint ⇒
+        # epoch ids restart at 0, same caveat as stream_ann_index_pipeline)
+        dst = _workdir("stream_sem_dst", sf_dir)
+        idx = _workdir("stream_sem_idx", sf_dir)
+        sink = SemanticIndexMaintainingSink(
+            dst,
+            idx,
+            app_id=f"certq_{_uuid.uuid4().hex[:8]}",
+            threshold=0.4,
+            n_list=4,
+            n_probe=4,
+            collapse_exact=True,
+            # keeper-level pressure is ≤ reps² per probed list at exhaustive
+            # probe (reps = n distinct vectors; the clone cluster costs ONE
+            # keeper) — 2n² never fires collapsed, while the uncollapsed
+            # single-batch bootstrap at (n+300)² would exceed it at sf0.1
+            max_list_candidates=2 * n * n,
+        )
+        q = (
+            spark.readStream.format("delta_stream")
+            .option("path", src)
+            .option("startingVersion", "0")
+            .load()
+            .select("vec_id", "embedding")
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", os.path.join(src, f"_ckpt{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_timeout(q, "stream_semantic_index_pipeline")
+        assert sink.last_refresh is not None, "stream landed no batch"
+        assert sink.last_refresh["collapse"] is True
+        # the ADVICE-r10 contract: every refresh return (no-op included)
+        # carries the collapse work metrics
+        assert sink.last_refresh["rep_upserts"] >= 0
+        # absorption, structurally: clone ids (100000+) never enter the
+        # keeper-level tables — their group's keeper is vec 0
+        assigned_max = (
+            DeltaTable(f"{idx}/assignments")
+            .to_df(spark)
+            .agg(F.max("vec_id").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert assigned_max is not None and assigned_max < 100000, (
+            f"clone ids leaked into assignments (max {assigned_max})"
+        )
+        live = DeltaTable(dst).to_df(spark).select("vec_id", "embedding")
+        return dedup.semantic_keeplist_from_index(spark, idx, live).orderBy(
+            "vec_id"
+        )
+
+    return _stream_attempts("stream_semantic_index_pipeline", _attempt)

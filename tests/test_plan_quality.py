@@ -348,6 +348,7 @@ KEEPLIST_ROWS = [
     "dedup_semantic_clustered",
     "dedup_semantic_collapsed",
     "dedup_semantic_index_collapsed",
+    "stream_semantic_index_pipeline",
 ]
 
 
