@@ -1040,6 +1040,11 @@ def update_semantic_index(
     as `similarity.update_pq_index` (results invariant under compaction;
     size the threshold to a small multiple of the partition count).
 
+    Creation over an EMPTY corpus is deferred, exactly as in
+    `update_pq_index`: no tables, no watermark — the first non-empty
+    refresh bootstraps over the whole log (streaming sinks hit this when
+    their first micro-batch is empty).
+
     Returns metrics: versions processed, upserts, deletes, pairs added,
     pairs dropped (by the pair-table MERGE-deletes), corpus version,
     max_list_candidates (0 when the window touched no list), ``collapse``
@@ -1158,10 +1163,16 @@ def update_semantic_index(
                 raise ValueError(
                     "semantic index creation needs n_list (int or 'auto') or cents"
                 )
+            # CREATION over an empty corpus is DEFERRED (no table, no
+            # watermark — the first non-empty refresh covers the whole
+            # log): a streaming sink's first micro-batch can be empty, and
+            # train_ivf_centroids raises on a seedless corpus by contract
+            n = corpus_table.count_rows()
+            if n is None:
+                n = corpus_table.to_df(spark).count()
+            if n == 0:
+                return _noop_metrics(0)
             if n_list == "auto":
-                n = corpus_table.count_rows()
-                if n is None:
-                    n = corpus_table.to_df(spark).count()
                 n_list = max(8, math.ceil(math.sqrt(n)))
             cents = train_ivf_centroids(
                 corpus_table.to_df(spark), n_list, iters, id_col, vec_col

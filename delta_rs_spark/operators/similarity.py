@@ -250,6 +250,14 @@ def train_ivf_centroids(
         .select("c_v")
         .collect()
     )
+    if not seeds:
+        # an empty (or all-degenerate) corpus has nothing to seed from —
+        # raise the contract violation instead of returning [] and letting
+        # a downstream scorer fail obscurely (persisted-index creation
+        # guards this case itself and DEFERS instead)
+        raise ValueError(
+            "cannot train IVF centroids: corpus has no finite nonzero vectors"
+        )
     cents = [list(r.c_v) for r in seeds]
     for _ in range(iters):
         assigned = _assign_lists(c, cents, "c", 1)
@@ -1109,7 +1117,13 @@ def train_pq_codebooks(
     if cents is not None:
         c = _attach_residual(_assign_lists(c, cents, "c", 1), cents, "c")
     if dim is None:
-        dim = len(c.select("c_v").first()[0])
+        row = c.select("c_v").first()
+        if row is None:
+            raise ValueError(
+                "cannot train PQ codebooks: corpus has no finite nonzero"
+                " vectors"
+            )
+        dim = len(row[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -1119,6 +1133,10 @@ def train_pq_codebooks(
         .select("c_v")
         .collect()
     )
+    if not seeds:  # explicit-dim call on an empty corpus skips the sniff
+        raise ValueError(
+            "cannot train PQ codebooks: corpus has no finite nonzero vectors"
+        )
     books = [
         [list(r.c_v[j * sub : (j + 1) * sub]) for r in seeds] for j in range(m)
     ]
@@ -1959,6 +1977,11 @@ def update_pq_index(
 
     Returns metrics: versions processed, upserts, deletes, corpus version,
     and ``compacted`` (whether this call ran OPTIMIZE).
+
+    Creation over an EMPTY corpus is deferred: the call is a no-op (no
+    index table, watermark unset) and the first non-empty refresh
+    bootstraps over the whole log — so a streaming sink whose first
+    micro-batch is empty converges instead of crashing in k-means.
     """
     import json
 
@@ -2002,12 +2025,27 @@ def update_pq_index(
             index.metadata().configuration.get(_PQ_RESIDUAL_KEY) == "true"
         )
     else:
+        # CREATION over an empty corpus is DEFERRED, not an error: a
+        # streaming IndexMaintainingSink's first micro-batch can be empty
+        # (processing-time trigger with no data yet), and crashing the
+        # stream inside k-means would kill the query. No index table is
+        # written and the watermark stays unset, so the first non-empty
+        # refresh still covers the whole log — identical convergence to
+        # the semantic index's empty-window no-op.
+        n_live = corpus_table.count_rows()
+        if n_live is None:  # stats-free files: one bounded count job
+            n_live = corpus_table.to_df(spark).count()
+        if n_live == 0:
+            return {
+                "processed_versions": 0,
+                "upserts": 0,
+                "deletes": 0,
+                "corpus_version": corpus_version,
+                "compacted": False,
+            }
         if cents is None and n_list is not None:
             if n_list == "auto":
-                n = corpus_table.count_rows()
-                if n is None:  # stats-free files: one bounded count job
-                    n = corpus_table.to_df(spark).count()
-                n_list = max(8, math.ceil(math.sqrt(n)))
+                n_list = max(8, math.ceil(math.sqrt(n_live)))
             cents = train_ivf_centroids(
                 corpus_table.to_df(spark), n_list, iters, id_col, vec_col
             )

@@ -1052,3 +1052,47 @@ def test_rebuild_can_migrate_raw_index_to_residual(spark, tmp_path):
         similarity.rebuild_pq_index(
             spark, DeltaTable(src), flat, str(tmp_path / "x"), residual=True
         )
+
+
+def test_creation_defers_on_empty_corpus_then_bootstraps(spark, tmp_path):
+    """Round 11: creation over an EMPTY corpus is a no-op (a streaming
+    sink's first micro-batch can be empty — crashing inside k-means would
+    kill the query), the watermark stays unset, and the first non-empty
+    refresh bootstraps over the whole log. Training entry points raise a
+    CLEAR contract error on a seedless corpus instead of the old bare
+    TypeError."""
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    write_deltalake(
+        spark, empty, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    res = similarity.update_pq_index(
+        spark, DeltaTable(src), idx, n_list=4, m=4, k_codes=4
+    )
+    assert res["processed_versions"] == 0 and res["upserts"] == 0
+    from delta_rs_spark.protocol.snapshot import NotATableError
+
+    with pytest.raises(NotATableError):
+        DeltaTable(idx)
+
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(8)]
+    write_deltalake(
+        spark,
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        src,
+        mode="append",
+    )
+    res = similarity.update_pq_index(
+        spark, DeltaTable(src), idx, n_list=4, m=4, k_codes=4
+    )
+    # deferred creation: the bootstrap covers BOTH versions (0 and 1)
+    assert res["processed_versions"] == 2 and res["upserts"] == 8
+    assert DeltaTable(idx).to_df(spark).count() == 8
+
+    # the ad-hoc trainers state the contract instead of TypeError
+    with pytest.raises(ValueError, match="finite nonzero"):
+        similarity.train_ivf_centroids(empty, 4)
+    with pytest.raises(ValueError, match="finite nonzero"):
+        similarity.train_pq_codebooks(empty, m=4, k_codes=4)
+    with pytest.raises(ValueError, match="finite nonzero"):
+        similarity.train_pq_codebooks(empty, m=4, k_codes=4, dim=8)

@@ -827,3 +827,173 @@ def test_semantic_index_auto_compaction_bounds_files(spark, tmp_path):
         dedup.semantic_pairs_snapshot(live, cents, n_probe=2, threshold=0.9)
     )
     assert got == want
+
+
+def test_semantic_creation_defers_on_empty_corpus_then_bootstraps(
+    spark, tmp_path
+):
+    """Round 11: the semantic index's empty-corpus creation deferral is an
+    explicit contract (it used to work only by early-return accident —
+    train_ivf_centroids now raises on a seedless corpus, so the guard
+    must fire first). No tables, no watermark; the first non-empty
+    refresh bootstraps the whole log. The deferral stores NOTHING, so the
+    retry re-passes the creation knobs — which is exactly what the
+    streaming sink does on every flush."""
+    from delta_rs_spark.protocol.snapshot import NotATableError
+
+    src, idx = str(tmp_path / "src"), str(tmp_path / "idx")
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    write_deltalake(
+        spark, empty, src, configuration={"delta.enableChangeDataFeed": "true"}
+    )
+    res = dedup.update_semantic_index(
+        spark,
+        DeltaTable(src),
+        idx,
+        threshold=0.9,
+        n_list=2,
+        n_probe=2,
+        collapse_exact=True,
+    )
+    assert res["processed_versions"] == 0
+    assert res["rep_upserts"] == 0 and res["members_touched"] == 0
+    with pytest.raises(NotATableError):
+        DeltaTable(f"{idx}/assignments")
+
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0])]
+    write_deltalake(
+        spark,
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        src,
+        mode="append",
+    )
+    res = dedup.update_semantic_index(
+        spark,
+        DeltaTable(src),
+        idx,
+        threshold=0.9,
+        n_list=2,
+        n_probe=2,
+        collapse_exact=True,
+    )
+    assert res["processed_versions"] == 2 and res["collapse"] is True
+    assert res["rep_upserts"] == 2  # keeper 1 + singleton 3
+    live = DeltaTable(src).to_df(spark).select("vec_id", "embedding")
+    assert _keep(spark, idx, live) == [1, 3]
+
+
+@pytest.mark.parametrize("seed", [23])
+def test_collapse_index_matches_one_shot_under_fuzz(spark, tmp_path, seed):
+    """Round 11: random DML schedule over a CLONE-HEAVY corpus (ids drawn
+    from a small pool of distinct vectors, so exact groups dominate) with
+    refreshes at random points — after every refresh the collapsed
+    index's derived keeplist equals the one-shot `semantic_keeplist` over
+    the live corpus. Exercises keeper death (deletes hitting group
+    minima), group splits (negating a subset of a group's copies), group
+    extinction, reinsertion into a different group, and the groups-table
+    MERGE idempotency — the integration net under the
+    `stream_semantic_index_pipeline` / `dedup_semantic_index_collapsed`
+    driver rows, at exhaustive probe where the keeper-level pair table
+    provably equals the exhaustive keeper pair set."""
+    rng = random.Random(seed)
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+
+    def _gvec(g: int) -> list[float]:
+        return [float(((g * 29 + j * 13) % 17) / 17.0 - 0.5) for j in range(8)]
+
+    def _frame(rows: dict[int, list[float]]):
+        return spark.createDataFrame(
+            [(i, v) for i, v in sorted(rows.items())],
+            "vec_id long, embedding array<float>",
+        )
+
+    # 40 ids over 5 distinct vectors: every group starts as an 8-clone
+    model: dict[int, list[float]] = {i: _gvec(i % 5) for i in range(40)}
+    deleted: set[int] = set()
+    next_id = 40
+    write_deltalake(
+        spark,
+        _frame(model),
+        src,
+        configuration={
+            "delta.enableChangeDataFeed": "true",
+            "delta.enableDeletionVectors": "true",
+        },
+    )
+    dedup.update_semantic_index(
+        spark,
+        DeltaTable(src),
+        idx,
+        threshold=0.6,
+        n_list=4,
+        n_probe=4,
+        collapse_exact=True,
+    )
+    history = ["seed(40x5groups)", "bootstrap"]
+
+    def _check():
+        want = sorted(
+            r.vec_id
+            for r in dedup.semantic_keeplist(
+                _frame(model), threshold=0.6
+            ).collect()
+        )
+        got = _keep(spark, idx, _frame(model))
+        assert got == want, f"keeplist diverged after {history}"
+        # the collapse invariant: assignments only ever hold group keepers
+        by_vec: dict[tuple, int] = {}
+        for i, v in model.items():
+            tv = tuple(v)
+            by_vec[tv] = min(by_vec.get(tv, i), i)
+        keepers = set(by_vec.values())
+        assigned = {
+            r.vec_id
+            for r in DeltaTable(f"{idx}/assignments").to_df(spark).collect()
+        }
+        assert assigned <= keepers, f"non-keeper indexed after {history}"
+
+    _check()
+    for step in range(5):
+        op = rng.choice(["clones", "delete", "negate", "reinsert"])
+        t = DeltaTable(src)
+        if op == "clones":
+            g = rng.randrange(7)  # groups 5,6 are born mid-fuzz
+            n = rng.randrange(4, 10)
+            fresh = {i: _gvec(g) for i in range(next_id, next_id + n)}
+            write_deltalake(spark, _frame(fresh), src, mode="append")
+            model.update(fresh)
+            next_id += n
+            history.append(f"clones(g{g},{n})")
+        elif op == "delete":
+            k, r = rng.choice([(7, 0), (5, 0), (3, 1)])
+            t.delete(spark, f"vec_id % {k} = {r}")
+            for i in [i for i in model if i % k == r]:
+                deleted.add(i)
+                del model[i]
+            history.append(f"delete(%{k}={r})")
+        elif op == "negate":
+            k, r = rng.choice([(4, 1), (6, 2)])
+            t.update_where(
+                spark,
+                f"vec_id % {k} = {r}",
+                {"embedding": "transform(embedding, x -> -x)"},
+            )
+            for i in list(model):
+                if i % k == r:
+                    model[i] = [-x for x in model[i]]
+            history.append(f"negate(%{k}={r})")
+        else:
+            back = sorted(deleted)[: rng.randrange(1, 6)] if deleted else []
+            if back:
+                rows = {i: _gvec((i + 1) % 5) for i in back}  # NEW group
+                write_deltalake(spark, _frame(rows), src, mode="append")
+                model.update(rows)
+                deleted.difference_update(back)
+            history.append(f"reinsert({len(back)})")
+
+        if rng.random() < 0.5 or step == 4:
+            dedup.update_semantic_index(spark, DeltaTable(src), idx)
+            history.append("refresh")
+            _check()

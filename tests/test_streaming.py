@@ -1100,3 +1100,114 @@ def test_semantic_index_sink_composes_and_collapses(spark, tmp_path):
     assert DeltaTable(src).to_df(spark).count() == 83
     assert sink.last_refresh["processed_versions"] == 0
     assert sink.skipped_epoch_count == 1
+
+
+def test_semantic_sink_refresh_cadence_converges(spark, tmp_path):
+    """Round 11: the semantic sink's refresh_every_n honors the same
+    deterministic-cadence contract as the ANN sink — skipped epochs' CDF
+    windows fold into the next on-cadence refresh, and flush() drains an
+    off-cadence tail, so cadence 2 converges to the cadence-1 keeplist."""
+    from delta_rs_spark.operators import dedup
+    from delta_rs_spark.streaming.sink import SemanticIndexMaintainingSink
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        )
+
+    batches = [
+        frame([(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])]),
+        frame([(10 + i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)]),  # dups of 1
+        frame([(3, [2.0, 0.05, 0.0, 0.0])]),  # near-dup of 1
+    ]
+    kw = dict(
+        threshold=0.9, n_list=2, n_probe=2, collapse_exact=True
+    )
+    src1, idx1 = str(tmp_path / "c1"), str(tmp_path / "i1")
+    every = SemanticIndexMaintainingSink(src1, idx1, app_id="sem", **kw)
+    src2, idx2 = str(tmp_path / "c2"), str(tmp_path / "i2")
+    lazy = SemanticIndexMaintainingSink(
+        src2, idx2, app_id="sem", refresh_every_n=2, **kw
+    )
+    for epoch, b in enumerate(batches):
+        every(b, epoch)
+        lazy(b, epoch)
+    # epoch 1 deferred its refresh; epoch 2 folded both windows
+    assert lazy.skipped_refreshes == [1]
+    assert lazy.last_refresh["processed_versions"] == 2
+    # the stream ends on-cadence here, but flush() must stay a no-op
+    assert lazy.flush(spark)["processed_versions"] == 0
+
+    for src, idx in ((src1, idx1), (src2, idx2)):
+        live = DeltaTable(src).to_df(spark).select("vec_id", "embedding")
+        got = sorted(
+            r.vec_id
+            for r in dedup.semantic_keeplist_from_index(
+                spark, idx, live
+            ).collect()
+        )
+        want = sorted(
+            r.vec_id
+            for r in dedup.semantic_keeplist(live, threshold=0.9).collect()
+        )
+        assert got == want == [1, 2]
+
+
+def test_index_sinks_survive_empty_first_batch(spark, tmp_path):
+    """Round 11: a streaming query's FIRST micro-batch can be empty
+    (processing-time trigger before data arrives). Both index sinks must
+    treat it as deferred creation — corpus table created with CDF on,
+    index untouched, no crash inside k-means — and bootstrap on the
+    first non-empty batch."""
+    from delta_rs_spark.operators import dedup, similarity
+    from delta_rs_spark.protocol.snapshot import NotATableError
+    from delta_rs_spark.streaming.sink import (
+        IndexMaintainingSink,
+        SemanticIndexMaintainingSink,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    data = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+
+    src_a, idx_a = str(tmp_path / "ca"), str(tmp_path / "ia")
+    ann = IndexMaintainingSink(
+        src_a, idx_a, app_id="ann", n_list=4, m=4, k_codes=4
+    )
+    ann(empty, 0)
+    assert ann.last_refresh["processed_versions"] == 0
+    with pytest.raises(NotATableError):
+        DeltaTable(idx_a)
+    ann(data, 1)
+    assert ann.last_refresh["upserts"] == 8
+    got = similarity.pq_index_search(
+        spark,
+        idx_a,
+        DeltaTable(src_a).to_df(spark),
+        data.filter(F.col("vec_id") < 2),
+        k=3,
+        n_probe=4,
+        oversample=1_000_000,
+    )
+    assert got.count() == 6
+
+    src_s, idx_s = str(tmp_path / "cs"), str(tmp_path / "is")
+    sem = SemanticIndexMaintainingSink(
+        src_s, idx_s, app_id="sem", threshold=0.9, n_list=2, n_probe=2,
+        collapse_exact=True,
+    )
+    sem(empty, 0)
+    assert sem.last_refresh["processed_versions"] == 0
+    assert sem.last_refresh["rep_upserts"] == 0
+    with pytest.raises(NotATableError):
+        DeltaTable(f"{idx_s}/assignments")
+    sem(data, 1)
+    assert sem.last_refresh["upserts"] == 8
+    live = DeltaTable(src_s).to_df(spark).select("vec_id", "embedding")
+    keep = sorted(
+        r.vec_id
+        for r in dedup.semantic_keeplist_from_index(spark, idx_s, live).collect()
+    )
+    assert keep == list(range(8))
