@@ -237,13 +237,21 @@ def _permutation_params(num_perm: int) -> list[tuple[int, int]]:
 def _signatures_from_sets(sets: DataFrame, num_perm: int) -> DataFrame:
     """Attach `signature` (array<long>, length num_perm) to a shingle-set table.
 
-    Entirely inside whole-stage codegen: per permutation i,
-    ``array_min(transform(h, x -> (a_i*x + b_i) mod M))`` over the per-doc
-    hash array — zero shuffles and zero exploded rows (an explode + groupBy
-    formulation would shuffle |docs|×|shingles| rows at 100 TB).
+    Entirely JVM-side: per permutation i, a single left fold
+    ``aggregate(h, M, (acc, x) -> least(acc, (a_i*x + b_i) mod M))`` over the
+    per-doc hash array — zero shuffles and zero exploded rows (an explode +
+    groupBy formulation would shuffle |docs|×|shingles| rows at 100 TB).
+    The fold form computes each minimum in ONE pass with no intermediate
+    array; the previous ``array_min(transform(...))`` shape allocated and
+    re-scanned a hash-set-sized array per permutation (2 passes + 1 alloc
+    × num_perm per document). Identical output: min over a transformed set
+    == fold with ``least``, and every pmod result is < M, so the M seed
+    never survives a non-empty array (shingle sets are non-empty by the
+    ``size >= n`` filter upstream).
     """
     mins = ", ".join(
-        f"array_min(transform(_hm, x -> pmod(x * {a}L + {b}L, {_MERSENNE}L)))"
+        f"aggregate(_hm, {_MERSENNE}L, (acc, x) -> "
+        f"least(acc, pmod(x * {a}L + {b}L, {_MERSENNE}L)))"
         for a, b in _permutation_params(num_perm)
     )
     return sets.withColumn(
@@ -282,24 +290,37 @@ def minhash_lsh_dedup(
     rows_per_band = num_perm // bands
     from ..caching import persist_tracked
 
-    # persisted: feeds the signature branch and both verify sides (see
-    # ngram_jaccard_pairs for the rationale)
+    # persisted WITH the signature column: the cached frame feeds the band
+    # explode on BOTH sides of the candidate self-join and both verify sides.
+    # Persisting only the shingle sets (the pre-round-11 shape) left the
+    # num_perm-fold signature expression dangling above the cache — Spark
+    # re-evaluated it once per self-join side (measured: the two signature
+    # Projects were ~70% of the query's task time at sf0.1). The columnar
+    # cache prunes unread columns, so the verify branches still read only
+    # (id, sh_arr, n_sh) and the band branches only (id, signature).
     sets = persist_tracked(
-        shingle_hash_sets(df.select(id_col, text_col), n, id_col, text_col)
+        _signatures_from_sets(
+            shingle_hash_sets(df.select(id_col, text_col), n, id_col, text_col),
+            num_perm,
+        )
     )
-    sig = _signatures_from_sets(sets, num_perm).select(id_col, "signature")
+    sig = sets.select(id_col, "signature")
 
-    band_cols = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(bi).alias("band"),
-                    F.xxhash64(
-                        *[F.col("signature")[bi * rows_per_band + r] for r in range(rows_per_band)]
-                    ).alias("bh"),
+    # one SQL string, one parse: the Column-API formulation (bands × struct/
+    # lit/getItem calls) cost hundreds of py4j round trips per DataFrame
+    # build — pure driver overhead the bench pays on every invocation
+    band_cols = F.expr(
+        "explode(array({}))".format(
+            ", ".join(
+                "named_struct('band', {}, 'bh', xxhash64({}))".format(
+                    bi,
+                    ", ".join(
+                        f"signature[{bi * rows_per_band + r}]"
+                        for r in range(rows_per_band)
+                    ),
                 )
                 for bi in range(bands)
-            ]
+            )
         )
     ).alias("bb")
     banded = sig.select(id_col, band_cols).select(
@@ -369,7 +390,14 @@ def simhash_pairs(
     n_bands = max_hamming + 1
     width = 64 // n_bands
 
-    fp = df.select(id_col, simhash64(text_col).alias("fp"))
+    from ..caching import persist_tracked
+
+    # persisted: the fingerprint table (16 bytes/doc) feeds the band explode
+    # on BOTH sides of the candidate self-join; without the cache the
+    # O(words × 64) vote-fold expression is evaluated twice per document
+    # (once per join side) — the same double-evaluation the minhash path
+    # fixes by persisting its signatures
+    fp = persist_tracked(df.select(id_col, simhash64(text_col).alias("fp")))
     bands = fp.select(
         id_col,
         "fp",

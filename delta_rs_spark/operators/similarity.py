@@ -38,6 +38,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
@@ -243,50 +244,61 @@ def train_ivf_centroids(
     the n_list corpus vectors with the smallest xxhash64(id) — deterministic
     across runs and cluster sizes.
     """
-    c = _unit(_with_norm(corpus, id_col, vec_col, "c"), "c")
-    seeds = (
-        c.orderBy(F.xxhash64(F.col("c_id")), F.col("c_id"))
-        .limit(n_list)
-        .select("c_v")
-        .collect()
+    # persisted for the trainer's lifetime: seeds + every Lloyd iteration
+    # read the SAME unit-normalized projection — without the cache each of
+    # the 1 + iters bounded jobs re-scans the corpus and re-evaluates the
+    # norm/unit folds. Training is fully eager (every consumer collects
+    # inside this function), so the cache is released before returning.
+    c = _unit(_with_norm(corpus, id_col, vec_col, "c"), "c").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    if not seeds:
-        # an empty (or all-degenerate) corpus has nothing to seed from —
-        # raise the contract violation instead of returning [] and letting
-        # a downstream scorer fail obscurely (persisted-index creation
-        # guards this case itself and DEFERS instead)
-        raise ValueError(
-            "cannot train IVF centroids: corpus has no finite nonzero vectors"
-        )
-    cents = [list(r.c_v) for r in seeds]
-    for _ in range(iters):
-        assigned = _assign_lists(c, cents, "c", 1)
-        means = (
-            assigned.select("list_id", F.posexplode("c_v").alias("pos", "val"))
-            .groupBy("list_id", "pos")
-            # order-insensitive mean: quantize to DECIMAL, sum exactly,
-            # divide — float avg() would make the trained centroids (and so
-            # the list assignment) vary with shuffle reduction order, and
-            # the determinism contract is pinned by tests/test_recall.py
-            .agg(
-                (
-                    F.sum(F.col("val").cast("decimal(25,12)"))
-                    / F.count(F.lit(1))
-                )
-                .cast("double")
-                .alias("m")
-            )
-            .groupBy("list_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-                ).alias("cent")
-            )
+    try:
+        seeds = (
+            c.orderBy(F.xxhash64(F.col("c_id")), F.col("c_id"))
+            .limit(n_list)
+            .select("c_v")
             .collect()
         )
-        for row in means:  # lists that captured no vectors keep their seed
-            cents[row.list_id] = list(row.cent)
-    return cents
+        if not seeds:
+            # an empty (or all-degenerate) corpus has nothing to seed from —
+            # raise the contract violation instead of returning [] and letting
+            # a downstream scorer fail obscurely (persisted-index creation
+            # guards this case itself and DEFERS instead)
+            raise ValueError(
+                "cannot train IVF centroids: corpus has no finite nonzero vectors"
+            )
+        cents = [list(r.c_v) for r in seeds]
+        for _ in range(iters):
+            assigned = _assign_lists(c, cents, "c", 1)
+            means = (
+                assigned.select("list_id", F.posexplode("c_v").alias("pos", "val"))
+                .groupBy("list_id", "pos")
+                # order-insensitive mean: quantize to DECIMAL, sum exactly,
+                # divide — float avg() would make the trained centroids (and so
+                # the list assignment) vary with shuffle reduction order, and
+                # the determinism contract is pinned by tests/test_recall.py
+                .agg(
+                    (
+                        F.sum(F.col("val").cast("decimal(25,12)"))
+                        / F.count(F.lit(1))
+                    )
+                    .cast("double")
+                    .alias("m")
+                )
+                .groupBy("list_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s.m,
+                    ).alias("cent")
+                )
+                .collect()
+            )
+            for row in means:  # lists that captured no vectors keep their seed
+                cents[row.list_id] = list(row.cent)
+        return cents
+    finally:
+        c.unpersist()
 
 
 def ivf_topk(
@@ -524,6 +536,8 @@ def lsh_bucketed_pairs(
     antagonistic thresholds (<~0.3) degrade toward brute-force candidate
     volume — use ``dedup.embedding_cosine_pairs(method="brute")`` there.
     """
+    from ..caching import persist_tracked
+
     r, b = _band_params(threshold, target_miss)
     planes = _hyperplane_signs(r * b, dim)
     planes_col = F.array(*[F.lit([float(s) for s in row]) for row in planes])
@@ -542,6 +556,10 @@ def lsh_bucketed_pairs(
         # _with_norm (NaN > 0 is also TRUE, so `> 0` alone leaked them)
         .filter((F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf"))))
     )
+    # persisted: norm feeds the signature pass AND both vector-verify sides —
+    # without the cache each consumer re-scans the source and re-evaluates
+    # the norm fold (3 full scans of the vector table per call)
+    norm = persist_tracked(norm)
 
     dots = F.transform(planes_col, lambda p: _dot(F.col("v"), p))
     # band key as a base-2 number over the band's r sign bits (MSB first) —
@@ -557,7 +575,13 @@ def lsh_bucketed_pairs(
             ).otherwise(0),
         ),
     )
-    sig = (
+    # persisted: sig feeds BOTH sides of the candidate self-join — without
+    # the cache the r·b plane-dot signature expression (the expensive part
+    # of this operator) is evaluated twice per vector, once per join side
+    # (the same double-evaluation dedup.minhash_lsh_dedup fixes by caching
+    # its signatures). The cached rows are (id, band, key) — b small rows
+    # per vector, never the vectors themselves.
+    sig = persist_tracked(
         norm.withColumn("_dots", dots)
         .select("id", F.posexplode(keys).alias("band", "key"))
     )
@@ -652,6 +676,12 @@ def blocked_exact_pairs(
         # path here — finite positive norm only, matching _with_norm
         .filter((F.col("nrm") > 0) & (F.col("nrm") < F.lit(float("inf"))))
     )
+    # persisted: norm feeds the grid-sizing count AND both GEMM routing
+    # sides — without the cache the source is scanned (and the norm fold
+    # evaluated) up to three times per call
+    from ..caching import persist_tracked
+
+    norm = persist_tracked(norm)
     # one bounded job sizing the block grid, skipped when the caller
     # already knows the count (see EAGER-BUILD CONTRACT above)
     n = n_rows if n_rows is not None else norm.count()
@@ -808,6 +838,12 @@ def clustered_exact_pairs(
         F.col("c_v").alias("v"),
         F.col("c_norm").alias("nrm"),
     )
+    # persisted: assigned feeds the max-cluster sizing job AND both GEMM
+    # routing sides — without the cache the n_list·dim centroid-assignment
+    # expression (plus the scan and norm fold under it) runs three times
+    from ..caching import persist_tracked
+
+    assigned = persist_tracked(assigned)
     # bounded job: size the block grid from the LARGEST cluster, not the
     # average — k-means clusters skew, and per-task GEMM memory grows with
     # the square of rows-per-(cluster, block), so the hot cluster is the
@@ -1113,9 +1149,24 @@ def train_pq_codebooks(
 
     EAGER-BUILD CONTRACT: unless ``dim`` is supplied, one bounded job reads
     a single row to size the subspaces."""
+    # persisted for the trainer's lifetime (same rationale and release
+    # discipline as train_ivf_centroids): the dim sniff, the seed scan and
+    # every Lloyd iteration read this projection — for residual books it
+    # includes the n_list·dim assignment + residual attach, the most
+    # expensive per-row expression in the module
     c = _unit(_with_norm(corpus, id_col, vec_col, "c"), "c")
     if cents is not None:
         c = _attach_residual(_assign_lists(c, cents, "c", 1), cents, "c")
+    c = c.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _train_pq_codebooks_from(c, m, k_codes, iters, dim)
+    finally:
+        c.unpersist()
+
+
+def _train_pq_codebooks_from(
+    c: DataFrame, m: int, k_codes: int, iters: int, dim: int | None
+) -> list[list[list[float]]]:
     if dim is None:
         row = c.select("c_v").first()
         if row is None:
