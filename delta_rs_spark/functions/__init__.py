@@ -50,8 +50,51 @@ def cosine_similarity(a, b) -> Column:
 
 def sum_dec(col, alias: str, scale: int = 6) -> Column:
     """Order-insensitive double sum: quantize to DECIMAL(25,scale), sum
-    exactly, cast back — bit-identical across partitionings and engines."""
-    return F.sum(col.cast(f"decimal(25,{scale})")).cast("double").alias(alias)
+    exactly, cast back — bit-identical across partitionings and engines.
+
+    The quantization contract is ``CAST(x AS DECIMAL(25,scale))``, i.e.
+    HALF_UP on the shortest decimal representation of the double
+    (``BigDecimal.valueOf``). The direct cast pays a per-row
+    Double.toString + BigDecimal parse; the hot path here computes the
+    same unscaled long as ``floor(x*10^s + 0.5)`` in pure double codegen
+    and routes through the exact cast only when the two could disagree:
+
+    - the rounded value sits inside a guard band around a half boundary
+      (|y - D*10^s| <= 1.5 ulp(y) for D = shortest-repr(x), so a band of
+      max(1e-9, |y|*1e-12) is ~1000x wider than any possible divergence);
+    - non-finite / NULL inputs (cast yields NULL; floor would not);
+    - |y| > 1e15: keeps the unscaled long exact in double space AND
+      keeps the long->decimal re-scale overflow-free.
+
+    The per-row addend stays DECIMAL(25,scale) and the sum stays decimal
+    (never a raw long sum: unscaled longs overflow int64 at large scale
+    factors; the decimal(35,scale) sum buffer does not), so output values
+    and dtypes are bit-identical to the direct-cast form.
+    """
+    p10 = 10**scale
+    y = col * F.lit(float(p10))
+    frac = y - F.floor(y)
+    band = F.greatest(F.lit(1e-9), F.abs(y) * F.lit(1e-12))
+    ambiguous = (
+        col.isNull()
+        | F.isnan(col)
+        | (F.abs(y) > F.lit(1e15))
+        | (F.abs(frac - F.lit(0.5)) < band)
+    )
+    fast_u = F.floor(y + F.lit(0.5))
+    if scale > 0:
+        # 10^-scale as an exact decimal literal: unscaled 1 at the target
+        # scale; the multiply re-scales the long without a string parse.
+        # |fast_u| <= 1e15 (the ambiguous bound), so neither the
+        # decimal(19,0) nor the final precision-25 cast can overflow.
+        tiny = F.expr(f"CAST(0.{'0' * (scale - 1)}1 AS DECIMAL({scale},{scale}))")
+        fast_q = (fast_u.cast("decimal(19,0)") * tiny).cast(f"decimal(25,{scale})")
+    else:
+        fast_q = fast_u.cast("decimal(25,0)")
+    # ambiguous rows take the direct cast verbatim — including its NULL on
+    # non-finite input and on |x| >= 10^(25-scale) overflow
+    quant = F.when(ambiguous, col.cast(f"decimal(25,{scale})")).otherwise(fast_q)
+    return F.sum(quant).cast("double").alias(alias)
 
 
 def shingles(text, n: int = 3) -> Column:

@@ -109,7 +109,10 @@ def extract_features(df: DataFrame) -> DataFrame:
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
-    return df.mapInPandas(batches, FEATURE_SCHEMA)
+    # ship only the columns the kernel reads: Spark cannot prune columns
+    # through an opaque function, so without this the metadata struct (and
+    # anything else on the frame) crosses the Python boundary per row
+    return df.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
 
 
 MULTIMODAL_ORACLE_SQL = """
@@ -162,7 +165,8 @@ def resize(df: DataFrame, width: int, height: int) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(batches, RESIZED_SCHEMA)
+    # only doc_id/payload cross the Python boundary (see extract_features)
+    return df.select("doc_id", "payload").mapInPandas(batches, RESIZED_SCHEMA)
 
 
 FRAME_SCHEMA = T.StructType(
@@ -178,27 +182,52 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) ->
     """Arrow-batched 1→N expansion: sample 'frames' out of each payload.
 
     The row-expanding shape (one input row yields up to max_frames output
-    rows inside the same pandas batch) is exactly how video frame sampling
+    rows inside the same Arrow batch) is exactly how video frame sampling
     runs on a cluster — ffmpeg replaces the byte-slicing stub, the Spark
-    contract stays."""
+    contract stays.
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            ids, nos, frames = [], [], []
-            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                # ceil(len/every): the old len//every + 1 emitted a trailing
-                # EMPTY frame whenever the payload length was an exact
-                # multiple of the stride
-                n_frames = max(
-                    (len(p) + every_n_bytes - 1) // every_n_bytes, 1
+    Vectorized per frame index, not per row: frame i of EVERY payload is
+    one native ``pyarrow.compute.binary_slice`` over the whole column
+    (≤ every_n_bytes copied per row) followed by a ``take`` of the rows
+    long enough to have that frame — ≤ max_frames kernel calls per batch
+    instead of rows × frames interpreted slice/copy iterations. A pure
+    offsets-rewrite over the shared data buffer is NOT possible here:
+    truncation at max_frames leaves gaps between consecutive values, which
+    a single Arrow offsets buffer cannot represent.
+    """
+
+    def batches(it):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for rb in it:
+            doc = rb.column(0)
+            pay = rb.column(1)
+            lens = pc.binary_length(pay).to_numpy(zero_copy_only=False).astype(np.int64)
+            # ceil(len/every) with a floor of 1: an exact-multiple payload
+            # gets no trailing empty frame; an empty payload gets frame 0
+            n_frames = np.minimum(
+                np.maximum(-(-lens // every_n_bytes), 1), max_frames
+            )
+            for i in range(int(n_frames.max()) if len(n_frames) else 0):
+                idx = pa.array(np.nonzero(n_frames > i)[0])
+                sl = pc.binary_slice(
+                    pay, start=i * every_n_bytes, stop=(i + 1) * every_n_bytes
                 )
-                for i in range(min(n_frames, max_frames)):
-                    ids.append(doc_id)
-                    nos.append(i)
-                    frames.append(bytes(p[i * every_n_bytes : (i + 1) * every_n_bytes]))
-            yield pd.DataFrame({"doc_id": ids, "frame_no": nos, "frame": frames})
+                yield pa.record_batch(
+                    [
+                        doc.take(idx),
+                        pa.array(np.full(len(idx), i, dtype=np.int32)),
+                        sl.take(idx),
+                    ],
+                    names=["doc_id", "frame_no", "frame"],
+                )
 
-    return df.mapInPandas(batches, FRAME_SCHEMA)
+    # ship only the two columns the kernel reads (guide §4.1: Spark cannot
+    # see inside an opaque function and would otherwise move every column
+    # through the Python boundary)
+    return df.select("doc_id", "payload").mapInArrow(batches, FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

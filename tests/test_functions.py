@@ -42,6 +42,34 @@ def test_sum_dec_matches_exact(spark):
     assert r.s == pytest.approx(0.6, abs=1e-9)
 
 
+def test_sum_dec_equals_direct_decimal_cast_adversarially(spark):
+    """sum_dec's fast long-space quantization must be bit-identical to the
+    contract form CAST(SUM(CAST(x AS DECIMAL(25,s))) AS DOUBLE) — including
+    exact halves (positive and negative), float-half traps (2.675, 1.005),
+    NaN/Inf/NULL (cast yields NULL), and values past the 1e15 fast-path
+    ceiling. Values overflowing DECIMAL(25,s) itself THROW under the
+    session's ANSI mode in both forms (ambiguous rows run the verbatim
+    direct cast), so they stay below 10^(25-6) here."""
+    import random
+
+    random.seed(7)
+    vals = [round(k + 0.005, 6) for k in range(-40, 40)]
+    vals += [k + 0.0000005 for k in range(-40, 40)]
+    vals += [k / 7.0 for k in range(-500, 500)]
+    vals += [random.uniform(-1e6, 1e6) for _ in range(5000)]
+    vals += [random.uniform(-1e16, 1e16) for _ in range(1000)]
+    vals += [random.uniform(-9e18, 9e18) for _ in range(200)]
+    vals += [float("nan"), float("inf"), float("-inf"), None, 0.0, -0.0]
+    vals += [2.675, -2.675, 1.005, -1.005, 0.125, -0.125]
+    df = spark.createDataFrame([(v,) for v in vals], "x DOUBLE")
+    for scale in (0, 2, 6):
+        ref = df.agg(
+            F.sum(F.col("x").cast(f"decimal(25,{scale})")).cast("double").alias("v")
+        ).collect()[0]["v"]
+        got = df.agg(dfn.sum_dec(F.col("x"), "v", scale)).collect()[0]["v"]
+        assert got == ref, f"scale={scale}: {got!r} != {ref!r}"
+
+
 def test_shingles_ignore_surrounding_whitespace(spark):
     from pyspark.sql import functions as F
 
