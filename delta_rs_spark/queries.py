@@ -27,6 +27,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .caching import persist_tracked
+from .functions import sum_dec_sql
 from .sources.tables import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -115,25 +116,26 @@ def SUM_DEC(expr: str, alias: str, scale: int = 6) -> str:
     headline=True,
 )
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single spark.sql call: ONE parse+analysis instead of one Catalyst
+    # analysis per chained DataFrame op (measured ~10x cheaper construction,
+    # re-paid by the bench's timed region on every run). Physical plan
+    # byte-identical to the former chain (tests/test_plan_quality.py pins
+    # the shape; the sum_dec/sum_dec_sql lockstep pin is in test_functions).
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            _sum_dec(F.col("l_quantity"), "sum_qty", 2),
-            _sum_dec(F.col("l_extendedprice"), "sum_base_price", 2),
-            _sum_dec(
-                F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_disc_price"
-            ),
-            _sum_dec(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax")),
-                "sum_charge",
-            ),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {sum_dec_sql('l_quantity', 'sum_qty', 2)},
+               {sum_dec_sql('l_extendedprice', 'sum_base_price', 2)},
+               {sum_dec_sql('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+               {sum_dec_sql('l_extendedprice * (1 - l_discount) * (l_tax + 1)', 'sum_charge')},
+               COUNT(1) AS count_order
+        FROM {{l}}
+        WHERE l_shipdate <= CAST('1998-09-02 00:00:00' AS TIMESTAMP)
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        l=l,
     )
 
 
@@ -155,23 +157,29 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("2020-03-15 00:00:00").cast("timestamp")
-    )
-    l = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
-    )
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(
-            _sum_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
-        )
-        .select("l_orderkey", "revenue", "o_orderdate")
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
-        .limit(10)
+    # single-statement build (see q1); BROADCAST hint ≡ the former
+    # F.broadcast(c) on the dimension side
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(c) */
+               l_orderkey,
+               {sum_dec_sql('l_extendedprice * (1 - l_discount)', 'revenue')},
+               o_orderdate
+        FROM {{l}} l JOIN {{o}} o ON l_orderkey = o_orderkey
+                     JOIN {{c}} c ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < CAST('2020-03-15 00:00:00' AS TIMESTAMP)
+          AND l_shipdate > CAST('1995-03-15 00:00:00' AS TIMESTAMP)
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """,
+        l=l,
+        o=o,
+        c=c,
     )
 
 
@@ -191,19 +199,33 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-statement build (see q1); the nation⋈region dimension stays a
+    # broadcast via the hint on the subquery alias
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
     n = load_table(spark, sf_dir, "nation")
-    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    dim = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name"))
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(dim, c.c_nationkey == F.col("n_nationkey"))
-        .groupBy("n_name")
-        .agg(_sum_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    r = load_table(spark, sf_dir, "region")
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(dim) */
+               dim.n_name,
+               {sum_dec_sql('l_extendedprice * (1 - l_discount)', 'revenue')}
+        FROM {{l}} l
+          JOIN {{o}} o ON l_orderkey = o_orderkey
+          JOIN {{c}} c ON o_custkey = c_custkey
+          JOIN (SELECT n_nationkey, n_name
+                FROM {{n}} n JOIN {{r}} r ON n_regionkey = r_regionkey
+                WHERE r_name = 'ASIA') dim
+            ON c_nationkey = dim.n_nationkey
+        GROUP BY dim.n_name
+        ORDER BY revenue DESC, dim.n_name
+        """,
+        l=l,
+        o=o,
+        c=c,
+        n=n,
+        r=r,
     )
 
 
@@ -220,15 +242,19 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-statement build (see q1); 0.02D/0.09D/24.0D are double literals,
+    # matching the former Python-float/int Column literals exactly
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.filter(
-            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
-            & F.col("l_discount").between(0.02, 0.09)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(_sum_dec(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    return spark.sql(
+        f"""
+        SELECT {sum_dec_sql('l_extendedprice * l_discount', 'revenue')}
+        FROM {{l}}
+        WHERE l_shipdate >= CAST('1996-01-01 00:00:00' AS TIMESTAMP)
+          AND l_shipdate < CAST('1997-01-01 00:00:00' AS TIMESTAMP)
+          AND l_discount BETWEEN 0.02D AND 0.09D
+          AND l_quantity < 24.0D
+        """,
+        l=l,
     )
 
 
@@ -968,11 +994,18 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-statement build (see q1)
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("n"), _sum_dec(F.col("value"), "sum_value"))
-        .orderBy("hour", "event_type")
+    return spark.sql(
+        f"""
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               COUNT(1) AS n,
+               {sum_dec_sql('value', 'sum_value')}
+        FROM {{e}}
+        GROUP BY date_trunc('hour', ts), event_type
+        ORDER BY hour, event_type
+        """,
+        e=e,
     )
 
 

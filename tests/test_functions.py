@@ -70,6 +70,32 @@ def test_sum_dec_equals_direct_decimal_cast_adversarially(spark):
         assert got == ref, f"scale={scale}: {got!r} != {ref!r}"
 
 
+def test_sum_dec_sql_lockstep_with_column_form(spark):
+    """sum_dec_sql (the single-statement SQL twin used by the headline
+    builders) must produce the SAME analyzed expression as the Column form —
+    pinned on the optimized-plan text so the two can never drift apart
+    silently. Checked for a bare column and a composite arithmetic input at
+    every scale the catalog uses."""
+    df = spark.createDataFrame([(1.5, 0.1)], "x DOUBLE, y DOUBLE")
+
+    def optimized(d):
+        return d._jdf.queryExecution().optimizedPlan().toString()
+
+    import re
+
+    def norm(t):
+        return re.sub(r"#\d+", "#X", t)
+
+    for expr_sql, col in [
+        ("x", F.col("x")),
+        ("x * (1 - y)", F.col("x") * (1 - F.col("y"))),
+    ]:
+        for scale in (0, 2, 6):
+            a = df.agg(dfn.sum_dec(col, "v", scale))
+            b = df.agg(F.expr(dfn.sum_dec_sql(expr_sql, "v", scale)))
+            assert norm(optimized(a)) == norm(optimized(b)), (expr_sql, scale)
+
+
 def test_shingles_ignore_surrounding_whitespace(spark):
     from pyspark.sql import functions as F
 
