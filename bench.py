@@ -123,12 +123,27 @@ def main() -> None:
 
     bench_names = [name for name, qd in QUERIES.items() if qd.headline]
 
+    # sidecar integrity (VERDICT r11 #5): stamp the core count into the
+    # capture, and never clobber a capture taken at a DIFFERENT core count —
+    # an auxiliary local[8] scaling run used to overwrite the 32-core capture
+    # of record. A mismatched run writes (and diffs against)
+    # BENCH_PLANS_c{cpus}.json instead.
+    from delta_rs_spark.session import default_parallelism
+
+    cpus = default_parallelism()
     sidecar_path = os.path.join(here, "BENCH_PLANS.json")
     try:
         with open(sidecar_path) as fh:
             prev = json.load(fh)
     except (OSError, ValueError):
         prev = {}
+    if prev.get("cpus") is not None and int(prev["cpus"]) != int(cpus):
+        sidecar_path = os.path.join(here, f"BENCH_PLANS_c{cpus}.json")
+        try:
+            with open(sidecar_path) as fh:
+                prev = json.load(fh)
+        except (OSError, ValueError):
+            prev = {}
 
     # adaptive warmup (r11 measurement fix, module docstring): full sweeps
     # over every headline query until a sweep's total stops improving by
@@ -182,6 +197,7 @@ def main() -> None:
         json.dump(
             {
                 "sf_dir": sf_dir,
+                "cpus": cpus,
                 "summary_mode": "executed",
                 "warmup_sweep_totals_sec": sweep_totals,
                 "queries": {

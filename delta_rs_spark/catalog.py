@@ -14,77 +14,74 @@ from . import lifecycle_queries as _lifecycle_queries  # noqa: F401  (registers)
 from . import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
 from .queries import QUERIES, headline_queries, oracle_sql, queries
 
-# Round-11 window (stalest-first, VERDICT r10 items #1-3): (1) the row BORN
-# this round — stream_semantic_index_pipeline, the certified row for
-# SemanticIndexMaintainingSink (born rows certify in their birth round) —
-# plus the two rows whose CODE PATH changed this round:
-# dedup_semantic_index_collapsed (its keeplist read path gained the
-# output-subset-of-corpus semi-join, ADVICE r10 #2) and
-# stream_ann_index_pipeline (flipped to the residual-DEFAULT trained-books
-# path, VERDICT r10 #3 — the brute-force oracle is encoding-agnostic at
-# exhaustive knobs, so only the Spark side moved); (2) all 47 rows whose
-# last driver-green round is 8 (the 22 TPC-H rows, the 21 relational q_*
-# rows, dedup_index_lifecycle, incremental_rollup_lifecycle,
-# similarity_ivf_exact, similarity_ivfpq_index_search) — the freshness
-# gate forces them in the moment CORRECTNESS_r11 lands. 47 + 3 = exactly
-# 50; the metrics-only update_semantic_index no-op change also touches
-# dedup_semantic_index_lifecycle (r9-green, due r12) — result-invariant,
-# receipted by the full-catalog oracle sweep instead of a window slot
-# (the r10 non-finite-fix playbook). After this window nothing
-# oracle-bearing is older than r9.
+# Round-12 window (stalest-first, VERDICT r11 items #2-3): (1) the three
+# rows whose CODE is touched by this optimization round — text_gopher_rules
+# and corpus_bpe_encode_arrow (promoted to the timed bench and optimized,
+# VERDICT r11 #3) and multimodal_features (frame_sample Arrow-boundary
+# residual, VERDICT r11 #7); (2) all 47 rows whose last driver-green round
+# is 9 (the text.* family, the BPE train/encode chain, the exact-dedup and
+# semantic-keeplist rows, the PQ exact/codes/search family, sampling/split
+# rows and the q_* analytics block) — the freshness gate
+# (tests/test_rotation_freshness.py) forces them in the moment
+# CORRECTNESS_r12 lands. 47 + 3 = exactly 50. The remaining r11-code-touched
+# rows VERDICT #2 wanted re-certified (dedup_simhash, similarity_knn_graph,
+# similarity_lsh_buckets, dedup_embedding_cosine, dedup_clusters,
+# similarity_index_drift) are r10-green — not yet freshness-due — and the
+# 47 forced slots leave no window room; they carry this round's builder
+# full-catalog oracle-sweep receipt instead and are first in line for r13.
 _ROTATION = [
-    # -- (1) born round 11 / code-path changed round 11 -----------------------
-    "stream_semantic_index_pipeline",
-    "dedup_semantic_index_collapsed",
-    "stream_ann_index_pipeline",
-    # -- (2) last certified round 8 (47 rows) ---------------------------------
-    "dedup_index_lifecycle",
-    "incremental_rollup_lifecycle",
-    "similarity_ivf_exact",
-    "similarity_ivfpq_index_search",
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_class",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_promo_volume_suppliers",
-    "q21_returned_not_accepted",
-    "q22_idle_customers",
-    "q_anti_join",
-    "q_array_functions",
-    "q_date_functions",
-    "q_events_hourly",
-    "q_events_json_props",
-    "q_events_sessions",
-    "q_filter_sort_project",
-    "q_grouping_sets",
-    "q_minmax_agg",
-    "q_outer_join_nulls",
-    "q_percentiles",
-    "q_referential_integrity",
-    "q_rollup_status",
-    "q_scalar_subquery",
-    "q_self_join_parts",
-    "q_semi_join",
-    "q_set_ops",
-    "q_string_functions",
-    "q_window_lag_events",
-    "q_window_running_revenue",
-    "q_window_topk_orders",
+    # -- (1) code touched in round 12 ------------------------------------------
+    "text_gopher_rules",
+    "corpus_bpe_encode_arrow",
+    "multimodal_features",
+    # -- (2) last certified round 9 (47 rows, freshness-forced) ---------------
+    "corpus_bpe_encode",
+    "corpus_bpe_pairs",
+    "corpus_bpe_train",
+    "corpus_dup_rate_by_source",
+    "corpus_top_ngrams",
+    "dedup_exact",
+    "dedup_keeplist",
+    "dedup_keeplist_longest",
+    "dedup_minhash_verified",
+    "dedup_ngram_jaccard",
+    "dedup_semantic_clustered",
+    "dedup_semantic_index_lifecycle",
+    "dedup_semantic_keeplist",
+    "events_variant_props",
+    "profile_lineitem_columns",
+    "q_cube_status_priority",
+    "q_customer_value_deciles",
+    "q_daily_revenue_ma7",
+    "q_events_funnel",
+    "q_events_pivot",
+    "q_events_retention",
+    "q_events_value_stats",
+    "q_part_cooccurrence",
+    "q_union_except",
+    "sample_source_mixture",
+    "sample_token_budget",
+    "similarity_ivfpq_exact",
+    "similarity_ivfpq_residual",
+    "similarity_pq_codes",
+    "similarity_pq_exact",
+    "similarity_pq_index_search",
+    "split_grouped_by_source",
+    "split_train_val_test",
+    "text_char_entropy",
+    "text_chunking",
+    "text_contamination",
+    "text_contamination_bloom",
+    "text_fingerprint",
+    "text_lang_mismatch",
+    "text_line_dedup",
+    "text_normalize",
+    "text_pii_redact",
+    "text_repetition",
+    "text_sequence_packing",
+    "text_substring_dedup",
+    "text_tfidf_topk",
+    "text_token_count",
 ]
 
 

@@ -113,11 +113,16 @@ def sum_dec_sql(expr: str, alias: str, scale: int = 6) -> str:
     parity matters.
     """
     p10 = float(10**scale)
-    y = f"({expr} * {p10})"
+    # (expr) is wrapped everywhere it feeds arithmetic: an additive input
+    # like 'a + b' would otherwise render '(a + b * p10)' and silently bind
+    # as a + (b*p10) (ADVICE r11). Redundant parens are dropped by the
+    # parser, so the analyzed tree — and plan-text parity with the Column
+    # form — is unchanged for existing call sites.
+    y = f"(({expr}) * {p10})"
     frac = f"({y} - FLOOR({y}))"
     band = f"greatest(1.0E-9, abs({y}) * 1.0E-12)"
     ambiguous = (
-        f"(({expr} IS NULL OR isnan({expr}))"
+        f"((({expr}) IS NULL OR isnan({expr}))"
         f" OR abs({y}) > 1.0E15"
         f" OR abs({frac} - 0.5) < {band})"
     )

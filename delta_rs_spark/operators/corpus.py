@@ -837,6 +837,13 @@ def _syms_expr(w):
     )
 
 
+# bpe_train: compact the lazy replace chain into a persisted frame after
+# this many rounds (bounds plan depth at real merge counts; chosen above the
+# certified n_merges=8 so the certified path runs zero extra jobs, and low
+# enough that census recompute stays a dozen vocab-sized string maps)
+_REMATERIALIZE_EVERY = 12
+
+
 def bpe_train(
     df: DataFrame, n_merges: int = 8, text_col: str = "text"
 ) -> list[tuple[str, str, int]]:
@@ -855,14 +862,30 @@ def bpe_train(
 
     EAGER-BUILD CONTRACT: runs 1 + n_merges bounded jobs; returns the
     learned merge list [(left, right, count)], the driver-held artifact
-    (like IVF centroids / PQ codebooks)."""
+    (like IVF centroids / PQ codebooks).
+
+    Job-count discipline (round 12, guide §1.2 "remove unnecessary passes"):
+    each round used to persist+count a fully materialized replaced vocab —
+    TWO jobs per merge (census + materialization) plus cache churn, and the
+    materialization job is pure overhead: the replace is a trivial
+    vocab-sized string map. The replaces are now CHAINED lazily on top of
+    ONE persisted base vocab, so a round costs exactly its census job
+    (round k's census re-applies k literal replaces to the cached vocab —
+    linear, vocab-sized, no shuffle). To bound plan depth for real merge
+    counts (32k merges would otherwise build a 32k-deep expression chain),
+    the chain is compacted back into a persisted frame every
+    ``_REMATERIALIZE_EVERY`` rounds — at the default 8 merges that is zero
+    extra jobs. Winners, tie-breaks, and counts are bit-identical: the same
+    replaces run in the same order, only WHERE they evaluate changed."""
     vocab = (
         df.select(F.explode(_tokens(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(_syms_expr(F.col("w")).alias("syms"), "cnt")
     )
-    v = vocab.persist()
+    base = vocab.persist()
+    cur = base
+    chain_depth = 0
     merges: list[tuple[str, str, int]] = []
     try:
         for _ in range(n_merges):
@@ -877,7 +900,7 @@ def bpe_train(
                 lambda a, b: F.concat(a, b),
             )
             top = (
-                v.filter(F.length("syms") > 0)
+                cur.filter(F.length("syms") > 0)
                 .select(F.explode(pairs).alias("pair"), "cnt")
                 .groupBy("pair")
                 .agg(F.sum("cnt").alias("pcnt"))
@@ -890,19 +913,22 @@ def bpe_train(
             pair, pcnt = top[0].pair, int(top[0].pcnt)
             left_w, right_w = pair.split(_STX + _SOH)
             merges.append((left_w[1:], right_w[:-1], pcnt))
-            nv = v.select(
+            cur = cur.select(
                 F.replace(
                     F.col("syms"),
                     F.lit(pair),
                     F.lit(pair.replace(_STX + _SOH, "")),
                 ).alias("syms"),
                 "cnt",
-            ).persist()
-            nv.count()  # materialize before dropping the parent lineage
-            v.unpersist()
-            v = nv
+            )
+            chain_depth += 1
+            if chain_depth >= _REMATERIALIZE_EVERY:
+                nb = cur.persist()
+                nb.count()  # materialize before dropping the parent cache
+                base.unpersist()
+                base, cur, chain_depth = nb, nb, 0
     finally:
-        v.unpersist()
+        base.unpersist()
     return merges
 
 

@@ -1727,7 +1727,13 @@ def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bpe_encode(docs, merges).orderBy("doc_id")
 
 
-@query("corpus_bpe_encode_arrow", corpus.bpe_encode_oracle_sql(n_merges=8))
+@query(
+    "corpus_bpe_encode_arrow",
+    corpus.bpe_encode_oracle_sql(n_merges=8),
+    # promoted to the timed bench in round 12 (VERDICT r11 #3): the biggest
+    # Arrow-UDF surface in the catalog, never driver-wall-clocked before
+    headline=True,
+)
 def q_corpus_bpe_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION encode path — the Arrow-batched rank-priority kernel
     (`method="arrow"`, the one a real 32k-100k merge list runs, where a
@@ -1813,7 +1819,13 @@ def q_dedup_keeplist_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # catalog._ROTATION pins the driver's 50 slots.
 # ---------------------------------------------------------------------------
 
-@query("text_gopher_rules", text.gopher_rules_oracle_sql())
+@query(
+    "text_gopher_rules",
+    text.gopher_rules_oracle_sql(),
+    # promoted to the timed bench in round 12 (VERDICT r11 #3): the text.*
+    # family's full-corpus per-doc expression trees were never driver-timed
+    headline=True,
+)
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style heuristic quality gate (word-count window, mean word
     length, alphabetic-word fraction, stopword hits) — the standard

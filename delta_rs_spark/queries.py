@@ -118,9 +118,10 @@ def SUM_DEC(expr: str, alias: str, scale: int = 6) -> str:
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single spark.sql call: ONE parse+analysis instead of one Catalyst
     # analysis per chained DataFrame op (measured ~10x cheaper construction,
-    # re-paid by the bench's timed region on every run). Physical plan
-    # byte-identical to the former chain (tests/test_plan_quality.py pins
-    # the shape; the sum_dec/sum_dec_sql lockstep pin is in test_functions).
+    # re-paid by the bench's timed region on every run). Plan shape pinned
+    # by tests/test_plan_quality.py; byte-level parity with the former chain
+    # was verified via the BENCH_PLANS.json capture (not a regression gate);
+    # the sum_dec/sum_dec_sql lockstep pin is in test_functions.
     l = load_table(spark, sf_dir, "lineitem")
     return spark.sql(
         f"""

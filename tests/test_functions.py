@@ -89,6 +89,10 @@ def test_sum_dec_sql_lockstep_with_column_form(spark):
     for expr_sql, col in [
         ("x", F.col("x")),
         ("x * (1 - y)", F.col("x") * (1 - F.col("y"))),
+        # additive input: covers the precedence class where an
+        # unparenthesized interpolation would bind as x + (y * 10^s)
+        # (ADVICE r11) — the lockstep pin now fails if the wrap regresses
+        ("x + y", F.col("x") + F.col("y")),
     ]:
         for scale in (0, 2, 6):
             a = df.agg(dfn.sum_dec(col, "v", scale))
