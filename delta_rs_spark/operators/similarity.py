@@ -204,8 +204,20 @@ def _assign_lists(
     n·n_list rows just to pick each vector's nearest lists. Ties break to
     the smallest list_id, matching the previous ordering.
     """
-    dots = F.array(
-        *[_dot(F.col(f"{prefix}_v"), F.array(*[F.lit(float(x)) for x in c])) for c in cents]
+    # SQL-text dot array (round 12): the Column form built n_list
+    # aggregate(zip_with(...)) trees with dim literals each through py4j —
+    # pure driver construction chatter re-paid per call (same fix and
+    # equivalence argument as _l2_argmin_sql; identical arithmetic in
+    # identical order, so the doubles are bit-equal)
+    dots = F.expr(
+        "array("
+        + ", ".join(
+            f"aggregate(zip_with({prefix}_v,"
+            " array(" + ", ".join(_flit(x) for x in c) + "),"
+            " (x, y) -> x * y), 0.0D, (a, x) -> a + x)"
+            for c in cents
+        )
+        + ")"
     )
     pick = f"""
         transform(
@@ -1055,13 +1067,68 @@ def _attach_residual(df: DataFrame, cents: list[list[float]], prefix: str) -> Da
     )
 
 
+def _flit(x: float) -> str:
+    """Shortest-repr double literal in SQL text (parses to Literal(x,
+    DoubleType) — `repr` round-trips doubles exactly)."""
+    return repr(float(x)) + "D"
+
+
+def _l2_argmin_sql(
+    cents: list[list[float]], vec_sql: str, round_digits: int | None = None
+) -> str:
+    """SQL-text twin of :func:`_l2_argmin_expr` (round 12, guide §1.2/§4).
+
+    Two measured problems with the Column form at m=16/k=16 (the
+    update_pq_index refresh path, 12-24 s per streaming micro-batch):
+
+    - CONSTRUCTION: 256 ``aggregate(zip_with(...))`` Column objects built
+      through py4j — 7-8 s of driver chatter per call, re-paid on every
+      refresh. One parsed SQL string per code column removes it (the same
+      fix as round 11's single-statement relational queries).
+    - EXECUTION: the struct-sort argmin referenced the whole k-distance
+      array INSIDE the ``transform`` lambda, and subexpression elimination
+      does not reach through higher-order functions — every code column
+      evaluated its k aggregates k times (k² per subspace). The argmin is
+      now ``array_position(dists, array_min(dists)) - 1``: dists evaluates
+      once (plain Project-level CSE applies), min and first-match replace
+      the sort.
+
+    Equivalence to the struct-sort form (bit-exact, all inputs): distances
+    are sums of squares left-folded from +0.0D — finite, never -0.0 — and
+    rounding preserves that; ``array_min`` returns the smallest element's
+    exact bits, ``array_position`` finds its FIRST occurrence, i.e. the
+    smallest code on rounded ties — the identical tie-break the
+    (dist, idx) struct sort applied. Even the degenerate all-NaN case
+    agrees (Spark orders/equates NaN consistently in both forms → code 0).
+    Pinned against the Column form in tests/test_pq_index.py."""
+    parts = []
+    for c in cents:
+        arr = "array(" + ", ".join(_flit(x) for x in c) + ")"
+        d = (
+            f"aggregate(zip_with({vec_sql}, {arr},"
+            f" (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+        )
+        parts.append(
+            f"round({d}, {round_digits})" if round_digits is not None else d
+        )
+    dists = "array(" + ", ".join(parts) + ")"
+    return (
+        f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
+    )
+
+
 def _l2_argmin_expr(cents: list[list[float]], vec, round_digits: int | None = None):
     """Codegen argmin over literal centroids: array of squared-L2
     distances, struct-sorted (dist, idx) ascending, first index — ties
     break to the smallest code, the same rule the SQL oracle evaluates.
     ``round_digits`` quantizes each distance first (the certified-codes
     path: cross-engine double noise is ~1e-15, so rounding at 1e-9 makes
-    the argmin engine-invariant without ever flipping a real winner)."""
+    the argmin engine-invariant without ever flipping a real winner).
+
+    Round 12: the hot paths (`pq_codes`, `train_pq_codebooks`) build the
+    SQL-text twin `_l2_argmin_sql` instead (construction + execution cost,
+    see its docstring); this Column form is kept as the reference
+    implementation the equivalence test pins against."""
     def _d(c):
         d = F.aggregate(
             F.zip_with(vec, F.array(*[F.lit(float(x)) for x in c]),
@@ -1192,11 +1259,16 @@ def _train_pq_codebooks_from(
         [list(r.c_v[j * sub : (j + 1) * sub]) for r in seeds] for j in range(m)
     ]
     for _ in range(iters):
-        codes = F.array(
-            *[
-                _l2_argmin_expr(books[j], F.slice("c_v", j * sub + 1, sub))
+        # SQL-text argmin: same construction/execution rationale as
+        # pq_codes (see _l2_argmin_sql) — the trainer rebuilds this
+        # expression every iteration
+        codes = F.expr(
+            "array("
+            + ", ".join(
+                _l2_argmin_sql(books[j], f"slice(c_v, {j * sub + 1}, {sub})")
                 for j in range(m)
-            ]
+            )
+            + ")"
         )
         means = (
             # codes are projected BEFORE the posexplode select: combining a
@@ -1270,12 +1342,16 @@ def pq_codes(
     c = _unit(_with_norm(corpus, id_col, vec_col, "c"), "c")
     if cents is not None:
         c = _attach_residual(_assign_lists(c, cents, "c", 1), cents, "c")
+    # SQL-text argmin (see _l2_argmin_sql): one parse instead of 256 py4j
+    # Column builds, and dists evaluated once per code instead of k times
     return c.select(
         F.col("c_id").alias(id_col),
         *(["list_id"] if emit_list_id else []),
         *[
-            _l2_argmin_expr(
-                books[j], F.slice("c_v", j * sub + 1, sub), round_digits
+            F.expr(
+                _l2_argmin_sql(
+                    books[j], f"slice(c_v, {j * sub + 1}, {sub})", round_digits
+                )
             ).alias(f"code_{j}")
             for j in range(m)
         ],

@@ -40,17 +40,35 @@ class ExactlyOnceDeltaSink:
         # (a long-running replay-heavy stream must not grow driver memory)
         self.skipped_epochs: list[int] = []
         self.skipped_epoch_count: int = 0
+        # cached table handle (round 12, guide §6): the watermark check and
+        # the index-refresh half each re-replayed the log from scratch every
+        # micro-batch; the handle is now loaded once and incrementally
+        # advanced (`update()` applies only the commits newer than the
+        # loaded snapshot), so per-batch log I/O is ∝ new commits, not
+        # checkpoint + tail. A restart builds a fresh sink → fresh replay.
+        self._table = None
 
     _SKIP_LOG_CAP = 64
+
+    def _refresh_table(self):
+        """Cached handle: full log replay on first use, incremental apply
+        of new commits afterwards. Raises NotATableError until the table
+        exists (first batch creates it)."""
+        from ..table import DeltaTable
+
+        if self._table is None:
+            self._table = DeltaTable(self.table_uri)
+        else:
+            self._table.update()
+        return self._table
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..protocol.actions import TxnAction
         from ..protocol.snapshot import NotATableError
-        from ..table import DeltaTable
         from ..writer import write_deltalake
 
         try:
-            table = DeltaTable(self.table_uri)
+            table = self._refresh_table()
             last = table.get_app_transaction_version(self.app_id)
             if last is not None and epoch_id <= last:
                 self.skipped_epoch_count += 1
@@ -121,8 +139,12 @@ class UpsertDeltaSink:
         # bounded like ExactlyOnceDeltaSink's (lag telemetry, not a log)
         self.skipped_epochs: list[int] = []
         self.skipped_epoch_count: int = 0
+        # cached handle, same per-batch log-I/O rationale as the append sink
+        self._table = None
 
     _SKIP_LOG_CAP = 64
+
+    _refresh_table = ExactlyOnceDeltaSink._refresh_table
 
     def _collapse(self, batch_df: DataFrame) -> DataFrame:
         if not self.dedupe_keys:
@@ -157,7 +179,7 @@ class UpsertDeltaSink:
         batch_df = self._collapse(batch_df)
         txn = TxnAction(app_id=self.app_id, version=epoch_id)
         try:
-            table = DeltaTable(self.table_uri)
+            table = self._refresh_table()
         except NotATableError:
             write_deltalake(
                 spark,
@@ -304,11 +326,10 @@ class IndexMaintainingSink(ExactlyOnceDeltaSink):
         stream ending on an off-cadence epoch doesn't leave the index
         lagging. Idempotent — a current index refreshes an empty window."""
         from ..operators.similarity import update_pq_index
-        from ..table import DeltaTable
 
         self.last_refresh = update_pq_index(
             spark,
-            DeltaTable(self.table_uri),
+            self._refresh_table(),
             self.index_uri,
             books=self.books,
             id_col=self.id_col,
@@ -405,11 +426,10 @@ class SemanticIndexMaintainingSink(ExactlyOnceDeltaSink):
         """Run the incremental semantic-index refresh NOW over the open
         CDF window (idempotent; see IndexMaintainingSink.flush)."""
         from ..operators.dedup import update_semantic_index
-        from ..table import DeltaTable
 
         self.last_refresh = update_semantic_index(
             spark,
-            DeltaTable(self.table_uri),
+            self._refresh_table(),
             self.index_uri,
             threshold=self.threshold,
             n_list=self.n_list,

@@ -1096,3 +1096,30 @@ def test_creation_defers_on_empty_corpus_then_bootstraps(spark, tmp_path):
         similarity.train_pq_codebooks(empty, m=4, k_codes=4)
     with pytest.raises(ValueError, match="finite nonzero"):
         similarity.train_pq_codebooks(empty, m=4, k_codes=4, dim=8)
+
+
+def test_l2_argmin_sql_equals_column_reference_form(spark):
+    """Round 12: pq_codes/train_pq_codebooks build the argmin as SQL text
+    (_l2_argmin_sql — construction + k-fold execution fix). The SQL form
+    must pick the IDENTICAL code as the reference struct-sort Column form
+    on every row — including rounded exact ties (which must break to the
+    SMALLEST code) — for both rounded and unrounded variants."""
+    import random
+
+    rnd = random.Random(12)
+    dim = 8
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(dim)]) for i in range(300)
+    ]
+    # adversarial tie rows: vector equidistant from two mirrored centroids
+    rows += [(1000 + i, [0.0] * dim) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = [[rnd.uniform(-1, 1) for _ in range(dim)] for _ in range(7)]
+    cents.append(list(cents[0]))  # duplicated centroid: guaranteed tie
+    for digits in (9, None):
+        ref = similarity._l2_argmin_expr(cents, F.col("v"), digits)
+        got = F.expr(similarity._l2_argmin_sql(cents, "v", digits))
+        bad = df.select(
+            "vec_id", ref.alias("ref"), got.alias("got")
+        ).filter("ref <> got OR (ref IS NULL) <> (got IS NULL)")
+        assert bad.count() == 0, bad.limit(5).collect()

@@ -1211,3 +1211,35 @@ def test_index_sinks_survive_empty_first_batch(spark, tmp_path):
         for r in dedup.semantic_keeplist_from_index(spark, idx_s, live).collect()
     )
     assert keep == list(range(8))
+
+
+def test_sink_cached_handle_sees_external_commits(spark, tmp_path):
+    """Round 12: the sinks cache their DeltaTable handle across batches and
+    advance it incrementally (per-batch log I/O ∝ new commits). The cached
+    snapshot must still observe commits made OUTSIDE the sink between
+    batches — both for the watermark check and for the data a refresh
+    reads — and replay skipping must be unaffected."""
+    from delta_rs_spark import write_deltalake
+
+    uri = str(tmp_path / "cached_handle_tbl")
+    sink = ExactlyOnceDeltaSink(uri, app_id="q-cache")
+    sink(spark.range(0, 4), 0)
+    # first batch CREATES the table (the pre-write load raised
+    # NotATableError), so caching starts at the second batch
+    assert sink._table is None
+
+    # an external writer (compaction job, another stream) commits between
+    # micro-batches; the sink's next batch must see it
+    write_deltalake(spark, spark.range(100, 104), uri, mode="append")
+    sink(spark.range(4, 8), 1)
+    assert sink._table is not None  # handle cached from here on
+    # replayed epoch still skipped through the cached handle
+    sink(spark.range(4, 8), 1)
+    assert sink.skipped_epochs == [1]
+
+    t = DeltaTable(uri)
+    assert t.get_app_transaction_version("q-cache") == 1
+    assert t.to_df(spark).count() == 12
+    # the cached handle converged to the same version a fresh load sees
+    sink._table.update()
+    assert sink._table.version == t.version
