@@ -273,6 +273,7 @@ def test_dml_fuzz_mapped_row_tracked(spark, tmp_path, seed):
             assert after == before, f"row ids changed by optimize after {history}"
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 @pytest.mark.parametrize("seed", [7, 29])
 def test_dml_fuzz_merge_and_replace_where(spark, tmp_path, seed):
     """Upsert-pipeline fuzz: MERGE (update-matched + insert-new), MERGE

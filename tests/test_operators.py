@@ -939,6 +939,7 @@ def test_semantic_keeplist_min_id_survives(spark):
     assert kept == [0, 2]
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_semantic_keeplist_collapsed_equals_uncollapsed_on_degenerate_cluster(
     spark,
 ):

@@ -122,6 +122,7 @@ def test_topk_is_two_phase(q):
         assert s.windows >= 2, f"{name}: expected partial+final windows, got {s.windows}"
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_every_certified_query_builds_and_avoids_cartesian(spark, sf_dir):
     """Whole-surface gate: all certified queries must analyze successfully
     and, unless whitelisted, contain no nested-loop/Cartesian join."""
@@ -290,6 +291,7 @@ def test_substring_dedup_pruned_and_bucketed(q):
     )
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_ivfpq_is_bucketed_not_brute(q):
     """The IVF-PQ candidate join must be the bucketed list equi-join —
     a nested-loop here would mean the probe degenerated to the corpus-wide
@@ -317,6 +319,7 @@ def test_ivfpq_is_bucketed_not_brute(q):
     assert all(set(cols) <= {"vec_id", "embedding"} for cols in s.read_schemas)
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_ivfpq_index_search_is_pruned_equi_join(q):
     """Probing search over the PARTITIONED persisted index: candidate
     generation must be the list_id equi-join (never a nested loop — the
@@ -352,6 +355,7 @@ KEEPLIST_ROWS = [
 ]
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 @pytest.mark.parametrize("name", KEEPLIST_ROWS)
 def test_keeplist_anti_joins_are_unhinted(q, name):
     """VERDICT r8 #1: the keeplist anti joins (and keeplist_by_score's

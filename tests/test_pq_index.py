@@ -67,6 +67,7 @@ def trained_index(spark, emb, idx_sf_dir, tmp_path_factory):
     return src, idx, books
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_index_search_equals_pq_topk_at_production_oversample(
     spark, emb, trained_index
 ):
@@ -152,6 +153,7 @@ def test_non_index_table_is_rejected(spark, emb001, tmp_path):
         similarity.update_pq_index(spark, DeltaTable(src), plain)
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_incremental_matches_one_shot_rebuild(spark, emb001, tmp_path):
     """Two-batch incremental build + MoR delete + postimage re-encode must
     equal the one-shot encode of the final corpus (the pytest twin of the
@@ -311,6 +313,7 @@ def test_index_rerank_join_is_size_adaptive(
         assert len(hinted) == 1, f"expected only the query-side hint: {hinted}"
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_optimize_compacts_index_without_changing_search(
     spark, emb, partitioned_index
 ):
@@ -340,6 +343,7 @@ def test_optimize_compacts_index_without_changing_search(
     assert after == before
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_index_creation_auto_n_list_uses_sqrt_rule(spark, emb001, tmp_path):
     """VERDICT r7 #5: the persisted index — the long-lived artifact — gets
     the same FAISS-shape sqrt rule as the ad-hoc ivf_pq_topk path:
@@ -376,6 +380,7 @@ def test_index_creation_auto_n_list_uses_sqrt_rule(spark, emb001, tmp_path):
     assert got == exact
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_index_drift_metric_baseline_and_degradation(spark, emb001, tmp_path):
     """The documented rebuild trigger (VERDICT r7 #5): creation stores the
     corpus's mean quantization error (deltars.pq.mse0, DECIMAL mean —
@@ -420,6 +425,7 @@ def test_index_drift_metric_baseline_and_degradation(spark, emb001, tmp_path):
 import random
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 @pytest.mark.parametrize("seed", [5, 17])
 def test_pq_index_matches_rebuild_under_fuzz(spark, tmp_path, seed):
     """The incremental index, driven by a RANDOM DML sequence with
@@ -543,6 +549,7 @@ def test_pq_index_matches_rebuild_under_fuzz(spark, tmp_path, seed):
             _check()
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_concurrent_refreshes_converge(spark, emb001, tmp_path):
     """Two racing incremental refreshes of the same window must converge:
     the txn watermark + MERGE conflict detection serialize them (the loser
@@ -640,6 +647,7 @@ def test_vector_zeroed_by_update_leaves_the_index(spark, tmp_path):
     assert DeltaTable(idx).to_df(spark).count() == 20
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_auto_compaction_bounds_refresh_file_accumulation(spark, tmp_path):
     """compact_threshold_files: copy-on-write MERGE refreshes accumulate
     small files; with the knob set, a refresh that leaves more files than
@@ -684,6 +692,7 @@ def test_auto_compaction_bounds_refresh_file_accumulation(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_rebuild_entry_point_retrains_only_past_threshold(spark, emb001, tmp_path):
     """The scheduled maintenance arc of the drift policy: rebuild_pq_index
     with max_ratio no-ops while quantization holds (ratio 1.0 on the
@@ -780,6 +789,7 @@ def test_zero_baseline_drift_is_one_not_inf(spark, tmp_path):
     assert moved["ratio"] == float("inf")
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_residual_index_lifecycle_and_invariants(spark, emb001, tmp_path):
     """Round-9 residual (IVFADC) index, the full invariant set in one
     lifecycle: creation stores the deltars.pq.residual marker next to the

@@ -127,6 +127,7 @@ def test_pq_exhaustive_oversample_equals_brute_force(spark, emb, pq_books):
     assert pq == exact
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_ivfpq_exhaustive_equals_brute_force(spark, emb, pq_books):
     """n_probe = n_list AND exhaustive oversample makes both IVF-PQ tiers
     exhaustive: the composed output must equal cosine_topk row for row
@@ -183,6 +184,7 @@ def scaled_pq_setup(spark, scaled_sf_dir):
     )
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_pq_topk_recall_floor_auto_scaled(
     spark, scaled_emb, scaled_exact_topk, scaled_pq_setup
 ):
@@ -195,6 +197,7 @@ def test_pq_topk_recall_floor_auto_scaled(
     assert r >= 0.85, f"pq_topk auto-scaled recall@10 dropped to {r} at n={n}"
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_ivfpq_topk_recall_floor_auto_scaled(
     spark, scaled_emb, scaled_exact_topk, scaled_pq_setup
 ):
@@ -210,6 +213,7 @@ def test_ivfpq_topk_recall_floor_auto_scaled(
     assert r >= 0.8, f"ivf_pq_topk auto-scaled recall@10 dropped to {r} at n={n}"
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_ivfpq_default_residual_recall_floor_auto_scaled(
     spark, scaled_emb, scaled_exact_topk, scaled_pq_setup
 ):
@@ -226,6 +230,7 @@ def test_ivfpq_default_residual_recall_floor_auto_scaled(
     assert r >= 0.8, f"default residual ivf_pq recall@10 dropped to {r} at n={n}"
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_knn_graph_recall_floor_auto_scaled(spark, scaled_emb, scaled_pq_setup):
     """The kNN graph SemDeDup would actually consume (VERDICT r7 #4): a
     CORPUS-SIZED query side at the auto-scaled production knobs, recalled

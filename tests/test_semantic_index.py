@@ -413,6 +413,7 @@ def _keep(spark, idx, corpus):
     )
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_collapse_exact_absorbs_degenerate_cluster(spark, tmp_path):
     """The 10³-identical-vector cluster that fires the uncollapsed cap
     (test_degenerate_cluster_guard) must sail through a collapse_exact
@@ -450,6 +451,7 @@ def test_collapse_exact_absorbs_degenerate_cluster(spark, tmp_path):
     assert _keep(spark, idx, df) == want == [0, 1001, 1002, 1003]
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_collapse_exact_incremental_copies_and_keeper_promotion(
     spark, tmp_path
 ):
@@ -742,6 +744,7 @@ def test_collapse_partial_probe_equals_keeper_snapshot(spark, emb, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_collapse_crash_between_groups_and_assignments(spark, emb, tmp_path):
     """Creation is THREE commits under collapse (groups, assignments,
     pairs); a crash after the groups table exists but before assignments
@@ -883,6 +886,7 @@ def test_semantic_creation_defers_on_empty_corpus_then_bootstraps(
     assert _keep(spark, idx, live) == [1, 3]
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 @pytest.mark.parametrize("seed", [23])
 def test_collapse_index_matches_one_shot_under_fuzz(spark, tmp_path, seed):
     """Round 11: random DML schedule over a CLONE-HEAVY corpus (ids drawn

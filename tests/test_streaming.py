@@ -955,6 +955,7 @@ def test_index_maintaining_sink_streams_the_ann_index(spark, tmp_path):
     assert idx_t.get_app_transaction_version("ann-index") == DeltaTable(src).version
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_index_sink_refresh_cadence_converges(spark, tmp_path):
     """VERDICT r8 missing #3: refresh_every_n=3 pays the index MERGE only
     on every third epoch (high-rate streams must not pay a synchronous
@@ -1032,6 +1033,7 @@ def test_index_sink_refresh_cadence_converges(spark, tmp_path):
         IndexMaintainingSink(src3, idx3, app_id="x", refresh_every_n=0)
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_semantic_index_sink_composes_and_collapses(spark, tmp_path):
     """Round 10: SemanticIndexMaintainingSink — the dedup twin of the ANN
     index sink. Batches append exactly-once and the semantic index
@@ -1102,6 +1104,7 @@ def test_semantic_index_sink_composes_and_collapses(spark, tmp_path):
     assert sink.skipped_epoch_count == 1
 
 
+@pytest.mark.slow  # builder tier: see pyproject [tool.pytest.ini_options]
 def test_semantic_sink_refresh_cadence_converges(spark, tmp_path):
     """Round 11: the semantic sink's refresh_every_n honors the same
     deterministic-cadence contract as the ANN sink — skipped epochs' CDF
