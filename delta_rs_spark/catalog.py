@@ -14,11 +14,14 @@ from . import lifecycle_queries as _lifecycle_queries  # noqa: F401  (registers)
 from . import pipeline_queries as _pipeline_queries  # noqa: F401  (registers)
 from .queries import QUERIES, headline_queries, oracle_sql, queries
 
-# Round-12 window (stalest-first, VERDICT r11 items #2-3): (1) the three
-# rows whose CODE is touched by this optimization round — text_gopher_rules
-# and corpus_bpe_encode_arrow (promoted to the timed bench and optimized,
-# VERDICT r11 #3) and multimodal_features (frame_sample Arrow-boundary
-# residual, VERDICT r11 #7); (2) all 47 rows whose last driver-green round
+# Round-12 window (stalest-first, VERDICT r11 items #2-3): (1) the two rows
+# whose CODE this optimization round touches — text_gopher_rules and
+# corpus_bpe_encode_arrow (promoted to the timed bench and optimized,
+# VERDICT r11 #3) — plus multimodal_features, the highest-priority
+# r11-code-touched row VERDICT #2 wants driver-re-certified (its
+# frame_sample residual was measured this round and deliberately left
+# alone: the kernel does 100k payloads -> 507k frames in ~0.1 s, so the
+# take-based copies are immaterial); (2) all 47 rows whose last driver-green round
 # is 9 (the text.* family, the BPE train/encode chain, the exact-dedup and
 # semantic-keeplist rows, the PQ exact/codes/search family, sampling/split
 # rows and the q_* analytics block) — the freshness gate

@@ -1501,15 +1501,15 @@ def pq_topk(
         "c_id",
         "c_v",
         *[
-            _l2_argmin_expr(books[j], F.slice("c_v", j * sub + 1, sub)).alias(
-                f"_code_{j}"
-            )
+            F.expr(
+                _l2_argmin_sql(books[j], f"slice(c_v, {j * sub + 1}, {sub})")
+            ).alias(f"_code_{j}")
             for j in range(m)
         ],
     )
     q = _unit(_with_norm(queries, id_col, vec_col, "q"), "q")
     # flat m·k_codes ADC table: entry j·k_codes + c = dot(q_sub_j, book_j_c)
-    qq = q.withColumn("_adc", _adc_table(books, F.col("q_v")))
+    qq = q.withColumn("_adc", _adc_table(books, "q_v"))
 
     scored = (
         cc.crossJoin(F.broadcast(qq))
@@ -1642,27 +1642,27 @@ def ivf_pq_topk(
     sub = len(books[0][0])
 
     c = _assign_lists(_with_norm(corpus, id_col, vec_col, "c"), cents, "c", 1)
-    cu = F.transform("c_v", lambda x: x / F.col("c_norm"))
+    cu_sql = "transform(c_v, x -> x / c_norm)"
     if residual:
         c = c.join(F.broadcast(_cents_df(corpus.sparkSession, cents)), "list_id")
-        enc = F.zip_with(cu, F.col("_cent"), lambda a, b: a - b)
+        enc_sql = f"zip_with({cu_sql}, _cent, (a, b) -> a - b)"
     else:
-        enc = cu
+        enc_sql = cu_sql
     cc = c.select(
         "list_id",
         "c_id",
         "c_v",
         "c_norm",
         *[
-            _l2_argmin_expr(books[j], F.slice(enc, j * sub + 1, sub)).alias(
-                f"_code_{j}"
-            )
+            F.expr(
+                _l2_argmin_sql(books[j], f"slice({enc_sql}, {j * sub + 1}, {sub})")
+            ).alias(f"_code_{j}")
             for j in range(m)
         ],
     )
     q = _assign_lists(_with_norm(queries, id_col, vec_col, "q"), cents, "q", n_probe)
     qu = F.transform("q_v", lambda x: x / F.col("q_norm"))
-    qq = q.withColumn("_adc", _adc_table(books, qu))
+    qq = q.withColumn("_adc", _adc_table(books, "transform(q_v, x -> x / q_norm)"))
     if residual:
         # the exact q·cent[l] half of the IVFADC score — query-side only
         # (|queries|·n_probe rows joined against n_list centroid rows)
@@ -1714,31 +1714,24 @@ def _quantization_mse_col(books: list[list[list[float]]], unit_vec) -> "F.Column
     engine-invariance quantization as the certified-codes path) and the
     caller averages as DECIMAL, so the corpus mean is deterministic under
     any partitioning and SQL-oracle-expressible."""
+    # SQL-text build (round 12): the Column form built m·k_codes
+    # aggregate(zip_with(...)) trees through py4j — the same construction
+    # cost class as _l2_argmin_sql (see its docstring); identical arithmetic
+    # in identical order, so the doubles are bit-equal. ``unit_vec`` is the
+    # SQL text of the unit-vector column (call sites pass plain names).
     m = len(books)
     sub = len(books[0][0])
-    total = None
+    mins = []
     for j in range(m):
-        sl = F.slice(unit_vec, j * sub + 1, sub)
-        dists = F.array(
-            *[
-                F.round(
-                    F.aggregate(
-                        F.zip_with(
-                            sl,
-                            F.array(*[F.lit(float(x)) for x in c]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ),
-                    9,
-                )
-                for c in books[j]
-            ]
+        sl = f"slice({unit_vec}, {j * sub + 1}, {sub})"
+        dists = ", ".join(
+            f"round(aggregate(zip_with({sl},"
+            " array(" + ", ".join(_flit(x) for x in c) + "),"
+            " (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x), 9)"
+            for c in books[j]
         )
-        dmin = F.array_min(dists)
-        total = dmin if total is None else total + dmin
-    return total
+        mins.append(f"array_min(array({dists}))")
+    return F.expr("(" + " + ".join(mins) + ")")
 
 
 def quantization_mse_df(
@@ -1760,7 +1753,7 @@ def quantization_mse_df(
     u = _unit(_with_norm(df, id_col, vec_col, "c"), "c")
     if cents is not None:
         u = _attach_residual(_assign_lists(u, cents, "c", 1), cents, "c")
-    err = _quantization_mse_col(books, F.col("c_v"))
+    err = _quantization_mse_col(books, "c_v")
     return u.agg(
         F.round(
             F.sum(err.cast("decimal(38,18)")).cast("double") / F.count(F.lit(1)),
@@ -1914,18 +1907,22 @@ def _adc_table(books: list[list[list[float]]], unit_vec) -> "F.Column":
     """Flat m·k_codes query-side ADC table (entry j·k_codes + c =
     dot(q_sub_j, book_j_c)) — literal-arithmetic codegen over the unit
     query vector, shared by `pq_topk` / `ivf_pq_topk` / `pq_index_search`."""
+    # SQL-text build (round 12): m·k_codes literal dot products — the same
+    # py4j-construction fix as _l2_argmin_sql (bit-equal arithmetic);
+    # ``unit_vec`` is the SQL text of the unit query-vector expression.
     m = len(books)
     k_codes = len(books[0])
     sub = len(books[0][0])
-    return F.array(
-        *[
-            _dot(
-                F.slice(unit_vec, j * sub + 1, sub),
-                F.array(*[F.lit(float(x)) for x in books[j][cd]]),
-            )
+    return F.expr(
+        "array("
+        + ", ".join(
+            f"aggregate(zip_with(slice({unit_vec}, {j * sub + 1}, {sub}),"
+            " array(" + ", ".join(_flit(x) for x in books[j][cd]) + "),"
+            " (x, y) -> x * y), 0.0D, (a, x) -> a + x)"
             for j in range(m)
             for cd in range(k_codes)
-        ]
+        )
+        + ")"
     )
 
 
@@ -2385,7 +2382,9 @@ def pq_index_search(
             oversample = _auto_pool_oversample(math.ceil(n * n_probe / n_list), k)
         q = _assign_lists(_with_norm(queries, id_col, vec_col, "q"), cents, "q", n_probe)
         qu = F.transform("q_v", lambda x: x / F.col("q_norm"))
-        qq = q.withColumn("_adc", _adc_table(books, qu))
+        qq = q.withColumn(
+            "_adc", _adc_table(books, "transform(q_v, x -> x / q_norm)")
+        )
         if residual:
             # exact q·cent[l] half of the IVFADC score, folded into the
             # query-probe frame BEFORE it broadcasts (the centroid frame is
@@ -2426,8 +2425,9 @@ def pq_index_search(
             F.col(id_col).alias("c_id"), *[f"code_{j}" for j in range(m)]
         )
         q = _with_norm(queries, id_col, vec_col, "q")
-        qu = F.transform("q_v", lambda x: x / F.col("q_norm"))
-        qq = q.withColumn("_adc", _adc_table(books, qu))
+        qq = q.withColumn(
+            "_adc", _adc_table(books, "transform(q_v, x -> x / q_norm)")
+        )
         scored = (
             idx.crossJoin(F.broadcast(qq))
             .filter(F.col("q_id") != F.col("c_id"))
