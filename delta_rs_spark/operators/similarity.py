@@ -367,23 +367,32 @@ def _lsh_bucket_tables(
     """Explode each row into ``n_tables`` (table, bucket) rows — one
     independent sign-LSH hash table per plane set. Buckets are computed in
     one codegen pass (the plane matrix is a driver literal, no shuffle)."""
+    # SQL-text build (round 12): n_tables·n_planes aggregate(zip_with(...))
+    # sign-dot trees were assembled through py4j per call — the same
+    # construction-cost class as _l2_argmin_sql. The dot is the identical
+    # fold (zip_with multiply, left fold from 0.0D), so every bucket bit —
+    # and the SQL oracle's signed-chain recomputation — is unchanged.
     all_planes = _hyperplane_signs(n_planes * n_tables, dim)
     buckets = []
     for t in range(n_tables):
-        b = F.lit(0).cast("long")
+        terms = ["CAST(0 AS BIGINT)"]
         for i, signs in enumerate(all_planes[t * n_planes : (t + 1) * n_planes]):
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(s)) for s in signs]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda a, x: a + x,
+            arr = "array(" + ", ".join(_flit(float(s)) for s in signs) + ")"
+            dot = (
+                f"aggregate(zip_with({vec_col}, {arr}, (x, y) -> x * y),"
+                " 0.0D, (a, x) -> a + x)"
             )
-            b = b + F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0))
-        buckets.append(b)
-    return df.select("*", F.posexplode(F.array(*buckets)).alias("table", "bucket"))
+            terms.append(
+                f"(CASE WHEN {dot} >= 0 THEN CAST({1 << i} AS BIGINT)"
+                " ELSE 0 END)"
+            )
+        buckets.append("(" + " + ".join(terms) + ")")
+    return df.select(
+        "*",
+        F.posexplode(F.expr("array(" + ", ".join(buckets) + ")")).alias(
+            "table", "bucket"
+        ),
+    )
 
 
 def lsh_bucket_assignments(
