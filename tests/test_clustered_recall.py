@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 
 from delta_rs_spark.operators import similarity
 
+# builder tier: every test in this module is multi-minute-fixture fuzz/recall
+# work (see pyproject [tool.pytest.ini_options]); the certified contracts stay
+# in the driver tier via the oracle rows.
+pytestmark = pytest.mark.slow
+
 N = 2000
 N_LIST = 16
 

@@ -16,6 +16,11 @@ import pytest
 
 from delta_rs_spark import DeltaTable, write_deltalake
 
+# builder tier: every test in this module is multi-minute-fixture fuzz/recall
+# work (see pyproject [tool.pytest.ini_options]); the certified contracts stay
+# in the driver tier via the oracle rows.
+pytestmark = pytest.mark.slow
+
 
 def _rows(spark, ids, vmul=1):
     return spark.createDataFrame(
