@@ -561,7 +561,17 @@ def lsh_bucketed_pairs(
 
     r, b = _band_params(threshold, target_miss)
     planes = _hyperplane_signs(r * b, dim)
-    planes_col = F.array(*[F.lit([float(s) for s in row]) for row in planes])
+    # SQL-text literal matrix (round 12): up to max_planes F.lit(list)
+    # py4j calls otherwise — same construction fix as _l2_argmin_sql,
+    # identical literal values
+    planes_col = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_flit(float(s)) for s in row) + ")"
+            for row in planes
+        )
+        + ")"
+    )
 
     norm = (
         df.select(
